@@ -1,0 +1,83 @@
+"""Table catalog: Parquet directories registered as named DataFrames/views.
+
+Replaces the reference's five ad-hoc source boundaries (remote OPTIMADE
+providers, a SQLite file, three REST APIs — SURVEY.md §2.1 S1-S5) with one
+uniform scan surface: ``spark.read.parquet`` per table, registered as temp
+views so both the DataFrame API and ``spark.sql`` paths see the same
+catalog. On a cluster these would be external tables (or a metastore
+catalog) over partitioned Parquet/Iceberg; the API here is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Lazy per-table DataFrame accessor over one scale-factor directory.
+
+    ``Catalog(spark, sf_dir).lineitem`` (or ``.table("lineitem")``) returns
+    the Parquet-backed DataFrame; scans are lazy so Catalyst pushes filters
+    and prunes columns into the file source per query.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLE_NAMES:
+                raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+            self._cache[name] = self._read(name)
+        return self._cache[name]
+
+    def _read(self, name: str) -> DataFrame:
+        path = self.path(name)
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception as exc:
+            if "TIMESTAMP(NANOS" not in str(exc):
+                raise
+            # Parquet TIMESTAMP(NANOS) (the events.ts column) is illegal for
+            # Spark's vectorized reader; read nanos as long and convert with
+            # integer division (ns magnitudes exceed double's 2^53 mantissa,
+            # so no float path).
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = self.spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLE_NAMES) -> None:
+        """Register each table as a temp view for the ``spark.sql`` path."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,56 @@
+"""DuckDB-oracle comparison harness, mirroring the driver's t2 check:
+row-count + schema + order-insensitive value compare, columns sorted by name.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from mr_dice_spark.catalog import TABLE_NAMES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0/0.0 and represent at comparable precision
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def compare_spark_duckdb(spark_df, oracle_sql: str, sf_dir: str):
+    """Return (ok, message). Order-insensitive, column-name-sorted compare."""
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.sql(oracle_sql)
+        d_cols = res.columns
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    cs, cd = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    if cs != cd:
+        diff = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
+        return False, f"value mismatch, first diffs: {diff}"
+    return True, f"ok ({len(s_rows)} rows)"
