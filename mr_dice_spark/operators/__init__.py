@@ -1,0 +1,34 @@
+from mr_dice_spark.operators.quota import distribute_quota_fair, fair_quota_topk
+from mr_dice_spark.operators.topk import per_group_topk
+from mr_dice_spark.operators.dedup import (
+    dedup_exact,
+    dedup_first_wins,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    simhash_dedup,
+    ngram_jaccard_join,
+)
+from mr_dice_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup,
+)
+from mr_dice_spark.operators.asof import asof_join
+from mr_dice_spark.operators.sessionize import sessionize
+
+__all__ = [
+    "distribute_quota_fair",
+    "fair_quota_topk",
+    "per_group_topk",
+    "dedup_exact",
+    "dedup_first_wins",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_join",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "embedding_near_dup",
+    "asof_join",
+    "sessionize",
+]

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (north-star operator).
+
+Brute-force cosine top-k is the exact baseline; the LSH (random hyperplane)
+variant is the 100 TB path: signatures prune the candidate space, exact
+cosine reranks. Everything is built from array expressions
+(zip_with/aggregate) so the dot products run inside whole-stage codegen —
+no Python, no UDF. The reference's nearest analogue is the blocked
+StructureMatcher near-dup join (SURVEY.md §2.7 D4): block cheaply, verify
+exactly on the survivors.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    One scan, no shuffle beyond the global top-k (TakeOrderedAndProject);
+    this is the correct plan shape even at scale — the k results are tiny.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec . plane_i). Returns a
+    long (n_planes <= 63)."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket filter + exact rerank.
+
+    Candidates are rows whose signature is within ``max_hamming`` bits of
+    the query's (hamming on signatures approximates angle). The signature
+    filter is a scan-side predicate — at scale, signatures would be a stored
+    column (computed at ingest) so the filter prunes before any vector math.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_sig = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            q_sig |= 1 << i
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.withColumn("__sig", signature_bits(vec, planes)).where(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(q_sig).cast("long"))) <= max_hamming
+    )
+    return (
+        cand.select(F.col(id_col), cosine(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    LSH banding on hyperplane signatures proposes candidates (pairs agreeing
+    on at least one band of ``band_bits`` signature bits); exact cosine
+    verifies. Dimension is read from the first row.
+    """
+    first = df.select(F.size(vec_col)).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], f"id_a long, id_b long, cosine double")
+    dim = first[0]
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    sig = df.select(F.col(id_col).alias("__id"), vec.alias("__v")).withColumn(
+        "__sig", signature_bits(F.col("__v"), planes)
+    )
+    n_bands = max(1, n_planes // band_bits)
+    keyed = sig.select(
+        "__id",
+        "__v",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.shiftrightunsigned(F.col("__sig"), (b * band_bits).cast("int"))
+                .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long")),
+            )
+        ).alias("__band", "__key"),
+    )
+    pairs = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x.__band") == F.col("y.__band"))
+            & (F.col("x.__key") == F.col("y.__key"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.__v").alias("__va"),
+            F.col("y.__v").alias("__vb"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

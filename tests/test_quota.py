@@ -1,0 +1,100 @@
+"""Property tests for the fair-quota water-fill (SURVEY.md §5 implication d:
+invariants from the reference's docstring, Optimade_Server/utils.py:253-262)
+plus worked examples, and the distributed fair_quota_topk transform."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mr_dice_spark.operators.quota import distribute_quota_fair, fair_quota_topk
+
+stats_st = st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    st.dictionaries(
+        st.text(alphabet="uvwxyz", min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=40),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(stats=stats_st, n=st.integers(min_value=0, max_value=200))
+@settings(max_examples=300, deadline=None)
+def test_invariants(stats, n):
+    plan = distribute_quota_fair(stats, n)
+    if n <= 0:
+        assert plan == {}
+        return
+    total_cap = sum(sum(u.values()) for u in stats.values())
+    got = sum(sum(u.values()) for u in plan.values())
+    # never exceeds capacity per cell
+    for c, urls in plan.items():
+        for u, q in urls.items():
+            assert 0 <= q <= stats[c][u]
+    # exact budget use
+    assert got == min(n, total_cap)
+    # fairness: clause totals differ by <=1 unless the smaller one is capacity-bound
+    totals = {c: sum(u.values()) for c, u in plan.items()}
+    caps = {c: sum(u.values()) for c, u in stats.items()}
+    active = [c for c in stats if caps[c] > 0]
+    for c1 in active:
+        for c2 in active:
+            if totals[c1] > totals[c2] + 1:
+                assert totals[c2] == caps[c2], (
+                    f"{c2} got {totals[c2]} while {c1} got {totals[c1]} "
+                    f"but {c2} is not capacity-bound (cap {caps[c2]})"
+                )
+
+
+def test_equal_split_simple():
+    plan = distribute_quota_fair({"a": {"u": 50}, "b": {"u": 50}}, 10)
+    assert plan == {"a": {"u": 5}, "b": {"u": 5}}
+
+
+def test_remainder_goes_to_first_clauses():
+    plan = distribute_quota_fair({"a": {"u": 50}, "b": {"u": 50}, "c": {"u": 50}}, 10)
+    assert plan == {"a": {"u": 4}, "b": {"u": 3}, "c": {"u": 3}}
+
+
+def test_capacity_bound_overflow_waterfills():
+    # clause a can only take 2; its unused share flows to b and c evenly
+    plan = distribute_quota_fair({"a": {"u": 2}, "b": {"u": 50}, "c": {"u": 50}}, 12)
+    assert plan["a"] == {"u": 2}
+    assert sum(plan["b"].values()) == 5
+    assert sum(plan["c"].values()) == 5
+
+
+def test_intra_clause_url_split():
+    plan = distribute_quota_fair({"a": {"u1": 10, "u2": 10, "u3": 1}}, 9)
+    # equal split 3/3/3 capped at u3's 1, then water-fill the leftover 2 -> u1, u2
+    assert plan == {"a": {"u1": 4, "u2": 4, "u3": 1}}
+
+
+def test_zero_capacity_clause_excluded():
+    plan = distribute_quota_fair({"a": {"u": 0}, "b": {"u": 7}}, 5)
+    assert plan == {"a": {"u": 0}, "b": {"u": 5}}
+
+
+def test_fair_quota_topk_distributed(spark, oracle_sf_dir):
+    from mr_dice_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    ev = Catalog(spark, oracle_sf_dir).events
+    out = fair_quota_topk(
+        ev, "event_type", None, 40, order_by=[F.asc("ts"), F.asc("event_id")]
+    )
+    rows = out.collect()
+    assert len(rows) == 40
+    by_type = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
+    # 5 event types, all with thousands of rows -> exact equal split
+    assert by_type == {t: 8 for t in by_type}
+    # per-group rows are the earliest by (ts, event_id)
+    first = ev.orderBy("ts", "event_id").where(F.col("event_type") == rows[0].event_type)
+    picked = sorted((r.ts, r.event_id) for r in rows if r.event_type == rows[0].event_type)
+    expect = sorted((r.ts, r.event_id) for r in first.limit(8).collect())
+    assert picked == expect
