@@ -1,0 +1,86 @@
+"""Text-analysis functions for the documents pipeline (north-star surface):
+tokenization, token counting, quality scoring, stopword/language heuristics,
+document fingerprinting. All builtin-expression based (split/regexp/
+aggregate) so they run inside whole-stage codegen at 100 TB; no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small English stopword list for the stopword-ratio language heuristic
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "this", "be",
+)
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text -> empty array)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND word/punct/digit
+    boundaries (a cheap BPE stand-in: ~tokens a byte-pair encoder would not
+    merge across). Useful as a token-budget estimator."""
+    pieces = F.regexp_extract_all(
+        F.lower(text_col), F.lit(r"[a-z]+|\d+|[^\sa-z\d]"), 0
+    )
+    return F.size(pieces)
+
+
+def punct_ratio(text_col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text_col) > 0, F.length(stripped) / F.length(text_col)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text_col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords — the n-gram-free
+    language-ID heuristic: high ratio => likely English."""
+    toks = tokens(F.lower(text_col))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, low punct
+    ratio, some stopwords present. Weights are arbitrary but deterministic —
+    the operator shape (cheap per-doc scoring feeding a filter) is the point.
+    """
+    n = F.length(text_col)
+    length_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(
+        F.when(n < 50, n / 50.0).otherwise(F.lit(20000.0) / n)
+    )
+    punct_ok = 1.0 - F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
+    sw_ok = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+    return (length_ok * 0.4 + punct_ok * 0.3 + sw_ok * 0.3).cast("double")
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """64-bit order-sensitive document fingerprint: xxhash of the token
+    stream with positions (a deterministic rolling-hash stand-in; exact-dup
+    detection key)."""
+    toks = tokens(text_col)
+    return F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda t, i: F.xxhash64(t, i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    )
