@@ -571,3 +571,8 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_queries() -> dict[str, GoldenQuery]:
     return {k: v for k, v in GOLDEN.items() if v.bench}
+
+
+# register part 2 of the corpus (pipeline operators); import is at the
+# bottom because golden_pipeline uses this module's decorator
+from mr_dice_spark import golden_pipeline  # noqa: E402,F401  isort:skip

@@ -1,0 +1,434 @@
+"""Golden corpus part 2: events/documents/embeddings pipeline operators —
+windows, sessionization, as-of join, JSON access, predicate-DSL queries,
+dedup, similarity join, text analysis, rollup (FIXTURES.md §B3 bottom rows).
+
+Timestamp rule: events.ts is TIMESTAMP(NANOS) in parquet; Spark reads µs
+(Catalog truncates), so every oracle wraps it as CAST(ts AS TIMESTAMP)
+(DuckDB truncates identically — verified) and only epoch-ms integers are
+ever output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.filters import compile_filter
+from mr_dice_spark.functions.text import punct_ratio, stopword_ratio, tokens
+from mr_dice_spark.golden import _r, golden
+from mr_dice_spark.operators.asof import asof_join
+from mr_dice_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_dedup,
+    ngram_jaccard_join,
+    simhash_dedup,
+)
+from mr_dice_spark.operators.quota import fair_quota_topk
+from mr_dice_spark.operators.sessionize import session_stats
+from mr_dice_spark.operators.similarity import cosine, cosine_topk_lsh, embedding_near_dup
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp goldens require UTC semantics regardless of who built the
+    session (the driver's session may not be UTC)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# streaming-equivalent windows (batch form of the SURVEY.md §2.10 extension)
+# ---------------------------------------------------------------------------
+
+WINDOW_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(1e-9 + AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@golden("events_hourly_window", WINDOW_ORACLE, tags=("window", "streaming", "events"), bench=True)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _r(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+SESSION_ORACLE = """
+WITH t AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@golden("events_sessionize", SESSION_ORACLE, tags=("window", "sessionize", "events"), bench=True)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return session_stats(ev, "user_id", "ts", 1800, tiebreak_col="event_id").orderBy(
+        "user_id", "session_id"
+    )
+
+
+ASOF_ORACLE = """
+WITH v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS last_view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       epoch_ms(p.ts) AS purchase_ms, v.last_view_id AS last_view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
+
+@golden("events_asof_join", ASOF_ORACLE, tags=("join", "asof", "events"), bench=True)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("last_view_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_view_id"], suffix="",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        "last_view_id",
+    ).orderBy("purchase_id")
+
+
+JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(1e-9 + AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@golden("events_json_props", JSON_ORACLE, tags=("json", "F-json", "events"))
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.withColumn(
+            "k_bucket", F.get_json_object("props", "$.k").cast("long") % 10
+        )
+        .groupBy("k_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_bucket", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# predicate DSL over array columns (P1-P8) — p_name word set as `elements`
+# ---------------------------------------------------------------------------
+
+HAS_ORACLE = """
+SELECT p_partkey AS partkey, p_name AS name, p_size AS size
+FROM part
+WHERE list_has_all(string_split(p_name, ' '), ['small', 'ring'])
+   OR list_has_all(['red', 'widget'], string_split(p_name, ' '))
+   OR (NOT list_has_any(string_split(p_name, ' '), ['red', 'blue', 'hot', 'small'])
+       AND p_size > 40)
+ORDER BY partkey
+"""
+
+
+@golden("optimade_has_predicates", HAS_ORACLE, tags=("filter", "P4", "P5", "P6", "P7"))
+def optimade_has_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part.withColumn("name_tokens", F.split("p_name", " "))
+    cond = compile_filter(
+        '(name_tokens HAS ALL "small","ring")'
+        ' OR (name_tokens HAS ONLY "red","widget")'
+        ' OR (NOT (name_tokens HAS ANY "red","blue","hot","small") AND p_size > 40)'
+    )
+    return (
+        p.where(cond)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("p_size").alias("size"),
+        )
+        .orderBy("partkey")
+    )
+
+
+FILTER_ORACLE = """
+SELECT p_partkey AS partkey, p_type AS type, p_size AS size, p_retailprice AS price
+FROM part
+WHERE (p_type = 'PROMO' OR p_type = 'ECONOMY') AND p_size >= 10 AND p_size <= 30
+  AND p_name LIKE '%gear%'
+ORDER BY partkey
+"""
+
+
+@golden("optimade_filter_compile", FILTER_ORACLE, tags=("filter", "P1", "P2", "P3", "P7"))
+def optimade_filter_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    cond = compile_filter(
+        '(p_type="PROMO" OR p_type="ECONOMY") AND p_size>=10 AND p_size<=30'
+        ' AND p_name CONTAINS "gear"'
+    )
+    return (
+        p.where(cond)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+            F.col("p_retailprice").alias("price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fair-quota top-k (O5). Oracle note: with 5 event types each holding far
+# more than n/5 rows, the water-fill reduces to an exact equal split of 40
+# -> 8 per type, which IS SQL-expressible; the general capacity-bound
+# behavior is hypothesis-tested in tests/test_quota.py.
+# ---------------------------------------------------------------------------
+
+QUOTA_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+)
+SELECT event_id, event_type FROM ranked WHERE rn <= 8
+ORDER BY event_type, event_id
+"""
+
+
+@golden("fair_quota_topk_events", QUOTA_ORACLE, tags=("topk", "O5", "R7"))
+def fair_quota_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return (
+        fair_quota_topk(ev, "event_type", None, 40, order_by=[F.asc("ts"), F.asc("event_id")])
+        .select("event_id", "event_type")
+        .orderBy("event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup + similarity + text analysis over documents/embeddings
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@golden("dedup_exact_documents", DEDUP_EXACT_ORACLE, tags=("dedup", "D1", "D3"))
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return dedup_exact(docs, ["text"], "doc_id").select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )
+
+
+JACCARD_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(1e-9 + i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON inter.id_a = ca.doc_id
+JOIN cnt cb ON inter.id_b = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@golden("jaccard_similarity_join", JACCARD_ORACLE, tags=("dedup", "D4", "similarity"), bench=True)
+def jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    return pairs.select(
+        "id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+COSINE_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(1e-9 + list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           (SELECT qv FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@golden("cosine_topk_bruteforce", COSINE_ORACLE, tags=("similarity", "ann"), bench=True)
+def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    return (
+        emb.select(
+            "vec_id",
+            _r(cosine(F.col("embedding").cast("array<double>"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+TEXT_ORACLE = """
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       ROUND(1e-9 + len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+             / LENGTH(text), 4) AS punct_ratio,
+       ROUND(1e-9 + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 w -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                     'it','that','for','on','with','as','was','at',
+                                     'by','this','be'], w))) * 1.0
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@golden("text_analysis_stats", TEXT_ORACLE, tags=("text", "quality"), bench=True)
+def text_analysis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        F.size(tokens(t)).cast("long").alias("n_tokens"),
+        _r(punct_ratio(t), 4).alias("punct_ratio"),
+        _r(stopword_ratio(t), 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       ROUND(1e-9 + SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY flag, status
+"""
+
+
+@golden("rollup_flag_status", ROLLUP_ORACLE, tags=("agg", "rollup"))
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Catalog(spark, sf_dir).lineitem
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+@golden("minhash_lsh_dedup_survivors", None, tags=("dedup", "minhash", "lsh"), bench=True)
+def minhash_lsh_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@golden("simhash_near_dup_pairs", None, tags=("dedup", "simhash"))
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_dedup(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+@golden("embedding_near_dup_pairs", None, tags=("dedup", "similarity", "lsh"))
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    pairs = embedding_near_dup(emb, "vec_id", "embedding", threshold=0.98)
+    return pairs.select("id_a", "id_b", _r(F.col("cosine"), 4).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@golden("cosine_topk_lsh_approx", None, tags=("similarity", "ann", "lsh"))
+def cosine_topk_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).embeddings
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    out = cosine_topk_lsh(emb, "vec_id", "embedding", qvec, k=10)
+    return out.select("vec_id", _r(F.col("cosine"), 6).alias("cosine")).orderBy(
+        F.desc("cosine"), "vec_id"
+    )

@@ -31,7 +31,7 @@ def _norm(v):
 
 def _canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 def compare_spark_duckdb(spark_df, oracle_sql: str, sf_dir: str):
