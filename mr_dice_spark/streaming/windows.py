@@ -1,0 +1,143 @@
+"""Structured Streaming extension (SURVEY.md §2.10 — beyond-reference).
+
+The reference is purely request/response; the 100 TB north star needs
+incremental ingestion. These helpers wrap the standard shapes — file-source
+ingestion of the events schema, watermarked tumbling/sliding/session
+windows — so the SAME aggregation logic runs batch (golden corpus:
+events_hourly_window / events_sessionize) and streaming: each helper takes
+any DataFrame, batch or streaming, and the batch goldens are the oracle for
+the streaming path (tests feed the events parquet through readStream and
+compare against the batch result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over events-shaped parquet.
+
+    On a cluster this would be Kafka/Kinesis; the file source exercises the
+    identical incremental plan. NOTE: the driver's events parquet stores
+    TIMESTAMP(NANOS) — the session must have
+    ``spark.sql.legacy.parquet.nanosAsLong`` set (get_spark does) and the
+    column arrives as long ns, converted here.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    # the file stream source requires a DIRECTORY; the driver's layout is a
+    # single parquet file per table — stage a symlink dir when needed
+    if os.path.isfile(path):
+        staged = os.path.join(
+            tempfile.gettempdir(),
+            f"mr_dice_stream_{hashlib.sha1(path.encode()).hexdigest()[:12]}",
+        )
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = staged
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate; same output schema as the
+    batch golden ``events_hourly_window``."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows (session_window builtin). Semantics match
+    the batch ``sessionize`` operator: a gap >= the threshold closes the
+    session."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("start_ms"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_seconds: int = 120,
+):
+    """Drive a streaming aggregate to completion against a finite file
+    source and return the in-memory result table (test/demo harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_seconds)
+    return q

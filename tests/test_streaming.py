@@ -1,0 +1,57 @@
+"""Streaming extension: the batch goldens are the oracle — feed the same
+events parquet through readStream and compare aggregates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.streaming import (
+    read_events_stream,
+    session_window_stats,
+    tumbling_window_stats,
+    sliding_window_counts,
+)
+from mr_dice_spark.streaming.windows import run_stream_to_memory
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
+    batch = tumbling_window_stats(Catalog(spark, sf_dir).events)
+    q = run_stream_to_memory(tumbling_window_stats(events_stream), "tumbling_t")
+    got = spark.sql("SELECT * FROM tumbling_t")
+    cols = ["window_start_ms", "event_type", "n_events"]
+    assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+    q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_stream):
+    batch = sliding_window_counts(Catalog(spark, sf_dir).events)
+    q = run_stream_to_memory(sliding_window_counts(events_stream), "sliding_t")
+    got = spark.sql("SELECT * FROM sliding_t")
+    cols = ["window_start_ms", "window_end_ms", "event_type", "n_events"]
+    assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+    q.stop()
+
+
+def test_session_stream_matches_batch_sessionize(spark, sf_dir, events_stream):
+    """session_window (streaming) vs the gaps-and-islands batch operator:
+    identical session starts and sizes."""
+    from mr_dice_spark.operators.sessionize import session_stats
+
+    batch = session_stats(Catalog(spark, sf_dir).events, "user_id", "ts", 1800)
+    q = run_stream_to_memory(session_window_stats(events_stream), "session_t")
+    got = spark.sql("SELECT user_id, start_ms, n_events FROM session_t")
+    cols = ["user_id", "start_ms", "n_events"]
+    assert _collect_sorted(got, cols) == _collect_sorted(
+        batch.select("user_id", "start_ms", F.col("n_events")), cols
+    )
+    q.stop()
