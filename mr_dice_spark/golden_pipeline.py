@@ -400,9 +400,16 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @golden("minhash_lsh_dedup_survivors", None, tags=("dedup", "minhash", "lsh"), bench=True)
 def minhash_lsh_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold 0.8 with r=8 rows/band (LSH threshold ~(1/b)^(1/r)=0.77).
+
+    This corpus shares one small vocabulary, so typical pairwise jaccard is
+    ~0.3; banding tuned for t=0.5 (r=4) admits a large fraction of ALL
+    pairs as candidates — the classic LSH failure mode on a dense
+    similarity distribution. r=8 keeps the candidate set near-linear.
+    """
     docs = Catalog(spark, sf_dir).documents
     return (
-        minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+        minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=8)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )

@@ -1,0 +1,18 @@
+from mr_dice_spark.sources.registry import multi_provider_scan, read_table
+from mr_dice_spark.sources.sinks import (
+    cif_text_column,
+    filter_to_tag,
+    tagged_output_dir,
+    write_json_sink,
+    write_manifest,
+)
+
+__all__ = [
+    "multi_provider_scan",
+    "read_table",
+    "cif_text_column",
+    "filter_to_tag",
+    "tagged_output_dir",
+    "write_json_sink",
+    "write_manifest",
+]

@@ -1,0 +1,59 @@
+"""Source registry (SURVEY.md §2.1 S1-S5).
+
+The reference's five source kinds (OPTIMADE fan-out, SQLite, bulk REST,
+keyset-paginated REST, paged REST) all collapse to declarative scans here:
+a table is a Parquet/JSON/CSV path; a federation of providers is a union of
+provider tables. Pagination/keyset/streaming-unzip disappear — the
+distributed scan IS the pagination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_READERS = {
+    "parquet": lambda s, p, o: s.read.options(**o).parquet(p),
+    "json": lambda s, p, o: s.read.options(**o).json(p),
+    "csv": lambda s, p, o: s.read.options(**{"header": "true", **o}).csv(p),
+}
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    try:
+        reader = _READERS[fmt]
+    except KeyError:
+        raise ValueError(f"unsupported format {fmt!r}; known: {sorted(_READERS)}")
+    return reader(spark, path, options)
+
+
+def multi_provider_scan(
+    spark: SparkSession,
+    provider_paths: dict[str, str],
+    fmt: str = "parquet",
+    provider_col: str = "provider",
+) -> DataFrame:
+    """S1: one logical table over N provider tables.
+
+    ``unionByName(allowMissingColumns=True)`` absorbs provider schema drift
+    (the reference's ``_provider_``-prefixed open attributes, SURVEY.md
+    §1.3); the provider name becomes an ordinary column, so per-provider
+    caps/quotas are per-group operators downstream and a provider predicate
+    prunes whole scans (partition-pruning analogue of choosing which
+    providers to query).
+
+    Provider order (dict insertion order) is preserved as ``provider_rank``
+    — the deterministic priority that replaces the reference's
+    traversal-order-dependent first-wins dedup (SURVEY.md §7.3).
+    """
+    out: DataFrame | None = None
+    for rank, (name, path) in enumerate(provider_paths.items()):
+        df = (
+            read_table(spark, path, fmt)
+            .withColumn(provider_col, F.lit(name))
+            .withColumn("provider_rank", F.lit(rank))
+        )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("no providers given")
+    return out

@@ -1,0 +1,91 @@
+"""Sources/sinks tests (SURVEY.md §2.1 S1, S6, S7, S9, S10)."""
+
+import json
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from mr_dice_spark.sources import (
+    cif_text_column,
+    filter_to_tag,
+    multi_provider_scan,
+    read_table,
+    tagged_output_dir,
+    write_json_sink,
+    write_manifest,
+)
+
+
+def test_read_table_parquet(spark, sf_dir):
+    df = read_table(spark, os.path.join(sf_dir, "region.parquet"))
+    assert df.count() == 5
+
+
+def test_multi_provider_scan_union_and_rank(spark, sf_dir, tmp_path):
+    # two "providers" with drifting schemas: one has an extra column
+    a = spark.range(3).select(
+        F.col("id"), F.lit("x").alias("payload"), F.lit(1.5).alias("extra")
+    )
+    b = spark.range(2, 6).select(F.col("id"), F.lit("y").alias("payload"))
+    pa, pb = str(tmp_path / "prov_a"), str(tmp_path / "prov_b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+
+    out = multi_provider_scan(spark, {"alpha": pa, "beta": pb})
+    assert out.count() == 7
+    # schema drift absorbed: beta rows have NULL extra
+    assert out.where(F.col("provider") == "beta").where(F.col("extra").isNull()).count() == 4
+    # deterministic provider priority follows dict insertion order
+    ranks = {r["provider"]: r["provider_rank"] for r in
+             out.select("provider", "provider_rank").distinct().collect()}
+    assert ranks == {"alpha": 0, "beta": 1}
+    # first-wins dedup by id via provider_rank (SURVEY.md §2.7 D1)
+    from mr_dice_spark.operators import dedup_first_wins
+    deduped = dedup_first_wins(out, "id", [F.col("provider_rank")])
+    assert deduped.count() == 6
+    overlap = {r["payload"] for r in deduped.where(F.col("id") == 2).collect()}
+    assert overlap == {"x"}  # alpha (rank 0) wins on the overlapping id
+
+
+def test_filter_to_tag_and_output_dir(tmp_path):
+    tag = filter_to_tag('elements HAS ALL "Ti","O" AND nelements<=3')
+    assert re.fullmatch(r"[a-z0-9_]+", tag)
+    assert len(tag) <= 40
+    d = tagged_output_dir(str(tmp_path), 'nelements=3 AND chemical_formula_reduced="O2Si"')
+    base = os.path.basename(d)
+    assert re.fullmatch(r"[a-z0-9_]+_\d{8}_\d{6}_[0-9a-f]{8}", base)
+
+
+def test_json_sink_and_manifest(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "rows")
+    write_json_sink(df, out, single_file=True)
+    files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert len(files) == 1
+    rows = [json.loads(line) for line in open(os.path.join(out, files[0]))]
+    assert {r["id"] for r in rows} == {0, 1, 2}
+
+    mpath = write_manifest(str(tmp_path / "m"), query="q", n_found=3,
+                           stats={"providers": 2}, warnings=["w1"])
+    manifest = json.load(open(mpath))
+    assert manifest["n_found"] == 3 and manifest["warnings"] == ["w1"]
+
+
+def test_cif_text_column(spark):
+    df = spark.createDataFrame(
+        [("O2Si",
+          [[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]],
+          ["Si", "O", "O"],
+          [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [2.0, 2.0, 2.0]])],
+        "formula string, lattice array<array<double>>, species array<string>, "
+        "positions array<array<double>>",
+    )
+    cif = df.select(
+        cif_text_column(F.col("formula"), F.col("lattice"),
+                        F.col("species"), F.col("positions")).alias("cif")
+    ).first()["cif"]
+    assert cif.startswith("data_O2Si")
+    assert "_chemical_formula_sum  O2Si" in cif
+    assert cif.count("\n") >= 8  # 3 lattice + 3 site lines + headers
+    assert "Si  0.000000  0.000000  0.000000" in cif
