@@ -573,6 +573,8 @@ def bench_queries() -> dict[str, GoldenQuery]:
     return {k: v for k, v in GOLDEN.items() if v.bench}
 
 
-# register part 2 of the corpus (pipeline operators); import is at the
-# bottom because golden_pipeline uses this module's decorator
+# register parts 2-3 of the corpus (pipeline operators, parametric
+# builders); imports are at the bottom because both use this module's
+# decorator
 from mr_dice_spark import golden_pipeline  # noqa: E402,F401  isort:skip
+from mr_dice_spark import golden_builders  # noqa: E402,F401  isort:skip

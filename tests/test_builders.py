@@ -1,0 +1,81 @@
+"""Parametric builder tests (SURVEY.md §2.2 P14-P18, §2.6 O3, §2.1 S5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.plans import (
+    InvalidParam,
+    ParametricQuery,
+    bohrium_fetch,
+    mofdb_fetch,
+)
+
+
+def test_enum_validation_fails_fast(spark, sf_dir):
+    part = Catalog(spark, sf_dir).part
+    with pytest.raises(InvalidParam, match="p_brand"):
+        mofdb_fetch(part, brand="Brand#99")
+
+
+def test_empty_range_rejected(spark, sf_dir):
+    part = Catalog(spark, sf_dir).part
+    with pytest.raises(InvalidParam, match="empty range"):
+        mofdb_fetch(part, size_min=40, size_max=10)
+
+
+def test_bad_page_rejected(spark, sf_dir):
+    part = Catalog(spark, sf_dir).part
+    with pytest.raises(InvalidParam, match="page"):
+        bohrium_fetch(part, page=0, size=10)
+
+
+def test_open_range_autocompletion(spark, sf_dir):
+    # P18: missing ends fall back to domain defaults instead of unbounded
+    part = Catalog(spark, sf_dir).part
+    out = (
+        ParametricQuery(part)
+        .range("p_size", lo=None, hi=None, default_lo=45, default_hi=50)
+        .build()
+    )
+    sizes = {r["p_size"] for r in out.select("p_size").distinct().collect()}
+    assert sizes and all(45 <= s <= 50 for s in sizes)
+
+
+def test_pagination_is_disjoint_and_ordered(spark, sf_dir):
+    part = Catalog(spark, sf_dir).part
+    pages = [
+        bohrium_fetch(part, page=p, size=15, sort_field="p_retailprice",
+                      descending=True).select("p_partkey").collect()
+        for p in (1, 2, 3)
+    ]
+    keys = [[r["p_partkey"] for r in page] for page in pages]
+    flat = [k for page in keys for k in page]
+    assert len(flat) == len(set(flat)) == 45  # disjoint pages
+    # concatenated pages equal the head of the full ordering
+    full = [
+        r["p_partkey"]
+        for r in part.orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(45).select("p_partkey").collect()
+    ]
+    assert flat == full
+
+
+def test_time_window_accepts_iso_z(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).events
+    out = (
+        ParametricQuery(ev)
+        .time_window("ts", "2024-01-05T00:00:00Z", "2024-01-06T00:00:00Z")
+        .build()
+    )
+    bounds = out.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    assert bounds["lo"] is not None
+    assert bounds["lo"].day >= 4 and bounds["hi"].day <= 6
+
+
+def test_predicates_reach_parquet_scan(spark, sf_dir):
+    # the whole point of the declarative compile: filters land in the scan
+    part = Catalog(spark, sf_dir).part
+    plan = mofdb_fetch(part, brand="Brand#7", size_min=10)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "p_brand" in plan.split("PushedFilters")[1][:400]
