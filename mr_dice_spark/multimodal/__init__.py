@@ -1,0 +1,31 @@
+from mr_dice_spark.multimodal.ops import (
+    image_features,
+    payload_from_text,
+    probe_audio,
+    probe_images,
+    probe_videos,
+    read_media_dir,
+    resize_images,
+    sample_frames,
+)
+from mr_dice_spark.multimodal.schema import (
+    AUDIO_META,
+    IMAGE_META,
+    VIDEO_META,
+    media_table_schema,
+)
+
+__all__ = [
+    "AUDIO_META",
+    "IMAGE_META",
+    "VIDEO_META",
+    "media_table_schema",
+    "image_features",
+    "payload_from_text",
+    "probe_audio",
+    "probe_images",
+    "probe_videos",
+    "read_media_dir",
+    "resize_images",
+    "sample_frames",
+]

@@ -1,0 +1,167 @@
+"""Multimodal operators: Arrow-batched decode/feature/resize/frame-sample.
+
+Scale rules baked in:
+
+* **Payload isolation** — every op first projects down to (ids, payload),
+  so Parquet column pruning keeps unrelated columns out of the Arrow
+  transfer; results re-join to the original frame only when asked.
+* **Python only where unavoidable** — codec calls run in ``mapInPandas``
+  (iterator of Arrow batches, bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``); everything derivable
+  from decoded *metadata* (frame indices, resize geometry) is built-in
+  expressions (``sequence``/``posexplode``/arithmetic) that stay in
+  whole-stage codegen.
+* **No shuffle** — all ops here are narrow (mapPartitions-shaped); the
+  relational stages around them decide partitioning.
+
+The codec layer (`codecs.py`) is a deterministic stub in this container;
+see its docstring.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_dice_spark.multimodal import codecs
+
+_IMG_META_FIELDS = "width int, height int, channels int, format string"
+_VID_META_FIELDS = "width int, height int, fps double, n_frames int, format string"
+_AUD_META_FIELDS = "sample_rate int, n_samples bigint, n_channels int, format string"
+
+
+def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Binary-file source: one row per file with ``path / modificationTime /
+    length / content``. Spark's built-in ``binaryFile`` reader — distributed,
+    no Python involved; ``pathGlobFilter`` prunes by extension at listing
+    time."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.col("path").alias("uri"),
+            F.col("length").alias("n_bytes"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
+def _probe(df: DataFrame, payload_col: str, id_cols: list[str], decode_fn, meta_fields: str) -> DataFrame:
+    pruned = df.select(*id_cols, payload_col)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pruned.schema.fields
+        if f.name != payload_col
+    ) + ", " + meta_fields
+    meta_names = [part.strip().split()[0] for part in meta_fields.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf[payload_col].map(
+                lambda p: decode_fn(bytes(p)) if p is not None else None
+            )
+            # reindex pins the column set even when a whole batch decodes
+            # to None (all-null payloads) — missing keys become NaN/NULL
+            meta_df = pd.DataFrame(
+                [m if m is not None else {} for m in metas], index=pdf.index
+            ).reindex(columns=meta_names)
+            yield pd.concat([pdf.drop(columns=[payload_col]), meta_df], axis=1)
+
+    return pruned.mapInPandas(run, schema=out_schema)
+
+
+def probe_images(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
+    """Decode image headers -> typed metadata columns (drops the payload).
+
+    Real decode would be Pillow here; the stub derives metadata from the
+    bytes (codecs.fake_decode_image)."""
+    return _probe(df, payload_col, id_cols or ["media_id"], codecs.decode_image, _IMG_META_FIELDS)
+
+
+def probe_videos(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
+    return _probe(df, payload_col, id_cols or ["media_id"], codecs.fake_decode_video, _VID_META_FIELDS)
+
+
+def probe_audio(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
+    return _probe(df, payload_col, id_cols or ["media_id"], codecs.fake_decode_audio, _AUD_META_FIELDS)
+
+
+def image_features(df: DataFrame, payload_col: str = "payload", dim: int = 8) -> DataFrame:
+    """Append an ``embedding array<float>`` column (CNN/CLIP stand-in).
+
+    Kept as a scalar Pandas UDF (not mapInPandas) so it composes with any
+    projection; Arrow moves the binary column once per batch."""
+
+    @F.pandas_udf(f"array<float>")
+    def feat(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda p: codecs.fake_image_features(bytes(p), dim) if p is not None else None
+        )
+
+    return df.withColumn("embedding", feat(F.col(payload_col)))
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Resize: payload -> payload' with new geometry.
+
+    Stub semantics: payload passes through unchanged, geometry is replaced
+    and ``resized`` is flagged; a real codec would re-encode bytes in the
+    same batch loop. Output schema (ids, payload, width, height) is what a
+    training-data writer sinks back to Parquet."""
+    id_cols = id_cols or ["media_id"]
+    pruned = df.select(*id_cols, payload_col)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pruned.schema.fields
+        if f.name != payload_col
+    )
+    out_schema = f"{id_schema}, {payload_col} binary, width int, height int, resized boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["width"] = target_w
+            out["height"] = target_h
+            out["resized"] = out[payload_col].notna()
+            yield out
+
+    return pruned.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    probed: DataFrame,
+    n_frames_col: str = "n_frames",
+    target: int = 8,
+    id_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Uniform frame sampling from probed videos — pure JVM expressions.
+
+    Given per-video ``n_frames``, emit ≤ ``target`` evenly-strided frame
+    indices per video as (ids, frame_idx, frame_rank). Only the *probe*
+    touched Python; index generation is ``sequence`` + ``posexplode`` so it
+    codegens and scales linearly. The downstream frame *extraction* (bytes
+    per index) would join these indices back to payloads inside one more
+    mapInPandas pass."""
+    id_cols = id_cols or ["media_id"]
+    n = F.col(n_frames_col)
+    stride = F.greatest(F.lit(1), F.ceil(n / F.lit(target)).cast("int"))
+    idx = F.slice(F.sequence(F.lit(0), n - 1, stride), 1, target)
+    return (
+        probed.where(n.isNotNull() & (n > 0))
+        .select(*id_cols, F.posexplode(idx).alias("frame_rank", "frame_idx"))
+    )
+
+
+def payload_from_text(text_col: Column) -> Column:
+    """Test/fixture helper: deterministic binary payload from a string
+    column (UTF-8 encode) — stands in for real blobs in a container with no
+    media files. JVM-side (``encode``), so fixtures scale too."""
+    return F.encode(text_col, "UTF-8")

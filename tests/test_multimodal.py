@@ -1,0 +1,131 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shape, determinism,
+null handling, and the ASCII invariant the golden oracles rely on."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.multimodal import (
+    IMAGE_META,
+    image_features,
+    media_table_schema,
+    payload_from_text,
+    probe_images,
+    probe_videos,
+    resize_images,
+    sample_frames,
+)
+from mr_dice_spark.multimodal.codecs import (
+    byte_checksum,
+    fake_decode_image,
+    fake_decode_video,
+    fake_image_features,
+    real_decode_video,
+)
+
+
+def _media(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select("doc_id", payload_from_text(F.col("text")).alias("payload"))
+
+
+def test_documents_are_ascii(sf_dir):
+    # the golden oracles equate ascii(char) with byte value; this is the
+    # invariant that makes the DuckDB restatement of the stub exact
+    con = duckdb.connect()
+    bad = con.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_codec_stub_determinism():
+    p = b"hello multimodal world"
+    assert fake_decode_image(p) == fake_decode_image(p)
+    m = fake_decode_image(p)
+    assert m["width"] == 64 + len(p) % 512
+    assert m["height"] == 64 + byte_checksum(p) % 512
+    assert m["channels"] in (1, 2, 3)
+    assert fake_decode_image(b"\x89PNGxxxx")["format"] == "png"
+    assert fake_decode_image(None) is None
+    v = fake_image_features(p, dim=8)
+    assert len(v) == 8 and all(0.0 <= x <= 1.0 for x in v)
+    assert fake_image_features(b"", dim=4) == [0.0] * 4
+
+
+def test_real_video_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode_video(b"anything")
+
+
+def test_probe_images_schema_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, None)], "media_id long, payload binary"
+    )
+    out = probe_images(df)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "width", "height", "channels", "format"
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["width"] == 64 + 6 % 512
+    assert rows[2]["width"] is None  # null payload -> null metadata
+
+
+def test_probe_prunes_payload_from_plan(spark, sf_dir):
+    # payload isolation: the probe's scan must not read unrelated columns
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", payload_from_text(F.col("text")).alias("payload"),
+                        "lang", "source")
+    plan = probe_images(media, id_cols=["doc_id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "lang" not in plan.split("ReadSchema")[-1][:300]
+
+
+def test_image_features_column(spark):
+    df = spark.createDataFrame([(1, b"abcdefgh" * 4)], "media_id long, payload binary")
+    out = image_features(df, dim=8).select("media_id", "embedding").first()
+    assert out["embedding"] == pytest.approx(fake_image_features(b"abcdefgh" * 4, 8), abs=1e-6)
+
+
+def test_resize_stub(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in resize_images(df, 224, 224).collect()}
+    assert rows[1]["width"] == rows[1]["height"] == 224
+    assert rows[1]["resized"] is True and bytes(rows[1]["payload"]) == b"abc"
+    assert rows[2]["resized"] is False
+
+
+def test_sample_frames_bounds(spark, sf_dir):
+    probed = probe_videos(_media(spark, sf_dir), id_cols=["doc_id"])
+    sampled = sample_frames(probed, target=8, id_cols=["doc_id"])
+    agg = (
+        sampled.join(probed.select("doc_id", "n_frames"), "doc_id")
+        .groupBy("doc_id", "n_frames")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("frame_idx").alias("max_idx"))
+    )
+    stride = F.greatest(F.lit(1), F.ceil(F.col("n_frames") / 8).cast("int"))
+    expected_k = F.least(F.lit(8), F.floor((F.col("n_frames") - 1) / stride) + 1)
+    bad = agg.where(
+        (F.col("k") != expected_k) | (F.col("max_idx") >= F.col("n_frames"))
+    ).count()
+    assert bad == 0
+
+
+def test_media_table_schema_shape():
+    s = media_table_schema(meta=IMAGE_META)
+    assert [f.name for f in s.fields] == ["media_id", "uri", "payload", "meta"]
+    assert s["payload"].dataType.typeName() == "binary"
+
+
+def test_read_media_dir(spark, tmp_path):
+    from mr_dice_spark.multimodal import read_media_dir
+
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+    (tmp_path / "b.txt").write_bytes(b"skip-me")
+    out = read_media_dir(spark, str(tmp_path), glob="*.bin").collect()
+    assert len(out) == 1
+    assert bytes(out[0]["payload"]) == b"\x01\x02\x03" and out[0]["n_bytes"] == 3
