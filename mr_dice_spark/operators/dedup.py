@@ -9,8 +9,15 @@ LLM-training-data shapes: exact content dedup, MinHash+LSH, SimHash, and
 exact n-gram Jaccard joins.
 
 Scale notes (100 TB):
-* signatures are computed entirely JVM-side with array expressions over a
-  per-row shingle array — no shuffle, no Python;
+* the hot path is **explode + codegen'd hash aggregation**, not nested
+  higher-order array functions — Spark evaluates HOF lambdas interpreted
+  (outside whole-stage codegen) and re-evaluates captured sub-expressions
+  per element, which measured ~60 µs/hash on this corpus vs far sub-µs for
+  the same xxhash64 inside a codegen'd aggregate. Signatures therefore come
+  from ``explode(shingles).groupBy(id).agg(min(hash(s, i)) ...)``: partial
+  (map-side) aggregation collapses each partition to one row per doc before
+  the shuffle, so the shuffle volume is docs × num_hashes longs, never the
+  shingle stream;
 * candidate generation shuffles only (id, band_key) pairs, never documents;
 * verification joins shingle SETS for candidate pairs only (LSH prunes the
   quadratic pair space to near-linear);
@@ -21,8 +28,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.scale import fan_out
 
 
 # ---------------------------------------------------------------------------
@@ -52,33 +63,77 @@ def dedup_first_wins(df: DataFrame, id_col: str, priority_cols: list) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# shingling + MinHash + LSH
+# shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column — pure JVM
-    expression (split + transform over an index sequence), no UDF."""
-    words = F.split(F.trim(text_col), r"\s+")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+def word_shingles(words_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* words-array
+    column. Pass an attribute reference (a column produced by an earlier
+    projection), NOT an inline ``split(...)`` expression — HOF lambdas
+    re-evaluate captured expression trees per element, so an inline split
+    would re-split the text for every gram."""
+    k = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+            " ", *[F.element_at(words_col, (i + j).cast("int")) for j in range(n)]
         ),
     )
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
-def minhash_signature(shingles_col: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(__id, __sh: array<string>) — one row per doc with its distinct
+    shingle set (possibly empty for short docs). The words array is
+    materialized in its own projection behind the fan_out exchange, so the
+    split runs exactly once per row.
 
-    xxhash64 with the seed column appended gives ``num_hashes`` independent
-    hash families; array_min/transform keep it all inside codegen.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles_col, lambda s: F.xxhash64(s, i))),
+    Deliberately NO ``where(size(__sh) > 0)`` here: a filter over the
+    transform output would be predicate-pushed *below* the repartition
+    exchange, re-evaluating the whole shingle expression on the narrow
+    pre-fan-out side (measured 7.6 s vs 0.3 s on this corpus). Empty sets
+    are harmless downstream — explode() drops them and candidate joins are
+    inner."""
+    words = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
     )
+    return words.select("__id", word_shingles(F.col("__w"), n).alias("__sh"))
+
+
+def shingles_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(__id, __n: set size, __s: shingle) — the exploded inverted-index
+    form the signature/join operators below consume.
+
+    ``explode_outer`` + null-filter instead of ``explode``: for plain
+    explode, Catalyst's InferFiltersFromGenerate adds ``size(arr) > 0``
+    and pushes it below the fan_out exchange with the entire shingle
+    expression substituted in — re-running the transform (with split
+    re-evaluated per element) single-partition (measured ~7.6 s vs 0.3 s).
+    The outer variant infers nothing; the IS NOT NULL filter sits above the
+    Generate and drops the same rows."""
+    return (
+        shingle_sets(df, id_col, text_col, n)
+        .select("__id", F.size("__sh").alias("__n"), F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(exploded: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """(__id, __h0..__h{k-1}) MinHash signature via codegen'd aggregation:
+    sig[i] = min over shingles of xxhash64(shingle, i). Map-side combine
+    collapses each partition to one partial row per doc before the shuffle."""
+    aggs = [
+        F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("__id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -95,21 +150,18 @@ def minhash_lsh_candidates(
     on the candidates' shingle sets (LSH proposes, exact verify disposes).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    ).where(F.size("__sh") > 0)
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    exploded = sets_.select(
+        "__id", F.explode_outer("__sh").alias("__s")
+    ).where(F.col("__s").isNotNull())  # see shingles_exploded: avoids InferFiltersFromGenerate
+    sig = minhash_signatures(exploded, num_hashes)
 
+    band_cols = [
+        F.xxhash64(*[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)])
+        for b in range(bands)
+    ]
     band_keys = sig.select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)),
-                ),
-            )
-        ).alias("__band", "__key"),
+        "__id", F.posexplode(F.array(*band_cols)).alias("__band", "__key")
     )
     cand = (
         band_keys.alias("x")
@@ -122,10 +174,9 @@ def minhash_lsh_candidates(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    sh = base.select(F.col("__id"), F.col("__sh"))
     return (
-        cand.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "__sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "__sh_b"}), "id_b")
+        cand.join(sets_.withColumnsRenamed({"__id": "id_a", "__sh": "__sh_a"}), "id_a")
+        .join(sets_.withColumnsRenamed({"__id": "id_b", "__sh": "__sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -160,33 +211,42 @@ def minhash_lsh_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash of a token array, entirely in array expressions.
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __fp: long) 64-bit SimHash per doc, fully codegen'd.
 
-    For each bit b: sum over tokens of (+1 if bit set else -1); the sign
-    forms the fingerprint bit. shiftright+bitwise keeps it JVM-side.
+    Explode tokens (multiplicity preserved — repeated tokens vote
+    repeatedly), hash once, then 64 conditional-sum aggregates (one per
+    bit) with map-side combine; the fingerprint is assembled from the vote
+    signs with compile-time shift amounts. No higher-order functions, so
+    the whole pipeline stays inside whole-stage codegen.
     """
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+    toks = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
+    ).select("__id", F.explode("__w").alias("__t")).select(
+        "__id", F.xxhash64(F.col("__t")).alias("__hh")
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b.cast("int"))).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    votes = toks.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__hh"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
     )
+    fp = reduce(
+        Column.bitwiseOR,
+        [
+            F.when(
+                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    return votes.select("__id", fp.alias("__fp"))
 
 
 def simhash_dedup(
@@ -204,18 +264,17 @@ def simhash_dedup(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    fp = df.select(
-        F.col(id_col).alias("__id"),
-        simhash64(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__fp"),
-    )
+    fp = simhash_fingerprints(df, id_col, text_col)
     keyed = fp.select(
         "__id",
         "__fp",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda c: F.shiftrightunsigned(F.col("__fp"), (c * width).cast("int"))
-                .bitwiseAND(F.lit((1 << width) - 1).cast("long")),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__fp"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    for c in range(chunks)
+                ]
             )
         ).alias("__chunk", "__key"),
     )
@@ -263,13 +322,7 @@ def ngram_jaccard_join(
     heavy-tailed corpora, drop ultra-frequent shingles (stop-shingles)
     before the join or switch to the LSH variant.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("__id"), word_shingles(F.col(text_col), shingle_n).alias("__sh")
-        )
-        .where(F.size("__sh") > 0)
-        .select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
-    )
+    sh = shingles_exploded(df, id_col, text_col, shingle_n)
     inter = (
         sh.alias("x")
         .join(

@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mr_dice_spark.operators.scale import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -129,7 +131,7 @@ def embedding_near_dup(
     dim = first[0]
     planes = _hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
-    sig = df.select(F.col(id_col).alias("__id"), vec.alias("__v")).withColumn(
+    sig = fan_out(df.select(F.col(id_col).alias("__id"), vec.alias("__v"))).withColumn(
         "__sig", signature_bits(F.col("__v"), planes)
     )
     n_bands = max(1, n_planes // band_bits)
@@ -137,10 +139,12 @@ def embedding_near_dup(
         "__id",
         "__v",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.shiftrightunsigned(F.col("__sig"), (b * band_bits).cast("int"))
-                .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long")),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sig"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long"))
+                    for b in range(n_bands)
+                ]
             )
         ).alias("__band", "__key"),
     )
