@@ -70,6 +70,39 @@ def quality_score(text_col: Column) -> Column:
     return (length_ok * 0.4 + punct_ok * 0.3 + sw_ok * 0.3).cast("double")
 
 
+# marker-word profiles for the n-gram language-ID heuristic; ten
+# highest-frequency function words per language (public common-word lists)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr": ("le", "et", "les", "des", "une", "est", "dans", "pour", "qui", "sur"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+
+
+def lang_score(text_col: Column, lang: str) -> Column:
+    """Number of tokens that are marker words of ``lang``."""
+    toks = tokens(F.lower(text_col))
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+
+
+def detect_language(text_col: Column, default: str = "und") -> Column:
+    """Marker-word language-ID: argmax of per-language marker counts,
+    alphabetically-first language on ties, ``default`` when no marker hits.
+
+    A deliberately simple, fully-JVM heuristic (the classic stopword-profile
+    method); scores compose as plain integer columns so the classifier is
+    restatable in ANSI SQL for oracle parity."""
+    scores = {lg: lang_score(text_col, lg) for lg in sorted(LANG_PROFILES)}
+    mx = F.greatest(*scores.values())
+    chain = F.when(mx == 0, F.lit(default))
+    for lg in sorted(LANG_PROFILES):  # first (alphabetical) match wins ties
+        chain = chain.when(scores[lg] == mx, F.lit(lg))
+    return chain.otherwise(F.lit(default))
+
+
 def doc_fingerprint(text_col: Column) -> Column:
     """64-bit order-sensitive document fingerprint: xxhash of the token
     stream with positions (a deterministic rolling-hash stand-in; exact-dup

@@ -439,3 +439,74 @@ def cosine_topk_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _r(F.col("cosine"), 6).alias("cosine")).orderBy(
         F.desc("cosine"), "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-word profile heuristic)
+# ---------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    from mr_dice_spark.functions.text import LANG_PROFILES
+
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        "len(list_filter(string_split(trim(lower(text)), ' '), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+def _langid_oracle() -> str:
+    from mr_dice_spark.functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n         ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in langs)
+    mx = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    whens = "\n              ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM documents
+),
+m AS (SELECT *, {mx} AS mx FROM scored)
+SELECT lang,
+       CASE WHEN mx = 0 THEN 'und'
+              {whens}
+       END AS predicted,
+       COUNT(*) AS n
+FROM m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@golden("text_language_id_confusion", _langid_oracle(), tags=("text", "langid"))
+def text_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID over documents, aggregated as a
+    (labeled lang x predicted lang) confusion matrix. On this synthetic
+    shared-vocabulary corpus the prediction is mostly 'en'/'und' — the
+    operator under test is the classifier plumbing, not model quality."""
+    from mr_dice_spark.functions.text import detect_language
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select("lang", detect_language(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@golden("cosine_topk_ivf_approx", None, tags=("similarity", "ann", "ivf"))
+def cosine_topk_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate nearest neighbors (scale path: with
+    cluster-partitioned storage the probe filter is partition pruning)."""
+    from mr_dice_spark.operators.similarity import cosine_topk_ivf
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    out = cosine_topk_ivf(emb, "vec_id", "embedding", qvec, k=10, n_centroids=16, n_probe=4)
+    return out.select("vec_id", _r(F.col("cosine"), 6).alias("cosine")).orderBy(
+        F.desc("cosine"), "vec_id"
+    )

@@ -11,6 +11,8 @@ from mr_dice_spark.operators.dedup import (
 from mr_dice_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    cosine_topk_ivf,
+    ivf_assign,
     embedding_near_dup,
 )
 from mr_dice_spark.operators.asof import asof_join
@@ -28,6 +30,8 @@ __all__ = [
     "ngram_jaccard_join",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "ivf_assign",
     "embedding_near_dup",
     "asof_join",
     "sessionize",

@@ -167,3 +167,82 @@ def embedding_near_dup(
     return pairs.select(
         "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN index
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Partition vectors into ``n_centroids`` inverted lists.
+
+    Centroids are the first ``n_centroids`` vectors by id — deterministic
+    "sampled init" (one k-means refinement sweep would reuse exactly this
+    assignment plan; omitted to keep the operator parameter-free). Returns
+    (assigned DataFrame with a ``__cluster`` column, centroid list).
+
+    Scale shape: the centroid table is tiny and broadcast; assignment is one
+    narrow pass (argmax over n_centroids dot products per row). At ingest
+    you'd persist the output partitioned/bucketed BY ``__cluster`` so probe
+    queries prune whole files — the batch analogue of an IVF index.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+    vec = F.col(vec_col).cast("array<double>")
+    # unrolled argmax over the broadcast centroid literals: one struct-max,
+    # (similarity, -cluster) so ties pick the lowest cluster id
+    best = F.greatest(
+        *[
+            F.struct(
+                (dot(vec, F.array(*[F.lit(x) for x in c])) / norm(vec)).alias("sim"),
+                F.lit(-ci).alias("neg_cluster"),
+            )
+            for ci, c in centroids
+        ]
+    )
+    assigned = df.withColumn("__cluster", -best["neg_cluster"])
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` inverted lists whose
+    centroids are most similar to the query, exact-cosine rerank inside.
+
+    With cluster-partitioned storage the probe filter becomes partition
+    pruning (reads n_probe/n_centroids of the data); here it is a scan-side
+    predicate on the assignment column.
+    """
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_centroids)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def csim(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probes = [ci for ci, _ in sorted(centroids, key=lambda t: (-csim(t[1]), t[0]))[:n_probe]]
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("__cluster").isin(probes))
+        .select(F.col(id_col), cosine(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,3 +1,4 @@
+from mr_dice_spark.streaming.stateful import user_value_ema
 from mr_dice_spark.streaming.windows import (
     read_events_stream,
     session_window_stats,
@@ -6,6 +7,7 @@ from mr_dice_spark.streaming.windows import (
 )
 
 __all__ = [
+    "user_value_ema",
     "read_events_stream",
     "session_window_stats",
     "sliding_window_counts",

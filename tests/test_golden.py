@@ -7,6 +7,17 @@ from mr_dice_spark.golden import GOLDEN
 from tests.oracle import compare_spark_duckdb
 
 ORACLE_QUERIES = sorted(name for name, q in GOLDEN.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(name for name, q in GOLDEN.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_golden_executes(spark, sf_dir, name):
+    """Every golden WITHOUT an oracle must still build and execute — a
+    rows-only query that is never run can hide a plan-construction bug
+    (this caught a broken SimHash implementation once)."""
+    df = GOLDEN[name].spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

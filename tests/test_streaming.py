@@ -55,3 +55,27 @@ def test_session_stream_matches_batch_sessionize(spark, sf_dir, events_stream):
         batch.select("user_id", "start_ms", F.col("n_events")), cols
     )
     q.stop()
+
+
+def test_stateful_ema_stream_matches_batch(spark, sf_dir, events_stream):
+    """applyInPandasWithState EMA over a finite stream == batch EMA.
+
+    With update mode each user may emit once per micro-batch; the LAST
+    emission per user carries the final state — compare that against batch.
+    """
+    from mr_dice_spark.streaming.stateful import user_value_ema
+
+    batch = {
+        r["user_id"]: (r["n_events"], round(r["ema"], 9))
+        for r in user_value_ema(Catalog(spark, sf_dir).events).collect()
+    }
+    q = run_stream_to_memory(user_value_ema(events_stream), "ema_t", output_mode="update")
+    rows = spark.sql(
+        "SELECT user_id, n_events, ema FROM ("
+        "  SELECT *, ROW_NUMBER() OVER "
+        "    (PARTITION BY user_id ORDER BY n_events DESC) AS rn FROM ema_t"
+        ") WHERE rn = 1"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["ema"], 9)) for r in rows}
+    assert got == batch
+    q.stop()
