@@ -103,3 +103,90 @@ def param_bohrium_fuzzy_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         part, keyword="AR", exact=False, sort_field="price",
         descending=True, page=3, size=20,
     ).select("p_partkey", "p_type", "p_size", "price")
+
+
+# ---------------------------------------------------------------------------
+# free-with-Spark relational extras the reference lacks (SURVEY.md §2.7
+# notes INTERSECT/EXCEPT absent; §2.4 notes cube/rollup/approx absent —
+# exposed here as first-class golden shapes)
+# ---------------------------------------------------------------------------
+
+INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+@golden("setop_intersect_custkeys", INTERSECT_ORACLE, tags=("setop", "intersect"))
+def setop_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with BOTH open and finished orders (INTERSECT dedups)."""
+    o = Catalog(spark, sf_dir).orders
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(fin).orderBy("o_custkey")
+
+
+EXCEPT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+@golden("setop_except_custkeys", EXCEPT_ORACLE, tags=("setop", "except"))
+def setop_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == EXCEPT (set semantics): removes every custkey that appears
+    # in fin at all (exceptAll would be multiset-minus — wrong here)
+    return open_.subtract(fin).orderBy("o_custkey")
+
+
+CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       ROUND(1e-9 + SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+@golden("cube_status_priority", CUBE_ORACLE, tags=("agg", "cube"))
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@golden("approx_distinct_users_daily", None, tags=("agg", "approx", "sketch"))
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogL og++ distinct-user sketch per day — the 100 TB cardinality
+    path (exact distinct needs a full shuffle of user ids; the sketch is
+    map-side mergeable). Rows-only golden (approximation is
+    engine-specific); tests assert <2% relative error vs exact."""
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.unix_millis("day").alias("day_ms"), "approx_users", "n_events")
+        .orderBy("day_ms")
+    )

@@ -1,6 +1,7 @@
 from mr_dice_spark.sources.registry import multi_provider_scan, read_table
 from mr_dice_spark.sources.sinks import (
     cif_text_column,
+    derive_output_path,
     filter_to_tag,
     tagged_output_dir,
     write_json_sink,
@@ -11,6 +12,7 @@ __all__ = [
     "multi_provider_scan",
     "read_table",
     "cif_text_column",
+    "derive_output_path",
     "filter_to_tag",
     "tagged_output_dir",
     "write_json_sink",

@@ -108,3 +108,29 @@ def cif_text_column(
         F.lit("\n# lattice vectors\n"), vec_lines,
         F.lit("\n# cartesian sites\n"), site_lines, F.lit("\n"),
     )
+
+
+def derive_output_path(
+    database_col: Column,
+    name_col: Column,
+    rules: dict[str, str],
+    explicit_path: Optional[Column] = None,
+    default_dir: str = "misc",
+    extension: str = ".cif",
+) -> Column:
+    """S8: per-row source-file path derivation (reference save_mofs,
+    mofdbsql Mofdb_Server/utils.py:135-265, rules at 189-210): an explicit
+    stored path wins; otherwise the path is <dir-for-database>/<name><ext>
+    via the hard-coded database->directory rules, falling back to
+    ``default_dir``. Pure when-chain — evaluated scan-side, feeding a
+    foreachPartition copier (or a distributed FileSystem copy job)."""
+    derived: Column = F.concat(F.lit(default_dir + "/"), name_col, F.lit(extension))
+    chain = None
+    for db, subdir in rules.items():
+        cond = database_col == F.lit(db)
+        val = F.concat(F.lit(subdir.rstrip("/") + "/"), name_col, F.lit(extension))
+        chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+    derived = chain.otherwise(derived) if chain is not None else derived
+    if explicit_path is not None:
+        return F.coalesce(explicit_path, derived)
+    return derived

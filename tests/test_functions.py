@@ -1,0 +1,70 @@
+"""Scalar-function tests (SURVEY.md §2.8 F11/F13/F14) + sketch tolerance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.functions.ids import (
+    convert_pressure,
+    pick_identifier,
+    pressure_unit_dim,
+    shorten_id,
+    validate_unit,
+)
+from mr_dice_spark.functions.text import LANG_PROFILES, detect_language
+
+
+def test_shorten_id(spark):
+    df = spark.createDataFrame(
+        [("abcdefghijklmnopqrstuvwxyz",), ("short",)], "id string"
+    )
+    rows = [r[0] for r in df.select(shorten_id(F.col("id"))).collect()]
+    assert rows == ["abcdef...uvwxyz", "short"]
+
+
+def test_pick_identifier_priority(spark):
+    df = spark.createDataFrame(
+        [("n1", "k1", 1), (None, "k2", 2), (None, "", 3), ("  ", None, 4)],
+        "name string, key string, id long",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            pick_identifier(F.col("name"), F.col("key"), fallback=F.col("id"))
+        ).collect()
+    ]
+    assert got == ["n1", "k2", "3", "4"]
+
+
+def test_pressure_conversion(spark):
+    df = spark.createDataFrame([(1.0,)], "p double")
+    v = df.select(convert_pressure(F.col("p"), "bar", "kPa").alias("v")).first()["v"]
+    assert v == pytest.approx(100.0)
+    v = df.select(convert_pressure(F.col("p"), "atm", "Pa").alias("v")).first()["v"]
+    assert v == pytest.approx(101325.0)
+    with pytest.raises(ValueError, match="invalid unit"):
+        validate_unit("furlongs")
+    assert pressure_unit_dim(spark).count() == 8
+
+
+def test_detect_language_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the hat is in the bag",),
+            ("der hund und die katze ist nicht da",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(detect_language(F.col("text"))).collect()]
+    assert got == ["en", "de", "und"]
+    assert set(LANG_PROFILES) == {"de", "en", "es", "fr", "zh"}
+
+
+def test_approx_distinct_within_tolerance(spark, oracle_sf_dir):
+    ev = Catalog(spark, oracle_sf_dir).events
+    row = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
+        F.count_distinct("user_id").alias("e"),
+    ).first()
+    assert abs(row["a"] - row["e"]) / row["e"] < 0.02

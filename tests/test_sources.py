@@ -89,3 +89,23 @@ def test_cif_text_column(spark):
     assert "_chemical_formula_sum  O2Si" in cif
     assert cif.count("\n") >= 8  # 3 lattice + 3 site lines + headers
     assert "Si  0.000000  0.000000  0.000000" in cif
+
+
+def test_derive_output_path(spark):
+    from mr_dice_spark.sources import derive_output_path
+
+    df = spark.createDataFrame(
+        [("hMOF", "m1", None), ("core", "m2", None), ("other", "m3", None),
+         ("hMOF", "m4", "explicit/m4.cif")],
+        "database string, name string, cif_path string",
+    )
+    out = df.select(
+        derive_output_path(
+            F.col("database"), F.col("name"),
+            rules={"hMOF": "hmof_dir", "core": "core_dir"},
+            explicit_path=F.col("cif_path"),
+        ).alias("p")
+    )
+    assert [r["p"] for r in out.collect()] == [
+        "hmof_dir/m1.cif", "core_dir/m2.cif", "misc/m3.cif", "explicit/m4.cif",
+    ]
