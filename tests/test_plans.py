@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: pushdowns, broadcasts, shuffle budgets,
+codegen coverage. A change that silently degrades the physical plan fails
+here even when results stay correct."""
+
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.golden import GOLDEN
+from mr_dice_spark.plans.inspect import (
+    assert_max_shuffles,
+    assert_pushed,
+    broadcast_join_count,
+    codegen_stage_count,
+    has_cartesian,
+    pushed_filters,
+    scan_read_schemas,
+    shuffle_count,
+)
+
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    l = Catalog(spark, sf_dir).lineitem
+    q = l.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    assert_pushed(q, "GreaterThan(l_quantity,40")
+    schemas = scan_read_schemas(q)
+    assert len(schemas) == 1
+    # projection pruning: only the two referenced columns are read
+    assert "l_orderkey" in schemas[0] and "l_extendedprice" not in schemas[0]
+
+
+def test_demo1_uses_broadcast_for_dims(spark, sf_dir):
+    df = GOLDEN["demo1_and_containment"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1      # part-dim joins broadcast
+    assert not has_cartesian(df)
+
+
+def test_quota_topk_no_cartesian(spark, sf_dir):
+    df = GOLDEN["fair_quota_topk_events"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_point_lookup_is_one_scan_no_shuffle(spark, sf_dir):
+    p = Catalog(spark, sf_dir).part
+    q = p.where(F.col("p_partkey") == 42).select("p_name")
+    assert shuffle_count(q) == 0
+    assert_pushed(q, "EqualTo(p_partkey,42)")
+
+
+def test_aggregation_has_partial_then_final(spark, sf_dir):
+    # one shuffle for a groupBy: partial agg map-side, final after exchange
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    l = Catalog(spark, sf_dir).lineitem
+    q = l.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert shuffle_count(q) == 1
+    plan = formatted_plan(q)
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "Functions [1]: [sum(" in plan  # final merge after the exchange
+
+
+def test_minhash_shuffle_budget(spark, sf_dir):
+    # fan_out repartition + signature agg + band self-join + verify joins +
+    # distinct + anti-join: budget the shuffles so a regression (e.g. a lost
+    # partial-agg or an extra repartition) is caught
+    df = GOLDEN["minhash_lsh_dedup_survivors"].spark(spark, sf_dir)
+    assert_max_shuffles(df, 14)
+    assert not has_cartesian(df)
+
+
+def test_asof_join_shape(spark, sf_dir):
+    df = GOLDEN["events_asof_join"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_pruning_in_multimodal_probe(spark, sf_dir):
+    df = GOLDEN["multimodal_image_probe"].spark(spark, sf_dir)
+    schemas = " ".join(scan_read_schemas(df))
+    assert "lang" not in schemas and "source" not in schemas
+
+
+def test_builder_conjunction_fully_pushed(spark, sf_dir):
+    from mr_dice_spark.plans import mofdb_fetch
+
+    part = Catalog(spark, sf_dir).part
+    q = mofdb_fetch(part, brand="Brand#7", size_min=10, size_max=40, price_min=500.0)
+    fl = " ".join(pushed_filters(q))
+    for frag in ("EqualTo(p_brand,Brand#7)", "GreaterThanOrEqual(p_size,10)",
+                 "LessThanOrEqual(p_size,40)", "GreaterThanOrEqual(p_retailprice,500.0)"):
+        assert frag in fl, fl
