@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -97,7 +99,6 @@ def _anonymous_letters(n: int) -> list[str]:
 
 def hill_formula_udf():
     """pandas_udf for deriving a canonical formula column at ingest."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -114,7 +115,6 @@ def hill_formula_udf():
 
 
 def anonymous_formula_udf():
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

@@ -1,0 +1,121 @@
+"""Ingestion-time normalization (SURVEY.md §7.1 step 1; optimizer notes
+R3/R4).
+
+The reference rewrites predicates per provider at query time — space-group
+number fanned out to `_alexandria_space_group=221` / `_oqmd_spacegroup=
+"Pm-3m"` / `_tcod_sg="P m -3 m"` (Optimade_Server/utils.py:550-573) and
+band gap to per-provider property names (utils.py:585-613). Our engine does
+that mapping ONCE, at ingest: every provider's records are normalized into
+canonical columns, after which `fetch_with_spg` / `fetch_with_bandgap`
+compile to plain pushdown-able equality/range predicates and the dialect
+maps disappear from the query path entirely.
+
+Each normalizer is a Column expression (unicode translate, coalesce,
+broadcast dim join); only Hill-formula canonicalization needs Python and
+runs as an Arrow-batched pandas_udf, once per ingested row — never per
+query.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mr_dice_spark.functions.formula import hill_formula_udf, normalize_unicode_digits_col
+from mr_dice_spark.functions.spacegroup import HM_SYMBOLS, tcod_spacing
+
+# inverted symbol lookup: plain and TCOD-spaced H-M symbols -> number
+SYMBOL_TO_NUMBER: dict[str, int] = {}
+for _n, _s in HM_SYMBOLS.items():
+    SYMBOL_TO_NUMBER[_s] = _n
+    SYMBOL_TO_NUMBER[tcod_spacing(_s)] = _n
+
+
+def spg_number_from_any(*spg_cols: Column) -> Column:
+    """Canonical ``spacegroup_number`` from whatever a provider exposes:
+    ints pass through, H-M symbols (plain or TCOD-spaced) map through the
+    inverted 230-entry table (a literal map expression — effectively a
+    broadcast dim lookup without a join)."""
+    mapping = F.create_map(
+        *[x for s, n in SYMBOL_TO_NUMBER.items() for x in (F.lit(s), F.lit(n))]
+    )
+    out: Optional[Column] = None
+    for c in spg_cols:
+        as_num = F.when(
+            c.cast("string").rlike(r"^\d+$"), c.cast("int")
+        ).otherwise(mapping[c.cast("string")])
+        out = as_num if out is None else F.coalesce(out, as_num)
+    assert out is not None, "need at least one source column"
+    return out.cast("int")
+
+
+def normalize_structures(
+    df: DataFrame,
+    formula_col: str = "chemical_formula_reduced",
+    spg_cols: Sequence[str] = (),
+    bandgap_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Produce the canonical query columns:
+
+    * ``formula_hill`` — unicode digits translated, Hill-ordered (R4: query
+      literals canonicalize the same way at compile time, so equality works)
+    * ``spacegroup_number`` — int 1-230 from any provider dialect (R3)
+    * ``band_gap`` — first non-null provider band-gap property, as double
+    """
+    out = df
+    if formula_col in df.columns:
+        cleaned = normalize_unicode_digits_col(F.col(formula_col))
+        out = out.withColumn("formula_hill", hill_formula_udf()(cleaned))
+    if spg_cols:
+        out = out.withColumn(
+            "spacegroup_number", spg_number_from_any(*[F.col(c) for c in spg_cols])
+        )
+    if bandgap_cols:
+        out = out.withColumn(
+            "band_gap",
+            F.coalesce(*[F.col(c).cast("double") for c in bandgap_cols]),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# typed entry tools over normalized tables (reference
+# fetch_structures_with_spg / fetch_structures_with_bandgap,
+# Optimade_Server/server.py:202,358)
+# ---------------------------------------------------------------------------
+
+def fetch_with_spg(
+    df: DataFrame,
+    spg_number: int,
+    base_filter: Optional[str] = None,
+) -> DataFrame:
+    """Space-group query = plain equality on the canonical column, ANDed
+    with an optional OPTIMADE base filter (reference conjoins per-provider
+    dialect clauses — P11; here one predicate serves every provider)."""
+    if not 1 <= spg_number <= 230:
+        raise ValueError(f"space group number must be 1-230, got {spg_number}")
+    cond = F.col("spacegroup_number") == spg_number
+    if base_filter:
+        from mr_dice_spark.filters import compile_filter
+
+        cond = compile_filter(base_filter) & cond
+    return df.where(cond)
+
+
+def fetch_with_bandgap(
+    df: DataFrame,
+    min_ev: Optional[float] = None,
+    max_ev: Optional[float] = None,
+    base_filter: Optional[str] = None,
+) -> DataFrame:
+    """Band-gap range query; open ends auto-complete to [0, 100] eV
+    (reference Bohriumpublic_Server/server.py:130-142 — P18)."""
+    lo = 0.0 if min_ev is None else min_ev
+    hi = 100.0 if max_ev is None else max_ev
+    cond = F.col("band_gap").between(lo, hi)
+    if base_filter:
+        from mr_dice_spark.filters import compile_filter
+
+        cond = compile_filter(base_filter) & cond
+    return df.where(cond)

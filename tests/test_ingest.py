@@ -1,0 +1,82 @@
+"""Ingestion normalization tests (R3/R4): provider dialects collapse to
+canonical columns once, at ingest — then spg/bandgap queries are plain
+pushdown-able predicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.ingest import (
+    SYMBOL_TO_NUMBER,
+    fetch_with_bandgap,
+    fetch_with_spg,
+    normalize_structures,
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    # three "providers": one numeric spg, one plain H-M symbol, one
+    # TCOD-spaced symbol; band gap under two different property names;
+    # formulas with unicode subscripts and non-Hill element order
+    rows = [
+        (1, "SiO₂", 152, None, None, 1.1, None),
+        (2, "TiO2", None, "Pm-3m", None, None, 3.2),
+        (3, "Fe2O3", None, None, "P m -3 m", 2.0, None),
+        (4, "H2O", None, "P21/c", None, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, chemical_formula_reduced string, _alexandria_spg int, "
+        "_oqmd_spacegroup string, _tcod_sg string, _mp_band_gap double, "
+        "_oqmd_bandgap double",
+    )
+
+
+@pytest.fixture(scope="module")
+def normalized(raw):
+    return normalize_structures(
+        raw,
+        spg_cols=("_alexandria_spg", "_oqmd_spacegroup", "_tcod_sg"),
+        bandgap_cols=("_mp_band_gap", "_oqmd_bandgap"),
+    )
+
+
+def test_symbol_inversion_covers_both_spacings():
+    assert SYMBOL_TO_NUMBER["Pm-3m"] == 221
+    assert SYMBOL_TO_NUMBER["P m -3 m"] == 221
+    assert SYMBOL_TO_NUMBER["P21/c"] == 14
+
+
+def test_canonical_columns(normalized):
+    rows = {r["id"]: r for r in normalized.collect()}
+    assert rows[1]["formula_hill"] == "O2Si"      # unicode ₂ + Hill reorder
+    assert rows[2]["formula_hill"] == "O2Ti"
+    assert rows[4]["formula_hill"] == "H2O"
+    assert rows[1]["spacegroup_number"] == 152    # numeric passthrough
+    assert rows[2]["spacegroup_number"] == 221    # plain symbol
+    assert rows[3]["spacegroup_number"] == 221    # TCOD-spaced symbol
+    assert rows[4]["spacegroup_number"] == 14
+    assert rows[1]["band_gap"] == 1.1 and rows[2]["band_gap"] == 3.2
+
+
+def test_fetch_with_spg(normalized):
+    got = {r["id"] for r in fetch_with_spg(normalized, 221).collect()}
+    assert got == {2, 3}
+    with pytest.raises(ValueError):
+        fetch_with_spg(normalized, 231)
+
+
+def test_fetch_with_spg_and_base_filter(normalized):
+    # the base filter's formula literal canonicalizes to Hill at compile
+    # time, matching the ingested column (R4 round trip)
+    got = fetch_with_spg(
+        normalized, 221, base_filter='formula_hill="TiO2"'
+    ).collect()
+    assert [r["id"] for r in got] == [2]
+
+
+def test_fetch_with_bandgap_open_range(normalized):
+    got = {r["id"] for r in fetch_with_bandgap(normalized, min_ev=2.0).collect()}
+    assert got == {2, 3}
+    got = {r["id"] for r in fetch_with_bandgap(normalized, max_ev=2.0).collect()}
+    assert got == {1, 3}
