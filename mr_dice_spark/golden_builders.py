@@ -190,3 +190,47 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_millis("day").alias("day_ms"), "approx_users", "n_events")
         .orderBy("day_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# P19/F8: 230-row space-group dimension as a broadcast join
+# ---------------------------------------------------------------------------
+
+def _spg_dim_oracle() -> str:
+    from mr_dice_spark.functions.spacegroup import HM_SYMBOLS
+
+    values = ", ".join(f"({n}, '{s}')" for n, s in sorted(HM_SYMBOLS.items()))
+    return f"""
+WITH dim(spg_number, hm_symbol) AS (VALUES {values}),
+parts AS (
+  SELECT p_partkey, CAST(p_partkey % 230 + 1 AS INT) AS spg_number FROM part
+)
+SELECT d.hm_symbol, COUNT(*) AS n_parts
+FROM parts p JOIN dim d USING (spg_number)
+GROUP BY d.hm_symbol
+HAVING COUNT(*) >= 2
+ORDER BY hm_symbol
+"""
+
+
+@golden("spacegroup_dim_join", _spg_dim_oracle(), tags=("join", "broadcast", "P19"))
+def spacegroup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-group symbol lookup as a broadcast dimension join (the
+    reference's 230-entry dict, SURVEY.md P19/F8): a synthetic spg_number
+    per part joins the dim; Catalyst broadcasts the 230-row side."""
+    from pyspark.sql.functions import broadcast
+
+    from mr_dice_spark.functions.spacegroup import spacegroup_dim
+
+    part = Catalog(spark, sf_dir).part
+    dim = spacegroup_dim(spark).select("spg_number", "hm_symbol")
+    parts = part.select(
+        "p_partkey", (F.col("p_partkey") % 230 + 1).cast("int").alias("spg_number")
+    )
+    return (
+        parts.join(broadcast(dim), "spg_number")
+        .groupBy("hm_symbol")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .where(F.col("n_parts") >= 2)
+        .orderBy("hm_symbol")
+    )

@@ -29,3 +29,52 @@ def fan_out(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def hot_keys(df: DataFrame, key_cols: list[str], min_share: float = 0.01, top: int = 20) -> DataFrame:
+    """Heavy-hitter report: keys holding more than ``min_share`` of rows.
+
+    One pass (count + total via a window-free two-step). Use it to decide
+    between AQE skew-join (default, automatic) and explicit salting below.
+    """
+    from pyspark.sql import functions as F
+
+    total = df.count()
+    return (
+        df.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") >= max(1, int(total * min_share)))
+        .withColumn("share", F.col("count") / F.lit(float(total)))
+        .orderBy(F.desc("count"))
+        .limit(top)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot left key over ``n_salts``
+    shuffle partitions; replicate the (small) right side once per salt.
+
+    The left salt is a deterministic hash of the whole row (not rand() —
+    retries/speculative tasks must re-derive the same salt). Prefer
+    broadcast when the right side fits, and AQE's skew-join for sort-merge
+    cases; explicit salting is for the residual case — a hot build key too
+    big for one task where the right side is small enough to replicate
+    n_salts times but too big to broadcast whole.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    left_s = left.withColumn("__salt", salt)
+    right_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = left_s.join(right_s, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -87,3 +87,21 @@ def test_builder_conjunction_fully_pushed(spark, sf_dir):
     for frag in ("EqualTo(p_brand,Brand#7)", "GreaterThanOrEqual(p_size,10)",
                  "LessThanOrEqual(p_size,40)", "GreaterThanOrEqual(p_retailprice,500.0)"):
         assert frag in fl, fl
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from mr_dice_spark.operators.scale import hot_keys, salted_join
+
+    t = Catalog(spark, sf_dir)
+    orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = t.customer.select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, ["o_custkey"]).select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, ["o_custkey"], n_salts=8).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched left rows exactly once
+    plain_l = orders.join(cust, ["o_custkey"], "left")
+    salted_l = salted_join(orders, cust, ["o_custkey"], n_salts=8, how="left")
+    assert plain_l.count() == salted_l.count()
+    # hot-key report runs and respects the share floor
+    hk = hot_keys(t.events, ["event_type"], min_share=0.05)
+    assert all(r["share"] >= 0.05 for r in hk.collect())
