@@ -234,3 +234,60 @@ def spacegroup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_parts") >= 2)
         .orderBy("hm_symbol")
     )
+
+
+PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(1e-9 + quantile_cont(value, 0.95), 4) AS p95,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@golden("percentile_value_by_type", PCTL_ORACLE, tags=("agg", "percentile"))
+def percentile_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == ANSI
+    PERCENTILE_CONT == DuckDB quantile_cont). At 100 TB swap for
+    ``approx_percentile`` (t-digest sketch, map-side mergeable) — the exact
+    form is the oracle-checkable baseline."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            _r(F.percentile("value", 0.5), 4).alias("p50"),
+            _r(F.percentile("value", 0.95), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+GSETS_ORACLE = """
+SELECT COALESCE(event_type, 'ALL') AS etype,
+       COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+ORDER BY etype, user_bucket
+"""
+
+
+@golden("grouping_sets_events", GSETS_ORACLE, tags=("agg", "grouping-sets"))
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) via the
+    SQL surface — registered views + spark.sql, same entry path as
+    fetch_sql."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS etype,
+               COALESCE(user_id % 10, -1) AS user_bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY etype, user_bucket
+        """
+    )

@@ -510,3 +510,44 @@ def cosine_topk_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _r(F.col("cosine"), 6).alias("cosine")).orderBy(
         F.desc("cosine"), "vec_id"
     )
+
+
+INTERVAL_ORACLE = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+err AS (SELECT event_id AS err_id, ts - INTERVAL 10 MINUTE AS w_start,
+               ts + INTERVAL 10 MINUTE AS w_end
+        FROM e WHERE event_type = 'error'),
+pur AS (SELECT event_id, ts FROM e WHERE event_type = 'purchase')
+SELECT err_id, COUNT(event_id) AS n_purchases
+FROM err LEFT JOIN pur ON pur.ts >= err.w_start AND pur.ts <= err.w_end
+GROUP BY err_id
+ORDER BY err_id
+"""
+
+
+@golden("interval_join_error_windows", INTERVAL_ORACLE, tags=("join", "range", "interval"), bench=True)
+def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bin bucketing: purchases inside ±10-minute windows
+    around each error event (operators.interval.interval_join). The oracle
+    states the naive BETWEEN join; the operator's bucketed plan produces
+    identical rows as an equi-join + residual — no nested-loop join."""
+    from mr_dice_spark.operators.interval import interval_join
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select("event_id", "ts")
+    joined = interval_join(
+        pur, err, point_ts="ts", start_ts="w_start", end_ts="w_end",
+        bucket_seconds=1200, how="inner",
+    )
+    return (
+        err.select("err_id")
+        .join(joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n")), "err_id", "left")
+        .select("err_id", F.coalesce("n", F.lit(0)).alias("n_purchases"))
+        .orderBy("err_id")
+    )

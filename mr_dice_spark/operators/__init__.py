@@ -16,9 +16,15 @@ from mr_dice_spark.operators.similarity import (
     embedding_near_dup,
 )
 from mr_dice_spark.operators.asof import asof_join
+from mr_dice_spark.operators.interval import interval_join
+from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 
 __all__ = [
+    "interval_join",
+    "fan_out",
+    "hot_keys",
+    "salted_join",
     "distribute_quota_fair",
     "fair_quota_topk",
     "per_group_topk",

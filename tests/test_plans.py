@@ -105,3 +105,27 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     # hot-key report runs and respects the share floor
     hk = hot_keys(t.events, ["event_type"], min_share=0.05)
     assert all(r["share"] >= 0.05 for r in hk.collect())
+
+
+def test_interval_join_is_not_nested_loop(spark, sf_dir):
+    df = GOLDEN["interval_join_error_windows"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_interval_join_left_and_clash(spark):
+    import pytest as _pytest
+    from mr_dice_spark.operators import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 09:00:00")],
+        "pid long, ts string",
+    ).select("pid", F.to_timestamp("ts").alias("ts"))
+    ivs = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "iid long, s string, e string",
+    ).select("iid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    out = interval_join(pts, ivs, "ts", "s", "e", how="left").collect()
+    rows = {r["pid"]: r["iid"] for r in out}
+    assert rows == {1: 10, 2: None}  # point 2 unmatched but kept
+    with _pytest.raises(ValueError, match="ambiguous"):
+        interval_join(pts, pts.withColumnRenamed("pid", "qid"), "ts", "ts", "ts")
