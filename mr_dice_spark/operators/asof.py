@@ -26,27 +26,107 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_matched",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of left join. Right side must be unique per (on, ts) —
-    pre-dedup it deterministically if not (ties would be ambiguous)."""
+    """As-of left join. Right side must be unique per (on, ts) —
+    pre-dedup it deterministically if not (ties would be ambiguous).
+
+    direction:
+      * ``backward`` (default): most recent right row with ts <= left ts
+      * ``forward``: earliest right row with ts >= left ts
+      * ``nearest``: whichever of the two is closer (backward wins ties)
+
+    ``tolerance_seconds`` nulls out matches farther than the bound (pandas
+    merge_asof semantics). The matched right timestamp is always emitted as
+    ``__asof_ts{suffix}`` alongside the value columns.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        back = _asof_one_direction(
+            left, right, on, left_ts, right_ts, value_cols, suffix + "__b", "backward"
+        )
+        both = _asof_one_direction(
+            back, right, on, left_ts, right_ts, value_cols, suffix + "__f", "forward"
+        )
+        lt = F.col(left_ts).cast("double")
+        bt = F.col(f"__asof_ts{suffix}__b").cast("double")
+        ft = F.col(f"__asof_ts{suffix}__f").cast("double")
+        # backward wins when both exist and is at least as close
+        use_b = bt.isNotNull() & (ft.isNull() | ((lt - bt) <= (ft - lt)))
+        out = both
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(use_b, F.col(f"{c}{suffix}__b")).otherwise(F.col(f"{c}{suffix}__f")),
+            )
+        out = out.withColumn(
+            f"__asof_ts{suffix}", F.when(use_b, bt).otherwise(ft).cast("timestamp")
+        )
+        drop = [f"{c}{suffix}__{d}" for c in value_cols for d in "bf"] + [
+            f"__asof_ts{suffix}__b", f"__asof_ts{suffix}__f",
+        ]
+        out = out.drop(*drop)
+    else:
+        out = _asof_one_direction(
+            left, right, on, left_ts, right_ts, value_cols, suffix, direction
+        )
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            F.col(left_ts).cast("double") - F.col(f"__asof_ts{suffix}").cast("double")
+        )
+        within = F.col(f"__asof_ts{suffix}").isNotNull() & (dist <= tolerance_seconds)
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}"))
+            )
+        out = out.withColumn(
+            f"__asof_ts{suffix}", F.when(within, F.col(f"__asof_ts{suffix}"))
+        )
+    return out
+
+
+def _asof_one_direction(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str,
+    direction: str,
+) -> DataFrame:
+    """Union-marker as-of in one direction. For ``forward`` the timeline is
+    sorted descending and right rows still precede left at equal ts, giving
+    >=-semantics symmetric to backward's <=."""
     lcols = left.columns
+    carry = value_cols + ["__asof_ts"]
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     r = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(right_ts).alias("__v___asof_ts"),
     )
     for c in lcols:
         if c not in on:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     u = l.select(
-        *lcols, "__t", "__side", *[F.lit(None).cast(dict(r.dtypes)[f"__v_{c}"]).alias(f"__v_{c}") for c in value_cols]
-    ).unionByName(r.select(*lcols, "__t", "__side", *[f"__v_{c}" for c in value_cols]))
+        *lcols,
+        "__t",
+        "__side",
+        *[
+            F.lit(None).cast(dict(r.dtypes)[f"__v_{c}"]).alias(f"__v_{c}")
+            for c in carry
+        ],
+    ).unionByName(r.select(*lcols, "__t", "__side", *[f"__v_{c}" for c in carry]))
 
+    order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -56,5 +136,6 @@ def asof_join(
             F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in value_cols
         ],
+        F.last("__v___asof_ts", ignorenulls=True).over(w).alias(f"__asof_ts{suffix}"),
     )
     return filled.where(F.col("__side") == 1).drop("__side")

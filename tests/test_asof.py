@@ -1,0 +1,58 @@
+"""As-of join family: backward/forward/nearest directions + tolerance
+(pandas merge_asof semantics, distributed via the union-marker pattern)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.asof import asof_join
+
+
+def T(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, T("2024-01-01 10:00:00")), (2, T("2024-01-01 12:00:00")),
+         (3, T("2024-01-01 23:00:00")), (4, T("2024-01-01 10:45:00"))],
+        "pid long, ts timestamp",
+    ).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(T("2024-01-01 09:00:00"), "a"), (T("2024-01-01 11:00:00"), "b"),
+         (T("2024-01-01 12:00:00"), "c")],
+        "rts timestamp, tag string",
+    ).withColumn("k", F.lit(1))
+    return left, right
+
+
+def _run(left, right, **kw):
+    out = asof_join(left, right, ["k"], "ts", "rts", ["tag"], **kw)
+    return {r["pid"]: r["tag_matched"] for r in out.collect()}
+
+
+def test_backward(frames):
+    assert _run(*frames, direction="backward") == {1: "a", 2: "c", 3: "c", 4: "a"}
+
+
+def test_forward(frames):
+    # equal timestamps match (>= semantics); nothing after 23:00
+    assert _run(*frames, direction="forward") == {1: "b", 2: "c", 3: None, 4: "b"}
+
+
+def test_nearest_prefers_closer_and_breaks_ties_backward(frames):
+    # pid1: 1h both ways -> backward wins; pid4: forward b is 15m away
+    assert _run(*frames, direction="nearest") == {1: "a", 2: "c", 3: "c", 4: "b"}
+
+
+def test_tolerance_nulls_far_matches(frames):
+    got = _run(*frames, tolerance_seconds=1800)
+    assert got == {1: None, 2: "c", 3: None, 4: None}
+
+
+def test_unknown_direction_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "ts", "rts", ["tag"], direction="sideways")
