@@ -119,3 +119,45 @@ def fetch_with_bandgap(
 
         cond = compile_filter(base_filter) & cond
     return df.where(cond)
+
+
+# ---------------------------------------------------------------------------
+# storage layout: partitioned / bucketed writes
+# ---------------------------------------------------------------------------
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int = 5_000_000,
+    fmt: str = "parquet",
+) -> None:
+    """Write with hive-style partition directories: queries filtering on
+    ``partition_by`` columns prune whole directories at planning time
+    (PartitionFilters in the scan), which is the dominant cost saver on a
+    100 TB table. Keep partition cardinality moderate (date, source,
+    provider — not user_id) to avoid the small-files problem;
+    ``maxRecordsPerFile`` bounds file size within partitions."""
+    writer = df.write.mode("overwrite").option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed (hash-clustered) managed table: joins/aggregations on the
+    bucket columns between co-bucketed tables skip the shuffle entirely —
+    the ingest-time layout for repeated large-large joins (e.g. lineitem ⋈
+    orders on orderkey). Bucketing requires the table catalog (bucket
+    metadata lives there), hence ``saveAsTable`` rather than a bare path."""
+    writer = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

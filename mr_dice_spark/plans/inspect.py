@@ -41,13 +41,14 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
-    plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange\b(?! ?\()", plan)) - plan.count("BroadcastExchange")
+    """Number of shuffle exchanges (excludes broadcast exchanges). Counts
+    the formatted plan's per-node detail headers ("(3) Exchange"), which
+    appear exactly once per node."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.M))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    return len(re.findall(r"^\(\d+\) BroadcastHashJoin", formatted_plan(df), re.M))
 
 
 def has_cartesian(df: DataFrame) -> bool:

@@ -5,6 +5,7 @@ pushdown-able predicates."""
 import pytest
 from pyspark.sql import functions as F
 
+from mr_dice_spark.catalog import Catalog
 from mr_dice_spark.ingest import (
     SYMBOL_TO_NUMBER,
     fetch_with_bandgap,
@@ -80,3 +81,51 @@ def test_fetch_with_bandgap_open_range(normalized):
     assert got == {2, 3}
     got = {r["id"] for r in fetch_with_bandgap(normalized, max_ev=2.0).collect()}
     assert got == {1, 3}
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    from mr_dice_spark.ingest import write_partitioned
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == ev.where(F.col("event_type") == "purchase").count()
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    from mr_dice_spark.ingest import write_bucketed_table
+    from mr_dice_spark.plans.inspect import shuffle_count
+
+    # warehouse.dir is static config — tables land in the default
+    # ./spark-warehouse (gitignored); always drop them afterwards
+    t = Catalog(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force sort-merge so the assertion proves BUCKETING (not a
+        # broadcast) eliminated the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(t.orders.select("o_orderkey", "o_custkey"),
+                             "b_orders", ["o_orderkey"], 8)
+        write_bucketed_table(t.lineitem.select("l_orderkey", "l_quantity"),
+                             "b_lineitem", ["l_orderkey"], 8)
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # co-bucketed join: sort-merge without any exchange
+        assert shuffle_count(j) == 0
+        assert "SortMergeJoin" in j._jdf.queryExecution().executedPlan().toString()
+        # same join on the UNbucketed source tables needs two exchanges
+        plain = t.orders.select("o_orderkey", "o_custkey").join(
+            t.lineitem.select("l_orderkey", "l_quantity"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert shuffle_count(plain) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
