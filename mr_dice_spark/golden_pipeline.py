@@ -551,3 +551,69 @@ def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("err_id", F.coalesce("n", F.lit(0)).alias("n_purchases"))
         .orderBy("err_id")
     )
+
+
+FEDERATION_ORACLE = """
+WITH prov AS (
+  SELECT s_suppkey, s_name, s_acctbal, 'alpha' AS provider, 0 AS provider_rank
+  FROM supplier WHERE s_suppkey % 2 = 0
+  UNION ALL
+  SELECT s_suppkey, s_name, s_acctbal, 'beta', 1
+  FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT s_suppkey, s_name, s_acctbal, 'gamma', 2
+  FROM supplier WHERE s_suppkey % 5 = 0
+),
+filtered AS (SELECT * FROM prov WHERE s_acctbal >= 0),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                 ORDER BY provider_rank) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+),
+-- per-provider capacities after dedup are >= 7 (gamma keeps exactly the 7
+-- multiples of 5 coprime to 2 and 3), so the n=21 equal split lands within
+-- every capacity and the water-fill degenerates to the plain equal split
+-- the SQL can state: top-7 per provider by (acctbal DESC, suppkey)
+quota AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY provider
+                                 ORDER BY s_acctbal DESC, s_suppkey) AS qr
+    FROM deduped
+  ) WHERE qr <= 7
+)
+SELECT provider, s_suppkey, s_name, ROUND(1e-9 + s_acctbal, 2) AS acctbal
+FROM quota
+ORDER BY provider, s_suppkey
+"""
+
+
+@golden("federation_dedup_quota", FEDERATION_ORACLE, tags=("federation", "S1", "D1", "O5", "lifecycle"))
+def federation_dedup_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.1 lifecycle on one engine: multi-provider union (S1,
+    simulated as overlapping slices of supplier) → predicate (P-layer) →
+    deterministic first-wins dedup by id across providers (D1, provider_rank
+    priority) → fair-quota top-k (O5; capacities here exceed the equal
+    split, which the oracle states directly) → final ordering."""
+    from mr_dice_spark.operators.dedup import dedup_first_wins
+    from mr_dice_spark.operators.quota import fair_quota_topk
+
+    sup = Catalog(spark, sf_dir).supplier.select("s_suppkey", "s_name", "s_acctbal")
+    provs = []
+    for rank, (name, mod) in enumerate((("alpha", 2), ("beta", 3), ("gamma", 5))):
+        provs.append(
+            sup.where(F.col("s_suppkey") % mod == 0)
+            .withColumn("provider", F.lit(name))
+            .withColumn("provider_rank", F.lit(rank))
+        )
+    union = provs[0].unionByName(provs[1]).unionByName(provs[2])
+    filtered = union.where(F.col("s_acctbal") >= 0)
+    deduped = dedup_first_wins(filtered, "s_suppkey", [F.col("provider_rank")])
+    capped = fair_quota_topk(
+        deduped, "provider", None, 21,
+        order_by=[F.desc("s_acctbal"), F.asc("s_suppkey")],
+    )
+    return capped.select(
+        "provider", "s_suppkey", "s_name", _r("s_acctbal", 2).alias("acctbal")
+    ).orderBy("provider", "s_suppkey")
