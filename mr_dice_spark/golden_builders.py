@@ -291,3 +291,82 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY etype, user_bucket
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics re-targeted to the driver tables (relational breadth:
+# multi-join top-k with expression aggregate, and the scan-dominated
+# filter-aggregate). q01 lives in golden.py.
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_ms,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@golden("q03_shipping_priority", Q3_ORACLE, tags=("join", "agg", "topk", "tpch"), bench=True)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into a 3-way
+    join, expression aggregate, global top-10 (TakeOrderedAndProject)."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < "1998-01-01")
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > "1998-01-01")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q6_ORACLE = """
+SELECT ROUND(1e-9 + SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@golden("q06_forecast_revenue", Q6_ORACLE, tags=("agg", "filter", "tpch"), bench=True)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-dominated conjunctive filter + global aggregate
+    — every predicate reaches the parquet scan, no shuffle beyond the
+    single-row final aggregate."""
+    _utc(spark)
+    l = Catalog(spark, sf_dir).lineitem
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
