@@ -370,3 +370,29 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(1e-9 + SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_f,
+       ROUND(1e-9 + SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@golden("pivot_returnflag_status", PIVOT_ORACLE, tags=("agg", "pivot"))
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): Spark's pivot with explicit value list — the
+    explicit list keeps it one pass (no extra distinct-values job) and
+    makes the output schema static, which is what a 100 TB pipeline wants."""
+    l = Catalog(spark, sf_dir).lineitem
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.coalesce(_r(F.sum("l_quantity"), 4), F.lit(0.0)))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+        .orderBy("l_returnflag")
+    )
+    return out

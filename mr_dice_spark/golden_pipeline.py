@@ -617,3 +617,28 @@ def federation_dedup_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "provider", "s_suppkey", "s_name", _r("s_acctbal", 2).alias("acctbal")
     ).orderBy("provider", "s_suppkey")
+
+
+LENGTH_KNOWN_ORACLE = """
+SELECT p_partkey AS partkey, p_name AS name
+FROM part
+WHERE len(string_split(p_name, ' ')) = 3
+  AND p_retailprice IS NOT NULL
+  AND p_name NOT LIKE '%red%'
+ORDER BY partkey
+"""
+
+
+@golden("optimade_length_known", LENGTH_KNOWN_ORACLE, tags=("filter", "length", "known"))
+def optimade_length_known(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMADE LENGTH and IS KNOWN operators plus NOT-CONTAINS, compiled
+    from the filter language (grammar at Optimade_Server/server.py:77-83)."""
+    p = Catalog(spark, sf_dir).part.withColumn("name_tokens", F.split("p_name", " "))
+    cond = compile_filter(
+        'name_tokens LENGTH 3 AND p_retailprice IS KNOWN AND NOT (p_name CONTAINS "red")'
+    )
+    return (
+        p.where(cond)
+        .select(F.col("p_partkey").alias("partkey"), F.col("p_name").alias("name"))
+        .orderBy("partkey")
+    )
