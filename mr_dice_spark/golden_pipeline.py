@@ -622,7 +622,7 @@ def federation_dedup_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 LENGTH_KNOWN_ORACLE = """
 SELECT p_partkey AS partkey, p_name AS name
 FROM part
-WHERE len(string_split(p_name, ' ')) = 3
+WHERE len(string_split(p_name, ' ')) = 2
   AND p_retailprice IS NOT NULL
   AND p_name NOT LIKE '%red%'
 ORDER BY partkey
@@ -635,7 +635,7 @@ def optimade_length_known(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the filter language (grammar at Optimade_Server/server.py:77-83)."""
     p = Catalog(spark, sf_dir).part.withColumn("name_tokens", F.split("p_name", " "))
     cond = compile_filter(
-        'name_tokens LENGTH 3 AND p_retailprice IS KNOWN AND NOT (p_name CONTAINS "red")'
+        'name_tokens LENGTH 2 AND p_retailprice IS KNOWN AND NOT (p_name CONTAINS "red")'
     )
     return (
         p.where(cond)
