@@ -32,6 +32,8 @@ def multi_provider_scan(
     provider_paths: dict[str, str],
     fmt: str = "parquet",
     provider_col: str = "provider",
+    skip_unavailable: bool = False,
+    warnings: list[str] | None = None,
 ) -> DataFrame:
     """S1: one logical table over N provider tables.
 
@@ -45,15 +47,28 @@ def multi_provider_scan(
     Provider order (dict insertion order) is preserved as ``provider_rank``
     — the deterministic priority that replaces the reference's
     traversal-order-dependent first-wins dedup (SURVEY.md §7.3).
+
+    ``skip_unavailable`` is the reference's per-provider failure isolation
+    (R5: ``asyncio.gather(return_exceptions=True)`` — a failed provider
+    becomes an empty partition and the query still succeeds,
+    Optimade_Server/server.py:123-126): unreadable provider tables are
+    skipped, with a note appended to ``warnings`` (the manifest's warnings
+    list, S9) instead of failing the whole scan.
     """
     out: DataFrame | None = None
     for rank, (name, path) in enumerate(provider_paths.items()):
-        df = (
-            read_table(spark, path, fmt)
-            .withColumn(provider_col, F.lit(name))
-            .withColumn("provider_rank", F.lit(rank))
+        try:
+            df = read_table(spark, path, fmt)
+        except Exception as exc:  # noqa: BLE001 — isolation is the contract
+            if not skip_unavailable:
+                raise
+            if warnings is not None:
+                warnings.append(f"provider {name!r} unavailable: {exc}")
+            continue
+        df = df.withColumn(provider_col, F.lit(name)).withColumn(
+            "provider_rank", F.lit(rank)
         )
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     if out is None:
-        raise ValueError("no providers given")
+        raise ValueError("no providers given (or all unavailable)")
     return out

@@ -109,3 +109,22 @@ def test_derive_output_path(spark):
     assert [r["p"] for r in out.collect()] == [
         "hmof_dir/m1.cif", "core_dir/m2.cif", "misc/m3.cif", "explicit/m4.cif",
     ]
+
+
+def test_multi_provider_failure_isolation(spark, sf_dir, tmp_path):
+    # R5: a dead provider degrades to a warning, not a query failure
+    good = str(tmp_path / "good")
+    spark.range(3).write.parquet(good)
+    warnings = []
+    out = multi_provider_scan(
+        spark,
+        {"ok": good, "dead": str(tmp_path / "missing")},
+        skip_unavailable=True,
+        warnings=warnings,
+    )
+    assert out.count() == 3
+    assert len(warnings) == 1 and "dead" in warnings[0]
+    # without isolation the same scan raises
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        multi_provider_scan(spark, {"dead": str(tmp_path / "missing")})
