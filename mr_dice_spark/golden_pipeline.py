@@ -642,3 +642,62 @@ def optimade_length_known(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("partkey"), F.col("p_name").alias("name"))
         .orderBy("partkey")
     )
+
+
+TOP_TERMS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(trim(lower(text)), ' ')) AS term FROM documents
+)
+SELECT term, COUNT(*) AS freq
+FROM tok
+WHERE term <> ''
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 50
+"""
+
+
+@golden("text_top_terms", TOP_TERMS_ORACLE, tags=("text", "terms"))
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-50 — explode + hash agg + top-k
+    (TakeOrderedAndProject keeps only 50 rows past the agg)."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(50)
+    )
+
+
+CENTROID_ORACLE = """
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       ROUND(1e-9 + AVG(x), 6) AS centroid_x,
+       COUNT(*) AS n
+FROM comp
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+@golden("embedding_label_centroids", CENTROID_ORACLE, tags=("similarity", "vector-agg"))
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode the vectors and hash-agg
+    per (label, position) — the distributed form of a vector mean (the
+    reduce side carries label x dim cells, never whole vectors)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"))
+        .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+        .groupBy("label", "pos")
+        .agg(_r(F.avg("x"), 6).alias("centroid_x"), F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pos")
+    )
