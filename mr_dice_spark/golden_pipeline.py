@@ -701,3 +701,56 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_r(F.avg("x"), 6).alias("centroid_x"), F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pos")
     )
+
+
+SAMPLE_ORACLE = """
+SELECT event_id, event_type,
+       ROUND(1e-9 + value, 2) AS value
+FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(0.1 * 4294967296 AS BIGINT)
+ORDER BY event_id
+"""
+
+
+@golden("deterministic_sample_events", SAMPLE_ORACLE, tags=("sampling", "pipeline"))
+def deterministic_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% hash-threshold sample by event_id — reproducible across engines,
+    partitionings and reruns (operators.sampling)."""
+    from mr_dice_spark.operators.sampling import deterministic_sample
+
+    ev = Catalog(spark, sf_dir).events
+    return (
+        deterministic_sample(ev, "event_id", 0.1)
+        .select("event_id", "event_type", _r("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+STRATIFIED_ORACLE = """
+SELECT event_type, event_id
+FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 20
+ORDER BY event_type, event_id
+"""
+
+
+@golden("stratified_sample_by_type", STRATIFIED_ORACLE, tags=("sampling", "stratified"))
+def stratified_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 per event_type, hash-ordered — deterministic stratified
+    subsample (operators.sampling.stratified_sample_exact)."""
+    from mr_dice_spark.operators.sampling import stratified_sample_exact
+
+    ev = Catalog(spark, sf_dir).events
+    return (
+        stratified_sample_exact(ev, ["event_type"], 20, "event_id")
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    )
