@@ -21,6 +21,8 @@ Layout:
     operators   custom relational operators (fair quota, per-group top-k,
                 dedup family, similarity join, as-of join, sessionize).
     sources     readers and sinks (JSON/CIF/manifest, tagged output dirs).
+    ingest      ingestion-time normalization (canonical columns) and
+                partitioned/bucketed storage layout writers.
     plans       typed parametric query builders (mofdb/openlam/bohrium shape).
     streaming   Structured Streaming ingestion + windowing helpers.
     multimodal  binary-column (image/audio/video) plumbing with stubbed codecs.

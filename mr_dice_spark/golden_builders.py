@@ -396,3 +396,68 @@ def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return out
+
+
+RUNNING_ORACLE = """
+SELECT user_id,
+       event_id,
+       ROUND(1e-9 + SUM(value) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                     ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+       ROUND(1e-9 + AVG(value) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg_5
+FROM events
+WHERE user_id % 50 = 0
+ORDER BY user_id, event_id
+"""
+
+
+@golden("window_running_totals", RUNNING_ORACLE, tags=("window", "frames"))
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames (rowsBetween): running sum + trailing-5
+    moving average per user — the frame specs the reference never uses but
+    a metrics pipeline lives on (SURVEY.md §2.5 note)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") % 50 == 0)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = base.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r(F.sum("value").over(running), 4).alias("running_value"),
+        _r(F.avg("value").over(trailing), 4).alias("avg_5"),
+    ).orderBy("user_id", "event_id")
+
+
+LAG_ORACLE = """
+SELECT user_id, event_id,
+       epoch_ms(CAST(ts AS TIMESTAMP))
+         - epoch_ms(LAG(CAST(ts AS TIMESTAMP)) OVER w) AS ms_since_prev,
+       ROUND(1e-9 + value - LAG(value) OVER w, 4) AS value_delta,
+       LEAD(event_id) OVER w AS next_event_id
+FROM events
+WHERE user_id % 100 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@golden("window_lag_lead_deltas", LAG_ORACLE, tags=("window", "lag", "lead"))
+def window_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: inter-event gaps and deltas per user."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") % 100 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("ms_since_prev"),
+        _r(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("user_id", "event_id")

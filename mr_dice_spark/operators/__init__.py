@@ -17,11 +17,15 @@ from mr_dice_spark.operators.similarity import (
 )
 from mr_dice_spark.operators.asof import asof_join
 from mr_dice_spark.operators.interval import interval_join
+from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, stratified_sample_exact
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 
 __all__ = [
     "interval_join",
+    "deterministic_sample",
+    "hash_bucket",
+    "stratified_sample_exact",
     "fan_out",
     "hot_keys",
     "salted_join",
