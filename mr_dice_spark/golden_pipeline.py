@@ -754,3 +754,98 @@ def stratified_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id")
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# portable-hash dedup signatures: the md5-derived hash variants let DuckDB
+# recompute the EXACT signatures, closing the oracle gap on the
+# MinHash/SimHash family (the xxhash64 fast path stays rows-only).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+def _phash_sql(expr: str, seed: str = "") -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{seed}' || {expr}), 1, 15)) AS BIGINT)"
+    )
+
+
+def _minhash_sig_oracle(num_hashes: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"MIN({_phash_sql('shingle', f'{i}|')}) AS h{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id,
+       {mins}
+FROM sh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@golden("minhash_signatures_portable", _minhash_sig_oracle(8), tags=("dedup", "minhash", "oracle"))
+def minhash_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with the engine-portable hasher — DuckDB
+    recomputes the identical 8 minima per document, oracle-checking the
+    shingling + signature aggregation exactly."""
+    from mr_dice_spark.operators.dedup import minhash_signatures, shingles_exploded
+
+    docs = Catalog(spark, sf_dir).documents
+    ex = shingles_exploded(docs, "doc_id", "text").select("__id", "__s")
+    sig = minhash_signatures(ex, num_hashes=8, portable=True)
+    return sig.select(
+        F.col("__id").alias("doc_id"), *[F.col(f"__h{i}").alias(f"h{i}") for i in range(8)]
+    ).orderBy("doc_id")
+
+
+def _simhash_oracle(n_bits: int = 16) -> str:
+    h = _phash_sql("t")
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM toks
+  GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS fingerprint
+FROM votes
+ORDER BY doc_id
+"""
+
+
+@golden("simhash_fingerprints_portable", _simhash_oracle(16), tags=("dedup", "simhash", "oracle"))
+def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints with the portable hasher — DuckDB
+    reproduces every bit vote and the assembled fingerprint."""
+    from mr_dice_spark.operators.dedup import simhash_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    fp = simhash_fingerprints(docs, "doc_id", "text", n_bits=16, portable=True)
+    return fp.select(
+        F.col("__id").alias("doc_id"), F.col("__fp").alias("fingerprint")
+    ).orderBy("doc_id")

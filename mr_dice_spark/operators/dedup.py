@@ -125,14 +125,35 @@ def shingles_exploded(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(exploded: DataFrame, num_hashes: int = 128) -> DataFrame:
+def portable_hash60(col: Column, seed: str = "") -> Column:
+    """60-bit engine-portable hash: integer value of the first 15 hex chars
+    of md5(seed || value). ~3x slower than xxhash64 — used only where a
+    DuckDB oracle must reproduce the exact hashes (60 bits so the value
+    fits a signed BIGINT in both engines)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    exploded: DataFrame, num_hashes: int = 128, portable: bool = False
+) -> DataFrame:
     """(__id, __h0..__h{k-1}) MinHash signature via codegen'd aggregation:
-    sig[i] = min over shingles of xxhash64(shingle, i). Map-side combine
-    collapses each partition to one partial row per doc before the shuffle."""
-    aggs = [
-        F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
+    sig[i] = min over shingles of hash_i(shingle). Map-side combine
+    collapses each partition to one partial row per doc before the shuffle.
+
+    ``portable=True`` switches xxhash64 -> md5-derived 60-bit hashes that a
+    SQL oracle can restate verbatim (same signatures in DuckDB)."""
+    if portable:
+        aggs = [
+            F.min(portable_hash60(F.col("__s"), f"{i}|")).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     return exploded.groupBy("__id").agg(*aggs)
 
 
@@ -211,7 +232,13 @@ def minhash_lsh_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """(__id, __fp: long) 64-bit SimHash per doc, fully codegen'd.
 
     Explode tokens (multiplicity preserved — repeated tokens vote
@@ -225,8 +252,10 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             F.col(id_col).alias("__id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
         )
-    ).select("__id", F.explode("__w").alias("__t")).select(
-        "__id", F.xxhash64(F.col("__t")).alias("__hh")
+    ).select("__id", F.explode("__w").alias("__t"))
+    toks = toks.select(
+        "__id",
+        (portable_hash60(F.col("__t")) if portable else F.xxhash64(F.col("__t"))).alias("__hh"),
     )
     votes = toks.groupBy("__id").agg(
         *[
@@ -234,7 +263,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                 F.when(F.shiftright(F.col("__hh"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"__v{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     fp = reduce(
@@ -243,7 +272,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             F.when(
                 F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     return votes.select("__id", fp.alias("__fp"))
