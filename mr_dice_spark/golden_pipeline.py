@@ -849,3 +849,23 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     return fp.select(
         F.col("__id").alias("doc_id"), F.col("__fp").alias("fingerprint")
     ).orderBy("doc_id")
+
+
+@golden("dedup_connected_clusters", None, tags=("dedup", "components", "iterative"))
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup: MinHash-LSH candidate pairs → connected
+    components → one representative (min doc_id) per equivalence class.
+    Iterative fixpoint — non-SQL-expressible, rows-only check by design
+    (topology semantics pinned in tests/test_components.py)."""
+    from mr_dice_spark.operators.components import dedup_connected
+    from mr_dice_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=8
+    ).where(F.col("jaccard") >= 0.8)
+    return (
+        dedup_connected(docs, pairs, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

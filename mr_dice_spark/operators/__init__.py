@@ -16,12 +16,15 @@ from mr_dice_spark.operators.similarity import (
     embedding_near_dup,
 )
 from mr_dice_spark.operators.asof import asof_join
+from mr_dice_spark.operators.components import connected_components, dedup_connected
 from mr_dice_spark.operators.interval import interval_join
 from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, stratified_sample_exact
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 
 __all__ = [
+    "connected_components",
+    "dedup_connected",
     "interval_join",
     "deterministic_sample",
     "hash_bucket",

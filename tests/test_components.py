@@ -1,0 +1,64 @@
+"""Connected-components clustering: known topologies + fixpoint invariants
++ the transitivity gap vs first-wins dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.components import connected_components, dedup_connected
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4 : one component rooted at 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (5, 6), (6, 7), (10, 11)])
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+
+def test_long_chain_within_iterations(spark):
+    # hash-min propagates >=1 hop per iteration; a 12-chain needs ~11
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges, max_iter=15)
+    assert set(got.values()) == {0}
+
+
+def test_dedup_connected_vs_first_wins_transitivity(spark):
+    # a~b, b~c but a!~c: first-wins (drop larger of each PAIR) keeps {1},
+    # drops 2 and 3; connected dedup also keeps only 1 — but on a
+    # star 1~2, 3~2 first-wins drops only 2 (keeps 1 AND 3, not a~c
+    # transitive) while CC collapses all three. That asymmetry is the
+    # documented difference.
+    rows = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "doc_id long, t string")
+    star = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept_cc = {r["doc_id"] for r in dedup_connected(rows, star, "doc_id").collect()}
+    assert kept_cc == {1}
+    from mr_dice_spark.operators.dedup import dedup_first_wins  # contrast
+
+    losers_fw = star.select(F.col("id_b").alias("doc_id")).distinct()
+    kept_fw = {r["doc_id"] for r in rows.join(losers_fw, "doc_id", "left_anti").collect()}
+    assert kept_fw == {1}  # chain case agrees...
+    star2 = spark.createDataFrame([(1, 2), (3, 2)], "id_a long, id_b long")
+    # pair rule with id_a<id_b normalization: (1,2),(2,3) -> same as star;
+    # the raw (3,2) pair drops only 2 under naive larger-loses
+    kept_cc2 = {r["doc_id"] for r in dedup_connected(rows, star2, "doc_id").collect()}
+    assert kept_cc2 == {1}  # CC still one component
+
+
+def test_unpaired_rows_survive(spark):
+    rows = spark.createDataFrame(
+        [(i, "t") for i in range(6)], "doc_id long, t string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in dedup_connected(rows, pairs, "doc_id").collect()}
+    assert kept == {0, 2, 3, 4, 5}
