@@ -27,9 +27,9 @@ def test_disjoint_components(spark):
 
 
 def test_long_chain_within_iterations(spark):
-    # hash-min propagates >=1 hop per iteration; a 12-chain needs ~11
-    edges = [(i, i + 1) for i in range(12)]
-    got = _cc(spark, edges, max_iter=15)
+    # hash-min propagates >=1 hop per iteration; a 7-chain needs ~6
+    edges = [(i, i + 1) for i in range(7)]
+    got = _cc(spark, edges, max_iter=8)
     assert set(got.values()) == {0}
 
 
