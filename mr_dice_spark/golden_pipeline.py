@@ -869,3 +869,70 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+TWO_LEVEL_QUOTA_ORACLE = """
+WITH cells AS (
+  SELECT event_id, event_type, CAST(user_id % 3 AS BIGINT) AS shard,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+-- every (type, shard) cell holds far more than the 2-per-cell equal split
+-- of n=30 over 5 types x 3 shards, so the two-level water-fill reduces to
+-- the plain nested equal split: 6 per type, 2 per shard
+ranked AS (
+  SELECT event_id, event_type, shard,
+         ROW_NUMBER() OVER (PARTITION BY event_type, shard
+                            ORDER BY ts, event_id) AS rn
+  FROM cells
+)
+SELECT event_type, shard, event_id
+FROM ranked WHERE rn <= 2
+ORDER BY event_type, shard, event_id
+"""
+
+
+@golden("fair_quota_two_level", TWO_LEVEL_QUOTA_ORACLE, tags=("topk", "O5", "two-level"))
+def fair_quota_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level water-fill (clause -> url, the reference's full shape):
+    budget 30 over 5 event types x 3 user shards; capacities exceed the
+    nested equal split, which the oracle states directly. Capacity-bound
+    reallocation is hypothesis-tested in tests/test_quota.py."""
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "shard", F.col("user_id") % 3
+    )
+    return (
+        fair_quota_topk(ev, "event_type", "shard", 30,
+                        order_by=[F.asc("ts"), F.asc("event_id")])
+        .select("event_type", "shard", "event_id")
+        .orderBy("event_type", "shard", "event_id")
+    )
+
+
+PER_GROUP_TOPK_ORACLE = """
+SELECT event_type, event_id, rank
+FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+
+@golden("per_group_topk_events", PER_GROUP_TOPK_ORACLE, tags=("topk", "O4"))
+def per_group_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: per-source result cap — top-5 by value per event type with a
+    deterministic tiebreak (operators.topk.per_group_topk)."""
+    from mr_dice_spark.operators.topk import per_group_topk
+
+    ev = Catalog(spark, sf_dir).events
+    return (
+        per_group_topk(ev, ["event_type"], [F.desc("value"), F.asc("event_id")],
+                       5, rank_col="rank")
+        .select("event_type", "event_id", "rank")
+        .orderBy("event_type", "rank")
+    )

@@ -141,3 +141,35 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_seconds)
     return q
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = (),
+    query_name: str = "ingest",
+    timeout_seconds: int = 300,
+):
+    """Durable streaming sink: exactly-once parquet ingestion.
+
+    The file sink + checkpoint commit log gives end-to-end exactly-once for
+    a replayable source — restarting after failure resumes from the last
+    committed batch without duplicating files. ``availableNow`` drains the
+    backlog and stops (batch-style backfill through the SAME streaming
+    plan); drop the trigger for continuous ingestion. Partition columns
+    become hive-style directories, so the landed table gets the same
+    planning-time pruning as `ingest.write_partitioned`.
+    """
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination(timeout_seconds)
+    return q

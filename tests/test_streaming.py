@@ -79,3 +79,23 @@ def test_stateful_ema_stream_matches_batch(spark, sf_dir, events_stream):
     got = {r["user_id"]: (r["n_events"], round(r["ema"], 9)) for r in rows}
     assert got == batch
     q.stop()
+
+
+def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path, events_stream):
+    from mr_dice_spark.streaming.windows import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    q = stream_to_parquet(events_stream, out, ckpt, partition_by=("event_type",))
+    q.stop()
+    landed = spark.read.parquet(out)
+    batch = Catalog(spark, sf_dir).events
+    assert landed.count() == batch.count()
+    # re-running against the same checkpoint must not duplicate rows
+    q2 = stream_to_parquet(
+        read_events_stream(spark, f"{sf_dir}/events.parquet"), out, ckpt
+    )
+    q2.stop()
+    assert spark.read.parquet(out).count() == batch.count()
+    # partition pruning works on the landed layout
+    n_purchase = landed.where(F.col("event_type") == "purchase").count()
+    assert n_purchase == batch.where(F.col("event_type") == "purchase").count()
