@@ -1,5 +1,6 @@
 from mr_dice_spark.streaming.stateful import user_value_ema
 from mr_dice_spark.streaming.windows import (
+    stream_to_parquet,
     read_events_stream,
     session_window_stats,
     sliding_window_counts,
@@ -7,6 +8,7 @@ from mr_dice_spark.streaming.windows import (
 )
 
 __all__ = [
+    "stream_to_parquet",
     "user_value_ema",
     "read_events_stream",
     "session_window_stats",

@@ -68,3 +68,22 @@ def test_approx_distinct_within_tolerance(spark, oracle_sf_dir):
         F.count_distinct("user_id").alias("e"),
     ).first()
     assert abs(row["a"] - row["e"]) / row["e"] < 0.02
+
+
+def test_deterministic_sample_properties(spark, oracle_sf_dir):
+    from mr_dice_spark.operators.sampling import deterministic_sample
+
+    ev = Catalog(spark, oracle_sf_dir).events
+    total = ev.count()
+    s1 = deterministic_sample(ev, "event_id", 0.2)
+    s2 = deterministic_sample(ev, "event_id", 0.2)
+    n1 = s1.count()
+    assert n1 == s2.count()  # bit-for-bit repeatable
+    assert abs(n1 / total - 0.2) < 0.02  # binomial deviation at ~200k rows
+    # nested fractions: a 10% sample is a subset of the 20% sample
+    s_small = deterministic_sample(ev, "event_id", 0.1)
+    assert s_small.join(s1, "event_id", "left_anti").count() == 0
+    # different seed decorrelates membership
+    s_seeded = deterministic_sample(ev, "event_id", 0.2, seed="v2/")
+    overlap = s1.join(s_seeded, "event_id", "inner").count()
+    assert abs(overlap / total - 0.04) < 0.01  # ~= 0.2 * 0.2
