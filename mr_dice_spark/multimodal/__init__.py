@@ -1,4 +1,5 @@
 from mr_dice_spark.multimodal.ops import (
+    extract_frames,
     image_features,
     payload_from_text,
     probe_audio,
@@ -16,6 +17,7 @@ from mr_dice_spark.multimodal.schema import (
 )
 
 __all__ = [
+    "extract_frames",
     "AUDIO_META",
     "IMAGE_META",
     "VIDEO_META",

@@ -165,3 +165,54 @@ def payload_from_text(text_col: Column) -> Column:
     column (UTF-8 encode) — stands in for real blobs in a container with no
     media files. JVM-side (``encode``), so fixtures scale too."""
     return F.encode(text_col, "UTF-8")
+
+
+def extract_frames(
+    probed_with_payload: DataFrame,
+    sampled: DataFrame,
+    id_cols: Optional[list[str]] = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Second pass of the video pipeline: join sampled frame indices back to
+    payloads and emit one (ids, frame_idx, frame_bytes) row per frame.
+
+    Plan shape: the (ids, frame_idx) table is tiny relative to payloads, so
+    it broadcasts; the payload table is touched ONCE, and each partition's
+    mapInPandas call slices all of its videos' requested frames in one
+    Arrow batch. The stub "decoder" slices a deterministic byte window per
+    frame index; a real codec (PyAV) would decode-and-seek in the same
+    loop with nothing else changing.
+    """
+    id_cols = id_cols or ["media_id"]
+    frames = sampled.groupBy(*id_cols).agg(
+        F.sort_array(F.collect_list("frame_idx")).alias("__idxs")
+    )
+    pruned = probed_with_payload.select(*id_cols, payload_col)
+    joined = pruned.join(F.broadcast(frames), id_cols)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pruned.schema.fields
+        if f.name != payload_col
+    )
+    out_schema = f"{id_schema}, frame_idx int, frame_bytes binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in list(pdf.columns.drop([payload_col, "__idxs"])) +
+                    ["frame_idx", "frame_bytes"]}
+            for _, r in pdf.iterrows():
+                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
+                idxs = r["__idxs"] if r["__idxs"] is not None else []
+                for idx in idxs:
+                    for c in rows:
+                        if c == "frame_idx":
+                            rows[c].append(int(idx))
+                        elif c == "frame_bytes":
+                            # STUB frame decode: a 16-byte window at a
+                            # deterministic offset derived from the index
+                            off = (int(idx) * 16) % max(1, len(payload))
+                            rows[c].append(payload[off : off + 16])
+                        else:
+                            rows[c].append(r[c])
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(run, schema=out_schema)

@@ -129,3 +129,26 @@ def test_read_media_dir(spark, tmp_path):
     out = read_media_dir(spark, str(tmp_path), glob="*.bin").collect()
     assert len(out) == 1
     assert bytes(out[0]["payload"]) == b"\x01\x02\x03" and out[0]["n_bytes"] == 3
+
+
+def test_extract_frames_second_pass(spark, sf_dir):
+    from mr_dice_spark.multimodal import extract_frames
+
+    media = _media(spark, sf_dir).limit(50)
+    probed = probe_videos(media, id_cols=["doc_id"])
+    sampled = sample_frames(probed, target=4, id_cols=["doc_id"])
+    frames = extract_frames(media, sampled, id_cols=["doc_id"])
+    got = frames.collect()
+    expected = sampled.count()
+    assert len(got) == expected
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rows in by_doc.items():
+        assert len({r["frame_idx"] for r in rows}) == len(rows)  # unique indices
+        assert all(0 < len(bytes(r["frame_bytes"])) <= 16 for r in rows)
+    # determinism: same frame -> same bytes on a re-run
+    again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+             for r in extract_frames(media, sampled, id_cols=["doc_id"]).collect()}
+    for r in got:
+        assert again[(r["doc_id"], r["frame_idx"])] == bytes(r["frame_bytes"])
