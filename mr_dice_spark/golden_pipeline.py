@@ -936,3 +936,121 @@ def per_group_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "rank")
         .orderBy("event_type", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert (beyond-reference; operators/merge.py)
+# ---------------------------------------------------------------------------
+
+CDC_ORACLE = """
+SELECT user_id, event_id, event_type,
+       ROUND(1e-9 + value, 2) AS value,
+       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+FROM (
+  SELECT user_id, event_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@golden("cdc_latest_snapshot", CDC_ORACLE, tags=("merge", "cdc"))
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins snapshot of a keyed change feed (events as the feed,
+    user_id as the key, ts as the version, event_id as the unique tiebreak).
+    The inverse of the reference's first-wins dedup (D1,
+    optimade_database/Optimade_Server/utils.py:398,426-431); one shuffle,
+    WindowGroupLimit-pruned before the exchange."""
+    from mr_dice_spark.operators.merge import merge_latest_wins
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return (
+        merge_latest_wins(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+        .select(
+            "user_id", "event_id", "event_type",
+            _r("value", 2).alias("value"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates + histogram (A-family extensions; oracle-checked)
+# ---------------------------------------------------------------------------
+
+STATS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(1e-9 + STDDEV_SAMP(value), 4) AS sd_value,
+       ROUND(1e-9 + VAR_SAMP(value), 4) AS var_value,
+       ROUND(1e-9 + CORR(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+       ROUND(1e-9 + COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@golden("stats_value_by_type", STATS_ORACLE, tags=("agg", "stats"))
+def stats_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/covariance) per
+    group — single partial+final hash aggregate, shuffle carries only the
+    moment sketches (count/sum/sum-of-squares per group), never rows."""
+    ev = Catalog(spark, sf_dir).events
+    u = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.stddev_samp("value"), 4).alias("sd_value"),
+            _r(F.var_samp("value"), 4).alias("var_value"),
+            _r(F.corr(F.col("value"), u), 4).alias("corr_vu"),
+            _r(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT bucket,
+       COUNT(*) AS n,
+       ROUND(1e-9 + MIN(value), 4) AS lo,
+       ROUND(1e-9 + MAX(value), 4) AS hi
+FROM (
+  SELECT value,
+         CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 25.0), 0), 19) AS BIGINT)
+           AS bucket
+  FROM events
+  WHERE value IS NOT NULL
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@golden("histogram_value_buckets", HISTOGRAM_ORACLE, tags=("agg", "histogram"))
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 25 over [0, 500), clamped) —
+    width_bucket semantics via arithmetic so the bucketing expression stays
+    inside whole-stage codegen; one map-side-combined aggregate."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(0.0)) / F.lit(25.0)), F.lit(0)),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.min("value"), 4).alias("lo"),
+            _r(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -21,6 +21,7 @@ from mr_dice_spark.operators.interval import interval_join
 from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, stratified_sample_exact
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
+from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
 
 __all__ = [
     "connected_components",
@@ -48,4 +49,7 @@ __all__ = [
     "embedding_near_dup",
     "asof_join",
     "sessionize",
+    "apply_changes",
+    "merge_latest_wins",
+    "snapshot_delta",
 ]

@@ -1,0 +1,108 @@
+"""CDC merge / upsert operators (beyond-reference, north-star pipeline).
+
+A 100 TB training-data pipeline ingests change feeds: a base snapshot plus
+an append-only stream of keyed changes (upserts and deletes), from which the
+current snapshot must be rebuilt (or incrementally advanced). The reference
+has no mutation surface at all — its stores are read-only (SURVEY.md §2.1
+S2-S5) — so these operators are the Spark-native extension of its
+"first-writer-wins by traversal order" dedup (D1,
+optimade_database/Optimade_Server/utils.py:398,426-431) to the inverse
+*last-writer-wins by explicit version* semantics a mutable corpus needs.
+
+Scale notes:
+* ``merge_latest_wins`` is ONE hash shuffle on the key columns; Spark 3.5+
+  rewrites the ``row_number() = 1`` filter into a per-partition group limit
+  (WindowGroupLimit) before the exchange, so the shuffle carries at most one
+  row per (partition, key) — not the whole history.
+* ``apply_changes`` unions the (usually huge) base with the (usually small)
+  change feed; both sides shuffle once on the key. If the base is bucketed
+  by key at ingest (ingest.write_bucketed), its exchange disappears.
+* Version ties are broken by ``tiebreakers`` — always pass a unique column
+  (event id, file offset) or the snapshot is nondeterministic under
+  concurrent writers with equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_latest_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a keyed history to the single latest row per key.
+
+    Deterministic: orders by ``version_col`` DESC then each tiebreaker DESC.
+    """
+    order = [F.col(version_col).desc()] + [F.col(c).desc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    delete_col: str = "is_deleted",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Advance a snapshot by a change feed: last writer (by version) wins,
+    and a winning change row with ``delete_col`` true removes the key.
+
+    ``base`` needs no ``delete_col`` (it is added as false) and every base
+    row is treated as older than any change with an equal version (changes
+    carry ``__src=1`` as the first tiebreaker), matching the usual CDC
+    convention that a same-version change supersedes the snapshot it was
+    derived from.
+    """
+    if delete_col not in base.columns:
+        base = base.withColumn(delete_col, F.lit(False))
+    if delete_col not in changes.columns:
+        changes = changes.withColumn(delete_col, F.lit(False))
+    base = base.withColumn("__src", F.lit(0))
+    changes = changes.withColumn("__src", F.lit(1))
+    merged = merge_latest_wins(
+        base.unionByName(changes),
+        key_cols,
+        version_col,
+        tiebreakers=["__src"] + list(tiebreakers or []),
+    )
+    return merged.where(~F.col(delete_col)).drop("__src", delete_col)
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots into a change feed: one row per changed key with
+    ``change_op`` in ('insert', 'update', 'delete').
+
+    The inverse of :func:`apply_changes` — useful to re-derive an incremental
+    feed when only full snapshots are available. One full-outer join (single
+    shuffle per side, co-located if both are bucketed on the key).
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*compare_cols).alias("__old"))
+    n = new.select(*key_cols, F.struct(*compare_cols).alias("__new"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    op: Column = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_op", op)
+        .where(F.col("__old").isNull() | F.col("__new").isNull() | (F.col("__old") != F.col("__new")))
+        .select(*key_cols, "change_op", F.coalesce("__new", "__old").alias("row"))
+    )

@@ -1,0 +1,71 @@
+"""CDC merge/upsert operators (operators/merge.py)."""
+
+from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
+
+
+def test_merge_latest_wins_picks_highest_version(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, v int, payload string"
+    )
+    out = {r.k: (r.v, r.payload) for r in merge_latest_wins(df, ["k"], "v").collect()}
+    assert out == {1: (20, "b"), 2: (5, "c")}
+
+
+def test_merge_latest_wins_tiebreaker_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100, "lo"), (1, 10, 200, "hi")], "k int, v int, seq int, payload string"
+    )
+    rows = merge_latest_wins(df, ["k"], "v", tiebreakers=["seq"]).collect()
+    assert len(rows) == 1 and rows[0].payload == "hi"
+
+
+def test_apply_changes_upsert_insert_delete(spark):
+    base = spark.createDataFrame(
+        [(1, 1, "old1"), (2, 1, "old2"), (3, 1, "old3")], "k int, v int, payload string"
+    )
+    changes = spark.createDataFrame(
+        [(1, 2, "new1", False),   # update
+         (4, 2, "new4", False),   # insert
+         (2, 2, "gone", True),    # delete
+         (3, 0, "stale", False)], # stale change loses to base v=1
+        "k int, v int, payload string, is_deleted boolean",
+    )
+    out = {r.k: (r.v, r.payload)
+           for r in apply_changes(base, changes, ["k"], "v").collect()}
+    assert out == {1: (2, "new1"), 3: (1, "old3"), 4: (2, "new4")}
+
+
+def test_apply_changes_equal_version_change_wins(spark):
+    base = spark.createDataFrame([(1, 5, "base")], "k int, v int, payload string")
+    changes = spark.createDataFrame([(1, 5, "chg", False)],
+                                    "k int, v int, payload string, is_deleted boolean")
+    rows = apply_changes(base, changes, ["k"], "v").collect()
+    assert rows[0].payload == "chg"
+
+
+def test_snapshot_delta_roundtrip(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, payload string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k int, payload string"
+    )
+    d = {r.k: r.change_op for r in snapshot_delta(old, new, ["k"]).collect()}
+    assert d == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_snapshot_delta_then_apply_changes_rebuilds_new(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, payload string")
+    new = spark.createDataFrame([(2, "B"), (3, "c")], "k int, payload string")
+    delta = snapshot_delta(old, new, ["k"]).select(
+        "k",
+        F.col("row.payload").alias("payload"),
+        (F.col("change_op") == "delete").alias("is_deleted"),
+        F.lit(1).alias("v"),
+    )
+    rebuilt = apply_changes(old.withColumn("v", F.lit(0)), delta, ["k"], "v")
+    got = {(r.k, r.payload) for r in rebuilt.select("k", "payload").collect()}
+    want = {(r.k, r.payload) for r in new.collect()}
+    assert got == want
