@@ -22,6 +22,11 @@ from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, 
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
+from mr_dice_spark.operators.incremental import (
+    dedup_incremental,
+    minhash_index_append,
+    minhash_index_create,
+)
 
 __all__ = [
     "connected_components",
@@ -52,4 +57,7 @@ __all__ = [
     "apply_changes",
     "merge_latest_wins",
     "snapshot_delta",
+    "dedup_incremental",
+    "minhash_index_append",
+    "minhash_index_create",
 ]

@@ -129,3 +129,16 @@ def test_interval_join_left_and_clash(spark):
     assert rows == {1: 10, 2: None}  # point 2 unmatched but kept
     with _pytest.raises(ValueError, match="ambiguous"):
         interval_join(pts, pts.withColumnRenamed("pid", "qid"), "ts", "ts", "ts")
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir, tmp_path):
+    """Candidate generation in the incremental dedup must stay an equi-join
+    on (band, key) — a residual-only join degrading to BNLJ would be
+    quadratic in corpus size."""
+    from mr_dice_spark.operators.incremental import dedup_incremental, minhash_index_create
+
+    p = str(tmp_path / "idx")
+    minhash_index_create(spark, p, num_hashes=32, bands=8)
+    docs = Catalog(spark, sf_dir).documents.limit(30)
+    surv = dedup_incremental(docs, "doc_id", "text", p, append_survivors=False)
+    assert not has_cartesian(surv)
