@@ -1,3 +1,4 @@
+from mr_dice_spark.streaming.joins import dedup_stream, stream_stream_interval_join
 from mr_dice_spark.streaming.stateful import user_value_ema
 from mr_dice_spark.streaming.windows import (
     stream_to_parquet,
@@ -8,6 +9,8 @@ from mr_dice_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "stream_stream_interval_join",
     "stream_to_parquet",
     "user_value_ema",
     "read_events_stream",

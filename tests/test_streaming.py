@@ -99,3 +99,54 @@ def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path, events_stream):
     # partition pruning works on the landed layout
     n_purchase = landed.where(F.col("event_type") == "purchase").count()
     assert n_purchase == batch.where(F.col("event_type") == "purchase").count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Purchases joined to same-user views within 30 min — streaming result
+    must equal the identical batch join (inner joins emit eagerly; the
+    watermark only bounds state)."""
+    from mr_dice_spark.streaming import read_events_stream, stream_stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def build(df_l, df_r):
+        j = stream_stream_interval_join(
+            df_l.where(F.col("event_type") == "purchase"),
+            df_r.where(F.col("event_type") == "view"),
+            key="user_id", within="30 minutes",
+        )
+        return j.select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("view_id"),
+        )
+
+    ev = Catalog(spark, sf_dir).events
+    batch = build(ev, ev)
+    s1 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    s2 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_stream_to_memory(build(s1, s2), "ssjoin_t", output_mode="append")
+    got = spark.sql("SELECT * FROM ssjoin_t")
+    cols = ["purchase_id", "view_id"]
+    assert _collect_sorted(got, cols) == _collect_sorted(batch, cols)
+    assert len(_collect_sorted(got, cols)) > 0
+    q.stop()
+
+
+def test_dedup_stream_matches_batch_keyset(spark, sf_dir):
+    """Watermarked streaming dedup on (user_id, event_type): the surviving
+    KEY SET must equal batch dropDuplicates (which row survives per key is
+    arrival-order-dependent in both engines, so only keys compare)."""
+    from mr_dice_spark.streaming import dedup_stream, read_events_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = Catalog(spark, sf_dir).events
+    batch_keys = _collect_sorted(
+        dedup_stream(ev, ["user_id", "event_type"]), ["user_id", "event_type"]
+    )
+    s = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_stream_to_memory(
+        dedup_stream(s, ["user_id", "event_type"]), "sdedup_t", output_mode="append"
+    )
+    got = spark.sql("SELECT user_id, event_type FROM sdedup_t")
+    assert _collect_sorted(got, ["user_id", "event_type"]) == batch_keys
+    q.stop()
