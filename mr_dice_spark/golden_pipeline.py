@@ -1054,3 +1054,79 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style promo revenue ratio + cohort retention (relational widening)
+# ---------------------------------------------------------------------------
+
+PROMO_ORACLE = """
+SELECT ROUND(1e-9 + 100.0 *
+         SUM(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+@golden("q14_promo_revenue", PROMO_ORACLE, tags=("join", "agg", "tpch"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional aggregate ratio. The
+    part side broadcasts (AQE); the date filter pushes to the lineitem
+    scan so only one year of row groups is read."""
+    c = Catalog(spark, sf_dir)
+    l = c.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(c.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(_r(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+)
+SELECT strftime(d0, '%Y-%m-%d') AS cohort,
+       datediff('day', d0, d) AS day_k,
+       COUNT(DISTINCT act.user_id) AS n_active
+FROM act JOIN fd USING (user_id)
+WHERE datediff('day', d0, d) IN (0, 1, 7)
+GROUP BY d0, datediff('day', d0, d)
+ORDER BY cohort, day_k
+"""
+
+
+@golden("events_cohort_retention", RETENTION_ORACLE, tags=("agg", "retention", "two-level"))
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (day 0/1/7): first-seen day per user, then distinct
+    active users per (cohort, day offset) — the A7 two-level re-aggregation
+    shape on behavioral data. Two shuffles (user grouping, cohort
+    grouping); the distinct-day projection collapses events per user-day
+    map-side before either."""
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    fd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(fd, "user_id")
+        .withColumn("day_k", F.datediff("d", "d0"))
+        .where(F.col("day_k").isin(0, 1, 7))
+        .groupBy("d0", "day_k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"), "day_k", "n_active"
+        )
+        .orderBy("cohort", "day_k")
+    )
