@@ -142,3 +142,18 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir, tmp_path):
     docs = Catalog(spark, sf_dir).documents.limit(30)
     surv = dedup_incremental(docs, "doc_id", "text", p, append_survivors=False)
     assert not has_cartesian(surv)
+
+
+def test_cdc_merge_uses_window_group_limit(spark, sf_dir):
+    """merge_latest_wins relies on WindowGroupLimit: the rank<=1 filter is
+    pushed below the shuffle so each map partition forwards one row per
+    key, not the whole history."""
+    df = GOLDEN["cdc_latest_snapshot"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_q14_broadcast_and_pushdown(spark, sf_dir):
+    df = GOLDEN["q14_promo_revenue"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert_pushed(df, "GreaterThanOrEqual(l_shipdate")
