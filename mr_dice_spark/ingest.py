@@ -161,3 +161,59 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (propagated from
+    file-scan statistics). Rough — compression and projection change the
+    true written size — but the right order of magnitude for sizing output
+    files without an extra pass over the data."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+) -> int:
+    """Compaction writer: coalesce output into ~``target_file_mb`` files.
+
+    The small-files problem is the quiet killer of 100 TB tables — a
+    million 1 MB files cost more in scan planning/open overhead than the
+    I/O itself. Returns the file count used. Estimation is plan-stats
+    based; for exact post-compression sizing, run a second compaction pass
+    over the written data (its scan stats are then exact)."""
+    n = max(1, round(estimated_plan_bytes(df) / (target_file_mb * 1024 * 1024)))
+    df.repartition(n).write.mode("overwrite").format(fmt).save(path)
+    return n
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    n_files: int | None = None,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+) -> int:
+    """Range-cluster the data by ``cluster_by`` across ~equal-size files and
+    sort within each file.
+
+    Every file then covers a narrow, non-overlapping range of the cluster
+    key, so parquet footer min/max statistics let a point/range filter on
+    that key skip all but ~one file — partition-pruning economics without
+    the directory-cardinality limits (the single-column analogue of
+    Z-ordering; use partitioning for the coarse key and clustering for the
+    fine one). Returns the file count."""
+    if n_files is None:
+        n_files = max(1, round(estimated_plan_bytes(df) / (target_file_mb * 1024 * 1024)))
+    cols = [F.col(c) for c in cluster_by]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    return n_files

@@ -16,7 +16,7 @@ Scale notes:
   row per (partition, key) — not the whole history.
 * ``apply_changes`` unions the (usually huge) base with the (usually small)
   change feed; both sides shuffle once on the key. If the base is bucketed
-  by key at ingest (ingest.write_bucketed), its exchange disappears.
+  by key at ingest (ingest.write_bucketed_table), its exchange disappears.
 * Version ties are broken by ``tiebreakers`` — always pass a unique column
   (event id, file offset) or the snapshot is nondeterministic under
   concurrent writers with equal timestamps.

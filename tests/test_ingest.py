@@ -129,3 +129,33 @@ def test_write_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_compacted_file_count(spark, sf_dir, tmp_path):
+    from mr_dice_spark.ingest import write_compacted
+
+    ev = Catalog(spark, sf_dir).events
+    n = write_compacted(ev, str(tmp_path / "compact"), target_file_mb=1)
+    import glob
+    files = glob.glob(str(tmp_path / "compact" / "*.parquet"))
+    assert len(files) == n >= 1
+    assert spark.read.parquet(str(tmp_path / "compact")).count() == ev.count()
+
+
+def test_write_clustered_prunes_files_on_key_filter(spark, sf_dir, tmp_path):
+    """Range clustering must let a point filter touch ~1 file via parquet
+    min/max stats: distinct input_file_name() under the filter stays far
+    below the file count."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.ingest import write_clustered
+
+    ev = Catalog(spark, sf_dir).events
+    path = str(tmp_path / "clustered")
+    n = write_clustered(ev, path, ["user_id"], n_files=8)
+    assert n == 8
+    rd = spark.read.parquet(path).where(F.col("user_id") == 5)
+    touched = rd.select(F.input_file_name()).distinct().count()
+    assert touched <= 2, f"point filter touched {touched} of {n} files"
+    # correctness: clustering is layout-only
+    assert rd.count() == ev.where(F.col("user_id") == 5).count()
