@@ -1130,3 +1130,48 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "day_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar-function parity probe (SURVEY.md §2.8 F6/F10/F11/F13 in one query)
+# ---------------------------------------------------------------------------
+
+SCALAR_ORACLE = """
+SELECT doc_id,
+       regexp_replace(lower(substr(text, 1, 20)), '[^a-z0-9]+', '_', 'g') AS tag,
+       coalesce(nullif(lang, ''), source) AS ident,
+       CASE WHEN length(source || '-' || CAST(doc_id AS VARCHAR)) > 10
+            THEN substr(source || '-' || CAST(doc_id AS VARCHAR), 1, 6) || '...' ||
+                 substr(source || '-' || CAST(doc_id AS VARCHAR),
+                        length(source || '-' || CAST(doc_id AS VARCHAR)) - 2, 3)
+            ELSE source || '-' || CAST(doc_id AS VARCHAR) END AS short_id,
+       translate(substr(text, 1, 30), '0123456789', '##########') AS masked,
+       substr(md5(text), 1, 8) AS content_key
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@golden("scalar_functions_probe", SCALAR_ORACLE, tags=("scalar", "F6", "F10", "F11", "F13"))
+def scalar_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row-parallel pass exercising the reference's scalar helpers as
+    builtins (all inside whole-stage codegen, no UDFs): tag sanitization
+    (F10, Optimade_Server/utils.py:488-518), identifier coalescing (F13,
+    mofdb Mofdb_Server/utils.py:81-92), id shortening (F11,
+    Optimade_Server/utils.py:208-226), character translate (F6,
+    utils.py:129-155 — digit masking here; same builtin the unicode
+    normalizer uses), and a content hash (F5 family)."""
+    docs = Catalog(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    longid = F.concat_ws("-", "source", F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.substring("text", 1, 20)), "[^a-z0-9]+", "_").alias("tag"),
+        F.coalesce(F.nullif("lang", F.lit("")), F.col("source")).alias("ident"),
+        F.when(
+            F.length(longid) > 10,
+            F.concat(F.substring(longid, 1, 6), F.lit("..."), F.substring(longid, -3, 3)),
+        ).otherwise(longid).alias("short_id"),
+        F.translate(F.substring("text", 1, 30), "0123456789", "##########").alias("masked"),
+        F.substring(F.md5("text"), 1, 8).alias("content_key"),
+    ).orderBy("doc_id")
