@@ -76,7 +76,8 @@ def apply_changes(
         version_col,
         tiebreakers=["__src"] + list(tiebreakers or []),
     )
-    return merged.where(~F.col(delete_col)).drop("__src", delete_col)
+    # a NULL delete flag means "not deleted", never "drop the row"
+    return merged.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop("__src", delete_col)
 
 
 def snapshot_delta(
@@ -101,8 +102,10 @@ def snapshot_delta(
         .when(F.col("__new").isNull(), F.lit("delete"))
         .otherwise(F.lit("update"))
     )
+    # eqNullSafe: a field updated to/from NULL must count as a change, but
+    # plain struct != evaluates to NULL there and the row would be dropped
     return (
         joined.withColumn("change_op", op)
-        .where(F.col("__old").isNull() | F.col("__new").isNull() | (F.col("__old") != F.col("__new")))
+        .where(~F.col("__old").eqNullSafe(F.col("__new")))
         .select(*key_cols, "change_op", F.coalesce("__new", "__old").alias("row"))
     )

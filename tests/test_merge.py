@@ -69,3 +69,20 @@ def test_snapshot_delta_then_apply_changes_rebuilds_new(spark):
     got = {(r.k, r.payload) for r in rebuilt.select("k", "payload").collect()}
     want = {(r.k, r.payload) for r in new.collect()}
     assert got == want
+
+
+def test_apply_changes_null_delete_flag_means_not_deleted(spark):
+    base = spark.createDataFrame([(1, 1, "a")], "k int, v int, payload string")
+    changes = spark.createDataFrame([(1, 2, "b", None)],
+                                    "k int, v int, payload string, is_deleted boolean")
+    rows = apply_changes(base, changes, ["k"], "v").collect()
+    assert len(rows) == 1 and rows[0].payload == "b"
+
+
+def test_snapshot_delta_null_field_update_detected(spark):
+    """payload a -> NULL is an update; plain struct != would return NULL
+    and silently drop it."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, payload string")
+    new = spark.createDataFrame([(1, None), (2, "b")], "k int, payload string")
+    d = {r.k: r.change_op for r in snapshot_delta(old, new, ["k"]).collect()}
+    assert d == {1: "update"}
