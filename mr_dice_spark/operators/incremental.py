@@ -139,6 +139,11 @@ def dedup_incremental(
     optionally append the survivors' state to the index.
 
     Returns the surviving rows of ``new_df`` (full original columns).
+
+    Documents too short to produce a shingle have no signature: they always
+    survive and leave no index state (exact copies of them are not
+    suppressed later) — same contract as the batch MinHash operators; pair
+    with ``dedup_exact`` if short-doc dedup matters.
     """
     spark = new_df.sparkSession
     params = _read_params(index_path)
