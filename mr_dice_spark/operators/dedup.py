@@ -157,6 +157,23 @@ def minhash_signatures(
     return exploded.groupBy("__id").agg(*aggs)
 
 
+def band_keys(sig_cols: list[Column], bands: int) -> Column:
+    """Array of LSH band keys from signature component columns: one
+    xxhash64 over each band's ``len(sig_cols)/bands`` components.
+
+    THE single definition of the banding scheme — the incremental index
+    (operators.incremental) derives keys from STORED signature arrays with
+    this same function, so batch- and index-computed keys stay
+    hash-compatible by construction."""
+    rows_per_band = len(sig_cols) // bands
+    return F.array(
+        *[
+            F.xxhash64(*sig_cols[b * rows_per_band : (b + 1) * rows_per_band])
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -170,24 +187,22 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, jaccard) with id_a < id_b and EXACT jaccard computed
     on the candidates' shingle sets (LSH proposes, exact verify disposes).
     """
-    rows_per_band = num_hashes // bands
     sets_ = shingle_sets(df, id_col, text_col, shingle_n)
     exploded = sets_.select(
         "__id", F.explode_outer("__sh").alias("__s")
     ).where(F.col("__s").isNotNull())  # see shingles_exploded: avoids InferFiltersFromGenerate
     sig = minhash_signatures(exploded, num_hashes)
 
-    band_cols = [
-        F.xxhash64(*[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)])
-        for b in range(bands)
-    ]
-    band_keys = sig.select(
-        "__id", F.posexplode(F.array(*band_cols)).alias("__band", "__key")
+    band_keys_df = sig.select(
+        "__id",
+        F.posexplode(
+            band_keys([F.col(f"__h{i}") for i in range(num_hashes)], bands)
+        ).alias("__band", "__key"),
     )
     cand = (
-        band_keys.alias("x")
+        band_keys_df.alias("x")
         .join(
-            band_keys.alias("y"),
+            band_keys_df.alias("y"),
             (F.col("x.__band") == F.col("y.__band"))
             & (F.col("x.__key") == F.col("y.__key"))
             & (F.col("x.__id") < F.col("y.__id")),

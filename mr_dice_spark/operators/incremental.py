@@ -5,14 +5,27 @@ A production training-data pipeline almost never does that: it ingests a
 daily/hourly batch that must be deduped against **everything already
 accepted** — at 100 TB, recomputing corpus signatures per batch is the
 difference between a viable pipeline and an O(corpus × batches) one. This
-module persists the per-document MinHash state (signature vector + LSH band
-keys, docs × num_hashes longs — orders of magnitude smaller than the text)
-and dedups each new batch by joining against that index only.
+module persists the per-document MinHash signature (docs × num_hashes
+longs — orders of magnitude smaller than the text) and dedups each new
+batch by joining against that index only.
+
+Index layout: ONE parquet dataset (``signatures/``: __id, __sig
+array<long>) plus a params manifest. LSH band keys are NOT stored — they
+are a pure function of the signature (``dedup.band_keys``, the single
+definition of the banding scheme) and are derived at read time. One
+dataset means one append per batch: there is no multi-dataset commit to
+tear in half, and the index is ~4x smaller; the price is recomputing
+docs × bands hashes per batch read, which is noise next to the candidate
+join's shuffle. All filesystem access goes through the Hadoop FileSystem
+API, so ``index_path`` may be local, HDFS, or object storage.
 
 Semantics: first-wins generalized across time — the index (earlier batches)
 always beats the new batch; within the new batch, min id wins (the same
 deterministic rule as ``dedup.minhash_lsh_dedup``, reference D1:
-optimade_database/Optimade_Server/utils.py:398,426-431).
+optimade_database/Optimade_Server/utils.py:398,426-431). An index hit with
+the SAME id as the new row is treated as the same document re-submitted
+(crash-retry): the row survives and is not re-appended, so re-running a
+batch after a partial failure is idempotent.
 
 Verification note: batch dedup verifies candidates with EXACT jaccard on
 shingle sets; the incremental path verifies with the SIGNATURE-ESTIMATED
@@ -24,58 +37,94 @@ post-pruning (candidate counts, not corpus counts), so it stays off the
 hot path documented in PERFORMANCE.md §1.
 
 Scale notes:
-* the index is two parquet datasets — ``signatures/`` (id, sig array<long>)
-  and ``bands/`` (id, band, key) — plus a params manifest. At real scale,
-  write ``bands/`` bucketed by (band, key) so the per-batch candidate join
-  shuffles only the (small) new batch side;
-* each batch appends its survivors' state to the index (append-mode parquet
-  write — no rewrite of existing index files);
 * candidate generation shuffles (id, band, key) pairs; signature
-  verification shuffles candidate ids × one signature array each.
+  verification shuffles candidate ids × one signature array each;
+* at real scale, write the index range-clustered by a band prefix or
+  bucket it so the per-batch candidate join shuffles only the (small)
+  batch side.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_dice_spark.operators.dedup import minhash_signatures, shingle_sets
+from mr_dice_spark.operators.dedup import band_keys, minhash_signatures, shingle_sets
 
 _META = "index_meta.json"
 
 
-def _default_params() -> dict:
-    return {"shingle_n": 3, "num_hashes": 128, "bands": 32}
+# --- Hadoop FileSystem helpers (work on file://, hdfs://, s3a://, ...) -----
+
+def _hpath(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path)
 
 
-def _batch_state(
+def _hfs(spark: SparkSession, path: str):
+    return _hpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    p = _hpath(spark, path)
+    out = _hfs(spark, path).create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    p = _hpath(spark, path)
+    fs = _hfs(spark, path)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    return _hfs(spark, path).exists(_hpath(spark, path))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _sig_dir(index_path: str) -> str:
+    return index_path.rstrip("/") + "/signatures"
+
+
+def _batch_signatures(
     df: DataFrame, id_col: str, text_col: str, params: dict
-) -> tuple[DataFrame, DataFrame]:
-    """(signatures, band_keys) for one batch.
-
-    signatures: (__id, __sig array<long>); band_keys: (__id, __band, __key).
-    """
-    num_hashes, bands = params["num_hashes"], params["bands"]
-    rows_per_band = num_hashes // bands
+) -> DataFrame:
+    """(__id, __sig array<long>) MinHash state for one batch."""
+    num_hashes = params["num_hashes"]
     sets_ = shingle_sets(df, id_col, text_col, params["shingle_n"])
     exploded = sets_.select(
         "__id", F.explode_outer("__sh").alias("__s")
     ).where(F.col("__s").isNotNull())  # avoid InferFiltersFromGenerate re-evaluation
     wide = minhash_signatures(exploded, num_hashes)
-    sig = wide.select(
+    return wide.select(
         "__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig")
     )
-    band_cols = [
-        F.xxhash64(*[F.col(f"__h{b * rows_per_band + j}") for j in range(rows_per_band)])
-        for b in range(bands)
-    ]
-    keys = wide.select(
-        "__id", F.posexplode(F.array(*band_cols)).alias("__band", "__key")
+
+
+def _band_key_rows(sig: DataFrame, params: dict) -> DataFrame:
+    """(__id, __band, __key) derived from stored/computed signature arrays
+    via the SAME ``dedup.band_keys`` expression the batch operators use."""
+    num_hashes, bands = params["num_hashes"], params["bands"]
+    return sig.select(
+        "__id",
+        F.posexplode(
+            band_keys([F.col("__sig")[i] for i in range(num_hashes)], bands)
+        ).alias("__band", "__key"),
     )
-    return sig, keys
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -99,19 +148,12 @@ def minhash_index_create(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
-    os.makedirs(index_path, exist_ok=True)
-    with open(os.path.join(index_path, _META), "w") as f:
-        json.dump(params, f)
+    _fs_write_text(spark, index_path.rstrip("/") + "/" + _META, json.dumps(params))
     return params
 
 
-def _read_params(index_path: str) -> dict:
-    with open(os.path.join(index_path, _META)) as f:
-        return json.load(f)
-
-
-def _index_nonempty(index_path: str) -> bool:
-    return os.path.isdir(os.path.join(index_path, "signatures"))
+def _read_params(spark: SparkSession, index_path: str) -> dict:
+    return json.loads(_fs_read_text(spark, index_path.rstrip("/") + "/" + _META))
 
 
 def minhash_index_append(
@@ -121,10 +163,10 @@ def minhash_index_append(
 
     Caller guarantees ``df`` is already deduped (normally: the survivors
     returned by :func:`dedup_incremental`)."""
-    params = _read_params(index_path)
-    sig, keys = _batch_state(df, id_col, text_col, params)
-    sig.write.mode("append").parquet(os.path.join(index_path, "signatures"))
-    keys.write.mode("append").parquet(os.path.join(index_path, "bands"))
+    spark = df.sparkSession
+    params = _read_params(spark, index_path)
+    sig = _batch_signatures(df, id_col, text_col, params)
+    sig.write.mode("append").parquet(_sig_dir(index_path))
 
 
 def dedup_incremental(
@@ -146,21 +188,26 @@ def dedup_incremental(
     with ``dedup_exact`` if short-doc dedup matters.
     """
     spark = new_df.sparkSession
-    params = _read_params(index_path)
-    sig, keys = _batch_state(new_df, id_col, text_col, params)
-    sig = sig.localCheckpoint(eager=False)  # reused 3x: vs-index, within-batch, append
-    keys = keys.localCheckpoint(eager=False)
+    params = _read_params(spark, index_path)
+    sig = _batch_signatures(new_df, id_col, text_col, params)
+    sig = sig.localCheckpoint(eager=False)  # reused: vs-index, within-batch, append
+    keys = _band_key_rows(sig, params)
 
     # --- new-vs-index candidates: index always wins ---------------------
-    if _index_nonempty(index_path):
-        idx_sig = spark.read.parquet(os.path.join(index_path, "signatures"))
-        idx_keys = spark.read.parquet(os.path.join(index_path, "bands"))
+    have_index = _fs_exists(spark, _sig_dir(index_path))
+    already_indexed = None
+    if have_index:
+        idx_sig = spark.read.parquet(_sig_dir(index_path))
+        idx_keys = _band_key_rows(idx_sig, params)
         cand_idx = (
             keys.alias("n")
             .join(
                 idx_keys.alias("i"),
                 (F.col("n.__band") == F.col("i.__band"))
-                & (F.col("n.__key") == F.col("i.__key")),
+                & (F.col("n.__key") == F.col("i.__key"))
+                # same id in index = this very document re-submitted
+                # (crash-retry); survives, handled via already_indexed
+                & (F.col("n.__id") != F.col("i.__id")),
             )
             .select(F.col("n.__id").alias("__nid"), F.col("i.__id").alias("__iid"))
             .distinct()
@@ -172,6 +219,7 @@ def dedup_incremental(
             .select("__nid")
             .distinct()
         )
+        already_indexed = idx_sig.select("__id")
     else:
         idx_losers = None
 
@@ -200,13 +248,12 @@ def dedup_incremental(
         losers.withColumnRenamed("__nid", id_col), id_col, "left_anti"
     )
     if append_survivors:
-        # materialize the survivor set once; append its precomputed state
+        # materialize the survivor set once; append its precomputed state,
+        # skipping ids already present (idempotent crash-retry re-run)
         survivors = survivors.localCheckpoint(eager=True)
         surv_ids = survivors.select(F.col(id_col).alias("__id"))
-        sig.join(surv_ids, "__id", "left_semi").write.mode("append").parquet(
-            os.path.join(index_path, "signatures")
-        )
-        keys.join(surv_ids, "__id", "left_semi").write.mode("append").parquet(
-            os.path.join(index_path, "bands")
-        )
+        to_append = sig.join(surv_ids, "__id", "left_semi")
+        if already_indexed is not None:
+            to_append = to_append.join(already_indexed, "__id", "left_anti")
+        to_append.write.mode("append").parquet(_sig_dir(index_path))
     return survivors

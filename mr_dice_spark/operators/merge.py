@@ -63,7 +63,14 @@ def apply_changes(
     carry ``__src=1`` as the first tiebreaker), matching the usual CDC
     convention that a same-version change supersedes the snapshot it was
     derived from.
+
+    ``delete_col`` is CDC metadata, CONSUMED by this operator: it is not in
+    the returned snapshot (a base carrying its own ``delete_col`` gets its
+    soft-deletes applied). ``__src`` is reserved.
     """
+    for df, side in ((base, "base"), (changes, "changes")):
+        if "__src" in df.columns:
+            raise ValueError(f"{side} must not contain the reserved column '__src'")
     if delete_col not in base.columns:
         base = base.withColumn(delete_col, F.lit(False))
     if delete_col not in changes.columns:
@@ -94,9 +101,23 @@ def snapshot_delta(
     shuffle per side, co-located if both are bucketed on the key).
     """
     compare_cols = compare_cols or [c for c in new.columns if c not in key_cols]
-    o = old.select(*key_cols, F.struct(*compare_cols).alias("__old"))
-    n = new.select(*key_cols, F.struct(*compare_cols).alias("__new"))
-    joined = o.join(n, on=key_cols, how="full_outer")
+    o = old.select(*key_cols, F.struct(*compare_cols).alias("__old")).alias("o")
+    n = new.select(*key_cols, F.struct(*compare_cols).alias("__new")).alias("n")
+    # eqNullSafe on the keys too: with plain equality a NULL-keyed row never
+    # matches itself across snapshots and every diff reports phantom
+    # delete+insert churn for it
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+            for k in key_cols
+        ],
+        "__old",
+        "__new",
+    )
     op: Column = (
         F.when(F.col("__old").isNull(), F.lit("insert"))
         .when(F.col("__new").isNull(), F.lit("delete"))

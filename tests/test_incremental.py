@@ -102,3 +102,20 @@ def test_manual_append_then_dedup(spark, sf_dir, index_path):
     )
     surv = dedup_incremental(resubmit, "doc_id", "text", index_path, threshold=0.9)
     assert surv.count() == 0
+
+
+def test_crash_retry_rerun_is_idempotent(spark, sf_dir, index_path):
+    """Re-running the SAME batch after its append (crash between append and
+    downstream persist) must return the same survivors, not 0 — same-id
+    index hits mean 'this document, re-submitted' and are not losers."""
+    minhash_index_create(spark, index_path, num_hashes=64, bands=16)
+    batch = _docs(spark, sf_dir).where(F.col("doc_id") < 10)
+    first = {r.doc_id for r in dedup_incremental(
+        batch, "doc_id", "text", index_path, threshold=0.9).select("doc_id").collect()}
+    second = {r.doc_id for r in dedup_incremental(
+        batch, "doc_id", "text", index_path, threshold=0.9).select("doc_id").collect()}
+    assert first == second and len(first) > 0
+    # and the retry did not duplicate index state
+    import os
+    sig = spark.read.parquet(os.path.join(index_path, "signatures"))
+    assert sig.count() == sig.select("__id").distinct().count()

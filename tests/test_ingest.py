@@ -143,9 +143,10 @@ def test_write_compacted_file_count(spark, sf_dir, tmp_path):
 
 
 def test_write_clustered_prunes_files_on_key_filter(spark, sf_dir, tmp_path):
-    """Range clustering must let a point filter touch ~1 file via parquet
-    min/max stats: distinct input_file_name() under the filter stays far
-    below the file count."""
+    """Range clustering must physically co-locate a key's rows: the rows
+    matching a point filter live in <=2 of the N files (that locality is
+    what makes parquet footer min/max skipping effective; the skipping
+    itself is Spark's own behavior, not asserted here)."""
     from pyspark.sql import functions as F
 
     from mr_dice_spark.ingest import write_clustered

@@ -86,3 +86,20 @@ def test_snapshot_delta_null_field_update_detected(spark):
     new = spark.createDataFrame([(1, None), (2, "b")], "k int, payload string")
     d = {r.k: r.change_op for r in snapshot_delta(old, new, ["k"]).collect()}
     assert d == {1: "update"}
+
+
+def test_snapshot_delta_null_key_not_phantom_churn(spark):
+    """A NULL-keyed row identical in both snapshots must NOT appear as a
+    delete+insert pair (null-safe key join)."""
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "k int, payload string")
+    new = spark.createDataFrame([(None, "a"), (1, "b")], "k int, payload string")
+    assert snapshot_delta(old, new, ["k"]).count() == 0
+
+
+def test_apply_changes_rejects_reserved_src_column(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1, 1, "a")], "k int, v int, payload string")
+    with pytest.raises(ValueError):
+        apply_changes(base.withColumn("__src", F.lit(9)), base, ["k"], "v")
