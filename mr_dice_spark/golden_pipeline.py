@@ -1175,3 +1175,75 @@ def scalar_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.substring("text", 1, 30), "0123456789", "##########").alias("masked"),
         F.substring(F.md5("text"), 1, 8).alias("content_key"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CDC apply_changes + incremental dedup, surfaced to the driver contract
+# ---------------------------------------------------------------------------
+
+CDC_APPLY_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(1e-9 + value, 2) AS value,
+       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+FROM (
+  SELECT user_id, event_id, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@golden("cdc_apply_changes_snapshot", CDC_APPLY_ORACLE, tags=("merge", "cdc"))
+def cdc_apply_changes_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_changes end-to-end: the base snapshot is the per-user latest
+    of the first half of January; the change feed is the second half;
+    advancing base by feed must equal the latest-per-user over ALL events
+    (stated directly by the oracle). Base + feed each shuffle once on the
+    key."""
+    from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id", "value", "ts")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = merge_latest_wins(
+        ev.where(F.col("ts") < cut), ["user_id"], "ts", tiebreakers=["event_id"]
+    )
+    feed = ev.where(F.col("ts") >= cut)
+    return (
+        apply_changes(base, feed, ["user_id"], "ts", tiebreakers=["event_id"])
+        .select(
+            "user_id", "event_id",
+            _r("value", 2).alias("value"),
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@golden("incremental_dedup_two_batches", None, tags=("dedup", "incremental", "rows-only"))
+def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental dedup lifecycle in one query (rows-only check:
+    xxhash64 signatures are not oracle-restatable): batch 1 (docs < 100)
+    seeds a fresh index; batch 2 = renumbered copies of batch 1 plus docs
+    100-199. Copies are suppressed by the index, fresh docs survive their
+    own near-dups. Deterministic survivor set."""
+    import tempfile
+
+    from mr_dice_spark.operators.incremental import dedup_incremental, minhash_index_create
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = tempfile.mkdtemp(prefix="mr_dice_golden_idx_") + "/idx"
+    minhash_index_create(spark, idx, num_hashes=64, bands=16)
+    b1 = docs.where(F.col("doc_id") < 100)
+    dedup_incremental(b1, "doc_id", "text", idx, threshold=0.9).count()  # materialize batch 1
+    copies = b1.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    b2 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "text"
+    ).unionByName(copies)
+    surv = dedup_incremental(b2, "doc_id", "text", idx, threshold=0.9,
+                             append_survivors=False)
+    return surv.select("doc_id").orderBy("doc_id")
