@@ -13,6 +13,7 @@ from mr_dice_spark.operators.similarity import (
     cosine_topk_lsh,
     cosine_topk_ivf,
     ivf_assign,
+    kmeans_fit,
     embedding_near_dup,
 )
 from mr_dice_spark.operators.asof import asof_join
@@ -51,6 +52,7 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "ivf_assign",
+    "kmeans_fit",
     "embedding_near_dup",
     "asof_join",
     "sessionize",

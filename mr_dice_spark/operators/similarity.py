@@ -173,34 +173,10 @@ def embedding_near_dup(
 # IVF (inverted-file) ANN index
 # ---------------------------------------------------------------------------
 
-def ivf_assign(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_centroids: int = 16,
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Partition vectors into ``n_centroids`` inverted lists.
-
-    Centroids are the first ``n_centroids`` vectors by id — deterministic
-    "sampled init" (one k-means refinement sweep would reuse exactly this
-    assignment plan; omitted to keep the operator parameter-free). Returns
-    (assigned DataFrame with a ``__cluster`` column, centroid list).
-
-    Scale shape: the centroid table is tiny and broadcast; assignment is one
-    narrow pass (argmax over n_centroids dot products per row). At ingest
-    you'd persist the output partitioned/bucketed BY ``__cluster`` so probe
-    queries prune whole files — the batch analogue of an IVF index.
-    """
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
-    vec = F.col(vec_col).cast("array<double>")
-    # unrolled argmax over the broadcast centroid literals: one struct-max,
-    # (similarity, -cluster) so ties pick the lowest cluster id
+def _argmax_cluster(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Cluster id of the most-cosine-similar broadcast centroid (ties ->
+    lowest id). Unrolled struct-max over literal centroid arrays: stays in
+    whole-stage codegen, no UDF, no shuffle."""
     best = F.greatest(
         *[
             F.struct(
@@ -210,7 +186,96 @@ def ivf_assign(
             for ci, c in centroids
         ]
     )
-    assigned = df.withColumn("__cluster", -best["neg_cluster"])
+    return -best["neg_cluster"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd's) over an embedding column; returns
+    ``[(cluster_id, unit_centroid)]`` for :func:`ivf_assign`.
+
+    Deterministic init (first ``k`` vectors by id). Each sweep is one
+    broadcast-argmax assignment pass + one per-dimension mean: the vectors
+    are posexploded to (cluster, dim, component) and hash-aggregated, so
+    the shuffle carries k × dim partial sums per map partition — never the
+    vectors. Centroid means are re-normalized to unit length (spherical
+    update), which makes the mean assigned cosine non-decreasing sweep to
+    sweep. Empty clusters keep their previous centroid. Driver state is
+    k × dim floats per sweep — trivial at any corpus size; cost is
+    n_iter × (one scan + one k×dim-wide shuffle).
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, _unit([float(x) for x in r[1]])) for i, r in enumerate(rows)]
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(n_iter):
+        assigned = df.select(
+            _argmax_cluster(vec, centroids).alias("__cluster"), vec.alias("__v")
+        )
+        sums = (
+            assigned.select("__cluster", F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("__cluster", "__dim")
+            .agg(F.sum("__x").alias("__s"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["__cluster"], {})[r["__dim"]] = r["__s"]
+        new = []
+        for ci, old in centroids:
+            dims = by_cluster.get(ci)
+            if dims:
+                mean = [dims.get(d, 0.0) for d in range(len(old))]
+                new.append((ci, _unit(mean)))
+            else:
+                new.append((ci, old))  # empty cluster: keep previous centroid
+        centroids = new
+    return centroids
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Partition vectors into ``n_centroids`` inverted lists.
+
+    Default centroids are the first ``n_centroids`` vectors by id —
+    deterministic "sampled init"; pass :func:`kmeans_fit` output for
+    trained lists (tighter clusters -> better probe recall). Returns
+    (assigned DataFrame with a ``__cluster`` column, centroid list).
+
+    Scale shape: the centroid table is tiny and broadcast; assignment is one
+    narrow pass (argmax over n_centroids dot products per row). At ingest
+    you'd persist the output partitioned/bucketed BY ``__cluster`` so probe
+    queries prune whole files — the batch analogue of an IVF index.
+    """
+    if centroids is None:
+        rows = (
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = df.withColumn("__cluster", _argmax_cluster(vec, centroids))
     return assigned, centroids
 
 
@@ -222,15 +287,24 @@ def cosine_topk_ivf(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probe`` inverted lists whose
     centroids are most similar to the query, exact-cosine rerank inside.
+
+    ``train_iters > 0`` runs that many spherical k-means sweeps first
+    (:func:`kmeans_fit`) instead of the raw sampled-init lists.
 
     With cluster-partitioned storage the probe filter becomes partition
     pruning (reads n_probe/n_centroids of the data); here it is a scan-side
     predicate on the assignment column.
     """
-    assigned, centroids = ivf_assign(df, id_col, vec_col, n_centroids)
+    trained = (
+        kmeans_fit(df, id_col, vec_col, k=n_centroids, n_iter=train_iters)
+        if train_iters > 0
+        else None
+    )
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_centroids, centroids=trained)
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
     def csim(c: list[float]) -> float:

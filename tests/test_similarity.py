@@ -59,3 +59,50 @@ def test_lsh_recall_vs_bruteforce(emb, qvec):
     approx = set(_ids(cosine_topk_lsh(emb, "vec_id", "embedding", qvec,
                                       k=10, n_planes=16, max_hamming=6)))
     assert len(exact & approx) >= 3
+
+
+def test_kmeans_objective_nondecreasing(spark, emb):
+    """Spherical k-means: mean assigned cosine must not decrease over
+    sweeps (the Lloyd's convergence guarantee)."""
+    from mr_dice_spark.operators.similarity import (
+        _argmax_cluster, cosine, kmeans_fit,
+    )
+
+    def objective(centroids):
+        vec = F.col("embedding").cast("array<double>")
+        assigned = emb.select(_argmax_cluster(vec, centroids).alias("__c"), vec.alias("__v"))
+        per = [
+            F.when(F.col("__c") == ci,
+                   cosine(F.col("__v"), F.array(*[F.lit(x) for x in c])))
+            for ci, c in centroids
+        ]
+        return assigned.select(F.coalesce(*per).alias("s")).agg(F.avg("s")).first()[0]
+
+    objs = [
+        objective(kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=i))
+        for i in (0, 1, 3)
+    ]
+    assert objs[0] <= objs[1] + 1e-9 <= objs[2] + 2e-9
+    assert objs[2] > objs[0]  # training actually moved the centroids
+
+
+def test_kmeans_centroids_unit_norm_and_count(emb):
+    from mr_dice_spark.operators.similarity import kmeans_fit
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
+    assert len(cents) == 8
+    for _, c in cents:
+        assert len(c) == 64
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_trained_ivf_recall_not_worse(emb, qvec):
+    """Trained inverted lists must not lose recall vs sampled-init on the
+    same probe budget (they should tighten clusters)."""
+    exact = set(_ids(cosine_topk_bruteforce(emb, "vec_id", "embedding", qvec, k=10)))
+    raw = set(_ids(cosine_topk_ivf(emb, "vec_id", "embedding", qvec,
+                                   k=10, n_centroids=8, n_probe=2)))
+    trained = set(_ids(cosine_topk_ivf(emb, "vec_id", "embedding", qvec,
+                                       k=10, n_centroids=8, n_probe=2, train_iters=3)))
+    assert len(trained & exact) >= len(raw & exact)
+    assert len(trained & exact) >= 5  # sane recall on the synthetic corpus
