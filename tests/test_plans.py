@@ -157,3 +157,20 @@ def test_q14_broadcast_and_pushdown(spark, sf_dir):
     df = GOLDEN["q14_promo_revenue"].spark(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert_pushed(df, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_ivf_cluster_partitioned_storage_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path: persist assignments partitioned BY cluster, and
+    a probe filter becomes partition-directory pruning (the scan plans only
+    the probed directories)."""
+    from mr_dice_spark.operators.similarity import ivf_assign
+
+    emb = Catalog(spark, sf_dir).embeddings
+    assigned, _ = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    path = str(tmp_path / "ivf")
+    assigned.write.partitionBy("__cluster").mode("overwrite").parquet(path)
+    probe = spark.read.parquet(path).where(F.col("__cluster").isin(1, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters")[1][:200]
+    n_dirs = probe.select(F.input_file_name()).distinct().count()
+    assert probe.count() > 0 and n_dirs <= 2 * 8  # only probed dirs' files touched
