@@ -1231,15 +1231,24 @@ def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame
     seeds a fresh index; batch 2 = renumbered copies of batch 1 plus docs
     100-199. Copies are suppressed by the index, fresh docs survive their
     own near-dups. Deterministic survivor set."""
+    import glob
+    import shutil
     import tempfile
 
     from mr_dice_spark.operators.incremental import dedup_incremental, minhash_index_create
+
+    # bound /tmp accumulation: reap indexes leaked by previous invocations
+    # (the current run's index must outlive this function — the returned
+    # DataFrame reads it lazily — so it can only be reaped by the NEXT run)
+    for stale in glob.glob(tempfile.gettempdir() + "/mr_dice_golden_idx_*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     docs = Catalog(spark, sf_dir).documents
     idx = tempfile.mkdtemp(prefix="mr_dice_golden_idx_") + "/idx"
     minhash_index_create(spark, idx, num_hashes=64, bands=16)
     b1 = docs.where(F.col("doc_id") < 100)
-    dedup_incremental(b1, "doc_id", "text", idx, threshold=0.9).count()  # materialize batch 1
+    # appends batch-1 state eagerly inside the call (no extra action needed)
+    dedup_incremental(b1, "doc_id", "text", idx, threshold=0.9)
     copies = b1.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     b2 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
         "doc_id", "text"

@@ -198,6 +198,25 @@ def dedup_incremental(
     already_indexed = None
     if have_index:
         idx_sig = spark.read.parquet(_sig_dir(index_path))
+        # same-id hits are exempted from dedup as crash-retry re-submission
+        # — which is only sound if the content actually matches. An id that
+        # is already indexed with a DIFFERENT signature is id reuse (a
+        # pipeline bug): failing loudly beats silently admitting the row
+        # while never indexing its content.
+        collisions = [
+            r[0]
+            for r in sig.alias("n")
+            .join(idx_sig.alias("i"), F.col("n.__id") == F.col("i.__id"))
+            .where(F.col("n.__sig") != F.col("i.__sig"))
+            .select(F.col("n.__id"))
+            .limit(5)
+            .collect()
+        ]
+        if collisions:
+            raise ValueError(
+                "id(s) already indexed with different content (id reuse): "
+                f"{collisions}; ids must be globally unique across batches"
+            )
         idx_keys = _band_key_rows(idx_sig, params)
         cand_idx = (
             keys.alias("n")

@@ -175,12 +175,15 @@ def embedding_near_dup(
 
 def _argmax_cluster(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """Cluster id of the most-cosine-similar broadcast centroid (ties ->
-    lowest id). Unrolled struct-max over literal centroid arrays: stays in
-    whole-stage codegen, no UDF, no shuffle."""
+    lowest id). Centroids are unit-normalized driver-side so the score
+    dot(v, unit_c) is proportional to the true cosine (row norm is a
+    positive per-row constant — argmax-invariant, so not computed).
+    Unrolled struct-max over literal centroid arrays: stays in whole-stage
+    codegen, no UDF, no shuffle."""
     best = F.greatest(
         *[
             F.struct(
-                (dot(vec, F.array(*[F.lit(x) for x in c])) / norm(vec)).alias("sim"),
+                dot(vec, F.array(*[F.lit(x) for x in _unit(c)])).alias("sim"),
                 F.lit(-ci).alias("neg_cluster"),
             )
             for ci, c in centroids
@@ -201,13 +204,15 @@ def kmeans_fit(
 
     Deterministic init (first ``k`` vectors by id). Each sweep is one
     broadcast-argmax assignment pass + one per-dimension mean: the vectors
-    are posexploded to (cluster, dim, component) and hash-aggregated, so
-    the shuffle carries k × dim partial sums per map partition — never the
-    vectors. Centroid means are re-normalized to unit length (spherical
-    update), which makes the mean assigned cosine non-decreasing sweep to
-    sweep. Empty clusters keep their previous centroid. Driver state is
-    k × dim floats per sweep — trivial at any corpus size; cost is
-    n_iter × (one scan + one k×dim-wide shuffle).
+    are unit-normalized per row, posexploded to (cluster, dim, component)
+    and hash-aggregated, so the shuffle carries k × dim partial sums per
+    map partition — never the vectors. The spherical update
+    unit(sum(v/|v|)) maximizes mean assigned cosine, making it
+    non-decreasing sweep to sweep (summing RAW vectors would let one
+    large-norm vector dominate a cluster and break the guarantee). Empty
+    clusters keep their previous centroid. Driver state is k × dim floats
+    per sweep — trivial at any corpus size; cost is n_iter × (one scan +
+    one k×dim-wide shuffle).
     """
     rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
@@ -219,12 +224,16 @@ def kmeans_fit(
     vec = F.col(vec_col).cast("array<double>")
     for _ in range(n_iter):
         assigned = df.select(
-            _argmax_cluster(vec, centroids).alias("__cluster"), vec.alias("__v")
+            _argmax_cluster(vec, centroids).alias("__cluster"),
+            vec.alias("__v"),
+            norm(vec).alias("__norm"),
         )
         sums = (
-            assigned.select("__cluster", F.posexplode("__v").alias("__dim", "__x"))
+            assigned.select(
+                "__cluster", "__norm", F.posexplode("__v").alias("__dim", "__x")
+            )
             .groupBy("__cluster", "__dim")
-            .agg(F.sum("__x").alias("__s"))
+            .agg(F.sum(F.col("__x") / F.col("__norm")).alias("__s"))
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}

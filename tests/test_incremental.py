@@ -119,3 +119,17 @@ def test_crash_retry_rerun_is_idempotent(spark, sf_dir, index_path):
     import os
     sig = spark.read.parquet(os.path.join(index_path, "signatures"))
     assert sig.count() == sig.select("__id").distinct().count()
+
+
+def test_id_reuse_with_different_content_raises(spark, sf_dir, index_path):
+    """An indexed id re-submitted with DIFFERENT content is id reuse, not a
+    crash-retry — it must fail loudly instead of surviving unindexed."""
+    minhash_index_create(spark, index_path, num_hashes=64, bands=16)
+    docs = _docs(spark, sf_dir)
+    b1 = docs.where(F.col("doc_id") < 5).select("doc_id", "text")
+    dedup_incremental(b1, "doc_id", "text", index_path, threshold=0.9)
+    reused = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 25)).select(
+        (F.col("doc_id") - 20).alias("doc_id"), "text"  # ids 0-4, other docs' text
+    )
+    with pytest.raises(ValueError, match="id reuse"):
+        dedup_incremental(reused, "doc_id", "text", index_path, threshold=0.9)
