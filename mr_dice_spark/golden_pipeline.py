@@ -1239,9 +1239,19 @@ def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # bound /tmp accumulation: reap indexes leaked by previous invocations
     # (the current run's index must outlive this function — the returned
-    # DataFrame reads it lazily — so it can only be reaped by the NEXT run)
+    # DataFrame reads it lazily — so it can only be reaped by a LATER run).
+    # Age filter: never touch directories under an hour old — a concurrent
+    # run's live index (parallel pytest, bench alongside tests) must survive.
+    import os
+    import time
+
+    cutoff = time.time() - 3600
     for stale in glob.glob(tempfile.gettempdir() + "/mr_dice_golden_idx_*"):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
 
     docs = Catalog(spark, sf_dir).documents
     idx = tempfile.mkdtemp(prefix="mr_dice_golden_idx_") + "/idx"

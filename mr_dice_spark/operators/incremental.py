@@ -143,12 +143,29 @@ def minhash_index_create(
     shingle_n: int = 3,
     num_hashes: int = 128,
     bands: int = 32,
+    exist_ok: bool = False,
 ) -> dict:
-    """Initialize an empty index directory with a params manifest."""
+    """Initialize an empty index directory with a params manifest.
+
+    Refuses to touch an existing index: overwriting the manifest with
+    different params silently desynchronizes it from the stored signature
+    arrays (band derivation reads past/short of the arrays and
+    near-duplicates are admitted with no error). ``exist_ok=True`` makes
+    the call idempotent when the params MATCH — the daily-job-safe form.
+    """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
-    _fs_write_text(spark, index_path.rstrip("/") + "/" + _META, json.dumps(params))
+    manifest = index_path.rstrip("/") + "/" + _META
+    if _fs_exists(spark, manifest):
+        existing = _read_params(spark, index_path)
+        if exist_ok and existing == params:
+            return params
+        raise ValueError(
+            f"index already exists at {index_path} with params {existing}; "
+            "pass exist_ok=True with matching params, or use a new path"
+        )
+    _fs_write_text(spark, manifest, json.dumps(params))
     return params
 
 
@@ -176,6 +193,7 @@ def dedup_incremental(
     index_path: str,
     threshold: float = 0.8,
     append_survivors: bool = True,
+    check_id_reuse: bool = True,
 ) -> DataFrame:
     """Dedup ``new_df`` against the persisted index AND within itself;
     optionally append the survivors' state to the index.
@@ -202,8 +220,11 @@ def dedup_incremental(
         # — which is only sound if the content actually matches. An id that
         # is already indexed with a DIFFERENT signature is id reuse (a
         # pipeline bug): failing loudly beats silently admitting the row
-        # while never indexing its content.
-        collisions = [
+        # while never indexing its content. COST: one extra eager
+        # index-scan+join job per batch; pipelines whose ids are globally
+        # unique by construction (UUIDs, (source, offset) keys) can pass
+        # check_id_reuse=False to skip it.
+        collisions = [] if not check_id_reuse else [
             r[0]
             for r in sig.alias("n")
             .join(idx_sig.alias("i"), F.col("n.__id") == F.col("i.__id"))

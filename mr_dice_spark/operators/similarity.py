@@ -233,7 +233,15 @@ def kmeans_fit(
                 "__cluster", "__norm", F.posexplode("__v").alias("__dim", "__x")
             )
             .groupBy("__cluster", "__dim")
-            .agg(F.sum(F.col("__x") / F.col("__norm")).alias("__s"))
+            # zero-norm vectors contribute 0 to the mean direction; a plain
+            # division would yield NULL (Spark divide-by-zero), NULL-poison
+            # the sum for all-zero clusters, and crash _unit with None
+            .agg(
+                F.sum(
+                    F.when(F.col("__norm") > 0, F.col("__x") / F.col("__norm"))
+                    .otherwise(F.lit(0.0))
+                ).alias("__s")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}

@@ -133,3 +133,27 @@ def test_id_reuse_with_different_content_raises(spark, sf_dir, index_path):
     )
     with pytest.raises(ValueError, match="id reuse"):
         dedup_incremental(reused, "doc_id", "text", index_path, threshold=0.9)
+
+
+def test_create_refuses_overwrite_and_exist_ok(spark, sf_dir, index_path):
+    minhash_index_create(spark, index_path, num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="already exists"):
+        minhash_index_create(spark, index_path, num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="already exists"):
+        minhash_index_create(spark, index_path, num_hashes=128, bands=32, exist_ok=True)
+    # matching params + exist_ok: idempotent daily-job setup
+    p = minhash_index_create(spark, index_path, num_hashes=64, bands=16, exist_ok=True)
+    assert p["num_hashes"] == 64
+
+
+def test_kmeans_survives_zero_vectors(spark):
+    from mr_dice_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    cents = kmeans_fit(df, "vec_id", "embedding", k=2, n_iter=2)
+    assert len(cents) == 2
+    for _, c in cents:
+        assert all(x == x for x in c)  # no NaN / None
