@@ -103,3 +103,60 @@ def test_apply_changes_rejects_reserved_src_column(spark):
     base = spark.createDataFrame([(1, 1, "a")], "k int, v int, payload string")
     with pytest.raises(ValueError):
         apply_changes(base.withColumn("__src", F.lit(9)), base, ["k"], "v")
+
+
+# ---------------------------------------------------------------------------
+# property test: apply_changes vs a pure-Python CDC reference model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+row_st = st.tuples(
+    st.integers(min_value=0, max_value=5),    # key
+    st.integers(min_value=0, max_value=8),    # version
+    st.integers(min_value=0, max_value=99),   # payload
+    st.booleans(),                            # is_deleted (changes only)
+)
+
+
+def _model(base_rows, change_rows):
+    """Reference semantics: per key take max (version, src, seq); change
+    beats base at equal version; later change row beats earlier at equal
+    version; drop if winner is a delete."""
+    best = {}
+    for seq, (k, v, p, d) in enumerate(base_rows):
+        key = (v, 0, seq)
+        if k not in best or key > best[k][0]:
+            best[k] = (key, p, False)
+    for seq, (k, v, p, d) in enumerate(change_rows):
+        key = (v, 1, seq)
+        if k not in best or key > best[k][0]:
+            best[k] = (key, p, d)
+    return {k: p for k, (key, p, d) in best.items() if not d}
+
+
+@given(
+    base=st.lists(row_st, max_size=12),
+    changes=st.lists(row_st, max_size=12),
+)
+@settings(max_examples=25, deadline=None)
+def test_apply_changes_matches_model(spark, base, changes):
+    from pyspark.sql import functions as F
+
+    base_df = spark.createDataFrame(
+        [(k, v, p, i) for i, (k, v, p, _) in enumerate(base)],
+        "k int, v int, payload int, seq int",
+    )
+    chg_df = spark.createDataFrame(
+        [(k, v, p, d, i) for i, (k, v, p, d) in enumerate(changes)],
+        "k int, v int, payload int, is_deleted boolean, seq int",
+    )
+    if not base and not changes:
+        return
+    got = {
+        r.k: r.payload
+        for r in apply_changes(base_df, chg_df, ["k"], "v",
+                               tiebreakers=["seq"]).collect()
+    }
+    assert got == _model(base, changes)
