@@ -1266,3 +1266,73 @@ def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame
     surv = dedup_incremental(b2, "doc_id", "text", idx, threshold=0.9,
                              append_survivors=False)
     return surv.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# EXISTS-chain and UNION ALL shapes (relational widening, oracle-checked)
+# ---------------------------------------------------------------------------
+
+EXISTS_CHAIN_ORACLE = """
+SELECT n.n_name,
+       COUNT(*) AS n_customers,
+       ROUND(1e-9 + SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@golden("exists_chain_big_spenders", EXISTS_CHAIN_ORACLE, tags=("join", "semi", "exists"))
+def exists_chain_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a left-semi join feeding a dim join + aggregate:
+    customers with at least one >200k order, counted per nation. The semi
+    join never replicates customer rows (no fan-out dedup needed) and the
+    nation dim broadcasts."""
+    c = Catalog(spark, sf_dir)
+    big = c.orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        c.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(c.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+UNION_ALL_ORACLE = """
+SELECT src, event_type, COUNT(*) AS n, ROUND(1e-9 + SUM(value), 2) AS total
+FROM (
+  SELECT 'hot' AS src, event_type, value FROM events WHERE value >= 400
+  UNION ALL
+  SELECT 'err' AS src, event_type, value FROM events WHERE event_type = 'error'
+)
+GROUP BY src, event_type
+ORDER BY src, event_type
+"""
+
+
+@golden("union_all_sources_agg", UNION_ALL_ORACLE, tags=("setop", "D5", "union"))
+def union_all_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 union-of-sources shape with overlapping slices kept as distinct
+    provenance rows (UNION ALL, not dedup) then re-aggregated — the
+    federation scan's accounting view. unionByName + one hash aggregate."""
+    ev = Catalog(spark, sf_dir).events
+    hot = ev.where(F.col("value") >= 400).select(
+        F.lit("hot").alias("src"), "event_type", "value"
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        F.lit("err").alias("src"), "event_type", "value"
+    )
+    return (
+        hot.unionByName(err)
+        .groupBy("src", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value"), 2).alias("total"))
+        .orderBy("src", "event_type")
+    )
