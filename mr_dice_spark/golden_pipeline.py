@@ -10,7 +10,7 @@ ever output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_dice_spark.catalog import Catalog
@@ -1335,4 +1335,30 @@ def union_all_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value"), 2).alias("total"))
         .orderBy("src", "event_type")
+    )
+
+
+CORRELATED_AVG_ORACLE = """
+SELECT p_partkey, p_type, ROUND(1e-9 + p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > 1.5 * (
+  SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+ORDER BY p_partkey
+"""
+
+
+@golden("correlated_above_type_avg", CORRELATED_AVG_ORACLE, tags=("subquery", "correlated", "agg"))
+def correlated_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (price > 1.5x its type's average) as a
+    window aggregate: Spark evaluates AVG over a type partition in ONE pass
+    over part — no per-row re-aggregation, no self-join; the equivalent
+    de-correlated plan DuckDB builds from the subquery form."""
+    p = Catalog(spark, sf_dir).part
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("__type_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > 1.5 * F.col("__type_avg"))
+        .select("p_partkey", "p_type", _r("p_retailprice", 2).alias("price"))
+        .orderBy("p_partkey")
     )
