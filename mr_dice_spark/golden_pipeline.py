@@ -1341,7 +1341,7 @@ def union_all_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORRELATED_AVG_ORACLE = """
 SELECT p_partkey, p_type, ROUND(1e-9 + p_retailprice, 2) AS price
 FROM part p
-WHERE p_retailprice > 1.5 * (
+WHERE p_retailprice > 1.03 * (
   SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
 )
 ORDER BY p_partkey
@@ -1350,7 +1350,8 @@ ORDER BY p_partkey
 
 @golden("correlated_above_type_avg", CORRELATED_AVG_ORACLE, tags=("subquery", "correlated", "agg"))
 def correlated_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (price > 1.5x its type's average) as a
+    """Correlated scalar subquery (price > 1.03x its type's average —
+    prices are uniform in [900, 1000], so ~20% of rows qualify) as a
     window aggregate: Spark evaluates AVG over a type partition in ONE pass
     over part — no per-row re-aggregation, no self-join; the equivalent
     de-correlated plan DuckDB builds from the subquery form."""
@@ -1358,7 +1359,7 @@ def correlated_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_type")
     return (
         p.withColumn("__type_avg", F.avg("p_retailprice").over(w))
-        .where(F.col("p_retailprice") > 1.5 * F.col("__type_avg"))
+        .where(F.col("p_retailprice") > 1.03 * F.col("__type_avg"))
         .select("p_partkey", "p_type", _r("p_retailprice", 2).alias("price"))
         .orderBy("p_partkey")
     )
