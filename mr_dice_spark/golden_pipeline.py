@@ -1341,9 +1341,9 @@ def union_all_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORRELATED_AVG_ORACLE = """
 SELECT p_partkey, p_type, ROUND(1e-9 + p_retailprice, 2) AS price
 FROM part p
-WHERE p_retailprice > 1.03 * (
+WHERE p_retailprice > ROUND(1e-9 + 1.03 * (
   SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
-)
+), 4)
 ORDER BY p_partkey
 """
 
@@ -1351,15 +1351,17 @@ ORDER BY p_partkey
 @golden("correlated_above_type_avg", CORRELATED_AVG_ORACLE, tags=("subquery", "correlated", "agg"))
 def correlated_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (price > 1.03x its type's average —
-    prices are uniform in [900, 1000], so ~20% of rows qualify) as a
-    window aggregate: Spark evaluates AVG over a type partition in ONE pass
+    prices are uniform in [900, 1000], so ~20% of rows qualify; the
+    threshold is nudge-ROUNDed on both engines per the corpus determinism
+    rule — an unrounded float boundary could flip rows between engines) as
+    a window aggregate: Spark evaluates AVG over a type partition in ONE pass
     over part — no per-row re-aggregation, no self-join; the equivalent
     de-correlated plan DuckDB builds from the subquery form."""
     p = Catalog(spark, sf_dir).part
     w = Window.partitionBy("p_type")
     return (
         p.withColumn("__type_avg", F.avg("p_retailprice").over(w))
-        .where(F.col("p_retailprice") > 1.03 * F.col("__type_avg"))
+        .where(F.col("p_retailprice") > _r(1.03 * F.col("__type_avg"), 4))
         .select("p_partkey", "p_type", _r("p_retailprice", 2).alias("price"))
         .orderBy("p_partkey")
     )

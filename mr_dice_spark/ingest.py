@@ -171,6 +171,11 @@ def estimated_plan_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+def _target_file_count(df: DataFrame, target_file_mb: int) -> int:
+    """Shared output-file sizing for the compaction/clustering writers."""
+    return max(1, round(estimated_plan_bytes(df) / (target_file_mb * 1024 * 1024)))
+
+
 def write_compacted(
     df: DataFrame,
     path: str,
@@ -184,7 +189,7 @@ def write_compacted(
     I/O itself. Returns the file count used. Estimation is plan-stats
     based; for exact post-compression sizing, run a second compaction pass
     over the written data (its scan stats are then exact)."""
-    n = max(1, round(estimated_plan_bytes(df) / (target_file_mb * 1024 * 1024)))
+    n = _target_file_count(df, target_file_mb)
     df.repartition(n).write.mode("overwrite").format(fmt).save(path)
     return n
 
@@ -207,7 +212,7 @@ def write_clustered(
     Z-ordering; use partitioning for the coarse key and clustering for the
     fine one). Returns the file count."""
     if n_files is None:
-        n_files = max(1, round(estimated_plan_bytes(df) / (target_file_mb * 1024 * 1024)))
+        n_files = _target_file_count(df, target_file_mb)
     cols = [F.col(c) for c in cluster_by]
     (
         df.repartitionByRange(n_files, *cols)
@@ -264,16 +269,33 @@ def write_zordered(
     any one of them skips most files. The standard layout for 100 TB
     tables queried along several independent dimensions. Costs one tiny
     min/max aggregate (to scale the curve) plus the same range shuffle as
-    write_clustered. Returns the file count."""
+    write_clustered. Returns the file count.
+
+    ``zorder_by`` columns must be castable to double (numerics and
+    timestamps — a timestamp becomes epoch seconds); the call fails with a
+    clear error on empty input, an all-NULL column, or a non-numeric
+    column, rather than producing a meaningless curve."""
     if n_files is None:
-        n_files = max(1, round(estimated_plan_bytes(df) / (target_file_mb * 1024 * 1024)))
+        n_files = _target_file_count(df, target_file_mb)
+    dcols = {c: F.col(c).cast("double") for c in zorder_by}
     bounds = df.agg(
-        *[f for c in zorder_by for f in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))]
+        *[
+            f
+            for c, dc in dcols.items()
+            for f in (F.min(dc).alias(f"mn_{c}"), F.max(dc).alias(f"mx_{c}"))
+        ]
     ).first()
-    ranges = [
-        (float(bounds[f"mn_{c}"]), float(bounds[f"mx_{c}"])) for c in zorder_by
-    ]
-    key = zorder_key([F.col(c) for c in zorder_by], ranges, bits)
+    ranges = []
+    for c in zorder_by:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"cannot z-order on column '{c}': input is empty, the column "
+                "is all NULL, or it is not castable to double "
+                "(numeric/timestamp columns only)"
+            )
+        ranges.append((float(mn), float(mx)))
+    key = zorder_key(list(dcols.values()), ranges, bits)
     (
         df.withColumn("__z", key)
         .repartitionByRange(n_files, "__z")
