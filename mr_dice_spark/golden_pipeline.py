@@ -851,19 +851,67 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
-@golden("dedup_connected_clusters", None, tags=("dedup", "components", "iterative"))
+CONNECTED_CLUSTERS_ORACLE = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON inter.id_a = ca.doc_id
+  JOIN cnt cb ON inter.id_b = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+-- transitive closure: every vertex reachable from u (UNION dedups, so the
+-- recursion terminates on the finite pair graph)
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+),
+-- a doc loses iff a SMALLER doc_id is in its component
+losers AS (SELECT DISTINCT u AS doc_id FROM reach WHERE v < u)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY d.doc_id
+"""
+
+
+@golden(
+    "dedup_connected_clusters",
+    CONNECTED_CLUSTERS_ORACLE,
+    tags=("dedup", "components", "iterative"),
+)
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-aware dedup: MinHash-LSH candidate pairs → connected
-    components → one representative (min doc_id) per equivalence class.
-    Iterative fixpoint — non-SQL-expressible, rows-only check by design
-    (topology semantics pinned in tests/test_components.py)."""
+    """Cluster-aware dedup: exact-Jaccard pairs (>= 0.8) → connected
+    components (iterative hash-min label propagation) → one representative
+    (min doc_id) per equivalence class. The pair graph is the deterministic
+    exact inverted-index join (the LSH-fed variant of the same clustering is
+    exercised rows-only in minhash_lsh_dedup_survivors, whose banding recall
+    is probabilistic), so the iterative fixpoint itself is hash-checked
+    against DuckDB's WITH RECURSIVE transitive closure — the oracle computes
+    reachability and keeps docs with no smaller doc_id in their component."""
     from mr_dice_spark.operators.components import dedup_connected
-    from mr_dice_spark.operators.dedup import minhash_lsh_candidates
+    from mr_dice_spark.operators.dedup import ngram_jaccard_join
 
     docs = Catalog(spark, sf_dir).documents
-    pairs = minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=64, bands=8
-    ).where(F.col("jaccard") >= 0.8)
+    pairs = ngram_jaccard_join(docs, "doc_id", "text", threshold=0.8)
     return (
         dedup_connected(docs, pairs, "doc_id")
         .select("doc_id", "lang", "source")
