@@ -128,3 +128,76 @@ def anonymous_formula_udf():
         return s.map(safe)
 
     return _anon
+
+
+def formation_energy_per_atom(
+    df,
+    id_col: str,
+    formula_col: str,
+    energy_col: str,
+    ref_energies: dict[str, float],
+    out_col: str = "formation_energy_per_atom",
+):
+    """F15 (reference openlam_database/openlam/lam_optimize/utils.py:16-115):
+    formation energy per atom = (E_total - Σ n_e·E_ref(e)) / Σ n_e.
+
+    Spark-first shape — no Python UDF anywhere: the formula is tokenized
+    JVM-side with ``regexp_extract_all`` (after unicode-digit translate),
+    exploded to (element, count) rows, broadcast-joined against the
+    ~100-row reference-energy dimension (the reference's in-process dict
+    lookup), and re-aggregated per row id. At scale this is one explode +
+    one broadcast join + one shuffle on ``id_col``; the dimension never
+    shuffles.
+
+    ``out_col`` is NULL when the formula does not fully tokenize into
+    element symbols (garbage / empty) or contains an element missing from
+    ``ref_energies`` — the distributed analogue of the reference's KeyError.
+    ``energy_col`` is the TOTAL energy of the formula unit (the reference
+    divides by the structure's atom count; here the formula unit IS the
+    unit of account).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
+
+    cleaned = F.trim(normalize_unicode_digits_col(F.col(formula_col)))
+    toks = F.expr(
+        f"regexp_extract_all(translate(trim({formula_col}), "
+        f"'{_SUBSCRIPT + _SUPERSCRIPT + _FULLWIDTH}', '{_ASCII * 3}'), "
+        "'([A-Z][a-z]?)([0-9]*)', 0)"
+    )
+    parsed = df.select(
+        F.col(id_col).alias("__fid"),
+        # full-coverage check: tokens must reassemble the cleaned formula
+        ((F.length(cleaned) > 0) & (F.concat_ws("", toks) == cleaned)).alias("__ok"),
+        F.explode_outer(toks).alias("__tok"),
+    ).select(
+        "__fid",
+        "__ok",
+        F.regexp_extract("__tok", r"([A-Z][a-z]?)", 1).alias("__elem"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("__tok", r"([0-9]+)", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("long").alias("__cnt"),
+    )
+    ref = F.broadcast(
+        df.sparkSession.createDataFrame(
+            list(ref_energies.items()), "__elem string, __eref double"
+        )
+    )
+    per_id = (
+        parsed.join(ref, "__elem", "left")
+        .groupBy("__fid")
+        .agg(
+            F.min("__ok").alias("__ok"),
+            F.sum("__cnt").alias("__natoms"),
+            F.sum(F.col("__cnt") * F.col("__eref")).alias("__refsum"),
+            F.max(F.col("__eref").isNull()).alias("__missing"),
+        )
+    )
+    joined = df.join(per_id, df[id_col] == per_id["__fid"], "left")
+    out = F.when(
+        F.col("__ok") & ~F.col("__missing"),
+        (F.col(energy_col) - F.col("__refsum")) / F.col("__natoms"),
+    )
+    return joined.withColumn(out_col, out).drop(
+        "__fid", "__ok", "__natoms", "__refsum", "__missing"
+    )

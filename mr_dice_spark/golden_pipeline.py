@@ -1413,3 +1413,69 @@ def correlated_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type", _r("p_retailprice", 2).alias("price"))
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# F15 formation energy per atom (openlam lam_optimize/utils.py:16-115)
+# ---------------------------------------------------------------------------
+
+FORMATION_REF_ENERGIES = {"Si": -1.25, "Al": -0.75, "Fe": -2.0, "O": -2.5}
+
+FORMATION_ORACLE = """
+SELECT p_partkey AS struct_id,
+       CASE WHEN p_partkey % 4 = 3 THEN NULL
+            ELSE ROUND(1e-9 + (p_retailprice
+                 - ((p_partkey % 3 + 1) * CASE p_partkey % 4
+                        WHEN 0 THEN -1.25 WHEN 1 THEN -0.75 ELSE -2.0 END
+                    + (p_partkey % 5 + 1) * -2.5))
+                 / ((p_partkey % 3 + 1) + (p_partkey % 5 + 1)), 4)
+       END AS fe_per_atom
+FROM part
+WHERE p_partkey <= 400
+ORDER BY struct_id
+"""
+
+
+@golden("formation_energy_openlam", FORMATION_ORACLE, tags=("scalar", "F15", "explode", "broadcast"))
+def formation_energy_openlam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (openlam_database/openlam/lam_optimize/utils.py:16-115) through
+    the distributed operator: formula strings are SYNTHESIZED from part keys
+    (element by key%4 — including an unknown 'Zz' exercising the
+    missing-reference NULL path — counts by key%3/key%5, and every 7th row
+    rendered with unicode subscript digits to exercise P13 normalization),
+    then parsed/exploded/broadcast-joined by formation_energy_per_atom. The
+    oracle computes the same energies by direct arithmetic on the keys — no
+    parsing — so parity proves the whole tokenize -> explode -> ref-join ->
+    re-aggregate chain, not just the arithmetic."""
+    from mr_dice_spark.functions.formula import formation_energy_per_atom
+
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") <= 400)
+    a = F.col("p_partkey") % 3 + 1
+    b = F.col("p_partkey") % 5 + 1
+    elem = (
+        F.when(F.col("p_partkey") % 4 == 0, "Si")
+        .when(F.col("p_partkey") % 4 == 1, "Al")
+        .when(F.col("p_partkey") % 4 == 2, "Fe")
+        .otherwise("Zz")
+    )
+
+    def cnt(c):
+        return F.when(c == 1, F.lit("")).otherwise(c.cast("string"))
+
+    formula = F.concat(elem, cnt(a), F.lit("O"), cnt(b))
+    formula = F.when(
+        F.col("p_partkey") % 7 == 0,
+        F.translate(formula, "0123456789", "₀₁₂₃₄₅₆₇₈₉"),
+    ).otherwise(formula)
+    structs = p.select(
+        F.col("p_partkey").alias("struct_id"),
+        formula.alias("formula"),
+        F.col("p_retailprice").alias("energy"),
+    )
+    out = formation_energy_per_atom(
+        structs, "struct_id", "formula", "energy",
+        FORMATION_REF_ENERGIES, out_col="fe_raw",
+    )
+    return out.select(
+        "struct_id", _r("fe_raw", 4).alias("fe_per_atom")
+    ).orderBy("struct_id")

@@ -125,3 +125,27 @@ def test_anonymous_formula():
     assert anonymous_formula("SiO2") == "A2B"
     assert anonymous_formula("Fe2O3") == "A3B2"
     assert anonymous_formula("MgAl2O4") == "A4B2C"
+
+
+def test_formation_energy_per_atom(spark):
+    from mr_dice_spark.functions.formula import formation_energy_per_atom
+
+    df = spark.createDataFrame(
+        [
+            (1, "Fe2O3", -10.0),   # (-10 - (2*-1 + 3*-2)) / 5 = -0.4
+            (2, "SrTiO₃", -20.0),  # unicode subscript -> (-20 + 8) / 5
+            (3, "Fe", -3.0),       # implicit count 1
+            (4, "Zz2O", -1.0),     # unknown element -> NULL
+            (5, "garbage!", -1.0), # untokenizable -> NULL
+            (6, "", -1.0),         # empty -> NULL
+            (7, None, -1.0),       # NULL formula -> NULL
+        ],
+        "id long, formula string, e double",
+    )
+    ref = {"Fe": -1.0, "O": -2.0, "Sr": -0.5, "Ti": -1.5}
+    out = formation_energy_per_atom(df, "id", "formula", "e", ref, out_col="fe")
+    got = {r["id"]: r["fe"] for r in out.collect()}
+    assert got[1] == pytest.approx(-0.4)
+    assert got[2] == pytest.approx(-2.4)
+    assert got[3] == pytest.approx(-2.0)
+    assert got[4] is None and got[5] is None and got[6] is None and got[7] is None
