@@ -415,12 +415,6 @@ def minhash_lsh_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@golden("simhash_near_dup_pairs", None, tags=("dedup", "simhash"))
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).documents
-    return simhash_dedup(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
-
-
 @golden("embedding_near_dup_pairs", None, tags=("dedup", "similarity", "lsh"))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
@@ -849,6 +843,56 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     return fp.select(
         F.col("__id").alias("doc_id"), F.col("__fp").alias("fingerprint")
     ).orderBy("doc_id")
+
+
+def _simhash_pairs_oracle(n_bits: int = 64, max_hamming: int = 3) -> str:
+    h = _phash_sql("t")
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM toks
+  GROUP BY doc_id
+),
+fps AS (SELECT doc_id, {fp} AS fp FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@golden(
+    "simhash_near_dup_pairs",
+    _simhash_pairs_oracle(64, 3),
+    tags=("dedup", "simhash"),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3, hash-checked: pigeonhole
+    banding (4 chunks of a 64-bit fingerprint) has EXACT recall — any pair
+    within the budget agrees on >=1 chunk — so with portable fingerprints
+    the pair set is deterministic and DuckDB brute-forces the identical
+    pairs from first principles (token votes -> fingerprint -> O(n^2)
+    bit_count(xor) filter). Spark's banded equi-join computes the same set
+    near-linearly — the scale path the oracle's cartesian join is not."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        simhash_dedup(docs, "doc_id", "text", max_hamming=3, portable=True)
+        .orderBy("id_a", "id_b")
+    )
 
 
 CONNECTED_CLUSTERS_ORACLE = """

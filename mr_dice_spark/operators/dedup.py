@@ -298,17 +298,24 @@ def simhash_dedup(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    n_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs within hamming distance ``max_hamming``.
 
-    Banding by pigeonhole: split the 64-bit fingerprint into
+    Banding by pigeonhole: split the ``n_bits``-bit fingerprint into
     ``max_hamming + 1`` chunks — any pair within the distance budget agrees
     exactly on at least one chunk, so an equi-join per chunk finds all pairs
-    without a cartesian product. Returns (id_a, id_b, hamming).
+    without a cartesian product. Recall is EXACT, not probabilistic (any
+    ``n_bits % chunks`` remainder bits are simply uncovered by banding,
+    which only lowers the covered-diff count — the pigeonhole argument
+    still holds), so the output is fully determined by the fingerprints;
+    with ``portable=True`` a SQL oracle can brute-force the same pair set.
+    Returns (id_a, id_b, hamming).
     """
     chunks = max_hamming + 1
-    width = 64 // chunks
-    fp = simhash_fingerprints(df, id_col, text_col)
+    width = n_bits // chunks
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits=n_bits, portable=portable)
     keyed = fp.select(
         "__id",
         "__fp",
