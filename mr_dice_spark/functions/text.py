@@ -117,3 +117,39 @@ def doc_fingerprint(text_col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: F.xxhash64(acc, h),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (beyond-reference: standard C4/Dolma/FineWeb-style cleaning
+# step for training corpora). Patterns deliberately avoid backreferences and
+# lookaround so Java regex (Spark codegen) and RE2 (DuckDB oracle) agree
+# token-for-token; rules apply in a fixed order (URL first: emails/IPs inside
+# URLs are swallowed by <URL>; IP before phone so dotted quads are not
+# re-matched as phone digits).
+# ---------------------------------------------------------------------------
+
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: Column, rules: tuple[tuple[str, str, str], ...] = PII_RULES) -> Column:
+    """Replace URLs, emails, IPv4 addresses and phone-like digit runs with
+    typed placeholders. A chain of builtin regexp_replace calls — one
+    codegen'd projection, no UDF, embarrassingly parallel at any scale."""
+    out = text_col
+    for _name, pat, repl in rules:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_oracle_sql(expr: str, rules: tuple[tuple[str, str, str], ...] = PII_RULES) -> str:
+    """The identical redaction chain as DuckDB SQL (RE2, 'g' flag)."""
+    out = expr
+    for _name, pat, repl in rules:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out

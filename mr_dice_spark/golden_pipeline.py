@@ -1523,3 +1523,45 @@ def formation_energy_openlam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "struct_id", _r("fe_raw", 4).alias("fe_per_atom")
     ).orderBy("struct_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction probe (beyond-reference C4/Dolma-style corpus cleaning)
+# ---------------------------------------------------------------------------
+
+from mr_dice_spark.functions.text import pii_oracle_sql, redact_pii  # noqa: E402
+
+_PII_INJECT_SQL = (
+    "substr(text, 1, 40) || ' contact ' || source || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 see https://corpus.example/' || CAST(doc_id AS VARCHAR)"
+    " || ' tel +1 555-010' || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+PII_ORACLE = f"""
+SELECT doc_id, {pii_oracle_sql(_PII_INJECT_SQL)} AS redacted
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@golden("pii_redaction_probe", PII_ORACLE, tags=("text", "pii", "scalar"))
+def pii_redaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / URLs / phone runs -> typed
+    placeholders), the standard pre-training corpus cleaning step. Synthetic
+    PII is injected deterministically from doc keys on BOTH engines, then
+    both run the identical portable regex chain — parity proves Java-regex
+    and RE2 agree on every replacement. One codegen'd projection; no UDF,
+    no shuffle beyond the output sort."""
+    docs = Catalog(spark, sf_dir).documents.where(F.col("doc_id") < 200)
+    injected = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact "), F.col("source"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 see https://corpus.example/"), F.col("doc_id").cast("string"),
+        F.lit(" tel +1 555-010"), (F.col("doc_id") % 10).cast("string"),
+    )
+    return docs.select(
+        "doc_id", redact_pii(injected).alias("redacted")
+    ).orderBy("doc_id")

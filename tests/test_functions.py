@@ -87,3 +87,22 @@ def test_deterministic_sample_properties(spark, oracle_sf_dir):
     s_seeded = deterministic_sample(ev, "event_id", 0.2, seed="v2/")
     overlap = s1.join(s_seeded, "event_id", "inner").count()
     assert abs(overlap / total - 0.04) < 0.01  # ~= 0.2 * 0.2
+
+
+def test_redact_pii(spark):
+    from mr_dice_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@mail.example.org now"),
+            (2, "host 192.168.1.254 call +1 (555) 123-4567"),
+            (3, "see https://ex.com/a?b=c#d ok"),
+            (4, "clean text, just 3.14"),
+        ],
+        "i long, text string",
+    )
+    got = {r["i"]: r["r"] for r in df.select("i", redact_pii(F.col("text")).alias("r")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "host <IP> call <PHONE>"
+    assert got[3] == "see <URL> ok"
+    assert got[4] == "clean text, just 3.14"
