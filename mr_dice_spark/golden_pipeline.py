@@ -1565,3 +1565,52 @@ def pii_redaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", redact_pii(injected).alias("redacted")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (beyond-reference corpus-curation operator)
+# ---------------------------------------------------------------------------
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM toks WHERE t <> '' GROUP BY doc_id, t
+),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, t,
+         tf * ((n + 1.0) / (df + 1.0)) AS score
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+)
+SELECT doc_id, t AS term, ROUND(1e-9 + score, 6) AS score, rank
+FROM (
+  SELECT doc_id, t, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, t ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@golden("tfidf_top_terms_per_doc", TFIDF_ORACLE, tags=("text", "tfidf", "two-pass"))
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document with the rational idf
+    (N+1)/(df+1) — exact IEEE arithmetic end-to-end, so DuckDB reproduces
+    every score bit-identically and the top-k membership (ties broken on
+    term) is deterministic. Two corpus-sized shuffles (TF aggregate, per-doc
+    window), one vocabulary-sized broadcast — the plan a 100 TB corpus
+    needs."""
+    from mr_dice_spark.operators.terms import tfidf_top_terms
+
+    docs = Catalog(spark, sf_dir).documents
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3, rational_idf=True)
+    return out.select(
+        "doc_id", "term", _r("score", 6).alias("score"), "rank"
+    ).orderBy("doc_id", "rank")

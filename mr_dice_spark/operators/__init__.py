@@ -22,6 +22,7 @@ from mr_dice_spark.operators.interval import interval_join
 from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, stratified_sample_exact
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
+from mr_dice_spark.operators.terms import tfidf_top_terms
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
 from mr_dice_spark.operators.incremental import (
     dedup_incremental,
@@ -56,6 +57,7 @@ __all__ = [
     "embedding_near_dup",
     "asof_join",
     "sessionize",
+    "tfidf_top_terms",
     "apply_changes",
     "merge_latest_wins",
     "snapshot_delta",

@@ -106,3 +106,30 @@ def test_redact_pii(spark):
     assert got[2] == "host <IP> call <PHONE>"
     assert got[3] == "see <URL> ok"
     assert got[4] == "clean text, just 3.14"
+
+
+def test_tfidf_top_terms_rare_term_wins(spark):
+    from mr_dice_spark.operators.terms import tfidf_top_terms
+
+    # 'rare' appears once in doc 1; 'common' appears in every doc. With
+    # N=5 docs, idf(rare) = ln(6/2)+1 ~ 2.10 outranks tf=2 * idf(common)=1.
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common common common"),
+            (3, "common other common"),
+            (4, "common common"),
+            (5, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # rank-1 term for doc 1 must be the rare term despite lower tf
+    assert by_doc[1][0]["term"] == "rare"
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert all(r["score"] > 0 for r in out)
+    # ranks are 1..k dense per doc
+    assert [r["rank"] for r in by_doc[1]] == [1, 2]
