@@ -133,3 +133,42 @@ def test_tfidf_top_terms_rare_term_wins(spark):
     assert all(r["score"] > 0 for r in out)
     # ranks are 1..k dense per doc
     assert [r["rank"] for r in by_doc[1]] == [1, 2]
+
+
+def test_redact_pii_cross_engine_fuzz(spark):
+    """Seeded fuzz: the Java-regex and RE2 redaction chains must agree on
+    adversarial near-PII strings (partial emails, dotted quads, digit runs,
+    URL fragments) — the portability contract behind pii_redaction_probe."""
+    import random
+
+    import duckdb
+
+    from mr_dice_spark.functions.text import pii_oracle_sql, redact_pii
+
+    rng = random.Random(42)
+    frags = [
+        "a@b", "@", "x.y", "..", "10.0.0.1", "999.999.999.999", "1.2.3.4.5",
+        "http://", "https://x", "ftp://x", "+", "()", "555", "(555)",
+        "+1 555 123 4567", "word", "W0rd9", "%", "_", "-", ".com", "a@b.co",
+        "  ", ".", "e@", "3.14159", "v2.0.1", "127.0.0.1:8080", "tel:",
+    ]
+    samples = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", redact_pii(F.col("text")).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        for i, s in enumerate(samples):
+            want = con.execute(
+                f"SELECT {pii_oracle_sql('?')}", [s]
+            ).fetchone()[0]
+            assert got[i] == want, f"engines disagree on {s!r}: {got[i]!r} vs {want!r}"
+    finally:
+        con.close()
