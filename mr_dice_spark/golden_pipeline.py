@@ -1614,3 +1614,63 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "term", _r("score", 6).alias("score"), "rank"
     ).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (beyond-reference corpus-hygiene operator)
+# ---------------------------------------------------------------------------
+
+DECONTAM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+corpus_ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+cnt AS (
+  SELECT c.doc_id, COUNT(s.shingle) AS n_grams
+  FROM corpus_ids c LEFT JOIN sh s USING (doc_id)
+  GROUP BY c.doc_id
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN probe p USING (shingle)
+  WHERE s.doc_id % 17 <> 0
+  GROUP BY s.doc_id
+)
+SELECT c.doc_id,
+       c.n_grams,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       ROUND(1e-9 + CASE WHEN c.n_grams = 0 THEN 0.0
+             ELSE COALESCE(h.n_shared, 0) / CAST(c.n_grams AS DOUBLE) END,
+             6) AS share,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM cnt c LEFT JOIN hits h USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+@golden("benchmark_decontamination", DECONTAM_ORACLE, tags=("text", "decontaminate", "semi-join"))
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination stats: every 17th document plays the held-out
+    benchmark set; the rest is the training corpus. Per corpus doc the
+    operator counts distinct 3-gram overlaps with the broadcast probe-gram
+    set — the planted near-dup families guarantee true contamination. The
+    oracle recomputes shingles, overlap counts and shares from scratch in
+    SQL, value-hash-checking the whole chain."""
+    from mr_dice_spark.operators.decontaminate import contamination_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    probe = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    out = contamination_stats(corpus, "doc_id", "text", probe, "text", n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_shared",
+        _r("share", 6).alias("share"), "contaminated",
+    ).orderBy("doc_id")

@@ -23,6 +23,7 @@ from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, 
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 from mr_dice_spark.operators.terms import tfidf_top_terms
+from mr_dice_spark.operators.decontaminate import contamination_stats, decontaminate
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
 from mr_dice_spark.operators.incremental import (
     dedup_incremental,
@@ -58,6 +59,8 @@ __all__ = [
     "asof_join",
     "sessionize",
     "tfidf_top_terms",
+    "contamination_stats",
+    "decontaminate",
     "apply_changes",
     "merge_latest_wins",
     "snapshot_delta",

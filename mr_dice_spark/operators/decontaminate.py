@@ -1,0 +1,88 @@
+"""Benchmark decontamination (beyond-reference training-data-pipeline
+operator): flag or drop corpus documents that share word n-grams with a
+held-out benchmark/eval set, the standard pre-training hygiene step.
+
+Scale shape: the benchmark side is tiny relative to the corpus (thousands
+of eval documents vs billions of training documents), so its distinct-gram
+set is BROADCAST — the corpus never shuffles for the membership test; the
+only corpus-sized shuffle is the per-doc hit aggregate, keyed on the doc
+id. If the probe set ever outgrows broadcast range, replace the broadcast
+with a plain shuffled semi-join — semantics unchanged.
+
+Reuses the dedup module's shingle machinery (materialized words array,
+fan_out, explode_outer hazards — see operators/dedup.py:69-121).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.dedup import shingle_sets
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe: DataFrame,
+    probe_text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per corpus document: (id, n_grams, n_shared, share, contaminated)
+    where n_shared counts the doc's distinct word n-grams that appear
+    anywhere in the probe set. Docs too short to form a gram report
+    n_grams=0, share=0.0, contaminated=false."""
+    sets_ = shingle_sets(corpus, id_col, text_col, n)
+    # probe ids are irrelevant (only the distinct gram set is used) — a
+    # constant satisfies shingle_sets' id column without assuming one exists
+    probe_keyed = probe.select(
+        F.lit(0).alias("__pid"), F.col(probe_text_col).alias("__ptext")
+    )
+    probe_grams = (
+        shingle_sets(probe_keyed, "__pid", "__ptext", n)
+        .select(F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .distinct()
+    )
+    ex = sets_.select("__id", F.explode_outer("__sh").alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    hits = ex.join(F.broadcast(probe_grams), "__s").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    out = (
+        sets_.select("__id", F.size("__sh").alias("n_grams"))
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("share"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    return out
+
+
+def decontaminate(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe: DataFrame,
+    probe_text_col: str,
+    n: int = 3,
+    max_share: float = 0.0,
+) -> DataFrame:
+    """Drop corpus docs whose shared-gram share exceeds ``max_share``
+    (default: any overlap). Anti-join on the flagged ids — corpus rows
+    stream through untouched except the one key shuffle."""
+    flagged = (
+        contamination_stats(corpus, id_col, text_col, probe, probe_text_col, n)
+        .where(F.col("share") > max_share)
+        .select(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")

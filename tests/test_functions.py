@@ -172,3 +172,34 @@ def test_redact_pii_cross_engine_fuzz(spark):
             assert got[i] == want, f"engines disagree on {s!r}: {got[i]!r} vs {want!r}"
     finally:
         con.close()
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from mr_dice_spark.operators.decontaminate import contamination_stats, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma'
+            (2, "epsilon zeta eta theta"),      # clean
+            (3, "one two"),                     # too short for a 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [("alpha beta gamma something else",)], "text string"
+    )
+    stats = {
+        r["doc_id"]: r
+        for r in contamination_stats(corpus, "doc_id", "text", probe, "text").collect()
+    }
+    assert stats[1]["contaminated"] and stats[1]["n_shared"] == 1
+    assert not stats[2]["contaminated"] and stats[2]["n_shared"] == 0
+    assert stats[3]["n_grams"] == 0 and stats[3]["share"] == 0.0
+    kept = {r["doc_id"] for r in decontaminate(corpus, "doc_id", "text", probe, "text").collect()}
+    assert kept == {2, 3}
+    # a permissive threshold keeps the lightly-contaminated doc (share 1/2)
+    kept_loose = {
+        r["doc_id"]
+        for r in decontaminate(corpus, "doc_id", "text", probe, "text", max_share=0.6).collect()
+    }
+    assert kept_loose == {1, 2, 3}
