@@ -1674,3 +1674,55 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "n_shared",
         _r("share", 6).alias("share"), "contaminated",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (beyond-reference concat-and-chunk batch construction)
+# ---------------------------------------------------------------------------
+
+PACKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CASE WHEN n_tokens > 0
+            THEN CAST(start_offset // 64 AS BIGINT) END AS first_seq,
+       CASE WHEN n_tokens > 0
+            THEN CAST((start_offset + n_tokens - 1) // 64 AS BIGINT)
+       END AS last_seq,
+       CASE WHEN n_tokens > 0
+            THEN CAST((start_offset + n_tokens - 1) // 64
+                      - start_offset // 64 + 1 AS BIGINT)
+            ELSE 0 END AS n_seqs
+FROM c
+ORDER BY doc_id
+"""
+
+
+@golden("sequence_packing_spans", PACKING_ORACLE, tags=("packing", "prefix-sum", "two-pass"))
+def sequence_packing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over the id-ordered documents
+    corpus at seq_len=64: each doc's span of fixed-length training
+    sequences. Spark runs the two-pass distributed prefix sum (local
+    running sums + broadcast partition offsets — no single-task global
+    window); the oracle states the same result as ONE global window, which
+    only an oracle-scale engine can afford. Integer arithmetic throughout."""
+    from mr_dice_spark.functions.text import token_count
+    from mr_dice_spark.operators.packing import pack_sequences
+
+    docs = Catalog(spark, sf_dir).documents
+    return pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), 64
+    ).orderBy("doc_id")

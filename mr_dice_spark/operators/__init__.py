@@ -24,6 +24,7 @@ from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 from mr_dice_spark.operators.terms import tfidf_top_terms
 from mr_dice_spark.operators.decontaminate import contamination_stats, decontaminate
+from mr_dice_spark.operators.packing import pack_sequences
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
 from mr_dice_spark.operators.incremental import (
     dedup_incremental,
@@ -61,6 +62,7 @@ __all__ = [
     "tfidf_top_terms",
     "contamination_stats",
     "decontaminate",
+    "pack_sequences",
     "apply_changes",
     "merge_latest_wins",
     "snapshot_delta",

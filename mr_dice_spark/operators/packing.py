@@ -1,0 +1,92 @@
+"""Sequence packing (beyond-reference training-data-pipeline operator):
+the GPT-style concat-and-chunk batch construction — documents are laid
+end-to-end in a deterministic order and the token stream is cut into
+fixed-length training sequences; each document maps to the sequence span
+[first_seq, last_seq] it occupies (documents may straddle a cut).
+
+The core is a GLOBAL prefix sum of token counts. A naive
+``Window.orderBy(id)`` with no partition key collapses the corpus onto one
+task, so this implements the textbook two-pass distributed scan instead:
+
+1. range-repartition by id (so partition order == id order),
+2. per-partition running sum (a local window — no shuffle),
+3. per-partition totals collected to the driver (one row per partition —
+   KBs at any corpus size) and turned into exclusive partition offsets,
+4. offsets joined back by partition id (broadcast), start = offset +
+   local running sum - own tokens.
+
+Every output column is integer arithmetic — bit-exact against a SQL
+oracle's single-window formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per document: (id, n_tokens, start_offset, first_seq, last_seq,
+    n_seqs) for fixed ``seq_len``-token training sequences over the
+    id-ordered concatenated token stream. Zero-token documents occupy no
+    sequence (NULL first/last, n_seqs=0) but keep their (empty) offset.
+
+    ``n_tokens_col`` is a Column expression (e.g. ``token_count(col)`` or a
+    precomputed length column); ``id_col`` must be unique — it defines the
+    packing order.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    base = df.select(
+        F.col(id_col).alias("__id"), n_tokens_col.cast("long").alias("n_tokens")
+    )
+    parts = (
+        base.repartitionByRange(num_partitions, "__id")
+        if num_partitions
+        else base.repartitionByRange("__id")
+    )
+    parts = parts.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("__cum", F.sum("n_tokens").over(w))
+    # one row per partition — the driver-side state of the scan
+    totals = sorted(
+        local.groupBy("__pid").agg(F.max("__cum").alias("__t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["__t"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    )
+    # integer DIV, not floor(double /): offsets in a 100 TB corpus overflow
+    # the 2^53 exact-double range long before they overflow a long
+    staged = (
+        local.join(off_df, "__pid")
+        .withColumn(
+            "start_offset", F.col("__off") + F.col("__cum") - F.col("n_tokens")
+        )
+        .withColumn("__end", F.col("start_offset") + F.col("n_tokens") - 1)
+    )
+    first = F.expr(f"start_offset DIV {int(seq_len)}")
+    last = F.expr(f"__end DIV {int(seq_len)}")
+    return staged.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "start_offset",
+        F.when(F.col("n_tokens") > 0, first).alias("first_seq"),
+        F.when(F.col("n_tokens") > 0, last).alias("last_seq"),
+        F.when(F.col("n_tokens") > 0, last - first + 1)
+        .otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+    )

@@ -203,3 +203,40 @@ def test_decontaminate_drops_overlapping_docs(spark):
         for r in decontaminate(corpus, "doc_id", "text", probe, "text", max_share=0.6).collect()
     }
     assert kept_loose == {1, 2, 3}
+
+
+def test_pack_sequences_spans_and_partition_invariance(spark):
+    from mr_dice_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 0), (4, 64), (5, 3), (6, 130)],
+        "doc_id long, nt long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", F.col("nt"), 64).collect()
+    }
+    # stream: d1 [0,10) d2 [10,60) d3 [] d4 [60,124) d5 [124,127) d6 [127,257)
+    assert (rows[1]["first_seq"], rows[1]["last_seq"], rows[1]["n_seqs"]) == (0, 0, 1)
+    assert (rows[4]["first_seq"], rows[4]["last_seq"], rows[4]["n_seqs"]) == (0, 1, 2)
+    assert rows[3]["first_seq"] is None and rows[3]["n_seqs"] == 0
+    assert (rows[6]["first_seq"], rows[6]["last_seq"], rows[6]["n_seqs"]) == (1, 4, 4)
+    # offsets are contiguous in id order
+    ordered = [rows[i] for i in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["start_offset"] == a["start_offset"] + a["n_tokens"]
+    # result is invariant to the physical partitioning of the scan
+    alt = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", F.col("nt"), 64, num_partitions=3).collect()
+    }
+    for i in rows:
+        assert tuple(rows[i]) == tuple(alt[i])
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from mr_dice_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, nt long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", F.col("nt"), 0)
