@@ -12,6 +12,7 @@ from mr_dice_spark.plans.inspect import (
     broadcast_join_count,
     codegen_stage_count,
     has_cartesian,
+    physical_plan,
     pushed_filters,
     scan_read_schemas,
     shuffle_count,
@@ -177,3 +178,67 @@ def test_ivf_cluster_partitioned_storage_prunes(spark, sf_dir, tmp_path):
     # every touched file must live in a PROBED directory — an unpruned scan
     # would surface files from the other 6 cluster dirs
     assert all("__cluster=1/" in f or "__cluster=3/" in f for f in files), files
+
+
+def test_formation_energy_broadcasts_ref_dim(spark, sf_dir):
+    from mr_dice_spark.functions.formula import formation_energy_per_atom
+
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") <= 400)
+    structs = p.select(
+        F.col("p_partkey").alias("sid"),
+        F.lit("Fe2O3").alias("formula"),
+        F.col("p_retailprice").alias("e"),
+    )
+    df = formation_energy_per_atom(
+        structs, "sid", "formula", "e", {"Fe": -1.0, "O": -2.0}
+    )
+    # the ~100-row reference-energy dimension must broadcast, never shuffle
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
+    assert_pushed(df, "LessThanOrEqual(p_partkey,400)")
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    from mr_dice_spark.functions.text import redact_pii
+
+    docs = Catalog(spark, sf_dir).documents
+    df = docs.select("doc_id", redact_pii(F.col("text")).alias("r"))
+    # a pure projection: no exchange anywhere, one codegen stage
+    assert_max_shuffles(df, 0)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_tfidf_topk_prunes_map_side(spark, sf_dir):
+    from mr_dice_spark.operators.terms import tfidf_top_terms
+
+    docs = Catalog(spark, sf_dir).documents
+    df = tfidf_top_terms(docs, "doc_id", "text", k=3, rational_idf=True)
+    plan = physical_plan(df)
+    # per-doc top-k must prune before the window shuffle, and the
+    # vocabulary dimension must broadcast
+    assert "WindowGroupLimit" in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_decontamination_broadcasts_probe_grams(spark, sf_dir):
+    from mr_dice_spark.operators.decontaminate import contamination_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    probe = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    df = contamination_stats(corpus, "doc_id", "text", probe, "text")
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    from mr_dice_spark.functions.text import token_count
+    from mr_dice_spark.operators.packing import pack_sequences
+
+    docs = Catalog(spark, sf_dir).documents
+    df = pack_sequences(docs, "doc_id", token_count(F.col("text")), 64)
+    plan = physical_plan(df)
+    # the scan must never degenerate into a single-task global sort:
+    # every Window sits above a partitionBy (__pid), not an empty one
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
