@@ -1726,3 +1726,43 @@ def sequence_packing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, "doc_id", token_count(F.col("text")), 64
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# data-mixture sampling (beyond-reference pretraining mixing step)
+# ---------------------------------------------------------------------------
+
+MIXTURE_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substring(md5('mix/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 WHEN 'es' THEN 20
+                      WHEN 'fr' THEN 10 WHEN 'zh' THEN 10 ELSE 0 END
+ORDER BY lang, doc_id
+"""
+
+
+@golden("mixture_sample_by_lang", MIXTURE_ORACLE, tags=("sampling", "mixture", "deterministic"))
+def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-doc corpus mixed to 40% en / 20% de / 20% es / 10% fr / 10% zh
+    by deterministic per-group hash order. The oracle hardcodes the
+    uncapped largest-remainder targets, which is the allocation whenever
+    every lang holds >= its target (true at the oracle scale and above);
+    the operator additionally redistributes on availability caps — covered
+    by unit tests, not reachable on this corpus."""
+    from mr_dice_spark.operators.sampling import mixture_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    out = mixture_sample(
+        docs, "lang",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        100, "doc_id", seed="mix/",
+    )
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")

@@ -19,7 +19,13 @@ from mr_dice_spark.operators.similarity import (
 from mr_dice_spark.operators.asof import asof_join
 from mr_dice_spark.operators.components import connected_components, dedup_connected
 from mr_dice_spark.operators.interval import interval_join
-from mr_dice_spark.operators.sampling import deterministic_sample, hash_bucket, stratified_sample_exact
+from mr_dice_spark.operators.sampling import (
+    apportion_weighted,
+    deterministic_sample,
+    hash_bucket,
+    mixture_sample,
+    stratified_sample_exact,
+)
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 from mr_dice_spark.operators.terms import tfidf_top_terms
@@ -39,6 +45,8 @@ __all__ = [
     "deterministic_sample",
     "hash_bucket",
     "stratified_sample_exact",
+    "apportion_weighted",
+    "mixture_sample",
     "fan_out",
     "hot_keys",
     "salted_join",

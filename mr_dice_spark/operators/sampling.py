@@ -59,3 +59,73 @@ def stratified_sample_exact(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def apportion_weighted(
+    avail: dict, weights: dict, total: int
+) -> dict:
+    """Deterministic largest-remainder apportionment of ``total`` rows over
+    groups with target ``weights``, capped by per-group availability; the
+    shortfall from capped groups re-apportions over the remaining groups by
+    their renormalized weights (pretraining data-mixing semantics: an
+    exhausted source gives its share to the rest of the mixture, it does
+    not shrink the run). Pure driver-side arithmetic on per-group counts —
+    the same altitude as the reference's water-fill quota. Ties in the
+    fractional remainders break on group name."""
+    alloc = {g: 0 for g in avail}
+    active = {g for g in avail if weights.get(g, 0) > 0 and avail[g] > 0}
+    budget = max(0, int(total))
+    while budget > 0 and active:
+        wsum = sum(weights[g] for g in active)
+        quot = {g: budget * weights[g] / wsum for g in active}
+        base = {g: int(quot[g]) for g in active}
+        rem = budget - sum(base.values())
+        for g in sorted(active, key=lambda g: (-(quot[g] - base[g]), g))[:rem]:
+            base[g] += 1
+        progressed = False
+        for g in sorted(active):
+            take = min(base[g], avail[g] - alloc[g])
+            if take > 0:
+                progressed = True
+            alloc[g] += take
+            budget -= take
+            if alloc[g] >= avail[g]:
+                active.discard(g)
+        if not progressed:
+            break
+    return alloc
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    total: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Sample ``df`` to a target mixture: ``weights[g]`` of the ``total``
+    rows come from group g (availability-capped, shortfall redistributed),
+    rows chosen per group by portable hash order — fully deterministic
+    under repartitioning and re-runs.
+
+    Cost: one tiny groupBy-count collect (rows = #groups), then one window
+    shuffle on the group key with the quota dimension broadcast back. The
+    per-group top-n is WindowGroupLimit-pruned map-side."""
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    alloc = apportion_weighted(counts, weights, total)
+    quota = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, int(n)) for g, n in alloc.items()],
+            f"{group_col} string, __quota int",
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.join(quota, group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

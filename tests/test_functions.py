@@ -240,3 +240,36 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, nt long")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(df, "doc_id", F.col("nt"), 0)
+
+
+def test_apportion_weighted_caps_and_redistributes():
+    from mr_dice_spark.operators.sampling import apportion_weighted
+
+    # uncapped: pure largest-remainder
+    assert apportion_weighted(
+        {"a": 100, "b": 100, "c": 100}, {"a": 0.5, "b": 0.3, "c": 0.2}, 10
+    ) == {"a": 5, "b": 3, "c": 2}
+    # capped group passes its shortfall to the others by renormalized weight
+    got = apportion_weighted({"a": 5, "b": 100, "c": 100}, {"a": 0.5, "b": 0.25, "c": 0.25}, 40)
+    assert got["a"] == 5 and got["b"] + got["c"] == 35
+    # demand beyond total availability takes everything
+    assert apportion_weighted({"a": 3, "b": 4}, {"a": 0.5, "b": 0.5}, 100) == {"a": 3, "b": 4}
+    # unweighted groups contribute nothing
+    assert apportion_weighted({"a": 10, "b": 10}, {"a": 1.0}, 6) == {"a": 6, "b": 0}
+    assert apportion_weighted({}, {"a": 1.0}, 6) == {}
+
+
+def test_mixture_sample_hits_targets_and_is_deterministic(spark):
+    from mr_dice_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out = mixture_sample(df, "grp", {"a": 0.75, "b": 0.25}, 40, "k")
+    by = {g: 0 for g in ("a", "b")}
+    for r in out.collect():
+        by[r["grp"]] += 1
+    assert by == {"a": 30, "b": 10}
+    # repeatable set
+    ids1 = {r["k"] for r in out.collect()}
+    ids2 = {r["k"] for r in mixture_sample(df, "grp", {"a": 0.75, "b": 0.25}, 40, "k").collect()}
+    assert ids1 == ids2
