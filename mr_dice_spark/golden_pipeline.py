@@ -1766,3 +1766,48 @@ def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         100, "doc_id", seed="mix/",
     )
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition stats (Gopher-style quality filter signal)
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM words WHERE len(w) >= 2
+),
+per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       SUM(c) AS total_grams,
+       COUNT(*) AS distinct_grams,
+       ROUND(1e-9 + MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_share,
+       ROUND(1e-9 + 1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_share
+FROM per_gram
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@golden("repetition_stats_per_doc", REPETITION_ORACLE, tags=("text", "quality", "repetition"))
+def repetition_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc 2-gram repetition signals (total/distinct gram counts,
+    top-gram share, duplicate share) — the Gopher repetition family of
+    quality filters. Integer counts and integer-ratio doubles only, so the
+    DuckDB restatement matches value-for-value."""
+    from mr_dice_spark.operators.terms import repetition_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    out = repetition_stats(docs, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id", "total_grams", "distinct_grams",
+        _r("top_gram_share", 6).alias("top_gram_share"),
+        _r("dup_gram_share", 6).alias("dup_gram_share"),
+    ).orderBy("doc_id")

@@ -28,7 +28,7 @@ from mr_dice_spark.operators.sampling import (
 )
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
-from mr_dice_spark.operators.terms import tfidf_top_terms
+from mr_dice_spark.operators.terms import repetition_stats, tfidf_top_terms
 from mr_dice_spark.operators.decontaminate import contamination_stats, decontaminate
 from mr_dice_spark.operators.packing import pack_sequences
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
@@ -68,6 +68,7 @@ __all__ = [
     "asof_join",
     "sessionize",
     "tfidf_top_terms",
+    "repetition_stats",
     "contamination_stats",
     "decontaminate",
     "pack_sequences",

@@ -68,3 +68,58 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals per doc (docs with at
+    least one ``n``-gram): total n-gram count (with multiplicity), distinct
+    count, the most-frequent gram's share, and the duplicate-gram share
+    (1 - distinct/total). High shares flag boilerplate/spam for corpus
+    filtering.
+
+    One explode + one (doc, gram) aggregate with map-side combine + one
+    per-doc re-aggregate — both shuffles keyed on the doc id. The words
+    array is materialized behind a fan_out exchange so the split runs once
+    per row (see operators/dedup.py:69-121 for the HOF hazards this
+    avoids)."""
+    from mr_dice_spark.operators.scale import fan_out
+
+    words = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
+    )
+    k = F.greatest(F.size("__w") - (n - 1), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__w", (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        words.select("__id", F.explode_outer(grams).alias("__g"))
+        .where(F.col("__g").isNotNull())
+    )
+    per_gram = ex.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return per_gram.groupBy("__id").agg(
+        F.sum("__c").alias("total_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("__c").alias("top_gram_count"),
+    ).select(
+        F.col("__id").alias(id_col),
+        "total_grams",
+        "distinct_grams",
+        (F.col("top_gram_count") / F.col("total_grams")).alias("top_gram_share"),
+        (F.lit(1.0) - F.col("distinct_grams") / F.col("total_grams")).alias(
+            "dup_gram_share"
+        ),
+    )

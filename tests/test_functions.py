@@ -273,3 +273,23 @@ def test_mixture_sample_hits_targets_and_is_deterministic(spark):
     ids1 = {r["k"] for r in out.collect()}
     ids2 = {r["k"] for r in mixture_sample(df, "grp", {"a": 0.75, "b": 0.25}, 40, "k").collect()}
     assert ids1 == ids2
+
+
+def test_repetition_stats_known_values(spark):
+    from mr_dice_spark.operators.terms import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # 3 grams, all 'spam spam'
+            (2, "a b c d"),               # 3 grams, all distinct
+            (3, "one"),                   # too short: no 2-gram, excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["total_grams"] == 3 and got[1]["distinct_grams"] == 1
+    assert got[1]["top_gram_share"] == pytest.approx(1.0)
+    assert got[1]["dup_gram_share"] == pytest.approx(2 / 3)
+    assert got[2]["dup_gram_share"] == pytest.approx(0.0)
+    assert got[2]["top_gram_share"] == pytest.approx(1 / 3)
