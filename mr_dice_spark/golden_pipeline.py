@@ -1811,3 +1811,99 @@ def repetition_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("top_gram_share", 6).alias("top_gram_share"),
         _r("dup_gram_share", 6).alias("dup_gram_share"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality score (CCNet/Dolma perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM toks WHERE t <> '' GROUP BY doc_id, t
+),
+vocab AS (SELECT t, SUM(c) AS cw FROM dw GROUP BY t),
+tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM vocab)
+SELECT doc_id,
+       SUM(c) AS n_tokens,
+       ROUND(1e-9 + SUM(c * (ln(n) - ln(CAST(cw AS DOUBLE)))) / SUM(c), 6)
+         AS avg_neg_logprob
+FROM dw JOIN vocab USING (t) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@golden("unigram_lm_quality", UNIGRAM_LM_ORACLE, tags=("text", "quality", "lm"))
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM score per document (mean token
+    negative log-probability) — the perplexity-filter shape of CCNet/Dolma
+    with the unigram corpus model standing in for KenLM. Both engines
+    compute ln on the same integer-valued doubles and the same formula
+    (c * (ln N - ln count)), so nudge-rounding at 6 decimals absorbs any
+    last-ulp libm divergence."""
+    from mr_dice_spark.operators.terms import unigram_lm_score
+
+    docs = Catalog(spark, sf_dir).documents
+    out = unigram_lm_score(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens",
+        _r("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus line-level dedup (CCNet/RefinedWeb boilerplate-line removal)
+# ---------------------------------------------------------------------------
+
+LINE_DEDUP_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+                        i -> struct_pack(pos := i,
+                                         line := array_to_string(w[i*8+1 : i*8+8], ' ')))
+           AS cs
+  FROM w
+),
+sel AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line
+  FROM (SELECT doc_id, unnest(cs) AS s FROM chunked)
+),
+kept AS (
+  SELECT * FROM sel
+  WHERE line NOT IN (SELECT line FROM sel GROUP BY line
+                     HAVING COUNT(DISTINCT doc_id) >= 2)
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS text,
+       COUNT(*) AS n_lines_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@golden("line_dedup_boilerplate", LINE_DEDUP_ORACLE, tags=("text", "dedup", "lines"))
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup, the CCNet/RefinedWeb boilerplate-removal
+    step: the corpus is reshaped into 8-word 'lines' (it has no newlines),
+    every line occurring in >= 2 distinct documents is dropped, and each
+    document is rebuilt from its surviving lines in original order — the
+    planted near-duplicate documents lose their shared spans. Pure string
+    and integer operations, so the DuckDB restatement is hash-exact."""
+    from mr_dice_spark.operators.lines import line_dedup
+
+    docs = Catalog(spark, sf_dir).documents
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(w, i * F.lit(8) + 1, 8), " "),
+    )
+    lined = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    out = line_dedup(lined, "doc_id", "text", min_docs=2)
+    return out.orderBy("doc_id")

@@ -28,7 +28,12 @@ from mr_dice_spark.operators.sampling import (
 )
 from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
-from mr_dice_spark.operators.terms import repetition_stats, tfidf_top_terms
+from mr_dice_spark.operators.lines import line_dedup
+from mr_dice_spark.operators.terms import (
+    repetition_stats,
+    tfidf_top_terms,
+    unigram_lm_score,
+)
 from mr_dice_spark.operators.decontaminate import contamination_stats, decontaminate
 from mr_dice_spark.operators.packing import pack_sequences
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, snapshot_delta
@@ -69,6 +74,8 @@ __all__ = [
     "sessionize",
     "tfidf_top_terms",
     "repetition_stats",
+    "unigram_lm_score",
+    "line_dedup",
     "contamination_stats",
     "decontaminate",
     "pack_sequences",

@@ -70,6 +70,75 @@ def tfidf_top_terms(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+    persist_counts: bool = False,
+) -> DataFrame:
+    """Per-document unigram language-model quality score — the CCNet/Dolma
+    perplexity-filter shape with the corpus itself as the model. Returns
+    (id, n_tokens, avg_neg_logprob) where ``avg_neg_logprob`` is the mean
+    over tokens of ``ln(N) - ln(count(token))``; low = fluent/common
+    language, high = rare-token soup (spam, mangled encodings, code in a
+    text corpus). ``2**(avg/ln 2)`` would be the perplexity proxy.
+
+    ``vocab`` (token, cnt) scores against an externally trained model —
+    tokens absent from it get add-one smoothing (count 1). Default trains
+    on ``df`` itself, where every token has count >= 1 by construction.
+
+    Scale shape (mirrors tfidf_top_terms): one (doc, token) aggregate with
+    map-side combine keyed on the doc id; the vocabulary dimension is
+    vocabulary-sized, broadcast back by default (``broadcast_vocab=False``
+    falls back to a token-keyed shuffle join for vocabularies too large to
+    broadcast); the total-token count is a 1-row broadcast cross join.
+    Docs with no non-empty tokens are absent from the output.
+
+    When self-training, the (doc, token) aggregate feeds the scores, the
+    vocabulary, AND the total — without persistence Catalyst recomputes its
+    lineage three times (three corpus scans + explodes).
+    ``persist_counts=True`` caches that aggregate (corpus-sized but far
+    smaller than raw text), cutting to one scan — the same trade as
+    ``tfidf_top_terms(persist_tf=True)`` at 100 TB.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    ).where(F.col("__t") != "")
+    dw = toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    if persist_counts:
+        from pyspark.storagelevel import StorageLevel
+
+        dw = dw.persist(StorageLevel.MEMORY_AND_DISK)
+    if vocab is None:
+        vocab = dw.groupBy("__t").agg(F.sum("__c").alias("__cw"))
+    else:
+        vocab = vocab.select(
+            F.col(vocab.columns[0]).alias("__t"),
+            F.col(vocab.columns[1]).cast("long").alias("__cw"),
+        )
+    tot = vocab.agg(F.sum("__cw").cast("double").alias("__n"))
+    vdim = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = (
+        dw.join(vdim, "__t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            "__c",
+            (
+                F.col("__c")
+                * (F.log("__n") - F.log(F.coalesce(F.col("__cw"), F.lit(1)).cast("double")))
+            ).alias("__nlp"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        (F.sum("__nlp") / F.sum("__c")).alias("avg_neg_logprob"),
+    ).select(F.col("__id").alias(id_col), "n_tokens", "avg_neg_logprob")
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,

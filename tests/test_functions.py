@@ -293,3 +293,59 @@ def test_repetition_stats_known_values(spark):
     assert got[1]["dup_gram_share"] == pytest.approx(2 / 3)
     assert got[2]["dup_gram_share"] == pytest.approx(0.0)
     assert got[2]["top_gram_share"] == pytest.approx(1 / 3)
+
+
+def test_unigram_lm_score_known_values(spark):
+    import math
+
+    from mr_dice_spark.operators.terms import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=2, b=2, c=1; N=5
+    got = {r["doc_id"]: r for r in unigram_lm_score(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}  # whitespace-only doc has no tokens
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    ln5, ln2, ln1 = math.log(5), math.log(2), 0.0
+    assert got[1]["avg_neg_logprob"] == pytest.approx((3 * (ln5 - ln2)) / 3)
+    assert got[2]["avg_neg_logprob"] == pytest.approx(((ln5 - ln2) + (ln5 - ln1)) / 2)
+
+
+def test_unigram_lm_score_external_vocab_oov(spark):
+    import math
+
+    from mr_dice_spark.operators.terms import unigram_lm_score
+
+    df = spark.createDataFrame([(1, "a zzz")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 9), ("b", 1)], "token string, cnt long")
+    row = unigram_lm_score(df, "doc_id", "text", vocab=vocab).collect()[0]
+    # N=10; 'zzz' is OOV -> add-one count 1
+    ln10, ln9 = math.log(10), math.log(9)
+    assert row["avg_neg_logprob"] == pytest.approx(((ln10 - ln9) + (ln10 - 0.0)) / 2)
+
+
+def test_line_dedup_drops_shared_lines_preserves_order(spark):
+    from mr_dice_spark.operators.lines import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep1\nboiler\nkeep2"),
+            (2, "boiler\nunique2"),
+            (3, "solo\nonly line"),
+            (4, "boiler"),          # every line duplicated -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["text"] == "keep1\nkeep2" and got[1]["n_lines_kept"] == 2
+    assert got[2]["text"] == "unique2"
+    assert got[3]["text"] == "solo\nonly line" and got[3]["n_lines_kept"] == 2
+    # raising the threshold above the boiler line's document count keeps it
+    kept_all = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(df, "doc_id", "text", min_docs=4).collect()
+    }
+    assert kept_all[1] == "keep1\nboiler\nkeep2" and kept_all[4] == "boiler"

@@ -242,3 +242,35 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     # every Window sits above a partitionBy (__pid), not an empty one
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_unigram_lm_broadcasts_vocab_and_total(spark, sf_dir):
+    from mr_dice_spark.operators.terms import unigram_lm_score
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    docs = Catalog(spark, sf_dir).documents
+    df = unigram_lm_score(docs, "doc_id", "text")
+    plan = formatted_plan(df)
+    # the vocabulary dimension broadcasts; the only nested-loop join is the
+    # 1-row total broadcast cross (the J5 global-aggregate pattern), never a
+    # CartesianProduct
+    assert broadcast_join_count(df) >= 1
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
+    assert "CartesianProduct" not in plan
+    # (doc, token) aggregate must combine map-side before its exchange
+    assert "partial_count" in plan
+
+
+def test_line_dedup_no_global_sort_no_cartesian(spark, sf_dir):
+    from mr_dice_spark.operators.lines import line_dedup
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    docs = Catalog(spark, sf_dir).documents
+    df = line_dedup(docs, "doc_id", "text", sep=r"\s+")
+    plan = formatted_plan(df)
+    # the rebuild orders lines with an in-group array_sort, so no global
+    # single-partition exchange appears anywhere in the plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # duplicate census combines map-side before its exchange
+    assert "partial_count" in plan
