@@ -1907,3 +1907,55 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lined = docs.select("doc_id", F.array_join(chunks, "\n").alias("text"))
     out = line_dedup(lined, "doc_id", "text", min_docs=2)
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span ratio (exact-substring-dedup signal, Lee et al.)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+docs8 AS (SELECT doc_id, w, len(w) AS L FROM w WHERE len(w) >= 8),
+grams AS (
+  SELECT doc_id, s.pos AS pos, s.g AS g
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, L - 8 + 2),
+                 i -> struct_pack(pos := i, g := array_to_string(w[i : i+7], ' ')))) AS s
+        FROM docs8)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT doc_id, unnest(range(pos, pos + 8)) AS j
+    FROM grams WHERE g IN (SELECT g FROM dup)
+  )
+),
+covc AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       d.L AS n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       ROUND(1e-9 + COALESCE(c.dup_tokens, 0) / CAST(d.L AS DOUBLE), 6)
+         AS dup_token_ratio
+FROM (SELECT doc_id, L FROM docs8) d LEFT JOIN covc c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@golden("duplicate_span_ratio", DUP_SPAN_ORACLE, tags=("text", "dedup", "spans"))
+def duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal (Lee et al.): per document, the share
+    of tokens lying inside an 8-gram that occurs >= 2 times in the corpus
+    — the planted near-duplicates light up with high ratios. Counts and an
+    integer-ratio double only, so the DuckDB restatement is value-exact."""
+    from mr_dice_spark.operators.terms import duplicate_span_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    out = duplicate_span_stats(docs, "doc_id", "text", n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_tokens",
+        _r("dup_token_ratio", 6).alias("dup_token_ratio"),
+    ).orderBy("doc_id")

@@ -30,6 +30,7 @@ from mr_dice_spark.operators.scale import fan_out, hot_keys, salted_join
 from mr_dice_spark.operators.sessionize import sessionize
 from mr_dice_spark.operators.lines import line_dedup
 from mr_dice_spark.operators.terms import (
+    duplicate_span_stats,
     repetition_stats,
     tfidf_top_terms,
     unigram_lm_score,
@@ -76,6 +77,7 @@ __all__ = [
     "repetition_stats",
     "unigram_lm_score",
     "line_dedup",
+    "duplicate_span_stats",
     "contamination_stats",
     "decontaminate",
     "pack_sequences",

@@ -139,6 +139,85 @@ def unigram_lm_score(
     ).select(F.col("__id").alias(id_col), "n_tokens", "avg_neg_logprob")
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    persist_grams: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span signal — the exact-substring-dedup
+    statistic of Lee et al. ("Deduplicating Training Data Makes Language
+    Models Better"): the fraction of a document's tokens lying inside some
+    ``n``-gram that occurs at least twice in the corpus (across documents
+    or repeated within one). Returns (id, n_tokens, dup_tokens,
+    dup_token_ratio) for documents with at least one ``n``-gram; a high
+    ratio marks near-copies and templated text for span-level dedup.
+
+    Scale shape: gram starts are posexploded once; the duplicate census is
+    a gram-keyed aggregate with map-side combine; a semi-join marks
+    duplicated starts (AQE broadcasts the census when small); coverage
+    expands each duplicated start to ``n`` token positions and counts
+    distinct (doc, position) — every corpus-sized shuffle is keyed on the
+    doc id or the gram, never global. The gram stream feeds both census
+    and semi-join; ``persist_grams=True`` trades executor storage for the
+    second corpus scan (the ``persist_tf`` pattern)."""
+    from mr_dice_spark.operators.scale import fan_out
+
+    words = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
+    ).where(F.size("__w") >= n)
+    k = F.size("__w") - (n - 1)
+    starts = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at("__w", (i + j).cast("int")) for j in range(n)]
+            ).alias("g"),
+        ),
+    )
+    grams = words.select(
+        "__id",
+        F.size("__w").alias("__len"),
+        F.explode_outer(starts).alias("__s"),
+    ).where(F.col("__s").isNotNull()).select(
+        "__id", "__len", F.col("__s.pos").alias("__pos"), F.col("__s.g").alias("__g")
+    )
+    if persist_grams:
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("__g")
+    )
+    covered = (
+        grams.join(dup, "__g", "left_semi")
+        .select("__id", F.explode(F.sequence("__pos", F.col("__pos") + (n - 1))).alias("__j"))
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    lens = words.select("__id", F.size("__w").alias("n_tokens"))
+    return (
+        lens.join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")
+            ).alias("dup_token_ratio"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,

@@ -349,3 +349,67 @@ def test_line_dedup_drops_shared_lines_preserves_order(spark):
         for r in line_dedup(df, "doc_id", "text", min_docs=4).collect()
     }
     assert kept_all[1] == "keep1\nboiler\nkeep2" and kept_all[4] == "boiler"
+
+
+def test_duplicate_span_stats_known_values(spark):
+    from mr_dice_spark.operators.terms import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares "a b c" with doc 2
+            (2, "x a b c y"),
+            (3, "p q p q p q"),      # all 3-grams repeat within the doc
+            (4, "u v w"),            # unique single gram
+            (5, "t u"),              # too short for a 3-gram: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_span_stats(df, "doc_id", "text", n=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_tokens"] == 5 and got[1]["dup_tokens"] == 3
+    assert got[1]["dup_token_ratio"] == pytest.approx(3 / 5)
+    assert got[2]["dup_tokens"] == 3              # positions 2-4 cover "a b c"
+    assert got[3]["dup_tokens"] == 6 and got[3]["dup_token_ratio"] == pytest.approx(1.0)
+    assert got[4]["dup_tokens"] == 0 and got[4]["dup_token_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# property test: line_dedup vs a pure-Python reference model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line_st = st.sampled_from(["a", "b", "c d", "e f g", ""])
+_doc_st = st.lists(_line_st, min_size=1, max_size=6)
+
+
+def _line_model(docs, min_docs):
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, lines in docs:
+        for ln in lines:
+            docs_per_line[ln].add(i)
+    out = {}
+    for i, lines in docs:
+        kept = [ln for ln in lines if len(docs_per_line[ln]) < min_docs]
+        if kept:
+            out[i] = ("\n".join(kept), len(kept))
+    return out
+
+
+@given(docs=st.lists(_doc_st, min_size=1, max_size=6), min_docs=st.integers(2, 4))
+@settings(max_examples=15, deadline=None)
+def test_line_dedup_matches_model(spark, docs, min_docs):
+    from mr_dice_spark.operators.lines import line_dedup
+
+    rows = [(i, lines) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in line_dedup(df, "doc_id", "text", min_docs=min_docs).collect()
+    }
+    assert got == _line_model(rows, min_docs)

@@ -274,3 +274,16 @@ def test_line_dedup_no_global_sort_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # duplicate census combines map-side before its exchange
     assert "partial_count" in plan
+
+
+def test_duplicate_span_stats_shapes(spark, sf_dir):
+    from mr_dice_spark.operators.terms import duplicate_span_stats
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    docs = Catalog(spark, sf_dir).documents
+    df = duplicate_span_stats(docs, "doc_id", "text", n=8)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    # gram census combines map-side before its exchange
+    assert "partial_count" in plan
