@@ -1959,3 +1959,24 @@ def duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         _r("dup_token_ratio", 6).alias("dup_token_ratio"),
     ).orderBy("doc_id")
+
+
+@golden("pq_topk_adc", None, tags=("similarity", "ann", "pq"))
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train m=16/nbits=4 codebooks (two Lloyd
+    sweeps), encode the corpus to 16 codes per vector (64x compression),
+    and answer top-10 by asymmetric distance computation — the distance
+    table folds into the plan as literals, so the scan is lookups + a
+    global TakeOrdered. Training is iterative (collect per sweep), hence
+    no SQL oracle; rows-only check."""
+    from mr_dice_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    books = pq_train(emb, "vec_id", "embedding", m=16, nbits=4, n_iter=2)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    out = pq_topk(enc, "vec_id", qvec, books, k=10)
+    return out.select("vec_id", _r(F.col("adc_score"), 6).alias("adc_score")).orderBy(
+        F.desc("adc_score"), "vec_id"
+    )

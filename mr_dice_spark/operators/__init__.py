@@ -15,6 +15,9 @@ from mr_dice_spark.operators.similarity import (
     ivf_assign,
     kmeans_fit,
     embedding_near_dup,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from mr_dice_spark.operators.asof import asof_join
 from mr_dice_spark.operators.components import connected_components, dedup_connected
@@ -71,6 +74,9 @@ __all__ = [
     "ivf_assign",
     "kmeans_fit",
     "embedding_near_dup",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
     "asof_join",
     "sessionize",
     "tfidf_top_terms",

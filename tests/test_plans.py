@@ -287,3 +287,18 @@ def test_duplicate_span_stats_shapes(spark, sf_dir):
     assert "SinglePartition" not in plan
     # gram census combines map-side before its exchange
     assert "partial_count" in plan
+
+
+def test_pq_encode_and_adc_shapes(spark, sf_dir):
+    from mr_dice_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = Catalog(spark, sf_dir).embeddings
+    books = pq_train(emb, "vec_id", "embedding", m=8, nbits=4, n_iter=1)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    # encoding is one Arrow-batched pass: the only exchange is the fan_out
+    assert shuffle_count(enc) <= 1
+    qvec = [1.0] + [0.0] * 63
+    top = pq_topk(enc, "vec_id", qvec, books, k=5)
+    # ADC scoring is literal lookups + a global top-k: TakeOrdered, no join
+    assert "TakeOrderedAndProject" in physical_plan(top)
+    assert not has_cartesian(top)

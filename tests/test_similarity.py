@@ -106,3 +106,47 @@ def test_trained_ivf_recall_not_worse(emb, qvec):
                                        k=10, n_centroids=8, n_probe=2, train_iters=3)))
     assert len(trained & exact) >= len(raw & exact)
     assert len(trained & exact) >= 5  # sane recall on the synthetic corpus
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_exact_on_codeword_vectors(spark):
+    """Vectors that ARE codewords reconstruct losslessly: ADC score equals
+    the exact cosine."""
+    from mr_dice_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    base = [[0.0] * 8 for _ in range(4)]
+    for i in range(4):
+        base[i][2 * i] = 1.0  # orthogonal unit vectors
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+    books = pq_train(df, "vec_id", "embedding", m=2, nbits=2, n_iter=2)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    enc = pq_encode(df, "vec_id", "embedding", books)
+    top = pq_topk(enc, "vec_id", base[1], books, k=4).collect()
+    assert top[0]["vec_id"] == 1
+    assert top[0]["adc_score"] == pytest.approx(1.0)
+    assert all(abs(r["adc_score"]) < 1e-9 for r in top[1:])  # orthogonal rest
+
+
+def test_pq_recall_vs_bruteforce(emb, qvec):
+    from mr_dice_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    exact = set(_ids(cosine_topk_bruteforce(emb, "vec_id", "embedding", qvec, k=10)))
+    books = pq_train(emb, "vec_id", "embedding", m=16, nbits=4, n_iter=3)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    approx = {r["vec_id"] for r in pq_topk(enc, "vec_id", qvec, books, k=20).collect()}
+    # 64x compression (64 dims * 8B -> 16 codes * 4 bits): expect solid
+    # overlap of the exact top-10 within the approximate top-20
+    assert len(exact & approx) >= 6
+
+
+def test_pq_validates_input(emb):
+    from mr_dice_spark.operators.similarity import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, "vec_id", "embedding", m=7)
