@@ -1961,6 +1961,28 @@ def duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@golden("cosine_topk_ivf_pq_approx", None, tags=("similarity", "ann", "ivf", "pq"))
+def cosine_topk_ivf_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN: build the cluster-partitioned PQ-coded index
+    (8 coarse clusters, m=16/nbits=4 codes), then answer top-10 probing 3
+    clusters — the query plan reads only the probed fraction and scores by
+    ADC table lookups, the architecture that holds at 100 TB. Iterative
+    training, hence rows-only check."""
+    from mr_dice_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    index_df, centroids, books = ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=8, m=16, nbits=4,
+        train_iters=2, pq_iters=2,
+    )
+    out = ivf_pq_topk(index_df, "vec_id", qvec, centroids, books, k=10, n_probe=3)
+    return out.select("vec_id", _r(F.col("adc_score"), 6).alias("adc_score")).orderBy(
+        F.desc("adc_score"), "vec_id"
+    )
+
+
 @golden("pq_topk_adc", None, tags=("similarity", "ann", "pq"))
 def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: train m=16/nbits=4 codebooks (two Lloyd

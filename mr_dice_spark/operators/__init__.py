@@ -18,6 +18,8 @@ from mr_dice_spark.operators.similarity import (
     pq_encode,
     pq_topk,
     pq_train,
+    ivf_pq_index,
+    ivf_pq_topk,
 )
 from mr_dice_spark.operators.asof import asof_join
 from mr_dice_spark.operators.components import connected_components, dedup_connected
@@ -77,6 +79,8 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_index",
+    "ivf_pq_topk",
     "asof_join",
     "sessionize",
     "tfidf_top_terms",

@@ -490,6 +490,83 @@ def pq_topk(
     )
 
 
+def ivf_pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    train_iters: int = 2,
+    pq_iters: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Build an IVF-PQ index: coarse spherical k-means clusters for probe
+    pruning + product-quantization codes for in-cluster scoring. Returns
+    ``(index_df(id, __cluster, codes), centroids, codebooks)``.
+
+    This is the build-once/query-many split of a production ANN index
+    (FAISS IVFPQ shape): at scale the index DataFrame is persisted
+    partitioned/bucketed BY ``__cluster`` so a probe query reads
+    n_probe/n_centroids of the files, and each stored row is m × nbits
+    bits instead of dim × 8 bytes. Codes are computed on the full
+    normalized vector (shared codebooks across clusters), not the
+    classical per-cluster residual — one codebook set, one Arrow pass,
+    at the cost of some quantization error vs residual encoding.
+    """
+    trained = (
+        kmeans_fit(df, id_col, vec_col, k=n_centroids, n_iter=train_iters)
+        if train_iters > 0
+        else None
+    )
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_centroids, centroids=trained)
+    books = pq_train(df, id_col, vec_col, m=m, nbits=nbits, n_iter=pq_iters)
+    vec = F.col(vec_col).cast("array<double>")
+    index_df = fan_out(
+        assigned.select(
+            F.col(id_col).alias("__id"), F.col("__cluster"), vec.alias("__v")
+        )
+    ).select(
+        F.col("__id").alias(id_col),
+        "__cluster",
+        _pq_codes_udf(books)("__v").alias("codes"),
+    )
+    return index_df, centroids, books
+
+
+def ivf_pq_topk(
+    index_df: DataFrame,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query an :func:`ivf_pq_index`: prune to the ``n_probe`` clusters
+    whose centroids best match the query, then ADC-score the survivors.
+
+    Query-time cost is pure pruned-scan arithmetic — the cluster filter
+    is a partition-prunable predicate, scoring is m array-literal lookups
+    + a sum per row (:func:`pq_topk`), and the result is a global
+    TakeOrdered. No vector column is read, no Python runs, no shuffle.
+    """
+    qu = _unit([float(x) for x in query_vec])
+
+    def csim(c: list[float]) -> float:
+        return sum(a * b for a, b in zip(qu, _unit(c)))
+
+    probes = [
+        ci for ci, _ in sorted(centroids, key=lambda t: (-csim(t[1]), t[0]))[:n_probe]
+    ]
+    return pq_topk(
+        index_df.where(F.col("__cluster").isin(probes)),
+        id_col,
+        query_vec,
+        codebooks,
+        k=k,
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str,

@@ -289,6 +289,29 @@ def test_duplicate_span_stats_shapes(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_ivf_pq_query_shapes(spark, sf_dir):
+    """The query side of an IVF-PQ index is filter + lookups + TakeOrdered:
+    no Python UDF, no join, no extra exchange beyond what the index build
+    left behind."""
+    from mr_dice_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    index_df, centroids, books = ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=4, m=8, nbits=4,
+        train_iters=0, pq_iters=1,
+    )
+    # persist the index the way ingest would: the query plan then starts
+    # from an in-memory relation with no UDF in sight
+    cached = spark.createDataFrame(index_df.collect(), index_df.schema)
+    qvec = [1.0] + [0.0] * 63
+    top = ivf_pq_topk(cached, "vec_id", qvec, centroids, books, k=5, n_probe=2)
+    plan = physical_plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert not has_cartesian(top)
+    assert shuffle_count(top) == 0
+
+
 def test_pq_encode_and_adc_shapes(spark, sf_dir):
     from mr_dice_spark.operators.similarity import pq_encode, pq_topk, pq_train
 

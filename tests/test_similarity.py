@@ -145,6 +145,28 @@ def test_pq_recall_vs_bruteforce(emb, qvec):
     assert len(exact & approx) >= 6
 
 
+def test_ivf_pq_recall_and_pruning(emb, qvec):
+    from mr_dice_spark.operators.similarity import ivf_pq_index, ivf_pq_topk
+
+    exact = set(_ids(cosine_topk_bruteforce(emb, "vec_id", "embedding", qvec, k=10)))
+    index_df, centroids, books = ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=8, m=16, nbits=4,
+        train_iters=2, pq_iters=2,
+    )
+    # probing all clusters must equal plain PQ ADC over the full corpus
+    from mr_dice_spark.operators.similarity import pq_topk
+
+    full = _ids(pq_topk(index_df, "vec_id", qvec, books, k=10))
+    allp = _ids(ivf_pq_topk(index_df, "vec_id", qvec, centroids, books,
+                            k=10, n_probe=8))
+    assert full == allp
+    # pruned probe keeps decent recall of the exact top-10 in its top-20
+    approx = {r["vec_id"] for r in
+              ivf_pq_topk(index_df, "vec_id", qvec, centroids, books,
+                          k=20, n_probe=3).collect()}
+    assert len(exact & approx) >= 5
+
+
 def test_pq_validates_input(emb):
     from mr_dice_spark.operators.similarity import pq_train
 
