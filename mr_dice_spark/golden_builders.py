@@ -372,6 +372,109 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_ORACLE = """
+SELECT n_name,
+       ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@golden("q05_local_supplier_volume", Q5_ORACLE, tags=("join", "agg", "tpch"))
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join where region→nation→supplier is a
+    broadcast dimension chain and the same-nation condition
+    (c_nationkey = s_nationkey) rides the lineitem-supplier join — the
+    only big shuffles are the fact-side equi-joins, which is the plan
+    that survives at 100 TB."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    dims = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            dims,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_ms,
+       o_totalprice,
+       ROUND(1e-9 + SUM(l_quantity), 4) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@golden("q18_large_volume_customer", Q18_ORACLE, tags=("join", "agg", "semi", "tpch"))
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-subquery becomes an aggregate + left-semi
+    join against the fact table (the qualifying-order list is tiny, so
+    AQE broadcasts the semi side), then re-join and re-aggregate. The
+    big-order list is computed once — not a correlated per-row probe."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        t.lineitem.join(big.withColumnRenamed("l_orderkey", "__ok"),
+                        F.col("l_orderkey") == F.col("__ok"), "left_semi")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_r(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 PIVOT_ORACLE = """
 SELECT l_returnflag,
        ROUND(1e-9 + SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS qty_f,

@@ -289,6 +289,23 @@ def test_duplicate_span_stats_shapes(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_q05_broadcasts_dim_chain(spark, sf_dir):
+    """Q5's region→nation chain broadcasts; no cartesian sneaks in via the
+    same-nation residual condition."""
+    df = GOLDEN["q05_local_supplier_volume"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian(df)
+
+
+def test_q18_semi_join_not_correlated(spark, sf_dir):
+    """Q18's IN-subquery plans as one aggregate + semi join, not a per-row
+    probe: exactly one semi join, no cartesian."""
+    df = GOLDEN["q18_large_volume_customer"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert not has_cartesian(df)
+
+
 def test_ivf_pq_query_shapes(spark, sf_dir):
     """The query side of an IVF-PQ index is filter + lookups + TakeOrdered:
     no Python UDF, no join, no extra exchange beyond what the index build
