@@ -1961,6 +1961,60 @@ def duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _curation_oracle() -> str:
+    from mr_dice_spark.functions.text import EN_STOPWORDS, LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n         ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in langs)
+    mx = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    whens = "\n              ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in langs)
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         {scores},
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             w -> list_contains([{sw}], w))) * 1.0
+           / len(string_split_regex(trim(text), '\\s+')) AS swr,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+  FROM documents
+),
+m AS (SELECT *, {mx} AS mx FROM scored),
+lab AS (
+  SELECT *, CASE WHEN mx = 0 THEN 'und'
+              {whens}
+            END AS detected_lang
+  FROM m
+),
+v AS (
+  SELECT doc_id, n_tokens, detected_lang,
+         CASE WHEN dup_rank > 1 THEN 'exact_dup'
+              WHEN n_tokens < 25 THEN 'too_short'
+              WHEN detected_lang = 'und' THEN 'lang_und'
+              WHEN swr < 0.02 THEN 'low_stopword'
+              ELSE 'ok' END AS reason
+  FROM lab
+)
+SELECT doc_id, n_tokens, detected_lang, reason,
+       CASE WHEN reason = 'ok' THEN 'keep' ELSE 'drop' END AS verdict
+FROM v
+ORDER BY doc_id
+"""
+
+
+@golden("corpus_curation_pipeline", _curation_oracle(), tags=("text", "pipeline", "dedup", "quality"))
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation gate: exact-dup removal + length + language +
+    stopword-density cascade, one verdict and first-failing reason per
+    document — the C4/Gopher-style keep/drop stage of a training-data
+    pipeline, fully hash-checked against the SQL restatement."""
+    from mr_dice_spark.operators.curation import curate_corpus
+
+    docs = Catalog(spark, sf_dir).documents
+    return curate_corpus(docs, "doc_id", "text").orderBy("doc_id")
+
+
 @golden("cosine_topk_ivf_pq_approx", None, tags=("similarity", "ann", "ivf", "pq"))
 def cosine_topk_ivf_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN: build the cluster-partitioned PQ-coded index

@@ -22,6 +22,7 @@ from mr_dice_spark.operators.similarity import (
     ivf_pq_topk,
 )
 from mr_dice_spark.operators.asof import asof_join
+from mr_dice_spark.operators.curation import curate_corpus
 from mr_dice_spark.operators.components import connected_components, dedup_connected
 from mr_dice_spark.operators.interval import interval_join
 from mr_dice_spark.operators.sampling import (
@@ -82,6 +83,7 @@ __all__ = [
     "ivf_pq_index",
     "ivf_pq_topk",
     "asof_join",
+    "curate_corpus",
     "sessionize",
     "tfidf_top_terms",
     "repetition_stats",

@@ -413,3 +413,40 @@ def test_line_dedup_matches_model(spark, docs, min_docs):
         for r in line_dedup(df, "doc_id", "text", min_docs=min_docs).collect()
     }
     assert got == _line_model(rows, min_docs)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation cascade
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_every_rule_fires(spark):
+    from mr_dice_spark.operators.curation import curate_corpus
+
+    en = "the cat and the dog sat on the mat with a hat and it was good " * 3
+    rows = [
+        (0, en),                          # keep
+        (1, en),                          # exact_dup of 0 (higher id loses)
+        (2, "short text only"),           # too_short
+        (3, " ".join(["zzz"] * 40)),      # lang_und: no marker words
+        (4, " ".join(["the"] + ["qqq"] * 60)),  # low marker density
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["verdict"], r["reason"])
+           for r in curate_corpus(df, "doc_id", "text").collect()}
+    assert got[0] == ("keep", "ok")
+    assert got[1] == ("drop", "exact_dup")
+    assert got[2] == ("drop", "too_short")
+    assert got[3] == ("drop", "lang_und")
+    assert got[4] == ("drop", "low_stopword")
+
+
+def test_curate_corpus_one_shuffle(spark, sf_dir):
+    from mr_dice_spark.catalog import Catalog
+    from mr_dice_spark.operators.curation import curate_corpus
+    from mr_dice_spark.plans.inspect import shuffle_count
+
+    docs = Catalog(spark, sf_dir).documents
+    out = curate_corpus(docs, "doc_id", "text")
+    # the dedup window is the only exchange; the signal cascade adds none
+    assert shuffle_count(out) == 1
