@@ -192,6 +192,29 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_ORACLE = """
+SELECT event_type, COUNT(*) AS est_count
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) >= 0.05 * (SELECT COUNT(*) FROM events)
+ORDER BY est_count DESC, event_type
+"""
+
+
+@golden("heavy_hitters_cms_events", CMS_ORACLE, tags=("agg", "approx", "sketch", "cms"))
+def heavy_hitters_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event types: one map-side-merged
+    sketch pass + driver point queries, the frequency twin of the HLL
+    cardinality sketch. At eps=1e-4 the collision probability for this key
+    domain is ~1e-17, so estimates equal exact counts and the golden
+    hash-matches the exact GROUP BY oracle — the sketch's overcount bound
+    is property-tested separately at tiny width."""
+    from mr_dice_spark.operators.sketch import heavy_hitters_cms
+
+    ev = Catalog(spark, sf_dir).events
+    return heavy_hitters_cms(ev, "event_type", min_share=0.05)
+
+
 # ---------------------------------------------------------------------------
 # P19/F8: 230-row space-group dimension as a broadcast join
 # ---------------------------------------------------------------------------
@@ -534,6 +557,41 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.sum("value").over(running), 4).alias("running_value"),
         _r(F.avg("value").over(trailing), 4).alias("avg_5"),
     ).orderBy("user_id", "event_id")
+
+
+RANKING_ORACLE = """
+SELECT s_nationkey, s_suppkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(1e-9 + PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(1e-9 + CUME_DIST() OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_nationkey, rnk, s_suppkey
+"""
+
+
+@golden("window_ranking_family", RANKING_ORACLE, tags=("window", "rank", "ntile"))
+def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family (rank, dense_rank, ntile, percent_rank,
+    cume_dist) per nation over supplier balances — the W-functions the
+    reference never uses but Spark's Window gives for free (SURVEY.md
+    §2.5 note). Total order inside the partition (tiebreak s_suppkey)
+    makes every function deterministic, ntile included."""
+    from pyspark.sql import Window
+
+    s = Catalog(spark, sf_dir).supplier
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        _r(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _r(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("s_nationkey", "rnk", "s_suppkey")
 
 
 LAG_ORACLE = """

@@ -23,6 +23,7 @@ from mr_dice_spark.operators.similarity import (
 )
 from mr_dice_spark.operators.asof import asof_join
 from mr_dice_spark.operators.curation import curate_corpus
+from mr_dice_spark.operators.sketch import cms_estimate, cms_sketch, heavy_hitters_cms
 from mr_dice_spark.operators.components import connected_components, dedup_connected
 from mr_dice_spark.operators.interval import interval_join
 from mr_dice_spark.operators.sampling import (
@@ -84,6 +85,9 @@ __all__ = [
     "ivf_pq_topk",
     "asof_join",
     "curate_corpus",
+    "cms_sketch",
+    "cms_estimate",
+    "heavy_hitters_cms",
     "sessionize",
     "tfidf_top_terms",
     "repetition_stats",

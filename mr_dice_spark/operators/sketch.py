@@ -1,0 +1,85 @@
+"""Mergeable-sketch operators: count-min-sketch heavy hitters.
+
+Complements the HLL approximate-distinct path (golden
+``approx_distinct_users_daily``) with the frequency side: a count-min
+sketch is built by Spark's native ``count_min_sketch`` aggregate (merged
+map-side per partition, exactly like a partial aggregate — the shuffle
+carries d×w counters per partition, never rows), shipped to the driver as
+bytes, and queried there for candidate keys. The reference has no sketches
+(north-star extension); at 100 TB this is how you answer "which keys
+exceed p% of a trillion rows" with one narrow pass and KBs of state.
+
+Guarantee: estimate >= true count always; estimate <= true + eps*N with
+probability >= confidence. With eps = 1e-4 and a small candidate set the
+collision probability is ~w^-d (~1e-17), so estimates are exact in
+practice — which is what lets the golden hash-match an exact-count oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> bytes:
+    """One-pass count-min sketch over ``col`` (string or integral);
+    returns the serialized sketch (d = ceil(ln(1/(1-confidence))) rows ×
+    w = ceil(e/eps) counters — KBs, independent of row count)."""
+    row = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("s")
+    ).first()
+    return bytes(row["s"])
+
+
+def cms_estimate(spark: SparkSession, sketch: bytes, keys: Iterable) -> dict:
+    """Point-query the sketch for each key driver-side (JVM
+    ``CountMinSketch.readFrom``). Returns {key: estimated_count}."""
+    cms = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        sketch
+    )
+    return {k: int(cms.estimateCount(k)) for k in keys}
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.05,
+    candidates: Sequence | None = None,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Keys whose estimated frequency is at least ``min_share`` of all
+    rows: ``(col, est_count)``, descending count then key.
+
+    ``candidates`` bounds the point-query set; by default the distinct
+    values of ``col`` are collected — fine for enum-like columns. For
+    high-cardinality columns pass candidates from a cheap source (a
+    per-partition local top-N, a prior day's hitters): any true heavy
+    hitter missing from ``candidates`` cannot be reported, but the sketch
+    itself never misses — estimates only overcount.
+    """
+    spark = df.sparkSession
+    total_row = df.count()
+    sketch = cms_sketch(df, col, eps=eps, confidence=confidence, seed=seed)
+    if candidates is None:
+        candidates = [r[0] for r in df.select(col).distinct().collect()]
+    est = cms_estimate(spark, sketch, candidates)
+    cut = min_share * total_row
+    rows = sorted(
+        ((k, n) for k, n in est.items() if n >= cut),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return spark.createDataFrame(
+        [(k, n) for k, n in rows], f"{col} string, est_count long"
+    )

@@ -450,3 +450,39 @@ def test_curate_corpus_one_shuffle(spark, sf_dir):
     out = curate_corpus(docs, "doc_id", "text")
     # the dedup window is the only exchange; the signal cascade adds none
     assert shuffle_count(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_at_tiny_width(spark):
+    """With eps huge (width 3) collisions are forced: every estimate must
+    still be >= the true count (the one-sided CMS guarantee)."""
+    from mr_dice_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [(f"k{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", eps=1.0, confidence=0.9)
+    exact = {f"k{i}": len([r for r in rows if r[0] == f"k{i}"]) for i in range(7)}
+    est = cms_estimate(spark, sk, exact.keys())
+    assert all(est[k] >= n for k, n in exact.items())
+    assert sum(exact.values()) == 200
+
+
+def test_heavy_hitters_cms_matches_exact(spark, sf_dir):
+    from mr_dice_spark.catalog import Catalog
+    from mr_dice_spark.operators.sketch import heavy_hitters_cms
+
+    from pyspark.sql import functions as F
+
+    ev = Catalog(spark, sf_dir).events
+    got = {(r[0], r[1]) for r in heavy_hitters_cms(ev, "event_type", min_share=0.05).collect()}
+    total = ev.count()
+    exact = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] >= 0.05 * total
+    }
+    assert got == exact
