@@ -1961,6 +1961,40 @@ def duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@golden("streaming_hourly_window", WINDOW_ORACLE, tags=("streaming", "window", "events"))
+def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly tumbling-window aggregate as events_hourly_window,
+    but executed by the Structured Streaming engine: readStream file
+    source → watermarked window aggregate → memory sink, drained with an
+    availableNow trigger. A finite replayable source makes the streaming
+    result deterministic and equal to the batch result, so this entry is
+    hash-checked against the identical SQL oracle — streaming with full
+    oracle parity, not a rows-only smoke check."""
+    import uuid
+
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_window_stats,
+    )
+
+    _utc(spark)
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_stream_to_memory(tumbling_window_stats(stream), name)
+    try:
+        out = spark.table(name).select(
+            "window_start_ms",
+            "event_type",
+            "n_events",
+            _r(F.col("avg_value"), 4).alias("avg_value"),
+        ).orderBy("window_start_ms", "event_type")
+        # materialize before the query object goes away
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+
+
 def _curation_oracle() -> str:
     from mr_dice_spark.functions.text import EN_STOPWORDS, LANG_PROFILES
 
