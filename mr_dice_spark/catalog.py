@@ -70,6 +70,15 @@ class Catalog:
 
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Parquet writers vary in whether timestamps come back as
+        # TIMESTAMP_NTZ (isAdjustedToUTC=false) or TIMESTAMP. The engine's
+        # timestamp semantics are LTZ-under-UTC (session timezone is UTC, so
+        # the wall-clock values are identical either way and match the DuckDB
+        # oracle); functions like unix_millis/window require LTZ. Normalize
+        # at the scan boundary so every downstream operator sees one type.
+        for col_name, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

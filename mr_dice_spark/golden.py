@@ -579,3 +579,4 @@ def bench_queries() -> dict[str, GoldenQuery]:
 from mr_dice_spark import golden_pipeline  # noqa: E402,F401  isort:skip
 from mr_dice_spark import golden_builders  # noqa: E402,F401  isort:skip
 from mr_dice_spark import golden_multimodal  # noqa: E402,F401  isort:skip
+from mr_dice_spark import golden_tpch  # noqa: E402,F401  isort:skip

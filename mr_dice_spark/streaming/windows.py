@@ -29,10 +29,12 @@ def read_events_stream(
     """File-source stream over events-shaped parquet.
 
     On a cluster this would be Kafka/Kinesis; the file source exercises the
-    identical incremental plan. NOTE: the driver's events parquet stores
-    TIMESTAMP(NANOS) — the session must have
-    ``spark.sql.legacy.parquet.nanosAsLong`` set (get_spark does) and the
-    column arrives as long ns, converted here.
+    identical incremental plan. The ``ts`` column is normalized to
+    TIMESTAMP (LTZ) at the source boundary exactly like ``Catalog.load``:
+    parquet writers vary between TIMESTAMP(NANOS) (arrives as long ns under
+    ``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP_NTZ, and TIMESTAMP,
+    so the footer schema is inferred with a batch read (readStream requires
+    an explicit schema) and the conversion picked to match.
     """
     import hashlib
     import os
@@ -51,16 +53,19 @@ def read_events_stream(
             os.symlink(path, link)
         path = staged
 
+    footer_schema = spark.read.parquet(path).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
+        .schema(footer_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in footer_schema)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long ns
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_window_stats(
