@@ -1,0 +1,292 @@
+"""OLAP-surface golden queries: multi-dimensional aggregates and set ops.
+
+SURVEY.md §2.4 and §2.7 note the reference has no grouping sets / cube /
+rollup, no INTERSECT/EXCEPT, and no distribution aggregates — but that
+Spark provides them natively, so the engine exposes them as first-class
+surface (the reference's analytic corpus at
+mofdbsql_database/MOFdb_SQL_vs_Traditional_Comparison.md:175-417 is the
+style model; these extend it). Every entry is hash-checked against the
+DuckDB oracle like the rest of the corpus.
+
+Scale notes baked into each query's docstring; the common theme: all of
+these are single-shuffle shapes (rollup/cube/grouping-sets run as ONE
+Expand + hash aggregate, pivot is one conditional-aggregate pass, set ops
+are hash aggregates on the key), so they survive a 100x scale-up exactly
+as well as a plain groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.golden import _r, golden
+from mr_dice_spark.golden_builders import _utc
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchy subtotals in one pass.
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       COUNT(*) AS n_lines,
+       ROUND(1e-9 + SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@golden("rollup_pricing_subtotals", ROLLUP_ORACLE, tags=("rollup", "agg", "olap"))
+def rollup_pricing_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(flag, status): detail rows + per-flag subtotals + grand total
+    in ONE Expand + hash-aggregate pass — one shuffle total, vs the 3 scans
+    a UNION ALL restatement would cost. Group keys are non-null in the data,
+    so COALESCE to '(all)' unambiguously labels the subtotal rows."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _r(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all dimension combinations.
+# ---------------------------------------------------------------------------
+
+CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
+       COALESCE(o_orderpriority, '(all)') AS orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(1e-9 + SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+"""
+
+
+@golden("cube_order_status_priority", CUBE_ORACLE, tags=("cube", "agg", "olap"))
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping combinations from one
+    Expand (4x row inflation pre-aggregation — acceptable because the
+    partial aggregate collapses each expanded stream map-side before the
+    shuffle; at 100 TB the shuffle carries ~|groups|x4 rows, not |input|x4)."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — two independent dimension breakdowns + grand total,
+# without the cross-combinations a CUBE would add.
+# ---------------------------------------------------------------------------
+
+GSETS_ORACLE = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(CAST(user_band AS VARCHAR), '(all)') AS user_band,
+       COUNT(*) AS n_events,
+       ROUND(1e-9 + SUM(value), 4) AS sum_value
+FROM (SELECT event_type, user_id % 8 AS user_band, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_band), ())
+ORDER BY event_type, user_band
+"""
+
+
+@golden("grouping_sets_event_bands", GSETS_ORACLE, tags=("grouping-sets", "agg", "olap"))
+def grouping_sets_event_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((type), (band), ()): two marginal breakdowns plus the
+    grand total in one pass — the Expand emits 3 streams (not CUBE's 4),
+    and each partial-aggregates map-side. The pattern behind every
+    'dashboard facets' query: N facets = one job, not N."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    src = t.events.select(
+        "event_type", (F.col("user_id") % 8).alias("user_band"), "value"
+    )
+    return (
+        src.groupingSets([["event_type"], ["user_band"], []], "event_type", "user_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("user_band").cast("string"), F.lit("(all)")).alias(
+                "user_band"
+            ),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "user_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — long-to-wide reshaping with an explicit value list.
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT CAST(user_id % 10 AS BIGINT) AS user_band,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY user_id % 10
+ORDER BY user_band
+"""
+
+
+@golden("pivot_event_counts", PIVOT_ORACLE, tags=("pivot", "agg", "olap"))
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list: Spark compiles it to one
+    conditional-aggregation pass (exactly the oracle's CASE form — same
+    plan, nicer API). Omitting the list would trigger a hidden
+    collect-distinct job to discover columns; at 100 TB that discovery scan
+    costs as much as the query, so the engine's rule is: always pass the
+    pivot domain."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    out = (
+        t.events.select(
+            (F.col("user_id") % 10).cast("long").alias("user_band"), "event_type"
+        )
+        .groupBy("user_band")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing combinations null; the CASE oracle yields 0
+    filled = out.select(
+        "user_band",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+    return filled.orderBy("user_band")
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — linear-interpolated quantiles per group.
+# ---------------------------------------------------------------------------
+
+PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(1e-9 + quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(1e-9 + quantile_cont(value, 0.50), 4) AS p50,
+       ROUND(1e-9 + quantile_cont(value, 0.75), 4) AS p75,
+       ROUND(1e-9 + quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@golden("percentiles_value_by_type", PCTL_ORACLE, tags=("percentile", "agg", "olap"))
+def percentiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (percentile(), linear interpolation — identical
+    semantics to DuckDB's quantile_cont). Exact quantiles buffer each
+    group's values, so this is the SMALL-group tool; the 100 TB path is
+    approx_percentile (t-digest, mergeable map-side sketch) — exposed as
+    the same query shape with a documented error bound."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    pct = F.expr("percentile(value, array(0.25D, 0.50D, 0.75D, 0.95D))")
+    return (
+        t.events.groupBy("event_type")
+        .agg(pct.alias("q"))
+        .select(
+            "event_type",
+            _r(F.col("q")[0], 4).alias("p25"),
+            _r(F.col("q")[1], 4).alias("p50"),
+            _r(F.col("q")[2], 4).alias("p75"),
+            _r(F.col("q")[3], 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT — customer-cohort set algebra.
+# ---------------------------------------------------------------------------
+
+INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+ORDER BY custkey
+"""
+
+
+@golden("set_intersect_repeat_customers", INTERSECT_ORACLE, tags=("set-op", "olap"))
+def set_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): customers active in both 1995
+    and 1996. Spark plans it as a left-semi join between the two
+    aggregated key sets — both sides shrink to distinct keys BEFORE the
+    join shuffle, so the cost is bounded by customer cardinality, not
+    order count."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+
+    def year(y: int) -> DataFrame:
+        return t.orders.where(
+            (F.col("o_orderdate") >= f"{y}-01-01") & (F.col("o_orderdate") < f"{y + 1}-01-01")
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1995).intersect(year(1996)).orderBy("custkey")
+
+
+EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+ORDER BY custkey
+"""
+
+
+@golden("set_except_lapsed_customers", EXCEPT_ORACLE, tags=("set-op", "olap"))
+def set_except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who ordered in 1995 but not 1996 —
+    a left-anti join on pre-distincted keys. The batch complement of the
+    streaming dropDuplicates path; same key-shuffle shape."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+
+    def year(y: int) -> DataFrame:
+        return t.orders.where(
+            (F.col("o_orderdate") >= f"{y}-01-01") & (F.col("o_orderdate") < f"{y + 1}-01-01")
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1995).subtract(year(1996)).orderBy("custkey")

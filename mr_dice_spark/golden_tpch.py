@@ -607,3 +607,151 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue: aggregate-view + scalar-max probe.
+# ---------------------------------------------------------------------------
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(1e-9 + SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@golden("q15_top_supplier", Q15_ORACLE, tags=("scalar-subquery", "agg", "tpch"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view is computed ONCE, its global max
+    becomes a 1-row broadcast, and the winner filter streams over the same
+    aggregate — the view is small (one row per supplier) so the re-use costs
+    a broadcast, not a rescan of lineitem. The max probe compares values
+    nudge-rounded identically on both sides, so cross-engine double noise
+    cannot flip the argmax."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    revenue = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part class: COUNT(DISTINCT) + NOT-IN anti.
+# ---------------------------------------------------------------------------
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@golden("q16_supplier_diversity", Q16_ORACLE, tags=("anti", "distinct-agg", "tpch"))
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a non-null key list is a left-anti join
+    (never a collected blacklist), the brand/type/size filters prune the
+    broadcast part side before the fact join, and COUNT(DISTINCT) runs as
+    Spark's two-phase distinct-aggregate expand."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    p = t.part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess shipments: nested IN chain as semi-join chain.
+# ---------------------------------------------------------------------------
+
+Q20_ORACLE = """
+SELECT s_name, ROUND(1e-9 + s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 300
+  )
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  )
+ORDER BY s_name
+"""
+
+
+@golden("q20_excess_shipments", Q20_ORACLE, tags=("semi", "having", "tpch"))
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: both IN subqueries become left-semi joins — the
+    heavy one (year of widget shipments, grouped with a HAVING threshold)
+    reduces to one row per qualifying supplier before the probe, and the
+    nation list is a broadcast semi against a 3-row dimension slice."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    widget = t.part.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    heavy = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(widget), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    nations = t.nation.where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    return (
+        t.supplier.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", _r("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
