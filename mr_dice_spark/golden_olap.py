@@ -166,12 +166,12 @@ ORDER BY user_band
 
 @golden("pivot_event_counts", PIVOT_ORACLE, tags=("pivot", "agg", "olap"))
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot with an EXPLICIT value list: Spark compiles it to one
-    conditional-aggregation pass (exactly the oracle's CASE form — same
-    plan, nicer API). Omitting the list would trigger a hidden
-    collect-distinct job to discover columns; at 100 TB that discovery scan
-    costs as much as the query, so the engine's rule is: always pass the
-    pivot domain."""
+    """Pivot with an EXPLICIT value list: Spark pre-aggregates by
+    (band, type) and then pivots the already-collapsed groups with
+    pivotfirst — the wide rows are built from |bands|x|types| inputs, not
+    raw events. Omitting the list would trigger a hidden collect-distinct
+    job to discover columns; at 100 TB that discovery scan costs as much
+    as the query, so the engine's rule is: always pass the pivot domain."""
     _utc(spark)
     t = Catalog(spark, sf_dir)
     out = (

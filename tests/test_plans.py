@@ -342,3 +342,79 @@ def test_pq_encode_and_adc_shapes(spark, sf_dir):
     # ADC scoring is literal lookups + a global top-k: TakeOrdered, no join
     assert "TakeOrderedAndProject" in physical_plan(top)
     assert not has_cartesian(top)
+
+
+def test_tpch_part4_no_cartesian_and_broadcasts(spark, sf_dir):
+    # the part-4 TPC-H shapes must keep dimension sides broadcast and never
+    # fall back to a cartesian product
+    for name, min_bc in [
+        ("q04_order_priority", 0),
+        ("q07_volume_shipping", 2),   # two aliased nation dims
+        ("q08_market_share", 2),      # part slice + n2 (+ region chain)
+        ("q09_product_profit", 2),    # part slice + nation
+        ("q10_returned_items", 1),
+        ("q12_shipping_delay", 0),
+        ("q13_customer_distribution", 0),
+        ("q17_small_quantity", 2),    # brand parts + threshold agg
+        ("q19_disjunctive_bands", 1),
+        ("q21_waiting_supplier", 0),
+        ("q16_supplier_diversity", 2),
+        ("q20_excess_shipments", 2),
+    ]:
+        df = GOLDEN[name].spark(spark, sf_dir)
+        assert not has_cartesian(df), name
+        assert broadcast_join_count(df) >= min_bc, name
+
+
+def test_q19_part_disjunction_pushed_to_scan(spark, sf_dir):
+    # the part-only OR-of-ANDs must be factored out of the mixed-side
+    # predicate and reach the part parquet scan as a pushed filter
+    df = GOLDEN["q19_disjunctive_bands"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed and "p_size" in pushed
+
+
+def test_q13_join_filter_stays_in_outer_join(spark, sf_dir):
+    # COUNT(o_orderkey) per customer must include zero-order customers:
+    # left-outer join present, counts preserved
+    df = GOLDEN["q13_customer_distribution"].spark(spark, sf_dir)
+    assert "LeftOuter" in physical_plan(df)
+
+
+def test_olap_expand_single_aggregation_pass(spark, sf_dir):
+    # rollup/cube/grouping-sets compile to ONE Expand + hash aggregate:
+    # a single agg shuffle (plus the presentation sort's range exchange)
+    for name in (
+        "rollup_pricing_subtotals",
+        "cube_order_status_priority",
+        "grouping_sets_event_bands",
+    ):
+        df = GOLDEN[name].spark(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "Expand" in plan, name
+        assert shuffle_count(df) <= 2, name
+
+
+def test_pivot_is_conditional_agg_no_python(spark, sf_dir):
+    # explicit-domain pivot: pre-aggregate by (band, type) then pivotfirst
+    # by band — two agg shuffles + presentation sort, fully JVM-side, and
+    # crucially NO collect-distinct discovery job
+    df = GOLDEN["pivot_event_counts"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "pivotfirst" in plan
+    assert shuffle_count(df) <= 3
+    assert not has_cartesian(df)
+
+
+def test_set_ops_pre_aggregate_before_join(spark, sf_dir):
+    # INTERSECT/EXCEPT: distinct on both inputs BEFORE the semi/anti join,
+    # bounded by key cardinality
+    for name, join_kind in [
+        ("set_intersect_repeat_customers", "LeftSemi"),
+        ("set_except_lapsed_customers", "LeftAnti"),
+    ]:
+        df = GOLDEN[name].spark(spark, sf_dir)
+        plan = physical_plan(df)
+        assert join_kind in plan, name
+        assert not has_cartesian(df), name
