@@ -2090,3 +2090,98 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _r(F.col("adc_score"), 6).alias("adc_score")).orderBy(
         F.desc("adc_score"), "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sliding window with full oracle parity (extension, §2.10)
+# ---------------------------------------------------------------------------
+
+SLIDING_ORACLE = """
+SELECT epoch_ms(ws) AS window_start_ms,
+       epoch_ms(ws + INTERVAL 1 HOUR) AS window_end_ms,
+       event_type,
+       COUNT(*) AS n_events
+FROM (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+GROUP BY ws, event_type
+ORDER BY window_start_ms, event_type
+"""
+
+
+@golden("streaming_sliding_window", SLIDING_ORACLE, tags=("streaming", "window", "events"))
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 15 min slide) through the Structured
+    Streaming engine, drained with availableNow and hash-checked against a
+    relational restatement: with window = 4 x slide every event lands in
+    EXACTLY 4 windows, so the oracle cross-joins each event to offsets
+    0..3 of its 15-minute bucket — a closed-form of Spark's window()
+    expansion. Same determinism argument as streaming_hourly_window: a
+    finite replayable source makes streaming == batch == SQL."""
+    import uuid
+
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_window_counts,
+    )
+
+    _utc(spark)
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_stream_to_memory(sliding_window_counts(stream), name)
+    try:
+        out = spark.table(name).orderBy("window_start_ms", "event_type")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+
+
+STREAM_SESSION_ORACLE = """
+WITH t AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, epoch_ms(MIN(ts)) AS start_ms, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, start_ms
+"""
+
+
+@golden("streaming_session_window", STREAM_SESSION_ORACLE, tags=("streaming", "sessionize", "events"))
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (session_window, 30 min gap) through the
+    Structured Streaming engine, hash-checked against the gaps-and-islands
+    SQL restatement — the streaming merge rule (extend while the next event
+    arrives < gap after the last) is exactly the islands break condition
+    (diff >= gap starts a new island). Completes the §2.10 trio: all three
+    window families (tumbling/sliding/session) run on the streaming engine
+    with full oracle parity, not just batch-equivalence smoke checks."""
+    import uuid
+
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_window_stats,
+    )
+
+    _utc(spark)
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_stream_to_memory(session_window_stats(stream), name)
+    try:
+        out = spark.table(name).orderBy("user_id", "start_ms")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
