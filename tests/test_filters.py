@@ -149,3 +149,166 @@ def test_formation_energy_per_atom(spark):
     assert got[2] == pytest.approx(-2.4)
     assert got[3] == pytest.approx(-2.0)
     assert got[4] is None and got[5] is None and got[6] is None and got[7] is None
+
+
+# ---------------------------------------------------------------------------
+# property test: random filter ASTs rendered to OPTIMADE text, parsed back,
+# compiled to Columns, and checked against a pure-Python three-valued-logic
+# reference model — parser precedence, literal handling, HAS/LENGTH/KNOWN
+# semantics, and SQL NULL propagation all in one net.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mr_dice_spark.filters.optimade import (
+    BoolOp,
+    Cmp,
+    Has,
+    Known,
+    Length,
+    Not,
+    StrMatch,
+    compile_filter,
+    parse_filter,
+)
+
+_PROP_ROWS = [
+    {"id": 0, "nelements": 1, "band_gap": 0.0, "name": "abc", "elements": ["Si", "O"]},
+    {"id": 1, "nelements": 2, "band_gap": 1.5, "name": "abd", "elements": ["Si"]},
+    {"id": 2, "nelements": 3, "band_gap": None, "name": "xyz", "elements": ["Fe", "O"]},
+    {"id": 3, "nelements": 4, "band_gap": 3.2, "name": "xabc", "elements": []},
+    {"id": 4, "nelements": 2, "band_gap": None, "name": "bcd", "elements": ["Al", "Si", "O"]},
+    {"id": 5, "nelements": 6, "band_gap": 0.7, "name": "abcx", "elements": ["O"]},
+]
+
+_cmp_int = st.builds(
+    Cmp,
+    st.just("nelements"),
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.integers(1, 5),
+)
+_cmp_float = st.builds(
+    Cmp,
+    st.just("band_gap"),
+    st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+    st.sampled_from([0.0, 0.7, 1.5, 2.0]),
+)
+_strmatch = st.builds(
+    StrMatch,
+    st.just("name"),
+    st.sampled_from(["contains", "starts", "ends"]),
+    st.sampled_from(["a", "ab", "abc", "x", "bc"]),
+)
+_has = st.builds(
+    Has,
+    st.just("elements"),
+    st.sampled_from(["all", "any", "only"]),
+    st.lists(st.sampled_from(["Si", "O", "Fe", "Al"]), min_size=1, max_size=3, unique=True).map(tuple),
+)
+_length = st.builds(
+    Length,
+    st.just("elements"),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.integers(0, 3),
+)
+_known = st.builds(Known, st.just("band_gap"), st.booleans())
+
+_leaf = st.one_of(_cmp_int, _cmp_float, _strmatch, _has, _length, _known)
+
+_ast = st.recursive(
+    _leaf,
+    lambda children: st.one_of(
+        st.builds(Not, children),
+        st.builds(
+            BoolOp,
+            st.sampled_from(["and", "or"]),
+            st.lists(children, min_size=2, max_size=3).map(tuple),
+        ),
+    ),
+    max_leaves=6,
+)
+
+
+def _render(n) -> str:
+    if isinstance(n, Cmp):
+        v = f'"{n.value}"' if isinstance(n.value, str) else repr(n.value)
+        return f"{n.field} {n.op} {v}"
+    if isinstance(n, StrMatch):
+        kw = {"contains": "CONTAINS", "starts": "STARTS WITH", "ends": "ENDS WITH"}[n.mode]
+        return f'{n.field} {kw} "{n.value}"'
+    if isinstance(n, Has):
+        vals = ", ".join(f'"{v}"' for v in n.values)
+        return f"{n.field} HAS {n.mode.upper()} {vals}"
+    if isinstance(n, Length):
+        return f"{n.field} LENGTH {n.op} {n.value}"
+    if isinstance(n, Known):
+        return f"{n.field} IS {'KNOWN' if n.known else 'UNKNOWN'}"
+    if isinstance(n, Not):
+        return f"NOT ({_render(n.child)})"
+    if isinstance(n, BoolOp):
+        return "(" + f" {n.op.upper()} ".join(_render(c) for c in n.children) + ")"
+    raise TypeError(n)
+
+
+def _kleene_eval(n, row):
+    """SQL three-valued logic reference: returns True / False / None."""
+    if isinstance(n, Cmp):
+        v = row[n.field]
+        if v is None:
+            return None
+        import operator as op_mod
+
+        ops = {"=": op_mod.eq, "!=": op_mod.ne, "<": op_mod.lt,
+               "<=": op_mod.le, ">": op_mod.gt, ">=": op_mod.ge}
+        return ops[n.op](v, n.value)
+    if isinstance(n, StrMatch):
+        v = row[n.field]
+        if v is None:
+            return None
+        if n.mode == "contains":
+            return n.value in v
+        return v.startswith(n.value) if n.mode == "starts" else v.endswith(n.value)
+    if isinstance(n, Has):
+        have = set(row[n.field])
+        want = set(n.values)
+        if n.mode in ("has", "all"):
+            return want <= have
+        if n.mode == "any":
+            return bool(want & have)
+        return have <= want
+    if isinstance(n, Length):
+        import operator as op_mod
+
+        ops = {"=": op_mod.eq, "!=": op_mod.ne, "<": op_mod.lt,
+               "<=": op_mod.le, ">": op_mod.gt, ">=": op_mod.ge}
+        return ops[n.op](len(row[n.field]), n.value)
+    if isinstance(n, Known):
+        return (row[n.field] is not None) == n.known
+    if isinstance(n, Not):
+        c = _kleene_eval(n.child, row)
+        return None if c is None else (not c)
+    if isinstance(n, BoolOp):
+        vals = [_kleene_eval(c, row) for c in n.children]
+        if n.op == "and":
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+    raise TypeError(n)
+
+
+@given(ast=_ast)
+@settings(max_examples=30, deadline=None)
+def test_filter_roundtrip_matches_kleene_model(spark, ast):
+    text = _render(ast)
+    parsed = parse_filter(text)
+    df = spark.createDataFrame(
+        _PROP_ROWS,
+        "id long, nelements int, band_gap double, name string, elements array<string>",
+    )
+    got = sorted(r["id"] for r in df.where(compile_filter(parsed)).collect())
+    want = sorted(r["id"] for r in _PROP_ROWS if _kleene_eval(ast, r) is True)
+    assert got == want, f"filter: {text}"
