@@ -50,6 +50,54 @@ def spg_number_from_any(*spg_cols: Column) -> Column:
     return out.cast("int")
 
 
+def pack_provider_attrs(
+    df: DataFrame, prefix: str = "_", keep: Sequence[str] = ()
+) -> DataFrame:
+    """Fold open provider-prefixed columns into ``provider_attrs:
+    map<string,string>`` (SURVEY.md §1.3: OPTIMADE/Bohrium records carry
+    provider-namespaced fields like ``_alexandria_space_group`` handled by
+    allow/deny lists, not a schema — reference
+    Optimade_Server/utils.py:109-125).
+
+    The map is the escape hatch; queryable fields should be PROMOTED to
+    typed columns (``promote_attr`` / ``normalize_structures``) because a
+    map lookup is opaque to parquet predicate pushdown and min/max
+    pruning. Null-valued attributes are dropped from the map (absent ==
+    unknown, matching the reference's sparse records).
+    """
+    attr_cols = [c for c in df.columns if c.startswith(prefix) and c not in set(keep)]
+    if not attr_cols:
+        return df.withColumn(
+            "provider_attrs", F.create_map().cast("map<string,string>")
+        )
+    entries: list[Column] = []
+    for c in attr_cols:
+        entries += [F.lit(c), F.col(c).cast("string")]
+    packed = F.map_filter(F.create_map(*entries), lambda _k, v: v.isNotNull())
+    kept = [c for c in df.columns if c not in set(attr_cols)]
+    return df.select(*kept, packed.alias("provider_attrs"))
+
+
+def promote_attr(
+    df: DataFrame, key: str, dtype: str = "string", alias: Optional[str] = None
+) -> DataFrame:
+    """Promote one map attribute back to a typed top-level column — the
+    step that makes it pushdown-able once a provider field turns out to be
+    queried often. Missing keys yield NULL (cast of a missing map value)."""
+    return df.withColumn(
+        alias or key.lstrip("_"), F.col("provider_attrs").getItem(key).cast(dtype)
+    )
+
+
+def scan_evolving(spark, *paths: str) -> DataFrame:
+    """Schema-evolution scan (SURVEY.md §7.3): union the footer schemas of
+    every input (``mergeSchema``) so batches written before a provider
+    added a column read back with NULLs in the new column. Reserved for
+    ingestion paths — steady-state queries should read a single declared
+    schema so the footers of thousands of files aren't merged per query."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def normalize_structures(
     df: DataFrame,
     formula_col: str = "chemical_formula_reduced",

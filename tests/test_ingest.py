@@ -202,3 +202,51 @@ def test_zorder_key_bit_budget(spark):
 
     with pytest.raises(ValueError):
         zorder_key([F.col("a")] * 6, [(0, 1)] * 6, bits=12)  # 72 bits
+
+
+# ---------------------------------------------------------------------------
+# open provider-attribute schema (§1.3): MapType escape hatch + promotion
+# ---------------------------------------------------------------------------
+
+
+def test_pack_provider_attrs_roundtrip(spark):
+    from mr_dice_spark.ingest import pack_provider_attrs, promote_attr
+
+    df = spark.createDataFrame(
+        [
+            (1, "SiO2", 221, None),
+            (2, "FeO", None, "Pm-3m"),
+        ],
+        "id long, formula string, _alexandria_space_group int, _oqmd_spacegroup string",
+    )
+    packed = pack_provider_attrs(df)
+    assert set(packed.columns) == {"id", "formula", "provider_attrs"}
+    rows = {r["id"]: r["provider_attrs"] for r in packed.collect()}
+    # null-valued attrs are dropped; survivors stringify
+    assert rows[1] == {"_alexandria_space_group": "221"}
+    assert rows[2] == {"_oqmd_spacegroup": "Pm-3m"}
+
+    promoted = promote_attr(packed, "_alexandria_space_group", "int", alias="spg")
+    got = {r["id"]: r["spg"] for r in promoted.collect()}
+    assert got == {1: 221, 2: None}
+
+
+def test_pack_provider_attrs_no_attr_columns(spark):
+    from mr_dice_spark.ingest import pack_provider_attrs
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = pack_provider_attrs(df)
+    assert out.collect()[0]["provider_attrs"] == {}
+
+
+def test_scan_evolving_merges_schemas(spark, tmp_path):
+    from mr_dice_spark.ingest import scan_evolving
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(p1)
+    spark.createDataFrame([(2, 3.5)], "id long, b double").write.parquet(p2)
+    out = scan_evolving(spark, p1, p2).orderBy("id")
+    assert set(out.columns) == {"id", "a", "b"}
+    rows = out.collect()
+    assert rows[0]["a"] == "x" and rows[0]["b"] is None
+    assert rows[1]["a"] is None and rows[1]["b"] == 3.5
