@@ -33,14 +33,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries().items()):
         # best of 2: the first run pays one-off plan/codegen compilation;
-        # min reflects steady-state throughput (what a resident engine sees)
-        best, n = None, 0
+        # min reflects steady-state throughput (what a resident engine sees).
+        # Materialize through the noop sink: count() alone would let
+        # Catalyst prune the aggregate/projection expressions it doesn't
+        # need for row counting, under-measuring the query.
+        best = None
         for _ in range(2):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
+        n = df.count()
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -1,0 +1,111 @@
+"""Scale-up probe: replicate the sf0.1 tables Nx and measure operator
+scaling (internal perf harness — NOT part of the driver contract).
+
+The driver's largest fixture is sf0.1 (~600 k lineitem rows). To check the
+100 TB story empirically rather than by argument, this script fabricates an
+~sfN fixture by unioning N key-shifted copies of sf0.1 into /tmp parquet,
+then times a representative operator slice at both scales. A healthy
+operator shows ~Nx wall clock (linear in input) — anything superlinear is a
+hazard (quadratic candidate growth, driver-side materialization, a global
+sort) and gets investigated.
+
+Run: python tools/scale_probe.py [N]           (default N=10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mr_dice_spark.catalog import Catalog  # noqa: E402
+from mr_dice_spark.golden import GOLDEN  # noqa: E402
+from mr_dice_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (table, key columns to shift so replicas don't collide)
+SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dimensions stay single-copy: part/supplier/nation/region
+}
+
+PROBES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q21_waiting_supplier",
+    "events_sessionize",
+    "events_hourly_window",
+    "minhash_lsh_dedup_survivors",
+    "jaccard_similarity_join",
+    "text_analysis_stats",
+    "cosine_topk_bruteforce",
+]
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> None:
+    cat = Catalog(spark, SF_DIR)
+    for table, keys in SHIFT.items():
+        src = cat.table(table)
+        # key stride larger than any real key so replicas never collide
+        stride = 10 ** 12
+        copies = []
+        for i in range(factor):
+            c = src
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * stride))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    for table in ["part", "supplier", "nation", "region"]:
+        cat.table(table).write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def time_probe(spark, name: str, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    df = GOLDEN[name].spark(spark, sf_dir)
+    if isinstance(df, DataFrame):
+        df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    scaled_dir = os.path.join(tempfile.gettempdir(), f"mr_dice_scale_x{factor}")
+    # region is written LAST — its presence means the build completed
+    if not os.path.exists(os.path.join(scaled_dir, "region.parquet")):
+        print(f"# building x{factor} fixture at {scaled_dir}", file=sys.stderr)
+        build_scaled(spark, factor, scaled_dir)
+
+    report = {}
+    for name in PROBES:
+        base = time_probe(spark, name, SF_DIR)
+        big = time_probe(spark, name, scaled_dir)
+        ratio = big / base if base > 0 else float("inf")
+        report[name] = {
+            "base_s": round(base, 2),
+            f"x{factor}_s": round(big, 2),
+            "ratio": round(ratio, 1),
+        }
+        print(f"# {name}: {base:.2f}s -> {big:.2f}s (x{ratio:.1f})", file=sys.stderr)
+    print(json.dumps({"factor": factor, "probes": report}))
+
+
+if __name__ == "__main__":
+    main()
