@@ -371,14 +371,23 @@ def ngram_jaccard_join(
 
     Scale note: fan-out is bounded by shingle document frequency; for
     heavy-tailed corpora, drop ultra-frequent shingles (stop-shingles)
-    before the join or switch to the LSH variant.
+    before the join or switch to the LSH variant. Candidate generation
+    applies the AllPairs/PPJoin length filter: jaccard >= t forces
+    t*|A| <= |B| <= |A|/t, so length-incompatible pairs are pruned inside
+    the join (before the pair-aggregation shuffle) without changing the
+    exact result set.
     """
     sh = shingles_exploded(df, id_col, text_col, shingle_n)
+    length_compatible = (
+        F.col("y.__n") >= F.lit(threshold) * F.col("x.__n")
+    ) & (F.col("x.__n") >= F.lit(threshold) * F.col("y.__n"))
     inter = (
         sh.alias("x")
         .join(
             sh.alias("y"),
-            (F.col("x.__s") == F.col("y.__s")) & (F.col("x.__id") < F.col("y.__id")),
+            (F.col("x.__s") == F.col("y.__s"))
+            & (F.col("x.__id") < F.col("y.__id"))
+            & length_compatible,
         )
         .groupBy(
             F.col("x.__id").alias("id_a"),
