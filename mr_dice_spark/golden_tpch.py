@@ -755,3 +755,151 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", _r("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part within a region (partsupp emulated as the
+# distinct (part, supplier) relationship observed in lineitem, with
+# avg unit price as the supply-cost proxy).
+# ---------------------------------------------------------------------------
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ROUND(1e-9 + AVG(l_extendedprice / l_quantity), 4) AS ps_supplycost
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+),
+regional AS (
+  SELECT ps.*, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+best AS (
+  SELECT ps_partkey AS b_key, MIN(ps_supplycost) AS min_cost
+  FROM regional GROUP BY ps_partkey
+)
+SELECT ROUND(1e-9 + s_acctbal, 2) AS acctbal, s_name, n_name,
+       p_partkey, p_type, ps_supplycost AS supplycost
+FROM regional
+JOIN best ON b_key = ps_partkey AND ps_supplycost = min_cost
+JOIN part ON p_partkey = ps_partkey
+WHERE p_size <= 10
+ORDER BY acctbal DESC, n_name, s_name, p_partkey
+LIMIT 25
+"""
+
+
+@golden("q02_min_cost_supplier", Q2_ORACLE, tags=("correlated", "join", "tpch"))
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN subquery de-correlates into a
+    per-part aggregate joined back on (part, cost) — the regional
+    relationship table is derived ONCE and feeds both the min-aggregate
+    and the winner probe. Costs are nudge-rounded BEFORE the min/equality
+    so cross-engine double noise cannot flip the argmin. Dimension chain
+    (supplier->nation->region) broadcasts; the only corpus-sized shuffles
+    are the relationship aggregate and its self-probe."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    ps = (
+        t.lineitem.where(F.col("l_quantity") > 0)
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            _r(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "ps_supplycost"
+            )
+        )
+    )
+    regional = (
+        ps.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    best = regional.groupBy(F.col("ps_partkey").alias("b_key")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    small_parts = t.part.where(F.col("p_size") <= 10).select("p_partkey", "p_type")
+    return (
+        regional.join(
+            best,
+            (F.col("b_key") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(small_parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            _r("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important-stock identification: group value vs a global-fraction
+# scalar threshold.
+# ---------------------------------------------------------------------------
+
+Q11_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(l_extendedprice * (1 - l_discount)) AS val
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+national AS (
+  SELECT pk, val FROM ps
+  JOIN supplier ON sk = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT pk AS p_partkey, ROUND(1e-9 + SUM(val), 2) AS stock_value
+FROM national
+GROUP BY pk
+HAVING ROUND(1e-9 + SUM(val), 2) >
+       (SELECT ROUND(1e-9 + SUM(val) * 0.001, 2) FROM national)
+ORDER BY stock_value DESC, p_partkey
+"""
+
+
+@golden("q11_important_stock", Q11_ORACLE, tags=("scalar-subquery", "having", "tpch"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value filtered against a fraction of the
+    GLOBAL total — the total is a 1-row aggregate broadcast against the
+    grouped rows (J5/A6 pattern), never a second scan of lineitem: the
+    national relationship feeds both the per-part aggregate and the global
+    sum. Both sides of the threshold comparison are nudge-rounded so the
+    strict > cannot flip on cross-engine double noise."""
+    _utc(spark)
+    t = Catalog(spark, sf_dir)
+    ps = t.lineitem.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+    nat7 = (
+        t.supplier.join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    national = ps.join(
+        F.broadcast(nat7), F.col("sk") == F.col("s_suppkey"), "left_semi"
+    ).select("pk", "val")
+    total = national.agg(_r(F.sum("val") * 0.001, 2).alias("threshold"))
+    return (
+        national.groupBy("pk")
+        .agg(_r(F.sum("val"), 2).alias("stock_value"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("stock_value") > F.col("threshold"))
+        .select(F.col("pk").alias("p_partkey"), "stock_value")
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
