@@ -360,10 +360,22 @@ def test_tpch_part4_no_cartesian_and_broadcasts(spark, sf_dir):
         ("q21_waiting_supplier", 0),
         ("q16_supplier_diversity", 2),
         ("q20_excess_shipments", 2),
+        ("q02_min_cost_supplier", 3),  # supplier/nation/region chain + part slice
     ]:
         df = GOLDEN[name].spark(spark, sf_dir)
         assert not has_cartesian(df), name
         assert broadcast_join_count(df) >= min_bc, name
+
+
+def test_q11_threshold_is_broadcast_nested_loop_not_cartesian(spark, sf_dir):
+    # the 1-row global-threshold probe (J5 pattern) must be a
+    # BroadcastNestedLoopJoin against the broadcast scalar — never a
+    # CartesianProduct (which would shuffle both sides)
+    df = GOLDEN["q11_important_stock"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert broadcast_join_count(df) >= 2  # nation semi + threshold
 
 
 def test_q19_part_disjunction_pushed_to_scan(spark, sf_dir):
