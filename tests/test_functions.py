@@ -486,3 +486,46 @@ def test_heavy_hitters_cms_matches_exact(spark, sf_dir):
         if r["n"] >= 0.05 * total
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregates: the documented 100 TB paths must land within
+# their advertised error bounds of the exact answers on real fixture data
+# ---------------------------------------------------------------------------
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    rows = ev.groupBy("event_type").agg(
+        # rank-error bracket: the approx value must land between the exact
+        # percentiles at p +/- 0.03 (value-space tolerances are meaningless
+        # in sparse tails, rank-space ones are the sketch's actual contract)
+        F.expr(
+            "percentile(value, array(0.47D, 0.53D, 0.92D, 0.98D))"
+        ).alias("bracket"),
+        F.expr("approx_percentile(value, array(0.5D, 0.95D), 10000)").alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        lo50, hi50, lo95, hi95 = r["bracket"]
+        a50, a95 = r["approx"]
+        assert lo50 <= a50 <= hi50, r
+        assert lo95 <= a95 <= hi95, r
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    # HLL++ with rsd=2% — allow 3 sigma
+    assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"] + 1
