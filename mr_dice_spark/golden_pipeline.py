@@ -2185,3 +2185,59 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (beyond-reference: warehouse-standard type-2 SCD)
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS brk
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, run, MIN(event_id) AS valid_from, MIN(event_type) AS event_type
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, valid_from,
+       LEAD(valid_from) OVER w AS valid_to,
+       (LEAD(valid_from) OVER w IS NULL) AS is_current,
+       event_type
+FROM intervals
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+ORDER BY user_id, valid_from
+"""
+
+
+@golden("scd2_user_event_history", SCD2_ORACLE, tags=("cdc", "scd2", "window"))
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history built from the events feed (user_id as the
+    dimension key, event_id as the version, event_type as the tracked
+    attribute): consecutive unchanged versions collapse into one validity
+    interval, the last interval per key stays open. Single key-shuffle
+    gaps-and-islands — the oracle restates the same islands in SQL, so the
+    interval algebra (collapse, lead-close, open tail) is hash-checked
+    end to end."""
+    from mr_dice_spark.operators.merge import scd2_history
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id", "event_type")
+    out = scd2_history(
+        ev, keys=["user_id"], version_col="event_id", tracked=["event_type"]
+    )
+    return out.select(
+        "user_id", "valid_from", "valid_to", "is_current", "event_type"
+    ).orderBy("user_id", "valid_from")

@@ -24,6 +24,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,4 +131,51 @@ def snapshot_delta(
         joined.withColumn("change_op", op)
         .where(~F.col("__old").eqNullSafe(F.col("__new")))
         .select(*key_cols, "change_op", F.coalesce("__new", "__old").alias("row"))
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    tracked: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed: one
+    validity interval per (key, consecutive run of identical tracked
+    values). Consecutive versions whose tracked attributes are unchanged
+    COLLAPSE into one interval (the warehouse-standard dedup of no-op
+    updates); the final interval per key is open (``valid_to`` NULL,
+    ``is_current`` true).
+
+    Single-pass gaps-and-islands: per key, a lag comparison marks change
+    points, a running sum numbers the runs, and min/max + lead complete the
+    intervals — three window functions over ONE key shuffle, no self-join.
+    At scale the shuffle is on the dimension key; skewed hot keys are not
+    expected in dimension feeds (keys are entities, not events).
+    """
+    key_cols = [F.col(k) for k in keys]
+    order = [F.col(version_col)] + [F.col(t) for t in tiebreakers]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for t in tracked:
+        prev = F.lag(F.col(t)).over(w)
+        # null-safe inequality: a change to/from NULL is a change
+        changed = changed | ~F.col(t).eqNullSafe(prev)
+    first_row = F.lag(F.col(version_col)).over(w).isNull()
+    marked = changes.withColumn("__brk", (first_row | changed).cast("int"))
+    runs = marked.withColumn(
+        "__run", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy(*key_cols, F.col("__run")).agg(
+        F.min(version_col).alias("valid_from"),
+        F.max(version_col).alias("__last_seen"),
+        *[F.first(t).alias(t) for t in tracked],
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from"))
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run", "__last_seen")
     )

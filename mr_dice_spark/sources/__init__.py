@@ -1,4 +1,4 @@
-from mr_dice_spark.sources.registry import multi_provider_scan, read_table
+from mr_dice_spark.sources.registry import multi_provider_scan, read_table, read_with_quarantine
 from mr_dice_spark.sources.sinks import (
     cif_text_column,
     derive_output_path,
@@ -11,6 +11,7 @@ from mr_dice_spark.sources.sinks import (
 __all__ = [
     "multi_provider_scan",
     "read_table",
+    "read_with_quarantine",
     "cif_text_column",
     "derive_output_path",
     "filter_to_tag",

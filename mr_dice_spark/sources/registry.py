@@ -27,6 +27,53 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options) 
     return reader(spark, path, options)
 
 
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "json",
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced semi-structured ingestion with bad-record capture.
+
+    Returns ``(good, quarantine)``: rows that parse under the declared
+    schema, and raw malformed records (the PERMISSIVE-mode
+    ``_corrupt_record`` capture) for offline repair. At 100 TB a single
+    malformed line must neither kill the job (FAILFAST) nor silently
+    vanish (DROPMALFORMED) — quarantining is the only auditable mode.
+    Both frames come from ONE parse pass; the split is two filters over
+    the same cached-scan lineage, not two reads.
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError("quarantine reader supports json/csv")
+    # parse from a text scan with from_json/from_csv rather than the raw
+    # JSON/CSV DataFrameReader: the reader's _corrupt_record column carries
+    # the QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction (column pruning on
+    # e.g. bad.count() reduces the referenced set to the corrupt column
+    # alone and the query is rejected; Spark's documented workaround is
+    # caching the whole parse). The expression form has no such
+    # restriction, still one pass, nothing cached.
+    full_schema = schema + ", _corrupt_record string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"}
+    raw = spark.read.text(path)
+    if fmt == "csv":
+        field_names = [f.strip().split()[0] for f in schema.split(",")]
+        raw = raw.where(F.col("value") != ",".join(field_names))  # header line
+        parsed = raw.select(
+            F.from_csv("value", full_schema, {**opts, **options}).alias("r")
+        )
+    else:
+        parsed = raw.select(
+            F.from_json("value", full_schema, {**opts, **options}).alias("r")
+        )
+    flat = parsed.select("r.*")
+    # quarantine keeps every parsed column: partial parses retain whatever
+    # fields DID decode, aiding offline repair
+    bad = flat.where(F.col("_corrupt_record").isNotNull())
+    good = flat.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return good, bad
+
+
 def multi_provider_scan(
     spark: SparkSession,
     provider_paths: dict[str, str],

@@ -160,3 +160,33 @@ def test_apply_changes_matches_model(spark, base, changes):
                                tiebreakers=["seq"]).collect()
     }
     assert got == _model(base, changes)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_noop_updates_and_tracks_nulls(spark):
+    from mr_dice_spark.operators.merge import scd2_history
+
+    rows = [
+        # key 1: A, A (no-op), B, B (no-op), A  -> 3 intervals A/B/A
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "B"), (1, 5, "A"),
+        # key 2: NULL -> A -> NULL : null transitions are real changes
+        (2, 1, None), (2, 2, "A"), (2, 3, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, v int, attr string")
+    out = scd2_history(df, keys=["k"], version_col="v", tracked=["attr"])
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["attr"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, 3, False, "A"),
+        (1, 3, 5, False, "B"),
+        (1, 5, None, True, "A"),
+        (2, 1, 2, False, None),
+        (2, 2, 3, False, "A"),
+        (2, 3, None, True, None),
+    ]

@@ -128,3 +128,35 @@ def test_multi_provider_failure_isolation(spark, sf_dir, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         multi_provider_scan(spark, {"dead": str(tmp_path / "missing")})
+
+
+# ---------------------------------------------------------------------------
+# quarantine ingestion: schema-enforced parse with bad-record capture
+# ---------------------------------------------------------------------------
+
+
+def test_read_with_quarantine_json(spark, tmp_path):
+    from mr_dice_spark.sources import read_with_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 2.5}\n'
+        "this is not json\n"
+        '{"id": "NaN-ish", "v": "also bad"}\n'
+        '{"id": 3, "v": 0.5}\n'
+    )
+    good, bad = read_with_quarantine(spark, str(p), "id long, v double", fmt="json")
+    g = {r["id"]: r["v"] for r in good.collect()}
+    assert g == {1: 2.5, 3: 0.5}
+    b = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(b) == 2 and any("not json" in x for x in b)
+
+
+def test_read_with_quarantine_csv(spark, tmp_path):
+    from mr_dice_spark.sources import read_with_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,v\n1,2.5\n2,not_a_number\n3,0.5\n")
+    good, bad = read_with_quarantine(spark, str(p), "id long, v double", fmt="csv")
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
