@@ -272,8 +272,8 @@ def demo4_window_toppct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Mofdb_Agent/agent.py:152-172, A5/J4). Driver realization: pairs of orders
 # with the identical (partkey, quantity) multiset. The sorted aggregation is
 # the determinism fix for SQLite's arrival-ordered GROUP_CONCAT; the theta
-# self-join is planned as an equi-join on the composition key with the
-# `o1 < o2` residual — the scalable block-key form (no cartesian product).
+# self-join semantics (equi on composition + `o1 < o2` residual) execute as
+# group-then-pair — see the in-function note on why not a literal self-join.
 # ---------------------------------------------------------------------------
 
 DEMO5_ORACLE = """
@@ -312,18 +312,29 @@ def demo5_composition_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("composition")
     )
-    a, b = comp.alias("a"), comp.alias("b")
+    # Pair WITHIN composition groups instead of a self-join: Spark does not
+    # reuse the aggregation exchange across the two join sides (measured:
+    # no ReusedExchange fires), so the self-join form scans and aggregates
+    # lineitem TWICE. Grouping by composition and exploding ordered pairs
+    # costs one lineitem pass + one composition shuffle, no join. Pair
+    # fan-out is quadratic in group size — same output cardinality as the
+    # join, and composition groups are near-singletons by construction.
+    grouped = comp.groupBy("composition").agg(
+        F.array_sort(F.collect_list("l_orderkey")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.composition") == F.col("b.composition"))
-            & (F.col("a.l_orderkey") < F.col("b.l_orderkey")),
-        )
+        grouped.where(F.size("ids") >= 2)
+        .select("composition", F.col("ids"), F.posexplode("ids").alias("i", "o1"))
         .select(
-            F.col("a.l_orderkey").alias("o1"),
-            F.col("b.l_orderkey").alias("o2"),
-            F.col("a.composition").alias("composition"),
+            "composition",
+            "o1",
+            F.explode(
+                F.slice(
+                    "ids", F.col("i") + 2, F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0))
+                )
+            ).alias("o2"),
         )
+        .select("o1", "o2", "composition")
         .orderBy("o1", "o2")
     )
 
