@@ -37,6 +37,9 @@ def main() -> None:
         # Materialize through the noop sink: count() alone would let
         # Catalyst prune the aggregate/projection expressions it doesn't
         # need for row counting, under-measuring the query.
+        # row count first: a sanity signal AND a per-query warmup, so the
+        # timed runs never pay codegen compilation or re-execute afterwards
+        n = q.spark(spark, sf_dir).count()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -44,7 +47,6 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
-        n = df.count()
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

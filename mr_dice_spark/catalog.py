@@ -30,6 +30,30 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_timestamps(df: DataFrame, nanos_long_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize every timestamp variant a parquet writer can produce to
+    TIMESTAMP (LTZ) — the single rule shared by the batch Catalog and the
+    streaming source so the two paths can never diverge.
+
+    Testdata regenerations have been observed to switch physical types
+    between TIMESTAMP(NANOS) (arrives as long ns under ``nanosAsLong``)
+    and TIMESTAMP_NTZ. The engine's semantics are LTZ-under-UTC: the
+    session timezone is UTC, so wall-clock values are identical either way
+    and match the DuckDB oracle; functions like unix_millis/window require
+    LTZ. ``nanos_long_cols`` names bigint columns known to carry epoch ns.
+    """
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in nanos_long_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
+
+
 class Catalog:
     """Lazy per-table DataFrame accessor over one scale-factor directory.
 
@@ -66,20 +90,7 @@ class Catalog:
             # so no float path).
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # Parquet writers vary in whether timestamps come back as
-        # TIMESTAMP_NTZ (isAdjustedToUTC=false) or TIMESTAMP. The engine's
-        # timestamp semantics are LTZ-under-UTC (session timezone is UTC, so
-        # the wall-clock values are identical either way and match the DuckDB
-        # oracle); functions like unix_millis/window require LTZ. Normalize
-        # at the scan boundary so every downstream operator sees one type.
-        for col_name, dtype in df.dtypes:
-            if dtype == "timestamp_ntz":
-                df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
-        return df
+        return normalize_timestamps(df, nanos_long_cols=("ts",) if name == "events" else ())
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:

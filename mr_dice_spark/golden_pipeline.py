@@ -2142,14 +2142,14 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SESSION_ORACLE = """
 WITH t AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
   FROM t
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )

@@ -170,12 +170,11 @@ def scd2_history(
     )
     grouped = runs.groupBy(*key_cols, F.col("__run")).agg(
         F.min(version_col).alias("valid_from"),
-        F.max(version_col).alias("__last_seen"),
         *[F.first(t).alias(t) for t in tracked],
     )
     w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from"))
     return (
         grouped.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop("__run", "__last_seen")
+        .drop("__run")
     )

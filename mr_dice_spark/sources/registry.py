@@ -57,10 +57,28 @@ def read_with_quarantine(
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"}
     raw = spark.read.text(path)
     if fmt == "csv":
-        field_names = [f.strip().split()[0] for f in schema.split(",")]
-        raw = raw.where(F.col("value") != ",".join(field_names))  # header line
         parsed = raw.select(
-            F.from_csv("value", full_schema, {**opts, **options}).alias("r")
+            F.col("value"),
+            F.from_csv("value", full_schema, {**opts, **options}).alias("r"),
+        )
+        # Header rows fail typed parse and land in quarantine; recognize
+        # them there by comparing the raw line (whitespace-insensitively)
+        # against the schema's field names — parsed via StructType so
+        # types containing commas (decimal(10,2)) can't corrupt the
+        # header string. Data rows are NEVER filtered on raw equality: a
+        # row that happens to look like the header but parses under the
+        # schema stays in the good frame. Corollary: with an all-string
+        # schema the header parses too and is returned as data — there is
+        # no typed signal to tell them apart; such callers drop it
+        # themselves.
+        from pyspark.sql.types import StructType
+
+        header = ",".join(StructType.fromDDL(schema).fieldNames())
+        is_header = (
+            F.regexp_replace(F.col("value"), r"\s+", "") == header.replace(" ", "")
+        )
+        parsed = parsed.where(
+            F.col("r._corrupt_record").isNull() | ~is_header
         )
     else:
         parsed = raw.select(

@@ -53,6 +53,8 @@ def read_events_stream(
             os.symlink(path, link)
         path = staged
 
+    from mr_dice_spark.catalog import normalize_timestamps
+
     footer_schema = spark.read.parquet(path).schema
     raw = (
         spark.readStream.format("parquet")
@@ -60,12 +62,9 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in footer_schema)["ts"]
-    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long ns
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # same normalization rule as the batch Catalog — one shared helper so
+    # the next physical-type variant is fixed in one place
+    return normalize_timestamps(raw, nanos_long_cols=("ts",))
 
 
 def tumbling_window_stats(

@@ -160,3 +160,29 @@ def test_read_with_quarantine_csv(spark, tmp_path):
     good, bad = read_with_quarantine(spark, str(p), "id long, v double", fmt="csv")
     assert {r["id"] for r in good.collect()} == {1, 3}
     assert bad.count() == 1
+
+
+def test_read_with_quarantine_csv_header_edge_cases(spark, tmp_path):
+    from mr_dice_spark.sources import read_with_quarantine
+
+    # comma-bearing type in the DDL must not break header recognition,
+    # and a DATA row that parses fine is never dropped on raw equality
+    p = tmp_path / "feed.csv"
+    p.write_text("id,amount\n1,2.50\nbroken,row,here,x\n2,3.75\n")
+    good, bad = read_with_quarantine(
+        spark, str(p), "id long, amount decimal(10,2)", fmt="csv"
+    )
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    # only the genuinely broken row is quarantined; the header is dropped
+    assert bad.count() == 1
+
+    # all-string schema: every line (header included) parses, so nothing
+    # is ever silently dropped — the documented contract is that header
+    # detection only applies to rows that FAIL the typed parse; with no
+    # typed column the header is data and the caller filters it
+    p2 = tmp_path / "feed2.csv"
+    p2.write_text("a,b\nx,y\na,b\n")
+    good2, bad2 = read_with_quarantine(spark, str(p2), "a string, b string", fmt="csv")
+    rows = sorted((r["a"], r["b"]) for r in good2.collect())
+    assert rows == [("a", "b"), ("a", "b"), ("x", "y")]
+    assert bad2.count() == 0
