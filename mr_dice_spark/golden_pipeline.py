@@ -2241,3 +2241,60 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "valid_from", "valid_to", "is_current", "event_type"
     ).orderBy("user_id", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + forward fill (beyond-reference)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_ORACLE = """
+WITH b AS (
+  SELECT user_id % 8 AS k,
+         to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS h,
+         ROUND(1e-9 + AVG(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT k, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY k),
+grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM spans
+),
+j AS (SELECT g.k, g.h, b.v FROM grid g LEFT JOIN b ON b.k = g.k AND b.h = g.h)
+SELECT k AS user_band, epoch_ms(h) AS bucket_ms,
+       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY h
+                                        ROWS UNBOUNDED PRECEDING) AS value,
+       (v IS NULL) AS filled
+FROM j
+ORDER BY user_band, bucket_ms
+"""
+
+
+@golden("resample_ffill_hourly", RESAMPLE_ORACLE, tags=("timeseries", "window", "events"))
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of per-band event values with forward fill: grid
+    generation is a bounded sequence() explode per key (span/step rows,
+    never a calendar cross join), gaps take the last observed bucket
+    aggregate, and `filled` marks synthesized rows. The bucket aggregate
+    is nudge-rounded once per bucket (fill only propagates values, so
+    rounding before or after the fill is equivalent — the oracle rounds
+    before, Spark after). Oracle restates the pipeline with
+    generate_series + IGNORE NULLS LAST_VALUE."""
+    from mr_dice_spark.operators.timeseries import resample_ffill
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select(
+        (F.col("user_id") % 8).alias("user_band"), "ts", "value"
+    )
+    out = resample_ffill(
+        ev,
+        key_col="user_band",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+        agg="avg",
+    )
+    return out.select(
+        "user_band",
+        F.unix_millis("bucket_ts").alias("bucket_ms"),
+        _r("value", 4).alias("value"),
+        "filled",
+    ).orderBy("user_band", "bucket_ms")

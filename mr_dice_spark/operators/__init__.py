@@ -45,6 +45,7 @@ from mr_dice_spark.operators.terms import (
 from mr_dice_spark.operators.decontaminate import contamination_stats, decontaminate
 from mr_dice_spark.operators.packing import pack_sequences
 from mr_dice_spark.operators.merge import apply_changes, merge_latest_wins, scd2_history, snapshot_delta
+from mr_dice_spark.operators.timeseries import resample_ffill
 from mr_dice_spark.operators.incremental import (
     dedup_incremental,
     minhash_index_append,
@@ -99,6 +100,7 @@ __all__ = [
     "pack_sequences",
     "apply_changes",
     "merge_latest_wins",
+    "resample_ffill",
     "scd2_history",
     "snapshot_delta",
     "dedup_incremental",

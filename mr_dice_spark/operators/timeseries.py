@@ -1,0 +1,83 @@
+"""Time-series resampling (beyond-reference, north-star pipeline).
+
+The reference's nearest analogue is the isotherm pressure->adsorption
+curve (a nested time-series-like array, mofdb_database/mofdb_client/
+mof.py:8-52 / temperature_point.py:6-27); analytics over the driver's
+events table wants the standard warehouse reshape Spark lacks natively:
+snap irregular observations to a regular grid and fill the gaps.
+
+Plan shape: one aggregation to buckets, one per-key min/max to bound the
+grid, a sequence() explode to generate it (bounded by span/step per key,
+never a cross join against a calendar table), a left join back, and one
+key-shuffle window for the forward fill. Every step is JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    agg: str = "avg",
+) -> DataFrame:
+    """Resample per-key observations onto a regular ``step_seconds`` grid
+    with forward fill.
+
+    Returns ``(key, bucket_ts, value, filled)``: one row per grid bucket
+    from the key's first to last observation; ``value`` is the bucket
+    aggregate (``agg``: avg/min/max/sum/last) forward-filled across empty
+    buckets, ``filled`` marks rows that carry no observation of their own.
+    Buckets are epoch-aligned (floor(epoch/step)*step), matching DuckDB's
+    ``time_bucket`` for oracle parity.
+
+    Scale: the grid explode emits span/step rows per key — bounded by the
+    key's own time range, not the corpus; the forward-fill window shuffles
+    once on the key. A key spanning years at 1-second steps is the
+    caller's hazard to bucket coarser.
+    """
+    if agg not in ("avg", "min", "max", "sum", "last"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+    )
+    bv = F.col("__v")
+    agg_fn = {
+        "avg": F.avg(bv),
+        "min": F.min(bv),
+        "max": F.max(bv),
+        "sum": F.sum(bv),
+        "last": F.last(bv, ignorenulls=True),
+    }[agg]
+    buckets = (
+        df.select(
+            F.col(key_col).alias("__k"), bucket.alias("__h"), F.col(value_col).alias("__v")
+        )
+        .groupBy("__k", "__h")
+        .agg(agg_fn.alias("__v"))
+    )
+    grid = (
+        buckets.groupBy("__k")
+        .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {int(step_seconds)} seconds)")
+            ).alias("__h"),
+        )
+    )
+    joined = grid.join(buckets, ["__k", "__h"], "left")
+    w = Window.partitionBy("__k").orderBy("__h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__h").alias("bucket_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        F.col("__v").isNull().alias("filled"),
+    )
