@@ -2298,3 +2298,50 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("value", 4).alias("value"),
         "filled",
     ).orderBy("user_band", "bucket_ms")
+
+
+# ---------------------------------------------------------------------------
+# batched multi-query ANN: top-k per query in one corpus scan
+# ---------------------------------------------------------------------------
+
+COSINE_BATCH_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(1e-9 + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+WHERE rn <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+@golden("cosine_topk_batch_queries", COSINE_BATCH_ORACLE, tags=("similarity", "ann", "batch"))
+def cosine_topk_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 for FIVE queries in one corpus scan: the query set
+    broadcasts, every corpus row scores all queries, and the per-query
+    top-k is a WindowGroupLimit (at most k rows per query leave each map
+    partition). Scores are nudge-rounded before the rank so cross-engine
+    double noise cannot flip top-k membership at the boundary."""
+    from mr_dice_spark.operators.similarity import cosine_topk_batch
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "query_id", "embedding", k=10,
+        round_scores=6,
+    )
+    return out.orderBy("query_id", F.desc("cosine"), "vec_id")

@@ -9,6 +9,7 @@ from mr_dice_spark.operators.dedup import (
     ngram_jaccard_join,
 )
 from mr_dice_spark.operators.similarity import (
+    cosine_topk_batch,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     cosine_topk_ivf,
@@ -73,6 +74,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ngram_jaccard_join",
+    "cosine_topk_batch",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "cosine_topk_ivf",

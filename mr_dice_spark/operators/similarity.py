@@ -16,7 +16,7 @@ import random
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mr_dice_spark.operators.scale import fan_out
@@ -75,6 +75,51 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Exact top-k per query for a whole QUERY SET in one corpus scan.
+
+    The offline-serving shape (score a batch of probes against the corpus):
+    the query table broadcasts, every corpus row scores all queries via a
+    BroadcastNestedLoopJoin (deliberate — the small side is the query set),
+    and the per-query top-k runs as row_number over (query, -score), which
+    Spark rewrites to WindowGroupLimit: each map partition forwards at most
+    k rows per query BEFORE the shuffle. Cost: one corpus scan + one
+    (queries x k)-bounded shuffle, vs Q separate scans for Q single-query
+    calls.
+    """
+    q = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    score = cosine(F.col("__v"), F.col("__qv"))
+    if round_scores is not None:
+        # rank on the rounded grid: with scores quantized BEFORE the
+        # row_number, top-k membership at the boundary is decided by the
+        # deterministic id tiebreak instead of last-bit double noise —
+        # required when results are compared across engines
+        score = F.round(score + F.lit(1e-9), round_scores)
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .crossJoin(F.broadcast(q))
+        .select("__qid", id_col, score.alias("cosine"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col("__qid").alias(q_id_col), id_col, "cosine")
+    )
 
 
 def cosine_topk_lsh(

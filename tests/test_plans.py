@@ -430,3 +430,12 @@ def test_set_ops_pre_aggregate_before_join(spark, sf_dir):
         plan = physical_plan(df)
         assert join_kind in plan, name
         assert not has_cartesian(df), name
+
+
+def test_batch_ann_uses_window_group_limit(spark, sf_dir):
+    # per-query top-k must prune to k rows per query map-side before the
+    # window shuffle; the query set rides a broadcast (BNLJ is the point)
+    df = GOLDEN["cosine_topk_batch_queries"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

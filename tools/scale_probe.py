@@ -53,6 +53,9 @@ PROBES = [
     "jaccard_similarity_join",
     "text_analysis_stats",
     "cosine_topk_bruteforce",
+    "scd2_user_event_history",
+    "resample_ffill_hourly",
+    "demo5_composition_selfjoin",
 ]
 
 
