@@ -150,3 +150,41 @@ def test_dedup_stream_matches_batch_keyset(spark, sf_dir):
     got = spark.sql("SELECT user_id, event_type FROM sdedup_t")
     assert _collect_sorted(got, ["user_id", "event_type"]) == batch_keys
     q.stop()
+
+
+def test_stream_upsert_snapshot_matches_batch_merge(spark, sf_dir, tmp_path):
+    """foreachBatch upsert into the versioned snapshot store: the final
+    CURRENT snapshot must equal a batch latest-wins merge over the same
+    data, and replaying the stream from scratch (new checkpoint, same
+    store) must be a no-op thanks to idempotent latest-wins."""
+    from mr_dice_spark.operators.merge import merge_latest_wins
+    from mr_dice_spark.streaming import read_events_stream
+    from mr_dice_spark.streaming.upsert import read_snapshot, stream_upsert_to_snapshot
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    store = str(tmp_path / "store")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    stream_upsert_to_snapshot(
+        stream, store, keys=["user_id"], version_col="ts",
+        checkpoint=str(tmp_path / "ckpt1"), tiebreakers=["event_type"],
+    )
+    got = read_snapshot(spark, store)
+    batch = merge_latest_wins(
+        Catalog(spark, sf_dir).events.select("user_id", "ts", "event_type", "value"),
+        ["user_id"], "ts", ["event_type"],
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+
+    # replay with a fresh checkpoint: same final state (idempotent upsert)
+    stream2 = read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    stream_upsert_to_snapshot(
+        stream2, store, keys=["user_id"], version_col="ts",
+        checkpoint=str(tmp_path / "ckpt2"), tiebreakers=["event_type"],
+    )
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == b
