@@ -2345,3 +2345,51 @@ def cosine_topk_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_scores=6,
     )
     return out.orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def _lsh_topk_oracle() -> str:
+    """DuckDB restatement of cosine_topk_lsh: the seeded hyperplanes are
+    deterministic Python floats, so they embed as SQL literals (full-repr
+    doubles round-trip exactly); signature bits, the hamming-ball candidate
+    filter, and the exact rerank are then plain expressions. Upgrades this
+    ANN variant from a rows-only check to full oracle parity."""
+    from mr_dice_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_planes=16, seed=42)
+
+    def sig_expr(v: str) -> str:
+        cases = []
+        for i, p in enumerate(planes):
+            arr = ", ".join(repr(float(x)) for x in p)
+            cases.append(
+                f"CASE WHEN list_dot_product({v}, [{arr}]) >= 0 THEN {1 << i} ELSE 0 END"
+            )
+        return "(" + " + ".join(cases) + ")"
+
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {sig_expr('qv')} AS qs FROM q),
+sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {sig_expr('CAST(embedding AS DOUBLE[])')} AS sig
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(1e-9 + list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+FROM sigs, qsig
+WHERE bit_count(CAST(xor(sig, qs) AS BIGINT)) <= 4
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+# upgrade the registered entry in place: same Spark callable, now with an
+# oracle (the registry is keyed by name; re-registering replaces it)
+from mr_dice_spark.golden import GOLDEN, GoldenQuery  # noqa: E402
+
+GOLDEN["cosine_topk_lsh_approx"] = GoldenQuery(
+    name="cosine_topk_lsh_approx",
+    spark=cosine_topk_lsh_approx,
+    oracle=_lsh_topk_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
