@@ -418,7 +418,11 @@ def minhash_lsh_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @golden("embedding_near_dup_pairs", None, tags=("dedup", "similarity", "lsh"))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
-    pairs = embedding_near_dup(emb, "vec_id", "embedding", threshold=0.98)
+    # threshold calibrated to the fixture: the embeddings table has no
+    # planted near-identical vectors (max pairwise cosine ~0.51 at sf0.01),
+    # so 0.4 keeps the check non-vacuous — a handful of true pairs must
+    # survive both the banding filter and exact verification
+    pairs = embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", _r(F.col("cosine"), 4).alias("cosine")).orderBy(
         "id_a", "id_b"
     )
@@ -2347,24 +2351,30 @@ def cosine_topk_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", F.desc("cosine"), "vec_id")
 
 
+def _sig_expr_sql(v: str, planes) -> str:
+    """Hyperplane-signature SQL expression: the seeded planes are
+    deterministic Python floats, embedded as full-repr literals (doubles
+    round-trip exactly), bit i = sign(dot(v, plane_i))."""
+    cases = []
+    for i, p in enumerate(planes):
+        arr = ", ".join(repr(float(x)) for x in p)
+        cases.append(
+            f"CASE WHEN list_dot_product({v}, [{arr}]) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(cases) + ")"
+
+
 def _lsh_topk_oracle() -> str:
-    """DuckDB restatement of cosine_topk_lsh: the seeded hyperplanes are
-    deterministic Python floats, so they embed as SQL literals (full-repr
-    doubles round-trip exactly); signature bits, the hamming-ball candidate
-    filter, and the exact rerank are then plain expressions. Upgrades this
-    ANN variant from a rows-only check to full oracle parity."""
+    """DuckDB restatement of cosine_topk_lsh: literal-plane signature bits,
+    the hamming-ball candidate filter, and the exact rerank are plain
+    expressions. Upgrades this ANN variant from a rows-only check to full
+    oracle parity."""
     from mr_dice_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim=64, n_planes=16, seed=42)
 
     def sig_expr(v: str) -> str:
-        cases = []
-        for i, p in enumerate(planes):
-            arr = ", ".join(repr(float(x)) for x in p)
-            cases.append(
-                f"CASE WHEN list_dot_product({v}, [{arr}]) >= 0 THEN {1 << i} ELSE 0 END"
-            )
-        return "(" + " + ".join(cases) + ")"
+        return _sig_expr_sql(v, planes)
 
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -2392,4 +2402,41 @@ GOLDEN["cosine_topk_lsh_approx"] = GoldenQuery(
     spark=cosine_topk_lsh_approx,
     oracle=_lsh_topk_oracle(),
     tags=("similarity", "ann", "lsh"),
+)
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB restatement of embedding_near_dup: literal-plane signatures,
+    8-bit band keys (pairs agreeing on at least one same-position band),
+    DISTINCT candidates, exact-cosine verification at the raw threshold
+    with rounding applied only to the output column — mirroring the Spark
+    operator exactly."""
+    from mr_dice_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_planes=16, seed=42)
+    sig = _sig_expr_sql("CAST(embedding AS DOUBLE[])", planes)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig} AS sig FROM embeddings
+),
+banded AS (
+  SELECT vec_id, v, sig % 256 AS b0, (sig // 256) % 256 AS b1 FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM banded a JOIN banded b
+    ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+)
+SELECT id_a, id_b, ROUND(1e-9 + list_cosine_similarity(va, vb), 4) AS cosine
+FROM pairs
+WHERE list_cosine_similarity(va, vb) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+GOLDEN["embedding_near_dup_pairs"] = GoldenQuery(
+    name="embedding_near_dup_pairs",
+    spark=embedding_near_dup_pairs,
+    oracle=_near_dup_oracle(),
+    tags=("dedup", "similarity", "lsh"),
 )
