@@ -152,6 +152,13 @@ def minhash_index_create(
     arrays (band derivation reads past/short of the arrays and
     near-duplicates are admitted with no error). ``exist_ok=True`` makes
     the call idempotent when the params MATCH — the daily-job-safe form.
+
+    Concurrency caveat: the exists-then-write is check-then-act, so two
+    creators racing the SAME fresh path can both pass the check and the
+    later manifest silently wins. Index creation is a one-time
+    administrative step — serialize it (or create-with-overwrite=false on
+    a filesystem that supports it); the per-batch append path has no such
+    race (appends are additive, params are read-only).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -204,9 +211,36 @@ def dedup_incremental(
     survive and leave no index state (exact copies of them are not
     suppressed later) — same contract as the batch MinHash operators; pair
     with ``dedup_exact`` if short-doc dedup matters.
+
+    Verification note: BOTH probe directions (vs-index and within-batch)
+    compare signature-estimated jaccard, not exact shingle jaccard — the
+    index retains signatures only, and the within-batch side matches so
+    one batch gives one consistent decision rule (sd ~1/sqrt(num_hashes)
+    around the threshold; raise num_hashes to tighten). The batch
+    ``minhash_lsh_dedup`` verifies exactly and may differ near the
+    threshold.
     """
     spark = new_df.sparkSession
     params = _read_params(spark, index_path)
+    if check_id_reuse:
+        # duplicate ids WITHIN the batch would min-merge into one chimera
+        # signature matching neither document (groupBy in the signature
+        # aggregate), silently corrupting the index — the intra-batch form
+        # of the cross-batch id-reuse bug rejected below. Same opt-out,
+        # same cost rationale.
+        dup_ids = [
+            r[0]
+            for r in new_df.groupBy(id_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        ]
+        if dup_ids:
+            raise ValueError(
+                f"duplicate id(s) within batch: {dup_ids}; "
+                "ids must be unique within a batch"
+            )
     sig = _batch_signatures(new_df, id_col, text_col, params)
     sig = sig.localCheckpoint(eager=False)  # reused: vs-index, within-batch, append
     keys = _band_key_rows(sig, params)

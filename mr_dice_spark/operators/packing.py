@@ -52,15 +52,27 @@ def pack_sequences(
         else base.repartitionByRange("__id")
     )
     parts = parts.withColumn("__pid", F.spark_partition_id())
+    # PIN the partitioning: the per-partition totals job and the final query
+    # are two separately-compiled plans, and RangePartitioner re-samples its
+    # boundaries per plan (seeded by RDD id) while spark_partition_id() is
+    # nondeterministic across jobs — without materializing here, the
+    # pid->offset map collected below could describe a DIFFERENT
+    # partitioning than the one the final query executes (silently wrong
+    # offsets, or rows dropped by the offset join). localCheckpoint
+    # materializes the partitioned data once; both jobs then read it.
+    parts = parts.localCheckpoint(eager=True)
     w = (
         Window.partitionBy("__pid")
         .orderBy("__id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = parts.withColumn("__cum", F.sum("n_tokens").over(w))
-    # one row per partition — the driver-side state of the scan
+    # one row per partition — the driver-side state of the scan. A plain
+    # per-pid sum (map-side combine, no window sort) — reading max(__cum)
+    # from the window would shuffle and sort the whole corpus just to
+    # recompute this number.
     totals = sorted(
-        local.groupBy("__pid").agg(F.max("__cum").alias("__t")).collect(),
+        parts.groupBy("__pid").agg(F.sum("n_tokens").alias("__t")).collect(),
         key=lambda r: r["__pid"],
     )
     offsets, acc = [], 0

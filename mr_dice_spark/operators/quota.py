@@ -118,6 +118,25 @@ def distribute_quota_fair(stats: GroupStats, n_results: int) -> GroupStats:
             ptr[c] = (i + 1) % len(rotation)
 
     while remaining > 0 and headroom:
+        if len(headroom) == 1:
+            # single clause left: cross-clause fairness is decided, so whole
+            # round-robin rounds can be granted in bulk. `whole` <= min
+            # slack - 1 keeps every url open, making the bulk grant
+            # EXACTLY equal to whole*r unit feeds (no url exhausts
+            # mid-round); the residue falls through to unit steps. Turns
+            # the O(remaining) driver loop into O(#urls) for large budgets.
+            (c,) = tuple(headroom)
+            rotation = headroom[c]
+            r = len(rotation)
+            min_slack = min(s for _, s in rotation)
+            whole = min(min_slack - 1, remaining // r)
+            if whole > 0:
+                for entry in rotation:
+                    entry[1] -= whole
+                    plan[c][entry[0]] += whole
+                totals[c] += whole * r
+                remaining -= whole * r
+                continue
         floor = min(totals[c] for c in active if c in headroom)
         progressed = False
         for c in active:
@@ -157,6 +176,16 @@ def fair_quota_topk(
         ucol = "__url"
 
     counts = df.groupBy(clause_col, ucol).count().collect()
+    # fail fast on NULL group keys: the quota join below is null-unsafe, so
+    # a NULL clause/url group would be ALLOCATED quota and then silently
+    # dropped by the join — under-filling the budget. Checked here on the
+    # already-collected counts (zero extra jobs).
+    for row in counts:
+        if row[clause_col] is None or row[ucol] is None:
+            raise ValueError(
+                f"fair_quota_topk: NULL in group keys "
+                f"({clause_col!r}/{ucol!r}); filter or coalesce them first"
+            )
     stats: GroupStats = {}
     for row in sorted(counts, key=lambda r: (str(r[clause_col]), str(r[ucol]))):
         stats.setdefault(row[clause_col], {})[row[ucol]] = row["count"]
@@ -166,7 +195,16 @@ def fair_quota_topk(
         (c, u, q) for c, urls in plan.items() for u, q in urls.items() if q > 0
     ]
     spark = df.sparkSession
-    quota_df = spark.createDataFrame(quota_rows, [clause_col, ucol, "__quota"])
+    if not quota_rows:
+        # empty input or n_results <= 0: an empty quota table with an
+        # EXPLICIT schema (createDataFrame cannot infer types from [])
+        key_fields = [f for f in df.schema.fields if f.name in (clause_col, ucol)]
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(key_fields + [StructField("__quota", LongType())])
+        quota_df = spark.createDataFrame([], schema)
+    else:
+        quota_df = spark.createDataFrame(quota_rows, [clause_col, ucol, "__quota"])
 
     w = Window.partitionBy(clause_col, ucol).orderBy(*order_by)
     out = (

@@ -157,3 +157,22 @@ def test_kmeans_survives_zero_vectors(spark):
     assert len(cents) == 2
     for _, c in cents:
         assert all(x == x for x in c)  # no NaN / None
+
+
+def test_dedup_incremental_rejects_duplicate_ids_within_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    from mr_dice_spark.operators.incremental import (
+        dedup_incremental,
+        minhash_index_create,
+    )
+
+    p = str(tmp_path / "idx")
+    minhash_index_create(spark, p, num_hashes=32, bands=8)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(7, text), (7, "completely different content here for id seven")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="duplicate id"):
+        dedup_incremental(df, "doc_id", "text", p)

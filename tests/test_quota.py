@@ -98,3 +98,40 @@ def test_fair_quota_topk_distributed(spark, oracle_sf_dir):
     picked = sorted((r.ts, r.event_id) for r in rows if r.event_type == rows[0].event_type)
     expect = sorted((r.ts, r.event_id) for r in first.limit(8).collect())
     assert picked == expect
+
+
+def test_fair_quota_topk_empty_input_returns_empty(spark):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.quota import fair_quota_topk
+
+    df = spark.createDataFrame([], "clause string, url string, v long")
+    out = fair_quota_topk(df, "clause", "url", 10, [F.col("v")])
+    assert out.count() == 0
+
+
+def test_fair_quota_topk_rejects_null_keys(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.quota import fair_quota_topk
+
+    df = spark.createDataFrame(
+        [("a", "u1", 1), (None, "u1", 2)], "clause string, url string, v long"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        fair_quota_topk(df, "clause", "url", 10, [F.col("v")])
+
+
+def test_waterfill_bulk_path_matches_unit_semantics():
+    # large budget funneled into one clause: the bulk fast path must give
+    # exactly what unit-at-a-time round-robin would
+    from mr_dice_spark.operators.quota import distribute_quota_fair
+
+    stats = {"a": {"u1": 500_000, "u2": 300_000, "u3": 1}}
+    plan = distribute_quota_fair(stats, 600_000)
+    got = plan["a"]
+    assert sum(got.values()) == 600_000
+    assert got["u3"] == 1                      # exhausted early
+    # remaining 599_999 round-robins between u1/u2 -> u1 gets the odd unit
+    assert got["u1"] == 300_000 and got["u2"] == 299_999
