@@ -99,16 +99,26 @@ def _asof_one_direction(
 ) -> DataFrame:
     """Union-marker as-of in one direction. For ``forward`` the timeline is
     sorted descending and right rows still precede left at equal ts, giving
-    >=-semantics symmetric to backward's <=."""
+    >=-semantics symmetric to backward's <=.
+
+    The matched right row is carried as ONE struct under
+    ``last(ignorenulls)`` — per-column carries would independently skip
+    NULL values and stitch a chimera of different right rows whenever the
+    true match holds a NULL value column (pandas merge_asof returns the
+    match's NULL; so do we). NULL-timestamp right rows can never be an
+    order position and are dropped; NULL-timestamp left rows match nothing
+    (their outputs are NULLed after the scan — under desc ordering they
+    would otherwise inherit a spurious carry)."""
     lcols = left.columns
-    carry = value_cols + ["__asof_ts"]
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
-    r = right.select(
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        F.col(right_ts).alias("__v___asof_ts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_ts).alias("__asof_ts"),
+        ).alias("__vrow"),
     )
     for c in lcols:
         if c not in on:
@@ -117,11 +127,8 @@ def _asof_one_direction(
         *lcols,
         "__t",
         "__side",
-        *[
-            F.lit(None).cast(dict(r.dtypes)[f"__v_{c}"]).alias(f"__v_{c}")
-            for c in carry
-        ],
-    ).unionByName(r.select(*lcols, "__t", "__side", *[f"__v_{c}" for c in carry]))
+        F.lit(None).cast(dict(r.dtypes)["__vrow"]).alias("__vrow"),
+    ).unionByName(r.select(*lcols, "__t", "__side", "__vrow"))
 
     order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
@@ -129,13 +136,19 @@ def _asof_one_direction(
         .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
+    matched = F.last("__vrow", ignorenulls=True).over(w)
+    filled = (
+        u.select(*lcols, "__side", matched.alias("__m"))
+        .where(F.col("__side") == 1)
+        .drop("__side")
+    )
+    valid = F.col(left_ts).isNotNull()
+    out = filled.select(
         *lcols,
-        "__side",
         *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.when(valid, F.col("__m").getField(c)).alias(f"{c}{suffix}")
             for c in value_cols
         ],
-        F.last("__v___asof_ts", ignorenulls=True).over(w).alias(f"__asof_ts{suffix}"),
+        F.when(valid, F.col("__m").getField("__asof_ts")).alias(f"__asof_ts{suffix}"),
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    return out

@@ -32,17 +32,28 @@ def connected_components(
     max_iter: int = 10,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = min vertex
-    id reachable. Undirected: each edge is used in both directions."""
+    id reachable. Undirected: each edge is used in both directions.
+
+    Raises if labels have not reached the fixpoint within ``max_iter``
+    sweeps (graph diameter exceeded the bound): silently returning split
+    components would hand downstream dedup several "clusters" for one
+    equivalence class with no error anywhere.
+    """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # materialized once: every iteration joins sym twice (neighbor
+        # labels + the changed check actions), and without this the edge
+        # union+distinct shuffle re-executes per action
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 1
     for _ in range(max_iter):
         # candidate labels: own + each neighbor's current label
         neighbor_labels = (
@@ -64,6 +75,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise ValueError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "sweeps (graph diameter exceeds the bound); raise max_iter"
+        )
     return labels
 
 

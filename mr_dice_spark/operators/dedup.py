@@ -45,8 +45,14 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
     Hash-groupBy shape: one shuffle on the 256-bit content digest (collision
     probability negligible), map-side combine applies.
+
+    The digest is over ``to_json(struct(cols))``: JSON framing distinguishes
+    NULL from absent and escapes delimiters, where a concat_ws serialization
+    silently DROPS null operands — (NULL,'a') and ('a',NULL) would collide
+    and one row be wrongly deleted, and separator injection could forge
+    collisions across column boundaries.
     """
-    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in content_cols])), 256)
     w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
@@ -165,6 +171,14 @@ def band_keys(sig_cols: list[Column], bands: int) -> Column:
     (operators.incremental) derives keys from STORED signature arrays with
     this same function, so batch- and index-computed keys stay
     hash-compatible by construction."""
+    if bands <= 0 or len(sig_cols) % bands != 0:
+        # silent truncation would band only the first bands*(n//bands)
+        # components — paid-for hashes ignored and recall silently off the
+        # requested configuration (the index path validates this at create;
+        # the batch path must match)
+        raise ValueError(
+            f"num_hashes ({len(sig_cols)}) must be divisible by bands ({bands})"
+        )
     rows_per_band = len(sig_cols) // bands
     return F.array(
         *[
@@ -187,7 +201,10 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, jaccard) with id_a < id_b and EXACT jaccard computed
     on the candidates' shingle sets (LSH proposes, exact verify disposes).
     """
-    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    # the shingle transform is the expensive step (see PERFORMANCE.md §1-2)
+    # and sets_ feeds THREE consumers (signatures + both verify joins);
+    # materialize it once instead of re-running the transform per branch
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     exploded = sets_.select(
         "__id", F.explode_outer("__sh").alias("__s")
     ).where(F.col("__s").isNotNull())  # see shingles_exploded: avoids InferFiltersFromGenerate
@@ -316,18 +333,21 @@ def simhash_dedup(
     chunks = max_hamming + 1
     width = n_bits // chunks
     fp = simhash_fingerprints(df, id_col, text_col, n_bits=n_bits, portable=portable)
+
+    def chunk_of(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("__fp"), c * width)
+        if width >= 64:
+            # max_hamming=0: the single chunk is the whole fingerprint; a
+            # (1<<64)-1 mask literal would overflow a signed long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+
     keyed = fp.select(
         "__id",
         "__fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__fp"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("__chunk", "__key"),
+        F.posexplode(F.array(*[chunk_of(c) for c in range(chunks)])).alias(
+            "__chunk", "__key"
+        ),
     )
     pairs = (
         keyed.alias("x")

@@ -174,7 +174,12 @@ def embedding_near_dup(
     """
     first = df.select(F.size(vec_col)).first()
     if first is None:
-        return df.sparkSession.createDataFrame([], f"id_a long, id_b long, cosine double")
+        # schema-correct empty result: the id type must match the non-empty
+        # path or downstream unions break only in the empty case
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
     dim = first[0]
     planes = _hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
@@ -195,6 +200,9 @@ def embedding_near_dup(
             )
         ).alias("__band", "__key"),
     )
+    # distinct on the ID pair alone, vectors joined back after: a distinct
+    # keyed on full embedding arrays would shuffle dim x 8 bytes x 2 per
+    # duplicated band collision (same pattern as minhash_lsh_candidates)
     pairs = (
         keyed.alias("x")
         .join(
@@ -203,17 +211,16 @@ def embedding_near_dup(
             & (F.col("x.__key") == F.col("y.__key"))
             & (F.col("x.__id") < F.col("y.__id")),
         )
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.col("x.__v").alias("__va"),
-            F.col("y.__v").alias("__vb"),
-        )
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    return pairs.select(
-        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+    vecs = sig.select("__id", "__v")
+    return (
+        pairs.join(vecs.withColumnsRenamed({"__id": "id_a", "__v": "__va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"__id": "id_b", "__v": "__vb"}), "id_b")
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

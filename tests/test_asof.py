@@ -56,3 +56,48 @@ def test_unknown_direction_rejected(frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, ["k"], "ts", "rts", ["tag"], direction="sideways")
+
+
+def test_asof_null_value_column_is_not_chimera(spark):
+    """The true as-of match carries its own NULL value — per-column carry
+    would stitch the value from an older row onto the newer match's ts."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None)], "k int, t long, tag string"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "tag")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    value_cols=["tag"], direction="backward").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["__asof_ts_matched"] is not None and row["__asof_ts_matched"].second == 2
+    assert row["tag_matched"] is None  # the ts=2 match's own NULL, not ts=1's 'a'
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, None), (1, 5)], "k int, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame([(1, 1, "a"), (1, None, "z")],
+                                  "k int, t long, tag string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "tag"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        rows = {(
+            r["ts"].second if r["ts"] else None
+        ): r["tag_matched"] for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["tag"], direction=direction,
+        ).collect()}
+        assert rows[None] is None, direction      # NULL-ts left matches nothing
+        if direction != "forward":
+            assert rows[5] == "a", direction       # NULL-ts right never matches

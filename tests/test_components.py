@@ -62,3 +62,17 @@ def test_unpaired_rows_survive(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     kept = {r["doc_id"] for r in dedup_connected(rows, pairs, "doc_id").collect()}
     assert kept == {0, 2, 3, 4, 5}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from mr_dice_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=15)
+    assert {r["component"] for r in ok.collect()} == {0}

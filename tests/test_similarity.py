@@ -172,3 +172,33 @@ def test_pq_validates_input(emb):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, "vec_id", "embedding", m=7)
+
+
+def test_embedding_near_dup_empty_input_keeps_id_type(spark):
+    from mr_dice_spark.operators.similarity import embedding_near_dup
+
+    df = spark.createDataFrame([], "doc_id string, vec array<double>")
+    out = embedding_near_dup(df, "doc_id", "vec")
+    assert dict(out.dtypes) == {"id_a": "string", "id_b": "string", "cosine": "double"}
+
+
+def test_simhash_dedup_hamming_zero(spark):
+    from mr_dice_spark.operators.dedup import simhash_dedup
+
+    text = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_dedup(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_band_keys_rejects_indivisible_bands(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.dedup import band_keys
+
+    with _pytest.raises(ValueError, match="divisible"):
+        band_keys([F.lit(1), F.lit(2), F.lit(3)], bands=2)
