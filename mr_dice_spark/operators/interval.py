@@ -48,27 +48,27 @@ def interval_join(
 
     b = F.lit(bucket_seconds)
     p = points.withColumn("__pb", F.floor(F.unix_timestamp(F.col(point_ts)) / b))
-    i = intervals.withColumn(
-        "__ib",
-        F.explode_outer(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_ts)) / b),
-                F.floor(F.unix_timestamp(F.col(end_ts)) / b),
-            )
-        ),
+    startb = F.floor(F.unix_timestamp(F.col(start_ts)) / b)
+    endb = F.floor(F.unix_timestamp(F.col(end_ts)) / b)
+    # inverted intervals (end < start, corrupt rows) must bucket to NOTHING:
+    # F.sequence(start, stop) with start > stop counts DOWN by default, so a
+    # single swapped-timestamp row would explode into a huge descending
+    # bucket range that the residual then discards at full shuffle cost
+    seq = F.when(endb >= startb, F.sequence(startb, endb)).otherwise(
+        F.array().cast("array<bigint>")
     )
+    i = intervals.withColumn("__ib", F.explode_outer(seq))
+    # the interval side's on-keys are renamed, not dropped: the join
+    # condition must reference attributes present in the join child
+    for k in on:
+        i = i.withColumnRenamed(k, f"__on_{k}")
     cond = F.col("__pb") == F.col("__ib")
     for k in on:
-        cond = cond & (p[k] == i[k])
+        cond = cond & (F.col(k) == F.col(f"__on_{k}"))
     residual = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
 
-    if how == "inner":
-        out = p.join(i.drop(*on) if on else i, cond & residual, "inner")
-    else:
-        # left: keep every point once even with no matching interval
-        matched = p.join(i.drop(*on) if on else i, cond & residual, "left")
-        # a point may match several intervals (kept), but an unmatched point
-        # appears once per... nothing: left join with composite condition
-        # already yields exactly one null-extended row per unmatched point
-        out = matched
-    return out.drop("__pb", "__ib")
+    # left keeps every point once even with no matching interval: a left
+    # join with composite condition yields exactly one null-extended row
+    # per unmatched point
+    out = p.join(i, cond & residual, how)
+    return out.drop("__pb", "__ib", *[f"__on_{k}" for k in on])

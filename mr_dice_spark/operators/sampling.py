@@ -23,8 +23,15 @@ _BUCKETS = 1 << 32
 
 def hash_bucket(key: Column, seed: str = "") -> Column:
     """Uniform bucket in [0, 2^32) from the md5 prefix of (seed || key) —
-    engine-portable (same arithmetic runs in DuckDB for oracles)."""
-    s = F.concat(F.lit(seed), key.cast("string"))
+    engine-portable (same arithmetic runs in DuckDB for oracles).
+
+    NULL keys hash to a fixed sentinel bucket rather than propagating NULL:
+    a NULL bucket would silently DROP the row from ``deterministic_sample``
+    (NULL < threshold filters it) and rank it FIRST in the window samplers
+    (NULLS FIRST ordering) — both wrong in opposite directions. Non-null
+    keys are unaffected, so SQL oracles restating the arithmetic on
+    non-null fixtures stay valid."""
+    s = F.concat(F.lit(seed), F.coalesce(key.cast("string"), F.lit("\x00null")))
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
@@ -114,10 +121,14 @@ def mixture_sample(
     per-group top-n is WindowGroupLimit-pruned map-side."""
     counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
     alloc = apportion_weighted(counts, weights, total)
+    # quota typed after the ACTUAL group column (a hardcoded string would
+    # join non-string groups only via implicit cast) and long (an int32
+    # quota overflows when one group is allocated > 2^31-1 rows)
+    gtype = dict(df.dtypes)[group_col]
     quota = F.broadcast(
         df.sparkSession.createDataFrame(
             [(g, int(n)) for g, n in alloc.items()],
-            f"{group_col} string, __quota int",
+            f"{group_col} {gtype}, __quota long",
         )
     )
     w = Window.partitionBy(group_col).orderBy(

@@ -26,7 +26,15 @@ def fan_out(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     partitions. Call it on the narrowest projection (ids + the column the
     heavy expression consumes) so the shuffle moves minimal bytes."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # decide from scan metadata, never df.rdd: materializing the RDD under
+    # AQE EXECUTES all upstream shuffle stages eagerly just to read a
+    # partition count, and that work is re-done by the real action
+    input_files = df.inputFiles()
+    if not input_files:
+        # derived (post-shuffle) lineage already carries
+        # spark.sql.shuffle.partitions >= cores; nothing to widen
+        return df
+    if len(input_files) < target:
         return df.repartition(target)
     return df
 
@@ -66,6 +74,13 @@ def salted_join(
     cases; explicit salting is for the residual case — a hot build key too
     big for one task where the right side is small enough to replicate
     n_salts times but too big to broadcast whole.
+
+    Limitation: BIT-IDENTICAL duplicate rows of a hot key all hash to the
+    same salt, so a hot key whose rows are exact duplicates stays
+    concentrated. If that is your shape, add a distinct ordinal column
+    upstream (an event id, a file offset) so rows differ — a
+    nondeterministic ordinal here would break the retry-stability contract
+    above.
     """
     from pyspark.sql import functions as F
 

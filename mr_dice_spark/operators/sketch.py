@@ -70,16 +70,22 @@ def heavy_hitters_cms(
     itself never misses — estimates only overcount.
     """
     spark = df.sparkSession
-    total_row = df.count()
+    # the share denominator counts NON-NULL values to match the sketch
+    # (which skips NULLs) — a NULL-heavy column would otherwise inflate the
+    # cutoff and silently exclude true heavy hitters of the actual values
+    total_row = df.where(F.col(col).isNotNull()).count()
     sketch = cms_sketch(df, col, eps=eps, confidence=confidence, seed=seed)
     if candidates is None:
-        candidates = [r[0] for r in df.select(col).distinct().collect()]
+        candidates = [r[0] for r in df.select(col).distinct().collect() if r[0] is not None]
     est = cms_estimate(spark, sketch, candidates)
     cut = min_share * total_row
     rows = sorted(
         ((k, n) for k, n in est.items() if n >= cut),
         key=lambda t: (-t[1], t[0]),
     )
+    # key column keeps its SOURCE type (a hardcoded string would silently
+    # retype integral keys and break joins back to the source table)
+    key_type = dict(df.dtypes)[col]
     return spark.createDataFrame(
-        [(k, n) for k, n in rows], f"{col} string, est_count long"
+        [(k, n) for k, n in rows], f"{col} {key_type}, est_count long"
     )

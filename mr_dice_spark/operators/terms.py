@@ -22,6 +22,7 @@ def tfidf_top_terms(
     k: int = 5,
     rational_idf: bool = False,
     persist_tf: bool = False,
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document: (id, term, score, rank).
 
@@ -33,6 +34,11 @@ def tfidf_top_terms(
     implementations may differ in the last ulp across libms, which a
     hash-compare would see. Ranking ties (identical scores) break on term
     order, so top-k membership is deterministic on both engines.
+
+    ``broadcast_df=False`` joins the document-frequency dimension with a
+    token-keyed shuffle instead of a broadcast — required when the distinct
+    -token vocabulary (typos, URLs, ids on a web corpus) outgrows the
+    broadcast/driver limits; same escape hatch as ``unigram_lm_score``.
     """
     # The TF aggregate feeds BOTH the scores and the document-frequency
     # dimension; without persistence Catalyst recomputes its lineage (a
@@ -53,7 +59,7 @@ def tfidf_top_terms(
     ratio = (F.col("__n") + 1.0) / (F.col("df") + F.lit(1.0))
     idf = ratio if rational_idf else (F.log(ratio) + 1.0)
     scored = (
-        tf.join(F.broadcast(dfreq), "__t")
+        tf.join(F.broadcast(dfreq) if broadcast_df else dfreq, "__t")
         .crossJoin(F.broadcast(n))
         .select("__id", "__t", (F.col("tf") * idf).alias("__score"))
     )

@@ -101,3 +101,39 @@ def test_asof_null_timestamps_match_nothing(spark):
         assert rows[None] is None, direction      # NULL-ts left matches nothing
         if direction != "forward":
             assert rows[5] == "a", direction       # NULL-ts right never matches
+
+
+def test_interval_join_with_on_keys(spark):
+    """Keyed interval join: same-bucket points in DIFFERENT keys must not
+    match (this path previously threw MISSING_ATTRIBUTES)."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", 1, 30), ("b", 2, 30)], "key string, pid long, t long"
+    ).select("key", "pid", F.timestamp_seconds("t").alias("ts"))
+    ivs = spark.createDataFrame(
+        [("a", 10, 0, 60)], "key string, iid long, s long, e long"
+    ).select(
+        "key", "iid",
+        F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e"),
+    )
+    out = interval_join(pts, ivs, "ts", "s", "e", on=["key"])
+    rows = [(r["pid"], r["iid"]) for r in out.collect()]
+    assert rows == [(1, 10)]  # key 'b' point must not join key 'a' interval
+    assert "key" in out.columns and out.columns.count("key") == 1
+
+
+def test_interval_join_inverted_interval_yields_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame([(1, 30)], "pid long, t long").select(
+        "pid", F.timestamp_seconds("t").alias("ts")
+    )
+    ivs = spark.createDataFrame([(10, 60, 0)], "iid long, s long, e long").select(
+        "iid", F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e")
+    )
+    assert interval_join(pts, ivs, "ts", "s", "e").count() == 0

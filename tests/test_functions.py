@@ -529,3 +529,46 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     ).collect()[0]
     # HLL++ with rsd=2% — allow 3 sigma
     assert abs(row["approx"] - row["exact"]) <= 0.06 * row["exact"] + 1
+
+
+def test_sampling_null_keys_stable_not_dropped(spark):
+    from mr_dice_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1), ("s", 2), ("s", None)], "g string, k int"
+    )
+    # fraction=1.0 keeps EVERYTHING, including the NULL key
+    assert deterministic_sample(df, "k", 1.0).count() == 3
+    # NULL keys rank by their sentinel hash, not automatically first
+    top2 = stratified_sample_exact(df, ["g"], 2, "k")
+    assert top2.count() == 2
+
+
+def test_mixture_sample_integral_group_column(spark):
+    from mr_dice_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, i) for i in range(10, 20)],
+        "grp int, k int",
+    )
+    out = mixture_sample(df, "grp", {1: 0.5, 2: 0.5}, 10, "k")
+    assert out.count() == 10
+    assert dict(out.dtypes)["grp"] == "int"  # no silent retype to string
+
+
+def test_heavy_hitters_keeps_key_type_and_nonnull_share(spark):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.sketch import heavy_hitters_cms
+
+    rows = [(7,)] * 8 + [(9,)] * 2 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "uid int")
+    out = heavy_hitters_cms(df, "uid", min_share=0.5)
+    got = [(r["uid"], r["est_count"]) for r in out.collect()]
+    # 7 holds 80% of NON-NULL values; a NULL-inflated denominator (50%
+    # threshold of 20 rows = 10) would wrongly exclude it
+    assert got == [(7, 8)]
+    assert dict(out.dtypes)["uid"] == "int"
