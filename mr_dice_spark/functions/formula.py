@@ -159,11 +159,10 @@ def formation_energy_per_atom(
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
     cleaned = F.trim(normalize_unicode_digits_col(F.col(formula_col)))
-    toks = F.expr(
-        f"regexp_extract_all(translate(trim({formula_col}), "
-        f"'{_SUBSCRIPT + _SUPERSCRIPT + _FULLWIDTH}', '{_ASCII * 3}'), "
-        "'([A-Z][a-z]?)([0-9]*)', 0)"
-    )
+    # Column API, not an F.expr f-string: interpolating formula_col raw
+    # breaks on names needing quoting, and the translate table would be
+    # duplicated from normalize_unicode_digits_col
+    toks = F.regexp_extract_all(cleaned, F.lit(r"([A-Z][a-z]?)([0-9]*)"), 0)
     parsed = df.select(
         F.col(id_col).alias("__fid"),
         # full-coverage check: tokens must reassemble the cleaned formula
@@ -194,8 +193,12 @@ def formation_energy_per_atom(
         )
     )
     joined = df.join(per_id, df[id_col] == per_id["__fid"], "left")
+    # the natoms > 0 guard matters under ANSI mode (Spark 4 default):
+    # an explicit-zero formula like 'Fe0' tokenizes fully (__ok true) with
+    # zero atoms, and an unguarded /0 would crash the job instead of
+    # yielding the documented NULL
     out = F.when(
-        F.col("__ok") & ~F.col("__missing"),
+        F.col("__ok") & ~F.col("__missing") & (F.col("__natoms") > 0),
         (F.col(energy_col) - F.col("__refsum")) / F.col("__natoms"),
     )
     return joined.withColumn(out_col, out).drop(

@@ -82,7 +82,18 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def lang_score(text_col: Column, lang: str) -> Column:
-    """Number of tokens that are marker words of ``lang``."""
+    """Marker score of ``lang``: token matches for space-delimited
+    languages; for zh, marker-CHARACTER occurrences in the raw text —
+    unspaced Chinese never isolates single-character markers under
+    whitespace tokenization, so token matching would leave zh permanently
+    unreachable (every Chinese document scored 0 -> 'und')."""
+    if lang == "zh":
+        score = F.lit(0)
+        for m in LANG_PROFILES["zh"]:
+            score = score + (
+                F.length(text_col) - F.length(F.replace(text_col, F.lit(m), F.lit("")))
+            )
+        return score.cast("int")
     toks = tokens(F.lower(text_col))
     profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
@@ -132,7 +143,12 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("url", r"https?://[^\s]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+    # single-line separators only: \s would let one match swallow digit
+    # runs across NEWLINES, merging separate numbers on consecutive lines.
+    # Known tradeoff (no lookaround allowed for RE2 parity): ISO dates and
+    # space-grouped numbers match the phone shape and are redacted too —
+    # the conservative direction for a privacy scrubber.
+    ("phone", r"\+?[0-9][0-9()\t .-]{6,}[0-9]", "<PHONE>"),
 )
 
 

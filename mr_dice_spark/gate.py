@@ -123,8 +123,18 @@ def _assert_pure_query(spark: SparkSession, sql: str) -> None:
 
     ``spark.sql`` on a command (SET/CREATE/...) yields a plan whose root is a
     Command node; reject those even if the keyword scan was evaded.
+
+    Uses the JVM parser via the classic-session handle; under Spark
+    Connect that handle does not exist, so this layer degrades to a no-op
+    and the keyword gate (which already ran) remains the enforcement — a
+    valid SELECT must never be rejected just because the session is
+    Connect-backed.
     """
-    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    try:
+        jsession = spark._jsparkSession
+    except Exception:
+        return
+    plan = jsession.sessionState().sqlParser().parsePlan(sql)
     cls = plan.getClass().getName()
     if "Command" in cls or "Insert" in cls:
         raise SqlSecurityError(f"statement parses to non-query plan {cls}")

@@ -446,6 +446,13 @@ def cosine_topk_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_score_sql(lang: str) -> str:
     from mr_dice_spark.functions.text import LANG_PROFILES
 
+    if lang == "zh":
+        # mirror lang_score's zh branch: marker-CHARACTER occurrence count
+        terms = " + ".join(
+            f"(len(text) - len(replace(text, '{m}', '')))"
+            for m in LANG_PROFILES["zh"]
+        )
+        return f"CAST({terms} AS INTEGER)"
     words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
     return (
         "len(list_filter(string_split(trim(lower(text)), ' '), "
@@ -1881,7 +1888,8 @@ sel AS (
 ),
 kept AS (
   SELECT * FROM sel
-  WHERE line NOT IN (SELECT line FROM sel GROUP BY line
+  WHERE line NOT IN (SELECT line FROM sel WHERE line <> ''
+                     GROUP BY line
                      HAVING COUNT(DISTINCT doc_id) >= 2)
 )
 SELECT doc_id,

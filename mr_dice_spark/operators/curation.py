@@ -45,7 +45,11 @@ def curate_corpus(
     canonical duplicate is the lowest id, ties in language detection break
     alphabetically (see :func:`detect_language`).
     """
-    t = F.col(text_col)
+    # NULL text folds to '' up front: md5(NULL) is NULL and window
+    # partitioning groups all NULLs together, which would mislabel every
+    # NULL-text doc after the first as 'exact_dup' (and NULL-propagate
+    # n_tokens); as '' they take the honest too_short path
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = Window.partitionBy(F.md5(t)).orderBy(F.col(id_col))
     sig = df.select(
         F.col(id_col),

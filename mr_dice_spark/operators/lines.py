@@ -33,7 +33,12 @@ def line_dedup(
     lines joined by ``sep`` in original order. ``sep`` is a regex for the
     split and a literal for the re-join (the default newline is both).
     Documents whose every line was duplicated are absent from the output
-    (drop them — that is the filter's verdict)."""
+    (drop them — that is the filter's verdict).
+
+    EMPTY lines are exempt from the census (CCNet/RefinedWeb convention):
+    blank lines are paragraph structure, not boilerplate, and virtually
+    every prose document shares them — dedupping them would collapse
+    paragraph breaks corpus-wide."""
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
@@ -43,7 +48,8 @@ def line_dedup(
 
         lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
-        lines.groupBy("__line")
+        lines.where(F.col("__line") != "")
+        .groupBy("__line")
         .agg(F.count_distinct("__id").alias("__nd"))
         .where(F.col("__nd") >= min_docs)
         .select("__line")

@@ -20,7 +20,7 @@ State-size discipline (what makes these viable on a real cluster):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,7 +63,22 @@ def dedup_stream(
 
     Duplicates separated by more than ``watermark`` in event time are NOT
     suppressed (their state has been reclaimed) — the documented contract
-    of watermark-bounded streaming dedup."""
+    of watermark-bounded streaming dedup.
+
+    "First" means ARRIVAL order on the streaming path (inherent to
+    dropDuplicatesWithinWatermark); the batch path keeps the EVENT-TIME
+    first row per key (deterministic row_number, ts then remaining columns
+    as tiebreak) — so batch-vs-stream parity is guaranteed at the KEY
+    level, and on the non-key columns only when arrival order matches
+    event time."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
-    return df.dropDuplicates(subset)
+    tiebreak = [c for c in df.columns if c not in subset]
+    w = Window.partitionBy(*subset).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak if c != ts_col]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -36,24 +36,36 @@ def user_value_ema(
     events: DataFrame,
     alpha: float = 0.3,
     watermark: str = "2 hours",
+    idle_timeout_minutes: int | None = None,
 ) -> DataFrame:
     """Per-user EMA of ``value``, one output row per user per micro-batch.
 
     Events are processed in ``ts`` order within each batch; state carries
     (count, ema) across batches. Batch DataFrames take the
     ``applyInPandas`` path with identical semantics.
+
+    ``idle_timeout_minutes`` bounds state for churning key populations: a
+    user idle longer than the bound has their state evicted (the EMA
+    restarts on their next event). Default None keeps state forever —
+    correct for stable populations, unbounded for session-scoped ids.
     """
 
     def with_state(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, ema = state.get if state.exists else (0, 0.0)
-        last_ts = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            n, ema = _ema_update(n, float(ema), pdf["value"].tolist(), alpha)
-            last_ts = pdf["ts"].iloc[-1]
+        # a group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks; sorting per chunk would fold late chunks' early events
+        # after earlier chunks' late ones — concatenate, then sort ONCE
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        n, ema = _ema_update(n, float(ema), pdf["value"].tolist(), alpha)
+        last_ts = pdf["ts"].max()
         state.update((n, float(ema)))
+        if idle_timeout_minutes is not None:
+            state.setTimeoutDuration(idle_timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ema": [ema], "last_ts": [last_ts]}
         )
@@ -72,6 +84,11 @@ def user_value_ema(
 
     src = events.select("user_id", "ts", "value")
     if events.isStreaming:
+        timeout = (
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        )
         return (
             src.withWatermark("ts", watermark)
             .groupBy("user_id")
@@ -80,7 +97,7 @@ def user_value_ema(
                 outputStructType=OUT_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=timeout,
             )
         )
     return src.groupBy("user_id").applyInPandas(batch_fn, schema=OUT_SCHEMA)

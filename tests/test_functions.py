@@ -393,7 +393,8 @@ def _line_model(docs, min_docs):
             docs_per_line[ln].add(i)
     out = {}
     for i, lines in docs:
-        kept = [ln for ln in lines if len(docs_per_line[ln]) < min_docs]
+        # empty lines are census-exempt (paragraph structure, not boilerplate)
+        kept = [ln for ln in lines if ln == "" or len(docs_per_line[ln]) < min_docs]
         if kept:
             out[i] = ("\n".join(kept), len(kept))
     return out
@@ -572,3 +573,14 @@ def test_heavy_hitters_keeps_key_type_and_nonnull_share(spark):
     # threshold of 20 rows = 10) would wrongly exclude it
     assert got == [(7, 8)]
     assert dict(out.dtypes)["uid"] == "int"
+
+
+def test_detect_language_unspaced_chinese(spark):
+    """zh markers are single characters inside unspaced text — token
+    matching can never see them, character counting must."""
+    df = spark.createDataFrame(
+        [("这是一个很好的例子我们都喜欢它",), ("the cat and the dog sat",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(detect_language(F.col("text"))).collect()]
+    assert got == ["zh", "en"]
