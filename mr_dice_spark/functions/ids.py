@@ -14,8 +14,12 @@ def shorten_id(col: Column, max_len: int = 12, keep: int = 6) -> Column:
     Optimade_Server/utils.py:208-226): ids longer than ``max_len`` keep the
     first and last ``keep`` chars around an ellipsis."""
     c = col.cast("string")
+    # only shorten when it actually SAVES space: the shortened form is
+    # 2*keep+3 chars, so ids of length max_len+1 .. 2*keep+3 would come out
+    # LONGER than the original while destroying middle characters
+    threshold = max(max_len, 2 * keep + 3)
     return F.when(
-        F.length(c) > max_len,
+        F.length(c) > threshold,
         F.concat(F.substring(c, 1, keep), F.lit("..."), F.substring(c, -keep, keep)),
     ).otherwise(c)
 

@@ -43,7 +43,11 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
         .option("pathGlobFilter", glob)
         .load(path)
         .select(
+            # media_id doubles the uri so the probe_*/resize defaults
+            # (id_cols=['media_id']) compose with this source directly
+            F.col("path").alias("media_id"),
             F.col("path").alias("uri"),
+            F.col("modificationTime").alias("modified_at"),
             F.col("length").alias("n_bytes"),
             F.col("content").alias("payload"),
         )
@@ -128,9 +132,12 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["width"] = target_w
-            out["height"] = target_h
-            out["resized"] = out[payload_col].notna()
+            ok = out[payload_col].notna()
+            # no fabricated geometry for missing media: a NULL payload gets
+            # NULL width/height, not the target dimensions it never reached
+            out["width"] = pd.array([target_w if v else None for v in ok], dtype="Int32")
+            out["height"] = pd.array([target_h if v else None for v in ok], dtype="Int32")
+            out["resized"] = ok
             yield out
 
     return pruned.mapInPandas(run, schema=out_schema)
@@ -172,23 +179,28 @@ def extract_frames(
     sampled: DataFrame,
     id_cols: Optional[list[str]] = None,
     payload_col: str = "payload",
+    broadcast_index: bool = True,
 ) -> DataFrame:
     """Second pass of the video pipeline: join sampled frame indices back to
     payloads and emit one (ids, frame_idx, frame_bytes) row per frame.
 
-    Plan shape: the (ids, frame_idx) table is tiny relative to payloads, so
-    it broadcasts; the payload table is touched ONCE, and each partition's
-    mapInPandas call slices all of its videos' requested frames in one
-    Arrow batch. The stub "decoder" slices a deterministic byte window per
-    frame index; a real codec (PyAV) would decode-and-seek in the same
-    loop with nothing else changing.
+    Plan shape: the (ids, frame_idx) table is tiny RELATIVE to payloads but
+    grows with the corpus — one row per video. ``broadcast_index=True``
+    (default) broadcasts it, right for up to tens of millions of videos;
+    at billions the index outgrows broadcast/driver limits — pass False to
+    take a key-shuffled join (or pre-bucket both tables on the id for a
+    shuffle-free one). Either way the payload table is scanned ONCE, and
+    each partition's mapInPandas call slices all of its videos' requested
+    frames in one Arrow batch. The stub "decoder" slices a deterministic
+    byte window per frame index; a real codec (PyAV) would decode-and-seek
+    in the same loop with nothing else changing.
     """
     id_cols = id_cols or ["media_id"]
     frames = sampled.groupBy(*id_cols).agg(
         F.sort_array(F.collect_list("frame_idx")).alias("__idxs")
     )
     pruned = probed_with_payload.select(*id_cols, payload_col)
-    joined = pruned.join(F.broadcast(frames), id_cols)
+    joined = pruned.join(F.broadcast(frames) if broadcast_index else frames, id_cols)
     id_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pruned.schema.fields
         if f.name != payload_col

@@ -33,7 +33,10 @@ def contamination_stats(
     where n_shared counts the doc's distinct word n-grams that appear
     anywhere in the probe set. Docs too short to form a gram report
     n_grams=0, share=0.0, contaminated=false."""
-    sets_ = shingle_sets(corpus, id_col, text_col, n)
+    # sets_ feeds two plan branches (the exploded probe join AND the
+    # n_grams size projection); without materialization the shingle
+    # transform — the most expensive stage — would execute twice
+    sets_ = shingle_sets(corpus, id_col, text_col, n).localCheckpoint(eager=False)
     # probe ids are irrelevant (only the distinct gram set is used) — a
     # constant satisfies shingle_sets' id column without assuming one exists
     probe_keyed = probe.select(

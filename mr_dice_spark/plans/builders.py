@@ -61,8 +61,14 @@ class ParametricQuery:
         return self
 
     def isin(self, column: str, values: Optional[Sequence]) -> "ParametricQuery":
-        if values:
-            self._preds.append(F.col(column).isin(list(values)))
+        # None means "parameter absent"; an EXPLICIT empty list means
+        # "match nothing" — a truthiness check would silently drop the
+        # predicate and return every row, the exact opposite
+        if values is not None:
+            if len(values) == 0:
+                self._preds.append(F.lit(False))
+            else:
+                self._preds.append(F.col(column).isin(list(values)))
         return self
 
     def enum(self, column: str, value: Optional[str], allowed: Sequence[str]) -> "ParametricQuery":
@@ -87,10 +93,19 @@ class ParametricQuery:
         """P14 + P18: numeric range; a missing end falls back to the
         domain default (reference fills band_gap range with 0/100), or is
         left unbounded when no default is given."""
+        # validate the USER-supplied pair before defaults are filled: an
+        # open-ended user bound (60, None) combined with a domain default
+        # hi of 50 is not a user error, and the raised message must never
+        # cite a bound the caller did not pass
+        if lo is not None and hi is not None and lo > hi:
+            raise InvalidParam(f"{column}: empty range [{lo}, {hi}]")
         lo = default_lo if lo is None else lo
         hi = default_hi if hi is None else hi
         if lo is not None and hi is not None and lo > hi:
-            raise InvalidParam(f"{column}: empty range [{lo}, {hi}]")
+            # defaults produced the contradiction -> empty result, not an
+            # error: match nothing
+            self._preds.append(F.lit(False))
+            return self
         if lo is not None:
             self._preds.append(F.col(column) >= F.lit(lo))
         if hi is not None:
@@ -109,7 +124,11 @@ class ParametricQuery:
             if isinstance(v, str):
                 v = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
             if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                # KEEP the tz-aware datetime: PySpark converts aware values
+                # via calendar.timegm (absolute instant) but NAIVE ones via
+                # driver-local mktime — stripping tzinfo here would shift
+                # every bound by the driver's UTC offset on non-UTC hosts
+                v = v.astimezone(_dt.timezone.utc)
             return F.lit(v).cast("timestamp")
 
         if start is not None:

@@ -82,7 +82,10 @@ def cif_text_column(
     array<string>; positions: array<array<double>> cartesian.
     """
     def fmt(x: Column) -> Column:
-        return F.format_number(x.cast("double"), 6)
+        # format_string, NOT format_number: the latter inserts thousands
+        # separators (1234.5 -> '1,234.500000'), and a comma inside a CIF
+        # numeric field corrupts the file for any downstream parser
+        return F.format_string("%.6f", x.cast("double"))
 
     site_lines = F.concat_ws(
         "\n",
