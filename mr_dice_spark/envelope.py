@@ -33,6 +33,7 @@ class FetchResult:
     message: str
     cleaned: list[dict[str, Any]] = field(default_factory=list)
     output_dir: Optional[str] = None
+    truncated: bool = False  # more rows matched than the preview carries
 
     @property
     def ok(self) -> bool:
@@ -46,7 +47,12 @@ def wrap(df: DataFrame, max_rows: int = MAX_RETURNED_ROWS) -> FetchResult:
     scan); ``n_found`` reports the preview size, capped notation matching the
     reference's truncate-to-30 behavior.
     """
-    rows = df.limit(max_rows).collect()
+    # max_rows + 1: the sentinel row is how truncation becomes DETECTABLE —
+    # without it, 'exactly max_rows matched' and 'more matched' are
+    # indistinguishable to the caller
+    rows = df.limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    rows = rows[:max_rows]
     n = len(rows)
     if n == 0:
         return FetchResult(df=df, n_found=0, code=NO_RESULTS, message="no results matched")
@@ -54,8 +60,9 @@ def wrap(df: DataFrame, max_rows: int = MAX_RETURNED_ROWS) -> FetchResult:
         df=df,
         n_found=n,
         code=OK,
-        message="success",
+        message="success (truncated)" if truncated else "success",
         cleaned=[r.asDict(recursive=True) for r in rows],
+        truncated=truncated,
     )
 
 

@@ -80,62 +80,23 @@ def spacegroup_dim(spark: SparkSession) -> DataFrame:
 
 
 # valid screw-axis digit pairs in short H-M symbols (N_M with M < N)
-_SCREW_AXES = ("21", "31", "32", "41", "42", "43", "61", "62", "63", "64", "65")
-
-# Symbols whose digit runs are ambiguous from the string alone (a "32" can
-# be the screw axis 3_2 OR the element pair 3,2 depending on the crystal
-# system) — resolved from International Tables Vol. A:
-_TCOD_EXCEPTIONS = {
-    "P4212": "P 4 21 2",
-    "P312": "P 3 1 2",
-    "P321": "P 3 2 1",
-    "P3121": "P 31 2 1",
-    "P3221": "P 32 2 1",
-    "R32": "R 3 2",
-    "P432": "P 4 3 2",
-    "F432": "F 4 3 2",
-    "I432": "I 4 3 2",
-    "P4232": "P 42 3 2",
-    "F4132": "F 41 3 2",
-    "P4332": "P 43 3 2",
-    "P4132": "P 41 3 2",
-    "I4132": "I 41 3 2",
-}
-
-
 def tcod_spacing(symbol: str) -> str:
-    """TCOD symbol spacing (F9): insert spaces between the lattice letter and
-    each symmetry element: 'Pm-3m' -> 'P m -3 m', 'P21/c' -> 'P 21/c',
-    'P4332' -> 'P 43 3 2' (same observable behavior as the reference's
-    regex pipeline, Optimade_Server/utils.py:530-548).
+    """TCOD symbol spacing (F9) — the reference's observable rules
+    (Optimade_Server/utils.py:528-546), reimplemented: expand letter
+    groups after '/', space between consecutive letters, space at
+    letter<->digit transitions, attach '-' to its digit with a space
+    before. Digit RUNS stay together ('P4332' -> 'P 4332', 'P21/c' ->
+    'P 21/c') — the reference never splits them, and segmenting screw
+    axes from the string alone is ambiguous ('32' is the screw 3_2 or
+    the pair 3,2 depending on crystal system), which a previous
+    tokenizer here got wrong for the P422/P321/P312-family groups.
 
-    Tokenizer: a two-digit run is ONE element only when it is a valid screw
-    axis (21, 41, 63, ...); an axis keeps its '/glide' suffix; everything
-    else — single rotations (optionally rotoinversion '-N') and mirror/glide
-    letters — is its own element.
+    Examples: 'Pm-3m' -> 'P m -3 m'; 'P4/mmm' -> 'P 4/m m m';
+    'Fd-3m' -> 'F d -3 m'.
     """
-    if symbol in _TCOD_EXCEPTIONS:
-        return _TCOD_EXCEPTIONS[symbol]
-    lattice, body = symbol[0], symbol[1:]
-    blocks: list[str] = []
-    i = 0
-    while i < len(body):
-        ch = body[i]
-        if ch == "-" and i + 1 < len(body):
-            blocks.append(body[i : i + 2])  # rotoinversion -N (or -letter)
-            i += 2
-        elif ch.isdigit():
-            if body[i : i + 2] in _SCREW_AXES:
-                blocks.append(body[i : i + 2])
-                i += 2
-            else:
-                blocks.append(ch)
-                i += 1
-        else:
-            blocks.append(ch)
-            i += 1
-        # an axis element absorbs a '/glide-or-mirror' suffix (e.g. 21/c, 63/m)
-        if i < len(body) and body[i] == "/":
-            blocks[-1] += body[i : i + 2]
-            i += 2
-    return " ".join([lattice] + blocks) if blocks else symbol
+    s = symbol.strip()
+    s = re.sub(r"/([A-Za-z]+)", lambda m: "/" + " ".join(m.group(1)), s)
+    s = re.sub(r"(?<=[A-Za-z])(?=[A-Za-z])", " ", s)
+    s = re.sub(r"(?<=[A-Za-z])(?=\d)|(?<=\d)(?=[A-Za-z])", " ", s)
+    s = re.sub(r"\s*-\s*(?=\d)", " -", s)
+    return " ".join(s.split())

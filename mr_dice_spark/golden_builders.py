@@ -195,8 +195,9 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_ORACLE = """
 SELECT event_type, COUNT(*) AS est_count
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY event_type
-HAVING COUNT(*) >= 0.05 * (SELECT COUNT(*) FROM events)
+HAVING COUNT(*) >= 0.05 * (SELECT COUNT(event_type) FROM events)
 ORDER BY est_count DESC, event_type
 """
 
@@ -241,8 +242,6 @@ def spacegroup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-group symbol lookup as a broadcast dimension join (the
     reference's 230-entry dict, SURVEY.md P19/F8): a synthetic spg_number
     per part joins the dim; Catalyst broadcasts the 230-row side."""
-    from pyspark.sql.functions import broadcast
-
     from mr_dice_spark.functions.spacegroup import spacegroup_dim
 
     part = Catalog(spark, sf_dir).part
@@ -251,7 +250,7 @@ def spacegroup_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", (F.col("p_partkey") % 230 + 1).cast("int").alias("spg_number")
     )
     return (
-        parts.join(broadcast(dim), "spg_number")
+        parts.join(F.broadcast(dim), "spg_number")
         .groupBy("hm_symbol")
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .where(F.col("n_parts") >= 2)

@@ -26,8 +26,12 @@ except ImportError:
 
 
 def byte_checksum(payload: bytes) -> int:
-    """Sum of bytes mod 2^31 — cheap, order-sensitive, and expressible in
-    SQL over an unnested byte array (or precomputed at ingest)."""
+    """Sum of bytes mod 2^31 — cheap, CONTENT-sensitive but
+    order-INSENSITIVE (a permutation of the same bytes collides by
+    design: summation commutes), and expressible in SQL over an unnested
+    byte array (or precomputed at ingest). Fine for the stub decoders'
+    deterministic fake metadata; a real pipeline would use a positional
+    hash (xxhash64) if reordered content must be distinguished."""
     return sum(payload) % (2**31)
 
 

@@ -26,12 +26,24 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across the plan's scans."""
+    """All PushedFilters entries across the plan's scans.
+
+    Bracket-aware: an ``In(col, [a,b])`` entry contains a nested ']', so a
+    naive ``\\[[^\\]]*\\]`` capture would truncate at it and DROP every
+    filter after the In — failing assertions on perfectly good plans."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
-        # entries look like "IsNotNull(a), EqualTo(a,42)" — split on the
-        # boundary between entries, not on every comma
-        out.extend(s.strip() for s in re.split(r"(?<=\)),", m.group(1)) if s.strip())
+    plan = formatted_plan(df)
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth > 0:
+            if plan[i] == "[":
+                depth += 1
+            elif plan[i] == "]":
+                depth -= 1
+            i += 1
+        body = plan[m.end() : i - 1] if depth == 0 else plan[m.end() :]
+        # split on entry boundaries (after a closing paren), not every comma
+        out.extend(s.strip() for s in re.split(r"(?<=[)\]]),", body) if s.strip())
     return out
 
 
