@@ -30,6 +30,37 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Column names physically stored as TIMESTAMP(NANOS) in the parquet
+    footer — the columns that surface as epoch-ns bigint under
+    ``spark.sql.legacy.parquet.nanosAsLong``. Footer-driven so ANY
+    table/column regeneration is caught, not a hardcoded (table, column)
+    pair; Spark's own schema can't distinguish these from real bigints.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if not parts:
+            return ()
+        target = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return ()
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
 def normalize_timestamps(df: DataFrame, nanos_long_cols: tuple[str, ...] = ()) -> DataFrame:
     """Normalize every timestamp variant a parquet writer can produce to
     TIMESTAMP (LTZ) — the single rule shared by the batch Catalog and the
@@ -47,7 +78,11 @@ def normalize_timestamps(df: DataFrame, nanos_long_cols: tuple[str, ...] = ()) -
     dtypes = dict(df.dtypes)
     for c in nanos_long_cols:
         if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            # exact integer FLOOR division ns -> us: `div` truncates toward
+            # zero, which would round pre-epoch (negative) nanos 1us late;
+            # a double FLOOR would lose precision past 2^53
+            us = f"(`{c}` - ((`{c}` % 1000) + 1000) % 1000) div 1000"
+            df = df.withColumn(c, F.timestamp_micros(F.expr(us)))
     for col_name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
@@ -62,20 +97,26 @@ class Catalog:
     and prunes columns into the file source per query.
     """
 
+    # shared across instances: golden queries construct a fresh Catalog per
+    # call, and without sharing each would repeat file listing + footer
+    # schema reads for every table it touches (hundreds of times per
+    # corpus run). Keyed on the session id so a restarted session re-reads.
+    _shared_cache: dict[tuple, DataFrame] = {}
+
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
 
     def path(self, name: str) -> str:
         return os.path.join(self.sf_dir, f"{name}.parquet")
 
     def table(self, name: str) -> DataFrame:
-        if name not in self._cache:
+        key = (id(self.spark), self.sf_dir, name)
+        if key not in Catalog._shared_cache:
             if name not in TABLE_NAMES:
                 raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-            self._cache[name] = self._read(name)
-        return self._cache[name]
+            Catalog._shared_cache[key] = self._read(name)
+        return Catalog._shared_cache[key]
 
     def _read(self, name: str) -> DataFrame:
         path = self.path(name)
@@ -90,7 +131,7 @@ class Catalog:
             # so no float path).
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(path)
-        return normalize_timestamps(df, nanos_long_cols=("ts",) if name == "events" else ())
+        return normalize_timestamps(df, nanos_long_cols=nanos_timestamp_cols(path))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:

@@ -58,6 +58,11 @@ GOLDEN: dict[str, GoldenQuery] = {}
 
 def golden(name: str, oracle: Optional[str], tags: tuple[str, ...] = (), bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in GOLDEN:
+            # five modules register into one dict at import time; a reused
+            # name would silently REPLACE the earlier query, shrinking the
+            # corpus with no error anywhere
+            raise ValueError(f"duplicate golden query name {name!r}")
         GOLDEN[name] = GoldenQuery(name=name, spark=fn, oracle=oracle, tags=tags, bench=bench)
         return fn
 
@@ -280,8 +285,8 @@ DEMO5_ORACLE = """
 WITH comp AS (
   SELECT l_orderkey,
          string_agg(CAST(l_partkey AS VARCHAR) || ':' ||
-                    CAST(CAST(l_quantity AS INT) AS VARCHAR),
-                    ',' ORDER BY l_partkey, l_quantity) AS composition
+                    CAST(CAST(FLOOR(l_quantity) AS INT) AS VARCHAR),
+                    ',' ORDER BY l_partkey, FLOOR(l_quantity)) AS composition
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT a.l_orderkey AS o1, b.l_orderkey AS o2, a.composition AS composition
@@ -302,7 +307,11 @@ def demo5_composition_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.collect_list(
                         F.struct(
                             F.col("l_partkey").alias("pk"),
-                            F.col("l_quantity").cast("int").alias("q"),
+                            # FLOOR on BOTH sides: a bare int cast truncates
+                            # toward zero in Spark but ROUNDS in DuckDB
+                            # (5.6 -> 5 vs 6) — latent divergence if the
+                            # fixture ever gains fractional quantities
+                            F.floor("l_quantity").cast("int").alias("q"),
                         )
                     )
                 ),

@@ -55,8 +55,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()
-    if active is None:
-        builder = builder.master(f"local[{cpus}]")
+    if active is not None:
+        # REUSE without re-applying defaults: getOrCreate would push this
+        # call's configs onto the existing session (documented PySpark
+        # behavior), silently clobbering the creator's explicit settings
+        # (shuffle partitions, broadcast threshold) mid-run. Only the
+        # caller's explicit extra_conf is applied.
+        for k, v in (extra_conf or {}).items():
+            active.conf.set(k, v)
+        return active
+    builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -53,7 +53,7 @@ def read_events_stream(
             os.symlink(path, link)
         path = staged
 
-    from mr_dice_spark.catalog import normalize_timestamps
+    from mr_dice_spark.catalog import nanos_timestamp_cols, normalize_timestamps
 
     footer_schema = spark.read.parquet(path).schema
     raw = (
@@ -62,9 +62,10 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
-    # same normalization rule as the batch Catalog — one shared helper so
-    # the next physical-type variant is fixed in one place
-    return normalize_timestamps(raw, nanos_long_cols=("ts",))
+    # same normalization rule as the batch Catalog — one shared helper and
+    # the same footer-driven nanos detection, so the next physical-type
+    # variant is fixed in one place
+    return normalize_timestamps(raw, nanos_long_cols=nanos_timestamp_cols(path))
 
 
 def tumbling_window_stats(
