@@ -104,7 +104,7 @@ probed AS (
 SELECT CAST(sample_rate AS INT) AS sample_rate,
        CAST(n_channels AS INT) AS n_channels,
        COUNT(*) AS n_clips,
-       SUM(n_samples) AS total_samples
+       CAST(SUM(n_samples) AS BIGINT) AS total_samples
 FROM probed
 GROUP BY 1, 2
 ORDER BY 1, 2

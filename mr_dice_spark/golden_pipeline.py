@@ -77,8 +77,8 @@ marked AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1797,7 +1797,7 @@ per_gram AS (
   SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
 )
 SELECT doc_id,
-       SUM(c) AS total_grams,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
        COUNT(*) AS distinct_grams,
        ROUND(1e-9 + MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_share,
        ROUND(1e-9 + 1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_share
@@ -1839,7 +1839,7 @@ dw AS (
 vocab AS (SELECT t, SUM(c) AS cw FROM dw GROUP BY t),
 tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM vocab)
 SELECT doc_id,
-       SUM(c) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
        ROUND(1e-9 + SUM(c * (ln(n) - ln(CAST(cw AS DOUBLE)))) / SUM(c), 6)
          AS avg_neg_logprob
 FROM dw JOIN vocab USING (t) CROSS JOIN tot

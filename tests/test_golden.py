@@ -29,6 +29,29 @@ def test_golden_matches_oracle(spark, oracle_sf_dir, name):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_output_types_driver_safe(sf_dir, name):
+    """No oracle may output a HUGEINT (int128) column. DuckDB widens any
+    SUM over integers to HUGEINT; fetchall() hands back Python ints (so the
+    in-repo compare passes) but a pandas/arrow fetch — the driver's path —
+    exports HUGEINT as float64, which hash-diverges from Spark's int64
+    ('3' vs '3.0'). Root cause of the round-1 events_sessionize red row.
+    Fix sites by wrapping the output column in CAST(... AS BIGINT)."""
+    from tests.oracle import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.sql(GOLDEN[name].oracle)
+        bad = [
+            (c, str(t))
+            for c, t in zip(res.columns, res.types)
+            if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+        ]
+    finally:
+        con.close()
+    assert not bad, f"{name}: driver-unsafe oracle output types {bad}"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_golden_nonempty_unless_anti(spark, oracle_sf_dir, name):
     # every golden query except anti-join style ones should produce rows at sf0.01
     q = GOLDEN[name]
