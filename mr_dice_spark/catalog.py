@@ -100,7 +100,11 @@ class Catalog:
     # shared across instances: golden queries construct a fresh Catalog per
     # call, and without sharing each would repeat file listing + footer
     # schema reads for every table it touches (hundreds of times per
-    # corpus run). Keyed on the session id so a restarted session re-reads.
+    # corpus run). Keyed on the session's applicationId — stable for the
+    # session's lifetime and never reused the way id() addresses are (a
+    # stopped session's address can be recycled, which would serve
+    # DataFrames bound to the dead session). Entries for other application
+    # ids are evicted on first miss so restarts don't grow the cache.
     _shared_cache: dict[tuple, DataFrame] = {}
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
@@ -111,10 +115,14 @@ class Catalog:
         return os.path.join(self.sf_dir, f"{name}.parquet")
 
     def table(self, name: str) -> DataFrame:
-        key = (id(self.spark), self.sf_dir, name)
+        app_id = self.spark.sparkContext.applicationId
+        key = (app_id, self.sf_dir, name)
         if key not in Catalog._shared_cache:
             if name not in TABLE_NAMES:
                 raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+            stale = [k for k in Catalog._shared_cache if k[0] != app_id]
+            for k in stale:
+                del Catalog._shared_cache[k]
             Catalog._shared_cache[key] = self._read(name)
         return Catalog._shared_cache[key]
 

@@ -15,6 +15,7 @@ costs nothing on big inputs and fixes the pathological small-input case
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -25,7 +26,8 @@ def fan_out(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     session's default parallelism) iff the plan currently has fewer
     partitions. Call it on the narrowest projection (ids + the column the
     heavy expression consumes) so the shuffle moves minimal bytes."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     # decide from scan metadata, never df.rdd: materializing the RDD under
     # AQE EXECUTES all upstream shuffle stages eagerly just to read a
     # partition count, and that work is re-done by the real action
@@ -34,7 +36,28 @@ def fan_out(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
         # derived (post-shuffle) lineage already carries
         # spark.sql.shuffle.partitions >= cores; nothing to widen
         return df
-    if len(input_files) < target:
+    # file COUNT alone both under-counts (few large splittable files scan as
+    # many partitions) and over-counts (many small files coalesce under
+    # maxPartitionBytes); estimate actual scan splits with Spark's own
+    # packing rule (FilePartition.maxSplitBytes) when the files are
+    # stat-able, falling back to the count
+    est = len(input_files)
+    try:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+        total = 0
+        for f in input_files:
+            local = f[len("file:"):] if f.startswith("file:") else f
+            if not os.path.exists(local):
+                raise OSError(f"non-local input {f}")
+            total += os.path.getsize(local)
+        padded = total + open_cost * len(input_files)
+        bytes_per_core = padded / max(1, spark.sparkContext.defaultParallelism)
+        max_split = min(max_bytes, max(open_cost, int(bytes_per_core)))
+        est = max(1, -(-padded // max(1, max_split)))
+    except (OSError, ValueError):
+        pass  # remote filesystem: keep the file count as the estimate
+    if est < target:
         return df.repartition(target)
     return df
 

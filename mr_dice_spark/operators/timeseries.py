@@ -43,8 +43,10 @@ def resample_ffill(
     """
     if agg not in ("avg", "min", "max", "sum", "last"):
         raise ValueError(f"unsupported agg {agg!r}")
+    # floor, not cast: cast("long") truncates toward zero, which misaligns
+    # pre-1970 (negative-epoch) timestamps by one step vs time_bucket
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
     )
     bv = F.col("__v")
     agg_fn = {

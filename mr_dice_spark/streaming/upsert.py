@@ -11,8 +11,12 @@ minimal commit protocol of the same shape Delta/Iceberg use:
 Readers resolve CURRENT then scan one immutable directory; the pointer
 update is an atomic ``os.replace``, so a reader never observes a partial
 snapshot. foreachBatch may REPLAY a batch after failure — the upsert is
-idempotent because (a) merge_latest_wins is deterministic, (b) the replay
-rewrites the same snap_{batch_id} directory, and (c) the pointer flip is
+idempotent because (a) a replay of a batch whose snapshot is already
+published is detected via CURRENT and skipped (the publish IS the commit;
+without this check a replay would lazily read the very directory it
+overwrite-writes, destroying the live snapshot), (b) each attempt writes
+to a staging directory and renames it into place, so a crashed attempt
+never leaves a partial snap_* directory, and (c) the pointer flip is
 last. On a real cluster the pointer lives in a metastore/manifest commit;
 the operator shape (read snapshot -> union changes -> latest-wins ->
 write -> atomic publish) is unchanged.
@@ -69,11 +73,27 @@ def stream_upsert_to_snapshot(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        name = f"snap_{batch_id:012d}"
+        pointer = os.path.join(path, "CURRENT")
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                if fh.read().strip() == name:
+                    # Replay after a crash between _publish and the stream's
+                    # checkpoint commit: the snapshot is already live. Reading
+                    # CURRENT here would scan the directory the overwrite
+                    # below deletes — skip instead (publish IS the commit).
+                    return
         base = read_snapshot(spark, path)
         source = base.unionByName(batch_df) if base is not None else batch_df
         merged = merge_latest_wins(source, list(keys), version_col, list(tiebreakers))
-        name = f"snap_{batch_id:012d}"
-        merged.write.mode("overwrite").parquet(os.path.join(path, name))
+        # Stage then rename: a crash mid-write leaves only .stage_* garbage,
+        # never a partial snap_* directory a reader (or cleanup) could see.
+        stage = os.path.join(path, f".stage_{name}")
+        shutil.rmtree(stage, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(stage)
+        final = os.path.join(path, name)
+        shutil.rmtree(final, ignore_errors=True)  # partial dir from a crashed attempt
+        os.replace(stage, final)
         _publish(path, name)
 
     q = (

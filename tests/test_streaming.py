@@ -188,3 +188,34 @@ def test_stream_upsert_snapshot_matches_batch_merge(spark, sf_dir, tmp_path):
         checkpoint=str(tmp_path / "ckpt2"), tiebreakers=["event_type"],
     )
     assert sorted(map(tuple, read_snapshot(spark, store).collect())) == b
+
+
+def test_stream_upsert_replay_batch_id_collision(spark, sf_dir, tmp_path):
+    """Replay of the batch whose snapshot is already CURRENT (crash between
+    publish and checkpoint commit). A single-file source makes the whole
+    input one micro-batch, so CURRENT == snap_000000000000 when the fresh
+    checkpoint re-runs batch 0: without the short-circuit the upsert lazily
+    reads the same directory it overwrite-writes, fails with
+    FAILED_READ_FILE, and destroys the live snapshot."""
+    from mr_dice_spark.streaming import read_events_stream
+    from mr_dice_spark.streaming.upsert import read_snapshot, stream_upsert_to_snapshot
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    Catalog(spark, sf_dir).events.select("user_id", "ts", "event_type", "value").limit(
+        200
+    ).coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+
+    def run(ckpt: str) -> None:
+        stream_upsert_to_snapshot(
+            read_events_stream(spark, src), store, keys=["user_id"],
+            version_col="ts", checkpoint=str(tmp_path / ckpt),
+            tiebreakers=["event_type"],
+        )
+
+    run("ckpt1")
+    before = sorted(map(tuple, read_snapshot(spark, store).collect()))
+    assert before  # one micro-batch committed
+    run("ckpt2")  # batch 0 replays against CURRENT == snap_0
+    assert sorted(map(tuple, read_snapshot(spark, store).collect())) == before
