@@ -389,43 +389,110 @@ def ngram_jaccard_join(
     oracle-checkable sibling of MinHash LSH (which approximates the same
     output). Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale note: fan-out is bounded by shingle document frequency; for
-    heavy-tailed corpora, drop ultra-frequent shingles (stop-shingles)
-    before the join or switch to the LSH variant. Candidate generation
-    applies the AllPairs/PPJoin length filter: jaccard >= t forces
-    t*|A| <= |B| <= |A|/t, so length-incompatible pairs are pruned inside
-    the join (before the pair-aggregation shuffle) without changing the
-    exact result set.
+    Scale: two defenses bound the candidate explosion that made the naive
+    inverted-index join quadratic on duplicate-dense corpora (the dominant
+    regime for LLM dedup — many exact copies per document):
+
+    * set-equivalence collapse: docs are grouped by their EXACT shingle
+      set first, and the pair join runs over DISTINCT sets only. A corpus
+      where each doc has k copies does k^2 less join work; the true pairs
+      are recovered afterwards by expanding class pairs (output-bound, and
+      the output is the answer). Intra-class pairs are emitted directly
+      with jaccard = 1.0 — no join at all.
+    * the AllPairs/PPJoin length filter inside the class-level join:
+      jaccard >= t forces t*|A| <= |B| <= |A|/t, pruning length-
+      incompatible set pairs before the pair-aggregation shuffle.
+
+    A positional-prefix-filter variant (rare-first ordering, prefix-only
+    index, array_intersect verify) was built and measured 7x SLOWER at
+    both 1x and 10x on this corpus: the verify joins ship full shingle-
+    array payloads and forfeit the count-join's map-side combine, and on
+    duplicate-dense data every copy indexes the same prefix so posting
+    lists shrink far less than the collapse achieves. For near-dup-dense
+    corpora (distinct sets, high overlap) exact pair output is inherently
+    quadratic — that regime's scale path is MinHash LSH, not this join.
     """
-    sh = shingles_exploded(df, id_col, text_col, shingle_n)
-    # NOTE: the inverted-index SELF-JOIN is deliberate. The group-then-pair
-    # rewrite (collect each gram's postings, explode ordered pairs — the
-    # demo5 trick) computes the shingle stream once instead of twice, but
-    # measured 4x SLOWER at 10x scale: slice() copies the posting-array
-    # tail for every emitted pair, O(L^2) bytes per gram, while the join
-    # streams pairs with zero copying. Join-side duplication of a cheap
-    # narrow stream beats quadratic buffer copying.
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    # canonicalize each doc's set once; empty sets keep a row (they join to
+    # nothing and never pair — matching the inverted-index semantics where
+    # a shingle-less doc can't share a shingle)
+    canon = sets_.select(
+        "__id", F.array_sort(F.array_distinct("__sh")).alias("__set")
+    )
+    # narrow (id, class) map; NOT checkpointed — measured: materializing it
+    # costs more at 10x than recomputing the narrow projection per consumer
+    members = canon.select("__id", F.xxhash64("__set").alias("__cls"))
+    classes = (
+        canon.groupBy(F.xxhash64("__set").alias("__cls"))
+        .agg(F.first("__set").alias("__set"), F.count(F.lit(1)).alias("__m"))
+        .withColumn("__n", F.size("__set"))
+        .localCheckpoint(eager=False)  # feeds the pair join (twice) + both expansions
+    )
+    # class-level inverted-index join: explode distinct sets, pair classes
+    # sharing a shingle, count intersections with map-side combine
+    ex = classes.select("__cls", "__n", F.explode("__set").alias("__s"))
     length_compatible = (
         F.col("y.__n") >= F.lit(threshold) * F.col("x.__n")
     ) & (F.col("x.__n") >= F.lit(threshold) * F.col("y.__n"))
-    inter = (
-        sh.alias("x")
+    class_pairs = (
+        ex.alias("x")
         .join(
-            sh.alias("y"),
+            ex.alias("y"),
             (F.col("x.__s") == F.col("y.__s"))
-            & (F.col("x.__id") < F.col("y.__id"))
+            & (F.col("x.__cls") < F.col("y.__cls"))
             & length_compatible,
         )
         .groupBy(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
+            F.col("x.__cls").alias("__ca"),
+            F.col("y.__cls").alias("__cb"),
             F.col("x.__n").alias("__na"),
             F.col("y.__n").alias("__nb"),
         )
         .agg(F.count(F.lit(1)).alias("__i"))
+        .select(
+            "__ca",
+            "__cb",
+            (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
-    return inter.select(
-        "id_a",
-        "id_b",
-        (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))).alias("jaccard"),
-    ).where(F.col("jaccard") >= threshold)
+    # inter-class doc pairs: expand each qualifying class pair to its
+    # member cross product (output-bound: every emitted row is an answer)
+    inter = (
+        class_pairs.join(
+            members.select(F.col("__cls").alias("__ca"), F.col("__id").alias("__ia")),
+            "__ca",
+        )
+        .join(
+            members.select(F.col("__cls").alias("__cb"), F.col("__id").alias("__ib")),
+            "__cb",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-class doc pairs: identical non-empty sets are jaccard 1.0 by
+    # definition (empty classes excluded — no shared shingle, and 0/0 is
+    # not a similarity)
+    intra_members = members.join(
+        classes.where((F.col("__m") > 1) & (F.col("__n") > 0)).select("__cls"), "__cls"
+    )
+    intra = (
+        intra_members.alias("x")
+        .join(
+            intra_members.alias("y"),
+            (F.col("x.__cls") == F.col("y.__cls")) & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        return inter  # degenerate: nothing passes, keep plan shape
+    return inter.unionByName(intra)

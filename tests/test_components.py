@@ -76,3 +76,45 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=15)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_ngram_jaccard_join_matches_bruteforce_at_boundary_thresholds(spark):
+    """AllPairs prefix filtering must stay EXACT, including where t*n lands
+    on (or within fp error of) an integer — the ceil-nudge boundary — and
+    on duplicate-dense inputs where prefixes are maximally pruned."""
+    import itertools
+
+    from mr_dice_spark.operators.dedup import ngram_jaccard_join, shingle_sets
+
+    texts = [
+        "a b c d e f g h i j k l",
+        "a b c d e f g h i j k l",            # exact dup of 0
+        "a b c d e f g h i j k X",            # near dup
+        "z y x w v u t s r q p o",            # disjoint
+        "a b c d e f q r s t u v",            # half overlap
+        "m n o",                               # short doc
+        "m n o p",                             # short near dup
+        "",                                    # empty
+        "a b",                                 # shorter than shingle width
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sets = {
+        r["__id"]: set(r["__sh"])
+        for r in shingle_sets(df, "doc_id", "text", 3).collect()
+    }
+    for t in (0.1, 0.25, 0.5, 0.75, 1.0):
+        expect = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                expect.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_join(df, "doc_id", "text", t).collect()
+        }
+        assert got == expect, f"threshold {t}: {got ^ expect}"
