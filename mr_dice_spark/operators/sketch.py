@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -62,12 +62,14 @@ def heavy_hitters_cms(
     """Keys whose estimated frequency is at least ``min_share`` of all
     rows: ``(col, est_count)``, descending count then key.
 
-    ``candidates`` bounds the point-query set; by default the distinct
-    values of ``col`` are collected — fine for enum-like columns. For
-    high-cardinality columns pass candidates from a cheap source (a
-    per-partition local top-N, a prior day's hitters): any true heavy
-    hitter missing from ``candidates`` cannot be reported, but the sketch
-    itself never misses — estimates only overcount.
+    ``candidates`` bounds the point-query set; by default they come from a
+    distributed pigeonhole pass: a key with global share >= min_share must
+    have local share >= min_share in at least one partition (otherwise its
+    total would be below the threshold), so keys qualifying locally are a
+    guaranteed superset of the true heavy hitters. The collected set is
+    bounded by num_partitions / min_share keys regardless of column
+    cardinality — never a full distinct() materialization. Passing
+    explicit ``candidates`` (e.g. a prior day's hitters) skips the pass.
     """
     spark = df.sparkSession
     # the share denominator counts NON-NULL values to match the sketch
@@ -76,7 +78,25 @@ def heavy_hitters_cms(
     total_row = df.where(F.col(col).isNotNull()).count()
     sketch = cms_sketch(df, col, eps=eps, confidence=confidence, seed=seed)
     if candidates is None:
-        candidates = [r[0] for r in df.select(col).distinct().collect() if r[0] is not None]
+        if min_share <= 0:
+            raise ValueError(
+                "min_share must be > 0 when candidates are derived (the "
+                "pigeonhole candidate bound is num_partitions/min_share keys)"
+            )
+        local = (
+            df.where(F.col(col).isNotNull())
+            .select(F.spark_partition_id().alias("__p"), F.col(col).alias("__k"))
+            .groupBy("__p", "__k")
+            .count()
+        )
+        w = Window.partitionBy("__p")
+        qual = (
+            local.withColumn("__tot", F.sum("count").over(w))
+            .where(F.col("count") >= F.lit(min_share) * F.col("__tot"))
+            .select("__k")
+            .distinct()
+        )
+        candidates = [r[0] for r in qual.collect()]
     est = cms_estimate(spark, sketch, candidates)
     cut = min_share * total_row
     rows = sorted(

@@ -584,3 +584,43 @@ def test_detect_language_unspaced_chinese(spark):
     )
     got = [r[0] for r in df.select(detect_language(F.col("text"))).collect()]
     assert got == ["zh", "en"]
+
+
+def test_heavy_hitters_cms_high_cardinality_candidates(spark):
+    """The default candidate pass must find every true heavy hitter on a
+    high-cardinality column WITHOUT collecting all distinct values: 100k
+    distinct long-tail keys plus two heavy keys, hitters exact."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.sketch import heavy_hitters_cms
+
+    n_tail = 100_000
+    tail = spark.range(n_tail).select(
+        F.concat(F.lit("tail_"), F.col("id")).alias("k")
+    )
+    heavy = spark.range(30_000).select(
+        F.when(F.col("id") % 2 == 0, "hot_a").otherwise("hot_b").alias("k")
+    )
+    df = tail.unionByName(heavy).repartition(8)
+    out = heavy_hitters_cms(df, "k", min_share=0.05, eps=1e-5)
+    got = {r["k"]: r["est_count"] for r in out.collect()}
+    assert set(got) == {"hot_a", "hot_b"}
+    # CMS never undercounts; at eps=1e-5 over 130k rows it is near-exact
+    assert got["hot_a"] >= 15_000 and got["hot_a"] <= 15_200
+    assert got["hot_b"] >= 15_000 and got["hot_b"] <= 15_200
+
+
+def test_heavy_hitters_cms_rejects_nonpositive_share_without_candidates(spark):
+    import pytest as _pytest
+
+    from mr_dice_spark.operators.sketch import heavy_hitters_cms
+
+    df = spark.range(10).select(F_col_str("id"))
+    with _pytest.raises(ValueError, match="min_share"):
+        heavy_hitters_cms(df, "k", min_share=0.0)
+
+
+def F_col_str(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name).cast("string").alias("k")
