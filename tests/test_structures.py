@@ -1,0 +1,92 @@
+"""structure_near_dup / energy-above-hull family (SURVEY.md D4/F16)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.structures import (
+    energy_above_block_min,
+    energy_above_hull,
+    energy_band_pair,
+    structure_candidate_pairs,
+    structure_near_dup,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id long, formula string, energy double, "
+        "lengths array<double>, angles array<double>",
+    )
+
+
+def test_candidate_pairs_block_and_band(spark):
+    df = _frame(spark, [
+        (1, "SiO2", -10.0, [4.0, 4.0, 4.0], [90.0, 90.0, 90.0]),
+        (2, "SiO2", -10.2, [4.0, 4.0, 4.0], [90.0, 90.0, 90.0]),   # within 5%
+        (3, "SiO2", -12.0, [4.0, 4.0, 4.0], [90.0, 90.0, 90.0]),   # band outlier
+        (4, "NaCl", -10.0, [4.0, 4.0, 4.0], [90.0, 90.0, 90.0]),   # other block
+        (5, "SiO2", None, [4.0, 4.0, 4.0], [90.0, 90.0, 90.0]),    # NULL energy
+    ])
+    got = {(r["id_a"], r["id_b"])
+           for r in structure_candidate_pairs(df, "id", "formula", "energy").collect()}
+    assert got == {(1, 2)}
+
+
+def test_energy_band_zero_zero_is_duplicate_eligible(spark):
+    # the reference divides by max(|e1|,|e2|) and would raise at 0/0; the
+    # restated predicate must treat equal zero energies as in-band
+    row = spark.range(1).select(
+        energy_band_pair(F.lit(0.0), F.lit(0.0)).alias("ok")
+    ).first()
+    assert row["ok"] is True
+
+
+def test_near_dup_lattice_tolerances_and_symmetry(spark):
+    base = [4.0, 5.0, 6.0]
+    angles = [90.0, 95.0, 100.0]
+    df = _frame(spark, [
+        (1, "SiO2", -10.0, base, angles),
+        (2, "SiO2", -10.1, [4.1, 5.1, 6.1], [94.9, 90.2, 104.9]),  # within ltol/angle_tol
+        (3, "SiO2", -10.1, [4.5, 5.0, 6.0], angles),               # length out of 5%
+        (4, "SiO2", -10.1, base, [90.0, 95.0, 106.0]),             # angle out of 5 deg
+    ])
+    got = {(r["id_a"], r["id_b"])
+           for r in structure_near_dup(
+               df, "id", "formula", "energy", "lengths", "angles").collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (1, 4) not in got
+    # symmetric relative tolerance: match(a,b) == match(b,a) regardless of
+    # which id sorts first (tolerance measured against the larger length)
+    flipped = _frame(spark, [
+        (2, "SiO2", -10.0, base, angles),
+        (1, "SiO2", -10.1, [4.1, 5.1, 6.1], [94.9, 90.2, 104.9]),
+    ])
+    got2 = {(r["id_a"], r["id_b"])
+            for r in structure_near_dup(
+                flipped, "id", "formula", "energy", "lengths", "angles").collect()}
+    assert got2 == {(1, 2)}
+
+
+def test_energy_above_block_min(spark):
+    df = spark.createDataFrame(
+        [(1, "A", -3.0), (2, "A", -1.0), (3, "B", 0.5)],
+        "id long, formula string, eform double",
+    )
+    got = {r["id"]: r["e_above_min"]
+           for r in energy_above_block_min(df, "formula", "eform").collect()}
+    assert got == {1: 0.0, 2: 2.0, 3: 0.0}
+
+
+def test_energy_above_hull_raises_without_pymatgen(spark):
+    pytest.importorskip  # not used; explicit both-ways check below
+    try:
+        import pymatgen  # noqa: F401
+        has = True
+    except ImportError:
+        has = False
+    df = spark.createDataFrame([(1, "SiO2", -1.0)], "id long, f string, e double")
+    if has:
+        pytest.skip("pymatgen present; the UDF path is exercised elsewhere")
+    with pytest.raises(NotImplementedError, match="pymatgen"):
+        energy_above_hull(df, "f", "e", hull=None)
