@@ -204,7 +204,7 @@ def minhash_lsh_candidates(
     # the shingle transform is the expensive step (see PERFORMANCE.md §1-2)
     # and sets_ feeds THREE consumers (signatures + both verify joins);
     # materialize it once instead of re-running the transform per branch
-    sets_ = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n).persist()
     exploded = sets_.select(
         "__id", F.explode_outer("__sh").alias("__s")
     ).where(F.col("__s").isNotNull())  # see shingles_exploded: avoids InferFiltersFromGenerate
@@ -426,7 +426,7 @@ def ngram_jaccard_join(
         canon.groupBy(F.xxhash64("__set").alias("__cls"))
         .agg(F.first("__set").alias("__set"), F.count(F.lit(1)).alias("__m"))
         .withColumn("__n", F.size("__set"))
-        .localCheckpoint(eager=False)  # feeds the pair join (twice) + both expansions
+        .persist()  # feeds the pair join (twice) + both expansions
     )
     # class-level inverted-index join: explode distinct sets, pair classes
     # sharing a shingle, count intersections with map-side combine
