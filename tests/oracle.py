@@ -35,14 +35,24 @@ def _canon(rows, colnames):
 
 
 def compare_spark_duckdb(spark_df, oracle_sql: str, sf_dir: str):
-    """Return (ok, message). Order-insensitive, column-name-sorted compare."""
+    """Return (ok, message). Order-insensitive, column-name-sorted compare.
+
+    The DuckDB side is fetched through ARROW, not fetchall(): the driver's
+    harness normalizes through pandas/arrow, where DuckDB's wide types
+    change representation (HUGEINT -> decimal128/float64, not Python int).
+    fetchall() hands back plain ints and silently masks exactly that class
+    of divergence — the root cause of the round-1 events_sessionize red
+    row, which this harness could not reproduce until the fetch matched."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     con = duckdb_conn(sf_dir)
     try:
         res = con.sql(oracle_sql)
         d_cols = res.columns
-        d_rows = res.fetchall()
+        tbl = res.arrow()
+        d_rows = [
+            tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
+        ]
     finally:
         con.close()
     if sorted(s_cols) != sorted(d_cols):
