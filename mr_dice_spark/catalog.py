@@ -100,12 +100,13 @@ class Catalog:
     # shared across instances: golden queries construct a fresh Catalog per
     # call, and without sharing each would repeat file listing + footer
     # schema reads for every table it touches (hundreds of times per
-    # corpus run). Keyed on the session's applicationId — stable for the
-    # session's lifetime and never reused the way id() addresses are (a
-    # stopped session's address can be recycled, which would serve
-    # DataFrames bound to the dead session). Entries for other application
-    # ids are evicted on first miss so restarts don't grow the cache.
-    _shared_cache: dict[tuple, DataFrame] = {}
+    # corpus run). The cache dict lives ON the SparkSession object, so its
+    # lifetime is exactly the session's: no id()-recycling hazard, no
+    # cross-session serving (spark.newSession() shares an applicationId
+    # but must not share DataFrames — they carry the creating session's
+    # state, e.g. the nanosAsLong conf _read sets), and abandoned sessions
+    # release their cache through ordinary GC.
+    _CACHE_ATTR = "_mr_dice_table_cache"
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
@@ -115,16 +116,16 @@ class Catalog:
         return os.path.join(self.sf_dir, f"{name}.parquet")
 
     def table(self, name: str) -> DataFrame:
-        app_id = self.spark.sparkContext.applicationId
-        key = (app_id, self.sf_dir, name)
-        if key not in Catalog._shared_cache:
+        cache = getattr(self.spark, Catalog._CACHE_ATTR, None)
+        if cache is None:
+            cache = {}
+            setattr(self.spark, Catalog._CACHE_ATTR, cache)
+        key = (self.sf_dir, name)
+        if key not in cache:
             if name not in TABLE_NAMES:
                 raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-            stale = [k for k in Catalog._shared_cache if k[0] != app_id]
-            for k in stale:
-                del Catalog._shared_cache[k]
-            Catalog._shared_cache[key] = self._read(name)
-        return Catalog._shared_cache[key]
+            cache[key] = self._read(name)
+        return cache[key]
 
     def _read(self, name: str) -> DataFrame:
         path = self.path(name)

@@ -36,7 +36,7 @@ def contamination_stats(
     # sets_ feeds two plan branches (the exploded probe join AND the
     # n_grams size projection); without materialization the shingle
     # transform — the most expensive stage — would execute twice
-    sets_ = shingle_sets(corpus, id_col, text_col, n).persist()
+    sets_ = shingle_sets(corpus, id_col, text_col, n).localCheckpoint(eager=True)
     # probe ids are irrelevant (only the distinct gram set is used) — a
     # constant satisfies shingle_sets' id column without assuming one exists
     probe_keyed = probe.select(

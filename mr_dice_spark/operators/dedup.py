@@ -204,7 +204,7 @@ def minhash_lsh_candidates(
     # the shingle transform is the expensive step (see PERFORMANCE.md §1-2)
     # and sets_ feeds THREE consumers (signatures + both verify joins);
     # materialize it once instead of re-running the transform per branch
-    sets_ = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     exploded = sets_.select(
         "__id", F.explode_outer("__sh").alias("__s")
     ).where(F.col("__s").isNotNull())  # see shingles_exploded: avoids InferFiltersFromGenerate
@@ -376,6 +376,10 @@ def simhash_dedup(
 # exact n-gram Jaccard similarity join (inverted-index form)
 # ---------------------------------------------------------------------------
 
+# rotation slot for ngram_jaccard_join's persisted classes frame (see below)
+_CLASSES_CACHE: list = []
+
+
 def ngram_jaccard_join(
     df: DataFrame,
     id_col: str,
@@ -419,15 +423,38 @@ def ngram_jaccard_join(
     canon = sets_.select(
         "__id", F.array_sort(F.array_distinct("__sh")).alias("__set")
     )
+    # class identity = 128 bits from two independently-seeded xxhash64
+    # passes over the sorted set. A single 64-bit hash is an exact-identity
+    # proxy only until the birthday bound (~2.7% collision odds at 1e9
+    # distinct sets at target scale), and a collision would both fabricate
+    # jaccard=1.0 pairs and silently drop one set's true pairs; 128 bits
+    # push that to ~1e-20. sha2(to_json(...)) gives the same guarantee but
+    # measured 5s slower end-to-end at sf0.1 — JSON serialization of the
+    # shingle array per row in each un-materialized members branch.
+    cls_key = F.struct(
+        F.xxhash64("__set").alias("h1"), F.xxhash64(F.lit(1), "__set").alias("h2")
+    )
     # narrow (id, class) map; NOT checkpointed — measured: materializing it
     # costs more at 10x than recomputing the narrow projection per consumer
-    members = canon.select("__id", F.xxhash64("__set").alias("__cls"))
+    members = canon.select("__id", cls_key.alias("__cls"))
+    # persist, not localCheckpoint: classes feeds the pair join (twice) and
+    # both expansions, and the cache manager shares it across those
+    # consumers WITHIN the query while AQE still co-plans the stages —
+    # measured 2.4s vs 8.7s for an eager checkpoint at sf0.1. persist
+    # entries outlive the query, so rotate: each call unpersists the
+    # previous call's frame, capping the session's stranded cache at one.
+    while _CLASSES_CACHE:
+        try:
+            _CLASSES_CACHE.pop().unpersist(False)
+        except Exception:
+            pass  # session of the old frame may already be gone
     classes = (
-        canon.groupBy(F.xxhash64("__set").alias("__cls"))
+        canon.groupBy(cls_key.alias("__cls"))
         .agg(F.first("__set").alias("__set"), F.count(F.lit(1)).alias("__m"))
         .withColumn("__n", F.size("__set"))
-        .persist()  # feeds the pair join (twice) + both expansions
+        .persist()
     )
+    _CLASSES_CACHE.append(classes)
     # class-level inverted-index join: explode distinct sets, pair classes
     # sharing a shingle, count intersections with map-side combine
     ex = classes.select("__cls", "__n", F.explode("__set").alias("__s"))
@@ -474,6 +501,10 @@ def ngram_jaccard_join(
             F.greatest("__ia", "__ib").alias("id_b"),
             "jaccard",
         )
+        # duplicate ids landing in two different classes would otherwise
+        # emit a reflexive (id, id) pair — an output the per-row join could
+        # never produce
+        .where(F.col("id_a") != F.col("id_b"))
     )
     # intra-class doc pairs: identical non-empty sets are jaccard 1.0 by
     # definition (empty classes excluded — no shared shingle, and 0/0 is

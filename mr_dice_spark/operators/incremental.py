@@ -242,7 +242,7 @@ def dedup_incremental(
                 "ids must be unique within a batch"
             )
     sig = _batch_signatures(new_df, id_col, text_col, params)
-    sig = sig.persist()  # reused: vs-index, within-batch, append
+    sig = sig.localCheckpoint(eager=True)  # reused: vs-index, within-batch, append
     keys = _band_key_rows(sig, params)
 
     # --- new-vs-index candidates: index always wins ---------------------

@@ -72,17 +72,19 @@ def heavy_hitters_cms(
     explicit ``candidates`` (e.g. a prior day's hitters) skips the pass.
     """
     spark = df.sparkSession
+    # validate BEFORE the count and sketch jobs — rejecting bad input after
+    # two full cluster passes would waste them
+    if candidates is None and min_share <= 0:
+        raise ValueError(
+            "min_share must be > 0 when candidates are derived (the "
+            "pigeonhole candidate bound is num_partitions/min_share keys)"
+        )
     # the share denominator counts NON-NULL values to match the sketch
     # (which skips NULLs) — a NULL-heavy column would otherwise inflate the
     # cutoff and silently exclude true heavy hitters of the actual values
     total_row = df.where(F.col(col).isNotNull()).count()
     sketch = cms_sketch(df, col, eps=eps, confidence=confidence, seed=seed)
     if candidates is None:
-        if min_share <= 0:
-            raise ValueError(
-                "min_share must be > 0 when candidates are derived (the "
-                "pigeonhole candidate bound is num_partitions/min_share keys)"
-            )
         local = (
             df.where(F.col(col).isNotNull())
             .select(F.spark_partition_id().alias("__p"), F.col(col).alias("__k"))

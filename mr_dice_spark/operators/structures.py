@@ -235,8 +235,11 @@ def energy_above_block_min(
     mins = df.groupBy(F.col(formula_col).alias("__f")).agg(
         F.min(F.col(eform_col)).alias("__emin")
     )
+    # eqNullSafe: groupBy keeps a NULL-formula group, and the join must
+    # match it back (a plain equi-join drops NULL-key rows, silently
+    # breaking the row-count-preserving enrichment contract)
     return (
-        df.join(F.broadcast(mins), F.col(formula_col) == F.col("__f"))
+        df.join(F.broadcast(mins), F.col(formula_col).eqNullSafe(F.col("__f")))
         .withColumn("e_above_min", F.col(eform_col) - F.col("__emin"))
         .drop("__f", "__emin")
     )

@@ -73,10 +73,10 @@ def dedup_stream(
     event time."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
-    # tiebreak only on orderable atomic columns: a map column would fail at
-    # analysis, and array/struct/binary ordering buys no extra determinism
-    # worth a wide multi-column sort per key
-    orderable = {c for c, t in df.dtypes if not t.startswith(("map<", "array<", "struct<", "binary"))}
+    # tiebreak on every orderable column: only map types are unorderable in
+    # Spark (analysis error); arrays/structs/binary sort fine and dropping
+    # them would let rows differing only there tie nondeterministically
+    orderable = {c for c, t in df.dtypes if not t.startswith("map<")}
     tiebreak = [c for c in df.columns if c not in subset and c in orderable]
     w = Window.partitionBy(*subset).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak if c != ts_col]

@@ -31,21 +31,32 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-    """Resolve the CURRENT pointer and scan the live snapshot (None if no
-    snapshot has been committed yet)."""
+def _read_pointer(path: str) -> tuple[str, str] | None:
+    """(snapshot name, committer token) from CURRENT, or None. The token
+    identifies WHICH stream run (checkpoint) published the snapshot — the
+    same (token, batch_id) pair is the idempotency key, exactly the
+    txnAppId/txnVersion convention transactional formats use."""
     pointer = os.path.join(path, "CURRENT")
     if not os.path.exists(pointer):
         return None
     with open(pointer) as fh:
-        name = fh.read().strip()
-    return spark.read.parquet(os.path.join(path, name))
+        lines = fh.read().splitlines()
+    return (lines[0].strip(), lines[1].strip() if len(lines) > 1 else "")
 
 
-def _publish(path: str, name: str, keep_last: int = 2) -> None:
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+    """Resolve the CURRENT pointer and scan the live snapshot (None if no
+    snapshot has been committed yet)."""
+    cur = _read_pointer(path)
+    if cur is None:
+        return None
+    return spark.read.parquet(os.path.join(path, cur[0]))
+
+
+def _publish(path: str, name: str, token: str, keep_last: int = 2) -> None:
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as fh:
-        fh.write(name)
+        fh.write(f"{name}\n{token}")
     os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic publish
     snaps = sorted(d for d in os.listdir(path) if d.startswith("snap_"))
     for old in snaps[:-keep_last]:
@@ -67,22 +78,28 @@ def stream_upsert_to_snapshot(
     upserting). Each micro-batch: read CURRENT -> union the batch ->
     merge_latest_wins -> write snap_{batch_id} -> atomically flip CURRENT.
     """
+    import hashlib
+
     from mr_dice_spark.operators.merge import merge_latest_wins
 
     os.makedirs(path, exist_ok=True)
+    # identifies this stream run; a DIFFERENT checkpoint re-using batch_id 0
+    # (a brand-new stream over an existing store) must NOT be skipped — its
+    # batch may carry new data
+    token = hashlib.sha1(os.path.abspath(checkpoint).encode()).hexdigest()
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         name = f"snap_{batch_id:012d}"
-        pointer = os.path.join(path, "CURRENT")
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                if fh.read().strip() == name:
-                    # Replay after a crash between _publish and the stream's
-                    # checkpoint commit: the snapshot is already live. Reading
-                    # CURRENT here would scan the directory the overwrite
-                    # below deletes — skip instead (publish IS the commit).
-                    return
+        cur = _read_pointer(path)
+        if cur == (name, token):
+            # Replay after a crash between _publish and THIS checkpoint's
+            # commit: the same offsets were already applied and published.
+            # Skipping is safe only for the same checkpoint — the replayed
+            # batch is byte-identical by the source contract. (Reading
+            # CURRENT here would also scan the directory the write below
+            # replaces.)
+            return
         base = read_snapshot(spark, path)
         source = base.unionByName(batch_df) if base is not None else batch_df
         merged = merge_latest_wins(source, list(keys), version_col, list(tiebreakers))
@@ -94,7 +111,7 @@ def stream_upsert_to_snapshot(
         final = os.path.join(path, name)
         shutil.rmtree(final, ignore_errors=True)  # partial dir from a crashed attempt
         os.replace(stage, final)
-        _publish(path, name)
+        _publish(path, name, token)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)

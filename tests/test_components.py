@@ -118,3 +118,17 @@ def test_ngram_jaccard_join_matches_bruteforce_at_boundary_thresholds(spark):
             for r in ngram_jaccard_join(df, "doc_id", "text", t).collect()
         }
         assert got == expect, f"threshold {t}: {got ^ expect}"
+
+
+def test_ngram_jaccard_join_no_reflexive_pairs_on_duplicate_ids(spark):
+    """A duplicate id whose two rows land in different set classes must not
+    produce a reflexive (id, id) pair — an output the per-row inverted-
+    index join could never emit (round-2 review finding)."""
+    from mr_dice_spark.operators.dedup import ngram_jaccard_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (1, "a b c d e X"), (2, "z y x w v u")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_join(df, "doc_id", "text", 0.1).collect()
+    assert all(r["id_a"] != r["id_b"] for r in pairs)

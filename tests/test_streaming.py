@@ -191,20 +191,20 @@ def test_stream_upsert_snapshot_matches_batch_merge(spark, sf_dir, tmp_path):
 
 
 def test_stream_upsert_replay_batch_id_collision(spark, sf_dir, tmp_path):
-    """Replay of the batch whose snapshot is already CURRENT (crash between
-    publish and checkpoint commit). A single-file source makes the whole
-    input one micro-batch, so CURRENT == snap_000000000000 when the fresh
-    checkpoint re-runs batch 0: without the short-circuit the upsert lazily
-    reads the same directory it overwrite-writes, fails with
-    FAILED_READ_FILE, and destroys the live snapshot."""
+    """batch_id 0 colliding with CURRENT == snap_000000000000 in the three
+    replay shapes: (a) same checkpoint crash-replay is skipped (idempotency
+    key = checkpoint token + batch id), (b) a NEW checkpoint over the same
+    store is NOT skipped — stage-then-rename lets it read the snapshot it
+    replaces without FAILED_READ_FILE, and (c) new source data arriving as
+    the new checkpoint's batch 0 must survive into the merged snapshot
+    (the round-2 review found a batch_id-only guard silently dropped it)."""
     from mr_dice_spark.streaming import read_events_stream
     from mr_dice_spark.streaming.upsert import read_snapshot, stream_upsert_to_snapshot
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = str(tmp_path / "src")
-    Catalog(spark, sf_dir).events.select("user_id", "ts", "event_type", "value").limit(
-        200
-    ).coalesce(1).write.parquet(src)
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_type", "value")
+    ev.limit(200).coalesce(1).write.parquet(src)
     store = str(tmp_path / "store")
 
     def run(ckpt: str) -> None:
@@ -217,5 +217,24 @@ def test_stream_upsert_replay_batch_id_collision(spark, sf_dir, tmp_path):
     run("ckpt1")
     before = sorted(map(tuple, read_snapshot(spark, store).collect()))
     assert before  # one micro-batch committed
-    run("ckpt2")  # batch 0 replays against CURRENT == snap_0
+    # (a)+(b): same data, fresh checkpoint -> re-merge is a no-op state-wise
+    run("ckpt2")
     assert sorted(map(tuple, read_snapshot(spark, store).collect())) == before
+
+    # (c) new data lands as batch 0 of ANOTHER fresh checkpoint while
+    # CURRENT is still snap_000000000000 — it must be merged, not skipped
+    extra = ev.orderBy("user_id", "ts").limit(300).coalesce(1)
+    extra.write.mode("append").parquet(src)
+    run("ckpt3")
+    after = sorted(map(tuple, read_snapshot(spark, store).collect()))
+    from mr_dice_spark.operators.merge import merge_latest_wins
+
+    expect = sorted(
+        map(
+            tuple,
+            merge_latest_wins(
+                spark.read.parquet(src), ["user_id"], "ts", ["event_type"]
+            ).collect(),
+        )
+    )
+    assert after == expect

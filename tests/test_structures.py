@@ -90,3 +90,15 @@ def test_energy_above_hull_raises_without_pymatgen(spark):
         pytest.skip("pymatgen present; the UDF path is exercised elsewhere")
     with pytest.raises(NotImplementedError, match="pymatgen"):
         energy_above_hull(df, "f", "e", hull=None)
+
+
+def test_energy_above_block_min_keeps_null_formula_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "A", -3.0), (2, None, -1.0), (3, None, -2.0)],
+        "id long, formula string, eform double",
+    )
+    got = {r["id"]: r["e_above_min"]
+           for r in energy_above_block_min(df, "formula", "eform").collect()}
+    # NULL formulas form their own block (matching the window-function
+    # PARTITION BY semantics) and every input row survives
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0}
