@@ -439,3 +439,61 @@ def test_batch_ann_uses_window_group_limit(spark, sf_dir):
     plan = physical_plan(df)
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_structure_near_dup_blocked_join_shapes(spark, sf_dir):
+    """D4 fidelity pipeline: no cartesian anywhere (the formula block must
+    be the equi-join key, with band/tolerances as residual filters) and the
+    fallback matcher keeps the whole pipeline JVM-side (no Python eval)."""
+    from mr_dice_spark.golden_structures import structure_near_dup_openlam
+
+    df = structure_near_dup_openlam(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_energy_above_block_min_broadcasts_mins(spark, sf_dir):
+    """The per-formula minimum is a tiny aggregate — it must broadcast back
+    to the fact side, not shuffle it."""
+    from mr_dice_spark.golden_structures import energy_above_hull_probe
+
+    df = energy_above_hull_probe(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
+
+
+def test_jaccard_collapse_no_cartesian_and_jvm_side(spark, sf_dir):
+    """Set-equivalence collapse: class pair join + two expansion joins are
+    all equi-joins (no cartesian/nested loop on the big sides), everything
+    JVM-side."""
+    from mr_dice_spark.operators.dedup import ngram_jaccard_join
+
+    docs = Catalog(spark, sf_dir).documents
+    df = ngram_jaccard_join(docs, "doc_id", "text", 0.5)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitter_candidates_distributed(spark, sf_dir):
+    """The pigeonhole candidate pass must aggregate per (partition, key)
+    distributed-side; only the bounded qualifying key set is collected."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    local = (
+        ev.where(F.col("event_type").isNotNull())
+        .select(F.spark_partition_id().alias("__p"), F.col("event_type").alias("__k"))
+        .groupBy("__p", "__k")
+        .count()
+    )
+    qual = (
+        local.withColumn("__tot", F.sum("count").over(Window.partitionBy("__p")))
+        .where(F.col("count") >= 0.05 * F.col("__tot"))
+        .select("__k")
+        .distinct()
+    )
+    plan = physical_plan(qual)
+    assert "HashAggregate" in plan  # partial/final agg, not a collect of raw rows
+    assert not has_cartesian(qual)
