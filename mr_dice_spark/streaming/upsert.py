@@ -53,14 +53,20 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(path, cur[0]))
 
 
-def _publish(path: str, name: str, token: str, keep_last: int = 2) -> None:
+def _publish(path: str, name: str, token: str) -> None:
+    prev = _read_pointer(path)
     tmp = os.path.join(path, "CURRENT.tmp")
     with open(tmp, "w") as fh:
         fh.write(f"{name}\n{token}")
     os.replace(tmp, os.path.join(path, "CURRENT"))  # atomic publish
-    snaps = sorted(d for d in os.listdir(path) if d.startswith("snap_"))
-    for old in snaps[:-keep_last]:
-        if old != name:
+    # retain exactly {new, previous} BY POINTER, not by name order: after a
+    # new checkpoint restarts batch numbering at 0, stale high-numbered
+    # snaps from the dead run would sort last and survive a keep-last-N
+    # rule while the genuinely-previous snapshot got evicted under a
+    # still-reading client
+    keep = {name} | ({prev[0]} if prev else set())
+    for old in os.listdir(path):
+        if old.startswith("snap_") and old not in keep:
             shutil.rmtree(os.path.join(path, old), ignore_errors=True)
 
 
