@@ -376,8 +376,13 @@ def simhash_dedup(
 # exact n-gram Jaccard similarity join (inverted-index form)
 # ---------------------------------------------------------------------------
 
-# rotation slot for ngram_jaccard_join's persisted classes frame (see below)
+# rotation slots for ngram_jaccard_join's persisted classes frames: bounded
+# FIFO rather than a single slot, so a caller building several joins before
+# consuming any (df1 = join(...); df2 = join(...); df1.collect()) doesn't
+# have an earlier frame unpersisted out from under its still-lazy plan —
+# which would silently recompute the classes aggregation per consumer
 _CLASSES_CACHE: list = []
+_CLASSES_CACHE_SLOTS = 4
 
 
 def ngram_jaccard_join(
@@ -441,11 +446,11 @@ def ngram_jaccard_join(
     # both expansions, and the cache manager shares it across those
     # consumers WITHIN the query while AQE still co-plans the stages —
     # measured 2.4s vs 8.7s for an eager checkpoint at sf0.1. persist
-    # entries outlive the query, so rotate: each call unpersists the
-    # previous call's frame, capping the session's stranded cache at one.
-    while _CLASSES_CACHE:
+    # entries outlive the query, so rotate the oldest out once the FIFO
+    # exceeds its slots, capping the session's stranded cache.
+    while len(_CLASSES_CACHE) >= _CLASSES_CACHE_SLOTS:
         try:
-            _CLASSES_CACHE.pop().unpersist(False)
+            _CLASSES_CACHE.pop(0).unpersist(False)
         except Exception:
             pass  # session of the old frame may already be gone
     classes = (

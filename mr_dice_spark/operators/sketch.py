@@ -50,6 +50,28 @@ def cms_estimate(spark: SparkSession, sketch: bytes, keys: Iterable) -> dict:
     return {k: int(cms.estimateCount(k)) for k in keys}
 
 
+def pigeonhole_candidates(df: DataFrame, col: str, min_share: float) -> DataFrame:
+    """Distributed heavy-hitter candidate pass: keys whose LOCAL share is
+    >= ``min_share`` in at least one scan partition — a guaranteed superset
+    of global heavy hitters (if every partition share were below the
+    threshold, the weighted average over partitions would be too), bounded
+    by num_partitions / min_share keys regardless of column cardinality.
+    Exposed separately so plan tests exercise the exact operator plan."""
+    local = (
+        df.where(F.col(col).isNotNull())
+        .select(F.spark_partition_id().alias("__p"), F.col(col).alias("__k"))
+        .groupBy("__p", "__k")
+        .count()
+    )
+    w = Window.partitionBy("__p")
+    return (
+        local.withColumn("__tot", F.sum("count").over(w))
+        .where(F.col("count") >= F.lit(min_share) * F.col("__tot"))
+        .select("__k")
+        .distinct()
+    )
+
+
 def heavy_hitters_cms(
     df: DataFrame,
     col: str,
@@ -85,20 +107,7 @@ def heavy_hitters_cms(
     total_row = df.where(F.col(col).isNotNull()).count()
     sketch = cms_sketch(df, col, eps=eps, confidence=confidence, seed=seed)
     if candidates is None:
-        local = (
-            df.where(F.col(col).isNotNull())
-            .select(F.spark_partition_id().alias("__p"), F.col(col).alias("__k"))
-            .groupBy("__p", "__k")
-            .count()
-        )
-        w = Window.partitionBy("__p")
-        qual = (
-            local.withColumn("__tot", F.sum("count").over(w))
-            .where(F.col("count") >= F.lit(min_share) * F.col("__tot"))
-            .select("__k")
-            .distinct()
-        )
-        candidates = [r[0] for r in qual.collect()]
+        candidates = [r[0] for r in pigeonhole_candidates(df, col, min_share).collect()]
     est = cms_estimate(spark, sketch, candidates)
     cut = min_share * total_row
     rows = sorted(

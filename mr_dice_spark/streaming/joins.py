@@ -74,9 +74,11 @@ def dedup_stream(
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(subset)
     # tiebreak on every orderable column: only map types are unorderable in
-    # Spark (analysis error); arrays/structs/binary sort fine and dropping
-    # them would let rows differing only there tie nondeterministically
-    orderable = {c for c, t in df.dtypes if not t.startswith("map<")}
+    # Spark (analysis error) — including maps NESTED in arrays/structs, so
+    # test for containment, not prefix. Arrays/structs/binary sort fine and
+    # dropping them would let rows differing only there tie
+    # nondeterministically
+    orderable = {c for c, t in df.dtypes if "map<" not in t}
     tiebreak = [c for c in df.columns if c not in subset and c in orderable]
     w = Window.partitionBy(*subset).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak if c != ts_col]

@@ -5,8 +5,9 @@ a keyed snapshot that is correct under failure/replay. Since no
 transactional table format ships in this environment, the store is a
 minimal commit protocol of the same shape Delta/Iceberg use:
 
-    {path}/snap_{batch_id}/...parquet   immutable snapshot per micro-batch
-    {path}/CURRENT                      pointer file naming the live dir
+    {path}/snap_{batch_id}_{run}/...parquet  immutable snapshot per
+                                             (stream run, micro-batch)
+    {path}/CURRENT                           pointer file naming the live dir
 
 Readers resolve CURRENT then scan one immutable directory; the pointer
 update is an atomic ``os.replace``, so a reader never observes a partial
@@ -84,27 +85,43 @@ def stream_upsert_to_snapshot(
     upserting). Each micro-batch: read CURRENT -> union the batch ->
     merge_latest_wins -> write snap_{batch_id} -> atomically flip CURRENT.
     """
-    import hashlib
+    import uuid
 
     from mr_dice_spark.operators.merge import merge_latest_wins
 
     os.makedirs(path, exist_ok=True)
-    # identifies this stream run; a DIFFERENT checkpoint re-using batch_id 0
-    # (a brand-new stream over an existing store) must NOT be skipped — its
-    # batch may carry new data
-    token = hashlib.sha1(os.path.abspath(checkpoint).encode()).hexdigest()
+    # Per-RUN token, stored inside the checkpoint directory so it shares
+    # the checkpoint's fate: a crash-restart reuses both (replay of an
+    # already-published batch is skipped), while deleting the checkpoint to
+    # force reprocessing — even at the same path — mints a new token, so
+    # the new run's batch 0 merges instead of being wrongly skipped. A
+    # path-derived token would silently drop that batch's new data.
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "__upsert_run_token")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            token = fh.read().strip()
+    else:
+        token = uuid.uuid4().hex[:12]
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(token)
+        os.replace(tmp, marker)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        name = f"snap_{batch_id:012d}"
+        # token in the NAME makes snapshot directories unique per
+        # (run, batch): a different run's batch 0 writes a different
+        # directory, so the rmtree below can never touch the live
+        # CURRENT-pointed snapshot (no window where the pointer names a
+        # deleted directory)
+        name = f"snap_{batch_id:012d}_{token}"
         cur = _read_pointer(path)
-        if cur == (name, token):
-            # Replay after a crash between _publish and THIS checkpoint's
-            # commit: the same offsets were already applied and published.
-            # Skipping is safe only for the same checkpoint — the replayed
-            # batch is byte-identical by the source contract. (Reading
-            # CURRENT here would also scan the directory the write below
-            # replaces.)
+        if cur is not None and cur[0] == name:
+            # Replay after a crash between _publish and THIS run's
+            # checkpoint commit: the same offsets were already applied and
+            # published. Skipping is safe only for the same run — the
+            # replayed batch is byte-identical by the source contract.
             return
         base = read_snapshot(spark, path)
         source = base.unionByName(batch_df) if base is not None else batch_df
@@ -115,7 +132,10 @@ def stream_upsert_to_snapshot(
         shutil.rmtree(stage, ignore_errors=True)
         merged.write.mode("overwrite").parquet(stage)
         final = os.path.join(path, name)
-        shutil.rmtree(final, ignore_errors=True)  # partial dir from a crashed attempt
+        # a partial dir from a crashed attempt of THIS (run, batch) only —
+        # never the live snapshot (the skip above fires when final is
+        # CURRENT)
+        shutil.rmtree(final, ignore_errors=True)
         os.replace(stage, final)
         _publish(path, name, token)
 

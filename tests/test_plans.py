@@ -478,22 +478,13 @@ def test_jaccard_collapse_no_cartesian_and_jvm_side(spark, sf_dir):
 
 def test_heavy_hitter_candidates_distributed(spark, sf_dir):
     """The pigeonhole candidate pass must aggregate per (partition, key)
-    distributed-side; only the bounded qualifying key set is collected."""
-    from pyspark.sql import Window
+    distributed-side; only the bounded qualifying key set is collected.
+    Drives the operator's own helper so a regression (e.g. back to a full
+    distinct() collect) fails here."""
+    from mr_dice_spark.operators.sketch import pigeonhole_candidates
 
     ev = Catalog(spark, sf_dir).events
-    local = (
-        ev.where(F.col("event_type").isNotNull())
-        .select(F.spark_partition_id().alias("__p"), F.col("event_type").alias("__k"))
-        .groupBy("__p", "__k")
-        .count()
-    )
-    qual = (
-        local.withColumn("__tot", F.sum("count").over(Window.partitionBy("__p")))
-        .where(F.col("count") >= 0.05 * F.col("__tot"))
-        .select("__k")
-        .distinct()
-    )
+    qual = pigeonhole_candidates(ev, "event_type", 0.05)
     plan = physical_plan(qual)
     assert "HashAggregate" in plan  # partial/final agg, not a collect of raw rows
     assert not has_cartesian(qual)

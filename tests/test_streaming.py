@@ -238,3 +238,44 @@ def test_stream_upsert_replay_batch_id_collision(spark, sf_dir, tmp_path):
         )
     )
     assert after == expect
+
+
+def test_stream_upsert_forced_reprocess_same_checkpoint_path(spark, sf_dir, tmp_path):
+    """The standard ops move to force reprocessing — delete the checkpoint
+    directory and rerun at the SAME path — must mint a new run token and
+    merge the new run's batch 0 (a path-derived token made this silently
+    skip new data; round-2 second-pass review finding)."""
+    import shutil as _shutil
+
+    from mr_dice_spark.operators.merge import merge_latest_wins
+    from mr_dice_spark.streaming import read_events_stream
+    from mr_dice_spark.streaming.upsert import read_snapshot, stream_upsert_to_snapshot
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_type", "value")
+    ev.limit(150).coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> None:
+        stream_upsert_to_snapshot(
+            read_events_stream(spark, src), store, keys=["user_id"],
+            version_col="ts", checkpoint=ckpt, tiebreakers=["event_type"],
+        )
+
+    run()
+    assert read_snapshot(spark, store).count() > 0
+    _shutil.rmtree(ckpt)  # force full reprocessing
+    ev.orderBy("user_id", "ts").limit(400).coalesce(1).write.mode("append").parquet(src)
+    run()  # same checkpoint PATH, new run: batch 0 must merge, not skip
+    got = sorted(map(tuple, read_snapshot(spark, store).collect()))
+    expect = sorted(
+        map(
+            tuple,
+            merge_latest_wins(
+                spark.read.parquet(src), ["user_id"], "ts", ["event_type"]
+            ).collect(),
+        )
+    )
+    assert got == expect
