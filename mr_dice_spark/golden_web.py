@@ -1,0 +1,102 @@
+"""Golden corpus part 7: URL canonicalization + URL-keyed dedup
+(functions/urls.py) over URLs derived deterministically from ``documents``.
+
+The oracle does NOT re-implement the parser: because both sides generate
+the URLs from the same components, the oracle computes the expected
+canonical form directly from those components — ground truth, so a parser
+bug on the Spark side cannot be masked by a twin bug in the restatement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.functions.urls import (
+    dedup_by_url,
+    normalize_url,
+    registered_domain,
+    url_host,
+)
+from mr_dice_spark.golden import golden
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) with scheme-case, default-port, tracking-param,
+    fragment, and trailing-slash noise, all keyed off doc_id."""
+    d = Catalog(spark, sf_dir).documents
+    m = lambda k: F.col("doc_id") % k  # noqa: E731
+    scheme = (
+        F.when(m(3) == 0, "https").when(m(3) == 1, "HTTPS").otherwise("http")
+    )
+    host = F.concat("source", F.lit(".Example.COM"))
+    port = (
+        F.when((m(4) == 0) & (m(3) != 2), ":443")
+        .when((m(4) == 0) & (m(3) == 2), ":80")
+        .when(m(4) == 1, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/Docs/"), (m(50)).cast("string"), F.when(m(5) == 0, "/").otherwise("")
+    )
+    query = F.when(m(2) == 0, "?utm_source=feed&b=2&a=1").otherwise(
+        "?a=1&b=2&utm_campaign=x"
+    )
+    frag = F.when(m(7) == 0, "#sec").otherwise("")
+    return d.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+    )
+
+
+# ground-truth canonical pieces, restated over the same generators
+_CANON_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END
+           || '://' || source || '.example.com'
+           || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+           || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+           || '?a=1&b=2' AS url_norm,
+         source || '.example.com' AS host,
+         'example.com' AS domain
+  FROM documents
+"""
+
+URL_NORM_ORACLE = f"""
+WITH c AS ({_CANON_SQL})
+SELECT doc_id, url_norm, host, domain FROM c ORDER BY doc_id
+"""
+
+
+@golden("url_normalize_canonical", URL_NORM_ORACLE, tags=("web", "url", "text"))
+def url_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizer vs ground truth: scheme/host lowercased, default
+    ports and fragments stripped, tracking params removed, query sorted,
+    trailing slash dropped — all codegen'd string expressions."""
+    u = _messy_urls(spark, sf_dir)
+    return u.select(
+        "doc_id",
+        normalize_url("url").alias("url_norm"),
+        url_host("url").alias("host"),
+        registered_domain("url").alias("domain"),
+    ).orderBy("doc_id")
+
+
+URL_DEDUP_ORACLE = f"""
+WITH c AS ({_CANON_SQL})
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY url_norm ORDER BY doc_id)
+           AS rn
+  FROM c
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@golden("url_dedup_survivors", URL_DEDUP_ORACLE, tags=("web", "url", "dedup"))
+def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per canonical URL, min doc_id wins — the cheap first stage
+    of crawl dedup (before any content-level MinHash pass)."""
+    u = _messy_urls(spark, sf_dir)
+    return dedup_by_url(u, "url", "doc_id").select("doc_id").orderBy("doc_id")

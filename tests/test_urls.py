@@ -1,0 +1,69 @@
+"""URL canonicalization edge cases (functions/urls.py)."""
+
+from pyspark.sql import functions as F
+
+from mr_dice_spark.functions.urls import (
+    dedup_by_url,
+    normalize_url,
+    registered_domain,
+    url_host,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        # scheme+host lowercase, default port stripped, fragment dropped
+        "HTTPS://WWW.Example.COM:443/Path#frag": "https://www.example.com/Path",
+        "http://a.com:80/": "http://a.com/",
+        # non-default port kept
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        # tracking params dropped, rest sorted, trailing slash trimmed
+        "https://a.com/p/?utm_source=x&b=2&a=1": "https://a.com/p?a=1&b=2",
+        "https://a.com/p?a=1&b=2&utm_campaign=x&gclid=z&fbclid=q&ref=r":
+            "https://a.com/p?a=1&b=2",
+        # all params tracking -> no query at all
+        "https://a.com/p?utm_x=1": "https://a.com/p",
+        # bare host -> root path
+        "https://a.com": "https://a.com/",
+        # path case preserved
+        "https://a.com/CaseSensitive/Path": "https://a.com/CaseSensitive/Path",
+    }
+    got = _norm(spark, list(cases))
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_normalize_url_without_scheme_passes_through(spark):
+    # not a parseable absolute URL -> returned unchanged (minus fragment)
+    assert _norm(spark, ["not a url", "relative/path?x=1"]) == [
+        "not a url",
+        "relative/path?x=1",
+    ]
+
+
+def test_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [("https://Sub.News.Example.ORG:8443/x?y=1",)], "url string"
+    )
+    row = df.select(
+        url_host("url").alias("h"), registered_domain("url").alias("d")
+    ).first()
+    assert row["h"] == "sub.news.example.org"
+    assert row["d"] == "example.org"
+
+
+def test_dedup_by_url_keeps_min_id_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://a.com/p?b=2&a=1"),
+            (1, "HTTPS://A.COM:443/p/?a=1&b=2&utm_source=x"),
+            (2, "https://b.com/p?a=1&b=2"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_url(df, "url", "doc_id").collect())
+    assert kept == [1, 2]
