@@ -337,6 +337,56 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_FIXED_ORACLE = """
+WITH c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+assign AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cv) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM c CROSS JOIN q
+  ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, cid LIMIT 2
+)
+SELECT a.vec_id,
+       ROUND(1e-9 + list_cosine_similarity(a.emb, (SELECT qv FROM q)), 6)
+         AS cosine
+FROM assign a
+WHERE a.cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@golden("cosine_topk_ivf_fixed_oracle", IVF_FIXED_ORACLE, tags=("similarity", "ann", "ivf"))
+def cosine_topk_ivf_fixed_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe top-k with the deterministic sampled-init centroids
+    (train_iters=0: first 8 vectors by id) — unlike the k-means-trained
+    variant, every stage is SQL-restatable, so the WHOLE IVF pipeline
+    (centroid pick -> argmax assignment -> top-2 probe -> exact rerank)
+    gets a hash-checked oracle instead of a rows-only check."""
+    from mr_dice_spark.operators.similarity import cosine_topk_ivf
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    out = cosine_topk_ivf(
+        emb, "vec_id", "embedding", qv, k=10, n_centroids=8, n_probe=2, train_iters=0
+    )
+    return out.select("vec_id", _r("cosine", 6).alias("cosine")).orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+
+
 TEXT_ORACLE = """
 SELECT doc_id, lang,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
