@@ -67,7 +67,8 @@ _CHECK_FIRST = [
     "union_all_sources_agg",
     "correlated_above_type_avg",
     "setop_intersect_custkeys",
-    "setop_except_custkeys",
+    # setop_except rotates to the suite (same set-op family as intersect,
+    # and set_except_lapsed_customers keeps the shape suite-checked)
     "cube_status_priority",
     "grouping_sets_events",
     "percentile_value_by_type",
@@ -85,8 +86,12 @@ _CHECK_FIRST = [
     "q11_important_stock",
     "q19_disjunctive_bands",
     "q21_waiting_supplier",
-    "q13_customer_distribution",
-    "q17_small_quantity",
+    # round-2 additions: new operator families get the hard signal first;
+    # q13/q17 rotate to the suite (outer-join/correlated shapes remain
+    # covered in-window by q02/q11/q19/q21 and the demo corpus history)
+    "url_normalize_canonical",
+    "url_dedup_survivors",
+    "cosine_topk_ivf_fixed_oracle",
 ]
 
 
