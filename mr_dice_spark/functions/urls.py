@@ -13,10 +13,14 @@ stage codegen at scan speed and the dedup itself is the standard
 hash-shuffle on the canonical key.
 
 Normalization rules (the common canonicalization subset):
-* scheme and host lowercased; path/query case preserved
-* default ports stripped (``:80`` for http, ``:443`` for https)
+* scheme and host lowercased; path/query VALUE case preserved
+* userinfo (``user:pass@``) dropped from the authority; IPv6 literal
+  hosts keep their brackets
+* default ports stripped (``:80`` for http, ``:443`` for https),
+  compared numerically (``:080`` is still the default)
 * fragment (``#...``) removed
-* tracking parameters removed: ``utm_*``, ``gclid``, ``fbclid``, ``ref``
+* tracking parameters removed (keys matched case-insensitively):
+  ``utm_*``, ``gclid``, ``fbclid``, ``ref``
 * remaining query parameters sorted (order-insensitive equality)
 * trailing ``/`` dropped from non-root paths
 """
@@ -35,15 +39,30 @@ def normalize_url(url: Column | str) -> Column:
     # strip fragment first — everything after '#' never reaches the server
     u = F.regexp_replace(u, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
-    port = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]+:(\d+)", 1)
-    # port kept only when non-default for the scheme
+    # authority = everything between :// and the first /?#; userinfo
+    # (user:pass@) is dropped AFTER extraction — matching host with a
+    # character class that excludes ':' would capture the username of a
+    # user:pass@ authority as the host, silently merging distinct sites
+    authority = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    hostport = F.regexp_replace(authority, r"^.*@", "")
+    # IPv6 literals keep their brackets; their port sits after "]:"
+    host6 = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    host = F.when(host6 != "", F.lower(host6)).otherwise(
+        F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    )
+    port = F.when(
+        host6 != "", F.regexp_extract(hostport, r"^\[[^\]]*\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
+    # numeric comparison (':080' is still the default port) and numeric
+    # re-emission for kept ports; empty -> NULL first (ANSI mode rejects
+    # casting '' to int)
+    port_n = F.when(port == "", None).otherwise(port).cast("int")
     port_sfx = F.when(
-        (port == "")
-        | ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443")),
+        port_n.isNull()
+        | ((scheme == "http") & (port_n == 80))
+        | ((scheme == "https") & (port_n == 443)),
         F.lit(""),
-    ).otherwise(F.concat(F.lit(":"), port))
+    ).otherwise(F.concat(F.lit(":"), port_n.cast("string")))
     path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
     # trailing slash dropped except for the bare root
     path = F.when(path == "", F.lit("/")).otherwise(
@@ -53,7 +72,9 @@ def normalize_url(url: Column | str) -> Column:
     kept = F.filter(
         F.split(query, "&"),
         lambda kv: (kv != "")
-        & ~F.split(kv, "=").getItem(0).rlike(TRACKING_PARAM_RE),
+        # tracking keys match case-insensitively (UTM_Source is as much
+        # tracking noise as utm_source); non-tracking key case is preserved
+        & ~F.lower(F.split(kv, "=").getItem(0)).rlike(TRACKING_PARAM_RE),
     )
     query_norm = F.array_join(F.array_sort(kept), "&")
     query_sfx = F.when(query_norm == "", F.lit("")).otherwise(
@@ -65,9 +86,14 @@ def normalize_url(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host (no port)."""
+    """Lowercased host (no port, no userinfo; IPv6 keeps brackets)."""
     u = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    authority = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    hostport = F.regexp_replace(authority, r"^.*@", "")
+    host6 = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    return F.when(host6 != "", F.lower(host6)).otherwise(
+        F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    )
 
 
 def registered_domain(url: Column | str, tld_levels: int = 2) -> Column:
@@ -94,6 +120,9 @@ def dedup_by_url(
     w = Window.partitionBy(normalize_url(url_col)).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        # a missing URL is no evidence of duplication: NULL urls all land
+        # in one window partition, and keeping only rn=1 there would
+        # silently drop every other null-url document
+        .where((F.col("__rn") == 1) | F.col(url_col).isNull())
         .drop("__rn")
     )

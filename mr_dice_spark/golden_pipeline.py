@@ -379,12 +379,13 @@ def cosine_topk_ivf_fixed_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    # round_scores: rank on the rounded grid like the oracle, so a raw-rank
+    # k-boundary tie can't admit a different member per engine
     out = cosine_topk_ivf(
-        emb, "vec_id", "embedding", qv, k=10, n_centroids=8, n_probe=2, train_iters=0
+        emb, "vec_id", "embedding", qv, k=10, n_centroids=8, n_probe=2,
+        train_iters=0, round_scores=6,
     )
-    return out.select("vec_id", _r("cosine", 6).alias("cosine")).orderBy(
-        F.desc("cosine"), "vec_id"
-    )
+    return out.orderBy(F.desc("cosine"), "vec_id")
 
 
 TEXT_ORACLE = """

@@ -628,12 +628,18 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     train_iters: int = 0,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probe`` inverted lists whose
     centroids are most similar to the query, exact-cosine rerank inside.
 
     ``train_iters > 0`` runs that many spherical k-means sweeps first
     (:func:`kmeans_fit`) instead of the raw sampled-init lists.
+
+    ``round_scores`` ranks on the nudge-ROUNDED cosine instead of the raw
+    double — required when an oracle hash-compares the result (raw-rank
+    k-boundary ties can round to equal grid values and admit a different
+    member per engine; the corpus determinism rule in golden.py).
 
     With cluster-partitioned storage the probe filter becomes partition
     pruning (reads n_probe/n_centroids of the data); here it is a scan-side
@@ -654,9 +660,12 @@ def cosine_topk_ivf(
     probes = [ci for ci, _ in sorted(centroids, key=lambda t: (-csim(t[1]), t[0]))[:n_probe]]
     vec = F.col(vec_col).cast("array<double>")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine(vec, q)
+    if round_scores is not None:
+        score = F.round(score + F.lit(1e-9), round_scores)
     return (
         assigned.where(F.col("__cluster").isin(probes))
-        .select(F.col(id_col), cosine(vec, q).alias("cosine"))
+        .select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
