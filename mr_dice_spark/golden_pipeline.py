@@ -1739,6 +1739,46 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# document chunking (overlapping token windows; RAG / long-doc pretraining)
+# ---------------------------------------------------------------------------
+
+CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(g.s // 24 AS INT) AS chunk_id,
+       CAST(g.s AS INT) AS start_token,
+       CAST(LEAST(32, len(toks) - g.s) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, g.s + 1, g.s + 32), ' ') AS chunk_text
+FROM t, LATERAL UNNEST(generate_series(0, len(toks) - 1, 24)) AS g(s)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@golden("document_chunking_windows", CHUNK_ORACLE, tags=("text", "chunking", "explode"))
+def document_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows with stride 24 (8-token overlap) — the
+    step between curation and sequence packing for docs longer than the
+    context. Pure codegen'd array arithmetic, zero shuffles; the short
+    final chunk is kept (truncating the tail silently loses data)."""
+    from mr_dice_spark.operators.chunking import chunk_documents
+
+    docs = Catalog(spark, sf_dir).documents
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap_tokens=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (beyond-reference concat-and-chunk batch construction)
 # ---------------------------------------------------------------------------
 

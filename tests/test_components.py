@@ -132,3 +132,38 @@ def test_ngram_jaccard_join_no_reflexive_pairs_on_duplicate_ids(spark):
     )
     pairs = ngram_jaccard_join(df, "doc_id", "text", 0.1).collect()
     assert all(r["id_a"] != r["id_b"] for r in pairs)
+
+
+def test_chunk_documents_edges(spark):
+    from mr_dice_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x y"),             # shorter than chunk
+            (3, ""),                # empty -> no chunks
+            (4, None),              # null -> no chunks
+            (5, "   "),             # whitespace-only -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=3, overlap_tokens=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # stride 2: starts 0,2,4,6; tail chunk kept even when short
+    assert got == {
+        (1, 0): (0, 3, "a b c"),
+        (1, 1): (2, 3, "c d e"),
+        (1, 2): (4, 3, "e f g"),
+        (1, 3): (6, 1, "g"),
+        (2, 0): (0, 2, "x y"),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=3, overlap_tokens=3)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
