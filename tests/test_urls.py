@@ -94,3 +94,60 @@ def test_dedup_by_url_keeps_all_null_url_rows(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_by_url(df, "url", "doc_id").collect())
     assert kept == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# property tests: idempotence and noise-invariance of the canonical key
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scheme_st = st.sampled_from(["http", "https", "HTTP", "HtTpS"])
+_host_st = st.sampled_from(["a.com", "WWW.Example.COM", "x.y.z.org", "[2001:db8::1]"])
+_user_st = st.sampled_from(["", "alice@", "alice:pw@"])
+_port_st = st.sampled_from(["", ":80", ":443", ":080", ":8080"])
+_path_st = st.sampled_from(["", "/", "/P/q", "/a/b/", "/CaseSens"])
+_params_st = st.lists(
+    st.sampled_from(["a=1", "b=2", "Z=9", "utm_source=x", "UTM_Medium=y", "gclid=g"]),
+    max_size=4,
+    unique=True,
+)
+_frag_st = st.sampled_from(["", "#f", "#x/y?z"])
+
+
+@st.composite
+def _url(draw):
+    params = draw(_params_st)
+    q = "?" + "&".join(params) if params else ""
+    return (
+        draw(_scheme_st)
+        + "://"
+        + draw(_user_st)
+        + draw(_host_st)
+        + draw(_port_st)
+        + draw(_path_st)
+        + q
+        + draw(_frag_st)
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_url(), min_size=1, max_size=20, unique=True))
+def test_normalize_url_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u): the canonical form is a
+    fixed point, so re-ingesting already-canonical URLs can't re-key."""
+    once = _norm(spark, urls)
+    twice = _norm(spark, once)
+    assert twice == once
+
+
+@settings(max_examples=25, deadline=None)
+@given(_url(), st.permutations(["b=2", "a=1", "utm_source=zz"]))
+def test_normalize_url_param_order_invariant(spark, url, perm):
+    """Appending the same parameter set in any order yields one key."""
+    sep = "&" if "?" in url.split("#")[0] else "?"
+    base, _, frag = url.partition("#")
+    variants = [base + sep + "&".join(p) + ("#" + frag if frag else "") for p in [perm, list(reversed(perm))]]
+    a, b = _norm(spark, variants)
+    assert a == b
