@@ -56,6 +56,57 @@ def fake_decode_image(payload: Optional[bytes]) -> Optional[dict]:
     }
 
 
+def real_probe_image(payload: bytes) -> Optional[dict]:
+    """REAL header probe for PNG / BMP / JPEG using only the stdlib —
+    no Pillow needed for metadata. Returns None when the payload is not
+    one of these containers (caller falls back to the stub).
+
+    * PNG: IHDR is always the first chunk — width/height big-endian at
+      fixed offsets 16/20; channels from the color type.
+    * BMP: BITMAPINFOHEADER little-endian width/height at 18/22; height
+      may be negative (top-down rows).
+    * JPEG: walk the marker stream to the first SOFn (C0-CF excluding
+      C4/C8/CC); height/width big-endian inside the frame header.
+    """
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25] if len(payload) > 25 else 6
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return {"width": w, "height": h, "channels": channels, "format": "png"}
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        bits = struct.unpack("<H", payload[28:30])[0] if len(payload) >= 30 else 24
+        return {
+            "width": w,
+            "height": abs(h),
+            "channels": max(1, bits // 8),
+            "format": "bmp",
+        }
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                channels = payload[i + 9]
+                return {
+                    "width": w,
+                    "height": h,
+                    "channels": channels,
+                    "format": "jpeg",
+                }
+            i += 2 + seg_len
+    return None
+
+
 def decode_image(payload: Optional[bytes]) -> Optional[dict]:
     if payload is None:
         return None
@@ -72,7 +123,11 @@ def decode_image(payload: Optional[bytes]) -> Optional[dict]:
                 }
         except Exception:
             return None
-    return fake_decode_image(payload)
+    try:
+        real = real_probe_image(payload)
+    except Exception:
+        real = None  # malformed container: stub keeps the pipeline total
+    return real if real is not None else fake_decode_image(payload)
 
 
 def fake_image_features(payload: Optional[bytes], dim: int = 8) -> Optional[list[float]]:
@@ -125,3 +180,43 @@ def fake_decode_audio(payload: Optional[bytes]) -> Optional[dict]:
         "n_channels": 1 + n % 2,
         "format": "fake-wav",
     }
+
+
+def real_probe_wav(payload: bytes) -> Optional[dict]:
+    """REAL RIFF/WAVE header probe (stdlib struct only): sample rate,
+    channels, and sample count from the fmt and data chunks. Returns None
+    for non-WAV payloads (caller falls back to the stub)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, rate, channels, bits = 12, None, None, None
+    n_samples = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, rate = struct.unpack("<HI", body[2:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data" and channels and bits:
+            n_samples = size // max(1, channels * (bits // 8))
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or channels is None or n_samples is None:
+        return None
+    return {
+        "sample_rate": rate,
+        "n_samples": n_samples,
+        "n_channels": channels,
+        "format": "wav",
+    }
+
+
+def decode_audio(payload: Optional[bytes]) -> Optional[dict]:
+    if payload is None:
+        return None
+    try:
+        real = real_probe_wav(payload)
+    except Exception:
+        real = None
+    return real if real is not None else fake_decode_audio(payload)

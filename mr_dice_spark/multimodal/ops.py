@@ -80,8 +80,9 @@ def _probe(df: DataFrame, payload_col: str, id_cols: list[str], decode_fn, meta_
 def probe_images(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
     """Decode image headers -> typed metadata columns (drops the payload).
 
-    Real decode would be Pillow here; the stub derives metadata from the
-    bytes (codecs.fake_decode_image)."""
+    PNG/BMP/JPEG headers are parsed for REAL (stdlib struct — see
+    codecs.real_probe_image); other payloads fall back to the
+    deterministic stub so the pipeline stays total."""
     return _probe(df, payload_col, id_cols or ["media_id"], codecs.decode_image, _IMG_META_FIELDS)
 
 
@@ -90,7 +91,9 @@ def probe_videos(df: DataFrame, payload_col: str = "payload", id_cols: Optional[
 
 
 def probe_audio(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
-    return _probe(df, payload_col, id_cols or ["media_id"], codecs.fake_decode_audio, _AUD_META_FIELDS)
+    """RIFF/WAVE payloads probe for real (codecs.real_probe_wav); anything
+    else falls back to the deterministic stub."""
+    return _probe(df, payload_col, id_cols or ["media_id"], codecs.decode_audio, _AUD_META_FIELDS)
 
 
 def image_features(df: DataFrame, payload_col: str = "payload", dim: int = 8) -> DataFrame:

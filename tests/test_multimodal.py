@@ -152,3 +152,66 @@ def test_extract_frames_second_pass(spark, sf_dir):
              for r in extract_frames(media, sampled, id_cols=["doc_id"]).collect()}
     for r in got:
         assert again[(r["doc_id"], r["frame_idx"])] == bytes(r["frame_bytes"])
+
+
+def test_real_wav_probe_roundtrip(spark, tmp_path):
+    """A genuine PCM WAV (written with the stdlib wave module) must probe
+    to its REAL sample rate / channels / sample count, while non-WAV
+    payloads keep the deterministic stub path."""
+    import io
+    import wave
+
+    from mr_dice_spark.multimodal.ops import probe_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(b"\x00\x01" * 2 * 441)  # 441 stereo frames
+    wav_bytes = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes)), (2, bytearray(b"not audio at all"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in probe_audio(df).collect()}
+    assert got[1]["sample_rate"] == 22050
+    assert got[1]["n_channels"] == 2
+    assert got[1]["n_samples"] == 441
+    assert got[1]["format"] == "wav"
+    assert got[2]["format"] == "fake-wav"  # stub fallback
+
+
+def test_real_image_header_probe(spark):
+    import struct
+
+    from mr_dice_spark.multimodal.ops import probe_images
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 320, 200) + bytes([8, 2, 0, 0, 0])  # 8-bit RGB
+        + b"\x00" * 8
+    )
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 640, -480, 1, 24) + b"\x00" * 24
+    )
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 480, 640) + bytes([3, 0, 0])
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(jpeg)),
+         (4, bytearray(b"opaque-blob"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in probe_images(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"], got[1]["format"]) == (320, 200, 3, "png")
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"], got[2]["format"]) == (640, 480, 3, "bmp")
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"], got[3]["format"]) == (640, 480, 3, "jpeg")
+    assert got[4]["format"] in ("jpeg", "png")  # stub fallback naming
