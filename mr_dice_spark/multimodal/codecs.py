@@ -141,6 +141,116 @@ def fake_image_features(payload: Optional[bytes], dim: int = 8) -> Optional[list
     return [sum(payload[i::dim]) % 997 / 997.0 for i in range(dim)]
 
 
+def decode_pixels(payload: Optional[bytes]):
+    """REAL pixel decode for uncompressed 24-bit BMP and 8-bit
+    gray/RGB/RGBA non-interlaced PNG — stdlib (struct + zlib) + numpy
+    only. Returns an (H, W, C) uint8 ndarray, or None when the payload is
+    not one of these (caller falls back to stub behavior). JPEG stays
+    stubbed: entropy decoding needs a real codec library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        w, h = struct.unpack("<ii", payload[18:26])
+        bits = struct.unpack("<H", payload[28:30])[0]
+        if bits != 24 or w <= 0 or h == 0:
+            return None
+        stride = (w * 3 + 3) // 4 * 4
+        rows = abs(h)
+        need = data_off + stride * rows
+        if len(payload) < need:
+            return None
+        raw = np.frombuffer(payload, dtype=np.uint8, count=stride * rows, offset=data_off)
+        img = raw.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)[:, :, ::-1]  # BGR->RGB
+        if h > 0:
+            img = img[::-1]  # bottom-up storage
+        return np.ascontiguousarray(img)
+    if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, hh = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type, _, _, interlace = payload[24:29]
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if bit_depth != 8 or channels is None or interlace != 0:
+            return None
+        idat, i = b"", 8
+        while i + 8 <= len(payload):
+            (size,) = struct.unpack(">I", payload[i : i + 4])
+            cid = payload[i + 4 : i + 8]
+            if cid == b"IDAT":
+                idat += payload[i + 8 : i + 8 + size]
+            elif cid == b"IEND":
+                break
+            i += 12 + size  # len + id + body + crc
+        try:
+            raw = zlib.decompress(idat)
+        except zlib.error:
+            return None
+        stride = w * channels
+        if len(raw) < hh * (stride + 1):
+            return None
+        out = np.empty((hh, stride), dtype=np.uint8)
+        bpp = channels
+        for y in range(hh):
+            f = raw[y * (stride + 1)]
+            line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+            prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+            if f == 0:
+                rec = line
+            elif f == 2:  # up
+                rec = (line + prior) & 0xFF
+            else:  # sub/avg/paeth need the left neighbor: sequential scan
+                rec = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    c = prior[x - bpp] if x >= bpp else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:  # paeth
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+            out[y] = rec.astype(np.uint8)
+        return out.reshape(hh, w, channels)
+    return None
+
+
+def encode_bmp(img) -> bytes:
+    """Minimal 24-bit BMP writer (the re-encode side of real resize)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    rgb = img[:, :, :3]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def resize_pixels(img, target_w: int, target_h: int):
+    """Nearest-neighbor resize via pure numpy index maps."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
 # -- video ------------------------------------------------------------------
 
 def fake_decode_video(payload: Optional[bytes]) -> Optional[dict]:

@@ -120,10 +120,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize: payload -> payload' with new geometry.
 
-    Stub semantics: payload passes through unchanged, geometry is replaced
-    and ``resized`` is flagged; a real codec would re-encode bytes in the
-    same batch loop. Output schema (ids, payload, width, height) is what a
-    training-data writer sinks back to Parquet."""
+    Decodable payloads (24-bit BMP, 8-bit non-interlaced PNG — see
+    codecs.decode_pixels) are REALLY resized (nearest-neighbor numpy) and
+    re-encoded as BMP in the same Arrow batch loop. Everything else keeps
+    the stub semantics: payload passes through unchanged, geometry is
+    replaced and ``resized`` flagged. Output schema (ids, payload, width,
+    height) is what a training-data writer sinks back to Parquet."""
     id_cols = id_cols or ["media_id"]
     pruned = df.select(*id_cols, payload_col)
     id_schema = ", ".join(
@@ -135,7 +137,23 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            payloads = []
+            for v in out[payload_col]:
+                if v is None:
+                    payloads.append(None)
+                    continue
+                try:
+                    img = codecs.decode_pixels(bytes(v))
+                except Exception:
+                    img = None  # malformed container: keep stub passthrough
+                if img is None:
+                    payloads.append(v)
+                else:
+                    payloads.append(
+                        codecs.encode_bmp(codecs.resize_pixels(img, target_w, target_h))
+                    )
             ok = out[payload_col].notna()
+            out[payload_col] = payloads
             # no fabricated geometry for missing media: a NULL payload gets
             # NULL width/height, not the target dimensions it never reached
             out["width"] = pd.array([target_w if v else None for v in ok], dtype="Int32")
