@@ -1,5 +1,6 @@
 from mr_dice_spark.multimodal.ops import (
     extract_frames,
+    audio_features,
     image_features,
     payload_from_text,
     probe_audio,
@@ -22,6 +23,7 @@ __all__ = [
     "IMAGE_META",
     "VIDEO_META",
     "media_table_schema",
+    "audio_features",
     "image_features",
     "payload_from_text",
     "probe_audio",

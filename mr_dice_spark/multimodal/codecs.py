@@ -251,6 +251,55 @@ def resize_pixels(img, target_w: int, target_h: int):
     return img[ys][:, xs]
 
 
+def real_image_features(img, dim: int = 8) -> list[float]:
+    """REAL pixel features: mean gray value of ``dim`` spatial cells (a
+    1 x dim grid over the image), each in [0, 1]. Deterministic and
+    content-sensitive — the honest small stand-in for a learned
+    embedding, computed from actual pixels rather than byte sums."""
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    h, w = gray.shape
+    cells = np.array_split(gray.reshape(-1), dim)
+    return [float(c.mean() / 255.0) if c.size else 0.0 for c in cells]
+
+
+def wav_signal_stats(payload: bytes) -> Optional[dict]:
+    """REAL PCM signal statistics for a RIFF/WAVE payload: duration,
+    RMS, and peak of the normalized samples ([-1, 1]); None for non-WAV
+    or non-PCM payloads."""
+    import struct
+
+    import numpy as np
+
+    meta = real_probe_wav(payload)
+    if meta is None:
+        return None
+    # locate the data chunk again for the raw frames
+    i, frames, bits = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            frames = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
+    if frames is None or bits not in (8, 16):
+        return None
+    if bits == 16:
+        x = np.frombuffer(frames[: len(frames) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if x.size == 0:
+        return {"duration_s": 0.0, "rms": 0.0, "peak": 0.0}
+    return {
+        "duration_s": meta["n_samples"] / meta["sample_rate"],
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "peak": float(np.max(np.abs(x))),
+    }
+
+
 # -- video ------------------------------------------------------------------
 
 def fake_decode_video(payload: Optional[bytes]) -> Optional[dict]:

@@ -99,16 +99,58 @@ def probe_audio(df: DataFrame, payload_col: str = "payload", id_cols: Optional[l
 def image_features(df: DataFrame, payload_col: str = "payload", dim: int = 8) -> DataFrame:
     """Append an ``embedding array<float>`` column (CNN/CLIP stand-in).
 
-    Kept as a scalar Pandas UDF (not mapInPandas) so it composes with any
-    projection; Arrow moves the binary column once per batch."""
+    Decodable payloads (BMP/PNG — codecs.decode_pixels) get REAL pixel
+    statistics (a dim-length grid of spatial cell means over the gray
+    image, values in [0,1]); anything else keeps the deterministic
+    byte-sum stub. Kept as a scalar Pandas UDF (not mapInPandas) so it
+    composes with any projection; Arrow moves the binary column once per
+    batch."""
 
     @F.pandas_udf(f"array<float>")
     def feat(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda p: codecs.fake_image_features(bytes(p), dim) if p is not None else None
-        )
+        def one(p):
+            if p is None:
+                return None
+            b = bytes(p)
+            try:
+                img = codecs.decode_pixels(b)
+            except Exception:
+                img = None
+            if img is not None:
+                return codecs.real_image_features(img, dim)
+            return codecs.fake_image_features(b, dim)
+
+        return s.map(one)
 
     return df.withColumn("embedding", feat(F.col(payload_col)))
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
+    """(ids, duration_s, rms, peak) — REAL signal statistics for PCM WAV
+    payloads (stdlib header walk + numpy over the sample frames);
+    non-WAV payloads yield NULL stats rather than fabricated ones (a
+    fake RMS would poison downstream quality filters)."""
+    id_cols = id_cols or ["media_id"]
+    pruned = df.select(*id_cols, payload_col)
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pruned.schema.fields
+        if f.name != payload_col
+    )
+    out_schema = f"{id_schema}, duration_s double, rms double, peak double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.drop(columns=[payload_col])
+            stats = [
+                codecs.wav_signal_stats(bytes(p)) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            out["duration_s"] = [s and s["duration_s"] for s in stats]
+            out["rms"] = [s and s["rms"] for s in stats]
+            out["peak"] = [s and s["peak"] for s in stats]
+            yield out
+
+    return pruned.mapInPandas(run, schema=out_schema)
 
 
 def resize_images(

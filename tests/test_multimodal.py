@@ -289,3 +289,49 @@ def test_real_bmp_png_pixel_roundtrip_and_resize(spark):
         spark.createDataFrame([(1, bytearray(out[1]["payload"]))], "media_id long, payload binary")
     ).collect()}
     assert (probed[1]["width"], probed[1]["height"], probed[1]["format"]) == (4, 5, "bmp")
+
+
+def test_real_image_features_from_pixels(spark):
+    import numpy as np
+
+    from mr_dice_spark.multimodal import codecs
+    from mr_dice_spark.multimodal.ops import image_features
+
+    img = np.zeros((4, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255  # left half black, right half white
+    bmp = codecs.encode_bmp(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"opaque"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["embedding"] for r in image_features(df, dim=2).collect()}
+    # row-major flatten: each row is half black half white -> both cells 0.5
+    assert got[1] == pytest.approx([0.5, 0.5], abs=1e-3)
+    assert got[2] == pytest.approx(codecs.fake_image_features(b"opaque", 2), abs=1e-6)
+
+
+def test_audio_features_real_wav(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from mr_dice_spark.multimodal.ops import audio_features
+
+    t = np.arange(8000) / 8000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not-audio")), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[1]["duration_s"] == pytest.approx(1.0)
+    assert got[1]["rms"] == pytest.approx(0.5 / 2 ** 0.5, rel=1e-3)  # sine RMS = A/sqrt(2)
+    assert got[1]["peak"] == pytest.approx(0.5, rel=1e-3)
+    assert got[2]["rms"] is None and got[3]["rms"] is None
