@@ -25,6 +25,12 @@ except ImportError:
     HAVE_PIL = False
 
 
+# sanity ceiling for header-declared geometry: a corrupt/adversarial
+# header claiming a larger image falls back to the (bounded) stub rather
+# than overflowing the int32 probe schema or sizing giant buffers
+MAX_DIM = 1 << 15
+
+
 def byte_checksum(payload: bytes) -> int:
     """Sum of bytes mod 2^31 — cheap, CONTENT-sensitive but
     order-INSENSITIVE (a permutation of the same bytes collides by
@@ -72,24 +78,47 @@ def real_probe_image(payload: bytes) -> Optional[dict]:
 
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", payload[16:24])
+        if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+            return None  # corrupt/adversarial header: stub path (int32-safe)
         color_type = payload[25] if len(payload) > 25 else 6
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
         return {"width": w, "height": h, "channels": channels, "format": "png"}
-    if len(payload) >= 26 and payload[:2] == b"BM":
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        # 'BM' alone matches ASCII text; demand a plausible DIB header
+        # (known header size, sane data offset and geometry) before
+        # claiming the payload as BMP — the golden oracles rely on text
+        # payloads always taking the stub path
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        dib = struct.unpack("<I", payload[14:18])[0]
         w, h = struct.unpack("<ii", payload[18:26])
-        bits = struct.unpack("<H", payload[28:30])[0] if len(payload) >= 30 else 24
-        return {
-            "width": w,
-            "height": abs(h),
-            "channels": max(1, bits // 8),
-            "format": "bmp",
-        }
+        bits = struct.unpack("<H", payload[28:30])[0]
+        if (
+            dib in (40, 52, 56, 108, 124)
+            and 54 <= data_off <= len(payload)
+            and 0 < w <= MAX_DIM
+            and 0 < abs(h) <= MAX_DIM
+            and bits in (1, 4, 8, 16, 24, 32)
+        ):
+            return {
+                "width": w,
+                "height": abs(h),
+                "channels": max(1, bits // 8),
+                "format": "bmp",
+            }
+        return None
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(payload):
             if payload[i] != 0xFF:
                 break
-            marker = payload[i + 1]
+            # skip spec-legal 0xFF fill bytes before the marker code
+            j = i + 1
+            while j < len(payload) and payload[j] == 0xFF:
+                j += 1
+            if j >= len(payload):
+                break
+            marker = payload[j]
+            i = j - 1  # i+1 is the marker code below
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -97,6 +126,8 @@ def real_probe_image(payload: bytes) -> Optional[dict]:
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 channels = payload[i + 9]
+                if not (0 < w and 0 < h):
+                    return None
                 return {
                     "width": w,
                     "height": h,
@@ -172,6 +203,8 @@ def decode_pixels(payload: Optional[bytes]):
         return np.ascontiguousarray(img)
     if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, hh = struct.unpack(">II", payload[16:24])
+        if not (0 < w <= MAX_DIM and 0 < hh <= MAX_DIM and w * hh <= 1 << 26):
+            return None  # bound BEFORE any buffer is sized
         bit_depth, color_type, _, _, interlace = payload[24:29]
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if bit_depth != 8 or channels is None or interlace != 0:
@@ -185,12 +218,15 @@ def decode_pixels(payload: Optional[bytes]):
             elif cid == b"IEND":
                 break
             i += 12 + size  # len + id + body + crc
+        stride = w * channels
+        need = hh * (stride + 1)
+        # cap the inflater at the exact pixel-buffer size: a zlib bomb in a
+        # few-KB payload must not decompress gigabytes on the executor
         try:
-            raw = zlib.decompress(idat)
+            raw = zlib.decompressobj().decompress(idat, need)
         except zlib.error:
             return None
-        stride = w * channels
-        if len(raw) < hh * (stride + 1):
+        if len(raw) < need:
             return None
         out = np.empty((hh, stride), dtype=np.uint8)
         bpp = channels
@@ -230,7 +266,11 @@ def encode_bmp(img) -> bytes:
 
     h, w = img.shape[:2]
     if img.ndim == 2:
-        img = np.repeat(img[:, :, None], 3, axis=2)
+        img = img[:, :, None]
+    if img.shape[2] == 2:  # gray+alpha: drop alpha before widening
+        img = img[:, :, :1]
+    if img.shape[2] == 1:  # grayscale (e.g. color_type-0 PNG) -> RGB
+        img = np.repeat(img, 3, axis=2)
     rgb = img[:, :, :3]
     stride = (w * 3 + 3) // 4 * 4
     rows = np.zeros((h, stride), dtype=np.uint8)
@@ -255,46 +295,45 @@ def real_image_features(img, dim: int = 8) -> list[float]:
     """REAL pixel features: mean gray value of ``dim`` spatial cells (a
     1 x dim grid over the image), each in [0, 1]. Deterministic and
     content-sensitive — the honest small stand-in for a learned
-    embedding, computed from actual pixels rather than byte sums."""
+    embedding, computed from actual pixels rather than byte sums.
+
+    Only COLOR channels enter the gray mean: averaging alpha in would
+    bias every feature of an opaque RGBA/gray+alpha image upward."""
     import numpy as np
 
-    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    if img.ndim == 3:
+        color = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
+        gray = color.astype(np.float64).mean(axis=2)
+    else:
+        gray = img.astype(np.float64)
     h, w = gray.shape
     cells = np.array_split(gray.reshape(-1), dim)
     return [float(c.mean() / 255.0) if c.size else 0.0 for c in cells]
 
 
 def wav_signal_stats(payload: bytes) -> Optional[dict]:
-    """REAL PCM signal statistics for a RIFF/WAVE payload: duration,
-    RMS, and peak of the normalized samples ([-1, 1]); None for non-WAV
-    or non-PCM payloads."""
-    import struct
-
+    """REAL PCM signal statistics for a RIFF/WAVE payload: duration, RMS,
+    and peak of the normalized samples ([-1, 1]); None for non-WAV or
+    non-8/16-bit payloads. duration and rms/peak come from the SAME
+    frames (the bytes actually present), so a truncated file cannot
+    report a duration its stats were not computed over."""
     import numpy as np
 
-    meta = real_probe_wav(payload)
-    if meta is None:
+    parsed = _parse_wav(payload)
+    if parsed is None:
         return None
-    # locate the data chunk again for the raw frames
-    i, frames, bits = 12, None, None
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-        if cid == b"fmt ":
-            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
-        elif cid == b"data":
-            frames = payload[i + 8 : i + 8 + size]
-        i += 8 + size + (size % 2)
-    if frames is None or bits not in (8, 16):
+    rate, channels, bits, frames = parsed
+    if bits not in (8, 16):
         return None
     if bits == 16:
         x = np.frombuffer(frames[: len(frames) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
     else:
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_samples = len(frames) // max(1, channels * (bits // 8))
     if x.size == 0:
         return {"duration_s": 0.0, "rms": 0.0, "peak": 0.0}
     return {
-        "duration_s": meta["n_samples"] / meta["sample_rate"],
+        "duration_s": n_samples / rate,  # rate > 0 guaranteed by _parse_wav
         "rms": float(np.sqrt(np.mean(x * x))),
         "peak": float(np.max(np.abs(x))),
     }
@@ -341,31 +380,46 @@ def fake_decode_audio(payload: Optional[bytes]) -> Optional[dict]:
     }
 
 
-def real_probe_wav(payload: bytes) -> Optional[dict]:
-    """REAL RIFF/WAVE header probe (stdlib struct only): sample rate,
-    channels, and sample count from the fmt and data chunks. Returns None
-    for non-WAV payloads (caller falls back to the stub)."""
+def _parse_wav(payload: bytes):
+    """Single RIFF/WAVE chunk walk shared by probe and stats: returns
+    (rate, channels, bits, frames_bytes) or None. ``frames_bytes`` is the
+    data ACTUALLY PRESENT (a truncated file must not report more samples
+    than its stats were computed over). Declared rates/channels are
+    bounds-checked so corrupt headers fall back to the stub instead of
+    overflowing the int32 probe schema or dividing by zero."""
     import struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    i, rate, channels, bits = 12, None, None, None
-    n_samples = None
+    i, rate, channels, bits, frames = 12, None, None, None, None
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-        body = payload[i + 8 : i + 8 + size]
+        body = payload[i + 8 : i + 8 + size]  # silently short when truncated
         if cid == b"fmt " and len(body) >= 16:
             channels, rate = struct.unpack("<HI", body[2:8])
             bits = struct.unpack("<H", body[14:16])[0]
         elif cid == b"data" and channels and bits:
-            n_samples = size // max(1, channels * (bits // 8))
+            frames = body
         i += 8 + size + (size % 2)  # chunks are word-aligned
-    if rate is None or channels is None or n_samples is None:
+    if not rate or not channels or frames is None or bits not in (8, 16, 24, 32):
         return None
+    if rate > (1 << 31) - 1 or channels > 1 << 10:
+        return None
+    return rate, channels, bits, frames
+
+
+def real_probe_wav(payload: bytes) -> Optional[dict]:
+    """REAL RIFF/WAVE header probe: sample rate, channels, and the sample
+    count of the frames actually present. None for non-WAV payloads
+    (caller falls back to the stub)."""
+    parsed = _parse_wav(payload)
+    if parsed is None:
+        return None
+    rate, channels, bits, frames = parsed
     return {
         "sample_rate": rate,
-        "n_samples": n_samples,
+        "n_samples": len(frames) // max(1, channels * (bits // 8)),
         "n_channels": channels,
         "format": "wav",
     }

@@ -139,12 +139,17 @@ def audio_features(df: DataFrame, payload_col: str = "payload", id_cols: Optiona
     out_schema = f"{id_schema}, duration_s double, rms double, peak double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(p):
+            if p is None:
+                return None
+            try:
+                return codecs.wav_signal_stats(bytes(p))
+            except Exception:
+                return None  # malformed container must not fail the task
+
         for pdf in batches:
             out = pdf.drop(columns=[payload_col])
-            stats = [
-                codecs.wav_signal_stats(bytes(p)) if p is not None else None
-                for p in pdf[payload_col]
-            ]
+            stats = [safe(p) for p in pdf[payload_col]]
             out["duration_s"] = [s and s["duration_s"] for s in stats]
             out["rms"] = [s and s["rms"] for s in stats]
             out["peak"] = [s and s["peak"] for s in stats]
@@ -186,14 +191,14 @@ def resize_images(
                     continue
                 try:
                     img = codecs.decode_pixels(bytes(v))
-                except Exception:
-                    img = None  # malformed container: keep stub passthrough
-                if img is None:
-                    payloads.append(v)
-                else:
-                    payloads.append(
+                    resized = (
                         codecs.encode_bmp(codecs.resize_pixels(img, target_w, target_h))
+                        if img is not None
+                        else None
                     )
+                except Exception:
+                    resized = None  # malformed container: stub passthrough
+                payloads.append(resized if resized is not None else v)
             ok = out[payload_col].notna()
             out[payload_col] = payloads
             # no fabricated geometry for missing media: a NULL payload gets

@@ -335,3 +335,75 @@ def test_audio_features_real_wav(spark):
     assert got[1]["rms"] == pytest.approx(0.5 / 2 ** 0.5, rel=1e-3)  # sine RMS = A/sqrt(2)
     assert got[1]["peak"] == pytest.approx(0.5, rel=1e-3)
     assert got[2]["rms"] is None and got[3]["rms"] is None
+
+
+def test_codec_adversarial_payloads_fall_back_not_crash(spark):
+    """Findings from the round-2 codec review: grayscale/gray+alpha PNGs
+    must resize (encode_bmp handles 1/2 channels), sample_rate=0 WAVs and
+    huge-dimension PNG headers must fall back instead of crashing, 'BM'-
+    prefixed ASCII text must stay on the stub path, fill-byte-padded
+    JPEGs must parse, and zlib-bomb PNGs must not inflate unbounded."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mr_dice_spark.multimodal import codecs
+    from mr_dice_spark.multimodal.ops import audio_features, probe_images, resize_images
+
+    # 1-channel image end-to-end through encode_bmp
+    gray = np.arange(20, dtype=np.uint8).reshape(4, 5, 1)
+    assert codecs.decode_pixels(codecs.encode_bmp(gray)).shape == (4, 5, 3)
+
+    # zero sample_rate WAV: NULL stats, task survives
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 1, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    df = spark.createDataFrame([(1, bytearray(bad_wav))], "media_id long, payload binary")
+    assert audio_features(df).first()["rms"] is None
+
+    # huge declared PNG dims: stub fallback (int32-safe), not 4-billion width
+    huge = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 2**32 - 1, 2**32 - 1) + bytes([8, 2, 0, 0, 0]) + b"\x00" * 8
+    )
+    df = spark.createDataFrame([(1, bytearray(huge))], "media_id long, payload binary")
+    assert probe_images(df).first()["width"] < 1024  # stub range
+
+    # 'BM'-prefixed ASCII text stays on the stub path (golden invariant)
+    txt = b"BM the market rallied today as bulls charged ahead strongly"
+    assert codecs.real_probe_image(txt) is None
+
+    # fill-byte-padded JPEG parses for real
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xff\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 10, 20) + bytes([3, 0, 0]) + b"\xff\xd9"
+    )
+    assert codecs.real_probe_image(jpeg) == {
+        "width": 20, "height": 10, "channels": 3, "format": "jpeg"
+    }
+
+    # zlib bomb: tiny payload declaring modest dims but inflating huge data
+    bomb_raw = zlib.compress(b"\x00" * (50 * 1024 * 1024))
+    def chunk(cid, body):
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", zlib.crc32(cid + body))
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", bomb_raw) + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_pixels(bomb)  # capped inflate: only 14 bytes out
+    assert out is not None and out.shape == (2, 2, 3)
+
+    # truncated WAV: n_samples/duration from bytes PRESENT, not declared
+    good = (
+        b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 8000) + b"\x00\x01" * 1000  # 2000 of 8000 bytes
+    )
+    meta = codecs.real_probe_wav(good)
+    assert meta["n_samples"] == 1000
+    stats = codecs.wav_signal_stats(good)
+    assert stats["duration_s"] == pytest.approx(1000 / 8000)
