@@ -102,3 +102,61 @@ def test_energy_above_block_min_keeps_null_formula_rows(spark):
     # NULL formulas form their own block (matching the window-function
     # PARTITION BY semantics) and every input row survives
     assert got == {1: 0.0, 2: 1.0, 3: 0.0}
+
+
+# ---------------------------------------------------------------------------
+# property test: structure_near_dup vs a pure-Python reference model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_e_st = st.sampled_from([-10.0, -10.2, -10.4, -12.0, 0.0, 3.0])
+_len_st = st.sampled_from([4.0, 4.1, 4.3, 5.0])
+_ang_st = st.sampled_from([90.0, 93.0, 96.0])
+
+
+@st.composite
+def _structs(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    rows = []
+    for i in range(n):
+        rows.append((
+            i,
+            draw(st.sampled_from(["SiO2", "NaCl"])),
+            draw(_e_st),
+            [draw(_len_st) for _ in range(3)],
+            [draw(_ang_st) for _ in range(3)],
+        ))
+    return rows
+
+
+def _model(rows, tol=0.05, ltol=0.05, angle_tol=5.0):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[1] != b[1]:
+                continue
+            if abs(a[2] - b[2]) > tol * max(abs(a[2]), abs(b[2])):
+                continue
+            if any(abs(x - y) > ltol * max(abs(x), abs(y)) for x, y in zip(a[3], b[3])):
+                continue
+            if any(abs(x - y) > angle_tol for x, y in zip(a[4], b[4])):
+                continue
+            out.add((a[0], b[0]))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(_structs())
+def test_structure_near_dup_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "id long, formula string, energy double, "
+        "lengths array<double>, angles array<double>",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in structure_near_dup(
+               df, "id", "formula", "energy", "lengths", "angles").collect()}
+    assert got == _model(rows)
