@@ -488,3 +488,30 @@ def test_heavy_hitter_candidates_distributed(spark, sf_dir):
     plan = physical_plan(qual)
     assert "HashAggregate" in plan  # partial/final agg, not a collect of raw rows
     assert not has_cartesian(qual)
+
+
+def test_url_normalization_is_jvm_side_single_scan(spark, sf_dir):
+    """normalize_url/host/domain ride the scan projection: no Python
+    eval, no shuffle, one scan."""
+    from mr_dice_spark.golden_web import _messy_urls
+    from mr_dice_spark.functions.urls import normalize_url, registered_domain, url_host
+
+    u = _messy_urls(spark, sf_dir).select(
+        normalize_url("url").alias("n"), url_host("url").alias("h"),
+        registered_domain("url").alias("d"),
+    )
+    plan = physical_plan(u)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(u) == 0
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """chunk_documents is row-local: explode + slice arithmetic, zero
+    exchanges, no Python."""
+    from mr_dice_spark.operators.chunking import chunk_documents
+
+    docs = Catalog(spark, sf_dir).documents
+    out = chunk_documents(docs, "doc_id", "text", 32, 8)
+    plan = physical_plan(out)
+    assert shuffle_count(out) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
