@@ -96,16 +96,32 @@ def url_host(url: Column | str) -> Column:
     )
 
 
-def registered_domain(url: Column | str, tld_levels: int = 2) -> Column:
-    """Last ``tld_levels`` host labels — the grouping key for per-domain
-    quotas and crawl-politeness stats. (A public-suffix list would refine
-    co.uk-style hosts; this is the deterministic approximation.)"""
-    parts = F.split(url_host(url), r"\.")
+# common multi-label public suffixes: a host ending in one of these needs
+# THREE labels for its registered domain (bbc.co.uk, not co.uk). A full
+# public-suffix list is a data file swap; this covers the high-traffic tail.
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "net.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.kr", "com.br", "com.cn", "com.mx", "co.in", "co.za", "com.sg",
+)
+
+
+def registered_domain(url: Column | str) -> Column:
+    """Registered domain (the grouping key for per-domain quotas and
+    crawl-politeness stats): the last two host labels, or three when the
+    host ends in a known multi-label public suffix (``co.uk`` et al)."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
     n = F.size(parts)
-    return F.array_join(
-        F.slice(parts, F.greatest(n - (tld_levels - 1), F.lit(1)), F.lit(tld_levels)),
-        ".",
-    )
+
+    def last(k: int) -> Column:
+        return F.array_join(F.slice(parts, F.greatest(n - (k - 1), F.lit(1)), F.lit(k)), ".")
+
+    is_multi = F.lit(False)
+    for sfx in MULTI_LABEL_SUFFIXES:
+        is_multi = is_multi | host.endswith("." + sfx) | (host == sfx)
+    return F.when(is_multi, last(3)).otherwise(last(2))
 
 
 def dedup_by_url(

@@ -151,3 +151,17 @@ def test_normalize_url_param_order_invariant(spark, url, perm):
     variants = [base + sep + "&".join(p) + ("#" + frag if frag else "") for p in [perm, list(reversed(perm))]]
     a, b = _norm(spark, variants)
     assert a == b
+
+
+def test_registered_domain_multi_label_suffixes(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://news.bbc.co.uk/x",),
+            ("https://shop.example.com.au/y",),
+            ("https://plain.example.org/z",),
+            ("https://co.uk/",),  # bare suffix: returned as-is (3-label slice clamps)
+        ],
+        "url string",
+    )
+    got = [r["d"] for r in df.select(registered_domain("url").alias("d")).collect()]
+    assert got == ["bbc.co.uk", "example.com.au", "example.org", "co.uk"]
