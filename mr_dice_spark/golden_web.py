@@ -100,3 +100,47 @@ def url_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     of crawl dedup (before any content-level MinHash pass)."""
     u = _messy_urls(spark, sf_dir)
     return dedup_by_url(u, "url", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+CRAWL_PIPELINE_ORACLE = f"""
+WITH c AS ({_CANON_SQL}),
+d AS (
+  SELECT c.doc_id, c.url_norm, c.domain, doc.lang, doc.n_chars
+  FROM c JOIN documents doc USING (doc_id)
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+quality AS (
+  SELECT doc_id, domain, lang, n_chars FROM survivors
+  WHERE n_chars >= 120 AND lang IN ('en', 'de', 'fr')
+)
+SELECT doc_id, domain, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT q.*, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS dq
+  FROM quality q
+) WHERE dq <= 25
+ORDER BY doc_id
+"""
+
+
+@golden("crawl_curation_pipeline", CRAWL_PIPELINE_ORACLE, tags=("web", "pipeline", "quota"))
+def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-ingest path a web corpus actually runs:
+    URL-canonical dedup (cheap first stage) -> quality gate (length +
+    language allowlist) -> per-domain quota (crawl-politeness cap,
+    deterministic min-doc_id winners). Three existing operators stitched:
+    dedup_by_url + plain filters + per_group_topk — two shuffles total
+    (canonical-url window, domain window), everything else scan-side."""
+    from mr_dice_spark.operators.topk import per_group_topk
+
+    d = Catalog(spark, sf_dir).documents
+    u = _messy_urls(spark, sf_dir).join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+    survivors = dedup_by_url(u, "url", "doc_id")
+    quality = survivors.where(
+        (F.col("n_chars") >= 120) & F.col("lang").isin("en", "de", "fr")
+    ).withColumn("domain", registered_domain("url"))
+    capped = per_group_topk(quality, ["domain"], [F.col("doc_id").asc()], 25)
+    return capped.select("doc_id", "domain", "lang", "n_chars").orderBy("doc_id")
