@@ -72,7 +72,10 @@ _CHECK_FIRST = [
     "cube_status_priority",
     "grouping_sets_events",
     "percentile_value_by_type",
-    "pivot_returnflag_status",
+    # pivot family stays covered in-window by pivot_event_counts; the
+    # composed crawl pipeline (url dedup -> quality -> domain quota)
+    # takes the slot
+    "crawl_curation_pipeline",
     "scd2_user_event_history",
     # window families past the cap
     "window_running_totals",
