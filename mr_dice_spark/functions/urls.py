@@ -118,10 +118,9 @@ def registered_domain(url: Column | str) -> Column:
     def last(k: int) -> Column:
         return F.array_join(F.slice(parts, F.greatest(n - (k - 1), F.lit(1)), F.lit(k)), ".")
 
-    is_multi = F.lit(False)
-    for sfx in MULTI_LABEL_SUFFIXES:
-        is_multi = is_multi | host.endswith("." + sfx) | (host == sfx)
-    return F.when(is_multi, last(3)).otherwise(last(2))
+    # every entry is exactly two labels, so "ends with .sfx or equals sfx"
+    # collapses to one membership test on the last two labels
+    return F.when(last(2).isin(*MULTI_LABEL_SUFFIXES), last(3)).otherwise(last(2))
 
 
 def dedup_by_url(

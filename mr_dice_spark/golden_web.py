@@ -24,13 +24,21 @@ from mr_dice_spark.golden import golden
 
 def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, url) with scheme-case, default-port, tracking-param,
-    fragment, and trailing-slash noise, all keyed off doc_id."""
+    fragment, and trailing-slash noise, all keyed off doc_id. The TLD
+    varies by doc_id so per-domain operators (the crawl pipeline's quota)
+    have multiple real groups — a constant domain would make a per-group
+    cap indistinguishable from a global top-k."""
     d = Catalog(spark, sf_dir).documents
     m = lambda k: F.col("doc_id") % k  # noqa: E731
     scheme = (
         F.when(m(3) == 0, "https").when(m(3) == 1, "HTTPS").otherwise("http")
     )
-    host = F.concat("source", F.lit(".Example.COM"))
+    tld = (
+        F.when(m(3) == 0, ".Example.COM")
+        .when(m(3) == 1, ".Example.ORG")
+        .otherwise(".Sample.NET")
+    )
+    host = F.concat("source", tld)
     port = (
         F.when((m(4) == 0) & (m(3) != 2), ":443")
         .when((m(4) == 0) & (m(3) == 2), ":80")
@@ -54,12 +62,19 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANON_SQL = """
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END
-           || '://' || source || '.example.com'
+           || '://' || source
+           || CASE doc_id % 3 WHEN 0 THEN '.example.com'
+                              WHEN 1 THEN '.example.org'
+                              ELSE '.sample.net' END
            || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
            || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
            || '?a=1&b=2' AS url_norm,
-         source || '.example.com' AS host,
-         'example.com' AS domain
+         source || CASE doc_id % 3 WHEN 0 THEN '.example.com'
+                                   WHEN 1 THEN '.example.org'
+                                   ELSE '.sample.net' END AS host,
+         CASE doc_id % 3 WHEN 0 THEN 'example.com'
+                         WHEN 1 THEN 'example.org'
+                         ELSE 'sample.net' END AS domain
   FROM documents
 """
 

@@ -119,6 +119,8 @@ def real_probe_image(payload: bytes) -> Optional[dict]:
                 break
             marker = payload[j]
             i = j - 1  # i+1 is the marker code below
+            if i + 9 >= len(payload):
+                break  # the skip moved past the loop guard: re-check before reads
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -187,9 +189,20 @@ def decode_pixels(payload: Optional[bytes]):
         return None
     if len(payload) >= 30 and payload[:2] == b"BM":
         data_off = struct.unpack("<I", payload[10:14])[0]
+        dib = struct.unpack("<I", payload[14:18])[0]
         w, h = struct.unpack("<ii", payload[18:26])
         bits = struct.unpack("<H", payload[28:30])[0]
-        if bits != 24 or w <= 0 or h == 0:
+        # same plausibility gate as real_probe_image: probe and pixel
+        # decode must agree on WHICH payloads are BMPs, or resize could
+        # "really" decode garbage (data_off < 54 reads header bytes as
+        # pixels) while the probe reports stub geometry
+        if (
+            bits != 24
+            or dib not in (40, 52, 56, 108, 124)
+            or not 54 <= data_off <= len(payload)
+            or not 0 < w <= MAX_DIM
+            or not 0 < abs(h) <= MAX_DIM
+        ):
             return None
         stride = (w * 3 + 3) // 4 * 4
         rows = abs(h)

@@ -407,3 +407,30 @@ def test_codec_adversarial_payloads_fall_back_not_crash(spark):
     assert meta["n_samples"] == 1000
     stats = codecs.wav_signal_stats(good)
     assert stats["duration_s"] == pytest.approx(1000 / 8000)
+
+
+def test_jpeg_truncated_fill_bytes_return_none_not_crash():
+    """Fill-byte skip must re-check bounds: a truncated run of 0xFF ending
+    at the payload edge crashed real_probe_image with struct.error before
+    the round-2 final review fix."""
+    from mr_dice_spark.multimodal import codecs
+
+    assert codecs.real_probe_image(b"\xff\xd8" + b"\xff" * 9 + b"\xc0") is None
+    assert codecs.real_probe_image(b"\xff\xd8" + b"\xff" * 20) is None
+
+
+def test_decode_pixels_agrees_with_probe_on_bmp_plausibility():
+    """probe and pixel decode must classify the same payloads as BMP: a
+    'BM' payload with an implausible DIB header (data_off overlapping the
+    header) is rejected by BOTH, not really-decoded by one and stubbed by
+    the other."""
+    import struct
+
+    from mr_dice_spark.multimodal import codecs
+
+    bogus = (
+        b"BM" + struct.pack("<IHHI", 0, 0, 0, 10)  # data_off 10 < 54
+        + struct.pack("<IiiHH", 99, 4, 4, 1, 24) + b"\x00" * 100
+    )
+    assert codecs.real_probe_image(bogus) is None
+    assert codecs.decode_pixels(bogus) is None
