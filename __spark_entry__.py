@@ -70,7 +70,10 @@ _CHECK_FIRST = [
     # setop_except rotates to the suite (same set-op family as intersect,
     # and set_except_lapsed_customers keeps the shape suite-checked)
     "cube_status_priority",
-    "grouping_sets_events",
+    # grouping-sets family stays covered by cube_status_priority in-window
+    # and grouping_sets_event_bands in the suite; winnowing (brief-listed
+    # rolling-hash fingerprinting) takes the slot
+    "winnowing_fingerprints_portable",
     "percentile_value_by_type",
     # pivot family stays covered in-window by pivot_event_counts; the
     # composed crawl pipeline (url dedup -> quality -> domain quota)

@@ -159,3 +159,43 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("domain", registered_domain("url"))
     capped = per_group_topk(quality, ["domain"], [F.col("doc_id").asc()], 25)
     return capped.select("doc_id", "domain", "lang", "n_chars").orderBy("doc_id")
+
+
+WINNOW_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(s) - 7, 1)),
+           i -> CAST(('0x' || substring(md5(substr(s, CAST(i AS INT), 8)), 1, 15))
+                     AS BIGINT)) AS h
+  FROM t WHERE len(s) >= 8
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
+  FROM g
+)
+SELECT doc_id, UNNEST(fps) AS fingerprint
+FROM m ORDER BY doc_id, fingerprint
+"""
+
+
+@golden("winnowing_fingerprints_portable", WINNOW_ORACLE, tags=("text", "fingerprint", "winnowing"))
+def winnowing_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=8 char grams, window=4) with the
+    md5-derived portable hash — DuckDB reproduces every gram hash, window
+    minimum, and distinct fingerprint bit-for-bit. The guarantee-bearing
+    substring fingerprint scheme (any shared substring >= window+k-1
+    chars forces a shared fingerprint), complementing MinHash (set
+    similarity) and SimHash (global distance)."""
+    from mr_dice_spark.operators.winnowing import winnowing_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, portable=True)
+    return fps.orderBy("doc_id", "fingerprint")
