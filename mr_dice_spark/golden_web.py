@@ -199,3 +199,47 @@ def winnowing_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFra
     docs = Catalog(spark, sf_dir).documents
     fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, portable=True)
     return fps.orderBy("doc_id", "fingerprint")
+
+
+WINNOW_OVERLAP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(s) - 7, 1)),
+           i -> CAST(('0x' || substring(md5(substr(s, CAST(i AS INT), 8)), 1, 15))
+                     AS BIGINT)) AS h
+  FROM t WHERE len(s) >= 8
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
+  FROM g
+),
+fp AS (SELECT doc_id, UNNEST(fps) AS f FROM m)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+
+@golden("winnowing_overlap_pairs", WINNOW_OVERLAP_ORACLE, tags=("text", "fingerprint", "dedup"))
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS ranking pass: document pairs sharing >= 3 winnowed
+    fingerprints (substring-level near-dup evidence), oracle-checked over
+    the identical fingerprint sets."""
+    from mr_dice_spark.operators.winnowing import (
+        fingerprint_overlap_join,
+        winnowing_fingerprints,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, portable=True)
+    return fingerprint_overlap_join(fps, "doc_id", min_shared=3).orderBy("id_a", "id_b")
