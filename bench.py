@@ -32,8 +32,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries().items()):
-        # best of 2: the first run pays one-off plan/codegen compilation;
-        # min reflects steady-state throughput (what a resident engine sees).
+        # min of repeated runs reflects steady-state throughput (what a
+        # resident engine sees); the first run pays one-off codegen.
         # Materialize through the noop sink: count() alone would let
         # Catalyst prune the aggregate/projection expressions it doesn't
         # need for row counting, under-measuring the query.

@@ -163,7 +163,7 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
   FROM documents
 ),
 g AS (
@@ -203,7 +203,7 @@ def winnowing_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFra
 
 WINNOW_OVERLAP_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
   FROM documents
 ),
 g AS (

@@ -6,21 +6,22 @@ any shared substring of length >= window + k - 1 produces at least one
 SHARED fingerprint, a property MinHash (whole-set similarity) and
 SimHash (global distance) do not give.
 
-Spark shape: all codegen'd array expressions, zero UDFs, zero shuffles
-for extraction —
+Spark shape: all JVM-side array expressions, zero Python UDFs; the only
+exchange is fan_out's small-input widening (a no-op at real scale) —
 
 1. normalize: lowercase + whitespace collapse (fingerprints should not
-   change with formatting),
+   change with formatting), materialized in its OWN projection behind
+   the fan_out exchange so transform lambdas can't re-evaluate the
+   whole-document regex per gram (PERFORMANCE.md finding 4),
 2. k-gram hashes: ``transform(sequence(...), i -> hash(substr(s,i,k)))``.
    A classic CPU rolling hash reuses the previous gram's value; that
    recurrence is inexpressible in pure SQL, so each gram hashes its own
-   substring — O(n*k) instead of O(n), a constant-factor trade that
-   keeps the whole operator inside whole-stage codegen (the same call
-   made for MinHash signatures, PERFORMANCE.md finding 1),
+   substring — O(n*k) instead of O(n), the price of staying JVM-side
+   with no per-row Python,
 3. winnow: per sliding window of ``window`` consecutive gram hashes,
    keep the minimum; distinct survivors are the fingerprint set. The
    window minimum is ``array_min(slice(...))`` per position — O(n*w)
-   array arithmetic, again codegen'd.
+   array arithmetic.
 
 ``portable=True`` switches xxhash64 to the md5-derived 60-bit hash an
 ANSI-SQL oracle reproduces bit-for-bit (operators/dedup.portable_hash60).
@@ -35,10 +36,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mr_dice_spark.operators.dedup import portable_hash60
+from mr_dice_spark.operators.scale import fan_out
+
+
+# explicit whitespace class, NOT \s: Java regex \s includes \x0B where
+# RE2 (DuckDB) does not — the oracle must normalize identically
+_WS = r"[ \t\n\r\f\x0B]+"
 
 
 def _normalized(text_col: Column) -> Column:
-    return F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+    return F.lower(F.regexp_replace(F.trim(text_col), _WS, " "))
 
 
 def winnowing_fingerprints(
@@ -58,17 +65,19 @@ def winnowing_fingerprints(
     """
     if k <= 0 or window <= 0:
         raise ValueError(f"k and window must be > 0, got k={k} window={window}")
-    s = _normalized(F.col(text_col))
-    n = F.length(s)
-    n_grams = n - (k - 1)
+    # normalization gets its OWN projection: embedded in the transform
+    # lambda it would re-run the whole-document regex once per gram
+    # (transform lambdas re-evaluate captured expressions per element —
+    # the O(n^2) trap PERFORMANCE.md finding 4 documents for shingles)
+    s = F.col("__s")
+    n_grams = F.length(s) - (k - 1)
 
     def gram_hash(i: Column) -> Column:
         sub = s.substr(i, F.lit(k))
         return portable_hash60(sub) if portable else F.xxhash64(sub)
 
     grams = F.when(
-        n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash),
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
     ).otherwise(F.array().cast("array<bigint>"))
     n_windows = F.greatest(F.size("__g") - (window - 1), F.lit(1))
     mins = F.when(
@@ -78,28 +87,35 @@ def winnowing_fingerprints(
             lambda j: F.array_min(F.slice(F.col("__g"), j, window)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # fan_out's exchange doubles as the CollapseProject barrier (same as
+    # shingle_sets): without it the optimizer re-inlines __s into every
+    # per-gram lambda evaluation
+    base = fan_out(
+        df.select(F.col(id_col).alias("__id"), _normalized(F.col(text_col)).alias("__s"))
+    )
     return (
-        df.select(F.col(id_col).alias("__id"), grams.alias("__g"))
+        base.select("__id", grams.alias("__g"))
         .select("__id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
         .select(F.col("__id").alias(id_col), "fingerprint")
     )
 
 
 def fingerprint_overlap_join(
-    fps: DataFrame, id_col: str, min_shared: int = 2
+    fps: DataFrame, id_col: str, min_shared: int = 2, fp_col: str = "fingerprint"
 ) -> DataFrame:
-    """(id_a, id_b, shared) for pairs sharing >= ``min_shared`` winnowed
-    fingerprints — the MOSS ranking join. Inverted-index shape: one
-    shuffle on the fingerprint, map-side-combined pair counting; posting
-    lists are bounded because winnowing keeps ~2/(w+1) of gram hashes and
-    common boilerplate collapses to few distinct fingerprints (drop
-    ultra-frequent fingerprints first on heavy-tailed corpora, exactly
-    the stop-shingle rule of the Jaccard join)."""
+    """(id_a, id_b, shared) for pairs sharing >= ``min_shared`` values of
+    ``fp_col`` — the MOSS ranking join, equally usable over any hash-key
+    column. Inverted-index shape: one shuffle on the key,
+    map-side-combined pair counting; posting lists are bounded because
+    winnowing keeps ~2/(w+1) of gram hashes and common boilerplate
+    collapses to few distinct fingerprints (drop ultra-frequent keys
+    first on heavy-tailed corpora, exactly the stop-shingle rule of the
+    Jaccard join)."""
     l, r = fps.alias("x"), fps.alias("y")
     return (
         l.join(
             r,
-            (F.col(f"x.fingerprint") == F.col(f"y.fingerprint"))
+            (F.col(f"x.{fp_col}") == F.col(f"y.{fp_col}"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .groupBy(

@@ -21,7 +21,8 @@ def _model(text, k=8, w=4):
     import re
 
     # mirror the operator: trim -> collapse \s+ to single spaces -> lower
-    s = re.sub(r"\s+", " ", text.strip().lower())
+    # explicit ASCII class like the operator (python \s is Unicode-wide)
+    s = re.sub(r"[ \t\n\r\f\x0b]+", " ", text.strip().lower())
     grams = [_phash(s[i : i + k]) for i in range(len(s) - k + 1)]
     if not grams:
         return set()
