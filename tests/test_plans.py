@@ -515,3 +515,19 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     plan = physical_plan(out)
     assert shuffle_count(out) == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_no_python_and_no_regex_in_lambda(spark, sf_dir):
+    """Winnowing stays JVM-side, and the normalization regex must NOT be
+    re-inlined into the gram lambda (the O(n^2)-per-doc regression the
+    round-2 review caught — fan_out's exchange is the CollapseProject
+    barrier)."""
+    from mr_dice_spark.operators.winnowing import winnowing_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    fps = winnowing_fingerprints(docs, "doc_id", "text", 8, 4)
+    phys = physical_plan(fps)
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+    opt = fps._jdf.queryExecution().optimizedPlan().toString()
+    i = opt.find("lambdafunction")
+    assert i >= 0 and "regexp_replace" not in opt[i : i + 500]
