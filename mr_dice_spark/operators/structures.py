@@ -274,23 +274,33 @@ def energy_above_hull(
 
     @pandas_udf("double")
     def e_hull(formula: pd.Series, eform: pd.Series) -> pd.Series:
-        from pymatgen.analysis.phase_diagram import PDEntry
-        from pymatgen.core import Composition
-
-        pdh = b_hull.value
-        out = []
-        for f, e in zip(formula, eform):
-            comp = Composition(f).reduced_composition
-            entry = PDEntry(Composition(f), e * comp.num_atoms)
-            try:
-                out.append(float(pdh.get_e_above_hull(entry)))
-            except Exception as exc:  # reference maps no-decomposition to 0.0
-                if str(exc).startswith("No valid decomposition found"):
-                    out.append(0.0)
-                else:
-                    raise
-        return pd.Series(out)
+        return pd.Series(_e_above_hull_rows(formula, eform, b_hull.value))
 
     return df.withColumn(
         "e_above_hull", e_hull(F.col(formula_col), F.col(eform_per_atom_col))
     )
+
+
+def _e_above_hull_rows(formulas, eforms_per_atom, hull) -> list:
+    """Per-batch body of :func:`energy_above_hull`, kept import-late and
+    Spark-free so the PDEntry construction (reduced composition + energy
+    scaled by the REDUCED atom count, lam_optimize/utils.py:176-190) is
+    unit-testable with a stubbed pymatgen."""
+    from pymatgen.analysis.phase_diagram import PDEntry
+    from pymatgen.core import Composition
+
+    out = []
+    for f, e in zip(formulas, eforms_per_atom):
+        # Reduced composition for BOTH the entry and the energy scale:
+        # a non-reduced formula (e.g. Fe2O6) would otherwise pair an
+        # 8-atom composition with an energy scaled by 4 atoms.
+        comp = Composition(f).reduced_composition
+        entry = PDEntry(comp, e * comp.num_atoms)
+        try:
+            out.append(float(hull.get_e_above_hull(entry)))
+        except Exception as exc:  # reference maps no-decomposition to 0.0
+            if str(exc).startswith("No valid decomposition found"):
+                out.append(0.0)
+            else:
+                raise
+    return out

@@ -92,6 +92,64 @@ def test_energy_above_hull_raises_without_pymatgen(spark):
         energy_above_hull(df, "f", "e", hull=None)
 
 
+def test_e_above_hull_rows_uses_reduced_composition(monkeypatch):
+    """The PDEntry must pair the REDUCED composition with an energy scaled
+    by the reduced atom count (lam_optimize/utils.py:176-190): for a
+    non-reduced input formula like Fe2O6 the entry is (FeO3, e*4), never
+    (Fe2O6, e*4) or (FeO3, e*8)."""
+    import sys
+    import types
+
+    from mr_dice_spark.operators.structures import _e_above_hull_rows
+
+    ATOMS = {"Fe2O6": 8, "FeO3": 4, "SiO2": 3}
+    REDUCED = {"Fe2O6": "FeO3", "FeO3": "FeO3", "SiO2": "SiO2"}
+
+    class FakeComposition:
+        def __init__(self, formula):
+            self.formula = formula
+            self.num_atoms = ATOMS[formula]
+
+        @property
+        def reduced_composition(self):
+            return FakeComposition(REDUCED[self.formula])
+
+    class FakePDEntry:
+        def __init__(self, composition, energy):
+            self.composition = composition
+            self.energy = energy
+
+    class FakeHull:
+        def __init__(self):
+            self.entries = []
+
+        def get_e_above_hull(self, entry):
+            self.entries.append(entry)
+            if entry.composition.formula == "SiO2":
+                raise ValueError("No valid decomposition found for entry")
+            return entry.energy / entry.composition.num_atoms + 0.25
+
+    core = types.ModuleType("pymatgen.core")
+    core.Composition = FakeComposition
+    phase = types.ModuleType("pymatgen.analysis.phase_diagram")
+    phase.PDEntry = FakePDEntry
+    pkg = types.ModuleType("pymatgen")
+    analysis = types.ModuleType("pymatgen.analysis")
+    monkeypatch.setitem(sys.modules, "pymatgen", pkg)
+    monkeypatch.setitem(sys.modules, "pymatgen.core", core)
+    monkeypatch.setitem(sys.modules, "pymatgen.analysis", analysis)
+    monkeypatch.setitem(sys.modules, "pymatgen.analysis.phase_diagram", phase)
+
+    hull = FakeHull()
+    out = _e_above_hull_rows(["Fe2O6", "SiO2"], [-2.0, -1.0], hull)
+
+    fe = hull.entries[0]
+    assert fe.composition.formula == "FeO3"          # reduced, not Fe2O6
+    assert fe.energy == -2.0 * 4                     # scaled by reduced atoms
+    assert out[0] == pytest.approx(-2.0 + 0.25)
+    assert out[1] == 0.0                             # no-decomposition -> 0.0
+
+
 def test_energy_above_block_min_keeps_null_formula_rows(spark):
     df = spark.createDataFrame(
         [(1, "A", -3.0), (2, None, -1.0), (3, None, -2.0)],
