@@ -28,6 +28,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+import threading
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
@@ -380,9 +382,40 @@ def simhash_dedup(
 # FIFO rather than a single slot, so a caller building several joins before
 # consuming any (df1 = join(...); df2 = join(...); df1.collect()) doesn't
 # have an earlier frame unpersisted out from under its still-lazy plan —
-# which would silently recompute the classes aggregation per consumer
-_CLASSES_CACHE: list = []
+# which would silently recompute the classes aggregation per consumer.
+# The FIFO lives ON the SparkSession object (same pattern as
+# catalog.py's table cache): its lifetime is exactly the session's, so a
+# dead session's frames drop with it instead of pinning executor storage
+# until 4 newer joins rotate them out, and two sessions never evict each
+# other's frames. A module lock guards the pop/append window — concurrent
+# ngram_jaccard_join calls on the same session would otherwise race.
+_CLASSES_CACHE_ATTR = "_mr_dice_jaccard_classes_cache"
 _CLASSES_CACHE_SLOTS = 4
+_CLASSES_CACHE_LOCK = threading.Lock()
+_log = logging.getLogger(__name__)
+
+
+def _rotate_classes_cache(spark, classes: DataFrame) -> None:
+    """Register ``classes`` in the session-scoped persist FIFO, unpersisting
+    the oldest frames past the slot budget. Unpersist failures are logged
+    (a torn-down session can't strand storage anyway), never swallowed
+    silently."""
+    with _CLASSES_CACHE_LOCK:
+        cache = getattr(spark, _CLASSES_CACHE_ATTR, None)
+        if cache is None:
+            cache = []
+            setattr(spark, _CLASSES_CACHE_ATTR, cache)
+        while len(cache) >= _CLASSES_CACHE_SLOTS:
+            old = cache.pop(0)
+            try:
+                old.unpersist(False)
+            except Exception:
+                _log.warning(
+                    "ngram_jaccard_join: failed to unpersist rotated classes "
+                    "frame (session may be stopped)",
+                    exc_info=True,
+                )
+        cache.append(classes)
 
 
 def ngram_jaccard_join(
@@ -446,20 +479,15 @@ def ngram_jaccard_join(
     # both expansions, and the cache manager shares it across those
     # consumers WITHIN the query while AQE still co-plans the stages —
     # measured 2.4s vs 8.7s for an eager checkpoint at sf0.1. persist
-    # entries outlive the query, so rotate the oldest out once the FIFO
-    # exceeds its slots, capping the session's stranded cache.
-    while len(_CLASSES_CACHE) >= _CLASSES_CACHE_SLOTS:
-        try:
-            _CLASSES_CACHE.pop(0).unpersist(False)
-        except Exception:
-            pass  # session of the old frame may already be gone
+    # entries outlive the query, so rotate the oldest out once the
+    # session-scoped FIFO exceeds its slots, capping stranded cache.
     classes = (
         canon.groupBy(cls_key.alias("__cls"))
         .agg(F.first("__set").alias("__set"), F.count(F.lit(1)).alias("__m"))
         .withColumn("__n", F.size("__set"))
         .persist()
     )
-    _CLASSES_CACHE.append(classes)
+    _rotate_classes_cache(df.sparkSession, classes)
     # class-level inverted-index join: explode distinct sets, pair classes
     # sharing a shingle, count intersections with map-side combine
     ex = classes.select("__cls", "__n", F.explode("__set").alias("__s"))

@@ -134,6 +134,58 @@ def test_ngram_jaccard_join_no_reflexive_pairs_on_duplicate_ids(spark):
     assert all(r["id_a"] != r["id_b"] for r in pairs)
 
 
+def test_classes_cache_is_scoped_per_session(spark):
+    """The persist FIFO lives on the SparkSession: sessions never evict each
+    other's frames, rotation past the slot budget unpersists only the
+    session's own oldest frame, and a dead session's frames drop with the
+    session object (attribute lifetime == session lifetime)."""
+    from mr_dice_spark.operators.dedup import (
+        _CLASSES_CACHE_ATTR,
+        _CLASSES_CACHE_SLOTS,
+        _rotate_classes_cache,
+    )
+
+    other = spark.newSession()
+    for s in (spark, other):
+        if hasattr(s, _CLASSES_CACHE_ATTR):
+            delattr(s, _CLASSES_CACHE_ATTR)
+
+    # structurally distinct plans: plan canonicalization erases aliases, so
+    # frames must differ in the Range itself or the shared CacheManager
+    # treats them as one cache entry
+    def persisted(s, n):
+        return s.range(n).persist()
+
+    a_frames = [persisted(spark, 3 + i) for i in range(_CLASSES_CACHE_SLOTS + 1)]
+    b_frame = persisted(other, 100)
+    _rotate_classes_cache(other, b_frame)
+    for f in a_frames:
+        _rotate_classes_cache(spark, f)
+
+    a_cache = getattr(spark, _CLASSES_CACHE_ATTR)
+    b_cache = getattr(other, _CLASSES_CACHE_ATTR)
+    # spark's 5th insert rotated out only spark's own oldest frame
+    assert a_frames[0].storageLevel.useMemory is False
+    assert all(f.storageLevel.useMemory for f in a_frames[1:])
+    assert a_cache == a_frames[1:]
+    # the other session's frame was untouched by spark's rotations
+    assert b_cache == [b_frame] and b_frame.storageLevel.useMemory
+    # the FIFO is an attribute of the session object itself, so a dropped
+    # session releases its cache through ordinary GC (no module global
+    # keeps the frames alive)
+    import mr_dice_spark.operators.dedup as dedup_mod
+
+    assert not any(
+        isinstance(v, list) and v is not a_cache and v is not b_cache
+        and any(isinstance(x, type(b_frame)) for x in v)
+        for v in vars(dedup_mod).values()
+    )
+    for f in a_frames[1:] + [b_frame]:
+        f.unpersist(False)
+    delattr(spark, _CLASSES_CACHE_ATTR)
+    delattr(other, _CLASSES_CACHE_ATTR)
+
+
 def test_chunk_documents_edges(spark):
     from mr_dice_spark.operators.chunking import chunk_documents
 
