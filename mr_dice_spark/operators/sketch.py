@@ -101,11 +101,18 @@ def heavy_hitters_cms(
             "min_share must be > 0 when candidates are derived (the "
             "pigeonhole candidate bound is num_partitions/min_share keys)"
         )
-    # the share denominator counts NON-NULL values to match the sketch
-    # (which skips NULLs) — a NULL-heavy column would otherwise inflate the
-    # cutoff and silently exclude true heavy hitters of the actual values
-    total_row = df.where(F.col(col).isNotNull()).count()
-    sketch = cms_sketch(df, col, eps=eps, confidence=confidence, seed=seed)
+    # ONE scan computes the sketch AND the share denominator (count(col)
+    # skips NULLs, matching the sketch's NULL handling) — a separate count
+    # job would re-read the table just for one long. The only other job is
+    # the pigeonhole candidate pass (skipped entirely when explicit
+    # candidates are supplied), so heavy_hitters_cms is <=2 scans total.
+    agg_row = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("s"),
+        F.count(F.col(col)).alias("n"),
+    ).first()
+    sketch, total_row = bytes(agg_row["s"]), agg_row["n"]
     if candidates is None:
         candidates = [r[0] for r in pigeonhole_candidates(df, col, min_share).collect()]
     est = cms_estimate(spark, sketch, candidates)

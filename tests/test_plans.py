@@ -490,6 +490,40 @@ def test_heavy_hitter_candidates_distributed(spark, sf_dir):
     assert not has_cartesian(qual)
 
 
+def test_heavy_hitters_cms_two_scans_total(spark, sf_dir, monkeypatch):
+    """heavy_hitters_cms fuses the share denominator into the sketch
+    aggregation: exactly TWO eager actions hit the cluster (fused
+    sketch+count, pigeonhole candidate collect) and none of them is a
+    bare count() re-scan. Raw Spark job counts are not asserted — AQE
+    materializes each action as several jobs."""
+    from mr_dice_spark.operators.sketch import heavy_hitters_cms
+
+    ev = Catalog(spark, sf_dir).events
+    # patch the CONCRETE DataFrame class (pyspark 4 routes instances
+    # through pyspark.sql.classic.dataframe.DataFrame, not the ABC)
+    # first()/take()/head() all funnel into collect(), so counting collect
+    # counts eager actions exactly once each; count() goes straight to the
+    # JVM and is patched separately (a regression back to a bare count()
+    # re-scan must show up)
+    df_cls = type(ev)
+    actions = []
+    for name in ("collect", "count"):
+        real = getattr(df_cls, name)
+
+        def wrapped(self, *a, _real=real, _name=name, **kw):
+            actions.append(_name)
+            return _real(self, *a, **kw)
+
+        monkeypatch.setattr(df_cls, name, wrapped)
+    out = heavy_hitters_cms(ev, "event_type", min_share=0.05)
+    assert actions == ["collect", "collect"], actions
+    # explicit candidates skip the pigeonhole pass: ONE action total
+    actions.clear()
+    heavy_hitters_cms(ev, "event_type", min_share=0.05, candidates=["click"])
+    assert actions == ["collect"], actions
+    assert len(out.collect()) > 0  # result frame is real (local rows)
+
+
 def test_url_normalization_is_jvm_side_single_scan(spark, sf_dir):
     """normalize_url/host/domain ride the scan projection: no Python
     eval, no shuffle, one scan."""
