@@ -1754,7 +1754,10 @@ SELECT doc_id,
        CAST(g.s AS INT) AS start_token,
        CAST(LEAST(32, len(toks) - g.s) AS INT) AS n_tokens,
        array_to_string(list_slice(toks, g.s + 1, g.s + 32), ' ') AS chunk_text
-FROM t, LATERAL UNNEST(generate_series(0, len(toks) - 1, 24)) AS g(s)
+FROM t, LATERAL UNNEST(
+    CASE WHEN len(toks) = 0 THEN []
+         ELSE generate_series(0, greatest(0, len(toks) - 1 - 8), 24) END
+) AS g(s)
 ORDER BY doc_id, chunk_id
 """
 

@@ -12,8 +12,13 @@ is ceil(n_tokens/stride), bounded by document length).
 
 Chunk semantics:
 * chunks start at token offsets 0, stride, 2*stride, ... (0-based);
-  every start < n_tokens yields a chunk, so the final chunk may be short
-  (it is NOT dropped — truncating the tail silently loses training data);
+  the final chunk may be short (it is NOT dropped — truncating the tail
+  silently loses training data);
+* with overlap > 0, start enumeration stops once the previous chunk
+  reaches the document end: a start with ``start + overlap >= n_tokens``
+  would emit a chunk fully contained in the previous one (e.g. 7 tokens,
+  chunk=3, overlap=1 must not emit the lone 'g' already covered by
+  'e f g'), duplicating text downstream;
 * a document with fewer tokens than ``chunk_tokens`` yields exactly one
   chunk (the whole document);
 * empty / whitespace-only documents yield no chunks.
@@ -47,9 +52,15 @@ def chunk_documents(
     # trim('')  splits to [''] — normalize to a true empty array
     toks = F.when(F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.array()).otherwise(toks)
     n = F.size("__toks")
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
-        F.array()
-    )
+    # upper start bound n-1-overlap (clamped to 0 so short docs keep their
+    # single full-document chunk): a start past it satisfies
+    # start + overlap >= n, i.e. the previous chunk already covers it
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0), F.greatest(F.lit(0), n - 1 - F.lit(overlap_tokens)), F.lit(stride)
+        ),
+    ).otherwise(F.array())
     base = df.select(F.col(id_col), toks.alias("__toks")).select(
         id_col,
         "__toks",

@@ -204,14 +204,32 @@ def test_chunk_documents_edges(spark):
         (r["doc_id"], r["chunk_id"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
         for r in out.collect()
     }
-    # stride 2: starts 0,2,4,6; tail chunk kept even when short
+    # stride 2: starts 0,2,4 — start 6 would emit the lone 'g' already
+    # fully contained in 'e f g' (start + overlap >= n), so it is dropped;
+    # a genuinely short tail (start + overlap < n) is still kept
     assert got == {
         (1, 0): (0, 3, "a b c"),
         (1, 1): (2, 3, "c d e"),
         (1, 2): (4, 3, "e f g"),
-        (1, 3): (6, 1, "g"),
         (2, 0): (0, 2, "x y"),
     }
+
+    # 8 tokens: start 6 has start + overlap = 7 < 8, so the short tail
+    # 'g h' carries the uncovered token h and survives
+    eight = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    tail = {
+        (r["chunk_id"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(eight, "doc_id", "text", 3, 1).collect()
+    }
+    assert tail[3] == (6, 2, "g h")
+
+    # zero overlap is untouched by the containment rule: every token
+    # appears exactly once, tail kept
+    nz = {
+        r["chunk_id"]: r["chunk_text"]
+        for r in chunk_documents(docs.where("doc_id = 1"), "doc_id", "text", 3, 0).collect()
+    }
+    assert nz == {0: "a b c", 1: "d e f", 2: "g"}
 
     import pytest as _pytest
 
