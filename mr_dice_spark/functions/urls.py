@@ -20,7 +20,13 @@ Normalization rules (the common canonicalization subset):
   compared numerically (``:080`` is still the default)
 * fragment (``#...``) removed
 * tracking parameters removed (keys matched case-insensitively):
-  ``utm_*``, ``gclid``, ``fbclid``, ``ref``
+  ``utm_*`` plus the unambiguous click-id keys (``gclid``, ``fbclid``,
+  ``msclkid``, ``yclid``). Bare ``ref`` is deliberately NOT in the
+  default set: unlike click ids, ``?ref=`` frequently selects content
+  (git hosting ``?ref=branch``), so stripping it would assign distinct
+  pages one canonical key and dedup would silently drop real pages.
+  Corpora where ``ref`` is known tracking noise pass their own
+  ``tracking_param_re``.
 * remaining query parameters sorted (order-insensitive equality)
 * trailing ``/`` dropped from non-root paths
 """
@@ -30,11 +36,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)$"
+TRACKING_PARAM_RE = r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|yclid)$"
 
 
-def normalize_url(url: Column | str) -> Column:
-    """Canonical form of ``url`` as a codegen'd expression tree."""
+def normalize_url(
+    url: Column | str, tracking_param_re: str = TRACKING_PARAM_RE
+) -> Column:
+    """Canonical form of ``url`` as a codegen'd expression tree.
+
+    ``tracking_param_re`` is matched (case-insensitively) against each
+    query-parameter KEY; matching parameters are dropped. Override it per
+    corpus — e.g. add ``|ref`` for crawls where ``?ref=`` is referral
+    noise rather than content-selecting."""
     u = F.col(url) if isinstance(url, str) else url
     # strip fragment first — everything after '#' never reaches the server
     u = F.regexp_replace(u, r"#.*$", "")
@@ -74,7 +87,7 @@ def normalize_url(url: Column | str) -> Column:
         lambda kv: (kv != "")
         # tracking keys match case-insensitively (UTM_Source is as much
         # tracking noise as utm_source); non-tracking key case is preserved
-        & ~F.lower(F.split(kv, "=").getItem(0)).rlike(TRACKING_PARAM_RE),
+        & ~F.lower(F.split(kv, "=").getItem(0)).rlike(tracking_param_re),
     )
     query_norm = F.array_join(F.array_sort(kept), "&")
     query_sfx = F.when(query_norm == "", F.lit("")).otherwise(
@@ -124,15 +137,21 @@ def registered_domain(url: Column | str) -> Column:
 
 
 def dedup_by_url(
-    df: DataFrame, url_col: str, id_col: str, priority_cols: list | None = None
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    priority_cols: list | None = None,
+    tracking_param_re: str = TRACKING_PARAM_RE,
 ) -> DataFrame:
     """Keep one row per canonical URL — deterministic winner = min
     ``priority_cols`` (default: the id). One hash shuffle on the canonical
-    key; the normalization rides the scan projection."""
+    key; the normalization rides the scan projection.
+    ``tracking_param_re`` tunes which query keys the canonical key ignores
+    (see :func:`normalize_url`)."""
     from pyspark.sql import Window
 
     order = [F.col(c).asc() for c in (priority_cols or [id_col])]
-    w = Window.partitionBy(normalize_url(url_col)).orderBy(*order)
+    w = Window.partitionBy(normalize_url(url_col, tracking_param_re)).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         # a missing URL is no evidence of duplication: NULL urls all land

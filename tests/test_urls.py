@@ -24,8 +24,11 @@ def test_normalize_url_rules(spark):
         "http://a.com:8080/x": "http://a.com:8080/x",
         # tracking params dropped, rest sorted, trailing slash trimmed
         "https://a.com/p/?utm_source=x&b=2&a=1": "https://a.com/p?a=1&b=2",
-        "https://a.com/p?a=1&b=2&utm_campaign=x&gclid=z&fbclid=q&ref=r":
+        "https://a.com/p?a=1&b=2&utm_campaign=x&gclid=z&fbclid=q&msclkid=m":
             "https://a.com/p?a=1&b=2",
+        # bare ref is content-selecting (git hosting ?ref=branch), NOT in
+        # the default tracking set — distinct refs keep distinct keys
+        "https://git.example.com/repo?ref=main": "https://git.example.com/repo?ref=main",
         # all params tracking -> no query at all
         "https://a.com/p?utm_x=1": "https://a.com/p",
         # bare host -> root path
@@ -81,10 +84,34 @@ def test_normalize_url_authority_edge_cases(spark):
         "http://a.com:080/x": "http://a.com/x",
         "http://a.com:08080/x": "http://a.com:8080/x",
         # tracking keys matched case-insensitively
-        "https://b.com/p?A=1&UTM_Source=x&REF=z": "https://b.com/p?A=1",
+        "https://b.com/p?A=1&UTM_Source=x&GCLID=z": "https://b.com/p?A=1",
     }
     got = _norm(spark, list(cases))
     assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_normalize_url_custom_tracking_pattern(spark):
+    """Corpora where ref IS referral noise opt in per call; the override
+    flows through dedup_by_url so the canonical dedup key follows it."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/p?ref=feed&x=1"),
+            (2, "https://a.com/p?x=1&ref=sidebar"),
+        ],
+        "doc_id long, url string",
+    )
+    with_ref = r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|yclid|ref)$"
+    n = [
+        r["n"]
+        for r in df.select(
+            normalize_url("url", tracking_param_re=with_ref).alias("n")
+        ).collect()
+    ]
+    assert n == ["https://a.com/p?x=1"] * 2
+    # default keeps both pages distinct; the override collapses them
+    assert len(dedup_by_url(df, "url", "doc_id").collect()) == 2
+    kept = dedup_by_url(df, "url", "doc_id", tracking_param_re=with_ref).collect()
+    assert [r["doc_id"] for r in kept] == [1]
 
 
 def test_dedup_by_url_keeps_all_null_url_rows(spark):
