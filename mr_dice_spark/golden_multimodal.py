@@ -11,6 +11,7 @@ same bytes (documents.text is pure ASCII in this corpus, so
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,6 +91,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames(probed, target=8, id_cols=["doc_id"])
         .orderBy("doc_id", "frame_rank")
     )
+
+
+VIDEO_PROBE_ORACLE = f"""
+WITH {_BYTES_CTE}
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 64 + n % 512
+                 ELSE 160 + (doc_id % 10) * 16 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 64 + csum % 512
+                 ELSE 90 + (doc_id % 7) * 30 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN
+                   CASE WHEN doc_id % 2 = 0 THEN 24.0 ELSE 30.0 END
+                 WHEN doc_id % 3 = 1 THEN 25.0
+                 ELSE CASE WHEN n % 2 = 0 THEN 24.0 ELSE 30.0 END
+            END AS DOUBLE) AS fps,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + csum % 300
+                 ELSE 24 + doc_id % 240 END AS INT) AS n_frames,
+       CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi'
+                       ELSE 'fake-mp4' END AS format
+FROM b
+ORDER BY doc_id
+"""
+
+
+@golden("multimodal_video_probe", VIDEO_PROBE_ORACLE, tags=("multimodal", "video"))
+def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-header parsing end-to-end: a fixture UDF builds one
+    minimal MP4 (doc_id%3=0), AVI (doc_id%3=1), or raw-text (doc_id%3=2)
+    payload per document, and probe_videos recovers geometry / fps /
+    frame count by actually walking the ISO-BMFF boxes / RIFF chunks
+    (codecs.real_probe_video). The oracle predicts the metadata from the
+    SAME doc_id generators — ground truth, so a parser bug cannot be
+    masked by a twin bug in a SQL restatement. The text branch pins the
+    stub fallback dispatch in the same query. (The fixture builder is
+    test scaffolding; the operator under test is the probe.)"""
+    from mr_dice_spark.multimodal.codecs import encode_avi_stub, encode_mp4_stub
+
+    @F.pandas_udf("binary")
+    def fixture(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            if i % 3 == 2:
+                out.append((t or "").encode("utf-8"))
+                continue
+            w, h = 160 + (i % 10) * 16, 90 + (i % 7) * 30
+            nf = 24 + i % 240
+            if i % 3 == 0:
+                out.append(encode_mp4_stub(w, h, nf, 24.0 if i % 2 == 0 else 30.0))
+            else:
+                out.append(encode_avi_stub(w, h, nf, 25.0))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("doc_id", "text").alias("payload"))
+    return probe_videos(media, id_cols=["doc_id"]).orderBy("doc_id")
 
 
 AUDIO_STATS_ORACLE = f"""

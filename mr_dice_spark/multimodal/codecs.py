@@ -369,10 +369,277 @@ def fake_decode_video(payload: Optional[bytes]) -> Optional[dict]:
     }
 
 
+# top-level box types an ISO-BMFF (MP4/MOV) file can legally start with;
+# the gate keeps arbitrary text/garbage payloads on the stub path (bytes
+# 4..8 of random content almost never spell a box fourcc)
+_MP4_TOP_TYPES = {
+    b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"pdin",
+    b"moof", b"mfra", b"meta", b"uuid", b"styp", b"sidx",
+}
+# sanity ceiling for header-declared frame counts (a lying stsz must not
+# report a trillion frames into the int32 probe schema)
+MAX_FRAMES = 1 << 28
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the ISO-BMFF boxes laid
+    out in payload[start:end). Stops (rather than raising or looping) at
+    the first truncated or lying size field — a box claiming to extend
+    past the available bytes ends the walk, so adversarial headers can
+    only hide boxes, never fabricate reads."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        fourcc = payload[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize follows the fourcc
+            if i + 16 > end:
+                return
+            size = int.from_bytes(payload[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield fourcc, i + hdr, i + size
+        i += size
+
+
+def _mp4_find(payload: bytes, start: int, end: int, fourcc: bytes):
+    for t, bs, be in _mp4_boxes(payload, start, end):
+        if t == fourcc:
+            return bs, be
+    return None
+
+
+def _parse_trak(payload: bytes, start: int, end: int) -> Optional[dict]:
+    """One trak box -> {width, height, n_frames, ts, dur, is_video} or
+    None when the required sub-boxes are absent/truncated."""
+    tkhd = _mp4_find(payload, start, end, b"tkhd")
+    mdia = _mp4_find(payload, start, end, b"mdia")
+    if tkhd is None:
+        return None
+    bs, be = tkhd
+    if be - bs < 84:  # v0 body is 84 bytes; v1 is 96 — both end in w/h
+        return None
+    # width/height are the LAST 8 bytes of the tkhd body in every version
+    # (16.16 fixed point)
+    w = int.from_bytes(payload[be - 8 : be - 4], "big") >> 16
+    h = int.from_bytes(payload[be - 4 : be], "big") >> 16
+    is_video, ts, dur, n_frames = False, None, None, None
+    if mdia is not None:
+        ms, me = mdia
+        hdlr = _mp4_find(payload, ms, me, b"hdlr")
+        if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
+            is_video = payload[hdlr[0] + 8 : hdlr[0] + 12] == b"vide"
+        mdhd = _mp4_find(payload, ms, me, b"mdhd")
+        if mdhd is not None and mdhd[1] - mdhd[0] >= 20:
+            v = payload[mdhd[0]]
+            if v == 1 and mdhd[1] - mdhd[0] >= 32:
+                ts = int.from_bytes(payload[mdhd[0] + 20 : mdhd[0] + 24], "big")
+                dur = int.from_bytes(payload[mdhd[0] + 24 : mdhd[0] + 32], "big")
+            elif v == 0:
+                ts = int.from_bytes(payload[mdhd[0] + 12 : mdhd[0] + 16], "big")
+                dur = int.from_bytes(payload[mdhd[0] + 16 : mdhd[0] + 20], "big")
+        minf = _mp4_find(payload, ms, me, b"minf")
+        stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+        if stbl:
+            stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
+            if stsz is not None and stsz[1] - stsz[0] >= 12:
+                n_frames = int.from_bytes(payload[stsz[0] + 8 : stsz[0] + 12], "big")
+            elif (stts := _mp4_find(payload, stbl[0], stbl[1], b"stts")) is not None:
+                sb, se = stts
+                if se - sb >= 8:
+                    n_entries = int.from_bytes(payload[sb + 4 : sb + 8], "big")
+                    total, off = 0, sb + 8
+                    for _ in range(min(n_entries, (se - off) // 8)):
+                        total += int.from_bytes(payload[off : off + 4], "big")
+                        off += 8
+                    n_frames = total
+    return {
+        "width": w, "height": h, "is_video": is_video,
+        "ts": ts, "dur": dur, "n_frames": n_frames,
+    }
+
+
+def _probe_mp4(payload: bytes) -> Optional[dict]:
+    end = len(payload)
+    if end < 16 or payload[4:8] not in _MP4_TOP_TYPES:
+        return None
+    moov = _mp4_find(payload, 0, end, b"moov")
+    if moov is None:
+        return None
+    movie_ts = movie_dur = None
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is not None and mvhd[1] - mvhd[0] >= 20:
+        v = payload[mvhd[0]]
+        if v == 1 and mvhd[1] - mvhd[0] >= 32:
+            movie_ts = int.from_bytes(payload[mvhd[0] + 20 : mvhd[0] + 24], "big")
+            movie_dur = int.from_bytes(payload[mvhd[0] + 24 : mvhd[0] + 32], "big")
+        elif v == 0:
+            movie_ts = int.from_bytes(payload[mvhd[0] + 12 : mvhd[0] + 16], "big")
+            movie_dur = int.from_bytes(payload[mvhd[0] + 16 : mvhd[0] + 20], "big")
+    best = None
+    for t, bs, be in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        trak = _parse_trak(payload, bs, be)
+        if trak is None:
+            continue
+        # prefer the explicit video-handler track; otherwise any track
+        # with real geometry (audio tracks have 0x0 tkhd dimensions)
+        if best is None or (trak["is_video"] and not best["is_video"]):
+            best = trak
+        if best["is_video"]:
+            break
+    if best is None:
+        return None
+    w, h = best["width"], best["height"]
+    if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+        return None  # corrupt/adversarial geometry: stub path
+    n_frames = best["n_frames"]
+    if n_frames is None or not 0 <= n_frames <= MAX_FRAMES:
+        return None
+    fps = 0.0
+    if best["ts"] and best["dur"]:
+        fps = n_frames * best["ts"] / best["dur"]
+    elif movie_ts and movie_dur:
+        fps = n_frames * movie_ts / movie_dur
+    if not 0.0 <= fps <= 1e5:
+        return None
+    return {"width": w, "height": h, "fps": fps, "n_frames": n_frames, "format": "mp4"}
+
+
+def _probe_avi(payload: bytes) -> Optional[dict]:
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    # RIFF chunk walk: [fourcc][size-le][body]; LIST bodies start with a
+    # list type then nest sub-chunks. The main header lives at
+    # LIST/hdrl -> avih (56-byte body).
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if i + 8 + size > len(payload):
+            return None  # truncated/lying chunk size
+        if cid == b"LIST" and size >= 4 and payload[i + 8 : i + 12] == b"hdrl":
+            j, jend = i + 12, i + 8 + size
+            while j + 8 <= jend:
+                sub = payload[j : j + 4]
+                ssize = struct.unpack("<I", payload[j + 4 : j + 8])[0]
+                if j + 8 + ssize > jend:
+                    return None
+                if sub == b"avih" and ssize >= 40:
+                    us_per_frame, = struct.unpack("<I", payload[j + 8 : j + 12])
+                    total_frames, = struct.unpack("<I", payload[j + 24 : j + 28])
+                    w, h = struct.unpack("<II", payload[j + 40 : j + 48])
+                    if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+                        return None
+                    if total_frames > MAX_FRAMES:
+                        return None
+                    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+                    if not 0.0 <= fps <= 1e5:
+                        return None
+                    return {
+                        "width": w, "height": h, "fps": fps,
+                        "n_frames": total_frames, "format": "avi",
+                    }
+                j += 8 + ssize + (ssize % 2)
+            return None
+        i += 8 + size + (size % 2)
+    return None
+
+
+def real_probe_video(payload: bytes) -> Optional[dict]:
+    """REAL video container probe for MP4/MOV (ISO-BMFF box walk: moov ->
+    trak geometry from tkhd, frame count from stsz/stts, fps from the
+    mdhd timescale) and AVI (RIFF hdrl/avih) — stdlib only, exactly like
+    the BMP/PNG/JPEG image probes. Returns None for other payloads
+    (caller falls back to the stub). Frame PIXEL decode still needs a
+    codec library — see real_decode_video."""
+    mp4 = _probe_mp4(payload)
+    if mp4 is not None:
+        return mp4
+    return _probe_avi(payload)
+
+
+def decode_video(payload: Optional[bytes]) -> Optional[dict]:
+    """MP4/AVI headers parse for REAL; anything else keeps the
+    deterministic stub so the pipeline stays total."""
+    if payload is None:
+        return None
+    try:
+        real = real_probe_video(payload)
+    except Exception:
+        real = None  # malformed container: stub keeps the pipeline total
+    return real if real is not None else fake_decode_video(payload)
+
+
+def encode_mp4_stub(width: int, height: int, n_frames: int, fps: float) -> bytes:
+    """Minimal valid MP4 header (ftyp + moov with one video trak; no
+    mdat) — the deterministic fixture generator for the real probe's
+    tests and goldens, sibling of encode_bmp. The mdhd timescale/duration
+    pair is built so the probe recovers ``fps`` exactly:
+    timescale = fps * 1000, duration = n_frames * 1000."""
+    import struct
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    u32 = lambda v: min(max(int(v), 0), 0xFFFFFFFF)  # noqa: E731 — v0 fields
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 1000, u32(n_frames * 1000 // max(1, int(fps))) if fps else 0)
+        + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(72) + struct.pack(">II", u32(width << 16), u32(height << 16)),
+    )
+    mdhd = box(
+        b"mdhd",
+        bytes(4)
+        + struct.pack(">IIII", 0, 0, u32(fps * 1000), u32(n_frames * 1000))
+        + bytes(4),
+    )
+    hdlr = box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00")
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def encode_avi_stub(width: int, height: int, n_frames: int, fps: float) -> bytes:
+    """Minimal valid AVI header (RIFF/AVI LIST hdrl with avih; no movi).
+    us_per_frame = 1e6 / fps, so the probe recovers fps exactly for
+    divisors of 1e6 (24/25/40 µs frames etc.)."""
+    import struct
+
+    us_per_frame = int(round(1e6 / fps)) if fps else 0
+    avih_body = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl_body = b"hdrl" + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
 def real_decode_video(payload):  # pragma: no cover
-    """Real video decode requires PyAV/ffmpeg — not available here."""
+    """Real frame PIXEL decode requires PyAV/ffmpeg — not available here.
+    Container METADATA (geometry, fps, frame count) parses for real via
+    real_probe_video above."""
     raise NotImplementedError(
-        "video decode needs PyAV/ffmpeg; wire it in here and ops.py is unchanged"
+        "video frame decode needs PyAV/ffmpeg; wire it in here and ops.py "
+        "is unchanged (real_probe_video already parses container headers)"
     )
 
 

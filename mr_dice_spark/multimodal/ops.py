@@ -87,7 +87,14 @@ def probe_images(df: DataFrame, payload_col: str = "payload", id_cols: Optional[
 
 
 def probe_videos(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:
-    return _probe(df, payload_col, id_cols or ["media_id"], codecs.fake_decode_video, _VID_META_FIELDS)
+    """Decode video container headers -> typed metadata (drops payload).
+
+    MP4/MOV (ISO-BMFF box walk) and AVI (RIFF avih) headers are parsed
+    for REAL (stdlib struct — codecs.real_probe_video); other payloads
+    fall back to the deterministic stub so the pipeline stays total.
+    Frame PIXEL decode still requires a codec library (extract_frames
+    documents the stub boundary)."""
+    return _probe(df, payload_col, id_cols or ["media_id"], codecs.decode_video, _VID_META_FIELDS)
 
 
 def probe_audio(df: DataFrame, payload_col: str = "payload", id_cols: Optional[list[str]] = None) -> DataFrame:

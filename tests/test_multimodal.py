@@ -56,8 +56,126 @@ def test_codec_stub_determinism():
 
 
 def test_real_video_codec_is_stubbed():
+    # frame PIXEL decode stays stubbed (needs PyAV/ffmpeg); container
+    # METADATA parses for real — see the real_probe_video tests below
     with pytest.raises(NotImplementedError):
         real_decode_video(b"anything")
+
+
+def test_real_probe_mp4_roundtrip():
+    from mr_dice_spark.multimodal.codecs import (
+        decode_video,
+        encode_mp4_stub,
+        real_probe_video,
+    )
+
+    p = encode_mp4_stub(width=640, height=360, n_frames=240, fps=24.0)
+    got = real_probe_video(p)
+    assert got == {
+        "width": 640, "height": 360, "fps": 24.0, "n_frames": 240,
+        "format": "mp4",
+    }
+    assert decode_video(p) == got  # dispatch takes the real path
+    # trailing mdat after moov does not confuse the walk
+    import struct
+
+    with_mdat = p + struct.pack(">I", 8 + 32) + b"mdat" + bytes(32)
+    assert real_probe_video(with_mdat) == got
+
+
+def test_real_probe_avi_roundtrip():
+    from mr_dice_spark.multimodal.codecs import decode_video, encode_avi_stub, real_probe_video
+
+    p = encode_avi_stub(width=320, height=240, n_frames=750, fps=25.0)
+    got = real_probe_video(p)
+    assert got == {
+        "width": 320, "height": 240, "fps": 25.0, "n_frames": 750,
+        "format": "avi",
+    }
+    assert decode_video(p) == got
+
+
+def test_real_probe_video_rejects_text_and_truncation():
+    from mr_dice_spark.multimodal.codecs import (
+        decode_video,
+        encode_avi_stub,
+        encode_mp4_stub,
+        fake_decode_video,
+        real_probe_video,
+    )
+
+    # arbitrary text: never claimed as a container; stub path is taken
+    text = b"the quick brown fox jumps over the lazy dog, repeatedly" * 3
+    assert real_probe_video(text) is None
+    assert decode_video(text) == fake_decode_video(text)
+    # truncated containers -> None (stub fallback), never a crash
+    mp4 = encode_mp4_stub(640, 360, 240, 24.0)
+    avi = encode_avi_stub(320, 240, 750, 25.0)
+    for cut in (4, 12, 40, len(mp4) // 2, len(mp4) - 5):
+        assert real_probe_video(mp4[:cut]) is None, cut
+    for cut in (4, 11, 20, len(avi) // 2):
+        assert real_probe_video(avi[:cut]) is None, cut
+
+
+def test_real_probe_video_adversarial_headers():
+    import struct
+
+    from mr_dice_spark.multimodal.codecs import (
+        MAX_DIM,
+        MAX_FRAMES,
+        encode_avi_stub,
+        encode_mp4_stub,
+        real_probe_video,
+    )
+
+    # lying box size: moov claims to extend past the payload -> walk stops
+    good = encode_mp4_stub(640, 360, 240, 24.0)
+    moov_at = good.index(b"moov") - 4
+    lying = bytearray(good)
+    lying[moov_at : moov_at + 4] = struct.pack(">I", len(good) * 10)
+    assert real_probe_video(bytes(lying)) is None
+    # tkhd claiming absurd geometry -> None (int32-safe stub path)
+    huge = encode_mp4_stub(MAX_DIM + 1, 360, 240, 24.0)
+    assert real_probe_video(huge) is None
+    # stsz claiming an absurd frame count -> None
+    bomb = encode_mp4_stub(640, 360, MAX_FRAMES + 1, 24.0)
+    assert real_probe_video(bomb) is None
+    # AVI with absurd dimensions -> None
+    assert real_probe_video(encode_avi_stub(MAX_DIM + 1, 240, 10, 25.0)) is None
+    # zero-size box loops are impossible: size=0 means to-end-of-scope,
+    # and a nested zero-size garbage box simply ends that scope's walk
+    weird = bytearray(good)
+    tkhd_at = good.index(b"tkhd") - 4
+    weird[tkhd_at : tkhd_at + 4] = struct.pack(">I", 0)
+    assert real_probe_video(bytes(weird)) is None  # tkhd swallows the trak
+
+
+def test_probe_videos_mixed_real_and_stub(spark):
+    from mr_dice_spark.multimodal.codecs import (
+        encode_avi_stub,
+        encode_mp4_stub,
+        fake_decode_video,
+    )
+    from mr_dice_spark.multimodal.ops import probe_videos
+
+    text = b"not a video at all"
+    df = spark.createDataFrame(
+        [
+            (1, encode_mp4_stub(640, 360, 240, 24.0)),
+            (2, encode_avi_stub(320, 240, 750, 25.0)),
+            (3, text),
+            (4, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in probe_videos(df).collect()}
+    assert rows[1] == {"media_id": 1, "width": 640, "height": 360,
+                       "fps": 24.0, "n_frames": 240, "format": "mp4"}
+    assert rows[2] == {"media_id": 2, "width": 320, "height": 240,
+                       "fps": 25.0, "n_frames": 750, "format": "avi"}
+    stub = fake_decode_video(text)
+    assert rows[3]["format"] == "fake-mp4" and rows[3]["width"] == stub["width"]
+    assert rows[4]["width"] is None
 
 
 def test_probe_images_schema_and_null(spark):
