@@ -243,3 +243,75 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, portable=True)
     return fingerprint_overlap_join(fps, "doc_id", min_shared=3).orderBy("id_a", "id_b")
+
+
+BOILERPLATE_SPANS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(s) - 7, 1)),
+           i -> CAST(('0x' || substring(md5(substr(s, CAST(i AS INT), 8)), 1, 15))
+                     AS BIGINT)) AS h
+  FROM t WHERE len(s) >= 8
+),
+m AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)])) AS mins,
+         list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           j -> j - 1 + list_position(h[CAST(j AS INT):CAST(j + 3 AS INT)],
+                                      list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS poss
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, mins[CAST(i AS INT)] AS f, poss[CAST(i AS INT)] AS p
+  FROM m, UNNEST(generate_series(1, len(mins))) AS u(i)
+),
+common AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
+iv AS (SELECT DISTINCT fp.doc_id, fp.p AS s, fp.p + 7 AS e FROM fp JOIN common USING (f)),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+),
+isl AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS gid
+  FROM fl
+)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(e) AS INT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_len
+FROM isl GROUP BY doc_id, gid
+ORDER BY doc_id, span_start
+"""
+
+
+@golden("winnowing_boilerplate_spans", BOILERPLATE_SPANS_ORACLE, tags=("text", "fingerprint", "spans"))
+def winnowing_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span extraction: character ranges covered
+    by fingerprints appearing in >= 2 documents, merged per document —
+    the boilerplate a curation pipeline cuts from otherwise-unique docs.
+    Linear shape (doc-frequency aggregate + interval merge, NO pair
+    join); the oracle restates position-carrying winnowing, the
+    doc-frequency filter, and the gaps-and-islands merge from scratch."""
+    from mr_dice_spark.operators.winnowing import boilerplate_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    out = boilerplate_spans(docs, "doc_id", "text", min_docs=2, k=8, window=4, portable=True)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_len").cast("int").alias("span_len"),
+    ).orderBy("doc_id", "span_start")

@@ -100,6 +100,142 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_fingerprint_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, fingerprint, pos) — winnowed fingerprints WITH the 1-based
+    character position (in the normalized text) of the selected gram, the
+    input span recovery needs. Per window the LEFTMOST minimum's position
+    is recorded (deterministic and identical to the oracle's
+    ``list_position``; classic winnowing breaks ties rightmost — the
+    fingerprint VALUES are unchanged, only which duplicate position is
+    reported differs). The same (fingerprint, pos) selected by several
+    overlapping windows is emitted once; the same fingerprint at DISTINCT
+    positions keeps one row per position (repeated boilerplate within a
+    single document must cover every occurrence)."""
+    if k <= 0 or window <= 0:
+        raise ValueError(f"k and window must be > 0, got k={k} window={window}")
+    s = F.col("__s")
+    n_grams = F.length(s) - (k - 1)
+
+    def gram_hash(i: Column) -> Column:
+        sub = s.substr(i, F.lit(k))
+        return portable_hash60(sub) if portable else F.xxhash64(sub)
+
+    grams = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.greatest(F.size("__g") - (window - 1), F.lit(1))
+
+    def win_min(j: Column) -> Column:
+        sl = F.slice(F.col("__g"), j, window)
+        mn = F.array_min(sl)
+        return F.struct(
+            mn.alias("fingerprint"),
+            (j - 1 + F.array_position(sl, mn)).cast("int").alias("pos"),
+        )
+
+    mins = F.when(
+        F.size("__g") > 0,
+        F.transform(F.sequence(F.lit(1), n_windows), win_min),
+    ).otherwise(F.array().cast("array<struct<fingerprint:bigint,pos:int>>"))
+    base = fan_out(
+        df.select(F.col(id_col).alias("__id"), _normalized(F.col(text_col)).alias("__s"))
+    )
+    return (
+        base.select("__id", grams.alias("__g"))
+        .select("__id", F.explode(F.array_distinct(mins)).alias("__fp"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__fp.fingerprint").alias("fingerprint"),
+            F.col("__fp.pos").alias("pos"),
+        )
+    )
+
+
+def merge_intervals(
+    iv: DataFrame, id_col: str, start_col: str = "s", end_col: str = "e"
+) -> DataFrame:
+    """Merge overlapping AND adjacent (gap == 0) closed integer intervals
+    per ``id_col`` — the gaps-and-islands pattern: one shuffle on the id,
+    two window passes (running max of end to flag island starts, running
+    sum to number islands), one hash aggregate. Returns
+    (id, span_start, span_end, span_len)."""
+    from pyspark.sql import Window
+
+    w_scan = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prev_max_e = F.max(end_col).over(
+        w_scan.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new",
+        # first interval of the id (NULL prev) and any interval starting
+        # past prev_max_e + 1 open a new island; start == prev_max_e + 1
+        # is ADJACENT text and merges
+        F.when(F.col(start_col) > F.coalesce(prev_max_e, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__gid", F.sum("__new").over(w_scan.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "__gid")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            (F.max(end_col) - F.min(start_col) + 1).alias("span_len"),
+        )
+        .drop("__gid")
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    k: int = 8,
+    window: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-document repeated-span extraction on top of winnowing: the
+    character ranges (in the NORMALIZED text, 1-based closed intervals)
+    covered by fingerprints appearing in >= ``min_docs`` distinct
+    documents, merged per document — the spans a training-data pipeline
+    cuts as boilerplate from otherwise-unique documents. Returns
+    (id, span_start, span_end, span_len).
+
+    Scale shape — deliberately NO pair join anywhere: fingerprint
+    doc-frequency is one hash aggregate on the fingerprint key, the
+    common-fingerprint filter is a key-partitioned join back (the common
+    set is small by construction — boilerplate is low-cardinality — but
+    correctness never depends on that), and the interval merge is one
+    shuffle on the doc id. Linear in corpus size where pairwise span
+    recovery would be quadratic in the duplicate family size."""
+    fps = winnowing_fingerprint_positions(df, id_col, text_col, k, window, portable)
+    common = (
+        fps.groupBy("fingerprint")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("fingerprint")
+    )
+    # no distinct needed: the positions frame is distinct on
+    # (id, fingerprint, pos) and the fingerprint is a FUNCTION of
+    # (id, pos) — the gram at pos hashes to exactly one value — so
+    # (id, pos) is already unique and a dedup here would only buy an
+    # extra full shuffle
+    covered = fps.join(common, "fingerprint").select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + (k - 1)).alias("e"),
+    )
+    return merge_intervals(covered, id_col, "s", "e")
+
+
 def fingerprint_overlap_join(
     fps: DataFrame, id_col: str, min_shared: int = 2, fp_col: str = "fingerprint"
 ) -> DataFrame:

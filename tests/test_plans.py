@@ -476,6 +476,29 @@ def test_jaccard_collapse_no_cartesian_and_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_boilerplate_spans_linear_plan(spark, sf_dir):
+    """boilerplate_spans must stay linear: no pair join anywhere (no
+    cartesian, no fingerprint self-join), the common-fingerprint side
+    broadcast into the probe, zero Python eval, and the shuffle budget
+    capped — doc-frequency agg, interval-merge window, plus fan_out's
+    small-input widening. A regression to pairwise span recovery would
+    blow the budget."""
+    from mr_dice_spark.operators.winnowing import boilerplate_spans
+    from mr_dice_spark.plans.inspect import broadcast_join_count
+
+    docs = Catalog(spark, sf_dir).documents
+    df = boilerplate_spans(docs, "doc_id", "text", min_docs=2, k=8, window=4)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert broadcast_join_count(df) == 1  # common fingerprints -> broadcast
+    assert "SortMergeJoin" not in plan
+    # 3 hash exchanges (fingerprint×doc distinct, fingerprint df-agg,
+    # doc_id windows) + 2 fan_out round-robins; no (id,s,e) distinct
+    # shuffle — (id, pos) is unique by construction
+    assert_max_shuffles(df, 5)
+
+
 def test_heavy_hitter_candidates_distributed(spark, sf_dir):
     """The pigeonhole candidate pass must aggregate per (partition, key)
     distributed-side; only the bounded qualifying key set is collected.

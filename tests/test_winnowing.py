@@ -72,3 +72,109 @@ def test_winnowing_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         winnowing_fingerprints(df, "doc_id", "text", k=0)
+
+
+# ---------------------------------------------------------------------------
+# position-carrying fingerprints + boilerplate span extraction
+# ---------------------------------------------------------------------------
+
+from mr_dice_spark.operators.winnowing import (  # noqa: E402
+    boilerplate_spans,
+    merge_intervals,
+    winnowing_fingerprint_positions,
+)
+
+
+def _model_pos(text, k=8, w=4):
+    """(fingerprint, pos) pairs: per window, the LEFTMOST minimum and its
+    1-based position in the normalized text."""
+    if text is None:
+        return set()
+    import re
+
+    s = re.sub(r"[ \t\n\r\f\x0b]+", " ", text.strip().lower())
+    grams = [_phash(s[i : i + k]) for i in range(len(s) - k + 1)]
+    if not grams:
+        return set()
+    nw = max(1, len(grams) - w + 1)
+    out = set()
+    for j in range(nw):
+        win = grams[j : j + w]
+        mn = min(win)
+        out.add((mn, j + 1 + win.index(mn)))
+    return out
+
+
+def test_fingerprint_positions_match_model(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    out = winnowing_fingerprint_positions(df, "doc_id", "text", k=8, window=4, portable=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add((r["fingerprint"], r["pos"]))
+    for i, t in enumerate(TEXTS):
+        assert got.get(i, set()) == _model_pos(t), f"doc {i}"
+
+
+def test_merge_intervals_overlap_adjacent_and_gap(spark):
+    iv = spark.createDataFrame(
+        [
+            (1, 1, 5), (1, 4, 8),     # overlap -> one span 1..8
+            (1, 9, 12),               # adjacent (gap 0) -> still merges
+            (1, 20, 25),              # real gap -> new span
+            (2, 3, 7),                # other id untouched
+        ],
+        "doc_id long, s int, e int",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in merge_intervals(iv, "doc_id", "s", "e").collect()
+    }
+    assert got == {(1, 1, 12, 12), (1, 20, 25, 6), (2, 3, 7, 5)}
+
+
+def test_boilerplate_spans_identical_docs_and_unique_docs(spark):
+    """Two identical docs: winnowing selects a fingerprint in every
+    window of 4 consecutive grams, so covered k=8 intervals chain into a
+    SINGLE span covering essentially the whole normalized doc (start <=
+    window, end >= n - window + 1 + k - 1 bound). A doc sharing nothing
+    emits no spans at all."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text.upper()), (3, "zzz qqq vvv unrelated interior www")],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_spans(df, "doc_id", "text", min_docs=2, k=8, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    n = len(text)  # already normalized (lowercase, single spaces)
+    for d in (1, 2):
+        assert len(by_doc[d]) == 1, by_doc
+        s, e = by_doc[d][0]
+        assert s <= 4 and e >= n - 3, (s, e, n)
+    assert 3 not in by_doc
+
+
+def test_boilerplate_spans_shared_block_localized(spark):
+    """A shared interior block in otherwise-unique docs produces spans
+    whose covered text actually contains shared grams: every span lies
+    within/around the planted block, not across the unique regions."""
+    shared = "common boilerplate navigation footer text"
+    a = "first document unique opening words here " + shared + " unique tail alpha"
+    b = "second doc other start " + shared + " different ending beta"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = boilerplate_spans(df, "doc_id", "text", min_docs=2, k=8, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert set(by_doc) == {1, 2}
+    for doc_id, text in ((1, a), (2, b)):
+        lo = text.index(shared) + 1  # 1-based normalized offset
+        hi = lo + len(shared) - 1
+        for s, e in by_doc[doc_id]:
+            # spans stay anchored to the planted block: they at least
+            # intersect it and never extend a full gram past its edges
+            assert s >= lo - 7 and e <= hi + 7, (doc_id, s, e, lo, hi)
+            assert s <= hi and e >= lo
