@@ -388,6 +388,70 @@ def cosine_topk_ivf_fixed_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("cosine"), "vec_id")
 
 
+SEMANTIC_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+uni AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(v, x -> x * 0.9) FROM base
+  WHERE vec_id % 5 = 0
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM uni ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT u.vec_id, u.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+             ORDER BY list_cosine_similarity(u.v, c.cv) DESC, c.cid) AS rn
+    FROM uni u CROSS JOIN c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(1e-9 + list_cosine_similarity(a.v, b.v), 6) >= 0.9
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,
+       (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+FROM assign a
+ORDER BY vec_id
+"""
+
+
+@golden("semantic_dedup_planted", SEMANTIC_DEDUP_ORACLE, tags=("similarity", "dedup", "semdedup"))
+def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end with a hash-checked
+    oracle: the fixture has no natural embedding near-dups (max pairwise
+    cosine 0.513), so every 5th vector gets a planted 0.9-scaled copy —
+    cosine exactly 1.0 and, because argmax assignment is scale-invariant,
+    guaranteed to land in the original's cluster. At threshold 0.9 the
+    operator must drop exactly the planted copies (min-id-wins) and keep
+    everything else; the oracle restates centroid pick, argmax
+    assignment, within-cluster pair compare, and the first-wins drop from
+    scratch. Doubles end-to-end on both engines so no float-cast
+    divergence can shift an assignment."""
+    from mr_dice_spark.operators.similarity import semantic_dedup
+
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
+    )
+    uni = emb.unionByName(copies)
+    out = semantic_dedup(
+        uni, "vec_id", "embedding", threshold=0.9, n_centroids=16, round_scores=6
+    )
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "kept"
+    ).orderBy("vec_id")
+
+
 TEXT_ORACLE = """
 SELECT doc_id, lang,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,

@@ -223,6 +223,67 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540 — public method): cluster the embeddings, compare
+    pairs only WITHIN a cluster, and drop every member whose cosine to a
+    lower-id member of its cluster reaches ``threshold`` (the repo's
+    deterministic first-wins rule, same as dedup_exact). Returns one row
+    per input id: (id, cluster, kept).
+
+    Scale shape: the cluster key bounds the candidate space — the
+    self-join shuffles once on ``cluster`` and never materializes a
+    cross-cluster pair, so total pair work is sum(|cluster|^2) instead of
+    N^2. With k-means centroids sized so clusters hold ~C items
+    (n_centroids ~ N/C) this is linear in N; the LSH-banded
+    :func:`embedding_near_dup` is the alternative when no good clustering
+    exists. Like SemDeDup itself, cross-cluster near-duplicates are
+    missed by design — the paper's (documented) recall trade for
+    linearity.
+
+    ``centroids`` defaults to ivf_assign's deterministic sampled init
+    (first n by id; fully SQL-restatable — what the golden's oracle
+    checks); pass :func:`kmeans_fit` output in production.
+    ``round_scores`` compares cosines on a rounded grid so an
+    exact-threshold boundary cannot split engines in oracle checks."""
+    assigned, _ = ivf_assign(df, id_col, vec_col, n_centroids, centroids)
+    slim = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col("__cluster"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cos = cosine(F.col("x.__v"), F.col("y.__v"))
+    if round_scores is not None:
+        cos = F.round(cos + F.lit(1e-9), round_scores)
+    dropped = (
+        slim.alias("x")
+        .join(
+            slim.alias("y"),
+            (F.col("x.__cluster") == F.col("y.__cluster"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .where(cos >= F.lit(threshold))
+        .select(F.col("y.__id").alias("__id"))
+        .distinct()
+    )
+    return (
+        slim.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cluster").alias("cluster"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN index
 # ---------------------------------------------------------------------------
@@ -234,6 +295,8 @@ def _argmax_cluster(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     positive per-row constant — argmax-invariant, so not computed).
     Unrolled struct-max over literal centroid arrays: stays in whole-stage
     codegen, no UDF, no shuffle."""
+    if len(centroids) == 1:  # greatest() needs >= 2 args
+        return F.lit(centroids[0][0])
     best = F.greatest(
         *[
             F.struct(

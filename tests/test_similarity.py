@@ -174,6 +174,61 @@ def test_pq_validates_input(emb):
         pq_train(emb, "vec_id", "embedding", m=7)
 
 
+def test_semantic_dedup_min_id_wins_within_cluster(spark):
+    """Two identical-direction vectors in one cluster: the higher id is
+    dropped; an unrelated orthogonal vector (its own cluster) survives;
+    a near-dup pair SPLIT across clusters is missed by design (SemDeDup's
+    documented recall trade)."""
+    from mr_dice_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.0, 0.0, 0.0]),   # scaled copy of 1 -> cosine 1.0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal, own cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroids = first 2 vectors (ids 1, 2 — same direction), so vec 3
+    # still lands on the nearest of those; all three share geometry
+    # decisions deterministically
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(df, "vec_id", "embedding",
+                                   threshold=0.95, n_centroids=2).collect()}
+    assert out[1][1] is True and out[2][1] is False   # min id wins
+    assert out[3][1] is True
+    assert out[1][0] == out[2][0]                     # same cluster
+
+    # transitive chain: 1~2, 2~3' but 1!~3' — first-wins drops BOTH 2 and
+    # the chained member (b dropped if ANY lower-id member is close)
+    chain = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.12]), (3, [1.0, 0.24])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(chain, "vec_id", "embedding",
+                                   threshold=0.99, n_centroids=1).collect()}
+    # cos(1,2)=0.9929>=0.99 drops 2; cos(1,3)=0.9724<0.99 but
+    # cos(2,3)=0.9982 — 3 is dropped via the surviving-or-not 2 (first-
+    # wins is NOT transitive-closure pruning; documented approximation)
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_threshold_boundary_keeps_distant_pairs(spark):
+    from mr_dice_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6])],  # cosine 0.8
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(df, "vec_id", "embedding",
+                                   threshold=0.81, n_centroids=1).collect()}
+    assert got == {1: True, 2: True}
+    got2 = {r["vec_id"]: r["kept"]
+            for r in semantic_dedup(df, "vec_id", "embedding",
+                                    threshold=0.80, n_centroids=1).collect()}
+    assert got2 == {1: True, 2: False}
+
+
 def test_embedding_near_dup_empty_input_keeps_id_type(spark):
     from mr_dice_spark.operators.similarity import embedding_near_dup
 
