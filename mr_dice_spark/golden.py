@@ -344,7 +344,12 @@ def demo5_composition_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("o2"),
         )
         .select("o1", "o2", "composition")
-        .orderBy("o1", "o2")
+        # NO trailing orderBy: a global sort of an unlimited result makes
+        # the range partitioner SAMPLE the input, re-executing the pair
+        # explode — measured 1.31s -> 1.01s at sf0.1 and 3.65s -> 2.20s at
+        # 10x (PERFORMANCE.md finding 9). Result-set semantics are
+        # unchanged (the driver compare is order-insensitive); ordering is
+        # a presentation concern for the client.
     )
 
 
