@@ -50,7 +50,14 @@ def get_spark(
         # let Catalog convert (Catalog also sets this at runtime for sessions
         # it didn't create)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB auto-broadcast threshold, NOT raised: the
+        # broadcast build is serial (driver collect + hash build, plus
+        # per-executor fan-out on a real cluster), and a measured 64 MB
+        # override made 10x-grown filtered join sides broadcast at 2-3x
+        # the cost of the parallel shuffle join (q03 2.40 s -> 1.01 s,
+        # q21 3.74 s -> 2.98 s at 10x just by reverting; PERFORMANCE.md
+        # finding 10). Operators that KNOW a side is bounded hint
+        # broadcast() explicitly, which ignores this threshold.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
