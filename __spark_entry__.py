@@ -22,82 +22,71 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Round 1 proved the demo/core-SQL prefix green, so this
-# round rotates the window: queries changed this round come first (their
-# fixes need the driver's hard signal), then the operators whose covering
-# goldens sat past the round-1 cap. Everything else stays oracle-checked
-# by tests/test_golden.py regardless of position.
+# in dict order. Rounds 1-2 drove 97 distinct goldens green; this round's
+# window closes the corpus: the 29 goldens that have never had a driver
+# CORRECTNESS row (TPC-H q03-q22 family, rollup/cube/grouping-sets,
+# set-ops, percentiles, pivot, PQ/IVF-PQ, HLL, chunking, winnowing
+# overlap), then every query added or changed this round, then join-heavy
+# round-2 rows re-verified because the session's broadcast threshold
+# change re-plans every join. Everything else stays oracle-checked by
+# tests/test_golden.py regardless of position.
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # changed or added this round — need driver re-verification
-    "events_sessionize",
-    "jaccard_similarity_join",
-    "heavy_hitters_cms_events",
-    "structure_near_dup_openlam",
-    "energy_above_hull_probe",
-    "repetition_stats_per_doc",
-    "unigram_lm_quality",
-    "q12_shipping_delay",
-    "pivot_event_counts",
-    "multimodal_audio_stats",
-    "resample_ffill_hourly",
-    # LLM-pipeline flagships past the round-1 cap
-    "tfidf_top_terms_per_doc",
-    "benchmark_decontamination",
-    "sequence_packing_spans",
-    "corpus_curation_pipeline",
-    "mixture_sample_by_lang",
-    "pii_redaction_probe",
-    "line_dedup_boilerplate",
-    "duplicate_span_ratio",
-    "cosine_topk_batch_queries",
-    # streaming trio (§2.10)
-    "streaming_hourly_window",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    # parametric builders + dialect/dim/scalar operators (S3-S5, P9-P19, F8, F15)
-    "param_mofdb_range_fetch",
-    "param_openlam_time_window",
-    "param_bohrium_fuzzy_page",
-    "spacegroup_dim_join",
-    "formation_energy_openlam",
-    # subquery / set-op / OLAP shapes past the cap
-    "exists_chain_big_spenders",
-    "union_all_sources_agg",
-    "correlated_above_type_avg",
-    "setop_intersect_custkeys",
-    # setop_except rotates to the suite (same set-op family as intersect,
-    # and set_except_lapsed_customers keeps the shape suite-checked)
-    "cube_status_priority",
-    # grouping-sets family stays covered by cube_status_priority in-window
-    # and grouping_sets_event_bands in the suite; winnowing (brief-listed
-    # rolling-hash fingerprinting) takes the slot
-    "winnowing_fingerprints_portable",
-    "percentile_value_by_type",
-    # pivot family stays covered in-window by pivot_event_counts; the
-    # composed crawl pipeline (url dedup -> quality -> domain quota)
-    # takes the slot
+    # --- the 29 never-driver-checked goldens (lifetime coverage -> 100%)
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q20_excess_shipments",
+    "q22_sales_opportunity",
+    "rollup_pricing_subtotals",
+    "cube_order_status_priority",
+    "grouping_sets_events",
+    "grouping_sets_event_bands",
+    "pivot_returnflag_status",
+    "percentiles_value_by_type",
+    "setop_except_custkeys",
+    "set_intersect_repeat_customers",
+    "set_except_lapsed_customers",
+    "approx_distinct_users_daily",
+    "cosine_topk_ivf_pq_approx",
+    "pq_topk_adc",
+    "document_chunking_windows",      # also changed: overlap tail fix
+    "winnowing_overlap_pairs",
+    # --- added this round
+    "multimodal_video_probe",         # real MP4/AVI header parsing
+    "winnowing_boilerplate_spans",    # cross-doc repeated-span extraction
+    "semantic_dedup_planted",         # SemDeDup cluster-partitioned dedup
+    # --- changed this round
+    "jaccard_similarity_join",        # session-scoped cache + sort drop
+    "heavy_hitters_cms_events",       # fused sketch+count scan
+    "demo5_composition_selfjoin",     # trailing sort dropped
+    "url_normalize_canonical",        # tracking-param default changed
+    "url_dedup_survivors",
     "crawl_curation_pipeline",
-    "scd2_user_event_history",
-    # window families past the cap
-    "window_running_totals",
-    "window_ranking_family",
-    "window_lag_lead_deltas",
-    # multimodal (§2.9)
-    "multimodal_image_probe",
-    "multimodal_frame_sample",
-    # hardest TPC-H shapes
+    "multimodal_frame_sample",        # video probe dispatch changed
+    # --- join-heavy round-2 rows re-verified under the reverted 10 MB
+    # broadcast threshold (every join re-plans; these are the hardest)
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q19_disjunctive_bands",
     "q21_waiting_supplier",
-    # round-2 additions: new operator families get the hard signal first;
-    # q13/q17 rotate to the suite (outer-join/correlated shapes remain
-    # covered in-window by q02/q11/q19/q21 and the demo corpus history)
-    "url_normalize_canonical",
-    "url_dedup_survivors",
-    "cosine_topk_ivf_fixed_oracle",
+    "exists_chain_big_spenders",
+    "correlated_above_type_avg",
+    "structure_near_dup_openlam",
+    "events_sessionize",
+    "scd2_user_event_history",
+    "streaming_hourly_window",
 ]
 
 
