@@ -49,6 +49,11 @@ def main() -> None:
             # manager matches canonicalized plans — without clearing, the
             # second run would read the first run's cache and under-measure
             spark.catalog.clearCache()
+            # localCheckpoint blocks (minhash's shingle materialization)
+            # are freed by the ContextCleaner only after a GC notices the
+            # dead RDD refs; nudge so queries later in the alphabet don't
+            # pay earlier queries' storage debt (same fix as scale_probe)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
