@@ -393,11 +393,12 @@ SEMANTIC_DEDUP_ORACLE = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+off AS (SELECT MAX(vec_id) + 1 AS o FROM base),
 uni AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 10000, list_transform(v, x -> x * 0.9) FROM base
-  WHERE vec_id % 5 = 0
+  SELECT vec_id + (SELECT o FROM off), list_transform(v, x -> x * 0.9)
+  FROM base WHERE vec_id % 5 = 0
 ),
 c AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -440,8 +441,12 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # copy-id offset = max(vec_id)+1, NOT a constant: a hardcoded offset
+    # would collide with real ids on a larger fixture and break the
+    # one-row-per-input contract (review finding, round 3)
+    offset = emb.agg(F.max("vec_id")).first()[0] + 1
     copies = emb.where(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(0.9)).alias("embedding"),
     )
     uni = emb.unionByName(copies)

@@ -486,9 +486,17 @@ def _probe_mp4(payload: bytes) -> Optional[dict]:
         trak = _parse_trak(payload, bs, be)
         if trak is None:
             continue
-        # prefer the explicit video-handler track; otherwise any track
-        # with real geometry (audio tracks have 0x0 tkhd dimensions)
-        if best is None or (trak["is_video"] and not best["is_video"]):
+        # prefer the explicit video-handler track; otherwise the first
+        # track with real geometry (audio tracks have 0x0 tkhd
+        # dimensions and must not shadow a later geometry-bearing track
+        # whose hdlr box is absent)
+        has_geom = trak["width"] > 0 and trak["height"] > 0
+        best_geom = best is not None and best["width"] > 0 and best["height"] > 0
+        if (
+            best is None
+            or (trak["is_video"] and not best["is_video"])
+            or (has_geom and not best_geom and not best["is_video"])
+        ):
             best = trak
         if best["is_video"]:
             break

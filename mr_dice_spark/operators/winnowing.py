@@ -48,6 +48,73 @@ def _normalized(text_col: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text_col), _WS, " "))
 
 
+def _winnowed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    window: int,
+    portable: bool,
+    with_pos: bool,
+) -> DataFrame:
+    """Shared winnowing scaffold: normalize → gram hashes → window minima
+    → distinct explode. ONE place owns the two plan-shape subtleties —
+    normalization in its own projection behind fan_out's exchange (the
+    CollapseProject barrier; embedded in the transform lambda the
+    whole-document regex would re-run once per gram, the O(n^2) trap of
+    PERFORMANCE.md finding 4), and the window-min slice arithmetic — so
+    the plan guard in tests/test_plans.py covers every variant.
+    ``with_pos=False`` emits (id, fingerprint); ``with_pos=True`` emits
+    (id, fingerprint, pos) with the LEFTMOST minimum's 1-based position
+    per window."""
+    if k <= 0 or window <= 0:
+        raise ValueError(f"k and window must be > 0, got k={k} window={window}")
+    s = F.col("__s")
+    n_grams = F.length(s) - (k - 1)
+
+    def gram_hash(i: Column) -> Column:
+        sub = s.substr(i, F.lit(k))
+        return portable_hash60(sub) if portable else F.xxhash64(sub)
+
+    grams = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.greatest(F.size("__g") - (window - 1), F.lit(1))
+
+    if with_pos:
+        def win_min(j: Column) -> Column:
+            sl = F.slice(F.col("__g"), j, window)
+            mn = F.array_min(sl)
+            return F.struct(
+                mn.alias("fingerprint"),
+                (j - 1 + F.array_position(sl, mn)).cast("int").alias("pos"),
+            )
+
+        empty_type = "array<struct<fingerprint:bigint,pos:int>>"
+    else:
+        def win_min(j: Column) -> Column:
+            return F.array_min(F.slice(F.col("__g"), j, window))
+
+        empty_type = "array<bigint>"
+    mins = F.when(
+        F.size("__g") > 0,
+        F.transform(F.sequence(F.lit(1), n_windows), win_min),
+    ).otherwise(F.array().cast(empty_type))
+    base = fan_out(
+        df.select(F.col(id_col).alias("__id"), _normalized(F.col(text_col)).alias("__s"))
+    )
+    exploded = base.select("__id", grams.alias("__g")).select(
+        "__id", F.explode(F.array_distinct(mins)).alias("__fp")
+    )
+    if with_pos:
+        return exploded.select(
+            F.col("__id").alias(id_col),
+            F.col("__fp.fingerprint").alias("fingerprint"),
+            F.col("__fp.pos").alias("pos"),
+        )
+    return exploded.select(F.col("__id").alias(id_col), F.col("__fp").alias("fingerprint"))
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -63,41 +130,7 @@ def winnowing_fingerprints(
     (the only window). Deterministic: equal texts (up to case/whitespace)
     produce identical fingerprint sets.
     """
-    if k <= 0 or window <= 0:
-        raise ValueError(f"k and window must be > 0, got k={k} window={window}")
-    # normalization gets its OWN projection: embedded in the transform
-    # lambda it would re-run the whole-document regex once per gram
-    # (transform lambdas re-evaluate captured expressions per element —
-    # the O(n^2) trap PERFORMANCE.md finding 4 documents for shingles)
-    s = F.col("__s")
-    n_grams = F.length(s) - (k - 1)
-
-    def gram_hash(i: Column) -> Column:
-        sub = s.substr(i, F.lit(k))
-        return portable_hash60(sub) if portable else F.xxhash64(sub)
-
-    grams = F.when(
-        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
-    ).otherwise(F.array().cast("array<bigint>"))
-    n_windows = F.greatest(F.size("__g") - (window - 1), F.lit(1))
-    mins = F.when(
-        F.size("__g") > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(F.col("__g"), j, window)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # fan_out's exchange doubles as the CollapseProject barrier (same as
-    # shingle_sets): without it the optimizer re-inlines __s into every
-    # per-gram lambda evaluation
-    base = fan_out(
-        df.select(F.col(id_col).alias("__id"), _normalized(F.col(text_col)).alias("__s"))
-    )
-    return (
-        base.select("__id", grams.alias("__g"))
-        .select("__id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
-        .select(F.col("__id").alias(id_col), "fingerprint")
-    )
+    return _winnowed(df, id_col, text_col, k, window, portable, with_pos=False)
 
 
 def winnowing_fingerprint_positions(
@@ -118,44 +151,7 @@ def winnowing_fingerprint_positions(
     overlapping windows is emitted once; the same fingerprint at DISTINCT
     positions keeps one row per position (repeated boilerplate within a
     single document must cover every occurrence)."""
-    if k <= 0 or window <= 0:
-        raise ValueError(f"k and window must be > 0, got k={k} window={window}")
-    s = F.col("__s")
-    n_grams = F.length(s) - (k - 1)
-
-    def gram_hash(i: Column) -> Column:
-        sub = s.substr(i, F.lit(k))
-        return portable_hash60(sub) if portable else F.xxhash64(sub)
-
-    grams = F.when(
-        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
-    ).otherwise(F.array().cast("array<bigint>"))
-    n_windows = F.greatest(F.size("__g") - (window - 1), F.lit(1))
-
-    def win_min(j: Column) -> Column:
-        sl = F.slice(F.col("__g"), j, window)
-        mn = F.array_min(sl)
-        return F.struct(
-            mn.alias("fingerprint"),
-            (j - 1 + F.array_position(sl, mn)).cast("int").alias("pos"),
-        )
-
-    mins = F.when(
-        F.size("__g") > 0,
-        F.transform(F.sequence(F.lit(1), n_windows), win_min),
-    ).otherwise(F.array().cast("array<struct<fingerprint:bigint,pos:int>>"))
-    base = fan_out(
-        df.select(F.col(id_col).alias("__id"), _normalized(F.col(text_col)).alias("__s"))
-    )
-    return (
-        base.select("__id", grams.alias("__g"))
-        .select("__id", F.explode(F.array_distinct(mins)).alias("__fp"))
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__fp.fingerprint").alias("fingerprint"),
-            F.col("__fp.pos").alias("pos"),
-        )
-    )
+    return _winnowed(df, id_col, text_col, k, window, portable, with_pos=True)
 
 
 def merge_intervals(

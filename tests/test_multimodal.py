@@ -150,6 +150,51 @@ def test_real_probe_video_adversarial_headers():
     assert real_probe_video(bytes(weird)) is None  # tkhd swallows the trak
 
 
+def test_real_probe_mp4_audio_track_first():
+    """An MP4 whose moov lists an audio trak first (0x0 tkhd geometry,
+    'soun' handler) followed by a video trak WITHOUT an hdlr box must
+    still report the geometry-bearing track — the fallback branch of the
+    track-selection heuristic (round-3 review finding)."""
+    import struct
+
+    from mr_dice_spark.multimodal.codecs import encode_mp4_stub, real_probe_video
+
+    def box(fourcc, body):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    good = encode_mp4_stub(640, 360, 240, 24.0)
+    # audio trak: zero geometry, explicit 'soun' handler
+    tkhd_a = box(b"tkhd", bytes(4) + bytes(72) + struct.pack(">II", 0, 0))
+    hdlr_a = box(b"hdlr", bytes(8) + b"soun" + bytes(12) + b"\x00")
+    mdia_a = box(b"mdia", hdlr_a)
+    trak_a = box(b"trak", tkhd_a + mdia_a)
+    # video trak stripped of its hdlr box: geometry + stsz + mdhd only
+    ftyp_end = 8 + struct.unpack(">I", good[0:4])[0] - 8  # ftyp box size
+    ftyp_len = struct.unpack(">I", good[0:4])[0]
+    moov = good[ftyp_len:]
+    moov_body = moov[8:]
+    # locate the original trak inside moov and drop its hdlr
+    trak_at = moov_body.index(b"trak") - 4
+    trak_len = struct.unpack(">I", moov_body[trak_at : trak_at + 4])[0]
+    trak_v = moov_body[trak_at : trak_at + trak_len]
+    h_at = trak_v.index(b"hdlr") - 4
+    h_len = struct.unpack(">I", trak_v[h_at : h_at + 4])[0]
+    trak_v_nohdlr = trak_v[:h_at] + trak_v[h_at + h_len :]
+    # shrink the trak and mdia size fields by the removed hdlr length
+    tv = bytearray(trak_v_nohdlr)
+    tv[0:4] = struct.pack(">I", trak_len - h_len)
+    m_at = trak_v.index(b"mdia") - 4
+    m_len = struct.unpack(">I", trak_v[m_at : m_at + 4])[0]
+    tv[m_at : m_at + 4] = struct.pack(">I", m_len - h_len)
+    mvhd_part = moov_body[:trak_at]
+    new_moov_body = mvhd_part + trak_a + bytes(tv)
+    payload = good[:ftyp_len] + box(b"moov", new_moov_body)
+    got = real_probe_video(payload)
+    assert got is not None and got["format"] == "mp4"
+    assert (got["width"], got["height"], got["n_frames"]) == (640, 360, 240)
+    assert got["fps"] == 24.0
+
+
 def test_probe_videos_mixed_real_and_stub(spark):
     from mr_dice_spark.multimodal.codecs import (
         encode_avi_stub,

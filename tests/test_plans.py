@@ -579,15 +579,21 @@ def test_winnowing_no_python_and_no_regex_in_lambda(spark, sf_dir):
     re-inlined into the gram lambda (the O(n^2)-per-doc regression the
     round-2 review caught — fan_out's exchange is the CollapseProject
     barrier)."""
-    from mr_dice_spark.operators.winnowing import winnowing_fingerprints
+    from mr_dice_spark.operators.winnowing import (
+        winnowing_fingerprint_positions,
+        winnowing_fingerprints,
+    )
 
     docs = Catalog(spark, sf_dir).documents
-    fps = winnowing_fingerprints(docs, "doc_id", "text", 8, 4)
-    phys = physical_plan(fps)
-    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
-    opt = fps._jdf.queryExecution().optimizedPlan().toString()
-    lam_lines = [ln for ln in opt.splitlines() if "lambdafunction" in ln]
-    assert lam_lines  # gram + window-min transforms present
-    # the lambdas must reference the MATERIALIZED __s/__g attributes, not
-    # an inlined regex over the raw text
-    assert all("regexp_replace" not in ln for ln in lam_lines), lam_lines
+    # both variants ride the same _winnowed scaffold; guard each anyway
+    # so a future de-sharing can't regress one silently
+    for builder in (winnowing_fingerprints, winnowing_fingerprint_positions):
+        fps = builder(docs, "doc_id", "text", 8, 4)
+        phys = physical_plan(fps)
+        assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+        opt = fps._jdf.queryExecution().optimizedPlan().toString()
+        lam_lines = [ln for ln in opt.splitlines() if "lambdafunction" in ln]
+        assert lam_lines  # gram + window-min transforms present
+        # the lambdas must reference the MATERIALIZED __s/__g attributes,
+        # not an inlined regex over the raw text
+        assert all("regexp_replace" not in ln for ln in lam_lines), (builder, lam_lines)
