@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     # --- added this round
     "multimodal_video_probe",         # real MP4/AVI header parsing
     "winnowing_boilerplate_spans",    # cross-doc repeated-span extraction
+    "boilerplate_removal_cleaned",    # detect -> cut chain (remove_spans)
     "semantic_dedup_planted",         # SemDeDup cluster-partitioned dedup
     # --- changed this round
     "jaccard_similarity_join",        # session-scoped cache + sort drop
@@ -86,7 +87,8 @@ _CHECK_FIRST = [
     "structure_near_dup_openlam",
     "events_sessionize",
     "scd2_user_event_history",
-    "streaming_hourly_window",
+    # streaming_hourly_window rotates to the suite: r2-green, windowed
+    # agg only (no joins), untouched by the broadcast-threshold change
 ]
 
 

@@ -297,6 +297,76 @@ ORDER BY doc_id, span_start
 """
 
 
+BOILERPLATE_REMOVAL_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(s) - 7, 1)),
+           i -> CAST(('0x' || substring(md5(substr(s, CAST(i AS INT), 8)), 1, 15))
+                     AS BIGINT)) AS h
+  FROM t WHERE len(s) >= 8
+),
+m AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)])) AS mins,
+         list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           j -> j - 1 + list_position(h[CAST(j AS INT):CAST(j + 3 AS INT)],
+                                      list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS poss
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, mins[CAST(i AS INT)] AS f, poss[CAST(i AS INT)] AS p
+  FROM m, UNNEST(generate_series(1, len(mins))) AS u(i)
+),
+common AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
+iv AS (SELECT DISTINCT fp.doc_id, fp.p AS s, fp.p + 7 AS e FROM fp JOIN common USING (f)),
+chars AS (
+  SELECT t.doc_id, u.i, substr(t.s, CAST(u.i AS INT), 1) AS ch
+  FROM t, UNNEST(generate_series(1, len(t.s))) AS u(i)
+),
+cov AS (
+  SELECT DISTINCT c.doc_id, c.i
+  FROM chars c JOIN iv ON c.doc_id = iv.doc_id AND c.i BETWEEN iv.s AND iv.e
+),
+kept AS (
+  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS text_clean
+  FROM chars c LEFT JOIN cov ON c.doc_id = cov.doc_id AND c.i = cov.i
+  WHERE cov.i IS NULL GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(k.text_clean, '') AS text_clean,
+       CAST(len(t.s) - len(COALESCE(k.text_clean, '')) AS INT) AS n_removed
+FROM t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@golden("boilerplate_removal_cleaned", BOILERPLATE_REMOVAL_ORACLE, tags=("text", "fingerprint", "spans", "pipeline"))
+def boilerplate_removal_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full detect-then-cut chain: boilerplate_spans finds the
+    cross-document repeated ranges, remove_spans stitches each document
+    back together without them (row-count preserving; docs with no
+    boilerplate keep their normalized text). The oracle recomputes the
+    spans from scratch AND strips them character-by-character (kept char
+    = not covered by any merged span) — a completely different stitch
+    algorithm, so a fold bug on the Spark side cannot be mirrored.
+    Note the merged-vs-unmerged difference is immaterial here: covering
+    is a union either way."""
+    from mr_dice_spark.operators.winnowing import boilerplate_spans, remove_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    spans = boilerplate_spans(docs, "doc_id", "text", min_docs=2, k=8, window=4, portable=True)
+    out = remove_spans(docs, "doc_id", "text", spans)
+    return out.orderBy("doc_id")
+
+
 @golden("winnowing_boilerplate_spans", BOILERPLATE_SPANS_ORACLE, tags=("text", "fingerprint", "spans"))
 def winnowing_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span extraction: character ranges covered

@@ -232,6 +232,66 @@ def boilerplate_spans(
     return merge_intervals(covered, id_col, "s", "e")
 
 
+def remove_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Cut the given 1-based closed character intervals (in the
+    NORMALIZED text — what :func:`boilerplate_spans` emits) out of each
+    document: (id, text_clean, n_removed). Rows with no spans keep their
+    full normalized text with n_removed = 0 — the cleaning pass is
+    row-count preserving.
+
+    Shape: spans collapse to one sorted array per doc (hash aggregate on
+    the id), join back to the documents (key-partitioned; at scale both
+    sides are id-hashed), and the stitch itself is ONE row-local
+    ``aggregate`` over the doc's spans — per-span work, not per-char, so
+    a doc with three boilerplate blocks does three substrings regardless
+    of length. Overlapping/adjacent input spans are legal (the fold
+    clamps the cursor), though boilerplate_spans already merges them."""
+    doc = df.select(
+        F.col(id_col).alias("__id"), _normalized(F.col(text_col)).alias("__s")
+    )
+    sp = spans.groupBy(F.col(id_col).alias("__id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e")))
+        ).alias("__spans")
+    )
+    joined = doc.join(sp, "__id", "left")
+    # fold state: (pos = next uncut 1-based offset, acc = kept text).
+    # For each span: keep [pos, span.s), jump pos to span.e + 1. greatest()
+    # clamps overlapping spans (span.s < pos) to a zero-length keep.
+    stitched = F.aggregate(
+        F.col("__spans"),
+        F.struct(F.lit(1).cast("int").alias("pos"), F.lit("").alias("acc")),
+        lambda st, sub: F.struct(
+            F.greatest(st.getField("pos"), (sub.getField("e") + 1).cast("int")).alias("pos"),
+            F.concat(
+                st.getField("acc"),
+                F.col("__s").substr(
+                    st.getField("pos"),
+                    F.greatest(
+                        sub.getField("s").cast("int") - st.getField("pos"), F.lit(0)
+                    ),
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st.getField("acc"), F.col("__s").substr(st.getField("pos"), F.length("__s"))
+        ),
+    )
+    clean = F.when(F.col("__spans").isNull(), F.col("__s")).otherwise(stitched)
+    return joined.select(
+        F.col("__id").alias(id_col),
+        clean.alias("text_clean"),
+        (F.length("__s") - F.length(clean)).cast("int").alias("n_removed"),
+    )
+
+
 def fingerprint_overlap_join(
     fps: DataFrame, id_col: str, min_shared: int = 2, fp_col: str = "fingerprint"
 ) -> DataFrame:

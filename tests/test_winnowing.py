@@ -157,6 +157,58 @@ def test_boilerplate_spans_identical_docs_and_unique_docs(spark):
     assert 3 not in by_doc
 
 
+def test_remove_spans_stitch_and_preserve(spark):
+    from mr_dice_spark.operators.winnowing import remove_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),         # cut [3,5] and [8,9] -> 'ab' + 'fg' + 'j'
+            (2, "KEEP   me  whole"),   # no spans: normalized text survives
+            (3, "0123456789"),         # overlapping spans clamp
+            (4, "xyz"),                # span covering everything -> empty
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 3, 5), (1, 8, 9),
+            (3, 2, 6), (3, 4, 8),     # overlap: union covers [2,8]
+            (4, 1, 3),
+        ],
+        "doc_id long, span_start int, span_end int",
+    )
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in remove_spans(docs, "doc_id", "text", spans).collect()}
+    assert got[1] == ("abfgj", 5)
+    assert got[2] == ("keep me whole", 0)   # normalized, untouched
+    assert got[3] == ("089", 7)  # kept: pos 1 ('0') and pos 9-10 ('89')
+    assert got[4] == ("", 3)
+    assert set(got) == {1, 2, 3, 4}          # row-count preserving
+
+
+def test_remove_spans_roundtrip_with_boilerplate_spans(spark):
+    """End-to-end detect -> cut: after removing boilerplate_spans'
+    output, re-running detection on the CLEANED text finds no cross-doc
+    fingerprints of the planted block (the shared text is gone)."""
+    from mr_dice_spark.operators.winnowing import boilerplate_spans, remove_spans
+
+    shared = "common navigation footer boilerplate block of text"
+    docs = spark.createDataFrame(
+        [
+            (1, "first unique document opening " + shared + " first tail"),
+            (2, "second very different start " + shared + " second ending"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = boilerplate_spans(docs, "doc_id", "text", min_docs=2, k=8, window=4)
+    cleaned = remove_spans(docs, "doc_id", "text", spans)
+    assert cleaned.count() == 2
+    again = boilerplate_spans(
+        cleaned, "doc_id", "text_clean", min_docs=2, k=8, window=4
+    ).collect()
+    assert again == []  # nothing shared survives the cut
+
+
 def test_boilerplate_spans_shared_block_localized(spark):
     """A shared interior block in otherwise-unique docs produces spans
     whose covered text actually contains shared grams: every span lies
