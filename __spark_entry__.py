@@ -76,6 +76,7 @@ _CHECK_FIRST = [
     "url_dedup_survivors",
     "crawl_curation_pipeline",
     "multimodal_frame_sample",        # video probe dispatch changed
+    "multimodal_sample_extraction",   # real stsz/stsc/stco mdat slicing
     # --- join-heavy round-2 rows re-verified under the reverted 10 MB
     # broadcast threshold (every join re-plans; these are the hardest)
     "q02_min_cost_supplier",
@@ -85,10 +86,10 @@ _CHECK_FIRST = [
     "exists_chain_big_spenders",
     "correlated_above_type_avg",
     "structure_near_dup_openlam",
-    "events_sessionize",
     "scd2_user_event_history",
-    # streaming_hourly_window rotates to the suite: r2-green, windowed
-    # agg only (no joins), untouched by the broadcast-threshold change
+    # events_sessionize + streaming_hourly_window rotate to the suite:
+    # both r2-green, window/agg-only plans (no joins), untouched by the
+    # broadcast-threshold change
 ]
 
 

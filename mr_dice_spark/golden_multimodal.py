@@ -148,6 +148,61 @@ def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_videos(media, id_cols=["doc_id"]).orderBy("doc_id")
 
 
+SAMPLE_EXTRACTION_ORACLE = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+p AS (
+  SELECT doc_id, text,
+         LEAST(64, GREATEST(1, CAST(CEIL(n / 32.0) AS INT))) AS nf
+  FROM t
+),
+probed AS (
+  SELECT doc_id, text, nf, CAST(CEIL(nf / 8.0) AS INT) AS stride FROM p
+),
+idxs AS (
+  SELECT doc_id, text, CAST(u.x AS INT) AS frame_idx
+  FROM probed, UNNEST(list_slice(range(0, nf, stride), 1, 8)) AS u(x)
+)
+SELECT doc_id, frame_idx,
+       upper(hex(substr(text, frame_idx * 32 + 1, 32))) AS frame_hex
+FROM idxs
+ORDER BY doc_id, frame_idx
+"""
+
+
+@golden("multimodal_sample_extraction", SAMPLE_EXTRACTION_ORACLE, tags=("multimodal", "video", "extract"))
+def multimodal_sample_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-level frame extraction end-to-end: the fixture UDF
+    packs each document's bytes into an MP4 as true 32-byte samples
+    (stsz/stsc/stco + mdat), probe_videos reads the stsz frame count,
+    sample_frames picks 8 strided indices, and extract_frames walks the
+    sample table and slices each sample's actual (offset, size) range
+    out of the mdat. The oracle recovers every extracted sample as a
+    substring of the source text (documents are ASCII, so char == byte)
+    — hex-compared, so a one-byte offset error anywhere in the
+    stsc/stco walk breaks the hash. Pixel DECODE of the extracted
+    samples remains the codec-library boundary."""
+    from mr_dice_spark.multimodal.codecs import encode_mp4_stub
+    from mr_dice_spark.multimodal.ops import extract_frames
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "").encode("utf-8")
+            pieces = [b[i : i + 32] for i in range(0, len(b), 32)][:64] or [b""]
+            out.append(encode_mp4_stub(320, 240, 0, 24.0, samples=pieces))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    probed = probe_videos(media, id_cols=["doc_id"])
+    sampled = sample_frames(probed, target=8, id_cols=["doc_id"])
+    frames = extract_frames(media, sampled, id_cols=["doc_id"])
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")
+
+
 AUDIO_STATS_ORACLE = f"""
 WITH {_BYTES_CTE},
 probed AS (

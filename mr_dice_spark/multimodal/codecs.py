@@ -585,18 +585,155 @@ def decode_video(payload: Optional[bytes]) -> Optional[dict]:
     return real if real is not None else fake_decode_video(payload)
 
 
-def encode_mp4_stub(width: int, height: int, n_frames: int, fps: float) -> bytes:
-    """Minimal valid MP4 header (ftyp + moov with one video trak; no
-    mdat) — the deterministic fixture generator for the real probe's
-    tests and goldens, sibling of encode_bmp. The mdhd timescale/duration
-    pair is built so the probe recovers ``fps`` exactly:
-    timescale = fps * 1000, duration = n_frames * 1000."""
+def _mp4_video_stbl(payload: bytes):
+    """Locate the geometry/video trak's stbl box; returns (body_start,
+    body_end) or None. Mirrors _probe_mp4's track selection."""
+    end = len(payload)
+    if end < 16 or payload[4:8] not in _MP4_TOP_TYPES:
+        return None
+    moov = _mp4_find(payload, 0, end, b"moov")
+    if moov is None:
+        return None
+    best = None
+    for t, bs, be in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        trak = _parse_trak(payload, bs, be)
+        if trak is None:
+            continue
+        has_geom = trak["width"] > 0 and trak["height"] > 0
+        if trak["is_video"] or (has_geom and best is None):
+            mdia = _mp4_find(payload, bs, be, b"mdia")
+            minf = mdia and _mp4_find(payload, mdia[0], mdia[1], b"minf")
+            stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+            if stbl:
+                best = stbl
+            if trak["is_video"]:
+                break
+    return best
+
+
+def mp4_sample_slices(payload: bytes) -> Optional[list]:
+    """REAL sample table for an MP4 payload: [(offset, size)] per sample,
+    from the video trak's stsz (sizes) + stco/co64 (chunk offsets) + stsc
+    (sample-to-chunk runs). Returns None when the payload is not an MP4
+    or the table is absent/corrupt; individual samples that fall outside
+    the payload (truncated download) are clamped out of the list's tail
+    rather than fabricating reads. This is CONTAINER-level extraction —
+    each slice is the encoded access unit; pixel decode still needs a
+    codec library."""
+    import struct
+
+    stbl = _mp4_video_stbl(payload)
+    if stbl is None:
+        return None
+    stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
+    stco = _mp4_find(payload, stbl[0], stbl[1], b"stco")
+    co64 = _mp4_find(payload, stbl[0], stbl[1], b"co64")
+    stsc = _mp4_find(payload, stbl[0], stbl[1], b"stsc")
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        return None
+    # stsz: fixed sample_size or per-sample table
+    sb, se = stsz
+    if se - sb < 12:
+        return None
+    fixed, count = struct.unpack(">II", payload[sb + 4 : sb + 12])
+    if count > MAX_FRAMES:
+        return None
+    if fixed == 0:
+        if se - sb < 12 + 4 * count:
+            return None
+        sizes = list(struct.unpack(f">{count}I", payload[sb + 12 : sb + 12 + 4 * count]))
+    else:
+        sizes = [fixed] * count
+    # chunk offsets
+    if stco is not None:
+        cb, ce = stco
+        if ce - cb < 8:
+            return None
+        (n_chunks,) = struct.unpack(">I", payload[cb + 4 : cb + 8])
+        if ce - cb < 8 + 4 * n_chunks:
+            return None
+        offsets = list(struct.unpack(f">{n_chunks}I", payload[cb + 8 : cb + 8 + 4 * n_chunks]))
+    else:
+        cb, ce = co64
+        if ce - cb < 8:
+            return None
+        (n_chunks,) = struct.unpack(">I", payload[cb + 4 : cb + 8])
+        if ce - cb < 8 + 8 * n_chunks:
+            return None
+        offsets = list(struct.unpack(f">{n_chunks}Q", payload[cb + 8 : cb + 8 + 8 * n_chunks]))
+    # stsc runs -> samples per chunk
+    xb, xe = stsc
+    if xe - xb < 8:
+        return None
+    (n_runs,) = struct.unpack(">I", payload[xb + 4 : xb + 8])
+    if xe - xb < 8 + 12 * n_runs:
+        return None
+    runs = [
+        struct.unpack(">III", payload[xb + 8 + 12 * i : xb + 20 + 12 * i])
+        for i in range(n_runs)
+    ]
+    if any(r[0] < 1 for r in runs) or [r[0] for r in runs] != sorted(r[0] for r in runs):
+        return None
+    out, si = [], 0
+    for ri, (first, per_chunk, _desc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+        for chunk in range(first, last + 1):
+            if chunk - 1 >= len(offsets) or si >= len(sizes):
+                break
+            off = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                out.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    # clamp truncated tails: never fabricate bytes past the payload
+    return [(o, s) for o, s in out if o + s <= len(payload)]
+
+
+def extract_mp4_sample(payload: bytes, idx: int) -> Optional[bytes]:
+    """Encoded bytes of sample ``idx`` (0-based) of an MP4 payload, or
+    None when the payload is not MP4 / the index is out of range."""
+    try:
+        slices = mp4_sample_slices(payload)
+    except Exception:
+        return None
+    if slices is None or not 0 <= idx < len(slices):
+        return None
+    off, size = slices[idx]
+    return payload[off : off + size]
+
+
+def encode_mp4_stub(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: float,
+    samples: Optional[list] = None,
+    samples_per_chunk: int = 4,
+) -> bytes:
+    """Minimal valid MP4 (ftyp + moov with one video trak) — the
+    deterministic fixture generator for the real probe's tests and
+    goldens, sibling of encode_bmp. The mdhd timescale/duration pair is
+    built so the probe recovers ``fps`` exactly: timescale = fps * 1000,
+    duration = n_frames * 1000.
+
+    With ``samples`` (a list of per-sample byte strings) the file gains a
+    REAL sample table — per-sample stsz sizes, stsc runs of
+    ``samples_per_chunk``, stco chunk offsets — and an mdat carrying the
+    bytes, so mp4_sample_slices/extract_mp4_sample round-trip true
+    container extraction. ``n_frames`` is forced to len(samples) in that
+    case (the probe reads stsz's count)."""
     import struct
 
     def box(fourcc: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + fourcc + body
 
     u32 = lambda v: min(max(int(v), 0), 0xFFFFFFFF)  # noqa: E731 — v0 fields
+    if samples is not None:
+        n_frames = len(samples)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mvhd = box(
         b"mvhd",
@@ -615,13 +752,45 @@ def encode_mp4_stub(width: int, height: int, n_frames: int, fps: float) -> bytes
         + bytes(4),
     )
     hdlr = box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00")
-    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
-    stbl = box(b"stbl", stsz)
-    minf = box(b"minf", stbl)
-    mdia = box(b"mdia", mdhd + hdlr + minf)
-    trak = box(b"trak", tkhd + mdia)
-    moov = box(b"moov", mvhd + trak)
-    return ftyp + moov
+
+    def build(chunk_offsets: list) -> bytes:
+        if samples is None:
+            stbl_body = box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
+        else:
+            stsz = box(
+                b"stsz",
+                bytes(4)
+                + struct.pack(">II", 0, len(samples))
+                + b"".join(struct.pack(">I", len(s)) for s in samples),
+            )
+            stsc = box(
+                b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, samples_per_chunk, 1)
+            )
+            stco = box(
+                b"stco",
+                bytes(4)
+                + struct.pack(">I", len(chunk_offsets))
+                + b"".join(struct.pack(">I", u32(o)) for o in chunk_offsets),
+            )
+            stbl_body = stsz + stsc + stco
+        stbl = box(b"stbl", stbl_body)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return ftyp + box(b"moov", mvhd + trak)
+
+    if samples is None:
+        return build([])
+    chunks = [samples[i : i + samples_per_chunk] for i in range(0, len(samples), samples_per_chunk)]
+    # two-pass: header size depends only on CHUNK COUNT, so build once
+    # with placeholder offsets, then fill the real ones (same length)
+    header_len = len(build([0] * len(chunks)))
+    offsets, pos = [], header_len + 8  # mdat header is 8 bytes
+    for ch in chunks:
+        offsets.append(pos)
+        pos += sum(len(s) for s in ch)
+    mdat_body = b"".join(samples)
+    return build(offsets) + box(b"mdat", mdat_body)
 
 
 def encode_avi_stub(width: int, height: int, n_frames: int, fps: float) -> bytes:

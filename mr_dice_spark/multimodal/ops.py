@@ -266,9 +266,15 @@ def extract_frames(
     take a key-shuffled join (or pre-bucket both tables on the id for a
     shuffle-free one). Either way the payload table is scanned ONCE, and
     each partition's mapInPandas call slices all of its videos' requested
-    frames in one Arrow batch. The stub "decoder" slices a deterministic
-    byte window per frame index; a real codec (PyAV) would decode-and-seek
-    in the same loop with nothing else changing.
+    frames in one Arrow batch.
+
+    frame_bytes semantics: for MP4 payloads with a sample table the slice
+    is the REAL encoded sample (access unit) — stsz/stsc/stco are walked
+    once per payload (codecs.mp4_sample_slices) and each requested index
+    slices its true (offset, size) range. Other payloads (and MP4s
+    without a sample table) keep the deterministic stub window. Decoding
+    the extracted sample to PIXELS still needs a codec library (PyAV) —
+    that swap happens in this loop with nothing upstream changing.
     """
     id_cols = id_cols or ["media_id"]
     frames = sampled.groupBy(*id_cols).agg(
@@ -289,15 +295,23 @@ def extract_frames(
             for _, r in pdf.iterrows():
                 payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
                 idxs = r["__idxs"] if r["__idxs"] is not None else []
+                try:  # sample table walked ONCE per payload, not per frame
+                    slices = codecs.mp4_sample_slices(payload)
+                except Exception:
+                    slices = None
                 for idx in idxs:
                     for c in rows:
                         if c == "frame_idx":
                             rows[c].append(int(idx))
                         elif c == "frame_bytes":
-                            # STUB frame decode: a 16-byte window at a
-                            # deterministic offset derived from the index
-                            off = (int(idx) * 16) % max(1, len(payload))
-                            rows[c].append(payload[off : off + 16])
+                            if slices is not None and 0 <= int(idx) < len(slices):
+                                off, size = slices[int(idx)]
+                                rows[c].append(payload[off : off + size])
+                            else:
+                                # STUB frame decode: a 16-byte window at a
+                                # deterministic offset derived from the index
+                                off = (int(idx) * 16) % max(1, len(payload))
+                                rows[c].append(payload[off : off + 16])
                         else:
                             rows[c].append(r[c])
             yield pd.DataFrame(rows)

@@ -195,6 +195,63 @@ def test_real_probe_mp4_audio_track_first():
     assert got["fps"] == 24.0
 
 
+def test_mp4_sample_extraction_roundtrip_and_bounds():
+    import struct
+
+    from mr_dice_spark.multimodal.codecs import (
+        encode_mp4_stub,
+        extract_mp4_sample,
+        mp4_sample_slices,
+        real_probe_video,
+    )
+
+    samples = [bytes([65 + i % 26]) * (3 + i % 9) for i in range(23)]
+    p = encode_mp4_stub(320, 240, 0, 24.0, samples=samples, samples_per_chunk=4)
+    # probe reads stsz's count, not the n_frames argument
+    assert real_probe_video(p)["n_frames"] == 23
+    sl = mp4_sample_slices(p)
+    assert len(sl) == 23
+    assert [extract_mp4_sample(p, i) for i in range(23)] == samples
+    # out-of-range and non-MP4 -> None
+    assert extract_mp4_sample(p, 23) is None
+    assert extract_mp4_sample(b"plain text", 0) is None
+    # truncated mdat: tail samples clamp out, never read past the payload
+    cut = p[: len(p) - 25]
+    sl2 = mp4_sample_slices(cut)
+    assert 0 < len(sl2) < 23
+    assert all(o + s <= len(cut) for o, s in sl2)
+    # corrupt stsc (non-ascending first_chunk) -> whole table rejected
+    bad = bytearray(p)
+    at = p.index(b"stsc") + 4 + 4  # body: ver/flags then entry_count
+    bad[at : at + 4] = struct.pack(">I", 2)  # claim 2 runs, body has 1
+    assert mp4_sample_slices(bytes(bad)) is None
+    # headerless stub file (no sample table) -> None, probe still works
+    plain = encode_mp4_stub(320, 240, 10, 24.0)
+    assert mp4_sample_slices(plain) is None
+    assert real_probe_video(plain)["n_frames"] == 10
+
+
+def test_extract_frames_real_mp4_samples(spark):
+    from mr_dice_spark.multimodal.codecs import encode_mp4_stub
+    from mr_dice_spark.multimodal.ops import extract_frames, probe_videos, sample_frames
+
+    samples = [f"sample-{i:02d}".encode() for i in range(12)]
+    df = spark.createDataFrame(
+        [(1, encode_mp4_stub(320, 240, 0, 24.0, samples=samples)),
+         (2, b"not a video; takes the stub window path")],
+        "media_id long, payload binary",
+    )
+    probed = probe_videos(df)
+    sampled = sample_frames(probed, target=4)
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+           for r in extract_frames(df, sampled).collect()}
+    # media 1: true encoded samples at the strided indices (stride 3)
+    for idx in (0, 3, 6, 9):
+        assert got[(1, idx)] == samples[idx]
+    # media 2: stub 16-byte window (no sample table)
+    assert all(len(v) <= 16 for (m, _), v in got.items() if m == 2)
+
+
 def test_probe_videos_mixed_real_and_stub(spark):
     from mr_dice_spark.multimodal.codecs import (
         encode_avi_stub,
