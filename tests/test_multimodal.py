@@ -231,6 +231,24 @@ def test_mp4_sample_extraction_roundtrip_and_bounds():
     assert real_probe_video(plain)["n_frames"] == 10
 
 
+def test_mp4_sample_slices_corruption_fuzz():
+    """Single-byte corruptions anywhere in a sampled MP4 must never make
+    the slicer raise or emit an out-of-bounds slice (deterministic sweep,
+    every 7th offset — full coverage is the adversarial test above)."""
+    from mr_dice_spark.multimodal.codecs import encode_mp4_stub, mp4_sample_slices
+
+    samples = [bytes([i]) * (4 + i % 5) for i in range(9)]
+    p = encode_mp4_stub(64, 64, 0, 24.0, samples=samples)
+    for off in range(0, len(p), 7):
+        for flip in (0x01, 0xFF):
+            mutated = bytearray(p)
+            mutated[off] ^= flip
+            mb = bytes(mutated)
+            sl = mp4_sample_slices(mb)  # must not raise
+            if sl is not None:
+                assert all(o >= 0 and s >= 0 and o + s <= len(mb) for o, s in sl), (off, flip)
+
+
 def test_extract_frames_real_mp4_samples(spark):
     from mr_dice_spark.multimodal.codecs import encode_mp4_stub
     from mr_dice_spark.multimodal.ops import extract_frames, probe_videos, sample_frames

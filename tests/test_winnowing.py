@@ -209,6 +209,40 @@ def test_remove_spans_roundtrip_with_boilerplate_spans(spark):
     assert again == []  # nothing shared survives the cut
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_span_st = st.lists(
+    st.tuples(st.integers(1, 30), st.integers(0, 9)).map(lambda t: (t[0], t[0] + t[1])),
+    max_size=6,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="abcdef ", min_size=0, max_size=40), _span_st)
+def test_remove_spans_matches_char_model(spark, text, spans):
+    """remove_spans (per-span fold stitch) vs a per-character Python
+    model (keep chars not covered by any span) — structurally different
+    algorithms, any off-by-one in the fold diverges."""
+    import re
+
+    from mr_dice_spark.operators.winnowing import remove_spans
+
+    norm = re.sub(r"[ \t\n\r\f\x0b]+", " ", text.strip().lower())
+    expect = "".join(
+        ch for i, ch in enumerate(norm, start=1)
+        if not any(s <= i <= e for s, e in spans)
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sp = spark.createDataFrame(
+        [(1, s, e) for s, e in spans] or [(2, 1, 1)],  # keep schema non-empty
+        "doc_id long, span_start int, span_end int",
+    )
+    row = remove_spans(docs, "doc_id", "text", sp).first()
+    assert row["text_clean"] == expect
+    assert row["n_removed"] == len(norm) - len(expect)
+
+
 def test_boilerplate_spans_shared_block_localized(spark):
     """A shared interior block in otherwise-unique docs produces spans
     whose covered text actually contains shared grams: every span lies
