@@ -838,6 +838,34 @@ WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
 ORDER BY event_id
 """
 
+SHUFFLE_SHARDS_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % 16 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS INT)
+         AS shard_rank
+FROM h
+ORDER BY doc_id
+"""
+
+
+@golden("shuffle_shards_training_order", SHUFFLE_SHARDS_ORACLE, tags=("sampling", "shards", "shuffle"))
+def shuffle_shards_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle into 16 shards: shard = portable
+    hash mod 16, shard_rank = hash order within the shard. The oracle
+    reproduces the EXACT permutation (not just shard counts) — hash
+    arithmetic, modulo, and tie-broken window rank all restated. The plan
+    is one hash shuffle + per-shard sort; no global sort anywhere."""
+    from mr_dice_spark.operators.sampling import shuffle_shards
+
+    docs = Catalog(spark, sf_dir).documents
+    out = shuffle_shards(docs, "doc_id", n_shards=16)
+    return out.select("doc_id", "shard", "shard_rank").orderBy("doc_id")
+
 
 @golden("deterministic_sample_events", SAMPLE_ORACLE, tags=("sampling", "pipeline"))
 def deterministic_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:

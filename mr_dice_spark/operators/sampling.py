@@ -35,6 +35,35 @@ def hash_bucket(key: Column, seed: str = "") -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic distributed shuffle into training shards: every row
+    gains (shard, shard_rank) where ``shard = hash(key) mod n_shards``
+    and ``shard_rank`` orders the shard by the same hash (key breaks
+    ties) — the pseudo-random global interleave a pretraining pipeline
+    wants before tokenization/packing, WITHOUT a global sort.
+
+    Scale shape: one hash shuffle on the shard key + a within-shard sort
+    — a row_number window per shard, so the worst task holds n/n_shards
+    rows (size n_shards so a shard fits a task; at 100 TB that is tens of
+    thousands of shards). A naive ``orderBy(hash)`` would range-sample
+    the input (PERFORMANCE.md finding 9) and funnel the final pass
+    through a single ordering; reading the output sorted by
+    (shard, shard_rank) yields the same deterministic permutation with
+    every stage parallel. The hash is the engine-portable md5 prefix, so
+    the permutation — not just the counts — is oracle-checkable."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    key = F.col(key_col)
+    h = hash_bucket(key, seed)
+    shard = (h % n_shards).cast("int")
+    w = Window.partitionBy(shard).orderBy(h, key)
+    return df.withColumn("shard", shard).withColumn(
+        "shard_rank", F.row_number().over(w)
+    )
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, seed: str = ""
 ) -> DataFrame:

@@ -89,6 +89,40 @@ def test_deterministic_sample_properties(spark, oracle_sf_dir):
     assert abs(overlap / total - 0.04) < 0.01  # ~= 0.2 * 0.2
 
 
+def test_shuffle_shards_deterministic_permutation(spark, oracle_sf_dir):
+    """shuffle_shards: partitioning-invariant permutation, complete
+    (shard, rank) keying, seed decorrelation, no global sort in the plan."""
+    import pytest as _pytest
+
+    from mr_dice_spark.operators.sampling import shuffle_shards
+
+    docs = Catalog(spark, oracle_sf_dir).documents
+    a = {r["doc_id"]: (r["shard"], r["shard_rank"])
+         for r in shuffle_shards(docs, "doc_id", 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_rank"])
+         for r in shuffle_shards(docs.repartition(13), "doc_id", 8).collect()}
+    assert a == b                         # input partitioning is irrelevant
+    assert len(a) == docs.count()         # row-count preserving
+    assert {s for s, _ in a.values()} <= set(range(8))
+    # ranks within each shard are exactly 1..|shard| (a permutation)
+    by_shard = {}
+    for s, r in a.values():
+        by_shard.setdefault(s, []).append(r)
+    for s, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s
+    # seed changes the permutation
+    c = {r["doc_id"]: (r["shard"], r["shard_rank"])
+         for r in shuffle_shards(docs, "doc_id", 8, seed="v2/").collect()}
+    assert c != a
+    # plan: window sort per shard, never a global Sort over all rows
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(shuffle_shards(docs, "doc_id", 8))
+    assert "Exchange rangepartitioning" not in plan
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, "doc_id", 0)
+
+
 def test_redact_pii(spark):
     from mr_dice_spark.functions.text import redact_pii
 
