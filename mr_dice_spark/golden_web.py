@@ -245,8 +245,13 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_overlap_join(fps, "doc_id", min_shared=3).orderBy("id_a", "id_b")
 
 
-BOILERPLATE_SPANS_ORACLE = r"""
-WITH t AS (
+# shared winnowing CTE prefix (normalize -> gram hashes -> window minima
+# with positions -> common fingerprints -> covered intervals `iv`) used by
+# BOTH span-family oracles, so a fix to the gram/normalization arithmetic
+# can never land in one and silently diverge the other (same pattern as
+# golden_multimodal's _BYTES_CTE)
+_WINNOW_IV_CTES = r"""
+t AS (
   SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
   FROM documents
 ),
@@ -274,7 +279,11 @@ fp AS (
   FROM m, UNNEST(generate_series(1, len(mins))) AS u(i)
 ),
 common AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
-iv AS (SELECT DISTINCT fp.doc_id, fp.p AS s, fp.p + 7 AS e FROM fp JOIN common USING (f)),
+iv AS (SELECT DISTINCT fp.doc_id, fp.p AS s, fp.p + 7 AS e FROM fp JOIN common USING (f))
+"""
+
+BOILERPLATE_SPANS_ORACLE = f"""
+WITH {_WINNOW_IV_CTES},
 fl AS (
   SELECT doc_id, s, e,
          CASE WHEN s > COALESCE(MAX(e) OVER (
@@ -297,36 +306,8 @@ ORDER BY doc_id, span_start
 """
 
 
-BOILERPLATE_REMOVAL_ORACLE = r"""
-WITH t AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
-  FROM documents
-),
-g AS (
-  SELECT doc_id,
-         list_transform(
-           generate_series(1, GREATEST(len(s) - 7, 1)),
-           i -> CAST(('0x' || substring(md5(substr(s, CAST(i AS INT), 8)), 1, 15))
-                     AS BIGINT)) AS h
-  FROM t WHERE len(s) >= 8
-),
-m AS (
-  SELECT doc_id,
-         list_transform(
-           generate_series(1, GREATEST(len(h) - 3, 1)),
-           j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)])) AS mins,
-         list_transform(
-           generate_series(1, GREATEST(len(h) - 3, 1)),
-           j -> j - 1 + list_position(h[CAST(j AS INT):CAST(j + 3 AS INT)],
-                                      list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS poss
-  FROM g
-),
-fp AS (
-  SELECT DISTINCT doc_id, mins[CAST(i AS INT)] AS f, poss[CAST(i AS INT)] AS p
-  FROM m, UNNEST(generate_series(1, len(mins))) AS u(i)
-),
-common AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
-iv AS (SELECT DISTINCT fp.doc_id, fp.p AS s, fp.p + 7 AS e FROM fp JOIN common USING (f)),
+BOILERPLATE_REMOVAL_ORACLE = f"""
+WITH {_WINNOW_IV_CTES},
 chars AS (
   SELECT t.doc_id, u.i, substr(t.s, CAST(u.i AS INT), 1) AS ch
   FROM t, UNNEST(generate_series(1, len(t.s))) AS u(i)

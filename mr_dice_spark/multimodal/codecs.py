@@ -462,6 +462,36 @@ def _parse_trak(payload: bytes, start: int, end: int) -> Optional[dict]:
     }
 
 
+def _select_trak(payload: bytes, moov) -> Optional[tuple]:
+    """THE track-selection heuristic, shared by the probe and the sample
+    slicer so they can never disagree about which track a file's metadata
+    and samples come from: prefer the explicit video-handler ('vide')
+    trak; otherwise the first trak with real geometry (audio traks have
+    0x0 tkhd dimensions and must not shadow a later geometry-bearing
+    trak whose hdlr box is absent). Returns (parsed_trak_dict,
+    (body_start, body_end)) or None."""
+    best = bounds = None
+    for t, bs, be in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        trak = _parse_trak(payload, bs, be)
+        if trak is None:
+            continue
+        has_geom = trak["width"] > 0 and trak["height"] > 0
+        best_geom = best is not None and best["width"] > 0 and best["height"] > 0
+        if (
+            best is None
+            or (trak["is_video"] and not best["is_video"])
+            or (has_geom and not best_geom and not best["is_video"])
+        ):
+            best, bounds = trak, (bs, be)
+        if best["is_video"]:
+            break
+    if best is None:
+        return None
+    return best, bounds
+
+
 def _probe_mp4(payload: bytes) -> Optional[dict]:
     end = len(payload)
     if end < 16 or payload[4:8] not in _MP4_TOP_TYPES:
@@ -479,29 +509,10 @@ def _probe_mp4(payload: bytes) -> Optional[dict]:
         elif v == 0:
             movie_ts = int.from_bytes(payload[mvhd[0] + 12 : mvhd[0] + 16], "big")
             movie_dur = int.from_bytes(payload[mvhd[0] + 16 : mvhd[0] + 20], "big")
-    best = None
-    for t, bs, be in _mp4_boxes(payload, moov[0], moov[1]):
-        if t != b"trak":
-            continue
-        trak = _parse_trak(payload, bs, be)
-        if trak is None:
-            continue
-        # prefer the explicit video-handler track; otherwise the first
-        # track with real geometry (audio tracks have 0x0 tkhd
-        # dimensions and must not shadow a later geometry-bearing track
-        # whose hdlr box is absent)
-        has_geom = trak["width"] > 0 and trak["height"] > 0
-        best_geom = best is not None and best["width"] > 0 and best["height"] > 0
-        if (
-            best is None
-            or (trak["is_video"] and not best["is_video"])
-            or (has_geom and not best_geom and not best["is_video"])
-        ):
-            best = trak
-        if best["is_video"]:
-            break
-    if best is None:
+    selected = _select_trak(payload, moov)
+    if selected is None:
         return None
+    best, _bounds = selected
     w, h = best["width"], best["height"]
     if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
         return None  # corrupt/adversarial geometry: stub path
@@ -586,31 +597,24 @@ def decode_video(payload: Optional[bytes]) -> Optional[dict]:
 
 
 def _mp4_video_stbl(payload: bytes):
-    """Locate the geometry/video trak's stbl box; returns (body_start,
-    body_end) or None. Mirrors _probe_mp4's track selection."""
+    """stbl box of THE selected track (same _select_trak heuristic as
+    _probe_mp4, so slices always come from the track the probe counted);
+    returns (body_start, body_end) or None — including when the selected
+    track has no stbl, in which case the probe also failed and both
+    surfaces consistently take the stub path."""
     end = len(payload)
     if end < 16 or payload[4:8] not in _MP4_TOP_TYPES:
         return None
     moov = _mp4_find(payload, 0, end, b"moov")
     if moov is None:
         return None
-    best = None
-    for t, bs, be in _mp4_boxes(payload, moov[0], moov[1]):
-        if t != b"trak":
-            continue
-        trak = _parse_trak(payload, bs, be)
-        if trak is None:
-            continue
-        has_geom = trak["width"] > 0 and trak["height"] > 0
-        if trak["is_video"] or (has_geom and best is None):
-            mdia = _mp4_find(payload, bs, be, b"mdia")
-            minf = mdia and _mp4_find(payload, mdia[0], mdia[1], b"minf")
-            stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
-            if stbl:
-                best = stbl
-            if trak["is_video"]:
-                break
-    return best
+    selected = _select_trak(payload, moov)
+    if selected is None:
+        return None
+    _trak, (bs, be) = selected
+    mdia = _mp4_find(payload, bs, be, b"mdia")
+    minf = mdia and _mp4_find(payload, mdia[0], mdia[1], b"minf")
+    return minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
 
 
 def mp4_sample_slices(payload: bytes) -> Optional[list]:
@@ -641,10 +645,15 @@ def mp4_sample_slices(payload: bytes) -> Optional[list]:
     if count > MAX_FRAMES:
         return None
     if fixed == 0:
-        if se - sb < 12 + 4 * count:
+        if se - sb < 12 + 4 * count:  # bounds count by the box size
             return None
         sizes = list(struct.unpack(f">{count}I", payload[sb + 12 : sb + 12 + 4 * count]))
     else:
+        # total sample bytes cannot exceed the file: without this, a
+        # ~100-byte payload declaring fixed=1, count=2^28 would allocate
+        # gigabytes here and in the offset loop before any clamp runs
+        if fixed * count > len(payload):
+            return None
         sizes = [fixed] * count
     # chunk offsets
     if stco is not None:
@@ -689,8 +698,17 @@ def mp4_sample_slices(payload: bytes) -> Optional[list]:
                 out.append((off, sizes[si]))
                 off += sizes[si]
                 si += 1
-    # clamp truncated tails: never fabricate bytes past the payload
-    return [(o, s) for o, s in out if o + s <= len(payload)]
+    # truncate at the FIRST out-of-bounds slice rather than filtering:
+    # a filter would close mid-list gaps (e.g. out-of-file-order chunks
+    # with a truncated download) and silently serve sample k's bytes
+    # under index j != k; tail truncation preserves index alignment for
+    # every sample it does return
+    cut = len(out)
+    for i, (o, s) in enumerate(out):
+        if o + s > len(payload):
+            cut = i
+            break
+    return out[:cut]
 
 
 def extract_mp4_sample(payload: bytes, idx: int) -> Optional[bytes]:

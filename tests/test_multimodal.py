@@ -231,6 +231,84 @@ def test_mp4_sample_extraction_roundtrip_and_bounds():
     assert real_probe_video(plain)["n_frames"] == 10
 
 
+def test_mp4_sample_slices_adversarial_tables():
+    """Second-review regressions: (a) a tiny payload declaring a huge
+    fixed-size stsz must be rejected BEFORE allocating (total declared
+    sample bytes > file size); (b) out-of-file-order chunks with a
+    truncated download truncate at the FIRST out-of-bounds slice so no
+    later sample is served under the wrong index; (c) a video trak
+    without an stbl must not fall back to another trak's sample table —
+    probe and slicer take the stub path together."""
+    import struct
+    import time
+
+    from mr_dice_spark.multimodal.codecs import (
+        _probe_mp4,
+        encode_mp4_stub,
+        mp4_sample_slices,
+    )
+
+    def box(fourcc, body):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    good = encode_mp4_stub(64, 64, 0, 24.0, samples=[b"abcd"] * 3)
+    # (a) allocation bomb: fixed=1, count=2^27 in a ~300-byte file
+    bomb = bytearray(good)
+    at = good.index(b"stsz") + 4 + 4  # body: ver/flags | fixed | count
+    bomb[at : at + 8] = struct.pack(">II", 1, 1 << 27)
+    t0 = time.monotonic()
+    assert mp4_sample_slices(bytes(bomb)) is None
+    assert time.monotonic() - t0 < 0.5  # rejected, not allocated
+
+    # (b) out-of-order chunk offsets: chunk 1 points past a truncation
+    # cut, chunk 2 is still in-bounds -> EVERYTHING from the first OOB
+    # slice on is dropped (index alignment), not just the OOB ones
+    samples = [bytes([i]) * 4 for i in range(8)]
+    p = encode_mp4_stub(64, 64, 0, 24.0, samples=samples, samples_per_chunk=4)
+    sl = mp4_sample_slices(p)
+    reordered = bytearray(p)
+    at = p.index(b"stco") + 4 + 8  # body: ver/flags | count | offsets
+    o1, o2 = struct.unpack(">II", p[at : at + 8])
+    reordered[at : at + 8] = struct.pack(">II", o2, o1)  # swap chunk order
+    # relocate the mdat bytes to match the swapped offsets
+    ch1 = p[o1 : o1 + 16]
+    ch2 = p[o2 : o2 + 16]
+    reordered[o1 : o1 + 16] = ch2
+    reordered[o2 : o2 + 16] = ch1
+    full = bytes(reordered)
+    assert [full[o : o + s] for o, s in mp4_sample_slices(full)] == samples
+    # truncate just below chunk 1's (highest) offset: samples 0-3 are
+    # out of bounds while chunk 2 (samples 4-7, at the LOWER offset) is
+    # still fully present — everything must drop, never chunk 2's bytes
+    # relabeled as samples 0..3
+    assert mp4_sample_slices(full[:o2]) == []
+    # truncating INSIDE chunk 1 keeps only its in-bounds prefix, aligned
+    sl_prefix = mp4_sample_slices(full[: o2 + 8])
+    assert [full[o : o + s] for o, s in sl_prefix] == samples[:2]
+
+    # (c) explicit video trak WITHOUT an stbl, after a non-video trak
+    # that HAS one: selection must pick the video trak in both surfaces,
+    # so the probe fails (no frame count) AND the slicer returns None —
+    # never another trak's sample table under the video trak's identity
+    tkhd_v = box(b"tkhd", bytes(4) + bytes(72) + struct.pack(">II", 64 << 16, 64 << 16))
+    hdlr_v = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"\x00")
+    trak_v = box(b"trak", tkhd_v + box(b"mdia", hdlr_v))  # no minf/stbl
+    demoted = good.replace(b"vide", b"soun")  # trak A: geometry+stbl, non-video
+    ftyp_len = struct.unpack(">I", demoted[0:4])[0]
+    moov_len = struct.unpack(">I", demoted[ftyp_len : ftyp_len + 4])[0]
+    old_body = demoted[ftyp_len + 8 : ftyp_len + moov_len]
+    mixed = (
+        demoted[:ftyp_len]
+        + box(b"moov", old_body + trak_v)
+        + demoted[ftyp_len + moov_len :]
+    )
+    assert _probe_mp4(mixed) is None        # selected video trak: no frames
+    assert mp4_sample_slices(mixed) is None  # and no borrowed sample table
+    # sanity: without the video trak, the demoted geometry trak IS usable
+    assert _probe_mp4(demoted) is not None
+    assert mp4_sample_slices(demoted) is not None
+
+
 def test_mp4_sample_slices_corruption_fuzz():
     """Single-byte corruptions anywhere in a sampled MP4 must never make
     the slicer raise or emit an out-of-bounds slice (deterministic sweep,
