@@ -499,6 +499,22 @@ def test_boilerplate_spans_linear_plan(spark, sf_dir):
     assert_max_shuffles(df, 5)
 
 
+def test_semantic_dedup_cluster_keyed_plan(spark, sf_dir):
+    """semantic_dedup's pair compare must ride the cluster key: an
+    equi-join (never cartesian/BNLJ), centroid assignment fully
+    codegen'd (no Python eval), and pair work bounded by the cluster
+    partitioning rather than N^2."""
+    from mr_dice_spark.operators.similarity import semantic_dedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    df = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9, n_centroids=8)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the self-join's equi-key is the cluster column
+    assert "__cluster" in plan
+
+
 def test_heavy_hitter_candidates_distributed(spark, sf_dir):
     """The pigeonhole candidate pass must aggregate per (partition, key)
     distributed-side; only the bounded qualifying key set is collected.
