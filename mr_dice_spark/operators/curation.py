@@ -72,3 +72,53 @@ def curate_corpus(
         reason.alias("reason"),
         F.when(reason == "ok", F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
     )
+
+
+def quantile_length_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low: float = 0.05,
+    high: float = 0.95,
+    boundary_eps: float = 1e-6,
+) -> DataFrame:
+    """Adaptive length-outlier gate: keep documents whose whitespace token
+    count lies within the corpus's own exact [low, high] quantiles —
+    C4/Gopher-style outlier removal whose thresholds TRACK the corpus
+    instead of hardcoding magic numbers that rot as the mixture shifts.
+
+    Output: the input columns plus ``n_tokens``; rows outside the band are
+    dropped. Quantiles are exact linear-interpolated (``percentile``, the
+    same semantics as SQL ``quantile_cont``), so the gate is restatable in
+    ANSI SQL for oracle parity.
+
+    ``boundary_eps`` widens the band by a hair: the metric is
+    integer-valued but the interpolated bound is a double, and when the
+    bound lands EXACTLY on an integer a one-ulp cross-engine difference in
+    the interpolation arithmetic would flip every document sitting on the
+    boundary. Widening by 1e-6 (far below the integer grid, far above
+    double noise) makes the comparison decision identical everywhere.
+
+    Scale shape: one aggregate pass for the two bounds (a 1-row result,
+    broadcast back against the corpus — BroadcastNestedLoopJoin on a
+    scalar, never a CartesianProduct) plus one narrow filter pass; no
+    corpus-sized shuffle at any size.
+    """
+    if not 0.0 <= low <= high <= 1.0:
+        raise ValueError(f"need 0 <= low <= high <= 1, got {low}, {high}")
+    sized = df.withColumn(
+        "n_tokens",
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast("long"),
+    )
+    bounds = sized.agg(
+        F.percentile("n_tokens", F.lit(low)).alias("__lo"),
+        F.percentile("n_tokens", F.lit(high)).alias("__hi"),
+    )
+    return (
+        sized.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("n_tokens") >= F.col("__lo") - boundary_eps)
+            & (F.col("n_tokens") <= F.col("__hi") + boundary_eps)
+        )
+        .drop("__lo", "__hi")
+    )

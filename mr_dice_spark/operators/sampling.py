@@ -64,6 +64,59 @@ def shuffle_shards(
     )
 
 
+def split_thresholds(splits) -> list[tuple[str, int]]:
+    """Cumulative upper bucket bounds for :func:`split_assign`, exposed so
+    SQL oracles restate the EXACT integer thresholds the operator compares
+    against (recomputing ``int(cum * 2^32)`` elsewhere risks a one-ulp
+    drift in the float cumsum flipping a boundary key's split).
+
+    Fractions are normalized by their sum, so ``(9, 0.5, 0.5)`` works as
+    ratios; the last split's bound is pinned to the full bucket space so
+    float rounding can never leave keys unassigned."""
+    splits = list(splits)
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = float(sum(frac for _, frac in splits))
+    if total <= 0 or any(frac < 0 for _, frac in splits):
+        raise ValueError(f"split fractions must be >= 0 with a positive sum: {splits}")
+    names = [name for name, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac / total
+        out.append((name, int(cum * _BUCKETS)))
+    out.append((splits[-1][0], _BUCKETS))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gains ``split``,
+    a pure function of (key, seed) — the standard leakage-safe way to cut
+    a corpus, because membership survives repartitioning, incremental
+    re-runs, and engine changes (the hash is the portable md5 prefix), and
+    keying on a GROUP id (e.g. registered domain) keeps all of a group's
+    rows in one split so near-duplicates cannot straddle train/test.
+
+    Scale shape: a narrow per-row CASE over the hash — no shuffle, no
+    aggregate, pushdown-unaffected; the split column is a zero-cost
+    partition key for the downstream write."""
+    bounds = split_thresholds(splits)
+    h = hash_bucket(F.col(key_col), seed)
+    expr = None
+    for name, upper in bounds[:-1]:
+        expr = (F.when if expr is None else expr.when)(h < upper, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, seed: str = ""
 ) -> DataFrame:

@@ -658,3 +658,100 @@ def F_col_str(name):
     from pyspark.sql import functions as F
 
     return F.col(name).cast("string").alias("k")
+
+
+# ---------------------------------------------------------------------------
+# split_assign / split_thresholds
+# ---------------------------------------------------------------------------
+
+
+def test_split_thresholds_normalizes_and_pins_tail():
+    from mr_dice_spark.operators.sampling import _BUCKETS, split_thresholds
+
+    # ratios normalize: (9, 0.5, 0.5) == (0.9, 0.05, 0.05)
+    a = split_thresholds((("train", 9), ("val", 0.5), ("test", 0.5)))
+    b = split_thresholds((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    assert a == b
+    # last bound is the full space regardless of float rounding
+    assert a[-1] == ("test", _BUCKETS)
+    # monotone non-decreasing bounds
+    uppers = [u for _, u in a]
+    assert uppers == sorted(uppers)
+
+
+def test_split_thresholds_rejects_bad_specs():
+    from mr_dice_spark.operators.sampling import split_thresholds
+
+    for bad in ([], [("a", -1), ("b", 2)], [("a", 0), ("b", 0)], [("a", 1), ("a", 1)]):
+        with pytest.raises(ValueError):
+            split_thresholds(bad)
+
+
+def test_split_assign_partition_invariant_and_total(spark):
+    """Every key gets exactly one split; assignment is identical under a
+    different partitioning (the leakage-safety property); a single-split
+    spec degenerates to a constant with no when-chain."""
+    from mr_dice_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in split_assign(df, "k", seed="s").collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in split_assign(df.repartition(7, "k"), "k", seed="s").collect()
+    }
+    assert a == b and len(a) == 1000
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    # 98/1/1 default: the big split dominates, all three non-empty at n=1000
+    assert counts["train"] > 900
+    one = split_assign(df, "k", splits=(("all", 1.0),)).select("split").distinct()
+    assert [r["split"] for r in one.collect()] == ["all"]
+
+
+def test_split_assign_group_key_keeps_groups_together(spark):
+    """Keying the split on a group id puts every row of the group in the
+    same split — the near-dup-leakage defense the docstring promises."""
+    from mr_dice_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("row_id"), (F.col("id") % 30).alias("domain")
+    )
+    out = split_assign(df, "domain", seed="g").groupBy("domain").agg(
+        F.countDistinct("split").alias("n")
+    )
+    assert all(r["n"] == 1 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# quantile_length_filter
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_length_filter_bounds_and_nulls(spark):
+    from mr_dice_spark.operators.curation import quantile_length_filter
+
+    rows = [(i, "w " * n) for i, n in enumerate([1, 5, 5, 5, 5, 5, 5, 5, 5, 100])]
+    rows.append((10, None))  # NULL text -> 0 tokens, an outlier like the 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = quantile_length_filter(df, "doc_id", "text", low=0.10, high=0.90)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # counts sorted: [0,1,5,...,5,100]; p10 lands EXACTLY on 1 (index
+    # 0.1*10), p90 on 5 — so the 1-token doc survives via the boundary
+    # widening while the 0-token (NULL) and 100-token outliers drop
+    assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 8]
+    assert set(kept.columns) == {"doc_id", "text", "n_tokens"}
+    with pytest.raises(ValueError):
+        quantile_length_filter(df, "doc_id", "text", low=0.9, high=0.1)
+
+
+def test_quantile_length_filter_integer_boundary_kept(spark):
+    """A doc sitting EXACTLY on the interpolated bound survives (the
+    boundary_eps widening): with uniform counts the quantile equals the
+    count, so everything is on-boundary and nothing may drop."""
+    from mr_dice_spark.operators.curation import quantile_length_filter
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(20)], "doc_id long, text string"
+    )
+    assert quantile_length_filter(df, "doc_id", "text").count() == 20

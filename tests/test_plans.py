@@ -613,3 +613,48 @@ def test_winnowing_no_python_and_no_regex_in_lambda(spark, sf_dir):
         # the lambdas must reference the MATERIALIZED __s/__g attributes,
         # not an inlined regex over the raw text
         assert all("regexp_replace" not in ln for ln in lam_lines), (builder, lam_lines)
+
+
+def test_split_assign_is_shuffle_free_narrow_case(spark, sf_dir):
+    """split_assign is one CASE over a hash: no exchange, no aggregate,
+    no Python — the assignment must stay a narrow map stage."""
+    from mr_dice_spark.operators.sampling import split_assign
+
+    docs = Catalog(spark, sf_dir).documents
+    q = split_assign(docs, "doc_id").select("doc_id", "split")
+    assert shuffle_count(q) == 0
+    plan = physical_plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_filter_broadcasts_scalar_bounds(spark, sf_dir):
+    """quantile_length_filter: the 1-row bounds aggregate joins back as a
+    broadcast scalar (BroadcastNestedLoopJoin), never a CartesianProduct,
+    and the corpus side itself never shuffles (the only exchange feeds
+    the single-row global aggregate)."""
+    df = GOLDEN["length_outlier_filter"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_int8_quantize_map_only_no_python(spark, sf_dir):
+    """int8_quantize_stats is per-row array arithmetic: zero shuffles and
+    zero Python evals at any scale."""
+    from mr_dice_spark.operators.similarity import int8_quantize_stats
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = int8_quantize_stats(emb, "vec_id", "embedding")
+    assert shuffle_count(q) == 0
+    plan = physical_plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_truncate_rerank_both_stages_take_ordered(spark, sf_dir):
+    """Both ANN stages must be TakeOrderedAndProject (per-partition heads
+    merged on the driver-side of the exchange), never a global Sort of
+    the corpus."""
+    df = GOLDEN["cosine_topk_truncate_rerank"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "CartesianProduct" not in plan

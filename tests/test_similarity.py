@@ -257,3 +257,79 @@ def test_band_keys_rejects_indivisible_bands(spark):
 
     with _pytest.raises(ValueError, match="divisible"):
         band_keys([F.lit(1), F.lit(2), F.lit(3)], bands=2)
+
+
+def test_int8_quantize_stats_zero_vector_and_bounds(spark):
+    """Zero vectors report scale 0 / zero error; nonzero vectors have
+    max_abs_err <= scale/2 + rounding nudge (half-up code rounding can be
+    off by at most half a step) and the max-|x| element reconstructs
+    exactly (its code is exactly 127)."""
+    from mr_dice_spark.operators.similarity import int8_quantize_stats
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -0.5, 0.25]), (2, [-2.0, 2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in int8_quantize_stats(df).collect()}
+    assert rows[0]["scale"] == 0.0
+    assert rows[0]["max_abs_err"] == 0.0 and rows[0]["mse"] == 0.0
+    for i in (1, 2):
+        assert rows[i]["scale"] > 0
+        assert rows[i]["max_abs_err"] <= rows[i]["scale"] / 2 + 1e-6
+        assert rows[i]["mse"] <= rows[i]["max_abs_err"] ** 2 + 1e-9
+
+
+def test_truncate_rerank_matches_bruteforce_when_coarse_is_full(spark):
+    """With coarse_dims = full dim and coarse_k = corpus size the two-stage
+    operator degenerates to exact brute force — same ids, same order."""
+    import random
+
+    from mr_dice_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_truncate_rerank,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.gauss(0, 1) for _ in range(8)]
+    exact = [
+        r["vec_id"] for r in cosine_topk_bruteforce(df, "vec_id", "embedding", q, k=5).collect()
+    ]
+    two_stage = [
+        r["vec_id"]
+        for r in cosine_topk_truncate_rerank(
+            df, "vec_id", "embedding", q, k=5, coarse_dims=8, coarse_k=60
+        ).collect()
+    ]
+    assert two_stage == exact
+
+
+def test_truncate_rerank_recall_reasonable_and_validates(spark):
+    """Truncated coarse pass at half dims keeps good recall on smooth
+    gaussian data, and parameter validation rejects coarse_k < k."""
+    import random
+
+    import pytest as _pytest
+
+    from mr_dice_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_truncate_rerank,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.gauss(0, 1) for _ in range(16)]
+    exact = {
+        r["vec_id"] for r in cosine_topk_bruteforce(df, "vec_id", "embedding", q, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk_truncate_rerank(
+            df, "vec_id", "embedding", q, k=10, coarse_dims=8, coarse_k=50
+        ).collect()
+    }
+    assert len(exact & approx) >= 6  # >=60% recall at half dims, 25% cand pool
+    with _pytest.raises(ValueError):
+        cosine_topk_truncate_rerank(df, "vec_id", "embedding", q, k=10, coarse_k=5)
