@@ -116,15 +116,17 @@ s AS (
   FROM t
 ),
 e AS (
+  -- sc IS NULL (empty/NULL vector: list_max of nothing) folds into the
+  -- zero-error branch and a 0.0 scale, matching the operator's coalesce
   SELECT vec_id, sc,
-         CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+         CASE WHEN sc IS NULL OR sc = 0 THEN list_transform(v, x -> 0.0)
               ELSE list_transform(v, x -> abs(floor(x / sc + 0.5) * sc - x)) END
            AS errs,
          len(v) AS nd
   FROM s
 )
 SELECT vec_id,
-       ROUND(1e-9 + sc, 6) AS scale,
+       ROUND(1e-9 + COALESCE(sc, 0.0), 6) AS scale,
        ROUND(1e-9 + CASE WHEN nd = 0 THEN 0.0 ELSE list_max(errs) END, 6)
          AS max_abs_err,
        ROUND(1e-9 + CASE WHEN nd = 0 THEN 0.0

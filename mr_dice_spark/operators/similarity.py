@@ -813,6 +813,14 @@ def cosine_topk_truncate_rerank(
         raise ValueError(
             f"need coarse_dims > 0 and coarse_k >= k, got {coarse_dims}, {coarse_k}/{k}"
         )
+    # a query shorter than coarse_dims would zip_with NULL-padded slices
+    # and silently score every row NULL (k rows chosen by id tiebreak) —
+    # fail loudly instead; full-dim consistency with the corpus is the
+    # caller's contract as in the other ANN entry points
+    if len(query_vec) < coarse_dims:
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims, fewer than coarse_dims={coarse_dims}"
+        )
     q_full = F.array(*[F.lit(float(x)) for x in query_vec])
     q_coarse = F.array(*[F.lit(float(x)) for x in query_vec[:coarse_dims]])
     v = F.col(vec_col).cast("array<double>")

@@ -333,3 +333,48 @@ def test_truncate_rerank_recall_reasonable_and_validates(spark):
     assert len(exact & approx) >= 6  # >=60% recall at half dims, 25% cand pool
     with _pytest.raises(ValueError):
         cosine_topk_truncate_rerank(df, "vec_id", "embedding", q, k=10, coarse_k=5)
+
+
+def test_int8_quantize_oracle_parity_on_degenerate_vectors(spark):
+    """The golden's SQL oracle and the operator must agree on empty and
+    zero vectors too (review finding: the oracle used to propagate a NULL
+    scale where the operator coalesces to 0.0 — latent until a fixture
+    regeneration introduces a degenerate row)."""
+    import duckdb
+
+    from mr_dice_spark.golden_training import INT8_ORACLE
+    from mr_dice_spark.operators.similarity import int8_quantize_stats
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+            "(0, CAST([] AS FLOAT[]), 0), "
+            "(1, CAST([0.0, 0.0] AS FLOAT[]), 0), "
+            "(2, CAST([1.0, -0.5] AS FLOAT[]), 0)) t(vec_id, embedding, label)"
+        )
+        oracle_rows = [tuple(r) for r in con.sql(INT8_ORACLE).fetchall()]
+    finally:
+        con.close()
+    df = spark.createDataFrame(
+        [(0, []), (1, [0.0, 0.0]), (2, [1.0, -0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    spark_rows = [
+        tuple(r) for r in int8_quantize_stats(df).orderBy("vec_id").collect()
+    ]
+    assert spark_rows == oracle_rows
+
+
+def test_truncate_rerank_rejects_short_query(spark):
+    """A query vector shorter than coarse_dims must raise, not silently
+    NULL-score every row (review finding)."""
+    import pytest as _pytest
+
+    from mr_dice_spark.operators.similarity import cosine_topk_truncate_rerank
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="fewer than coarse_dims"):
+        cosine_topk_truncate_rerank(df, "vec_id", "embedding", [1.0] * 8, coarse_dims=16)
