@@ -9,7 +9,7 @@ operator shows ~Nx wall clock (linear in input) — anything superlinear is a
 hazard (quadratic candidate growth, driver-side materialization, a global
 sort) and gets investigated.
 
-Run: python tools/scale_probe.py [N]           (default N=10)
+Run: python tools/scale_probe.py [N] [probe ...]   (default N=10, all PROBES)
 """
 
 from __future__ import annotations
@@ -56,6 +56,11 @@ PROBES = [
     "scd2_user_event_history",
     "resample_ffill_hourly",
     "demo5_composition_selfjoin",
+    # round-3 training-data operators
+    "train_split_assign",
+    "length_outlier_filter",
+    "embedding_int8_quantize",
+    "cosine_topk_truncate_rerank",
 ]
 
 
@@ -105,6 +110,13 @@ def time_probe(spark, name: str, sf_dir: str) -> float:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional probe-name args restrict the run (iterating on one operator
+    # shouldn't pay for the other seventeen)
+    only = sys.argv[2:]
+    probes = [n for n in PROBES if not only or n in only]
+    unknown = [n for n in only if n not in PROBES]
+    if unknown:
+        raise SystemExit(f"unknown probes: {unknown}")
     spark = get_spark(app_name="scale-probe")
     scaled_dir = os.path.join(tempfile.gettempdir(), f"mr_dice_scale_x{factor}")
     # region is written LAST — its presence means the build completed
@@ -113,7 +125,7 @@ def main() -> None:
         build_scaled(spark, factor, scaled_dir)
 
     report = {}
-    for name in PROBES:
+    for name in probes:
         base = time_probe(spark, name, SF_DIR)
         big = time_probe(spark, name, scaled_dir)
         ratio = big / base if base > 0 else float("inf")
