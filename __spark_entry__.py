@@ -72,6 +72,8 @@ _CHECK_FIRST = [
     "length_outlier_filter",          # corpus-adaptive quantile gate
     "embedding_int8_quantize",        # int8 quantization error audit
     "cosine_topk_truncate_rerank",    # Matryoshka truncate+rerank ANN
+    "token_budget_sample_by_lang",    # token-budget mixture cut
+    "split_contamination_audit",      # train/eval n-gram leakage QA
     # --- changed this round
     "jaccard_similarity_join",        # session-scoped cache + sort drop
     "heavy_hitters_cms_events",       # fused sketch+count scan
@@ -87,14 +89,14 @@ _CHECK_FIRST = [
     # nested EXISTS chain, correlated scalar)
     "q02_min_cost_supplier",
     "q21_waiting_supplier",
-    "exists_chain_big_spenders",
-    "correlated_above_type_avg",
-    # q11/q19/structure_near_dup/scd2 rotate to the suite to make room
-    # for the four round-3 training-data operators above: all four are
-    # r2-green and their shapes (broadcast scalar, disjunctive pushdown,
-    # blocked join, window merge) stay covered by tests/test_golden.py
-    # and the plan-shape CI; events_sessionize + streaming_hourly_window
-    # likewise (window/agg-only plans, untouched by the threshold change)
+    # q11/q19/structure_near_dup/scd2/exists_chain/correlated rotate to
+    # the suite to make room for the six round-3 training-data operators
+    # above: all six rotated rows are r2-green and their shapes
+    # (broadcast scalar, disjunctive pushdown, blocked join, window
+    # merge, nested EXISTS, correlated scalar) stay covered by
+    # tests/test_golden.py and the plan-shape CI; events_sessionize +
+    # streaming_hourly_window likewise (window/agg-only plans, untouched
+    # by the threshold change)
 ]
 
 

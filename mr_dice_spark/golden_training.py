@@ -200,3 +200,153 @@ def cosine_topk_truncate_rerank_q0(spark: SparkSession, sf_dir: str) -> DataFram
     return cosine_topk_truncate_rerank(
         corpus, "vec_id", "embedding", qv, k=10, coarse_dims=16, coarse_k=50
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+_BUDGETS = {"en": 5000, "de": 1500, "es": 1500, "fr": 1500, "zh": 2000}
+_BUDGET_SEED = "budget/v1"
+
+
+def _budget_oracle() -> str:
+    vals = ", ".join(f"('{g}', {b})" for g, b in sorted(_BUDGETS.items()))
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5('{_BUDGET_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS cum_before
+  FROM t
+),
+b(lang, budget) AS (VALUES {vals})
+SELECT doc_id, lang, n_tokens, cum_before
+FROM c JOIN b USING (lang)
+WHERE cum_before < budget
+ORDER BY lang, cum_before, doc_id
+"""
+
+
+@golden(
+    "token_budget_sample_by_lang",
+    _budget_oracle(),
+    tags=("sampling", "mixture", "tokens", "documents"),
+)
+def token_budget_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each language to a TOKEN budget (how pretraining mixtures are
+    specified) in portable-hash order: one per-group running-sum window
+    (single hash shuffle) with the budget dimension broadcast back; the
+    first budget-crossing document is included, bounding overshoot by one
+    doc. Fully deterministic, so the oracle reproduces the exact member
+    set — not just the counts."""
+    from mr_dice_spark.functions.text import tokens
+    from mr_dice_spark.operators.sampling import token_budget_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    out = token_budget_sample(
+        sized, "lang", _BUDGETS, "n_tokens", "doc_id", seed=_BUDGET_SEED
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_before").orderBy(
+        "lang", "cum_before", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# split contamination audit (leakage QA)
+# ---------------------------------------------------------------------------
+
+_LEAK_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_LEAK_SEED = "leak/v1"
+
+
+def _leak_oracle() -> str:
+    from mr_dice_spark.operators.sampling import split_thresholds
+
+    bounds = split_thresholds(_LEAK_SPLITS)
+    hv = (
+        f"CAST(('0x' || substring(md5('{_LEAK_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )
+    cases = " ".join(f"WHEN {hv} < {u} THEN '{n}'" for n, u in bounds[:-1])
+    split_expr = f"CASE {cases} ELSE '{bounds[-1][0]}' END"
+    return f"""
+WITH a AS (
+  SELECT doc_id, text, {split_expr} AS split FROM documents
+),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM a
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+probe AS (
+  SELECT DISTINCT shingle FROM sh JOIN a USING (doc_id) WHERE a.split = 'train'
+),
+eval_ids AS (SELECT doc_id, split FROM a WHERE split <> 'train'),
+cnt AS (
+  SELECT e.doc_id, e.split, COUNT(s.shingle) AS n_grams
+  FROM eval_ids e LEFT JOIN sh s USING (doc_id)
+  GROUP BY e.doc_id, e.split
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN probe p USING (shingle)
+  JOIN eval_ids e ON s.doc_id = e.doc_id
+  GROUP BY s.doc_id
+)
+SELECT c.doc_id, c.split,
+       c.n_grams,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       ROUND(1e-9 + CASE WHEN c.n_grams = 0 THEN 0.0
+             ELSE COALESCE(h.n_shared, 0) / CAST(c.n_grams AS DOUBLE) END,
+             6) AS share,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM cnt c LEFT JOIN hits h USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+@golden(
+    "split_contamination_audit",
+    _leak_oracle(),
+    tags=("sampling", "split", "decontaminate", "leakage"),
+)
+def split_contamination_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage QA after an 80/10/10 row-id-keyed split: every val/test
+    document is scored for 3-gram overlap with the train side — the
+    planted near-dup families in the fixture guarantee true leakage rows,
+    demonstrating exactly why split keys should be content/domain groups.
+    Split CASE thresholds and the gram chain are restated verbatim in the
+    oracle."""
+    from mr_dice_spark.operators.decontaminate import split_contamination_audit
+
+    docs = Catalog(spark, sf_dir).documents
+    out = split_contamination_audit(
+        docs, "doc_id", "text", splits=_LEAK_SPLITS, seed=_LEAK_SEED
+    )
+    return out.select(
+        "doc_id", "split", "n_grams", "n_shared",
+        F.round(F.col("share") + F.lit(1e-9), 6).alias("share"),
+        "contaminated",
+    ).orderBy("doc_id")

@@ -89,3 +89,41 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def split_contamination_audit(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: str = "",
+    train_split: str = "train",
+    n: int = 3,
+) -> DataFrame:
+    """Leakage QA for a train/eval cut: assign splits deterministically
+    (:func:`~mr_dice_spark.operators.sampling.split_assign`), then score
+    every NON-train document's n-gram overlap against the train side —
+    ``contaminated`` rows are eval documents whose content (exactly or
+    near-exactly) also trains the model, the thing a decontamination pass
+    exists to prevent. Run it after any split; a high contaminated share
+    means the split key is wrong (row id instead of content/domain group).
+
+    Output: ``(id, split, n_grams, n_shared, share, contaminated)`` for
+    each non-train document.
+
+    Scale shape: split assignment is a narrow CASE; the overlap test is
+    :func:`contamination_stats` (train gram set broadcast against the
+    eval side — at 100 TB flip to a shuffled semi-join, semantics
+    unchanged) plus one id-keyed hash join to carry the split label."""
+    assigned = corpus.select(
+        F.col(id_col), F.col(text_col)
+    )
+    from mr_dice_spark.operators.sampling import split_assign
+
+    assigned = split_assign(assigned, id_col, splits=splits, seed=seed)
+    train = assigned.where(F.col("split") == train_split)
+    eval_ = assigned.where(F.col("split") != train_split)
+    stats = contamination_stats(eval_, id_col, text_col, train, text_col, n=n)
+    return stats.join(eval_.select(F.col(id_col), "split"), id_col).select(
+        F.col(id_col), "split", "n_grams", "n_shared", "share", "contaminated"
+    )

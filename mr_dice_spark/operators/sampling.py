@@ -222,3 +222,95 @@ def mixture_sample(
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict,
+    token_count_col: str,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Sample each group down to a TOKEN budget rather than a row count —
+    how pretraining mixtures are actually specified ("300 B tokens of
+    web, 50 B of code"). Rows are taken in portable-hash order (key
+    tiebreak) and a row is kept while the tokens taken BEFORE it are
+    still under the group's budget, so the first crossing row is included
+    (overshoot is bounded by one document) and a zero budget takes
+    nothing. Groups absent from ``budgets`` are dropped.
+
+    Output: the input columns plus ``cum_before`` (tokens taken before
+    this row in hash order), so callers can audit the cut.
+
+    Scale shape: ONE hash shuffle on the group key for the running-sum
+    window (the same exchange any per-group op needs) with the budget
+    dimension broadcast back; no global sort, no collect. Skewed mixtures
+    (one giant group) are bounded by that group's partition, same as every
+    other per-group window here.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gtype_map = dict(df.dtypes)
+    if group_col not in gtype_map:
+        raise ValueError(f"no such column: {group_col}")
+    bdim = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, int(b)) for g, b in budgets.items()],
+            f"{group_col} {gtype_map[group_col]}, __budget long",
+        )
+    )
+    toks = F.col(token_count_col).cast("long")
+    return (
+        df.join(bdim, group_col)
+        .withColumn("cum_before", F.sum(toks).over(w) - toks)
+        .where(F.col("cum_before") < F.col("__budget"))
+        .drop("__budget")
+    )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits=(("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    seed: str = "",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Audit a split for duplicate leakage: group documents by exact
+    content (md5 of text), report every class with more than one document
+    and the set of splits it lands in — ``leaky`` marks classes straddling
+    two or more splits, i.e. eval rows whose exact text is in train. This
+    is the QA gate run AFTER :func:`split_assign`; keying the split on a
+    group id (``key_col``) instead of the row id is the fix the audit
+    motivates.
+
+    Output per duplicate class: ``(content_key, n_docs, n_splits,
+    splits, first_doc, leaky)``, deterministic (split list sorted, first
+    doc is the minimum id).
+
+    Scale shape: split assignment is a narrow CASE; the audit is one hash
+    aggregate keyed on the content hash — the same shuffle an exact-dedup
+    pass costs, with nothing collected."""
+    kc = key_col or id_col
+    cols = [F.col(id_col), F.col(text_col)] + (
+        [F.col(kc)] if kc not in (id_col, text_col) else []
+    )
+    assigned = split_assign(df.select(*cols), kc, splits=splits, seed=seed)
+    c = assigned.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_key"),
+        F.col(id_col),
+        "split",
+    )
+    g = c.groupBy("content_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.concat_ws(",", F.sort_array(F.collect_set("split"))).alias("splits"),
+        F.min(F.col(id_col)).alias("first_doc"),
+    )
+    return g.where(F.col("n_docs") > 1).withColumn(
+        "leaky", F.col("n_splits") > 1
+    )

@@ -755,3 +755,94 @@ def test_quantile_length_filter_integer_boundary_kept(spark):
         [(i, "a b c") for i in range(20)], "doc_id long, text string"
     )
     assert quantile_length_filter(df, "doc_id", "text").count() == 20
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_sample_semantics(spark):
+    """Zero budget takes nothing; unlisted groups drop; the first
+    budget-crossing doc is included (overshoot <= one doc); membership is
+    partition-invariant."""
+    from mr_dice_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "g" if i < 10 else ("z" if i < 15 else "u"), 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long")
+    out = token_budget_sample(df, "grp", {"g": 35, "z": 0}, "n_tok", "doc_id", seed="b")
+    got = out.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert "u" not in by_grp and "z" not in by_grp  # unlisted drops, 0-budget drops
+    g = sorted(by_grp["g"], key=lambda r: r["cum_before"])
+    # 10-token docs, budget 35: cum_before 0,10,20,30 all < 35 -> 4 docs (40 tokens)
+    assert [r["cum_before"] for r in g] == [0, 10, 20, 30]
+    rep = token_budget_sample(
+        df.repartition(5, "doc_id"), "grp", {"g": 35, "z": 0}, "n_tok", "doc_id", seed="b"
+    )
+    assert sorted(r["doc_id"] for r in rep.collect()) == sorted(
+        r["doc_id"] for r in got
+    )
+
+
+def test_split_contamination_audit_flags_planted_leakage(spark):
+    """Docs sharing text with a train-side doc are contaminated; unique
+    docs are not. The shared text is planted on many ids so at least one
+    lands in train under the fixed seed (asserted as a precondition)."""
+    from mr_dice_spark.operators.decontaminate import split_contamination_audit
+    from mr_dice_spark.operators.sampling import split_assign
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, shared) for i in range(0, 40, 2)]
+    # every word carries the doc id so no 3-gram repeats across docs
+    rows += [(i, " ".join(f"tok{i}w{j}" for j in range(8))) for i in range(1, 40, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    splits = (("train", 0.6), ("test", 0.4))
+    assigned = {r["doc_id"]: r["split"]
+                for r in split_assign(df, "doc_id", splits=splits, seed="t").collect()}
+    shared_train = [i for i in range(0, 40, 2) if assigned[i] == "train"]
+    assert shared_train, "precondition: some shared-text doc must land in train"
+    out = {r["doc_id"]: r for r in split_contamination_audit(
+        df, "doc_id", "text", splits=splits, seed="t").collect()}
+    assert set(out) == {i for i, s in assigned.items() if s == "test"}
+    for i, r in out.items():
+        if i % 2 == 0:
+            assert r["contaminated"] and r["share"] == 1.0
+        else:
+            assert not r["contaminated"] and r["n_shared"] == 0
+
+
+def test_split_leakage_audit_planted_dup_classes(spark):
+    """Exact-content classes report their split spread; classes confined
+    to one split are not leaky; singletons never appear."""
+    from mr_dice_spark.operators.sampling import split_assign, split_leakage_audit
+
+    dup_a = "alpha beta gamma"      # planted on many ids -> near-certain straddle
+    dup_b = "delta epsilon zeta"
+    rows = [(i, dup_a) for i in range(0, 30)]
+    rows += [(100, dup_b), (101, dup_b)]
+    rows += [(200, "single one"), (201, "single two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    splits = (("train", 0.5), ("test", 0.5))
+    out = {r["content_key"]: r
+           for r in split_leakage_audit(df, "doc_id", "text",
+                                        splits=splits, seed="s").collect()}
+    assert len(out) == 2  # only the two dup classes, no singletons
+    assigned = {r["doc_id"]: r["split"]
+                for r in split_assign(df, "doc_id", splits=splits, seed="s").collect()}
+    for r in out.values():
+        ids = ([i for i in range(0, 30)] if r["n_docs"] == 30 else [100, 101])
+        want = sorted({assigned[i] for i in ids})
+        assert r["splits"] == ",".join(want)
+        assert r["n_splits"] == len(want)
+        assert r["leaky"] == (len(want) > 1)
+        assert r["first_doc"] == min(ids)
+    # keying the split on the CONTENT hash puts each dup class in one
+    # split — the audit's own remediation advice — so nothing is leaky
+    keyed = df.withColumn("ck", F.md5("text"))
+    out_keyed = split_leakage_audit(keyed, "doc_id", "text",
+                                    splits=splits, seed="s", key_col="ck")
+    rows_keyed = out_keyed.collect()
+    assert len(rows_keyed) == 2 and all(not r["leaky"] for r in rows_keyed)

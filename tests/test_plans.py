@@ -658,3 +658,24 @@ def test_truncate_rerank_both_stages_take_ordered(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("TakeOrderedAndProject") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_sample_single_window_shuffle(spark, sf_dir):
+    """token_budget_sample: exactly one exchange (the per-group window);
+    the budget dimension joins by broadcast, never a shuffle or
+    CartesianProduct."""
+    df = GOLDEN["token_budget_sample_by_lang"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
+    # budget: window exchange + final orderBy range exchange only
+    assert_max_shuffles(df, 2)
+
+
+def test_split_contamination_audit_broadcasts_train_grams(spark, sf_dir):
+    """The train-side gram set must broadcast against the eval side (the
+    decontamination shape) — no cartesian, no shuffled gram join."""
+    df = GOLDEN["split_contamination_audit"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 1
