@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mr_dice_spark.catalog import Catalog
-from mr_dice_spark.golden import golden
+from mr_dice_spark.golden import _r, golden
 from mr_dice_spark.operators.sampling import split_assign, split_thresholds
 
 # ---------------------------------------------------------------------------
@@ -347,6 +347,6 @@ def split_contamination_audit_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return out.select(
         "doc_id", "split", "n_grams", "n_shared",
-        F.round(F.col("share") + F.lit(1e-9), 6).alias("share"),
+        _r("share", 6).alias("share"),
         "contaminated",
     ).orderBy("doc_id")

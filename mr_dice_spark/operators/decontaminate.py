@@ -28,11 +28,19 @@ def contamination_stats(
     probe: DataFrame,
     probe_text_col: str,
     n: int = 3,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Per corpus document: (id, n_grams, n_shared, share, contaminated)
     where n_shared counts the doc's distinct word n-grams that appear
     anywhere in the probe set. Docs too short to form a gram report
-    n_grams=0, share=0.0, contaminated=false."""
+    n_grams=0, share=0.0, contaminated=false.
+
+    ``broadcast_probe`` fits the benchmark-decontamination case (tiny
+    held-out probe vs huge corpus); pass False when the probe side is
+    itself corpus-sized (e.g. the TRAIN split in
+    :func:`split_contamination_audit`) so the gram membership test runs
+    as a shuffled hash join on the gram key instead of collecting the
+    majority side's gram set to every executor."""
     # sets_ feeds two plan branches (the exploded probe join AND the
     # n_grams size projection); without materialization the shingle
     # transform — the most expensive stage — would execute twice
@@ -51,7 +59,8 @@ def contamination_stats(
     ex = sets_.select("__id", F.explode_outer("__sh").alias("__s")).where(
         F.col("__s").isNotNull()
     )
-    hits = ex.join(F.broadcast(probe_grams), "__s").groupBy("__id").agg(
+    probe_side = F.broadcast(probe_grams) if broadcast_probe else probe_grams
+    hits = ex.join(probe_side, "__s").groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_shared")
     )
     out = (
@@ -112,9 +121,11 @@ def split_contamination_audit(
     each non-train document.
 
     Scale shape: split assignment is a narrow CASE; the overlap test is
-    :func:`contamination_stats` (train gram set broadcast against the
-    eval side — at 100 TB flip to a shuffled semi-join, semantics
-    unchanged) plus one id-keyed hash join to carry the split label."""
+    :func:`contamination_stats` with ``broadcast_probe=False`` — the
+    probe here is the TRAIN side, i.e. the MAJORITY of the corpus, so
+    its gram set must never broadcast; the membership test shuffles on
+    the gram key instead — plus one id-keyed hash join to carry the
+    split label."""
     assigned = corpus.select(
         F.col(id_col), F.col(text_col)
     )
@@ -123,7 +134,9 @@ def split_contamination_audit(
     assigned = split_assign(assigned, id_col, splits=splits, seed=seed)
     train = assigned.where(F.col("split") == train_split)
     eval_ = assigned.where(F.col("split") != train_split)
-    stats = contamination_stats(eval_, id_col, text_col, train, text_col, n=n)
+    stats = contamination_stats(
+        eval_, id_col, text_col, train, text_col, n=n, broadcast_probe=False
+    )
     return stats.join(eval_.select(F.col(id_col), "split"), id_col).select(
         F.col(id_col), "split", "n_grams", "n_shared", "share", "contaminated"
     )

@@ -185,6 +185,26 @@ def apportion_weighted(
     return alloc
 
 
+def _broadcast_group_dim(
+    df: DataFrame, group_col: str, mapping: dict, value_col: str
+) -> DataFrame:
+    """Broadcast dimension (group -> long value) for per-group quotas and
+    budgets. Typed after the ACTUAL group column (a hardcoded string type
+    would join non-string groups only via implicit cast) and long (int32
+    overflows when one group carries > 2^31-1 rows/tokens). Raises on a
+    missing group column — the silent alternative is an analysis error
+    deep inside the join."""
+    gtype_map = dict(df.dtypes)
+    if group_col not in gtype_map:
+        raise ValueError(f"no such column: {group_col}")
+    return F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, int(v)) for g, v in mapping.items()],
+            f"{group_col} {gtype_map[group_col]}, {value_col} long",
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -203,16 +223,7 @@ def mixture_sample(
     per-group top-n is WindowGroupLimit-pruned map-side."""
     counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
     alloc = apportion_weighted(counts, weights, total)
-    # quota typed after the ACTUAL group column (a hardcoded string would
-    # join non-string groups only via implicit cast) and long (an int32
-    # quota overflows when one group is allocated > 2^31-1 rows)
-    gtype = dict(df.dtypes)[group_col]
-    quota = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(g, int(n)) for g, n in alloc.items()],
-            f"{group_col} {gtype}, __quota long",
-        )
-    )
+    quota = _broadcast_group_dim(df, group_col, alloc, "__quota")
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
     )
@@ -238,7 +249,8 @@ def token_budget_sample(
     tiebreak) and a row is kept while the tokens taken BEFORE it are
     still under the group's budget, so the first crossing row is included
     (overshoot is bounded by one document) and a zero budget takes
-    nothing. Groups absent from ``budgets`` are dropped.
+    nothing. Groups absent from ``budgets`` are dropped; a NULL token
+    count folds to 0 (row kept, costs nothing).
 
     Output: the input columns plus ``cum_before`` (tokens taken before
     this row in hash order), so callers can audit the cut.
@@ -254,16 +266,12 @@ def token_budget_sample(
         .orderBy(hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gtype_map = dict(df.dtypes)
-    if group_col not in gtype_map:
-        raise ValueError(f"no such column: {group_col}")
-    bdim = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(g, int(b)) for g, b in budgets.items()],
-            f"{group_col} {gtype_map[group_col]}, __budget long",
-        )
-    )
-    toks = F.col(token_count_col).cast("long")
+    bdim = _broadcast_group_dim(df, group_col, budgets, "__budget")
+    # NULL token counts (an upstream tokenizer failure) fold to 0: the
+    # row is KEPT and costs nothing — bare NULL arithmetic would give the
+    # row cum_before NULL, and NULL < budget silently drops it (the
+    # hash_bucket NULL hazard in this file, same shape)
+    toks = F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
     return (
         df.join(bdim, group_col)
         .withColumn("cum_before", F.sum(toks).over(w) - toks)
@@ -281,7 +289,8 @@ def split_leakage_audit(
     key_col: str | None = None,
 ) -> DataFrame:
     """Audit a split for duplicate leakage: group documents by exact
-    content (md5 of text), report every class with more than one document
+    content (md5 of the JSON-framed text, so NULL and '' stay distinct
+    classes), report every class with more than one document
     and the set of splits it lands in — ``leaky`` marks classes straddling
     two or more splits, i.e. eval rows whose exact text is in train. This
     is the QA gate run AFTER :func:`split_assign`; keying the split on a
@@ -301,7 +310,10 @@ def split_leakage_audit(
     )
     assigned = split_assign(df.select(*cols), kc, splits=splits, seed=seed)
     c = assigned.select(
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_key"),
+        # JSON framing (as in dedup_exact) keeps NULL text and '' text in
+        # DISTINCT classes — md5(coalesce(text,'')) would merge them and
+        # raise a false leakage alarm when the two land in different splits
+        F.md5(F.to_json(F.struct(F.col(text_col)))).alias("content_key"),
         F.col(id_col),
         "split",
     )

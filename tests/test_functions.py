@@ -846,3 +846,34 @@ def test_split_leakage_audit_planted_dup_classes(spark):
                                     splits=splits, seed="s", key_col="ck")
     rows_keyed = out_keyed.collect()
     assert len(rows_keyed) == 2 and all(not r["leaky"] for r in rows_keyed)
+
+
+def test_split_leakage_audit_null_vs_empty_text_distinct(spark):
+    """NULL text and '' text are different contents: neither may be
+    reported as a duplicate class of the other (review finding — the
+    JSON framing from dedup_exact keeps them apart)."""
+    from mr_dice_spark.operators.sampling import split_leakage_audit
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "x y"), (3, "x y")], "doc_id long, text string"
+    )
+    rows = split_leakage_audit(df, "doc_id", "text",
+                               splits=(("a", 0.5), ("b", 0.5)), seed="n").collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2  # only the planted x-y pair
+
+
+def test_token_budget_sample_null_count_kept_at_zero_cost(spark):
+    """A NULL token count folds to 0: the row survives and charges
+    nothing against the budget (review finding — bare NULL arithmetic
+    silently dropped the row)."""
+    from mr_dice_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(0, "g", 10), (1, "g", None), (2, "g", 10)],
+        "doc_id long, grp string, n_tok long",
+    )
+    out = token_budget_sample(df, "grp", {"g": 15}, "n_tok", "doc_id", seed="z")
+    rows = {r["doc_id"]: r["cum_before"] for r in out.collect()}
+    assert 1 in rows  # the NULL-count row is kept
+    # total tokens charged never counts the NULL row
+    assert max(rows.values()) <= 20

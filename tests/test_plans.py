@@ -672,10 +672,19 @@ def test_token_budget_sample_single_window_shuffle(spark, sf_dir):
     assert_max_shuffles(df, 2)
 
 
-def test_split_contamination_audit_broadcasts_train_grams(spark, sf_dir):
-    """The train-side gram set must broadcast against the eval side (the
-    decontamination shape) — no cartesian, no shuffled gram join."""
+def test_split_contamination_audit_no_forced_gram_broadcast(spark, sf_dir):
+    """The probe here is the TRAIN split — the MAJORITY of the corpus —
+    so unlike benchmark_decontamination its gram set must not carry a
+    FORCED broadcast hint (review finding: the hint would ship ~80% of
+    the corpus's grams to every executor at any scale). At sf0.01 the
+    size-based planner may still broadcast — that is correct and scale-
+    safe; what must be absent is the hint that overrides size. The
+    contrast case: the benchmark-decontamination golden keeps its hint
+    (its probe really is tiny)."""
     df = GOLDEN["split_contamination_audit"].spark(spark, sf_dir)
-    plan = physical_plan(df)
-    assert "CartesianProduct" not in plan
-    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in physical_plan(df)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    bench = GOLDEN["benchmark_decontamination"].spark(spark, sf_dir)
+    bench_logical = bench._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in bench_logical
