@@ -61,6 +61,8 @@ PROBES = [
     "length_outlier_filter",
     "embedding_int8_quantize",
     "cosine_topk_truncate_rerank",
+    "token_budget_sample_by_lang",
+    "split_contamination_audit",
 ]
 
 
