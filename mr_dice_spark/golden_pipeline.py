@@ -2640,3 +2640,90 @@ GOLDEN["embedding_near_dup_pairs"] = GoldenQuery(
     oracle=_near_dup_oracle(),
     tags=("dedup", "similarity", "lsh"),
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup + stream-stream interval join (round 3: §2.10 depth)
+# ---------------------------------------------------------------------------
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
+
+
+@golden("streaming_dedup_keys", STREAM_DEDUP_ORACLE, tags=("streaming", "dedup", "events"))
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup on the REAL streaming engine:
+    readStream → dropDuplicatesWithinWatermark(user_id, event_type) →
+    append memory sink. The watermark is set beyond the fixture's whole
+    time range, which makes the bounded-state operator EXACT for a finite
+    backfill (state never evicts mid-replay, so availableNow may split
+    the source into any number of micro-batches without changing the
+    result) — hence full oracle parity with SQL DISTINCT. Production
+    streams trade the watermark down for bounded state; that trade is
+    the operator's documented contract, not this golden's subject."""
+    import uuid
+
+    from mr_dice_spark.streaming.joins import dedup_stream
+    from mr_dice_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    _utc(spark)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    d = dedup_stream(stream, ["user_id", "event_type"], watermark="3650 days")
+    q = run_stream_to_memory(
+        d.select("user_id", "event_type"), name, output_mode="append"
+    )
+    try:
+        out = spark.table(name).orderBy("user_id", "event_type")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+
+
+STREAM_JOIN_ORACLE = """
+WITH t AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
+FROM t a JOIN t b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ AND a.event_id <> b.event_id
+ORDER BY l_event_id, r_event_id
+"""
+
+
+@golden(
+    "streaming_interval_join_pairs",
+    STREAM_JOIN_ORACLE,
+    tags=("streaming", "join", "interval", "events"),
+)
+def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join on the real engine: two
+    independent readStream sources joined on user_id with the right event
+    inside [l.ts, l.ts + 30 min] — the watermark + two-sided time bound
+    is what keeps join state bounded at ~rate x (watermark + within) on a
+    live stream. As with streaming_dedup_keys, a beyond-fixture watermark
+    makes the finite replay EXACT (no cross-micro-batch state loss), so
+    the pair set hash-matches the batch SQL join oracle."""
+    import uuid
+
+    from mr_dice_spark.streaming.joins import stream_stream_interval_join
+    from mr_dice_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    _utc(spark)
+    name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    left = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    right = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    j = stream_stream_interval_join(
+        left, right, key="user_id", within="30 minutes", watermark="3650 days"
+    )
+    pairs = j.where(F.col("l.event_id") != F.col("r.event_id")).select(
+        F.col("l.event_id").alias("l_event_id"),
+        F.col("r.event_id").alias("r_event_id"),
+    )
+    q = run_stream_to_memory(pairs, name, output_mode="append")
+    try:
+        out = spark.table(name).orderBy("l_event_id", "r_event_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
