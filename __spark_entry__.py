@@ -74,6 +74,8 @@ _CHECK_FIRST = [
     "cosine_topk_truncate_rerank",    # Matryoshka truncate+rerank ANN
     "token_budget_sample_by_lang",    # token-budget mixture cut
     "split_contamination_audit",      # train/eval n-gram leakage QA
+    "streaming_dedup_keys",           # real-engine watermark dedup
+    "streaming_interval_join_pairs",  # real-engine stream-stream join
     # --- changed this round
     "jaccard_similarity_join",        # session-scoped cache + sort drop
     "heavy_hitters_cms_events",       # fused sketch+count scan
@@ -83,20 +85,14 @@ _CHECK_FIRST = [
     "crawl_curation_pipeline",
     "multimodal_frame_sample",        # video probe dispatch changed
     "multimodal_sample_extraction",   # real stsz/stsc/stco mdat slicing
-    # --- join-heavy round-2 rows re-verified under the reverted 10 MB
-    # broadcast threshold (every join re-plans; these are the hardest
-    # shapes: multi-way + correlated-min, quadruple self-join semi/anti,
-    # nested EXISTS chain, correlated scalar)
-    "q02_min_cost_supplier",
-    "q21_waiting_supplier",
-    # q11/q19/structure_near_dup/scd2/exists_chain/correlated rotate to
-    # the suite to make room for the six round-3 training-data operators
-    # above: all six rotated rows are r2-green and their shapes
-    # (broadcast scalar, disjunctive pushdown, blocked join, window
-    # merge, nested EXISTS, correlated scalar) stay covered by
-    # tests/test_golden.py and the plan-shape CI; events_sessionize +
-    # streaming_hourly_window likewise (window/agg-only plans, untouched
-    # by the threshold change)
+    # The round-2 join-heavy re-verify block (q02/q11/q19/q21,
+    # exists_chain, correlated, structure_near_dup, scd2) rotates to the
+    # suite entirely: every slot freed goes to a NEVER-driver-checked
+    # round-3 operator above, which carries strictly more information —
+    # all eight rotated rows are r2-green, re-plan identically under the
+    # reverted 10 MB broadcast threshold in tests/test_golden.py (same
+    # compare as the driver), and their plan shapes are pinned by the
+    # plan-shape CI; events_sessionize + streaming_hourly_window likewise
 ]
 
 
