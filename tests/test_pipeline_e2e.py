@@ -62,3 +62,20 @@ def test_corpus_build_pipeline_invariants(spark, oracle_sf_dir):
     # packed stream covers ceil(total/seq_len) sequences
     n_seqs = packed.agg(F.max("last_seq")).collect()[0][0]
     assert n_seqs == (total_tokens - 1) // 512
+
+
+def test_driver_window_is_exactly_fifty_registered_goldens():
+    """The driver's CORRECTNESS check covers the first 50 queries() in
+    dict order. A typo'd name silently shrinks the window (the head
+    filter drops unknowns) and a 51st entry silently never gets checked —
+    both must fail CI instead."""
+    import __spark_entry__ as e
+    from mr_dice_spark.golden import GOLDEN
+
+    names = e._CHECK_FIRST
+    assert len(names) == 50
+    assert len(set(names)) == 50, "duplicate window entries"
+    unknown = [n for n in names if n not in GOLDEN]
+    assert not unknown, f"window entries not in GOLDEN: {unknown}"
+    # and the head of queries() is exactly the window, in order
+    assert list(e.queries())[:50] == list(names)
