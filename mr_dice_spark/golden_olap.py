@@ -290,3 +290,69 @@ def set_except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("o_custkey").alias("custkey"))
 
     return year(1995).subtract(year(1996)).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# DataSketches rollups: mergeable HLL distinct + Theta set intersection
+# ---------------------------------------------------------------------------
+
+HLL_ROLLUP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@golden("hll_rollup_distinct_users", HLL_ROLLUP_ORACLE, tags=("sketch", "hll", "rollup"))
+def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE mergeable-sketch rollup pattern: one HLL sketch per
+    (day, event_type) cell — the KB-sized frame a 100 TB pipeline
+    persists — merged up to event_type and estimated, WITHOUT rescanning
+    rows (exact DISTINCT cannot re-aggregate; sketches can). Hash-checked
+    against exact COUNT(DISTINCT): DataSketches HLL is in its exact
+    coupon-list mode below ~2^lgk items and the fixtures carry 15/150/
+    1500 users per type vs lgk=12, so the estimate is deterministic-exact
+    here; the high-cardinality ±1.6% regime is pinned by the tolerance
+    test (tests/test_functions.py) rather than this hash."""
+    from mr_dice_spark.operators.sketch import hll_partial_sketches, hll_rollup
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
+    sk = hll_partial_sketches(ev, ["day", "event_type"], "user_id", lgk=12)
+    out = hll_rollup(sk, ["event_type"])
+    return out.select(
+        "event_type", F.col("approx_distinct").alias("distinct_users")
+    ).orderBy("event_type")
+
+
+THETA_OVERLAP_ORACLE = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+o AS (
+  SELECT a.event_type AS ga, b.event_type AS gb, CAST(COUNT(*) AS BIGINT) AS ov
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS g_a, cb.event_type AS g_b,
+       ca.n AS distinct_a, cb.n AS distinct_b,
+       COALESCE(o.ov, 0) AS overlap
+FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN o ON o.ga = ca.event_type AND o.gb = cb.event_type
+ORDER BY g_a, g_b
+"""
+
+
+@golden("theta_overlap_event_types", THETA_OVERLAP_ORACLE, tags=("sketch", "theta", "setop"))
+def theta_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via Theta sketches: one KB sketch per event type,
+    pairwise set INTERSECTION estimated sketch-to-sketch — where exact
+    SQL needs a value-keyed self-join over the raw rows per pair. Same
+    exactness argument as hll_rollup_distinct_users (fixture cardinality
+    sits in Theta's exact mode), so the full pair grid hash-matches the
+    exact-intersection oracle."""
+    from mr_dice_spark.operators.sketch import theta_overlap_matrix
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return theta_overlap_matrix(ev, "event_type", "user_id", lgk=12).orderBy(
+        "g_a", "g_b"
+    )

@@ -127,3 +127,102 @@ def heavy_hitters_cms(
     return spark.createDataFrame(
         [(k, n) for k, n in rows], f"{col} {key_type}, est_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches rollups (HLL distinct, Theta set ops, KLL quantiles)
+# ---------------------------------------------------------------------------
+# The defining 100 TB pattern: pre-aggregate a KB-sized MERGEABLE sketch
+# per fine-grained cell once, then answer any coarser rollup by merging
+# sketches — never rescanning raw data. Exact DISTINCT/quantile rollups
+# cannot re-aggregate (distinct counts are not additive; percentiles are
+# not mergeable), so the sketch column IS the only viable materialized
+# aggregate for these questions at scale. Estimates are deterministic
+# (same input set -> same sketch -> same estimate) but engine-specific,
+# so the goldens built on these are rows-only; accuracy is pinned by
+# tolerance tests against exact answers instead (tests/test_functions.py).
+
+
+def hll_partial_sketches(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch of distinct ``value_col`` (binary column
+    ``__hll``, ~2^lgk bytes). This is the frame you PERSIST partitioned
+    by the finest grain (e.g. day); every coarser distinct-count question
+    afterwards is a merge, not a scan."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("__hll")
+    )
+
+
+def hll_rollup(sketches: DataFrame, rollup_cols: Sequence[str]) -> DataFrame:
+    """Merge per-cell sketches up to ``rollup_cols`` and estimate:
+    ``(rollup_cols..., approx_distinct)``. Input is the tiny sketch frame,
+    so the shuffle moves KBs per group."""
+    merged = sketches.groupBy(*rollup_cols).agg(
+        F.hll_union_agg("__hll").alias("__m")
+    )
+    return merged.select(
+        *rollup_cols,
+        F.hll_sketch_estimate("__m").cast("long").alias("approx_distinct"),
+    )
+
+
+def theta_overlap_matrix(
+    df: DataFrame, group_col: str, value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Pairwise overlap between groups' distinct-value sets via Theta
+    sketches: ``(g_a, g_b, distinct_a, distinct_b, overlap)`` for every
+    unordered pair — e.g. shared users between event types, audience
+    overlap between sources. Exact SQL needs a value-keyed self-join per
+    pair (corpus-sized); this builds one KB sketch per group and
+    intersects driver-free on the #groups x #groups grid, which is tiny
+    by construction (the operator targets LOW-cardinality group columns;
+    the sketch frame after the first aggregate has one row per group)."""
+    sk = df.groupBy(group_col).agg(
+        F.theta_sketch_agg(value_col, F.lit(lgk)).alias("__t")
+    )
+    a = sk.select(
+        F.col(group_col).alias("g_a"), F.col("__t").alias("__ta")
+    )
+    b = sk.select(
+        F.col(group_col).alias("g_b"), F.col("__t").alias("__tb")
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.theta_sketch_estimate("__ta").cast("long").alias("distinct_a"),
+        F.theta_sketch_estimate("__tb").cast("long").alias("distinct_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("__ta"), F.col("__tb"))
+        ).cast("long").alias("overlap"),
+    )
+
+
+def kll_quantiles_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    rollup_cols: Sequence[str] = (),
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable quantiles: KLL sketch per fine-grained group, merged up
+    to ``rollup_cols`` (global when empty), then evaluated at
+    ``quantiles`` -> columns ``q_<pct>``. Percentiles are not mergeable
+    exactly; the KLL sketch is how a 100 TB pipeline keeps re-aggregable
+    latency/length distributions."""
+    partial = df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("__k")
+    )
+    merged = partial.groupBy(*rollup_cols).agg(
+        F.kll_merge_agg_double("__k").alias("__m")
+    )
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*rollup_cols, *qcols)

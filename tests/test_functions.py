@@ -877,3 +877,57 @@ def test_token_budget_sample_null_count_kept_at_zero_cost(spark):
     assert 1 in rows  # the NULL-count row is kept
     # total tokens charged never counts the NULL row
     assert max(rows.values()) <= 20
+
+
+# ---------------------------------------------------------------------------
+# DataSketches rollups (HLL / Theta / KLL): the approximate regime
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_tolerance_and_merge_invariance(spark):
+    """Beyond the exact sparse mode (goldens): at 200k distinct values an
+    lgk=12 HLL estimates within a few percent, and merging per-group
+    sketches gives the SAME estimate as one direct sketch (lossless union
+    at equal lgk) — the property that makes pre-aggregated sketch frames
+    trustworthy for any rollup."""
+    from mr_dice_spark.operators.sketch import hll_partial_sketches, hll_rollup
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+    merged = hll_rollup(hll_partial_sketches(df, ["g"], "v"), [])
+    est = merged.first()["approx_distinct"]
+    assert abs(est - n) / n < 0.05
+    direct = hll_rollup(hll_partial_sketches(df.select(F.lit(1).alias("k"), "v"), ["k"], "v"), [])
+    assert direct.first()["approx_distinct"] == est
+
+
+def test_theta_overlap_tolerance_high_cardinality(spark):
+    """Two 100k-value sets overlapping in 50k: Theta intersection
+    estimates each cardinality and the overlap within 10%."""
+    from mr_dice_spark.operators.sketch import theta_overlap_matrix
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 100_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(50_000, 150_000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    row = theta_overlap_matrix(a.unionByName(b), "g", "v").first()
+    assert abs(row["distinct_a"] - 100_000) / 100_000 < 0.10
+    assert abs(row["distinct_b"] - 100_000) / 100_000 < 0.10
+    assert abs(row["overlap"] - 50_000) / 50_000 < 0.10
+
+
+def test_kll_quantiles_rollup_rank_tolerance(spark):
+    """Merged per-group KLL sketches answer global quantiles within the
+    published normalized-rank error (~1.3% at k=200; assert 5%): the
+    mergeable complement to exact percentile(), which cannot
+    re-aggregate."""
+    from mr_dice_spark.operators.sketch import kll_quantiles_rollup
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    df = spark.range(n).select((F.col("id") % 7).alias("g"), F.col("id").alias("v"))
+    row = kll_quantiles_rollup(df, ["g"], "v", [0.5, 0.95]).first()
+    assert abs(row["q_0_5"] - 0.5 * n) / n < 0.05
+    assert abs(row["q_0_95"] - 0.95 * n) / n < 0.05

@@ -688,3 +688,24 @@ def test_split_contamination_audit_no_forced_gram_broadcast(spark, sf_dir):
     bench = GOLDEN["benchmark_decontamination"].spark(spark, sf_dir)
     bench_logical = bench._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in bench_logical
+
+
+def test_hll_rollup_shuffles_sketches_not_rows(spark, sf_dir):
+    """The rollup's second aggregate must consume the KB-sized sketch
+    frame: two hash aggregates (partial sketch, merge) + the output sort,
+    no cartesian, partial aggregation map-side."""
+    df = GOLDEN["hll_rollup_distinct_users"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert_max_shuffles(df, 3)
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+
+
+def test_theta_overlap_pairs_tiny_nonequi_join(spark, sf_dir):
+    """The pairwise grid joins the one-row-per-group sketch frame against
+    itself on g_a < g_b — a broadcast nested-loop over KBs, never a
+    CartesianProduct over rows."""
+    df = GOLDEN["theta_overlap_event_types"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
