@@ -80,8 +80,12 @@ _CHECK_FIRST = [
     "jaccard_similarity_join",        # session-scoped cache + sort drop
     "heavy_hitters_cms_events",       # fused sketch+count scan
     "demo5_composition_selfjoin",     # trailing sort dropped
-    "url_normalize_canonical",        # tracking-param default changed
-    "url_dedup_survivors",
+    "hll_rollup_distinct_users",      # mergeable HLL sketch rollup
+    "theta_overlap_event_types",      # Theta set-intersection sketches
+    # url_normalize_canonical / url_dedup_survivors (tracking-param
+    # change) yield their slots to the two new sketch goldens: the URL
+    # change stays driver-verified transitively through
+    # crawl_curation_pipeline below, which composes url dedup end-to-end
     "crawl_curation_pipeline",
     "multimodal_frame_sample",        # video probe dispatch changed
     "multimodal_sample_extraction",   # real stsz/stsc/stco mdat slicing

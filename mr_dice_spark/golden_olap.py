@@ -326,7 +326,11 @@ def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 THETA_OVERLAP_ORACLE = """
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+c AS (
+  -- COUNT(user_id), not COUNT(*): theta_sketch_agg skips NULLs, so a
+  -- NULL user must not count as one distinct user on the oracle side
+  SELECT event_type, CAST(COUNT(user_id) AS BIGINT) AS n FROM d GROUP BY 1
+),
 o AS (
   SELECT a.event_type AS ga, b.event_type AS gb, CAST(COUNT(*) AS BIGINT) AS ov
   FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type

@@ -138,9 +138,12 @@ def heavy_hitters_cms(
 # cannot re-aggregate (distinct counts are not additive; percentiles are
 # not mergeable), so the sketch column IS the only viable materialized
 # aggregate for these questions at scale. Estimates are deterministic
-# (same input set -> same sketch -> same estimate) but engine-specific,
-# so the goldens built on these are rows-only; accuracy is pinned by
-# tolerance tests against exact answers instead (tests/test_functions.py).
+# (same input set -> same sketch -> same estimate) but engine-specific;
+# the goldens built on HLL/Theta are nonetheless HASH-CHECKED against
+# exact SQL oracles because the fixtures' cardinality sits in the
+# sketches' exact sparse mode (see the golden docstrings) — changing lgk
+# or the estimate cast WILL break them. The approximate high-cardinality
+# regime is pinned by tolerance tests (tests/test_functions.py).
 
 
 def hll_partial_sketches(
@@ -213,6 +216,18 @@ def kll_quantiles_rollup(
     ``quantiles`` -> columns ``q_<pct>``. Percentiles are not mergeable
     exactly; the KLL sketch is how a 100 TB pipeline keeps re-aggregable
     latency/length distributions."""
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be non-empty, each in [0,1]: {quantiles}")
+    # column names come from the float repr: sanitize '.', '-', '+' (e.g.
+    # 1e-05 -> q_1em05) and refuse duplicates, which would produce two
+    # identically named output columns and ambiguous row access
+    names = [
+        "q_" + str(q).replace(".", "_").replace("-", "m").replace("+", "p")
+        for q in qs
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles: {quantiles}")
     partial = df.groupBy(*group_cols).agg(
         F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("__k")
     )
@@ -220,9 +235,7 @@ def kll_quantiles_rollup(
         F.kll_merge_agg_double("__k").alias("__m")
     )
     qcols = [
-        F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))).alias(
-            f"q_{str(q).replace('.', '_')}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(q)).alias(name)
+        for q, name in zip(qs, names)
     ]
     return merged.select(*rollup_cols, *qcols)

@@ -931,3 +931,17 @@ def test_kll_quantiles_rollup_rank_tolerance(spark):
     row = kll_quantiles_rollup(df, ["g"], "v", [0.5, 0.95]).first()
     assert abs(row["q_0_5"] - 0.5 * n) / n < 0.05
     assert abs(row["q_0_95"] - 0.95 * n) / n < 0.05
+
+
+def test_kll_quantiles_rollup_name_sanitization_and_validation(spark):
+    """Column names survive scientific-notation floats; duplicate or
+    out-of-range quantiles raise instead of emitting ambiguous columns."""
+    from mr_dice_spark.operators.sketch import kll_quantiles_rollup
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    out = kll_quantiles_rollup(df, ["g"], "v", [1e-05, 0.5])
+    assert out.columns == ["q_1em05", "q_0_5"]
+    for bad in ([], [0.5, 0.50], [1.5], [-0.1]):
+        with pytest.raises(ValueError):
+            kll_quantiles_rollup(df, ["g"], "v", bad)
