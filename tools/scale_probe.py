@@ -63,6 +63,8 @@ PROBES = [
     "cosine_topk_truncate_rerank",
     "token_budget_sample_by_lang",
     "split_contamination_audit",
+    "hll_rollup_distinct_users",
+    "theta_overlap_event_types",
 ]
 
 
