@@ -945,3 +945,48 @@ def test_kll_quantiles_rollup_name_sanitization_and_validation(spark):
     for bad in ([], [0.5, 0.50], [1.5], [-0.1]):
         with pytest.raises(ValueError):
             kll_quantiles_rollup(df, ["g"], "v", bad)
+
+
+def test_split_thresholds_properties_hypothesis():
+    """Property-based: for ANY valid split spec — bounds are monotone
+    non-decreasing, the tail is pinned to the full bucket space (no key
+    can be unassigned), names survive in order, and scaling every
+    fraction by a constant changes nothing (ratio semantics)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mr_dice_spark.operators.sampling import _BUCKETS, split_thresholds
+
+    # fractions are 0 or >= 1e-3: a 5e-324 denormal would underflow to 0
+    # under the scaling check below — caller-error territory, not the
+    # invariance under test
+    specs = st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            st.one_of(
+                st.just(0.0), st.floats(min_value=1e-3, max_value=1e6)
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    ).filter(
+        lambda s: sum(f for _, f in s) > 0
+        and len({n for n, _ in s}) == len(s)
+    )
+
+    @given(spec=specs, scale=st.floats(min_value=1e-3, max_value=1e3))
+    @settings(max_examples=200, deadline=None)
+    def check(spec, scale):
+        bounds = split_thresholds(spec)
+        uppers = [u for _, u in bounds]
+        assert uppers == sorted(uppers)
+        assert bounds[-1][1] == _BUCKETS
+        assert [n for n, _ in bounds] == [n for n, _ in spec]
+        assert all(0 <= u <= _BUCKETS for u in uppers)
+        scaled = split_thresholds([(n, f * scale) for n, f in spec])
+        # identical thresholds under uniform scaling, modulo the one-ulp
+        # float division wiggle (f*scale)/(total*scale) can introduce
+        for (_, a), (_, b) in zip(bounds, scaled):
+            assert abs(a - b) <= 8
+
+    check()
