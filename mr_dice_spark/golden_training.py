@@ -350,3 +350,100 @@ def split_contamination_audit_docs(spark: SparkSession, sf_dir: str) -> DataFram
         _r("share", 6).alias("share"),
         "contaminated",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality-stratified curriculum mixture (LM score -> quartile -> mixture)
+# ---------------------------------------------------------------------------
+
+CURRICULUM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM toks WHERE t <> '' GROUP BY doc_id, t
+),
+vocab AS (SELECT t, SUM(c) AS cw FROM dw GROUP BY t),
+tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM vocab),
+s AS (
+  SELECT doc_id,
+         ROUND(1e-9 + SUM(c * (ln(n) - ln(CAST(cw AS DOUBLE)))) / SUM(c), 6) AS q
+  FROM dw JOIN vocab USING (t) CROSS JOIN tot
+  GROUP BY doc_id
+),
+th AS (
+  SELECT quantile_cont(q, 0.25) AS t1,
+         quantile_cont(q, 0.50) AS t2,
+         quantile_cont(q, 0.75) AS t3
+  FROM s
+),
+b AS (
+  SELECT doc_id, q,
+         CASE WHEN q <= t1 + 1e-9 THEN 'b0'
+              WHEN q <= t2 + 1e-9 THEN 'b1'
+              WHEN q <= t3 + 1e-9 THEN 'b2'
+              ELSE 'b3' END AS bucket
+  FROM s, th
+),
+r AS (
+  SELECT doc_id, q, bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket
+           ORDER BY CAST(('0x' || substring(md5('cur/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM b
+)
+SELECT doc_id, bucket, q
+FROM r
+WHERE rn <= CASE bucket WHEN 'b0' THEN 40 WHEN 'b1' THEN 30
+                        WHEN 'b2' THEN 20 WHEN 'b3' THEN 10 ELSE 0 END
+ORDER BY bucket, doc_id
+"""
+
+
+@golden(
+    "quality_bucketed_mixture",
+    CURRICULUM_ORACLE,
+    tags=("sampling", "mixture", "quality", "pipeline"),
+)
+def quality_bucketed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-mixture pipeline end-to-end: corpus-self-trained unigram
+    LM score per doc -> exact quartile thresholds (broadcast scalars,
+    nudged +1e-9 so a rounded score sitting exactly on an interpolated
+    boundary buckets identically in both engines) -> deterministic
+    40/30/20/10 mixture across quality buckets, fluent-most first. The
+    oracle restates the whole chain; like mixture_sample_by_lang it
+    hardcodes the uncapped largest-remainder quotas, valid because every
+    quartile bucket holds >= 25% of the corpus >= its quota at oracle
+    scale (availability-capping is unit-tested, not reachable here)."""
+    from mr_dice_spark.operators.sampling import mixture_sample
+    from mr_dice_spark.operators.terms import unigram_lm_score
+
+    docs = Catalog(spark, sf_dir).documents
+    scores = unigram_lm_score(docs, "doc_id", "text")
+    s = scores.select(
+        "doc_id", _r("avg_neg_logprob", 6).alias("q")
+    )
+    th = s.agg(
+        F.percentile("q", F.lit(0.25)).alias("__t1"),
+        F.percentile("q", F.lit(0.50)).alias("__t2"),
+        F.percentile("q", F.lit(0.75)).alias("__t3"),
+    )
+    eps = F.lit(1e-9)
+    b = s.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "q",
+        F.when(F.col("q") <= F.col("__t1") + eps, "b0")
+        .when(F.col("q") <= F.col("__t2") + eps, "b1")
+        .when(F.col("q") <= F.col("__t3") + eps, "b2")
+        .otherwise("b3")
+        .alias("bucket"),
+    )
+    out = mixture_sample(
+        b, "bucket",
+        {"b0": 0.4, "b1": 0.3, "b2": 0.2, "b3": 0.1},
+        100, "doc_id", seed="cur/",
+    )
+    return out.select("doc_id", "bucket", "q").orderBy("bucket", "doc_id")

@@ -230,7 +230,14 @@ def mixture_sample(
     return (
         df.join(quota, group_col)
         .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= F.col("__quota"))
+        # the LITERAL max-quota bound is what enables WindowGroupLimit
+        # (map-side per-group pruning needs a constant limit — a bare
+        # rank <= column comparison shuffles whole groups); the column
+        # comparison then applies each group's exact quota
+        .where(
+            (F.col("__rn") <= F.lit(int(max(alloc.values(), default=0))))
+            & (F.col("__rn") <= F.col("__quota"))
+        )
         .drop("__rn", "__quota")
     )
 

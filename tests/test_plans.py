@@ -709,3 +709,13 @@ def test_theta_overlap_pairs_tiny_nonequi_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_bucketed_mixture_plan_shape(spark, sf_dir):
+    """The curriculum mixture: quartile thresholds join as a broadcast
+    scalar, the per-bucket top-n is WindowGroupLimit-pruned map-side, and
+    nothing degrades to a CartesianProduct."""
+    df = GOLDEN["quality_bucketed_mixture"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
