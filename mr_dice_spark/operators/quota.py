@@ -207,10 +207,18 @@ def fair_quota_topk(
         quota_df = spark.createDataFrame(quota_rows, [clause_col, ucol, "__quota"])
 
     w = Window.partitionBy(clause_col, ucol).orderBy(*order_by)
+    # literal max-quota bound first: WindowGroupLimit needs a CONSTANT
+    # limit to prune per-group rows map-side — rank <= column alone would
+    # shuffle whole groups; the column comparison then applies each
+    # group's exact water-fill quota
+    max_q = max((q for _, _, q in quota_rows), default=0)
     out = (
         df.join(F.broadcast(quota_df), [clause_col, ucol])
         .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= F.col("__quota"))
+        .where(
+            (F.col("__rn") <= F.lit(int(max_q)))
+            & (F.col("__rn") <= F.col("__quota"))
+        )
         .drop("__rn", "__quota")
     )
     return out.drop("__url") if url_col is None else out

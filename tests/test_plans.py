@@ -719,3 +719,13 @@ def test_quality_bucketed_mixture_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_fair_quota_and_mixture_use_window_group_limit(spark, sf_dir):
+    """Per-group quota filters carry a LITERAL max-quota bound alongside
+    the per-group quota column so Spark prunes each group map-side
+    (WindowGroupLimit) instead of shuffling whole groups."""
+    for name in ("fair_quota_topk_events", "mixture_sample_by_lang"):
+        df = GOLDEN[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
