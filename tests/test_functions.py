@@ -990,3 +990,58 @@ def test_split_thresholds_properties_hypothesis():
             assert abs(a - b) <= 8
 
     check()
+
+
+def test_token_budget_sample_properties_hypothesis(spark):
+    """Property-based: for random corpora and budgets, each group's kept
+    set is a PREFIX of its hash order, every kept row's prior spend is
+    under budget, and the overshoot is bounded by the crossing doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mr_dice_spark.operators.sampling import hash_bucket, token_budget_sample
+
+    corpora = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),      # doc id (deduped below)
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=50),       # token count
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+    budgets = st.fixed_dictionaries(
+        {g: st.integers(min_value=0, max_value=200) for g in ("g1", "g2")}
+    )
+
+    @given(rows=corpora, bud=budgets)
+    @settings(max_examples=15, deadline=None)
+    def check(rows, bud):
+        df = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long")
+        out = token_budget_sample(df, "grp", bud, "n_tok", "doc_id", seed="h")
+        kept = out.collect()
+        assert all(r["grp"] in bud for r in kept)          # unlisted groups drop
+        hv = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", hash_bucket(F.col("doc_id"), "h").alias("h")
+            ).collect()
+        }
+        by_grp_all = {}
+        for d, g, n in rows:
+            by_grp_all.setdefault(g, []).append((hv[d], d, n))
+        kept_by_grp = {}
+        for r in kept:
+            kept_by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+        for g, budget in bud.items():
+            order = sorted(by_grp_all.get(g, []))
+            spend, expect = 0, set()
+            for _, d, n in order:
+                if spend >= budget:
+                    break
+                expect.add(d)
+                spend += n
+            assert kept_by_grp.get(g, set()) == expect, (g, budget)
+
+    check()
