@@ -24,27 +24,42 @@ from mr_dice_spark.operators.sampling import split_assign, split_thresholds
 # deterministic train/val/test split
 # ---------------------------------------------------------------------------
 
+def _bucket_sql(expr: str, seed: str) -> str:
+    """DuckDB restatement of ``sampling.hash_bucket`` (8-hex-char md5
+    prefix -> 32-bit bucket) — shared by every oracle in this module so
+    the arithmetic is stated once. (golden_pipeline's ``_phash_sql`` is
+    the 15-char/60-bit dedup-signature variant, a different hash.)"""
+    return (
+        f"CAST(('0x' || substring(md5('{seed}' || CAST({expr} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )
+
+
+# whitespace token count of documents.text, exactly as functions.text.tokens
+_N_TOKENS_SQL = (
+    r"CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)"
+)
+
+
+def _split_case_sql(splits, seed: str, expr: str = "doc_id") -> str:
+    """CASE expression assigning ``expr``'s split, thresholds taken from
+    the SAME ``split_thresholds`` call the operator compiles, so the
+    cumulative float arithmetic cannot drift between the two statements."""
+    bounds = split_thresholds(splits)
+    hv = _bucket_sql(expr, seed)
+    cases = " ".join(f"WHEN {hv} < {u} THEN '{n}'" for n, u in bounds[:-1])
+    return f"CASE {cases} ELSE '{bounds[-1][0]}' END"
+
+
 _SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 _SPLIT_SEED = "split/v1"
 
 
 def _split_oracle() -> str:
-    """The oracle takes its integer thresholds from the SAME
-    ``split_thresholds`` call the operator compiles, so the cumulative
-    float arithmetic cannot drift between the two statements."""
-    bounds = split_thresholds(_SPLITS)
-    cases = " ".join(
-        f"WHEN hv < {upper} THEN '{name}'" for name, upper in bounds[:-1]
-    )
     return f"""
-SELECT doc_id,
-       CASE {cases} ELSE '{bounds[-1][0]}' END AS split
-FROM (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5('{_SPLIT_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) AS hv
-  FROM documents
-)
+SELECT doc_id, {_split_case_sql(_SPLITS, _SPLIT_SEED)} AS split
+FROM documents
 ORDER BY doc_id
 """
 
@@ -64,12 +79,9 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-adaptive length outlier gate
 # ---------------------------------------------------------------------------
 
-LENGTH_FILTER_ORACLE = r"""
+LENGTH_FILTER_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id,
-         CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
-                   ELSE len(string_split_regex(trim(text), '\s+')) END
-              AS BIGINT) AS n_tokens
+  SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens
   FROM documents
 ),
 b AS (
@@ -215,11 +227,8 @@ def _budget_oracle() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
-                   ELSE len(string_split_regex(trim(text), '\\s+')) END
-              AS BIGINT) AS n_tokens,
-         CAST(('0x' || substring(md5('{_BUDGET_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) AS hv
+         {_N_TOKENS_SQL} AS n_tokens,
+         {_bucket_sql("doc_id", _BUDGET_SEED)} AS hv
   FROM documents
 ),
 c AS (
@@ -277,15 +286,7 @@ _LEAK_SEED = "leak/v1"
 
 
 def _leak_oracle() -> str:
-    from mr_dice_spark.operators.sampling import split_thresholds
-
-    bounds = split_thresholds(_LEAK_SPLITS)
-    hv = (
-        f"CAST(('0x' || substring(md5('{_LEAK_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8)) "
-        "AS BIGINT)"
-    )
-    cases = " ".join(f"WHEN {hv} < {u} THEN '{n}'" for n, u in bounds[:-1])
-    split_expr = f"CASE {cases} ELSE '{bounds[-1][0]}' END"
+    split_expr = _split_case_sql(_LEAK_SPLITS, _LEAK_SEED)
     return f"""
 WITH a AS (
   SELECT doc_id, text, {split_expr} AS split FROM documents
@@ -356,7 +357,7 @@ def split_contamination_audit_docs(spark: SparkSession, sf_dir: str) -> DataFram
 # quality-stratified curriculum mixture (LM score -> quartile -> mixture)
 # ---------------------------------------------------------------------------
 
-CURRICULUM_ORACLE = r"""
+CURRICULUM_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
   FROM documents
@@ -390,7 +391,7 @@ r AS (
   SELECT doc_id, q, bucket,
          ROW_NUMBER() OVER (
            PARTITION BY bucket
-           ORDER BY CAST(('0x' || substring(md5('cur/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+           ORDER BY {_bucket_sql("doc_id", "cur/")},
                     doc_id
          ) AS rn
   FROM b
@@ -423,9 +424,12 @@ def quality_bucketed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     scores = unigram_lm_score(docs, "doc_id", "text")
+    # the scored frame feeds FOUR consumers (threshold aggregate, bucket
+    # projection, mixture's group-count collect, final output) — without
+    # materialization Catalyst re-runs the whole LM chain per consumer
     s = scores.select(
         "doc_id", _r("avg_neg_logprob", 6).alias("q")
-    )
+    ).localCheckpoint(eager=True)
     th = s.agg(
         F.percentile("q", F.lit(0.25)).alias("__t1"),
         F.percentile("q", F.lit(0.50)).alias("__t2"),

@@ -126,12 +126,14 @@ def split_contamination_audit(
     its gram set must never broadcast; the membership test shuffles on
     the gram key instead — plus one id-keyed hash join to carry the
     split label."""
-    assigned = corpus.select(
-        F.col(id_col), F.col(text_col)
-    )
     from mr_dice_spark.operators.sampling import split_assign
 
-    assigned = split_assign(assigned, id_col, splits=splits, seed=seed)
+    assigned = split_assign(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        splits=splits,
+        seed=seed,
+    )
     train = assigned.where(F.col("split") == train_split)
     eval_ = assigned.where(F.col("split") != train_split)
     stats = contamination_stats(
