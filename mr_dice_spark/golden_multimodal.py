@@ -237,3 +237,39 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate", "n_channels")
     )
+
+
+@golden(
+    "multimodal_avi_sample_extraction",
+    SAMPLE_EXTRACTION_ORACLE,
+    tags=("multimodal", "video", "avi", "extract"),
+)
+def multimodal_avi_sample_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AVI twin of multimodal_sample_extraction: the fixture packs
+    each document's bytes into a RIFF/AVI with one REAL 00dc movi chunk
+    per 32-byte piece (word-aligned), the probe reads avih's frame count,
+    and extract_frames dispatches to the movi chunk walk
+    (codecs.avi_sample_slices) to slice each frame's true (offset, size)
+    range. Same oracle as the MP4 twin — both containers must recover
+    byte-identical samples from the same documents — so a pad-byte or
+    alignment error anywhere in the RIFF walk breaks the hash."""
+    from mr_dice_spark.multimodal.codecs import encode_avi_stub
+    from mr_dice_spark.multimodal.ops import extract_frames
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "").encode("utf-8")
+            pieces = [b[i : i + 32] for i in range(0, len(b), 32)][:64] or [b""]
+            out.append(encode_avi_stub(320, 240, 0, 25.0, samples=pieces))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    probed = probe_videos(media, id_cols=["doc_id"])
+    sampled = sample_frames(probed, target=8, id_cols=["doc_id"])
+    frames = extract_frames(media, sampled, id_cols=["doc_id"])
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")

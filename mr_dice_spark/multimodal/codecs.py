@@ -811,13 +811,28 @@ def encode_mp4_stub(
     return build(offsets) + box(b"mdat", mdat_body)
 
 
-def encode_avi_stub(width: int, height: int, n_frames: int, fps: float) -> bytes:
-    """Minimal valid AVI header (RIFF/AVI LIST hdrl with avih; no movi).
+def encode_avi_stub(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: float,
+    samples: Optional[list] = None,
+) -> bytes:
+    """Minimal valid AVI header (RIFF/AVI LIST hdrl with avih).
     us_per_frame = 1e6 / fps, so the probe recovers fps exactly for
-    divisors of 1e6 (24/25/40 µs frames etc.)."""
+    divisors of 1e6 (24/25/40 µs frames etc.).
+
+    With ``samples`` (a list of per-frame byte strings) the file gains a
+    REAL ``LIST movi`` section — one ``00dc`` compressed-video chunk per
+    sample, RIFF word-aligned (odd-sized chunks carry a pad byte that is
+    NOT part of the data) — so avi_sample_slices round-trips true
+    container extraction; ``n_frames`` is forced to len(samples) in that
+    case (the probe reads avih's total-frames field)."""
     import struct
 
     us_per_frame = int(round(1e6 / fps)) if fps else 0
+    if samples is not None:
+        n_frames = len(samples)
     avih_body = struct.pack(
         "<IIIIIIIIIIIIII",
         us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
@@ -825,7 +840,74 @@ def encode_avi_stub(width: int, height: int, n_frames: int, fps: float) -> bytes
     avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
     hdrl_body = b"hdrl" + avih
     hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
-    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    movi = b""
+    if samples is not None:
+        chunks = b""
+        for s in samples:
+            s = bytes(s)
+            chunks += b"00dc" + struct.pack("<I", len(s)) + s
+            if len(s) % 2:  # RIFF chunks are word-aligned
+                chunks += b"\x00"
+        movi_body = b"movi" + chunks
+        movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+    )
+
+
+def avi_sample_slices(payload: bytes) -> Optional[list]:
+    """REAL frame-chunk table for an AVI payload: [(offset, size)] of each
+    video data chunk ('00dc' compressed / '00db' uncompressed) inside the
+    ``LIST movi`` section, in file order. Returns None when the payload is
+    not an AVI or has no movi section; chunks whose declared size runs
+    past the payload (truncated download / lying header) truncate the
+    list's TAIL at the first offender — same index-alignment argument as
+    mp4_sample_slices. Container-level extraction only: each slice is the
+    encoded frame, pixel decode still needs a codec library."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    out: Optional[list] = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            out = []
+            sub = pos + 12
+            end = min(pos + 8 + size, len(payload))  # lying LIST size: clamp
+            while sub + 8 <= end:
+                sc = payload[sub : sub + 4]
+                (ssize,) = struct.unpack("<I", payload[sub + 4 : sub + 8])
+                if sc[2:4] in (b"dc", b"db") and sc[:2].isdigit():
+                    if len(out) >= MAX_FRAMES:
+                        return None
+                    out.append((sub + 8, ssize))
+                sub += 8 + ssize + (ssize & 1)
+            break
+        pos += 8 + size + (size & 1)
+    if out is None:
+        return None
+    # truncate at the FIRST out-of-bounds slice (not filter): preserves
+    # index alignment for every sample returned — see mp4_sample_slices
+    cut = len(out)
+    for i, (o, s) in enumerate(out):
+        if o + s > len(payload):
+            cut = i
+            break
+    return out[:cut]
+
+
+def video_sample_slices(payload: bytes) -> Optional[list]:
+    """Container-dispatching sample table: MP4 (stsz/stsc/stco walk) or
+    AVI (movi chunk walk); None when neither container yields a table.
+    An MP4 that parses to an EMPTY table stays [] — it must not fall
+    through to the AVI parser."""
+    slices = mp4_sample_slices(payload)
+    if slices is not None:
+        return slices
+    return avi_sample_slices(payload)
 
 
 def real_decode_video(payload):  # pragma: no cover

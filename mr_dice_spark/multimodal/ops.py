@@ -268,13 +268,15 @@ def extract_frames(
     each partition's mapInPandas call slices all of its videos' requested
     frames in one Arrow batch.
 
-    frame_bytes semantics: for MP4 payloads with a sample table the slice
-    is the REAL encoded sample (access unit) — stsz/stsc/stco are walked
-    once per payload (codecs.mp4_sample_slices) and each requested index
-    slices its true (offset, size) range. Other payloads (and MP4s
-    without a sample table) keep the deterministic stub window. Decoding
-    the extracted sample to PIXELS still needs a codec library (PyAV) —
-    that swap happens in this loop with nothing upstream changing.
+    frame_bytes semantics: for MP4 payloads with a sample table
+    (stsz/stsc/stco) and AVI payloads with a movi section (00dc/00db
+    chunks) the slice is the REAL encoded sample — the container walk
+    runs once per payload (codecs.video_sample_slices) and each requested
+    index slices its true (offset, size) range. Other payloads (and
+    containers without a table) keep the deterministic stub window.
+    Decoding the extracted sample to PIXELS still needs a codec library
+    (PyAV) — that swap happens in this loop with nothing upstream
+    changing.
     """
     id_cols = id_cols or ["media_id"]
     frames = sampled.groupBy(*id_cols).agg(
@@ -296,7 +298,7 @@ def extract_frames(
                 payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
                 idxs = r["__idxs"] if r["__idxs"] is not None else []
                 try:  # sample table walked ONCE per payload, not per frame
-                    slices = codecs.mp4_sample_slices(payload)
+                    slices = codecs.video_sample_slices(payload)
                 except Exception:
                     slices = None
                 for idx in idxs:

@@ -750,3 +750,56 @@ def test_decode_pixels_agrees_with_probe_on_bmp_plausibility():
     )
     assert codecs.real_probe_image(bogus) is None
     assert codecs.decode_pixels(bogus) is None
+
+
+def test_avi_sample_slices_round_trip_and_adversarial():
+    """movi chunk walk: exact round trip (including empty and odd-sized
+    word-aligned samples), tail truncation on a cut download, None for
+    non-AVI / header-only AVI, MP4-vs-AVI dispatch, and a lying LIST
+    size clamped to the payload."""
+    import struct
+
+    from mr_dice_spark.multimodal.codecs import (
+        avi_sample_slices,
+        encode_avi_stub,
+        encode_mp4_stub,
+        video_sample_slices,
+    )
+
+    pieces = [b"hello", b"", b"x" * 33, b"odd"]
+    p = encode_avi_stub(320, 240, 0, 25.0, samples=pieces)
+    sl = avi_sample_slices(p)
+    assert [p[o : o + s] for o, s in sl] == pieces
+    assert video_sample_slices(p) == sl
+    # cut mid-third-sample: only the first two survive (tail truncation,
+    # never a mid-list gap)
+    cut = avi_sample_slices(p[: sl[2][0] + 5])
+    assert [p[o : o + s] for o, s in cut] == pieces[:2]
+    assert avi_sample_slices(b"RIFFxxxxWAVE") is None          # not AVI
+    assert avi_sample_slices(encode_avi_stub(64, 64, 9, 25.0)) is None  # no movi
+    m = encode_mp4_stub(64, 64, 0, 24.0, samples=pieces)
+    assert [m[o : o + s] for o, s in video_sample_slices(m)] == pieces
+    # lying movi LIST size (larger than the file): walk clamps, no raise
+    lying = bytearray(p)
+    list_pos = p.find(b"movi") - 8
+    struct.pack_into("<I", lying, list_pos + 4, 0x7FFFFFFF)
+    sl2 = avi_sample_slices(bytes(lying))
+    assert sl2 is not None
+    assert all(o + s <= len(lying) for o, s in sl2)
+
+
+def test_avi_sample_slices_corruption_fuzz():
+    """Single-byte corruptions anywhere in a sampled AVI must never make
+    the slicer raise or emit an out-of-bounds slice."""
+    from mr_dice_spark.multimodal.codecs import avi_sample_slices, encode_avi_stub
+
+    samples = [bytes([i]) * (3 + i % 7) for i in range(9)]
+    p = encode_avi_stub(64, 64, 0, 25.0, samples=samples)
+    for off in range(0, len(p), 3):
+        for flip in (0x01, 0xFF):
+            mutated = bytearray(p)
+            mutated[off] ^= flip
+            mb = bytes(mutated)
+            sl = avi_sample_slices(mb)  # must not raise
+            if sl is not None:
+                assert all(o >= 0 and s >= 0 and o + s <= len(mb) for o, s in sl), (off, flip)
