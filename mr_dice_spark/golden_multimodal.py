@@ -273,3 +273,65 @@ def multimodal_avi_sample_extraction(spark: SparkSession, sf_dir: str) -> DataFr
     return frames.select(
         "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
     ).orderBy("doc_id", "frame_idx")
+
+
+AHASH_DEDUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, rpad(substr(COALESCE(text, ''), 1, 192), 192, 'x') AS s
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+             LEAST(unicode(substr(s, CAST(3 * i + 1 AS INT), 1)), 255)
+           + LEAST(unicode(substr(s, CAST(3 * i + 2 AS INT), 1)), 255)
+           + LEAST(unicode(substr(s, CAST(3 * i + 3 AS INT), 1)), 255)) AS g3
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(g3, x ->
+             CASE WHEN x * 64 > list_sum(g3) THEN '1' ELSE '0' END),
+           'string_agg', '') AS ahash_bits
+  FROM px
+)
+SELECT doc_id, ahash_bits,
+       doc_id = MIN(doc_id) OVER (PARTITION BY ahash_bits) AS is_canonical
+FROM h
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "image_ahash_dedup",
+    AHASH_DEDUP_ORACLE,
+    tags=("multimodal", "image", "dedup", "ahash"),
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup from REAL pixels end-to-end: the fixture
+    packs each document's first 192 code points (x-padded, clipped to
+    255) as an 8x8x3 BMP, and the operator pixel-decodes it
+    (codecs.decode_pixels: BGR un-swap + bottom-up un-flip) and computes
+    the average hash with the INTEGER mean-threshold (gray3*64 > total),
+    so the oracle can restate the whole chain as character arithmetic —
+    any error in the BMP round trip or threshold flips the hash. The
+    canonical survivor per hash is the minimum doc id."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import encode_bmp
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = ((t or "")[:192]).ljust(192, "x")
+            vals = [min(ord(c), 255) for c in s]
+            img = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+            out.append(encode_bmp(img))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    out = image_dedup_ahash(media, id_col="doc_id")
+    return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")

@@ -990,3 +990,29 @@ def decode_audio(payload: Optional[bytes]) -> Optional[dict]:
     except Exception:
         real = None
     return real if real is not None else fake_decode_audio(payload)
+
+
+def average_hash_bits(img, hash_size: int = 8) -> str:
+    """aHash from REAL pixels: nearest-neighbor sample to
+    hash_size x hash_size, per-pixel integer gray3 (r+g+b, or 3x the
+    single channel), bit i set iff ``gray3_i * n > total`` — the
+    mean-threshold comparison stated in INTEGERS so any engine restating
+    the arithmetic gets bit-identical results (a float mean would expose
+    summation-order ulp noise at exact-boundary pixels, and uniform
+    regions sit exactly on the boundary by construction). Returned as a
+    row-major '0'/'1' string (length n), which also sidesteps int64 sign
+    pain for bit 63 in SQL restatements."""
+    import numpy as np
+
+    sampled = resize_pixels(img, hash_size, hash_size)
+    if sampled.ndim == 3:
+        if sampled.shape[2] >= 3:
+            gray3 = sampled[:, :, :3].astype(np.int64).sum(axis=2)
+        else:  # gray or gray+alpha: color channel only, scaled to match
+            gray3 = sampled[:, :, 0].astype(np.int64) * 3
+    else:
+        gray3 = sampled.astype(np.int64) * 3
+    n = hash_size * hash_size
+    total = int(gray3.sum())
+    flat = gray3.reshape(-1)
+    return "".join("1" if int(v) * n > total else "0" for v in flat)

@@ -319,3 +319,61 @@ def extract_frames(
             yield pd.DataFrame(rows)
 
     return joined.mapInPandas(run, schema=out_schema)
+
+
+def ahash_images(
+    df: DataFrame,
+    id_cols: Optional[list[str]] = None,
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash per image: ids + ``ahash_bits`` (a
+    ``hash_size²``-char '0'/'1' string from REAL decoded pixels —
+    codecs.average_hash_bits; NULL when the payload doesn't pixel-decode,
+    i.e. undecodable images are never "deduplicated" against each other
+    on a fake hash). The classic pixel-level near-dup key for image
+    corpora: byte-identical copies AND re-encodes/minor-noise variants
+    collapse to one hash. Arrow-batched scalar UDF, map-only pass."""
+    id_cols = id_cols or ["media_id"]
+
+    @F.pandas_udf("string")
+    def ah(payload: pd.Series) -> pd.Series:
+        out = []
+        for p in payload:
+            img = None
+            if p is not None:
+                try:
+                    img = codecs.decode_pixels(bytes(p))
+                except Exception:
+                    img = None
+            out.append(
+                codecs.average_hash_bits(img, hash_size) if img is not None else None
+            )
+        return pd.Series(out)
+
+    return df.select(*id_cols, ah(F.col(payload_col)).alias("ahash_bits"))
+
+
+def image_dedup_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """First-wins image dedup on the average hash: every decodable image
+    gains (ahash_bits, is_canonical) — canonical = lowest id per hash —
+    and undecodable images pass through with a NULL hash, canonical by
+    convention (never collapsed). One hash shuffle on the 64-char key,
+    the same shape as exact text dedup."""
+    from pyspark.sql import Window
+
+    hashed = ahash_images(df, id_cols=[id_col], payload_col=payload_col,
+                          hash_size=hash_size)
+    w = Window.partitionBy("ahash_bits").orderBy(F.col(id_col).asc())
+    ranked = hashed.withColumn(
+        "is_canonical",
+        F.when(F.col("ahash_bits").isNull(), F.lit(True)).otherwise(
+            F.row_number().over(w) == 1
+        ),
+    )
+    return ranked

@@ -803,3 +803,39 @@ def test_avi_sample_slices_corruption_fuzz():
             sl = avi_sample_slices(mb)  # must not raise
             if sl is not None:
                 assert all(o >= 0 and s >= 0 and o + s <= len(mb) for o, s in sl), (off, flip)
+
+
+def test_average_hash_properties_and_dedup(spark):
+    """aHash: uniform images hash to all-zeros (integer threshold is
+    strict); a pixel-doubled upscale of the same image hashes identically
+    (re-encode/resolution-invariance — the property that makes it a
+    dedup key); undecodable payloads keep a NULL hash and stay canonical
+    rather than collapsing together."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import average_hash_bits, encode_bmp
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert average_hash_bits(np.full((8, 8, 3), 7, dtype=np.uint8)) == "0" * 64
+    up = base.repeat(2, axis=0).repeat(2, axis=1)  # 16x16 pixel-doubled
+    assert average_hash_bits(base) == average_hash_bits(up)
+    # gray (2-D) path scales the single channel
+    g = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    assert len(average_hash_bits(g)) == 64
+
+    df = spark.createDataFrame(
+        [
+            (1, encode_bmp(base)),
+            (2, encode_bmp(up)),          # near-dup of 1 -> not canonical
+            (3, b"not an image at all"),  # NULL hash, canonical
+            (4, None),                    # NULL payload, canonical
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_dedup_ahash(df).collect()}
+    assert rows[1]["ahash_bits"] == rows[2]["ahash_bits"] is not None
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    assert rows[3]["ahash_bits"] is None and rows[3]["is_canonical"]
+    assert rows[4]["ahash_bits"] is None and rows[4]["is_canonical"]
