@@ -1,6 +1,8 @@
 from mr_dice_spark.multimodal.ops import (
+    ahash_images,
     extract_frames,
     audio_features,
+    image_dedup_ahash,
     image_features,
     payload_from_text,
     probe_audio,
@@ -18,6 +20,8 @@ from mr_dice_spark.multimodal.schema import (
 )
 
 __all__ = [
+    "ahash_images",
+    "image_dedup_ahash",
     "extract_frames",
     "AUDIO_META",
     "IMAGE_META",

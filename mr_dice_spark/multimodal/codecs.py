@@ -858,10 +858,16 @@ def encode_avi_stub(
 def avi_sample_slices(payload: bytes) -> Optional[list]:
     """REAL frame-chunk table for an AVI payload: [(offset, size)] of each
     video data chunk ('00dc' compressed / '00db' uncompressed) inside the
-    ``LIST movi`` section, in file order. Returns None when the payload is
-    not an AVI or has no movi section; chunks whose declared size runs
-    past the payload (truncated download / lying header) truncate the
-    list's TAIL at the first offender — same index-alignment argument as
+    ``LIST movi`` section, in file order — descending into ``LIST rec ``
+    interleave groups (CD-ROM-optimized muxers wrap frame runs in them;
+    skipping them would serve frame k's bytes under index j) and keeping
+    only the FIRST dc/db-bearing stream id (a second video stream's
+    chunks interleaved into the table would break the index's alignment
+    with the probe's avih frame count, the same single-track rule the MP4
+    path enforces via _select_trak). Returns None when the payload is not
+    an AVI or has no movi section; chunks whose declared size runs past
+    the payload (truncated download / lying header) truncate the list's
+    TAIL at the first offender — same index-alignment argument as
     mp4_sample_slices. Container-level extraction only: each slice is the
     encoded frame, pixel decode still needs a codec library."""
     import struct
@@ -873,18 +879,38 @@ def avi_sample_slices(payload: bytes) -> Optional[list]:
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+        # size >= 4 guard mirrors _probe_avi's hdrl walk: a chunk whose
+        # declared body is under 4 bytes cannot CONTAIN the 'movi' type
+        # its following bytes may happen to spell
+        if fourcc == b"LIST" and size >= 4 and payload[pos + 8 : pos + 12] == b"movi":
             out = []
-            sub = pos + 12
+            stream: Optional[bytes] = None
             end = min(pos + 8 + size, len(payload))  # lying LIST size: clamp
-            while sub + 8 <= end:
-                sc = payload[sub : sub + 4]
-                (ssize,) = struct.unpack("<I", payload[sub + 4 : sub + 8])
-                if sc[2:4] in (b"dc", b"db") and sc[:2].isdigit():
-                    if len(out) >= MAX_FRAMES:
-                        return None
-                    out.append((sub + 8, ssize))
-                sub += 8 + ssize + (ssize & 1)
+            spans = [(pos + 12, end)]  # movi body, then any rec groups
+            while spans:
+                sub, send = spans.pop()
+                while sub + 8 <= send:
+                    sc = payload[sub : sub + 4]
+                    (ssize,) = struct.unpack("<I", payload[sub + 4 : sub + 8])
+                    if (
+                        sc == b"LIST"
+                        and ssize >= 4
+                        and payload[sub + 8 : sub + 12] == b"rec "
+                    ):
+                        # descend INTO the interleave group, in place:
+                        # its children are ordinary movi chunks
+                        spans.append((sub + 8 + ssize + (ssize & 1), send))
+                        send = min(sub + 8 + ssize, send)
+                        sub += 12
+                        continue
+                    if sc[2:4] in (b"dc", b"db") and sc[:2].isdigit():
+                        if stream is None:
+                            stream = sc[:2]
+                        if sc[:2] == stream:
+                            if len(out) >= MAX_FRAMES:
+                                return None
+                            out.append((sub + 8, ssize))
+                    sub += 8 + ssize + (ssize & 1)
             break
         pos += 8 + size + (size & 1)
     if out is None:

@@ -364,16 +364,25 @@ def image_dedup_ahash(
     gains (ahash_bits, is_canonical) — canonical = lowest id per hash —
     and undecodable images pass through with a NULL hash, canonical by
     convention (never collapsed). One hash shuffle on the 64-char key,
-    the same shape as exact text dedup."""
+    the same shape as exact text dedup.
+
+    NULL-hash rows are split out BEFORE the window: a crawled corpus can
+    hold millions of undecodable images, and partitioning them all into
+    the window's single NULL group would sort them in one straggler task
+    only to discard the rank — their verdict is a constant."""
     from pyspark.sql import Window
 
+    # the split consumes the hashed frame twice; materialize so the
+    # pixel decode + hash (the expensive Python stage) runs ONCE
+    # (same trade as decontaminate.contamination_stats's shingle sets)
     hashed = ahash_images(df, id_cols=[id_col], payload_col=payload_col,
-                          hash_size=hash_size)
+                          hash_size=hash_size).localCheckpoint(eager=True)
+    decodable = hashed.where(F.col("ahash_bits").isNotNull())
     w = Window.partitionBy("ahash_bits").orderBy(F.col(id_col).asc())
-    ranked = hashed.withColumn(
-        "is_canonical",
-        F.when(F.col("ahash_bits").isNull(), F.lit(True)).otherwise(
-            F.row_number().over(w) == 1
-        ),
+    ranked = decodable.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
     )
-    return ranked
+    passthrough = hashed.where(F.col("ahash_bits").isNull()).withColumn(
+        "is_canonical", F.lit(True)
+    )
+    return ranked.unionByName(passthrough)

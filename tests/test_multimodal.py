@@ -839,3 +839,58 @@ def test_average_hash_properties_and_dedup(spark):
     assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
     assert rows[3]["ahash_bits"] is None and rows[3]["is_canonical"]
     assert rows[4]["ahash_bits"] is None and rows[4]["is_canonical"]
+
+
+def test_avi_sample_slices_rec_groups_and_stream_selection():
+    """Interleaved AVIs wrap frame runs in 'LIST rec ' groups and may
+    carry multiple streams; the walk must descend into rec groups (no
+    mid-list index gaps) and keep only the FIRST dc/db stream id so the
+    index stays aligned with the probe's frame count (review findings)."""
+    import struct
+
+    from mr_dice_spark.multimodal.codecs import avi_sample_slices, encode_avi_stub
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+    header = encode_avi_stub(64, 64, 3, 25.0)  # hdrl only (no movi)
+    # movi: [rec [00dc 'AAAA'][01wb audio]][00dc 'BBB'][01dc 'ZZ'][rec [00dc 'CC']]
+    movi_body = (
+        lst(b"rec ", chunk(b"00dc", b"AAAA") + chunk(b"01wb", b"au"))
+        + chunk(b"00dc", b"BBB")
+        + chunk(b"01dc", b"ZZ")      # second video stream: excluded
+        + lst(b"rec ", chunk(b"00dc", b"CC"))
+    )
+    p = header + lst(b"movi", movi_body)
+    # patch the RIFF size to cover the appended movi
+    p = p[:4] + struct.pack("<I", len(p) - 8) + p[8:]
+    sl = avi_sample_slices(p)
+    assert [p[o : o + s] for o, s in sl] == [b"AAAA", b"BBB", b"CC"]
+    # a LIST declaring a sub-4-byte body whose FOLLOWING bytes spell
+    # 'movi' must not be adopted as the movi list (size >= 4 guard);
+    # the walk advances past it and finds the real movi
+    decoy = header + b"LIST" + struct.pack("<I", 2) + b"mo" + lst(
+        b"movi", chunk(b"00dc", b"REAL")
+    )
+    decoy = decoy[:4] + struct.pack("<I", len(decoy) - 8) + decoy[8:]
+    sl2 = avi_sample_slices(decoy)
+    assert sl2 is not None and [decoy[o : o + s] for o, s in sl2] == [b"REAL"]
+
+
+def test_image_dedup_ahash_null_rows_avoid_window(spark):
+    """NULL-hash rows must not enter the dedup window (straggler hazard);
+    plan check: the window input filters on ahash_bits IS NOT NULL."""
+    from mr_dice_spark.multimodal import ahash_images, image_dedup_ahash  # re-export
+
+    df = spark.createDataFrame(
+        [(1, b"junk1"), (2, b"junk2")], "media_id long, payload binary"
+    )
+    out = image_dedup_ahash(df)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert all(r["ahash_bits"] is None and r["is_canonical"] for r in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(ahash_bits" in plan
