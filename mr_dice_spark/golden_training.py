@@ -451,3 +451,83 @@ def quality_bucketed_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         100, "doc_id", seed="cur/",
     )
     return out.select("doc_id", "bucket", "q").orderBy("bucket", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet (per source x lang QA rollup)
+# ---------------------------------------------------------------------------
+
+
+def _datasheet_oracle() -> str:
+    from mr_dice_spark.functions.text import LANG_PROFILES
+    from mr_dice_spark.golden_pipeline import _lang_score_sql
+
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n         ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in langs)
+    mx = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    whens = " ".join(f"WHEN s_{lg} = mx THEN '{lg}'" for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT source, lang,
+         {_N_TOKENS_SQL} AS n_tokens,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             w -> list_contains(['the','a','an','and','or','of','to','in','is',
+                                 'it','that','for','on','with','as','was','at',
+                                 'by','this','be'], w))) * 1.0
+           / len(string_split_regex(trim(text), '\\s+')) AS swr,
+         {scores},
+         text
+  FROM documents
+),
+det AS (
+  SELECT source, lang, n_tokens, swr,
+         CASE WHEN {mx} = 0 THEN 'und' {whens} ELSE 'und' END AS detected
+  FROM (SELECT *, {mx} AS mx FROM scored)
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(1e-9 + quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       ROUND(1e-9 + AVG(swr), 6) AS avg_stopword_ratio,
+       CAST(COUNT(*) FILTER (WHERE detected <> lang) AS BIGINT) AS n_lang_mismatch
+FROM det
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@golden(
+    "corpus_datasheet",
+    _datasheet_oracle(),
+    tags=("curation", "datasheet", "quality", "documents"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) corpus datasheet a dataset release ships:
+    volume (docs, tokens), the exact median document length, stopword
+    density, and the language-ID disagreement count — one scan, one hash
+    aggregate, every signal a codegen'd expression (detect_language is
+    the marker-score CASE, restated verbatim in the oracle)."""
+    from mr_dice_spark.functions.text import detect_language, stopword_ratio, tokens
+
+    docs = Catalog(spark, sf_dir).documents
+    t = F.coalesce(F.col("text"), F.lit(""))
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(tokens(t)).cast("long").alias("n_tokens"),
+        stopword_ratio(F.col("text")).alias("swr"),
+        detect_language(F.col("text")).alias("detected"),
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            _r(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+            _r(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+            F.count_if(F.col("detected") != F.col("lang")).cast("long").alias(
+                "n_lang_mismatch"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
