@@ -279,3 +279,75 @@ def test_stream_upsert_forced_reprocess_same_checkpoint_path(spark, sf_dir, tmp_
         )
     )
     assert got == expect
+
+
+def test_streaming_exactness_under_multi_microbatch_replay(spark, sf_dir, tmp_path):
+    """The streaming goldens claim a beyond-fixture watermark makes a
+    finite replay EXACT under ANY micro-batching. Force a real 4-batch
+    replay (4 parquet files, maxFilesPerTrigger=1) and check both
+    operators: dedup still equals DISTINCT (no state eviction between
+    batches), and the stream-stream self-join still finds CROSS-batch
+    pairs (each side's buffered state survives to meet later batches)."""
+    from mr_dice_spark.streaming import (
+        dedup_stream,
+        read_events_stream,
+        stream_stream_interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = Catalog(spark, sf_dir).events.limit(2000)
+    src = str(tmp_path / "ev4")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    n_files = len([p for p in __import__("os").listdir(src) if p.endswith(".parquet")])
+    assert n_files >= 4  # precondition: a genuinely multi-batch replay
+
+    batch = spark.read.parquet(src)
+    want_keys = sorted(
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    )
+    s = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        dedup_stream(s, ["user_id", "event_type"], watermark="3650 days")
+        .select("user_id", "event_type"),
+        "mb_dedup",
+        output_mode="append",
+    )
+    try:
+        got = sorted(
+            (r["user_id"], r["event_type"])
+            for r in spark.table("mb_dedup").collect()
+        )
+        assert got == want_keys
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    cond_pairs = (
+        batch.alias("a")
+        .join(
+            batch.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 minutes"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .select(F.col("a.event_id").alias("l"), F.col("b.event_id").alias("r"))
+    )
+    want_pairs = sorted((r["l"], r["r"]) for r in cond_pairs.collect())
+    left = read_events_stream(spark, src, max_files_per_trigger=1)
+    right = read_events_stream(spark, src, max_files_per_trigger=1)
+    j = stream_stream_interval_join(
+        left, right, key="user_id", within="30 minutes", watermark="3650 days"
+    ).where(F.col("l.event_id") != F.col("r.event_id"))
+    q2 = run_stream_to_memory(
+        j.select(F.col("l.event_id").alias("l"), F.col("r.event_id").alias("r")),
+        "mb_join",
+        output_mode="append",
+    )
+    try:
+        got_pairs = sorted((r["l"], r["r"]) for r in spark.table("mb_join").collect())
+        assert got_pairs == want_pairs
+    finally:
+        q2.stop()
