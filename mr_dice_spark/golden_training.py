@@ -531,3 +531,49 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier QA (distance-to-centroid z-score)
+# ---------------------------------------------------------------------------
+
+EMB_OUTLIER_ORACLE = """
+WITH t AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT label, CAST(g.i AS INT) AS pos, v[CAST(g.i AS INT)] AS x
+  FROM t, UNNEST(generate_series(1, len(v))) AS g(i)
+),
+c AS (SELECT label, pos, AVG(x) AS cx FROM e GROUP BY label, pos),
+cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM c GROUP BY label),
+d AS (
+  SELECT t.vec_id, t.label,
+         1.0 - list_cosine_similarity(t.v, cent.cv) AS dist
+  FROM t JOIN cent USING (label)
+),
+s AS (SELECT label, AVG(dist) AS mu, stddev_samp(dist) AS sd FROM d GROUP BY label)
+SELECT d.vec_id, d.label,
+       ROUND(1e-9 + dist, 6) AS dist,
+       ROUND(1e-9 + (dist - mu) / sd, 4) AS z,
+       COALESCE(ROUND(1e-9 + (dist - mu) / sd, 4) > 3.0, false) AS outlier
+FROM d JOIN s USING (label)
+ORDER BY vec_id
+"""
+
+
+@golden(
+    "embedding_outlier_flags",
+    EMB_OUTLIER_ORACLE,
+    tags=("similarity", "quality", "outlier", "embeddings"),
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store QA (embedding_outliers): cosine distance to the
+    label centroid, per-label z-score, outlier flag at z > 3 — the cheap
+    mislabeled-row / corrupt-vector screen run before an index build.
+    Centroids come from a (label, dim) hash aggregate and broadcast back;
+    z compares after nudge-rounding so the flag is engine-exact."""
+    from mr_dice_spark.operators.similarity import embedding_outliers
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return embedding_outliers(emb, "vec_id", "embedding", "label").orderBy("vec_id")

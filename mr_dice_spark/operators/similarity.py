@@ -846,3 +846,59 @@ def cosine_topk_truncate_rerank(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    z_threshold: float = 3.0,
+    round_dist: int = 6,
+    round_z: int = 4,
+) -> DataFrame:
+    """Embedding-store QA: flag vectors whose cosine distance to their
+    GROUP centroid is a z-score outlier — the cheap screen for mislabeled
+    rows, corrupt embeddings, and drift before an index build. Output:
+    ``(id, group, dist, z, outlier)``; a single-member group has no
+    sample stddev, so its z is NULL and ``outlier`` false by convention.
+
+    Scale shape: posexplode -> (group, dim) hash aggregate for the
+    centroids (the reduce side carries group x dim cells, never vectors),
+    centroids re-assembled and BROADCAST back (groups x dim doubles — KBs
+    for any realistic label space), distances in one narrow pass, then a
+    second tiny (group) aggregate for mean/stddev, broadcast again. Two
+    corpus scans, no corpus-sized shuffle. ``z`` compares AFTER nudge-
+    rounding so the flag cannot flip on cross-engine double noise."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), F.col(group_col), v.alias("__v"))
+    cent = (
+        base.select(group_col, F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy(group_col, "__pos")
+        .agg(F.avg("__x").alias("__cx"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__cx"))),
+                lambda s: s["__cx"],
+            ).alias("__cent")
+        )
+    )
+    with_dist = base.join(F.broadcast(cent), group_col).select(
+        id_col,
+        group_col,
+        (F.lit(1.0) - cosine(F.col("__v"), F.col("__cent"))).alias("__dist"),
+    )
+    stats = with_dist.groupBy(group_col).agg(
+        F.avg("__dist").alias("__mu"), F.stddev("__dist").alias("__sd")
+    )
+    z = F.round(
+        (F.col("__dist") - F.col("__mu")) / F.col("__sd") + F.lit(1e-9), round_z
+    )
+    return with_dist.join(F.broadcast(stats), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(F.col("__dist") + F.lit(1e-9), round_dist).alias("dist"),
+        z.alias("z"),
+        F.coalesce(z > F.lit(float(z_threshold)), F.lit(False)).alias("outlier"),
+    )

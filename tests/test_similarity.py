@@ -378,3 +378,22 @@ def test_truncate_rerank_rejects_short_query(spark):
     )
     with _pytest.raises(ValueError, match="fewer than coarse_dims"):
         cosine_topk_truncate_rerank(df, "vec_id", "embedding", [1.0] * 8, coarse_dims=16)
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    """A planted far-away vector is flagged; inliers are not; a
+    single-member group gets NULL z and outlier=false (no sample
+    stddev), never a crash."""
+    import random
+
+    from mr_dice_spark.operators.similarity import embedding_outliers
+
+    rng = random.Random(5)
+    rows = [(i, 0, [1.0 + rng.gauss(0, 0.01) for _ in range(8)]) for i in range(40)]
+    rows.append((99, 0, [-1.0] * 8))          # opposite direction: huge dist
+    rows.append((100, 1, [0.5] * 8))          # singleton group
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_outliers(df).collect()}
+    assert out[99]["outlier"] and out[99]["z"] > 3
+    assert sum(1 for r in out.values() if r["outlier"]) == 1
+    assert out[100]["z"] is None and out[100]["outlier"] is False
