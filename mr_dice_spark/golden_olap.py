@@ -360,3 +360,19 @@ def theta_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap_matrix(ev, "event_type", "user_id", lgk=12).orderBy(
         "g_a", "g_b"
     )
+
+
+@golden("kll_quantiles_daily_rollup", None, tags=("sketch", "kll", "rollup", "rows-only"))
+def kll_quantiles_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: per-day KLL sketches of events.value merged to
+    ONE global distribution and read at p50/p95/p99 — the re-aggregable
+    latency/length-distribution pattern (exact percentiles cannot merge).
+    Rows-only by design: KLL estimates are deterministic but
+    engine-specific (DuckDB has no DataSketches KLL), so accuracy is
+    pinned by the rank-tolerance test in tests/test_functions.py instead
+    of a SQL hash."""
+    from mr_dice_spark.operators.sketch import kll_quantiles_rollup
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
+    return kll_quantiles_rollup(ev, ["day"], "value", [0.5, 0.95, 0.99])
