@@ -555,8 +555,8 @@ d AS (
 s AS (SELECT label, AVG(dist) AS mu, stddev_samp(dist) AS sd FROM d GROUP BY label)
 SELECT d.vec_id, d.label,
        ROUND(1e-9 + dist, 6) AS dist,
-       ROUND(1e-9 + (dist - mu) / sd, 4) AS z,
-       COALESCE(ROUND(1e-9 + (dist - mu) / sd, 4) > 3.0, false) AS outlier
+       ROUND(1e-9 + (dist - mu) / NULLIF(sd, 0), 4) AS z,
+       COALESCE(ROUND(1e-9 + (dist - mu) / NULLIF(sd, 0), 4) > 3.0, false) AS outlier
 FROM d JOIN s USING (label)
 ORDER BY vec_id
 """

@@ -259,6 +259,13 @@ def token_budget_sample(
     nothing. Groups absent from ``budgets`` are dropped; a NULL token
     count folds to 0 (row kept, costs nothing).
 
+    ``key_col`` must be UNIQUE within each group: it is the only
+    tiebreak in the running-sum order, so rows sharing a key value tie
+    on both (hash, key) and their relative order — hence ``cum_before``
+    and membership at the budget boundary — would be run-dependent. The
+    property tests encode this assumption; pass a rowid-augmented key if
+    your natural key can repeat.
+
     Output: the input columns plus ``cum_before`` (tokens taken before
     this row in hash order), so callers can audit the cut.
 

@@ -892,8 +892,15 @@ def embedding_outliers(
     stats = with_dist.groupBy(group_col).agg(
         F.avg("__dist").alias("__mu"), F.stddev("__dist").alias("__sd")
     )
-    z = F.round(
-        (F.col("__dist") - F.col("__mu")) / F.col("__sd") + F.lit(1e-9), round_z
+    # sd == 0 (all group distances identical) must be NULL z in BOTH
+    # engines: Spark's x/0.0 is NULL but DuckDB's ieee division yields
+    # Inf/NaN, so an unguarded divide diverges from the oracle the moment
+    # a fixture grows a constant-distance group. Guard here, NULLIF there.
+    z = F.when(
+        F.col("__sd") > 0,
+        F.round(
+            (F.col("__dist") - F.col("__mu")) / F.col("__sd") + F.lit(1e-9), round_z
+        ),
     )
     return with_dist.join(F.broadcast(stats), group_col).select(
         F.col(id_col),

@@ -181,8 +181,13 @@ def theta_overlap_matrix(
     pair (corpus-sized); this builds one KB sketch per group and
     intersects driver-free on the #groups x #groups grid, which is tiny
     by construction (the operator targets LOW-cardinality group columns;
-    the sketch frame after the first aggregate has one row per group)."""
-    sk = df.groupBy(group_col).agg(
+    the sketch frame after the first aggregate has one row per group).
+
+    NULL group keys are EXCLUDED up front (filtered before the sketch
+    aggregate): the ``g_a < g_b`` pair join is null-unsafe, so a NULL
+    group's sketch would otherwise be built and then silently vanish
+    from the grid. Coalesce NULLs to a sentinel first if they matter."""
+    sk = df.where(F.col(group_col).isNotNull()).groupBy(group_col).agg(
         F.theta_sketch_agg(value_col, F.lit(lgk)).alias("__t")
     )
     a = sk.select(

@@ -1045,3 +1045,21 @@ def test_token_budget_sample_properties_hypothesis(spark):
             assert kept_by_grp.get(g, set()) == expect, (g, budget)
 
     check()
+
+
+def test_theta_overlap_matrix_null_group_excluded(spark):
+    """NULL group keys are filtered BEFORE the sketch aggregate (ADVICE
+    r3): the g_a < g_b pair join is null-unsafe, so an unfiltered NULL
+    group's sketch would be built and then silently vanish from the
+    grid. Non-null pairs are unaffected."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.sketch import theta_overlap_matrix
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3), (None, 1), (None, 9)],
+        "g string, v int",
+    )
+    rows = theta_overlap_matrix(df, "g", "v").collect()
+    assert [(r["g_a"], r["g_b"]) for r in rows] == [("a", "b")]
+    assert rows[0]["overlap"] == 1

@@ -397,3 +397,17 @@ def test_embedding_outliers_flags_planted_outlier(spark):
     assert out[99]["outlier"] and out[99]["z"] > 3
     assert sum(1 for r in out.values() if r["outlier"]) == 1
     assert out[100]["z"] is None and out[100]["outlier"] is False
+
+
+def test_embedding_outliers_zero_stddev_group_null_z(spark):
+    """A multi-member group whose distances are all identical (sd == 0)
+    gets NULL z / outlier=false in BOTH engines (ADVICE r3): Spark's
+    x/0.0 is NULL but DuckDB's is Inf, so the operator guards sd > 0 and
+    the oracle divides by NULLIF(sd, 0)."""
+    from mr_dice_spark.operators.similarity import embedding_outliers
+
+    rows = [(i, 7, [1.0] * 8) for i in range(5)]  # identical -> dist 0, sd 0
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = embedding_outliers(df).collect()
+    assert len(out) == 5
+    assert all(r["z"] is None and r["outlier"] is False for r in out)
