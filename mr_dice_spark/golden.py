@@ -609,3 +609,4 @@ from mr_dice_spark import golden_olap  # noqa: E402,F401  isort:skip
 from mr_dice_spark import golden_structures  # noqa: E402,F401  isort:skip
 from mr_dice_spark import golden_web  # noqa: E402,F401  isort:skip
 from mr_dice_spark import golden_training  # noqa: E402,F401  isort:skip
+from mr_dice_spark import golden_quality  # noqa: E402,F401  isort:skip

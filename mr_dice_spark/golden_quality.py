@@ -1,0 +1,361 @@
+"""Golden corpus part 9: rule-based quality filtering and tokenizer
+statistics — the Gopher document gate, the C4 line-cleaning pass, BPE
+pair counts, and n-gram novelty.
+
+All four are beyond-reference training-data operators (nearest reference
+analogue: the projection/cleaning stage, SURVEY.md §2.2) implementing the
+published heuristics (Rae et al. 2021 Table A1; Raffel et al. 2020 §2.2;
+Sennrich et al. 2016) that screen every web-scale pretraining corpus.
+
+The documents fixture is single-line word salad, so the two line-level
+goldens reshape it into deterministic multi-line pages first (the same
+8-word-chunk device as ``line_dedup_boilerplate``), planting duplicate
+lines / terminal punctuation / 'javascript' / braces / 'lorem ipsum'
+markers arithmetically from ``doc_id`` so both engines rebuild the exact
+same corpus and every rule fires on some page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_dice_spark.catalog import Catalog
+from mr_dice_spark.golden import golden
+
+# ---------------------------------------------------------------------------
+# shared reshape: 8-word lines
+# ---------------------------------------------------------------------------
+
+_CHUNK = 8
+
+# DuckDB restatement of the 8-word-line list (before any per-golden
+# decoration); ``w`` is the whitespace-token list CTE column
+_CHUNKS_SQL = (
+    "list_transform("
+    "  generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),"
+    "  i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))"
+)
+
+
+def _word_chunks(w):
+    nch = F.ceil(F.size(w) / F.lit(float(_CHUNK))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(w, i * F.lit(_CHUNK) + 1, _CHUNK), " "),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document gate
+# ---------------------------------------------------------------------------
+
+# the fixture vocabulary only contains 'the' and 'a' from Gopher's English
+# stopword list, so the golden requires fixture-frequent words instead —
+# the RULE under test (>= 2 distinct required words present, word-boundary
+# match) is unchanged
+_GOPHER_STOPS = ("the", "a", "data", "table")
+_MIN_WORDS = 30
+
+_G_STOP_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+    for w in _GOPHER_STOPS
+)
+
+GOPHER_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         array_to_string(
+           CASE WHEN doc_id % 6 = 0
+                THEN list_concat({_CHUNKS_SQL}, [({_CHUNKS_SQL})[1], ({_CHUNKS_SQL})[1]])
+                ELSE {_CHUNKS_SQL} END,
+           chr(10)) AS text
+  FROM tok
+),
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM lined),
+perline AS (
+  SELECT doc_id, l,
+    CASE WHEN trim(l) = '' THEN 0
+         ELSE len(string_split_regex(trim(l), '\s+')) END AS nw,
+    length(regexp_replace(l, '\s+', '', 'g')) AS wc,
+    CASE WHEN trim(l) = '' THEN 0
+         ELSE len(list_filter(string_split_regex(trim(l), '\s+'),
+                              x -> regexp_matches(x, '[A-Za-z]'))) END AS aw,
+    CASE WHEN ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%'
+         THEN 1 ELSE 0 END AS b,
+    CASE WHEN rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'
+         THEN 1 ELSE 0 END AS e
+  FROM lines
+),
+shape AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(nw) AS BIGINT) AS n_words,
+         CAST(sum(wc) AS BIGINT) AS word_chars,
+         CAST(sum(aw) AS BIGINT) AS alpha_words,
+         CAST(sum(b) AS BIGINT) AS bullets,
+         CAST(sum(e) AS BIGINT) AS ells
+  FROM perline GROUP BY doc_id
+),
+dl AS (SELECT doc_id, l, count(*) AS c FROM lines GROUP BY doc_id, l),
+dup AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS distinct_lines,
+         CAST(sum((c - 1) * length(l)) AS BIGINT) AS dup_chars,
+         CAST(sum(c * length(l)) AS BIGINT) AS line_chars
+  FROM dl GROUP BY doc_id
+),
+docsig AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, '#', ''))) / 1.0
+           + (length(text) - length(replace(text, '...', ''))) / 3.0 AS symbols,
+         CAST({_G_STOP_SQL} AS INT) AS stopword_hits
+  FROM lined
+),
+m AS (
+  SELECT s.doc_id, s.n_lines, s.n_words,
+    CASE WHEN s.n_words > 0
+         THEN ROUND(1e-9 + CAST(s.word_chars AS DOUBLE) / s.n_words, 6) END AS mean_word_len,
+    CASE WHEN s.n_words > 0
+         THEN ROUND(1e-9 + CAST(s.alpha_words AS DOUBLE) / s.n_words, 6) END AS alpha_word_frac,
+    CASE WHEN s.n_words > 0
+         THEN ROUND(1e-9 + g.symbols / s.n_words, 6) END AS symbol_ratio,
+    CASE WHEN s.n_lines > 0
+         THEN ROUND(1e-9 + CAST(s.bullets AS DOUBLE) / s.n_lines, 6) END AS bullet_line_frac,
+    CASE WHEN s.n_lines > 0
+         THEN ROUND(1e-9 + CAST(s.ells AS DOUBLE) / s.n_lines, 6) END AS ellipsis_line_frac,
+    CASE WHEN s.n_lines > 0
+         THEN ROUND(1e-9 + CAST(s.n_lines - d.distinct_lines AS DOUBLE) / s.n_lines, 6) END AS dup_line_frac,
+    CASE WHEN d.line_chars > 0
+         THEN ROUND(1e-9 + CAST(d.dup_chars AS DOUBLE) / d.line_chars, 6) END AS dup_line_char_frac,
+    g.stopword_hits
+  FROM shape s JOIN dup d USING (doc_id) JOIN docsig g USING (doc_id)
+)
+SELECT *, COALESCE(
+    n_words BETWEEN {_MIN_WORDS} AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND symbol_ratio <= 0.1
+    AND bullet_line_frac <= 0.9
+    AND ellipsis_line_frac <= 0.3
+    AND alpha_word_frac >= 0.8
+    AND stopword_hits >= 2
+    AND dup_line_frac <= 0.3
+    AND dup_line_char_frac <= 0.2, false) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "gopher_quality_gate",
+    GOPHER_ORACLE,
+    tags=("text", "quality", "gopher", "filter"),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gate (Rae et al. 2021 Table A1) over the corpus
+    reshaped into 8-word lines, with every sixth document's first line
+    planted twice more so the duplicate-line rules fire. Two doc-keyed
+    hash aggregates + a narrow whole-text pass; see
+    operators/quality_rules.py for the 100 TB shape."""
+    from mr_dice_spark.operators.quality_rules import gopher_quality_flags
+
+    docs = Catalog(spark, sf_dir).documents
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    chunks = _word_chunks(w)
+    first = F.slice(chunks, 1, 1)
+    lines = F.when(
+        F.col("doc_id") % 6 == 0, F.concat(chunks, first, first)
+    ).otherwise(chunks)
+    lined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return gopher_quality_flags(
+        lined,
+        "doc_id",
+        "text",
+        min_words=_MIN_WORDS,
+        stopwords=_GOPHER_STOPS,
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-cleaning pass
+# ---------------------------------------------------------------------------
+
+# per-line decoration: (doc_id + i) % 4 selects '', '.', '!', or a
+# javascript marker, so each page mixes kept lines, punctuation-less
+# drops, and javascript drops; every 11th page gains a brace line and
+# every 13th a lorem-ipsum line (page-level drops)
+_C4_SUFFIXES = ("", ".", "!", ". javascript")
+
+C4_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         array_to_string(
+           list_concat(
+             list_concat(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+                 i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+                      || (['', '.', '!', '. javascript'])[CAST((doc_id + i) % 4 AS INT) + 1]),
+               CASE WHEN doc_id % 11 = 0 THEN ['{{ config }}.'] ELSE [] END),
+             CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum dolor.'] ELSE [] END),
+           chr(10)) AS text
+  FROM tok
+),
+f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS larr,
+         list_filter(string_split(text, chr(10)),
+           x -> regexp_matches(rtrim(x), '[.!?"”]$')
+                AND (CASE WHEN trim(x) = '' THEN 0
+                          ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM lined
+)
+SELECT doc_id,
+       CAST(len(larr) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       (contains(text, '{{') OR contains(text, '}}')) AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       (NOT (contains(text, '{{') OR contains(text, '}}'))
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND len(kept) >= 3) AS keep
+FROM f
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "c4_line_cleaning",
+    C4_ORACLE,
+    tags=("text", "quality", "c4", "filter", "lines"),
+)
+def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020 §2.2) over deterministically
+    decorated 8-word lines. The operator is one narrow higher-order-
+    function map — zero shuffles; the only exchange below is the final
+    presentation sort."""
+    from mr_dice_spark.operators.quality_rules import c4_line_filter
+
+    docs = Catalog(spark, sf_dir).documents
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(w) / F.lit(float(_CHUNK))).cast("int")
+    suffixes = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * F.lit(_CHUNK) + 1, _CHUNK), " "),
+            F.element_at(
+                suffixes, ((F.col("doc_id") + i) % 4).cast("int") + 1
+            ),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    brace = F.when(
+        F.col("doc_id") % 11 == 0, F.array(F.lit("{ config }."))
+    ).otherwise(empty)
+    lorem = F.when(
+        F.col("doc_id") % 13 == 0, F.array(F.lit("lorem ipsum dolor."))
+    ).otherwise(empty)
+    lined = docs.select(
+        "doc_id",
+        F.array_join(F.concat(chunks, brace, lorem), "\n").alias("text"),
+    )
+    return c4_line_filter(lined, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_K = 25
+
+BPE_ORACLE = rf"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(COALESCE(text, '')) <> ''
+),
+wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT substring(w, CAST(g.i AS INT), 2) AS pair, n
+  FROM wc, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+  WHERE length(w) >= 2
+),
+pc AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT pair, n_occurrences,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INT) AS rank
+  FROM pc
+)
+SELECT pair, n_occurrences, rank FROM ranked
+WHERE rank <= {_BPE_TOP_K}
+ORDER BY rank
+"""
+
+
+@golden(
+    "bpe_pair_merge_stats",
+    BPE_ORACLE,
+    tags=("text", "tokenizer", "bpe", "vocab"),
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step's pair table (Sennrich et al. 2016): top-25
+    adjacent character pairs across the corpus, each distinct word's
+    pairs weighted by the word's frequency. After the wordcount
+    aggregate, all work is vocabulary-sized — the property that makes
+    tokenizer training tractable at 100 TB."""
+    from mr_dice_spark.operators.vocab import bpe_pair_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    return bpe_pair_stats(docs, "text", top_k=_BPE_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE trim(COALESCE(text, '')) <> ''
+),
+g0 AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(w, CAST(g.i AS INT), CAST(g.i AS INT) + 2), ' ') AS g
+  FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+),
+grams AS (SELECT DISTINCT doc_id, g FROM g0),
+first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count_if(first.first_doc = grams.doc_id) AS BIGINT) AS n_novel,
+       ROUND(1e-9 + CAST(count_if(first.first_doc = grams.doc_id) AS DOUBLE)
+             / count(*), 6) AS novelty_frac
+FROM grams JOIN first USING (g)
+GROUP BY grams.doc_id
+ORDER BY grams.doc_id
+"""
+
+
+@golden(
+    "ngram_novelty_by_doc",
+    NOVELTY_ORACLE,
+    tags=("text", "dedup", "novelty", "diversity"),
+)
+def ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the share of a document's distinct
+    word trigrams first seen (smallest doc_id) in that document — the
+    corpus-diversity audit complementing pairwise near-dup detection.
+    One gram-keyed aggregate + a gram-keyed join (shared partitioning),
+    then a doc-keyed re-aggregate."""
+    from mr_dice_spark.operators.vocab import ngram_novelty
+
+    docs = Catalog(spark, sf_dir).documents
+    return ngram_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")

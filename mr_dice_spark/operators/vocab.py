@@ -1,0 +1,133 @@
+"""Tokenizer-training statistics: BPE pair counts over the corpus and
+per-document n-gram novelty.
+
+Beyond-reference training-data-pipeline operators — the corpus-side half
+of tokenizer training (Sennrich et al. 2016: count adjacent symbol pairs
+weighted by word frequency, merge the most frequent, iterate) and the
+diversity audit (how much of a document's n-gram mass is first seen in
+that document) that corpus curation uses to spot stale or boilerplate
+sources before training.
+
+Scale shapes
+------------
+``bpe_pair_stats``: one corpus-sized word-count aggregate (map-side
+combine on the word key — the classic wordcount shuffle), after which all
+work is VOCABULARY-sized: pair explosion runs over distinct words
+weighted by their counts, so a 100 TB corpus with a 10 M-word vocabulary
+does the char-pair pass over 10 M rows, not 10 T tokens. The top-k is a
+single tiny sort on the pair-count table (alphabet² rows).
+
+``ngram_novelty``: the gram→first-document attribution is one hash
+aggregate keyed on the gram (the same corpus-sized exchange any
+gram-indexed operator pays, e.g. decontamination) followed by a gram-keyed
+join back — both shuffles share the gram key, so Catalyst reuses the
+partitioning; per-document novelty is then a doc-keyed re-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mr_dice_spark.functions.text import tokens
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """Adjacent character-pair counts for one BPE merge step:
+    ``(pair, n_occurrences, rank)`` — the ``top_k`` most frequent adjacent
+    symbol pairs across the whitespace-tokenized corpus, each word's pairs
+    weighted by the word's corpus frequency. Ties rank by pair string
+    ascending, so the result (and the induced merge choice, rank 1) is
+    deterministic on any engine.
+
+    This is one iteration; a full tokenizer build re-tokenizes with the
+    merged symbol and re-runs — each iteration's heavy half is exactly this
+    shape, so the operator is the unit the pipeline schedules. Integer
+    counts only: the oracle restatement is hash-exact.
+    """
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+    wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    # pair i = substr(word, i, 2): no char-array materialization, and the
+    # same expression exists verbatim in ANSI SQL
+    pairs = (
+        wc.where(F.length("__w") >= 2)
+        .select(
+            "__w",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.length("__w") - 1)).alias("__i"),
+        )
+        .select(
+            F.substring(F.col("__w"), F.col("__i"), 2).alias("pair"),
+            F.col("__n"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("__n").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    # single-partition window over the alphabet²-sized pair table — tiny by
+    # construction (see module docstring), not a corpus sort
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .orderBy("rank")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of the document's DISTINCT word
+    ``n``-grams, how many are first seen in this document —
+    ``(id, n_grams, n_novel, novelty_frac)`` for every document with at
+    least one gram. "First seen" attributes each gram to the smallest
+    document id containing it (corpus order); a re-crawl or boilerplate
+    source scores near 0, fresh text near 1 — the aggregate complement of
+    pairwise near-dup detection.
+
+    ``novelty_frac`` is nudge-rounded to 6 places; counts are exact
+    integers, so the DuckDB restatement hash-matches.
+    """
+    id_ = F.col(id_col)
+    w = df.select(id_.alias("__id"), tokens(F.col(text_col)).alias("__w"))
+    k = F.size("__w") - (n - 1)
+    grams = (
+        w.where(k >= 1)
+        .select(
+            "__id",
+            F.explode(F.sequence(F.lit(1), k)).alias("__i"),
+            F.col("__w"),
+        )
+        .select(
+            "__id",
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__i"), n), " "
+            ).alias("__g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+    return (
+        grams.join(first, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("__first") == F.col("__id")).alias("n_novel"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams") + F.lit(1e-9), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )

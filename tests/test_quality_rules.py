@@ -1,0 +1,155 @@
+"""Unit tests for the Gopher/C4 rule filters and tokenizer statistics
+(operators/quality_rules.py, operators/vocab.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mr_dice_spark.operators.quality_rules import c4_line_filter, gopher_quality_flags
+from mr_dice_spark.operators.vocab import bpe_pair_stats, ngram_novelty
+
+
+def _one(df, **kw):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_gopher_flags_hand_computed(spark):
+    """Every metric on a single hand-computable document: 4 lines, one
+    duplicated; a bullet line; an ellipsis line."""
+    text = "\n".join(
+        [
+            "the cat sat on the mat",   # 6 words, 17 word-chars
+            "the cat sat on the mat",   # duplicate line
+            "- bullet item three",      # bullet, 4 words ('-' counts), 16 word-chars
+            "trailing off now...",      # ellipsis, 3 words, 17 word-chars
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = _one(gopher_quality_flags(df, "doc_id", "text", min_words=5))
+    assert r["n_lines"] == 4 and r["n_words"] == 19
+    assert r["bullet_line_frac"] == 0.25 and r["ellipsis_line_frac"] == 0.25
+    assert r["dup_line_frac"] == 0.25  # 4 lines, 3 distinct
+    # dup chars: one extra copy of a 22-char line over 22+22+19+19 chars
+    assert r["dup_line_char_frac"] == round(22 / 82 + 1e-9, 6)
+    assert r["mean_word_len"] == round((17 + 17 + 16 + 17) / 19 + 1e-9, 6)
+    assert r["alpha_word_frac"] == round(18 / 19 + 1e-9, 6)  # '-' is non-alpha
+    assert r["stopword_hits"] == 1  # only 'the' from the Gopher list
+
+
+def test_gopher_stopwords_word_boundary(spark):
+    """'there'/'toto' must NOT satisfy the 'the'/'to' required-stopword
+    rule — matches are word-boundary, not substring."""
+    df = spark.createDataFrame(
+        [(1, "there toto andover"), (2, "the to and")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1]["stopword_hits"] == 0
+    assert out[2]["stopword_hits"] == 3
+
+
+def test_gopher_empty_text_never_kept(spark):
+    """A whitespace-only document has 0 words, NULL ratios, keep=false —
+    NULL thresholds must not leak a true."""
+    df = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    r = _one(gopher_quality_flags(df, "doc_id", "text", min_words=0))
+    assert r["n_words"] == 0
+    assert r["mean_word_len"] is None and r["alpha_word_frac"] is None
+    assert r["keep"] is False
+
+
+def test_c4_line_rules(spark):
+    """Line keep = terminal punctuation AND >= 3 words AND no
+    'javascript' (case-insensitive); order of surviving lines is
+    preserved."""
+    text = "\n".join(
+        [
+            "no terminal punctuation here",   # dropped: punctuation
+            "only two.",                      # dropped: < 3 words
+            "uses JavaScript heavily today.", # dropped: javascript
+            "this one stays in!",
+            'a quoted keeper line."',
+            "third keeper line here?",
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = _one(c4_line_filter(df, "doc_id", "text"))
+    assert r["n_lines"] == 6 and r["n_kept"] == 3 and r["keep"] is True
+    assert r["cleaned_text"].split("\n") == [
+        "this one stays in!",
+        'a quoted keeper line."',
+        "third keeper line here?",
+    ]
+
+
+def test_c4_page_rules(spark):
+    """Brace and lorem-ipsum pages drop regardless of kept lines; a page
+    under min_kept_lines drops with its cleaned_text still emitted."""
+    good = "one fine line here.\nand another good one.\na third to be safe."
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nvar x = { a: 1 }."),
+            (3, good + "\nLorem Ipsum filler text."),
+            (4, "just one survivor line."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["has_brace"]
+    assert out[3]["keep"] is False and out[3]["has_lorem"]
+    assert out[4]["keep"] is False and out[4]["n_kept"] == 1
+    assert out[4]["cleaned_text"] == "just one survivor line."
+
+
+def test_c4_is_shuffle_free(spark):
+    """The operator is a narrow map: no Exchange in its physical plan —
+    the property that lets it pipeline inside the scan stage at 100 TB."""
+    df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = c4_line_filter(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    """'aab' x2 + 'ab': pairs aa(2), ab(3); rank ties break on pair
+    string; single-char words contribute nothing."""
+    df = spark.createDataFrame(
+        [(1, "aab aab ab x"), (2, "")], "doc_id long, text string"
+    )
+    rows = bpe_pair_stats(df, "text").collect()
+    assert [(r["pair"], r["n_occurrences"], r["rank"]) for r in rows] == [
+        ("ab", 3, 1),
+        ("aa", 2, 2),
+    ]
+
+
+def test_bpe_pair_stats_tie_rank_deterministic(spark):
+    """Equal counts order by pair ascending."""
+    df = spark.createDataFrame([(1, "xy ab")], "doc_id long, text string")
+    rows = bpe_pair_stats(df, "text").collect()
+    assert [(r["pair"], r["rank"]) for r in rows] == [("ab", 1), ("xy", 2)]
+
+
+def test_ngram_novelty_attribution(spark):
+    """A verbatim re-crawl scores 0; the original scores 1; a doc below
+    n words is excluded; novelty counts DISTINCT grams (repeats inside a
+    doc don't inflate)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # grams: 'a b c','b c a','c a b' (distinct 4-gram window) -> distinct set
+            (2, "a b c a b c"),   # exact re-crawl of doc 1
+            (3, "z z"),           # < 3 words: excluded
+            (4, "q r s"),         # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["novelty_frac"] == 1.0
+    assert out[2]["n_novel"] == 0 and out[2]["novelty_frac"] == 0.0
+    assert out[4]["n_grams"] == 1 and out[4]["novelty_frac"] == 1.0
+    # 4 gram positions but 'a b c' repeats: 3 DISTINCT grams
+    assert out[1]["n_grams"] == out[2]["n_grams"] == 3
