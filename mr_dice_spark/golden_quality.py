@@ -359,3 +359,127 @@ def ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return ngram_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary OOV audit
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 10
+
+VOCAB_OOV_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE trim(COALESCE(text, '')) <> ''
+),
+wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS r FROM wc
+  ) WHERE r <= {_VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count_if(v.w IS NULL) AS BIGINT) AS n_oov,
+       ROUND(1e-9 + CAST(count_if(v.w IS NULL) AS DOUBLE) / count(*), 6) AS oov_frac
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@golden(
+    "vocab_oov_audit",
+    VOCAB_OOV_ORACLE,
+    tags=("text", "tokenizer", "vocab", "coverage"),
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-document out-of-vocabulary token
+    rate under the corpus's own top-10 word vocabulary (frequency desc,
+    word asc — deterministic ties). Wordcount aggregate -> tiny top-k ->
+    vocabulary BROADCAST back into the token stream; only the wordcount
+    shuffles the corpus."""
+    from mr_dice_spark.operators.vocab import vocab_coverage
+
+    docs = Catalog(spark, sf_dir).documents
+    return vocab_coverage(docs, "doc_id", "text", vocab_size=_VOCAB_K).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster dedup keeping the best copy
+# ---------------------------------------------------------------------------
+
+CLUSTER_BEST_ORACLE = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON inter.id_a = ca.doc_id
+  JOIN cnt cb ON inter.id_b = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id,
+               COALESCE((SELECT min(r.v) FROM reach r WHERE r.u = d.doc_id),
+                        d.doc_id)) AS component
+  FROM documents d
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN comp c USING (doc_id)
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "cluster_keep_best_copy",
+    CLUSTER_BEST_ORACLE,
+    tags=("dedup", "components", "iterative", "quality"),
+)
+def cluster_keep_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup keeping the LONGEST copy (max n_chars, ties
+    min doc_id) per exact-Jaccard (>= 0.8) connected component — the
+    production near-dup policy when crawl copies differ in completeness,
+    vs dedup_connected_clusters' first-wins min-id rule. The iterative
+    hash-min fixpoint is hash-checked against DuckDB's WITH RECURSIVE
+    closure plus an argmax window."""
+    from mr_dice_spark.operators.components import dedup_connected_best
+    from mr_dice_spark.operators.dedup import ngram_jaccard_join
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_join(docs, "doc_id", "text", threshold=0.8)
+    return (
+        dedup_connected_best(docs, pairs, "doc_id", best_by="n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -98,3 +98,42 @@ def dedup_connected(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_connected_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    best_by: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Cluster-aware dedup keeping the BEST row per component — the copy
+    with the maximum ``best_by`` value (ties: minimum id) — instead of
+    ``dedup_connected``'s min-id representative. This is the production
+    near-dup policy when copies differ in quality: keep the longest /
+    highest-scoring crawl of a page, not whichever was crawled first.
+
+    Rows in no pair survive untouched (their component is themselves).
+    Cost over ``dedup_connected``: one extra per-component window — a
+    single hash shuffle on the component label, whose cardinality is the
+    cluster count, with the literal rank-1 limit eligible for
+    WindowGroupLimit pushdown.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, pair_a, pair_b, max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "__comp", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.col(best_by).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__comp", "component")
+    )

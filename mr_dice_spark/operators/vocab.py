@@ -78,6 +78,56 @@ def bpe_pair_stats(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-coverage audit: build the corpus top-``vocab_size``
+    word vocabulary (frequency desc, word asc on ties — deterministic on
+    any engine), then report per document the token-level out-of-vocab
+    rate: ``(id, n_tokens, n_oov, oov_frac)`` for every document with at
+    least one token. The audit a pipeline runs before freezing a
+    tokenizer: sources with high OOV under the corpus's own head
+    vocabulary are exactly the ones a fixed vocab will shred into bytes.
+
+    Scale shape: the wordcount aggregate (map-side combine on the word
+    key), a single-partition top-k over the VOCABULARY-sized count table,
+    and the vocabulary broadcast back into a token-keyed membership join
+    — the corpus is scanned twice but shuffled only for the wordcount;
+    the per-doc rollup keys on the doc id. ``oov_frac`` counts tokens
+    with multiplicity (a document repeating one OOV word is still mostly
+    OOV) and is nudge-rounded to 6 places.
+    """
+    id_ = F.col(id_col)
+    toks = df.select(id_.alias("__id"), F.explode(tokens(F.col(text_col))).alias("__w"))
+    wc = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    wv = Window.orderBy(F.col("__n").desc(), F.col("__w").asc())
+    vocab = (
+        wc.withColumn("__r", F.row_number().over(wv))
+        .where(F.col("__r") <= vocab_size)
+        .select("__w", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("__in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens") + F.lit(1e-9), 6).alias(
+                "oov_frac"
+            ),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     id_col: str,

@@ -153,3 +153,49 @@ def test_ngram_novelty_attribution(spark):
     assert out[4]["n_grams"] == 1 and out[4]["novelty_frac"] == 1.0
     # 4 gram positions but 'a b c' repeats: 3 DISTINCT grams
     assert out[1]["n_grams"] == out[2]["n_grams"] == 3
+
+
+def test_vocab_coverage_oov_math(spark):
+    """vocab_size=1 keeps only the most frequent word ('a', freq 3);
+    every other token is OOV, counted WITH multiplicity."""
+    from mr_dice_spark.operators.vocab import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c c c"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in vocab_coverage(df, "doc_id", "text", vocab_size=1).collect()}
+    assert set(out) == {1, 2}  # whitespace-only doc has no tokens
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 1
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 3
+    assert out[2]["oov_frac"] == 0.75
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    """Equal-frequency words admit by word ascending: with vocab_size=1
+    and all counts equal, 'a' wins over 'b'/'c'."""
+    from mr_dice_spark.operators.vocab import vocab_coverage
+
+    df = spark.createDataFrame([(1, "b c a")], "doc_id long, text string")
+    r = vocab_coverage(df, "doc_id", "text", vocab_size=1).collect()[0]
+    assert r["n_oov"] == 2  # only 'a' in vocab
+
+
+def test_dedup_connected_best_keeps_longest(spark):
+    """Component {1,2,3} (chain 1-2, 2-3) keeps the max-metric member
+    (id 2, len 9); ties inside component {4,5} break to the min id;
+    unpaired rows survive."""
+    from mr_dice_spark.operators.components import dedup_connected_best
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (4, 4), (5, 4), (6, 1)],
+        "doc_id long, n long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_connected_best(df, pairs, "doc_id", best_by="n").collect()
+    )
+    assert kept == [2, 4, 6]
