@@ -2727,3 +2727,79 @@ def streaming_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+STREAM_EMA_ORACLE = """
+WITH RECURSIVE ord AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+-- the recurrence ema_k = 0.3*v_k + 0.7*ema_{k-1} evaluated STEP BY STEP,
+-- the same IEEE double operations in the same order as the operator's
+-- Python loop (0.7 here equals the double 1.0 - 0.3 computes to), so the
+-- comparison is bit-exact before the presentation rounding
+e(user_id, rn, ema) AS (
+  SELECT user_id, rn, value FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, 0.3 * o.value + 0.7 * e.ema
+  FROM e JOIN ord o ON o.user_id = e.user_id AND o.rn = e.rn + 1
+),
+fin AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, max(ts) AS last_ts
+  FROM ord GROUP BY user_id
+)
+SELECT f.user_id, f.n_events, ROUND(1e-9 + e.ema, 6) AS ema, f.last_ts
+FROM fin f JOIN e ON e.user_id = f.user_id AND e.rn = f.n_events
+ORDER BY f.user_id
+"""
+
+
+@golden(
+    "streaming_user_value_ema",
+    STREAM_EMA_ORACLE,
+    tags=("streaming", "stateful", "ema", "events"),
+)
+def streaming_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator on the REAL
+    streaming engine, with FULL oracle parity: per-user EMA of value
+    (alpha=0.3) via readStream → update-mode state → memory sink, taking
+    the LAST emitted row per user (n_events grows monotonically, so it is
+    the per-user argmax). An EMA has no window/watermark rewrite — it is
+    exactly the operator class applyInPandasWithState exists for — and
+    is order-SENSITIVE, so the oracle restates the recurrence step by
+    step (DuckDB recursive CTE) rather than as a closed-form sum whose
+    float accumulation order would differ. Exactness across a replay
+    relies on the file source's file-granularity batching: batches never
+    split a file, so per-user ts order across micro-batches is the global
+    ts order ((user_id, ts) is unique in the fixture — no tie ambiguity)."""
+    import uuid
+
+    from mr_dice_spark.streaming.stateful import user_value_ema
+    from mr_dice_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    _utc(spark)
+    name = f"stream_ema_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_stream_to_memory(
+        user_value_ema(stream, alpha=0.3, watermark="3650 days"),
+        name,
+        output_mode="update",
+    )
+    try:
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        out = (
+            spark.table(name)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                _r(F.col("ema"), 6).alias("ema"),
+                "last_ts",
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
