@@ -483,3 +483,140 @@ def cluster_keep_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (incremental-curation audit)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, text || ' copy', lang, source
+  FROM documents WHERE doc_id % 23 = 0
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS in_old,
+         n.doc_id IS NOT NULL AS in_new,
+         (o.text IS NOT DISTINCT FROM n.text)
+           AND (o.lang IS NOT DISTINCT FROM n.lang)
+           AND (o.source IS NOT DISTINCT FROM n.source) AS same
+  FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN NOT same THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM j
+WHERE NOT (in_old AND in_new AND same)
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "snapshot_diff_incremental",
+    SNAPSHOT_DIFF_ORACLE,
+    tags=("cdc", "diff", "incremental", "audit"),
+)
+def snapshot_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation: the 'new' snapshot deterministically
+    removes every 17th document, rewrites every 7th's text, and adds a
+    copy (id + 100000) of every 23rd — snapshot_diff reports exactly the
+    added/removed/changed ids from ONE full-outer join with null-safe
+    column compares. This is the audit (and the recompute work-list) an
+    incremental curation run publishes."""
+    from mr_dice_spark.operators.profile import snapshot_diff
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text", "lang", "source")
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id", changed.alias("text"), "lang", "source"
+    ).unionByName(
+        docs.where(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" copy")).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id", ["text", "lang", "source"]).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count_if({c} IS NULL) AS BIGINT) AS n_null, "
+            f"CASE WHEN count(*) > 0 THEN ROUND(1e-9 + "
+            f"CAST(count_if({c} IS NULL) AS DOUBLE) / count(*), 6) END AS null_frac, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+        )
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+@golden(
+    "profile_events_columns",
+    _profile_oracle(),
+    tags=("profile", "quality", "audit", "events"),
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column health profile of the events table (null counts
+    and rates, exact distinct cardinalities) in ONE corpus pass — the
+    observability row a pipeline publishes per ingest. The multi-distinct
+    Expand cost is the documented price of exactness (see
+    operators/profile.py)."""
+    from mr_dice_spark.operators.profile import profile_columns
+
+    ev = Catalog(spark, sf_dir).events
+    return profile_columns(ev, list(_PROFILE_COLS)).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# value histogram
+# ---------------------------------------------------------------------------
+
+VALUE_HIST_ORACLE = """
+WITH b AS (
+  SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin,
+       ROUND(1e-9 + 0.0 + bin * 25.0, 6) AS lo_edge,
+       ROUND(1e-9 + 0.0 + (bin + 1) * 25.0, 6) AS hi_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@golden(
+    "value_histogram_events",
+    VALUE_HIST_ORACLE,
+    tags=("profile", "histogram", "events"),
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range 20-bin histogram of events.value over [0, 500):
+    a narrow bucket expression + a hash aggregate on at most 20 keys —
+    the shuffle moves bins, not rows. Outliers clamp into the edge bins
+    by contract."""
+    from mr_dice_spark.operators.profile import value_histogram
+
+    ev = Catalog(spark, sf_dir).events
+    return value_histogram(ev, "value", 0.0, 500.0, 20).orderBy("bin")

@@ -1,0 +1,156 @@
+"""Dataset observability operators: snapshot diffing, column profiling,
+and fixed-range histograms.
+
+Beyond-reference training-data-pipeline operators — the daily-run QA
+surface of a corpus store: what changed between two snapshots (the
+incremental-curation audit), per-column health (null rates, exact
+cardinalities), and value distributions. The reference's nearest
+analogue is its result-envelope statistics (SURVEY.md §2.2); these are
+their corpus-scale generalization.
+
+Scale shapes
+------------
+``snapshot_diff``: one full-outer join keyed on the id — the same single
+exchange any id-keyed reconciliation pays; comparisons are null-safe
+column expressions, no hashing round-trip, no collect.
+
+``profile_columns``: ONE pass over the corpus. Multiple exact
+count-distincts in one aggregate go through Spark's Expand (input
+multiplied by the profiled-column count before the shuffle) — the
+documented price of exactness in one job; profile few columns, or trade
+to approx_count_distinct when ±2% is acceptable.
+
+``value_histogram``: a narrow bucket expression and a hash aggregate on
+at most ``nbins`` keys — the shuffle moves bins, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Reconcile two corpus snapshots by id: ``(id, change)`` with
+    ``change`` in ``added`` (id only in ``new``), ``removed`` (only in
+    ``old``), ``changed`` (present in both, any ``compare_cols`` differs
+    under null-safe equality), ``unchanged`` (emitted only when
+    ``include_unchanged``). The audit an incremental curation run
+    publishes next to its output — and the input to incremental
+    recompute (only ``added``/``changed`` ids need re-embedding).
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, "__id", "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("__id").alias(id_col), change.alias("change"))
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact per-column profile in ONE corpus pass:
+    ``(column, n_rows, n_null, null_frac, n_distinct)`` — one output row
+    per profiled column, in the given order. ``n_distinct`` counts
+    non-null distinct values (exact; see module docstring for the Expand
+    cost). ``null_frac`` is nudge-rounded to 6 places; a zero-row input
+    yields NULL null_frac.
+    """
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.count_if(F.col(c).isNull()).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__rows_{c}").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per).alias("p")).select(
+        F.col("p.column").alias("column"),
+        F.col("p.n_rows").alias("n_rows"),
+        F.col("p.n_null").alias("n_null"),
+        F.when(
+            F.col("p.n_rows") > 0,
+            F.round(F.col("p.n_null") / F.col("p.n_rows") + F.lit(1e-9), 6),
+        ).alias("null_frac"),
+        F.col("p.n_distinct").alias("n_distinct"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-range equal-width histogram: ``(bin, lo_edge, hi_edge, n)``
+    for every NON-EMPTY bin, bin = floor((v - lo) / width) clamped into
+    [0, nbins-1] (so lo/hi outliers land in the edge bins — the profiler
+    contract; filter first if outliers should be excluded). NULL values
+    are dropped. Edges are derived from the same double arithmetic on
+    both engines, so rows hash-match.
+    """
+    if not nbins > 0:
+        raise ValueError(f"value_histogram: nbins must be positive: {nbins}")
+    if not hi > lo:
+        raise ValueError(f"value_histogram: need hi > lo: {lo}, {hi}")
+    width = (float(hi) - float(lo)) / float(nbins)
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+        F.lit(nbins - 1),
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(float(lo)) + F.col("bin") * F.lit(width) + F.lit(1e-9), 6)
+            .alias("lo_edge"),
+            F.round(F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width) + F.lit(1e-9), 6)
+            .alias("hi_edge"),
+            "n",
+        )
+    )

@@ -1,0 +1,67 @@
+"""Unit tests for the observability operators (operators/profile.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mr_dice_spark.operators.profile import (
+    profile_columns,
+    snapshot_diff,
+    value_histogram,
+)
+
+
+def test_snapshot_diff_all_change_classes(spark):
+    """added/removed/changed classified; NULL-safe compare: NULL -> NULL
+    is unchanged (suppressed), NULL -> value is changed."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "now set"), (6, "f")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    assert out == {2: "changed", 4: "changed", 5: "removed", 6: "added"}
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, "a")], "id long, text string")
+    new = spark.createDataFrame([(1, "a")], "id long, text string")
+    assert snapshot_diff(old, new, "id", ["text"]).count() == 0
+    rows = snapshot_diff(old, new, "id", ["text"], include_unchanged=True).collect()
+    assert [(r["id"], r["change"]) for r in rows] == [(1, "unchanged")]
+
+
+def test_profile_columns_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, "y")],
+        "id long, s string",
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 4 and out["id"]["null_frac"] == 0.0
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["null_frac"] == 0.25
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
+
+
+def test_value_histogram_clamps_and_drops_null(spark):
+    """Outliers clamp into edge bins; NULLs dropped; empty bins absent;
+    edges derive from bin arithmetic."""
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (999.0,), (None,)],
+        "v double",
+    )
+    out = {r["bin"]: r for r in value_histogram(df, "v", 0.0, 30.0, 3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n"] == 3   # -5 clamped, 0.0, 9.9
+    assert out[1]["n"] == 1   # 10.0
+    assert out[2]["n"] == 2   # 25.0, 999 clamped
+    assert out[1]["lo_edge"] == 10.0 and out[1]["hi_edge"] == 20.0
+    with pytest.raises(ValueError, match="nbins"):
+        value_histogram(df, "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(df, "v", 1.0, 1.0, 4)
