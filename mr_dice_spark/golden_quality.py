@@ -620,3 +620,93 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).events
     return value_histogram(ev, "value", 0.0, 500.0, 20).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (IVF vs exact)
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_ORACLE = """
+WITH c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cv) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) AS pr
+    FROM q CROSS JOIN c
+  ) WHERE pr <= 2
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.qid
+             ORDER BY ROUND(1e-9 + list_cosine_similarity(a.emb, q.qv), 6)
+                        DESC, a.vec_id) AS rn
+    FROM assign a JOIN probes p ON a.cid = p.cid JOIN q ON q.qid = p.qid
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(1e-9 + list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                        DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rn <= 10
+),
+h AS (
+  SELECT exact.qid, count(*) AS n_hits
+  FROM exact JOIN ivf ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+  GROUP BY exact.qid
+),
+ni AS (SELECT qid, count(*) AS n_ivf FROM ivf GROUP BY qid)
+SELECT q.qid AS vec_id,
+       CAST(COALESCE(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(1e-9 + COALESCE(h.n_hits, 0) / 10.0, 6) AS recall
+FROM q LEFT JOIN ni ON ni.qid = q.qid LEFT JOIN h ON h.qid = q.qid
+ORDER BY vec_id
+"""
+
+
+@golden(
+    "ann_recall_audit_ivf",
+    ANN_RECALL_ORACLE,
+    tags=("similarity", "ann", "ivf", "recall", "audit"),
+)
+def ann_recall_audit_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the IVF probe path (8 sampled-init
+    centroids, 2 probes) against exact brute force, for 8 query vectors
+    — the 'measure, don't guess' QA an ANN rollout runs before trusting
+    probes at scale. Every stage is deterministic (rounded-grid ranking,
+    id tiebreaks), so even the AUDIT is hash-checked end to end."""
+    from mr_dice_spark.operators.similarity import ivf_recall_audit
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qs = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding")
+    return ivf_recall_audit(
+        emb, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k=10, n_centroids=8, n_probe=2, round_scores=6,
+    ).orderBy("vec_id")

@@ -909,3 +909,94 @@ def embedding_outliers(
         z.alias("z"),
         F.coalesce(z > F.lit(float(z_threshold)), F.lit(False)).alias("outlier"),
     )
+
+
+def ivf_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Measured recall@k of the IVF probe path against exact brute force,
+    per query: ``(q_id, n_ivf, n_hits, recall)`` where ``n_hits`` counts
+    exact-top-k members the probe also returned and ``recall`` =
+    n_hits / k. This is the go/no-go QA an ANN rollout runs before
+    trusting probes at scale — "measure, don't guess" for the
+    n_probe/n_centroids trade.
+
+    Deterministic by construction: sampled-init centroids (first
+    ``n_centroids`` vectors by id), both sides ranked on the nudge-rounded
+    cosine grid with the id tiebreak, so the audit itself is
+    oracle-checkable — an audit that flakes is worse than none.
+
+    Scale shape: ONE corpus scan for the exact side (query set broadcast,
+    WindowGroupLimit caps the shuffle at queries x k) plus one
+    cluster-pruned scan for the probe side (per-query probe sets are a
+    broadcast (queries x n_probe) dim joined on the assignment column —
+    with cluster-partitioned storage that filter is partition pruning);
+    the final intersect joins two (queries x k)-bounded frames.
+    """
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_centroids)
+    q = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    # per-query probe sets: tiny centroid dim x query set, top-n_probe by
+    # (cosine desc, cid) — the same tie rule ivf_assign's argmax uses
+    cent = queries.sparkSession.createDataFrame(
+        [(ci, c) for ci, c in centroids], "cid int, cv array<double>"
+    )
+    wq = Window.partitionBy("__qid").orderBy(
+        F.desc(cosine(F.col("cv"), F.col("__qv"))), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("__qid", "__qv", "cid")
+    )
+    score = F.round(cosine(F.col("__v"), F.col("__qv")) + F.lit(1e-9), round_scores)
+    wk = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.col(id_col))
+    ivf_topk = (
+        assigned.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), "__cluster"
+        )
+        .join(F.broadcast(probes), F.col("__cluster") == F.col("cid"))
+        .select("__qid", id_col, score.alias("cosine"))
+        .withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .select("__qid", F.col(id_col).alias("__ivf_id"))
+    )
+    # positional rename: with queries drawn from the corpus itself,
+    # q_id_col == id_col and the batch output's two id columns collide
+    exact_topk = cosine_topk_batch(
+        df, id_col, vec_col, queries, q_id_col, q_vec_col, k=k,
+        round_scores=round_scores,
+    ).toDF("__qid", "__ex_id", "__cos").select("__qid", "__ex_id")
+    hits = exact_topk.join(
+        ivf_topk,
+        (exact_topk["__qid"] == ivf_topk["__qid"])
+        & (F.col("__ex_id") == F.col("__ivf_id")),
+    ).groupBy(exact_topk["__qid"].alias("__hq")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_ivf = ivf_topk.groupBy("__qid").agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        q.select("__qid")
+        .join(n_ivf, "__qid", "left")
+        .join(hits, F.col("__qid") == F.col("__hq"), "left")
+        .select(
+            F.col("__qid").alias(q_id_col),
+            F.coalesce(F.col("n_ivf"), F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)) + F.lit(1e-9), 6
+            ).alias("recall"),
+        )
+    )

@@ -411,3 +411,43 @@ def test_embedding_outliers_zero_stddev_group_null_z(spark):
     out = embedding_outliers(df).collect()
     assert len(out) == 5
     assert all(r["z"] is None and r["outlier"] is False for r in out)
+
+
+def test_ivf_recall_audit_full_probe_is_exact(spark):
+    """With n_probe == n_centroids every list is probed, so IVF equals
+    brute force and recall must be exactly 1.0 for every query."""
+    import random
+
+    from mr_dice_spark.operators.similarity import ivf_recall_audit
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id < 3")
+    out = ivf_recall_audit(
+        df, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k=5, n_centroids=4, n_probe=4,
+    ).collect()
+    assert len(out) == 3
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 and r["n_ivf"] == 5 for r in out)
+
+
+def test_ivf_recall_audit_fewer_probes_bounded(spark):
+    """With 1 of 4 lists probed, n_ivf <= k and 0 <= n_hits <= n_ivf —
+    and a probed list smaller than k yields n_ivf < k, not a crash."""
+    import random
+
+    from mr_dice_spark.operators.similarity import ivf_recall_audit
+
+    rng = random.Random(4)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id < 2")
+    out = ivf_recall_audit(
+        df, "vec_id", "embedding", qs, "vec_id", "embedding",
+        k=10, n_centroids=4, n_probe=1,
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert 0 <= r["n_hits"] <= r["n_ivf"] <= 10
+        assert r["recall"] == round(r["n_hits"] / 10 + 1e-9, 6)
