@@ -33,70 +33,64 @@ from mr_dice_spark.golden import GOLDEN  # noqa: E402
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # --- the 29 never-driver-checked goldens (lifetime coverage -> 100%)
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q20_excess_shipments",
-    "q22_sales_opportunity",
-    "rollup_pricing_subtotals",
-    "cube_order_status_priority",
-    "grouping_sets_events",
-    "grouping_sets_event_bands",
-    "pivot_returnflag_status",
-    "percentiles_value_by_type",
-    "setop_except_custkeys",
-    "set_intersect_repeat_customers",
-    "set_except_lapsed_customers",
-    "approx_distinct_users_daily",
-    "cosine_topk_ivf_pq_approx",
-    "pq_topk_adc",
-    "document_chunking_windows",      # also changed: overlap tail fix
-    "winnowing_overlap_pairs",
+    # --- the 7 goldens never driver-checked through round 3 (closing
+    # lifetime coverage of the pre-round-4 corpus)
+    "corpus_datasheet",
+    "embedding_outlier_flags",        # also changed: sd=0 z guard (r3 advice)
+    "image_ahash_dedup",
+    "kll_quantiles_daily_rollup",
+    "multimodal_avi_sample_extraction",  # also changed: avih chunk cap
+    "quality_bucketed_mixture",
+    "shuffle_shards_training_order",
     # --- added this round
-    "multimodal_video_probe",         # real MP4/AVI header parsing
-    "winnowing_boilerplate_spans",    # cross-doc repeated-span extraction
-    "boilerplate_removal_cleaned",    # detect -> cut chain (remove_spans)
-    "semantic_dedup_planted",         # SemDeDup cluster-partitioned dedup
-    "train_split_assign",             # deterministic train/val/test cut
-    "length_outlier_filter",          # corpus-adaptive quantile gate
-    "embedding_int8_quantize",        # int8 quantization error audit
-    "cosine_topk_truncate_rerank",    # Matryoshka truncate+rerank ANN
-    "token_budget_sample_by_lang",    # token-budget mixture cut
-    "split_contamination_audit",      # train/eval n-gram leakage QA
-    "streaming_dedup_keys",           # real-engine watermark dedup
-    "streaming_interval_join_pairs",  # real-engine stream-stream join
+    "gopher_quality_gate",            # Gopher document rules
+    "c4_line_cleaning",               # C4 line filter (narrow map)
+    "bpe_pair_merge_stats",           # tokenizer pair counts
+    "ngram_novelty_by_doc",           # first-seen trigram novelty
+    "vocab_oov_audit",                # top-K vocabulary OOV rate
+    "cluster_keep_best_copy",         # keep-longest cluster dedup
+    "streaming_user_value_ema",       # applyInPandasWithState, full parity
+    "snapshot_diff_incremental",      # added/removed/changed audit
+    "profile_events_columns",         # exact column profile, one pass
+    "doc_length_histogram",           # fixed-range length histogram
+    "ann_recall_audit_ivf",           # measured IVF recall@10
     # --- changed this round
-    "jaccard_similarity_join",        # session-scoped cache + sort drop
-    "heavy_hitters_cms_events",       # fused sketch+count scan
-    "demo5_composition_selfjoin",     # trailing sort dropped
-    "hll_rollup_distinct_users",      # mergeable HLL sketch rollup
-    "theta_overlap_event_types",      # Theta set-intersection sketches
-    # url_normalize_canonical / url_dedup_survivors (tracking-param
-    # change) yield their slots to the two new sketch goldens: the URL
-    # change stays driver-verified transitively through
-    # crawl_curation_pipeline below, which composes url dedup end-to-end
-    "crawl_curation_pipeline",
-    "multimodal_frame_sample",        # video probe dispatch changed
-    "multimodal_sample_extraction",   # real stsz/stsc/stco mdat slicing
-    # The round-2 join-heavy re-verify block (q02/q11/q19/q21,
-    # exists_chain, correlated, structure_near_dup, scd2) rotates to the
-    # suite entirely: every slot freed goes to a NEVER-driver-checked
-    # round-3 operator above, which carries strictly more information —
-    # all eight rotated rows are r2-green, re-plan identically under the
-    # reverted 10 MB broadcast threshold in tests/test_golden.py (same
-    # compare as the driver), and their plan shapes are pinned by the
-    # plan-shape CI; events_sessionize + streaming_hourly_window likewise
+    "theta_overlap_event_types",      # NULL group keys excluded up front
+    "multimodal_frame_sample",        # avi_sample_slices cap in its path
+    # --- r1-only re-verification: these 28 were last driver-checked in
+    # round 1; re-verify the bench headliners and the highest-complexity
+    # operator families (CDC, components, LSH families, quota, OPTIMADE).
+    # Everything displaced is r2/r3-green and stays covered by
+    # tests/test_golden.py under the identical compare.
+    "demo1_and_containment",
+    "demo3_cte_ratio",
+    "demo4_window_toppct",
+    "demo6_reagg_having",
+    "demo7_global_outliers",
+    "demo8_multiwindow",
+    "demo9_selectivity_matrix",
+    "events_hourly_window",
+    "events_asof_join",
+    "interval_join_error_windows",
+    "minhash_lsh_dedup_survivors",
+    "text_analysis_stats",
+    "cosine_topk_bruteforce",
+    "cdc_apply_changes_snapshot",
+    "cdc_latest_snapshot",
+    "dedup_connected_clusters",
+    "dedup_exact_documents",
+    "embedding_near_dup_pairs",
+    "fair_quota_topk_events",
+    "federation_dedup_quota",
+    "incremental_dedup_two_batches",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "optimade_filter_compile",
+    "optimade_has_predicates",
+    "simhash_near_dup_pairs",
+    "stratified_sample_by_type",
+    "events_cohort_retention",
+    "per_group_topk_events",
 ]
 
 

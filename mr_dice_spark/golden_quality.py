@@ -593,33 +593,38 @@ def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value histogram
 # ---------------------------------------------------------------------------
 
-VALUE_HIST_ORACLE = """
+DOC_LEN_HIST_ORACLE = """
 WITH b AS (
-  SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bin
-  FROM events WHERE value IS NOT NULL
+  SELECT least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0)
+                        AS BIGINT), 0), 11) AS bin
+  FROM documents WHERE n_chars IS NOT NULL
 )
 SELECT bin,
-       ROUND(1e-9 + 0.0 + bin * 25.0, 6) AS lo_edge,
-       ROUND(1e-9 + 0.0 + (bin + 1) * 25.0, 6) AS hi_edge,
+       ROUND(1e-9 + 0.0 + bin * 50.0, 6) AS lo_edge,
+       ROUND(1e-9 + 0.0 + (bin + 1) * 50.0, 6) AS hi_edge,
        CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY bin ORDER BY bin
 """
 
 
 @golden(
-    "value_histogram_events",
-    VALUE_HIST_ORACLE,
-    tags=("profile", "histogram", "events"),
+    "doc_length_histogram",
+    DOC_LEN_HIST_ORACLE,
+    tags=("profile", "histogram", "documents", "quality"),
 )
-def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-range 20-bin histogram of events.value over [0, 500):
-    a narrow bucket expression + a hash aggregate on at most 20 keys —
-    the shuffle moves bins, not rows. Outliers clamp into the edge bins
-    by contract."""
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bin fixed-range histogram of document length (n_chars over
+    [0, 600), 50-char bins) via the generic value_histogram operator —
+    the length-distribution profile a curation run publishes before
+    picking filter thresholds (complements quantile_length_filter's
+    adaptive gate; histogram_value_buckets profiles events.value with
+    inlined arithmetic). A narrow bucket expression + a hash aggregate on
+    at most 12 keys — the shuffle moves bins, not rows; outliers clamp
+    into the edge bins by contract."""
     from mr_dice_spark.operators.profile import value_histogram
 
-    ev = Catalog(spark, sf_dir).events
-    return value_histogram(ev, "value", 0.0, 500.0, 20).orderBy("bin")
+    docs = Catalog(spark, sf_dir).documents
+    return value_histogram(docs, "n_chars", 0.0, 600.0, 12).orderBy("bin")
 
 
 # ---------------------------------------------------------------------------
