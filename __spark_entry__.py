@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "profile_events_columns",         # exact column profile, one pass
     "doc_length_histogram",           # fixed-range length histogram
     "ann_recall_audit_ivf",           # measured IVF recall@10
+    "mixture_upsample_epochs_lang",   # fractional-epoch upsampling
     # --- changed this round
     "theta_overlap_event_types",      # NULL group keys excluded up front
     "multimodal_frame_sample",        # avi_sample_slices cap in its path
@@ -90,7 +91,6 @@ _CHECK_FIRST = [
     "simhash_near_dup_pairs",
     "stratified_sample_by_type",
     "events_cohort_retention",
-    "per_group_topk_events",
 ]
 
 

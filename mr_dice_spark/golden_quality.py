@@ -715,3 +715,65 @@ def ann_recall_audit_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", qs, "vec_id", "embedding",
         k=10, n_centroids=8, n_probe=2, round_scores=6,
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# epoch-based mixture upsampling
+# ---------------------------------------------------------------------------
+
+_UPS_SEED = "ups/v1"
+_UPS_EPOCHS = (("de", 2.0), ("en", 0.5), ("fr", 1.25), ("zh", 3.0))
+# 'es' deliberately absent -> dropped (mixture semantics)
+
+_UPS_CASE = "CASE lang " + " ".join(
+    f"WHEN '{g}' THEN {e}" for g, e in _UPS_EPOCHS
+) + " END"
+
+UPSAMPLE_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, lang, {_UPS_CASE} AS eps
+  FROM documents
+  WHERE lang IN ({", ".join(f"'{g}'" for g, _ in _UPS_EPOCHS)})
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(eps) AS INT) AS fullep,
+         eps - floor(eps) AS frac
+  FROM e
+),
+t AS (
+  SELECT doc_id, lang,
+         fullep + CASE WHEN
+           CAST(('0x' || substring(md5('{_UPS_SEED}' || CAST(doc_id AS VARCHAR)
+                || '@' || CAST(fullep AS VARCHAR)), 1, 8)) AS BIGINT)
+             < CAST(frac * 4294967296.0 AS BIGINT)
+           THEN 1 ELSE 0 END AS total
+  FROM c
+)
+SELECT doc_id, lang, CAST(g.i AS INT) AS epoch
+FROM t, UNNEST(generate_series(0, total - 1)) AS g(i)
+WHERE total > 0
+ORDER BY doc_id, epoch
+"""
+
+
+@golden(
+    "mixture_upsample_epochs_lang",
+    UPSAMPLE_ORACLE,
+    tags=("sampling", "mixture", "upsample", "epochs"),
+)
+def mixture_upsample_epochs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch UP-sampling by language ('2 epochs of de, 0.5 of
+    en, 1.25 of fr, 3 of zh; es dropped') — the repeat-underrepresented
+    half of mixture weighting, complementing the down-samplers. The
+    fractional copy is a per-epoch-salted portable hash choice, so the
+    whole replication plan is a pure function of (doc_id, seed) and the
+    oracle restates it exactly. Broadcast dim + in-row explode: a narrow
+    map, no shuffle (the presentation sort aside)."""
+    from mr_dice_spark.operators.sampling import mixture_upsample_epochs
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    out = mixture_upsample_epochs(
+        docs, "lang", dict(_UPS_EPOCHS), "doc_id", seed=_UPS_SEED
+    )
+    return out.select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")

@@ -38,6 +38,7 @@ def snapshot_diff(
     id_col: str,
     compare_cols: Sequence[str],
     include_unchanged: bool = False,
+    digest: bool = False,
 ) -> DataFrame:
     """Reconcile two corpus snapshots by id: ``(id, change)`` with
     ``change`` in ``added`` (id only in ``new``), ``removed`` (only in
@@ -46,21 +47,39 @@ def snapshot_diff(
     ``include_unchanged``). The audit an incremental curation run
     publishes next to its output — and the input to incremental
     recompute (only ``added``/``changed`` ids need re-embedding).
+
+    ``digest=True`` is the 100 TB mode: each side pre-hashes
+    ``compare_cols`` to one 256-bit sha2 over a JSON framing (NULL vs ''
+    vs absent stay distinct) BEFORE the join, so the full-outer shuffle
+    carries a fixed-width digest per row instead of the document bodies.
+    Change classification is then equal-up-to-collision (~2^-128 —
+    negligible next to storage bit-error rates); the default exact mode
+    keeps the raw columns and is what the SQL oracle restates.
     """
-    o = old.select(
-        F.col(id_col).alias("__id"),
-        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
-        F.lit(True).alias("__in_old"),
-    )
-    n = new.select(
-        F.col(id_col).alias("__id"),
-        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
-        F.lit(True).alias("__in_new"),
-    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        if digest:
+            return df.select(
+                F.col(id_col).alias("__id"),
+                F.sha2(
+                    F.to_json(F.struct(*[F.col(c) for c in compare_cols])), 256
+                ).alias(f"__{tag}_digest"),
+                F.lit(True).alias(f"__in_{tag}"),
+            )
+        return df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c).alias(f"__{tag}_{c}") for c in compare_cols],
+            F.lit(True).alias(f"__in_{tag}"),
+        )
+
+    o, n = side(old, "old"), side(new, "new")
     j = o.join(n, "__id", "full_outer")
-    same = F.lit(True)
-    for c in compare_cols:
-        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    if digest:
+        same = F.col("__old_digest").eqNullSafe(F.col("__new_digest"))
+    else:
+        same = F.lit(True)
+        for c in compare_cols:
+            same = same & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
     change = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

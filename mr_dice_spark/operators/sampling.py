@@ -340,3 +340,62 @@ def split_leakage_audit(
     return g.where(F.col("n_docs") > 1).withColumn(
         "leaky", F.col("n_splits") > 1
     )
+
+
+def mixture_upsample_epochs(
+    df: DataFrame,
+    group_col: str,
+    epochs: dict,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """UP-sample groups by fractional epoch counts — the other half of
+    mixture weighting (``mixture_sample`` cuts over-represented groups
+    DOWN; this repeats under-represented ones): a group with
+    ``epochs[g] = 2.5`` emits every row twice (``epoch`` 0 and 1) plus a
+    deterministic hash-chosen half once more (``epoch`` 2) — e.g. "2.4
+    epochs of wiki, 0.7 of books" mixtures. Rows keep their columns plus
+    the ``epoch`` index, so downstream shuffling/packing can interleave
+    repeats instead of clustering them.
+
+    Inclusion of the fractional copy is ``hash_bucket(key, seed || '@' ||
+    epoch) < frac * 2^32`` — per-epoch salting, so a row's fractional
+    fate at epoch 2 is independent of a future 3.5-epoch rerun's epoch 3.
+    Groups absent from ``epochs`` are dropped (consistent with the other
+    mixture samplers); epochs must be non-negative and finite.
+
+    Scale shape: a broadcast group-dim join plus an in-row
+    explode(sequence) — a pure narrow map, NO shuffle; output size is the
+    mixture's token budget, which is the point.
+    """
+    for g, e in epochs.items():
+        e = float(e)
+        if not (e >= 0.0 and e == e and e != float("inf")):
+            raise ValueError(f"mixture_upsample_epochs: bad epoch count {e!r} for {g!r}")
+    # _broadcast_group_dim types its values long (quota semantics); epoch
+    # counts are fractional, so build the double-typed dim directly
+    gtype_map = dict(df.dtypes)
+    if group_col not in gtype_map:
+        raise ValueError(f"no such column: {group_col}")
+    bdim = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, float(e)) for g, e in epochs.items()],
+            f"{group_col} {gtype_map[group_col]}, __epochs double",
+        )
+    )
+    full = F.floor(F.col("__epochs")).cast("int")
+    frac = F.col("__epochs") - full
+    # copies = full epochs + possibly one fractional epoch, decided per row
+    take_frac = (
+        hash_bucket(
+            F.concat(F.col(key_col).cast("string"), F.lit("@"), full.cast("string")),
+            seed,
+        )
+        < (frac * F.lit(float(_BUCKETS))).cast("long")
+    )
+    total = full + F.when(take_frac, F.lit(1)).otherwise(F.lit(0))
+    # sequence(0, -1) would DESCEND ([0, -1]), not empty — guard total = 0
+    eps = F.when(total > 0, F.sequence(F.lit(0), total - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.join(bdim, group_col).withColumn("epoch", F.explode(eps)).drop("__epochs")

@@ -104,10 +104,13 @@ def vocab_coverage(
     id_ = F.col(id_col)
     toks = df.select(id_.alias("__id"), F.explode(tokens(F.col(text_col))).alias("__w"))
     wc = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
-    wv = Window.orderBy(F.col("__n").desc(), F.col("__w").asc())
+    # global top-K as orderBy + limit -> TakeOrderedAndProject: each
+    # partition forwards at most K candidates and the driver merges K
+    # (a global row_number window would instead sort the whole
+    # vocabulary on one partition)
     vocab = (
-        wc.withColumn("__r", F.row_number().over(wv))
-        .where(F.col("__r") <= vocab_size)
+        wc.orderBy(F.col("__n").desc(), F.col("__w").asc())
+        .limit(vocab_size)
         .select("__w", F.lit(True).alias("__in_vocab"))
     )
     return (
@@ -149,24 +152,24 @@ def ngram_novelty(
     id_ = F.col(id_col)
     w = df.select(id_.alias("__id"), tokens(F.col(text_col)).alias("__w"))
     k = F.size("__w") - (n - 1)
+    # per-doc distinct grams built IN-ROW (transform + array_distinct):
+    # the exploded (id, gram) stream is distinct by construction, saving
+    # the corpus-wide distinct exchange the naive plan pays; min-per-gram
+    # then runs as a window on the gram key (ONE gram-keyed shuffle
+    # total) instead of an aggregate plus a join back
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("__w"), i, n), " "),
+        )
+    )
     grams = (
         w.where(k >= 1)
-        .select(
-            "__id",
-            F.explode(F.sequence(F.lit(1), k)).alias("__i"),
-            F.col("__w"),
-        )
-        .select(
-            "__id",
-            F.array_join(
-                F.slice(F.col("__w"), F.col("__i"), n), " "
-            ).alias("__g"),
-        )
-        .distinct()
+        .select("__id", F.explode(gram_arr).alias("__g"))
     )
-    first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+    wg = Window.partitionBy("__g")
     return (
-        grams.join(first, "__g")
+        grams.withColumn("__first", F.min("__id").over(wg))
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -729,3 +729,67 @@ def test_fair_quota_and_mixture_use_window_group_limit(spark, sf_dir):
         df = GOLDEN[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, name
+
+
+def test_gopher_gate_shuffles_keyed_on_doc(spark, sf_dir):
+    """gopher_quality_gate: no cartesian, no global sort beyond the
+    presentation orderBy; the three frames join on the doc id (broadcast
+    or shuffled-hash, never nested-loop)."""
+    df = GOLDEN["gopher_quality_gate"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_cleaning_single_narrow_stage(spark, sf_dir):
+    """c4_line_cleaning is a narrow map + presentation sort: exactly the
+    sort's exchange and nothing else."""
+    df = GOLDEN["c4_line_cleaning"].spark(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """vocab_oov_audit: the top-K vocabulary joins the token stream as a
+    BROADCAST (corpus-sized shuffle only for the wordcount), and the
+    global top-K runs as TakeOrderedAndProject — each partition forwards
+    at most K candidates — never a single-partition global window."""
+    df = GOLDEN["vocab_oov_audit"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" not in plan  # no window-based top-K at all
+
+
+def test_snapshot_diff_single_join_no_cartesian(spark, sf_dir):
+    df = GOLDEN["snapshot_diff_incremental"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_profile_columns_single_aggregate_pass(spark, sf_dir):
+    """profile_events_columns: one Expand-fed aggregate pair over ONE
+    scan of events — not one job per column."""
+    df = GOLDEN["profile_events_columns"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    assert "Expand" in plan  # the documented multi-distinct shape
+
+
+def test_ann_recall_audit_broadcasts_small_sides(spark, sf_dir):
+    """ann_recall_audit_ivf: query set, centroid dim, probe sets, and the
+    two (queries x k)-bounded top-k frames all broadcast; the corpus is
+    never the build side and nothing is nested-loop-joined except the
+    deliberate query-set cross join."""
+    df = GOLDEN["ann_recall_audit_ivf"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_dedup_connected_best_window_group_limit(spark, sf_dir):
+    """cluster_keep_best_copy's final keep-best window filters on the
+    LITERAL rank 1, so Spark pushes WindowGroupLimit below the shuffle
+    (the round-3 lesson: a column-valued bound would shuffle whole
+    groups)."""
+    df = GOLDEN["cluster_keep_best_copy"].spark(spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)

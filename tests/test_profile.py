@@ -65,3 +65,19 @@ def test_value_histogram_clamps_and_drops_null(spark):
         value_histogram(df, "v", 0.0, 1.0, 0)
     with pytest.raises(ValueError, match="hi > lo"):
         value_histogram(df, "v", 1.0, 1.0, 4)
+
+
+def test_snapshot_diff_digest_mode_matches_exact(spark):
+    """digest=True (fixed-width shuffle payload, the 100 TB mode) must
+    classify identically to the exact mode, including NULL handling."""
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, None, "z"), (4, "d", "w")],
+        "id long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "set"), (3, None, "z"), (5, "e", "v")],
+        "id long, t string, u string",
+    )
+    exact = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    dig = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["t", "u"], digest=True).collect()}
+    assert exact == dig == {2: "changed", 4: "removed", 5: "added"}

@@ -199,3 +199,44 @@ def test_dedup_connected_best_keeps_longest(spark):
         for r in dedup_connected_best(df, pairs, "doc_id", best_by="n").collect()
     )
     assert kept == [2, 4, 6]
+
+
+def test_mixture_upsample_epochs_integer_and_fractional(spark):
+    """Integer epochs replicate exactly; 0 drops the group; a missing
+    group is dropped; epoch indices are 0..total-1; invalid counts
+    raise."""
+    import pytest
+
+    from mr_dice_spark.operators.sampling import mixture_upsample_epochs
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else ("b" if i < 8 else "c")) for i in range(12)],
+        "doc_id long, lang string",
+    )
+    out = mixture_upsample_epochs(df, "lang", {"a": 3.0, "b": 0.0}, "doc_id")
+    rows = out.collect()
+    assert all(r["lang"] == "a" for r in rows)          # b zeroed, c absent
+    assert len(rows) == 12                              # 4 docs x 3 epochs
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())
+    with pytest.raises(ValueError, match="bad epoch"):
+        mixture_upsample_epochs(df, "lang", {"a": -1.0}, "doc_id")
+    with pytest.raises(ValueError, match="bad epoch"):
+        mixture_upsample_epochs(df, "lang", {"a": float("nan")}, "doc_id")
+
+
+def test_mixture_upsample_fractional_rate_and_determinism(spark):
+    """Fractional inclusion tracks the rate over many keys and is
+    identical across runs (pure function of key and seed)."""
+    from mr_dice_spark.operators.sampling import mixture_upsample_epochs
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(2000)], "doc_id long, lang string"
+    )
+    a = mixture_upsample_epochs(df, "lang", {"g": 1.5}, "doc_id", seed="x")
+    n1 = a.count()
+    assert 2000 + 800 < n1 < 2000 + 1200  # ~1000 fractional copies
+    n2 = mixture_upsample_epochs(df, "lang", {"g": 1.5}, "doc_id", seed="x").count()
+    assert n1 == n2

@@ -65,6 +65,17 @@ PROBES = [
     "split_contamination_audit",
     "hll_rollup_distinct_users",
     "theta_overlap_event_types",
+    # round-4 quality/observability operators
+    "gopher_quality_gate",
+    "c4_line_cleaning",
+    "bpe_pair_merge_stats",
+    "ngram_novelty_by_doc",
+    "vocab_oov_audit",
+    "cluster_keep_best_copy",
+    "snapshot_diff_incremental",
+    "profile_events_columns",
+    "doc_length_histogram",
+    "ann_recall_audit_ivf",
 ]
 
 
