@@ -22,14 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Rounds 1-2 drove 97 distinct goldens green; this round's
-# window closes the corpus: the 29 goldens that have never had a driver
-# CORRECTNESS row (TPC-H q03-q22 family, rollup/cube/grouping-sets,
-# set-ops, percentiles, pivot, PQ/IVF-PQ, HLL, chunking, winnowing
-# overlap), then every query added or changed this round, then join-heavy
-# round-2 rows re-verified because the session's broadcast threshold
-# change re-plans every join. Everything else stays oracle-checked by
-# tests/test_golden.py regardless of position.
+# in dict order. Rounds 1-3 drove 141 distinct goldens green; this
+# round's window leads with the 7 goldens that never had a driver row
+# (closing lifetime coverage of the pre-round-4 corpus), then every
+# query added or changed this round, then 28 rows last verified in
+# round 1 (bench headliners + the CDC/components/LSH/quota/OPTIMADE
+# families). Everything displaced is r2/r3-green and stays
+# oracle-checked by tests/test_golden.py regardless of position.
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
