@@ -54,10 +54,12 @@ _CHECK_FIRST = [
     "doc_length_histogram",           # fixed-range length histogram
     "ann_recall_audit_ivf",           # measured IVF recall@10
     "mixture_upsample_epochs_lang",   # fractional-epoch upsampling
+    "streaming_static_enrichment",    # stream-static broadcast join
+    "crawl_quality_tokenizer_report", # c4->gate->dedup->OOV composition
     # --- changed this round
     "theta_overlap_event_types",      # NULL group keys excluded up front
     "multimodal_frame_sample",        # avi_sample_slices cap in its path
-    # --- r1-only re-verification: these 28 were last driver-checked in
+    # --- r1-only re-verification: these 26 were last driver-checked in
     # round 1; re-verify the bench headliners and the highest-complexity
     # operator families (CDC, components, LSH families, quota, OPTIMADE).
     # Everything displaced is r2/r3-green and stays covered by
@@ -86,10 +88,8 @@ _CHECK_FIRST = [
     "join_anti_customers_without_orders",
     "join_semi_customers_with_orders",
     "optimade_filter_compile",
-    "optimade_has_predicates",
     "simhash_near_dup_pairs",
     "stratified_sample_by_type",
-    "events_cohort_retention",
 ]
 
 

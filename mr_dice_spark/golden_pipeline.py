@@ -2803,3 +2803,65 @@ def streaming_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', CAST(e.ts AS TIMESTAMP))) AS window_start_ms,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(1e-9 + AVG(e.value), 4) AS avg_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@golden(
+    "streaming_static_enrichment",
+    STREAM_ENRICH_ORACLE,
+    tags=("streaming", "join", "enrichment", "events"),
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment on the real engine: readStream events
+    joined to the batch customer dimension (broadcast — the static side
+    of a stream-static join never keeps state) then a watermarked hourly
+    window aggregate per market segment, complete-mode memory sink. This
+    is the serving-pipeline shape (enrich each event with dimension
+    attributes as it arrives); the static side re-reads per micro-batch
+    by contract, so dimension updates between batches are picked up.
+    Finite replay + beyond-fixture watermark -> exact SQL-oracle parity,
+    like the other streaming goldens."""
+    import uuid
+
+    from mr_dice_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    _utc(spark)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = stream.withWatermark("ts", "3650 days").join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "segment",
+            "n_events",
+            _r(F.col("avg_value"), 4).alias("avg_value"),
+        )
+    )
+    q = run_stream_to_memory(agg, name, output_mode="complete")
+    try:
+        out = spark.table(name).orderBy("window_start_ms", "segment")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()

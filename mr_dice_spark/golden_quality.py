@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mr_dice_spark.catalog import Catalog
-from mr_dice_spark.golden import golden
+from mr_dice_spark.golden import _r, golden
 
 # ---------------------------------------------------------------------------
 # shared reshape: 8-word lines
@@ -777,3 +777,135 @@ def mixture_upsample_epochs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", dict(_UPS_EPOCHS), "doc_id", seed=_UPS_SEED
     )
     return out.select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline: C4 clean -> page gate -> exact dedup -> OOV report
+# ---------------------------------------------------------------------------
+
+# NOTE: the tok/lined/f construction below restates C4_ORACLE's corpus
+# build verbatim (same arithmetic decoration) — keep the two in sync.
+PIPELINE_REPORT_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         array_to_string(
+           list_concat(
+             list_concat(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+                 i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+                      || (['', '.', '!', '. javascript'])[CAST((doc_id + i) % 4 AS INT) + 1]),
+               CASE WHEN doc_id % 11 = 0 THEN ['{{ config }}.'] ELSE [] END),
+             CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum dolor.'] ELSE [] END),
+           chr(10)) AS text
+  FROM tok
+),
+f AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+           x -> regexp_matches(rtrim(x), '[.!?"”]$')
+                AND (CASE WHEN trim(x) = '' THEN 0
+                          ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM lined
+),
+pages AS (
+  SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+  FROM f
+  WHERE NOT (contains(text, '{{') OR contains(text, '}}'))
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND len(kept) >= 3
+),
+ded AS (
+  SELECT doc_id, cleaned FROM (
+    SELECT doc_id, cleaned,
+           ROW_NUMBER() OVER (PARTITION BY cleaned ORDER BY doc_id) AS rn
+    FROM pages
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(cleaned), '\s+')) AS w
+  FROM ded WHERE trim(cleaned) <> ''
+),
+wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS r FROM wc
+  ) WHERE r <= 10
+),
+oov AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         count_if(v.w IS NULL) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(o.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(1e-9 + AVG(o.n_oov * 1.0 / o.n_tokens), 6) AS avg_oov_frac
+FROM ded JOIN documents d USING (doc_id) JOIN oov o ON o.doc_id = ded.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@golden(
+    "crawl_quality_tokenizer_report",
+    PIPELINE_REPORT_ORACLE,
+    tags=("text", "pipeline", "c4", "dedup", "vocab", "quality"),
+)
+def crawl_quality_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition of the round-4 operators: C4 line cleaning
+    (narrow map) -> page gate -> exact dedup of the CLEANED text (first
+    wins) -> top-10 vocabulary OOV audit over the surviving corpus ->
+    per-language release report (docs, tokens, mean OOV rate). Each stage
+    is the operator under its own golden; this entry pins that they
+    compose — the report a curation run publishes before handing the
+    corpus to a tokenizer build."""
+    from mr_dice_spark.operators.dedup import dedup_exact
+    from mr_dice_spark.operators.quality_rules import c4_line_filter
+    from mr_dice_spark.operators.vocab import vocab_coverage
+
+    docs = Catalog(spark, sf_dir).documents
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(w) / F.lit(float(_CHUNK))).cast("int")
+    suffixes = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * F.lit(_CHUNK) + 1, _CHUNK), " "),
+            F.element_at(suffixes, ((F.col("doc_id") + i) % 4).cast("int") + 1),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    brace = F.when(
+        F.col("doc_id") % 11 == 0, F.array(F.lit("{ config }."))
+    ).otherwise(empty)
+    lorem = F.when(
+        F.col("doc_id") % 13 == 0, F.array(F.lit("lorem ipsum dolor."))
+    ).otherwise(empty)
+    lined = docs.select(
+        "doc_id", F.array_join(F.concat(chunks, brace, lorem), "\n").alias("text")
+    )
+    pages = (
+        c4_line_filter(lined, "doc_id", "text")
+        .where(F.col("keep"))
+        .select("doc_id", F.col("cleaned_text").alias("cleaned"))
+    )
+    ded = dedup_exact(pages, ["cleaned"], "doc_id")
+    oov = vocab_coverage(ded, "doc_id", "cleaned", vocab_size=10)
+    return (
+        ded.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(oov, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            _r(F.avg(F.col("n_oov") / F.col("n_tokens")), 6).alias("avg_oov_frac"),
+        )
+        .orderBy("lang")
+    )
