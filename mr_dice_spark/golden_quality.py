@@ -909,3 +909,38 @@ def crawl_quality_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity-resolution join (edit distance <= 1)
+# ---------------------------------------------------------------------------
+
+FUZZY_JOIN_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+@golden(
+    "fuzzy_name_join_customers",
+    FUZZY_JOIN_ORACLE,
+    tags=("join", "fuzzy", "entity-resolution", "dedup"),
+)
+def fuzzy_name_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage self-join: every customer-name pair within edit
+    distance 1 via the PassJoin k=1 segment pigeonhole (exact recall —
+    the oracle brute-forces the same pair set with a quadratic
+    levenshtein cross join the operator exists to avoid). The fixture's
+    constant 'Customer#' prefix exercises the documented degenerate-block
+    hazard: candidates come from the high-entropy suffix half."""
+    from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+    cust = Catalog(spark, sf_dir).customer
+    out = edit_distance_join(cust, "c_custkey", "c_name")
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,62 @@
+"""Tests for the edit-distance-1 pigeonhole join (operators/fuzzy.py)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expected(rows):
+    return sorted(
+        (a, b, _lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if sa is not None and sb is not None and _lev(sa, sb) <= 1
+    )
+
+
+def _got(spark, rows):
+    df = spark.createDataFrame(rows, "id long, s string")
+    return sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s").collect()
+    )
+
+
+def test_edit_distance_join_randomized_exact_recall(spark):
+    """200 random strings over a 3-letter alphabet (dense near-pairs,
+    every edit type, lengths 0-6): the pigeonhole join must equal the
+    brute-force pair set EXACTLY — recall is structural, not
+    probabilistic."""
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 6))))
+        for i in range(200)
+    ]
+    assert _got(spark, rows) == _expected(rows)
+
+
+def test_edit_distance_join_edge_shapes(spark):
+    """Empty vs 1-char (insert at the boundary), exact duplicates
+    (dist 0), NULLs excluded."""
+    rows = [(1, ""), (2, "a"), (3, "a"), (4, None), (5, "ab")]
+    assert _got(spark, rows) == _expected([r for r in rows])
+
+
+def test_edit_distance_join_k2_not_implemented(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(NotImplementedError, match="k=1"):
+        edit_distance_join(df, "id", "s", max_dist=2)
