@@ -944,3 +944,107 @@ def fuzzy_name_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# link-authority PageRank (iterative graph ranking)
+# ---------------------------------------------------------------------------
+
+# five sweeps unrolled as chained CTEs — the SQL restatement of the
+# operator's fixed-iteration loop (a convergence test would not be
+# deterministic or restatable)
+PAGERANK_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS s,
+         CAST(1000000 + l.l_suppkey AS BIGINT) AS d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY s),
+nodes AS (SELECT DISTINCT s FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+p0 AS (SELECT s AS v, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+p1 AS (
+  SELECT n.s AS v,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * COALESCE(c.c, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, SUM(p.r / dg.deg) AS c
+    FROM e JOIN p0 p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.v = n.s
+),
+p2 AS (
+  SELECT n.s AS v,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * COALESCE(c.c, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, SUM(p.r / dg.deg) AS c
+    FROM e JOIN p1 p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.v = n.s
+),
+p3 AS (
+  SELECT n.s AS v,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * COALESCE(c.c, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, SUM(p.r / dg.deg) AS c
+    FROM e JOIN p2 p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.v = n.s
+),
+p4 AS (
+  SELECT n.s AS v,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * COALESCE(c.c, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, SUM(p.r / dg.deg) AS c
+    FROM e JOIN p3 p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.v = n.s
+),
+p5 AS (
+  SELECT n.s AS v,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * COALESCE(c.c, 0.0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, SUM(p.r / dg.deg) AS c
+    FROM e JOIN p4 p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+    GROUP BY e.d
+  ) c ON c.v = n.s
+)
+SELECT v AS node, ROUND(1e-9 + r, 6) AS "rank" FROM p5 ORDER BY node
+"""
+
+
+@golden(
+    "link_authority_pagerank",
+    PAGERANK_ORACLE,
+    tags=("graph", "iterative", "pagerank", "authority"),
+)
+def link_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 sweeps, damping 0.85) over the undirected
+    customer-supplier purchase graph (orders x lineitem; supplier nodes
+    offset by 1e6) — the link-authority quality signal crawl curation
+    derives from its host graph, and the repo's second iterative
+    DataFrame fixpoint after connected components. Fixed sweeps make the
+    float recurrence deterministic and SQL-restatable: the oracle
+    unrolls the same five message-passing rounds."""
+    from mr_dice_spark.operators.graph import pagerank
+
+    t = Catalog(spark, sf_dir)
+    edges = (
+        t.orders.join(
+            t.lineitem, t.orders["o_orderkey"] == t.lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, "src", "dst", n_iter=5, damping=0.85)
+    return out.select(
+        "node", _r(F.col("rank"), 6).alias("rank")
+    ).orderBy("node")

@@ -1,0 +1,47 @@
+"""Tests for PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mr_dice_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_symmetric_graphs_stay_uniform(spark):
+    """On a vertex-transitive graph (triangle) the uniform distribution
+    is stationary: every sweep returns exactly 1/N."""
+    r = _ranks(spark, [(1, 2), (2, 3), (3, 1)])
+    assert all(abs(v - 1 / 3) < 1e-12 for v in r.values())
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    """Undirected star: ranks sum to 1 (no dangling mass) and the hub
+    out-ranks every leaf."""
+    r = _ranks(spark, [(0, i) for i in range(1, 6)])
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(r[0] > r[i] for i in range(1, 6))
+    # leaves are symmetric
+    assert len({round(r[i], 12) for i in range(1, 6)}) == 1
+
+
+def test_pagerank_directed_source_holds_teleport_only(spark):
+    """Directed chain 1->2->3: node 1 has no in-edges, so after any
+    sweep its rank is exactly the teleport term (1-d)/N."""
+    r = _ranks(spark, [(1, 2), (2, 3)], undirected=False, n_iter=3)
+    assert abs(r[1] - 0.15 / 3) < 1e-12
+    assert r[3] > r[2] > r[1]
+
+
+def test_pagerank_zero_iter_is_uniform_and_validation(spark):
+    r = _ranks(spark, [(1, 2)], n_iter=0)
+    assert r == {1: 0.5, 2: 0.5}
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
