@@ -537,14 +537,16 @@ def snapshot_diff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = F.when(
         F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
     ).otherwise(F.col("text"))
-    new = docs.where(F.col("doc_id") % 17 != 0).select(
-        "doc_id", changed.alias("text"), "lang", "source"
+    # withColumn-then-select: never alias an expression to a name the
+    # same projection still reads (the Catalyst projection-collapse
+    # rebinding hazard documented at minhash_recall_audit_curve)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "text", changed
     ).unionByName(
-        docs.where(F.col("doc_id") % 23 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" copy")).alias("text"),
-            "lang",
-            "source",
+        docs.where(F.col("doc_id") % 23 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" copy")))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
         )
     )
     return snapshot_diff(docs, new, "doc_id", ["text", "lang", "source"]).orderBy(
@@ -1048,3 +1050,135 @@ def link_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", _r(F.col("rank"), 6).alias("rank")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding recall audit (measured S-curve)
+# ---------------------------------------------------------------------------
+
+# Every doc gains a variant (id + 100000) with every m-th word marked,
+# m in {5, 9, 17, 33} by doc_id % 4 — pair similarities spread across
+# ~0.2..0.9 so the banding S-curve has mass in several buckets instead
+# of only the planted >= 0.9 near-dups.
+MINHASH_RECALL_ORACLE = r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+vsrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+         ([5, 9, 17, 33])[CAST(doc_id % 4 AS INT) + 1] AS m
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(
+           list_transform(generate_series(1, len(w)),
+             i -> CASE WHEN (i - 1 + doc_id) % m = 0
+                       THEN w[CAST(i AS INT)] || '~'
+                       ELSE w[CAST(i AS INT)] END),
+           ' ')
+  FROM vsrc
+),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b, i * 1.0 / (ca.n + cb.n - i) AS j
+  FROM inter
+  JOIN cnt ca ON inter.id_a = ca.doc_id
+  JOIN cnt cb ON inter.id_b = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+sig AS (
+  SELECT doc_id,
+         MIN(CAST(('0x' || substring(md5('0|' || shingle), 1, 15)) AS BIGINT)) AS h0,
+         MIN(CAST(('0x' || substring(md5('1|' || shingle), 1, 15)) AS BIGINT)) AS h1,
+         MIN(CAST(('0x' || substring(md5('2|' || shingle), 1, 15)) AS BIGINT)) AS h2,
+         MIN(CAST(('0x' || substring(md5('3|' || shingle), 1, 15)) AS BIGINT)) AS h3,
+         MIN(CAST(('0x' || substring(md5('4|' || shingle), 1, 15)) AS BIGINT)) AS h4,
+         MIN(CAST(('0x' || substring(md5('5|' || shingle), 1, 15)) AS BIGINT)) AS h5,
+         MIN(CAST(('0x' || substring(md5('6|' || shingle), 1, 15)) AS BIGINT)) AS h6,
+         MIN(CAST(('0x' || substring(md5('7|' || shingle), 1, 15)) AS BIGINT)) AS h7
+  FROM sh GROUP BY doc_id
+),
+bk AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR)
+           WHEN 1 THEN CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR)
+           WHEN 2 THEN CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR)
+           ELSE CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)
+         END AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT least(floor(t.j * 10) / 10, 1.0) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count_if(c.id_a IS NOT NULL) AS BIGINT) AS n_hit,
+       ROUND(1e-9 + count_if(c.id_a IS NOT NULL) * 1.0 / count(*), 6) AS recall
+FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
+@golden(
+    "minhash_recall_audit_curve",
+    MINHASH_RECALL_ORACLE,
+    tags=("dedup", "minhash", "lsh", "recall", "audit"),
+)
+def minhash_recall_audit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured banding recall of the 8-hash/4-band MinHash config
+    against exact Jaccard, bucketed by similarity — the empirical
+    S-curve (the dedup twin of ann_recall_audit_ivf), over the corpus
+    plus deterministic partial-overlap variants so mid-similarity
+    buckets carry mass. Fully portable construction (md5 signatures,
+    tuple banding), so even the audit hash-matches SQL."""
+    from mr_dice_spark.functions.text import tokens
+    from mr_dice_spark.operators.dedup import minhash_recall_audit
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    w = tokens(F.col("text"))
+    m = F.element_at(
+        F.array(F.lit(5), F.lit(9), F.lit(17), F.lit(33)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    idx = F.when(F.size(w) >= 1, F.sequence(F.lit(1), F.size(w))).otherwise(
+        F.array().cast("array<int>")
+    )
+    repl = F.transform(
+        idx,
+        lambda i: F.when(
+            ((i - 1 + F.col("doc_id")) % m) == 0,
+            F.concat(F.element_at(w, i), F.lit("~")),
+        ).otherwise(F.element_at(w, i)),
+    )
+    # two-step select: the SAME projection must not alias an expression
+    # to "doc_id" while repl still READS the input doc_id — under the
+    # union + downstream filters Catalyst collapses the projections and
+    # rebinds the name to the shifted id, silently un-marking every
+    # variant (caught by the oracle: jaccard 1.0 where 0.54 was right)
+    variants = docs.withColumn("text", F.array_join(repl, " ")).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(variants)
+    return minhash_recall_audit(
+        corpus, "doc_id", "text", threshold=0.2, num_hashes=8, bands=4
+    )

@@ -560,3 +560,90 @@ def ngram_jaccard_join(
     if threshold > 1.0:
         return inter  # degenerate: nothing passes, keep plan shape
     return inter.unionByName(intra)
+
+
+def minhash_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Measured recall of banded MinHash LSH against the EXACT Jaccard
+    pair set, bucketed by similarity: ``(bucket_lo, n_true, n_hit,
+    recall)`` where ``n_true`` counts exact pairs with jaccard in
+    [bucket_lo, bucket_lo + 0.1) (1.0 its own bucket) and ``n_hit``
+    those the banding also proposed — the empirical S-curve a dedup
+    rollout reads before committing to a (num_hashes, bands)
+    configuration, the dedup-side twin of similarity.ivf_recall_audit.
+    "Measure, don't guess": the theoretical 1-(1-s^r)^b curve assumes
+    independent hashes; this audits the ACTUAL config on the ACTUAL
+    corpus.
+
+    Deterministic end to end: portable md5-derived signatures
+    (:func:`portable_hash60`) and banding by the band's component TUPLE
+    (key hashing is only compression — equality of tuples is the banding
+    relation), so even the audit is SQL-restatable and hash-checkable.
+    Buckets compare integer-derived doubles (intersection/union counts),
+    identical on any IEEE engine.
+
+    Scale shape: the exact side is :func:`ngram_jaccard_join` (the
+    operator's documented bounded-corpus/verification regime — an exact
+    audit inherently pays for exact pairs); the banding side shuffles
+    (id, band tuple) only; the final bucket aggregate is tiny.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    per = num_hashes // bands
+    true_pairs = ngram_jaccard_join(
+        df, id_col, text_col, threshold=threshold, shingle_n=shingle_n
+    ).select("id_a", "id_b", "jaccard")
+
+    ex = shingles_exploded(df, id_col, text_col, shingle_n).select("__id", "__s")
+    sig = minhash_signatures(ex, num_hashes=num_hashes, portable=True)
+    band_tuple = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"__h{b * per + i}") for i in range(per)]
+            )
+            for b in range(bands)
+        ]
+    )
+    bk = sig.select("__id", F.posexplode(band_tuple).alias("__band", "__key"))
+    cand = (
+        bk.alias("x")
+        .join(
+            bk.alias("y"),
+            (F.col("x.__band") == F.col("y.__band"))
+            & (F.col("x.__key") == F.col("y.__key"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(True).alias("__hit"),
+        )
+        .distinct()
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10) / 10, F.lit(1.0))
+    return (
+        true_pairs.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count_if(F.col("__hit").isNotNull()).alias("n_hit"),
+        )
+        .select(
+            "bucket_lo",
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true") + F.lit(1e-9), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("bucket_lo")
+    )

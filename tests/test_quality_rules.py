@@ -240,3 +240,22 @@ def test_mixture_upsample_fractional_rate_and_determinism(spark):
     assert 2000 + 800 < n1 < 2000 + 1200  # ~1000 fractional copies
     n2 = mixture_upsample_epochs(df, "lang", {"g": 1.5}, "doc_id", seed="x").count()
     assert n1 == n2
+
+
+def test_minhash_recall_audit_exact_dups_always_hit(spark):
+    """Exact duplicates share the whole signature, so every band
+    proposes them: the 1.0 bucket must show recall 1.0; divisibility is
+    validated."""
+    import pytest
+
+    from mr_dice_spark.operators.dedup import minhash_recall_audit
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    rows = {r["bucket_lo"]: r for r in minhash_recall_audit(df, "doc_id", "text").collect()}
+    assert rows[1.0]["n_true"] == 1 and rows[1.0]["recall"] == 1.0
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_recall_audit(df, "doc_id", "text", num_hashes=8, bands=3)
