@@ -59,10 +59,11 @@ _CHECK_FIRST = [
     "fuzzy_name_join_customers",      # edit-distance-1 pigeonhole join
     "link_authority_pagerank",        # iterative graph ranking
     "minhash_recall_audit_curve",     # measured LSH banding S-curve
+    "compression_ratio_signal",       # zlib signal (rows-only)
     # --- changed this round
     "theta_overlap_event_types",      # NULL group keys excluded up front
     "multimodal_frame_sample",        # avi_sample_slices cap in its path
-    # --- r1-only re-verification: these 23 were last driver-checked in
+    # --- r1-only re-verification: these 22 were last driver-checked in
     # round 1; re-verify the bench headliners and the highest-complexity
     # operator families (CDC, components, LSH families, quota, OPTIMADE).
     # Everything displaced is r2/r3-green and stays covered by
@@ -89,7 +90,6 @@ _CHECK_FIRST = [
     "federation_dedup_quota",
     "incremental_dedup_two_batches",
     "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
 ]
 
 

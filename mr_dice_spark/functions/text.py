@@ -169,3 +169,50 @@ def pii_oracle_sql(expr: str, rules: tuple[tuple[str, str, str], ...] = PII_RULE
         p = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
     return out
+
+
+def compression_ratio_stats(df, id_col: str, text_col: str):
+    """Per-document zlib compressibility — the machine-text/repetition
+    screen (highly compressible documents are boilerplate, spam, or
+    generated text; near-incompressible ones are often binary junk in a
+    text field): ``(id, n_bytes, n_compressed, ratio)`` with
+    ``ratio = n_compressed / n_bytes`` (NULL for empty/NULL text).
+
+    The one quality signal in this module that cannot be a codegen'd
+    expression (DEFLATE needs real LZ77+Huffman state), so it takes the
+    documented slow path: an Arrow-batched pandas UDF over UTF-8 bytes at
+    zlib level 6 — a narrow map, no shuffle; at 100 TB it pipelines
+    inside the scan stage like any other per-row transform, just on the
+    Python worker pool. Deterministic for a given zlib, but there is no
+    SQL restatement — the golden is rows-only and correctness is pinned
+    by unit tests on known-compressible/incompressible payloads.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _clen(s):
+        import zlib
+
+        return s.map(
+            lambda t: None if t is None else len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("Int64")
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's eval-type
+    # inference cannot resolve
+    _clen.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _compressed_len = pandas_udf(_clen, "long")
+
+    nb = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
+    return df.select(
+        F.col(id_col),
+        nb.alias("n_bytes"),
+        _compressed_len(F.col(text_col)).alias("n_compressed"),
+        F.when(
+            nb > 0,
+            F.round(
+                _compressed_len(F.col(text_col)) / nb + F.lit(1e-9), 6
+            ),
+        ).alias("ratio"),
+    )

@@ -1182,3 +1182,24 @@ def minhash_recall_audit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_recall_audit(
         corpus, "doc_id", "text", threshold=0.2, num_hashes=8, bands=4
     )
+
+
+# ---------------------------------------------------------------------------
+# zlib compressibility signal (rows-only: no SQL DEFLATE)
+# ---------------------------------------------------------------------------
+
+@golden(
+    "compression_ratio_signal",
+    None,  # rows-only: DEFLATE has no SQL restatement; pinned by unit tests
+    tags=("text", "quality", "compression", "udf"),
+)
+def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility (the machine-text/repetition
+    screen) over the corpus — the repo's one Arrow-batched pandas-UDF
+    quality signal; a narrow map with no shuffle. Rows-only by necessity
+    (no SQL DEFLATE); the arithmetic and edge semantics are unit-tested
+    in tests/test_quality_rules.py."""
+    from mr_dice_spark.functions.text import compression_ratio_stats
+
+    docs = Catalog(spark, sf_dir).documents
+    return compression_ratio_stats(docs, "doc_id", "text").orderBy("doc_id")

@@ -259,3 +259,23 @@ def test_minhash_recall_audit_exact_dups_always_hit(spark):
     assert rows[1.0]["n_true"] == 1 and rows[1.0]["recall"] == 1.0
     with pytest.raises(ValueError, match="divisible"):
         minhash_recall_audit(df, "doc_id", "text", num_hashes=8, bands=3)
+
+
+def test_compression_ratio_stats_semantics(spark):
+    """Repetitive text compresses far below 1; short text pays the zlib
+    header (> 1); NULL stays NULL; empty text has NULL ratio; values
+    match python zlib exactly."""
+    import zlib
+
+    from mr_dice_spark.functions.text import compression_ratio_stats
+
+    rep = "abc " * 500
+    df = spark.createDataFrame(
+        [(1, rep), (2, "x"), (3, None), (4, "")], "id long, text string"
+    )
+    out = {r["id"]: r for r in compression_ratio_stats(df, "id", "text").collect()}
+    assert out[1]["n_compressed"] == len(zlib.compress(rep.encode(), 6))
+    assert out[1]["ratio"] < 0.05
+    assert out[2]["ratio"] > 1.0
+    assert out[3]["n_bytes"] is None and out[3]["ratio"] is None
+    assert out[4]["n_bytes"] == 0 and out[4]["ratio"] is None
