@@ -56,7 +56,29 @@ def test_edit_distance_join_edge_shapes(spark):
     assert _got(spark, rows) == _expected([r for r in rows])
 
 
-def test_edit_distance_join_k2_not_implemented(spark):
+def test_edit_distance_join_general_k_randomized(spark):
+    """k=2 and k=3 (general PassJoin path): exact match with brute force
+    over a dense 2-letter alphabet with lengths 0-7 — every segment/
+    shift/tiny-string case fires; k=0 rejected."""
+    from mr_dice_spark.operators.fuzzy import edit_distance_join_k
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 7))))
+        for i in range(120)
+    ]
+    for k in (2, 3):
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_join(df, "id", "s", max_dist=k).collect()
+        )
+        exp = sorted(
+            (a, b, _lev(sa, sb))
+            for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+            if _lev(sa, sb) <= k
+        )
+        assert got == exp
     df = spark.createDataFrame([(1, "x")], "id long, s string")
-    with pytest.raises(NotImplementedError, match="k=1"):
-        edit_distance_join(df, "id", "s", max_dist=2)
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_join_k(df, "id", "s", 0)
