@@ -216,3 +216,25 @@ def compression_ratio_stats(df, id_col: str, text_col: str):
             ),
         ).alias("ratio"),
     )
+
+
+def nfc_normalize(text_col: Column) -> Column:
+    """Unicode NFC normalization (composed forms) — the canonicalization
+    step run before any text hashing/dedup so that visually identical
+    strings ('e'+COMBINING ACUTE vs the precomposed 'é') collapse to one
+    byte sequence. No Spark builtin exists, so this is an Arrow-batched
+    pandas UDF over Python's unicodedata (NFC is stability-guaranteed
+    across Unicode versions, and DuckDB's nfc_normalize agrees — the
+    golden hash-checks the parity). Narrow map, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _n(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    _n.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_n, "string")(text_col)

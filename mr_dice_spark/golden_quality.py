@@ -1203,3 +1203,68 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return compression_ratio_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization + dedup
+# ---------------------------------------------------------------------------
+
+NFC_DEDUP_ORACLE = r"""
+WITH va AS (
+  SELECT doc_id + 100000 AS doc_id,
+         regexp_replace(text, '\ba\b', chr(225), 'g') AS text
+  FROM documents
+),
+vb AS (
+  SELECT doc_id + 200000 AS doc_id,
+         regexp_replace(text, '\ba\b', 'a' || chr(769), 'g') AS text
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM va
+  UNION ALL SELECT doc_id, text FROM vb
+),
+norm AS (SELECT doc_id, nfc_normalize(text) AS text FROM corpus),
+ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+)
+SELECT doc_id, md5(text) AS text_hash FROM ded ORDER BY doc_id
+"""
+
+
+@golden(
+    "unicode_nfc_dedup",
+    NFC_DEDUP_ORACLE,
+    tags=("text", "unicode", "normalize", "dedup", "udf"),
+)
+def unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization before exact dedup: the corpus gains a
+    PRECOMPOSED variant (every word 'a' -> U+00E1) and a DECOMPOSED one
+    ('a' + U+0301) per document — byte-different, visually identical.
+    After nfc_normalize both variants collapse to one byte sequence, so
+    first-wins dedup keeps the precomposed copy and drops the decomposed
+    twin; documents without the word keep only the base. The Spark side
+    is the Arrow-batched unicodedata UDF; DuckDB's builtin nfc_normalize
+    must agree byte-for-byte for the hash to pass — cross-engine proof
+    the canonicalization is standard NFC, not an approximation."""
+    from mr_dice_spark.functions.text import nfc_normalize
+    from mr_dice_spark.operators.dedup import dedup_exact
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    va = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\ba\b", "á")
+    ).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    vb = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\ba\b", "a\u0301")
+    ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    corpus = docs.unionByName(va).unionByName(vb)
+    norm = corpus.withColumn("text", nfc_normalize(F.col("text")))
+    ded = dedup_exact(norm, ["text"], "doc_id")
+    return ded.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).orderBy("doc_id")

@@ -279,3 +279,18 @@ def test_compression_ratio_stats_semantics(spark):
     assert out[2]["ratio"] > 1.0
     assert out[3]["n_bytes"] is None and out[3]["ratio"] is None
     assert out[4]["n_bytes"] == 0 and out[4]["ratio"] is None
+
+
+def test_nfc_normalize_composes_and_preserves(spark):
+    """Decomposed e+COMBINING ACUTE composes to U+00E9; already-composed
+    and plain ASCII are unchanged; NULL passes through."""
+    from mr_dice_spark.functions.text import nfc_normalize
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, "plain"), (4, None)],
+        "id long, t string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", nfc_normalize(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "café"
+    assert out[3] == "plain" and out[4] is None
