@@ -61,10 +61,11 @@ _CHECK_FIRST = [
     "minhash_recall_audit_curve",     # measured LSH banding S-curve
     "compression_ratio_signal",       # zlib signal (rows-only)
     "unicode_nfc_dedup",              # NFC normalize + dedup (UDF vs builtin)
+    "streaming_upsert_snapshot",      # foreachBatch CDC sink, full parity
     # --- changed this round
     "theta_overlap_event_types",      # NULL group keys excluded up front
     "multimodal_frame_sample",        # avi_sample_slices cap in its path
-    # --- r1-only re-verification: these 21 were last driver-checked in
+    # --- r1-only re-verification: these 20 were last driver-checked in
     # round 1; re-verify the bench headliners and the highest-complexity
     # operator families (CDC, components, LSH families, quota, OPTIMADE).
     # Everything displaced is r2/r3-green and stays covered by
@@ -89,7 +90,6 @@ _CHECK_FIRST = [
     "embedding_near_dup_pairs",
     "fair_quota_topk_events",
     "incremental_dedup_two_batches",
-    "join_anti_customers_without_orders",
 ]
 
 

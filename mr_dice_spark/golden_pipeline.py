@@ -2865,3 +2865,49 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+@golden(
+    "streaming_upsert_snapshot",
+    CDC_ORACLE,
+    tags=("streaming", "cdc", "upsert", "sink", "events"),
+)
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch CDC upsert SINK with full oracle parity: the
+    events change stream drains through stream_upsert_to_snapshot
+    (per-batch read-CURRENT → union → latest-wins merge → immutable
+    snap_* write → atomic pointer flip) into a fresh store, and the
+    golden returns what a READER then sees via read_snapshot — the same
+    last-writer-wins snapshot the batch CDC oracle states. Exercises the
+    whole commit protocol (staging rename, pointer publish, replay
+    idempotency machinery) on the real engine, not just the merge
+    expression."""
+    import shutil
+    import tempfile
+
+    from mr_dice_spark.streaming.upsert import read_snapshot, stream_upsert_to_snapshot
+    from mr_dice_spark.streaming.windows import read_events_stream
+
+    _utc(spark)
+    root = tempfile.mkdtemp(prefix="upsert_golden_")
+    try:
+        stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+        q = stream_upsert_to_snapshot(
+            stream,
+            path=f"{root}/store",
+            keys=["user_id"],
+            version_col="ts",
+            checkpoint=f"{root}/ckpt",
+            tiebreakers=["event_id"],
+        )
+        q.awaitTermination(300)
+        q.stop()
+        snap = read_snapshot(spark, f"{root}/store")
+        out = snap.select(
+            "user_id", "event_id", "event_type",
+            _r("value", 2).alias("value"),
+            F.unix_millis("ts").alias("ts_ms"),
+        ).orderBy("user_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
