@@ -111,7 +111,8 @@ dup AS (
 docsig AS (
   SELECT doc_id,
          (length(text) - length(replace(text, '#', ''))) / 1.0
-           + (length(text) - length(replace(text, '...', ''))) / 3.0 AS symbols,
+           + (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) / 1.0 AS symbols,
          CAST({_G_STOP_SQL} AS INT) AS stopword_hits
   FROM lined
 ),
@@ -658,7 +659,8 @@ probes AS (
     SELECT q.qid, c.cid,
            ROW_NUMBER() OVER (
              PARTITION BY q.qid
-             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid) AS pr
+             ORDER BY ROUND(1e-9 + list_cosine_similarity(c.cv, q.qv), 6)
+                        DESC, c.cid) AS pr
     FROM q CROSS JOIN c
   ) WHERE pr <= 2
 ),
@@ -748,7 +750,7 @@ t AS (
          fullep + CASE WHEN
            CAST(('0x' || substring(md5('{_UPS_SEED}' || CAST(doc_id AS VARCHAR)
                 || '@' || CAST(fullep AS VARCHAR)), 1, 8)) AS BIGINT)
-             < CAST(frac * 4294967296.0 AS BIGINT)
+             < CAST(floor(frac * 4294967296.0) AS BIGINT)
            THEN 1 ELSE 0 END AS total
   FROM c
 )

@@ -884,18 +884,23 @@ def avi_sample_slices(payload: bytes) -> Optional[list]:
         # its following bytes may happen to spell
         if fourcc == b"LIST" and size >= 4 and payload[pos + 8 : pos + 12] == b"movi":
             out = []
-            # pre-allocation guard mirroring mp4_sample_slices' declared-
-            # count rejection: every movi chunk consumes >= 8 payload
-            # bytes, so more than len(payload)//8 samples is impossible,
-            # and when the avih header declares a nonzero frame count
-            # (0 = unknown, common in streamed AVIs) a stream exceeding
-            # it is lying — bail at the tighter bound instead of growing
-            # the tuple list toward MAX_FRAMES (2^28, ~10x an adversarial
-            # minimal-chunk payload's size in tuples) before giving up
+            # pre-allocation guard: every movi chunk consumes >= 8
+            # payload bytes, so more than len(payload)//8 samples is
+            # impossible — the cap bounds list growth on an adversarial
+            # minimal-chunk stream (the old bound was MAX_FRAMES = 2^28,
+            # ~10x such a payload's size in tuples). When the avih header
+            # declares a nonzero frame count (0 = unknown, common in
+            # streamed AVIs) the walk additionally STOPS at that count —
+            # TRUNCATING, not rejecting: dwTotalFrames is advisory and
+            # real muxers understate it, so a file with extra chunks
+            # still serves its declared frames (indexes 0..n-1 stay
+            # aligned with the probe), while the hard structural cap
+            # below still returns None for the impossible case
             chunk_cap = min(MAX_FRAMES, len(payload) // 8)
+            declared_cap = chunk_cap
             hdr = _probe_avi(payload)
             if hdr is not None and hdr["n_frames"]:
-                chunk_cap = min(chunk_cap, hdr["n_frames"])
+                declared_cap = min(declared_cap, hdr["n_frames"])
             stream: Optional[bytes] = None
             end = min(pos + 8 + size, len(payload))  # lying LIST size: clamp
             spans = [(pos + 12, end)]  # movi body, then any rec groups
@@ -920,7 +925,10 @@ def avi_sample_slices(payload: bytes) -> Optional[list]:
                             stream = sc[:2]
                         if sc[:2] == stream:
                             if len(out) >= chunk_cap:
-                                return None
+                                return None  # structurally impossible count
+                            if len(out) >= declared_cap:
+                                spans.clear()  # declared frames served: stop
+                                break
                             out.append((sub + 8, ssize))
                     sub += 8 + ssize + (ssize & 1)
             break

@@ -58,7 +58,12 @@ def pagerank(
     nodes = e.select("__s").union(e.select("__d")).distinct()
     n = nodes.count()
     if n == 0:
-        return edges.sparkSession.createDataFrame([], "node string, rank double")
+        # schema must match the non-empty path (node typed after the edge
+        # column) or a union with a previous snapshot breaks only on the
+        # empty day
+        return nodes.select(
+            F.col("__s").alias("node"), F.lit(None).cast("double").alias("rank")
+        )
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("__r", F.lit(1.0 / n))
     for _ in range(n_iter):

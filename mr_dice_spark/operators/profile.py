@@ -143,9 +143,10 @@ def value_histogram(
     """Fixed-range equal-width histogram: ``(bin, lo_edge, hi_edge, n)``
     for every NON-EMPTY bin, bin = floor((v - lo) / width) clamped into
     [0, nbins-1] (so lo/hi outliers land in the edge bins — the profiler
-    contract; filter first if outliers should be excluded). NULL values
-    are dropped. Edges are derived from the same double arithmetic on
-    both engines, so rows hash-match.
+    contract; filter first if outliers should be excluded). NULL and NaN
+    values are dropped — an unguarded NaN would cast to bin 0 and
+    silently inflate the lowest bin. Edges are derived from the same
+    double arithmetic on both engines, so rows hash-match.
     """
     if not nbins > 0:
         raise ValueError(f"value_histogram: nbins must be positive: {nbins}")
@@ -160,7 +161,7 @@ def value_histogram(
         F.lit(nbins - 1),
     )
     return (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & ~F.isnan(v))
         .select(bin_.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))

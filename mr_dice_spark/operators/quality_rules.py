@@ -139,10 +139,17 @@ def gopher_quality_flags(
     hits = sum(
         (t.rlike(rf"\b{w}\b").cast("int") for w in stopwords), F.lit(0)
     )
+    # '…' counts like '...': the ellipsis-line rule above treats them as
+    # equivalent, so the symbol ratio must too or a '…'-spammed page
+    # passes the gate its ASCII-dotted twin fails
     docsig = df.select(
         id_.alias("__id"),
-        (_count_occurrences(t, "#") + _count_occurrences(t, "...")).alias("__symbols"),
-        hits.alias("stopword_hits"),
+        (
+            _count_occurrences(t, "#")
+            + _count_occurrences(t, "...")
+            + _count_occurrences(t, "…")
+        ).alias("__symbols"),
+        F.coalesce(hits, F.lit(0)).alias("stopword_hits"),
     )
 
     def frac(num: Column, den: Column) -> Column:
@@ -169,13 +176,18 @@ def gopher_quality_flags(
         & (dup_line_frac <= max_dup_line_frac)
         & (dup_char_frac <= max_dup_line_char_frac)
     )
+    # join FROM docsig (one row per input doc — the narrow whole-text
+    # pass never loses rows) with the line aggregates LEFT-joined: a
+    # NULL-text document produces no exploded lines, and inner joins
+    # would silently drop it from the report instead of emitting the
+    # keep=false row the contract promises
     return (
-        shape.join(dup, "__id")
-        .join(docsig, "__id")
+        docsig.join(shape, "__id", "left")
+        .join(dup, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            "n_lines",
-            "n_words",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
             mean_wl.alias("mean_word_len"),
             alpha_frac.alias("alpha_word_frac"),
             sym_ratio.alias("symbol_ratio"),
@@ -232,12 +244,16 @@ def c4_line_filter(
     has_lorem = F.lower(t).contains("lorem ipsum")
     n_kept = F.size(kept)
     keep = ~has_brace & ~has_lorem & (n_kept >= min_kept_lines)
+    # NULL text: split/size/contains all go NULL, and a NULL keep is
+    # invisible to BOTH keep and ~keep filters downstream — coalesce to
+    # the dropped-empty-page shape instead (same fail-closed contract as
+    # gopher_quality_flags)
     return df.select(
         F.col(id_col),
-        F.size(larr).alias("n_lines"),
-        n_kept.alias("n_kept"),
-        F.array_join(kept, "\n").alias("cleaned_text"),
-        has_brace.alias("has_brace"),
-        has_lorem.alias("has_lorem"),
-        keep.alias("keep"),
+        F.coalesce(F.size(larr), F.lit(0)).alias("n_lines"),
+        F.coalesce(n_kept, F.lit(0)).alias("n_kept"),
+        F.coalesce(F.array_join(kept, "\n"), F.lit("")).alias("cleaned_text"),
+        F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
+        F.coalesce(has_lorem, F.lit(False)).alias("has_lorem"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
     )

@@ -952,8 +952,14 @@ def ivf_recall_audit(
     cent = queries.sparkSession.createDataFrame(
         [(ci, c) for ci, c in centroids], "cid int, cv array<double>"
     )
+    # probe selection also ranks on the ROUNDED grid: a centroid
+    # near-tie resolved by the last double bit could otherwise pick a
+    # different probe set per engine and flake the audit's own oracle
     wq = Window.partitionBy("__qid").orderBy(
-        F.desc(cosine(F.col("cv"), F.col("__qv"))), F.col("cid")
+        F.desc(
+            F.round(cosine(F.col("cv"), F.col("__qv")) + F.lit(1e-9), round_scores)
+        ),
+        F.col("cid"),
     )
     probes = (
         q.crossJoin(F.broadcast(cent))

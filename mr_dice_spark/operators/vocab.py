@@ -68,14 +68,17 @@ def bpe_pair_stats(
         .groupBy("pair")
         .agg(F.sum("__n").alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
-    # single-partition window over the alphabet²-sized pair table — tiny by
-    # construction (see module docstring), not a corpus sort
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .orderBy("rank")
+    # global top-k as orderBy+limit (TakeOrderedAndProject: each partition
+    # forwards <= K candidates) — an empty-partition-spec row_number
+    # window would sort the WHOLE pair table on one task, and the
+    # "alphabet²-sized" intuition fails on CJK/byte-noise corpora where
+    # distinct adjacent pairs run to millions (PERFORMANCE.md finding 12);
+    # the rank window then runs over only the K surviving rows
+    top = pairs.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc()).limit(
+        top_k
     )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def vocab_coverage(

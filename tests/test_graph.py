@@ -45,3 +45,13 @@ def test_pagerank_zero_iter_is_uniform_and_validation(spark):
         pagerank(df, n_iter=-1)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+
+
+def test_pagerank_empty_edges_schema_matches(spark):
+    """Zero-row edge lists return an empty frame whose node type matches
+    the edge column (code-review r4) — a union with a previous snapshot
+    must not break only on the empty day."""
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "bigint", "rank": "double"}

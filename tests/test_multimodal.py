@@ -897,10 +897,11 @@ def test_image_dedup_ahash_null_rows_avoid_window(spark):
 
 
 def test_avi_sample_slices_declared_frame_count_cap():
-    """avih's nonzero frame count is a pre-allocation cap on the movi
-    walk (ADVICE r3): a stream with MORE chunks than the header declares
-    is lying -> None before the tuple list grows; declared == actual and
-    declared == 0 (unknown) still round-trip in full."""
+    """avih's nonzero frame count bounds the movi walk (ADVICE r3), by
+    TRUNCATION: dwTotalFrames is advisory and real muxers understate it,
+    so extra chunks are dropped (indexes stay probe-aligned) rather than
+    the whole file rejected; declared == actual and declared == 0
+    (unknown) round-trip in full."""
     from mr_dice_spark.multimodal.codecs import avi_sample_slices, encode_avi_stub
 
     pieces = [b"f0", b"f1", b"f2", b"f3"]
@@ -908,12 +909,13 @@ def test_avi_sample_slices_declared_frame_count_cap():
     sl = avi_sample_slices(honest)
     assert [honest[o : o + s] for o, s in sl] == pieces
     # the stub forces n_frames = len(samples); patch dwTotalFrames (16
-    # bytes into the avih body) down to 2 to forge the lying header
+    # bytes into the avih body) down to 2 to forge an understating header
     import struct
 
     lying = bytearray(honest)
     struct.pack_into("<I", lying, honest.find(b"avih") + 8 + 16, 2)
-    assert avi_sample_slices(bytes(lying)) is None
+    cut = avi_sample_slices(bytes(lying))
+    assert [bytes(lying)[o : o + s] for o, s in cut] == pieces[:2]
     # and up to 0 = unknown: the cap falls back to len(payload)//8
     struct.pack_into("<I", lying, honest.find(b"avih") + 8 + 16, 0)
     assert len(avi_sample_slices(bytes(lying))) == 4

@@ -81,3 +81,13 @@ def test_snapshot_diff_digest_mode_matches_exact(spark):
     exact = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
     dig = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["t", "u"], digest=True).collect()}
     assert exact == dig == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_value_histogram_drops_nan(spark):
+    """NaN is dropped like NULL (code-review r4): an unguarded NaN casts
+    to bin 0 and silently inflates the lowest bin."""
+    df = spark.createDataFrame(
+        [(float("nan"),), (5.0,), (None,)], "v double"
+    )
+    rows = value_histogram(df, "v", 0.0, 30.0, 3).collect()
+    assert [(r["bin"], r["n"]) for r in rows] == [(0, 1)]

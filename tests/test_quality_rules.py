@@ -294,3 +294,45 @@ def test_nfc_normalize_composes_and_preserves(spark):
     out = {r["id"]: r["n"] for r in df.select("id", nfc_normalize(F.col("t")).alias("n")).collect()}
     assert out[1] == out[2] == "café"
     assert out[3] == "plain" and out[4] is None
+
+
+def test_gopher_and_c4_null_text_fail_closed(spark):
+    """NULL-text documents must appear in BOTH gates' output with
+    keep=false (code-review r4): gopher's line aggregates see no rows
+    for them (left-joined back), and c4's split/contains go NULL
+    (coalesced). Silent row loss or a NULL keep is invisible to both
+    keep and ~keep filters downstream."""
+    df = spark.createDataFrame(
+        [(1, "the fine text here with that and have with a dozen words"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r for r in gopher_quality_flags(df, "doc_id", "text", min_words=3).collect()}
+    assert set(g) == {1, 2}
+    assert g[2]["n_lines"] == 0 and g[2]["n_words"] == 0
+    assert g[2]["keep"] is False and g[2]["stopword_hits"] == 0
+    c = {r["doc_id"]: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert set(c) == {1, 2}
+    assert c[2]["keep"] is False and c[2]["n_lines"] == 0
+    assert c[2]["cleaned_text"] == "" and c[2]["has_brace"] is False
+
+
+def test_gopher_unicode_ellipsis_counts_as_symbol(spark):
+    """'…' contributes to the symbol ratio exactly like '...' — the
+    line rule already treated them as equivalent."""
+    df = spark.createDataFrame(
+        [(1, "w1 w2 … w3"), (2, "w1 w2 ... w3")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1]["symbol_ratio"] == out[2]["symbol_ratio"] == 0.25
+
+
+def test_bpe_pair_stats_uses_take_ordered_top_k(spark):
+    """Global top-K compiles to TakeOrderedAndProject, not a single-
+    partition global window over the whole pair table (PERFORMANCE.md
+    finding 12 applied to this operator too)."""
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    out = bpe_pair_stats(df, "text", top_k=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert [(r["pair"], r["rank"]) for r in out.collect()] == [("ab", 1)]
