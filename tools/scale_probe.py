@@ -76,6 +76,10 @@ PROBES = [
     "profile_events_columns",
     "doc_length_histogram",
     "ann_recall_audit_ivf",
+    "link_authority_pagerank",
+    "unicode_nfc_dedup",
+    "crawl_quality_tokenizer_report",
+    "minhash_recall_audit_curve",
 ]
 
 
