@@ -62,10 +62,11 @@ _CHECK_FIRST = [
     "compression_ratio_signal",       # zlib signal (rows-only)
     "unicode_nfc_dedup",              # NFC normalize + dedup (UDF vs builtin)
     "streaming_upsert_snapshot",      # foreachBatch CDC sink, full parity
+    "window_trailing_range_sum",      # rangeBetween trailing frame
     # --- changed this round
     "theta_overlap_event_types",      # NULL group keys excluded up front
     "multimodal_frame_sample",        # avi_sample_slices cap in its path
-    # --- r1-only re-verification: these 20 were last driver-checked in
+    # --- r1-only re-verification: these 19 were last driver-checked in
     # round 1; re-verify the bench headliners and the highest-complexity
     # operator families (CDC, components, LSH families, quota, OPTIMADE).
     # Everything displaced is r2/r3-green and stays covered by
@@ -86,7 +87,6 @@ _CHECK_FIRST = [
     "cdc_apply_changes_snapshot",
     "cdc_latest_snapshot",
     "dedup_connected_clusters",
-    "dedup_exact_documents",
     "embedding_near_dup_pairs",
     "fair_quota_topk_events",
     "incremental_dedup_two_batches",

@@ -1270,3 +1270,59 @@ def unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# range-frame trailing window (W-family depth: rangeBetween)
+# ---------------------------------------------------------------------------
+
+RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+       CAST(n_1h AS BIGINT) AS n_1h,
+       ROUND(1e-9 + sum_1h, 4) AS sum_1h
+FROM (
+  SELECT event_id, user_id, ts,
+         COUNT(*) OVER w AS n_1h,
+         SUM(value) OVER w AS sum_1h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+)
+ORDER BY event_id
+"""
+
+
+@golden(
+    "window_trailing_range_sum",
+    RANGE_FRAME_ORACLE,
+    tags=("window", "range-frame", "timeseries", "events"),
+)
+def window_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE frame per user (count + value sum over
+    [ts - 1h, ts]) — the value-based frame spec (rangeBetween) the
+    row-frame window family cannot express: the frame holds however many
+    events fall in the hour, not a fixed row count. Ranged on integer
+    epoch-millis so both engines bound the frame with exact integer
+    comparisons. One user-keyed shuffle + an ordered scan per partition;
+    no self-join (the naive interval-join restatement of the same query
+    is quadratic per user)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    ms = F.unix_millis(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ms)
+        .rangeBetween(-3600000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            ms.alias("ts_ms"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            _r(F.sum("value").over(w), 4).alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
