@@ -1326,3 +1326,36 @@ def window_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+FUZZY_K2_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+@golden(
+    "fuzzy_name_join_k2",
+    FUZZY_K2_ORACLE,
+    tags=("join", "fuzzy", "entity-resolution", "passjoin"),
+)
+def fuzzy_name_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL k+1-segment PassJoin path (k=2: three segments,
+    position-shifted probes) over customer names, hash-matched against
+    the quadratic levenshtein cross-join oracle — the end-to-end
+    complement of the randomized property tests. At k=2 on this
+    fixture's 'Customer#'-prefixed names two of three segments are
+    constant (the documented degenerate-block regime), so this golden
+    also pins that candidate blowup degrades only WALL TIME, never the
+    pair set."""
+    from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+    cust = Catalog(spark, sf_dir).customer
+    out = edit_distance_join(cust, "c_custkey", "c_name", max_dist=2)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("id_a", "id_b")
