@@ -1359,3 +1359,56 @@ def fuzzy_name_join_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
     ).orderBy("id_a", "id_b")
+
+
+TRAILING_ANOMALY_ORACLE = """
+SELECT event_id, user_id,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND(1e-9 + z, 4) AS z,
+       COALESCE(ROUND(1e-9 + z, 4) > 3.0, false) AS anomaly
+FROM (
+  SELECT event_id, user_id,
+         COUNT(value) OVER w AS n_prev,
+         (value - AVG(value) OVER w) / NULLIF(STDDEV_SAMP(value) OVER w, 0) AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING)
+)
+ORDER BY event_id
+"""
+
+
+@golden(
+    "trailing_window_anomalies",
+    TRAILING_ANOMALY_ORACLE,
+    tags=("window", "range-frame", "anomaly", "timeseries", "events"),
+)
+def trailing_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referential anomaly screen: each event's value z-scored
+    against the SAME user's PRECEDING hour (range frame ending 1 ms
+    before the current row — the current value must not contaminate its
+    own baseline). Events with fewer than two prior samples, or a
+    zero-variance baseline, get NULL z and anomaly=false (the sd<=0
+    cross-engine rule from embedding_outliers: Spark x/0.0 is NULL,
+    DuckDB's is Inf — NULLIF pins both). One user-keyed shuffle;
+    the live-stream twin of this screen is the stateful EMA operator."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ms).rangeBetween(-3600000, -1)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(
+        sd > 0, (F.col("value") - F.avg("value").over(w)) / sd
+    )
+    zr = F.round(z + F.lit(1e-9), 4)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("value").over(w).alias("n_prev"),
+            zr.alias("z"),
+            F.coalesce(zr > 3.0, F.lit(False)).alias("anomaly"),
+        )
+        .orderBy("event_id")
+    )
