@@ -92,22 +92,30 @@ def snapshot_diff(
     return out
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """Exact per-column profile in ONE corpus pass:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact: bool = True
+) -> DataFrame:
+    """Per-column profile in ONE corpus pass:
     ``(column, n_rows, n_null, null_frac, n_distinct)`` — one output row
     per profiled column, in the given order. ``n_distinct`` counts
-    non-null distinct values (exact; see module docstring for the Expand
-    cost). ``null_frac`` is nudge-rounded to 6 places; a zero-row input
-    yields NULL null_frac.
+    non-null distinct values; ``exact=True`` (default, what the golden's
+    oracle states) pays the multi-distinct Expand (input replicated per
+    profiled column before the shuffle — see module docstring), while
+    ``exact=False`` swaps in approx_count_distinct (HLL++, ~2% relative
+    error, rsd-tunable upstream if needed) and keeps the pass a plain
+    single-width aggregate — the right trade when the profile feeds a
+    dashboard rather than a reconciliation. ``null_frac`` is
+    nudge-rounded to 6 places; a zero-row input yields NULL null_frac.
     """
     if not cols:
         raise ValueError("profile_columns: cols must be non-empty")
+    nd = F.count_distinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__rows_{c}"),
             F.count_if(F.col(c).isNull()).alias(f"__null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            nd(F.col(c)).alias(f"__nd_{c}"),
         ]
     one = df.agg(*aggs)
     per = F.array(

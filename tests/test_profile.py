@@ -91,3 +91,24 @@ def test_value_histogram_drops_nan(spark):
     )
     rows = value_histogram(df, "v", 0.0, 30.0, 3).collect()
     assert [(r["bin"], r["n"]) for r in rows] == [(0, 1)]
+
+
+def test_profile_columns_approx_mode(spark):
+    """exact=False trades the Expand for approx_count_distinct: no
+    Expand in the plan, counts within the published ~2% envelope (assert
+    5%), null accounting identical to exact mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id") % 500).alias("m"),
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["id", "m"], exact=False).collect()}
+    assert abs(out["id"]["n_distinct"] - 20_000) / 20_000 < 0.05
+    assert abs(out["m"]["n_distinct"] - 499) / 499 < 0.05
+    assert out["m"]["n_null"] == 200
+    plan = (
+        profile_columns(df, ["id", "m"], exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
