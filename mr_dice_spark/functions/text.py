@@ -205,15 +205,21 @@ def compression_ratio_stats(df, id_col: str, text_col: str):
     _compressed_len = pandas_udf(_clen, "long")
 
     nb = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
-    return df.select(
+    # materialize n_compressed ONCE, then derive ratio from the column —
+    # referencing the UDF expression twice would create two distinct
+    # PythonUDF nodes and run zlib.compress twice per row
+    base = df.select(
         F.col(id_col),
         nb.alias("n_bytes"),
         _compressed_len(F.col(text_col)).alias("n_compressed"),
+    )
+    return base.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
         F.when(
-            nb > 0,
-            F.round(
-                _compressed_len(F.col(text_col)) / nb + F.lit(1e-9), 6
-            ),
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_compressed") / F.col("n_bytes") + F.lit(1e-9), 6),
         ).alias("ratio"),
     )
 

@@ -1374,7 +1374,6 @@ FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
                RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING)
 )
-ORDER BY event_id
 """
 
 
@@ -1390,8 +1389,11 @@ def trailing_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     own baseline). Events with fewer than two prior samples, or a
     zero-variance baseline, get NULL z and anomaly=false (the sd<=0
     cross-engine rule from embedding_outliers: Spark x/0.0 is NULL,
-    DuckDB's is Inf — NULLIF pins both). One user-keyed shuffle;
-    the live-stream twin of this screen is the stateful EMA operator."""
+    DuckDB's is Inf — NULLIF pins both). One user-keyed shuffle, and
+    NO terminal global sort — an unlimited orderBy on an analytical
+    result is the PERFORMANCE.md finding-9 anti-pattern (the harness
+    compares order-insensitively); the live-stream twin of this screen
+    is the stateful EMA operator."""
     from pyspark.sql import Window
 
     ev = Catalog(spark, sf_dir).events
@@ -1410,5 +1412,4 @@ def trailing_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             zr.alias("z"),
             F.coalesce(zr > 3.0, F.lit(False)).alias("anomaly"),
         )
-        .orderBy("event_id")
     )

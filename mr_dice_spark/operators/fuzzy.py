@@ -20,13 +20,25 @@ keys (its halves recomputed at each admissible partner length
 Scale shape: 2 index keys + <= 6 probe keys per row, one equi-join on
 the (role, segment-length, segment) key, DISTINCT on the id pair, then
 levenshtein verification on candidates only — near-linear when segment
-values distribute. HONEST HAZARD: a corpus whose strings share a
-constant half (e.g. a fixed 'Customer#' prefix) degenerates that
-segment's block to all-pairs, making candidate generation quadratic
-(verification stays cheap, output may itself be quadratic in such
-corpora). Production mitigations: strip known constant prefixes before
-joining, or raise k and use k+1 shorter segments so at least one falls
-in the high-entropy region — both change keys only, not the verify.
+values distribute.
+
+DEGENERATE-CORPUS HANDLING (built in, on by default): a corpus whose
+strings share a constant half (e.g. a fixed 'Customer#' prefix on
+ID-like names — the exact shape entity-resolution corpora have) would
+collapse that segment's block to all-pairs: quadratic candidate
+generation AND a single-key shuffle skew. The operator therefore strips
+the corpus-wide longest common prefix and suffix before segmenting.
+This is EXACT: if every string is p·u·t then ed(p·u·t, p·v·t) =
+ed(u, v) (in any optimal alignment the shared affixes can be matched
+to each other — the classic strip-common-affixes lemma), so the output
+pair set is bit-identical while the blocks move into the high-entropy
+core. The affix bounds come from ONE tiny aggregate (lexicographic
+min/max of the string and of its reverse: the common prefix of a set
+equals the common prefix of its lexicographic extremes), a driver
+round-trip of four strings. A corpus with a constant MIDDLE can still
+degenerate a block; for that, ``max_block_rows`` is an optional
+fail-fast circuit breaker (one extra counting pass) that raises with
+mitigation guidance instead of running quadratically for hours.
 """
 
 from __future__ import annotations
@@ -35,25 +47,111 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _common_affix_lengths(s: DataFrame) -> tuple[int, int]:
+    """(prefix_len, suffix_len) shared by EVERY ``__s`` in ``s``:
+    one aggregate collecting the lexicographic min/max of the string and
+    of its reverse — the common prefix of a set equals the common prefix
+    of its lexicographic extremes (any string between them shares it).
+    The suffix is capped so prefix+suffix never exceeds the shortest
+    string (strip the prefix first, then the suffix of what remains —
+    a suffix of a common suffix is still common). Returns (0, 0) for
+    corpora of fewer than 2 rows (nothing to pair)."""
+    row = s.agg(
+        F.min("__s").alias("mn"),
+        F.max("__s").alias("mx"),
+        F.min(F.reverse(F.col("__s"))).alias("rmn"),
+        F.max(F.reverse(F.col("__s"))).alias("rmx"),
+        F.min("__l").alias("minlen"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if row is None or row["n"] is None or row["n"] < 2:
+        return 0, 0
+
+    def lcp(a: str, b: str) -> int:
+        i = 0
+        for ca, cb in zip(a, b):
+            if ca != cb:
+                break
+            i += 1
+        return i
+
+    pl = lcp(row["mn"], row["mx"])
+    sl = lcp(row["rmn"], row["rmx"])
+    sl = min(sl, row["minlen"] - pl)
+    return pl, max(sl, 0)
+
+
+def _strip_common_affixes(s: DataFrame) -> DataFrame:
+    """Strip the corpus-wide common prefix/suffix off ``__s`` (distance-
+    preserving, see module docstring) and recompute ``__l``. No-op
+    (same plan, no driver round-trip cost beyond the one aggregate)
+    when the corpus shares no affix."""
+    pl, sl = _common_affix_lengths(s)
+    if pl == 0 and sl == 0:
+        return s
+    return s.select(
+        "__id",
+        F.expr(f"substring(__s, {pl + 1}, __l - {pl + sl})").alias("__s"),
+        (F.col("__l") - F.lit(pl + sl)).cast("int").alias("__l"),
+    )
+
+
+def _check_block_sizes(index: DataFrame, max_block_rows: int) -> None:
+    """Fail-fast circuit breaker: raise if any single blocking key holds
+    more than ``max_block_rows`` index rows (a block of m rows generates
+    O(m^2) candidate pairs on one shuffle key). Costs one counting pass
+    over the index side."""
+    worst = (
+        index.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()
+    )
+    mx = worst["mx"] if worst is not None else None
+    if mx is not None and mx > max_block_rows:
+        raise ValueError(
+            f"edit_distance_join: a blocking key holds {mx} rows "
+            f"(> max_block_rows={max_block_rows}); candidate generation "
+            "would be quadratic on that key. The corpus likely shares a "
+            "constant interior substring. Mitigations: raise max_dist "
+            "(shorter segments reach higher-entropy regions), strip the "
+            "constant region upstream, or raise max_block_rows if the "
+            "quadratic block is genuinely acceptable."
+        )
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
     str_col: str,
     max_dist: int = 1,
+    strip_affixes: bool = True,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """All unordered pairs with ``levenshtein <= max_dist``:
     ``(id_a, id_b, dist)`` with ``id_a < id_b``. NULL strings never pair
     (an unknown name is not within edit distance of anything).
     ``max_dist=1`` runs the hand-optimized two-segment path below;
     larger k delegates to :func:`edit_distance_join_k` (the general
-    k+1-segment PassJoin, same structural-recall guarantee)."""
+    k+1-segment PassJoin, same structural-recall guarantee).
+
+    ``strip_affixes`` (default on) strips the corpus-wide common
+    prefix/suffix before blocking — distance-preserving, exact, and the
+    difference between near-linear and quadratic on ID-like corpora (see
+    module docstring). ``max_block_rows`` optionally fail-fasts if any
+    residual blocking key still exceeds that cardinality."""
     if max_dist != 1:
-        return edit_distance_join_k(df, id_col, str_col, max_dist)
+        return edit_distance_join_k(
+            df, id_col, str_col, max_dist,
+            strip_affixes=strip_affixes, max_block_rows=max_block_rows,
+        )
     s = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
         F.length(str_col).alias("__l"),
     ).where(F.col(str_col).isNotNull())
+    if strip_affixes:
+        s = _strip_common_affixes(s)
 
     # index keys: the string's own canonical halves
     p_own = F.ceil(F.col("__l") / 2).cast("int")
@@ -63,6 +161,8 @@ def edit_distance_join(
         F.concat_ws("\x00", F.lit("S"), s_own, F.expr("right(__s, __l - ceil(__l / 2))")),
     )
     index = s.select("__id", "__s", "__l", F.explode(idx_keys).alias("__k"))
+    if max_block_rows is not None:
+        _check_block_sizes(index, max_block_rows)
 
     # probe keys: halves recomputed at each admissible partner length
     probe_arr = F.array_distinct(
@@ -145,6 +245,8 @@ def edit_distance_join_k(
     id_col: str,
     str_col: str,
     max_dist: int,
+    strip_affixes: bool = True,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """General-k PassJoin: all unordered pairs with ``levenshtein <=
     max_dist`` via the k+1-segment pigeonhole — ``k`` edits cannot touch
@@ -171,6 +273,8 @@ def edit_distance_join_k(
         F.col(str_col).alias("__s"),
         F.length(str_col).alias("__l"),
     ).where(F.col(str_col).isNotNull())
+    if strip_affixes:
+        s = _strip_common_affixes(s)
     l = F.col("__l")
 
     idx_segs = [
@@ -190,6 +294,8 @@ def edit_distance_join_k(
         "__id", "__s", "__l",
         F.explode(F.array(*idx_segs, tiny_idx)).alias("__k"),
     ).where(F.col("__k").isNotNull())
+    if max_block_rows is not None:
+        _check_block_sizes(index, max_block_rows)
 
     def probe_keys_for(i: int):
         # keys for partner length la and segment i across all shifts

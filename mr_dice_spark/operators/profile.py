@@ -18,7 +18,8 @@ column expressions, no hashing round-trip, no collect.
 count-distincts in one aggregate go through Spark's Expand (input
 multiplied by the profiled-column count before the shuffle) — the
 documented price of exactness in one job; profile few columns, or trade
-to approx_count_distinct when ±2% is acceptable.
+to approx_count_distinct when ~5% is acceptable (Spark's default
+rsd=0.05).
 
 ``value_histogram``: a narrow bucket expression and a hash aggregate on
 at most ``nbins`` keys — the shuffle moves bins, not rows.
@@ -47,6 +48,12 @@ def snapshot_diff(
     ``include_unchanged``). The audit an incremental curation run
     publishes next to its output — and the input to incremental
     recompute (only ``added``/``changed`` ids need re-embedding).
+
+    PRECONDITION: ``id_col`` must be unique within each snapshot — a
+    duplicated id fans out the full-outer join and emits one (possibly
+    contradictory) change row per old×new copy. Corpus stores keyed by
+    document id satisfy this by construction; dedup first if yours does
+    not.
 
     ``digest=True`` is the 100 TB mode: each side pre-hashes
     ``compare_cols`` to one 256-bit sha2 over a JSON framing (NULL vs ''
@@ -93,7 +100,8 @@ def snapshot_diff(
 
 
 def profile_columns(
-    df: DataFrame, cols: Sequence[str], exact: bool = True
+    df: DataFrame, cols: Sequence[str], exact: bool = True,
+    rsd: float | None = None,
 ) -> DataFrame:
     """Per-column profile in ONE corpus pass:
     ``(column, n_rows, n_null, null_frac, n_distinct)`` — one output row
@@ -101,15 +109,23 @@ def profile_columns(
     non-null distinct values; ``exact=True`` (default, what the golden's
     oracle states) pays the multi-distinct Expand (input replicated per
     profiled column before the shuffle — see module docstring), while
-    ``exact=False`` swaps in approx_count_distinct (HLL++, ~2% relative
-    error, rsd-tunable upstream if needed) and keeps the pass a plain
-    single-width aggregate — the right trade when the profile feeds a
-    dashboard rather than a reconciliation. ``null_frac`` is
-    nudge-rounded to 6 places; a zero-row input yields NULL null_frac.
+    ``exact=False`` swaps in approx_count_distinct (HLL++, ~5% relative
+    error at Spark's default rsd=0.05; pass ``rsd`` to tighten) and
+    keeps the pass a plain single-width aggregate — the right trade when
+    the profile feeds a dashboard rather than a reconciliation.
+    ``null_frac`` is nudge-rounded to 6 places; a zero-row input yields
+    NULL null_frac.
     """
     if not cols:
         raise ValueError("profile_columns: cols must be non-empty")
-    nd = F.count_distinct if exact else F.approx_count_distinct
+    if rsd is not None and exact:
+        raise ValueError("profile_columns: rsd only applies when exact=False")
+    if exact:
+        nd = F.count_distinct
+    elif rsd is not None:
+        nd = lambda c: F.approx_count_distinct(c, rsd)  # noqa: E731
+    else:
+        nd = F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [

@@ -28,6 +28,8 @@ anything that costs an exchange.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,8 +138,10 @@ def gopher_quality_flags(
         )
     )
     t = F.col(text_col)
+    # re.escape: a caller-supplied stopword containing regex metacharacters
+    # ('c++', 'u.s.') must match literally, not as a pattern
     hits = sum(
-        (t.rlike(rf"\b{w}\b").cast("int") for w in stopwords), F.lit(0)
+        (t.rlike(rf"\b{re.escape(w)}\b").cast("int") for w in stopwords), F.lit(0)
     )
     # '…' counts like '...': the ellipsis-line rule above treats them as
     # equivalent, so the symbol ratio must too or a '…'-spammed page
