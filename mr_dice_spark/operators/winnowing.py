@@ -293,26 +293,98 @@ def remove_spans(
 
 
 def fingerprint_overlap_join(
-    fps: DataFrame, id_col: str, min_shared: int = 2, fp_col: str = "fingerprint"
+    fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    fp_col: str = "fingerprint",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, shared) for pairs sharing >= ``min_shared`` values of
     ``fp_col`` — the MOSS ranking join, equally usable over any hash-key
-    column. Inverted-index shape: one shuffle on the key,
-    map-side-combined pair counting; posting lists are bounded because
-    winnowing keeps ~2/(w+1) of gram hashes and common boilerplate
-    collapses to few distinct fingerprints (drop ultra-frequent keys
-    first on heavy-tailed corpora, exactly the stop-shingle rule of the
-    Jaccard join)."""
-    l, r = fps.alias("x"), fps.alias("y")
+    column. ``fps`` must be distinct per (id, fp), as
+    winnowing_fingerprints emits.
+
+    ``prefix_filter=True`` (default) is the exact PPJoin-style pushdown
+    (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin 2008): order every
+    document's fingerprints by GLOBAL rarity (document frequency, then
+    value — a total order shared by all docs) and post only each doc's
+    first ``n - min_shared + 1`` fingerprints into the candidate join.
+    Completeness is the prefix-filtering principle: two sets with
+    overlap >= t whose elements are sorted by one common total order
+    must collide inside those prefixes — so no pair is lost — while the
+    ultra-frequent boilerplate keys (the quadratic posting lists that
+    make the naive join pair-output-bound on crawl corpora) land in the
+    SUFFIX of almost every document and never reach the join. Candidates
+    are then verified with an exact array intersection against each
+    doc's full fingerprint set. Cost: one small frequency aggregate, one
+    per-doc sort, the (pruned) candidate join, and two id-keyed joins to
+    attach the arrays — each bounded by candidates, not by key
+    co-occurrence. Docs with fewer than ``min_shared`` fingerprints
+    cannot reach the threshold and are pruned up front.
+
+    ``prefix_filter=False`` is the naive inverted-index count-join
+    (every co-occurring pair materialized, then HAVING) — fine when no
+    key is frequent, pair-output-bound when one is."""
+    if not prefix_filter:
+        l, r = fps.alias("x"), fps.alias("y")
+        return (
+            l.join(
+                r,
+                (F.col(f"x.{fp_col}") == F.col(f"y.{fp_col}"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= min_shared)
+        )
+    t = int(min_shared)
+    freq = fps.groupBy(fp_col).agg(F.count(F.lit(1)).alias("__df"))
+    ranked = fps.join(freq, fp_col)
+    # per doc: fingerprints in (document-frequency, value) order — one
+    # global total order, so both sides of any pair sort identically
+    docs = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col(fp_col).alias("f")))
+            ).alias("__sorted")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__sorted"), lambda s: s["f"]).alias("__fps"),
+        )
+        .where(F.size("__fps") >= t)
+    )
+    pre = docs.select(
+        id_col,
+        F.explode(
+            F.slice(F.col("__fps"), 1, F.size("__fps") - F.lit(t) + 1)
+        ).alias("__pf"),
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.__pf") == F.col("b.__pf"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = docs.select(F.col(id_col).alias("id_a"), F.col("__fps").alias("__fa"))
+    fb = docs.select(F.col(id_col).alias("id_b"), F.col("__fps").alias("__fb"))
     return (
-        l.join(
-            r,
-            (F.col(f"x.{fp_col}") == F.col(f"y.{fp_col}"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("__fa"), F.col("__fb"))).alias("shared"),
         )
-        .groupBy(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= min_shared)
+        .where(F.col("shared") >= t)
     )

@@ -264,3 +264,45 @@ def test_boilerplate_spans_shared_block_localized(spark):
             # intersect it and never extend a full gram past its edges
             assert s >= lo - 7 and e <= hi + 7, (doc_id, s, e, lo, hi)
             assert s <= hi and e >= lo
+
+
+def test_overlap_join_prefix_filter_matches_naive(spark):
+    """The PPJoin prefix-filtered path must return the IDENTICAL
+    (id_a, id_b, shared) set as the naive count-join — including on a
+    boilerplate-heavy fixture where one fingerprint co-occurs in every
+    document (the posting list the pushdown exists to prune)."""
+    import random
+
+    from mr_dice_spark.operators.winnowing import (
+        fingerprint_overlap_join,
+        winnowing_fingerprints,
+    )
+
+    rng = random.Random(7)
+    boiler = "shared navigation footer copyright terms of service block "
+    docs = []
+    for i in range(30):
+        body = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "epsi", "zeta"])
+            for _ in range(rng.randint(5, 30))
+        )
+        # every doc carries the same boilerplate; half share a second block
+        extra = "identical quoted paragraph fragment " if i % 2 else ""
+        docs.append((i, boiler + extra + body))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=8, window=4)
+    for t in (2, 3, 5):
+        fast = {
+            (r["id_a"], r["id_b"], r["shared"])
+            for r in fingerprint_overlap_join(
+                fps, "doc_id", min_shared=t, prefix_filter=True
+            ).collect()
+        }
+        naive = {
+            (r["id_a"], r["id_b"], r["shared"])
+            for r in fingerprint_overlap_join(
+                fps, "doc_id", min_shared=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == naive, f"t={t}: {fast ^ naive}"
+        assert fast, f"t={t}: fixture produced no overlapping pairs"
