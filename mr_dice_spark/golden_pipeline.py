@@ -1971,6 +1971,67 @@ def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+TEMPERATURE_MIXTURE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+w AS (SELECT lang, POW(n, 0.5) AS wt FROM c),
+q AS (SELECT lang, 60 * wt / (SELECT SUM(wt) FROM w) AS quot FROM w),
+b AS (SELECT lang, FLOOR(quot) AS base, quot - FLOOR(quot) AS frac FROM q),
+r AS (
+  SELECT lang, base,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS rk
+  FROM b
+),
+rem AS (SELECT 60 - CAST(SUM(base) AS BIGINT) AS m FROM b),
+quota AS (
+  SELECT lang,
+         CAST(base AS BIGINT)
+           + CASE WHEN rk <= (SELECT m FROM rem) THEN 1 ELSE 0 END AS q
+  FROM r
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substring(md5('temp/' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang
+FROM ranked JOIN quota USING (lang)
+WHERE rn <= q
+ORDER BY lang, doc_id
+"""
+
+
+@golden(
+    "temperature_mixture_sample_lang",
+    TEMPERATURE_MIXTURE_ORACLE,
+    tags=("sampling", "mixture", "temperature", "deterministic"),
+)
+def temperature_mixture_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture (share ∝ count^0.5, total 60): the
+    multilingual-pretraining reweighting that lifts low-resource langs
+    without going fully uniform. Unlike mixture_sample_by_lang's
+    hardcoded targets, the oracle here restates the WHOLE allocation —
+    sqrt weights from the data's own counts, largest-remainder
+    integerization with frac-then-name ranking, hash-order selection —
+    so the data-dependent quota arithmetic is hash-checked end to end.
+    No availability cap binds at any test SF (every lang's sqrt share of
+    60 is far below its count), which is what keeps the one-round
+    largest remainder SQL-restatable; the capped redistribution loop is
+    unit-tested."""
+    from mr_dice_spark.operators.sampling import temperature_mixture_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    out = temperature_mixture_sample(
+        docs, "lang", 60, "doc_id", alpha=0.5, seed="temp/"
+    )
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # intra-document repetition stats (Gopher-style quality filter signal)
 # ---------------------------------------------------------------------------

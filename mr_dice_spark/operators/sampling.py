@@ -165,7 +165,11 @@ def apportion_weighted(
     active = {g for g in avail if weights.get(g, 0) > 0 and avail[g] > 0}
     budget = max(0, int(total))
     while budget > 0 and active:
-        wsum = sum(weights[g] for g in active)
+        # sum in sorted group order: set-iteration order varies per run,
+        # and a different float summation order could flip a fractional
+        # remainder sitting exactly on a tie — the allocation must be a
+        # pure function of (avail, weights, total)
+        wsum = sum(weights[g] for g in sorted(active))
         quot = {g: budget * weights[g] / wsum for g in active}
         base = {g: int(quot[g]) for g in active}
         rem = budget - sum(base.values())
@@ -223,6 +227,16 @@ def mixture_sample(
     per-group top-n is WindowGroupLimit-pruned map-side."""
     counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
     alloc = apportion_weighted(counts, weights, total)
+    return _take_quota_by_hash(df, group_col, alloc, key_col, seed)
+
+
+def _take_quota_by_hash(
+    df: DataFrame, group_col: str, alloc: dict, key_col: str, seed: str
+) -> DataFrame:
+    """Keep the first ``alloc[g]`` rows of each group in portable hash
+    order (key tiebreak) — the shared selection tail of the mixture
+    samplers: one group-keyed window shuffle with the quota dimension
+    broadcast back."""
     quota = _broadcast_group_dim(df, group_col, alloc, "__quota")
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
@@ -240,6 +254,37 @@ def mixture_sample(
         )
         .drop("__rn", "__quota")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-smoothed mixture: group g's share of the ``total``
+    rows is proportional to ``count_g ** alpha`` — the standard
+    multilingual-pretraining reweighting (exponential smoothing):
+    ``alpha=1`` preserves natural proportions, ``alpha -> 0`` approaches
+    uniform across groups, and values in between upsample low-resource
+    groups at a controlled rate. Shares are integerized by the same
+    deterministic largest-remainder apportionment as ``mixture_sample``
+    (availability-capped, shortfall redistributed, name tiebreak), and
+    rows are chosen per group by portable hash order.
+
+    Cost shape is mixture_sample's: one tiny groupBy-count collect
+    (rows = #groups — the ONLY data-dependent driver round-trip, and the
+    reason the weights can follow the data), then one group-keyed window
+    shuffle with WindowGroupLimit map-side pruning.
+    """
+    if not (alpha > 0 and alpha == alpha and alpha != float("inf")):
+        raise ValueError(f"temperature_mixture_sample: bad alpha {alpha!r}")
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    weights = {g: float(c) ** alpha for g, c in counts.items() if c > 0}
+    alloc = apportion_weighted(counts, weights, total)
+    return _take_quota_by_hash(df, group_col, alloc, key_col, seed)
 
 
 def token_budget_sample(

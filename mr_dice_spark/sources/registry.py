@@ -44,6 +44,19 @@ def read_with_quarantine(
     Both frames come from ONE parse pass; the split is two filters over
     the same cached-scan lineage, not two reads.
     """
+    return parse_with_quarantine(spark.read.text(path), schema, fmt, **options)
+
+
+def parse_with_quarantine(
+    raw: DataFrame,
+    schema: str,
+    fmt: str = "json",
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """The parse/split core of :func:`read_with_quarantine`, over an
+    existing one-column ``value: string`` frame of raw lines — usable on
+    any line source (text scan, Kafka value column, a derived fixture),
+    not just a path."""
     if fmt not in ("json", "csv"):
         raise ValueError("quarantine reader supports json/csv")
     # parse from a text scan with from_json/from_csv rather than the raw
@@ -55,7 +68,6 @@ def read_with_quarantine(
     # restriction, still one pass, nothing cached.
     full_schema = schema + ", _corrupt_record string"
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"}
-    raw = spark.read.text(path)
     if fmt == "csv":
         parsed = raw.select(
             F.col("value"),

@@ -309,6 +309,43 @@ def test_mixture_sample_hits_targets_and_is_deterministic(spark):
     assert ids1 == ids2
 
 
+def test_temperature_mixture_alpha_semantics(spark):
+    from mr_dice_spark.operators.sampling import temperature_mixture_sample
+
+    import pytest
+
+    # 900 'big' rows vs 100 'small' rows
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+
+    def shares(alpha):
+        out = temperature_mixture_sample(df, "grp", 100, "k", alpha=alpha)
+        by = {"big": 0, "small": 0}
+        for r in out.collect():
+            by[r["grp"]] += 1
+        return by
+
+    # alpha=1: natural proportions (largest remainder of 90/10)
+    assert shares(1.0) == {"big": 90, "small": 10}
+    # alpha=0.5: sqrt smoothing lifts the low-resource group
+    # (30/(30+10) = 75%, 25%)
+    assert shares(0.5) == {"big": 75, "small": 25}
+    # alpha -> 0 approaches uniform
+    assert shares(0.01) == {"big": 51, "small": 49} or shares(0.01) == {"big": 50, "small": 50}
+    # availability cap redistributes: ask for more than 'small' holds
+    out = temperature_mixture_sample(df, "grp", 400, "k", alpha=0.1)
+    by = {"big": 0, "small": 0}
+    for r in out.collect():
+        by[r["grp"]] += 1
+    assert by["small"] == 100 and by["big"] == 300
+    # deterministic under re-run
+    a = {r["k"] for r in temperature_mixture_sample(df, "grp", 100, "k", alpha=0.5).collect()}
+    b = {r["k"] for r in temperature_mixture_sample(df, "grp", 100, "k", alpha=0.5).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, "grp", 10, "k", alpha=0.0)
+
+
 def test_repetition_stats_known_values(spark):
     from mr_dice_spark.operators.terms import repetition_stats
 
