@@ -40,6 +40,7 @@ _CHECK_FIRST = [
     "temperature_mixture_sample_lang",  # count^alpha largest-remainder mix
     "profile_approx_audit",           # HLL++ profile accuracy verdict
     "quarantine_ingest_audit",        # PERMISSIVE parse + bad-record capture
+    "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
@@ -88,7 +89,6 @@ _CHECK_FIRST = [
     "param_openlam_time_window",
     "spacegroup_dim_join",
     "energy_above_hull_probe",
-    "q02_min_cost_supplier",
 ]
 
 

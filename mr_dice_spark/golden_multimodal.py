@@ -335,3 +335,86 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", fixture("text").alias("payload"))
     out = image_dedup_ahash(media, id_col="doc_id")
     return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# JPEG entropy-decode dedup: the same aHash chain as image_ahash_dedup but
+# through the pure-stdlib baseline JPEG codec (multimodal/jpeg.py) — DC
+# Huffman decode with cross-block prediction, restart-marker resync,
+# dequantization and IDCT all sit between the fixture bytes and the hash.
+# ---------------------------------------------------------------------------
+
+JPEG_AHASH_ORACLE = """
+WITH t AS (
+  SELECT doc_id, rpad(substr(COALESCE(text, ''), 1, 4), 4, 'x') AS s
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         LEAST(unicode(substr(s, 1, 1)), 255) AS a,
+         LEAST(unicode(substr(s, 2, 1)), 255) AS b,
+         LEAST(unicode(substr(s, 3, 1)), 255) AS c,
+         LEAST(unicode(substr(s, 4, 1)), 255) AS d
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         -- 8x8 nearest sample of the 16x16 four-quadrant image: sample
+         -- (r, c) reads quadrant value a/b/c/d; mean threshold in
+         -- integers: gray3*64 > total reduces to 4*v > a+b+c+d
+         list_aggregate(list_transform(range(0, 64), i ->
+             CASE WHEN 4 * (CASE WHEN i % 8 < 4
+                                 THEN (CASE WHEN i < 32 THEN a ELSE c END)
+                                 ELSE (CASE WHEN i < 32 THEN b ELSE d END)
+                            END) > a + b + c + d
+                  THEN '1' ELSE '0' END),
+           'string_agg', '') AS ahash_bits
+  FROM v
+)
+SELECT doc_id, ahash_bits,
+       doc_id = MIN(doc_id) OVER (PARTITION BY ahash_bits) AS is_canonical
+FROM h
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "jpeg_decode_ahash_dedup",
+    JPEG_AHASH_ORACLE,
+    tags=("multimodal", "image", "jpeg", "dedup", "ahash"),
+)
+def jpeg_decode_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup over REAL JPEG entropy decode: the fixture packs
+    each document's first 4 code points (x-padded, clipped to 255) as a
+    16x16 grayscale of four constant 8x8 blocks and encodes it as a
+    baseline JPEG with a flat-1 quantization table and a 2-MCU restart
+    interval. Block-constant content is DC-only, so the decode is
+    bit-EXACT (see multimodal/jpeg.py) even though the payload goes
+    through canonical Huffman coding, DC prediction, RST resync and the
+    IDCT — any defect in that chain flips hash bits. The oracle restates
+    the 8x8 nearest-sample aHash as pure character arithmetic, as in
+    image_ahash_dedup."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import encode_jpeg_baseline
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = ((t or "")[:4]).ljust(4, "x")
+            vals = [min(ord(ch), 255) for ch in s]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for by in range(2):
+                for bx in range(2):
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[
+                        2 * by + bx
+                    ]
+            out.append(encode_jpeg_baseline(img, restart_interval=2))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    out = image_dedup_ahash(media, id_col="doc_id")
+    return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")

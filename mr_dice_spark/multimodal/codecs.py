@@ -1,11 +1,16 @@
-"""Codec layer: real decoders when the libraries exist, deterministic
-STUB decoders otherwise.
+"""Codec layer: real decoders where pure stdlib+numpy can carry them,
+deterministic STUB decoders otherwise.
 
-The container has no image/audio libraries, so the codec step is a
-clearly-marked stub: ``FAKE_*`` functions derive metadata and "pixels"
-deterministically from the raw bytes (length + rolling checksum). The
+REAL paths (no Pillow/librosa/PyAV needed): PNG/BMP/JPEG header probes,
+BMP and PNG pixel decode (decode_pixels below), baseline-JPEG pixel
+decode including the entropy layer (multimodal/jpeg.py: Huffman + IDCT),
+WAV PCM signal stats, MP4/AVI container walks and TRUE sample
+extraction. The remaining stubbed boundary is VIDEO FRAME pixels
+(H.264-class codecs genuinely need ffmpeg); ``FAKE_*`` functions derive
+metadata and "pixels" deterministically from the raw bytes (length +
+rolling checksum) for everything outside the real envelope. The
 Spark-side plumbing (schemas, Arrow batching, partitioning) is identical
-for real and fake codecs — swapping in Pillow/librosa/PyAV is a pure
+for real and fake codecs — swapping in a library decoder is a pure
 function replacement here, nothing upstream changes.
 
 The fake arithmetic is intentionally simple enough to restate in ANSI SQL,
@@ -175,11 +180,13 @@ def fake_image_features(payload: Optional[bytes], dim: int = 8) -> Optional[list
 
 
 def decode_pixels(payload: Optional[bytes]):
-    """REAL pixel decode for uncompressed 24-bit BMP and 8-bit
-    gray/RGB/RGBA non-interlaced PNG — stdlib (struct + zlib) + numpy
-    only. Returns an (H, W, C) uint8 ndarray, or None when the payload is
-    not one of these (caller falls back to stub behavior). JPEG stays
-    stubbed: entropy decoding needs a real codec library."""
+    """REAL pixel decode for uncompressed 24-bit BMP, 8-bit
+    gray/RGB/RGBA non-interlaced PNG (stdlib struct + zlib + numpy),
+    and baseline sequential JPEG (the pure-stdlib entropy decoder in
+    multimodal/jpeg.py: Huffman + dequant + IDCT + chroma upsample).
+    Returns an (H, W, C) uint8 ndarray, or None when the payload is
+    none of these (caller falls back to stub behavior); progressive /
+    arithmetic / 12-bit JPEG likewise degrade to the stub path."""
     import struct
     import zlib
 
@@ -187,6 +194,10 @@ def decode_pixels(payload: Optional[bytes]):
 
     if payload is None:
         return None
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        from mr_dice_spark.multimodal.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     if len(payload) >= 30 and payload[:2] == b"BM":
         data_off = struct.unpack("<I", payload[10:14])[0]
         dib = struct.unpack("<I", payload[14:18])[0]

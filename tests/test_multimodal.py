@@ -919,3 +919,159 @@ def test_avi_sample_slices_declared_frame_count_cap():
     # and up to 0 = unknown: the cap falls back to len(payload)//8
     struct.pack_into("<I", lying, honest.find(b"avih") + 8 + 16, 0)
     assert len(avi_sample_slices(bytes(lying))) == 4
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (multimodal/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_zigzag_is_the_standard_scan():
+    """Regenerate the zigzag order algorithmically and compare — a wrong
+    table would still round-trip (encoder and decoder share it) but the
+    streams would not be conformant JPEG."""
+    from mr_dice_spark.multimodal.jpeg import _ZIGZAG
+
+    expect, r, c, up = [], 0, 0, True
+    for _ in range(64):
+        expect.append((r, c))
+        if up:
+            if c == 7:
+                r, up = r + 1, False
+            elif r == 0:
+                c, up = c + 1, False
+            else:
+                r, c = r - 1, c + 1
+        else:
+            if r == 7:
+                c, up = c + 1, True
+            elif c == 0:
+                r, up = r + 1, True
+            else:
+                r, c = r + 1, c - 1
+    assert _ZIGZAG == expect
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    vals = iter([0, 17, 64, 127, 128, 255])
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = next(vals)
+    for rst in (0, 1, 2):
+        dec = decode_jpeg_pixels(encode_jpeg_baseline(img, restart_interval=rst))
+        assert dec.shape == (16, 24, 1)
+        assert np.array_equal(dec[:, :, 0], img), f"rst={rst}"
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """quant=1 keeps every coefficient: reconstruction error is pure
+    float/rounding noise (<=1); a 16x quant table stays within its
+    quantization radius on smooth content."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, (21, 35), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(gray))
+    assert dec.shape == (21, 35, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+
+    rgb = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(rgb))
+    assert dec.shape == (13, 19, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2  # colorspace trip
+
+    x = np.linspace(0, 255, 40)
+    smooth = np.clip(np.round(np.add.outer(x, x) / 2), 0, 255).astype(np.uint8)
+    q = np.full((8, 8), 16)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(smooth, quant=q))
+    assert np.abs(dec[:, :, 0].astype(int) - smooth.astype(int)).max() <= 16
+
+
+def test_jpeg_subsampling_420_geometry_and_bounds():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    # odd dims force both chroma padding and MCU-grid cropping
+    x = np.linspace(0, 250, 33)
+    y = np.linspace(0, 250, 41)
+    base = np.clip(np.round(np.add.outer(x, y) / 2), 0, 255)
+    img = np.stack([base, base[::-1], np.fliplr(base)], axis=2).astype(np.uint8)
+    dec = decode_jpeg_pixels(
+        encode_jpeg_baseline(img, subsampling="420", restart_interval=3)
+    )
+    assert dec.shape == (33, 41, 3)
+    # gradient content: replicate-upsample of box-averaged chroma moves a
+    # pixel by at most ~2 chroma steps of the gradient
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_unsupported_and_corrupt_payloads_return_none():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    enc = bytearray(encode_jpeg_baseline(img))
+    # flip SOF0 to SOF2 (progressive): out of the baseline envelope
+    i = enc.find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    assert decode_jpeg_pixels(prog) is None
+    # truncate mid-scan: fail closed
+    assert decode_jpeg_pixels(bytes(enc[: len(enc) - 10])) is None
+    # not a JPEG at all
+    assert decode_jpeg_pixels(b"plain text") is None
+    assert decode_jpeg_pixels(None) is None
+
+
+def test_jpeg_decode_pixels_routing_and_probe_agreement():
+    """codecs.decode_pixels must route JPEG to the real decoder and agree
+    with real_probe_image on geometry."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import decode_pixels, real_probe_image
+    from mr_dice_spark.multimodal.jpeg import encode_jpeg_baseline
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    enc = encode_jpeg_baseline(img)
+    probe = real_probe_image(enc)
+    dec = decode_pixels(enc)
+    assert probe["format"] == "jpeg"
+    assert dec.shape == (probe["height"], probe["width"], probe["channels"])
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_decoder_determinism():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (17, 9), dtype=np.uint8)
+    enc1 = encode_jpeg_baseline(img)
+    enc2 = encode_jpeg_baseline(img)
+    assert enc1 == enc2
+    assert np.array_equal(decode_jpeg_pixels(enc1), decode_jpeg_pixels(enc2))
