@@ -41,6 +41,8 @@ _CHECK_FIRST = [
     "profile_approx_audit",           # HLL++ profile accuracy verdict
     "quarantine_ingest_audit",        # PERMISSIVE parse + bad-record capture
     "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
+    "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
+    "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
@@ -85,8 +87,6 @@ _CHECK_FIRST = [
     "structure_near_dup_openlam",
     "formation_energy_openlam",
     "param_bohrium_fuzzy_page",
-    "param_mofdb_range_fetch",
-    "param_openlam_time_window",
     "spacegroup_dim_join",
     "energy_above_hull_probe",
 ]

@@ -2972,3 +2972,119 @@ def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         POW((CAST(('0x' || substring(md5('wsamp/' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS r
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+ORDER BY r DESC, doc_id
+LIMIT 100
+"""
+
+
+@golden(
+    "weighted_sample_by_length",
+    WEIGHTED_SAMPLE_ORACLE,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    100 documents drawn with probability proportional to length — the
+    'sample by token mass, not by row' primitive of corpus subsetting.
+    r = u^(1/w) with u from the portable key hash, so the oracle
+    restates the draw EXACTLY (same md5 + pow arithmetic) and the whole
+    selection is hash-checked; the Spark plan is a narrow projection
+    into TakeOrderedAndProject, never a full sort."""
+    from mr_dice_spark.operators.sampling import weighted_sample_without_replacement
+
+    docs = Catalog(spark, sf_dir).documents
+    out = weighted_sample_without_replacement(
+        docs, "doc_id", "n_chars", 100, seed="wsamp/"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _kmeans_oracle(k: int = 4, sweeps: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's loop as chained CTEs (the PageRank strategy:
+    fixed sweeps, deterministic init, quantized interim state — the only
+    way an iterative algorithm is SQL-restatable). list_reduce is the
+    left-to-right fold matching Spark's ``aggregate``."""
+    sq = (
+        "list_reduce(list_transform(range(1, {d1}), "
+        "i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i])), "
+        "(a, b) -> a + b)"
+    ).format(d1=dim + 1)
+    parts = [
+        "WITH v AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        "  FROM embeddings WHERE embedding IS NOT NULL",
+        "),",
+        "c0 AS (",
+        "  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, e",
+        f"  FROM v ORDER BY vec_id LIMIT {k}",
+        "),",
+    ]
+    for s in range(1, sweeps + 1):
+        prev = f"c{s - 1}"
+        parts += [
+            f"d{s} AS (",
+            f"  SELECT v.vec_id, v.e, c.j, {sq} AS dist",
+            f"  FROM v CROSS JOIN {prev} c",
+            "),",
+            f"a{s} AS (",
+            "  SELECT vec_id, e, j AS cl FROM (",
+            "    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn",
+            f"    FROM d{s}) WHERE rn = 1",
+            "),",
+            f"m{s} AS (",
+            "  SELECT cl, i, ROUND(1e-9 + AVG(e[CAST(i AS INT)]), 4) AS m",
+            f"  FROM a{s}, range(1, {dim + 1}) t(i) GROUP BY cl, i",
+            "),",
+            f"c{s} AS (",
+            f"  SELECT {prev}.j, COALESCE(mm.lst, {prev}.e) AS e",
+            f"  FROM {prev} LEFT JOIN (",
+            f"    SELECT cl, list(m ORDER BY i) AS lst FROM m{s} GROUP BY cl",
+            f"  ) mm ON mm.cl = {prev}.j",
+            "),",
+        ]
+    parts += [
+        "fin AS (",
+        f"  SELECT v.vec_id, c.j, {sq} AS dist",
+        f"  FROM v CROSS JOIN c{sweeps} c",
+        ")",
+        "SELECT vec_id, CAST(j AS INT) AS cluster,",
+        "       ROUND(1e-9 + dist, 6) AS dist",
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn",
+        "      FROM fin) WHERE rn = 1",
+        "ORDER BY vec_id",
+    ]
+    return "\n".join(parts)
+
+
+@golden(
+    "kmeans_embedding_clusters",
+    _kmeans_oracle(),
+    tags=("clustering", "kmeans", "iterative", "embeddings"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, two sweeps) over the
+    embeddings table — the clustering pass under SemDeDup partitioning
+    and IVF index builds, hash-checked end to end against an unrolled
+    CTE oracle: lowest-id init, lowest-index tiebreak, per-sweep
+    centroids quantized to 4 decimals so both engines iterate from
+    bit-identical state (see operators/clustering.py). Per sweep the
+    Spark side is one literal-broadcast assignment map plus one
+    (cluster, dim) aggregate — k*dim driver bytes, linear scans, no
+    pair joins."""
+    from mr_dice_spark.operators.clustering import kmeans_assign
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = kmeans_assign(emb, "vec_id", "embedding", k=4, sweeps=2)
+    return out.orderBy("vec_id")

@@ -339,6 +339,36 @@ def token_budget_sample(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame, key_col: str, weight_col: str, n: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirakis A-Res scheme — each row draws
+    ``r = u ** (1 / w)`` with ``u`` uniform in (0, 1) and the n largest
+    r win, which yields exactly the sequential
+    weighted-draw-without-replacement distribution. ``u`` here is the
+    portable key hash ((bucket + 0.5) / 2^32), so membership is a pure
+    function of (key, seed): reproducible across reruns, repartitioning,
+    and engines (the SQL oracle restates the same md5/pow arithmetic).
+    Rows with NULL or non-positive weight never qualify.
+
+    Scale shape: one narrow projection then a global top-n BY LIMIT —
+    TakeOrderedAndProject (per-partition heaps + one n-row merge), the
+    PERFORMANCE.md finding-11 shape, never a full sort. The key-hash u
+    means no RNG state and no collect."""
+    if n < 0:
+        raise ValueError(f"weighted_sample_without_replacement: n must be >= 0, got {n}")
+    u = (hash_bucket(F.col(key_col), seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    r = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__r", r)
+        .orderBy(F.col("__r").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__r")
+    )
+
+
 def split_leakage_audit(
     df: DataFrame,
     id_col: str,

@@ -346,6 +346,35 @@ def test_temperature_mixture_alpha_semantics(spark):
         temperature_mixture_sample(df, "grp", 10, "k", alpha=0.0)
 
 
+def test_weighted_sample_without_replacement(spark):
+    from mr_dice_spark.operators.sampling import (
+        weighted_sample_without_replacement as wswr,
+    )
+
+    rows = [(i, 1.0) for i in range(1, 1000)] + [(1000, 1e12), (1001, None), (1002, 0.0), (1003, -2.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    picked = {r["k"] for r in wswr(df, "k", "w", 100, seed="t/").collect()}
+    assert len(picked) == 100
+    # an overwhelming weight is (numerically) always selected:
+    # r = u^(1/1e12) ~ 1 - eps beats every unit-weight u
+    assert 1000 in picked
+    # NULL / zero / negative weights never qualify
+    assert picked.isdisjoint({1001, 1002, 1003})
+    # deterministic under re-run
+    assert picked == {r["k"] for r in wswr(df, "k", "w", 100, seed="t/").collect()}
+    # n beyond the qualifying population returns exactly the qualifiers
+    assert len(wswr(df, "k", "w", 5000, seed="t/").collect()) == 1000
+    # A-Res distribution: P(pick heavy of {w=3, w=1} with n=1) = 3/4;
+    # check the frequency over 60 independent seeds
+    two = spark.createDataFrame([(1, 3.0), (2, 1.0)], "k long, w double")
+    wins = sum(
+        1
+        for s in range(60)
+        if wswr(two, "k", "w", 1, seed=f"d{s}/").first()["k"] == 1
+    )
+    assert 33 <= wins <= 57, wins  # binomial(60, .75): ~6 sigma envelope
+
+
 def test_repetition_stats_known_values(spark):
     from mr_dice_spark.operators.terms import repetition_stats
 
