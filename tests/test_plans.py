@@ -793,3 +793,84 @@ def test_dedup_connected_best_window_group_limit(spark, sf_dir):
     groups)."""
     df = GOLDEN["cluster_keep_best_copy"].spark(spark, sf_dir)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_temperature_mixture_uses_window_group_limit(spark, sf_dir):
+    """The temperature mixture shares mixture_sample's selection tail, so
+    it must keep the same map-side per-group pruning."""
+    df = GOLDEN["temperature_mixture_sample_lang"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_take_ordered_not_full_sort(spark, sf_dir):
+    """A-Res top-n must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort — the PERFORMANCE.md finding-11 shape."""
+    df = GOLDEN["weighted_sample_by_length"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_kmeans_assignment_no_joins_no_cartesian(spark, sf_dir):
+    """k-means assignment broadcasts centroids as plan LITERALS: the
+    final plan must contain no join at all (and so no Cartesian) — the
+    per-sweep shuffle lives in the (cluster, dim) update aggregate, not
+    here."""
+    df = GOLDEN["kmeans_embedding_clusters"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+
+
+def test_fuzzy_join_strip_bounds_blocking_keys(spark, sf_dir):
+    """Degenerate-corpus guard: after the affix strip, no blocking key on
+    the constant-prefix customer fixture may hold more than ~1/10 of the
+    corpus (pre-strip, the constant half put 100% of rows on one key).
+    Runtime property rather than plan shape — the strip happens at build
+    time."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators import fuzzy
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("__id"),
+        F.col("c_name").alias("__s"),
+        F.length("c_name").alias("__l"),
+    )
+    n = cust.count()
+    stripped = fuzzy._strip_common_affixes(cust)
+    # the fixture's 'Customer#' prefix (plus shared leading zeros) must
+    # be gone entirely
+    assert stripped.where(F.col("__s").contains("Customer")).count() == 0
+    p_own = F.ceil(F.col("__l") / 2).cast("int")
+    worst = (
+        stripped.select(F.expr("substring(__s, 1, ceil(__l / 2))").alias("k"))
+        .groupBy("k").count().agg(F.max("count")).first()[0]
+    )
+    assert worst <= max(n // 10, 2), (worst, n)
+
+
+def test_overlap_join_prefix_filter_prunes_frequent_keys(spark, sf_dir):
+    """The PPJoin prefix must exclude each doc's most frequent keys: on a
+    fixture where one fingerprint appears in EVERY doc, that key's
+    candidate-join posting list must shrink to (near) nothing while the
+    naive join would post all of them."""
+    from mr_dice_spark.operators.winnowing import (
+        fingerprint_overlap_join,
+        winnowing_fingerprints,
+    )
+
+    rows = [(i, "shared boilerplate banner text here " + f"unique tail {i} {i*7} {i*13}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=8, window=4)
+    out = fingerprint_overlap_join(fps, "doc_id", min_shared=3)
+    # correctness is covered in test_winnowing; here pin the plan: the
+    # prefix path must aggregate (freq), sort arrays, and verify via
+    # array_intersect — and never fall back to a cartesian
+    plan = physical_plan(out)
+    assert "array_intersect" in plan
+    assert not has_cartesian(out)
