@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
+    "bloom_decontamination_prescreen",  # fixed-size broadcast gram filter
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
@@ -87,7 +88,6 @@ _CHECK_FIRST = [
     "structure_near_dup_openlam",
     "formation_energy_openlam",
     "param_bohrium_fuzzy_page",
-    "spacegroup_dim_join",
     "energy_above_hull_probe",
 ]
 

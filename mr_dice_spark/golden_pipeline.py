@@ -3088,3 +3088,107 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     out = kmeans_assign(emb, "vec_id", "embedding", k=4, sweeps=2)
     return out.orderBy("vec_id")
+
+
+BLOOM_PRESCREEN_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+pbits AS (
+  SELECT DISTINCT
+         (CAST(('0x' || substring(md5('bloom/' || shingle), 1, 8)) AS BIGINT)
+          + t.i * CAST(('0x' || substring(md5('bloom/' || shingle), 9, 8)) AS BIGINT))
+         % 262144 AS pos
+  FROM probe, range(0, 3) t(i)
+),
+csh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+cpos AS (
+  SELECT DISTINCT doc_id, shingle,
+         (CAST(('0x' || substring(md5('bloom/' || shingle), 1, 8)) AS BIGINT)
+          + t.i * CAST(('0x' || substring(md5('bloom/' || shingle), 9, 8)) AS BIGINT))
+         % 262144 AS pos
+  FROM csh, range(0, 3) t(i)
+),
+gram_pass AS (
+  SELECT c.doc_id, c.shingle
+  FROM cpos c LEFT JOIN pbits b ON b.pos = c.pos
+  GROUP BY c.doc_id, c.shingle
+  HAVING COUNT(b.pos) = COUNT(*)
+),
+maybe AS (SELECT doc_id, COUNT(*) AS n_maybe FROM gram_pass GROUP BY doc_id),
+exact AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM csh s JOIN probe p USING (shingle) GROUP BY s.doc_id
+),
+corpus_ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+cnt AS (
+  SELECT c.doc_id, COUNT(s.shingle) AS n_grams
+  FROM corpus_ids c LEFT JOIN sh s USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT c.doc_id,
+       c.n_grams,
+       COALESCE(m.n_maybe, 0) AS n_maybe_shared,
+       COALESCE(e.n_shared, 0) AS n_shared,
+       COALESCE(m.n_maybe, 0) > 0 AS prescreen_hit,
+       COALESCE(m.n_maybe, 0) > 0 AND COALESCE(e.n_shared, 0) = 0 AS false_positive
+FROM cnt c
+LEFT JOIN maybe m USING (doc_id)
+LEFT JOIN exact e USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+@golden(
+    "bloom_decontamination_prescreen",
+    BLOOM_PRESCREEN_ORACLE,
+    tags=("text", "decontaminate", "bloom", "prescreen"),
+)
+def bloom_decontamination_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prescreen next to the exact check, as one audit: every 17th
+    document plays the probe set; the operator compresses its grams to a
+    2^18-bit double-hashed Bloom set, broadcasts ONLY the set bits
+    (fixed KBs at any probe scale — the regime where even the shuffled
+    exact join is worth gating), and flags corpus docs with >= 1
+    maybe-shared gram. The output carries the exact n_shared beside
+    n_maybe_shared, so the hash check proves BOTH the bit arithmetic
+    (oracle recomputes every md5 double-hash position) and the
+    no-false-negative guarantee in-data (n_maybe_shared >= n_shared on
+    every row; false_positive marks the FPR the prescreen trades for
+    its fixed size)."""
+    from mr_dice_spark.operators.decontaminate import (
+        bloom_prescreen_stats,
+        contamination_stats,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    probe = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    pre = bloom_prescreen_stats(
+        corpus, "doc_id", "text", probe, "text", n=3, m=1 << 18, k=3
+    )
+    exact = contamination_stats(
+        corpus, "doc_id", "text", probe, "text", n=3
+    ).select("doc_id", "n_shared")
+    return (
+        pre.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_maybe_shared",
+            "n_shared",
+            "prescreen_hit",
+            (F.col("prescreen_hit") & (F.col("n_shared") == 0)).alias(
+                "false_positive"
+            ),
+        )
+        .orderBy("doc_id")
+    )

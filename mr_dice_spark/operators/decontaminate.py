@@ -142,3 +142,98 @@ def split_contamination_audit(
     return stats.join(eval_.select(F.col(id_col), "split"), id_col).select(
         F.col(id_col), "split", "n_grams", "n_shared", "share", "contaminated"
     )
+
+
+def bloom_gram_positions(gram, m: int, k: int, seed: str = "bloom/"):
+    """The ``k`` Bloom probe positions of one gram in a ``m``-bit filter:
+    double hashing (Kirsch-Mitzenmacher: p_i = h1 + i*h2 mod m, which
+    gives k independent-enough probes from ONE hash evaluation) over the
+    two halves of the portable md5 — the same engine-portable arithmetic
+    as sampling.hash_bucket, so an ANSI-SQL oracle reproduces every
+    position bit-for-bit. h1, h2 < 2^32 and i < k keep the sum far from
+    int64 overflow."""
+    md = F.md5(F.concat(F.lit(seed), gram))
+    h1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    return F.array(*[((h1 + F.lit(i) * h2) % m).cast("int") for i in range(k)])
+
+
+def bloom_prescreen_stats(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe: DataFrame,
+    probe_text_col: str,
+    n: int = 3,
+    m: int = 1 << 18,
+    k: int = 3,
+    seed: str = "bloom/",
+) -> DataFrame:
+    """Bloom-filter PRESCREEN for decontamination, for when the probe
+    side's gram set is too large to broadcast (split_contamination_audit
+    deliberately shuffles instead — this is the third regime): compress
+    the probe grams to an m-BIT set-membership filter whose size is
+    FIXED regardless of probe cardinality, broadcast that, and let only
+    documents with at least one maybe-shared gram proceed to the exact
+    (shuffled) check. No false negatives by construction — a truly
+    shared gram has all k positions set — so prescreen_hit=false proves
+    clean; false positives ~ (1 - e^{-k*n_set/m})^k re-check exactly.
+
+    Returns per corpus doc: ``(id, n_grams, n_maybe_shared,
+    prescreen_hit)`` where n_maybe_shared counts distinct grams whose k
+    positions are ALL set.
+
+    Scale shape: probe side collapses to <= m distinct bit positions
+    (one small distinct + broadcast — KBs at any probe scale); corpus
+    side explodes each gram to k (gram, position) probes, joins the
+    broadcast bit set, and a gram survives iff all k matched — one
+    corpus-keyed aggregate, no corpus-vs-probe shuffle at all.
+    """
+    if m <= 0 or k <= 0:
+        raise ValueError(f"bloom_prescreen_stats: need m > 0 and k > 0, got {m=} {k=}")
+    sets_ = shingle_sets(corpus, id_col, text_col, n).localCheckpoint(eager=True)
+    probe_keyed = probe.select(
+        F.lit(0).alias("__pid"), F.col(probe_text_col).alias("__ptext")
+    )
+    bits = (
+        shingle_sets(probe_keyed, "__pid", "__ptext", n)
+        .select(F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .select(F.explode(bloom_gram_positions(F.col("__s"), m, k, seed)).alias("__pos"))
+        .distinct()
+    )
+    ex = sets_.select("__id", F.explode_outer("__sh").alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    probes = ex.select(
+        "__id", "__s",
+        F.explode(bloom_gram_positions(F.col("__s"), m, k, seed)).alias("__pos"),
+    )
+    # a gram passes iff ALL k of its positions are set; positions within
+    # one gram are distinct with overwhelming probability but CAN collide
+    # (h2 small or zero), so count DISTINCT matched positions against the
+    # gram's own distinct-position count, not against the literal k
+    maybe = (
+        probes.join(F.broadcast(bits), "__pos")
+        .groupBy("__id", "__s")
+        .agg(F.count_distinct("__pos").alias("__hit"))
+    )
+    own = probes.groupBy("__id", "__s").agg(
+        F.count_distinct("__pos").alias("__need")
+    )
+    passed = (
+        own.join(maybe, ["__id", "__s"], "left")
+        .where(F.coalesce("__hit", F.lit(0)) == F.col("__need"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_maybe_shared"))
+    )
+    return (
+        sets_.select("__id", F.size("__sh").alias("n_grams"))
+        .join(passed, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_maybe_shared", F.lit(0)).alias("n_maybe_shared"),
+            (F.coalesce("n_maybe_shared", F.lit(0)) > 0).alias("prescreen_hit"),
+        )
+    )

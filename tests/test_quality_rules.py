@@ -336,3 +336,61 @@ def test_bpe_pair_stats_uses_take_ordered_top_k(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert [(r["pair"], r["rank"]) for r in out.collect()] == [("ab", 1)]
+
+
+def test_bloom_prescreen_superset_and_fp_regime(spark):
+    """No false negatives at ANY filter size (a truly shared gram always
+    passes), and a deliberately tiny filter (m=16) forces false
+    positives — the prescreen must report them as maybe-shared, never
+    drop them."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.decontaminate import (
+        bloom_prescreen_stats,
+        contamination_stats,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog tonight")],
+        "id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps high"),       # truly shared grams
+            (11, "completely different words entirely here now"),
+            (12, "unrelated content about spark physical plans"),
+            (13, "ab"),                                    # too short: 0 grams
+        ],
+        "id long, text string",
+    )
+    exact = {
+        r["id"]: r["n_shared"]
+        for r in contamination_stats(corpus, "id", "text", probe, "text", n=3).collect()
+    }
+    for m in (16, 1 << 18):
+        pre = {
+            r["id"]: r
+            for r in bloom_prescreen_stats(
+                corpus, "id", "text", probe, "text", n=3, m=m, k=3
+            ).collect()
+        }
+        for i, n_shared in exact.items():
+            assert pre[i]["n_maybe_shared"] >= n_shared, (m, i)
+        assert pre[10]["prescreen_hit"]
+        assert pre[13]["n_grams"] == 0 and not pre[13]["prescreen_hit"]
+    # m=16: nearly every position is set, so the clean docs false-positive
+    tiny = {
+        r["id"]: r
+        for r in bloom_prescreen_stats(
+            corpus, "id", "text", probe, "text", n=3, m=16, k=3
+        ).collect()
+    }
+    assert tiny[11]["prescreen_hit"] or tiny[12]["prescreen_hit"]
+    # the honest filter keeps them clean
+    big = {
+        r["id"]: r
+        for r in bloom_prescreen_stats(
+            corpus, "id", "text", probe, "text", n=3, m=1 << 18, k=3
+        ).collect()
+    }
+    assert not big[11]["prescreen_hit"] and not big[12]["prescreen_hit"]
