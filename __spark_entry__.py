@@ -44,6 +44,8 @@ _CHECK_FIRST = [
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
     "bloom_decontamination_prescreen",  # fixed-size broadcast gram filter
+    "hard_negative_mining_labels",    # contrastive other-label top-k
+    "length_bucketed_batches_docs",   # padding-minimizing batch assign
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
@@ -87,8 +89,6 @@ _CHECK_FIRST = [
     "streaming_sliding_window",
     "structure_near_dup_openlam",
     "formation_energy_openlam",
-    "param_bohrium_fuzzy_page",
-    "energy_above_hull_probe",
 ]
 
 

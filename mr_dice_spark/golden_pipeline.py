@@ -3192,3 +3192,103 @@ def bloom_decontamination_prescreen(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+HARD_NEGATIVE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         ROUND(1e-9 + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IS NOT NULL AND q.qlabel IS NOT NULL AND e.label <> q.qlabel
+)
+SELECT query_id, vec_id, neg_label, cosine
+FROM (
+  SELECT query_id, vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+@golden(
+    "hard_negative_mining_labels",
+    HARD_NEGATIVE_ORACLE,
+    tags=("similarity", "contrastive", "mining", "embeddings"),
+)
+def hard_negative_mining_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the 5 lowest-id
+    embeddings play the query batch; each gets its top-5 most-similar
+    OTHER-label corpus vectors — the confusable wrong answers. Scores
+    rank on the rounded grid (cosine_topk_batch's cross-engine boundary
+    rule); one corpus scan, broadcast queries, label predicate before
+    the WindowGroupLimit rank."""
+    from mr_dice_spark.operators.similarity import hard_negative_mining
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_mining(
+        emb, "vec_id", "embedding", "label",
+        queries, "query_id", "embedding", "label",
+        k=5, round_scores=6,
+    )
+    return out.orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+LENGTH_BATCH_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, n_chars AS n_tokens,
+         CASE WHEN n_chars <= 100 THEN 0
+              WHEN n_chars <= 200 THEN 1
+              WHEN n_chars <= 400 THEN 2
+              ELSE 3 END AS bucket
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+  FROM t
+),
+b AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST((rn - 1) // 16 AS INT) AS batch_in_bucket,
+         CAST((rn - 1) % 16 AS INT) AS pos_in_batch
+  FROM r
+)
+SELECT doc_id, n_tokens, bucket, batch_in_bucket, pos_in_batch,
+       MAX(n_tokens) OVER (PARTITION BY bucket, batch_in_bucket) AS batch_max_tokens,
+       MAX(n_tokens) OVER (PARTITION BY bucket, batch_in_bucket) - n_tokens
+         AS padding_tokens
+FROM b
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "length_bucketed_batches_docs",
+    LENGTH_BATCH_ORACLE,
+    tags=("packing", "batching", "inference", "padding"),
+)
+def length_bucketed_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing inference batches over documents: length
+    buckets at 100/200/400 chars (+ overflow), batch_size=16,
+    within-bucket (length, id) order so each batch's padding cost is
+    bounded by the bucket width. The oracle restates the bucket CASE,
+    both windows and the padding arithmetic; the per-row
+    padding_tokens column makes any batching drift flip the hash."""
+    from mr_dice_spark.operators.packing import length_bucketed_batches
+
+    docs = Catalog(spark, sf_dir).documents
+    out = length_bucketed_batches(
+        docs, "doc_id", "n_chars", bucket_edges=[100, 200, 400], batch_size=16
+    )
+    return out.orderBy("doc_id")

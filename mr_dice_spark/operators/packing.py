@@ -102,3 +102,58 @@ def pack_sequences(
         F.when(F.col("n_tokens") > 0, last - first + 1)
         .otherwise(F.lit(0)).cast("long").alias("n_seqs"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    bucket_edges: list[int],
+    batch_size: int,
+) -> DataFrame:
+    """Inference/serving batch assignment that minimizes padding waste:
+    documents fall into length BUCKETS (``bucket`` = index of the first
+    edge >= n_tokens; longer-than-last-edge rows take the overflow
+    bucket len(edges)), and within each bucket are packed ``batch_size``
+    at a time in (n_tokens, id) order — so a batch's members are as
+    close in length as the bucketing allows and its padding cost is
+    batch_max - member length. Returns ``(id, n_tokens, bucket,
+    batch_in_bucket, pos_in_batch, batch_max_tokens, padding_tokens)``.
+
+    Scale shape: two keyed exchanges and no global sort — first the
+    bucket-keyed row_number window, then the per-batch max over
+    (bucket, batch): a second pass over the same rows but on a
+    HIGH-CARDINALITY key (one group per batch, ~batch_size rows each),
+    so it spreads across the cluster instead of serializing. (A
+    broadcast of per-batch stats would NOT scale: batch count grows
+    with the corpus.) Batch ids are per-bucket composites precisely so
+    no global sequence exists to serialize on. NULL/negative token
+    counts are excluded (no length, no batch).
+    """
+    if batch_size <= 0:
+        raise ValueError(f"length_bucketed_batches: batch_size must be > 0, got {batch_size}")
+    if not bucket_edges or sorted(bucket_edges) != list(bucket_edges) or len(set(bucket_edges)) != len(bucket_edges):
+        raise ValueError(f"bucket_edges must be non-empty and strictly increasing: {bucket_edges}")
+    n = F.col(n_tokens_col)
+    bucket = F.lit(len(bucket_edges))
+    for i in range(len(bucket_edges) - 1, -1, -1):
+        bucket = F.when(n <= bucket_edges[i], F.lit(i)).otherwise(bucket)
+    base = df.where(n.isNotNull() & (n >= 0)).select(
+        F.col(id_col).alias("__id"), n.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "__id")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    ranked = ranked.withColumn(
+        "batch_in_bucket", ((F.col("__rn") - 1) / batch_size).cast("int")
+    ).withColumn("pos_in_batch", ((F.col("__rn") - 1) % batch_size).cast("int"))
+    wb = Window.partitionBy("bucket", "batch_in_bucket")
+    bmax = F.max("n_tokens").over(wb)
+    return ranked.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "bucket",
+        "batch_in_bucket",
+        "pos_in_batch",
+        bmax.alias("batch_max_tokens"),
+        (bmax - F.col("n_tokens")).alias("padding_tokens"),
+    )

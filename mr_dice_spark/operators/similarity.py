@@ -122,6 +122,60 @@ def cosine_topk_batch(
     )
 
 
+def hard_negative_mining(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    q_label_col: str,
+    k: int = 5,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query, the top-k
+    corpus vectors by cosine whose LABEL DIFFERS from the query's — the
+    most-confusable wrong answers that make the strongest training
+    negatives (easy random negatives teach a model nothing). Rows with
+    NULL labels never qualify (an unlabeled vector is not a known
+    negative).
+
+    Same plan shape as cosine_topk_batch — broadcast query set, one
+    corpus scan, per-query WindowGroupLimit top-k — with the label
+    predicate applied BEFORE the window so disqualified rows never
+    enter the rank. At 100 TB: one scan + a (queries x k)-bounded
+    shuffle, regardless of corpus size."""
+    q = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        F.col(q_label_col).alias("__qlabel"),
+    )
+    score = cosine(F.col("__v"), F.col("__qv"))
+    if round_scores is not None:
+        score = F.round(score + F.lit(1e-9), round_scores)
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.col(label_col).alias("__label"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(
+            F.col("__label").isNotNull()
+            & F.col("__qlabel").isNotNull()
+            & (F.col("__label") != F.col("__qlabel"))
+        )
+        .select("__qid", id_col, F.col("__label").alias("neg_label"), score.alias("cosine"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col("__qid").alias(q_id_col), id_col, "neg_label", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     id_col: str,

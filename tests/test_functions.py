@@ -1129,3 +1129,33 @@ def test_theta_overlap_matrix_null_group_excluded(spark):
     rows = theta_overlap_matrix(df, "g", "v").collect()
     assert [(r["g_a"], r["g_b"]) for r in rows] == [("a", "b")]
     assert rows[0]["overlap"] == 1
+
+
+def test_length_bucketed_batches_semantics(spark):
+    import pytest
+
+    from mr_dice_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, l) for i, l in [(1, 10), (2, 100), (3, 101), (4, 250), (5, 999),
+                                (6, 50), (7, 60), (8, None), (9, -5)]]
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = {r["id"]: r for r in length_bucketed_batches(
+        df, "id", "n", bucket_edges=[100, 200, 400], batch_size=2).collect()}
+    # NULL / negative lengths excluded
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # bucket boundaries are inclusive upper edges; overflow takes len(edges)
+    assert out[2]["bucket"] == 0 and out[3]["bucket"] == 1
+    assert out[4]["bucket"] == 2 and out[5]["bucket"] == 3
+    # bucket 0 in (n, id) order: 10, 50, 60, 100 -> batches [10,50], [60,100]
+    assert (out[1]["batch_in_bucket"], out[1]["pos_in_batch"]) == (0, 0)
+    assert (out[6]["batch_in_bucket"], out[6]["pos_in_batch"]) == (0, 1)
+    assert (out[7]["batch_in_bucket"], out[7]["pos_in_batch"]) == (1, 0)
+    assert (out[2]["batch_in_bucket"], out[2]["pos_in_batch"]) == (1, 1)
+    # padding = batch max - own length
+    assert out[1]["batch_max_tokens"] == 50 and out[1]["padding_tokens"] == 40
+    assert out[6]["padding_tokens"] == 0
+    assert out[2]["padding_tokens"] == 0 and out[7]["padding_tokens"] == 40
+    with pytest.raises(ValueError):
+        length_bucketed_batches(df, "id", "n", [100, 50], 2)
+    with pytest.raises(ValueError):
+        length_bucketed_batches(df, "id", "n", [100], 0)

@@ -80,6 +80,19 @@ PROBES = [
     "unicode_nfc_dedup",
     "crawl_quality_tokenizer_report",
     "minhash_recall_audit_curve",
+    # round-5 operators. NOTE on replicated fixtures: copies shift KEYS
+    # but not CONTENT, so every document/name exists 10x — pair-output
+    # operators (fuzzy join, overlap ranking) see ~quadratic-in-copies
+    # TRUE output on this fixture, like demo5; their ratios measure
+    # output volume, not candidate blow-up.
+    "temperature_mixture_sample_lang",
+    "weighted_sample_by_length",
+    "profile_approx_audit",
+    "quarantine_ingest_audit",
+    "kmeans_embedding_clusters",
+    "bloom_decontamination_prescreen",
+    "jpeg_decode_ahash_dedup",
+    "fuzzy_name_join_customers",
 ]
 
 
