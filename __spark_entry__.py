@@ -46,6 +46,8 @@ _CHECK_FIRST = [
     "bloom_decontamination_prescreen",  # fixed-size broadcast gram filter
     "hard_negative_mining_labels",    # contrastive other-label top-k
     "length_bucketed_batches_docs",   # padding-minimizing batch assign
+    "streaming_quarantine_ingest",    # quarantine split on the stream engine
+    "events_funnel_conversion",       # ordered-subsequence funnel
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
@@ -84,9 +86,7 @@ _CHECK_FIRST = [
     "text_top_terms",
     # --- oldest r2-only rows (streaming window families, materials
     # operators, parametric sources)
-    "streaming_hourly_window",
     "streaming_session_window",
-    "streaming_sliding_window",
     "structure_near_dup_openlam",
     "formation_energy_openlam",
 ]

@@ -621,3 +621,73 @@ def window_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
         F.lead("event_id").over(w).alias("next_event_id"),
     ).orderBy("user_id", "event_id")
+
+
+FUNNEL_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(
+             t := epoch_ms(CAST(ts AS TIMESTAMP)), ty := event_type))) AS evs
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND user_id IS NOT NULL
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+  GROUP BY user_id
+),
+r AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(0, list_transform(evs,
+               e -> CASE e.ty WHEN 'view' THEN 0
+                              WHEN 'click' THEN 1
+                              ELSE 2 END)),
+           (acc, x) -> acc + CASE WHEN x = acc THEN 1 ELSE 0 END) AS reached
+  FROM f
+),
+c AS (
+  SELECT CAST(count_if(reached >= 1) AS BIGINT) AS n0,
+         CAST(count_if(reached >= 2) AS BIGINT) AS n1,
+         CAST(count_if(reached >= 3) AS BIGINT) AS n2
+  FROM r
+)
+SELECT * FROM (
+  SELECT 1 AS step_index, 'view' AS step, n0 AS n_users,
+         CASE WHEN n0 > 0 THEN ROUND(1e-9 + n0 / CAST(n0 AS DOUBLE), 6) END AS conversion
+  FROM c
+  UNION ALL
+  SELECT 2, 'click', n1,
+         CASE WHEN n0 > 0 THEN ROUND(1e-9 + n1 / CAST(n0 AS DOUBLE), 6) END
+  FROM c
+  UNION ALL
+  SELECT 3, 'purchase', n2,
+         CASE WHEN n0 > 0 THEN ROUND(1e-9 + n2 / CAST(n0 AS DOUBLE), 6) END
+  FROM c
+)
+ORDER BY step_index
+"""
+
+
+@golden(
+    "events_funnel_conversion",
+    FUNNEL_ORACLE,
+    tags=("events", "funnel", "sequence", "analytics"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): users
+    reaching each step as a time-ordered subsequence of their history,
+    via ONE user-keyed shuffle and an in-row greedy subsequence fold —
+    no per-step passes. The oracle restates the identical fold
+    (list_reduce over step indices on the same (epoch_ms, type) sort),
+    so the greedy-match semantics, not just the counts, are pinned."""
+    from mr_dice_spark.operators.funnel import funnel_conversion
+
+    _utc(spark)
+    # first two days only: on the full month every user completes the
+    # funnel (dense fixture) and the ordering semantics would be
+    # untestable — the slice yields a real drop-off (92 -> 41 -> 21 at
+    # sf0.01), so out-of-order histories actually fail steps
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    return funnel_conversion(
+        ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).orderBy("step_index")

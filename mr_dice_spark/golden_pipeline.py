@@ -3292,3 +3292,70 @@ def length_bucketed_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "n_chars", bucket_edges=[100, 200, 400], batch_size=16
     )
     return out.orderBy("doc_id")
+
+
+STREAM_QUARANTINE_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id % 13 = 0 THEN 'quarantined' ELSE 'good' END AS status,
+       CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+FROM events
+ORDER BY event_id
+"""
+
+
+@golden(
+    "streaming_quarantine_ingest",
+    STREAM_QUARANTINE_ORACLE,
+    tags=("streaming", "source", "ingest", "quarantine"),
+)
+def streaming_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine parse/split on the REAL streaming engine: a
+    JSON-lines feed (derived in-flight from the events stream, every
+    13th event_id truncated mid-value) goes through the SAME
+    parse_with_quarantine core the batch reader uses — pure column
+    expressions, so it lifts to a readStream frame unchanged, which is
+    the point of factoring the split off the path-based reader. Good and
+    quarantined rows union into one append-mode memory sink (one stream,
+    one sink); quarantined rows recover their key from the raw corrupt
+    record. Full oracle parity: finite replay makes the streamed result
+    equal the batch restatement."""
+    import uuid
+
+    from mr_dice_spark.sources.registry import parse_with_quarantine
+    from mr_dice_spark.streaming.windows import read_events_stream, run_stream_to_memory
+
+    _utc(spark)
+    name = f"stream_quar_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    line = F.when(
+        F.col("event_id") % 13 == 0,
+        F.concat(
+            F.lit('{"event_id":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"value":#BAD'),
+        ),
+    ).otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+    raw = stream.select(line.alias("value"))
+    good, bad = parse_with_quarantine(
+        raw, "event_id bigint, event_type string, value double", "json"
+    )
+    good_rows = good.select(
+        "event_id", F.lit("good").alias("status"), "event_type", "value"
+    )
+    bad_rows = bad.select(
+        F.regexp_extract(F.col("_corrupt_record"), r'"event_id":(\d+)', 1)
+        .cast("bigint")
+        .alias("event_id"),
+        F.lit("quarantined").alias("status"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    q = run_stream_to_memory(
+        good_rows.unionByName(bad_rows), name, output_mode="append"
+    )
+    try:
+        out = spark.table(name).orderBy("event_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()

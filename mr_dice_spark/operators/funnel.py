@@ -1,0 +1,95 @@
+"""Ordered-funnel conversion analysis: how many users performed a given
+sequence of event types IN ORDER (view → click → purchase), the product-
+analytics primitive next to sessionization and cohort retention
+(golden_builders' events family).
+
+Semantics: a user reaches step i if, scanning their events in (time,
+type) order, steps 1..i match greedily — the greedy earliest match is
+optimal for subsequence matching, so "reached" is exactly the longest
+funnel prefix the user's history contains. Events with types outside the
+funnel are ignored; NULL users are excluded (no identity, no funnel).
+
+Scale shape: ONE user-keyed shuffle (collect each user's in-funnel
+events), then the subsequence scan as an in-row ``aggregate`` fold over
+the sorted array — no joins, no per-step passes (a conditional-
+aggregation formulation would need k dependent shuffles). The final
+per-step rollup is a single tiny global aggregate. Per-user arrays are
+bounded by that user's in-funnel event count; a pathological single user
+with billions of events would need per-user pre-bucketing, the same
+caveat as sessionize. Engine-portable: the sort key is (epoch_ms, type)
+and the fold is restated in SQL as list_reduce over step indices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per funnel step: ``(step_index, step, n_users, conversion)`` with
+    1-based step_index, n_users = users whose history contains steps
+    1..i as a time-ordered subsequence, and conversion = n_users /
+    step-1 users (nudge-rounded to 6; NULL when nobody entered)."""
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be non-empty and distinct: {steps}")
+    k = len(steps)
+    evs = (
+        df.where(F.col(type_col).isin(list(steps)) & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.struct(
+                F.unix_millis(F.col(ts_col)).alias("t"),
+                F.col(type_col).alias("ty"),
+            ).alias("__e"),
+        )
+        .groupBy("__u")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+    )
+    idxs = F.transform(F.col("__evs"), lambda e: _step_index(e["ty"], steps))
+    reached = F.aggregate(
+        idxs,
+        F.lit(0),
+        lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+    )
+    per_user = evs.select(reached.alias("__reached"))
+    counts = per_user.agg(
+        *[
+            F.count_if(F.col("__reached") >= i + 1).alias(f"__n{i}")
+            for i in range(k)
+        ]
+    )
+    # conversion computed on the ONE-row counts frame against __n0, so no
+    # window is ever needed on the exploded side
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(steps[i]).alias("step"),
+                F.col(f"__n{i}").alias("n_users"),
+                F.when(
+                    F.col("__n0") > 0,
+                    F.round(
+                        F.col(f"__n{i}") / F.col("__n0") + F.lit(1e-9), 6
+                    ),
+                ).alias("conversion"),
+            )
+            for i in range(k)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.step_index", "r.step", "r.n_users", "r.conversion"
+    )
+
+
+def _step_index(ty, steps):
+    out = F.lit(None).cast("int")
+    for i in range(len(steps) - 1, -1, -1):
+        out = F.when(ty == steps[i], F.lit(i)).otherwise(out)
+    return out

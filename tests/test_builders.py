@@ -79,3 +79,44 @@ def test_predicates_reach_parquet_scan(spark, sf_dir):
     plan = mofdb_fetch(part, brand="Brand#7", size_min=10)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "p_brand" in plan.split("PushedFilters")[1][:400]
+
+
+def test_funnel_conversion_order_sensitivity(spark):
+    """The funnel is a SUBSEQUENCE match: a purchase BEFORE the click
+    must not count as step 3, and ignoring interleaved non-funnel events
+    must not break the chain."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.funnel import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(u, ty, minutes):
+        return (u, ty, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: perfect order (with noise interleaved)
+        e(1, "view", 0), e(1, "error", 1), e(1, "click", 2), e(1, "purchase", 3),
+        # u2: purchase BEFORE click -> reaches only step 2
+        e(2, "view", 0), e(2, "purchase", 1), e(2, "click", 2),
+        # u3: only views
+        e(3, "view", 0), e(3, "view", 5),
+        # u4: click without prior view -> reaches nothing
+        e(4, "click", 0), e(4, "purchase", 1),
+        # u5: null user ignored
+        (None, "view", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step_index"]: r for r in funnel_conversion(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]).collect()}
+    assert got[1]["n_users"] == 3          # u1, u2, u3
+    assert got[2]["n_users"] == 2          # u1, u2 (u2's click follows its view)
+    assert got[3]["n_users"] == 1          # u1 only
+    assert got[1]["conversion"] == 1.0
+    assert got[3]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+    with pytest.raises(ValueError):
+        funnel_conversion(df, "user_id", "event_type", "ts", [])
+    with pytest.raises(ValueError):
+        funnel_conversion(df, "user_id", "event_type", "ts", ["view", "view"])
