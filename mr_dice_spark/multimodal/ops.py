@@ -106,8 +106,8 @@ def probe_audio(df: DataFrame, payload_col: str = "payload", id_cols: Optional[l
 def image_features(df: DataFrame, payload_col: str = "payload", dim: int = 8) -> DataFrame:
     """Append an ``embedding array<float>`` column (CNN/CLIP stand-in).
 
-    Decodable payloads (BMP/PNG — codecs.decode_pixels) get REAL pixel
-    statistics (a dim-length grid of spatial cell means over the gray
+    Decodable payloads (BMP/PNG/baseline-JPEG — codecs.decode_pixels)
+    get REAL pixel statistics (a dim-length grid of spatial cell means over the gray
     image, values in [0,1]); anything else keeps the deterministic
     byte-sum stub. Kept as a scalar Pandas UDF (not mapInPandas) so it
     composes with any projection; Arrow moves the binary column once per
@@ -174,8 +174,8 @@ def resize_images(
 ) -> DataFrame:
     """Resize: payload -> payload' with new geometry.
 
-    Decodable payloads (24-bit BMP, 8-bit non-interlaced PNG — see
-    codecs.decode_pixels) are REALLY resized (nearest-neighbor numpy) and
+    Decodable payloads (24-bit BMP, 8-bit non-interlaced PNG, baseline
+    JPEG — see codecs.decode_pixels) are REALLY resized (nearest-neighbor numpy) and
     re-encoded as BMP in the same Arrow batch loop. Everything else keeps
     the stub semantics: payload passes through unchanged, geometry is
     replaced and ``resized`` flagged. Output schema (ids, payload, width,

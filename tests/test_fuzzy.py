@@ -82,3 +82,44 @@ def test_edit_distance_join_general_k_randomized(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_join_k(df, "id", "s", 0)
+
+
+def test_affix_strip_preserves_pair_set_on_id_corpora(spark):
+    """Common prefix AND suffix (an 'ORDER#____/2024' shape): the strip
+    must yield the identical pair set as the unstripped join — the
+    strip-common-affixes lemma, checked against brute force and against
+    strip_affixes=False."""
+    rows = [(i, f"ORDER#{i:04d}/2024") for i in range(120)]
+    rows += [(500, None), (501, "ORDER#0007/2024")]  # dup of i=7 + NULL
+    got = _got(spark, rows)
+    assert got == _expected(rows)
+    from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    raw = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", strip_affixes=False).collect()
+    )
+    assert got == raw
+
+
+def test_max_block_rows_breaker_fires_on_clustered_constant_halves(spark):
+    """Two clusters whose first HALVES are constant but differ from each
+    other: the corpus-wide LCP is empty, so the affix strip cannot help,
+    and each cluster's P-segment block holds the whole cluster — the
+    circuit breaker must fail fast with guidance instead of running
+    quadratic; a generous cap must let the same corpus through."""
+    import pytest
+
+    from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+    rows = [(i, f"AAAAAAAAAA{i:04d}") for i in range(150)]
+    rows += [(1000 + i, f"BBBBBBBBBB{i:04d}") for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    with pytest.raises(ValueError, match="max_block_rows"):
+        edit_distance_join(df, "id", "s", max_block_rows=50).collect()
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", max_block_rows=1000).collect()
+    )
+    assert got == _expected(rows)

@@ -1075,3 +1075,34 @@ def test_jpeg_decoder_determinism():
     enc2 = encode_jpeg_baseline(img)
     assert enc1 == enc2
     assert np.array_equal(decode_jpeg_pixels(enc1), decode_jpeg_pixels(enc2))
+
+
+def test_jpeg_flows_through_resize_and_features(spark):
+    """decode_pixels routing means resize_images and image_features get
+    REAL pixels from JPEG payloads with no op-level changes — the chain
+    JPEG -> decode -> nearest resize -> BMP re-encode -> features must
+    produce the same features as the equivalent BMP input."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import encode_bmp
+    from mr_dice_spark.multimodal.jpeg import encode_jpeg_baseline
+    from mr_dice_spark.multimodal.ops import image_features, resize_images
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            img[by * 8 :, bx * 8 :][:8, :8] = 30 + 60 * (2 * by + bx)
+    # block-constant -> JPEG decode is bit-exact -> gray x3 equals RGB BMP
+    jp = encode_jpeg_baseline(img, restart_interval=1)
+    bm = encode_bmp(np.repeat(img[:, :, None], 3, axis=2))
+    df = spark.createDataFrame(
+        [(1, bytearray(jp)), (2, bytearray(bm))], "media_id long, payload binary"
+    )
+    rs = resize_images(df, 8, 8, id_cols=["media_id"])
+    geo = {r["media_id"]: (r["width"], r["height"]) for r in rs.collect()}
+    assert geo == {1: (8, 8), 2: (8, 8)}
+    feats = {
+        r["media_id"]: r["embedding"]
+        for r in image_features(df).select("media_id", "embedding").collect()
+    }
+    assert feats[1] == feats[2]
