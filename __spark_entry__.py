@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "length_bucketed_batches_docs",   # padding-minimizing batch assign
     "streaming_quarantine_ingest",    # quarantine split on the stream engine
     "events_funnel_conversion",       # ordered-subsequence funnel
+    "recursive_hierarchy_chain",      # WITH RECURSIVE on the SQL surface
+    "events_transition_matrix",       # first-order Markov transitions
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
@@ -86,9 +88,7 @@ _CHECK_FIRST = [
     "text_top_terms",
     # --- oldest r2-only rows (streaming window families, materials
     # operators, parametric sources)
-    "streaming_session_window",
     "structure_near_dup_openlam",
-    "formation_energy_openlam",
 ]
 
 

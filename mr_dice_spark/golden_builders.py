@@ -691,3 +691,43 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]
     ).orderBy("step_index")
+
+
+TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_type)
+           AS to_type
+  FROM events WHERE user_id IS NOT NULL
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM p WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(1e-9 + n_transitions / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+FROM c
+ORDER BY from_type, to_type
+"""
+
+
+@golden(
+    "events_transition_matrix",
+    TRANSITIONS_ORACLE,
+    tags=("events", "markov", "sequence", "analytics"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: consecutive
+    per-user events (deterministic (epoch_ms, type) order) counted and
+    row-normalized per from_type — the where-do-users-go-next complement
+    of the funnel. One user-keyed lead window + a type²-keyed aggregate;
+    the normalization window runs over at most type² rows."""
+    from mr_dice_spark.operators.funnel import event_transitions
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return event_transitions(ev, "user_id", "event_type", "ts").orderBy(
+        "from_type", "to_type"
+    )

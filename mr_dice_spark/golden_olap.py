@@ -376,3 +376,56 @@ def kll_quantiles_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
     return kll_quantiles_rollup(ev, ["day"], "value", [0.5, 0.95, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE: iterative hierarchy walk INSIDE the SQL surface
+# (Spark 4's WITH RECURSIVE — the first iterative construct that needs no
+# driver loop; DuckDB restates it with its own WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+RECURSIVE_CHAIN_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT custkey, anc // 10, depth + 1 FROM chain WHERE anc >= 10
+)
+SELECT custkey, anc AS root, CAST(depth AS INT) AS depth
+FROM chain WHERE anc < 10
+ORDER BY custkey
+"""
+
+
+@golden(
+    "recursive_hierarchy_chain",
+    RECURSIVE_CHAIN_ORACLE,
+    tags=("sql", "recursive-cte", "hierarchy", "iterative"),
+)
+def recursive_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on the Spark SQL surface: every customer walks a
+    synthetic management chain (parent = custkey DIV 10 — a forest
+    rooted at keys < 10, ~5 levels deep at sf0.1) to its root, emitting
+    (custkey, root, depth). The recursion is data-dependent — no fixed
+    unrolling exists for unbounded key ranges, which is exactly what
+    distinguishes this from the PageRank/kmeans fixed-sweep oracles; at
+    scale each recursion step is one self-join the engine plans like
+    any other (depth ~ log10(keys), so 100 TB adds steps
+    logarithmically, not linearly). Integer division is spelled DIV on
+    the Spark side and // in DuckDB — both truncating integer ops (a
+    CAST of the float quotient would ROUND in DuckDB and TRUNCATE in
+    Spark, a cross-engine trap)."""
+    _utc(spark)
+    Catalog(spark, sf_dir).register_views(("customer",))
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth
+          FROM customer
+          UNION ALL
+          SELECT custkey, anc DIV 10, depth + 1 FROM chain WHERE anc >= 10
+        )
+        SELECT custkey, anc AS root, CAST(depth AS INT) AS depth
+        FROM chain WHERE anc < 10
+        """
+    )  # no terminal global sort: corpus-sized result, order-insensitive compare

@@ -93,3 +93,51 @@ def _step_index(ty, steps):
     for i in range(len(steps) - 1, -1, -1):
         out = F.when(ty == steps[i], F.lit(i)).otherwise(out)
     return out
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """First-order transition matrix over each user's event stream:
+    ``(from_type, to_type, n_transitions, prob)`` where consecutive
+    events per user (in (epoch_ms, type) order — the deterministic tie
+    rule shared with funnel_conversion) form one transition and ``prob``
+    row-normalizes per from_type (nudge-rounded to 6). The
+    session-behavior fingerprint next to the funnel: where users
+    actually GO after each event. NULL users are excluded.
+
+    Scale shape: one user-keyed window (lead over the per-user sort)
+    then a hash aggregate on the (from, to) pairs — type-cardinality²
+    keys at most — and a tiny per-from normalization window over that
+    aggregate. No collects, no per-user arrays (unlike the funnel fold,
+    adjacency needs only lead())."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_millis(F.col(ts_col)), F.col(type_col)
+    )
+    pairs = (
+        df.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wf) + F.lit(1e-9),
+            6,
+        ).alias("prob"),
+    )

@@ -120,3 +120,29 @@ def test_funnel_conversion_order_sensitivity(spark):
         funnel_conversion(df, "user_id", "event_type", "ts", [])
     with pytest.raises(ValueError):
         funnel_conversion(df, "user_id", "event_type", "ts", ["view", "view"])
+
+
+def test_event_transitions_counts_and_normalization(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.funnel import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: a -> b -> a ; u2: a -> b ; null user ignored
+        (1, "a", t0), (1, "b", t0 + dt.timedelta(minutes=1)),
+        (1, "a", t0 + dt.timedelta(minutes=2)),
+        (2, "a", t0), (2, "b", t0 + dt.timedelta(minutes=1)),
+        (None, "a", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {(r["from_type"], r["to_type"]): r for r in
+           event_transitions(df, "user_id", "event_type", "ts").collect()}
+    assert got[("a", "b")]["n_transitions"] == 2
+    assert got[("b", "a")]["n_transitions"] == 1
+    assert set(got) == {("a", "b"), ("b", "a")}
+    # per-from normalization: a only ever goes to b
+    assert got[("a", "b")]["prob"] == pytest.approx(1.0)
+    assert got[("b", "a")]["prob"] == pytest.approx(1.0)
