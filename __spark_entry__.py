@@ -50,12 +50,13 @@ _CHECK_FIRST = [
     "events_funnel_conversion",       # ordered-subsequence funnel
     "recursive_hierarchy_chain",      # WITH RECURSIVE on the SQL surface
     "events_transition_matrix",       # first-order Markov transitions
+    "winsorize_values_by_type",       # exact-percentile clipping
+    "mad_outliers_by_type",           # median/MAD robust outliers
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
-    "compression_ratio_signal",       # single-UDF-eval rewrite (rows-only)
     "mixture_sample_by_lang",         # apportion weight-sum order pinned
     # --- r1-only re-verification: the 27 rows last driver-checked in
     # round 1 (everything that had not been re-verified since)
@@ -86,9 +87,6 @@ _CHECK_FIRST = [
     "stratified_sample_by_type",
     "text_language_id_confusion",
     "text_top_terms",
-    # --- oldest r2-only rows (streaming window families, materials
-    # operators, parametric sources)
-    "structure_near_dup_openlam",
 ]
 
 

@@ -731,3 +731,79 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev, "user_id", "event_type", "ts").orderBy(
         "from_type", "to_type"
     )
+
+
+WINSORIZE_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         ROUND(1e-9 + quantile_cont(value, 0.05), 6) AS lo,
+         ROUND(1e-9 + quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE ROUND(1e-9 + LEAST(GREATEST(e.value, s.lo), s.hi), 6) END AS value_wins,
+       COALESCE(e.value < s.lo, false) AS clipped_low,
+       COALESCE(e.value > s.hi, false) AS clipped_high
+FROM events e JOIN s USING (event_type)
+"""
+
+
+@golden(
+    "winsorize_values_by_type",
+    WINSORIZE_ORACLE,
+    tags=("robust", "winsorize", "quality", "events"),
+)
+def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization per event type (clip to the exact
+    [p05, p95] band): the heavy-tail-safe value cleaning step. Interim
+    quantiles are quantized before any comparison (the kmeans-centroid
+    rule) so both engines clip from identical bounds; exact percentile
+    parity Spark percentile vs DuckDB quantile_cont is part of what this
+    golden pins."""
+    from mr_dice_spark.operators.robust import winsorize
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    return winsorize(ev, "event_type", "value", 0.05, 0.95)
+
+
+MAD_ORACLE = """
+WITH m AS (
+  SELECT event_type, ROUND(1e-9 + quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type,
+         ROUND(1e-9 + quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN d.mad > 0
+            THEN ROUND(1e-9 + 0.6745 * (e.value - m.med) / d.mad, 4) END AS robust_z,
+       COALESCE(ABS(CASE WHEN d.mad > 0
+            THEN ROUND(1e-9 + 0.6745 * (e.value - m.med) / d.mad, 4) END) > 3.5,
+            false) AS outlier
+FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
+"""
+
+
+@golden(
+    "mad_outliers_by_type",
+    MAD_ORACLE,
+    tags=("robust", "mad", "outliers", "events"),
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier screen per event type — the robust twin of the
+    mean/stddev z-score (a single corrupted reading cannot poison the
+    median): robust_z = 0.6745*(x-med)/MAD, flagged at |z| > 3.5, NULL z
+    when the MAD quantizes to zero (fail-closed, the sd=0 rule). Both
+    percentile passes quantized before use so the engines agree
+    bit-for-bit."""
+    from mr_dice_spark.operators.robust import mad_outlier_flags
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
+    return mad_outlier_flags(ev, "event_type", "value", 3.5)
