@@ -52,12 +52,12 @@ _CHECK_FIRST = [
     "events_transition_matrix",       # first-order Markov transitions
     "winsorize_values_by_type",       # exact-percentile clipping
     "mad_outliers_by_type",           # median/MAD robust outliers
+    "cluster_balanced_subsample",     # kmeans -> per-cluster hash sample
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
-    "mixture_sample_by_lang",         # apportion weight-sum order pinned
     # --- r1-only re-verification: the 27 rows last driver-checked in
     # round 1 (everything that had not been re-verified since)
     "cosine_topk_ivf_approx",

@@ -3011,7 +3011,7 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
-def _kmeans_oracle(k: int = 4, sweeps: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle(k: int = 4, sweeps: int = 2, dim: int = 64, tail: str | None = None) -> str:
     """Unrolled Lloyd's loop as chained CTEs (the PageRank strategy:
     fixed sweeps, deterministic init, quantized interim state — the only
     way an iterative algorithm is SQL-restatable). list_reduce is the
@@ -3058,14 +3058,17 @@ def _kmeans_oracle(k: int = 4, sweeps: int = 2, dim: int = 64) -> str:
         "fin AS (",
         f"  SELECT v.vec_id, c.j, {sq} AS dist",
         f"  FROM v CROSS JOIN c{sweeps} c",
+        "),",
+        "assign AS (",
+        "  SELECT vec_id, CAST(j AS INT) AS cluster,",
+        "         ROUND(1e-9 + dist, 6) AS dist",
+        "  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn",
+        "        FROM fin) WHERE rn = 1",
         ")",
-        "SELECT vec_id, CAST(j AS INT) AS cluster,",
-        "       ROUND(1e-9 + dist, 6) AS dist",
-        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn",
-        "      FROM fin) WHERE rn = 1",
-        "ORDER BY vec_id",
     ]
-    return "\n".join(parts)
+    if tail is None:
+        tail = "SELECT vec_id, cluster, dist FROM assign ORDER BY vec_id"
+    return "\n".join(parts) + "\n" + tail
 
 
 @golden(
@@ -3359,3 +3362,43 @@ def streaming_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+_CLUSTER_SAMPLE_TAIL = """
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY CAST(('0x' || substring(md5('cbal/' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    vec_id
+         ) AS srn
+  FROM assign
+)
+WHERE srn <= 25
+ORDER BY cluster, vec_id
+"""
+
+
+@golden(
+    "cluster_balanced_subsample",
+    _kmeans_oracle(tail=_CLUSTER_SAMPLE_TAIL),
+    tags=("clustering", "sampling", "composed", "embeddings"),
+)
+def cluster_balanced_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED pipeline: Lloyd's k-means (k=4, two sweeps) feeds an
+    exact per-cluster stratified sample (25 vectors per cluster by
+    portable hash order) — the diversity-preserving subsetting step
+    (cluster-balanced sampling) that keeps a downsampled corpus from
+    collapsing onto its dominant mode. One oracle restates the WHOLE
+    chain: the unrolled k-means CTEs plus the hash-rank selection, so
+    an assignment drift ANYWHERE upstream flips the sampled ids."""
+    from mr_dice_spark.operators.clustering import kmeans_assign
+    from mr_dice_spark.operators.sampling import stratified_sample_exact
+
+    emb = Catalog(spark, sf_dir).embeddings
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=4, sweeps=2)
+    out = stratified_sample_exact(
+        assigned.select("vec_id", "cluster"), ["cluster"], 25, "vec_id",
+        seed="cbal/",
+    )
+    return out.select("vec_id", "cluster").orderBy("cluster", "vec_id")
