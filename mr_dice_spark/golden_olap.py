@@ -414,8 +414,17 @@ def recursive_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     logarithmically, not linearly). Integer division is spelled DIV on
     the Spark side and // in DuckDB — both truncating integer ops (a
     CAST of the float quotient would ROUND in DuckDB and TRUNCATE in
-    Spark, a cross-engine trap)."""
+    Spark, a cross-engine trap).
+
+    SCALE GUARD: Spark caps recursive CTEs at
+    spark.sql.cteRecursionRowLimit TOTAL rows (default 1M — tripped at
+    the 10x probe: 150k keys x ~14 levels) and cteRecursionLevelLimit
+    iterations (100). These are safety rails, not capacity limits; a
+    production hierarchy walk raises the row limit to its expected
+    output (rows = keys x avg depth, each level one planned self-join),
+    which this golden does session-scoped."""
     _utc(spark)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     Catalog(spark, sf_dir).register_views(("customer",))
     return spark.sql(
         """

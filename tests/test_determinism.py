@@ -22,6 +22,11 @@ SENSITIVE = [
     "scd2_user_event_history",      # first() over runs + window lineage
     "q10_returned_items",           # global top-20 with tiebreak
     "fair_quota_topk_events",       # quota water-fill + per-group limit
+    # round-5 order-sensitive shapes
+    "events_funnel_conversion",     # sorted collect_list + greedy fold
+    "kmeans_embedding_clusters",    # float mean quantization per sweep
+    "cluster_balanced_subsample",   # clustering feeding hash-rank sample
+    "weighted_sample_by_length",    # global top-n with hash/id tiebreak
 ]
 
 

@@ -93,6 +93,14 @@ PROBES = [
     "bloom_decontamination_prescreen",
     "jpeg_decode_ahash_dedup",
     "fuzzy_name_join_customers",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "winsorize_values_by_type",
+    "mad_outliers_by_type",
+    "recursive_hierarchy_chain",
+    "cluster_balanced_subsample",
+    "hard_negative_mining_labels",
+    "length_bucketed_batches_docs",
 ]
 
 
