@@ -630,7 +630,7 @@ WITH f AS (
              t := epoch_ms(CAST(ts AS TIMESTAMP)), ty := event_type))) AS evs
   FROM events
   WHERE event_type IN ('view', 'click', 'purchase') AND user_id IS NOT NULL
-    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    AND ts IS NOT NULL AND ts < TIMESTAMP '2024-01-03 00:00:00'
   GROUP BY user_id
 ),
 r AS (
@@ -699,7 +699,7 @@ WITH p AS (
          LEAD(event_type) OVER (PARTITION BY user_id
                                 ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_type)
            AS to_type
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 c AS (
   SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions

@@ -41,7 +41,14 @@ def funnel_conversion(
         raise ValueError(f"steps must be non-empty and distinct: {steps}")
     k = len(steps)
     evs = (
-        df.where(F.col(type_col).isin(list(steps)) & F.col(user_col).isNotNull())
+        # an unstamped event has no position in a sequence; NULL ts would
+        # also sort differently across engines (Spark NULLS FIRST in the
+        # array-sort struct vs list_sort's NULL handling)
+        df.where(
+            F.col(type_col).isin(list(steps))
+            & F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
         .select(
             F.col(user_col).alias("__u"),
             F.struct(
@@ -120,7 +127,7 @@ def event_transitions(
         F.unix_millis(F.col(ts_col)), F.col(type_col)
     )
     pairs = (
-        df.where(F.col(user_col).isNotNull())
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col).alias("__u"),
             F.col(type_col).alias("from_type"),

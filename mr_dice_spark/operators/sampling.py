@@ -360,8 +360,12 @@ def weighted_sample_without_replacement(
         raise ValueError(f"weighted_sample_without_replacement: n must be >= 0, got {n}")
     u = (hash_bucket(F.col(key_col), seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
     r = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = F.col(weight_col)
+    # isnan guard is load-bearing: Spark orders NaN ABOVE every double in
+    # both comparisons and sorts, so a NaN weight would pass `> 0` AND
+    # produce r = NaN, which ranks first in the descending top-n
     return (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.where(w.isNotNull() & ~F.isnan(w.cast("double")) & (w > 0))
         .withColumn("__r", r)
         .orderBy(F.col("__r").desc(), F.col(key_col).asc())
         .limit(n)

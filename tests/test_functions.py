@@ -360,6 +360,11 @@ def test_weighted_sample_without_replacement(spark):
     assert 1000 in picked
     # NULL / zero / negative weights never qualify
     assert picked.isdisjoint({1001, 1002, 1003})
+    # NaN weights never qualify either (Spark orders NaN above every
+    # double, so an unguarded NaN would PASS > 0 and rank FIRST)
+    nan_rows = [(1, 1.0), (2, float("nan"))]
+    ndf = spark.createDataFrame(nan_rows, "k long, w double")
+    assert {r["k"] for r in wswr(ndf, "k", "w", 2, seed="t/").collect()} == {1}
     # deterministic under re-run
     assert picked == {r["k"] for r in wswr(df, "k", "w", 100, seed="t/").collect()}
     # n beyond the qualifying population returns exactly the qualifiers
