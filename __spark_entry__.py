@@ -41,6 +41,7 @@ _CHECK_FIRST = [
     "profile_approx_audit",           # HLL++ profile accuracy verdict
     "quarantine_ingest_audit",        # PERMISSIVE parse + bad-record capture
     "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
+    "jpeg_progressive_decode_dedup",  # SOF2 multi-scan decode, same oracle
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
     "bloom_decontamination_prescreen",  # fixed-size broadcast gram filter

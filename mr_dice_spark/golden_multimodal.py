@@ -418,3 +418,54 @@ def jpeg_decode_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", fixture("text").alias("payload"))
     out = image_dedup_ahash(media, id_col="doc_id")
     return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) JPEG decode: the same bit-exact aHash chain, but the
+# payload is a MULTI-SCAN progressive stream — DC first scan at Al=1, DC
+# refinement, AC spectral-selection scans with successive approximation
+# and cross-block EOB runs, plus restart resync inside every scan. The
+# all-zero AC bands of the block-constant fixture make the AC scans pure
+# EOB-run streams, so this golden pins the EOB-run accounting and the
+# DC successive-approximation path end-to-end (general-content AC parity
+# vs the baseline decoder is pinned by tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@golden(
+    "jpeg_progressive_decode_dedup",
+    JPEG_AHASH_ORACLE,
+    tags=("multimodal", "image", "jpeg", "progressive", "dedup", "ahash"),
+)
+def jpeg_progressive_decode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics to jpeg_decode_ahash_dedup (same fixture image,
+    same oracle) with the payload encoded by encode_jpeg_progressive:
+    block-constant content is DC-only, and progressive DC transmission
+    (floor-shifted first scan + bit-plane refinement) reconstructs the
+    coefficient EXACTLY, so the decoded pixels — and therefore the hash
+    and the canonical-survivor assignment — must match the baseline
+    oracle bit for bit through a completely different entropy layout."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import encode_jpeg_progressive
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = ((t or "")[:4]).ljust(4, "x")
+            vals = [min(ord(ch), 255) for ch in s]
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for by in range(2):
+                for bx in range(2):
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals[
+                        2 * by + bx
+                    ]
+            out.append(encode_jpeg_progressive(img, restart_interval=2))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    out = image_dedup_ahash(media, id_col="doc_id")
+    return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")

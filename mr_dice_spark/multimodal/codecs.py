@@ -2,10 +2,10 @@
 deterministic STUB decoders otherwise.
 
 REAL paths (no Pillow/librosa/PyAV needed): PNG/BMP/JPEG header probes,
-BMP and PNG pixel decode (decode_pixels below), baseline-JPEG pixel
-decode including the entropy layer (multimodal/jpeg.py: Huffman + IDCT),
-WAV PCM signal stats, MP4/AVI container walks and TRUE sample
-extraction. The remaining stubbed boundary is VIDEO FRAME pixels
+BMP and PNG pixel decode (decode_pixels below), baseline AND progressive
+JPEG pixel decode including the entropy layer (multimodal/jpeg.py:
+Huffman + successive approximation + IDCT), WAV PCM signal stats,
+MP4/AVI container walks and TRUE sample extraction. The remaining stubbed boundary is VIDEO FRAME pixels
 (H.264-class codecs genuinely need ffmpeg); ``FAKE_*`` functions derive
 metadata and "pixels" deterministically from the raw bytes (length +
 rolling checksum) for everything outside the real envelope. The
@@ -182,11 +182,12 @@ def fake_image_features(payload: Optional[bytes], dim: int = 8) -> Optional[list
 def decode_pixels(payload: Optional[bytes]):
     """REAL pixel decode for uncompressed 24-bit BMP, 8-bit
     gray/RGB/RGBA non-interlaced PNG (stdlib struct + zlib + numpy),
-    and baseline sequential JPEG (the pure-stdlib entropy decoder in
-    multimodal/jpeg.py: Huffman + dequant + IDCT + chroma upsample).
+    and baseline-sequential OR progressive (SOF2) JPEG (the pure-stdlib
+    entropy decoder in multimodal/jpeg.py: Huffman + dequant + IDCT +
+    chroma upsample; progressive scans accumulate coefficients first).
     Returns an (H, W, C) uint8 ndarray, or None when the payload is
-    none of these (caller falls back to stub behavior); progressive /
-    arithmetic / 12-bit JPEG likewise degrade to the stub path."""
+    none of these (caller falls back to stub behavior); arithmetic /
+    lossless / 12-bit JPEG likewise degrade to the stub path."""
     import struct
     import zlib
 

@@ -1032,10 +1032,15 @@ def test_jpeg_unsupported_and_corrupt_payloads_return_none():
 
     img = np.full((8, 8), 77, dtype=np.uint8)
     enc = bytearray(encode_jpeg_baseline(img))
-    # flip SOF0 to SOF2 (progressive): out of the baseline envelope
+    # flip SOF0 to SOF3 (lossless): out of the supported envelope
     i = enc.find(b"\xff\xc0")
-    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
-    assert decode_jpeg_pixels(prog) is None
+    lossless = bytes(enc[:i]) + b"\xff\xc3" + bytes(enc[i + 2 :])
+    assert decode_jpeg_pixels(lossless) is None
+    # flip SOF0 to SOF2 (progressive) WITHOUT restructuring the scans:
+    # a baseline-shaped SOS (Ss=0, Se=63) is malformed progressive — the
+    # decoder must fail closed, not misread the baseline scan
+    malformed = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    assert decode_jpeg_pixels(malformed) is None
     # truncate mid-scan: fail closed
     assert decode_jpeg_pixels(bytes(enc[: len(enc) - 10])) is None
     # not a JPEG at all
@@ -1106,3 +1111,114 @@ def test_jpeg_flows_through_resize_and_features(spark):
         for r in image_features(df).select("media_id", "embedding").collect()
     }
     assert feats[1] == feats[2]
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2) decode — multimodal/jpeg.py _ProgressiveState
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline_exactly():
+    """Progressive and baseline encodings of the same image carry the
+    SAME quantized coefficients through entirely different entropy
+    structures (spectral bands, successive approximation, EOB runs vs
+    one sequential scan) — the decoded pixels must be byte-identical."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, (16, 16), dtype=np.uint8), "444", 0),
+        (rng.integers(0, 256, (17, 9), dtype=np.uint8), "444", 0),  # gray, ragged
+        (rng.integers(0, 256, (24, 40, 3), dtype=np.uint8), "444", 0),
+        (rng.integers(0, 256, (24, 40, 3), dtype=np.uint8), "420", 0),
+        (rng.integers(0, 256, (19, 21, 3), dtype=np.uint8), "420", 2),  # RSTn
+        (rng.integers(0, 256, (32, 8), dtype=np.uint8), "444", 1),
+    ]
+    for img, sub, rst in cases:
+        base = decode_jpeg_pixels(
+            encode_jpeg_baseline(img, subsampling=sub, restart_interval=rst)
+        )
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, subsampling=sub, restart_interval=rst)
+        )
+        assert prog is not None and base is not None
+        assert np.array_equal(prog, base), (img.shape, sub, rst)
+
+
+def test_jpeg_progressive_quantized_and_smooth_content():
+    """With a real (non-flat) quantization table many AC coefficients
+    shrink to the 1-3 range that only materializes in the refinement
+    scans (successive approximation newly-nonzero path) — and long zero
+    tails exercise EOB-run accounting across blocks."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    y, x = np.mgrid[0:24, 0:40]
+    smooth = ((np.sin(x / 5.0) + np.cos(y / 7.0)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([smooth, smooth.T[:24, :40] if False else smooth, 255 - smooth], axis=2)
+    q = np.clip(np.arange(64).reshape(8, 8) * 2 + 1, 1, 255)
+    for img, sub in [(smooth, "444"), (rgb, "444"), (rgb, "420")]:
+        base = decode_jpeg_pixels(encode_jpeg_baseline(img, quant=q, subsampling=sub))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, quant=q, subsampling=sub)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_block_constant_is_bit_exact():
+    """DC-only content with a flat-1 quant table round-trips EXACTLY
+    through the progressive path (DC first scan at Al=1 + DC refine),
+    the same exactness window the baseline golden relies on."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for i, v in enumerate([13, 250, 128, 77]):
+        img[(i // 2) * 8 :, (i % 2) * 8 :][:8, :8] = v
+    dec = decode_jpeg_pixels(encode_jpeg_progressive(img, restart_interval=2))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_progressive_determinism_and_probe():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import real_probe_image
+    from mr_dice_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    enc1 = encode_jpeg_progressive(img)
+    enc2 = encode_jpeg_progressive(img)
+    assert enc1 == enc2
+    assert real_probe_image(enc1) == {
+        "width": 13, "height": 11, "channels": 3, "format": "jpeg"
+    }
+
+
+def test_jpeg_progressive_truncated_fails_closed():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    enc = encode_jpeg_progressive(img)
+    assert decode_jpeg_pixels(enc[: len(enc) - 12]) is None
