@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     "length_bucketed_batches_docs",   # padding-minimizing batch assign
     "streaming_quarantine_ingest",    # quarantine split on the stream engine
     "events_funnel_conversion",       # ordered-subsequence funnel
+    "events_pattern_match",           # MATCH_RECOGNIZE-style regex runs
     "recursive_hierarchy_chain",      # WITH RECURSIVE on the SQL surface
     "events_transition_matrix",       # first-order Markov transitions
     "winsorize_values_by_type",       # exact-percentile clipping

@@ -733,6 +733,73 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATCH_PATTERN_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+         event_type AS ty,
+         CASE event_type WHEN 'signup' THEN 's' WHEN 'error' THEN 'e'
+                         WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                         WHEN 'purchase' THEN 'p' END AS ch
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('signup', 'error', 'click', 'view', 'purchase')
+),
+s AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY t, ty) AS seq
+  FROM e GROUP BY user_id
+),
+m AS (
+  SELECT user_id, regexp_extract_all(seq, 'v[vc]*p') AS hits FROM s
+),
+u AS (
+  SELECT user_id,
+         CAST(unnest(range(1, len(hits) + 1)) AS INT) AS match_no,
+         unnest(hits) AS hit
+  FROM m
+)
+SELECT user_id AS "user", match_no, hit, CAST(length(hit) AS INT) AS n_events
+FROM u
+ORDER BY "user", match_no
+"""
+
+
+@golden(
+    "events_pattern_match",
+    MATCH_PATTERN_ORACLE,
+    tags=("events", "sequence", "match_recognize", "regex"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection: uninterrupted
+    browse-to-buy runs — a view, then any mix of views/clicks, ending in
+    a purchase (regex v[vc]*p over the per-user letter-encoded event
+    sequence; signup/error letters break the run because they are in the
+    alphabet but not the pattern). Funnel_conversion asks 'did the steps
+    happen in order, ever'; this asks 'did they happen CONTIGUOUSLY',
+    which is the SQL:2016 row-pattern semantics. The oracle rebuilds the
+    identical string (string_agg over the shared (epoch_ms, type) sort)
+    and scans it with DuckDB's RE2 — leftmost-greedy non-overlapping
+    matching must agree with Java regex exactly, match-by-match."""
+    from mr_dice_spark.operators.funnel import match_pattern
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return match_pattern(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        {
+            "signup": "s",
+            "error": "e",
+            "click": "c",
+            "view": "v",
+            "purchase": "p",
+        },
+        "v[vc]*p",
+    ).orderBy("user", "match_no")
+
+
 WINSORIZE_ORACLE = """
 WITH s AS (
   SELECT event_type,

@@ -1,7 +1,9 @@
 """Ordered-funnel conversion analysis: how many users performed a given
 sequence of event types IN ORDER (view → click → purchase), the product-
 analytics primitive next to sessionization and cohort retention
-(golden_builders' events family).
+(golden_builders' events family). Also match_pattern, the
+MATCH_RECOGNIZE-style generalization: regex over each user's encoded
+event sequence with immediate-follows semantics.
 
 Semantics: a user reaches step i if, scanning their events in (time,
 type) order, steps 1..i match greedily — the greedy earliest match is
@@ -148,3 +150,107 @@ def event_transitions(
             6,
         ).alias("prob"),
     )
+
+
+def match_pattern(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    alphabet: dict[str, str],
+    pattern: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection (the SQL:2016
+    row-pattern primitive, reference-free): encode each user's events as
+    a string (one letter per event via ``alphabet``, ordered by
+    (epoch_ms, type) — the tie rule shared with funnel_conversion), then
+    scan it with ``pattern`` (leftmost, greedy, NON-overlapping, the
+    shared semantics of Java regex and RE2). Unlike funnel_conversion's
+    subsequence semantics, a match here is CONTIGUOUS — an event of a
+    type outside the pattern's next step breaks the run, which is what
+    "view+ click* purchase, uninterrupted" means. Events whose type is
+    not in ``alphabet`` are dropped BEFORE encoding (classic
+    MATCH_RECOGNIZE pre-filter); to make a type match-breaking instead,
+    put it in the alphabet and exclude its letter from the pattern.
+
+    Returns ``(user, match_no, hit, n_events)``: 1-based match ordinal
+    per user, the matched letter string, and its event count. Users with
+    no match produce no rows.
+
+    ``pattern`` must stay inside the dialect-portable core — literals,
+    classes, grouping, alternation, greedy quantifiers. Lookarounds and
+    backreferences are rejected (RE2, hence the DuckDB oracle, has no
+    backrefs; empty-width constructs make empty matches engine-specific),
+    as is any pattern that can match the empty string.
+
+    Scale shape: ONE user-keyed shuffle (collect each user's events),
+    then the regex scan is a per-row JVM operation on the encoded
+    string; the explode is linear in matches. Per-user strings are
+    bounded by that user's event count — the same single-hot-user caveat
+    as sessionize/funnel (pre-bucket by day for pathological users)."""
+    import re as _re
+
+    if not alphabet:
+        raise ValueError("alphabet must be non-empty")
+    chars = list(alphabet.values())
+    if len(set(chars)) != len(chars) or any(
+        len(c) != 1 or not ("a" <= c <= "z" or "A" <= c <= "Z") for c in chars
+    ):
+        raise ValueError(
+            f"alphabet values must be distinct single ASCII letters: {chars}"
+        )
+    if "(?" in pattern or _re.search(r"\\[0-9]", pattern):
+        raise ValueError(
+            "lookarounds / backreferences are not dialect-portable"
+        )
+    try:
+        empty = _re.fullmatch(pattern, "") is not None
+    except _re.error as exc:
+        raise ValueError(f"invalid pattern {pattern!r}: {exc}") from exc
+    if empty:
+        raise ValueError("pattern must not match the empty string")
+
+    ch = F.lit(None).cast("string")
+    for ty, c in alphabet.items():
+        ch = F.when(F.col("__e")["ty"] == ty, F.lit(c)).otherwise(ch)
+    evs = (
+        df.where(
+            F.col(type_col).isin(list(alphabet))
+            & F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.unix_millis(F.col(ts_col)).alias("t"),
+                F.col(type_col).alias("ty"),
+            ).alias("__e"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+    )
+    seq = F.array_join(
+        F.transform(
+            F.col("__evs"),
+            lambda e: _char_of(e["ty"], alphabet),
+        ),
+        "",
+    )
+    hits = F.regexp_extract_all(F.col("__seq"), F.lit(pattern), F.lit(0))
+    return (
+        evs.select("user", seq.alias("__seq"))
+        .select("user", F.posexplode(hits).alias("__pos", "hit"))
+        .select(
+            "user",
+            (F.col("__pos") + 1).alias("match_no"),
+            "hit",
+            F.length("hit").alias("n_events"),
+        )
+    )
+
+
+def _char_of(ty, alphabet):
+    out = F.lit(None).cast("string")
+    for t, c in alphabet.items():
+        out = F.when(ty == t, F.lit(c)).otherwise(out)
+    return out

@@ -146,3 +146,52 @@ def test_event_transitions_counts_and_normalization(spark):
     # per-from normalization: a only ever goes to b
     assert got[("a", "b")]["prob"] == pytest.approx(1.0)
     assert got[("b", "a")]["prob"] == pytest.approx(1.0)
+
+
+def test_match_pattern_contiguity_and_validation(spark):
+    """match_pattern is CONTIGUOUS (an alphabet letter outside the
+    pattern breaks a run — unlike the funnel's subsequence semantics),
+    matches are leftmost-greedy non-overlapping, and the dialect guard
+    rejects unportable or empty-matching patterns."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.funnel import match_pattern
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(u, ty, minutes):
+        return (u, ty, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: v v p -> one greedy hit 'vvp' (not 'vp')
+        e(1, "view", 0), e(1, "view", 1), e(1, "purchase", 2),
+        # u2: v e p -> error breaks the run; no hit
+        e(2, "view", 0), e(2, "error", 1), e(2, "purchase", 2),
+        # u3: v p v c p -> two hits, ordinals 1 and 2
+        e(3, "view", 0), e(3, "purchase", 1), e(3, "view", 2),
+        e(3, "click", 3), e(3, "purchase", 4),
+        # u4: subsequence but not contiguous across a signup
+        e(4, "view", 0), e(4, "signup", 1), e(4, "purchase", 2),
+        # null user / null ts ignored
+        (None, "view", t0), (5, "view", None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    alpha = {"signup": "s", "error": "e", "click": "c", "view": "v",
+             "purchase": "p"}
+    got = sorted(
+        (r["user"], r["match_no"], r["hit"], r["n_events"])
+        for r in match_pattern(
+            df, "user_id", "event_type", "ts", alpha, "v[vc]*p"
+        ).collect()
+    )
+    assert got == [(1, 1, "vvp", 3), (3, 1, "vp", 2), (3, 2, "vcp", 3)]
+    for bad in ("c*", "(?=v)p", r"(v)\1p", "v[", ""):
+        with pytest.raises(ValueError):
+            match_pattern(df, "user_id", "event_type", "ts", alpha, bad)
+    with pytest.raises(ValueError):  # duplicate letters
+        match_pattern(df, "user_id", "event_type", "ts",
+                      {"view": "v", "click": "v"}, "v+")
+    with pytest.raises(ValueError):  # non-letter
+        match_pattern(df, "user_id", "event_type", "ts", {"view": "."}, "v")
