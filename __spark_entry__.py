@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "winsorize_values_by_type",       # exact-percentile clipping
     "mad_outliers_by_type",           # median/MAD robust outliers
     "cluster_balanced_subsample",     # kmeans -> per-cluster hash sample
+    "embedding_single_linkage",       # epsilon-graph agglomerative cut
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path

@@ -338,6 +338,63 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SINGLE_LINKAGE_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(1e-9 + list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+        >= 0.43
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+),
+comp AS (
+  SELECT e.vec_id, e.label,
+         LEAST(e.vec_id, COALESCE(MIN(r.v), e.vec_id)) AS cluster
+  FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM comp
+ORDER BY vec_id
+"""
+
+
+@golden(
+    "embedding_single_linkage",
+    SINGLE_LINKAGE_ORACLE,
+    tags=("clustering", "similarity", "components", "agglomerative"),
+)
+def embedding_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold single-linkage (flat agglomerative) clustering: the
+    epsilon-graph at cosine >= 0.43 over the embeddings table, clustered
+    as connected components — the dendrogram cut at that linkage
+    distance without any sequential merge loop. At sf0.01 the graph has
+    24 doubletons and 3 size-3 components (so transitivity is actually
+    exercised) among 443 singletons. The iterative hash-min fixpoint is
+    hash-checked against DuckDB's WITH RECURSIVE transitive closure, the
+    same verification contract as dedup_connected_clusters — here over
+    float-thresholded edges whose nudge-rounded cosine compare lands
+    identically in both engines (the kmeans quantized-state idiom)."""
+    from mr_dice_spark.operators.clustering import (
+        cosine_pairs_exact,
+        single_linkage_clusters,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.43)
+    return (
+        single_linkage_clusters(emb, pairs, "vec_id")
+        .select("vec_id", "label", "cluster", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
 IVF_FIXED_ORACLE = """
 WITH c AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,

@@ -1,7 +1,10 @@
 """Deterministic Lloyd's k-means over embedding columns — the clustering
 primitive under semantic dedup (SemDeDup partitions pair work by cluster),
 IVF index construction (operators/similarity.py stores cluster-partitioned
-vectors), and corpus topic maps.
+vectors), and corpus topic maps. Also threshold single-linkage clustering
+(cosine_pairs_exact + single_linkage_clusters): the flat agglomerative
+cut, computed as connected components of the epsilon-graph instead of a
+sequential merge loop.
 
 Beyond-reference operator (the reference has no vector surface at all);
 joins the repo's iterative family next to PageRank (operators/graph.py)
@@ -124,4 +127,79 @@ def kmeans_assign(
         F.col("__id").alias(id_col),
         F.col("__cluster").alias("cluster"),
         F.round(F.col("__dist") + F.lit(1e-9), 6).alias("dist"),
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact epsilon-graph edges: every (id_a < id_b) pair whose cosine
+    similarity (nudge-rounded to ``round_digits`` — the kmeans
+    quantized-state idiom, so a threshold compare lands identically in
+    Spark and the SQL oracle) is >= ``threshold``.
+
+    This is deliberately the ALL-PAIRS exact path — a broadcast
+    nested-loop self-join, O(n²·dim) — for corpora (or pre-blocked
+    groups) small enough to afford exactness; it plays the same role as
+    SemDeDup's within-cluster pair pass (operators/similarity.py:226).
+    At 100 TB, generate candidate edges with the banded family instead
+    (embedding near-dup LSH / IVF buckets) and feed them to
+    single_linkage_clusters directly."""
+    from mr_dice_spark.operators.similarity import cosine
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")) + F.lit(1e-9), round_digits)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def single_linkage_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Threshold single-linkage clustering (flat agglomerative at a fixed
+    linkage distance): vertices = rows of ``df``, edges = ``pairs``,
+    clusters = connected components of the epsilon-graph — exactly the
+    dendrogram cut of single-linkage agglomerative clustering at the
+    pairing threshold, computed without any sequential merge loop.
+    Returns every input row with ``(cluster, cluster_size)``: cluster =
+    min reachable id, singletons cluster with themselves.
+
+    Scale shape: edge generation is the caller's contract (exact within
+    blocks via cosine_pairs_exact, banded LSH/IVF candidates at corpus
+    scale); components run hash-min label propagation (O(diameter)
+    joins, operators/components.py); the size attach is ONE
+    cluster-keyed count window — cluster cardinality grows with the
+    corpus, so a broadcast of the size dim would be the
+    per-group-broadcast trap (see length_bucketed_batches)."""
+    from pyspark.sql import Window
+
+    from mr_dice_spark.operators.components import connected_components
+
+    comp = connected_components(pairs, pair_a, pair_b, max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return labeled.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
     )

@@ -65,3 +65,48 @@ def test_kmeans_deterministic_and_validates(spark):
         kmeans_assign(df, "id", "v", k=2, sweeps=-1)
     with pytest.raises(ValueError):
         kmeans_assign(df.limit(2), "id", "v", k=5)
+
+
+def test_single_linkage_known_topology(spark):
+    """Chain a-b-c must merge into ONE cluster (transitivity — exactly
+    what first-wins pair dedup gets wrong), an isolated pair stays a
+    doubleton, and rows in no pair are singletons of themselves."""
+    from mr_dice_spark.operators.clustering import single_linkage_clusters
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 8)], "id long, x double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: (r["cluster"], r["cluster_size"])
+        for r in single_linkage_clusters(df, pairs, "id").collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),   # chain -> one cluster, min id
+        4: (4, 1),                          # singleton
+        5: (5, 2), 6: (5, 2),               # isolated pair
+        7: (7, 1),                          # singleton
+    }
+
+
+def test_cosine_pairs_exact_threshold_and_symmetry(spark):
+    """Pairs are emitted once (id_a < id_b), the rounded-cosine threshold
+    is inclusive, and orthogonal vectors never pair."""
+    from mr_dice_spark.operators.clustering import cosine_pairs_exact
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),     # identical to 1 -> cosine 1.0
+        (3, [0.0, 1.0]),     # orthogonal to 1/2
+        (4, [1.0, 1.0]),     # cos 0.707107 to 1/2 and 3
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_exact(df, "id", "v", threshold=0.707107).collect()
+    }
+    assert set(got) == {(1, 2), (1, 4), (2, 4), (3, 4)}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] == 0.707107  # rounded value sits exactly ON the threshold
