@@ -61,12 +61,14 @@ _CHECK_FIRST = [
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
-    # --- r1-only re-verification: the 27 rows last driver-checked in
-    # round 1 (everything that had not been re-verified since)
+    # --- r1-only re-verification: 24 of the 27 rows last driver-checked
+    # in round 1 (three stock-builtin probes — scalar_functions_probe,
+    # demo2_groupby_count, optimade_length_known — yield their slots to
+    # the three goldens added late this round, which would otherwise
+    # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
     "dedup_exact_documents",
-    "demo2_groupby_count",
     "deterministic_sample_events",
     "embedding_label_centroids",
     "events_cohort_retention",
@@ -79,11 +81,9 @@ _CHECK_FIRST = [
     "minhash_signatures_portable",
     "optimade_filter_compile",
     "optimade_has_predicates",
-    "optimade_length_known",
     "per_group_topk_events",
     "q14_promo_revenue",
     "rollup_flag_status",
-    "scalar_functions_probe",
     "simhash_fingerprints_portable",
     "simhash_near_dup_pairs",
     "stats_value_by_type",
