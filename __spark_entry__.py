@@ -56,15 +56,16 @@ _CHECK_FIRST = [
     "mad_outliers_by_type",           # median/MAD robust outliers
     "cluster_balanced_subsample",     # kmeans -> per-cluster hash sample
     "embedding_single_linkage",       # epsilon-graph agglomerative cut
+    "value_drift_psi_events",         # PSI distribution drift, planted shift
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (three stock-builtin probes — scalar_functions_probe,
-    # demo2_groupby_count, optimade_length_known — yield their slots to
-    # the three goldens added late this round, which would otherwise
+    # in round 1 (four stock-builtin probes — scalar_functions_probe,
+    # demo2_groupby_count, optimade_length_known, events_json_props —
+    # yield their slots to the four goldens added late this round, which would otherwise
     # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
@@ -72,7 +73,6 @@ _CHECK_FIRST = [
     "deterministic_sample_events",
     "embedding_label_centroids",
     "events_cohort_retention",
-    "events_json_props",
     "fair_quota_two_level",
     "federation_dedup_quota",
     "histogram_value_buckets",

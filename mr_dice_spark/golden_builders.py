@@ -800,6 +800,78 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user", "match_no")
 
 
+PSI_DRIFT_ORACLE = """
+WITH o AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+),
+n AS (
+  SELECT value * 1.2 AS value FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+),
+e AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(1e-9 + x, 6)) AS edges
+  FROM o
+),
+ob AS (
+  SELECT 1 + len(list_filter((SELECT edges FROM e), ed -> value > ed)) AS bin
+  FROM o
+),
+nb AS (
+  SELECT 1 + len(list_filter((SELECT edges FROM e), ed -> value > ed)) AS bin
+  FROM n
+),
+oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM ob GROUP BY bin),
+nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM nb GROUP BY bin),
+b AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+c AS (
+  SELECT b.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM b LEFT JOIN oc ON oc.bin = b.bin LEFT JOIN nc ON nc.bin = b.bin
+),
+s AS (
+  SELECT bin, n_old, n_new,
+         ROUND(1e-9 + n_old / CAST(SUM(n_old) OVER () AS DOUBLE), 6) AS share_old,
+         ROUND(1e-9 + n_new / CAST(SUM(n_new) OVER () AS DOUBLE), 6) AS share_new
+  FROM c
+)
+SELECT bin, n_old, n_new, share_old, share_new,
+       ROUND(1e-9 + (GREATEST(share_new, 1e-6) - GREATEST(share_old, 1e-6))
+                    * LN(GREATEST(share_new, 1e-6) / GREATEST(share_old, 1e-6)),
+             6) AS psi_term
+FROM s
+ORDER BY bin
+"""
+
+
+@golden(
+    "value_drift_psi_events",
+    PSI_DRIFT_ORACLE,
+    tags=("observability", "drift", "psi", "profile"),
+)
+def value_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots: baseline
+    = the first 15 days of events, comparison = the rest with value
+    scaled 1.2x (a planted instrumentation-change drift, so the detector
+    has something real to flag — the generator's distribution is
+    time-stationary). Decile edges come from the baseline's exact
+    quantiles; each side's bin shares and the (q-p)*ln(q/p) terms are
+    nudge-quantized so Spark's percentile/log agree with DuckDB's
+    quantile_cont/ln digit for digit. The distribution-drift complement
+    of snapshot_diff's row-identity diff."""
+    from mr_dice_spark.operators.profile import psi_drift
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.col("ts") >= cut).withColumn(
+        "value", F.col("value") * 1.2
+    )
+    return psi_drift(old, new, "value", n_bins=10).orderBy("bin")
+
+
 WINSORIZE_ORACLE = """
 WITH s AS (
   SELECT event_type,

@@ -198,3 +198,102 @@ def value_histogram(
             "n",
         )
     )
+
+
+def psi_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots: bin
+    edges are the BASELINE snapshot's exact interior quantiles (the
+    standard PSI recipe — equal-population bins on old, so drift shows
+    up as mass leaving them), each snapshot's share per bin, and the
+    per-bin PSI term ``(q - p) * ln(q / p)`` with both shares floored at
+    ``eps`` so an emptied or newly-populated bin contributes a large
+    finite term instead of infinity. Total PSI = SUM(psi_term); the
+    usual reading is <0.1 stable, 0.1-0.25 moderate, >0.25 shifted.
+
+    The monitoring complement of snapshot_diff (which is row-identity
+    drift; this is DISTRIBUTION drift — both can fire independently).
+    NULL values carry no position in a distribution and are excluded
+    from both sides.
+
+    Determinism/oracle contract: edges are nudge-rounded to 6 (the
+    winsorize idiom — Spark exact ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically once quantized), shares
+    and psi terms are nudge-rounded after every transcendental, and the
+    bucket rule is the portable ``1 + count(edges < v)`` fold (strictly
+    greater, duplicated edges simply yield empty bins).
+
+    Scale shape: one exact-percentile aggregate on the baseline (a
+    bounded k-float collect, the kmeans/quota altitude), then each
+    snapshot is a single narrow projection + n_bins-key hash aggregate —
+    two scans total, no joins wider than the n_bins-row bin frames."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = (
+        df_old.where(F.col(value_col).isNotNull())
+        .agg(
+            F.array(
+                *[
+                    F.round(F.percentile(value_col, p) + F.lit(1e-9), 6)
+                    for p in probs
+                ]
+            ).alias("edges")
+        )
+        .first()
+    )
+    edges = [float(e) for e in edges_row["edges"]]
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        bucket = F.lit(1)
+        for e in edges:
+            bucket = bucket + F.when(v > F.lit(e), 1).otherwise(0)
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(bucket.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = df_old.sparkSession.range(1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    counts = (
+        bins.join(binned(df_old, "n_old"), "bin", "left")
+        .join(binned(df_new, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    # totals via a broadcast 1-row aggregate, not an empty-partition-spec
+    # window (the funnel/demo7 idiom): the bin frame is tiny, but the
+    # single-partition WindowExec shape is banned repo-wide
+    totals = counts.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    share_old = F.round(F.col("n_old") / F.col("__to") + F.lit(1e-9), 6)
+    share_new = F.round(F.col("n_new") / F.col("__tn") + F.lit(1e-9), 6)
+    p = F.greatest(F.col("share_old"), F.lit(float(eps)))
+    q = F.greatest(F.col("share_new"), F.lit(float(eps)))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            share_old.alias("share_old"),
+            share_new.alias("share_new"),
+        )
+        .select(
+            "*",
+            F.round((q - p) * F.log(q / p) + F.lit(1e-9), 6).alias("psi_term"),
+        )
+    )

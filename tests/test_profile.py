@@ -112,3 +112,34 @@ def test_profile_columns_approx_mode(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" not in plan
+
+
+def test_psi_drift_identity_and_emptied_bin(spark):
+    """Identical snapshots give psi_term ~ 0 in every bin; a snapshot
+    whose mass leaves a bin entirely produces a large FINITE term via
+    the eps floor (never inf/NaN); NULLs are excluded from both sides."""
+    from mr_dice_spark.operators.profile import psi_drift
+
+    import pytest
+
+    old = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "v double"
+    )
+    same = psi_drift(old, old, "v", n_bins=5).collect()
+    assert len(same) == 5
+    assert sum(r["n_old"] for r in same) == 100  # NULL dropped
+    for r in same:
+        assert r["n_old"] == r["n_new"] == 20
+        assert abs(r["psi_term"]) < 1e-6
+    # new snapshot entirely above the old range: all mass lands in the
+    # top bin, lower bins empty on the new side
+    new = spark.createDataFrame([(float(i),) for i in range(200, 300)], "v double")
+    drift = {r["bin"]: r for r in psi_drift(old, new, "v", n_bins=5).collect()}
+    assert drift[5]["share_new"] == 1.0
+    for b in range(1, 5):
+        t = drift[b]["psi_term"]
+        assert t is not None and t > 1.0  # (eps - 0.2) * ln(eps/0.2) is large
+    total = sum(r["psi_term"] for r in drift.values())
+    assert total > 0.25  # way past the "shifted" reading
+    with pytest.raises(ValueError):
+        psi_drift(old, new, "v", n_bins=1)
