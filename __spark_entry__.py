@@ -57,15 +57,17 @@ _CHECK_FIRST = [
     "cluster_balanced_subsample",     # kmeans -> per-cluster hash sample
     "embedding_single_linkage",       # epsilon-graph agglomerative cut
     "value_drift_psi_events",         # PSI distribution drift, planted shift
+    "bigram_lm_quality",              # order-sensitive add-k bigram LM
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (four stock-builtin probes — scalar_functions_probe,
-    # demo2_groupby_count, optimade_length_known, events_json_props —
-    # yield their slots to the four goldens added late this round, which would otherwise
+    # in round 1 (five stock-builtin probes — scalar_functions_probe,
+    # demo2_groupby_count, optimade_length_known, events_json_props,
+    # rollup_flag_status — yield their slots to the five goldens added
+    # late this round, which would otherwise
     # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
@@ -83,7 +85,6 @@ _CHECK_FIRST = [
     "optimade_has_predicates",
     "per_group_topk_events",
     "q14_promo_revenue",
-    "rollup_flag_status",
     "simhash_fingerprints_portable",
     "simhash_near_dup_pairs",
     "stats_value_by_type",

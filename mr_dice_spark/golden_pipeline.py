@@ -2176,6 +2176,56 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BIGRAM_LM_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> struct_pack(a := w[i], b := w[i + 1]))) AS g
+  FROM w WHERE len(w) >= 2
+),
+dw AS (SELECT doc_id, g.a AS a, g.b AS b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+cb AS (SELECT a, b, SUM(c) AS cb FROM dw GROUP BY a, b),
+cu AS (SELECT a, SUM(cb) AS cu FROM cb GROUP BY a),
+v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(w) AS t FROM w)
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(1e-9 + SUM(c * -ln((cb + 0.5) / (cu + 0.5 * v))) / SUM(c), 6)
+         AS avg_neg_logprob
+FROM dw JOIN cb USING (a, b) JOIN cu USING (a) CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@golden("bigram_lm_quality", BIGRAM_LM_ORACLE, tags=("text", "quality", "lm", "bigram"))
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained BIGRAM LM score per document: mean add-k
+    negative log-probability of each in-order token pair, the next model
+    order up from unigram_lm_quality — word order now matters, so
+    repetition soup and shuffled text score worse than fluent prose with
+    the same token bag. Left-context counts (bigrams starting at w1, not
+    unigram counts) and the corpus vocabulary size feed the smoothing
+    denominator; both engines evaluate the identical
+    (c+0.5)/(ctx+0.5V) formula on integer-valued doubles, nudge-rounded
+    at 6 to absorb last-ulp ln divergence."""
+    from mr_dice_spark.operators.terms import bigram_lm_score
+
+    docs = Catalog(spark, sf_dir).documents
+    out = bigram_lm_score(docs, "doc_id", "text", add_k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams",
+        _r("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # corpus line-level dedup (CCNet/RefinedWeb boilerplate-line removal)
 # ---------------------------------------------------------------------------

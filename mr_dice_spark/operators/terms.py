@@ -277,3 +277,75 @@ def repetition_stats(
             "dup_gram_share"
         ),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+    persist_counts: bool = False,
+) -> DataFrame:
+    """Per-document bigram language-model score — the next model order up
+    from unigram_lm_score, so word ORDER finally matters: "the the the"
+    scores far worse than "the quick fox" even though their unigram
+    profiles are identical. Returns (id, n_bigrams, avg_neg_logprob)
+    where the per-bigram probability is add-k smoothed over left
+    contexts: ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` with
+    ``c(w1·)`` the count of bigrams starting at w1 (NOT the unigram
+    count — they differ at document ends) and V the corpus unigram
+    vocabulary size. Low = fluent under the corpus model. Docs with
+    fewer than two tokens have no bigrams and are absent.
+
+    Scale shape: tokens pair IN-ROW (filter empties, slice+zip_with —
+    no positional window), then one (doc, w1, w2) aggregate; the bigram
+    and context models grow with the corpus, so they join back by gram
+    key (never broadcast — the decontaminate rule); V and totals are
+    1-row broadcast cross joins. ``persist_counts=True`` caches the
+    (doc, bigram) aggregate that otherwise feeds both the model and the
+    scores (two corpus scans -> one), the unigram_lm_score trade."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(F.col("__w"))
+    grams = F.zip_with(
+        F.slice(F.col("__w"), 1, n - 1),
+        F.slice(F.col("__w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    docs_w = df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    dw = (
+        docs_w.where(n >= 2)
+        .select("__id", F.explode(grams).alias("__g"))
+        .select("__id", F.col("__g.a").alias("__a"), F.col("__g.b").alias("__b"))
+        .groupBy("__id", "__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if persist_counts:
+        from pyspark.storagelevel import StorageLevel
+
+        dw = dw.persist(StorageLevel.MEMORY_AND_DISK)
+    cb = dw.groupBy("__a", "__b").agg(F.sum("__c").alias("__cb"))
+    cu = cb.groupBy("__a").agg(F.sum("__cb").alias("__cu"))
+    vocab = docs_w.select(F.explode("__w").alias("__t")).agg(
+        F.count_distinct("__t").cast("double").alias("__v")
+    )
+    k = float(add_k)
+    nlp = -F.log(
+        (F.col("__cb") + F.lit(k))
+        / (F.col("__cu") + F.lit(k) * F.col("__v"))
+    )
+    scored = (
+        dw.join(cb, ["__a", "__b"])
+        .join(cu, "__a")
+        .crossJoin(F.broadcast(vocab))
+        .select("__id", "__c", (F.col("__c") * nlp).alias("__nlp"))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            (F.sum("__nlp") / F.sum("__c")).alias("avg_neg_logprob"),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "avg_neg_logprob")
+    )

@@ -1164,3 +1164,39 @@ def test_length_bucketed_batches_semantics(spark):
         length_bucketed_batches(df, "id", "n", [100, 50], 2)
     with pytest.raises(ValueError):
         length_bucketed_batches(df, "id", "n", [100], 0)
+
+
+def test_bigram_lm_score_order_sensitivity(spark):
+    """Two docs with the SAME unigram bag but different word order must
+    score differently (the whole point over the unigram model); hand-
+    computed add-k values pin the context-count and smoothing math;
+    docs with <2 tokens are absent."""
+    import pytest
+
+    from mr_dice_spark.operators.terms import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams ab,ba,ab,ba — all common
+            (2, "a a b b a"),      # same bag {a:3,b:2}, rare aa/bb pairs
+            (3, "solo"),           # no bigrams
+            (4, "  "),             # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 4 and got[2]["n_bigrams"] == 4
+    # model: cb(ab)=3, cb(ba)=3, cb(aa)=1, cb(bb)=1; cu(a)=cu(b)=4;
+    # V=3 — the vocabulary is the CORPUS unigram vocab, so doc 3's
+    # 'solo' counts even though it forms no bigram.
+    # P(ab)=P(ba)=3.5/5.5, P(aa)=P(bb)=1.5/5.5
+    import math
+
+    assert got[1]["avg_neg_logprob"] == pytest.approx(
+        -math.log(3.5 / 5.5), abs=1e-9
+    )
+    assert got[2]["avg_neg_logprob"] == pytest.approx(
+        -(2 * math.log(1.5 / 5.5) + 2 * math.log(3.5 / 5.5)) / 4, abs=1e-9
+    )
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
