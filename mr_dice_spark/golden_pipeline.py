@@ -2176,6 +2176,51 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+PMI_ORACLE = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT t, COUNT(*) AS cu FROM (SELECT unnest(w) AS t FROM w) GROUP BY t
+),
+nu AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nu FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> struct_pack(a := w[i], b := w[i + 1]))) AS g
+  FROM w WHERE len(w) >= 2
+),
+big AS (
+  SELECT g.a AS w1, g.b AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+nb AS (SELECT CAST(SUM(len(w) - 1) AS DOUBLE) AS nb FROM w WHERE len(w) >= 2)
+SELECT w1, w2, n_pair,
+       ROUND(1e-9 + LN((n_pair / nb) / ((ua.cu / nu) * (ub.cu / nu))), 6) AS pmi
+FROM big
+JOIN uni ua ON ua.t = w1
+JOIN uni ub ON ub.t = w2
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+"""
+
+
+@golden("pmi_collocations_top", PMI_ORACLE, tags=("text", "collocations", "pmi", "topk"))
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over the
+    documents corpus (bigrams seen >= 5 times) — multiword-expression
+    mining for tokenizer vocabulary design. Marginals, totals, and the
+    log-ratio are evaluated identically in both engines on
+    integer-valued doubles (nudge-rounded), and the k-boundary is
+    deterministic because ties order on (pmi, w1, w2). Global top-k is
+    the TakeOrderedAndProject shape, never a single-partition window."""
+    from mr_dice_spark.operators.terms import pmi_collocations
+
+    docs = Catalog(spark, sf_dir).documents
+    return pmi_collocations(docs, "text", min_count=5, k=20)
+
+
 BIGRAM_LM_ORACLE = r"""
 WITH w AS (
   SELECT doc_id,

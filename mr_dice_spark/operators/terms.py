@@ -349,3 +349,73 @@ def bigram_lm_score(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", "avg_neg_logprob")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: word pairs
+    that co-occur adjacently far more than their marginal frequencies
+    predict — multiword-expression mining ("New York", "machine
+    learning") for tokenizer vocabulary design and phrase-aware dedup.
+    ``pmi = ln((cb / Nb) / ((ca / Nu) * (cb2 / Nu)))`` with cb the
+    bigram count (>= ``min_count`` to suppress one-off noise), ca/cb2
+    the unigram counts, Nb/Nu the bigram/unigram totals. Returns
+    (w1, w2, n_pair, pmi) — the k highest-PMI pairs, ties broken on
+    (w1, w2) so the k-boundary is deterministic cross-engine.
+
+    Scale shape: in-row token pairing (no positional window), one
+    bigram-keyed and one unigram-keyed aggregate, the unigram dim joins
+    back BY KEY (vocabulary grows with the corpus — never broadcast),
+    totals are 1-row broadcast cross joins, and the global top-k is
+    orderBy+limit — TakeOrderedAndProject, the PERFORMANCE.md finding-11
+    shape, never a single-partition window."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(F.col("__w"))
+    grams = F.zip_with(
+        F.slice(F.col("__w"), 1, n - 1),
+        F.slice(F.col("__w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    docs_w = df.select(words.alias("__w"))
+    uni = (
+        docs_w.select(F.explode("__w").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    nu = uni.agg(F.sum("__cu").cast("double").alias("__nu"))
+    big = (
+        docs_w.where(n >= 2)
+        .select(F.explode(grams).alias("__g"))
+        .select(F.col("__g.a").alias("w1"), F.col("__g.b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_count))
+    )
+    nb = (
+        docs_w.select((n - 1).alias("__d"))
+        .where(F.col("__d") > 0)
+        .agg(F.sum("__d").cast("double").alias("__nb"))
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__nb"))
+        / ((F.col("__ca") / F.col("__nu")) * (F.col("__cb2") / F.col("__nu")))
+    )
+    scored = (
+        big.join(uni.select(F.col("__t").alias("w1"), F.col("__cu").alias("__ca")), "w1")
+        .join(uni.select(F.col("__t").alias("w2"), F.col("__cu").alias("__cb2")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(pmi + F.lit(1e-9), 6).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k))

@@ -1200,3 +1200,30 @@ def test_bigram_lm_score_order_sensitivity(spark):
         -(2 * math.log(1.5 / 5.5) + 2 * math.log(3.5 / 5.5)) / 4, abs=1e-9
     )
     assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    """A phrase whose words ONLY occur together must out-PMI a pair of
+    independently frequent words with the same pair count; min_count
+    suppresses one-off pairs; k bounds the output."""
+    from mr_dice_spark.operators.terms import pmi_collocations
+
+    rows = []
+    # 'new york' 6 times: 'new'/'york' never apart
+    rows += [("new york",)] * 6
+    # 'the cat' 6 times, but 'the' and 'cat' also occur alone a lot
+    rows += [("the cat",)] * 6
+    rows += [("the dog",)] * 10
+    rows += [("a cat",)] * 10
+    # a one-off pair below min_count
+    rows += [("rare pair",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = pmi_collocations(df, "text", min_count=5, k=10).collect()
+    pairs = [(r["w1"], r["w2"]) for r in got]
+    assert ("rare", "pair") not in pairs
+    by_pair = {(r["w1"], r["w2"]): r for r in got}
+    assert by_pair[("new", "york")]["n_pair"] == 6
+    assert by_pair[("new", "york")]["pmi"] > by_pair[("the", "cat")]["pmi"]
+    assert len(got) <= 10
+    # top-1 is the exclusive phrase
+    assert pairs[0] == ("new", "york")
