@@ -872,6 +872,69 @@ def value_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "value", n_bins=10).orderBy("bin")
 
 
+@golden(
+    "streaming_psi_drift",
+    PSI_DRIFT_ORACLE,  # byte-identical output to the batch golden above
+    tags=("streaming", "drift", "psi", "observability"),
+)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring ON THE STREAM ENGINE: the baseline
+    (first 15 days) fixes decile edges and bin counts as a batch job;
+    the live side (the rest, with the same planted 1.2x shift) arrives
+    through readStream, is bucketed by the literal edges (a narrow
+    streaming-safe projection), and aggregates per-bin counts in
+    complete mode. The finishing PSI math (psi_from_counts) runs on the
+    materialized sink — byte-identical to the batch
+    value_drift_psi_events output, so the SAME DuckDB oracle
+    hash-checks the streaming path. Finite replay makes the streaming
+    aggregate exact, like the other streaming goldens."""
+    import uuid
+
+    from mr_dice_spark.operators.profile import (
+        psi_bin_counts,
+        psi_bins_frame,
+        psi_edges,
+        psi_from_counts,
+    )
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = Catalog(spark, sf_dir).events.where(F.col("ts") < cut)
+    edges = psi_edges(old, "value", 10)
+    old_counts = psi_bin_counts(old, "value", edges, "n_old")
+
+    stream = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("ts") >= cut)
+        .withColumn("value", F.col("value") * 1.2)
+    )
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(
+        psi_bin_counts(stream, "value", edges, "n_new"),
+        name,
+        output_mode="complete",
+    )
+    try:
+        counts = (
+            psi_bins_frame(spark, 10)
+            .join(old_counts, "bin", "left")
+            .join(spark.table(name), "bin", "left")
+            .select(
+                "bin",
+                F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            )
+        )
+        out = psi_from_counts(counts).orderBy("bin")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+
+
 WINSORIZE_ORACLE = """
 WITH s AS (
   SELECT event_type,

@@ -232,11 +232,28 @@ def psi_drift(
     bounded k-float collect, the kmeans/quota altitude), then each
     snapshot is a single narrow projection + n_bins-key hash aggregate —
     two scans total, no joins wider than the n_bins-row bin frames."""
+    edges = psi_edges(df_old, value_col, n_bins)
+    counts = (
+        psi_bins_frame(df_old.sparkSession, n_bins)
+        .join(psi_bin_counts(df_old, value_col, edges, "n_old"), "bin", "left")
+        .join(psi_bin_counts(df_new, value_col, edges, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    return psi_from_counts(counts, eps)
+
+
+def psi_edges(df: DataFrame, value_col: str, n_bins: int) -> list[float]:
+    """The baseline's nudge-rounded interior quantile edges (a bounded
+    (n_bins-1)-float collect — the kmeans/quota altitude)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2: {n_bins}")
     probs = [i / n_bins for i in range(1, n_bins)]
     edges_row = (
-        df_old.where(F.col(value_col).isNotNull())
+        df.where(F.col(value_col).isNotNull())
         .agg(
             F.array(
                 *[
@@ -247,35 +264,45 @@ def psi_drift(
         )
         .first()
     )
-    edges = [float(e) for e in edges_row["edges"]]
+    return [float(e) for e in edges_row["edges"]]
 
-    def binned(df: DataFrame, out: str) -> DataFrame:
-        v = F.col(value_col).cast("double")
-        bucket = F.lit(1)
-        for e in edges:
-            bucket = bucket + F.when(v > F.lit(e), 1).otherwise(0)
-        return (
-            df.where(F.col(value_col).isNotNull())
-            .select(bucket.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    bins = df_old.sparkSession.range(1, n_bins + 1).select(
-        F.col("id").cast("int").alias("bin")
+def psi_bucket(value, edges: list[float]):
+    """Portable bucket rule: ``1 + count(edges strictly below value)`` —
+    a literal fold, streaming-safe (no window, no join)."""
+    v = value.cast("double")
+    bucket = F.lit(1)
+    for e in edges:
+        bucket = bucket + F.when(v > F.lit(e), 1).otherwise(0)
+    return bucket
+
+
+def psi_bin_counts(
+    df: DataFrame, value_col: str, edges: list[float], out: str
+) -> DataFrame:
+    """(bin, <out>) counts for one snapshot — a narrow projection plus an
+    n_bins-key hash aggregate; also valid as a STREAMING aggregation
+    (complete mode), which is how streaming_psi_drift monitors a live
+    stream against a batch baseline."""
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(psi_bucket(F.col(value_col), edges).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(out))
     )
-    counts = (
-        bins.join(binned(df_old, "n_old"), "bin", "left")
-        .join(binned(df_new, "n_new"), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_old", F.lit(0)).alias("n_old"),
-            F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        )
-    )
-    # totals via a broadcast 1-row aggregate, not an empty-partition-spec
-    # window (the funnel/demo7 idiom): the bin frame is tiny, but the
-    # single-partition WindowExec shape is banned repo-wide
+
+
+def psi_bins_frame(spark, n_bins: int) -> DataFrame:
+    """The dense 1..n_bins bin spine (empty bins must surface as rows —
+    an emptied bin is exactly the drift signal)."""
+    return spark.range(1, n_bins + 1).select(F.col("id").cast("int").alias("bin"))
+
+
+def psi_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """Shares + psi terms from a (bin, n_old, n_new) frame. Totals attach
+    via a broadcast 1-row aggregate, not an empty-partition-spec window
+    (the funnel/demo7 idiom): the bin frame is tiny, but the
+    single-partition WindowExec shape is banned repo-wide."""
     totals = counts.agg(
         F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
     )

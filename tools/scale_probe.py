@@ -101,6 +101,13 @@ PROBES = [
     "cluster_balanced_subsample",
     "hard_negative_mining_labels",
     "length_bucketed_batches_docs",
+    # round-5 continuation operators
+    "jpeg_progressive_decode_dedup",
+    "events_pattern_match",
+    "embedding_single_linkage",
+    "value_drift_psi_events",
+    "bigram_lm_quality",
+    "pmi_collocations_top",
 ]
 
 
