@@ -136,6 +136,7 @@ def cosine_pairs_exact(
     vec_col: str,
     threshold: float,
     round_digits: int = 6,
+    max_rows: int = 50_000,
 ) -> DataFrame:
     """Exact epsilon-graph edges: every (id_a < id_b) pair whose cosine
     similarity (nudge-rounded to ``round_digits`` — the kmeans
@@ -146,11 +147,26 @@ def cosine_pairs_exact(
     nested-loop self-join, O(n²·dim) — for corpora (or pre-blocked
     groups) small enough to afford exactness; it plays the same role as
     SemDeDup's within-cluster pair pass (operators/similarity.py:226).
-    At 100 TB, generate candidate edges with the banded family instead
-    (embedding near-dup LSH / IVF buckets) and feed them to
-    single_linkage_clusters directly."""
+    Dense-vector exact cosine join has no subquadratic blocking with
+    exact recall (Bayardo-style prefix filtering prunes nothing when
+    every vector populates every dimension), so instead of silently
+    running quadratic on an oversized input the operator FAILS FAST:
+    ``max_rows`` is a circuit breaker (one cheap count; the same policy
+    as edit_distance_join's max_block_rows). At 100 TB, generate
+    candidate edges with the banded family instead (embedding near-dup
+    LSH / IVF buckets) and feed them to single_linkage_clusters
+    directly."""
     from mr_dice_spark.operators.similarity import cosine
 
+    if max_rows is not None:
+        n = df.limit(int(max_rows) + 1).count()
+        if n > int(max_rows):
+            raise ValueError(
+                f"cosine_pairs_exact: input exceeds max_rows={max_rows} "
+                "(all-pairs would run quadratic); block the corpus first "
+                "or feed banded LSH/IVF candidate pairs to "
+                "single_linkage_clusters (max_rows=None overrides)"
+            )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("__va"),

@@ -110,3 +110,20 @@ def test_cosine_pairs_exact_threshold_and_symmetry(spark):
     assert set(got) == {(1, 2), (1, 4), (2, 4), (3, 4)}
     assert got[(1, 2)] == 1.0
     assert got[(1, 4)] == 0.707107  # rounded value sits exactly ON the threshold
+
+
+def test_cosine_pairs_exact_circuit_breaker(spark):
+    """Oversized input fails fast instead of running quadratic (the
+    edit_distance_join max_block_rows policy); max_rows=None opts out."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.clustering import cosine_pairs_exact
+
+    df = spark.range(30).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(0.0)).alias("v")
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_pairs_exact(df, "id", "v", 0.9, max_rows=10)
+    n = cosine_pairs_exact(df, "id", "v", 0.9, max_rows=None).count()
+    assert n == 30 * 29 // 2  # identical vectors: every pair

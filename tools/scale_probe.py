@@ -101,11 +101,18 @@ PROBES = [
     "cluster_balanced_subsample",
     "hard_negative_mining_labels",
     "length_bucketed_batches_docs",
-    # round-5 continuation operators
+    # round-5 continuation operators. embedding_single_linkage is NOT
+    # probed: its golden deliberately uses the exact all-pairs edge
+    # generator (cosine_pairs_exact — O(n^2) by contract, with a
+    # max_rows circuit breaker), so a 10x probe measures the documented
+    # quadratic wall, not the operator; the scale path feeds
+    # single_linkage_clusters banded LSH/IVF candidate pairs, whose
+    # component stage is the already-probed connected-components shape
+    # (cluster_keep_best_copy / dedup_connected_clusters).
     "jpeg_progressive_decode_dedup",
     "events_pattern_match",
-    "embedding_single_linkage",
     "value_drift_psi_events",
+    "streaming_psi_drift",
     "bigram_lm_quality",
     "pmi_collocations_top",
 ]
