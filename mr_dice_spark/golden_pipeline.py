@@ -2466,6 +2466,75 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def _blend_oracle() -> str:
+    probs = ", ".join(f"{i / 100}" for i in range(1, 100))
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents)
+),
+e AS (
+  SELECT list_transform(quantile_cont(n_tokens, [{probs}]), x -> round(1e-9 + x, 6)) AS et,
+         list_transform(quantile_cont(ttr,      [{probs}]), x -> round(1e-9 + x, 6)) AS er,
+         list_transform(quantile_cont(n_chars,  [{probs}]), x -> round(1e-9 + x, 6)) AS ec
+  FROM s
+),
+p AS (
+  SELECT doc_id,
+         round(1e-9 + ((1 + len(list_filter((SELECT et FROM e), v -> n_tokens > v))) - 0.5) / 100, 6) AS pct_n_tokens,
+         round(1e-9 + ((1 + len(list_filter((SELECT er FROM e), v -> ttr      > v))) - 0.5) / 100, 6) AS pct_ttr,
+         round(1e-9 + ((1 + len(list_filter((SELECT ec FROM e), v -> n_chars  > v))) - 0.5) / 100, 6) AS pct_n_chars
+  FROM s
+)
+SELECT doc_id, pct_n_tokens, pct_ttr, pct_n_chars,
+       round(1e-9 + (pct_n_tokens * 0.5 + pct_ttr * 0.3 + pct_n_chars * 0.2)
+                    / (0.5 + 0.3 + 0.2), 6) AS blend_score
+FROM p
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "quality_percentile_blend_docs",
+    _blend_oracle(),
+    tags=("text", "quality", "curation", "quantile"),
+)
+def quality_percentile_blend_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ranking by quantile normalization: token
+    count, type-token ratio, and character length each map to their
+    percentile-bucket midpoint against their own exact centile edges,
+    then blend 0.5/0.3/0.2 — comparable scores without a global
+    percent_rank sort (the scalable design: three bounded edge collects,
+    then ONE narrow scoring scan with literal-fold bucket lookups and no
+    shuffle). Weighted-sum addition order is pinned left-to-right in
+    both engines so the blend is bit-identical."""
+    from mr_dice_spark.operators.curation import quality_percentile_blend
+
+    docs = Catalog(spark, sf_dir).documents
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    sig = docs.select(
+        "doc_id",
+        F.size(words).cast("double").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words)
+        ).alias("ttr"),
+        F.length("text").cast("double").alias("n_chars"),
+    )
+    return quality_percentile_blend(
+        sig,
+        "doc_id",
+        {"n_tokens": 0.5, "ttr": 0.3, "n_chars": 0.2},
+        n_bins=100,
+    ).orderBy("doc_id")
+
+
 @golden("cosine_topk_ivf_pq_approx", None, tags=("similarity", "ann", "ivf", "pq"))
 def cosine_topk_ivf_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN: build the cluster-partitioned PQ-coded index

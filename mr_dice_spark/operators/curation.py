@@ -122,3 +122,61 @@ def quantile_length_filter(
         )
         .drop("__lo", "__hi")
     )
+
+
+def quality_percentile_blend(
+    df: DataFrame,
+    id_col: str,
+    signals: dict[str, float],
+    n_bins: int = 100,
+) -> DataFrame:
+    """Blend heterogeneous quality signals into one comparable score by
+    QUANTILE NORMALIZATION: each signal maps to its percentile bucket
+    midpoint ``(bucket - 0.5) / n_bins`` against the signal's own exact
+    quantile edges, then the blend is the weight-normalized mean of the
+    percentiles. Raw signals live on incompatible scales (token counts
+    vs ratios vs log-probs); percentile space makes a weighted average
+    meaningful — the standard multi-signal curation ranker.
+
+    Returns the id, one ``pct_<signal>`` column per signal, and
+    ``blend_score``, all nudge-rounded to 6. Rows with a NULL signal get
+    NULL for that percentile and are EXCLUDED from the blend's weight
+    mass for that row (renormalized over present signals; a row with
+    all signals NULL gets a NULL blend).
+
+    Scale shape: the scalable alternative to a global percent_rank —
+    ranking needs a full sort (and the window form is the banned
+    single-partition shape), while this is one bounded edge collect per
+    signal (n_bins-1 floats, the PSI/kmeans altitude) followed by a
+    single NARROW projection: bucket lookups are literal folds, so the
+    whole scoring pass is one scan with no shuffle at all. Resolution
+    is 1/n_bins of a true percent_rank — raise n_bins if the blend
+    feeds a tight selection threshold."""
+    from mr_dice_spark.operators.profile import psi_bucket, psi_edges
+
+    if not signals:
+        raise ValueError("signals must be non-empty")
+    if any(w <= 0 for w in signals.values()):
+        raise ValueError(f"signal weights must be positive: {signals}")
+    pct_cols = {}
+    for sig in signals:
+        edges = psi_edges(df, sig, n_bins)
+        pct = (psi_bucket(F.col(sig), edges).cast("double") - 0.5) / n_bins
+        pct_cols[sig] = F.when(
+            F.col(sig).isNotNull(), F.round(pct + F.lit(1e-9), 6)
+        )
+    wsum = None
+    psum = None
+    for sig, w in signals.items():
+        wpart = F.when(F.col(sig).isNotNull(), F.lit(float(w))).otherwise(
+            F.lit(0.0)
+        )
+        ppart = F.coalesce(pct_cols[sig] * F.lit(float(w)), F.lit(0.0))
+        wsum = wpart if wsum is None else wsum + wpart
+        psum = ppart if psum is None else psum + ppart
+    blend = F.when(wsum > 0, F.round(psum / wsum + F.lit(1e-9), 6))
+    return df.select(
+        F.col(id_col),
+        *[pct_cols[s].alias(f"pct_{s}") for s in signals],
+        blend.alias("blend_score"),
+    )

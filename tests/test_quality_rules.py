@@ -394,3 +394,38 @@ def test_bloom_prescreen_superset_and_fp_regime(spark):
         ).collect()
     }
     assert not big[11]["prescreen_hit"] and not big[12]["prescreen_hit"]
+
+
+def test_quality_percentile_blend_nulls_and_weights(spark):
+    """NULL signals drop out of the row's weight mass (renormalized);
+    all-NULL rows blend NULL; uniform data maps to in-(0,1) midpoints;
+    validation rejects empty/nonpositive specs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.curation import quality_percentile_blend
+
+    rows = [(i, float(i), float(100 - i)) for i in range(1, 101)]
+    rows += [(101, None, 50.0), (102, None, None)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    out = {
+        r["id"]: r
+        for r in quality_percentile_blend(
+            df, "id", {"a": 0.75, "b": 0.25}, n_bins=10
+        ).collect()
+    }
+    # monotone signal: row 1 in the lowest decile, row 100 in the top
+    assert out[1]["pct_a"] == pytest.approx(0.05, abs=1e-9)
+    assert out[100]["pct_a"] == pytest.approx(0.95, abs=1e-9)
+    # b is anti-monotone: the blend weighs 0.75 a + 0.25 b
+    assert out[100]["blend_score"] == pytest.approx(
+        0.75 * 0.95 + 0.25 * 0.05, abs=1e-6
+    )
+    # NULL a -> blend = pct_b alone (weight renormalized to b)
+    assert out[101]["pct_a"] is None
+    assert out[101]["blend_score"] == pytest.approx(out[101]["pct_b"], abs=1e-9)
+    assert out[102]["blend_score"] is None
+    with pytest.raises(ValueError):
+        quality_percentile_blend(df, "id", {})
+    with pytest.raises(ValueError):
+        quality_percentile_blend(df, "id", {"a": 0.0})
