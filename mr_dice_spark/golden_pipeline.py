@@ -1112,6 +1112,54 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id,
+       ROUND(1e-9 + i / CAST(cs.n AS DOUBLE), 6) AS containment
+FROM inter JOIN cnt cs ON inter.src_id = cs.doc_id
+WHERE i * 1.0 / cs.n >= 0.9
+ORDER BY src_id, dst_id
+"""
+
+
+@golden(
+    "ngram_containment_subset_dedup",
+    CONTAINMENT_ORACLE,
+    tags=("dedup", "containment", "similarity"),
+)
+def ngram_containment_subset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection by DIRECTIONAL containment: src docs
+    whose 3-gram shingle set is >= 90% inside another doc — the
+    quoted-whole-inside-a-longer-page case symmetric Jaccard misses.
+    Runs on the same set-equivalence collapse as the Jaccard join but
+    WITHOUT the length filter (a small doc legitimately sits inside a
+    huge one); the oracle brute-forces the identical directional ratios
+    from the raw inverted index. At sf0.01 the output mixes exact copies
+    (1.0 both ways) with genuine partial containments (0.90-0.99)."""
+    from mr_dice_spark.operators.dedup import ngram_containment_join
+
+    docs = Catalog(spark, sf_dir).documents
+    out = ngram_containment_join(docs, "doc_id", "text", threshold=0.9)
+    return out.select(
+        F.col("src_id"), F.col("dst_id"), _r("containment", 6).alias("containment")
+    ).orderBy("src_id", "dst_id")
+
+
 CONNECTED_CLUSTERS_ORACLE = """
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents

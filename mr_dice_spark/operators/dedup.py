@@ -418,6 +418,45 @@ def _rotate_classes_cache(spark, classes: DataFrame) -> None:
         cache.append(classes)
 
 
+def _shingle_classes(df: DataFrame, id_col: str, text_col: str, shingle_n: int):
+    """Set-equivalence collapse shared by the exact similarity joins:
+    (members, classes) where members maps ids to their shingle-set class
+    and classes holds one row per DISTINCT set with its sorted set,
+    member count __m, and size __n.
+
+    Canonicalization keeps empty sets (they join to nothing and never
+    pair — matching inverted-index semantics where a shingle-less doc
+    can't share a shingle). Class identity = 128 bits from two
+    independently-seeded xxhash64 passes over the sorted set: a single
+    64-bit hash is an exact-identity proxy only until the birthday bound
+    (~2.7% collision odds at 1e9 distinct sets at target scale), and a
+    collision would both fabricate similarity-1.0 pairs and silently
+    drop one set's true pairs; 128 bits push that to ~1e-20.
+    sha2(to_json(...)) gives the same guarantee but measured 5s slower
+    end-to-end at sf0.1. ``members`` is a narrow projection, NOT
+    checkpointed (materializing it costs more at 10x than recomputing);
+    ``classes`` is persisted, not localCheckpointed (it feeds the pair
+    join twice plus both expansions; measured 2.4s vs 8.7s for an eager
+    checkpoint at sf0.1) and rotated through the session-scoped FIFO so
+    stranded cache is capped."""
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    canon = sets_.select(
+        "__id", F.array_sort(F.array_distinct("__sh")).alias("__set")
+    )
+    cls_key = F.struct(
+        F.xxhash64("__set").alias("h1"), F.xxhash64(F.lit(1), "__set").alias("h2")
+    )
+    members = canon.select("__id", cls_key.alias("__cls"))
+    classes = (
+        canon.groupBy(cls_key.alias("__cls"))
+        .agg(F.first("__set").alias("__set"), F.count(F.lit(1)).alias("__m"))
+        .withColumn("__n", F.size("__set"))
+        .persist()
+    )
+    _rotate_classes_cache(df.sparkSession, classes)
+    return members, classes
+
+
 def ngram_jaccard_join(
     df: DataFrame,
     id_col: str,
@@ -454,40 +493,7 @@ def ngram_jaccard_join(
     corpora (distinct sets, high overlap) exact pair output is inherently
     quadratic — that regime's scale path is MinHash LSH, not this join.
     """
-    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
-    # canonicalize each doc's set once; empty sets keep a row (they join to
-    # nothing and never pair — matching the inverted-index semantics where
-    # a shingle-less doc can't share a shingle)
-    canon = sets_.select(
-        "__id", F.array_sort(F.array_distinct("__sh")).alias("__set")
-    )
-    # class identity = 128 bits from two independently-seeded xxhash64
-    # passes over the sorted set. A single 64-bit hash is an exact-identity
-    # proxy only until the birthday bound (~2.7% collision odds at 1e9
-    # distinct sets at target scale), and a collision would both fabricate
-    # jaccard=1.0 pairs and silently drop one set's true pairs; 128 bits
-    # push that to ~1e-20. sha2(to_json(...)) gives the same guarantee but
-    # measured 5s slower end-to-end at sf0.1 — JSON serialization of the
-    # shingle array per row in each un-materialized members branch.
-    cls_key = F.struct(
-        F.xxhash64("__set").alias("h1"), F.xxhash64(F.lit(1), "__set").alias("h2")
-    )
-    # narrow (id, class) map; NOT checkpointed — measured: materializing it
-    # costs more at 10x than recomputing the narrow projection per consumer
-    members = canon.select("__id", cls_key.alias("__cls"))
-    # persist, not localCheckpoint: classes feeds the pair join (twice) and
-    # both expansions, and the cache manager shares it across those
-    # consumers WITHIN the query while AQE still co-plans the stages —
-    # measured 2.4s vs 8.7s for an eager checkpoint at sf0.1. persist
-    # entries outlive the query, so rotate the oldest out once the
-    # session-scoped FIFO exceeds its slots, capping stranded cache.
-    classes = (
-        canon.groupBy(cls_key.alias("__cls"))
-        .agg(F.first("__set").alias("__set"), F.count(F.lit(1)).alias("__m"))
-        .withColumn("__n", F.size("__set"))
-        .persist()
-    )
-    _rotate_classes_cache(df.sparkSession, classes)
+    members, classes = _shingle_classes(df, id_col, text_col, shingle_n)
     # class-level inverted-index join: explode distinct sets, pair classes
     # sharing a shingle, count intersections with map-side combine
     ex = classes.select("__cls", "__n", F.explode("__set").alias("__s"))
@@ -647,3 +653,100 @@ def minhash_recall_audit(
         )
         .orderBy("bucket_lo")
     )
+
+
+def ngram_containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT containment (asymmetric Jaccard) join: DIRECTIONAL rows
+    ``(src_id, dst_id, containment)`` with ``containment = |src ∩ dst| /
+    |src| >= threshold`` — "src's shingles are mostly inside dst". This
+    is the subset-duplicate detector symmetric Jaccard misses: a
+    paragraph quoted whole inside a much longer page has near-1.0
+    containment but tiny Jaccard (the RefinedWeb-style sub-document
+    dedup case). Both directions are evaluated; identical non-empty sets
+    yield 1.0 both ways.
+
+    Scale shape: the same set-equivalence collapse as ngram_jaccard_join
+    (intersections counted once per DISTINCT set pair, duplicate-dense
+    corpora linearize; output expansion is answer-bound). The one shape
+    difference is deliberate: NO length filter — containment of the
+    smaller side cannot be bounded by sizes (a 10-shingle doc may sit
+    entirely inside a 10,000-shingle doc), so any co-occurring pair is a
+    legitimate candidate and the AllPairs prune would break exactness.
+    The candidate space is therefore the full co-occurrence graph; on
+    corpora dominated by high-overlap DISTINCT sets the scale path is
+    MinHash-LSH prefiltering feeding this join on survivors, exactly as
+    with the Jaccard sibling."""
+    members, classes = _shingle_classes(df, id_col, text_col, shingle_n)
+    ex = classes.select("__cls", "__n", F.explode("__set").alias("__s"))
+    # unordered class pairs (cls_a < cls_b by the 128-bit key) — the
+    # intersection is symmetric, so count once and derive both directions
+    class_pairs = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.__s") == F.col("y.__s"))
+            & (F.col("x.__cls") < F.col("y.__cls")),
+        )
+        .groupBy(
+            F.col("x.__cls").alias("__ca"),
+            F.col("y.__cls").alias("__cb"),
+            F.col("x.__n").alias("__na"),
+            F.col("y.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    directional = class_pairs.select(
+        F.col("__ca").alias("__src"),
+        F.col("__cb").alias("__dst"),
+        (F.col("__i") / F.col("__na")).alias("containment"),
+    ).unionByName(
+        class_pairs.select(
+            F.col("__cb").alias("__src"),
+            F.col("__ca").alias("__dst"),
+            (F.col("__i") / F.col("__nb")).alias("containment"),
+        )
+    ).where(F.col("containment") >= threshold)
+    inter = (
+        directional.join(
+            members.select(F.col("__cls").alias("__src"), F.col("__id").alias("__is")),
+            "__src",
+        )
+        .join(
+            members.select(F.col("__cls").alias("__dst"), F.col("__id").alias("__id_d")),
+            "__dst",
+        )
+        .select(
+            F.col("__is").alias("src_id"),
+            F.col("__id_d").alias("dst_id"),
+            "containment",
+        )
+        .where(F.col("src_id") != F.col("dst_id"))
+    )
+    # intra-class: identical non-empty sets contain each other fully —
+    # emit BOTH directions (directional semantics)
+    intra_members = members.join(
+        classes.where((F.col("__m") > 1) & (F.col("__n") > 0)).select("__cls"),
+        "__cls",
+    )
+    intra = (
+        intra_members.alias("x")
+        .join(
+            intra_members.alias("y"),
+            (F.col("x.__cls") == F.col("y.__cls"))
+            & (F.col("x.__id") != F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    if threshold > 1.0:
+        return inter
+    return inter.unionByName(intra)

@@ -79,3 +79,27 @@ def test_driver_window_is_exactly_fifty_registered_goldens():
     assert not unknown, f"window entries not in GOLDEN: {unknown}"
     # and the head of queries() is exactly the window, in order
     assert list(e.queries())[:50] == list(names)
+
+
+def test_containment_join_directional_semantics(spark):
+    """A doc fully inside a bigger doc must emit src->dst at 1.0 while
+    the reverse direction stays below threshold; identical docs emit
+    both directions at 1.0."""
+    from mr_dice_spark.operators.dedup import ngram_containment_join
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "alpha beta gamma delta epsilon"      # 3 shingles, all in big
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, big), (4, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in ngram_containment_join(df, "doc_id", "text", 0.9).collect()
+    }
+    # small -> big in both copies of big; big never fits inside small
+    assert got[(2, 1)] == 1.0 and got[(2, 3)] == 1.0
+    assert (1, 2) not in got and (3, 2) not in got
+    # exact copies: both directions
+    assert got[(1, 3)] == 1.0 and got[(3, 1)] == 1.0
+    assert not any(4 in p for p in got)
