@@ -62,17 +62,19 @@ _CHECK_FIRST = [
     "streaming_psi_drift",            # drift monitor on the stream engine
     "quality_percentile_blend_docs",  # quantile-normalized signal blend
     "ngram_containment_subset_dedup", # directional asymmetric-Jaccard
+    "kfold_assign_docs",              # leakage-safe k-fold hash assign
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (nine r1 rows — scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (ten r1 rows — scalar_functions_probe, demo2_groupby_count,
     # optimade_length_known, events_json_props, rollup_flag_status,
     # stats_value_by_type, histogram_value_buckets,
-    # events_cohort_retention, fair_quota_two_level — yield their slots
-    # to the nine goldens added late this round, which would otherwise
+    # events_cohort_retention, fair_quota_two_level,
+    # per_group_topk_events — yield their slots to the ten goldens added
+    # late this round, which would otherwise
     # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
@@ -85,7 +87,6 @@ _CHECK_FIRST = [
     "minhash_signatures_portable",
     "optimade_filter_compile",
     "optimade_has_predicates",
-    "per_group_topk_events",
     "q14_promo_revenue",
     "simhash_fingerprints_portable",
     "simhash_near_dup_pairs",

@@ -75,6 +75,32 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+_KFOLD_SEED = "fold/v1"
+
+
+def _kfold_oracle() -> str:
+    return f"""
+SELECT doc_id, CAST({_bucket_sql('doc_id', _KFOLD_SEED)} % 5 AS INT) AS fold
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@golden("kfold_assign_docs", _kfold_oracle(), tags=("sampling", "kfold", "documents"))
+def kfold_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment over documents: fold is a pure
+    function of (doc_id, seed) via the portable md5-prefix hash — stable
+    under repartitioning and incremental corpus growth (adding documents
+    never moves existing rows between folds, which a rank-based equal
+    split could not guarantee). One narrow expression, no shuffle."""
+    from mr_dice_spark.operators.sampling import kfold_assign
+
+    docs = Catalog(spark, sf_dir).documents
+    return kfold_assign(docs, "doc_id", k=5, seed=_KFOLD_SEED).select(
+        "doc_id", "fold"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # corpus-adaptive length outlier gate
 # ---------------------------------------------------------------------------

@@ -478,3 +478,31 @@ def mixture_upsample_epochs(
         F.array().cast("array<int>")
     )
     return df.join(bdim, group_col).withColumn("epoch", F.explode(eps)).drop("__epochs")
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    seed: str = "",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: every row gains
+    ``fold`` in [0, k), a pure function of (key, seed) — the k-way
+    sibling of split_assign with the same leakage contract: key on a
+    GROUP id (domain, dedup-cluster representative) and all of a group's
+    rows share a fold, so near-duplicates never straddle a train/eval
+    boundary. Folds are hash-uniform (sizes binomial around n/k, not
+    exactly equal — exact equality would need a global rank, and fold
+    membership would then depend on the rest of the corpus, breaking
+    incremental stability: adding documents must not move old rows
+    between folds).
+
+    Scale shape: one narrow per-row expression over the portable hash —
+    no shuffle, no aggregate; ``fold`` is a zero-cost partition key for
+    the downstream write."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    return df.withColumn(
+        out_col, (hash_bucket(F.col(key_col), seed) % k).cast("int")
+    )

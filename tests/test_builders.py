@@ -195,3 +195,31 @@ def test_match_pattern_contiguity_and_validation(spark):
                       {"view": "v", "click": "v"}, "v+")
     with pytest.raises(ValueError):  # non-letter
         match_pattern(df, "user_id", "event_type", "ts", {"view": "."}, "v")
+
+
+def test_kfold_assign_stability_and_grouping(spark):
+    """Fold is a pure function of (key, seed): repartitioning doesn't
+    move rows, same key -> same fold (group-leakage contract), seeds
+    decorrelate, k validates."""
+    import pytest
+
+    from mr_dice_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "id long, grp long"
+    )
+    a = {r["id"]: r["fold"] for r in kfold_assign(df, "grp", 5).collect()}
+    b = {r["id"]: r["fold"]
+         for r in kfold_assign(df.repartition(13), "grp", 5).collect()}
+    assert a == b
+    # group keying: every row of a group shares its fold
+    by_grp = {}
+    for i, f in a.items():
+        by_grp.setdefault(i % 7, set()).add(f)
+    assert all(len(s) == 1 for s in by_grp.values())
+    assert set(a.values()) <= set(range(5))
+    c = {r["id"]: r["fold"]
+         for r in kfold_assign(df, "grp", 5, seed="v2/").collect()}
+    assert c != a
+    with pytest.raises(ValueError):
+        kfold_assign(df, "grp", 1)

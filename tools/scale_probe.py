@@ -115,6 +115,9 @@ PROBES = [
     "streaming_psi_drift",
     "bigram_lm_quality",
     "pmi_collocations_top",
+    "quality_percentile_blend_docs",
+    "ngram_containment_subset_dedup",
+    "kfold_assign_docs",
 ]
 
 
