@@ -27,6 +27,11 @@ SENSITIVE = [
     "kmeans_embedding_clusters",    # float mean quantization per sweep
     "cluster_balanced_subsample",   # clustering feeding hash-rank sample
     "weighted_sample_by_length",    # global top-n with hash/id tiebreak
+    # round-5 continuation order-sensitive shapes
+    "events_pattern_match",         # sorted collect_list -> regex scan
+    "pmi_collocations_top",         # global top-k at a rounded-tie boundary
+    "embedding_single_linkage",     # iterative label propagation fixpoint
+    "value_drift_psi_events",       # percentile edges feed literal folds
 ]
 
 
