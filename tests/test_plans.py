@@ -874,3 +874,64 @@ def test_overlap_join_prefix_filter_prunes_frequent_keys(spark, sf_dir):
     plan = physical_plan(out)
     assert "array_intersect" in plan
     assert not has_cartesian(out)
+
+
+def test_pmi_global_topk_take_ordered(spark, sf_dir):
+    """PMI's global top-k must be TakeOrderedAndProject, never a full
+    Sort (finding-11 shape); the unigram dim must join by key, not
+    broadcast — the vocabulary grows with the corpus."""
+    df = GOLDEN["pmi_collocations_top"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_blend_scoring_scan_shuffle_free(spark, sf_dir):
+    """After the bounded edge collects, the blend is ONE narrow scan:
+    literal-fold bucket lookups, no exchange, no join, no window."""
+    from mr_dice_spark.operators.curation import quality_percentile_blend
+    from mr_dice_spark.plans.inspect import shuffle_count
+
+    docs = Catalog(spark, sf_dir).documents
+    sig = docs.select(
+        "doc_id", F.length("text").cast("double").alias("n_chars")
+    )
+    out = quality_percentile_blend(sig, "doc_id", {"n_chars": 1.0}, n_bins=10)
+    assert shuffle_count(out) == 0
+    plan = physical_plan(out)
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_match_pattern_single_user_shuffle(spark, sf_dir):
+    """Sequence assembly is ONE user-keyed exchange; the regex scan and
+    match explode add no more."""
+    from mr_dice_spark.plans.inspect import shuffle_count
+
+    df = GOLDEN["events_pattern_match"].spark(spark, sf_dir)
+    # one exchange for the groupBy user; the trailing orderBy in the
+    # golden adds a range exchange for presentation only
+    assert shuffle_count(df) <= 2
+    assert not has_cartesian(df)
+
+
+def test_psi_no_window_exec_no_cartesian(spark, sf_dir):
+    """PSI totals attach via a broadcast one-row aggregate — the plan
+    must contain no WindowExec (the single-partition hazard) at all."""
+    df = GOLDEN["value_drift_psi_events"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert not has_cartesian(df) or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_lm_model_dims_not_hinted_broadcast(spark, sf_dir):
+    """The bigram/context model tables grow with the corpus, so the
+    operator must not FORCE them broadcast (the decontaminate rule) —
+    at fixture scale Catalyst may still auto-broadcast from size stats,
+    which is the correct adaptive outcome; the pin is on the HINTS: the
+    analyzed plan carries exactly one broadcast hint (the 1-row V
+    frame), leaving model-join strategy to the optimizer at scale."""
+    from mr_dice_spark.operators.terms import bigram_lm_score
+
+    docs = Catalog(spark, sf_dir).documents
+    out = bigram_lm_score(docs, "doc_id", "text")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
