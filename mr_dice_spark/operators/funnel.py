@@ -210,9 +210,6 @@ def match_pattern(
     if empty:
         raise ValueError("pattern must not match the empty string")
 
-    ch = F.lit(None).cast("string")
-    for ty, c in alphabet.items():
-        ch = F.when(F.col("__e")["ty"] == ty, F.lit(c)).otherwise(ch)
     evs = (
         df.where(
             F.col(type_col).isin(list(alphabet))

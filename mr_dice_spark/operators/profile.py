@@ -264,6 +264,11 @@ def psi_edges(df: DataFrame, value_col: str, n_bins: int) -> list[float]:
         )
         .first()
     )
+    if edges_row is None or any(e is None for e in edges_row["edges"]):
+        raise ValueError(
+            f"psi_edges: baseline has no non-null {value_col!r} values — "
+            "no distribution to bin against"
+        )
     return [float(e) for e in edges_row["edges"]]
 
 
@@ -306,10 +311,20 @@ def psi_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
     totals = counts.agg(
         F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
     )
-    share_old = F.round(F.col("n_old") / F.col("__to") + F.lit(1e-9), 6)
-    share_new = F.round(F.col("n_new") / F.col("__tn") + F.lit(1e-9), 6)
+    # an empty snapshot degrades to NULL shares/terms rather than an
+    # opaque ANSI divide-by-zero mid-job
+    share_old = F.when(
+        F.col("__to") > 0, F.round(F.col("n_old") / F.col("__to") + F.lit(1e-9), 6)
+    )
+    share_new = F.when(
+        F.col("__tn") > 0, F.round(F.col("n_new") / F.col("__tn") + F.lit(1e-9), 6)
+    )
     p = F.greatest(F.col("share_old"), F.lit(float(eps)))
     q = F.greatest(F.col("share_new"), F.lit(float(eps)))
+    term = F.when(
+        F.col("share_old").isNotNull() & F.col("share_new").isNotNull(),
+        F.round((q - p) * F.log(q / p) + F.lit(1e-9), 6),
+    )
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(
@@ -319,8 +334,5 @@ def psi_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
             share_old.alias("share_old"),
             share_new.alias("share_new"),
         )
-        .select(
-            "*",
-            F.round((q - p) * F.log(q / p) + F.lit(1e-9), 6).alias("psi_term"),
-        )
+        .select("*", term.alias("psi_term"))
     )

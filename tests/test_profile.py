@@ -143,3 +143,22 @@ def test_psi_drift_identity_and_emptied_bin(spark):
     assert total > 0.25  # way past the "shifted" reading
     with pytest.raises(ValueError):
         psi_drift(old, new, "v", n_bins=1)
+
+
+def test_psi_drift_empty_side_degrades_not_errors(spark):
+    """An empty COMPARISON snapshot yields NULL shares and NULL psi
+    terms (never an ANSI divide-by-zero mid-job, never an eps-floored
+    pseudo-drift); an empty BASELINE has no distribution to bin against
+    and fails fast with a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.profile import psi_drift
+
+    old = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    empty = old.where(F.col("v") < 0)
+    rows = psi_drift(old, empty, "v", n_bins=5).collect()
+    assert len(rows) == 5
+    assert all(r["share_new"] is None and r["psi_term"] is None for r in rows)
+    with pytest.raises(ValueError, match="no non-null"):
+        psi_drift(empty, old, "v", n_bins=5)
