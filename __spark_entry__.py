@@ -42,6 +42,7 @@ _CHECK_FIRST = [
     "quarantine_ingest_audit",        # PERMISSIVE parse + bad-record capture
     "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
     "jpeg_progressive_decode_dedup",  # SOF2 multi-scan decode, same oracle
+    "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
     "bloom_decontamination_prescreen",  # fixed-size broadcast gram filter
@@ -69,12 +70,12 @@ _CHECK_FIRST = [
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (ten r1 rows — scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (eleven r1 rows — scalar_functions_probe, demo2_groupby_count,
     # optimade_length_known, events_json_props, rollup_flag_status,
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
-    # per_group_topk_events — yield their slots to the ten goldens added
-    # late this round, which would otherwise
+    # per_group_topk_events, join_semi_customers_with_orders — yield
+    # their slots to the eleven goldens added late this round, which would otherwise
     # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
@@ -83,7 +84,6 @@ _CHECK_FIRST = [
     "embedding_label_centroids",
     "federation_dedup_quota",
     "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
     "minhash_signatures_portable",
     "optimade_filter_compile",
     "optimade_has_predicates",

@@ -469,3 +469,39 @@ def jpeg_progressive_decode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     media = docs.select("doc_id", fixture("text").alias("payload"))
     out = image_dedup_ahash(media, id_col="doc_id")
     return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")
+
+
+@golden(
+    "gif_decode_ahash_dedup",
+    AHASH_DEDUP_ORACLE,
+    tags=("multimodal", "image", "gif", "dedup", "ahash"),
+)
+def gif_decode_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image_ahash_dedup chain with the fixture encoded as GIF89a
+    instead of BMP: the payload now passes through palette construction,
+    real dictionary LZW compression, sub-block framing, and the decoder's
+    variable-width LSB-first code reassembly (multimodal/gif.py). GIF is
+    LOSSLESS, so the decoded pixels — and therefore the hash and the
+    canonical-survivor assignment — must equal the BMP path bit for bit,
+    and the SAME character-arithmetic oracle applies verbatim. An 8x8
+    image has at most 64 unique colors, safely inside GIF's indexed-256
+    envelope."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.gif import encode_gif
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = ((t or "")[:192]).ljust(192, "x")
+            vals = [min(ord(c), 255) for c in s]
+            img = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+            out.append(encode_gif(img))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    out = image_dedup_ahash(media, id_col="doc_id")
+    return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")

@@ -1,11 +1,12 @@
 """Codec layer: real decoders where pure stdlib+numpy can carry them,
 deterministic STUB decoders otherwise.
 
-REAL paths (no Pillow/librosa/PyAV needed): PNG/BMP/JPEG header probes,
-BMP and PNG pixel decode (decode_pixels below), baseline AND progressive
-JPEG pixel decode including the entropy layer (multimodal/jpeg.py:
-Huffman + successive approximation + IDCT), WAV PCM signal stats,
-MP4/AVI container walks and TRUE sample extraction. The remaining stubbed boundary is VIDEO FRAME pixels
+REAL paths (no Pillow/librosa/PyAV needed): PNG/GIF/BMP/JPEG header
+probes, BMP, PNG, and GIF pixel decode (decode_pixels below; GIF is the
+pure-stdlib LZW in multimodal/gif.py, lossless byte-exact round-trips),
+baseline AND progressive JPEG pixel decode including the entropy layer
+(multimodal/jpeg.py: Huffman + successive approximation + IDCT), WAV
+PCM signal stats, MP4/AVI container walks and TRUE sample extraction. The remaining stubbed boundary is VIDEO FRAME pixels
 (H.264-class codecs genuinely need ffmpeg); ``FAKE_*`` functions derive
 metadata and "pixels" deterministically from the raw bytes (length +
 rolling checksum) for everything outside the real envelope. The
@@ -68,9 +69,10 @@ def fake_decode_image(payload: Optional[bytes]) -> Optional[dict]:
 
 
 def real_probe_image(payload: bytes) -> Optional[dict]:
-    """REAL header probe for PNG / BMP / JPEG using only the stdlib —
-    no Pillow needed for metadata. Returns None when the payload is not
-    one of these containers (caller falls back to the stub).
+    """REAL header probe for PNG / GIF / BMP / JPEG using only the
+    stdlib — no Pillow needed for metadata. Returns None when the
+    payload is not one of these containers (caller falls back to the
+    stub).
 
     * PNG: IHDR is always the first chunk — width/height big-endian at
       fixed offsets 16/20; channels from the color type.
@@ -88,6 +90,11 @@ def real_probe_image(payload: bytes) -> Optional[dict]:
         color_type = payload[25] if len(payload) > 25 else 6
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
         return {"width": w, "height": h, "channels": channels, "format": "png"}
+    if len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
+            return None
+        return {"width": w, "height": h, "channels": 3, "format": "gif"}
     if len(payload) >= 30 and payload[:2] == b"BM":
         # 'BM' alone matches ASCII text; demand a plausible DIB header
         # (known header size, sane data offset and geometry) before
@@ -182,9 +189,11 @@ def fake_image_features(payload: Optional[bytes], dim: int = 8) -> Optional[list
 def decode_pixels(payload: Optional[bytes]):
     """REAL pixel decode for uncompressed 24-bit BMP, 8-bit
     gray/RGB/RGBA non-interlaced PNG (stdlib struct + zlib + numpy),
-    and baseline-sequential OR progressive (SOF2) JPEG (the pure-stdlib
-    entropy decoder in multimodal/jpeg.py: Huffman + dequant + IDCT +
-    chroma upsample; progressive scans accumulate coefficients first).
+    single-frame GIF87a/89a incl. interlace (pure-stdlib LZW,
+    multimodal/gif.py), and baseline-sequential OR progressive (SOF2)
+    JPEG (the pure-stdlib entropy decoder in multimodal/jpeg.py:
+    Huffman + dequant + IDCT + chroma upsample; progressive scans
+    accumulate coefficients first).
     Returns an (H, W, C) uint8 ndarray, or None when the payload is
     none of these (caller falls back to stub behavior); arithmetic /
     lossless / 12-bit JPEG likewise degrade to the stub path."""
@@ -199,6 +208,10 @@ def decode_pixels(payload: Optional[bytes]):
         from mr_dice_spark.multimodal.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from mr_dice_spark.multimodal.gif import decode_gif_pixels
+
+        return decode_gif_pixels(payload)
     if len(payload) >= 30 and payload[:2] == b"BM":
         data_off = struct.unpack("<I", payload[10:14])[0]
         dib = struct.unpack("<I", payload[14:18])[0]

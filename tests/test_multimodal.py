@@ -1222,3 +1222,73 @@ def test_jpeg_progressive_truncated_fails_closed():
     img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     enc = encode_jpeg_progressive(img)
     assert decode_jpeg_pixels(enc[: len(enc) - 12]) is None
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (multimodal/gif.py) — lossless LZW, byte-exact round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_byte_exact_incl_interlace_and_saturation():
+    """GIF is lossless: any <=256-color image round-trips BYTE-EXACT,
+    including interlaced storage and images large enough to saturate the
+    4096-entry LZW table (forcing mid-stream CLEAR resets)."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.gif import decode_gif_pixels, encode_gif
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    for shape, inter in [((1, 1), False), ((9, 13), False), ((9, 13), True),
+                         ((33, 7), True)]:
+        img = pal[rng.integers(0, 17, shape)]
+        dec = decode_gif_pixels(encode_gif(img, interlace=inter))
+        assert np.array_equal(dec, img), (shape, inter)
+    big = pal[rng.integers(0, 17, (150, 320))]
+    assert np.array_equal(decode_gif_pixels(encode_gif(big)), big)
+    # 256-color edge and 2-color edge
+    pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal256[np.arange(256).reshape(16, 16)]
+    assert np.array_equal(decode_gif_pixels(encode_gif(img)), img)
+    two = np.where(rng.integers(0, 2, (8, 8, 1)).astype(bool), 255, 0).astype(np.uint8)
+    dec = decode_gif_pixels(encode_gif(two[:, :, 0]))
+    assert np.array_equal(dec[:, :, 0], two[:, :, 0])
+
+
+def test_gif_unsupported_and_corrupt_fail_closed():
+    import numpy as np
+    import pytest
+
+    from mr_dice_spark.multimodal.gif import decode_gif_pixels, encode_gif
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 2, (10, 10), dtype=np.uint8) * 200
+    enc = bytearray(encode_gif(img))
+    assert decode_gif_pixels(bytes(enc[: len(enc) - 6])) is None  # truncated
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(b"plain text that is long enough") is None
+    assert decode_gif_pixels(None) is None
+    # partial frame (animation compositing) is out of scope: shrink the
+    # image descriptor's width field
+    at = bytes(enc).index(b"\x2c")
+    mod = bytearray(enc)
+    mod[at + 5] = mod[at + 5] - 1  # w low byte
+    assert decode_gif_pixels(bytes(mod)) is None
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_probe_and_decode_pixels_dispatch():
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import decode_pixels, real_probe_image
+    from mr_dice_spark.multimodal.gif import encode_gif
+
+    rng = np.random.default_rng(5)
+    pal = np.array([[10, 20, 30], [200, 100, 0], [5, 5, 5]], dtype=np.uint8)
+    img = pal[rng.integers(0, 3, (11, 17))]
+    enc = encode_gif(img)
+    assert real_probe_image(enc) == {
+        "width": 17, "height": 11, "channels": 3, "format": "gif"
+    }
+    assert np.array_equal(decode_pixels(enc), img)

@@ -118,6 +118,7 @@ PROBES = [
     "quality_percentile_blend_docs",
     "ngram_containment_subset_dedup",
     "kfold_assign_docs",
+    "gif_decode_ahash_dedup",
 ]
 
 
