@@ -59,6 +59,7 @@ _CHECK_FIRST = [
     "embedding_single_linkage",       # epsilon-graph agglomerative cut
     "value_drift_psi_events",         # PSI distribution drift, planted shift
     "bigram_lm_quality",              # order-sensitive add-k bigram LM
+    "corpus_distinct_ngram_diversity",  # distinct-1/2/3 collapse signal
     "pmi_collocations_top",           # top-k PMI phrase mining
     "streaming_psi_drift",            # drift monitor on the stream engine
     "quality_percentile_blend_docs",  # quantile-normalized signal blend
@@ -70,17 +71,17 @@ _CHECK_FIRST = [
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (eleven r1 rows — scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (twelve r1 rows (scalar_functions_probe, demo2_groupby_count,
     # optimade_length_known, events_json_props, rollup_flag_status,
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
-    # per_group_topk_events, join_semi_customers_with_orders — yield
-    # their slots to the eleven goldens added late this round, which would otherwise
+    # per_group_topk_events, join_semi_customers_with_orders,
+    # deterministic_sample_events) yield their slots to the twelve
+    # goldens added late this round, which would otherwise
     # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
     "dedup_exact_documents",
-    "deterministic_sample_events",
     "embedding_label_centroids",
     "federation_dedup_quota",
     "join_anti_customers_without_orders",

@@ -2224,6 +2224,54 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+DIVERSITY_ORACLE = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g1 AS (SELECT unnest(w) AS g FROM w),
+g2 AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM w WHERE len(w) >= 2
+),
+g3 AS (
+  SELECT unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM w WHERE len(w) >= 3
+),
+s AS (
+  SELECT 1 AS n, CAST(COUNT(*) AS BIGINT) AS total_grams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams FROM g1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT g) AS BIGINT) FROM g2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT g) AS BIGINT) FROM g3
+)
+SELECT n, total_grams, distinct_grams,
+       CASE WHEN total_grams > 0
+            THEN ROUND(1e-9 + distinct_grams / CAST(total_grams AS DOUBLE), 6)
+       END AS distinct_ratio
+FROM s
+ORDER BY n
+"""
+
+
+@golden(
+    "corpus_distinct_ngram_diversity",
+    DIVERSITY_ORACLE,
+    tags=("text", "diversity", "observability"),
+)
+def corpus_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/-2/-3 corpus diversity ratios (the Li-et-al generation
+    metric turned corpus QA signal): templated or mirror-heavy sources
+    collapse distinct-2 long before exact dedup fires. One gram-keyed
+    count-distinct aggregate per n with map-side partial dedup."""
+    from mr_dice_spark.operators.terms import distinct_ngram_diversity
+
+    docs = Catalog(spark, sf_dir).documents
+    return distinct_ngram_diversity(docs, "text", max_n=3).orderBy("n")
+
+
 PMI_ORACLE = r"""
 WITH w AS (
   SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w

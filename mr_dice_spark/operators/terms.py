@@ -419,3 +419,72 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k))
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    text_col: str,
+    max_n: int = 3,
+) -> DataFrame:
+    """Corpus diversity dashboard: for each n in 1..max_n, the corpus
+    distinct-n ratio ``distinct n-grams / total n-grams`` — the
+    generation-diversity metric (distinct-1/-2 of Li et al.) applied to
+    corpus QA: a crawl dominated by templated boilerplate shows distinct-2
+    collapsing long before exact dedup fires, the earliest signal that a
+    source is synthetic or mirror-heavy. Returns one row per n:
+    ``(n, total_grams, distinct_grams, distinct_ratio)`` nudge-rounded
+    to 6.
+
+    Scale shape: one scan per n (narrow in-row pairing — no positional
+    window), each a gram-keyed count-distinct aggregate with map-side
+    partial dedup; the per-n results are 1-row frames unioned into a
+    max_n-row output. Total = Σ per-doc (len - n + 1), computed in the
+    same aggregate."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1: {max_n}")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    docs_w = df.select(words.alias("__w"))
+    out = None
+    for n in range(1, max_n + 1):
+        if n == 1:
+            grams_col = F.col("__w")
+        else:
+            size = F.size(F.col("__w"))
+            idx = F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(0)))
+            grams_col = F.when(
+                F.size(F.col("__w")) >= n,
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("__w"), (i + j).cast("int"))
+                            for j in range(n)
+                        ],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        stats = (
+            docs_w.select(F.explode(grams_col).alias("__g"))
+            .agg(
+                F.count(F.lit(1)).alias("total_grams"),
+                F.count_distinct("__g").alias("distinct_grams"),
+            )
+            .select(
+                F.lit(n).alias("n"),
+                "total_grams",
+                "distinct_grams",
+                F.when(
+                    F.col("total_grams") > 0,
+                    F.round(
+                        F.col("distinct_grams") / F.col("total_grams")
+                        + F.lit(1e-9),
+                        6,
+                    ),
+                ).alias("distinct_ratio"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

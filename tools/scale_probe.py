@@ -119,6 +119,7 @@ PROBES = [
     "ngram_containment_subset_dedup",
     "kfold_assign_docs",
     "gif_decode_ahash_dedup",
+    "corpus_distinct_ngram_diversity",
 ]
 
 
