@@ -95,6 +95,8 @@ def real_probe_image(payload: bytes) -> Optional[dict]:
         if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM):
             return None
         return {"width": w, "height": h, "channels": 3, "format": "gif"}
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _probe_tiff(payload)
     if len(payload) >= 30 and payload[:2] == b"BM":
         # 'BM' alone matches ASCII text; demand a plausible DIB header
         # (known header size, sane data offset and geometry) before
@@ -184,6 +186,74 @@ def fake_image_features(payload: Optional[bytes], dim: int = 8) -> Optional[list
     if not payload:
         return [0.0] * dim
     return [sum(payload[i::dim]) % 997 / 997.0 for i in range(dim)]
+
+
+def _probe_tiff(payload: bytes) -> Optional[dict]:
+    """REAL TIFF metadata probe: walk the FIRST IFD of a little- or
+    big-endian classic TIFF and read ImageWidth (256), ImageLength (257)
+    and SamplesPerPixel (277). Tag values of type SHORT or LONG are
+    inline in the 12-byte entry when they fit — the only case geometry
+    tags use in practice; offset-stored or other-typed geometry fails
+    closed. Pixel decode is deliberately out of scope (TIFF is a
+    container of dozens of layouts/compressions; the probe is real, the
+    pixels degrade to the stub path — the same envelope honesty as the
+    video codecs)."""
+    import struct
+
+    le = payload[:2] == b"II"
+    e = "<" if le else ">"
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    if n_entries == 0 or n_entries > 4096:
+        return None
+    w = h = None
+    spp = 1
+    for k in range(n_entries):
+        at = ifd_off + 2 + 12 * k
+        if at + 12 > len(payload):
+            return None
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[at : at + 8])
+        if tag not in (256, 257, 277) or cnt != 1:
+            continue
+        if typ == 3:  # SHORT: inline, left-justified in the value field
+            (v,) = struct.unpack(e + "H", payload[at + 8 : at + 10])
+        elif typ == 4:  # LONG: inline
+            (v,) = struct.unpack(e + "I", payload[at + 8 : at + 12])
+        else:
+            return None  # offset-stored geometry: out of the honest envelope
+        if tag == 256:
+            w = v
+        elif tag == 257:
+            h = v
+        else:
+            spp = v
+    if w is None or h is None:
+        return None
+    if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM and 1 <= spp <= 4):
+        return None
+    return {"width": w, "height": h, "channels": spp, "format": "tiff"}
+
+
+def encode_tiff_stub(
+    width: int, height: int, channels: int = 3, big_endian: bool = False
+) -> bytes:
+    """Fixture generator: a minimal classic TIFF (header + one IFD with
+    geometry tags, no pixel data) for probe tests — the same role as
+    encode_mp4_stub."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(e + "I", 8)  # IFD immediately after header
+    entries = [(256, width), (257, height), (277, channels)]
+    out += struct.pack(e + "H", len(entries))
+    for tag, v in entries:
+        out += struct.pack(e + "HHI", tag, 4, 1) + struct.pack(e + "I", v)
+    out += struct.pack(e + "I", 0)  # no next IFD
+    return bytes(out)
 
 
 def decode_pixels(payload: Optional[bytes]):

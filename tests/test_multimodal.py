@@ -1292,3 +1292,25 @@ def test_gif_probe_and_decode_pixels_dispatch():
         "width": 17, "height": 11, "channels": 3, "format": "gif"
     }
     assert np.array_equal(decode_pixels(enc), img)
+
+
+def test_tiff_probe_both_endians_and_fail_closed():
+    """real_probe_image walks a classic TIFF's first IFD in either byte
+    order; truncated or geometry-less TIFFs fail closed to the stub."""
+    from mr_dice_spark.multimodal.codecs import encode_tiff_stub, real_probe_image
+
+    for be in (False, True):
+        p = encode_tiff_stub(640, 480, 3, big_endian=be)
+        assert real_probe_image(p) == {
+            "width": 640, "height": 480, "channels": 3, "format": "tiff"
+        }, be
+    gray = encode_tiff_stub(12, 7, 1)
+    assert real_probe_image(gray)["channels"] == 1
+    p = encode_tiff_stub(640, 480)
+    assert real_probe_image(p[:9]) is None          # truncated IFD
+    assert real_probe_image(b"II*\x00\xff\xff\xff\xff") is None  # wild offset
+    # IFD without geometry tags
+    import struct
+    bad = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1) \
+        + struct.pack("<HHI", 277, 4, 1) + struct.pack("<I", 3) + struct.pack("<I", 0)
+    assert real_probe_image(bad) is None
