@@ -1123,11 +1123,111 @@ def real_probe_wav(payload: bytes) -> Optional[dict]:
     }
 
 
+# MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables, indexed
+# by the frame-header fields (ISO/IEC 11172-3 / 13818-3). Index 0 ("free"
+# bitrate) and 15 are rejected — a probe cannot size free-format frames.
+_MP3_BITRATES = {
+    1: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def real_probe_mp3(payload: bytes) -> Optional[dict]:
+    """REAL MPEG Layer III frame-header probe: skips an ID3v2 tag, then
+    walks consecutive frame headers (sync + version/layer/bitrate/rate
+    arithmetic sizes each frame: 144 * bitrate / rate + padding, halved
+    for MPEG-2/2.5), counting frames and accumulating exact duration
+    (1152 or 576 samples per frame). Demands >= 2 consecutive valid
+    frames before claiming the payload — a lone 0xFFEx bigram in binary
+    noise must not probe as MP3. Truncated tails stop the walk; what was
+    walked is reported (the WAV truncation contract). Pixel... sample
+    decode (Huffman + IMDCT + synthesis filterbank) stays stubbed."""
+    import struct
+
+    if payload is None or len(payload) < 4:
+        return None
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit size
+        sz = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                return None
+            sz = (sz << 7) | b
+        i = 10 + sz
+    n_frames = 0
+    samples = 0
+    rate_out = None
+    ch_out = None
+    while i + 4 <= len(payload):
+        hdr = struct.unpack(">I", payload[i : i + 4])[0]
+        if (hdr >> 21) != 0x7FF:
+            break
+        version = (hdr >> 19) & 0x03   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (hdr >> 17) & 0x03     # 1 = Layer III
+        if version == 1 or layer != 1:
+            break
+        br_i = (hdr >> 12) & 0x0F
+        sr_i = (hdr >> 10) & 0x03
+        pad = (hdr >> 9) & 0x01
+        mode = (hdr >> 6) & 0x03
+        if br_i in (0, 15) or sr_i == 3:
+            break
+        bitrate = _MP3_BITRATES[1 if version == 3 else 2][br_i] * 1000
+        rate = _MP3_RATES[version][sr_i]
+        spf = 1152 if version == 3 else 576
+        size = (spf // 8) * bitrate // rate + pad
+        if size < 4 or i + size > len(payload):
+            break
+        rate_out = rate
+        ch_out = 1 if mode == 3 else 2
+        n_frames += 1
+        samples += spf
+        i += size
+    if n_frames < 2:
+        return None
+    return {
+        "sample_rate": rate_out,
+        "n_samples": samples,
+        "n_channels": ch_out,
+        "format": "mp3",
+    }
+
+
+def encode_mp3_stub(
+    n_frames: int = 10, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    stereo: bool = True, id3_size: int = 0,
+) -> bytes:
+    """Fixture generator: syntactically-valid MPEG-1 Layer III frame
+    headers with zeroed payloads (and optionally a leading ID3v2 tag) —
+    enough structure for the probe's walk, no audible content."""
+    import struct
+
+    br_i = _MP3_BITRATES[1].index(bitrate_kbps)
+    sr_i = _MP3_RATES[3].index(sample_rate)
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + bytes(id3_size)
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)  # MPEG1 L3 +CRC-less
+    hdr |= (br_i << 12) | (sr_i << 10) | ((0 if stereo else 3) << 6)
+    size = 144 * bitrate_kbps * 1000 // sample_rate
+    for _ in range(n_frames):
+        out += struct.pack(">I", hdr) + bytes(size - 4)
+    return bytes(out)
+
+
 def decode_audio(payload: Optional[bytes]) -> Optional[dict]:
     if payload is None:
         return None
     try:
         real = real_probe_wav(payload)
+        if real is None:
+            real = real_probe_mp3(payload)
     except Exception:
         real = None
     return real if real is not None else fake_decode_audio(payload)

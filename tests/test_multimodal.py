@@ -1314,3 +1314,36 @@ def test_tiff_probe_both_endians_and_fail_closed():
     bad = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1) \
         + struct.pack("<HHI", 277, 4, 1) + struct.pack("<I", 3) + struct.pack("<I", 0)
     assert real_probe_image(bad) is None
+
+
+def test_mp3_probe_frame_walk_and_dispatch():
+    """real_probe_mp3 walks consecutive Layer III frame headers (with or
+    without an ID3v2 tag), reports exact sample counts, demands >= 2
+    frames so binary noise with one sync bigram stays on the stub path,
+    and stops cleanly at truncation."""
+    from mr_dice_spark.multimodal.codecs import (
+        decode_audio,
+        encode_mp3_stub,
+        fake_decode_audio,
+        real_probe_mp3,
+    )
+
+    p = encode_mp3_stub(n_frames=10, bitrate_kbps=128, sample_rate=44100)
+    got = real_probe_mp3(p)
+    assert got == {
+        "sample_rate": 44100, "n_samples": 11520, "n_channels": 2,
+        "format": "mp3",
+    }
+    assert decode_audio(p) == got  # dispatch takes the real path
+    # ID3v2 tag skipped; mono flag honored
+    q = encode_mp3_stub(n_frames=3, stereo=False, id3_size=57)
+    gq = real_probe_mp3(q)
+    assert gq["n_channels"] == 1 and gq["n_samples"] == 3 * 1152
+    # one lone frame: not claimed
+    assert real_probe_mp3(encode_mp3_stub(n_frames=1)) is None
+    # truncation mid-frame reports only the complete frames
+    cut = real_probe_mp3(p[: len(p) - 10])
+    assert cut is not None and cut["n_samples"] == 9 * 1152
+    # arbitrary text and a fake 0xFF sync in noise -> stub path
+    assert real_probe_mp3(b"not audio at all, just text bytes") is None
+    assert decode_audio(b"\xff\xfbxx" + b"z" * 50) == fake_decode_audio(b"\xff\xfbxx" + b"z" * 50)
