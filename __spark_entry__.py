@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "events_pattern_match",           # MATCH_RECOGNIZE-style regex runs
     "recursive_hierarchy_chain",      # WITH RECURSIVE on the SQL surface
     "events_transition_matrix",       # first-order Markov transitions
+    "frequent_event_itemsets",        # (user,day) basket support mining
     "winsorize_values_by_type",       # exact-percentile clipping
     "mad_outliers_by_type",           # median/MAD robust outliers
     "cluster_balanced_subsample",     # kmeans -> per-cluster hash sample
@@ -71,18 +72,18 @@ _CHECK_FIRST = [
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (twelve r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (thirteen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # embedding_label_centroids,
     # optimade_length_known, events_json_props, rollup_flag_status,
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
     # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the twelve
+    # deterministic_sample_events) yield their slots to the thirteen
     # goldens added late this round, which would otherwise
     # never get a driver row; all three stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
     "dedup_exact_documents",
-    "embedding_label_centroids",
     "federation_dedup_quota",
     "join_anti_customers_without_orders",
     "minhash_signatures_portable",

@@ -935,6 +935,64 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+ITEMSETS_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         event_type AS it
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+nb AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT DISTINCT user_id, day FROM e)
+),
+u AS (
+  SELECT it AS itemset, 1 AS size, COUNT(*) AS support FROM e GROUP BY it
+  UNION ALL
+  SELECT a.it || ' ' || b.it, 2, COUNT(*)
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.day = b.day AND a.it < b.it
+  GROUP BY 1
+  UNION ALL
+  SELECT a.it || ' ' || b.it || ' ' || c.it, 3, COUNT(*)
+  FROM e a
+  JOIN e b ON a.user_id = b.user_id AND a.day = b.day AND a.it < b.it
+  JOIN e c ON a.user_id = c.user_id AND a.day = c.day AND b.it < c.it
+  GROUP BY 1
+)
+SELECT itemset, size, CAST(support AS BIGINT) AS support,
+       ROUND(1e-9 + support / nb.n, 6) AS support_ratio
+FROM u CROSS JOIN nb
+WHERE support >= 100
+ORDER BY itemset
+"""
+
+
+@golden(
+    "frequent_event_itemsets",
+    ITEMSETS_ORACLE,
+    tags=("events", "itemsets", "basket", "analytics"),
+)
+def frequent_event_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over (user, day) event baskets: which sets
+    of 1-3 event types co-occur in >= 100 baskets. The operator expands
+    candidate combinations IN-ROW from each basket's sorted distinct
+    items (no exploded-item self-joins); the oracle deliberately uses
+    the OPPOSITE algorithm — two- and three-way self-joins over distinct
+    (user, day, type) rows — so a combination-enumeration bug cannot be
+    mirrored. At sf0.01 all 5 singles, 10 pairs and 10 triples clear the
+    floor with distinct supports. The oracle's first CTE is pinned ``AS
+    MATERIALIZED``: inlined, DuckDB re-plans the thrice-referenced
+    DISTINCT subquery into a join that spills tens of GB at sf0.1;
+    materialized it runs in 0.25 s."""
+    from mr_dice_spark.operators.itemsets import frequent_itemsets
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
+    return frequent_itemsets(
+        ev, ["user_id", "day"], "event_type", min_support=100
+    ).orderBy("itemset")
+
+
 WINSORIZE_ORACLE = """
 WITH s AS (
   SELECT event_type,

@@ -1,0 +1,110 @@
+"""Frequent itemset mining over grouped baskets — market-basket /
+co-occurrence analytics for event streams: which sets of event types
+happen together within a (user, day), the classic support-counting
+primitive (Agrawal-Srikant Apriori's output at sizes 1-3).
+
+Design: baskets are DISTINCT item sets per group; size-2/3 candidate
+itemsets are enumerated IN-ROW from each basket's sorted item array
+(combination expansion via indexed slices — no self-joins over the
+exploded item table, which would shuffle the item stream twice per
+size), then one hash aggregate per size counts support with map-side
+combine. The in-row expansion is C(d, k) per basket, so a
+``max_basket_items`` guard fail-fasts baskets whose distinct-item count
+would explode the row (the cosine_pairs_exact circuit-breaker policy);
+typed event streams have single-digit d, where C(d, 3) is trivial. True
+Apriori level-wise candidate pruning only pays off when the item domain
+is large — that regime wants the self-join formulation, documented
+here, not silently slow expansion.
+
+Scale shape: one group-keyed aggregate to build baskets, then per size
+one narrow expansion + one itemset-keyed count aggregate; the basket
+count for support ratios is a 1-row broadcast cross join. Output is
+bounded by the frequent-itemset count, not the basket count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_support: int,
+    max_size: int = 3,
+    max_basket_items: int = 64,
+) -> DataFrame:
+    """(itemset, size, support, support_ratio): itemsets of 1..max_size
+    items appearing in >= ``min_support`` baskets, itemset rendered as
+    the sorted items joined with ' ' (deterministic identity),
+    support_ratio = support / n_baskets nudge-rounded to 6. A basket
+    supports an itemset if it contains ALL its items (set semantics —
+    multiplicity within a basket does not matter). NULL group keys or
+    items are excluded."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    if not 1 <= max_size <= 3:
+        raise ValueError(f"max_size must be 1..3: {max_size}")
+    nn = df
+    for c in [*basket_cols, item_col]:
+        nn = nn.where(F.col(c).isNotNull())
+    baskets = nn.groupBy(*basket_cols).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__items")
+    )
+    oversized = baskets.where(F.size("__items") > max_basket_items).limit(1)
+    if oversized.count() > 0:
+        raise ValueError(
+            f"frequent_itemsets: a basket exceeds max_basket_items="
+            f"{max_basket_items}; in-row C(d,k) expansion would explode — "
+            "use the self-join formulation for large item domains "
+            "(or raise the guard deliberately)"
+        )
+    n_b = baskets.agg(F.count(F.lit(1)).alias("__n"))
+    a = F.col("__items")
+    d = F.size(a)
+    sets_by_size = {1: F.transform(a, lambda x: F.array(x))}
+    if max_size >= 2:
+        sets_by_size[2] = F.flatten(
+            F.transform(
+                a,
+                lambda x, i: F.transform(
+                    F.slice(a, i + 2, d), lambda y: F.array(x, y)
+                ),
+            )
+        )
+    if max_size >= 3:
+        sets_by_size[3] = F.flatten(
+            F.flatten(
+                F.transform(
+                    a,
+                    lambda x, i: F.transform(
+                        F.slice(a, i + 2, d),
+                        lambda y, j: F.transform(
+                            F.slice(a, i + j + 3, d),
+                            lambda z: F.array(x, y, z),
+                        ),
+                    ),
+                )
+            )
+        )
+    out = None
+    for size, expr in sets_by_size.items():
+        counts = (
+            baskets.select(F.explode(expr).alias("__set"))
+            .groupBy("__set")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+            .crossJoin(F.broadcast(n_b))
+            .select(
+                F.array_join("__set", " ").alias("itemset"),
+                F.lit(size).alias("size"),
+                "support",
+                F.round(
+                    F.col("support") / F.col("__n") + F.lit(1e-9), 6
+                ).alias("support_ratio"),
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out

@@ -223,3 +223,43 @@ def test_kfold_assign_stability_and_grouping(spark):
     assert c != a
     with pytest.raises(ValueError):
         kfold_assign(df, "grp", 1)
+
+
+def test_frequent_itemsets_set_semantics_and_guards(spark):
+    """Multiplicity within a basket must not inflate support; itemset
+    identity is the sorted join; the basket-size circuit breaker and
+    parameter validation fire."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.itemsets import frequent_itemsets
+
+    d = dt.date(2024, 1, 1)
+    rows = [
+        # basket (1, d): a a b  -> supports {a}, {b}, {a b} once each
+        (1, d, "a"), (1, d, "a"), (1, d, "b"),
+        # basket (2, d): b c a -> {a},{b},{c},{a b},{a c},{b c},{a b c}
+        (2, d, "b"), (2, d, "c"), (2, d, "a"),
+        # null user / null item excluded
+        (None, d, "a"), (3, d, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day date, it string")
+    got = {
+        (r["itemset"], r["size"]): r["support"]
+        for r in frequent_itemsets(df, ["user_id", "day"], "it", 1).collect()
+    }
+    assert got[("a", 1)] == 2          # NOT 3: multiplicity ignored
+    assert got[("a b", 2)] == 2
+    assert got[("a b c", 3)] == 1
+    assert ("c", 1) in got and got[("c", 1)] == 1
+    # min_support filters
+    got2 = {
+        r["itemset"]
+        for r in frequent_itemsets(df, ["user_id", "day"], "it", 2).collect()
+    }
+    assert got2 == {"a", "b", "a b"}
+    with pytest.raises(ValueError):
+        frequent_itemsets(df, ["user_id"], "it", 0)
+    with pytest.raises(ValueError, match="max_basket_items"):
+        frequent_itemsets(df, ["day"], "it", 1, max_basket_items=2)

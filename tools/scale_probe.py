@@ -120,6 +120,7 @@ PROBES = [
     "kfold_assign_docs",
     "gif_decode_ahash_dedup",
     "corpus_distinct_ngram_diversity",
+    "frequent_event_itemsets",
 ]
 
 
