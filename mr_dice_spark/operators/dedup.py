@@ -190,6 +190,28 @@ def band_keys(sig_cols: list[Column], bands: int) -> Column:
     )
 
 
+def portable_band_keys(sig_cols: list[Column], bands: int) -> Column:
+    """SQL-restatable LSH band keys: each band's key is its signature
+    components joined with ':' (vs ``band_keys``' xxhash64 compression).
+    Key equality == component-tuple equality because minhash components
+    are non-negative decimal integers, so ':' is an unambiguous
+    separator — a DuckDB oracle can restate the banding join as plain
+    tuple equality on the same MIN(md5-hash) columns. Wider shuffle keys
+    than band_keys (use only at oracle-checked scales); same
+    divisibility contract."""
+    if bands <= 0 or len(sig_cols) % bands != 0:
+        raise ValueError(
+            f"num_hashes ({len(sig_cols)}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = len(sig_cols) // bands
+    return F.array(
+        *[
+            F.concat_ws(":", *sig_cols[b * rows_per_band : (b + 1) * rows_per_band])
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -197,11 +219,18 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 128,
     bands: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and EXACT jaccard computed
     on the candidates' shingle sets (LSH proposes, exact verify disposes).
+
+    ``portable=True`` switches both the signatures and the band keys to
+    the md5-derived engine-portable scheme (portable_hash60 +
+    portable_band_keys) so a DuckDB oracle reproduces the exact
+    candidate set — slower hashes and wider band keys, for
+    oracle-checked scales only.
     """
     # the shingle transform is the expensive step (see PERFORMANCE.md §1-2)
     # and sets_ feeds THREE consumers (signatures + both verify joins);
@@ -210,12 +239,13 @@ def minhash_lsh_candidates(
     exploded = sets_.select(
         "__id", F.explode_outer("__sh").alias("__s")
     ).where(F.col("__s").isNotNull())  # see shingles_exploded: avoids InferFiltersFromGenerate
-    sig = minhash_signatures(exploded, num_hashes)
+    sig = minhash_signatures(exploded, num_hashes, portable=portable)
 
+    keyer = portable_band_keys if portable else band_keys
     band_keys_df = sig.select(
         "__id",
         F.posexplode(
-            band_keys([F.col(f"__h{i}") for i in range(num_hashes)], bands)
+            keyer([F.col(f"__h{i}") for i in range(num_hashes)], bands)
         ).alias("__band", "__key"),
     )
     cand = (

@@ -32,6 +32,7 @@ SENSITIVE = [
     "pmi_collocations_top",         # global top-k at a rounded-tie boundary
     "embedding_single_linkage",     # iterative label propagation fixpoint
     "value_drift_psi_events",       # percentile edges feed literal folds
+    "lsh_single_linkage_clusters",  # banding join -> verify -> fixpoint
 ]
 
 

@@ -259,6 +259,31 @@ def test_band_keys_rejects_indivisible_bands(spark):
         band_keys([F.lit(1), F.lit(2), F.lit(3)], bands=2)
 
 
+def test_portable_band_keys_tuple_equality_semantics(spark):
+    """The ':'-concat portable band key equals another key iff the
+    component tuples are equal (decimal components make ':' unambiguous
+    — the property the DuckDB oracle's tuple-equality join relies on);
+    same divisibility guard as band_keys."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.dedup import portable_band_keys
+
+    rows = spark.createDataFrame(
+        [(1, 12, 3), (2, 12, 3), (3, 1, 23), (4, 123, 0)],
+        "id long, a long, b long",
+    ).select(
+        "id", portable_band_keys([F.col("a"), F.col("b")], bands=1)[0].alias("k")
+    )
+    got = {r["id"]: r["k"] for r in rows.collect()}
+    assert got[1] == got[2] == "12:3"
+    # the concat collision that would merge (12,3) with (1,23) or (123,)
+    # cannot happen with the ':' separator
+    assert len({got[1], got[3], got[4]}) == 3
+    with _pytest.raises(ValueError, match="divisible"):
+        portable_band_keys([F.lit(1), F.lit(2), F.lit(3)], bands=2)
+
+
 def test_int8_quantize_stats_zero_vector_and_bounds(spark):
     """Zero vectors report scale 0 / zero error; nonzero vectors have
     max_abs_err <= scale/2 + rounding nudge (half-up code rounding can be

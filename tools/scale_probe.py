@@ -121,6 +121,7 @@ PROBES = [
     "gif_decode_ahash_dedup",
     "corpus_distinct_ngram_diversity",
     "frequent_event_itemsets",
+    "lsh_single_linkage_clusters",
 ]
 
 
