@@ -67,21 +67,24 @@ _CHECK_FIRST = [
     "ngram_containment_subset_dedup", # directional asymmetric-Jaccard
     "kfold_assign_docs",              # leakage-safe k-fold hash assign
     "lsh_single_linkage_clusters",    # banded LSH -> verify -> CC clusters
+    "streaming_topk_heavy_hitters",   # windowed counts + top-k finisher
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (fourteen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (fifteen r1 rows (scalar_functions_probe, demo2_groupby_count,
     # embedding_label_centroids, minhash_signatures_portable — whose
     # portable-signature machinery is re-verified INSIDE
     # lsh_single_linkage_clusters' bit-identical candidate set,
+    # simhash_fingerprints_portable (sibling simhash_near_dup_pairs and
+    # the shared portable hasher stay in-window),
     # optimade_length_known, events_json_props, rollup_flag_status,
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
     # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the fourteen
+    # deterministic_sample_events) yield their slots to the fifteen
     # goldens added late this round, which would otherwise
     # never get a driver row; all stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
@@ -92,7 +95,6 @@ _CHECK_FIRST = [
     "optimade_filter_compile",
     "optimade_has_predicates",
     "q14_promo_revenue",
-    "simhash_fingerprints_portable",
     "simhash_near_dup_pairs",
     "stratified_sample_by_type",
     "text_language_id_confusion",

@@ -935,6 +935,68 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+HEAVY_HITTERS_ORACLE = """
+WITH c AS (
+  SELECT epoch_ms(date_trunc('day', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+         event_type, COUNT(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT window_start_ms, event_type, CAST(n AS BIGINT) AS n, rank
+FROM (
+  SELECT window_start_ms, event_type, n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY window_start_ms ORDER BY n DESC, event_type
+         ) AS INTEGER) AS rank
+  FROM c
+)
+WHERE rank <= 3
+ORDER BY window_start_ms, rank
+"""
+
+
+@golden(
+    "streaming_topk_heavy_hitters",
+    HEAVY_HITTERS_ORACLE,
+    tags=("streaming", "window", "topk", "heavy-hitters"),
+)
+def streaming_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 event types ON THE STREAM ENGINE: watermarked
+    tumbling-day counts aggregate in complete mode (state bounded by
+    windows x keys, never rows), then the heavy_hitters_topk finisher
+    ranks the materialized sink with the deterministic (n DESC, key)
+    tiebreak. Finite replay makes the streaming counts exact, so one
+    batch SQL oracle hash-checks the whole path — the streaming twin of
+    the tumbling-window family with a per-window ranking stage on top."""
+    import uuid
+
+    from mr_dice_spark.streaming.windows import (
+        heavy_hitters_topk,
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_key_counts,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    name = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(
+        windowed_key_counts(stream, "event_type", "1 day", "1 day"),
+        name,
+        output_mode="complete",
+    )
+    try:
+        out = heavy_hitters_topk(spark.table(name), "event_type", 3).orderBy(
+            "window_start_ms", "rank"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+
+
 ITEMSETS_ORACLE = """
 WITH e AS MATERIALIZED (
   SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

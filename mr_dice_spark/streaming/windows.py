@@ -129,6 +129,47 @@ def session_window_stats(
     )
 
 
+def windowed_key_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-(tumbling window, key) counts — the streaming-side state of a
+    heavy-hitters monitor. Partial aggregation collapses each micro-batch
+    map-side, so state and shuffle are bounded by (windows x keys), not
+    rows; the watermark bounds how many windows stay open. Pair with
+    ``heavy_hitters_topk`` on the materialized sink (the psi_from_counts
+    finisher pattern)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def heavy_hitters_topk(counts: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-window top-k keys by count with the deterministic
+    (n DESC, key) tiebreak. row_number under a per-partition LIMIT is
+    the WindowGroupLimit shape — rank k+1 rows never cross the
+    exchange."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy("window_start_ms").orderBy(
+        F.desc("n"), F.col(key_col)
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

@@ -351,3 +351,57 @@ def test_streaming_exactness_under_multi_microbatch_replay(spark, sf_dir, tmp_pa
         assert got_pairs == want_pairs
     finally:
         q2.stop()
+
+
+def test_heavy_hitters_stream_matches_batch(spark, sf_dir, events_stream):
+    """Streaming windowed counts + top-k finisher == the identical batch
+    plan; tiebreak is (n DESC, key) deterministic."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.catalog import Catalog
+    from mr_dice_spark.streaming.windows import (
+        heavy_hitters_topk,
+        run_stream_to_memory,
+        windowed_key_counts,
+    )
+
+    nn = F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    batch = heavy_hitters_topk(
+        windowed_key_counts(Catalog(spark, sf_dir).events.where(nn)),
+        "event_type",
+        3,
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    q = run_stream_to_memory(
+        windowed_key_counts(events_stream.where(nn)),
+        "mb_hh",
+        output_mode="complete",
+    )
+    try:
+        got = sorted(
+            tuple(r)
+            for r in heavy_hitters_topk(spark.table("mb_hh"), "event_type", 3).collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_heavy_hitters_topk_tiebreak_and_guard(spark):
+    """Equal counts rank by key ascending; k validates."""
+    import pytest
+
+    from mr_dice_spark.streaming.windows import heavy_hitters_topk
+
+    df = spark.createDataFrame(
+        [(0, "b", 5), (0, "a", 5), (0, "c", 9), (1, "z", 1)],
+        "window_start_ms long, event_type string, n long",
+    )
+    rows = heavy_hitters_topk(df, "event_type", 2).orderBy(
+        "window_start_ms", "rank"
+    ).collect()
+    assert [(r["window_start_ms"], r["event_type"], r["rank"]) for r in rows] == [
+        (0, "c", 1), (0, "a", 2), (1, "z", 1)
+    ]
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters_topk(df, "event_type", 0)
