@@ -935,3 +935,44 @@ def test_bigram_lm_model_dims_not_hinted_broadcast(spark, sf_dir):
     out = bigram_lm_score(docs, "doc_id", "text")
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
+
+
+def test_itemsets_one_basket_shuffle_per_size(spark, sf_dir):
+    """frequent_itemsets: one group-keyed exchange builds baskets, one
+    itemset-keyed exchange counts each size (with partial agg map-side);
+    the n_baskets frame attaches as a broadcast 1-row aggregate — no
+    per-size re-shuffle of the item stream and no cartesian blow-up."""
+    from mr_dice_spark.plans.inspect import formatted_plan
+
+    df = GOLDEN["frequent_event_itemsets"].spark(spark, sf_dir)
+    # count-per-size(3) + n_baskets single-partition(1+broadcast) +
+    # presentation orderBy(1) over the checkpointed basket build (its
+    # one item-stream exchange happens before the checkpoint cut)
+    assert_max_shuffles(df, 7)
+    assert not has_cartesian(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    assert "partial_count" in formatted_plan(df)
+
+
+def test_heavy_hitters_topk_is_window_group_limit(spark, sf_dir):
+    """The per-window rank<=k filter must prune map-side
+    (WindowGroupLimit), never shuffle whole windows to rank them."""
+    from mr_dice_spark.catalog import Catalog as _C
+    from mr_dice_spark.streaming.windows import (
+        heavy_hitters_topk,
+        windowed_key_counts,
+    )
+
+    counts = windowed_key_counts(_C(spark, sf_dir).events)
+    plan = physical_plan(heavy_hitters_topk(counts, "event_type", 3))
+    assert "WindowGroupLimit" in plan
+    assert not has_cartesian(heavy_hitters_topk(counts, "event_type", 3))
+
+
+def test_lsh_linkage_no_cartesian_banding_is_equi_join(spark, sf_dir):
+    """The portable banding join must stay a hash equi-join on
+    (band, key) — a planner fallback to cartesian/BNLJ would be the
+    all-pairs shape LSH exists to avoid."""
+    df = GOLDEN["lsh_single_linkage_clusters"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
