@@ -2426,8 +2426,7 @@ def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, "text", min_count=5, k=20)
 
 
-BIGRAM_LM_ORACLE = r"""
-WITH w AS (
+_BIGRAM_CTES = r"""w AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
   FROM documents
@@ -2444,7 +2443,10 @@ cu AS (SELECT a, SUM(cb) AS cu FROM cb GROUP BY a),
 v AS (
   SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
   FROM (SELECT unnest(w) AS t FROM w)
-)
+)"""
+
+BIGRAM_LM_ORACLE = f"""
+WITH {_BIGRAM_CTES}
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_bigrams,
        ROUND(1e-9 + SUM(c * -ln((cb + 0.5) / (cu + 0.5 * v))) / SUM(c), 6)
@@ -2473,6 +2475,44 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams",
         _r("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    ).orderBy("doc_id")
+
+
+PPL_BUCKETS_ORACLE = f"""
+WITH {_BIGRAM_CTES},
+s AS (
+  SELECT doc_id,
+         ROUND(1e-9 + SUM(c * -ln((cb + 0.5) / (cu + 0.5 * v))) / SUM(c), 6)
+           AS ppl
+  FROM dw JOIN cb USING (a, b) JOIN cu USING (a) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, s.ppl,
+       CASE NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.ppl, d.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM documents d JOIN s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@golden(
+    "ccnet_perplexity_buckets",
+    PPL_BUCKETS_ORACLE,
+    tags=("text", "quality", "lm", "curation", "ccnet"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partition: per-language equal-count
+    terciles of the corpus-self-trained bigram-LM perplexity proxy —
+    the standard keep-head+middle / audit-tail filtering split.
+    Determinism hinges on NTILE over (quantized ppl, doc_id): the
+    rounding grid absorbs summation-order noise before ranking, so both
+    engines order — and therefore bucket — identically even at exact
+    score ties."""
+    from mr_dice_spark.operators.curation import perplexity_buckets
+
+    docs = Catalog(spark, sf_dir).documents
+    return perplexity_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=3
     ).orderBy("doc_id")
 
 

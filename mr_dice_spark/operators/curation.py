@@ -180,3 +180,54 @@ def quality_percentile_blend(
         *[pct_cols[s].alias(f"pct_{s}") for s in signals],
         blend.alias("blend_score"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-self-trained bigram LM (operators.terms.bigram_lm_score),
+    then cut each ``group_col`` population into ``n_buckets`` equal-count
+    quantile buckets by score — bucket 'head' is the most fluent third,
+    'tail' the least, the partition CCNet uses to keep head+middle and
+    audit tail. Output: (id, group, ppl, bucket) where ppl is the
+    nudge-rounded avg negative logprob. Documents with fewer than two
+    tokens have no bigram score and are ABSENT (they never reach the LM;
+    gate them upstream with quantile_length_filter).
+
+    Determinism: buckets come from NTILE over (quantized ppl, id) — the
+    rounding grid absorbs float summation-order noise and the id
+    tiebreak pins equal scores, so the assignment survives any shuffle
+    layout and restates verbatim in SQL.
+
+    Scale shape: the LM scoring is bigram_lm_score's aggregates; the cut
+    is ONE group-keyed window sort (per-language sort is the honest cost
+    of CCNet's exact equal-count split — with few groups and large
+    populations, swap the NTILE for percentile EDGES computed per group
+    (a groups x (n_buckets-1) dim, broadcast back) when the corpus
+    outgrows per-group sorts; the exact split is the oracle-checked
+    reference semantics)."""
+    from mr_dice_spark.operators.terms import bigram_lm_score
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have exactly n_buckets={n_buckets} entries: {labels}"
+        )
+    scored = bigram_lm_score(df, id_col, text_col).select(
+        id_col, F.round(F.col("avg_neg_logprob") + F.lit(1e-9), 6).alias("ppl")
+    )
+    w = Window.partitionBy(group_col).orderBy("ppl", id_col)
+    tile = F.ntile(n_buckets).over(w)
+    label = F.element_at(F.array(*[F.lit(x) for x in labels]), tile)
+    return (
+        df.select(id_col, group_col)
+        .join(scored, id_col)
+        .select(id_col, group_col, "ppl", label.alias("bucket"))
+    )

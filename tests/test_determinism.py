@@ -33,6 +33,7 @@ SENSITIVE = [
     "embedding_single_linkage",     # iterative label propagation fixpoint
     "value_drift_psi_events",       # percentile edges feed literal folds
     "lsh_single_linkage_clusters",  # banding join -> verify -> fixpoint
+    "ccnet_perplexity_buckets",     # NTILE at quantized-score ties
 ]
 
 

@@ -1227,3 +1227,36 @@ def test_pmi_collocations_planted_phrase(spark):
     assert len(got) <= 10
     # top-1 is the exclusive phrase
     assert pairs[0] == ("new", "york")
+
+
+def test_perplexity_buckets_semantics_and_guards(spark):
+    """Equal-count per-group split with deterministic tiebreak; docs
+    with <2 tokens are absent; parameter validation fires."""
+    import pytest
+
+    from mr_dice_spark.operators.curation import perplexity_buckets
+
+    rows = [
+        (1, "en", "the quick fox jumps the quick fox"),
+        (2, "en", "the quick fox jumps over lazy dog"),
+        (3, "en", "zz yy xx ww vv uu tt"),
+        (4, "en", "the the the the the the the"),
+        (5, "en", "one"),          # <2 tokens: absent from output
+        (6, "fr", "le chat dort"),
+        (7, "fr", "le chien court vite"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=2,
+                             labels=("keep", "drop"))
+    got = {r["doc_id"]: (r["lang"], r["bucket"]) for r in out.collect()}
+    assert 5 not in got and len(got) == 6
+    # per-group equal-count: 4 en docs -> 2 keep + 2 drop; 2 fr -> 1 + 1
+    en = [b for (lg, b) in got.values() if lg == "en"]
+    fr = [b for (lg, b) in got.values() if lg == "fr"]
+    assert sorted(en) == ["drop", "drop", "keep", "keep"]
+    assert sorted(fr) == ["drop", "keep"]
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=1)
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=3,
+                           labels=("a", "b"))

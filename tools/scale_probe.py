@@ -122,6 +122,7 @@ PROBES = [
     "corpus_distinct_ngram_diversity",
     "frequent_event_itemsets",
     "lsh_single_linkage_clusters",
+    "ccnet_perplexity_buckets",
 ]
 
 
