@@ -69,13 +69,16 @@ _CHECK_FIRST = [
     "lsh_single_linkage_clusters",    # banded LSH -> verify -> CC clusters
     "streaming_topk_heavy_hitters",   # windowed counts + top-k finisher
     "ccnet_perplexity_buckets",       # per-lang LM-perplexity terciles
+    "bpe_train_merges_corpus",        # 12-round Sennrich merge loop
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (sixteen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (seventeen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # dedup_exact_documents (exact-dedup's hash-groupBy is exercised by
+    # the in-window cluster/survivor rows),
     # text_top_terms (the terms-family machinery is re-verified by the
     # bigram/PMI/diversity/ccnet rows in-window),
     # embedding_label_centroids, minhash_signatures_portable — whose
@@ -87,12 +90,11 @@ _CHECK_FIRST = [
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
     # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the sixteen
+    # deterministic_sample_events) yield their slots to the seventeen
     # goldens added late this round, which would otherwise
     # never get a driver row; all stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "cosine_topk_lsh_approx",
-    "dedup_exact_documents",
     "federation_dedup_quota",
     "join_anti_customers_without_orders",
     "optimade_filter_compile",

@@ -2495,6 +2495,88 @@ ORDER BY d.doc_id
 """
 
 
+def _bpe_oracle(k: int) -> str:
+    """Unrolled BPE training: k CTE levels of pair-count -> argmax ->
+    greedy merge. The merge rebuild restates greedy left-to-right
+    non-overlapping matching POSITIONALLY: position i starts a merge iff
+    (s[i], s[i+1]) matches AND i sits at an even offset within its
+    maximal run of consecutive matches (the run-parity rule — provably
+    the fold the operator applies, overlap only possible when left ==
+    right). Word tables and 1-row argmax CTEs are multi-referenced,
+    hence MATERIALIZED (the frequent_event_itemsets lesson)."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS s
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, freq
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM {prev})
+),
+m{r} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS c
+  FROM p{r} GROUP BY a, b
+  ORDER BY c DESC, a, b LIMIT 1
+)"""
+        )
+        if r < k:
+            parts.append(
+                f"""w{r} AS MATERIALIZED (
+  SELECT word, freq,
+         flatten(list_transform(range(1, len(s) + 1), i ->
+           CASE
+             WHEN i < len(s) AND s[i] = m.a AND s[i + 1] = m.b
+                  AND ((i - coalesce(list_max(list_filter(range(1, i),
+                        q -> NOT (s[q] = m.a AND s[q + 1] = m.b))), 0)) % 2) = 1
+               THEN [m.a || m.b]
+             WHEN i > 1 AND s[i - 1] = m.a AND s[i] = m.b
+                  AND (((i - 1) - coalesce(list_max(list_filter(range(1, i - 1),
+                        q -> NOT (s[q] = m.a AND s[q + 1] = m.b))), 0)) % 2) = 1
+               THEN CAST([] AS VARCHAR[])
+             ELSE [s[i]]
+           END)) AS s
+  FROM {prev} CROSS JOIN m{r} m
+)"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, c AS pair_count"
+        f" FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY rank"
+
+
+@golden(
+    "bpe_train_merges_corpus",
+    _bpe_oracle(12),
+    tags=("text", "vocab", "bpe", "tokenizer", "iterative"),
+)
+def bpe_train_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 12 BPE merges trained on the documents corpus — the
+    actual Sennrich merge LOOP, not just one round's pair stats: each
+    round's argmax becomes a literal in the next round's greedy in-word
+    merge fold (the k-means bounded-driver-state idiom). 12 rounds
+    reach multi-character re-pairing ('m'+'er', 'p'+'ar', 'jo'+'in'),
+    so the oracle's run-parity merge rule is exercised on symbols built
+    by earlier merges, and a count tie ('a','r')/('p','ar') at rank
+    9/10 exercises the deterministic tiebreak. Cross-checked three
+    ways: DuckDB's 12-level unrolled restatement (this oracle), and a
+    pure-Python BPE in the suite."""
+    from mr_dice_spark.operators.vocab import bpe_train_merges
+
+    docs = Catalog(spark, sf_dir).documents
+    return bpe_train_merges(docs, "text", 12).orderBy("rank")
+
+
 @golden(
     "ccnet_perplexity_buckets",
     PPL_BUCKETS_ORACLE,

@@ -187,3 +187,95 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 12,
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges on the corpus (Sennrich
+    et al. 2016, the loop whose per-round heavy half is
+    ``bpe_pair_stats``): whitespace words weighted by corpus frequency,
+    symbols initialized to characters; each round counts adjacent symbol
+    pairs, picks the winner with the deterministic (count DESC, left,
+    right) tiebreak, and applies the merge greedily left-to-right in
+    every word (non-overlapping from the left — equivalently the
+    run-parity positional rule the SQL oracle restates). Returns the
+    merge table ``(rank, left_sym, right_sym, pair_count)``. No
+    end-of-word marker: merges stay within whitespace tokens (the marker
+    is tokenizer packaging, orthogonal to the corpus computation).
+
+    Scale shape: ONE corpus-sized wordcount shuffle up front; every
+    round after that is vocabulary-sized — an in-row pair zip over
+    distinct words, a pair-keyed aggregate with map-side combine, a
+    1-row argmax collect (the k-means centroid idiom: driver state is
+    the bounded model, never corpus data), and a narrow per-word fold to
+    apply the merge, re-materialized per round with an eager
+    localCheckpoint so round t+1 reads arrays, not a t-deep lazy
+    expression tower. 100 TB corpus, 10 M-word vocab: every round
+    touches 10 M rows."""
+    from mr_dice_spark.functions.text import tokens
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("__w")).where(
+        F.col("__w") != ""
+    )
+    wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
+    syms = wc.select(
+        "__f", F.split("__w", "").alias("__s")
+    ).localCheckpoint(eager=True)
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("__s")
+        top = (
+            syms.where(n >= 2)
+            .select(
+                "__f",
+                F.explode(
+                    F.zip_with(
+                        F.slice("__s", 1, n - 1),
+                        F.slice("__s", 2, n - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("__g"),
+            )
+            .groupBy(F.col("__g.a").alias("a"), F.col("__g.b").alias("b"))
+            .agg(F.sum("__f").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        out.append((rank, a, b, c))
+        if rank == n_merges:
+            break  # last round's rebuild would be dead work
+        merged = a + b
+        # greedy left-to-right merge as a per-word fold: consume the
+        # current symbol into the accumulator, collapsing (a, b) only
+        # when the PREVIOUS accumulated symbol is a verbatim `a` —
+        # a freshly merged tail can never re-match, which is exactly
+        # the non-overlapping-from-left BPE rule. F.get (not
+        # element_at) keeps the empty-accumulator probe NULL-safe
+        # under ANSI mode.
+        fold = F.aggregate(
+            "__s",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.get(acc, F.size(acc) - 1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select("__f", fold.alias("__s")).localCheckpoint(
+            eager=True
+        )
+    return df.sparkSession.createDataFrame(
+        out, "rank int, left_sym string, right_sym string, pair_count long"
+    )

@@ -34,6 +34,7 @@ SENSITIVE = [
     "value_drift_psi_events",       # percentile edges feed literal folds
     "lsh_single_linkage_clusters",  # banding join -> verify -> fixpoint
     "ccnet_perplexity_buckets",     # NTILE at quantized-score ties
+    "bpe_train_merges_corpus",      # iterative argmax feeds literal folds
 ]
 
 

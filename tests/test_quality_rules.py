@@ -429,3 +429,58 @@ def test_quality_percentile_blend_nulls_and_weights(spark):
         quality_percentile_blend(df, "id", {})
     with pytest.raises(ValueError):
         quality_percentile_blend(df, "id", {"a": 0.0})
+
+
+def _bpe_reference(word_freqs: dict, k: int):
+    """Pure-Python greedy BPE: the independent third implementation the
+    bpe_train_merges golden cites (argmax by (count DESC, left, right),
+    merge applied left-to-right non-overlapping)."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in word_freqs}
+    out = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, c))
+        m = a + b
+        for w, s in syms.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(m)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+    return out
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    """Overlap-heavy corpus ('aaaa' runs force the a==a parity path,
+    repeated merges force multi-char re-pairing) must match the
+    independent fold-free Python implementation exactly."""
+    from mr_dice_spark.operators.vocab import bpe_train_merges
+
+    docs = [
+        "aaaa aaa banana bandana",
+        "banana banana bandana aaaa",
+        "abab ababab banana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    from collections import Counter
+    wf = Counter(w for t in docs for w in t.split())
+    want = _bpe_reference(dict(wf), 6)
+    got = [tuple(r) for r in bpe_train_merges(df, "text", 6).collect()]
+    assert got == want
+    import pytest
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, "text", 0)

@@ -123,6 +123,7 @@ PROBES = [
     "frequent_event_itemsets",
     "lsh_single_linkage_clusters",
     "ccnet_perplexity_buckets",
+    "bpe_train_merges_corpus",
 ]
 
 
