@@ -872,6 +872,85 @@ def value_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "value", n_bins=10).orderBy("bin")
 
 
+KS_DRIFT_ORACLE = """
+WITH o AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+),
+n AS (
+  SELECT value * 1.2 AS value FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+),
+e AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(1e-9 + x, 6)) AS edges
+  FROM o
+),
+ob AS (
+  SELECT 1 + len(list_filter((SELECT edges FROM e), ed -> value > ed)) AS bin
+  FROM o
+),
+nb AS (
+  SELECT 1 + len(list_filter((SELECT edges FROM e), ed -> value > ed)) AS bin
+  FROM n
+),
+oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM ob GROUP BY bin),
+nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM nb GROUP BY bin),
+b AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+c AS MATERIALIZED (
+  SELECT b.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM b LEFT JOIN oc ON oc.bin = b.bin LEFT JOIN nc ON nc.bin = b.bin
+),
+cum AS (
+  SELECT a.bin, a.n_old, a.n_new,
+         SUM(b2.n_old) AS co, SUM(b2.n_new) AS cn
+  FROM c a JOIN c b2 ON b2.bin <= a.bin
+  GROUP BY a.bin, a.n_old, a.n_new
+),
+t AS (
+  SELECT CAST(SUM(n_old) AS DOUBLE) AS t_o, CAST(SUM(n_new) AS DOUBLE) AS t_n
+  FROM c
+),
+g AS MATERIALIZED (
+  SELECT bin, n_old, n_new,
+         ROUND(1e-9 + co / t.t_o, 6) AS cum_share_old,
+         ROUND(1e-9 + cn / t.t_n, 6) AS cum_share_new,
+         ROUND(1e-9 + ABS(co / t.t_o - cn / t.t_n), 6) AS ks_gap
+  FROM cum CROSS JOIN t
+)
+SELECT bin, n_old, n_new, cum_share_old, cum_share_new, ks_gap,
+       (SELECT MAX(ks_gap) FROM g) AS ks_stat
+FROM g
+ORDER BY bin
+"""
+
+
+@golden(
+    "ks_drift_events",
+    KS_DRIFT_ORACLE,
+    tags=("observability", "drift", "ks", "profile"),
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov on the SAME snapshot split
+    and planted 1.2x shift as value_drift_psi_events — the sup-gap
+    complement of PSI's mass-ratio view, sharing the baseline's
+    quantile-edge grid so the two detectors are directly comparable on
+    one dashboard. Cumulative shares come from an n_bins-squared
+    triangle join (no single-partition WindowExec); ks_stat repeats the
+    max gap per row."""
+    from mr_dice_spark.operators.profile import ks_drift
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.col("ts") >= cut).withColumn(
+        "value", F.col("value") * 1.2
+    )
+    return ks_drift(old, new, "value", n_bins=10).orderBy("bin")
+
+
 @golden(
     "streaming_psi_drift",
     PSI_DRIFT_ORACLE,  # byte-identical output to the batch golden above

@@ -336,3 +336,69 @@ def psi_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
         )
         .select("*", term.alias("psi_term"))
     )
+
+
+def ks_drift(
+    old: DataFrame, new: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift between two corpus
+    snapshots, the sup-gap complement of psi_drift on the SAME
+    baseline-quantile grid: per bin, the absolute gap between the two
+    cumulative bin-share curves; ``ks_stat`` (repeated per row) is the
+    max gap — the KS D statistic evaluated on the edge grid. Binned KS
+    is the scale-honest variant (exact KS needs cumulative ranks at
+    every distinct value — a corpus-wide sort); on the baseline's own
+    quantile edges the sup is probed where the baseline mass sits, and
+    the statistic is a lower bound of exact D that converges as bins
+    grow.
+
+    Scale shape: identical to psi_drift — one bounded edge collect, one
+    narrow projection + n_bins-key aggregate per snapshot. The
+    cumulative sums attach via an n_bins x n_bins triangle join on the
+    bin spine (bounded by the n_bins LITERAL, and a broadcast loop join
+    over 10 rows), never an empty-partition-spec WindowExec — the
+    psi_from_counts rule. Empty snapshots degrade to NULL shares, not a
+    mid-job ANSI divide error."""
+    spark = old.sparkSession
+    edges = psi_edges(old, value_col, n_bins)
+    oc = psi_bin_counts(old, value_col, edges, "n_old")
+    nc = psi_bin_counts(new, value_col, edges, "n_new")
+    counts = (
+        psi_bins_frame(spark, n_bins)
+        .join(oc, "bin", "left")
+        .join(nc, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    b2 = counts.select(
+        F.col("bin").alias("__b2"),
+        F.col("n_old").alias("__o2"),
+        F.col("n_new").alias("__n2"),
+    )
+    cum = (
+        counts.join(F.broadcast(b2), F.col("__b2") <= F.col("bin"))
+        .groupBy("bin", "n_old", "n_new")
+        .agg(F.sum("__o2").alias("__co"), F.sum("__n2").alias("__cn"))
+    )
+    totals = counts.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    cso = F.when(F.col("__to") > 0, F.col("__co") / F.col("__to"))
+    csn = F.when(F.col("__tn") > 0, F.col("__cn") / F.col("__tn"))
+    gap = F.when(
+        cso.isNotNull() & csn.isNotNull(),
+        F.round(F.abs(cso - csn) + F.lit(1e-9), 6),
+    )
+    binned = cum.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(cso + F.lit(1e-9), 6).alias("cum_share_old"),
+        F.round(csn + F.lit(1e-9), 6).alias("cum_share_new"),
+        gap.alias("ks_gap"),
+    )
+    stat = binned.agg(F.max("ks_gap").alias("ks_stat"))
+    return binned.crossJoin(F.broadcast(stat))

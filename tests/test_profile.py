@@ -162,3 +162,27 @@ def test_psi_drift_empty_side_degrades_not_errors(spark):
     assert all(r["share_new"] is None and r["psi_term"] is None for r in rows)
     with pytest.raises(ValueError, match="no non-null"):
         psi_drift(empty, old, "v", n_bins=5)
+
+
+def test_ks_drift_identical_zero_planted_shift_positive_empty_null(spark):
+    """Identical snapshots give ks_stat 0; a location shift is detected;
+    an empty comparison side degrades to NULL shares (no ANSI divide
+    error); cumulative shares end at 1."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.profile import ks_drift
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = ks_drift(base, base, "v", n_bins=5).collect()
+    assert all(r["ks_gap"] == 0.0 for r in same)
+    assert all(r["ks_stat"] == 0.0 for r in same)
+    assert max(r["cum_share_old"] for r in same) == 1.0
+
+    shifted = base.select((F.col("v") + 50).alias("v"))
+    drift = ks_drift(base, shifted, "v", n_bins=5).collect()
+    assert drift[0]["ks_stat"] > 0.3
+
+    empty = base.where(F.lit(False))
+    degraded = ks_drift(base, empty, "v", n_bins=5).collect()
+    assert all(r["cum_share_new"] is None and r["ks_gap"] is None
+               for r in degraded)

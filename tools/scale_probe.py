@@ -124,6 +124,7 @@ PROBES = [
     "lsh_single_linkage_clusters",
     "ccnet_perplexity_buckets",
     "bpe_train_merges_corpus",
+    "ks_drift_events",
 ]
 
 
