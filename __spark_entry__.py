@@ -71,13 +71,17 @@ _CHECK_FIRST = [
     "ccnet_perplexity_buckets",       # per-lang LM-perplexity terciles
     "bpe_train_merges_corpus",        # 12-round Sennrich merge loop
     "ks_drift_events",                # binned KS sup-gap drift twin
+    "hybrid_retrieval_rrf",           # BM25 + dense cosine, RRF-fused
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (eighteen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (nineteen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # cosine_topk_lsh_approx (the ANN family keeps cosine_topk_ivf_approx
+    # in-window and the new hybrid dense ranking re-verifies the cosine
+    # path),
     # stratified_sample_by_type (the sampling family is re-verified by
     # the in-window mixture/weighted/kfold/cluster-subsample rows),
     # dedup_exact_documents (exact-dedup's hash-groupBy is exercised by
@@ -93,11 +97,10 @@ _CHECK_FIRST = [
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
     # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the eighteen
+    # deterministic_sample_events) yield their slots to the nineteen
     # goldens added late this round, which would otherwise
     # never get a driver row; all stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
-    "cosine_topk_lsh_approx",
     "federation_dedup_quota",
     "join_anti_customers_without_orders",
     "optimade_filter_compile",

@@ -2495,6 +2495,125 @@ ORDER BY d.doc_id
 """
 
 
+HYBRID_RRF_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+         CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf2
+  FROM w
+),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+  FROM tf
+),
+lex AS (
+  SELECT doc_id,
+         ROUND(1e-9
+           + ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           6) AS s
+  FROM tf CROSS JOIN st
+  WHERE tf0 + tf1 + tf2 > 0
+),
+lex_rank AS MATERIALIZED (
+  SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn FROM lex
+  ) WHERE rn <= 20
+),
+den AS (
+  SELECT vec_id AS doc_id,
+         ROUND(1e-9 + list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)), 6) AS c
+  FROM embeddings
+),
+den_rank AS MATERIALIZED (
+  SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rn FROM den
+  ) WHERE rn <= 20
+),
+u AS (
+  SELECT doc_id, rank FROM lex_rank
+  UNION ALL
+  SELECT doc_id, rank FROM den_rank
+)
+SELECT doc_id, ROUND(1e-9 + SUM(1.0 / (60.0 + rank)), 6) AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@golden(
+    "hybrid_retrieval_rrf",
+    HYBRID_RRF_ORACLE,
+    tags=("retrieval", "bm25", "ann", "rrf", "similarity"),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search end-to-end: an Okapi BM25 lexical ranking (query
+    terms stream/window/merge) and a dense cosine ranking (vec_id 0's
+    embedding — doc and vector ids align in the fixture) each produce a
+    top-20 list, fused by reciprocal-rank fusion at k=60 into the final
+    top-10 — the standard two-retriever RAG stack as one oracle-checked
+    plan. Both rankings order by (nudge-quantized score DESC, id) so
+    list membership, ranks, and therefore every 1/(60+r) summand are
+    engine-identical; BM25's corpus stats stay exact because dl/df/N
+    are integer-valued doubles (order-free summation). Ranks attach via
+    orderBy+limit then a 20-row window (TakeOrderedAndProject, no
+    corpus-wide single-partition window)."""
+    from mr_dice_spark.operators.similarity import rrf_fuse
+    from mr_dice_spark.operators.terms import bm25_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    emb = Catalog(spark, sf_dir).embeddings
+    lex_top = (
+        bm25_scores(docs, "doc_id", "text", ["stream", "window", "merge"])
+        .select("doc_id", _r("score", 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(20)
+    )
+    wl = Window.orderBy(F.desc("s"), F.col("doc_id"))
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(wl).alias("rank")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    den_top = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            _r(cosine(F.col("embedding").cast("array<double>"), q), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), "doc_id")
+        .limit(20)
+    )
+    wd = Window.orderBy(F.desc("c"), F.col("doc_id"))
+    den_rank = den_top.select(
+        "doc_id", F.row_number().over(wd).alias("rank")
+    )
+    fused = rrf_fuse([lex_rank, den_rank], "doc_id", k=60)
+    return (
+        fused.select(
+            "doc_id", _r("rrf_score", 6).alias("rrf_score"), "n_lists"
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
 def _bpe_oracle(k: int) -> str:
     """Unrolled BPE training: k CTE levels of pair-count -> argmax ->
     greedy merge. The merge rebuild restates greedy left-to-right

@@ -1060,3 +1060,34 @@ def ivf_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of retriever result
+    lists: ``rrf_score = sum over lists of 1/(k + rank)``, the standard
+    score-free way to merge heterogeneous retrievers (BM25 + dense ANN)
+    without calibrating their score scales. Returns (id, rrf_score,
+    n_lists). Callers rank on (quantized rrf_score DESC, id): the
+    summation is over <= len(rankings) terms, so the 1e-6 rounding grid
+    absorbs any float association noise before ties are broken.
+
+    Scale shape: inputs are top-k lists (bounded), so the union +
+    id-keyed aggregate is list-sized, not corpus-sized."""
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1: {k}")
+    u = rankings[0].select(id_col, rank_col)
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(id_col, rank_col))
+    return u.groupBy(id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).alias("n_lists"),
+    )

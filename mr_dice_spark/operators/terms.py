@@ -488,3 +488,81 @@ def distinct_ngram_diversity(
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 lexical relevance of every document to a fixed query
+    term list (Robertson-Sparck Jones weights, the Lucene '+1' idf
+    variant so weights stay positive at high document frequency):
+    ``(id, score)`` for documents matching at least one term, with
+    ``score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1-b+b*dl/avgdl))``
+    and ``idf_t = ln((N - df_t + 0.5)/(df_t + 0.5) + 1)``. The lexical
+    half of hybrid retrieval (pair with a dense cosine ranking through
+    rrf_fuse).
+
+    Scale shape: the query is BOUNDED (len(terms) literals — this is a
+    query evaluator, not a corpus-dim join), so per-document tf/dl are
+    one in-row pass over the token array, and N/avgdl/df all fit ONE
+    1-row aggregate broadcast back; zero corpus shuffles."""
+    if not terms:
+        raise ValueError("bm25_scores: terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"bm25_scores: duplicate query terms: {terms}")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+
+    def _eq(term: str):
+        # NOT `lambda x, t=term`: a two-parameter lambda makes the HOF
+        # helper pass (element, index) and the index silently shadows
+        # the bound term
+        return lambda x: x == F.lit(term)
+
+    sized = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__w"),
+    ).select(
+        "__id",
+        F.size("__w").cast("double").alias("__dl"),
+        *[
+            F.size(F.filter("__w", _eq(t))).cast("double").alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = sized.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    parts = [
+        F.log(
+            (F.col("__n") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+            + 1.0
+        )
+        * (F.col(f"__tf{i}") * F.lit(k1 + 1.0))
+        / (F.col(f"__tf{i}") + norm)
+        for i in range(len(terms))
+    ]
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (
+        sized.crossJoin(F.broadcast(stats))
+        .where(sum((F.col(f"__tf{i}") for i in range(len(terms))), F.lit(0.0)) > 0)
+        .select(F.col("__id").alias(id_col), score.alias("score"))
+    )

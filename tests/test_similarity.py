@@ -476,3 +476,43 @@ def test_ivf_recall_audit_fewer_probes_bounded(spark):
     for r in out:
         assert 0 <= r["n_hits"] <= r["n_ivf"] <= 10
         assert r["recall"] == round(r["n_hits"] / 10 + 1e-9, 6)
+
+
+def test_bm25_and_rrf_semantics_and_guards(spark):
+    """BM25: term frequency and doc length move scores the right way,
+    no-match docs are absent; RRF: shared docs outscore single-list
+    docs at equal ranks, guards fire."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.similarity import rrf_fuse
+    from mr_dice_spark.operators.terms import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark rocks"),
+            (2, "spark is fine"),
+            (3, "nothing relevant here at all whatsoever in this one"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+    assert set(got) == {1, 2}          # no-match and NULL docs absent
+    assert got[1] > got[2] > 0         # higher tf wins
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, "doc_id", "text", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_scores(df, "doc_id", "text", ["a", "a"])
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(10, 1), (12, 2)], "doc_id long, rank int")
+    fused = {r["doc_id"]: (r["rrf_score"], r["n_lists"])
+             for r in rrf_fuse([a, b], "doc_id", k=60).collect()}
+    assert fused[10] == (2 / 61, 2)
+    assert fused[11] == (1 / 62, 1) and fused[12] == (1 / 62, 1)
+    assert fused[10][0] > fused[11][0]
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([a], "doc_id", k=0)

@@ -125,6 +125,7 @@ PROBES = [
     "ccnet_perplexity_buckets",
     "bpe_train_merges_corpus",
     "ks_drift_events",
+    "hybrid_retrieval_rrf",
 ]
 
 
