@@ -72,13 +72,16 @@ _CHECK_FIRST = [
     "bpe_train_merges_corpus",        # 12-round Sennrich merge loop
     "ks_drift_events",                # binned KS sup-gap drift twin
     "hybrid_retrieval_rrf",           # BM25 + dense cosine, RRF-fused
+    "mmr_diversified_topk",           # greedy MMR rerank, unrolled oracle
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (nineteen r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (twenty r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # simhash_near_dup_pairs (the near-dup family keeps the LSH-linkage,
+    # containment and winnowing rows in-window),
     # cosine_topk_lsh_approx (the ANN family keeps cosine_topk_ivf_approx
     # in-window and the new hybrid dense ranking re-verifies the cosine
     # path),
@@ -97,7 +100,7 @@ _CHECK_FIRST = [
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
     # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the nineteen
+    # deterministic_sample_events) yield their slots to the twenty
     # goldens added late this round, which would otherwise
     # never get a driver row; all stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
@@ -106,7 +109,6 @@ _CHECK_FIRST = [
     "optimade_filter_compile",
     "optimade_has_predicates",
     "q14_promo_revenue",
-    "simhash_near_dup_pairs",
     "text_language_id_confusion",
 ]
 

@@ -2614,6 +2614,124 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(k: int = 5, lam: str = "0.7", queries: str = "(0, 1)") -> str:
+    """Unrolled greedy MMR: per level, score every unselected candidate
+    as lam*rel - (1-lam)*max-sim-to-selected (both factors on the 1e-6
+    quantization grid, scores re-quantized before the argmax, ties by
+    ascending id) and pick ROW_NUMBER 1 per query. (1 - {lam}) is
+    computed, not a 0.3 literal: 1 - 0.7 in binary floating point is
+    0.30000000000000004, and the operator's (1.0 - lam) must see the
+    identical constant."""
+    parts = [
+        f"""qv AS (
+  SELECT vec_id AS q, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id IN {queries}
+),
+cand0 AS (
+  SELECT qv.q, e.vec_id,
+         ROUND(1e-9 + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             qv.v), 6) AS rel,
+         CAST(e.embedding AS DOUBLE[]) AS ve
+  FROM embeddings e CROSS JOIN qv
+),
+cand AS MATERIALIZED (
+  SELECT q, vec_id, rel, ve FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, vec_id)
+              AS rn
+    FROM cand0
+  ) WHERE rn <= 20
+),
+sims AS MATERIALIZED (
+  SELECT a.q, a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(1e-9 + list_cosine_similarity(a.ve, b.ve), 6) AS sim
+  FROM cand a JOIN cand b ON a.q = b.q
+),
+sc1 AS (
+  SELECT q, vec_id, ROUND(1e-9 + {lam} * rel, 6) AS score FROM cand
+),
+p1 AS MATERIALIZED (
+  SELECT q, vec_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id)
+              AS rn
+    FROM sc1
+  ) WHERE rn = 1
+),
+sel1 AS MATERIALIZED (SELECT q, vec_id FROM p1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""sc{t} AS (
+  SELECT c.q, c.vec_id,
+         ROUND(1e-9 + {lam} * c.rel - (1 - {lam}) * COALESCE((
+           SELECT MAX(s.sim) FROM sims s
+           JOIN sel{t - 1} x ON x.q = s.q AND x.vec_id = s.ib
+           WHERE s.q = c.q AND s.ia = c.vec_id
+         ), 0.0), 6) AS score
+  FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{t - 1} x WHERE x.q = c.q AND x.vec_id = c.vec_id
+  )
+),
+p{t} AS MATERIALIZED (
+  SELECT q, vec_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, vec_id)
+              AS rn
+    FROM sc{t}
+  ) WHERE rn = 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT q, vec_id FROM sel{t - 1} UNION ALL SELECT q, vec_id FROM p{t}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT q AS query_id, CAST({t} AS INT) AS rank, vec_id,"
+        f" score AS mmr_score FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY query_id, rank"
+
+
+@golden(
+    "mmr_diversified_topk",
+    _mmr_oracle(5, "0.7", "(0, 1)"),
+    tags=("retrieval", "mmr", "similarity", "rerank"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification for two queries at
+    once: each query's brute-cosine top-20 feeds the per-query greedy
+    (lam=0.7, k=5) that trades relevance against similarity to what's
+    already picked — the standard rerank between retrieval and the
+    context window. The operator runs the greedy inside one
+    Arrow-batched applyInPandas keyed by query; the oracle unrolls all
+    five picks per query with the same quantize-before-compare
+    contract, so every selection (and score) is hash-checked."""
+    from mr_dice_spark.operators.similarity import mmr_rerank
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cands = None
+    for qid in (0, 1):
+        qrow = emb.where(F.col("vec_id") == qid).select("embedding").first()
+        qv = F.array(*[F.lit(float(x)) for x in qrow[0]])
+        top = (
+            emb.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                _r(cosine(F.col("embedding").cast("array<double>"), qv), 6)
+                .alias("rel"),
+                "embedding",
+            )
+            .orderBy(F.desc("rel"), "vec_id")
+            .limit(20)
+        )
+        cands = top if cands is None else cands.unionByName(top)
+    out = mmr_rerank(
+        cands, "query_id", "vec_id", "rel", "embedding", k=5, lam=0.7
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", _r("mmr_score", 6).alias("mmr_score")
+    ).orderBy("query_id", "rank")
+
+
 def _bpe_oracle(k: int) -> str:
     """Unrolled BPE training: k CTE levels of pair-count -> argmax ->
     greedy merge. The merge rebuild restates greedy left-to-right

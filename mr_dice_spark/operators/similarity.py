@@ -1091,3 +1091,75 @@ def rrf_fuse(
         ),
         F.count(F.lit(1)).alias("n_lists"),
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    emb_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein 1998)
+    per query group: greedily select k candidates maximizing
+    ``lam * rel - (1 - lam) * max_sim_to_already_selected`` (cosine
+    similarity; the first pick sees max-sim 0), the standard retrieval
+    diversifier between ANN/hybrid top-N and the context window.
+    Returns (query, rank 1..k, id, mmr_score).
+
+    Scale shape: candidates are a BOUNDED per-query top-N list, so the
+    greedy (k passes over an N x N cosine matrix) is constant work per
+    group, run as one Arrow-batched applyInPandas keyed by query —
+    distributed across queries, never across the corpus.
+
+    Determinism: relevance and pairwise cosines are nudge-quantized to
+    the 1e-6 grid BEFORE the greedy, every score recomputes with the
+    same literal arithmetic on grid values, scores re-quantize before
+    comparison, and ties break by ascending id — so selection is
+    identical on any engine or partitioning (the kmeans quantized-state
+    idiom), and an unrolled SQL restatement can follow every pick."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+
+    out_schema = (
+        f"{query_col} long, rank int, {id_col} long, mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        q = pdf[query_col].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        rel = np.round(
+            pdf[rel_col].to_numpy(dtype=np.float64)[order] + 1e-9, 6
+        )
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+        )[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms) + 1e-9, 6)
+        n = len(ids)
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = np.round(lam * rel - (1.0 - lam) * max_sim + 1e-9, 6)
+            score[picked] = -np.inf
+            best = int(np.argmax(score))  # ids ascending: first argmax
+            rows.append((q, rank, int(ids[best]), float(score[best])))
+            picked[best] = True
+            max_sim = np.maximum(max_sim, sims[:, best])
+        return pd.DataFrame(
+            rows, columns=[query_col, "rank", id_col, "mmr_score"]
+        )
+
+    return cand.groupBy(query_col).applyInPandas(greedy, out_schema)

@@ -516,3 +516,35 @@ def test_bm25_and_rrf_semantics_and_guards(spark):
         rrf_fuse([], "doc_id")
     with pytest.raises(ValueError, match="k must be"):
         rrf_fuse([a], "doc_id", k=0)
+
+
+def test_mmr_rerank_diversifies_and_guards(spark):
+    """A redundant near-copy of the top pick must be deferred in favor
+    of a diverse lower-relevance candidate; rank 1 is the pure-relevance
+    argmax; k > n degrades to n picks; guards fire."""
+    import pytest
+
+    from mr_dice_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # query 7: id 1 most relevant; id 2 is its near-copy; id 3 diverse
+        (7, 1, 0.99, [1.0, 0.0, 0.0]),
+        (7, 2, 0.98, [0.999, 0.01, 0.0]),
+        (7, 3, 0.50, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel double, embedding array<double>"
+    )
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_rerank(df, "query_id", "vec_id", "rel", "embedding",
+                            k=3, lam=0.5).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 3), (3, 2)]  # diverse id 3 beats copy id 2
+    short = mmr_rerank(df, "query_id", "vec_id", "rel", "embedding",
+                       k=10, lam=0.5).collect()
+    assert len(short) == 3
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(df, "query_id", "vec_id", "rel", "embedding", k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, "query_id", "vec_id", "rel", "embedding", k=1, lam=1.5)

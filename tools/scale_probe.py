@@ -126,6 +126,7 @@ PROBES = [
     "bpe_train_merges_corpus",
     "ks_drift_events",
     "hybrid_retrieval_rrf",
+    "mmr_diversified_topk",
 ]
 
 
