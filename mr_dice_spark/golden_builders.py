@@ -872,6 +872,75 @@ def value_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "value", n_bins=10).orderBy("bin")
 
 
+OLS_TREND_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         ROUND(1e-9 + value + CASE WHEN event_type = 'click'
+               THEN 2.5 * datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               ELSE 0 END, 6) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(x AS DOUBLE)) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * x AS DOUBLE)) AS sxx, SUM(y * y) AS syy,
+         SUM(x * y) AS sxy
+  FROM s GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + (n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(1e-9 + (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                    / n, 6) AS intercept,
+       ROUND(1e-9 + ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM a
+ORDER BY event_type
+"""
+
+
+@golden(
+    "ols_trend_by_event_type",
+    OLS_TREND_ORACLE,
+    tags=("analytics", "regression", "trend", "timeseries"),
+)
+def ols_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over the day index,
+    with a planted +2.5/day ramp on 'click' (the stationary generator
+    gives every other type slope ~0 and r2 ~0, so the fit has one real
+    signal to find — click's r2 lands near 1). The operator aggregates
+    the six OLS moment statistics in ONE group-keyed pass; x is a
+    SMALL day index (not epoch seconds) and y is pre-quantized, keeping
+    every closed-form product's float-sum noise orders below the 1e-6
+    rounding grid, which is what lets two engines' different summation
+    orders hash-agree."""
+    from mr_dice_spark.operators.timeseries import group_ols_trend
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    planted = ev.select(
+        "event_type",
+        day.alias("x"),
+        F.round(
+            F.col("value")
+            + F.when(F.col("event_type") == "click", 2.5 * day).otherwise(
+                F.lit(0)
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("y"),
+    )
+    return group_ols_trend(planted, ["event_type"], "x", "y").orderBy(
+        "event_type"
+    )
+
+
 KS_DRIFT_ORACLE = """
 WITH o AS (
   SELECT value FROM events

@@ -83,3 +83,51 @@ def resample_ffill(
         F.last("__v", ignorenulls=True).over(w).alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def group_ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line via the closed-form
+    sufficient statistics: ``(group..., n, slope, intercept, r2)`` from
+    one aggregate of (n, Sx, Sy, Sxx, Syy, Sxy) — the moment-sketch
+    shape, so a 100 TB fit is ONE group-keyed shuffle of six numbers
+    per group with map-side combine (and the sums are mergeable, so the
+    same stats roll up across partitions, days, or snapshots).
+
+    Degenerate groups (all x equal, or fewer than 2 rows) return NULL
+    slope/intercept/r2 instead of an ANSI divide error; a zero-variance
+    y with nonzero x-variance fits slope 0 with r2 NULL (0/0). Callers
+    feed a SMALL-magnitude x (day index, not epoch seconds) and a
+    quantized y so the closed-form products stay well inside the 1e-6
+    rounding grid's absorption band (see PERFORMANCE.md float-sum
+    notes)."""
+    n = F.count(F.lit(1)).cast("double")
+    agg = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*group_cols).agg(
+        n.alias("__n"),
+        F.sum(F.col(x_col).cast("double")).alias("__sx"),
+        F.sum(F.col(y_col).cast("double")).alias("__sy"),
+        F.sum((F.col(x_col) * F.col(x_col)).cast("double")).alias("__sxx"),
+        F.sum((F.col(y_col) * F.col(y_col)).cast("double")).alias("__syy"),
+        F.sum((F.col(x_col) * F.col(y_col)).cast("double")).alias("__sxy"),
+    )
+    sxx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    syy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when(sxx > 0, num / sxx)
+    intercept = F.when(
+        sxx > 0, (F.col("__sy") - (num / sxx) * F.col("__sx")) / F.col("__n")
+    )
+    r2 = F.when((sxx > 0) & (syy > 0), (num * num) / (sxx * syy))
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(slope + F.lit(1e-9), 6).alias("slope"),
+        F.round(intercept + F.lit(1e-9), 6).alias("intercept"),
+        F.round(r2 + F.lit(1e-9), 6).alias("r2"),
+    )

@@ -37,3 +37,26 @@ def test_mad_outliers_known_values_and_zero_mad(spark):
     for i in list(range(100, 105)) + [199]:
         assert got[i]["robust_z"] is None
         assert got[i]["outlier"] is False
+
+
+def test_group_ols_trend_exact_line_and_degenerate_groups(spark):
+    """A perfect line recovers slope/intercept/r2 exactly; constant-x
+    and single-row groups yield NULLs, constant-y yields slope 0 with
+    NULL r2."""
+    from mr_dice_spark.operators.timeseries import group_ols_trend
+
+    rows = (
+        [("line", x, 3.0 * x + 2.0) for x in range(10)]
+        + [("constx", 5, float(v)) for v in range(4)]
+        + [("single", 1, 7.0)]
+        + [("consty", x, 4.5) for x in range(6)]
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {r["g"]: r for r in group_ols_trend(df, ["g"], "x", "y").collect()}
+    assert got["line"]["slope"] == 3.0
+    assert got["line"]["intercept"] == 2.0
+    assert got["line"]["r2"] == 1.0
+    assert got["constx"]["slope"] is None and got["constx"]["r2"] is None
+    assert got["single"]["slope"] is None
+    assert got["consty"]["slope"] == 0.0 and got["consty"]["intercept"] == 4.5
+    assert got["consty"]["r2"] is None

@@ -127,6 +127,7 @@ PROBES = [
     "ks_drift_events",
     "hybrid_retrieval_rrf",
     "mmr_diversified_topk",
+    "ols_trend_by_event_type",
 ]
 
 
