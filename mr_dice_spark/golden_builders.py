@@ -872,6 +872,56 @@ def value_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "value", n_bins=10).orderBy("bin")
 
 
+ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+w AS (
+  SELECT event_id, user_id, event_type, us,
+         MAX(CASE WHEN event_type = 'click'
+                  THEN struct_pack(us := us, id := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS lt,
+         MIN(CASE WHEN event_type = 'click'
+                  THEN struct_pack(us := us, id := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS ft
+  FROM e
+)
+SELECT event_id AS conversion_id, user_id,
+       ft.id AS first_touch_id, lt.id AS last_touch_id,
+       us - lt.us AS last_touch_lag_us
+FROM w WHERE event_type = 'purchase'
+ORDER BY conversion_id
+"""
+
+
+@golden(
+    "purchase_touch_attribution",
+    ATTRIBUTION_ORACLE,
+    tags=("events", "attribution", "funnel", "analytics"),
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch click attribution for every purchase within
+    a microsecond-exact 7-day lookback: one user-keyed RANGE-frame
+    window over integer epoch-microseconds, min/max of a (us, id)
+    struct — no self-join or interval join, same-instant ties resolved
+    by id in both engines. At sf0.01, 1771 of 1981 purchases attribute
+    (the rest genuinely have no click in window — the NULL path stays
+    populated)."""
+    from mr_dice_spark.operators.funnel import touch_attribution
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        convert_type="purchase", touch_type="click",
+    ).orderBy("conversion_id")
+
+
 OLS_TREND_ORACLE = """
 WITH s AS (
   SELECT event_type,

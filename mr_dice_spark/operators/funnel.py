@@ -251,3 +251,63 @@ def _char_of(ty, alphabet):
     for t, c in alphabet.items():
         out = F.when(ty == t, F.lit(c)).otherwise(out)
     return out
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    convert_type: str,
+    touch_type: str,
+    lookback_us: int = 7 * 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """First- and last-touch attribution: for every ``convert_type``
+    event, the earliest and latest ``touch_type`` event by the same
+    user within the microsecond-exact lookback window ending at the
+    conversion (inclusive — a touch at the same instant counts). The
+    marketing-analytics primitive next to funnel/cohort. Returns
+    ``(conversion_id, user, first_touch_id, last_touch_id,
+    last_touch_lag_us)`` with NULLs when no touch is in window.
+
+    Scale shape: ONE user-keyed window exchange; both touches come from
+    min/max of a (epoch_us, id) struct over a RANGE frame keyed on
+    integer microseconds — no self-join, no interval join, and the
+    struct ordering makes same-instant ties deterministic by id. The
+    single-hot-user caveat matches sessionize/funnel."""
+    if lookback_us <= 0:
+        raise ValueError(f"lookback_us must be > 0: {lookback_us}")
+    from pyspark.sql import Window
+
+    nn = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(user_col).alias("__user"),
+        F.col(type_col).alias("__type"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+    touch = F.when(
+        F.col("__type") == touch_type,
+        F.struct(F.col("__us").alias("us"), F.col("__id").alias("id")),
+    )
+    w = (
+        Window.partitionBy("__user")
+        .orderBy("__us")
+        .rangeBetween(-int(lookback_us), 0)
+    )
+    return (
+        nn.withColumn("__lt", F.max(touch).over(w))
+        .withColumn("__ft", F.min(touch).over(w))
+        .where(F.col("__type") == convert_type)
+        .select(
+            F.col("__id").alias("conversion_id"),
+            F.col("__user").alias(user_col),
+            F.col("__ft.id").alias("first_touch_id"),
+            F.col("__lt.id").alias("last_touch_id"),
+            (F.col("__us") - F.col("__lt.us")).alias("last_touch_lag_us"),
+        )
+    )

@@ -137,3 +137,46 @@ def test_interval_join_inverted_interval_yields_nothing(spark):
         "iid", F.timestamp_seconds("s").alias("s"), F.timestamp_seconds("e").alias("e")
     )
     assert interval_join(pts, ivs, "ts", "s", "e").count() == 0
+
+
+def test_touch_attribution_window_edges_and_ties(spark):
+    """A touch exactly at the conversion instant counts; one just past
+    the lookback does not; same-instant touch ties pick max/min id for
+    last/first; unattributed conversions keep NULLs."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.funnel import touch_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    LOOK = 3600 * 1_000_000  # 1 hour
+    rows = [
+        # user 1: click at conversion instant (counts, ties by id),
+        # click 1h+1us before (out of window), click 30min before (in)
+        (1, 1, "click", t0 - dt.timedelta(hours=1, microseconds=1)),
+        (2, 1, "click", t0 - dt.timedelta(minutes=30)),
+        (3, 1, "click", t0),
+        (4, 1, "click", t0),
+        (5, 1, "purchase", t0),
+        # user 2: no clicks at all
+        (6, 2, "purchase", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["conversion_id"]: r
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            "purchase", "click", lookback_us=LOOK,
+        ).collect()
+    }
+    assert got[5]["first_touch_id"] == 2       # 1h-old click excluded
+    assert got[5]["last_touch_id"] == 4        # same-instant tie -> max id
+    assert got[5]["last_touch_lag_us"] == 0
+    assert got[6]["first_touch_id"] is None
+    assert got[6]["last_touch_lag_us"] is None
+    with pytest.raises(ValueError, match="lookback_us"):
+        touch_attribution(df, "user_id", "ts", "event_type", "event_id",
+                          "purchase", "click", lookback_us=0)

@@ -128,6 +128,7 @@ PROBES = [
     "hybrid_retrieval_rrf",
     "mmr_diversified_topk",
     "ols_trend_by_event_type",
+    "purchase_touch_attribution",
 ]
 
 
