@@ -75,13 +75,16 @@ _CHECK_FIRST = [
     "mmr_diversified_topk",           # greedy MMR rerank, unrolled oracle
     "ols_trend_by_event_type",        # moment-sketch least-squares fit
     "purchase_touch_attribution",     # first/last-touch range window
+    "session_path_topk",              # session journey path analysis
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
     "gopher_quality_gate",            # stopword regex escaping
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (twenty-two r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # in round 1 (twenty-three r1 rows (scalar_functions_probe, demo2_groupby_count,
+    # optimade_filter_compile (sibling optimade_has_predicates keeps the
+    # OPTIMADE predicate family in-window),
     # q14_promo_revenue (TPC-H shapes stay via in-window q01 and the
     # bench's q03/q06/q09/q10),
     # join_anti_customers_without_orders (left-anti joins run inside the
@@ -106,12 +109,11 @@ _CHECK_FIRST = [
     # stats_value_by_type, histogram_value_buckets,
     # events_cohort_retention, fair_quota_two_level,
     # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the twenty-two
+    # deterministic_sample_events) yield their slots to the twenty-three
     # goldens added late this round, which would otherwise
     # never get a driver row; all stay suite-oracle-checked in CI)
     "cosine_topk_ivf_approx",
     "federation_dedup_quota",
-    "optimade_filter_compile",
     "optimade_has_predicates",
     "text_language_id_confusion",
 ]

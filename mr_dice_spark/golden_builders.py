@@ -872,6 +872,71 @@ def value_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "value", n_bins=10).orderBy("bin")
 
 
+SESSION_PATHS_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+marked AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+p AS (
+  SELECT user_id, session_id,
+         array_to_string(list_transform(
+           list_slice(list_sort(list(struct_pack(us := us, tb := event_id,
+                                                 t := event_type))), 1, 5),
+           x -> x.t), '>') AS path
+  FROM s GROUP BY user_id, session_id
+),
+c AS MATERIALIZED (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+)
+SELECT path, n_sessions, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn FROM c
+) WHERE rn <= 15
+ORDER BY rank
+"""
+
+
+@golden(
+    "session_path_topk",
+    SESSION_PATHS_ORACLE,
+    tags=("events", "sessionize", "paths", "analytics"),
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session journeys: every 30-minute session's first five
+    event types joined with '>' and counted — the path-analysis
+    complement of the funnel (which asks about ONE target sequence).
+    Steps order by (epoch-microsecond, event_id) inside a sorted struct
+    array, so equal-timestamp ordering is engine-identical; the top-k
+    is orderBy+limit then a 15-row rank window (TakeOrderedAndProject,
+    the bpe_pair_stats global-top-k rule)."""
+    from pyspark.sql import Window
+
+    from mr_dice_spark.operators.sessionize import session_path_counts
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    counts = session_path_counts(
+        ev, "user_id", "ts", "event_type", 1800,
+        max_steps=5, tiebreak_col="event_id",
+    )
+    top = counts.orderBy(F.desc("n_sessions"), "path").limit(15)
+    w = Window.orderBy(F.desc("n_sessions"), F.col("path"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
 ATTRIBUTION_ORACLE = """
 WITH e AS (
   SELECT event_id, user_id, event_type,

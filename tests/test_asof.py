@@ -180,3 +180,40 @@ def test_touch_attribution_window_edges_and_ties(spark):
     with pytest.raises(ValueError, match="lookback_us"):
         touch_attribution(df, "user_id", "ts", "event_type", "event_id",
                           "purchase", "click", lookback_us=0)
+
+
+def test_session_path_counts_truncation_gap_and_ties(spark):
+    """Paths truncate at max_steps, a >= gap break starts a new path,
+    same-timestamp steps order by tiebreak, NULL-typed rows are
+    excluded before gaps are measured."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.sessionize import session_path_counts
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, 1, "a", at(0)), (2, 1, "b", at(10)), (3, 1, "c", at(20)),
+        (4, 1, "d", at(30)),                       # truncated at 3 steps
+        (5, 1, "x", at(4000)),                     # new session after gap
+        # user 2: same-instant pair orders by event_id; NULL type dropped
+        (7, 2, "q", at(0)), (6, 2, "p", at(0)), (8, 2, None, at(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_path_counts(
+            df, "user_id", "ts", "event_type", 1800,
+            max_steps=3, tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == {"a>b>c": 1, "x": 1, "p>q": 1}
+    with pytest.raises(ValueError, match="max_steps"):
+        session_path_counts(df, "user_id", "ts", "event_type", 1800, 0)

@@ -129,6 +129,7 @@ PROBES = [
     "mmr_diversified_topk",
     "ols_trend_by_event_type",
     "purchase_touch_attribution",
+    "session_path_topk",
 ]
 
 
