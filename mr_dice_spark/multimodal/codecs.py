@@ -1051,14 +1051,39 @@ def video_sample_slices(payload: bytes) -> Optional[list]:
     return avi_sample_slices(payload)
 
 
-def real_decode_video(payload):  # pragma: no cover
-    """Real frame PIXEL decode requires PyAV/ffmpeg — not available here.
-    Container METADATA (geometry, fps, frame count) parses for real via
-    real_probe_video above."""
-    raise NotImplementedError(
-        "video frame decode needs PyAV/ffmpeg; wire it in here and ops.py "
-        "is unchanged (real_probe_video already parses container headers)"
-    )
+def real_decode_video(payload):
+    """Real frame PIXEL decode for Motion-JPEG streams: walk the
+    container's sample table (MP4 stsz/stsc/stco or AVI movi chunks),
+    slice each frame, and entropy-decode every frame whose bytes are
+    themselves a JPEG stream (SOI-prefixed) via the pure-stdlib decoder
+    in multimodal/jpeg.py. Returns ``[(frame_idx, (H, W, C) uint8
+    ndarray), ...]`` for the decodable frames — MJPEG is the one video
+    codec whose frames are self-contained still images, so the JPEG
+    closure from round 5 closes video-frame pixels too. Inter-frame
+    codecs (H.264/VP9/AV1) still require PyAV/ffmpeg and raise the
+    tested NotImplementedError boundary below."""
+    slices = video_sample_slices(payload) if payload else None
+    if not slices:
+        raise NotImplementedError(
+            "no container sample table; inter-frame codecs need PyAV/ffmpeg "
+            "(container METADATA still parses for real via real_probe_video)"
+        )
+    frames = []
+    for i, (off, size) in enumerate(slices):
+        chunk = payload[off : off + size]
+        if chunk[:2] == b"\xff\xd8":
+            try:
+                img = decode_pixels(chunk)
+            except Exception:
+                img = None
+            if img is not None:
+                frames.append((i, img))
+    if not frames:
+        raise NotImplementedError(
+            "frames are not MJPEG (no SOI-prefixed samples decoded); "
+            "inter-frame codecs need PyAV/ffmpeg wired in here"
+        )
+    return frames
 
 
 # -- audio ------------------------------------------------------------------
