@@ -55,11 +55,48 @@ def test_codec_stub_determinism():
     assert fake_image_features(b"", dim=4) == [0.0] * 4
 
 
-def test_real_video_codec_is_stubbed():
-    # frame PIXEL decode stays stubbed (needs PyAV/ffmpeg); container
-    # METADATA parses for real — see the real_probe_video tests below
+def test_real_video_decode_boundaries():
+    # no container sample table at all -> still the tested boundary
     with pytest.raises(NotImplementedError):
         real_decode_video(b"anything")
+    # a real container whose frames are NOT self-contained JPEGs (the
+    # inter-frame-codec case) -> boundary too: pixels need PyAV/ffmpeg
+    from mr_dice_spark.multimodal.codecs import encode_avi_stub
+
+    p = encode_avi_stub(64, 48, 0, 10.0, samples=[b"\x00\x01h264ish", b"\x02"])
+    with pytest.raises(NotImplementedError):
+        real_decode_video(p)
+
+
+def test_real_video_decode_mjpeg_roundtrip():
+    # MJPEG frames (self-contained baseline JPEGs muxed as 00dc chunks)
+    # decode for real, bit-exact on block-constant images
+    np = pytest.importorskip("numpy")
+    from mr_dice_spark.multimodal.codecs import encode_avi_stub
+    from mr_dice_spark.multimodal.jpeg import encode_jpeg_baseline
+
+    imgs = []
+    for base in (7, 130):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = (
+            base, base + 40, base + 80, base + 120,
+        )
+        imgs.append(img)
+    p = encode_avi_stub(
+        16, 16, 0, 10.0, samples=[encode_jpeg_baseline(i) for i in imgs]
+    )
+    frames = real_decode_video(p)
+    assert [i for i, _ in frames] == [0, 1]
+    for (_, got), want in zip(frames, imgs):
+        assert got.shape == (16, 16, 1)
+        assert np.array_equal(got[:, :, 0], want)
+    # a corrupt frame among good ones is skipped, not fatal
+    mixed = encode_avi_stub(
+        16, 16, 0, 10.0,
+        samples=[b"\xff\xd8garbage", encode_jpeg_baseline(imgs[0])],
+    )
+    frames = real_decode_video(mixed)
+    assert [i for i, _ in frames] == [1]
 
 
 def test_real_probe_mp4_roundtrip():
