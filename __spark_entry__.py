@@ -42,6 +42,7 @@ _CHECK_FIRST = [
     "quarantine_ingest_audit",        # PERMISSIVE parse + bad-record capture
     "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
     "jpeg_progressive_decode_dedup",  # SOF2 multi-scan decode, same oracle
+    "mjpeg_frame_decode_dedup",       # video-frame pixels: RIFF walk + JPEG
     "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
@@ -79,7 +80,10 @@ _CHECK_FIRST = [
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
     "fuzzy_name_join_customers",      # affix strip in its path
-    "gopher_quality_gate",            # stopword regex escaping
+    # (gopher_quality_gate yields its slot to mjpeg_frame_decode_dedup:
+    # its only change this round — re.escape on stopword patterns — is
+    # behavior-identical for the golden's default stopwords, it is
+    # r4-green, and the suite oracle still checks it every CI run)
     "profile_events_columns",         # profile_columns signature change
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
     # in round 1 (twenty-three r1 rows (scalar_functions_probe, demo2_groupby_count,
