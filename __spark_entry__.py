@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
     "jpeg_progressive_decode_dedup",  # SOF2 multi-scan decode, same oracle
     "mjpeg_frame_decode_dedup",       # video-frame pixels: RIFF walk + JPEG
+    "interpolate_linear_hourly",      # linear gap-fill on the bucket grid
     "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
@@ -119,7 +120,10 @@ _CHECK_FIRST = [
     "cosine_topk_ivf_approx",
     "federation_dedup_quota",
     "optimade_has_predicates",
-    "text_language_id_confusion",
+    # (text_language_id_confusion yields its slot to
+    # interpolate_linear_hourly: r1-green, unchanged since, and the
+    # language-ID machinery stays exercised in-window by
+    # ccnet_perplexity_buckets' per-language scoring)
 ]
 
 

@@ -3350,6 +3350,79 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_band", "bucket_ms")
 
 
+INTERPOLATE_ORACLE = """
+WITH b AS (
+  SELECT user_id % 64 AS k,
+         to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS h,
+         MIN(value) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT k, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY k),
+grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM spans
+),
+j AS (SELECT g.k, g.h, b.v FROM grid g LEFT JOIN b ON b.k = g.k AND b.h = g.h),
+f AS (
+  SELECT k, h, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY h
+        ROWS UNBOUNDED PRECEDING) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        OVER (PARTITION BY k ORDER BY h ROWS UNBOUNDED PRECEDING) AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY h
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        OVER (PARTITION BY k ORDER BY h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT k AS user_band, epoch_ms(h) AS bucket_ms,
+       ROUND(1e-9 + CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * ((epoch(h) - epoch(pt))
+                                    / (epoch(nt) - epoch(pt))) END, 4) AS value,
+       (v IS NULL) AS filled
+FROM f
+ORDER BY user_band, bucket_ms
+"""
+
+
+@golden(
+    "interpolate_linear_hourly",
+    INTERPOLATE_ORACLE,
+    tags=("timeseries", "window", "events", "interpolation"),
+)
+def interpolate_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR gap interpolation (pandas
+    interpolate("linear") semantics, Spark-native): per-band bucket
+    minimum, bounded sequence() grid, and each gap bucket takes
+    prev + (next - prev) * elapsed-fraction between its nearest observed
+    neighbours — one key shuffle total, the prev/next scans sharing a
+    single partition+sort. The bucket aggregate is MIN (order-independent,
+    so bit-exact across engines unlike a summed AVG), the interpolation
+    expression is parenthesized identically on both sides (frac divides
+    first), and only the final value is nudge-rounded. At sf0.01 the
+    64-band hourly grid is ~45k rows with ~36k interpolated gaps."""
+    from mr_dice_spark.operators.timeseries import interpolate_linear
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select(
+        (F.col("user_id") % 64).alias("user_band"), "ts", "value"
+    )
+    out = interpolate_linear(
+        ev,
+        key_col="user_band",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+        agg="min",
+    )
+    return out.select(
+        "user_band",
+        F.unix_millis("bucket_ts").alias("bucket_ms"),
+        _r("value", 4).alias("value"),
+        "filled",
+    ).orderBy("user_band", "bucket_ms")
+
+
 # ---------------------------------------------------------------------------
 # batched multi-query ANN: top-k per query in one corpus scan
 # ---------------------------------------------------------------------------

@@ -85,6 +85,87 @@ def resample_ffill(
     )
 
 
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    agg: str = "avg",
+) -> DataFrame:
+    """Resample per-key observations onto a regular grid with LINEAR
+    interpolation across interior gaps (pandas ``interpolate("linear")``
+    / Flink's gap-fill semantics, which Spark lacks natively).
+
+    Returns ``(key, bucket_ts, value, filled)`` like :func:`resample_ffill`
+    but a gap bucket takes ``prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev)`` between its nearest observed neighbours instead of
+    the last value. The grid spans each key's first to last OBSERVED
+    bucket, so every gap is interior and both neighbours always exist —
+    no edge-extrapolation convention to pick.
+
+    Plan shape: identical to resample_ffill (bucket aggregate, bounded
+    sequence() explode, left join back) plus one extra window pass — the
+    prev/next scans share one partition+sort on the key, so the whole fill
+    is a single key shuffle. All JVM-side; linear in grid rows at any
+    scale.
+    """
+    if agg not in ("avg", "min", "max", "sum", "last"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+    )
+    bv = F.col("__v")
+    agg_fn = {
+        "avg": F.avg(bv),
+        "min": F.min(bv),
+        "max": F.max(bv),
+        "sum": F.sum(bv),
+        "last": F.last(bv, ignorenulls=True),
+    }[agg]
+    buckets = (
+        df.select(
+            F.col(key_col).alias("__k"), bucket.alias("__h"), F.col(value_col).alias("__v")
+        )
+        .groupBy("__k", "__h")
+        .agg(agg_fn.alias("__v"))
+    )
+    grid = (
+        buckets.groupBy("__k")
+        .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {int(step_seconds)} seconds)")
+            ).alias("__h"),
+        )
+    )
+    joined = grid.join(buckets, ["__k", "__h"], "left")
+    w_prev = Window.partitionBy("__k").orderBy("__h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("__k").orderBy("__h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_t = F.when(F.col("__v").isNotNull(), F.col("__h"))
+    prev_v = F.last("__v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+    next_v = F.first("__v", ignorenulls=True).over(w_next)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+    frac = (
+        (F.unix_timestamp(F.col("__h")) - F.unix_timestamp(prev_t)).cast("double")
+        / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)).cast("double")
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__h").alias("bucket_ts"),
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+        .alias(value_col),
+        F.col("__v").isNull().alias("filled"),
+    )
+
+
 def group_ols_trend(
     df: DataFrame,
     group_cols: list[str],

@@ -36,3 +36,54 @@ def test_resample_ffill_rejects_unknown_agg(spark):
     df = spark.createDataFrame([(1, _ts(0), 1.0)], "k int, ts timestamp, v double")
     with pytest.raises(ValueError):
         resample_ffill(df, "k", "ts", "v", agg="median")
+
+
+def test_interpolate_linear_interior_gaps(spark):
+    from mr_dice_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(3), 40.0),   # 3-bucket gap: 10 -> 20 -> 30 -> 40
+        (1, _ts(4), 0.0),
+        (2, _ts(5), 7.0),    # single-bucket key -> 1 grid row
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = interpolate_linear(df, "k", "ts", "v", step_seconds=3600, agg="avg")
+    got = sorted(
+        (r["k"], r["bucket_ts"].hour, r["v"], r["filled"]) for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 10.0, False),
+        (1, 1, 20.0, True),
+        (1, 2, 30.0, True),
+        (1, 3, 40.0, False),
+        (1, 4, 0.0, False),
+        (2, 5, 7.0, False),
+    ]
+
+
+def test_interpolate_linear_matches_ffill_grid(spark):
+    # grid rows and `filled` flags are identical to resample_ffill; only
+    # the fill VALUES differ (and observed buckets are untouched)
+    from mr_dice_spark.operators.timeseries import interpolate_linear
+
+    rows = [(1, _ts(0), 5.0), (1, _ts(2), 11.0), (1, _ts(2), 13.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    lin = interpolate_linear(df, "k", "ts", "v", agg="avg").collect()
+    ff = resample_ffill(df, "k", "ts", "v", agg="avg").collect()
+    assert [(r["k"], r["bucket_ts"], r["filled"]) for r in lin] == [
+        (r["k"], r["bucket_ts"], r["filled"]) for r in ff
+    ]
+    assert [r["v"] for r in sorted(lin, key=lambda r: r["bucket_ts"])] == [
+        5.0, 8.5, 12.0
+    ]
+
+
+def test_interpolate_linear_rejects_unknown_agg(spark):
+    import pytest
+
+    from mr_dice_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame([(1, _ts(0), 1.0)], "k int, ts timestamp, v double")
+    with pytest.raises(ValueError):
+        interpolate_linear(df, "k", "ts", "v", agg="median")
