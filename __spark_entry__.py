@@ -44,6 +44,7 @@ _CHECK_FIRST = [
     "jpeg_progressive_decode_dedup",  # SOF2 multi-scan decode, same oracle
     "mjpeg_frame_decode_dedup",       # video-frame pixels: RIFF walk + JPEG
     "interpolate_linear_hourly",      # linear gap-fill on the bucket grid
+    "audio_tone_detection",           # real PCM decode + DFT correlation
     "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
@@ -80,7 +81,9 @@ _CHECK_FIRST = [
     "session_path_topk",              # session journey path analysis
     # --- operators changed this round (re-verify through the driver)
     "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
-    "fuzzy_name_join_customers",      # affix strip in its path
+    # (fuzzy_name_join_customers yields its slot to audio_tone_detection:
+    # r4-green, and the affix-strip path it re-verifies is driven harder
+    # by the in-window fuzzy_name_join_k2)
     # (gopher_quality_gate yields its slot to mjpeg_frame_decode_dedup:
     # its only change this round — re.escape on stopword patterns — is
     # behavior-identical for the golden's default stopwords, it is

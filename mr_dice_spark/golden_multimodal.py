@@ -614,3 +614,102 @@ def mjpeg_frame_decode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "ahash_bits", "is_canonical")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio tone detection: real WAV sample decode + DFT correlation. The
+# fixture plants a square wave at one of four DFT bins (integer-exact
+# waveform: x[n] = ±A by (k*n) mod N < N/2, so both engines reconstruct
+# byte-identical samples), the operator decodes the PCM frames for real
+# and measures power at every candidate bin, and the finisher picks the
+# dominant tone and its purity. The oracle rebuilds the waveform from
+# character arithmetic and restates the DFT as SUM(x*cos)/SUM(x*sin) —
+# transcendental leakage differs across engines only at ulp level, orders
+# below the rounding applied on both sides.
+# ---------------------------------------------------------------------------
+
+AUDIO_TONE_ORACLE = f"""
+WITH {_BYTES_CTE},
+p AS (
+  SELECT doc_id,
+         ([5, 10, 20, 40])[csum % 4 + 1] AS k,
+         6000 + (n % 5) * 1000 AS amp
+  FROM b
+),
+x AS (
+  SELECT doc_id, k, CAST(u.i AS BIGINT) AS i,
+         CASE WHEN (k * u.i) % 256 < 128 THEN amp ELSE -amp END AS v
+  FROM p, UNNEST(range(0, 256)) AS u(i)
+),
+pw AS (
+  SELECT x.doc_id, t.bin,
+         POWER(SUM(v * cos(2 * pi() * t.bin * i / 256)), 2)
+       + POWER(SUM(v * sin(2 * pi() * t.bin * i / 256)), 2) AS pow_b
+  FROM x, (SELECT unnest([5, 10, 20, 40]) AS bin) t
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, bin, pow_b,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY pow_b DESC, bin) AS rk
+  FROM pw
+)
+SELECT doc_id,
+       CAST(MIN(CASE WHEN rk = 1 THEN bin END) AS INT) AS dominant_bin,
+       MIN(CASE WHEN rk = 1 THEN bin END) * 8000.0 / 256 AS tone_hz,
+       ROUND(1e-9 + MAX(pow_b) / SUM(pow_b), 6) AS purity,
+       ROUND(1e-9 + MAX(pow_b) / 1e9, 3) AS peak_gw
+FROM r
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@golden(
+    "audio_tone_detection",
+    AUDIO_TONE_ORACLE,
+    tags=("multimodal", "audio", "dft", "tone"),
+)
+def audio_tone_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-tone detection over real PCM decode: each document plants
+    a ±A square wave at DFT bin k ∈ {5,10,20,40} (k by checksum, A by
+    length) in a 256-sample 16-bit mono WAV; audio_tone_powers decodes
+    the RIFF frames (codecs.wav_samples) and correlates against all four
+    candidate bins in one narrow Arrow pass; codegen'd array expressions
+    pick the dominant bin (first-max, mirrored by the oracle's
+    ROW_NUMBER tiebreak), its frequency, the purity ratio, and the peak
+    power. The waveform is integer-exact on both sides, so the only
+    cross-engine noise is cos/sin ulp drift — absorbed by the 6/3-digit
+    rounding."""
+    from mr_dice_spark.multimodal.codecs import encode_wav
+    from mr_dice_spark.multimodal.ops import audio_tone_powers
+
+    BINS = [5, 10, 20, 40]
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = t or ""
+            csum, n = sum(ord(c) for c in s), len(s)
+            k, amp = BINS[csum % 4], 6000 + (n % 5) * 1000
+            wave = [amp if (k * i) % 256 < 128 else -amp for i in range(256)]
+            out.append(encode_wav(wave, rate=8000))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    toned = audio_tone_powers(media, bins=BINS, n_fft=256, id_cols=["doc_id"])
+    bp = F.col("bin_powers")
+    pmax = F.array_max(bp)
+    ptot = F.aggregate(bp, F.lit(0.0), lambda a, v: a + v)
+    dom = F.element_at(
+        F.array(*[F.lit(b) for b in BINS]), F.array_position(bp, pmax).cast("int")
+    )
+    return toned.select(
+        "doc_id",
+        dom.cast("int").alias("dominant_bin"),
+        (dom.cast("double") * F.lit(8000.0) / F.lit(256)).alias("tone_hz"),
+        F.round(pmax / ptot + F.lit(1e-9), 6).alias("purity"),
+        F.round(pmax / F.lit(1e9) + F.lit(1e-9), 3).alias("peak_gw"),
+    ).orderBy("doc_id")

@@ -1148,6 +1148,52 @@ def real_probe_wav(payload: bytes) -> Optional[dict]:
     }
 
 
+def wav_samples(payload: bytes) -> Optional["object"]:
+    """REAL PCM sample decode for 8/16-bit RIFF/WAVE payloads: the first
+    channel's raw integer samples as a numpy array (int16-range for
+    16-bit, centered int for 8-bit). None for non-WAV / unsupported bit
+    depths (caller falls back or NULLs out). Raw INTEGERS, not
+    normalized floats, so downstream arithmetic (DFT correlations) can
+    be restated exactly in SQL."""
+    import numpy as np
+
+    parsed = _parse_wav(payload)
+    if parsed is None:
+        return None
+    rate, channels, bits, frames = parsed
+    if bits == 16:
+        x = np.frombuffer(frames[: len(frames) // 2 * 2], dtype="<i2").astype(np.int64)
+    elif bits == 8:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        return None
+    if channels > 1:
+        x = x[: x.size // channels * channels].reshape(-1, channels)[:, 0]
+    return x
+
+
+def encode_wav(samples, rate: int = 8000, bits: int = 16) -> bytes:
+    """Minimal mono PCM RIFF/WAVE encoder (fixture-side twin of
+    wav_samples / real_probe_wav): ``samples`` is an iterable of ints
+    (int16 range for 16-bit, [-128, 127] for 8-bit)."""
+    import struct
+
+    samples = list(samples)
+    if bits == 16:
+        frames = b"".join(struct.pack("<h", int(s)) for s in samples)
+    elif bits == 8:
+        frames = bytes((int(s) + 128) & 0xFF for s in samples)
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    byte_rate = rate * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, byte_rate, bits // 8, bits)
+    data = b"data" + struct.pack("<I", len(frames)) + frames
+    if len(frames) % 2:
+        data += b"\x00"  # RIFF chunks are word-aligned
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # MPEG-1/2/2.5 Layer III bitrate (kbps) and sample-rate tables, indexed
 # by the frame-header fields (ISO/IEC 11172-3 / 13818-3). Index 0 ("free"
 # bitrate) and 15 are rejected — a probe cannot size free-format frames.

@@ -1384,3 +1384,57 @@ def test_mp3_probe_frame_walk_and_dispatch():
     # arbitrary text and a fake 0xFF sync in noise -> stub path
     assert real_probe_mp3(b"not audio at all, just text bytes") is None
     assert decode_audio(b"\xff\xfbxx" + b"z" * 50) == fake_decode_audio(b"\xff\xfbxx" + b"z" * 50)
+
+
+def test_wav_samples_roundtrip_and_bounds():
+    np = pytest.importorskip("numpy")
+    from mr_dice_spark.multimodal.codecs import encode_wav, wav_samples
+
+    vals = [0, 1, -1, 32767, -32768, 1234]
+    got = wav_samples(encode_wav(vals, rate=8000, bits=16))
+    assert got.tolist() == vals
+    # 8-bit path (stored offset-128)
+    got8 = wav_samples(encode_wav([0, 127, -128], rate=8000, bits=8))
+    assert got8.tolist() == [0, 127, -128]
+    # odd-length 8-bit data chunk is word-aligned without corrupting samples
+    got8b = wav_samples(encode_wav([5, -5, 9], rate=8000, bits=8))
+    assert got8b.tolist() == [5, -5, 9]
+    assert wav_samples(b"not a wav") is None
+    # stereo payloads yield the first channel
+    import struct
+    frames = b"".join(struct.pack("<hh", i, -i) for i in (3, 7, 11))
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav_samples(stereo).tolist() == [3, 7, 11]
+
+
+def test_audio_tone_powers_finds_planted_bin(spark):
+    np = pytest.importorskip("numpy")
+    from mr_dice_spark.multimodal.codecs import encode_wav
+    from mr_dice_spark.multimodal.ops import audio_tone_powers
+
+    def square(k, amp=8000, n=256):
+        return encode_wav(
+            [amp if (k * i) % n < n // 2 else -amp for i in range(n)], rate=8000
+        )
+
+    rows = [
+        ("a", square(5)),
+        ("b", square(20)),
+        ("short", encode_wav([1, 2, 3], rate=8000)),   # < n_fft -> NULL
+        ("junk", b"\x00\x01\x02not audio at all" * 10),  # non-WAV -> NULL
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {
+        r["media_id"]: (r["bin_powers"], r["n_used"])
+        for r in audio_tone_powers(df, bins=[5, 20], n_fft=256).collect()
+    }
+    pa, _ = out["a"]
+    pb, _ = out["b"]
+    assert pa[0] > 100 * pa[1] and pb[1] > 100 * pb[0]
+    assert out["a"][1] == 256
+    for k in ("short", "junk", "none"):
+        assert out[k] == (None, None)
