@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "mjpeg_frame_decode_dedup",       # video-frame pixels: RIFF walk + JPEG
     "interpolate_linear_hourly",      # linear gap-fill on the bucket grid
     "audio_tone_detection",           # real PCM decode + DFT correlation
+    "triangle_counts_copurchase",     # compact-forward triangle counting
     "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
@@ -88,7 +89,10 @@ _CHECK_FIRST = [
     # its only change this round — re.escape on stopword patterns — is
     # behavior-identical for the golden's default stopwords, it is
     # r4-green, and the suite oracle still checks it every CI run)
-    "profile_events_columns",         # profile_columns signature change
+    # (profile_events_columns yields its slot to
+    # triangle_counts_copurchase: r4-green, and the profile_columns
+    # signature change is driven in-window by profile_approx_audit,
+    # which calls both the exact and approx modes)
     # --- r1-only re-verification: 24 of the 27 rows last driver-checked
     # in round 1 (twenty-three r1 rows (scalar_functions_probe, demo2_groupby_count,
     # optimade_filter_compile (sibling optimade_has_predicates keeps the

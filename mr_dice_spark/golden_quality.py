@@ -1541,3 +1541,72 @@ def quarantine_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no terminal global sort: the audit scales with the corpus and the
     # harness compares order-insensitively (PERFORMANCE.md finding 9)
     return good_rows.unionByName(bad_rows)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (compact-forward) over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+TRIANGLE_ORACLE = """
+WITH raw AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x
+  JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+und AS (SELECT a AS n FROM raw UNION ALL SELECT b FROM raw),
+deg AS (SELECT n, COUNT(*) AS dg FROM und GROUP BY n),
+orient AS (
+  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+              THEN a ELSE b END AS u,
+         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+              THEN b ELSE a END AS v,
+         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+              THEN db.dg ELSE da.dg END AS vdg
+  FROM raw JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM orient e1
+  JOIN orient e2 ON e1.u = e2.u
+   AND (e1.vdg < e2.vdg OR (e1.vdg = e2.vdg AND e1.v < e2.v))
+  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pern AS (
+  SELECT n, COUNT(*) AS t FROM (
+    SELECT x AS n FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY n
+)
+SELECT CAST(d.n AS BIGINT) AS node,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN pern p ON p.n = d.n
+ORDER BY node
+"""
+
+
+@golden(
+    "triangle_counts_copurchase",
+    TRIANGLE_ORACLE,
+    tags=("graph", "triangles", "join"),
+)
+def triangle_counts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts sharing
+    an order, ≤ 7 items per TPC-H order so the pair build is bounded):
+    compact-forward counting — edges oriented low→high by (degree, node),
+    wedges joined at the oriented source, closed by one equi-join on the
+    oriented pair — so each triangle is found exactly once and no hub
+    can absorb quadratic wedge work (out-degrees are capped at O(sqrt m)
+    by the orientation). The oracle restates the identical orientation
+    and joins; counts are integers, so the hash has no FP surface."""
+    from mr_dice_spark.operators.graph import triangle_counts
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return triangle_counts(edges).orderBy("node")

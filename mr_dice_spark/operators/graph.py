@@ -88,3 +88,73 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("__s").alias("node"), F.col("__r").alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the clustering
+    /cohesion signal (spam-farm detection in crawl graphs, community
+    density in interaction graphs) Spark has no built-in for.
+
+    Compact-forward algorithm: normalize to distinct undirected pairs
+    (self-loops dropped), then orient every edge from the (degree, node)-
+    smaller endpoint to the larger — a DAG in which each triangle
+    u ≺ v ≺ w appears exactly once as the wedge (u→v, u→w) closed by
+    (v→w). The wedge join fans out per source as out-degree², and the
+    degree ordering caps every out-degree at O(√m) — the classic
+    O(m^1.5) bound — so one hub node cannot absorb a quadratic block
+    (same hazard class as the fuzzy join's constant-prefix collapse,
+    handled here BY the orientation rather than by a circuit breaker).
+
+    Returns ``(node, triangles)`` for every node in the graph, zeros
+    included. Shapes: two key shuffles to normalize + degree, one wedge
+    self-join on the oriented source, one closing join on the oriented
+    pair — all equi-joins, no cartesian anywhere.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("a", "n")
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("vdg"),
+    )
+    e1, e2 = orient.alias("e1"), orient.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).where(
+        (F.col("e1.vdg") < F.col("e2.vdg"))
+        | ((F.col("e1.vdg") == F.col("e2.vdg")) & (F.col("e1.v") < F.col("e2.v")))
+    )
+    closing = orient.select(F.col("u").alias("cv"), F.col("v").alias("cw"))
+    tri = wedges.join(
+        closing,
+        (F.col("e1.v") == F.col("cv")) & (F.col("e2.v") == F.col("cw")),
+    ).select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z"))
+    per_node = (
+        tri.select(F.col("x").alias("n"))
+        .union(tri.select(F.col("y").alias("n")))
+        .union(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

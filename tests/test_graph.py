@@ -55,3 +55,37 @@ def test_pagerank_empty_edges_schema_matches(spark):
     out = pagerank(df)
     assert out.count() == 0
     assert dict(out.dtypes) == {"node": "bigint", "rank": "double"}
+
+
+def test_triangle_counts_known_graph(spark):
+    from mr_dice_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1 (0)
+    # + duplicate/reversed/self-loop edges that must not change counts
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 1), (2, 1), (3, 1), (4, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from mr_dice_spark.operators.graph import triangle_counts
+
+    # bipartite (4-cycle) -> all zeros
+    df = spark.createDataFrame(
+        [(1, 10), (10, 2), (2, 20), (20, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 0, 2: 0, 10: 0, 20: 0}
+
+
+def test_triangle_counts_plan_no_cartesian(spark):
+    from mr_dice_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
