@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "interpolate_linear_hourly",      # linear gap-fill on the bucket grid
     "audio_tone_detection",           # real PCM decode + DFT correlation
     "triangle_counts_copurchase",     # compact-forward triangle counting
+    "dsir_importance_select_en",      # DSIR hashed-ngram Gumbel top-k
     "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
@@ -81,7 +82,10 @@ _CHECK_FIRST = [
     "purchase_touch_attribution",     # first/last-touch range window
     "session_path_topk",              # session journey path analysis
     # --- operators changed this round (re-verify through the driver)
-    "winnowing_overlap_pairs",        # PPJoin prefix filter (new default)
+    # (winnowing_overlap_pairs yields its slot to
+    # dsir_importance_select_en: its new PPJoin default was re-verified
+    # hash-exact at sf0.1 — 10x the driver's compare scale, all 9.7M
+    # pairs — and the suite oracle still checks it every CI run)
     # (fuzzy_name_join_customers yields its slot to audio_tone_detection:
     # r4-green, and the affix-strip path it re-verifies is driven harder
     # by the in-window fuzzy_name_join_k2)

@@ -603,3 +603,81 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     return embedding_outliers(emb, "vec_id", "embedding", "label").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_SEED = "dsir/"
+
+
+def _dsir_oracle(k: int = 100, buckets: int = 256) -> str:
+    h_gram = _bucket_sql("u.g", _DSIR_SEED)
+    h_gum = _bucket_sql("d.doc_id", _DSIR_SEED + "gumbel/")
+    return f"""
+WITH g AS (
+  SELECT doc_id, (lang = 'en') AS t,
+         {h_gram} % {buckets} AS b
+  FROM documents,
+       UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(g)
+  WHERE u.g <> ''
+),
+cells AS (
+  SELECT b,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         COUNT(*) AS cp
+  FROM g GROUP BY b
+),
+lr AS (
+  SELECT b,
+         LN((ct + 1.0) / (SUM(ct) OVER () + {buckets}.0))
+       - LN((cp + 1.0) / (SUM(cp) OVER () + {buckets}.0)) AS lr
+  FROM cells
+),
+sc AS (
+  SELECT g.doc_id, SUM(lr.lr) AS logw
+  FROM g JOIN lr ON lr.b = g.b GROUP BY g.doc_id
+),
+keyed AS (
+  SELECT d.doc_id, COALESCE(sc.logw, 0.0) AS logw,
+         COALESCE(sc.logw, 0.0)
+           - LN(-LN(({h_gum} + 0.5) / 4294967296.0)) AS gk
+  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+)
+SELECT doc_id, ROUND(1e-9 + logw, 6) AS logw,
+       ROUND(1e-9 + gk, 6) AS gumbel_key
+FROM keyed
+ORDER BY gk DESC, doc_id
+LIMIT {k}
+"""
+
+
+@golden(
+    "dsir_importance_select_en",
+    _dsir_oracle(),
+    tags=("sampling", "dsir", "importance", "documents"),
+)
+def dsir_importance_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection toward the English subcorpus: hashed-unigram
+    cell distributions (portable md5 → 256 cells) for target (lang='en')
+    and pool, Laplace-smoothed log-likelihood-ratio per cell, per-doc
+    importance logw, and a deterministic Gumbel-top-100 draw — the
+    standard importance-resampling recipe for matching a pretraining
+    pool to a domain. Cell dim is broadcast (bounded by the parameter),
+    the per-doc sum is the one corpus shuffle, and the top-k is
+    TakeOrderedAndProject. The oracle restates every stage including the
+    Gumbel noise; both engines round only at the output."""
+    from mr_dice_spark.operators.curation import dsir_importance_select
+
+    docs = Catalog(spark, sf_dir).documents.withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    out = dsir_importance_select(
+        docs, "doc_id", "text", "is_en", k=100, buckets=256, seed=_DSIR_SEED
+    )
+    return out.select(
+        "doc_id",
+        _r("logw", 6).alias("logw"),
+        _r("gumbel_key", 6).alias("gumbel_key"),
+    ).orderBy(F.col("gumbel_key").desc(), "doc_id")

@@ -231,3 +231,87 @@ def perplexity_buckets(
         .join(scored, id_col)
         .select(id_col, group_col, "ppl", label.alias("bucket"))
     )
+
+
+def dsir_importance_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    k: int,
+    buckets: int = 256,
+    seed: str = "dsir/",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the ``k`` pool documents whose hashed-unigram distribution looks
+    most like a target domain, by Gumbel-top-k over importance weights.
+
+    ``target_col`` (boolean) marks the in-domain sample. Features are
+    lowercased word unigrams hashed into ``buckets`` cells with the
+    engine-portable md5 hash; the target and pool cell distributions get
+    Laplace (+1) smoothing, each document scores
+    ``logw = Σ_grams ln(p_target(cell)/p_pool(cell))``, and selection
+    adds deterministic Gumbel noise ``-ln(-ln(u))`` (u from the id hash)
+    so the draw is a true sample-without-replacement, reproducible and
+    SQL-restatable end to end.
+
+    Returns the selected rows: ``(id, logw, gumbel_key)``, highest key
+    first by construction but unordered in the plan (the caller sorts).
+
+    Scale shape: one narrow explode over tokens, two ``buckets``-sized
+    cell aggregates joined back as a BROADCAST dim (bounded by the
+    parameter, never the corpus), one (id) aggregation for the per-doc
+    sum, and TakeOrderedAndProject for the top-k — no global sort, no
+    corpus-sized build side. The gram aggregation is the same shuffle
+    class as TF-IDF; everything else is map-side.
+    """
+    from mr_dice_spark.operators.sampling import hash_bucket
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive: {buckets}")
+    b_lit = float(buckets)
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(target_col).alias("__t"),
+            F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+")).alias("__g"),
+        )
+        .where(F.col("__g") != "")
+        .select("__id", "__t", (hash_bucket(F.col("__g"), seed) % buckets).alias("__b"))
+    )
+    counts = grams.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.count(F.lit(1)).alias("__cp"),
+    )
+    totals = counts.agg(F.sum("__ct").alias("__nt"), F.sum("__cp").alias("__np"))
+    cells = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__ct") + 1.0) / (F.col("__nt") + b_lit))
+            - F.log((F.col("__cp") + 1.0) / (F.col("__np") + b_lit))
+        ).alias("__lr"),
+    )
+    scored = (
+        grams.join(F.broadcast(cells), "__b")
+        .groupBy("__id")
+        .agg(F.sum("__lr").alias("logw"))
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    u = (hash_bucket(F.col("__id"), seed + "gumbel/") + 0.5) / 4294967296.0
+    keyed = (
+        ids.join(scored, "__id", "left")
+        .select(
+            "__id",
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+            (
+                F.coalesce(F.col("logw"), F.lit(0.0)) + (-F.log(-F.log(u)))
+            ).alias("gumbel_key"),
+        )
+    )
+    return (
+        keyed.orderBy(F.col("gumbel_key").desc(), F.col("__id"))
+        .limit(k)
+        .withColumnRenamed("__id", id_col)
+    )

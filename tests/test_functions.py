@@ -1260,3 +1260,46 @@ def test_perplexity_buckets_semantics_and_guards(spark):
     with pytest.raises(ValueError, match="labels"):
         perplexity_buckets(df, "doc_id", "text", "lang", n_buckets=3,
                            labels=("a", "b"))
+
+
+def test_dsir_importance_select_prefers_target_like_docs(spark):
+    from mr_dice_spark.operators.curation import dsir_importance_select
+
+    # target docs speak "alpha beta"; pool noise speaks "zulu yankee".
+    # candidates 100-104 are target-like, 200-204 pool-like: the top-5
+    # draw must pick the target-like ones (logw gap >> gumbel noise).
+    rows = (
+        [(i, "alpha beta alpha beta gamma", True) for i in range(5)]
+        + [(100 + i, "alpha beta gamma alpha", False) for i in range(5)]
+        + [(200 + i, "zulu yankee xray zulu yankee", False) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = dsir_importance_select(df, "doc_id", "text", "is_t", k=5, buckets=64)
+    picked = {r["doc_id"] for r in out.collect()}
+    assert all(d < 200 for d in picked), picked
+    # deterministic: same call, same draw
+    again = {
+        r["doc_id"]
+        for r in dsir_importance_select(
+            df, "doc_id", "text", "is_t", k=5, buckets=64
+        ).collect()
+    }
+    assert picked == again
+
+
+def test_dsir_importance_select_validates_args(spark):
+    import pytest
+
+    from mr_dice_spark.operators.curation import dsir_importance_select
+
+    df = spark.createDataFrame([(1, "x", True)], "doc_id long, text string, t boolean")
+    with pytest.raises(ValueError):
+        dsir_importance_select(df, "doc_id", "text", "t", k=0)
+    with pytest.raises(ValueError):
+        dsir_importance_select(df, "doc_id", "text", "t", k=1, buckets=0)
+    # empty/NULL text scores 0 but is still drawable
+    df2 = spark.createDataFrame(
+        [(1, None, True), (2, "", False)], "doc_id long, text string, t boolean"
+    )
+    out = dsir_importance_select(df2, "doc_id", "text", "t", k=2)
+    assert {r["doc_id"]: r["logw"] for r in out.collect()} == {1: 0.0, 2: 0.0}
