@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "audio_tone_detection",           # real PCM decode + DFT correlation
     "triangle_counts_copurchase",     # compact-forward triangle counting
     "dsir_importance_select_en",      # DSIR hashed-ngram Gumbel top-k
+    "snm_linkage_customers",          # sorted-neighborhood ER, cost-capped
     "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
     "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
     "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
@@ -128,7 +129,10 @@ _CHECK_FIRST = [
     # deterministic_sample_events) yield their slots to the twenty-three
     # goldens added late this round, which would otherwise
     # never get a driver row; all stay suite-oracle-checked in CI)
-    "cosine_topk_ivf_approx",
+    # (cosine_topk_ivf_approx yields its slot to snm_linkage_customers:
+    # its driver row is the weaker rows-only check, and the same IVF
+    # index machinery was r4-green with a full hash oracle via
+    # ann_recall_audit_ivf)
     "federation_dedup_quota",
     "optimade_has_predicates",
     # (text_language_id_confusion yields its slot to

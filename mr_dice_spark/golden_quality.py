@@ -1610,3 +1610,53 @@ def triangle_counts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
     return triangle_counts(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood record linkage (SNM) over customers
+# ---------------------------------------------------------------------------
+
+SNM_ORACLE = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS blk, c_name AS k,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.id AS id1, b.id AS id2, a.k AS key1, b.k AS key2,
+       CAST(b.rn - a.rn AS BIGINT) AS gap,
+       CAST(levenshtein(a.k, b.k) AS INT) AS distance
+FROM r a
+JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 4
+WHERE levenshtein(a.k, b.k) <= 2
+ORDER BY id1, id2
+"""
+
+
+@golden(
+    "snm_linkage_customers",
+    SNM_ORACLE,
+    tags=("fuzzy", "linkage", "snm", "window"),
+)
+def snm_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over customers: per-nation
+    blocks sorted by name, a 5-row sliding neighborhood, levenshtein <= 2
+    verification — the bounded-cost ER strategy complementary to the
+    PassJoin exact-recall join (every row compares against exactly 4
+    neighbors regardless of corpus shape, so no degenerate block can
+    exist BY CONSTRUCTION). The neighborhood self-join is bucketed at
+    rank width 4 (same/adjacent bucket equi-join, no rank range scan,
+    no global sort); the oracle restates it as the naive ROW_NUMBER
+    range join."""
+    from mr_dice_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    cust = Catalog(spark, sf_dir).customer
+    out = sorted_neighborhood_pairs(
+        cust, id_col="c_custkey", key_col="c_name", block_col="c_nationkey",
+        window=5, max_distance=2,
+    )
+    return out.select(
+        "id1", "id2", "key1", "key2",
+        F.col("gap").cast("long").alias("gap"),
+        F.col("distance").cast("int").alias("distance"),
+    ).orderBy("id1", "id2")

@@ -43,7 +43,7 @@ mitigation guidance instead of running quadratically for hours.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -352,3 +352,76 @@ def edit_distance_join_k(
         .where(F.col("dist") <= k)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    block_col: str,
+    window: int = 5,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    sort each block by ``key_col``, slide a ``window``-row neighborhood,
+    and emit the ordered candidate pairs — optionally verified by
+    ``levenshtein(key1, key2) <= max_distance``.
+
+    The complementary ER strategy to :func:`edit_distance_join`:
+    PassJoin guarantees exact recall at a fixed edit budget; SNM trades
+    recall for a HARD per-row cost cap (exactly ``window - 1`` candidate
+    partners, whatever the corpus looks like), which is what you reach
+    for when the similarity predicate is not an edit metric or the
+    corpus defeats metric blocking. Cross-block misses are the
+    documented SNM trade-off — run multiple passes with rotated
+    block/sort keys and union the pair sets.
+
+    Scale shape: NO global sort — rank is per (block) via one window
+    shuffle, and the neighborhood self-join buckets ranks at width
+    ``window - 1`` so a pair at gap <= window-1 lands in the same or
+    adjacent bucket: an equi-join on (block, bucket), never a range
+    scan. Per-block work is |block| * window; the verify runs on
+    candidates only.
+
+    Returns ``(id1, id2, key1, key2, gap[, distance])`` with id1's rank
+    below id2's.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2: {window}")
+    w = Window.partitionBy("__blk").orderBy("__k", "__id")
+    r = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__k"),
+        F.col(block_col).alias("__blk"),
+    ).withColumn("__rn", F.row_number().over(w))
+    span = window - 1
+    r = r.withColumn("__b", ((F.col("__rn") - 1) / span).cast("long"))
+    lo = r.select(
+        F.col("__id").alias("id1"), F.col("__k").alias("key1"),
+        F.col("__blk").alias("__blk"), F.col("__rn").alias("__r1"),
+        F.col("__b").alias("__b1"),
+    )
+    hi = r.select(
+        F.col("__id").alias("id2"), F.col("__k").alias("key2"),
+        F.col("__blk").alias("__blk2"), F.col("__rn").alias("__r2"),
+        F.col("__b").alias("__b2"),
+    )
+    # the lo side probes its own and the next bucket (an exploded pure
+    # equi-join key, so this stays a hash join — an OR'd bucket predicate
+    # would fall out of equi-join extraction); same+adjacent buckets
+    # cover every gap in [1, window-1] exactly once
+    lo = lo.withColumn(
+        "__pb", F.explode(F.array(F.col("__b1"), F.col("__b1") + 1))
+    )
+    cand = lo.join(
+        hi,
+        (F.col("__blk") == F.col("__blk2")) & (F.col("__pb") == F.col("__b2")),
+    ).where((F.col("__r2") - F.col("__r1")).between(1, span))
+    out = cand.select(
+        "id1", "id2", "key1", "key2", (F.col("__r2") - F.col("__r1")).alias("gap")
+    )
+    if max_distance is not None:
+        out = out.withColumn(
+            "distance", F.levenshtein("key1", "key2")
+        ).where(F.col("distance") <= max_distance)
+    return out

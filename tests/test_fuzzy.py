@@ -123,3 +123,50 @@ def test_max_block_rows_breaker_fires_on_clustered_constant_halves(spark):
         for r in edit_distance_join(df, "id", "s", max_block_rows=1000).collect()
     )
     assert got == _expected(rows)
+
+
+def test_sorted_neighborhood_pairs_exact_window(spark):
+    from mr_dice_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    # one block of 6 sorted names + a second block that must not mix
+    rows = [(i, f"name{i:02d}", "A") for i in range(6)] + [
+        (100, "name00", "B"), (101, "name01", "B")
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, blk string")
+    out = sorted_neighborhood_pairs(df, "id", "k", "blk", window=3)
+    pairs = sorted((r["id1"], r["id2"], r["gap"]) for r in out.collect())
+    # block A: gaps 1 and 2 only; block B: single gap-1 pair
+    expect = sorted(
+        [(i, i + 1, 1) for i in range(5)]
+        + [(i, i + 2, 2) for i in range(4)]
+        + [(100, 101, 1)]
+    )
+    assert pairs == expect
+
+
+def test_sorted_neighborhood_pairs_verify_and_validate(spark):
+    import pytest
+
+    from mr_dice_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    rows = [(1, "smith", "x"), (2, "smyth", "x"), (3, "zzzzzzzz", "x")]
+    df = spark.createDataFrame(rows, "id long, k string, blk string")
+    out = sorted_neighborhood_pairs(df, "id", "k", "blk", window=3, max_distance=1)
+    got = [(r["id1"], r["id2"], r["distance"]) for r in out.collect()]
+    assert got == [(1, 2, 1)]
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "k", "blk", window=1)
+
+
+def test_sorted_neighborhood_plan_is_hash_join(spark):
+    from mr_dice_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x")], "id long, k string, blk string"
+    )
+    plan = (
+        sorted_neighborhood_pairs(df, "id", "k", "blk", window=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -130,6 +130,14 @@ PROBES = [
     "ols_trend_by_event_type",
     "purchase_touch_attribution",
     "session_path_topk",
+    # round-5 session-3 operators. mjpeg_frame_decode_dedup is NOT
+    # probed separately: its cost shape is jpeg_decode_ahash_dedup's
+    # (per-frame entropy decode, linear in frames) plus the already-
+    # probed AVI container walk.
+    "interpolate_linear_hourly",
+    "audio_tone_detection",
+    "triangle_counts_copurchase",
+    "dsir_importance_select_en",
 ]
 
 
