@@ -681,3 +681,162 @@ def dsir_importance_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("logw", 6).alias("logw"),
         _r("gumbel_key", 6).alias("gumbel_key"),
     ).orderBy(F.col("gumbel_key").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# model-evaluation aggregates: AUC / calibration / inter-rater agreement
+# ---------------------------------------------------------------------------
+
+AUC_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS s, (user_id % 3 = 0) AS y
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT g, y,
+         (RANK() OVER (PARTITION BY g ORDER BY s ASC)
+          + COUNT(*) OVER (PARTITION BY g)
+          - RANK() OVER (PARTITION BY g ORDER BY s DESC) + 1) / 2.0 AS r
+  FROM base
+),
+agg AS (
+  SELECT g,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg,
+         SUM(CASE WHEN y THEN r END) AS rpos
+  FROM ranked GROUP BY g
+)
+SELECT g AS event_type, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND(1e-9 + (rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+         AS auc
+FROM agg
+ORDER BY event_type
+"""
+
+
+@golden(
+    "auc_value_by_event_type",
+    AUC_ORACLE,
+    tags=("evaluation", "auc", "window", "events"),
+)
+def auc_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ROC-AUC as the Mann-Whitney rank-sum with exact mid-rank
+    tie handling — the 'does this quality score actually separate the
+    labels' audit, per event type. The ascending/descending rank windows
+    and the group count share ONE exchange on the group key; arithmetic
+    is half-integer-exact until the final division, rounded identically
+    on both engines. (The label is a synthetic hash-class — the golden
+    checks the statistic, not the classifier.)"""
+    from mr_dice_spark.operators.evaluation import auc_by_group
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "is_hit", F.col("user_id") % 3 == 0
+    )
+    out = auc_by_group(ev, "event_type", "value", "is_hit")
+    return out.select(
+        "event_type", "n_pos", "n_neg", _r("auc", 6).alias("auc")
+    ).orderBy("event_type")
+
+
+CALIBRATION_ORACLE = """
+WITH base AS (
+  SELECT value / (value + 50.0) AS s,
+         (event_type IN ('purchase', 'signup')) AS y
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS INT), 0), 9) AS bin,
+         COUNT(*) AS n, AVG(s) AS mean_score,
+         AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS pos_rate
+  FROM base GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + mean_score, 6) AS mean_score,
+       ROUND(1e-9 + pos_rate, 6) AS pos_rate,
+       ROUND(1e-9 + ABS(pos_rate - mean_score), 6) AS abs_gap
+FROM agg
+ORDER BY bin
+"""
+
+
+@golden(
+    "calibration_bins_events",
+    CALIBRATION_ORACLE,
+    tags=("evaluation", "calibration", "agg", "events"),
+)
+def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a squashed [0,1) score against the
+    purchase/signup label: 10 equal-width bins, per-bin count, mean
+    score, observed rate and |gap| (the ECE summand). One hash
+    aggregate on the bin key — the shape that scales to any corpus.
+    Both engines bin with the same clamped floor and round only at the
+    output."""
+    from mr_dice_spark.operators.evaluation import calibration_bins
+
+    ev = Catalog(spark, sf_dir).events.select(
+        (F.col("value") / (F.col("value") + 50.0)).alias("score"),
+        F.col("event_type").isin("purchase", "signup").alias("is_conv"),
+    )
+    out = calibration_bins(ev, "score", "is_conv", n_bins=10)
+    return out.select(
+        "bin", "n",
+        _r("mean_score", 6).alias("mean_score"),
+        _r("pos_rate", 6).alias("pos_rate"),
+        _r("abs_gap", 6).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+KAPPA_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS a,
+         CASE WHEN event_type IN ('purchase', 'click') THEN 'hi' ELSE 'lo' END AS b
+  FROM events WHERE value IS NOT NULL
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM base
+),
+pe AS (
+  SELECT SUM(na * nb) AS pe_num FROM
+    (SELECT a, COUNT(*) AS na FROM base GROUP BY a) ma
+    JOIN (SELECT b, COUNT(*) AS nb FROM base GROUP BY b) mb ON ma.a = mb.b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + agree / CAST(n AS DOUBLE), 6) AS po,
+       ROUND(1e-9 + pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       ROUND(1e-9 + (agree / CAST(n AS DOUBLE)
+                     - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         AS kappa
+FROM tot, pe
+"""
+
+
+@golden(
+    "cohens_kappa_value_flags",
+    KAPPA_ORACLE,
+    tags=("evaluation", "kappa", "agg", "events"),
+)
+def cohens_kappa_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two derived 'raters' (value threshold vs
+    event-type class) — the inter-annotator agreement statistic labeled-
+    data QA runs before trusting a label set. Confusion cells, then the
+    marginal dot product: two tiny aggregates, a single-row result,
+    exact integer arithmetic until the closing divisions."""
+    from mr_dice_spark.operators.evaluation import cohens_kappa
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull()).select(
+        F.when(F.col("value") > 50, "hi").otherwise("lo").alias("rater_a"),
+        F.when(
+            F.col("event_type").isin("purchase", "click"), "hi"
+        ).otherwise("lo").alias("rater_b"),
+    )
+    out = cohens_kappa(ev, "rater_a", "rater_b")
+    return out.select(
+        "n",
+        _r("po", 6).alias("po"),
+        _r("pe", 6).alias("pe"),
+        _r("kappa", 6).alias("kappa"),
+    )

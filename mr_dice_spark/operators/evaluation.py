@@ -1,0 +1,163 @@
+"""Model-evaluation aggregates over labeled corpora: AUC, calibration,
+inter-rater agreement.
+
+Beyond-reference operators (nearest analogue: nothing — SURVEY.md §2 has
+no evaluation surface): a training-data pipeline that scores documents
+(quality classifiers, language ID, toxicity filters) needs to EVALUATE
+those scorers against labels at corpus scale, and none of these
+statistics exist as Spark builtins. All three are single-pass relational
+shapes with no Python anywhere:
+
+* ``auc_by_group`` — ROC-AUC as the Mann-Whitney rank-sum statistic with
+  exact average-rank tie handling: one exchange per group key (the two
+  rank windows and the tie-count window share the group partitioning),
+  then one aggregate. Arithmetic stays in half-integers until the final
+  division, so cross-engine parity is exact up to the output rounding.
+* ``calibration_bins`` — reliability-diagram bins (count, mean score,
+  observed positive rate, |gap|): one hash aggregate on the bin key.
+* ``cohens_kappa`` — inter-rater agreement from the confusion marginals:
+  two tiny aggregates, single-row output.
+
+At 100 TB: AUC shuffles once on the group key (rank windows are the same
+exchange); a single GLOBAL AUC over 10^11 rows would single-partition the
+rank window — callers group by shard/day/lang and combine, which is also
+the statistically honest shape (per-slice AUC, not one pooled curve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC-AUC of ``score_col`` against boolean ``label_col``.
+
+    Mann-Whitney formulation: ``AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg)`` where ``R_pos`` sums the positives' average ranks
+    (ties get the mean of their rank range — the exact mid-rank
+    convention, computed as ``(min_rank + max_rank) / 2`` from an
+    ascending and a descending rank over the SAME group partitioning, so
+    the whole pass costs one exchange). Groups with no positives or no
+    negatives return NULL auc rather than a fabricated 0.5.
+
+    Returns ``(group, n_pos, n_neg, auc)``.
+    """
+    g, s, y = F.col("__g"), F.col("__s"), F.col("__y")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).where(s.isNotNull() & y.isNotNull())
+    w_asc = Window.partitionBy("__g").orderBy(F.col("__s").asc())
+    w_desc = Window.partitionBy("__g").orderBy(F.col("__s").desc())
+    w_all = Window.partitionBy("__g")
+    ranked = base.select(
+        g, y,
+        (
+            (
+                F.rank().over(w_asc)
+                + (F.count(F.lit(1)).over(w_all) - F.rank().over(w_desc) + 1)
+            )
+            / 2.0
+        ).alias("__r"),
+    )
+    agg = ranked.groupBy("__g").agg(
+        F.sum(F.when(y, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(y, 0).otherwise(1)).alias("n_neg"),
+        F.sum(F.when(y, F.col("__r"))).alias("__rpos"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        (F.col("__rpos") - np_ * (np_ + 1) / 2.0) / (np_ * nn),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col), "n_pos", "n_neg", auc.alias("auc")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0, 1] score: equal-width bins,
+    per-bin ``(bin, n, mean_score, pos_rate, abs_gap)``. The weighted sum
+    of ``abs_gap`` is the expected calibration error (left to the caller
+    so the per-bin detail stays inspectable). Scores outside [0, 1) clamp
+    into the edge bins (a score of exactly 1.0 lands in the top bin).
+    One hash aggregate; NULL scores/labels are excluded.
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive: {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    agg = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(s).alias("mean_score"),
+            F.avg(y.cast("double")).alias("pos_rate"),
+        )
+    )
+    return agg.withColumn(
+        "abs_gap", F.abs(F.col("pos_rate") - F.col("mean_score"))
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical label columns: one row
+    ``(n, po, pe, kappa)`` with ``po`` the observed agreement, ``pe`` the
+    chance agreement from the raters' marginals, and
+    ``kappa = (po - pe) / (1 - pe)`` (NULL when ``pe = 1`` — degenerate
+    single-category raters). Rows where either label is NULL are
+    excluded. Two tiny aggregates (cells, then marginal dot product) —
+    nothing corpus-sized survives the first groupBy.
+    """
+    cells = (
+        df.select(F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = cells.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)).alias(
+            "__agree"
+        ),
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    pe_sum = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .agg(
+            # no shared category -> empty join -> pe is 0, not NULL
+            F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias(
+                "__pe_num"
+            )
+        )
+    )
+    out = tot.crossJoin(F.broadcast(pe_sum)).select(
+        F.col("n"),
+        (F.col("__agree") / F.col("n")).alias("po"),
+        (F.col("__pe_num") / (F.col("n") * F.col("n"))).alias("pe"),
+    )
+    return out.withColumn(
+        "kappa",
+        F.when(
+            F.col("pe") < 1.0,
+            (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")),
+        ),
+    )
