@@ -840,3 +840,47 @@ def cohens_kappa_value_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("pe", 6).alias("pe"),
         _r("kappa", 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group weighted sampling (stratified A-Res)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_PER_GROUP_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY POW((CAST(('0x' || substring(md5('wsg/' || CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 0.5) / 4294967296.0,
+                        1.0 / n_chars) DESC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+WHERE rk <= 20
+ORDER BY lang, doc_id
+"""
+
+
+@golden(
+    "weighted_sample_per_lang",
+    WEIGHTED_PER_GROUP_ORACLE,
+    tags=("sampling", "weighted", "stratified", "deterministic"),
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified A-Res: 20 documents per language, drawn without
+    replacement with probability proportional to length — the 'balanced
+    per-slice, weighted within slice' corpus subsetting primitive. The
+    per-group top-n compiles to WindowGroupLimit (rank pushed into the
+    shuffle), and the draw key is the portable md5 pow arithmetic, so
+    the oracle restates the whole selection."""
+    from mr_dice_spark.operators.sampling import weighted_sample_per_group
+
+    docs = Catalog(spark, sf_dir).documents
+    out = weighted_sample_per_group(
+        docs, "lang", "doc_id", "n_chars", n_per_group=20, seed="wsg/"
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("lang", "doc_id")

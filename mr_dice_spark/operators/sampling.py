@@ -373,6 +373,46 @@ def weighted_sample_without_replacement(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n_per_group: int,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum Efraimidis-Spirakis A-Res: the ``n_per_group``
+    largest ``r = u ** (1/w)`` WITHIN each group — stratified
+    weighted-without-replacement sampling (e.g. 'k docs per language,
+    weighted by token count'). Same portable key-hash ``u`` as
+    :func:`weighted_sample_without_replacement`, so the draw is a pure
+    function of (key, seed) and SQL-restatable.
+
+    Scale shape: the global variant's TakeOrderedAndProject becomes a
+    per-group ``row_number() < LITERAL`` — Spark's WindowGroupLimit
+    pushes the top-n into the shuffle (per-partition group heaps), so no
+    group ever materializes fully sorted. One exchange on the group key.
+    Rows with NULL/NaN/non-positive weight never qualify.
+    """
+    if n_per_group < 0:
+        raise ValueError(
+            f"weighted_sample_per_group: n_per_group must be >= 0, got {n_per_group}"
+        )
+    u = (hash_bucket(F.col(key_col), seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    r = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = F.col(weight_col)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("__r").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & ~F.isnan(w.cast("double")) & (w > 0))
+        .withColumn("__r", r)
+        .withColumn("__rank", F.row_number().over(win))
+        .where(F.col("__rank") <= n_per_group)
+        .drop("__r", "__rank")
+    )
+
+
 def split_leakage_audit(
     df: DataFrame,
     id_col: str,

@@ -1303,3 +1303,38 @@ def test_dsir_importance_select_validates_args(spark):
     )
     out = dsir_importance_select(df2, "doc_id", "text", "t", k=2)
     assert {r["doc_id"]: r["logw"] for r in out.collect()} == {1: 0.0, 2: 0.0}
+
+
+def test_weighted_sample_per_group_counts_and_guards(spark):
+    from mr_dice_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [(i, "a", float(i + 1)) for i in range(10)] + [
+        (100, "b", 5.0), (101, "b", None), (102, "b", -1.0),
+        (103, "b", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_per_group(df, "g", "id", "w", n_per_group=3)
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["a"]) == 3
+    # NULL/NaN/non-positive weights never qualify: only id 100 survives in b
+    assert by_g["b"] == [100]
+    # deterministic across calls
+    again = sorted(r["id"] for r in
+                   weighted_sample_per_group(df, "g", "id", "w", 3).collect())
+    assert again == sorted(i for ids in by_g.values() for i in ids)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_sample_per_group(df, "g", "id", "w", -1)
+
+
+def test_weighted_sample_per_group_plan_window_group_limit(spark):
+    from mr_dice_spark.operators.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, w double")
+    plan = (
+        weighted_sample_per_group(df, "g", "id", "w", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
