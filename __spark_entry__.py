@@ -108,9 +108,9 @@ _CHECK_FIRST = [
     # in-window dedup-survivor and prescreen rows),
     # simhash_near_dup_pairs (the near-dup family keeps the LSH-linkage,
     # containment and winnowing rows in-window),
-    # cosine_topk_lsh_approx (the ANN family keeps cosine_topk_ivf_approx
-    # in-window and the new hybrid dense ranking re-verifies the cosine
-    # path),
+    # cosine_topk_lsh_approx (the ANN family's hash-oracled IVF audit was
+    # r4-green and the new hybrid dense ranking re-verifies the cosine
+    # path in-window),
     # stratified_sample_by_type (the sampling family is re-verified by
     # the in-window mixture/weighted/kfold/cluster-subsample rows),
     # dedup_exact_documents (exact-dedup's hash-groupBy is exercised by
