@@ -17,7 +17,7 @@ same corpus and every rule fires on some page.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_dice_spark.catalog import Catalog
@@ -1660,3 +1660,150 @@ def snm_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gap").cast("long").alias("gap"),
         F.col("distance").cast("int").alias("distance"),
     ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution pipeline: corrupt twin -> PassJoin -> best-match linkage
+# ---------------------------------------------------------------------------
+
+ER_LINKAGE_ORACLE = """
+WITH dirty AS (
+  SELECT c_custkey + 10000000 AS did,
+         substring(c_name, 1, 1 + (c_custkey % (length(c_name) - 1)) - 1)
+           || substring(c_name, 1 + (c_custkey % (length(c_name) - 1)) + 1)
+           AS dname
+  FROM customer
+),
+cand AS (
+  SELECT did, cid, dist FROM (
+    SELECT d.did, c.c_custkey AS cid,
+           levenshtein(d.dname, c.c_name) AS dist
+    FROM dirty d CROSS JOIN customer c
+  ) WHERE dist <= 1
+),
+best AS (
+  SELECT did, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY did ORDER BY dist, cid) AS rk
+  FROM cand
+)
+SELECT CAST(did - 10000000 AS BIGINT) AS dirty_key,
+       CAST(cid AS BIGINT) AS matched_key,
+       CAST(dist AS INT) AS dist,
+       (cid = did - 10000000) AS is_true_parent
+FROM best WHERE rk = 1
+ORDER BY dirty_key
+"""
+
+
+@golden(
+    "er_best_match_linkage",
+    ER_LINKAGE_ORACLE,
+    tags=("fuzzy", "entity-resolution", "pipeline", "linkage"),
+)
+def er_best_match_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: every customer gets a 'dirty' twin
+    with one deterministically-deleted character, the PassJoin k=1
+    operator links the union (clean ids vs offset dirty ids — one exact-
+    recall fuzzy join instead of a quadratic compare), and a per-dirty
+    best-match window (dist, then lowest id — ambiguity is REAL here:
+    deleting a digit can leave a name within distance 1 of several
+    sequential customers) emits the linkage table plus whether the match
+    recovered the true parent. The oracle restates the corruption in
+    pure string arithmetic and brute-forces the linkage with a quadratic
+    levenshtein join."""
+    from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+    OFF = 10_000_000
+    cust = Catalog(spark, sf_dir).customer.select("c_custkey", "c_name")
+    dirty = cust.select(
+        (F.col("c_custkey") + OFF).alias("id"),
+        F.concat(
+            F.expr("substring(c_name, 1, 1 + (c_custkey % (length(c_name) - 1)) - 1)"),
+            F.expr("substring(c_name, 1 + (c_custkey % (length(c_name) - 1)) + 1, length(c_name))"),
+        ).alias("name"),
+    )
+    clean = cust.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    pairs = edit_distance_join(clean.unionByName(dirty), "id", "name", max_dist=1)
+    # keep clean<->dirty pairs only (id_a < id_b, so id_a is the clean side)
+    cross = pairs.where((F.col("id_a") < OFF) & (F.col("id_b") >= OFF))
+    w = Window.partitionBy("id_b").orderBy("dist", "id_a")
+    best = cross.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return best.select(
+        (F.col("id_b") - OFF).alias("dirty_key"),
+        F.col("id_a").alias("matched_key"),
+        F.col("dist").cast("int").alias("dist"),
+        (F.col("id_a") == F.col("id_b") - OFF).alias("is_true_parent"),
+    ).orderBy("dirty_key")
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the co-purchase graph (fixed rounds, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
+    """Unrolled peeling rounds as chained CTEs (the PageRank strategy)."""
+    parts = [
+        """WITH raw AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x
+  JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT x.l_orderkey) >= 2
+),
+e0 AS (SELECT a AS s, b AS d FROM raw UNION ALL SELECT b, a FROM raw),"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""k{r} AS (
+  SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k}
+),
+e{r} AS (
+  SELECT e.s, e.d FROM {prev} e
+  JOIN k{r} ka ON ka.s = e.s
+  JOIN k{r} kb ON kb.s = e.d
+),"""
+        )
+    parts.append(
+        f"""fin AS (SELECT s, COUNT(*) AS degree FROM e{rounds} GROUP BY s)
+SELECT CAST(s AS BIGINT) AS node, CAST(degree AS BIGINT) AS degree
+FROM fin ORDER BY node"""
+    )
+    return "\n".join(parts)
+
+
+@golden(
+    "kcore_copurchase_parts",
+    _kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the SUPPORT-2 co-purchase graph (parts co-bought in at
+    least two distinct orders — the association-strength edge filter)
+    after 5 peels: nodes whose repeat-co-purchase degree survives
+    iterated removal of sparse neighbours, the density gate between raw
+    degree and community detection. The raw graph is too dense to peel
+    (min degree 42 at sf0.01); the support filter makes the peel REAL —
+    1880 -> 1243 -> 1019 -> 965 nodes over the five rounds. Fixed rounds
+    + eager checkpoints keep the plan flat and the recurrence
+    SQL-restatable; the oracle unrolls the same 5 peels as chained CTEs.
+    Integer degrees, no FP surface."""
+    from mr_dice_spark.operators.graph import k_core
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(edges, k=3, n_iter=5).orderBy("node")

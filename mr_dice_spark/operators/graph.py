@@ -158,3 +158,60 @@ def triangle_counts(
             F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    n_iter: int = 5,
+) -> DataFrame:
+    """k-core peeling after exactly ``n_iter`` rounds: repeatedly drop
+    nodes whose degree in the CURRENT subgraph is below ``k`` — the
+    density/cohesion filter (spam-cluster isolation in crawl graphs,
+    scaffold removal in interaction graphs) between raw degree and full
+    community detection.
+
+    FIXED peel count, not a convergence test, for the same reason as
+    :func:`pagerank`: determinism and SQL-restatability (the oracle
+    unrolls the same rounds). n_iter rounds guarantee the result
+    contains the true k-core and equals it once peeling has stabilized;
+    callers needing the exact fixpoint raise ``n_iter`` (each round that
+    changes nothing is idempotent, so overshooting is safe).
+
+    Returns ``(node, degree)`` for the surviving subgraph. Per round:
+    one degree aggregate + two semi-joins (both endpoint filters) — the
+    two-exchange message-passing cost — with an eager localCheckpoint so
+    the plan stays flat across rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+    )
+    e = e.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    e = e.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        keep = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= k)
+            .select("s")
+        )
+        e = (
+            e.join(keep, "s", "semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "semi")
+            .select("s", "d")
+        )
+        e = e.localCheckpoint(eager=True)
+    return e.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
+        F.col("s").alias("node"), "degree"
+    )

@@ -89,3 +89,40 @@ def test_triangle_counts_plan_no_cartesian(spark):
     plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_core_peels_tail(spark):
+    from mr_dice_spark.operators.graph import k_core
+
+    # triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    # triangle; the chain peels over two rounds (5 first, then 4)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2, n_iter=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=1 with zero iterations returns the full (undirected) degree table
+    all_deg = {r["node"]: r["degree"] for r in k_core(df, k=1, n_iter=0).collect()}
+    assert all_deg == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_k_core_fixed_rounds_are_idempotent_after_convergence(spark):
+    from mr_dice_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    a = sorted((r["node"], r["degree"]) for r in k_core(df, k=2, n_iter=3).collect())
+    b = sorted((r["node"], r["degree"]) for r in k_core(df, k=2, n_iter=6).collect())
+    assert a == b  # overshooting rounds changes nothing
+
+
+def test_k_core_validates_args(spark):
+    import pytest
+
+    from mr_dice_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    with pytest.raises(ValueError):
+        k_core(df, k=2, n_iter=-1)
