@@ -884,3 +884,43 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", "doc_id", "n_chars", n_per_group=20, seed="wsg/"
     )
     return out.select("doc_id", "lang", "n_chars").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus content fingerprint (order-insensitive multiset hash)
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = """
+WITH h AS (
+  SELECT CAST(('0x' || substring(sha256(
+           concat_ws(chr(31),
+             COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+             COALESCE(text, chr(0) || 'null'),
+             COALESCE(lang, chr(0) || 'null'),
+             COALESCE(source, chr(0) || 'null'))), 1, 15)) AS BIGINT) AS v
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(v AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+         AS content_hash
+FROM h
+"""
+
+
+@golden(
+    "corpus_fingerprint_documents",
+    FINGERPRINT_ORACLE,
+    tags=("profile", "fingerprint", "hash", "documents"),
+)
+def corpus_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive multiset content hash of the documents table —
+    the 'are these two snapshots the same data' check that costs one
+    aggregate instead of a 100 TB sort/join: each row contributes a
+    60-bit sha256 prefix over its canonical column string, summed mod
+    2^60 (commutative, so partitioning/ordering/engine cannot change
+    it; duplicates COUNT, unlike an XOR fold). The oracle restates the
+    identical arithmetic through DuckDB's sha256/HUGEINT."""
+    from mr_dice_spark.operators.profile import corpus_fingerprint
+
+    docs = Catalog(spark, sf_dir).documents
+    return corpus_fingerprint(docs, ["doc_id", "text", "lang", "source"])

@@ -402,3 +402,37 @@ def ks_drift(
     )
     stat = binned.agg(F.max("ks_gap").alias("ks_stat"))
     return binned.crossJoin(F.broadcast(stat))
+
+
+def corpus_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Order-insensitive corpus content fingerprint: one row
+    ``(n_rows, content_hash)`` where every row contributes the 60-bit
+    prefix of sha256 over its canonical column string and the corpus
+    hash is the SUM of those contributions mod 2^60 — commutative and
+    associative, so the result is identical under any partitioning,
+    ordering, or engine (the SQL oracle restates the same arithmetic).
+
+    The cheap way to answer 'are these two 100 TB snapshots the SAME
+    data?' without sorting or joining anything: fingerprints compare as
+    two scalars. Collision odds are ~2^-60 per comparison; duplicates
+    are counted (a summed multiset hash, unlike an XOR fold where a row
+    appearing twice cancels out). NULLs fold in with a sentinel so
+    (NULL) and ('') differ. The sum runs in decimal(38,0) so no row
+    count Spark can hold overflows it; one aggregate, no shuffle beyond
+    the final single-row reduce.
+    """
+    if not cols:
+        raise ValueError("corpus_fingerprint: cols must be non-empty")
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    )
+    h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(h) % F.lit(1152921504606846976).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("content_hash"),
+    )

@@ -186,3 +186,43 @@ def test_ks_drift_identical_zero_planted_shift_positive_empty_null(spark):
     degraded = ks_drift(base, empty, "v", n_bins=5).collect()
     assert all(r["cum_share_new"] is None and r["ks_gap"] is None
                for r in degraded)
+
+
+def test_corpus_fingerprint_order_and_partition_invariant(spark):
+    from mr_dice_spark.operators.profile import corpus_fingerprint
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    [r1] = corpus_fingerprint(df, ["id", "t"]).collect()
+    [r2] = corpus_fingerprint(
+        spark.createDataFrame(list(reversed(rows)), "id long, t string").repartition(7),
+        ["id", "t"],
+    ).collect()
+    assert (r1["n_rows"], r1["content_hash"]) == (r2["n_rows"], r2["content_hash"])
+    # any value change moves the hash
+    [r3] = corpus_fingerprint(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], "id long, t string"),
+        ["id", "t"],
+    ).collect()
+    assert r3["content_hash"] != r1["content_hash"]
+    # NULL and empty string are distinct
+    [r4] = corpus_fingerprint(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "")], "id long, t string"),
+        ["id", "t"],
+    ).collect()
+    assert r4["content_hash"] != r1["content_hash"]
+
+
+def test_corpus_fingerprint_counts_duplicates(spark):
+    from mr_dice_spark.operators.profile import corpus_fingerprint
+
+    import pytest as _pytest
+
+    one = spark.createDataFrame([(1, "x")], "id long, t string")
+    two = spark.createDataFrame([(1, "x"), (1, "x")], "id long, t string")
+    [h1] = corpus_fingerprint(one, ["id", "t"]).collect()
+    [h2] = corpus_fingerprint(two, ["id", "t"]).collect()
+    # a summed multiset hash sees the duplicate (an XOR fold would not)
+    assert h2["content_hash"] == (2 * h1["content_hash"]) % (1 << 60)
+    with _pytest.raises(ValueError):
+        corpus_fingerprint(one, [])
