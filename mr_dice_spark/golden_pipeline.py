@@ -4260,3 +4260,62 @@ def cluster_balanced_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="cbal/",
     )
     return out.select("vec_id", "cluster").orderBy("cluster", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# seasonality scan: lagged autocorrelation over the bucketed series
+# ---------------------------------------------------------------------------
+
+AUTOCORR_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS h,
+         AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT k, v,
+         LAG(v, 1)  OVER (PARTITION BY k ORDER BY h) AS v1,
+         LAG(v, 24) OVER (PARTITION BY k ORDER BY h) AS v24
+  FROM b
+),
+a AS (
+  SELECT k,
+         corr(v, v1) AS r1,   COUNT(v1) AS n1,
+         corr(v, v24) AS r24, COUNT(v24) AS n24
+  FROM l GROUP BY k
+)
+SELECT k AS event_type, lag, CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + r, 6) AS autocorr
+FROM (
+  SELECT k, 1 AS lag, n1 AS n, r1 AS r FROM a
+  UNION ALL
+  SELECT k, 24, n24, r24 FROM a
+)
+ORDER BY event_type, lag
+"""
+
+
+@golden(
+    "autocorr_value_by_event_type",
+    AUTOCORR_ORACLE,
+    tags=("timeseries", "autocorrelation", "window", "events"),
+)
+def autocorr_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality scan: per-event-type Pearson autocorrelation of the
+    hourly value series at lag 1 (momentum) and lag 24 (daily cycle) —
+    the screening statistic before any heavier periodicity model. One
+    bucket aggregate, one key-shuffle window (both lag columns share the
+    sort), one moment aggregate per key; the oracle restates the same
+    bucket/lag/corr chain, and both engines' co-moment noise sits ~8
+    orders below the 6-digit rounding."""
+    from mr_dice_spark.operators.timeseries import autocorrelation_by_lag
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    out = autocorrelation_by_lag(
+        ev, "event_type", "ts", "value", lags=[1, 24], step_seconds=3600
+    )
+    return out.select(
+        "event_type", "lag", "n", _r("autocorr", 6).alias("autocorr")
+    ).orderBy("event_type", "lag")

@@ -212,3 +212,77 @@ def group_ols_trend(
         F.round(intercept + F.lit(1e-9), 6).alias("intercept"),
         F.round(r2 + F.lit(1e-9), 6).alias("r2"),
     )
+
+
+def autocorrelation_by_lag(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: list[int],
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Seasonality scan: per-key Pearson autocorrelation of the bucketed
+    series at each requested lag — 'does this metric repeat hourly /
+    daily?' over the events stream, the screening pass before any
+    heavier periodicity model.
+
+    Buckets to a ``step_seconds`` grid (mean per bucket), then for each
+    lag correlates the series with itself shifted by that many BUCKETS
+    (lag rows over the bucket sequence; leading rows with no partner
+    drop out of the correlation, the standard acf convention). Returns
+    ``(key, lag, n, autocorr)``; NULL autocorr when fewer than two
+    complete pairs or zero variance.
+
+    Scale shape: one bucket aggregate + one window shuffle on the key
+    (all lag columns share the single partition+sort), then one
+    aggregate per key — lags add columns, not passes. The per-key series
+    length is span/step, bounded by the key's own time range.
+    """
+    if not lags or any(l <= 0 for l in lags):
+        raise ValueError(f"lags must be positive and non-empty: {lags}")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+        * step_seconds
+    )
+    b = (
+        df.select(
+            F.col(key_col).alias("__k"), bucket.alias("__h"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("__k", "__h")
+        .agg(F.avg("__v").alias("__v"))
+    )
+    w = Window.partitionBy("__k").orderBy("__h")
+    lag_cols = [F.lag("__v", l).over(w).alias(f"__l{l}") for l in lags]
+    lagged = b.select("__k", "__v", *lag_cols)
+    aggs = []
+    for l in lags:
+        lc = F.col(f"__l{l}")
+        # Pearson r stated as covar/(sd*sd) over the PAIRED subset (rows
+        # whose lag partner exists), with try_divide so a zero-variance
+        # series yields NULL — Spark 4's ANSI-mode corr() raises
+        # DIVIDE_BY_ZERO there instead
+        pv = F.when(lc.isNotNull(), F.col("__v"))
+        aggs.append(
+            F.try_divide(
+                F.covar_samp(pv, lc), F.stddev_samp(pv) * F.stddev_samp(lc)
+            ).alias(f"__r{l}")
+        )
+        aggs.append(
+            F.count(F.when(lc.isNotNull(), F.lit(1))).alias(f"__n{l}")
+        )
+    per_key = lagged.groupBy("__k").agg(*aggs)
+    parts = [
+        per_key.select(
+            F.col("__k").alias(key_col),
+            F.lit(l).alias("lag"),
+            F.col(f"__n{l}").alias("n"),
+            F.col(f"__r{l}").alias("autocorr"),
+        )
+        for l in lags
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

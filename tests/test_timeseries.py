@@ -87,3 +87,53 @@ def test_interpolate_linear_rejects_unknown_agg(spark):
     df = spark.createDataFrame([(1, _ts(0), 1.0)], "k int, ts timestamp, v double")
     with pytest.raises(ValueError):
         interpolate_linear(df, "k", "ts", "v", agg="median")
+
+
+def test_autocorrelation_by_lag_perfect_cycles(spark):
+    import math
+
+    from mr_dice_spark.operators.timeseries import autocorrelation_by_lag
+
+    # period-2 alternating series: lag-1 autocorr -1, lag-2 autocorr +1
+    rows = [(1, datetime(2024, 1, 1, h, 30), 10.0 if h % 2 == 0 else -10.0)
+            for h in range(24)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    got = {
+        (r["k"], r["lag"]): (r["n"], r["autocorr"])
+        for r in autocorrelation_by_lag(df, "k", "ts", "v", lags=[1, 2]).collect()
+    }
+    n1, r1 = got[(1, 1)]
+    n2, r2 = got[(1, 2)]
+    assert n1 == 23 and math.isclose(r1, -1.0, abs_tol=1e-9)
+    assert n2 == 22 and math.isclose(r2, 1.0, abs_tol=1e-9)
+
+
+def test_autocorrelation_by_lag_degenerate_and_validation(spark):
+    import pytest
+
+    from mr_dice_spark.operators.timeseries import autocorrelation_by_lag
+
+    # constant series -> zero variance -> NULL; short series -> NULL
+    rows = [(1, datetime(2024, 1, 1, h, 0), 5.0) for h in range(4)] + [
+        (2, datetime(2024, 1, 1, 0, 0), 1.0)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    got = {
+        (r["k"], r["lag"]): r["autocorr"]
+        for r in autocorrelation_by_lag(df, "k", "ts", "v", lags=[1]).collect()
+    }
+    assert got[(1, 1)] is None and got[(2, 1)] is None
+    with pytest.raises(ValueError):
+        autocorrelation_by_lag(df, "k", "ts", "v", lags=[])
+    with pytest.raises(ValueError):
+        autocorrelation_by_lag(df, "k", "ts", "v", lags=[0])
+
+
+def test_autocorrelation_by_lag_single_pair_is_null_not_error(spark):
+    from mr_dice_spark.operators.timeseries import autocorrelation_by_lag
+
+    # exactly one complete (v, lag) pair: sample moments undefined -> NULL
+    rows = [(1, datetime(2024, 1, 1, 0, 0), 1.0), (1, datetime(2024, 1, 1, 1, 0), 2.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    [r] = autocorrelation_by_lag(df, "k", "ts", "v", lags=[1]).collect()
+    assert r["n"] == 1 and r["autocorr"] is None
