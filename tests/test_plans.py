@@ -976,3 +976,51 @@ def test_lsh_linkage_no_cartesian_banding_is_equi_join(spark, sf_dir):
     plan = physical_plan(df)
     assert not has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_select_takeordered_and_broadcast_cells(spark, sf_dir):
+    """DSIR's top-k must be TakeOrderedAndProject (never a global sort)
+    and the cell-ratio dim must broadcast — a shuffled dim join or a
+    full sort would break the 100 TB story."""
+    df = GOLDEN["dsir_importance_select_en"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df) >= 1
+    # the only non-equi join allowed is the 1-row broadcast scalar attach
+    # (totals crossJoin) — same exception as the itemsets basket build
+    assert not has_cartesian(df) or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interpolate_linear_single_window_pass(spark, sf_dir):
+    """Both interpolation frames (prev-scan and next-scan) must share one
+    Window node / one partition+sort — a second exchange per direction
+    would double the fill's shuffle cost."""
+    df = GOLDEN["interpolate_linear_hourly"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    # one Window operator carries all six window expressions
+    assert plan.count("+- Window ") == 1, plan
+    assert not has_cartesian(df)
+
+
+def test_triangle_and_kcore_joins_stay_hash(spark, sf_dir):
+    """Graph operators must never fall back to cartesian/BNLJ: the
+    orientation/peel joins are all equi-joins by construction."""
+    for name in ("triangle_counts_copurchase", "kcore_copurchase_parts"):
+        df = GOLDEN[name].spark(spark, sf_dir)
+        plan = physical_plan(df)
+        assert not has_cartesian(df), name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_auc_single_exchange_for_rank_windows(spark, sf_dir):
+    """The asc/desc rank windows and the group count must share the one
+    group-key exchange (plus the final aggregate's) — per-window
+    exchanges would triple the shuffle."""
+    from mr_dice_spark.operators.evaluation import auc_by_group
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "is_hit", F.col("user_id") % 3 == 0
+    )
+    df = auc_by_group(ev, "event_type", "value", "is_hit")
+    # scan -> one exchange for the windows -> one for the aggregate
+    assert_max_shuffles(df, 2)
