@@ -4271,7 +4271,7 @@ WITH b AS (
   SELECT event_type AS k,
          to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS h,
          AVG(value) AS v
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 l AS (
   SELECT k, v,

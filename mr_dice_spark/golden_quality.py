@@ -1740,10 +1740,14 @@ def er_best_match_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-core peeling over the co-purchase graph (fixed rounds, unrolled oracle)
 # ---------------------------------------------------------------------------
 
-def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
-    """Unrolled peeling rounds as chained CTEs (the PageRank strategy)."""
+def _kcore_oracle(k: int = 2, rounds: int = 5) -> str:
+    """Unrolled peeling rounds as chained CTEs (the PageRank strategy).
+    Every CTE is MATERIALIZED: each e_r is referenced twice (by k_{r+1}
+    and e_{r+1}), so an inlining planner re-expands the chain
+    exponentially — 2^rounds rebuilds of the support join, measured at
+    >500 s vs 0.5 s materialized on the same fixture."""
     parts = [
-        """WITH raw AS (
+        """WITH raw AS MATERIALIZED (
   SELECT x.l_partkey AS a, y.l_partkey AS b
   FROM lineitem x
   JOIN lineitem y
@@ -1751,15 +1755,15 @@ def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
   GROUP BY 1, 2
   HAVING COUNT(DISTINCT x.l_orderkey) >= 2
 ),
-e0 AS (SELECT a AS s, b AS d FROM raw UNION ALL SELECT b, a FROM raw),"""
+e0 AS MATERIALIZED (SELECT a AS s, b AS d FROM raw UNION ALL SELECT b, a FROM raw),"""
     ]
     for r in range(1, rounds + 1):
         prev = f"e{r - 1}"
         parts.append(
-            f"""k{r} AS (
+            f"""k{r} AS MATERIALIZED (
   SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k}
 ),
-e{r} AS (
+e{r} AS MATERIALIZED (
   SELECT e.s, e.d FROM {prev} e
   JOIN k{r} ka ON ka.s = e.s
   JOIN k{r} kb ON kb.s = e.d
@@ -1779,15 +1783,17 @@ FROM fin ORDER BY node"""
     tags=("graph", "kcore", "iterative"),
 )
 def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the SUPPORT-2 co-purchase graph (parts co-bought in at
+    """2-core of the SUPPORT-2 co-purchase graph (parts co-bought in at
     least two distinct orders — the association-strength edge filter)
     after 5 peels: nodes whose repeat-co-purchase degree survives
     iterated removal of sparse neighbours, the density gate between raw
     degree and community detection. The raw graph is too dense to peel
     (min degree 42 at sf0.01); the support filter makes the peel REAL —
-    1880 -> 1243 -> 1019 -> 965 nodes over the five rounds. Fixed rounds
-    + eager checkpoints keep the plan flat and the recurrence
-    SQL-restatable; the oracle unrolls the same 5 peels as chained CTEs.
+    1880 -> 1572 -> 1535 nodes at sf0.01 and a drastic 5922 -> 583 ->
+    13 -> 3 at sf0.1 (three parts survive as a repeat-co-purchase
+    triangle). Fixed rounds + eager checkpoints keep the plan flat and
+    the recurrence SQL-restatable; the oracle unrolls the same 5 peels
+    as MATERIALIZED CTEs (inlined, the chain re-expands exponentially).
     Integer degrees, no FP surface."""
     from mr_dice_spark.operators.graph import k_core
 
@@ -1806,4 +1812,4 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select("src", "dst")
     )
-    return k_core(edges, k=3, n_iter=5).orderBy("node")
+    return k_core(edges, k=2, n_iter=5).orderBy("node")

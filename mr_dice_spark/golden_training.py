@@ -617,16 +617,18 @@ def _dsir_oracle(k: int = 100, buckets: int = 256) -> str:
     h_gum = _bucket_sql("d.doc_id", _DSIR_SEED + "gumbel/")
     return f"""
 WITH g AS (
-  SELECT doc_id, (lang = 'en') AS t,
-         {h_gram} % {buckets} AS b
-  FROM documents,
-       UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(g)
-  WHERE u.g <> ''
+  SELECT doc_id, t, b, COUNT(*) AS cnt FROM (
+    SELECT doc_id, (lang = 'en') AS t,
+           {h_gram} % {buckets} AS b
+    FROM documents,
+         UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(g)
+    WHERE u.g <> ''
+  ) GROUP BY 1, 2, 3
 ),
 cells AS (
   SELECT b,
-         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
-         COUNT(*) AS cp
+         SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+         SUM(cnt) AS cp
   FROM g GROUP BY b
 ),
 lr AS (
@@ -636,7 +638,7 @@ lr AS (
   FROM cells
 ),
 sc AS (
-  SELECT g.doc_id, SUM(lr.lr) AS logw
+  SELECT g.doc_id, SUM(g.cnt * lr.lr) AS logw
   FROM g JOIN lr ON lr.b = g.b GROUP BY g.doc_id
 ),
 keyed AS (
@@ -893,11 +895,15 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 FINGERPRINT_ORACLE = """
 WITH h AS (
   SELECT CAST(('0x' || substring(sha256(
-           concat_ws(chr(31),
-             COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
-             COALESCE(text, chr(0) || 'null'),
-             COALESCE(lang, chr(0) || 'null'),
-             COALESCE(source, chr(0) || 'null'))), 1, 15)) AS BIGINT) AS v
+           concat_ws('|',
+             CASE WHEN doc_id IS NULL THEN 'N'
+                  ELSE length(CAST(doc_id AS VARCHAR)) || ':' || CAST(doc_id AS VARCHAR) END,
+             CASE WHEN text IS NULL THEN 'N'
+                  ELSE length(text) || ':' || text END,
+             CASE WHEN lang IS NULL THEN 'N'
+                  ELSE length(lang) || ':' || lang END,
+             CASE WHEN source IS NULL THEN 'N'
+                  ELSE length(source) || ':' || source END)), 1, 15)) AS BIGINT) AS v
   FROM documents
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -272,18 +272,27 @@ def dsir_importance_select(
     if buckets <= 0:
         raise ValueError(f"buckets must be positive: {buckets}")
     b_lit = float(buckets)
-    grams = (
+    # ONE tokenize/explode pass: gram instances collapse to per-(id, t,
+    # cell) counts immediately, and both the cell distributions and the
+    # per-doc scores derive from that aggregate — the corpus-wide regex
+    # split (the dominant scan cost) is never evaluated twice, and the
+    # scoring join's input shrinks from gram instances to at most
+    # |docs| x |buckets| rows
+    doc_cells = (
         df.select(
             F.col(id_col).alias("__id"),
             F.col(target_col).alias("__t"),
             F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+")).alias("__g"),
         )
         .where(F.col("__g") != "")
-        .select("__id", "__t", (hash_bucket(F.col("__g"), seed) % buckets).alias("__b"))
+        .groupBy(
+            "__id", "__t", (hash_bucket(F.col("__g"), seed) % buckets).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    counts = grams.groupBy("__b").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
-        F.count(F.lit(1)).alias("__cp"),
+    counts = doc_cells.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__cnt")).otherwise(0)).alias("__ct"),
+        F.sum("__cnt").alias("__cp"),
     )
     totals = counts.agg(F.sum("__ct").alias("__nt"), F.sum("__cp").alias("__np"))
     cells = counts.crossJoin(F.broadcast(totals)).select(
@@ -294,9 +303,9 @@ def dsir_importance_select(
         ).alias("__lr"),
     )
     scored = (
-        grams.join(F.broadcast(cells), "__b")
+        doc_cells.join(F.broadcast(cells), "__b")
         .groupBy("__id")
-        .agg(F.sum("__lr").alias("logw"))
+        .agg(F.sum(F.col("__cnt") * F.col("__lr")).alias("logw"))
     )
     ids = df.select(F.col(id_col).alias("__id"))
     u = (hash_bucket(F.col("__id"), seed + "gumbel/") + 0.5) / 4294967296.0

@@ -72,7 +72,11 @@ def auc_by_group(
         F.sum(F.when(y, 0).otherwise(1)).alias("n_neg"),
         F.sum(F.when(y, F.col("__r"))).alias("__rpos"),
     )
-    np_, nn = F.col("n_pos"), F.col("n_neg")
+    # all arithmetic in the double domain: long*long products (np*(np+1),
+    # np*nn) overflow int64 at ~3e9 positives, which ANSI mode turns into
+    # a job abort — doubles stay exact for counts below 2^52 and the
+    # final division is float anyway
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
     auc = F.when(
         (np_ > 0) & (nn > 0),
         (F.col("__rpos") - np_ * (np_ + 1) / 2.0) / (np_ * nn),
@@ -99,12 +103,15 @@ def calibration_bins(
         raise ValueError(f"n_bins must be positive: {n_bins}")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("boolean")
+    # clamp in the DOUBLE domain before the int cast: floor(1e10 * n)
+    # overflows int32 and ANSI mode (Spark 4 default) aborts the job on
+    # the cast — clamping first honors the documented edge-bin contract
+    # for any finite score; NaN is excluded with the NULLs below
     b = F.least(
-        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)),
-        F.lit(n_bins - 1),
-    )
+        F.greatest(F.floor(s * n_bins), F.lit(0.0)), F.lit(float(n_bins - 1))
+    ).cast("int")
     agg = (
-        df.where(s.isNotNull() & y.isNotNull())
+        df.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -140,19 +147,26 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
     )
     ma = cells.groupBy("__a").agg(F.sum("__c").alias("__na"))
     mb = cells.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    # marginal products in the double domain: na*nb and n*n overflow
+    # int64 at ~3e9 rows (ANSI abort / silent wrap), and kappa is a
+    # single global aggregate with no per-group slicing escape hatch
     pe_sum = (
         ma.join(mb, ma["__a"] == mb["__b"])
         .agg(
             # no shared category -> empty join -> pe is 0, not NULL
-            F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias(
-                "__pe_num"
-            )
+            F.coalesce(
+                F.sum(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+                F.lit(0.0),
+            ).alias("__pe_num")
         )
     )
     out = tot.crossJoin(F.broadcast(pe_sum)).select(
         F.col("n"),
         (F.col("__agree") / F.col("n")).alias("po"),
-        (F.col("__pe_num") / (F.col("n") * F.col("n"))).alias("pe"),
+        (
+            F.col("__pe_num")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("pe"),
     )
     return out.withColumn(
         "kappa",

@@ -419,16 +419,26 @@ def corpus_fingerprint(
     data?' without sorting or joining anything: fingerprints compare as
     two scalars. Collision odds are ~2^-60 per comparison; duplicates
     are counted (a summed multiset hash, unlike an XOR fold where a row
-    appearing twice cancels out). NULLs fold in with a sentinel so
-    (NULL) and ('') differ. The sum runs in decimal(38,0) so no row
-    count Spark can hold overflows it; one aggregate, no shuffle beyond
-    the final single-row reduce.
+    appearing twice cancels out). Each column is LENGTH-PREFIXED in the
+    canonical string ('<len>:<value>', NULL -> 'N'), so the encoding is
+    injective: a value containing the separator cannot shift bytes into
+    a neighbouring column and alias a different row (a bare concat_ws
+    would collide ('a|b','c') with ('a','b|c') with probability 1,
+    voiding the 2^-60 bound), and NULL differs from '' ('N' vs '0:').
+    The sum runs in decimal(38,0) so no row count Spark can hold
+    overflows it; one aggregate, no shuffle beyond the final single-row
+    reduce.
     """
     if not cols:
         raise ValueError("corpus_fingerprint: cols must be non-empty")
-    canon = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
-    )
+
+    def _tok(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    canon = F.concat_ws("|", *[_tok(c) for c in cols])
     h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -18,6 +18,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucket_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str,
+) -> DataFrame:
+    """Shared bucketing stage: ``(__k, __h, __v)`` with ``__h`` the
+    epoch-aligned bucket and ``__v`` the per-bucket aggregate. floor, not
+    cast: cast("long") truncates toward zero, which misaligns pre-1970
+    (negative-epoch) timestamps by one step vs SQL time_bucket."""
+    if agg not in ("avg", "min", "max", "sum", "last"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+        * step_seconds
+    )
+    bv = F.col("__v")
+    agg_fn = {
+        "avg": F.avg(bv),
+        "min": F.min(bv),
+        "max": F.max(bv),
+        "sum": F.sum(bv),
+        "last": F.last(bv, ignorenulls=True),
+    }[agg]
+    return (
+        df.select(
+            F.col(key_col).alias("__k"), bucket.alias("__h"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("__k", "__h")
+        .agg(agg_fn.alias("__v"))
+    )
+
+
+def _grid_left_join(buckets: DataFrame, step_seconds: int) -> DataFrame:
+    """Shared gap-grid stage: per-key bounded sequence() grid from first
+    to last observed bucket, left-joined back so gap buckets carry NULL
+    ``__v`` (span/step rows per key — never a calendar cross join)."""
+    grid = (
+        buckets.groupBy("__k")
+        .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval {int(step_seconds)} seconds)")
+            ).alias("__h"),
+        )
+    )
+    return grid.join(buckets, ["__k", "__h"], "left")
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,
@@ -41,39 +94,8 @@ def resample_ffill(
     once on the key. A key spanning years at 1-second steps is the
     caller's hazard to bucket coarser.
     """
-    if agg not in ("avg", "min", "max", "sum", "last"):
-        raise ValueError(f"unsupported agg {agg!r}")
-    # floor, not cast: cast("long") truncates toward zero, which misaligns
-    # pre-1970 (negative-epoch) timestamps by one step vs time_bucket
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
-    )
-    bv = F.col("__v")
-    agg_fn = {
-        "avg": F.avg(bv),
-        "min": F.min(bv),
-        "max": F.max(bv),
-        "sum": F.sum(bv),
-        "last": F.last(bv, ignorenulls=True),
-    }[agg]
-    buckets = (
-        df.select(
-            F.col(key_col).alias("__k"), bucket.alias("__h"), F.col(value_col).alias("__v")
-        )
-        .groupBy("__k", "__h")
-        .agg(agg_fn.alias("__v"))
-    )
-    grid = (
-        buckets.groupBy("__k")
-        .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
-        .select(
-            "__k",
-            F.explode(
-                F.expr(f"sequence(__lo, __hi, interval {int(step_seconds)} seconds)")
-            ).alias("__h"),
-        )
-    )
-    joined = grid.join(buckets, ["__k", "__h"], "left")
+    buckets = _bucket_agg(df, key_col, ts_col, value_col, step_seconds, agg)
+    joined = _grid_left_join(buckets, step_seconds)
     w = Window.partitionBy("__k").orderBy("__h").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -110,37 +132,8 @@ def interpolate_linear(
     is a single key shuffle. All JVM-side; linear in grid rows at any
     scale.
     """
-    if agg not in ("avg", "min", "max", "sum", "last"):
-        raise ValueError(f"unsupported agg {agg!r}")
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
-    )
-    bv = F.col("__v")
-    agg_fn = {
-        "avg": F.avg(bv),
-        "min": F.min(bv),
-        "max": F.max(bv),
-        "sum": F.sum(bv),
-        "last": F.last(bv, ignorenulls=True),
-    }[agg]
-    buckets = (
-        df.select(
-            F.col(key_col).alias("__k"), bucket.alias("__h"), F.col(value_col).alias("__v")
-        )
-        .groupBy("__k", "__h")
-        .agg(agg_fn.alias("__v"))
-    )
-    grid = (
-        buckets.groupBy("__k")
-        .agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
-        .select(
-            "__k",
-            F.explode(
-                F.expr(f"sequence(__lo, __hi, interval {int(step_seconds)} seconds)")
-            ).alias("__h"),
-        )
-    )
-    joined = grid.join(buckets, ["__k", "__h"], "left")
+    buckets = _bucket_agg(df, key_col, ts_col, value_col, step_seconds, agg)
+    joined = _grid_left_join(buckets, step_seconds)
     w_prev = Window.partitionBy("__k").orderBy("__h").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -241,17 +234,14 @@ def autocorrelation_by_lag(
     """
     if not lags or any(l <= 0 for l in lags):
         raise ValueError(f"lags must be positive and non-empty: {lags}")
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
-        * step_seconds
-    )
-    b = (
-        df.select(
-            F.col(key_col).alias("__k"), bucket.alias("__h"),
-            F.col(value_col).alias("__v"),
-        )
-        .groupBy("__k", "__h")
-        .agg(F.avg("__v").alias("__v"))
+    # NULL values are excluded BEFORE bucketing: an all-NULL bucket would
+    # otherwise produce a NULL series point whose lag partner enters
+    # stddev_samp(lc) but not covar_samp — mismatched moment subsets are
+    # not a Pearson coefficient (and diverge from SQL corr(), which drops
+    # the pair from every moment)
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
     )
     w = Window.partitionBy("__k").orderBy("__h")
     lag_cols = [F.lag("__v", l).over(w).alias(f"__l{l}") for l in lags]

@@ -213,6 +213,28 @@ def test_corpus_fingerprint_order_and_partition_invariant(spark):
     assert r4["content_hash"] != r1["content_hash"]
 
 
+def test_corpus_fingerprint_injective_canonicalization(spark):
+    from mr_dice_spark.operators.profile import corpus_fingerprint
+
+    # separator bytes inside a value must NOT shift content between
+    # columns: ('a|b', 'c') and ('a', 'b|c') are different rows
+    [h1] = corpus_fingerprint(
+        spark.createDataFrame([("a|b", "c")], "x string, y string"), ["x", "y"]
+    ).collect()
+    [h2] = corpus_fingerprint(
+        spark.createDataFrame([("a", "b|c")], "x string, y string"), ["x", "y"]
+    ).collect()
+    assert h1["content_hash"] != h2["content_hash"]
+    # a literal 'N' value is distinct from NULL
+    [h3] = corpus_fingerprint(
+        spark.createDataFrame([("N",)], "x string"), ["x"]
+    ).collect()
+    [h4] = corpus_fingerprint(
+        spark.createDataFrame([(None,)], "x string"), ["x"]
+    ).collect()
+    assert h3["content_hash"] != h4["content_hash"]
+
+
 def test_corpus_fingerprint_counts_duplicates(spark):
     from mr_dice_spark.operators.profile import corpus_fingerprint
 
