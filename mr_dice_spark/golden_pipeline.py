@@ -4319,3 +4319,46 @@ def autocorr_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "lag", "n", _r("autocorr", 6).alias("autocorr")
     ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# per-user behavioral entropy (categorical diversity)
+# ---------------------------------------------------------------------------
+
+ENTROPY_ORACLE = """
+WITH cells AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id, SUM(c) AS n, COUNT(*) AS n_cats,
+         SUM(c * LN(CAST(c AS DOUBLE))) AS clnc
+  FROM cells GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(n_cats AS BIGINT) AS n_cats,
+       ROUND(1e-9 + LN(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6)
+         AS entropy
+FROM agg
+ORDER BY user_id
+"""
+
+
+@golden(
+    "user_event_entropy",
+    ENTROPY_ORACLE,
+    tags=("profile", "entropy", "agg", "events"),
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the behavioral
+    diversity signal that separates bots (one repeated action, entropy
+    0) from engaged users (entropy toward ln 5). Stated as
+    ln(n) - Σ c·ln(c)/n over exact integer counts in BOTH engines, so
+    the FP surface is just the closing ln/divide under the 6-digit
+    rounding. Two chained hash aggregates — the any-scale shape."""
+    from mr_dice_spark.operators.profile import category_entropy
+
+    ev = Catalog(spark, sf_dir).events
+    out = category_entropy(ev, "user_id", "event_type")
+    return out.select(
+        "user_id", "n", "n_cats", _r("entropy", 6).alias("entropy")
+    ).orderBy("user_id")

@@ -446,3 +446,42 @@ def corpus_fingerprint(
         .cast("long")
         .alias("content_hash"),
     )
+
+
+def category_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column — the behavioral
+    diversity signal (bot/spam accounts repeat one action: entropy ~ 0;
+    engaged users mix: entropy -> ln(k)) and the class-balance audit for
+    labeled corpora.
+
+    Computed as ``ln(n) - Σ c·ln(c) / n`` from the per-(group, category)
+    counts — one identity-stated formula both engines evaluate on exact
+    integer counts, so the only FP surface is the closing ln/divide.
+    Returns ``(group, n, n_cats, entropy)`` with entropy NULL only for
+    empty groups (which never materialize) — a single-category group is
+    exactly 0.0. NULL categories count as their own class (a missing
+    label IS a class for balance purposes). Two chained aggregates, one
+    shuffle each; nothing wider than (group, category) ever exists.
+    """
+    cells = (
+        df.select(F.col(group_col).alias("__g"), F.col(cat_col).alias("__c"))
+        .groupBy("__g", "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    c = F.col("__n").cast("double")
+    agg = cells.groupBy("__g").agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(c * F.log(c)).alias("__clnc"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "n_cats",
+        (F.log(F.col("n").cast("double")) - F.col("__clnc") / F.col("n").cast("double"))
+        .alias("entropy"),
+    )

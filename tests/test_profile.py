@@ -248,3 +248,24 @@ def test_corpus_fingerprint_counts_duplicates(spark):
     assert h2["content_hash"] == (2 * h1["content_hash"]) % (1 << 60)
     with _pytest.raises(ValueError):
         corpus_fingerprint(one, [])
+
+
+def test_category_entropy_known_values(spark):
+    import math
+
+    from mr_dice_spark.operators.profile import category_entropy
+
+    rows = (
+        [("bot", "click")] * 8                       # single class -> 0
+        + [("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d")]  # ln 4
+        + [("skew", "x")] * 3 + [("skew", "y")]      # -(3/4 ln 3/4 + 1/4 ln 1/4)
+        + [("nulls", None), ("nulls", "z")]          # NULL is its own class
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r["g"]: r for r in category_entropy(df, "g", "c").collect()}
+    assert got["bot"]["entropy"] == 0.0 and got["bot"]["n_cats"] == 1
+    assert math.isclose(got["uni"]["entropy"], math.log(4), rel_tol=1e-12)
+    expect_skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert math.isclose(got["skew"]["entropy"], expect_skew, rel_tol=1e-12)
+    assert got["nulls"]["n_cats"] == 2
+    assert math.isclose(got["nulls"]["entropy"], math.log(2), rel_tol=1e-12)
