@@ -244,3 +244,33 @@ def nfc_normalize(text_col: Column) -> Column:
 
     _n.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_n, "string")(text_col)
+
+
+# The common Cyrillic/Greek -> Latin confusable pairs (the high-frequency
+# subset of UTS #39's confusables table — the ones spam/SEO evasion
+# actually uses; a full table is a data file, not a code path). Source
+# and destination strings MUST stay aligned 1:1 for translate().
+_HOMOGLYPH_SRC = (
+    "аеорсухіѕј"  # аеорсухіѕј
+    "АВЕКМНОРСТХЅІЈ"  # АВЕКМНОРСТХЅІЈ
+    "οΟΑΒΕΖΗΙΚΜΝΡΤΥΧ"  # οΟΑΒΕΖΗΙΚΜΝΡΤΥΧ
+)
+_HOMOGLYPH_DST = "aeopcyxisj" "ABEKMHOPCTXSIJ" "oOABEZHIKMNPTYX"
+assert len(_HOMOGLYPH_SRC) == len(_HOMOGLYPH_DST)
+
+
+def fold_homoglyphs(text_col: Column) -> Column:
+    """Map the common Cyrillic/Greek Latin-lookalike characters to their
+    Latin forms — the adversarial-dedup normalizer (spam and SEO farms
+    evade exact dedup by swapping visually identical codepoints; NFC
+    does NOT touch these, they are distinct letters, not combining
+    forms). One codegen'd translate(), restatable verbatim in SQL."""
+    return F.translate(text_col, _HOMOGLYPH_SRC, _HOMOGLYPH_DST)
+
+
+def homoglyph_translate_sql(expr: str) -> str:
+    """The DuckDB restatement of :func:`fold_homoglyphs` — same source
+    and destination alphabets, so both engines fold identically."""
+    src = _HOMOGLYPH_SRC.replace("'", "''")
+    dst = _HOMOGLYPH_DST.replace("'", "''")
+    return f"translate({expr}, '{src}', '{dst}')"

@@ -1813,3 +1813,69 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return k_core(edges, k=2, n_iter=5).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# homoglyph folding + dedup (adversarial codepoint-swap evasion)
+# ---------------------------------------------------------------------------
+
+def _homoglyph_oracle() -> str:
+    from mr_dice_spark.functions.text import homoglyph_translate_sql
+
+    fold = homoglyph_translate_sql("text")
+    return f"""
+WITH evaded AS (
+  SELECT doc_id + 500000 AS doc_id,
+         translate(text, 'aeopc', chr(1072) || chr(1077) || chr(1086)
+                                  || chr(1088) || chr(1089)) AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM evaded
+),
+folded AS (SELECT doc_id, {fold} AS text FROM corpus),
+ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM folded
+  ) WHERE rn = 1
+)
+SELECT doc_id, md5(text) AS text_hash FROM ded ORDER BY doc_id
+"""
+
+
+@golden(
+    "homoglyph_fold_dedup",
+    _homoglyph_oracle(),
+    tags=("text", "unicode", "homoglyph", "dedup"),
+)
+def homoglyph_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial dedup: every even document gains an 'evaded' twin
+    whose Latin a/e/o/p/c are swapped for the visually identical
+    Cyrillic codepoints (the spam/SEO trick NFC cannot undo — these are
+    distinct letters, not combining forms). fold_homoglyphs maps the
+    common confusable set back to Latin, so first-wins exact dedup
+    drops every evaded twin while odd documents (no twin) and genuinely
+    distinct texts survive. Pure codegen translate() on both engines —
+    the oracle folds with the identical alphabet strings."""
+    from mr_dice_spark.functions.text import fold_homoglyphs
+    from mr_dice_spark.operators.dedup import dedup_exact
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    evaded = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.translate(
+                F.col("text"), "aeopc", "аеорс"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(evaded)
+    folded = corpus.withColumn("text", fold_homoglyphs(F.col("text")))
+    ded = dedup_exact(folded, ["text"], "doc_id")
+    return ded.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).orderBy("doc_id")

@@ -1338,3 +1338,25 @@ def test_weighted_sample_per_group_plan_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_fold_homoglyphs_maps_confusables(spark):
+    from mr_dice_spark.functions.text import (
+        _HOMOGLYPH_DST,
+        _HOMOGLYPH_SRC,
+        fold_homoglyphs,
+    )
+
+    assert len(_HOMOGLYPH_SRC) == len(set(_HOMOGLYPH_SRC)) == len(_HOMOGLYPH_DST)
+    # every source char is non-ASCII, every destination char is ASCII
+    assert all(ord(c) > 127 for c in _HOMOGLYPH_SRC)
+    assert all(ord(c) < 128 for c in _HOMOGLYPH_DST)
+    rows = [
+        ("раypаl", "paypal"),      # Cyrillic р/а swapped in
+        ("οΟlymp", "oOlymp"),      # Greek omicron pair
+        ("plain ascii", "plain ascii"),      # untouched
+        (None, None),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], "t string")
+    got = [r["f"] for r in df.select(fold_homoglyphs("t").alias("f")).collect()]
+    assert got == [b for _, b in rows]
