@@ -4362,3 +4362,79 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n", "n_cats", _r("entropy", 6).alias("entropy")
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the term-frequency distribution (corpus health check)
+# ---------------------------------------------------------------------------
+
+ZIPF_ORACLE = """
+WITH t AS (
+  SELECT u.g AS term, COUNT(*) AS c
+  FROM documents,
+       UNNEST(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+')) AS u(g)
+  WHERE u.g <> ''
+  GROUP BY 1
+),
+top AS (SELECT term, c FROM t ORDER BY c DESC, term LIMIT 500),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk FROM top
+),
+s AS (
+  SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y FROM r
+),
+a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + (n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND(1e-9 + (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                    / n, 6) AS intercept,
+       ROUND(1e-9 + ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM a
+"""
+
+
+@golden(
+    "zipf_slope_documents",
+    ZIPF_ORACLE,
+    tags=("text", "zipf", "ols", "profile", "documents"),
+)
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit of the corpus term-frequency distribution: log-log OLS of
+    frequency against rank over the top 500 terms — natural text sits
+    near slope -1; machine-generated or templated corpora bend away, so
+    the slope is a one-number corpus-health check. Ranking is
+    TakeOrderedAndProject to 500 rows FIRST (never a global rank
+    window), then the row_number runs on the bounded finisher; the fit
+    reuses group_ols_trend's closed-form moment aggregate. The oracle
+    restates tokenize -> count -> top-500 (same count-desc/term
+    tiebreak) -> ln/ln -> moments. On this driver corpus the check
+    WORKS AS INTENDED: the synthetic documents hold only 31 distinct
+    terms with near-uniform frequencies, and the fit (slope ~ -0.18,
+    r2 ~ 0.05, vs natural text's slope ~ -1 at high r2) flags exactly
+    that templated shape."""
+    from mr_dice_spark.operators.timeseries import group_ols_trend
+
+    docs = Catalog(spark, sf_dir).documents
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+")
+            ).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term")).limit(500)
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return group_ols_trend(ranked, [], "x", "y")
