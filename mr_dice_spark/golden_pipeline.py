@@ -4438,3 +4438,79 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("c").cast("double")).alias("y"),
     )
     return group_ols_trend(ranked, [], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit across the TPC-H foreign keys
+# ---------------------------------------------------------------------------
+
+RI_AUDIT_ORACLE = """
+SELECT 'orders.custkey->customer' AS relationship,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk,
+       (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem.orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_suppkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+       (SELECT COUNT(*) FROM customer c WHERE c_nationkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'nation.regionkey->region',
+       (SELECT COUNT(*) FROM nation),
+       (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+       (SELECT COUNT(*) FROM nation n WHERE n_regionkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+ORDER BY relationship
+"""
+
+
+@golden(
+    "referential_integrity_audit",
+    RI_AUDIT_ORACLE,
+    tags=("profile", "quality", "join", "audit"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide FK orphan audit: every TPC-H foreign-key edge gets a
+    (rows, NULL keys, orphans) row via one child aggregate plus one
+    anti join — the post-ingest QA gate that catches a broken upstream
+    export before downstream joins silently drop rows. An all-zero
+    orphan column on this fixture is the PASSING result the audit
+    exists to prove; the operator's orphan path is separately
+    unit-tested with planted breaks."""
+    from mr_dice_spark.operators.profile import fk_orphan_audit
+
+    t = Catalog(spark, sf_dir)
+    edges = [
+        (t.orders, "o_custkey", t.customer, "c_custkey", "orders.custkey->customer"),
+        (t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem.orderkey->orders"),
+        (t.lineitem, "l_partkey", t.part, "p_partkey", "lineitem.partkey->part"),
+        (t.lineitem, "l_suppkey", t.supplier, "s_suppkey", "lineitem.suppkey->supplier"),
+        (t.customer, "c_nationkey", t.nation, "n_nationkey", "customer.nationkey->nation"),
+        (t.nation, "n_regionkey", t.region, "r_regionkey", "nation.regionkey->region"),
+    ]
+    out = None
+    for child, fk, parent, pk, name in edges:
+        row = fk_orphan_audit(child, fk, parent, pk, name)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")

@@ -485,3 +485,39 @@ def category_entropy(
         (F.log(F.col("n").cast("double")) - F.col("__clnc") / F.col("n").cast("double"))
         .alias("entropy"),
     )
+
+
+def fk_orphan_audit(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    relationship: str,
+) -> DataFrame:
+    """One referential-integrity audit row for a foreign-key edge:
+    ``(relationship, n_rows, n_null_fk, n_orphans)`` where orphans are
+    non-NULL child keys with no parent — the ingest-QA check that runs
+    after every snapshot load (a broken upstream export shows up here
+    before it poisons joins downstream as silent row loss).
+
+    Shapes: one aggregate over the child plus one left-anti join on the
+    key (Spark broadcasts small parents on its own; big ones take the
+    standard shuffled anti join). Union several calls for the full
+    schema audit."""
+    base = child.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col(fk_col).isNull(), F.lit(1))).alias("n_null_fk"),
+    )
+    orphans = (
+        child.where(F.col(fk_col).isNotNull())
+        .join(parent.select(F.col(pk_col).alias("__pk")),
+              F.col(fk_col) == F.col("__pk"), "anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return (
+        base.crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit(relationship).alias("relationship"),
+            "n_rows", "n_null_fk", "n_orphans",
+        )
+    )

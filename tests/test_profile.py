@@ -269,3 +269,20 @@ def test_category_entropy_known_values(spark):
     assert math.isclose(got["skew"]["entropy"], expect_skew, rel_tol=1e-12)
     assert got["nulls"]["n_cats"] == 2
     assert math.isclose(got["nulls"]["entropy"], math.log(2), rel_tol=1e-12)
+
+
+def test_fk_orphan_audit_planted_breaks(spark):
+    from mr_dice_spark.operators.profile import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    [r] = fk_orphan_audit(child, "fk", parent, "pk", "c->p").collect()
+    assert (r["relationship"], r["n_rows"], r["n_null_fk"], r["n_orphans"]) == (
+        "c->p", 4, 1, 1,
+    )
+    # intact edge reports zero orphans
+    ok_child = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+    [r2] = fk_orphan_audit(ok_child, "fk", parent, "pk", "ok").collect()
+    assert r2["n_orphans"] == 0 and r2["n_null_fk"] == 0
