@@ -4514,3 +4514,107 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = fk_orphan_audit(child, fk, parent, pk, name)
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# mutual information (association / leakage detector)
+# ---------------------------------------------------------------------------
+
+MI_ORACLE = """
+WITH base AS (
+  SELECT event_type AS x, user_id % 4 AS y FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+cells AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
+mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+tot AS (SELECT SUM(c) AS n FROM cells),
+mi AS (
+  SELECT MAX(t.n) AS n,
+         SUM((c.c / CAST(t.n AS DOUBLE))
+             * LN(c.c * CAST(t.n AS DOUBLE) / (mx.cx * CAST(my.cy AS DOUBLE))))
+           AS mi
+  FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y, tot t
+),
+hx AS (SELECT LN(MAX(t.n)) - SUM(cx * LN(CAST(cx AS DOUBLE))) / MAX(t.n) AS hx
+       FROM mx, tot t),
+hy AS (SELECT LN(MAX(t.n)) - SUM(cy * LN(CAST(cy AS DOUBLE))) / MAX(t.n) AS hy
+       FROM my, tot t)
+SELECT CAST(mi.n AS BIGINT) AS n,
+       ROUND(1e-9 + mi.mi, 6) AS mi,
+       ROUND(1e-9 + CASE WHEN LEAST(hx.hx, hy.hy) > 0
+                         THEN mi.mi / LEAST(hx.hx, hy.hy) END, 6) AS nmi
+FROM mi, hx, hy
+"""
+
+
+@golden(
+    "mutual_information_type_band",
+    MI_ORACLE,
+    tags=("profile", "information", "leakage", "events"),
+)
+def mutual_information_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and a user band — the
+    association/leakage detector (MI(feature, split) far above 0 means
+    the feature leaks the split; here the planted answer is ~0, the
+    independent case). Exact-count arithmetic on the joint cells and
+    marginals, normalized by min-entropy; the corpus is scanned once
+    (marginals derive from the cells)."""
+    from mr_dice_spark.operators.profile import mutual_information
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", (F.col("user_id") % 4).alias("user_band")
+    )
+    out = mutual_information(ev, "event_type", "user_band")
+    return out.select(
+        "n", _r("mi", 6).alias("mi"), _r("nmi", 6).alias("nmi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot (wide conditional aggregation — the df.pivot API surface)
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT user_id % 8 AS user_band,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
+       ROUND(1e-9 + AVG(CASE WHEN event_type = 'click' THEN value END), 4) AS click_avg,
+       ROUND(1e-9 + AVG(CASE WHEN event_type = 'view' THEN value END), 4) AS view_avg,
+       ROUND(1e-9 + AVG(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_avg
+FROM events
+GROUP BY 1
+ORDER BY user_band
+"""
+
+
+@golden(
+    "pivot_event_type_bands",
+    PIVOT_ORACLE,
+    tags=("agg", "pivot", "olap", "events"),
+)
+def pivot_event_type_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot surface: per-user-band counts and means widened to one
+    column pair per event type via df.groupBy().pivot(values=[...]) —
+    with the value list EXPLICIT, Spark compiles it to one pass of
+    conditional aggregates (no distinct-values pre-query, no second
+    shuffle), which is exactly how the oracle restates it."""
+    ev = Catalog(spark, sf_dir).events
+    wide = (
+        ev.groupBy((F.col("user_id") % 8).alias("user_band"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg"),
+        )
+    )
+    return wide.select(
+        "user_band",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
+        _r("click_avg", 4).alias("click_avg"),
+        _r("view_avg", 4).alias("view_avg"),
+        _r("purchase_avg", 4).alias("purchase_avg"),
+    ).orderBy("user_band")

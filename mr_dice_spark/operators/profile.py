@@ -521,3 +521,61 @@ def fk_orphan_audit(
             "n_rows", "n_null_fk", "n_orphans",
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    association/leakage detector: MI(feature, split) far above 0 means
+    the feature leaks the split; MI(label, source) ranks which sources
+    drive a label. One row ``(n, mi, nmi)`` with
+    ``mi = Σ p(x,y)·ln(p(x,y)/(p(x)·p(y)))`` over the joint cells and
+    ``nmi = mi / min(H(x), H(y))`` (NULL when either marginal entropy is
+    0 — a constant column carries no information to normalize by).
+
+    Stated on exact integer counts: ``mi = Σ (c_xy/n)·ln(c_xy·n /
+    (c_x·c_y))`` so both engines share the arithmetic. Rows with NULL in
+    either column are excluded. Shapes: one joint-cell aggregate, two
+    marginal aggregates derived FROM the cells (never a second corpus
+    scan), two broadcast joins cell->marginal, one closing reduce.
+    """
+    cells = (
+        df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    joined = (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("__c").cast("double")
+    n = F.col("__n").cast("double")
+    cx = F.col("__cx").cast("double")
+    cy = F.col("__cy").cast("double")
+    # marginal entropies on the marginal frames (each category once):
+    # H = ln(n) - sum(c ln c)/n
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (F.log(F.max(n)) - F.sum(cx * F.log(cx)) / F.max(n)).alias("__hx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (F.log(F.max(n)) - F.sum(cy * F.log(cy)) / F.max(n)).alias("__hy")
+    )
+    mi = joined.agg(
+        F.max("__n").alias("n"),
+        F.sum((c / n) * F.log(c * n / (cx * cy))).alias("mi"),
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    hmin = F.least(F.col("__hx"), F.col("__hy"))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("mi"),
+        F.when(hmin > 0, F.col("mi") / hmin).alias("nmi"),
+    )

@@ -286,3 +286,27 @@ def test_fk_orphan_audit_planted_breaks(spark):
     ok_child = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
     [r2] = fk_orphan_audit(ok_child, "fk", parent, "pk", "ok").collect()
     assert r2["n_orphans"] == 0 and r2["n_null_fk"] == 0
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from mr_dice_spark.operators.profile import mutual_information
+
+    # independent -> 0; identical -> mi = H(X), nmi = 1
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)], "a string, b string"
+    )
+    [r] = mutual_information(ind, "a", "b").collect()
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
+    dep = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "y")] * 70, "a string, b string"
+    )
+    [r2] = mutual_information(dep, "a", "b").collect()
+    h = -(0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+    assert math.isclose(r2["mi"], h, rel_tol=1e-12)
+    assert math.isclose(r2["nmi"], 1.0, rel_tol=1e-12)
+    # constant column -> zero entropy -> nmi NULL, mi 0
+    const = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
+    [r3] = mutual_information(const, "a", "b").collect()
+    assert r3["mi"] == 0.0 and r3["nmi"] is None
