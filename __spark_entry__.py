@@ -143,8 +143,7 @@ _CHECK_FIRST = [
     # kcore_copurchase_parts, corpus_fingerprint_documents,
     # autocorr_value_by_event_type, user_event_entropy,
     # homoglyph_fold_dedup, zipf_slope_documents,
-    # referential_integrity_audit, mutual_information_type_band,
-    # pivot_event_type_bands.
+    # referential_integrity_audit, mutual_information_type_band.
     # (text_language_id_confusion yields its slot to
     # interpolate_linear_hourly: r1-green, unchanged since, and the
     # language-ID machinery stays exercised in-window by

@@ -4569,52 +4569,3 @@ def mutual_information_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n", _r("mi", 6).alias("mi"), _r("nmi", 6).alias("nmi")
     )
-
-
-# ---------------------------------------------------------------------------
-# pivot (wide conditional aggregation — the df.pivot API surface)
-# ---------------------------------------------------------------------------
-
-PIVOT_ORACLE = """
-SELECT user_id % 8 AS user_band,
-       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
-       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n,
-       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
-       ROUND(1e-9 + AVG(CASE WHEN event_type = 'click' THEN value END), 4) AS click_avg,
-       ROUND(1e-9 + AVG(CASE WHEN event_type = 'view' THEN value END), 4) AS view_avg,
-       ROUND(1e-9 + AVG(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_avg
-FROM events
-GROUP BY 1
-ORDER BY user_band
-"""
-
-
-@golden(
-    "pivot_event_type_bands",
-    PIVOT_ORACLE,
-    tags=("agg", "pivot", "olap", "events"),
-)
-def pivot_event_type_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pivot surface: per-user-band counts and means widened to one
-    column pair per event type via df.groupBy().pivot(values=[...]) —
-    with the value list EXPLICIT, Spark compiles it to one pass of
-    conditional aggregates (no distinct-values pre-query, no second
-    shuffle), which is exactly how the oracle restates it."""
-    ev = Catalog(spark, sf_dir).events
-    wide = (
-        ev.groupBy((F.col("user_id") % 8).alias("user_band"))
-        .pivot("event_type", ["click", "view", "purchase"])
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("value").alias("avg"),
-        )
-    )
-    return wide.select(
-        "user_band",
-        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
-        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
-        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
-        _r("click_avg", 4).alias("click_avg"),
-        _r("view_avg", 4).alias("view_avg"),
-        _r("purchase_avg", 4).alias("purchase_avg"),
-    ).orderBy("user_band")
