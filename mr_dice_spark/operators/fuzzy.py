@@ -35,10 +35,36 @@ pair set is bit-identical while the blocks move into the high-entropy
 core. The affix bounds come from ONE tiny aggregate (lexicographic
 min/max of the string and of its reverse: the common prefix of a set
 equals the common prefix of its lexicographic extremes), a driver
-round-trip of four strings. A corpus with a constant MIDDLE can still
-degenerate a block; for that, ``max_block_rows`` is an optional
-fail-fast circuit breaker (one extra counting pass) that raises with
-mitigation guidance instead of running quadratically for hours.
+round-trip of four strings.
+
+The affix strip cannot help when only a SUBSET of the corpus shares a
+constant half (the corpus-wide LCP is empty): e.g. 15 k clean
+'Customer#...' names unioned with corrupted twins — the clean side's
+first-half block is the single key 'Customer#' and the candidate join
+emits ~10^8 pairs INTO ONE SHUFFLE KEY (quadratic work AND a one-task
+verify stage; measured >10 min at sf0.1). The k=1 path therefore
+carries a second, adaptive guard (on by default): after building the
+key streams, one small aggregate counts candidates per key
+(index_rows × probe_rows); keys over ``hot_block_product`` are
+re-blocked by the DELETION NEIGHBORHOOD of the string's remainder
+after the shared segment. Exact for k=1 twice over: (1) sharing a
+P/S segment key verbatim makes the full-string distance equal the
+remainder distance (the same strip lemma, applied to THAT pair's
+shared half), and (2) ed(u, v) <= 1 iff ({u} ∪ D1(u)) ∩
+({v} ∪ D1(v)) != ∅ where D1 is the 1-deletion neighborhood
+(substitution at i: delete i from both; indel: the shorter string IS
+a deletion of the longer). Cost: only hot rows expand (|remainder|+1
+keys instead of 1), everything else keeps the 2-key PassJoin shape.
+A refined block is near-unique on ID-like corpora (the remainder's
+deletion variants carry its full entropy), so the skewed key
+disappears instead of being salted around.
+
+A corpus that defeats BOTH guards can still degenerate a block (k >= 2
+with a constant interior, or adversarial variant collisions); for
+that, ``max_block_rows`` is an optional fail-fast circuit breaker
+(one extra counting pass over the FINAL post-refinement index) that
+raises with mitigation guidance instead of running quadratically for
+hours.
 """
 
 from __future__ import annotations
@@ -120,6 +146,96 @@ def _check_block_sizes(index: DataFrame, max_block_rows: int) -> None:
         )
 
 
+_HOT_KEY_CAP = 64
+
+
+def _hot_block_keys(
+    index: DataFrame, probe: DataFrame, product_threshold: int
+) -> list[str]:
+    """Blocking keys whose candidate product (index rows × probe rows)
+    exceeds ``product_threshold`` — each such key would emit that many
+    join rows into ONE shuffle partition. One map-side-combinable
+    aggregate per stream plus a join of two tiny key-count relations;
+    the product is computed in the double domain (counts are exact well
+    past any real corpus, and doubles cannot overflow under ANSI).
+    Capped at ``_HOT_KEY_CAP`` keys: more than that means the corpus is
+    pathological for segment blocking and we refuse to expand it."""
+    ic = index.groupBy("__k").agg(F.count(F.lit(1)).alias("__ci"))
+    pc = probe.groupBy("__k").agg(F.count(F.lit(1)).alias("__cp"))
+    rows = (
+        ic.join(pc, "__k")
+        .where(
+            F.col("__ci").cast("double") * F.col("__cp").cast("double")
+            > F.lit(float(product_threshold))
+        )
+        .select("__k")
+        .limit(_HOT_KEY_CAP + 1)
+        .collect()
+    )
+    keys = [r["__k"] for r in rows]
+    if len(keys) > _HOT_KEY_CAP:
+        raise ValueError(
+            f"edit_distance_join: more than {_HOT_KEY_CAP} blocking keys "
+            f"exceed hot_block_product={product_threshold}; the corpus is "
+            "pathological for segment blocking (near-constant strings?). "
+            "Deduplicate exact strings first, or raise hot_block_product "
+            "if the quadratic blocks are genuinely acceptable."
+        )
+    return keys
+
+
+def _deletion_refined(part: DataFrame) -> DataFrame:
+    """Re-key hot-block rows by the deletion neighborhood of the
+    remainder after the shared segment. The incoming ``__k`` is
+    'P\\x00len\\x00content' (shared prefix of length len) or
+    'S\\x00len\\x00content' (shared suffix); the remainder is the rest
+    of ``__s``. Every true pair within the block shares a refined key
+    ``__k + '\\x00' + variant`` (module docstring, guard 2); false
+    variant collisions (ed = 2) are removed by the levenshtein verify
+    like any other false candidate."""
+    seg_len = F.split(F.col("__k"), "\x00").getItem(1).cast("int")
+    rem = F.when(
+        F.col("__k").startswith("P"),
+        F.col("__s").substr(seg_len + F.lit(1), F.col("__l") - seg_len),
+    ).otherwise(F.col("__s").substr(F.lit(1), F.col("__l") - seg_len))
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("__rem"))),
+        lambda i: F.concat(
+            F.col("__rem").substr(F.lit(1), i - F.lit(1)),
+            F.col("__rem").substr(i + F.lit(1), F.length(F.col("__rem"))),
+        ),
+    )
+    variants = F.when(
+        F.length(F.col("__rem")) > 0,
+        F.array_distinct(F.concat(F.array(F.col("__rem")), deletions)),
+    ).otherwise(F.array(F.col("__rem")))
+    return (
+        part.withColumn("__rem", rem)
+        .select("__id", "__s", "__l", "__k", F.explode(variants).alias("__v"))
+        .select(
+            "__id",
+            "__s",
+            "__l",
+            F.concat(F.col("__k"), F.lit("\x00"), F.col("__v")).alias("__k"),
+        )
+    )
+
+
+def _refine_hot_blocks(
+    index: DataFrame, probe: DataFrame, product_threshold: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split both key streams on hot-key membership and re-key the hot
+    rows (routing is per-key, so both sides of any candidate pair route
+    identically); cold rows keep the 2-key PassJoin shape untouched."""
+    hot = _hot_block_keys(index, probe, product_threshold)
+    if not hot:
+        return index, probe
+    is_hot = F.col("__k").isin(hot)
+    index = index.where(~is_hot).unionByName(_deletion_refined(index.where(is_hot)))
+    probe = probe.where(~is_hot).unionByName(_deletion_refined(probe.where(is_hot)))
+    return index, probe
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
@@ -127,6 +243,7 @@ def edit_distance_join(
     max_dist: int = 1,
     strip_affixes: bool = True,
     max_block_rows: int | None = None,
+    hot_block_product: int | None = 4_000_000,
 ) -> DataFrame:
     """All unordered pairs with ``levenshtein <= max_dist``:
     ``(id_a, id_b, dist)`` with ``id_a < id_b``. NULL strings never pair
@@ -138,8 +255,12 @@ def edit_distance_join(
     ``strip_affixes`` (default on) strips the corpus-wide common
     prefix/suffix before blocking — distance-preserving, exact, and the
     difference between near-linear and quadratic on ID-like corpora (see
-    module docstring). ``max_block_rows`` optionally fail-fasts if any
-    residual blocking key still exceeds that cardinality."""
+    module docstring). ``hot_block_product`` (default on, k=1 only)
+    re-blocks any key whose candidate product exceeds it via deletion-
+    neighborhood refinement — exact recall, no skewed shuffle key (see
+    module docstring; ``None`` disables). ``max_block_rows`` optionally
+    fail-fasts if any FINAL (post-refinement) blocking key still
+    exceeds that cardinality."""
     if max_dist != 1:
         return edit_distance_join_k(
             df, id_col, str_col, max_dist,
@@ -161,8 +282,6 @@ def edit_distance_join(
         F.concat_ws("\x00", F.lit("S"), s_own, F.expr("right(__s, __l - ceil(__l / 2))")),
     )
     index = s.select("__id", "__s", "__l", F.explode(idx_keys).alias("__k"))
-    if max_block_rows is not None:
-        _check_block_sizes(index, max_block_rows)
 
     # probe keys: halves recomputed at each admissible partner length
     probe_arr = F.array_distinct(
@@ -200,8 +319,22 @@ def edit_distance_join(
         F.col("__k").isNotNull()
     )
 
+    if hot_block_product is not None:
+        index, probe = _refine_hot_blocks(index, probe, hot_block_product)
+    if max_block_rows is not None:
+        _check_block_sizes(index, max_block_rows)
+
+    # shuffle_hash hint: left to stats, Spark can BROADCAST the index
+    # side (it often fits under the 10 MB threshold at test scale), which
+    # serializes candidate verification into the probe SCAN's partition
+    # count — the levenshtein filter is pushed below the distinct into
+    # the join stage, so a 2-file input runs ~10^8 verifies 2-way
+    # (measured >300 s; the shuffled join's key-partitioned verify is
+    # ~8 s on the same corpus). The shuffled hash join on the segment
+    # key is also the only shape that scales to a corpus-sized index.
     cand = (
         index.alias("a")
+        .hint("shuffle_hash")
         .join(
             probe.alias("b"),
             (F.col("a.__k") == F.col("b.__k"))
@@ -331,8 +464,11 @@ def edit_distance_join_k(
         "__id", "__s", "__l", F.explode(probe_arr).alias("__k")
     ).where(F.col("__k").isNotNull())
 
+    # shuffle_hash: same rationale as the k=1 path — never broadcast the
+    # candidate join, its verify parallelism must follow the key shuffle
     cand = (
         index.alias("a")
+        .hint("shuffle_hash")
         .join(
             probe.alias("b"),
             (F.col("a.__k") == F.col("b.__k"))

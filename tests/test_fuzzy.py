@@ -103,6 +103,48 @@ def test_affix_strip_preserves_pair_set_on_id_corpora(spark):
     assert got == raw
 
 
+def test_hot_block_refinement_exact_on_subset_constant_halves(spark):
+    """Two clusters with constant-but-different first halves PLUS a
+    union of corrupted twins (the ER-linkage shape): corpus LCP is
+    empty so the affix strip no-ops, and each cluster's P-block holds
+    the whole cluster. With the hot threshold forced low, the deletion-
+    neighborhood refinement must fire and still produce the exact
+    brute-force pair set; disabled must agree."""
+    rows = [(i, f"AAAAAAAAAA{i:04d}") for i in range(120)]
+    rows += [(1000 + i, f"BBBBBBBBBB{i:04d}") for i in range(120)]
+    # corrupted twins: delete one char at a varying position
+    rows += [(2000 + i, s[: i % len(s)] + s[i % len(s) + 1:]) for i, s in
+             ((i, f"AAAAAAAAAA{i:04d}") for i in range(0, 120, 3))]
+    rows += [(5000, None), (5001, "AAAAAAAAAA0007")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    exp = _expected(rows)
+    got_hot = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", hot_block_product=50).collect()
+    )
+    got_off = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", hot_block_product=None).collect()
+    )
+    assert got_hot == exp
+    assert got_off == exp
+
+
+def test_hot_block_refinement_caps_pathological_corpora(spark):
+    """A corpus where every blocking key is hot (threshold 0, unique
+    random strings so there are far more than the key cap): the
+    operator must refuse to expand it with guidance rather than
+    silently multiplying every row's keys."""
+    rng = random.Random(99)
+    rows = [
+        (i, "".join(rng.choice("abcdefghij") for _ in range(12)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    with pytest.raises(ValueError, match="hot_block_product"):
+        edit_distance_join(df, "id", "s", hot_block_product=0).collect()
+
+
 def test_max_block_rows_breaker_fires_on_clustered_constant_halves(spark):
     """Two clusters whose first HALVES are constant but differ from each
     other: the corpus-wide LCP is empty, so the affix strip cannot help,
