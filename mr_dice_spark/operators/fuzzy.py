@@ -154,20 +154,22 @@ def _hot_block_keys(
 ) -> list[str]:
     """Blocking keys whose candidate product (index rows × probe rows)
     exceeds ``product_threshold`` — each such key would emit that many
-    join rows into ONE shuffle partition. One map-side-combinable
-    aggregate per stream plus a join of two tiny key-count relations;
-    the product is computed in the double domain (counts are exact well
-    past any real corpus, and doubles cannot overflow under ANSI).
+    join rows into ONE shuffle partition. ONE map-side-combinable
+    aggregate over the union of both tagged key streams; the product is
+    computed in the double domain (counts are exact well past any real
+    corpus, and doubles cannot overflow under ANSI).
     Capped at ``_HOT_KEY_CAP`` keys: more than that means the corpus is
     pathological for segment blocking and we refuse to expand it."""
-    ic = index.groupBy("__k").agg(F.count(F.lit(1)).alias("__ci"))
-    pc = probe.groupBy("__k").agg(F.count(F.lit(1)).alias("__cp"))
+    tagged = index.select("__k", F.lit(1).alias("__i")).unionAll(
+        probe.select("__k", F.lit(0).alias("__i"))
+    )
     rows = (
-        ic.join(pc, "__k")
-        .where(
-            F.col("__ci").cast("double") * F.col("__cp").cast("double")
-            > F.lit(float(product_threshold))
+        tagged.groupBy("__k")
+        .agg(
+            F.sum("__i").cast("double").alias("__ci"),
+            F.sum(1 - F.col("__i")).cast("double").alias("__cp"),
         )
+        .where(F.col("__ci") * F.col("__cp") > F.lit(float(product_threshold)))
         .select("__k")
         .limit(_HOT_KEY_CAP + 1)
         .collect()
