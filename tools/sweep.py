@@ -1,0 +1,115 @@
+"""Full-corpus oracle-parity sweep at an arbitrary scale factor.
+
+Runs every golden's Spark side AND its DuckDB oracle through the same
+order-insensitive compare the driver uses (tests/oracle.py), at sf0.1 by
+default — 10x the driver's compare scale. Designed after the round-5
+incident where an unguarded sweep filled the disk: DuckDB spills
+quadratic oracles (the ER linkage cross join alone wrote 26 GB of .tmp,
+and an unbounded run reached 81 GB and took the host down).
+
+Guards:
+- per-golden wall guard (default 180 s, soft: measured and reported,
+  the golden is not killed mid-query — Spark/DuckDB calls are not
+  interruptible from Python without killing the JVM);
+- free-disk floor checked BEFORE each golden (default 20 GiB): below
+  it the sweep stops cleanly instead of wedging the host;
+- an explicit fallback map for goldens whose ORACLE (not operator) is
+  super-linear: they are compared at sf0.01 — the driver's own scale —
+  and reported as such. The Spark side is still executed at the sweep
+  scale so operator regressions cannot hide behind the fallback.
+
+Usage:
+  python tools/sweep.py                     # full corpus at sf0.1
+  python tools/sweep.py fuzzy er_best      # name-substring filter
+  SWEEP_SF_DIR=/root/testdata/sf0.01 python tools/sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mr_dice_spark.golden import GOLDEN  # noqa: E402
+from mr_dice_spark.session import get_spark  # noqa: E402
+from tests.oracle import compare_spark_duckdb  # noqa: E402
+
+# goldens whose DuckDB ORACLE is super-linear in the corpus (quadratic
+# cross joins / pair materializations): compare at the driver's scale,
+# run the Spark side at sweep scale. Keyed with the reason so the
+# report is honest about WHY.
+ORACLE_BOUND = {
+    "er_best_match_linkage": "oracle is a 225M-levenshtein cross join at sf0.1 (26 GB spill)",
+}
+
+MIN_FREE_GIB = float(os.environ.get("SWEEP_MIN_FREE_GIB", "20"))
+WALL_GUARD = float(os.environ.get("SWEEP_WALL_GUARD", "180"))
+
+
+def free_gib(path: str = "/root") -> float:
+    return shutil.disk_usage(path).free / (1 << 30)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.1")
+    fallback_sf = os.environ.get("SWEEP_FALLBACK_SF_DIR", "/root/testdata/sf0.01")
+    filters = sys.argv[1:]
+    names = [
+        n for n in GOLDEN
+        if not filters or any(f in n for f in filters)
+    ]
+    spark = get_spark(
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=32,
+    )
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for i, name in enumerate(names, 1):
+        if free_gib() < MIN_FREE_GIB:
+            print(f"!! STOP: free disk below {MIN_FREE_GIB} GiB floor", flush=True)
+            break
+        g = GOLDEN[name]
+        t0 = time.time()
+        try:
+            if g.oracle is None:
+                cnt = g.spark(spark, sf_dir).count()
+                verdict, note = "rows-only", f"{cnt} rows"
+                n_rows_only += 1
+            elif name in ORACLE_BOUND:
+                # operator at sweep scale (regressions can't hide)...
+                cnt = g.spark(spark, sf_dir).count()
+                # ...full compare at the driver scale
+                ok, msg = compare_spark_duckdb(
+                    g.spark(spark, fallback_sf), g.oracle, fallback_sf
+                )
+                verdict = "pass@fallback" if ok else "FAIL"
+                note = f"{cnt} rows at sweep sf; {msg}; {ORACLE_BOUND[name]}"
+                n_pass += ok
+                n_fail += not ok
+                if not ok:
+                    failures.append(name)
+            else:
+                ok, msg = compare_spark_duckdb(g.spark(spark, sf_dir), g.oracle, sf_dir)
+                verdict, note = ("pass" if ok else "FAIL"), msg
+                n_pass += ok
+                n_fail += not ok
+                if not ok:
+                    failures.append(name)
+        except Exception as e:  # noqa: BLE001 — sweep must report, not die
+            verdict, note = "ERROR", f"{type(e).__name__}: {e}"
+            n_fail += 1
+            failures.append(name)
+        wall = time.time() - t0
+        guard = " [OVER GUARD]" if wall > WALL_GUARD else ""
+        print(f"[{i}/{len(names)}] {name}: {verdict} {wall:.1f}s{guard} — {note}",
+              flush=True)
+    print(f"\nSWEEP DONE: {n_pass} pass, {n_rows_only} rows-only, "
+          f"{n_fail} fail — failures: {failures}", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
