@@ -143,7 +143,9 @@ _CHECK_FIRST = [
     # kcore_copurchase_parts, corpus_fingerprint_documents,
     # autocorr_value_by_event_type, user_event_entropy,
     # homoglyph_fold_dedup, zipf_slope_documents,
-    # referential_integrity_audit, mutual_information_type_band.
+    # referential_integrity_audit, mutual_information_type_band,
+    # label_propagation_communities, spearman_value_time_by_type,
+    # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to
     # interpolate_linear_hourly: r1-green, unchanged since, and the
     # language-ID machinery stays exercised in-window by

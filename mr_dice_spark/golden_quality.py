@@ -1816,6 +1816,76 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# label-propagation communities (deterministic LPA, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA sweeps as chained CTEs (the PageRank /
+    k-core strategy). Every CTE is MATERIALIZED: each l_r feeds c_{r+1}
+    and the vote join re-reads e every round — an inlining planner
+    re-expands the chain exponentially (the k-core lesson)."""
+    parts = [
+        """WITH raw AS MATERIALIZED (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x
+  JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (SELECT a AS s, b AS d FROM raw UNION ALL SELECT b, a FROM raw),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e),"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT e.s, l.lbl, COUNT(*) AS c
+  FROM e JOIN {prev} l ON l.node = e.d
+  GROUP BY 1, 2
+),
+l{r} AS MATERIALIZED (
+  SELECT s AS node, lbl FROM (
+    SELECT s, lbl,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY c DESC, lbl) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+),"""
+        )
+    parts.append(
+        f"""fin AS (SELECT node, lbl FROM l{rounds})
+SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+FROM fin ORDER BY node"""
+    )
+    return "\n".join(parts)
+
+
+@golden(
+    "label_propagation_communities",
+    _lpa_oracle(),
+    tags=("graph", "communities", "iterative"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the co-purchase graph by deterministic synchronous
+    label propagation (4 sweeps, min-label tie-break): the cluster
+    grouping step between pairwise similarity and curation decisions —
+    the same role connected components plays for EXACT duplicate links,
+    over a graph where membership is soft. Fixed sweeps + smallest-label
+    ties make the result a pure function of the edge list, so the oracle
+    unrolls the identical sweeps (MATERIALIZED, the k-core lesson).
+    Integer labels, no FP surface."""
+    from mr_dice_spark.operators.graph import label_propagation
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return label_propagation(edges, n_iter=4)
+
+
+# ---------------------------------------------------------------------------
 # homoglyph folding + dedup (adversarial codepoint-swap evasion)
 # ---------------------------------------------------------------------------
 

@@ -930,3 +930,188 @@ def corpus_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return corpus_fingerprint(docs, ["doc_id", "text", "lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (deterministic permutation-rank form)
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS x, ts AS y, event_id AS i
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+r AS (
+  SELECT g,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, i) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, i) AS ry
+  FROM base
+)
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(1e-9 + CASE WHEN COUNT(*) > 1 THEN
+         1.0 - 6.0 * SUM(CAST(rx - ry AS DOUBLE) * CAST(rx - ry AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE)
+                  * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0)) END, 6)
+         AS spearman
+FROM r GROUP BY g
+ORDER BY event_type
+"""
+
+
+@golden(
+    "spearman_value_time_by_type",
+    SPEARMAN_ORACLE,
+    tags=("evaluation", "correlation", "window", "events"),
+)
+def spearman_value_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Spearman correlation between value and event time —
+    the monotone-drift detector (is this metric trending?) that Pearson
+    misses on non-linear trends. Ranks are ROW_NUMBERs under a
+    deterministic (value, id) total order, so both rank vectors are
+    permutations of 1..n and rho = 1 - 6*sum(d^2)/(n(n^2-1)) is
+    integer-exact in doubles until the one division — bit-stable
+    cross-engine, no tie-averaging FP surface. One exchange on the
+    group key (both rank windows share it), one aggregate."""
+    from mr_dice_spark.operators.evaluation import spearman_by_group
+
+    ev = Catalog(spark, sf_dir).events
+    out = spearman_by_group(ev, "event_type", "value", "ts", "event_id")
+    return out.select(
+        "event_type", "n", _r("spearman", 6).alias("spearman")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference strengths (unrolled MM sweeps)
+# ---------------------------------------------------------------------------
+
+def _bt_oracle(rounds: int = 5) -> str:
+    """Unrolled Zermelo/MM sweeps as chained CTEs. Every CTE is
+    MATERIALIZED: d and tw are re-read by every sweep and each s_r feeds
+    s_{r+1} twice (the i- and j-side score joins), the exact shape an
+    inlining planner re-expands exponentially (the k-core lesson)."""
+    parts = [
+        """WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+),
+br AS MATERIALIZED (
+  SELECT px.p_brand AS bx, py.p_brand AS by_,
+         x.l_extendedprice AS vx, y.l_extendedprice AS vy
+  FROM li x
+  JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  JOIN part px ON px.p_partkey = x.l_partkey
+  JOIN part py ON py.p_partkey = y.l_partkey
+  WHERE px.p_brand <> py.p_brand
+),
+g AS MATERIALIZED (
+  SELECT CASE WHEN bx < by_ THEN bx ELSE by_ END AS a,
+         CASE WHEN bx < by_ THEN by_ ELSE bx END AS b,
+         COUNT(*) AS n,
+         SUM(CASE WHEN (CASE WHEN vx >= vy THEN bx ELSE by_ END)
+                     = (CASE WHEN bx < by_ THEN bx ELSE by_ END)
+                  THEN 1 ELSE 0 END) AS wa
+  FROM br GROUP BY 1, 2
+),
+d AS MATERIALIZED (
+  SELECT a AS i, b AS j, n, wa AS w FROM g
+  UNION ALL
+  SELECT b, a, n, n - wa FROM g
+),
+tw AS MATERIALIZED (
+  SELECT i, SUM(n) AS games, SUM(w) AS wins FROM d GROUP BY i
+),
+s0 AS MATERIALIZED (SELECT i, 1.0 AS p FROM tw),"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT d.i,
+         CAST(tw.wins AS DOUBLE)
+           / SUM(CAST(d.n AS DOUBLE) / (pi.p + pj.p)) AS p
+  FROM d
+  JOIN {prev} pi ON pi.i = d.i
+  JOIN {prev} pj ON pj.i = d.j
+  JOIN tw ON tw.i = d.i
+  GROUP BY d.i, tw.wins
+),"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT tw.i, tw.games, tw.wins, s.p
+  FROM tw JOIN s{rounds} s ON s.i = tw.i
+)
+SELECT i AS brand, CAST(games AS BIGINT) AS games,
+       CAST(wins AS BIGINT) AS wins,
+       ROUND(1e-9 + p, 6) AS strength
+FROM fin ORDER BY brand"""
+    )
+    return "\n".join(parts)
+
+
+def brand_contest_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand-pair contest tally ``(a, b, n, wins_a)`` from same-order
+    lineitem pairs (pricier line wins; price ties to the lower-partkey
+    side; same-brand contests excluded). The corpus-sized stage of the
+    Bradley-Terry golden — both brand dims broadcast, one (a, b)
+    aggregate — factored out so plan-shape CI can pin it BEFORE the
+    operator's localCheckpoint materializes it away."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+    pb = cat.part.select("p_partkey", "p_brand")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .join(F.broadcast(pb.alias("px")), F.col("px.p_partkey") == F.col("x.l_partkey"))
+        .join(F.broadcast(pb.alias("py")), F.col("py.p_partkey") == F.col("y.l_partkey"))
+        .where(F.col("px.p_brand") != F.col("py.p_brand"))
+        .select(
+            F.col("px.p_brand").alias("bx"),
+            F.col("py.p_brand").alias("by"),
+            F.col("x.l_extendedprice").alias("vx"),
+            F.col("y.l_extendedprice").alias("vy"),
+        )
+    )
+    a = F.least("bx", "by")
+    b = F.greatest("bx", "by")
+    winner = F.when(F.col("vx") >= F.col("vy"), F.col("bx")).otherwise(F.col("by"))
+    return (
+        pairs.select(a.alias("a"), b.alias("b"), (winner == a).alias("wa"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("wa").cast("long")).alias("wins_a"),
+        )
+    )
+
+
+@golden(
+    "bradley_terry_brand_prefs",
+    _bt_oracle(),
+    tags=("evaluation", "preferences", "iterative"),
+)
+def bradley_terry_brand_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over brand-vs-brand 'contests' (two parts
+    in one order, the pricier line wins, price ties to the lower
+    partkey side): the pairwise-preference QA primitive — RLHF
+    preference corpora are exactly (a, b, winner) tallies, and BT
+    strengths expose imbalanced or non-transitive comparison graphs
+    before reward-model training. 5 fixed MM sweeps from p=1, no
+    normalization; the corpus-sized pair build aggregates to a
+    25-brand tally before any iteration, so the sweeps are item-sized.
+    The oracle unrolls the same sweeps (MATERIALIZED; each s_r is read
+    twice per sweep)."""
+    from mr_dice_spark.operators.evaluation import bradley_terry
+
+    tally = brand_contest_tally(spark, sf_dir)
+    out = bradley_terry(tally, "a", "b", "wins_a", "n", n_iter=5)
+    return out.select(
+        F.col("item").alias("brand"), "games", "wins",
+        _r("strength", 6).alias("strength"),
+    ).orderBy("brand")

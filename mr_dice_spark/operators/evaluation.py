@@ -175,3 +175,136 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")),
         ),
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between ``x_col`` and
+    ``y_col`` under a DETERMINISTIC total order: ranks are ROW_NUMBERs
+    ordered by (value, id), so every rank vector is a permutation of
+    1..n and the classic closed form ``rho = 1 - 6*sum(d^2) /
+    (n*(n^2-1))`` applies exactly — all intermediate sums are
+    integer-valued doubles below 2^53, so the cross-engine result is
+    bit-stable (no tie-averaging, no covariance round-off). The id
+    tiebreak makes ties contribute a deterministic near-zero d rather
+    than the mid-rank convention; callers needing textbook tie handling
+    should deduplicate or pre-average first (documented trade for exact
+    parity and one less window).
+
+    Rows with a NULL in any of the four columns are excluded. Returns
+    ``(group, n, spearman)`` with NULL rho when n < 2. Cost: one
+    exchange on the group key (both rank windows share the partition),
+    then one aggregate — the AUC shape.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.col(id_col).alias("__i"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    wx = Window.partitionBy("__g").orderBy(F.col("__x").asc(), F.col("__i").asc())
+    wy = Window.partitionBy("__g").orderBy(F.col("__y").asc(), F.col("__i").asc())
+    ranked = base.select(
+        "__g",
+        (F.row_number().over(wx) - F.row_number().over(wy))
+        .cast("double")
+        .alias("__d"),
+    )
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__sd2"),
+    )
+    nd = F.col("n").cast("double")
+    rho = F.when(
+        F.col("n") > 1,
+        1.0 - 6.0 * F.col("__sd2") / (nd * (nd * nd - 1.0)),
+    )
+    return agg.select(F.col("__g").alias(group_col), "n", rho.alias("spearman"))
+
+
+def bradley_terry(
+    contests: DataFrame,
+    item_a: str = "a",
+    item_b: str = "b",
+    wins_a: str = "wins_a",
+    n_games: str = "n",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Bradley-Terry preference strengths after exactly ``n_iter``
+    minorization-maximization sweeps (Zermelo 1929 / Hunter 2004):
+    given per-pair contest tallies ``(a, b, n games, wins_a)``, iterate
+    ``p_i <- W_i / sum_j n_ij / (p_i + p_j)`` from ``p = 1``. The QA
+    primitive for pairwise-preference (RLHF) corpora: strengths that
+    disagree with raw win rates expose non-transitive or imbalanced
+    comparison graphs before they reach a reward model.
+
+    FIXED sweep count (the PageRank/k-core/LPA determinism contract) so
+    the oracle can unroll the same sweeps; no normalization is applied
+    (strengths are identifiable up to scale — compare ratios, or
+    normalize downstream). ``p_i + p_j`` is always positive: two items
+    that played each other cannot both be winless, so the update is
+    total. Items appear in the output iff they appear in a contest row.
+
+    Returns ``(item, games, wins, strength)``. Scale shape: the contest
+    tally is pair-sized (callers aggregate the corpus first); each sweep
+    joins the directed tally against the item-sized score relation
+    twice and aggregates on the item key — two exchanges over
+    pair-sized data, with eager localCheckpoints keeping the plan flat.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    g = contests.select(
+        F.col(item_a).alias("a"),
+        F.col(item_b).alias("b"),
+        F.col(n_games).cast("long").alias("n"),
+        F.col(wins_a).cast("long").alias("w"),
+    )
+    d = g.select(F.col("a").alias("i"), F.col("b").alias("j"), "n", "w").union(
+        g.select(
+            F.col("b").alias("i"),
+            F.col("a").alias("j"),
+            F.col("n"),
+            (F.col("n") - F.col("w")).alias("w"),
+        )
+    )
+    d = d.localCheckpoint(eager=True)
+    totals = d.groupBy("i").agg(
+        F.sum("n").alias("games"), F.sum("w").alias("wins")
+    )
+    scores = totals.select("i", F.lit(1.0).alias("p"))
+    for _ in range(n_iter):
+        den = (
+            d.join(scores.select(F.col("i"), F.col("p").alias("__pi")), "i")
+            .join(
+                scores.select(F.col("i").alias("j"), F.col("p").alias("__pj")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("n").cast("double") / (F.col("__pi") + F.col("__pj"))
+                ).alias("__den")
+            )
+        )
+        scores = (
+            totals.join(den, "i")
+            .select(
+                "i",
+                (F.col("wins").cast("double") / F.col("__den")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        totals.join(scores, "i")
+        .select(F.col("i").alias("item"), "games", "wins", F.col("p").alias("strength"))
+    )

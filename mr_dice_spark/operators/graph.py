@@ -19,7 +19,7 @@ golden hash-checks an iterative float algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,6 +158,59 @@ def triangle_counts(
             F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) after exactly ``n_iter`` sweeps: every node starts
+    labeled with its own id; each sweep it adopts the label most common
+    among its DISTINCT neighbors, ties broken by the SMALLEST label —
+    the deterministic variant (classic LPA breaks ties randomly, which
+    would be neither reproducible nor oracle-checkable). Synchronous
+    updates + fixed sweeps keep the result a pure function of the edge
+    list, so the oracle can unroll the same sweeps.
+
+    Returns ``(node, community)`` for every node with at least one edge
+    (an isolated node has no neighbors to vote, hence no row — mirror of
+    the k-core contract). Per sweep: one edge⋈label join (shuffles on
+    the neighbor key), one (node, label) count aggregate, one
+    row_number window on the node key — two exchanges, the standard
+    message-passing cost — with an eager localCheckpoint so the plan
+    stays flat across sweeps. Labels are node-sized; the edge list is
+    materialized once.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+    )
+    e = e.select(F.col("a").alias("s"), F.col("b").alias("d")).union(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("s").alias("node"), F.col("s").alias("lbl")).distinct()
+    w = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels, e["d"] == labels["node"])
+            .groupBy("s", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("s").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
 
 
 def k_core(

@@ -71,3 +71,77 @@ def test_cohens_kappa_degenerate_single_category(spark):
     df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
     [r] = cohens_kappa(df, "a", "b").collect()
     assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_spearman_monotone_and_reversed(spark):
+    from mr_dice_spark.operators.evaluation import spearman_by_group
+
+    rows = [("up", float(i), float(i * i), i) for i in range(10)]
+    rows += [("down", float(i), float(-i), 100 + i) for i in range(10)]
+    rows += [("single", 1.0, 1.0, 999)]
+    df = spark.createDataFrame(rows, "g string, x double, y double, id long")
+    got = {r["g"]: (r["n"], r["spearman"]) for r in
+           spearman_by_group(df, "g", "x", "y", "id").collect()}
+    assert got["up"] == (10, 1.0)
+    assert got["down"] == (10, -1.0)
+    assert got["single"][0] == 1 and got["single"][1] is None
+
+
+def test_spearman_matches_closed_form_with_ties(spark):
+    """Ties resolve by the id tiebreak: rho must equal the permutation
+    closed form computed directly in Python with the same total order."""
+    from mr_dice_spark.operators.evaluation import spearman_by_group
+
+    rows = [("g", x, y, i) for i, (x, y) in enumerate(
+        [(1.0, 5.0), (1.0, 2.0), (3.0, 2.0), (2.0, 9.0), (3.0, 1.0), (2.0, 2.0)]
+    )]
+    df = spark.createDataFrame(rows, "g string, x double, y double, id long")
+    xs = sorted(range(len(rows)), key=lambda i: (rows[i][1], rows[i][3]))
+    ys = sorted(range(len(rows)), key=lambda i: (rows[i][2], rows[i][3]))
+    rx = {i: k + 1 for k, i in enumerate(xs)}
+    ry = {i: k + 1 for k, i in enumerate(ys)}
+    n = len(rows)
+    d2 = sum((rx[i] - ry[i]) ** 2 for i in range(n))
+    expect = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+    [r] = spearman_by_group(df, "g", "x", "y", "id").collect()
+    assert abs(r["spearman"] - expect) < 1e-12
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    """3-item tournament vs a direct Python MM recurrence — value-exact
+    after 5 sweeps; stronger item must also rank higher."""
+    from mr_dice_spark.operators.evaluation import bradley_terry
+
+    tallies = [("a", "b", 7, 10), ("a", "c", 9, 10), ("b", "c", 5, 10)]
+    df = spark.createDataFrame(tallies, "a string, b string, wins_a long, n long")
+    directed: dict[tuple[str, str], int] = {}
+    wins: dict[str, int] = {}
+    games: dict[str, int] = {}
+    for a, b, wa, n in tallies:
+        directed[(a, b)] = n
+        directed[(b, a)] = n
+        wins[a] = wins.get(a, 0) + wa
+        wins[b] = wins.get(b, 0) + (n - wa)
+        games[a] = games.get(a, 0) + n
+        games[b] = games.get(b, 0) + n
+    p = {i: 1.0 for i in wins}
+    for _ in range(5):
+        p = {
+            i: wins[i] / sum(n / (p[i] + p[j]) for (ii, j), n in directed.items() if ii == i)
+            for i in p
+        }
+    got = {r["item"]: r for r in bradley_terry(df, "a", "b", "wins_a", "n").collect()}
+    for i in p:
+        assert abs(got[i]["strength"] - p[i]) < 1e-9
+        assert got[i]["wins"] == wins[i] and got[i]["games"] == games[i]
+    assert got["a"]["strength"] > got["b"]["strength"] > got["c"]["strength"]
+
+
+def test_bradley_terry_validates(spark):
+    import pytest
+
+    from mr_dice_spark.operators.evaluation import bradley_terry
+
+    df = spark.createDataFrame([("a", "b", 1, 2)], "a string, b string, wins_a long, n long")
+    with pytest.raises(ValueError, match="n_iter"):
+        bradley_terry(df, n_iter=-1)

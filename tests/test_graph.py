@@ -126,3 +126,62 @@ def test_k_core_validates_args(spark):
         k_core(df, k=0)
     with pytest.raises(ValueError):
         k_core(df, k=2, n_iter=-1)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must settle each
+    clique on its minimum node id; the bridge endpoints stay with their
+    own (denser) clique because 3 in-clique votes beat 1 bridge vote."""
+    from mr_dice_spark.operators.graph import label_propagation
+
+    import itertools
+
+    c1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, n_iter=4).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous min-label-tiebreak LPA vs a direct Python
+    re-implementation on a random graph — sweep-for-sweep parity."""
+    import random
+
+    from mr_dice_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    nodes = list(range(30))
+    edges = {(a, b) for _ in range(60)
+             for a, b in [sorted(rng.sample(nodes, 2))]}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, n_iter=4).collect()}
+    assert got == lbl
+
+
+def test_label_propagation_validates_and_zero_iter(spark):
+    import pytest
+
+    from mr_dice_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, n_iter=-1)
+    got = {r["node"]: r["community"] for r in label_propagation(df, n_iter=0).collect()}
+    assert got == {1: 1, 2: 2}

@@ -1024,3 +1024,40 @@ def test_auc_single_exchange_for_rank_windows(spark, sf_dir):
     df = auc_by_group(ev, "event_type", "value", "is_hit")
     # scan -> one exchange for the windows -> one for the aggregate
     assert_max_shuffles(df, 2)
+
+
+def test_lpa_vote_joins_stay_hash(spark, sf_dir):
+    """Label propagation's vote join and tie-break window must stay
+    equi-join/window shapes — no cartesian/BNLJ at any sweep."""
+    df = GOLDEN["label_propagation_communities"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spearman_single_exchange_for_rank_windows(spark, sf_dir):
+    """Both ROW_NUMBER rank windows must share the one group-key
+    exchange (plus the final aggregate's) — the AUC rule applied to the
+    rank-difference form."""
+    from mr_dice_spark.operators.evaluation import spearman_by_group
+
+    ev = Catalog(spark, sf_dir).events
+    df = spearman_by_group(ev, "event_type", "value", "ts", "event_id")
+    assert_max_shuffles(df, 2)
+
+
+def test_bradley_terry_golden_broadcasts_brand_dims(spark, sf_dir):
+    """The corpus-sized contest build must broadcast the part-brand
+    dimension (both sides) and aggregate to the pair tally before any
+    MM sweep touches it (the tally is pinned pre-checkpoint — the
+    operator's localCheckpoint materializes it out of the final plan);
+    no cartesian anywhere in the sweep chain."""
+    from mr_dice_spark.golden_training import brand_contest_tally
+
+    tally = brand_contest_tally(spark, sf_dir)
+    tplan = physical_plan(tally)
+    assert not has_cartesian(tally)
+    assert tplan.count("BroadcastHashJoin") >= 2
+    df = GOLDEN["bradley_terry_brand_prefs"].spark(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in physical_plan(df)
