@@ -4569,3 +4569,192 @@ def mutual_information_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n", _r("mi", 6).alias("mi"), _r("nmi", 6).alias("nmi")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection (reflection prefix form, planted shift)
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts,
+         CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-23'
+              THEN value + 15.0 ELSE value END AS value
+  FROM events
+),
+b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+         AVG(value) AS v
+  FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+),
+z AS (
+  SELECT k, h, v,
+         ROUND(1e-9 + (v - AVG(v) OVER (PARTITION BY k))
+               / NULLIF(STDDEV_SAMP(v) OVER (PARTITION BY k), 0), 6) AS z
+  FROM b
+),
+c AS (
+  SELECT k, h, v, z,
+         SUM(z - 0.5) OVER w AS cp,
+         SUM(-z - 0.5) OVER w AS cn
+  FROM z
+  WINDOW w AS (PARTITION BY k ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT k, h, v, z,
+         cp - LEAST(MIN(cp) OVER w, 0) AS sp,
+         cn - LEAST(MIN(cn) OVER w, 0) AS sn
+  FROM c
+  WINDOW w AS (PARTITION BY k ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k AS event_type, h AS bucket_s,
+       ROUND(1e-9 + v, 6) AS value, z,
+       ROUND(1e-9 + sp, 6) AS cusum_pos,
+       ROUND(1e-9 + sn, 6) AS cusum_neg,
+       (sp > 5.0) OR (sn > 5.0) AS is_shift
+FROM s ORDER BY event_type, bucket_s
+"""
+
+
+@golden(
+    "cusum_level_shift_hourly",
+    CUSUM_ORACLE,
+    tags=("timeseries", "drift", "window", "events"),
+)
+def cusum_level_shift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection over the hourly click series with a
+    PLANTED +15 mean shift from Jan 23 (the PSI-golden strategy: the
+    detector must actually fire, not just execute). The recursive
+    one-sided CUSUM is restated as prefix sums via the reflection trick
+    (S+ = C - min(prefix C, 0)) — two chained running windows on one
+    (key, time) exchange, no recursion, no UDF. z is nudge-rounded to
+    6 dp BEFORE accumulation so both engines chain the identical
+    doubles in the identical window order — the chained-float
+    cross-engine contract."""
+    from mr_dice_spark.operators.timeseries import cusum_changepoints
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-23").cast("timestamp")),
+            F.col("value") + 15.0,
+        ).otherwise(F.col("value")),
+    )
+    out = cusum_changepoints(
+        ev, "event_type", "ts", "value",
+        step_seconds=3600, k_slack=0.5, h_threshold=5.0,
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        _r("value", 6).alias("value"),
+        "z",
+        _r("cusum_pos", 6).alias("cusum_pos"),
+        _r("cusum_neg", 6).alias("cusum_neg"),
+        "is_shift",
+    ).orderBy("event_type", "bucket_s")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit / Gini concentration (profile family)
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS INT)
+           AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') <> ''
+),
+c AS (
+  SELECT g, digit, COUNT(*) AS n FROM base GROUP BY 1, 2
+)
+SELECT g AS o_orderpriority, digit, CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + n / CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE), 6)
+         AS share,
+       ROUND(1e-9 + LOG10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND(1e-9 + n / CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE)
+             - LOG10(1.0 + 1.0 / digit), 6) AS excess
+FROM c ORDER BY o_orderpriority, digit
+"""
+
+
+@golden(
+    "benford_first_digit_orders",
+    BENFORD_ORACLE,
+    tags=("profile", "audit", "benford", "agg"),
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per priority class —
+    the fabricated-numbers tripwire. The first significant digit comes
+    from the canonical string form ([1-9] regexp), NOT from
+    floor(log10(x)) whose last-ulp cliffs flip digits cross-engine at
+    powers of ten. TPC-H totals are sums of uniform prices, so the
+    audit correctly reports a NON-Benford profile (excess is the
+    signal, not a pass/fail). One (group, digit) aggregate + a
+    group-sized share window."""
+    from mr_dice_spark.operators.profile import benford_audit
+
+    orders = Catalog(spark, sf_dir).orders
+    out = benford_audit(orders, "o_totalprice", "o_orderpriority")
+    return out.select(
+        "o_orderpriority", "digit", "n",
+        _r("share", 6).alias("share"),
+        _r("expected", 6).alias("expected"),
+        _r("excess", 6).alias("excess"),
+    ).orderBy("o_orderpriority", "digit")
+
+
+GINI_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS x, event_id AS i
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND value >= 0 AND event_id IS NOT NULL
+),
+r AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, i) AS DOUBLE)
+           AS rk
+  FROM base
+),
+a AS (
+  SELECT g, COUNT(*) AS n, SUM(x) AS total, SUM(rk * x) AS rx
+  FROM r GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + total, 6) AS total,
+       ROUND(1e-9 + CASE WHEN n > 1 THEN
+         2.0 * rx / (CAST(n AS DOUBLE) * NULLIF(total, 0))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END, 6) AS gini
+FROM a ORDER BY event_type
+"""
+
+
+@golden(
+    "gini_value_concentration",
+    GINI_ORACLE,
+    tags=("profile", "audit", "concentration", "window"),
+)
+def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini concentration of event values — the 'is the
+    mass dominated by a few rows' datasheet number. Rank form over RAW
+    values with a (value, id) tiebreak (never rank float AGGREGATES:
+    two sums a last-ulp apart would permute ranks cross-engine); one
+    group-key exchange shared by the rank window and the moment
+    aggregate."""
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    ev = Catalog(spark, sf_dir).events
+    out = gini_concentration(ev, "event_type", "value", "event_id")
+    return out.select(
+        "event_type", "n",
+        _r("total", 6).alias("total"),
+        _r("gini", 6).alias("gini"),
+    ).orderBy("event_type")

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -579,3 +579,92 @@ def mutual_information(
         F.col("mi"),
         F.when(hmin > 0, F.col("mi") / hmin).alias("nmi"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fabricated-numbers tripwire (synthetic or templated numeric fields
+    produce flat or spiky first-digit histograms where organic
+    magnitudes follow ``log10(1 + 1/d)``). Returns one row per
+    (group,) digit 1-9: ``(group?, digit, n, share, expected, excess)``
+    with ``excess = share - expected``.
+
+    The first significant digit is the first ``[1-9]`` character of the
+    value's canonical string form — sign, leading zeros and the decimal
+    point fall through, and scientific notation keeps the mantissa's
+    leading digit in front of the exponent in both Spark and DuckDB
+    renderings, so the extraction is engine-portable without touching
+    log10/pow float boundaries (floor(log10(1000.)) is exactly the kind
+    of last-ulp cliff that flips a digit cross-engine). Zero/NULL
+    values carry no significant digit and are excluded. One hash
+    aggregate on (group, digit) + one group-sized window for shares.
+    """
+    gcols = [group_col] if group_col else []
+    d = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*gcols, d.alias("__d"))
+        .where(F.col("__d") != "")
+    )
+    counts = base.groupBy(*gcols, F.col("__d").cast("int").alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    tot = F.sum("n").over(w).cast("double")
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.select(
+        *gcols,
+        "digit",
+        "n",
+        (F.col("n") / tot).alias("share"),
+        expected.alias("expected"),
+        (F.col("n") / tot - expected).alias("excess"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value — the
+    concentration audit (is 1% of sources contributing 90% of the
+    corpus mass?) behind datasheet 'source diversity' claims. Uses the
+    rank form ``G = 2*sum(r_i * x_i) / (n * sum(x)) - (n + 1) / n``
+    with ``r_i`` the ROW_NUMBER under the deterministic (value, id)
+    ascending order — ranking on RAW values with an id tiebreak, never
+    on float aggregates, so the permutation is identical cross-engine.
+    Negative and NULL values are excluded (Gini is defined on
+    non-negative mass). NULL gini when n < 2 or sum(x) = 0.
+
+    Returns ``(group, n, total, gini)``. One exchange on the group key
+    (rank window + aggregate share it).
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(id_col).alias("__i"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(value_col) >= 0)
+        & F.col(id_col).isNotNull()
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__x").asc(), F.col("__i").asc())
+    r = base.select("__g", "__x", F.row_number().over(w).cast("double").alias("__r"))
+    agg = r.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__r") * F.col("__x")).alias("__rx"),
+    )
+    nd = F.col("n").cast("double")
+    gini = F.when(
+        F.col("n") > 1,
+        F.try_divide(2.0 * F.col("__rx"), nd * F.col("total")) - (nd + 1.0) / nd,
+    )
+    return agg.select(F.col("__g").alias(group_col), "n", "total", gini.alias("gini"))

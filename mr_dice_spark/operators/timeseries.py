@@ -276,3 +276,73 @@ def autocorrelation_by_lag(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    k_slack: float = 0.5,
+    h_threshold: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM level-shift detection over the bucketed series
+    (Page 1954): standardize each bucket mean against the key's overall
+    mean/sd, then track the one-sided cumulative sums
+    ``S+_t = max(0, S+_{t-1} + z_t - k)`` and
+    ``S-_t = max(0, S-_{t-1} - z_t - k)``; a bucket flags when either
+    exceeds ``h_threshold``. The drift detector that catches SLOW mean
+    creep long before a per-bucket z-score threshold fires.
+
+    The recursive max has a closed prefix form (the reflection trick):
+    ``S+_t = C_t - min_{u<=t} C_u`` where ``C_t = sum_{i<=t} (z_i - k)``
+    — so each side is one running SUM plus one running MIN/MAX over the
+    SAME (key, bucket-order) window: one exchange total, no recursion,
+    no UDF. z is nudge-rounded to 6 dp BEFORE the sums so both engines
+    accumulate the identical doubles in the identical (window) order —
+    the cross-engine FP contract for chained float arithmetic.
+
+    Keys with sd = 0 (constant series) yield NULL z and NULL cusums
+    (no flags) via try_divide — the Spark-4-ANSI-safe form. Returns
+    ``(key, bucket, value, z, cusum_pos, cusum_neg, is_shift)``.
+    """
+    b = _bucket_agg(df.where(F.col(value_col).isNotNull()),
+                    key_col, ts_col, value_col, step_seconds, "avg")
+    stats = Window.partitionBy("__k")
+    z = F.round(
+        F.try_divide(
+            F.col("__v") - F.avg("__v").over(stats),
+            F.stddev_samp("__v").over(stats),
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    zb = b.select("__k", "__h", "__v", z.alias("__z"))
+    run = (
+        Window.partitionBy("__k")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_p = F.sum(F.col("__z") - F.lit(k_slack)).over(run)
+    cum_n = F.sum(-F.col("__z") - F.lit(k_slack)).over(run)
+    c = zb.select(
+        "__k", "__h", "__v", "__z",
+        cum_p.alias("__cp"), cum_n.alias("__cn"),
+    )
+    # S+ = C - min(prefix C), clamped at 0 by including the virtual
+    # empty prefix (least(min, 0)); same for the negative side
+    sp = F.col("__cp") - F.least(F.min("__cp").over(run), F.lit(0.0))
+    sn = F.col("__cn") - F.least(F.min("__cn").over(run), F.lit(0.0))
+    out = c.select(
+        F.col("__k").alias(key_col),
+        F.col("__h").alias("bucket"),
+        F.col("__v").alias("value"),
+        F.col("__z").alias("z"),
+        sp.alias("cusum_pos"),
+        sn.alias("cusum_neg"),
+    )
+    return out.withColumn(
+        "is_shift",
+        (F.col("cusum_pos") > h_threshold) | (F.col("cusum_neg") > h_threshold),
+    )

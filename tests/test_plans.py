@@ -1061,3 +1061,35 @@ def test_bradley_terry_golden_broadcasts_brand_dims(spark, sf_dir):
     df = GOLDEN["bradley_terry_brand_prefs"].spark(spark, sf_dir)
     assert not has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in physical_plan(df)
+
+
+def test_cusum_single_exchange_for_chained_windows(spark, sf_dir):
+    """Standardization window, both running sums and both running mins
+    must all share the one (key) exchange — the bucket aggregate's
+    shuffle plus that window key is the whole budget."""
+    from mr_dice_spark.operators.timeseries import cusum_changepoints
+
+    ev = Catalog(spark, sf_dir).events
+    df = cusum_changepoints(ev, "event_type", "ts", "value")
+    assert_max_shuffles(df, 2)  # bucket agg + window key
+
+
+def test_gini_single_exchange_rank_plus_moments(spark, sf_dir):
+    """Rank window and the moment aggregate share the group key."""
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    ev = Catalog(spark, sf_dir).events
+    df = gini_concentration(ev, "event_type", "value", "event_id")
+    assert_max_shuffles(df, 2)
+
+
+def test_benford_share_window_rides_the_digit_aggregate(spark, sf_dir):
+    """(group, digit) count then a group-keyed share window: two
+    exchanges, and the scan must prune to the two referenced columns."""
+    from mr_dice_spark.operators.profile import benford_audit
+
+    orders = Catalog(spark, sf_dir).orders
+    df = benford_audit(orders, "o_totalprice", "o_orderpriority")
+    assert_max_shuffles(df, 2)
+    schemas = " ".join(scan_read_schemas(df))
+    assert "o_totalprice" in schemas and "o_orderkey" not in schemas

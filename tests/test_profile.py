@@ -310,3 +310,39 @@ def test_mutual_information_known_values(spark):
     const = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
     [r3] = mutual_information(const, "a", "b").collect()
     assert r3["mi"] == 0.0 and r3["nmi"] is None
+
+
+def test_benford_digits_shares_and_exclusions(spark):
+    """Known digit mix incl. negatives, sub-1 magnitudes, zero and NULL:
+    shares over the 4 countable rows; zero/NULL carry no digit."""
+    from mr_dice_spark.operators.profile import benford_audit
+
+    rows = [(1, 123.0), (2, -19.5), (3, 0.047), (4, 900.1), (5, 0.0), (6, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(got) == {1, 4, 9}
+    assert got[1]["n"] == 2 and got[4]["n"] == 1 and got[9]["n"] == 1
+    assert abs(got[1]["share"] - 0.5) < 1e-12
+    import math
+    assert abs(got[9]["expected"] - math.log10(1 + 1 / 9)) < 1e-12
+    assert abs(got[1]["excess"] - (0.5 - math.log10(2))) < 1e-12
+
+
+def test_gini_extremes_and_guards(spark):
+    """All-equal values -> G = (n-1)/n - 1 + 2*avg-rank-form = 0-ish
+    exactly via the rank formula; total concentration -> (n-1)/n;
+    negative values excluded; singleton group -> NULL."""
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    rows = [("eq", 5.0, i) for i in range(4)]
+    rows += [("one", 0.0, 1), ("one", 0.0, 2), ("one", 0.0, 3), ("one", 12.0, 4)]
+    rows += [("neg", -1.0, 1), ("neg", 3.0, 2), ("neg", 3.0, 3)]
+    rows += [("single", 7.0, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = {r["g"]: r for r in gini_concentration(df, "g", "v", "id").collect()}
+    # equal mass: G = 2*(sum r * x)/(n*sum x) - (n+1)/n = 2*(1+2+3+4)/(4*4) - 5/4 = 0
+    assert abs(got["eq"]["gini"]) < 1e-12
+    # one holder of everything: G = 2*4*12/(4*12) - 5/4 = 3/4 = (n-1)/n
+    assert abs(got["one"]["gini"] - 0.75) < 1e-12
+    assert got["neg"]["n"] == 2          # the -1 row is excluded
+    assert got["single"]["gini"] is None

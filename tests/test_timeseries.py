@@ -137,3 +137,47 @@ def test_autocorrelation_by_lag_single_pair_is_null_not_error(spark):
     df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
     [r] = autocorrelation_by_lag(df, "k", "ts", "v", lags=[1]).collect()
     assert r["n"] == 1 and r["autocorr"] is None
+
+
+def test_cusum_reflection_matches_recursive_reference(spark):
+    """The prefix-form CUSUM must equal the textbook recursion
+    S+_t = max(0, S+_{t-1} + z_t - k) computed in Python on the same
+    rounded z sequence; the planted +10 shift must flag."""
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import cusum_changepoints
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0, 9.0] + [20.0] * 8
+    rows = [("k", base + datetime.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = cusum_changepoints(df, "k", "ts", "v", 3600, 0.5, 3.0)
+    got = sorted(
+        (r["bucket"], r["z"], r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+        for r in out.collect()
+    )
+    mean = sum(vals) / len(vals)
+    sd = (sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)) ** 0.5
+    sp = sn = 0.0
+    for i, (_, z, cp, cn, flag) in enumerate(got):
+        zref = round((vals[i] - mean) / sd + 1e-9, 6)
+        assert abs(z - zref) < 1e-12
+        sp = max(0.0, sp + zref - 0.5)
+        sn = max(0.0, sn - zref - 0.5)
+        assert abs(cp - sp) < 1e-9 and abs(cn - sn) < 1e-9
+        assert flag == (sp > 3.0 or sn > 3.0)
+    assert any(r[4] for r in got[8:])          # the shift fires
+    assert not any(r[4] for r in got[:6])      # the stable head does not
+
+
+def test_cusum_constant_series_yields_nulls(spark):
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import cusum_changepoints
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("k", base + datetime.timedelta(hours=i), 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    for r in cusum_changepoints(df, "k", "ts", "v").collect():
+        assert r["z"] is None and r["cusum_pos"] is None
+        assert r["is_shift"] is None

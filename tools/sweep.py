@@ -43,6 +43,13 @@ from tests.oracle import compare_spark_duckdb  # noqa: E402
 # report is honest about WHY.
 ORACLE_BOUND = {
     "er_best_match_linkage": "oracle is a 225M-levenshtein cross join at sf0.1 (26 GB spill)",
+    # not oracle-COST-bound but scale-REGIME-bound: at sf0.1 the 1500
+    # distinct users/type leave the HLL sketch's exact sparse mode
+    # (estimate 1488 vs 1500) — exactly the regime the golden's
+    # docstring scopes out; the approximate regime is tolerance-tested
+    # in tests/test_sketch-family suites, and the driver compares at
+    # sf0.01 where the sketch is exact.
+    "hll_rollup_distinct_users": "sketch exits exact sparse mode at sf0.1 (documented regime split)",
 }
 
 MIN_FREE_GIB = float(os.environ.get("SWEEP_MIN_FREE_GIB", "20"))
