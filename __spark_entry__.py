@@ -144,6 +144,9 @@ _CHECK_FIRST = [
     # autocorr_value_by_event_type, user_event_entropy,
     # homoglyph_fold_dedup, zipf_slope_documents,
     # referential_integrity_audit, mutual_information_type_band,
+    # cusum_level_shift_hourly, theil_sen_trend_hourly,
+    # benford_first_digit_orders, gini_value_concentration,
+    # chi2_type_by_weekday,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

@@ -4758,3 +4758,121 @@ def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("total", 6).alias("total"),
         _r("gini", 6).alias("gini"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend / chi-square independence
+# ---------------------------------------------------------------------------
+
+THEIL_SEN_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS x,
+         ROUND(1e-9 + AVG(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+p AS (
+  SELECT a.k, (c.v - a.v) / CAST(c.x - a.x AS DOUBLE) AS s
+  FROM b a JOIN b c ON a.k = c.k AND a.x < c.x
+),
+sl AS (
+  SELECT k, COUNT(*) AS n_pairs, quantile_cont(s, 0.5) AS slope
+  FROM p GROUP BY k
+),
+ic AS (
+  SELECT b.k,
+         quantile_cont(b.v - sl.slope * CAST(b.x AS DOUBLE), 0.5) AS intercept
+  FROM b JOIN sl ON sl.k = b.k GROUP BY b.k
+),
+cn AS (SELECT k, COUNT(*) AS n_buckets FROM b GROUP BY k)
+SELECT cn.k AS event_type, CAST(cn.n_buckets AS BIGINT) AS n_buckets,
+       CAST(COALESCE(sl.n_pairs, 0) AS BIGINT) AS n_pairs,
+       ROUND(1e-9 + sl.slope, 6) AS slope,
+       ROUND(1e-9 + ic.intercept, 6) AS intercept
+FROM cn
+LEFT JOIN sl ON sl.k = cn.k
+LEFT JOIN ic ON ic.k = cn.k
+ORDER BY event_type
+"""
+
+
+@golden(
+    "theil_sen_trend_hourly",
+    THEIL_SEN_ORACLE,
+    tags=("timeseries", "robust", "trend", "join"),
+)
+def theil_sen_trend_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type over hourly buckets: the
+    median of all C(B,2) pairwise slopes + the median-residual
+    intercept — OLS's outlier-immune twin (ols_trend_by_event_type fits
+    the same series by moments; a single corrupted bucket separates
+    them). Bucket means quantize to 6 dp BEFORE pairing (chained-float
+    contract) and the medians are exact interpolated percentiles
+    (percentile() = quantile_cont). Pair work is O(B^2) per key over
+    the TIME GRID, not the corpus — B is fixed by retention."""
+    from mr_dice_spark.operators.timeseries import theil_sen_trend
+
+    ev = Catalog(spark, sf_dir).events
+    out = theil_sen_trend(ev, "event_type", "ts", "value", step_seconds=3600)
+    return out.select(
+        "event_type", "n_buckets", "n_pairs",
+        _r("slope", 6).alias("slope"),
+        _r("intercept", 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+CHI2_ORACLE = """
+WITH base AS (
+  SELECT event_type AS x,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 AS y
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
+mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+tot AS (SELECT SUM(c) AS n FROM cells),
+kx AS (SELECT COUNT(*) AS kx FROM mx),
+ky AS (SELECT COUNT(*) AS ky FROM my),
+stat AS (
+  SELECT MAX(n) AS n,
+         SUM(POW(c - CAST(cx AS DOUBLE) * cy / n, 2)
+             / (CAST(cx AS DOUBLE) * cy / n))
+           + (MAX(CAST(n AS DOUBLE)) - SUM(CAST(cx AS DOUBLE) * cy / n))
+           AS chi2
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+)
+SELECT CAST(stat.n AS BIGINT) AS n,
+       CAST((kx - 1) * (ky - 1) AS BIGINT) AS dof,
+       ROUND(1e-9 + stat.chi2, 6) AS chi2,
+       ROUND(1e-9 + CASE WHEN (kx - 1) * (ky - 1) > 0 THEN
+         SQRT(stat.chi2 / (CAST(stat.n AS DOUBLE)
+                           * LEAST(kx - 1, ky - 1))) END, 6) AS cramers_v
+FROM stat CROSS JOIN kx CROSS JOIN ky
+"""
+
+
+@golden(
+    "chi2_type_by_weekday",
+    CHI2_ORACLE,
+    tags=("profile", "independence", "agg", "events"),
+)
+def chi2_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs (epoch-day mod 7) — 'is
+    the event mix stable across the week', mutual information's
+    frequentist twin, with Cramér's V as the normalized effect size.
+    The weekday uses epoch-day arithmetic, not dayofweek() (Spark is
+    1-7 Sunday-first, DuckDB 0-6 — an engine-portability trap). Counts
+    stay integers until the per-cell division; absent cells contribute
+    their expected mass via the closing reduce (o=0 -> (o-e)^2/e = e)."""
+    from mr_dice_spark.operators.profile import chi_square_independence
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("wd"),
+    ).where(F.col("ts").isNotNull())
+    out = chi_square_independence(ev, "event_type", "wd")
+    return out.select(
+        "n", "dof",
+        _r("chi2", 6).alias("chi2"),
+        _r("cramers_v", 6).alias("cramers_v"),
+    )

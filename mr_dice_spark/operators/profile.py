@@ -547,6 +547,11 @@ def mutual_information(
         .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__c"))
+        # materialize the (tiny) cell table ONCE: five frames derive from
+        # it, and without this each branch re-plans the full corpus scan
+        # (measured 6 parquet scans in the chi-square twin) — the
+        # "marginals from the cells" contract must hold PHYSICALLY too
+        .localCheckpoint(eager=True)
     )
     mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
     my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
@@ -668,3 +673,79 @@ def gini_concentration(
         F.try_divide(2.0 * F.col("__rx"), nd * F.col("total")) - (nd + 1.0) / nd,
     )
     return agg.select(F.col("__g").alias(group_col), "n", "total", gini.alias("gini"))
+
+
+def chi_square_independence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — mutual information's frequentist twin (MI sizes the
+    association; chi2/dof locates it on a known null distribution). One
+    row ``(n, dof, chi2, cramers_v)`` with ``chi2 = Σ (o - e)^2 / e``
+    over the joint cells, ``e = c_x * c_y / n``, ``dof =
+    (|X|-1)(|Y|-1)`` and Cramér's ``V = sqrt(chi2 / (n * min(|X|-1,
+    |Y|-1)))`` (NULL when either column is constant — no association to
+    normalize). Counts stay exact integers until the per-cell division;
+    NULL rows are excluded. Same shapes as :func:`mutual_information`:
+    joint cells once, marginals FROM the cells, broadcast joins, one
+    closing reduce.
+    """
+    cells = (
+        df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # materialize the (tiny) cell table once — six frames derive
+        # from it; without this each branch re-plans the corpus scan
+        .localCheckpoint(eager=True)
+    )
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    kx = mx.agg(F.count(F.lit(1)).alias("__kx"))
+    ky = my.agg(F.count(F.lit(1)).alias("__ky"))
+    joined = (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("__c").cast("double")
+    n = F.col("__n").cast("double")
+    e = F.col("__cx").cast("double") * F.col("__cy").cast("double") / n
+    # observed-only cells understate chi2: absent (x, y) combinations
+    # contribute e (since o = 0, (o-e)^2/e = e); total absent mass =
+    # n - sum(e over observed cells), added in the closing reduce
+    stat = joined.agg(
+        F.max("__n").alias("n"),
+        (
+            F.sum((c - e) * (c - e) / e)
+            + (F.max(n) - F.sum(e))
+        ).alias("__chi2"),
+    )
+    out = (
+        stat.crossJoin(F.broadcast(kx))
+        .crossJoin(F.broadcast(ky))
+        .select(
+            F.col("n"),
+            (
+                (F.col("__kx") - 1) * (F.col("__ky") - 1)
+            ).cast("long").alias("dof"),
+            F.col("__chi2").alias("chi2"),
+            F.col("__kx").alias("__kx"),
+            F.col("__ky").alias("__ky"),
+        )
+    )
+    vden = (
+        F.col("n").cast("double")
+        * F.least(F.col("__kx") - 1, F.col("__ky") - 1).cast("double")
+    )
+    return out.select(
+        "n",
+        "dof",
+        "chi2",
+        F.when(F.col("dof") > 0, F.sqrt(F.try_divide(F.col("chi2"), vden))).alias(
+            "cramers_v"
+        ),
+    )

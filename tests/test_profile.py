@@ -346,3 +346,34 @@ def test_gini_extremes_and_guards(spark):
     assert abs(got["one"]["gini"] - 0.75) < 1e-12
     assert got["neg"]["n"] == 2          # the -1 row is excluded
     assert got["single"]["gini"] is None
+
+
+def test_chi_square_known_2x2_and_absent_cells(spark):
+    """Hand-computed 2x2 chi-square; then a table with an absent cell —
+    the closing reduce must add the absent cell's expected mass."""
+    from mr_dice_spark.operators.profile import chi_square_independence
+
+    rows = [("a", 0)] * 30 + [("a", 1)] * 10 + [("b", 0)] * 10 + [("b", 1)] * 30
+    df = spark.createDataFrame(rows, "x string, y int")
+    [r] = chi_square_independence(df, "x", "y").collect()
+    # marginals 40/40 and 40/40 over n=80 -> every e = 20; chi2 = 4*(10^2/20)
+    assert r["n"] == 80 and r["dof"] == 1
+    assert abs(r["chi2"] - 20.0) < 1e-9
+    assert abs(r["cramers_v"] - (20.0 / 80) ** 0.5) < 1e-12
+
+    rows2 = [("a", 0)] * 6 + [("a", 1)] * 2 + [("b", 0)] * 4  # (b,1) absent
+    df2 = spark.createDataFrame(rows2, "x string, y int")
+    [r2] = chi_square_independence(df2, "x", "y").collect()
+    exp = {( "a",0): 8*10/12, ("a",1): 8*2/12, ("b",0): 4*10/12, ("b",1): 4*2/12}
+    obs = {("a",0): 6, ("a",1): 2, ("b",0): 4, ("b",1): 0}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+    assert abs(r2["chi2"] - chi2) < 1e-9
+
+
+def test_chi_square_constant_column_degenerate(spark):
+    from mr_dice_spark.operators.profile import chi_square_independence
+
+    df = spark.createDataFrame([("a", 1), ("b", 1), ("a", 1)], "x string, y int")
+    [r] = chi_square_independence(df, "x", "y").collect()
+    assert r["dof"] == 0 and r["cramers_v"] is None
+    assert abs(r["chi2"]) < 1e-9

@@ -181,3 +181,48 @@ def test_cusum_constant_series_yields_nulls(spark):
     for r in cusum_changepoints(df, "k", "ts", "v").collect():
         assert r["z"] is None and r["cusum_pos"] is None
         assert r["is_shift"] is None
+
+
+def test_theil_sen_robust_to_outlier_and_matches_python(spark):
+    """One corrupted bucket must barely move the Theil-Sen slope (true
+    slope 1/bucket), and the exact value must equal a direct Python
+    median-of-pairwise-slopes on the same quantized means."""
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import theil_sen_trend
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 12.0, 99.0, 14.0, 15.0, 16.0, 17.0]
+    rows = [("k", base + datetime.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [r] = theil_sen_trend(df, "k", "ts", "v").collect()
+    x0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() // 3600)
+    xs = [x0 + i for i in range(len(vals))]
+    vq = [round(v + 1e-9, 6) for v in vals]
+    slopes = sorted(
+        (vq[j] - vq[i]) / (xs[j] - xs[i])
+        for i in range(len(vals)) for j in range(i + 1, len(vals))
+    )
+    m = len(slopes)
+    med = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    resid = sorted(vq[i] - med * xs[i] for i in range(len(vals)))
+    k = len(resid)
+    icpt = resid[k // 2] if k % 2 else (resid[k // 2 - 1] + resid[k // 2]) / 2
+    assert r["n_buckets"] == 8 and r["n_pairs"] == 28
+    assert abs(r["slope"] - med) < 1e-12
+    assert abs(r["intercept"] - icpt) < 1e-9
+    assert abs(r["slope"] - 1.0) < 0.2  # the outlier cannot drag it
+
+
+def test_theil_sen_single_bucket_yields_null(spark):
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [("k", datetime.datetime(2024, 1, 1), 5.0)],
+        "k string, ts timestamp, v double",
+    )
+    [r] = theil_sen_trend(df, "k", "ts", "v").collect()
+    assert r["n_buckets"] == 1 and r["n_pairs"] == 0
+    assert r["slope"] is None and r["intercept"] is None
