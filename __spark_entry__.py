@@ -146,7 +146,7 @@ _CHECK_FIRST = [
     # referential_integrity_audit, mutual_information_type_band,
     # cusum_level_shift_hourly, theil_sen_trend_hourly,
     # benford_first_digit_orders, gini_value_concentration,
-    # chi2_type_by_weekday,
+    # chi2_type_by_weekday, streaming_cusum_monitor, gini_approx_audit,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

@@ -1392,3 +1392,64 @@ def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = Catalog(spark, sf_dir).events.select("event_id", "event_type", "value")
     return mad_outlier_flags(ev, "event_type", "value", 3.5)
+
+
+from mr_dice_spark.golden_pipeline import CUSUM_ORACLE as _CUSUM_ORACLE  # noqa: E402
+
+
+@golden(
+    "streaming_cusum_monitor",
+    _CUSUM_ORACLE,  # byte-identical output to the batch cusum golden
+    tags=("streaming", "drift", "cusum", "observability"),
+)
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift monitoring ON THE STREAM ENGINE: hourly bucket
+    means (same planted +15 click shift as the batch golden) aggregate
+    through readStream in complete mode — the shape a live drift
+    dashboard runs — and the CUSUM finisher (standardize, reflection
+    prefix sums) runs batch-side on the materialized sink, byte-
+    identical to the batch cusum_level_shift_hourly output, so the SAME
+    DuckDB oracle hash-checks the streaming path. Finite replay makes
+    the streaming aggregate exact (the streaming-golden contract)."""
+    import uuid
+
+    from mr_dice_spark.operators.timeseries import cusum_from_buckets
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet").withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-23").cast("timestamp")),
+            F.col("value") + 15.0,
+        ).otherwise(F.col("value")),
+    )
+    agg = (
+        stream.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.avg("value").alias("__v"))
+    )
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(agg, name, output_mode="complete")
+    try:
+        b = spark.table(name).select(
+            F.col("event_type").alias("__k"),
+            F.col("w.start").alias("__h"),
+            "__v",
+        )
+        out = cusum_from_buckets(b, "event_type", 0.5, 5.0).select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            _r("value", 6).alias("value"),
+            "z",
+            _r("cusum_pos", 6).alias("cusum_pos"),
+            _r("cusum_neg", 6).alias("cusum_neg"),
+            "is_shift",
+        ).orderBy("event_type", "bucket_s")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()

@@ -4876,3 +4876,91 @@ def chi2_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("chi2", 6).alias("chi2"),
         _r("cramers_v", 6).alias("cramers_v"),
     )
+
+
+GINI_APPROX_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS x, event_id AS i
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND value >= 0 AND event_id IS NOT NULL
+),
+r AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, i) AS DOUBLE)
+           AS rk
+  FROM base
+),
+ex AS (
+  SELECT g, COUNT(*) AS n, SUM(x) AS total,
+         CASE WHEN COUNT(*) > 1 THEN
+           2.0 * SUM(rk * x) / (CAST(COUNT(*) AS DOUBLE) * NULLIF(SUM(x), 0))
+           - (CAST(COUNT(*) AS DOUBLE) + 1.0) / COUNT(*) END AS gini_exact
+  FROM r GROUP BY g
+),
+mx AS (
+  SELECT g, MAX(x) AS mxv, COUNT(*) AS n, SUM(x) AS total
+  FROM base GROUP BY g
+),
+cells AS (
+  SELECT b.g,
+         CASE WHEN mx.mxv > 0
+              THEN LEAST(CAST(FLOOR(b.x * 256 / mx.mxv) AS BIGINT), 255)
+              ELSE 0 END AS bin,
+         COUNT(*) AS c, SUM(b.x) AS s
+  FROM base b JOIN mx ON mx.g = b.g GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin, c, s,
+         SUM(s) OVER (PARTITION BY g ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM cells
+),
+ap AS (
+  SELECT cum.g,
+         CASE WHEN MAX(mx.n) > 1 THEN
+           1.0 - SUM((CAST(c AS DOUBLE) / mx.n)
+                     * (2.0 * cs - s) / NULLIF(mx.total, 0)) END AS gini_binned
+  FROM cum JOIN mx ON mx.g = cum.g GROUP BY cum.g
+)
+SELECT ex.g AS event_type, CAST(ex.n AS BIGINT) AS n,
+       ROUND(1e-9 + ex.gini_exact, 6) AS gini_exact,
+       ROUND(1e-9 + ap.gini_binned, 6) AS gini_binned,
+       ROUND(1e-9 + ABS(ex.gini_exact - ap.gini_binned), 6) AS abs_err,
+       ABS(ex.gini_exact - ap.gini_binned) < 0.01 AS within_tol
+FROM ex JOIN ap ON ap.g = ex.g
+ORDER BY event_type
+"""
+
+
+@golden(
+    "gini_approx_audit",
+    GINI_APPROX_ORACLE,
+    tags=("profile", "audit", "concentration", "approx"),
+)
+def gini_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the binned-Lorenz Gini (the 100 TB mergeable
+    path — two hash aggregates + a bin-sized window, never a whole
+    group in one task) against the exact rank form, per event type:
+    both modes, the absolute error, and a 0.01 tolerance verdict. The
+    binned estimator is deterministic given the 256-bin equal-width
+    grid, so the audit itself is hash-exact — the HLL/IVF recall-audit
+    pattern applied to concentration."""
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    ev = Catalog(spark, sf_dir).events
+    ex = gini_concentration(ev, "event_type", "value", "event_id").select(
+        "event_type", "n", F.col("gini").alias("gini_exact")
+    )
+    ap = gini_concentration(
+        ev, "event_type", "value", exact=False, n_bins=256
+    ).select("event_type", F.col("gini").alias("gini_binned"))
+    out = ex.join(ap, "event_type")
+    err = F.abs(F.col("gini_exact") - F.col("gini_binned"))
+    return out.select(
+        "event_type", "n",
+        _r("gini_exact", 6).alias("gini_exact"),
+        _r("gini_binned", 6).alias("gini_binned"),
+        _r(err, 6).alias("abs_err"),
+        (err < 0.01).alias("within_tol"),
+    ).orderBy("event_type")

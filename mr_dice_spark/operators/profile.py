@@ -635,7 +635,9 @@ def gini_concentration(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    id_col: str,
+    id_col: str | None = None,
+    exact: bool = True,
+    n_bins: int = 256,
 ) -> DataFrame:
     """Per-group Gini coefficient of a non-negative value — the
     concentration audit (is 1% of sources contributing 90% of the
@@ -649,30 +651,86 @@ def gini_concentration(
 
     Returns ``(group, n, total, gini)``. One exchange on the group key
     (rank window + aggregate share it).
+
+    ``exact=True`` (default) ranks every row — the rank window
+    materializes each group in one task, so it is the per-slice tool.
+    ``exact=False`` is the 100 TB path: a binned Lorenz trapezoid over
+    ``n_bins`` equal-width bins of ``[0, group max]`` — two hash
+    aggregates plus a window over the BIN-sized relation, fully
+    mergeable, never holding a group in one task. The trapezoid assumes
+    within-bin uniformity (error O(1/n_bins), ~0.4% at 256 bins,
+    exact at the all-equal and single-holder extremes), and its
+    arithmetic is deterministic given the binning, so the approximate
+    mode is ALSO SQL-restatable and hash-checkable — accuracy vs the
+    exact mode is audited by its golden. ``id_col`` is only needed for
+    the exact mode's deterministic rank order.
     """
     base = df.select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("double").alias("__x"),
-        F.col(id_col).alias("__i"),
+        *([F.col(id_col).alias("__i")] if id_col is not None else []),
     ).where(
         F.col(group_col).isNotNull()
         & F.col(value_col).isNotNull()
         & (F.col(value_col) >= 0)
-        & F.col(id_col).isNotNull()
     )
-    w = Window.partitionBy("__g").orderBy(F.col("__x").asc(), F.col("__i").asc())
-    r = base.select("__g", "__x", F.row_number().over(w).cast("double").alias("__r"))
-    agg = r.groupBy("__g").agg(
+    if exact:
+        if id_col is None:
+            raise ValueError("gini_concentration: exact mode needs id_col")
+        base = base.where(F.col("__i").isNotNull())
+        w = Window.partitionBy("__g").orderBy(F.col("__x").asc(), F.col("__i").asc())
+        r = base.select(
+            "__g", "__x", F.row_number().over(w).cast("double").alias("__r")
+        )
+        agg = r.groupBy("__g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("total"),
+            F.sum(F.col("__r") * F.col("__x")).alias("__rx"),
+        )
+        nd = F.col("n").cast("double")
+        gini = F.when(
+            F.col("n") > 1,
+            F.try_divide(2.0 * F.col("__rx"), nd * F.col("total")) - (nd + 1.0) / nd,
+        )
+        return agg.select(
+            F.col("__g").alias(group_col), "n", "total", gini.alias("gini")
+        )
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    mx = base.groupBy("__g").agg(
+        F.max("__x").alias("__mx"),
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").alias("total"),
-        F.sum(F.col("__r") * F.col("__x")).alias("__rx"),
     )
-    nd = F.col("n").cast("double")
-    gini = F.when(
-        F.col("n") > 1,
-        F.try_divide(2.0 * F.col("__rx"), nd * F.col("total")) - (nd + 1.0) / nd,
+    j = base.join(F.broadcast(mx), "__g")
+    bin_ = F.when(
+        F.col("__mx") > 0,
+        F.least(
+            F.floor(F.col("__x") * n_bins / F.col("__mx")).cast("long"),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    cells = j.groupBy("__g", bin_.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__x").alias("__s")
     )
-    return agg.select(F.col("__g").alias(group_col), "n", "total", gini.alias("gini"))
+    wb = (
+        Window.partitionBy("__g")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("__cs", F.sum("__s").over(wb))
+    per = cum.join(F.broadcast(mx.select("__g", "n", "total")), "__g").groupBy(
+        "__g"
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("total").alias("total"),
+        F.sum(
+            (F.col("__c").cast("double") / F.col("n").cast("double"))
+            * F.try_divide(2.0 * F.col("__cs") - F.col("__s"), F.col("total"))
+        ).alias("__a"),
+    )
+    gini = F.when(F.col("n") > 1, 1.0 - F.col("__a"))
+    return per.select(F.col("__g").alias(group_col), "n", "total", gini.alias("gini"))
 
 
 def chi_square_independence(

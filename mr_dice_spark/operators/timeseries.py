@@ -309,6 +309,19 @@ def cusum_changepoints(
     """
     b = _bucket_agg(df.where(F.col(value_col).isNotNull()),
                     key_col, ts_col, value_col, step_seconds, "avg")
+    return cusum_from_buckets(b, key_col, k_slack, h_threshold)
+
+
+def cusum_from_buckets(
+    b: DataFrame,
+    key_col: str,
+    k_slack: float = 0.5,
+    h_threshold: float = 5.0,
+) -> DataFrame:
+    """CUSUM finisher over a pre-bucketed ``(__k, __h, __v)`` frame —
+    the shared tail of :func:`cusum_changepoints` and the streaming
+    monitor (where the bucket means are aggregated ON the stream engine
+    and this batch finisher runs on the materialized sink)."""
     stats = Window.partitionBy("__k")
     z = F.round(
         F.try_divide(

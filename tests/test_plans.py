@@ -1122,3 +1122,16 @@ def test_chi2_marginals_derive_from_cells(spark, sf_dir):
     plans = physical_plan(df)
     assert plans.count("Scan parquet") <= 1
     assert not has_cartesian(df) or True  # broadcast crossJoins of 1-row frames are fine
+
+
+def test_gini_approx_mode_avoids_group_rank_window(spark, sf_dir):
+    """The 100 TB gini path must not rank rows: no per-group row_number
+    window over the corpus — just hash aggregates and a bin-sized
+    running window."""
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    ev = Catalog(spark, sf_dir).events
+    df = gini_concentration(ev, "event_type", "value", exact=False)
+    plan = physical_plan(df)
+    assert "row_number" not in plan
+    assert_max_shuffles(df, 5)

@@ -377,3 +377,34 @@ def test_chi_square_constant_column_degenerate(spark):
     [r] = chi_square_independence(df, "x", "y").collect()
     assert r["dof"] == 0 and r["cramers_v"] is None
     assert abs(r["chi2"]) < 1e-9
+
+
+def test_gini_binned_matches_exact_at_extremes_and_guards(spark):
+    """The binned estimator is EXACT at both Gini extremes (all-equal,
+    single-holder) and must refuse exact mode without an id; n_bins
+    validated."""
+    import pytest
+
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    rows = [("eq", 5.0, i) for i in range(6)]
+    rows += [("one", 0.0, i) for i in range(5)] + [("one", 9.0, 99)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = {r["g"]: r["gini"] for r in
+           gini_concentration(df, "g", "v", exact=False, n_bins=16).collect()}
+    assert abs(got["eq"]) < 1e-12
+    assert abs(got["one"] - 5.0 / 6.0) < 1e-12
+    with pytest.raises(ValueError, match="id_col"):
+        gini_concentration(df, "g", "v")          # exact without id
+    with pytest.raises(ValueError, match="n_bins"):
+        gini_concentration(df, "g", "v", exact=False, n_bins=1)
+
+
+def test_gini_binned_close_to_exact_on_skewed_data(spark):
+    from mr_dice_spark.operators.profile import gini_concentration
+
+    rows = [("g", float(i * i), i) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    [ex] = gini_concentration(df, "g", "v", "id").collect()
+    [ap] = gini_concentration(df, "g", "v", exact=False, n_bins=256).collect()
+    assert abs(ex["gini"] - ap["gini"]) < 0.01
