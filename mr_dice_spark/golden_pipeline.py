@@ -4964,3 +4964,101 @@ def gini_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(err, 6).alias("abs_err"),
         (err < 0.01).alias("within_tol"),
     ).orderBy("event_type")
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Unrolled BPE train (the `_bpe_oracle` chain, with the FINAL
+    rebuild included — the encoder needs w_k) followed by the encode
+    tail: distinct-word token lengths joined back to per-language word
+    counts -> fertility."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS s
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, freq
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM {prev})
+),
+m{r} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS c
+  FROM p{r} GROUP BY a, b
+  ORDER BY c DESC, a, b LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT word, freq,
+         flatten(list_transform(range(1, len(s) + 1), i ->
+           CASE
+             WHEN i < len(s) AND s[i] = m.a AND s[i + 1] = m.b
+                  AND ((i - coalesce(list_max(list_filter(range(1, i),
+                        q -> NOT (s[q] = m.a AND s[q + 1] = m.b))), 0)) % 2) = 1
+               THEN [m.a || m.b]
+             WHEN i > 1 AND s[i - 1] = m.a AND s[i] = m.b
+                  AND (((i - 1) - coalesce(list_max(list_filter(range(1, i - 1),
+                        q -> NOT (s[q] = m.a AND s[q + 1] = m.b))), 0)) % 2) = 1
+               THEN CAST([] AS VARCHAR[])
+             ELSE [s[i]]
+           END)) AS s
+  FROM {prev} CROSS JOIN m{r} m
+)"""
+        )
+    parts.append(
+        f"""enc AS (SELECT word, len(s) AS ntok FROM w{k}),
+dw AS (
+  SELECT lang, w, COUNT(*) AS c FROM (
+    SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * ntok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       ROUND(1e-9 + SUM(c * ntok) / CAST(SUM(c) AS DOUBLE), 6) AS fertility
+FROM dw JOIN enc ON enc.word = dw.w
+GROUP BY lang ORDER BY lang"""
+    )
+
+
+@golden(
+    "bpe_encode_fertility_by_lang",
+    _bpe_encode_oracle(12),
+    tags=("text", "vocab", "bpe", "tokenizer", "pipeline"),
+)
+def bpe_encode_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer loop in one pipeline: train 12 BPE merges on
+    the corpus (bpe_train_merges), ENCODE the corpus with them
+    (bpe_encode_stats), and report per-language fertility
+    (tokens/word) — the number that prices a corpus in tokens and
+    exposes which languages a vocabulary shortchanges. Encoding
+    collapses to distinct words (vocabulary-sized work after one
+    corpus word-count shuffle) and applies the training fold verbatim;
+    the oracle re-derives the merges AND the encoding with the same
+    run-parity positional rule, so train->encode parity is
+    hash-checked end-to-end."""
+    from mr_dice_spark.operators.vocab import bpe_encode_stats, bpe_train_merges
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(docs, "text", 12).collect()
+    ]
+    out = bpe_encode_stats(docs, "text", merges, group_col="lang")
+    return out.select(
+        "lang", "n_words", "n_tokens", "n_distinct_words",
+        _r("fertility", 6).alias("fertility"),
+    ).orderBy("lang")

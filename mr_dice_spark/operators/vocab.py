@@ -253,29 +253,87 @@ def bpe_train_merges(
         out.append((rank, a, b, c))
         if rank == n_merges:
             break  # last round's rebuild would be dead work
-        merged = a + b
         # greedy left-to-right merge as a per-word fold: consume the
         # current symbol into the accumulator, collapsing (a, b) only
         # when the PREVIOUS accumulated symbol is a verbatim `a` —
         # a freshly merged tail can never re-match, which is exactly
         # the non-overlapping-from-left BPE rule. F.get (not
         # element_at) keeps the empty-accumulator probe NULL-safe
-        # under ANSI mode.
-        fold = F.aggregate(
-            "__s",
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.get(acc, F.size(acc) - 1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+        # under ANSI mode. (Shared with bpe_encode_stats.)
+        fold = _bpe_merge_fold(F.col("__s"), a, b)
         syms = syms.select("__f", fold.alias("__s")).localCheckpoint(
             eager=True
         )
     return df.sparkSession.createDataFrame(
         out, "rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_merge_fold(col, a: str, b: str):
+    """Greedy left-to-right non-overlapping application of one merge
+    (a, b) to a symbol array — the fold `bpe_train_merges` applies each
+    round, shared with the encoder."""
+    merged = a + b
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Apply a trained BPE merge list to the corpus and report per-group
+    tokenizer fertility — ``(group?, n_words, n_tokens, n_distinct_words,
+    fertility = tokens/words)`` — the 'how many tokens does this corpus
+    cost under this tokenizer' number that drives mixture budgeting, and
+    the consumer side of :func:`bpe_train_merges` (train -> encode in
+    one pipeline).
+
+    Encoding collapses to DISTINCT words first (the set-equivalence
+    trick: a 100 TB corpus has a vocabulary-sized distinct-word table,
+    and each word is encoded ONCE), applies the merges in rank order
+    with the exact training fold (materialized per merge — a 12-deep
+    lazy aggregate tower would breach codegen limits, the PQ/Janino
+    lesson), and joins token counts back to the per-group word counts —
+    one corpus-sized shuffle for the word counts, vocabulary-sized work
+    after.
+    """
+    from mr_dice_spark.functions.text import tokens
+
+    gcols = [group_col] if group_col else []
+    words = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("__w")
+    ).where(F.col("__w") != "")
+    dw = words.groupBy(*gcols, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    enc = dw.select("__w").distinct().select(
+        "__w", F.split("__w", "").alias("__s")
+    )
+    for a, b in merges:
+        enc = enc.select("__w", _bpe_merge_fold(F.col("__s"), a, b).alias("__s"))
+        enc = enc.localCheckpoint(eager=True)
+    enc = enc.select("__w", F.size("__s").alias("__nt"))
+    joined = dw.join(enc, "__w")
+    agg = joined.groupBy(*gcols).agg(
+        F.sum("__c").alias("n_words"),
+        F.sum(F.col("__c") * F.col("__nt")).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    return agg.select(
+        *gcols,
+        "n_words",
+        "n_tokens",
+        "n_distinct_words",
+        F.try_divide(
+            F.col("n_tokens").cast("double"), F.col("n_words").cast("double")
+        ).alias("fertility"),
     )

@@ -484,3 +484,56 @@ def test_bpe_train_merges_matches_python_reference(spark):
     import pytest
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(df, "text", 0)
+
+
+def test_bpe_encode_stats_hand_merges(spark):
+    """Known merges applied to a tiny corpus: 'banana' under
+    [(a,n), (an,a)] -> b|an|an|a -> b|ana|na? NO — greedy left fold:
+    chars b,a,n,a,n,a; merge (a,n): b,an,an,a (4 symbols); merge
+    (an,a): b,ana,n? NO — fold over [b,an,an,a]: an+a merges at the
+    SECOND an -> [b,an,ana] (3 symbols). Verified by hand against the
+    training fold's non-overlap rule; fertility = tokens/words."""
+    from mr_dice_spark.operators.vocab import bpe_encode_stats
+
+    rows = [(1, "banana banana", "en"), (2, "bab", "en"), (3, "banana", "de")]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    out = {r["lang"]: r for r in
+           bpe_encode_stats(df, "text", [("a", "n"), ("an", "a")], "lang").collect()}
+    # banana -> [b, an, ana] = 3 tokens; bab -> [b, a, b] = 3 tokens
+    assert out["en"]["n_words"] == 3 and out["en"]["n_tokens"] == 3 * 2 + 3
+    assert out["de"]["n_words"] == 1 and out["de"]["n_tokens"] == 3
+    assert out["en"]["n_distinct_words"] == 2
+    assert abs(out["en"]["fertility"] - 3.0) < 1e-12
+
+
+def test_bpe_encode_matches_train_application(spark):
+    """Round-trip: encoding the TRAINING corpus with the trained merges
+    must reproduce the symbol lengths the trainer's own folds left
+    behind (shared-fold invariant)."""
+    from mr_dice_spark.functions.text import tokens as tok
+    from mr_dice_spark.operators.vocab import bpe_encode_stats, bpe_train_merges
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "new newer newest", "low new low"] * 3
+    )]
+    df = spark.createDataFrame(rows, "id long, text string")
+    merges = [(r["left_sym"], r["right_sym"])
+              for r in bpe_train_merges(df, "text", 5).collect()]
+    assert len(merges) == 5
+    [enc] = bpe_encode_stats(df, "text", merges).collect()
+    # independent python re-application
+    def apply(word):
+        s = list(word)
+        for a, b in merges:
+            out = []
+            for ch in s:
+                if out and out[-1] == a and ch == b:
+                    out[-1] = a + b
+                else:
+                    out.append(ch)
+            s = out
+        return len(s)
+    words = [w for _, t in rows for w in t.split()]
+    assert enc["n_words"] == len(words)
+    assert enc["n_tokens"] == sum(apply(w) for w in words)

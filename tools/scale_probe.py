@@ -138,6 +138,23 @@ PROBES = [
     "audio_tone_detection",
     "triangle_counts_copurchase",
     "dsir_importance_select_en",
+    # round-5 session-4 operators. er_best_match_linkage carries the
+    # replicated-fixture caveat in the note above TWICE over: names are
+    # content (not shifted), so every clean name exists 10x and every
+    # dirty twin matches all 10 copies — output is quadratic in copies
+    # by construction; the probe measures that output volume plus the
+    # hot-block refinement's detection pass, not candidate blow-up.
+    "label_propagation_communities",
+    "spearman_value_time_by_type",
+    "bradley_terry_brand_prefs",
+    "cusum_level_shift_hourly",
+    "streaming_cusum_monitor",
+    "theil_sen_trend_hourly",
+    "benford_first_digit_orders",
+    "gini_value_concentration",
+    "gini_approx_audit",
+    "chi2_type_by_weekday",
+    "er_best_match_linkage",
 ]
 
 
