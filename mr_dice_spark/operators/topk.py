@@ -31,3 +31,45 @@ def per_group_topk(
     if rank_col:
         return ranked.withColumnRenamed("__rn", rank_col)
     return ranked.drop("__rn")
+
+
+def skyline_2d(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions MINIMIZED): rows no
+    other row strictly dominates — q dominates p iff q.a <= p.a and
+    q.b <= p.b with at least one strict. The multi-criteria shortlist
+    operator (cheapest-AND-smallest part, best quality per token cost)
+    classic OLAP engines ship and Spark lacks.
+
+    NOT the naive O(n^2) dominance anti-join (a non-equi NOT EXISTS
+    plans as BNLJ): per-a minima first (one hash aggregate — survivors
+    of same-a dominance are exactly the rows at their a-group's minimum
+    b), then a running strict-predecessor minimum over the DISTINCT-a
+    relation ordered by a (cross-a dominance: survive iff every
+    strictly-smaller a has a strictly-larger min-b), joined back
+    broadcast. Duplicate (a, b) points tie and BOTH survive (neither
+    strictly dominates). NULL in either dimension excludes the row
+    (incomparable). Cost: one corpus aggregate + a window over the
+    distinct-a table (bounded by the a-domain, NOT the corpus — the
+    one global-sort surface, documented) + one broadcast join back.
+
+    Returns the input rows (all columns) that form the frontier.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.where(a.isNotNull() & b.isNotNull())
+    mb = base.groupBy(a_col).agg(F.min(b).alias("__mb"))
+    w = (
+        Window.orderBy(F.col(a_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_a = mb.withColumn("__m1", F.min("__mb").over(w)).where(
+        F.col("__m1").isNull() | (F.col("__m1") > F.col("__mb"))
+    )
+    return (
+        base.join(F.broadcast(frontier_a), a_col)
+        .where(b == F.col("__mb"))
+        .drop("__mb", "__m1")
+    )
