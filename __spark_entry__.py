@@ -147,7 +147,7 @@ _CHECK_FIRST = [
     # cusum_level_shift_hourly, theil_sen_trend_hourly,
     # benford_first_digit_orders, gini_value_concentration,
     # chi2_type_by_weekday, streaming_cusum_monitor, gini_approx_audit,
-    # bpe_encode_fertility_by_lang,
+    # bpe_encode_fertility_by_lang, skyline_cheapest_smallest_parts,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

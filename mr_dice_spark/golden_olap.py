@@ -438,3 +438,55 @@ def recursive_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain WHERE anc < 10
         """
     )  # no terminal global sort: corpus-sized result, order-insensitive compare
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) — multi-criteria shortlist.
+# ---------------------------------------------------------------------------
+
+SKYLINE_ORACLE = """
+WITH base AS (
+  SELECT p_partkey, p_size, p_retailprice
+  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+),
+mb AS (SELECT p_size, MIN(p_retailprice) AS mbv FROM base GROUP BY p_size),
+fr AS (
+  SELECT p_size, mbv,
+         MIN(mbv) OVER (ORDER BY p_size
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m1
+  FROM mb
+)
+SELECT CAST(b.p_partkey AS BIGINT) AS p_partkey,
+       CAST(b.p_size AS INT) AS p_size,
+       b.p_retailprice
+FROM base b
+JOIN fr ON fr.p_size = b.p_size AND b.p_retailprice = fr.mbv
+WHERE fr.m1 IS NULL OR fr.m1 > fr.mbv
+ORDER BY p_size, p_partkey
+"""
+
+
+@golden(
+    "skyline_cheapest_smallest_parts",
+    SKYLINE_ORACLE,
+    tags=("skyline", "olap", "window", "topk"),
+)
+def skyline_cheapest_smallest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (size, price) — the
+    multi-criteria shortlist OLAP engines ship as SKYLINE and Spark
+    lacks. NOT the naive O(n^2) dominance anti-join (a non-equi NOT
+    EXISTS plans as BNLJ): per-size minima, a strict-predecessor
+    running minimum over the DISTINCT-size relation, broadcast join
+    back — the one global-sort surface is bounded by the size DOMAIN
+    (50 values), not the corpus. Duplicate (size, price) points tie
+    and both survive; the oracle restates the identical construction."""
+    from mr_dice_spark.operators.topk import skyline_2d
+
+    part = Catalog(spark, sf_dir).part.select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    out = skyline_2d(part, "p_size", "p_retailprice")
+    return out.select(
+        "p_partkey", F.col("p_size").cast("int").alias("p_size"), "p_retailprice"
+    ).orderBy("p_size", "p_partkey")

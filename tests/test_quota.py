@@ -135,3 +135,28 @@ def test_waterfill_bulk_path_matches_unit_semantics():
     assert got["u3"] == 1                      # exhausted early
     # remaining 599_999 round-robins between u1/u2 -> u1 gets the odd unit
     assert got["u1"] == 300_000 and got["u2"] == 299_999
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Randomized dominance check: the window construction must equal
+    the O(n^2) definition exactly, including duplicate-point ties and
+    NULL exclusion."""
+    import random
+
+    from mr_dice_spark.operators.topk import skyline_2d
+
+    rng = random.Random(17)
+    rows = [(i, rng.randint(0, 12), float(rng.randint(0, 12))) for i in range(300)]
+    rows += [(1000, -1, -1.0), (1001, -1, -1.0)]      # exact duplicate pair
+    rows += [(1002, None, 1.0), (1003, 1, None)]      # incomparable
+    df = spark.createDataFrame(rows, "id long, a int, b double")
+    got = sorted(r["id"] for r in skyline_2d(df, "a", "b").collect())
+    pts = [(i, a, b) for i, a, b in rows if a is not None and b is not None]
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts if q[0] != p[0]
+        )
+    exp = sorted(p[0] for p in pts if not dominated(p))
+    assert got == exp
+    assert 1000 in got and 1001 in got  # duplicate frontier points tie
