@@ -1115,3 +1115,60 @@ def bradley_terry_brand_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item").alias("brand"), "games", "wins",
         _r("strength", 6).alias("strength"),
     ).orderBy("brand")
+
+
+WELCH_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) IN (2, 3) AS s,
+         value AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+a AS (
+  SELECT g,
+         COUNT(CASE WHEN s THEN 1 END) AS n1,
+         COUNT(CASE WHEN NOT s THEN 1 END) AS n2,
+         AVG(CASE WHEN s THEN v END) AS m1,
+         AVG(CASE WHEN NOT s THEN v END) AS m2,
+         VAR_SAMP(CASE WHEN s THEN v END) AS v1,
+         VAR_SAMP(CASE WHEN NOT s THEN v END) AS v2
+  FROM base GROUP BY g
+)
+SELECT g AS event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(1e-9 + m1 - m2, 6) AS mean_diff,
+       ROUND(1e-9 + CASE WHEN n1 > 1 AND n2 > 1 THEN
+         (m1 - m2) / NULLIF(SQRT(v1 / n1 + v2 / n2), 0) END, 6) AS t_stat,
+       ROUND(1e-9 + CASE WHEN n1 > 1 AND n2 > 1 THEN
+         POW(v1 / n1 + v2 / n2, 2)
+         / NULLIF(POW(v1 / n1, 2) / (n1 - 1)
+                  + POW(v2 / n2, 2) / (n2 - 1), 0) END, 6) AS df_welch
+FROM a ORDER BY event_type
+"""
+
+
+@golden(
+    "welch_t_weekend_split",
+    WELCH_ORACLE,
+    tags=("evaluation", "ttest", "agg", "events"),
+)
+def welch_t_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between a two-day 'weekend' slice (epoch-day mod 7 in
+    {2,3} — day-of-week arithmetic kept engine-portable) and the rest,
+    per event type: the parametric mean-shift check beside the
+    rank-based AUC and the sequential CUSUM. One conditional-moment
+    aggregate per group; no equal-variance assumption."""
+    from mr_dice_spark.operators.evaluation import welch_t_test
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", "value",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7)
+        .isin(2, 3).alias("wk"),
+    ).where(F.col("ts").isNotNull())
+    out = welch_t_test(ev, "event_type", "wk", "value")
+    return out.select(
+        "event_type", "n1", "n2",
+        _r("mean_diff", 6).alias("mean_diff"),
+        _r("t_stat", 6).alias("t_stat"),
+        _r("df_welch", 6).alias("df_welch"),
+    ).orderBy("event_type")

@@ -308,3 +308,65 @@ def bradley_terry(
         totals.join(scores, "i")
         .select(F.col("i").alias("item"), "games", "wins", F.col("p").alias("strength"))
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    split_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Welch's two-sample t statistic between the rows where
+    boolean ``split_col`` is true (sample 1) and false (sample 2) —
+    the parametric mean-shift test next to the rank-based detectors
+    (AUC is the Mann-Whitney statistic; CUSUM watches the sequence):
+    ``t = (m1 - m2) / sqrt(v1/n1 + v2/n2)`` with the Welch-Satterthwaite
+    degrees of freedom. No equal-variance assumption (Student's pooled
+    form silently lies on heteroscedastic metrics, which production
+    metrics are).
+
+    One hash aggregate per group (conditional moments for both samples
+    in a single pass). NULL split/value rows are excluded; t and df are
+    NULL when either sample has n < 2 or both variances are 0. Returns
+    ``(group, n1, n2, mean_diff, t_stat, df_welch)``.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(split_col).cast("boolean").alias("__s"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(split_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    v1 = F.when(F.col("__s"), F.col("__v"))
+    v2 = F.when(~F.col("__s"), F.col("__v"))
+    agg = base.groupBy("__g").agg(
+        F.count(v1).alias("n1"),
+        F.count(v2).alias("n2"),
+        F.avg(v1).alias("__m1"),
+        F.avg(v2).alias("__m2"),
+        F.var_samp(v1).alias("__v1"),
+        F.var_samp(v2).alias("__v2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    se1 = F.col("__v1") / n1
+    se2 = F.col("__v2") / n2
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    t = F.when(ok, F.try_divide(F.col("__m1") - F.col("__m2"), F.sqrt(se1 + se2)))
+    dof = F.when(
+        ok,
+        F.try_divide(
+            (se1 + se2) * (se1 + se2),
+            se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0),
+        ),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n1",
+        "n2",
+        (F.col("__m1") - F.col("__m2")).alias("mean_diff"),
+        t.alias("t_stat"),
+        dof.alias("df_welch"),
+    )

@@ -145,3 +145,31 @@ def test_bradley_terry_validates(spark):
     df = spark.createDataFrame([("a", "b", 1, 2)], "a string, b string, wins_a long, n long")
     with pytest.raises(ValueError, match="n_iter"):
         bradley_terry(df, n_iter=-1)
+
+
+def test_welch_t_matches_python_closed_form(spark):
+    from mr_dice_spark.operators.evaluation import welch_t_test
+
+    s1 = [10.0, 12.0, 11.0, 14.0, 9.0]
+    s2 = [8.0, 7.5, 9.5, 8.2, 7.8, 9.1]
+    rows = [("g", True, v) for v in s1] + [("g", False, v) for v in s2]
+    rows += [("tiny", True, 1.0), ("tiny", False, 2.0), ("tiny", False, 3.0)]
+    df = spark.createDataFrame(rows, "g string, s boolean, v double")
+    got = {r["g"]: r for r in welch_t_test(df, "g", "s", "v").collect()}
+
+    def mv(xs):
+        m = sum(xs) / len(xs)
+        return m, sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    m1, v1 = mv(s1)
+    m2, v2 = mv(s2)
+    se1, se2 = v1 / len(s1), v2 / len(s2)
+    t = (m1 - m2) / (se1 + se2) ** 0.5
+    dof = (se1 + se2) ** 2 / (se1 ** 2 / (len(s1) - 1) + se2 ** 2 / (len(s2) - 1))
+    r = got["g"]
+    assert r["n1"] == 5 and r["n2"] == 6
+    assert abs(r["t_stat"] - t) < 1e-12
+    assert abs(r["df_welch"] - dof) < 1e-12
+    # n1 < 2: t/df NULL, mean_diff still reported
+    assert got["tiny"]["t_stat"] is None and got["tiny"]["df_welch"] is None
+    assert abs(got["tiny"]["mean_diff"] - (1.0 - 2.5)) < 1e-12

@@ -1135,3 +1135,16 @@ def test_gini_approx_mode_avoids_group_rank_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "row_number" not in plan
     assert_max_shuffles(df, 5)
+
+
+def test_skyline_no_dominance_bnlj(spark, sf_dir):
+    """The skyline must never plan the naive dominance anti-join: no
+    cartesian/BNLJ, frontier joined back broadcast."""
+    from mr_dice_spark.operators.topk import skyline_2d
+
+    part = Catalog(spark, sf_dir).part.select("p_partkey", "p_size", "p_retailprice")
+    df = skyline_2d(part, "p_size", "p_retailprice")
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(df) >= 1
