@@ -1949,3 +1949,73 @@ def homoglyph_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ded.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
     ).orderBy("doc_id")
+
+
+# Precision twin: same corpus prep / signatures / banding CTEs as the
+# recall oracle (everything up to `cand`; DuckDB skips the unreferenced
+# truth/inter CTEs), with the tail flipped to verify CANDIDATES.
+MINHASH_PRECISION_ORACLE = MINHASH_RECALL_ORACLE.rsplit(
+    "SELECT least(floor(t.j", 1
+)[0] + """, inter_c AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(ic.i * 1.0 / (ca.n + cb.n - ic.i), 0.0) AS j
+  FROM cand c
+  LEFT JOIN inter_c ic ON ic.id_a = c.id_a AND ic.id_b = c.id_b
+  JOIN cnt ca ON c.id_a = ca.doc_id
+  JOIN cnt cb ON c.id_b = cb.doc_id
+)
+SELECT least(floor(j * 10) / 10, 1.0) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count_if(j >= 0.2) AS BIGINT) AS n_confirmed,
+       ROUND(1e-9 + count_if(j >= 0.2) * 1.0 / count(*), 6) AS precision
+FROM v GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
+@golden(
+    "minhash_precision_audit_curve",
+    MINHASH_PRECISION_ORACLE,
+    tags=("dedup", "minhash", "lsh", "precision", "audit"),
+)
+def minhash_precision_audit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured banding PRECISION of the same 8-hash/4-band config on
+    the same variant-augmented corpus as the recall curve — together
+    the full PR view: every candidate pair the banding proposes is
+    verified against exact Jaccard and bucketed, pricing the wasted
+    verify work (false candidates) the config buys. Same portable
+    construction, so the audit itself hash-matches SQL."""
+    from mr_dice_spark.functions.text import tokens
+    from mr_dice_spark.operators.dedup import minhash_precision_audit
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    w = tokens(F.col("text"))
+    m = F.element_at(
+        F.array(F.lit(5), F.lit(9), F.lit(17), F.lit(33)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    idx = F.when(F.size(w) >= 1, F.sequence(F.lit(1), F.size(w))).otherwise(
+        F.array().cast("array<int>")
+    )
+    repl = F.transform(
+        idx,
+        lambda i: F.when(
+            ((i - 1 + F.col("doc_id")) % m) == 0,
+            F.concat(F.element_at(w, i), F.lit("~")),
+        ).otherwise(F.element_at(w, i)),
+    )
+    # two-step select (the recall golden's projection-collapse lesson)
+    variants = docs.withColumn("text", F.array_join(repl, " ")).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(variants)
+    return minhash_precision_audit(
+        corpus, "doc_id", "text", threshold=0.2, num_hashes=8, bands=4
+    )

@@ -780,3 +780,97 @@ def ngram_containment_join(
     if threshold > 1.0:
         return inter
     return inter.unionByName(intra)
+
+
+def minhash_precision_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Measured PRECISION of banded MinHash LSH — the complement of
+    :func:`minhash_recall_audit` (together they are the PR view a dedup
+    rollout reads): every candidate pair the banding proposes is
+    verified against its EXACT Jaccard and bucketed,
+    ``(bucket_lo, n_candidates, n_confirmed, precision)`` with
+    ``n_confirmed`` the candidates at or above ``threshold``. Low
+    precision in the low buckets prices the wasted verify work the
+    banding config buys; recall prices what it misses.
+
+    Deterministic end to end (same portable signatures and tuple
+    banding as the recall audit). Scale shape: candidates shuffle
+    (id, band tuple) only; the verification join explodes shingles for
+    CANDIDATE pairs only (the dedup pipeline's verify cost, never
+    all-pairs); the bucket aggregate is tiny.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    per = num_hashes // bands
+    ex = shingles_exploded(df, id_col, text_col, shingle_n).select("__id", "__s")
+    sig = minhash_signatures(ex, num_hashes=num_hashes, portable=True)
+    band_tuple = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"__h{b * per + i}") for i in range(per)]
+            )
+            for b in range(bands)
+        ]
+    )
+    bk = sig.select("__id", F.posexplode(band_tuple).alias("__band", "__key"))
+    cand = (
+        bk.alias("x")
+        .join(
+            bk.alias("y"),
+            (F.col("x.__band") == F.col("y.__band"))
+            & (F.col("x.__key") == F.col("y.__key"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = ex.distinct()
+    cnt = sets.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        cand.join(sets.alias("sa"), cand["id_a"] == F.col("sa.__id"))
+        .join(
+            sets.alias("sb"),
+            (cand["id_b"] == F.col("sb.__id"))
+            & (F.col("sa.__s") == F.col("sb.__s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    j = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    verified = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(cnt.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(cnt.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.coalesce(j, F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10) / 10, F.lit(1.0))
+    return (
+        verified.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count_if(F.col("jaccard") >= threshold).alias("n_confirmed"),
+        )
+        .select(
+            "bucket_lo",
+            "n_candidates",
+            "n_confirmed",
+            F.round(
+                F.col("n_confirmed") / F.col("n_candidates") + F.lit(1e-9), 6
+            ).alias("precision"),
+        )
+        .orderBy("bucket_lo")
+    )
