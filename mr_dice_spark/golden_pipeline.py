@@ -5062,3 +5062,49 @@ def bpe_encode_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_words", "n_tokens", "n_distinct_words",
         _r("fertility", 6).alias("fertility"),
     ).orderBy("lang")
+
+
+TWAP_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k, ts, event_id AS i, value AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL
+),
+d AS (
+  SELECT k, v,
+         COALESCE(CAST(LEAD(epoch_us(ts)) OVER (PARTITION BY k ORDER BY ts, i)
+                       - epoch_us(ts) AS DOUBLE), 0.0) AS dur
+  FROM base
+)
+SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(dur) AS BIGINT) AS span_us,
+       ROUND(1e-9 + AVG(v), 6) AS avg_plain,
+       ROUND(1e-9 + SUM(v * dur) / NULLIF(SUM(dur), 0), 6)
+         AS avg_time_weighted
+FROM d GROUP BY k ORDER BY event_type
+"""
+
+
+@golden(
+    "time_weighted_avg_by_type",
+    TWAP_ORACLE,
+    tags=("timeseries", "window", "agg", "events"),
+)
+def time_weighted_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of the event value per type (step/LOCF
+    semantics: a value holds until the next observation) next to the
+    plain AVG it corrects — THE aggregation for irregularly sampled
+    state series. Microsecond-exact durations (unix_micros = epoch_us;
+    second-truncated arithmetic would zero sub-second gaps) and a
+    (ts, id) successor order so tied timestamps assign durations
+    deterministically. One (key, time) exchange."""
+    from mr_dice_spark.operators.timeseries import time_weighted_avg
+
+    ev = Catalog(spark, sf_dir).events
+    out = time_weighted_avg(ev, "event_type", "ts", "value", "event_id")
+    return out.select(
+        "event_type", "n_obs", "span_us",
+        _r("avg_plain", 6).alias("avg_plain"),
+        _r("avg_time_weighted", 6).alias("avg_time_weighted"),
+    ).orderBy("event_type")

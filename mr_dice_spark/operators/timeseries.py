@@ -436,3 +436,60 @@ def theil_sen_trend(
         )
     )
     return out
+
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key TIME-weighted average of a sampled state series: each
+    observation's value holds until the next observation (step/LOCF
+    semantics), so its weight is that holding duration — the mean a
+    plain AVG gets wrong whenever sampling is irregular (a sensor that
+    reports hourly when stable and every second during an incident
+    would drag AVG toward incident values). The last observation has no
+    successor and carries zero duration (the series\' value AT the end
+    is known, its future weight is not) — callers wanting a horizon
+    extend the frame with a sentinel row.
+
+    Durations are MICROSECOND-exact (unix_micros = DuckDB epoch_us —
+    second-truncated arithmetic would zero out sub-second gaps), and
+    the successor order is (ts, id): tied timestamps would otherwise
+    assign their durations engine-dependently. ``twap =
+    sum(v_i * dur_i) / sum(dur_i)``; NULL when a key has < 2
+    observations. Returns ``(key, n_obs, span_us, avg_plain,
+    avg_time_weighted)``. One (key, time) exchange: the lead window and
+    the aggregate share it.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.col(id_col).alias("__i"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__t").asc(), F.col("__i").asc())
+    nxt = F.lead(F.unix_micros("__t")).over(w)
+    dur = (nxt - F.unix_micros("__t")).cast("double")
+    withd = base.select("__k", "__v", F.coalesce(dur, F.lit(0.0)).alias("__d"))
+    agg = withd.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__d").alias("__span"),
+        F.avg("__v").alias("avg_plain"),
+        F.sum(F.col("__v") * F.col("__d")).alias("__wv"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        "n_obs",
+        F.col("__span").cast("long").alias("span_us"),
+        "avg_plain",
+        F.try_divide(F.col("__wv"), F.col("__span")).alias("avg_time_weighted"),
+    )

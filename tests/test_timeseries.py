@@ -226,3 +226,44 @@ def test_theil_sen_single_bucket_yields_null(spark):
     [r] = theil_sen_trend(df, "k", "ts", "v").collect()
     assert r["n_buckets"] == 1 and r["n_pairs"] == 0
     assert r["slope"] is None and r["intercept"] is None
+
+
+def test_time_weighted_avg_known_series(spark):
+    """Hand series: value 10 held 3s, then 20 held 1s, then 0 (no
+    successor) -> twap = (10*3 + 20*1)/4 = 12.5; plain avg = 10."""
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 1, 10.0),
+        ("k", t0 + datetime.timedelta(seconds=3), 2, 20.0),
+        ("k", t0 + datetime.timedelta(seconds=4), 3, 0.0),
+        ("single", t0, 9, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    got = {r["k"]: r for r in time_weighted_avg(df, "k", "ts", "v", "id").collect()}
+    r = got["k"]
+    assert r["n_obs"] == 3 and r["span_us"] == 4_000_000
+    assert abs(r["avg_plain"] - 10.0) < 1e-12
+    assert abs(r["avg_time_weighted"] - 12.5) < 1e-12
+    assert got["single"]["avg_time_weighted"] is None  # no duration
+
+
+def test_time_weighted_avg_tied_timestamps_deterministic(spark):
+    """Two observations at the SAME microsecond: the (ts, id) order must
+    give the lower id zero duration — the engine-portable convention."""
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 2, 100.0),       # tied, higher id -> holds until t1
+        ("k", t0, 1, 50.0),        # tied, lower id -> zero duration
+        ("k", t0 + datetime.timedelta(seconds=2), 3, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    [r] = time_weighted_avg(df, "k", "ts", "v", "id").collect()
+    assert abs(r["avg_time_weighted"] - 100.0) < 1e-12
