@@ -2019,3 +2019,83 @@ def minhash_precision_audit_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     return minhash_precision_audit(
         corpus, "doc_id", "text", threshold=0.2, num_hashes=8, bands=4
     )
+
+
+ER_BCUBED_ORACLE = """
+WITH dirty AS (
+  SELECT c_custkey + 10000000 AS did,
+         substring(c_name, 1, 1 + (c_custkey % (length(c_name) - 1)) - 1)
+           || substring(c_name, 1 + (c_custkey % (length(c_name) - 1)) + 1)
+           AS dname
+  FROM customer
+),
+cand AS (
+  SELECT did, cid, dist FROM (
+    SELECT d.did, c.c_custkey AS cid,
+           levenshtein(d.dname, c.c_name) AS dist
+    FROM dirty d CROSS JOIN customer c
+  ) WHERE dist <= 1
+),
+best AS (
+  SELECT did, cid,
+         ROW_NUMBER() OVER (PARTITION BY did ORDER BY dist, cid) AS rk
+  FROM cand
+),
+assign AS (
+  SELECT c_custkey AS id, c_custkey AS cl, c_custkey AS gold FROM customer
+  UNION ALL
+  SELECT did, cid, did - 10000000 FROM best WHERE rk = 1
+),
+cells AS (SELECT cl, gold, COUNT(*) AS o FROM assign GROUP BY 1, 2),
+nc AS (SELECT cl, SUM(o) AS n_c FROM cells GROUP BY cl),
+ng AS (SELECT gold, SUM(o) AS n_g FROM cells GROUP BY gold),
+s AS (
+  SELECT SUM(o) AS n,
+         SUM(CAST(o AS DOUBLE) * o / n_c) AS sp,
+         SUM(CAST(o AS DOUBLE) * o / n_g) AS sr
+  FROM cells JOIN nc USING (cl) JOIN ng USING (gold)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + sp / n, 6) AS bcubed_precision,
+       ROUND(1e-9 + sr / n, 6) AS bcubed_recall,
+       ROUND(1e-9 + 2.0 * (sp / n) * (sr / n) / ((sp / n) + (sr / n)), 6)
+         AS bcubed_f1
+FROM s
+"""
+
+
+@golden(
+    "er_linkage_bcubed",
+    ER_BCUBED_ORACLE,
+    tags=("evaluation", "entity-resolution", "clustering", "pipeline"),
+)
+def er_linkage_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed quality of the ER best-match linkage against the planted
+    ground truth: clean records cluster with the dirty twins matched to
+    them; gold groups each twin with its true parent. A twin matched to
+    the WRONG clean record merges two entities and is charged on both
+    sides per record — the honest scalar for 'how good is this linkage'
+    (the raw true-parent rate ignores the merge damage). Runs the full
+    pipeline: corrupt -> PassJoin (hot-block refined) -> best-match
+    window -> B-cubed, all cell-sized aggregates after the linkage."""
+    from mr_dice_spark.operators.evaluation import bcubed_scores
+
+    OFF = 10_000_000
+    linkage = er_best_match_linkage(spark, sf_dir)
+    clean = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_custkey").alias("cl"),
+        F.col("c_custkey").alias("gold"),
+    )
+    dirty = linkage.select(
+        (F.col("dirty_key") + OFF).alias("id"),
+        F.col("matched_key").alias("cl"),
+        F.col("dirty_key").alias("gold"),
+    )
+    out = bcubed_scores(clean.unionByName(dirty), "id", "cl", "gold")
+    return out.select(
+        "n",
+        _r("bcubed_precision", 6).alias("bcubed_precision"),
+        _r("bcubed_recall", 6).alias("bcubed_recall"),
+        _r("bcubed_f1", 6).alias("bcubed_f1"),
+    )

@@ -370,3 +370,63 @@ def welch_t_test(
         t.alias("t_stat"),
         dof.alias("df_welch"),
     )
+
+
+def bcubed_scores(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a clustering against gold labels
+    (Bagga & Baldwin 1998) — the standard entity-resolution quality
+    metric: per RECORD, precision is the fraction of its predicted
+    cluster sharing its gold label and recall the fraction of its gold
+    class it was clustered with; the scores average over records, so
+    splitting a big entity or merging two entities is charged
+    per-record (pairwise F1 over-weights large clusters; purity ignores
+    splits — B-cubed penalizes both).
+
+    Relational form: overlap counts per (cluster, gold) cell give every
+    record in that cell precision ``o/|cluster|`` and recall
+    ``o/|gold|``, so the averages are ``sum(o^2 / n_c) / N`` and
+    ``sum(o^2 / n_g) / N`` — three hash aggregates and two broadcast
+    joins over CELL-sized relations (never a record self-join; the
+    naive per-record pair formulation is quadratic in cluster size).
+    Counts stay exact integers; the squares move to the double domain
+    (int64 overflow at ~3e9-record cells under ANSI). Rows with a NULL
+    id/cluster/gold are excluded.
+
+    Returns one row ``(n, bcubed_precision, bcubed_recall, bcubed_f1)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("__i"),
+        F.col(cluster_col).alias("__c"),
+        F.col(gold_col).alias("__g"),
+    ).where(
+        F.col(id_col).isNotNull()
+        & F.col(cluster_col).isNotNull()
+        & F.col(gold_col).isNotNull()
+    )
+    cells = base.groupBy("__c", "__g").agg(F.count(F.lit(1)).alias("__o"))
+    cells = cells.localCheckpoint(eager=True)  # three frames derive from it
+    nc = cells.groupBy("__c").agg(F.sum("__o").alias("__nc"))
+    ng = cells.groupBy("__g").agg(F.sum("__o").alias("__ng"))
+    o = F.col("__o").cast("double")
+    stat = (
+        cells.join(F.broadcast(nc), "__c")
+        .join(F.broadcast(ng), "__g")
+        .agg(
+            F.sum("__o").alias("n"),
+            F.sum(o * o / F.col("__nc")).alias("__sp"),
+            F.sum(o * o / F.col("__ng")).alias("__sr"),
+        )
+    )
+    p = F.col("__sp") / F.col("n")
+    r = F.col("__sr") / F.col("n")
+    return stat.select(
+        F.col("n").cast("long").alias("n"),
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        F.try_divide(2.0 * p * r, p + r).alias("bcubed_f1"),
+    )

@@ -173,3 +173,27 @@ def test_welch_t_matches_python_closed_form(spark):
     # n1 < 2: t/df NULL, mean_diff still reported
     assert got["tiny"]["t_stat"] is None and got["tiny"]["df_welch"] is None
     assert abs(got["tiny"]["mean_diff"] - (1.0 - 2.5)) < 1e-12
+
+
+def test_bcubed_hand_computed_and_extremes(spark):
+    """Textbook example: gold {1,2,3 | 4,5}, predicted {1,2 | 3,4,5}.
+    Per-record P: 1,1,1/3,2/3... -> computed by hand below; perfect
+    clustering scores 1.0 everywhere."""
+    from mr_dice_spark.operators.evaluation import bcubed_scores
+
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "b", "y"), (5, "b", "y")]
+    df = spark.createDataFrame(rows, "id long, cl string, gold string")
+    [r] = bcubed_scores(df, "id", "cl", "gold").collect()
+    # precision per record: 1:2/2? cluster a={1,2} both gold x -> 1, 1
+    # cluster b={3,4,5}: record 3 (gold x): 1/3; records 4,5 (gold y): 2/3
+    p = (1 + 1 + 1 / 3 + 2 / 3 + 2 / 3) / 5
+    # recall per record: gold x={1,2,3}: r1=r2=2/3, r3=1/3; gold y={4,5}: 1, 1
+    rc = (2 / 3 + 2 / 3 + 1 / 3 + 1 + 1) / 5
+    assert abs(r["bcubed_precision"] - p) < 1e-12
+    assert abs(r["bcubed_recall"] - rc) < 1e-12
+    assert abs(r["bcubed_f1"] - 2 * p * rc / (p + rc)) < 1e-12
+    perfect = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")], "id long, cl string, gold string"
+    )
+    [q] = bcubed_scores(perfect, "id", "cl", "gold").collect()
+    assert q["bcubed_precision"] == 1.0 and q["bcubed_recall"] == 1.0
