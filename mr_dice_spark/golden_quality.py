@@ -2099,3 +2099,55 @@ def er_linkage_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("bcubed_recall", 6).alias("bcubed_recall"),
         _r("bcubed_f1", 6).alias("bcubed_f1"),
     )
+
+
+# Same linkage CTEs as ER_BCUBED_ORACLE, ARI tail.
+ER_ARI_ORACLE = ER_BCUBED_ORACLE.rsplit("cells AS", 1)[0] + """cells AS (
+  SELECT cl, gold, COUNT(*) AS o FROM assign GROUP BY 1, 2
+),
+so AS (
+  SELECT SUM(o) AS n, SUM(CAST(o AS DOUBLE) * (o - 1) / 2) AS s_o FROM cells
+),
+sc AS (
+  SELECT SUM(CAST(nc AS DOUBLE) * (nc - 1) / 2) AS s_c
+  FROM (SELECT SUM(o) AS nc FROM cells GROUP BY cl)
+),
+sg AS (
+  SELECT SUM(CAST(ng AS DOUBLE) * (ng - 1) / 2) AS s_g
+  FROM (SELECT SUM(o) AS ng FROM cells GROUP BY gold)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(1e-9 + (s_o - s_c * s_g / (CAST(n AS DOUBLE) * (n - 1) / 2))
+             / NULLIF((s_c + s_g) / 2
+                      - s_c * s_g / (CAST(n AS DOUBLE) * (n - 1) / 2), 0), 6)
+         AS ari
+FROM so CROSS JOIN sc CROSS JOIN sg
+"""
+
+
+@golden(
+    "er_linkage_ari",
+    ER_ARI_ORACLE,
+    tags=("evaluation", "entity-resolution", "clustering", "pipeline"),
+)
+def er_linkage_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index of the same ER linkage clustering — the
+    chance-corrected pair-counting view next to B-cubed's per-record
+    view (two metrics disagreeing flags size-skewed damage). Same
+    planted truth, same cell-sized arithmetic."""
+    from mr_dice_spark.operators.evaluation import adjusted_rand_index
+
+    OFF = 10_000_000
+    linkage = er_best_match_linkage(spark, sf_dir)
+    clean = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_custkey").alias("cl"),
+        F.col("c_custkey").alias("gold"),
+    )
+    dirty = linkage.select(
+        (F.col("dirty_key") + OFF).alias("id"),
+        F.col("matched_key").alias("cl"),
+        F.col("dirty_key").alias("gold"),
+    )
+    out = adjusted_rand_index(clean.unionByName(dirty), "id", "cl", "gold")
+    return out.select("n", _r("ari", 6).alias("ari"))

@@ -430,3 +430,55 @@ def bcubed_scores(
         r.alias("bcubed_recall"),
         F.try_divide(2.0 * p * r, p + r).alias("bcubed_f1"),
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """Adjusted Rand Index of a clustering against gold labels (Hubert &
+    Arabie 1985) — B-cubed's pair-counting sibling, chance-corrected:
+    0 expected for a random clustering, 1 for perfect. From the same
+    (cluster, gold) overlap cells as :func:`bcubed_scores`:
+    ``ARI = (Σ C(o,2) - E) / (M - E)`` with ``E = Σ C(n_c,2) ·
+    Σ C(n_g,2) / C(n,2)`` and ``M`` the mean of the two marginal pair
+    sums. All pair counts are C(x,2) = x(x-1)/2 computed in the double
+    domain (x² overflows int64 at ~4.3e9 rows under ANSI). NULL when
+    the index is undefined (every record alone, or one giant cluster on
+    both sides — M = E). Returns ``(n, ari)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("__i"),
+        F.col(cluster_col).alias("__c"),
+        F.col(gold_col).alias("__g"),
+    ).where(
+        F.col(id_col).isNotNull()
+        & F.col(cluster_col).isNotNull()
+        & F.col(gold_col).isNotNull()
+    )
+    cells = base.groupBy("__c", "__g").agg(F.count(F.lit(1)).alias("__o"))
+    cells = cells.localCheckpoint(eager=True)
+
+    def pairs(col):
+        x = F.col(col).cast("double")
+        return x * (x - 1.0) / 2.0
+
+    so = cells.agg(
+        F.sum("__o").alias("n"), F.sum(pairs("__o")).alias("__so")
+    )
+    sc = cells.groupBy("__c").agg(F.sum("__o").alias("__nc")).agg(
+        F.sum(pairs("__nc")).alias("__sc")
+    )
+    sg = cells.groupBy("__g").agg(F.sum("__o").alias("__ng")).agg(
+        F.sum(pairs("__ng")).alias("__sg")
+    )
+    j = so.crossJoin(F.broadcast(sc)).crossJoin(F.broadcast(sg))
+    n = F.col("n").cast("double")
+    e = F.col("__sc") * F.col("__sg") / (n * (n - 1.0) / 2.0)
+    m = (F.col("__sc") + F.col("__sg")) / 2.0
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.try_divide(F.col("__so") - e, m - e).alias("ari"),
+    )

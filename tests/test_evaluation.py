@@ -197,3 +197,36 @@ def test_bcubed_hand_computed_and_extremes(spark):
     )
     [q] = bcubed_scores(perfect, "id", "cl", "gold").collect()
     assert q["bcubed_precision"] == 1.0 and q["bcubed_recall"] == 1.0
+
+
+def test_adjusted_rand_matches_sklearn_formula(spark):
+    """Hand example vs a direct Python computation of the ARI closed
+    form; perfect = 1.0, random-ish small example in (0, 1)."""
+    from math import comb
+
+    from mr_dice_spark.operators.evaluation import adjusted_rand_index
+
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "b", "y"), (5, "b", "y")]
+    df = spark.createDataFrame(rows, "id long, cl string, gold string")
+    [r] = adjusted_rand_index(df, "id", "cl", "gold").collect()
+    from collections import Counter
+    cells = Counter((c, g) for _, c, g in rows)
+    nc = Counter(c for _, c, _ in rows)
+    ng = Counter(g for _, _, g in rows)
+    so = sum(comb(v, 2) for v in cells.values())
+    sc = sum(comb(v, 2) for v in nc.values())
+    sg = sum(comb(v, 2) for v in ng.values())
+    e = sc * sg / comb(5, 2)
+    expect = (so - e) / ((sc + sg) / 2 - e)
+    assert abs(r["ari"] - expect) < 1e-12
+    perfect = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")], "id long, cl string, gold string"
+    )
+    [q] = adjusted_rand_index(perfect, "id", "cl", "gold").collect()
+    assert abs(q["ari"] - 1.0) < 1e-12
+    # degenerate: every record its own cluster on both sides -> M = E -> NULL
+    deg = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, cl string, gold string"
+    )
+    [d] = adjusted_rand_index(deg, "id", "cl", "gold").collect()
+    assert d["ari"] is None

@@ -51,6 +51,7 @@ ORACLE_BOUND = {
     # sf0.01 where the sketch is exact.
     "hll_rollup_distinct_users": "sketch exits exact sparse mode at sf0.1 (documented regime split)",
     "er_linkage_bcubed": "oracle embeds the same 225M-levenshtein ER cross join",
+    "er_linkage_ari": "oracle embeds the same 225M-levenshtein ER cross join",
 }
 
 MIN_FREE_GIB = float(os.environ.get("SWEEP_MIN_FREE_GIB", "20"))
