@@ -5108,3 +5108,77 @@ def time_weighted_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("avg_plain", 6).alias("avg_plain"),
         _r("avg_time_weighted", 6).alias("avg_time_weighted"),
     ).orderBy("event_type")
+
+
+HEAPS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id AS d,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+per_doc AS (SELECT d, COUNT(*) AS nt FROM words GROUP BY d),
+first_seen AS (SELECT w, MIN(d) AS fd FROM words GROUP BY w),
+new_terms AS (SELECT fd AS d, COUNT(*) AS nv FROM first_seen GROUP BY fd),
+docs AS (
+  SELECT p.d, p.nt, COALESCE(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN new_terms n ON n.d = p.d
+),
+cum AS (
+  SELECT d,
+         SUM(nt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cn,
+         SUM(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cv
+  FROM docs
+),
+pts AS (
+  SELECT ROUND(1e-9 + LOG10(CAST(cn AS DOUBLE)), 6) AS x,
+         ROUND(1e-9 + LOG10(CAST(cv AS DOUBLE)), 6) AS y
+  FROM cum WHERE cn > 0 AND cv > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pts
+),
+t AS (
+  SELECT COUNT(*) AS n_docs, SUM(nt) AS total_tokens, SUM(nv) AS vocab
+  FROM docs
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       ROUND(1e-9 + (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+         AS beta,
+       ROUND(1e-9 + (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                     * sx) / n, 6) AS log10_k,
+       ROUND(1e-9 + POW(n * sxy - sx * sy, 2)
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+FROM t CROSS JOIN m
+"""
+
+
+@golden(
+    "heaps_law_vocab_growth",
+    HEAPS_ORACLE,
+    tags=("text", "vocab", "corpus-health", "window"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth fit over documents read in id order
+    — the growth-curve corpus-health check beside the Zipf slope: a
+    31-term templated fixture flattens almost immediately (beta near
+    0), where organic text sits near 0.5. Per-term FIRST document makes
+    cumulative vocabulary one running sum; logs quantize to 6 dp before
+    the moment sums (chained-float contract)."""
+    from mr_dice_spark.operators.vocab import heaps_law_fit
+
+    docs = Catalog(spark, sf_dir).documents
+    out = heaps_law_fit(docs, "doc_id", "text")
+    return out.select(
+        "n_docs", "total_tokens", "vocab",
+        _r("beta", 6).alias("beta"),
+        _r("log10_k", 6).alias("log10_k"),
+        _r("r2", 6).alias("r2"),
+    )

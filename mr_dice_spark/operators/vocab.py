@@ -337,3 +337,81 @@ def bpe_encode_stats(
             F.col("n_tokens").cast("double"), F.col("n_words").cast("double")
         ).alias("fertility"),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: reading documents in id
+    order, the distinct-term count follows ``V(n) ~ K * n^beta`` in the
+    cumulative token count ``n`` (beta ~0.4-0.6 for organic text); a
+    templated or looping corpus flattens early (low beta), synthetic
+    id-stuffed text inflates it — the growth-curve twin of the Zipf
+    slope (which reads the FREQUENCY distribution at one point in
+    time). Returns one row ``(n_docs, total_tokens, vocab, beta,
+    log10_k, r2)`` from a log10-log10 OLS over the per-document
+    cumulative points.
+
+    Construction: per-doc token totals and per-term FIRST document (one
+    aggregate each — a term adds to the vocabulary exactly once, at its
+    first document), then running sums over the DOC-sized relation give
+    (cum_tokens, cum_vocab) per document. Both logs are quantized to
+    6 dp before the moment sums (the chained-float contract). The
+    running window orders the doc-sized relation globally — fine to
+    hundreds of millions of docs on one task's sort; beyond that the
+    two-pass partition prefix-sum (operators/packing.py) is the drop-in
+    scale path, documented not duplicated.
+    """
+    from mr_dice_spark.functions.text import tokens
+
+    words = df.select(
+        F.col(id_col).alias("__d"), F.explode(tokens(F.col(text_col))).alias("__w")
+    ).where(F.col("__w") != "")
+    per_doc = words.groupBy("__d").agg(F.count(F.lit(1)).alias("__nt"))
+    first = words.groupBy("__w").agg(F.min("__d").alias("__fd"))
+    new_terms = first.groupBy(F.col("__fd").alias("__d")).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    docs = per_doc.join(new_terms, "__d", "left").select(
+        "__d", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = docs.select(
+        "__d",
+        F.sum("__nt").over(w).alias("__cn"),
+        F.sum("__nv").over(w).alias("__cv"),
+    ).where((F.col("__cn") > 0) & (F.col("__cv") > 0))
+    pts = cum.select(
+        F.round(F.log10(F.col("__cn").cast("double")) + F.lit(1e-9), 6).alias("__x"),
+        F.round(F.log10(F.col("__cv").cast("double")) + F.lit(1e-9), 6).alias("__y"),
+    )
+    x, y = F.col("__x"), F.col("__y")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.sum("__nv").alias("vocab"),
+    )
+    nn = F.col("__n")
+    vx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    beta = F.try_divide(cov, vx)
+    out = totals.crossJoin(F.broadcast(m))
+    return out.select(
+        "n_docs",
+        "total_tokens",
+        "vocab",
+        beta.alias("beta"),
+        ((F.col("__sy") - beta * F.col("__sx")) / nn).alias("log10_k"),
+        F.try_divide(cov * cov, vx * vy).alias("r2"),
+    )

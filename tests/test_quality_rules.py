@@ -537,3 +537,21 @@ def test_bpe_encode_matches_train_application(spark):
     words = [w for _, t in rows for w in t.split()]
     assert enc["n_words"] == len(words)
     assert enc["n_tokens"] == sum(apply(w) for w in words)
+
+
+def test_heaps_law_extremes(spark):
+    """All-unique words -> V(n) = n exactly, so beta = 1 and r2 = 1;
+    a fixed-vocabulary loop flattens to beta near 0."""
+    from mr_dice_spark.operators.vocab import heaps_law_fit
+
+    uniq = [(i, f"w{i}a w{i}b w{i}c") for i in range(40)]
+    df = spark.createDataFrame(uniq, "doc_id long, text string")
+    [r] = heaps_law_fit(df, "doc_id", "text").collect()
+    assert r["vocab"] == 120 and r["total_tokens"] == 120
+    assert abs(r["beta"] - 1.0) < 1e-6 and abs(r["r2"] - 1.0) < 1e-6
+
+    flat = [(i, "the same five words again") for i in range(40)]
+    df2 = spark.createDataFrame(flat, "doc_id long, text string")
+    [r2] = heaps_law_fit(df2, "doc_id", "text").collect()
+    assert r2["vocab"] == 5
+    assert abs(r2["beta"]) < 0.2
