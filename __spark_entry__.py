@@ -150,7 +150,8 @@ _CHECK_FIRST = [
     # bpe_encode_fertility_by_lang, skyline_cheapest_smallest_parts,
     # welch_t_weekend_split, minhash_precision_audit_curve,
     # time_weighted_avg_by_type, er_linkage_bcubed, er_linkage_ari,
-    # heaps_law_vocab_growth,
+    # heaps_law_vocab_growth, rolling_median_value_hourly,
+    # expectations_orders_contract,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

@@ -5182,3 +5182,98 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("log10_k", 6).alias("log10_k"),
         _r("r2", 6).alias("r2"),
     )
+
+
+ROLLING_MEDIAN_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+         ROUND(1e-9 + AVG(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT k AS event_type, h AS bucket_s, v AS value,
+       ROUND(1e-9 + quantile_cont(v, 0.5) OVER (
+         PARTITION BY k ORDER BY h
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS smoothed
+FROM b ORDER BY event_type, bucket_s
+"""
+
+
+@golden(
+    "rolling_median_value_hourly",
+    ROLLING_MEDIAN_ORACLE,
+    tags=("timeseries", "robust", "window", "events"),
+)
+def rolling_median_value_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-bucket rolling-median smoother over the hourly value
+    series per type — the robust denoiser run before trend/anomaly
+    passes (a spiked bucket cannot move a median; partial windows at
+    the edges, pandas center semantics). Windowed percentile() is
+    exact interpolation = quantile_cont OVER; bucket means quantize
+    before the window."""
+    from mr_dice_spark.operators.timeseries import rolling_median
+
+    ev = Catalog(spark, sf_dir).events
+    out = rolling_median(ev, "event_type", "ts", "value", 3600, half_window=3)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "value",
+        _r("smoothed", 6).alias("smoothed"),
+    ).orderBy("event_type", "bucket_s")
+
+
+EXPECTATIONS_ORACLE = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         count_if(NOT COALESCE(o_totalprice > 0, FALSE)) AS f0,
+         count_if(NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE)) AS f1,
+         count_if(NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'),
+                               FALSE)) AS f2,
+         count_if(NOT COALESCE(o_orderdate >= TIMESTAMP '1992-01-01'
+                               AND o_orderdate < TIMESTAMP '1999-01-01',
+                               FALSE)) AS f3,
+         count_if(NOT (o_custkey IS NOT NULL)) AS f4
+  FROM orders
+)
+SELECT rule, CAST(n AS BIGINT) AS n_checked, CAST(f AS BIGINT) AS n_failed,
+       ROUND(1e-9 + 1.0 - f * 1.0 / n, 6) AS pass_rate
+FROM (
+  SELECT 'totalprice_positive' AS rule, n, f0 AS f FROM a
+  UNION ALL SELECT 'status_enum', n, f1 FROM a
+  UNION ALL SELECT 'priority_format', n, f2 FROM a
+  UNION ALL SELECT 'orderdate_in_range', n, f3 FROM a
+  UNION ALL SELECT 'custkey_present', n, f4 FROM a
+)
+ORDER BY rule
+"""
+
+
+@golden(
+    "expectations_orders_contract",
+    EXPECTATIONS_ORACLE,
+    tags=("profile", "contract", "validation", "agg"),
+)
+def expectations_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract report over orders (the
+    Great-Expectations shape as ONE relational pass): range, enum,
+    regex, time-window and presence expectations evaluate as
+    conditional counts in a single aggregate — adding a rule costs a
+    column, never a pass — with fail-closed NULL semantics (an
+    unevaluable expectation is not met). The per-rule pass rates are
+    the go/no-go gate an ingest publishes with its output."""
+    from mr_dice_spark.operators.profile import validate_expectations
+
+    orders = Catalog(spark, sf_dir).orders
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_enum", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+        (
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")),
+        ),
+        ("custkey_present", F.col("o_custkey").isNotNull()),
+    ]
+    return validate_expectations(orders, rules).orderBy("rule")

@@ -807,3 +807,50 @@ def chi_square_independence(
             "cramers_v"
         ),
     )
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Declarative data-contract check (the Great-Expectations shape as
+    ONE relational pass): each rule is ``(name, boolean Column)`` and
+    the report has one row per rule — ``(rule, n_checked, n_failed,
+    pass_rate)`` — where a NULL predicate result counts as FAILED
+    (fail-closed: an expectation that cannot be evaluated is not met;
+    state NULL-tolerance inside the rule with coalesce/isNotNull).
+
+    All rules evaluate in a single aggregate over one corpus scan
+    (conditional counts), then unpivot to rows via a literal stack —
+    adding a rule costs one column, never a pass. Row-count expectations
+    compose upstream; uniqueness needs a distinct aggregate and is
+    deliberately out of scope here (pair it with profile_columns'
+    distinct counts).
+    """
+    if not rules:
+        raise ValueError("validate_expectations: no rules given")
+    aggs = []
+    for i, (_, pred) in enumerate(rules):
+        ok = F.coalesce(pred.cast("boolean"), F.lit(False))
+        aggs.append(F.count(F.lit(1)).alias(f"__n{i}"))
+        aggs.append(F.count_if(~ok).alias(f"__f{i}"))
+    one = df.agg(*aggs)
+    stack = F.expr(
+        "stack({}, {})".format(
+            len(rules),
+            ", ".join(
+                f"'{name}', __n{i}, __f{i}"
+                for i, (name, _) in enumerate(rules)
+            ),
+        )
+    ).alias("rule", "n_checked", "n_failed")
+    out = one.select(stack)
+    return out.select(
+        "rule",
+        "n_checked",
+        "n_failed",
+        F.round(
+            1.0 - F.try_divide(F.col("n_failed"), F.col("n_checked")) + F.lit(1e-9),
+            6,
+        ).alias("pass_rate"),
+    )

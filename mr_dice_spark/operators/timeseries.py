@@ -493,3 +493,43 @@ def time_weighted_avg(
         "avg_plain",
         F.try_divide(F.col("__wv"), F.col("__span")).alias("avg_time_weighted"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    half_window: int = 3,
+) -> DataFrame:
+    """Centered rolling-median smoother over the bucketed series: each
+    bucket takes the exact interpolated median of the ``2*half_window +
+    1`` buckets around it — the robust denoiser (one spiked bucket
+    cannot move a median, unlike the rolling mean) run before trend or
+    anomaly passes. Edge buckets use the available partial window
+    (pandas ``rolling(center=True, min_periods=1)`` semantics).
+
+    Bucket means quantize to 6 dp before the window (chained-float
+    contract); the windowed percentile() is exact linear interpolation
+    (= DuckDB quantile_cont OVER). One (key, time) exchange; per-row
+    work is O(window), corpus-independent. Returns ``(key, bucket,
+    value, smoothed)``.
+    """
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1: {half_window}")
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
+    ).select("__k", "__h", F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v"))
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__h")
+        .rowsBetween(-half_window, half_window)
+    )
+    return b.select(
+        F.col("__k").alias(key_col),
+        F.col("__h").alias("bucket"),
+        F.col("__v").alias("value"),
+        F.percentile("__v", 0.5).over(w).alias("smoothed"),
+    )

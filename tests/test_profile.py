@@ -408,3 +408,25 @@ def test_gini_binned_close_to_exact_on_skewed_data(spark):
     [ex] = gini_concentration(df, "g", "v", "id").collect()
     [ap] = gini_concentration(df, "g", "v", exact=False, n_bins=256).collect()
     assert abs(ex["gini"] - ap["gini"]) < 0.01
+
+
+def test_validate_expectations_fail_closed_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.profile import validate_expectations
+
+    import pytest
+
+    rows = [(1, 5.0, "a"), (2, -1.0, "b"), (3, None, "a"), (4, 2.0, None)]
+    df = spark.createDataFrame(rows, "id long, v double, c string")
+    out = {r["rule"]: r for r in validate_expectations(df, [
+        ("v_positive", F.col("v") > 0),               # NULL v -> failed
+        ("c_enum", F.col("c").isin("a", "b")),        # NULL c -> failed
+        ("v_nullable_positive", F.col("v").isNull() | (F.col("v") > 0)),
+    ]).collect()}
+    assert out["v_positive"]["n_failed"] == 2       # -1 and NULL
+    assert out["c_enum"]["n_failed"] == 1           # NULL c fails closed
+    assert out["v_nullable_positive"]["n_failed"] == 1  # only -1
+    assert abs(out["v_positive"]["pass_rate"] - 0.5) < 1e-9
+    with pytest.raises(ValueError, match="no rules"):
+        validate_expectations(df, [])

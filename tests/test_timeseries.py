@@ -267,3 +267,22 @@ def test_time_weighted_avg_tied_timestamps_deterministic(spark):
     df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
     [r] = time_weighted_avg(df, "k", "ts", "v", "id").collect()
     assert abs(r["avg_time_weighted"] - 100.0) < 1e-12
+
+
+def test_rolling_median_hand_series_and_edges(spark):
+    """Spike at bucket 3 must vanish from the smoothed series; edge
+    buckets use the partial window (min_periods=1 semantics)."""
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import rolling_median
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 10.0, 999.0, 10.0, 10.0, 10.0]
+    rows = [("k", t0 + datetime.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {int((r["bucket"] - t0.replace(tzinfo=None)).total_seconds() // 3600):
+           r["smoothed"] for r in rolling_median(df, "k", "ts", "v", 3600, 3).collect()}
+    assert all(abs(got[i] - 10.0) < 1e-9 for i in range(7))  # spike gone
+    import pytest
+    with pytest.raises(ValueError, match="half_window"):
+        rolling_median(df, "k", "ts", "v", 3600, 0)
