@@ -155,6 +155,18 @@ PROBES = [
     "gini_approx_audit",
     "chi2_type_by_weekday",
     "er_best_match_linkage",
+    # round-5 session-4 continuation. er_linkage_bcubed/_ari share the
+    # er_best_match probe's shape (the metric tail is cell-sized);
+    # minhash_precision_audit shares the recall curve's (already
+    # probed via minhash_recall_audit_curve + the candidate-verify
+    # join is output-bound on the replicated fixture).
+    "bpe_encode_fertility_by_lang",
+    "skyline_cheapest_smallest_parts",
+    "welch_t_weekend_split",
+    "heaps_law_vocab_growth",
+    "rolling_median_value_hourly",
+    "expectations_orders_contract",
+    "time_weighted_avg_by_type",
 ]
 
 
