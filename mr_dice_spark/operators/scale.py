@@ -116,3 +116,77 @@ def salted_join(
     )
     out = left_s.join(right_s, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global running sums of ``value_cols`` in ``order_col``
+    order WITHOUT a single-partition window: range-partition on the
+    order key, run the cumulative windows per partition, collect ONE row
+    of totals per partition (driver state bounded by the partition
+    count), and broadcast the per-partition base offsets back — the
+    two-pass prefix-sum `packing.pack_sequences` pioneered, factored out
+    for every operator that needs a corpus-ordered cumulative
+    (vocabulary growth, token offsets, Lorenz curves over sorted keys).
+
+    The partitioned frame is eagerly materialized first: the totals job
+    and the final query are separately compiled plans, and the range
+    partitioner re-samples boundaries per plan while
+    spark_partition_id() is job-nondeterministic — without pinning, the
+    collected offsets could describe a different partitioning than the
+    one the final query executes (the pack_sequences lesson, stated
+    there in full).
+
+    Adds ``{col}_cum`` (inclusive running sum) per value column;
+    ``order_col`` must be unique. NULL values sum as 0.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df
+    parts = (
+        base.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else base.repartitionByRange(order_col)
+    )
+    parts = parts.withColumn("__pid", F.spark_partition_id())
+    parts = parts.localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "*",
+        *[
+            F.sum(F.coalesce(F.col(c), F.lit(0))).over(w).alias(f"__lcum_{c}")
+            for c in value_cols
+        ],
+    )
+    totals = sorted(
+        parts.groupBy("__pid")
+        .agg(*[F.sum(F.coalesce(F.col(c), F.lit(0))).alias(c) for c in value_cols])
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], {c: 0 for c in value_cols}
+    for r in totals:
+        offsets.append((r["__pid"], *[acc[c] for c in value_cols]))
+        for c in value_cols:
+            acc[c] += r[c] or 0
+    schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in value_cols)
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [tuple([0] + [0] * len(value_cols))], schema
+        )
+    )
+    out = local.join(off_df, "__pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_cum", F.col(f"__off_{c}") + F.col(f"__lcum_{c}")
+        ).drop(f"__lcum_{c}", f"__off_{c}")
+    return out.drop("__pid")

@@ -357,14 +357,13 @@ def heaps_law_fit(
     Construction: per-doc token totals and per-term FIRST document (one
     aggregate each — a term adds to the vocabulary exactly once, at its
     first document), then running sums over the DOC-sized relation give
-    (cum_tokens, cum_vocab) per document. Both logs are quantized to
-    6 dp before the moment sums (the chained-float contract). The
-    running window orders the doc-sized relation globally — fine to
-    hundreds of millions of docs on one task's sort; beyond that the
-    two-pass partition prefix-sum (operators/packing.py) is the drop-in
-    scale path, documented not duplicated.
+    (cum_tokens, cum_vocab) per document — via the DISTRIBUTED two-pass
+    prefix sum (`operators.scale.prefix_sums`), so no single-partition
+    window exists at any corpus size. Both logs are quantized to 6 dp
+    before the moment sums (the chained-float contract).
     """
     from mr_dice_spark.functions.text import tokens
+    from mr_dice_spark.operators.scale import prefix_sums
 
     words = df.select(
         F.col(id_col).alias("__d"), F.explode(tokens(F.col(text_col))).alias("__w")
@@ -377,11 +376,10 @@ def heaps_law_fit(
     docs = per_doc.join(new_terms, "__d", "left").select(
         "__d", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
     )
-    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
-    cum = docs.select(
+    cum = prefix_sums(docs, "__d", ["__nt", "__nv"]).select(
         "__d",
-        F.sum("__nt").over(w).alias("__cn"),
-        F.sum("__nv").over(w).alias("__cv"),
+        F.col("__nt_cum").alias("__cn"),
+        F.col("__nv_cum").alias("__cv"),
     ).where((F.col("__cn") > 0) & (F.col("__cv") > 0))
     pts = cum.select(
         F.round(F.log10(F.col("__cn").cast("double")) + F.lit(1e-9), 6).alias("__x"),

@@ -555,3 +555,32 @@ def test_heaps_law_extremes(spark):
     [r2] = heaps_law_fit(df2, "doc_id", "text").collect()
     assert r2["vocab"] == 5
     assert abs(r2["beta"]) < 0.2
+
+
+def test_prefix_sums_matches_single_window_any_partitioning(spark):
+    """The distributed two-pass prefix sum must equal the plain global
+    running sum on every row, for multiple columns, regardless of input
+    partitioning (the partitioning-independence contract)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.scale import prefix_sums
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(0, 9), rng.randint(0, 5)) for i in range(500)]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(rows, "k long, a long, b long").repartition(nparts)
+        got = {
+            r["k"]: (r["a_cum"], r["b_cum"])
+            for r in prefix_sums(df, "k", ["a", "b"], num_partitions=5).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ref = {
+            r["k"]: (r["ca"], r["cb"])
+            for r in spark.createDataFrame(rows, "k long, a long, b long")
+            .select("k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb"))
+            .collect()
+        }
+        assert got == ref
