@@ -151,7 +151,7 @@ _CHECK_FIRST = [
     # welch_t_weekend_split, minhash_precision_audit_curve,
     # time_weighted_avg_by_type, er_linkage_bcubed, er_linkage_ari,
     # heaps_law_vocab_growth, rolling_median_value_hourly,
-    # expectations_orders_contract,
+    # expectations_orders_contract, conformal_coverage_daily_trend,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

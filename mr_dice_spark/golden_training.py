@@ -1172,3 +1172,92 @@ def welch_t_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("t_stat", 6).alias("t_stat"),
         _r("df_welch", 6).alias("df_welch"),
     ).orderBy("event_type")
+
+
+CONFORMAL_ORACLE = """
+WITH b AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) - 19723 AS x,
+         ROUND(1e-9 + AVG(value), 6) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+s AS (
+  SELECT g, x, y,
+         CASE WHEN x < 10 THEN 'fit'
+              WHEN x < 20 THEN 'calib' ELSE 'test' END AS sp
+  FROM b
+),
+m AS (
+  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM s WHERE sp = 'fit' GROUP BY g
+),
+model AS (
+  SELECT g, CAST(n AS BIGINT) AS n_fit,
+         ROUND(1e-9 + (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+           AS b_,
+         ROUND(1e-9 + (sy - (n * sxy - sx * sy)
+                       / NULLIF(n * sxx - sx * sx, 0) * sx) / n, 6) AS a_
+  FROM m
+),
+r AS (
+  SELECT s.g, s.sp, ABS(s.y - (model.a_ + model.b_ * s.x)) AS resid
+  FROM s JOIN model ON model.g = s.g
+),
+c AS (
+  SELECT g, COUNT(*) AS n_calib,
+         ROUND(1e-9 + quantile_cont(resid, 0.9), 6) AS q_resid
+  FROM r WHERE sp = 'calib' GROUP BY g
+),
+t AS (
+  SELECT r.g, COUNT(*) AS n_test,
+         ROUND(1e-9 + AVG(CASE WHEN resid <= q_resid
+                               THEN 1.0 ELSE 0.0 END), 6) AS coverage
+  FROM r JOIN c ON c.g = r.g WHERE sp = 'test' GROUP BY r.g
+)
+SELECT model.g AS event_type, model.n_fit,
+       CAST(COALESCE(c.n_calib, 0) AS BIGINT) AS n_calib,
+       CAST(COALESCE(t.n_test, 0) AS BIGINT) AS n_test,
+       c.q_resid, t.coverage
+FROM model
+LEFT JOIN c ON c.g = model.g
+LEFT JOIN t ON t.g = model.g
+ORDER BY event_type
+"""
+
+
+@golden(
+    "conformal_coverage_daily_trend",
+    CONFORMAL_ORACLE,
+    tags=("evaluation", "conformal", "calibration", "pipeline"),
+)
+def conformal_coverage_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval audit on the daily value trend per event
+    type: fit days 0-9, calibrate the 90% absolute-residual quantile on
+    days 10-19, measure empirical coverage on days 20+. The
+    distribution-free 'are my prediction intervals honest' check —
+    coverage far from 0.9 flags regime drift between calibration and
+    test. Model coefficients and residual quantiles quantize to 6 dp
+    (chained-float contract); percentile() = quantile_cont."""
+    from mr_dice_spark.operators.evaluation import conformal_residual_coverage
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull())
+    day = (F.floor(F.unix_timestamp("ts") / 86400).cast("long") - 19723)
+    daily = ev.groupBy(
+        F.col("event_type"), day.alias("x")
+    ).agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("y"))
+    split = (
+        F.when(F.col("x") < 10, "fit")
+        .when(F.col("x") < 20, "calib")
+        .otherwise("test")
+    )
+    daily = daily.withColumn("sp", split)
+    out = conformal_residual_coverage(
+        daily, "event_type", "x", "y", "sp", alpha=0.1
+    )
+    return out.select(
+        "event_type", "n_fit", "n_calib", "n_test",
+        _r("q_resid", 6).alias("q_resid"),
+        _r("coverage", 6).alias("coverage"),
+    ).orderBy("event_type")

@@ -482,3 +482,93 @@ def adjusted_rand_index(
         F.col("n").cast("long").alias("n"),
         F.try_divide(F.col("__so") - e, m - e).alias("ari"),
     )
+
+
+def conformal_residual_coverage(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    split_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration check per group: fit a linear trend
+    on the FIT rows, take the (1 - alpha) quantile of absolute
+    residuals on the CALIBRATION rows, and report the EMPIRICAL
+    coverage of ``prediction ± q`` on the TEST rows — the
+    distribution-free 'are my intervals honest' audit (coverage far
+    from 1 - alpha means the calibration split no longer represents the
+    test regime: drift, or leakage between splits).
+
+    ``split_col`` must hold 'fit' / 'calib' / 'test' (other labels are
+    ignored). One grouped moment aggregate for the fit, one exact
+    quantile on the calibration residuals, one conditional count on the
+    test rows — three group-sized passes, no corpus self-join. Returns
+    ``(group, n_fit, n_calib, n_test, q_resid, coverage)``; NULL
+    q_resid/coverage when any split is empty or the fit is degenerate.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(split_col).alias("__s"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(split_col).isin("fit", "calib", "test")
+    )
+    fit = base.where(F.col("__s") == "fit")
+    n = F.count(F.lit(1)).cast("double")
+    m = fit.groupBy("__g").agg(
+        n.alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    vx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.try_divide(
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"), vx
+    )
+    model = m.select(
+        "__g",
+        F.round(slope + F.lit(1e-9), 6).alias("__b"),
+        F.round(
+            (F.col("__sy") - slope * F.col("__sx")) / F.col("__n") + F.lit(1e-9), 6
+        ).alias("__a"),
+        F.col("__n").cast("long").alias("n_fit"),
+    )
+    scored = base.join(F.broadcast(model), "__g").withColumn(
+        "__r", F.abs(F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x")))
+    )
+    calib = scored.where(F.col("__s") == "calib").groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_calib"),
+        F.round(
+            F.percentile("__r", float(1.0 - alpha)) + F.lit(1e-9), 6
+        ).alias("q_resid"),
+    )
+    test = (
+        scored.where(F.col("__s") == "test")
+        .join(F.broadcast(calib), "__g")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.avg(
+                (F.col("__r") <= F.col("q_resid")).cast("double")
+            ).alias("coverage"),
+        )
+    )
+    return (
+        model.select("__g", "n_fit")
+        .join(calib, "__g", "left")
+        .join(test, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_fit",
+            F.coalesce("n_calib", F.lit(0)).alias("n_calib"),
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+            "q_resid",
+            "coverage",
+        )
+    )

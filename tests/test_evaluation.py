@@ -230,3 +230,23 @@ def test_adjusted_rand_matches_sklearn_formula(spark):
     )
     [d] = adjusted_rand_index(deg, "id", "cl", "gold").collect()
     assert d["ari"] is None
+
+
+def test_conformal_coverage_honest_and_drifted(spark):
+    """Exact linear data: residuals are 0 everywhere -> q = 0 and
+    coverage = 1.0. A level-shifted test regime busts coverage to 0."""
+    from mr_dice_spark.operators.evaluation import conformal_residual_coverage
+
+    lin = [("g", float(x), 2.0 + 3.0 * x,
+            "fit" if x < 10 else ("calib" if x < 20 else "test"))
+           for x in range(30)]
+    df = spark.createDataFrame(lin, "g string, x double, y double, sp string")
+    [r] = conformal_residual_coverage(df, "g", "x", "y", "sp").collect()
+    assert r["n_fit"] == 10 and r["n_calib"] == 10 and r["n_test"] == 10
+    assert abs(r["q_resid"]) < 1e-9 and abs(r["coverage"] - 1.0) < 1e-12
+
+    drift = [(g, x, y + (50.0 if sp == "test" else 0.0), sp)
+             for g, x, y, sp in lin]
+    df2 = spark.createDataFrame(drift, "g string, x double, y double, sp string")
+    [d] = conformal_residual_coverage(df2, "g", "x", "y", "sp").collect()
+    assert d["coverage"] == 0.0  # every shifted test point escapes the band
