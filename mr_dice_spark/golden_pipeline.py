@@ -5277,3 +5277,59 @@ def expectations_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("custkey_present", F.col("o_custkey").isNotNull()),
     ]
     return validate_expectations(orders, rules).orderBy("rule")
+
+
+TRAILING_DAU_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         user_id AS e
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+per_bucket AS (
+  SELECT k, h, COUNT(*) AS n_events_bucket FROM base GROUP BY k, h
+),
+triples AS (SELECT DISTINCT k, h, e FROM base),
+fanned AS (
+  SELECT k, e, h + i AS t
+  FROM triples, UNNEST(range(0, 24)) AS u(i)
+),
+trl AS (
+  SELECT k, t, COUNT(DISTINCT e) AS n_distinct_trailing
+  FROM fanned GROUP BY k, t
+)
+SELECT p.k AS event_type,
+       p.h * 3600 AS bucket_s,
+       CAST(p.n_events_bucket AS BIGINT) AS n_events_bucket,
+       CAST(tr.n_distinct_trailing AS BIGINT) AS n_distinct_trailing
+FROM per_bucket p
+JOIN trl tr ON tr.k = p.k AND tr.t = p.h
+ORDER BY event_type, bucket_s
+"""
+
+
+@golden(
+    "trailing_distinct_users_hourly",
+    TRAILING_DAU_ORACLE,
+    tags=("timeseries", "distinct", "window", "events"),
+)
+def trailing_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly trailing-24h distinct active users per event type — the
+    rolling cardinality Spark windows cannot express (count_distinct is
+    not frame-able). One corpus-sized distinct-triple reduction, then a
+    BOUNDED 24-way fan-out and a distinct count per target bucket:
+    shuffle volume is 24x the distinct triples, independent of raw
+    event volume."""
+    from mr_dice_spark.operators.timeseries import trailing_distinct_count
+
+    ev = Catalog(spark, sf_dir).events
+    out = trailing_distinct_count(
+        ev, "event_type", "ts", "user_id", 3600, trailing_buckets=24
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "n_events_bucket",
+        "n_distinct_trailing",
+    ).orderBy("event_type", "bucket_s")

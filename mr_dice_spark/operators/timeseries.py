@@ -533,3 +533,70 @@ def rolling_median(
         F.col("__v").alias("value"),
         F.percentile("__v", 0.5).over(w).alias("smoothed"),
     )
+
+
+def trailing_distinct_count(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    entity_col: str,
+    step_seconds: int = 3600,
+    trailing_buckets: int = 24,
+) -> DataFrame:
+    """Exact trailing-window distinct-entity count per (key, bucket):
+    'distinct active users in the trailing 24 h, hourly' — the rolling
+    cardinality Spark windows cannot state (count_distinct is not
+    frame-able) and HLL frames would only approximate. For each
+    observed bucket ``h``, counts entities seen in buckets
+    ``(h - trailing_buckets, h]`` for that key.
+
+    Shape: reduce to DISTINCT (key, bucket, entity) rows first (the
+    only corpus-sized pass), then fan each row out to the
+    ``trailing_buckets`` target buckets it is visible in (a bounded
+    explode — shuffle volume is ``trailing_buckets x`` the distinct
+    triple count, independent of raw event volume) and count distinct
+    entities per target. Only buckets with at least one event of their
+    own are reported (grid completion composes with resample_ffill).
+    Returns ``(key, bucket, n_events_bucket, n_distinct_trailing)``.
+    """
+    if trailing_buckets < 1:
+        raise ValueError(f"trailing_buckets must be >= 1: {trailing_buckets}")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long")
+    )
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        bucket.alias("__h"),
+        F.col(entity_col).alias("__e"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(entity_col).isNotNull()
+    )
+    per_bucket = base.groupBy("__k", "__h").agg(
+        F.count(F.lit(1)).alias("n_events_bucket")
+    )
+    triples = base.distinct()
+    fanned = triples.select(
+        "__k",
+        "__e",
+        F.explode(
+            F.sequence(F.col("__h"), F.col("__h") + (trailing_buckets - 1))
+        ).alias("__t"),
+    )
+    trailing = fanned.groupBy("__k", "__t").agg(
+        F.count_distinct("__e").alias("n_distinct_trailing")
+    )
+    return (
+        per_bucket.join(
+            trailing,
+            (per_bucket["__k"] == trailing["__k"])
+            & (per_bucket["__h"] == trailing["__t"]),
+        )
+        .select(
+            per_bucket["__k"].alias(key_col),
+            F.timestamp_seconds(per_bucket["__h"] * step_seconds).alias("bucket"),
+            "n_events_bucket",
+            "n_distinct_trailing",
+        )
+    )

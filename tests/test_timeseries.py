@@ -286,3 +286,29 @@ def test_rolling_median_hand_series_and_edges(spark):
     import pytest
     with pytest.raises(ValueError, match="half_window"):
         rolling_median(df, "k", "ts", "v", 3600, 0)
+
+
+def test_trailing_distinct_count_hand_series(spark):
+    """User A in hours 0 and 25, user B in hour 1: trailing-24h
+    distinct at hour 1 sees {A, B}; at hour 25 only {A} (hour-1 B fell
+    out of (25-24, 25])."""
+    import datetime
+
+    from mr_dice_spark.operators.timeseries import trailing_distinct_count
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, "A"),
+        ("k", t0 + datetime.timedelta(hours=1), "B"),
+        ("k", t0 + datetime.timedelta(hours=25), "A"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, u string")
+    got = {
+        int((r["bucket"] - t0.replace(tzinfo=None)).total_seconds() // 3600):
+        (r["n_events_bucket"], r["n_distinct_trailing"])
+        for r in trailing_distinct_count(df, "k", "ts", "u", 3600, 24).collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 2), 25: (1, 1)}
+    import pytest
+    with pytest.raises(ValueError, match="trailing_buckets"):
+        trailing_distinct_count(df, "k", "ts", "u", 3600, 0)
