@@ -152,7 +152,7 @@ _CHECK_FIRST = [
     # time_weighted_avg_by_type, er_linkage_bcubed, er_linkage_ari,
     # heaps_law_vocab_growth, rolling_median_value_hourly,
     # expectations_orders_contract, conformal_coverage_daily_trend,
-    # trailing_distinct_users_hourly,
+    # trailing_distinct_users_hourly, kaplan_meier_time_to_purchase,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

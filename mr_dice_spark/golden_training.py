@@ -1261,3 +1261,96 @@ def conformal_coverage_daily_trend(spark: SparkSession, sf_dir: str) -> DataFram
         _r("q_resid", 6).alias("q_resid"),
         _r("coverage", 6).alias("coverage"),
     ).orderBy("event_type")
+
+
+KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CONCAT('c', CAST(user_id % 4 AS VARCHAR)) AS cohort,
+         MIN(epoch_us(ts)) AS first_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS purch_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+subj AS (
+  SELECT cohort,
+         CAST(FLOOR((COALESCE(purch_us, last_us) - first_us)
+                    / 3600000000.0) AS DOUBLE) AS t,
+         purch_us IS NOT NULL AS e
+  FROM per_user
+),
+times AS (
+  SELECT cohort AS g, t,
+         count_if(e) AS d, count_if(NOT e) AS c
+  FROM subj GROUP BY 1, 2
+),
+staged AS (
+  SELECT g, t, d, c,
+         SUM(d + c) OVER (PARTITION BY g)
+         - COALESCE(SUM(d + c) OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM times
+),
+lf AS (
+  SELECT g, t, d, c, n,
+         CASE WHEN d < n
+              THEN ROUND(1e-12 + LN(1.0 - CAST(d AS DOUBLE) / n), 9) END AS f
+  FROM staged
+),
+surv AS (
+  SELECT g, t, d, c, n,
+         CASE WHEN MAX(CASE WHEN d >= n THEN t END) OVER w IS NOT NULL
+              THEN 0.0
+              ELSE EXP(SUM(f) OVER w) END AS s
+  FROM lf
+  WINDOW w AS (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT g AS cohort, t AS duration_h,
+       CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       ROUND(1e-9 + s, 6) AS survival
+FROM surv WHERE d > 0
+ORDER BY cohort, duration_h
+"""
+
+
+@golden(
+    "kaplan_meier_time_to_purchase",
+    KM_ORACLE,
+    tags=("evaluation", "survival", "window", "events"),
+)
+def kaplan_meier_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase per user cohort, with users
+    who never purchase right-CENSORED at their last event — the honest
+    conversion-latency curve (dropping non-converters biases every
+    naive average toward the impatient). Durations are whole hours
+    (integer-exact group keys); the survival product telescopes to an
+    exp(running sum of 9dp-quantized logs) — one ordered window per
+    cohort, both engines chaining identical doubles."""
+    from mr_dice_spark.operators.evaluation import kaplan_meier
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    subj = per_user.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("cohort"),
+        F.floor(
+            (F.coalesce("purch_us", "last_us") - F.col("first_us")) / 3600000000.0
+        ).cast("double").alias("duration_h"),
+        F.col("purch_us").isNotNull().alias("converted"),
+    )
+    out = kaplan_meier(subj, "cohort", "duration_h", "converted")
+    return out.select(
+        "cohort", "duration_h", "n_risk", "n_events", "n_censored",
+        _r("survival", 6).alias("survival"),
+    ).orderBy("cohort", "duration_h")

@@ -572,3 +572,89 @@ def conformal_residual_coverage(
             "coverage",
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group from (duration, observed)
+    pairs — time-to-conversion / time-to-churn with right-censoring
+    done honestly (dropping censored subjects biases every naive
+    average): at each observed event time ``t``,
+    ``S(t) = prod_{t_i <= t} (1 - d_i / n_i)`` with ``d_i`` events and
+    ``n_i`` the at-risk count (subjects with duration >= t_i, censored
+    included until they leave).
+
+    Relational form: one (group, duration) aggregate counting events
+    and censorings per time; the at-risk count is a REVERSED running
+    sum (n at t = total minus everything that left strictly before t);
+    the product telescopes to ``exp(running sum of ln(1 - d/n))`` — one
+    ordered window per group, no recursion. Each factor's log is
+    nudge-rounded to 9 dp before the running sum (the chained-float
+    contract; 9 dp because factors near 1 need the headroom), so both
+    engines accumulate identical doubles in identical order. A time
+    where d = n (everyone left by event) sends S to exactly 0 via a
+    NULL-log guard rather than ln(0).
+
+    Returns one row per (group, observed event time): ``(group,
+    duration, n_risk, n_events, n_censored, survival)``. Censor-only
+    times affect n_risk but emit no row (the KM convention).
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(duration_col).cast("double").alias("__t"),
+        F.col(event_col).cast("boolean").alias("__e"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    )
+    times = base.groupBy("__g", "__t").agg(
+        F.count_if(F.col("__e")).alias("__d"),
+        F.count_if(~F.col("__e")).alias("__c"),
+    )
+    w_all = Window.partitionBy("__g")
+    w_before = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_risk = (
+        F.sum(F.col("__d") + F.col("__c")).over(w_all)
+        - F.coalesce(F.sum(F.col("__d") + F.col("__c")).over(w_before), F.lit(0))
+    )
+    staged = times.select(
+        "__g", "__t", "__d", "__c", n_risk.alias("__n")
+    )
+    # ln factor, rounded; d = n -> S hits exactly 0 downstream
+    lf = F.when(
+        F.col("__d") < F.col("__n"),
+        F.round(
+            F.log(1.0 - F.col("__d").cast("double") / F.col("__n")) + F.lit(1e-12),
+            9,
+        ),
+    )
+    w_run = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dead = F.max(F.when(F.col("__d") >= F.col("__n"), F.col("__t"))).over(w_run)
+    surv = F.when(dead.isNotNull(), F.lit(0.0)).otherwise(
+        F.exp(F.sum(lf).over(w_run))
+    )
+    return (
+        staged.withColumn("survival", surv)
+        .where(F.col("__d") > 0)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(duration_col),
+            F.col("__n").cast("long").alias("n_risk"),
+            F.col("__d").cast("long").alias("n_events"),
+            F.col("__c").cast("long").alias("n_censored"),
+            "survival",
+        )
+    )

@@ -250,3 +250,31 @@ def test_conformal_coverage_honest_and_drifted(spark):
     df2 = spark.createDataFrame(drift, "g string, x double, y double, sp string")
     [d] = conformal_residual_coverage(df2, "g", "x", "y", "sp").collect()
     assert d["coverage"] == 0.0  # every shifted test point escapes the band
+
+
+def test_kaplan_meier_textbook_with_censoring(spark):
+    """Classic example: durations [1e, 2c, 3e, 4e, 5c] (e=event,
+    c=censored). S(1)=4/5; S(3)=4/5 * 2/3; S(4)=4/5 * 2/3 * 1/2.
+    Censor-only times emit no row; n_risk honors censoring."""
+    from mr_dice_spark.operators.evaluation import kaplan_meier
+
+    rows = [("g", 1.0, True), ("g", 2.0, False), ("g", 3.0, True),
+            ("g", 4.0, True), ("g", 5.0, False)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    got = {r["t"]: r for r in kaplan_meier(df, "g", "t", "e").collect()}
+    assert set(got) == {1.0, 3.0, 4.0}     # censor times 2, 5 emit no row
+    assert got[1.0]["n_risk"] == 5 and abs(got[1.0]["survival"] - 4 / 5) < 1e-6
+    assert got[3.0]["n_risk"] == 3
+    assert abs(got[3.0]["survival"] - 4 / 5 * 2 / 3) < 1e-6
+    assert got[4.0]["n_risk"] == 2
+    assert abs(got[4.0]["survival"] - 4 / 5 * 2 / 3 * 1 / 2) < 1e-6
+
+
+def test_kaplan_meier_everyone_dies_hits_zero(spark):
+    from mr_dice_spark.operators.evaluation import kaplan_meier
+
+    rows = [("g", 1.0, True), ("g", 1.0, True), ("g", 2.0, True)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    got = {r["t"]: r["survival"] for r in kaplan_meier(df, "g", "t", "e").collect()}
+    assert abs(got[1.0] - 1 / 3) < 1e-9
+    assert got[2.0] == 0.0                  # d = n at t=2 -> exact zero
