@@ -1453,3 +1453,67 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+RULES_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         event_type AS it
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+nb AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT DISTINCT user_id, day FROM e)
+),
+singles AS MATERIALIZED (
+  SELECT it, COUNT(*) AS s FROM e GROUP BY it HAVING COUNT(*) >= 100
+),
+pairs AS MATERIALIZED (
+  SELECT a.it AS ia, b.it AS ib, COUNT(*) AS sab
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.day = b.day AND a.it < b.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 100
+),
+directed AS (
+  SELECT ia AS antecedent, ib AS consequent, sab FROM pairs
+  UNION ALL
+  SELECT ib, ia, sab FROM pairs
+)
+SELECT d.antecedent, d.consequent, CAST(d.sab AS BIGINT) AS support,
+       ROUND(1e-9 + d.sab * 1.0 / sa.s, 6) AS confidence,
+       ROUND(1e-9 + (d.sab * 1.0 / sa.s) * nb.n / sc.s, 6) AS lift
+FROM directed d
+JOIN singles sa ON sa.it = d.antecedent
+JOIN singles sc ON sc.it = d.consequent
+CROSS JOIN nb
+WHERE d.sab * 1.0 / sa.s >= 0.3
+ORDER BY antecedent, consequent
+"""
+
+
+@golden(
+    "association_rules_events",
+    RULES_ORACLE,
+    tags=("events", "itemsets", "rules", "analytics"),
+)
+def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the (user, day) event baskets: directed
+    confidence and chance-normalized lift from the frequent pairs —
+    the diagnostics layer on frequent_event_itemsets (lift < 1 flags
+    substitutes, > 1 genuine co-occurrence). The oracle mines pairs by
+    the opposite algorithm (self-joins, the itemsets golden's
+    cross-check strategy) and restates the rule arithmetic on exact
+    counts."""
+    from mr_dice_spark.operators.itemsets import association_rules
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
+    out = association_rules(
+        ev, ["user_id", "day"], "event_type",
+        min_support=100, min_confidence=0.3,
+    )
+    return out.select(
+        "antecedent", "consequent", "support",
+        _r("confidence", 6).alias("confidence"),
+        _r("lift", 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")

@@ -115,3 +115,75 @@ def frequent_itemsets(
         )
         out = counts if out is None else out.unionByName(counts)
     return out
+
+
+def association_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_support: int,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Association rules from the frequent pairs: for every frequent
+    itemset {a, b}, both directed rules with
+    ``confidence = sup(ab) / sup(antecedent)`` and
+    ``lift = confidence / (sup(consequent) / n_baskets)`` — lift > 1 is
+    genuine co-occurrence, lift < 1 is substitution; the classic
+    recommendation/diagnostics layer over :func:`frequent_itemsets`.
+    Antecedent singletons are always frequent when the pair is
+    (sup(a) >= sup(ab) >= min_support), so the join never drops rules.
+
+    One extra distinct-basket count beside the itemset mining (a driver
+    scalar, the k-means-centroid idiom); the rule build itself is
+    pair-sized. Returns ``(antecedent, consequent, support, confidence,
+    lift)`` for rules at or above ``min_confidence``.
+    """
+    its = frequent_itemsets(
+        df, basket_cols, item_col, min_support=min_support, max_size=2
+    )
+    singles = its.where(F.col("size") == 1).select(
+        F.col("itemset").alias("__it"), F.col("support").alias("__s")
+    )
+    pairs = its.where(F.col("size") == 2).select(
+        F.split("itemset", " ").getItem(0).alias("__a"),
+        F.split("itemset", " ").getItem(1).alias("__b"),
+        F.col("support").alias("__sab"),
+    )
+    nn = df
+    for c in [*basket_cols, item_col]:
+        nn = nn.where(F.col(c).isNotNull())
+    n_b = nn.select(*basket_cols).distinct().count()
+    directed = pairs.select(
+        F.col("__a").alias("antecedent"), F.col("__b").alias("consequent"), "__sab"
+    ).union(
+        pairs.select(
+            F.col("__b").alias("antecedent"), F.col("__a").alias("consequent"),
+            "__sab",
+        )
+    )
+    out = (
+        directed.join(
+            F.broadcast(singles.withColumnRenamed("__it", "antecedent")
+                        .withColumnRenamed("__s", "__sa")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                singles.withColumnRenamed("__it", "consequent")
+                .withColumnRenamed("__s", "__sc")
+            ),
+            "consequent",
+        )
+    )
+    conf = F.col("__sab").cast("double") / F.col("__sa")
+    lift = conf * F.lit(float(n_b)) / F.col("__sc")
+    return (
+        out.select(
+            "antecedent",
+            "consequent",
+            F.col("__sab").alias("support"),
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .where(F.col("confidence") >= min_confidence)
+    )

@@ -263,3 +263,31 @@ def test_frequent_itemsets_set_semantics_and_guards(spark):
         frequent_itemsets(df, ["user_id"], "it", 0)
     with pytest.raises(ValueError, match="max_basket_items"):
         frequent_itemsets(df, ["day"], "it", 1, max_basket_items=2)
+
+
+def test_association_rules_hand_baskets(spark):
+    """4 baskets: {a,b} x3, {a} x1 -> rule a->b has conf 3/4, lift
+    (3/4)/(3/4) = 1.0; rule b->a conf 1, lift 1/(4/4)... computed by
+    hand below; min_confidence filters."""
+    from mr_dice_spark.operators.itemsets import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["antecedent"], r["consequent"]): r for r in
+           association_rules(df, ["basket"], "item", min_support=1).collect()}
+    ab = got[("a", "b")]
+    assert ab["support"] == 3
+    assert abs(ab["confidence"] - 3 / 4) < 1e-12
+    assert abs(ab["lift"] - (3 / 4) / (3 / 4)) < 1e-12      # sup(b)/n = 3/4
+    ba = got[("b", "a")]
+    assert abs(ba["confidence"] - 1.0) < 1e-12
+    assert abs(ba["lift"] - 1.0 / (4 / 4)) < 1e-12          # sup(a)/n = 1
+    filtered = association_rules(
+        df, ["basket"], "item", min_support=1, min_confidence=0.9
+    ).collect()
+    assert [(r["antecedent"], r["consequent"]) for r in filtered] == [("b", "a")]
