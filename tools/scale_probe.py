@@ -167,6 +167,9 @@ PROBES = [
     "rolling_median_value_hourly",
     "expectations_orders_contract",
     "time_weighted_avg_by_type",
+    "trailing_distinct_users_hourly",
+    "kaplan_meier_time_to_purchase",
+    "association_rules_events",
 ]
 
 
