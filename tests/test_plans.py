@@ -1148,3 +1148,44 @@ def test_skyline_no_dominance_bnlj(spark, sf_dir):
     assert not has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert broadcast_join_count(df) >= 1
+
+
+def test_trailing_distinct_bounded_fanout_shape(spark, sf_dir):
+    """Distinct-triple reduction then a bounded explode + distinct
+    count: hash shapes only, no cartesian, and the fan-out must ride
+    the triple aggregate (<= 4 exchanges end to end)."""
+    from mr_dice_spark.operators.timeseries import trailing_distinct_count
+
+    ev = Catalog(spark, sf_dir).events
+    df = trailing_distinct_count(ev, "event_type", "ts", "user_id", 3600, 24)
+    assert not has_cartesian(df)
+    assert_max_shuffles(df, 4)
+
+
+def test_kaplan_meier_group_windows_share_exchange(spark, sf_dir):
+    """All three KM windows (at-risk reversed sum, log running sum,
+    dead marker) partition on the group key — one exchange past the
+    (group, time) aggregate."""
+    from mr_dice_spark.operators.evaluation import kaplan_meier
+
+    subj = Catalog(spark, sf_dir).events.select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 50).cast("double").alias("t"),
+        (F.col("event_id") % 2 == 0).alias("e"),
+    )
+    df = kaplan_meier(subj, "g", "t", "e")
+    assert_max_shuffles(df, 2)
+
+
+def test_association_rules_broadcast_singleton_supports(spark, sf_dir):
+    """The rule build joins pair supports to singleton supports — both
+    broadcast (item-domain-sized), never a shuffled join. (The plan's
+    BroadcastNestedLoopJoin/Cross nodes are frequent_itemsets' intended
+    1-row n_baskets scalar broadcasts, not a pair blow-up.)"""
+    from mr_dice_spark.operators.itemsets import association_rules
+
+    ev = Catalog(spark, sf_dir).events.withColumn("day", F.to_date("ts"))
+    df = association_rules(ev, ["user_id", "day"], "event_type", min_support=10)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
