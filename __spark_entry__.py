@@ -153,7 +153,7 @@ _CHECK_FIRST = [
     # heaps_law_vocab_growth, rolling_median_value_hourly,
     # expectations_orders_contract, conformal_coverage_daily_trend,
     # trailing_distinct_users_hourly, kaplan_meier_time_to_purchase,
-    # association_rules_events,
+    # association_rules_events, k_anonymity_customer_release,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

@@ -5333,3 +5333,43 @@ def trailing_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFram
         "n_events_bucket",
         "n_distinct_trailing",
     ).orderBy("event_type", "bucket_s")
+
+
+KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(count_if(c < 5) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(1e-9 + SUM(CASE WHEN c < 5 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+         AS at_risk_share,
+       CAST(MIN(c) AS BIGINT) AS min_group_size
+FROM g
+"""
+
+
+@golden(
+    "k_anonymity_customer_release",
+    KANON_ORACLE,
+    tags=("profile", "privacy", "governance", "agg"),
+)
+def k_anonymity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) audit of a customer release keyed by the
+    quasi-identifiers (nation, market segment, account-balance band) —
+    the re-identification gate a governance pass runs before publishing
+    a slice: rows in QI groups smaller than k are linkable against any
+    outside table carrying the same columns. One QI-tuple aggregate +
+    one group-sized reduce."""
+    from mr_dice_spark.operators.profile import k_anonymity_audit
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)

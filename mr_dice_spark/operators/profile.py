@@ -854,3 +854,45 @@ def validate_expectations(
             6,
         ).alias("pass_rate"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: one
+    summary row ``(n_rows, n_groups, n_violating_groups, n_rows_at_risk,
+    at_risk_share, min_group_size)`` where a group is VIOLATING when
+    fewer than ``k`` rows share its quasi-identifier tuple — those rows
+    are re-identifiable by joining the released columns against any
+    outside table. The release gate a governance pass runs before
+    publishing a slice; NULL is treated as a value (an all-NULL QI tuple
+    of one row is just as linkable).
+
+    One hash aggregate on the QI tuple, then one reduce over the
+    GROUP-sized relation — the shuffle moves (tuple, count) rows, never
+    the corpus twice.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not quasi_cols:
+        raise ValueError("k_anonymity_audit: quasi_cols must be non-empty")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return groups.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(F.col("__c") < k).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0)),
+                F.sum("__c"),
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("at_risk_share"),
+        F.min("__c").cast("long").alias("min_group_size"),
+    )

@@ -430,3 +430,21 @@ def test_validate_expectations_fail_closed_and_counts(spark):
     assert abs(out["v_positive"]["pass_rate"] - 0.5) < 1e-9
     with pytest.raises(ValueError, match="no rules"):
         validate_expectations(df, [])
+
+
+def test_k_anonymity_counts_and_null_as_value(spark):
+    import pytest
+
+    from mr_dice_spark.operators.profile import k_anonymity_audit
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [(None, 1)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    [r] = k_anonymity_audit(df, ["q1", "q2"], k=5).collect()
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2      # the 2-row and the NULL 1-row group
+    assert r["n_rows_at_risk"] == 3
+    assert r["min_group_size"] == 1
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_audit(df, ["q1"], k=1)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_audit(df, [], k=5)
