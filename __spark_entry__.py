@@ -154,6 +154,7 @@ _CHECK_FIRST = [
     # expectations_orders_contract, conformal_coverage_daily_trend,
     # trailing_distinct_users_hourly, kaplan_meier_time_to_purchase,
     # association_rules_events, k_anonymity_customer_release,
+    # l_diversity_customer_release,
     # label_propagation_communities, spearman_value_time_by_type,
     # bradley_terry_brand_prefs.
     # (text_language_id_confusion yields its slot to

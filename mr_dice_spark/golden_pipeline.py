@@ -5373,3 +5373,44 @@ def k_anonymity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
     )
     return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+LDIV_ORACLE = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, c_custkey % 3 AS s, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, SUM(c) AS n, COUNT(*) AS div
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(count_if(div < 3) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN div < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(1e-9 + SUM(CASE WHEN div < 3 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+         AS at_risk_share,
+       CAST(MIN(div) AS BIGINT) AS min_diversity
+FROM g
+"""
+
+
+@golden(
+    "l_diversity_customer_release",
+    LDIV_ORACLE,
+    tags=("profile", "privacy", "governance", "agg"),
+)
+def l_diversity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity (l=3) audit of the customer release keyed
+    by (nation, segment) with a synthetic 3-class sensitive attribute —
+    k-anonymity's homogeneity-attack companion: a large QI group still
+    leaks if its rows share one sensitive value. Two chained group
+    aggregates, corpus scanned once."""
+    from mr_dice_spark.operators.profile import l_diversity_audit
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment",
+        (F.col("c_custkey") % 3).alias("sens"),
+    )
+    return l_diversity_audit(cust, ["c_nationkey", "c_mktsegment"], "sens", l=3)

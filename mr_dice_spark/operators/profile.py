@@ -896,3 +896,51 @@ def k_anonymity_audit(
         ).alias("at_risk_share"),
         F.min("__c").cast("long").alias("min_group_size"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit — k-anonymity's necessary companion
+    (a 100-row QI group is k-anonymous and still leaks if all 100 share
+    one sensitive value: the homogeneity attack). A QI group VIOLATES
+    when its rows span fewer than ``l`` distinct sensitive values.
+    Returns one row ``(n_rows, n_groups, n_violating_groups,
+    n_rows_at_risk, at_risk_share, min_diversity)``; NULL sensitive
+    values count as a value (an all-NULL group is maximally
+    homogeneous, not exempt).
+
+    One (QI, sensitive) aggregate, one QI aggregate over THAT (both
+    group-sized after the first), one reduce — the corpus is scanned
+    once.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2: {l}")
+    if not quasi_cols:
+        raise ValueError("l_diversity_audit: quasi_cols must be non-empty")
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    groups = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__div")
+    )
+    return groups.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(F.col("__div") < l).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("__div") < l, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("__div") < l, F.col("__n")).otherwise(0)),
+                F.sum("__n"),
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("at_risk_share"),
+        F.min("__div").cast("long").alias("min_diversity"),
+    )

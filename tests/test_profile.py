@@ -448,3 +448,19 @@ def test_k_anonymity_counts_and_null_as_value(spark):
         k_anonymity_audit(df, ["q1"], k=1)
     with pytest.raises(ValueError, match="quasi_cols"):
         k_anonymity_audit(df, [], k=5)
+
+
+def test_l_diversity_homogeneous_group_flagged(spark):
+    import pytest
+
+    from mr_dice_spark.operators.profile import l_diversity_audit
+
+    # group A: 4 rows, all sensitive 'x' (k-anonymous, NOT diverse)
+    # group B: 2 rows, sensitive x/y (diverse at l=2)
+    rows = [("A", "x")] * 4 + [("B", "x"), ("B", "y")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    [r] = l_diversity_audit(df, ["q"], "s", l=2).collect()
+    assert r["n_groups"] == 2 and r["n_violating_groups"] == 1
+    assert r["n_rows_at_risk"] == 4 and r["min_diversity"] == 1
+    with pytest.raises(ValueError, match="l must"):
+        l_diversity_audit(df, ["q"], "s", l=1)
