@@ -22,145 +22,83 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Rounds 1-4 drove 169 of the 171 goldens green; this
-# round's window leads with the 2 goldens that never had a driver row
-# (closing lifetime coverage at 171/171), then the goldens added or
-# whose operators changed this round, then the 27 rows last verified in
-# round 1, then the oldest round-2-only rows. Everything displaced is
-# r2/r3/r4-green and stays oracle-checked by tests/test_golden.py under
-# the identical DuckDB compare regardless of position.
+# in dict order. Rounds 1-5 drove 216 of the 255 goldens green; this
+# round's window drains the documented round-6 queue: the 39 goldens
+# added after the round-5 window filled (all suite-oracle-green, most
+# swept hash-exact at sf0.1 on landing, awaiting their first driver
+# row), plus the flagship and 10 re-verification slots for rows last
+# driver-checked in round 1. Everything displaced is r2-r5-green and
+# stays oracle-checked every CI run by tests/test_golden.py under the
+# identical DuckDB compare regardless of position. 39 + 1 + 10 = 50:
+# CORRECTNESS_r06 green => lifetime driver coverage 255/255.
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # --- the 2 goldens never driver-checked (committed after the
-    # round-4 window was pinned) -> 171/171 lifetime
-    "fuzzy_name_join_k2",             # general-k PassJoin (+ affix strip)
-    "trailing_window_anomalies",      # self-excluding range frame (sort dropped)
-    # --- added this round
-    "temperature_mixture_sample_lang",  # count^alpha largest-remainder mix
-    "profile_approx_audit",           # HLL++ profile accuracy verdict
-    "quarantine_ingest_audit",        # PERMISSIVE parse + bad-record capture
-    "jpeg_decode_ahash_dedup",        # real baseline-JPEG entropy decode
-    "jpeg_progressive_decode_dedup",  # SOF2 multi-scan decode, same oracle
-    "mjpeg_frame_decode_dedup",       # video-frame pixels: RIFF walk + JPEG
-    "interpolate_linear_hourly",      # linear gap-fill on the bucket grid
-    "audio_tone_detection",           # real PCM decode + DFT correlation
-    "triangle_counts_copurchase",     # compact-forward triangle counting
-    "dsir_importance_select_en",      # DSIR hashed-ngram Gumbel top-k
-    "snm_linkage_customers",          # sorted-neighborhood ER, cost-capped
-    "gif_decode_ahash_dedup",         # real LZW decode, lossless chain
-    "weighted_sample_by_length",      # Efraimidis-Spirakis A-Res draw
-    "kmeans_embedding_clusters",      # Lloyd's k-means, unrolled-CTE oracle
-    "bloom_decontamination_prescreen",  # fixed-size broadcast gram filter
-    "hard_negative_mining_labels",    # contrastive other-label top-k
-    "length_bucketed_batches_docs",   # padding-minimizing batch assign
-    "streaming_quarantine_ingest",    # quarantine split on the stream engine
-    "events_funnel_conversion",       # ordered-subsequence funnel
-    "events_pattern_match",           # MATCH_RECOGNIZE-style regex runs
-    "recursive_hierarchy_chain",      # WITH RECURSIVE on the SQL surface
-    "events_transition_matrix",       # first-order Markov transitions
-    "frequent_event_itemsets",        # (user,day) basket support mining
-    "winsorize_values_by_type",       # exact-percentile clipping
-    "mad_outliers_by_type",           # median/MAD robust outliers
-    "cluster_balanced_subsample",     # kmeans -> per-cluster hash sample
-    "embedding_single_linkage",       # epsilon-graph agglomerative cut
-    "value_drift_psi_events",         # PSI distribution drift, planted shift
-    "bigram_lm_quality",              # order-sensitive add-k bigram LM
-    "corpus_distinct_ngram_diversity",  # distinct-1/2/3 collapse signal
-    "pmi_collocations_top",           # top-k PMI phrase mining
-    "streaming_psi_drift",            # drift monitor on the stream engine
-    "quality_percentile_blend_docs",  # quantile-normalized signal blend
-    "ngram_containment_subset_dedup", # directional asymmetric-Jaccard
-    "kfold_assign_docs",              # leakage-safe k-fold hash assign
-    "lsh_single_linkage_clusters",    # banded LSH -> verify -> CC clusters
-    "streaming_topk_heavy_hitters",   # windowed counts + top-k finisher
-    "ccnet_perplexity_buckets",       # per-lang LM-perplexity terciles
-    "bpe_train_merges_corpus",        # 12-round Sennrich merge loop
-    "ks_drift_events",                # binned KS sup-gap drift twin
-    "hybrid_retrieval_rrf",           # BM25 + dense cosine, RRF-fused
-    "mmr_diversified_topk",           # greedy MMR rerank, unrolled oracle
-    "ols_trend_by_event_type",        # moment-sketch least-squares fit
-    "purchase_touch_attribution",     # first/last-touch range window
-    "session_path_topk",              # session journey path analysis
-    # --- operators changed this round (re-verify through the driver)
-    # (winnowing_overlap_pairs yields its slot to
-    # dsir_importance_select_en: its new PPJoin default was re-verified
-    # hash-exact at sf0.1 — 10x the driver's compare scale, all 9.7M
-    # pairs — and the suite oracle still checks it every CI run)
-    # (fuzzy_name_join_customers yields its slot to audio_tone_detection:
-    # r4-green, and the affix-strip path it re-verifies is driven harder
-    # by the in-window fuzzy_name_join_k2)
-    # (gopher_quality_gate yields its slot to mjpeg_frame_decode_dedup:
-    # its only change this round — re.escape on stopword patterns — is
-    # behavior-identical for the golden's default stopwords, it is
-    # r4-green, and the suite oracle still checks it every CI run)
-    # (profile_events_columns yields its slot to
-    # triangle_counts_copurchase: r4-green, and the profile_columns
-    # signature change is driven in-window by profile_approx_audit,
-    # which calls both the exact and approx modes)
-    # --- r1-only re-verification: 24 of the 27 rows last driver-checked
-    # in round 1 (twenty-three r1 rows (scalar_functions_probe, demo2_groupby_count,
-    # optimade_filter_compile (sibling optimade_has_predicates keeps the
-    # OPTIMADE predicate family in-window),
-    # q14_promo_revenue (TPC-H shapes stay via in-window q01 and the
-    # bench's q03/q06/q09/q10),
-    # join_anti_customers_without_orders (left-anti joins run inside the
-    # in-window dedup-survivor and prescreen rows),
-    # simhash_near_dup_pairs (the near-dup family keeps the LSH-linkage,
-    # containment and winnowing rows in-window),
-    # cosine_topk_lsh_approx (the ANN family's hash-oracled IVF audit was
-    # r4-green and the new hybrid dense ranking re-verifies the cosine
-    # path in-window),
-    # stratified_sample_by_type (the sampling family is re-verified by
-    # the in-window mixture/weighted/kfold/cluster-subsample rows),
-    # dedup_exact_documents (exact-dedup's hash-groupBy is exercised by
-    # the in-window cluster/survivor rows),
-    # text_top_terms (the terms-family machinery is re-verified by the
-    # bigram/PMI/diversity/ccnet rows in-window),
-    # embedding_label_centroids, minhash_signatures_portable — whose
-    # portable-signature machinery is re-verified INSIDE
-    # lsh_single_linkage_clusters' bit-identical candidate set,
-    # simhash_fingerprints_portable (sibling simhash_near_dup_pairs and
-    # the shared portable hasher stay in-window),
-    # optimade_length_known, events_json_props, rollup_flag_status,
-    # stats_value_by_type, histogram_value_buckets,
-    # events_cohort_retention, fair_quota_two_level,
-    # per_group_topk_events, join_semi_customers_with_orders,
-    # deterministic_sample_events) yield their slots to the twenty-three
-    # goldens added late this round, which would otherwise
-    # never get a driver row; all stay suite-oracle-checked in CI)
-    # (cosine_topk_ivf_approx yields its slot to snm_linkage_customers:
-    # its driver row is the weaker rows-only check, and the same IVF
-    # index machinery was r4-green with a full hash oracle via
-    # ann_recall_audit_ivf)
-    "federation_dedup_quota",
-    "optimade_has_predicates",
-    # ROUND-6 WINDOW QUEUE: goldens added after this round's window
+    # --- the 39-golden round-6 queue (never driver-checked; listed in
+    # round-5 VERDICT "What's missing #1" and the prior revision of this
+    # file) -> first driver rows, closing lifetime coverage
+    # model-eval family
+    "auc_value_by_event_type",        # group-AUC via rank-sum
+    "calibration_bins_events",        # reliability-diagram bins + ECE
+    "cohens_kappa_value_flags",       # chance-corrected agreement
+    "welch_t_weekend_split",          # unequal-variance t + Welch df
+    "spearman_value_time_by_type",    # rank-transform correlation
+    "bradley_terry_brand_prefs",      # MM-iteration pairwise strengths
+    "conformal_coverage_daily_trend", # split-conformal coverage audit
+    "kaplan_meier_time_to_purchase",  # product-limit survival curve
+    "er_linkage_bcubed",              # B-cubed precision/recall vs truth
+    "er_linkage_ari",                 # adjusted Rand index vs truth
+    "er_best_match_linkage",          # one-to-one greedy best-match ER
+    # drift/audit family
+    "cusum_level_shift_hourly",       # CUSUM changepoint on hourly means
+    "theil_sen_trend_hourly",         # median-of-slopes robust trend
+    "benford_first_digit_orders",     # first-digit law deviation
+    "gini_value_concentration",       # exact Lorenz/Gini concentration
+    "gini_approx_audit",              # KLL-sketch Gini accuracy verdict
+    "chi2_type_by_weekday",           # independence chi-square audit
+    "streaming_cusum_monitor",        # CUSUM on the stream engine
+    "mutual_information_type_band",   # discrete MI dependence audit
+    "referential_integrity_audit",    # FK orphan counts across tables
+    "corpus_fingerprint_documents",   # order-invariant corpus fingerprint
+    "expectations_orders_contract",   # data-contract rule validation
+    # graph family
+    "kcore_copurchase_parts",         # iterative k-core peeling
+    "label_propagation_communities",  # synchronous LPA with tie rule
+    # timeseries family
+    "autocorr_value_by_event_type",   # lag-k autocorrelation per type
+    "time_weighted_avg_by_type",      # interval-weighted mean
+    "rolling_median_value_hourly",    # exact sliding-window median
+    "trailing_distinct_users_hourly", # range-frame distinct rollup
+    # text / vocab family
+    "user_event_entropy",             # Shannon entropy per user
+    "homoglyph_fold_dedup",           # confusable-codepoint folding
+    "zipf_slope_documents",           # log-log rank-frequency slope
+    "heaps_law_vocab_growth",         # vocab-growth exponent (prefix sums)
+    "bpe_encode_fertility_by_lang",   # trained-BPE encode + fertility
+    # sampling / dedup / release-gate family
+    "weighted_sample_per_lang",       # per-group A-Res reservoir
+    "minhash_precision_audit_curve",  # banded-LSH precision vs threshold
+    "skyline_cheapest_smallest_parts",# 2-D Pareto frontier
+    "association_rules_events",       # confidence/lift rule mining
+    "k_anonymity_customer_release",   # QI-group size release gate
+    "l_diversity_customer_release",   # sensitive-diversity release gate
+    # --- r1-only re-verification: 10 of the 25 rows last driver-checked
+    # in round 1, chosen to spread family coverage (the other 15 r1 rows
+    # stay suite-oracle-checked every CI run; their families are also
+    # exercised by the in-window queue rows above)
+    "demo2_groupby_count",            # core GROUP BY surface
+    "join_anti_customers_without_orders",  # left-anti join shape
+    "optimade_filter_compile",        # OPTIMADE grammar -> Column compile
+    "dedup_exact_documents",          # exact hash-groupBy dedup
+    "cosine_topk_lsh_approx",         # LSH-bucketed ANN path
+    "text_language_id_confusion",     # n-gram language ID
+    "stratified_sample_by_type",      # deterministic stratified sample
+    "simhash_near_dup_pairs",         # SimHash pigeonhole banding
+    "q14_promo_revenue",              # TPC-H conditional-agg shape
+    "events_cohort_retention",        # cohort self-join retention
+    # ROUND-7 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, awaiting their first driver row) —
-    # lead the next rotation with them: auc_value_by_event_type,
-    # calibration_bins_events, cohens_kappa_value_flags,
-    # weighted_sample_per_lang, er_best_match_linkage,
-    # kcore_copurchase_parts, corpus_fingerprint_documents,
-    # autocorr_value_by_event_type, user_event_entropy,
-    # homoglyph_fold_dedup, zipf_slope_documents,
-    # referential_integrity_audit, mutual_information_type_band,
-    # cusum_level_shift_hourly, theil_sen_trend_hourly,
-    # benford_first_digit_orders, gini_value_concentration,
-    # chi2_type_by_weekday, streaming_cusum_monitor, gini_approx_audit,
-    # bpe_encode_fertility_by_lang, skyline_cheapest_smallest_parts,
-    # welch_t_weekend_split, minhash_precision_audit_curve,
-    # time_weighted_avg_by_type, er_linkage_bcubed, er_linkage_ari,
-    # heaps_law_vocab_growth, rolling_median_value_hourly,
-    # expectations_orders_contract, conformal_coverage_daily_trend,
-    # trailing_distinct_users_hourly, kaplan_meier_time_to_purchase,
-    # association_rules_events, k_anonymity_customer_release,
-    # l_diversity_customer_release,
-    # label_propagation_communities, spearman_value_time_by_type,
-    # bradley_terry_brand_prefs.
-    # (text_language_id_confusion yields its slot to
-    # interpolate_linear_hourly: r1-green, unchanged since, and the
-    # language-ID machinery stays exercised in-window by
-    # ccnet_perplexity_buckets' per-language scoring)
+    # lead the next rotation with them. (empty so far)
 ]
 
 

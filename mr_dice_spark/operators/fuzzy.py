@@ -65,6 +65,30 @@ that, ``max_block_rows`` is an optional fail-fast circuit breaker
 (one extra counting pass over the FINAL post-refinement index) that
 raises with mitigation guidance instead of running quadratically for
 hours.
+
+INTENDED CONTRACT — the interior-constant fail-fast: a constant
+substring strictly INSIDE the strings (templated SKUs like
+'WIDGET-<v>-STD-<n>' where the '-STD-' core lands in a segment, with
+enough rows that deletion variants still collide) is reachable by
+neither the affix strip (corpus-wide LCP/LCS are empty) nor the
+deletion re-keying (the refined keys still share the constant core).
+Such corpora get an EXCEPTION, not a silent quadratic run — e.g.::
+
+    ValueError: edit_distance_join: more than 64 blocking keys exceed
+    hot_block_product=4000000; the corpus is pathological for segment
+    blocking (near-constant strings?). Deduplicate exact strings
+    first, or raise hot_block_product if the quadratic blocks are
+    genuinely acceptable.
+
+The first remediation is DEDUPE-FIRST: collapse exact duplicates
+(``dedup.dedup_exact`` keyed on the string), fuzzy-join the distinct
+strings, and re-expand pairs through the id↔string map — on templated
+corpora the distinct-string table is orders of magnitude smaller and
+the constant core stops dominating any block. Alternatively strip the
+known template region upstream (exact by the same affix lemma, applied
+per-template), or accept the quadratic block explicitly by raising
+``hot_block_product`` / ``max_block_rows``. Tests pin the error text so
+the guidance is part of the API (tests/test_fuzzy.py).
 """
 
 from __future__ import annotations

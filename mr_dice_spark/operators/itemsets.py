@@ -35,18 +35,28 @@ def frequent_itemsets(
     min_support: int,
     max_size: int = 3,
     max_basket_items: int = 64,
+    delimiter: str = " ",
 ) -> DataFrame:
     """(itemset, size, support, support_ratio): itemsets of 1..max_size
     items appearing in >= ``min_support`` baskets, itemset rendered as
-    the sorted items joined with ' ' (deterministic identity),
+    the sorted items joined with ``delimiter`` (deterministic identity),
     support_ratio = support / n_baskets nudge-rounded to 6. A basket
     supports an itemset if it contains ALL its items (set semantics —
     multiplicity within a basket does not matter). NULL group keys or
-    items are excluded."""
+    items are excluded.
+
+    An item VALUE containing the delimiter would make the rendered
+    itemset ambiguous (and silently corrupt any downstream split, e.g.
+    :func:`association_rules`), so such items fail fast; pass a
+    delimiter that cannot occur in the data (association_rules uses
+    ``"\\x1f"``, the ASCII unit separator) when items may contain
+    spaces."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1: {min_support}")
     if not 1 <= max_size <= 3:
         raise ValueError(f"max_size must be 1..3: {max_size}")
+    if not delimiter:
+        raise ValueError("delimiter must be non-empty")
     nn = df
     for c in [*basket_cols, item_col]:
         nn = nn.where(F.col(c).isNotNull())
@@ -60,13 +70,32 @@ def frequent_itemsets(
         .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
         .localCheckpoint(eager=True)
     )
-    oversized = baskets.where(F.size("__items") > max_basket_items).limit(1)
-    if oversized.count() > 0:
+    # one guard pass over the checkpointed baskets catches both fail-fast
+    # conditions (expansion blowup; delimiter-ambiguous item values)
+    bad = (
+        baskets.select(
+            (F.size("__items") > max_basket_items).alias("__over"),
+            F.exists(
+                "__items", lambda x: x.contains(F.lit(delimiter))
+            ).alias("__delim"),
+        )
+        .where(F.col("__over") | F.col("__delim"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        if bad[0]["__over"]:
+            raise ValueError(
+                f"frequent_itemsets: a basket exceeds max_basket_items="
+                f"{max_basket_items}; in-row C(d,k) expansion would explode — "
+                "use the self-join formulation for large item domains "
+                "(or raise the guard deliberately)"
+            )
         raise ValueError(
-            f"frequent_itemsets: a basket exceeds max_basket_items="
-            f"{max_basket_items}; in-row C(d,k) expansion would explode — "
-            "use the self-join formulation for large item domains "
-            "(or raise the guard deliberately)"
+            f"frequent_itemsets: an item value contains the itemset "
+            f"delimiter {delimiter!r}, which would make the rendered "
+            "itemset ambiguous — pass a delimiter that cannot occur in "
+            'the data (e.g. delimiter="\\x1f")'
         )
     n_b = baskets.agg(F.count(F.lit(1)).alias("__n"))
     a = F.col("__items")
@@ -105,7 +134,7 @@ def frequent_itemsets(
             .where(F.col("support") >= min_support)
             .crossJoin(F.broadcast(n_b))
             .select(
-                F.array_join("__set", " ").alias("itemset"),
+                F.array_join("__set", delimiter).alias("itemset"),
                 F.lit(size).alias("size"),
                 "support",
                 F.round(
@@ -138,15 +167,20 @@ def association_rules(
     pair-sized. Returns ``(antecedent, consequent, support, confidence,
     lift)`` for rules at or above ``min_confidence``.
     """
+    # mine with the unit-separator delimiter so item values containing
+    # spaces round-trip through the itemset string intact (ADVICE r5);
+    # frequent_itemsets fails fast on the (pathological) \x1f-in-item case
+    _delim = "\x1f"
     its = frequent_itemsets(
-        df, basket_cols, item_col, min_support=min_support, max_size=2
+        df, basket_cols, item_col, min_support=min_support, max_size=2,
+        delimiter=_delim,
     )
     singles = its.where(F.col("size") == 1).select(
         F.col("itemset").alias("__it"), F.col("support").alias("__s")
     )
     pairs = its.where(F.col("size") == 2).select(
-        F.split("itemset", " ").getItem(0).alias("__a"),
-        F.split("itemset", " ").getItem(1).alias("__b"),
+        F.split("itemset", _delim).getItem(0).alias("__a"),
+        F.split("itemset", _delim).getItem(1).alias("__b"),
         F.col("support").alias("__sab"),
     )
     nn = df

@@ -835,11 +835,17 @@ def validate_expectations(
         aggs.append(F.count(F.lit(1)).alias(f"__n{i}"))
         aggs.append(F.count_if(~ok).alias(f"__f{i}"))
     one = df.agg(*aggs)
+    # rule names are spliced into the stack() SQL string as literals —
+    # escape quotes/backslashes so a name like "price's range" cannot
+    # break the expression at parse time (ADVICE r5)
+    def _q(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack = F.expr(
         "stack({}, {})".format(
             len(rules),
             ", ".join(
-                f"'{name}', __n{i}, __f{i}"
+                f"{_q(name)}, __n{i}, __f{i}"
                 for i, (name, _) in enumerate(rules)
             ),
         )

@@ -142,7 +142,10 @@ def prefix_sums(
     there in full).
 
     Adds ``{col}_cum`` (inclusive running sum) per value column;
-    ``order_col`` must be unique. NULL values sum as 0.
+    ``order_col`` must be unique. NULL values sum as 0. Value columns may
+    be any numeric type — the per-partition offset frame mirrors Spark's
+    own SUM() result type (long for the int family, double, widened
+    decimal), so integral and floating running sums both work.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -178,10 +181,32 @@ def prefix_sums(
         offsets.append((r["__pid"], *[acc[c] for c in value_cols]))
         for c in value_cols:
             acc[c] += r[c] or 0
-    schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in value_cols)
+    # offset column types must match the running-sum columns: Spark types
+    # SUM(int-family) as long but SUM(double) as double and SUM(decimal)
+    # as a widened decimal — hardcoding long here made any non-integral
+    # value column raise TypeError at createDataFrame (ADVICE r5)
+    import decimal as _decimal
+
+    sum_types = {c: local.schema[f"__lcum_{c}"].dataType for c in value_cols}
+
+    def _as_py(c, v):
+        t = sum_types[c].typeName()
+        if t == "double" or t == "float":
+            return float(v)
+        if t == "decimal":
+            return _decimal.Decimal(v)
+        return int(v)
+
+    offsets = [
+        (pid, *[_as_py(c, v) for c, v in zip(value_cols, vals)])
+        for pid, *vals in offsets
+    ]
+    schema = "__pid int, " + ", ".join(
+        f"__off_{c} {sum_types[c].simpleString()}" for c in value_cols
+    )
     off_df = F.broadcast(
         df.sparkSession.createDataFrame(
-            offsets or [tuple([0] + [0] * len(value_cols))], schema
+            offsets or [tuple([0] + [_as_py(c, 0) for c in value_cols])], schema
         )
     )
     out = local.join(off_df, "__pid")

@@ -265,6 +265,44 @@ def test_frequent_itemsets_set_semantics_and_guards(spark):
         frequent_itemsets(df, ["day"], "it", 1, max_basket_items=2)
 
 
+def test_itemsets_delimiter_ambiguity_fails_fast_and_rules_survive_spaces(spark):
+    """An item value containing the itemset delimiter would corrupt any
+    downstream split (ADVICE r5) — the default space delimiter must
+    fail fast on spaced items, an explicit safe delimiter must mine
+    them correctly, and association_rules (which now mines with \\x1f
+    internally) must return intact spaced item names."""
+    import pytest
+
+    from mr_dice_spark.operators.itemsets import association_rules, frequent_itemsets
+
+    rows = [
+        (1, "hot dog"), (1, "soda pop"),
+        (2, "hot dog"), (2, "soda pop"),
+        (3, "hot dog"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    with pytest.raises(ValueError, match="delimiter"):
+        frequent_itemsets(df, ["basket"], "item", 1).collect()
+    got = {
+        (r["itemset"], r["size"]): r["support"]
+        for r in frequent_itemsets(
+            df, ["basket"], "item", 1, delimiter="\x1f"
+        ).collect()
+    }
+    assert got[("hot dog", 1)] == 3
+    assert got[("hot dog\x1fsoda pop", 2)] == 2
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, ["basket"], "item", min_support=1).collect()
+    }
+    hd = rules[("hot dog", "soda pop")]
+    assert hd["support"] == 2 and abs(hd["confidence"] - 2 / 3) < 1e-12
+    sp = rules[("soda pop", "hot dog")]
+    assert abs(sp["confidence"] - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="non-empty"):
+        frequent_itemsets(df, ["basket"], "item", 1, delimiter="")
+
+
 def test_association_rules_hand_baskets(spark):
     """4 baskets: {a,b} x3, {a} x1 -> rule a->b has conf 3/4, lift
     (3/4)/(3/4) = 1.0; rule b->a conf 1, lift 1/(4/4)... computed by

@@ -145,6 +145,40 @@ def test_hot_block_refinement_caps_pathological_corpora(spark):
         edit_distance_join(df, "id", "s", hot_block_product=0).collect()
 
 
+def test_interior_constant_fail_fast_error_text_is_the_contract(spark):
+    """The module docstring promises the interior-constant corpus an
+    exception whose text carries the dedupe-first remediation — pin the
+    guidance strings so they are part of the API (VERDICT r5 item 7)."""
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice("abcdefghij") for _ in range(6)) + "XXSTDXX"
+         + "".join(rng.choice("abcdefghij") for _ in range(6)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    with pytest.raises(ValueError) as exc:
+        edit_distance_join(df, "id", "s", hot_block_product=0).collect()
+    msg = str(exc.value)
+    assert "pathological for segment blocking" in msg
+    assert "Deduplicate exact strings first" in msg
+    assert "hot_block_product" in msg
+    # the max_block_rows breaker's guidance is likewise pinned (low-entropy
+    # affixes so segment blocks actually cluster: 8 distinct halves/side)
+    rows2 = [
+        (i, "".join(rng.choice("ab") for _ in range(3)) + "XXSTDXX"
+         + "".join(rng.choice("ab") for _ in range(3)))
+        for i in range(400)
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, s string")
+    with pytest.raises(ValueError) as exc2:
+        edit_distance_join(
+            df2, "id", "s", hot_block_product=None, max_block_rows=10
+        ).collect()
+    msg2 = str(exc2.value)
+    assert "constant interior substring" in msg2
+    assert "max_block_rows" in msg2
+
+
 def test_max_block_rows_breaker_fires_on_clustered_constant_halves(spark):
     """Two clusters whose first HALVES are constant but differ from each
     other: the corpus-wide LCP is empty, so the affix strip cannot help,

