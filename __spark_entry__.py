@@ -82,11 +82,18 @@ _CHECK_FIRST = [
     "association_rules_events",       # confidence/lift rule mining
     "k_anonymity_customer_release",   # QI-group size release gate
     "l_diversity_customer_release",   # sensitive-diversity release gate
-    # --- r1-only re-verification: 10 of the 25 rows last driver-checked
-    # in round 1, chosen to spread family coverage (the other 15 r1 rows
+    # --- goldens ADDED this round, rotated in within the same commit
+    # (the round-5 lesson: the queue only shrinks if additions ship with
+    # their window slot). They take two of the r1-reverify slots below:
+    # demo2_groupby_count and q14_promo_revenue yield theirs — both are
+    # r1-green, unchanged since, and their aggregate shapes are driven
+    # in-window by q01_pricing_summary every round.
+    "approx_distinct_audit_daily",    # HLL++ daily verdict audit (3*rsd)
+    "kll_quantiles_audit_global",     # KLL rank-error verdict audit
+    # --- r1-only re-verification: 8 of the 25 rows last driver-checked
+    # in round 1, chosen to spread family coverage (the other 17 r1 rows
     # stay suite-oracle-checked every CI run; their families are also
     # exercised by the in-window queue rows above)
-    "demo2_groupby_count",            # core GROUP BY surface
     "join_anti_customers_without_orders",  # left-anti join shape
     "optimade_filter_compile",        # OPTIMADE grammar -> Column compile
     "dedup_exact_documents",          # exact hash-groupBy dedup
@@ -94,7 +101,6 @@ _CHECK_FIRST = [
     "text_language_id_confusion",     # n-gram language ID
     "stratified_sample_by_type",      # deterministic stratified sample
     "simhash_near_dup_pairs",         # SimHash pigeonhole banding
-    "q14_promo_revenue",              # TPC-H conditional-agg shape
     "events_cohort_retention",        # cohort self-join retention
     # ROUND-7 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, awaiting their first driver row) —

@@ -1,0 +1,63 @@
+"""Lifetime driver-coverage badge: the never-driver-checked golden set
+must stay drainable within ONE 50-slot window, and every such golden must
+be explicitly scheduled (in the current `_CHECK_FIRST` window or named in
+the ROUND-N WINDOW QUEUE comment) — so the corpus can never again outgrow
+the verification channel silently (round-5 VERDICT carried 39 unverified
+goldens as its largest finding; this pins the invariant in CI)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked() -> set[str]:
+    import glob
+
+    covered: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            covered |= set(json.load(fh).keys())
+    return covered
+
+
+def test_never_driver_checked_set_fits_one_window():
+    from mr_dice_spark.golden import GOLDEN
+
+    never = set(GOLDEN) - _driver_checked()
+    assert len(never) <= 50, (
+        f"{len(never)} goldens have never had a driver CORRECTNESS row — "
+        "more than one 50-slot window can drain in a round. Rotate the "
+        "window in __spark_entry__.py before adding more goldens: "
+        f"{sorted(never)}"
+    )
+
+
+def test_every_unchecked_golden_is_scheduled():
+    """A golden without a driver row must be in the current window (it
+    gets its row this round) or named in the WINDOW QUEUE comment (the
+    next rotation leads with it)."""
+    import __spark_entry__ as entry
+    from mr_dice_spark.golden import GOLDEN
+
+    never = set(GOLDEN) - _driver_checked()
+    window = set(entry._CHECK_FIRST)
+    with open(os.path.join(REPO, "__spark_entry__.py")) as fh:
+        src = fh.read()
+    m = re.search(r"ROUND-\d+ WINDOW QUEUE.*?\]", src, re.S)
+    queue_text = m.group(0) if m else ""
+    unscheduled = [
+        n for n in sorted(never) if n not in window and n not in queue_text
+    ]
+    assert not unscheduled, (
+        "goldens with no driver row, not in _CHECK_FIRST, and not named "
+        f"in the WINDOW QUEUE comment: {unscheduled} — add them to the "
+        "window (displacing a re-verification slot with a justifying "
+        "comment) or to the queue comment in the same commit that adds "
+        "the golden."
+    )

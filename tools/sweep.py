@@ -43,19 +43,64 @@ from tests.oracle import compare_spark_duckdb  # noqa: E402
 # report is honest about WHY.
 ORACLE_BOUND = {
     "er_best_match_linkage": "oracle is a 225M-levenshtein cross join at sf0.1 (26 GB spill)",
-    # not oracle-COST-bound but scale-REGIME-bound: at sf0.1 the 1500
-    # distinct users/type leave the HLL sketch's exact sparse mode
-    # (estimate 1488 vs 1500) — exactly the regime the golden's
-    # docstring scopes out; the approximate regime is tolerance-tested
-    # in tests/test_sketch-family suites, and the driver compares at
-    # sf0.01 where the sketch is exact.
-    "hll_rollup_distinct_users": "sketch exits exact sparse mode at sf0.1 (documented regime split)",
+    # (hll_rollup_distinct_users moved to TOLERANCE_COMPARE below: its
+    # sf0.1 regime — sketch past the exact sparse mode, estimate 1488 vs
+    # 1500 — now gets a real sweep-scale verdict within the sketch's
+    # error bound instead of only the sf0.01 fallback.)
     "er_linkage_bcubed": "oracle embeds the same 225M-levenshtein ER cross join",
     "er_linkage_ari": "oracle embeds the same 225M-levenshtein ER cross join",
 }
 
+# goldens whose sweep-scale compare is a TOLERANCE check instead of a
+# hash: the Spark result and the oracle run BOTH at sweep scale, rows
+# are matched on the key columns, and every value column must agree
+# within rel_tol. This is how the HLL golden's approximate regime
+# (sketch past its exact sparse mode at sf0.1) gets a real sf0.1
+# verdict rather than only the sf0.01 fallback.
+TOLERANCE_COMPARE = {
+    # 2% rel tol: HLL lgk=12 rsd is ~1.6%; measured sf0.1 error is 0.8%
+    "hll_rollup_distinct_users": {"keys": ["event_type"], "rel_tol": 0.02},
+}
+
 MIN_FREE_GIB = float(os.environ.get("SWEEP_MIN_FREE_GIB", "20"))
 WALL_GUARD = float(os.environ.get("SWEEP_WALL_GUARD", "180"))
+
+
+def compare_tolerance(spark_df, oracle_sql: str, sf_dir: str,
+                      keys: list[str], rel_tol: float) -> tuple[bool, str]:
+    """Key-matched relative-tolerance compare (approximate-regime
+    verdict): same DuckDB view setup as the exact compare, but values
+    must agree within rel_tol instead of hashing equal."""
+    from tests.oracle import duckdb_conn
+
+    got = {tuple(r[k] for k in keys): r.asDict() for r in spark_df.collect()}
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.sql(oracle_sql)
+        cols = res.columns
+        exp_rows = [dict(zip(cols, row)) for row in res.fetchall()]
+    finally:
+        con.close()
+    if len(got) != len(exp_rows):
+        return False, f"row count {len(got)} vs {len(exp_rows)}"
+    worst = 0.0
+    for er in exp_rows:
+        key = tuple(er[k] for k in keys)
+        if key not in got:
+            return False, f"missing key {key}"
+        gr = got[key]
+        for c, ev in er.items():
+            if c in keys:
+                continue
+            gv = gr[c]
+            if isinstance(ev, (int, float)) and isinstance(gv, (int, float)):
+                rel = abs(gv - ev) / max(1.0, abs(ev))
+                worst = max(worst, rel)
+                if rel > rel_tol:
+                    return False, f"{c}@{key}: {gv} vs {ev} (rel {rel:.4f} > {rel_tol})"
+            elif gv != ev:
+                return False, f"{c}@{key}: {gv!r} != {ev!r}"
+    return True, f"within rel_tol={rel_tol} (worst {worst:.4f})"
 
 
 def free_gib(path: str = "/root") -> float:
@@ -87,6 +132,18 @@ def main() -> int:
                 cnt = g.spark(spark, sf_dir).count()
                 verdict, note = "rows-only", f"{cnt} rows"
                 n_rows_only += 1
+            elif name in TOLERANCE_COMPARE:
+                spec = TOLERANCE_COMPARE[name]
+                ok, msg = compare_tolerance(
+                    g.spark(spark, sf_dir), g.oracle, sf_dir,
+                    spec["keys"], spec["rel_tol"],
+                )
+                verdict = "pass@tol" if ok else "FAIL"
+                note = msg
+                n_pass += ok
+                n_fail += not ok
+                if not ok:
+                    failures.append(name)
             elif name in ORACLE_BOUND:
                 # operator at sweep scale (regressions can't hide)...
                 cnt = g.spark(spark, sf_dir).count()
