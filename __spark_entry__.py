@@ -90,16 +90,19 @@ _CHECK_FIRST = [
     # in-window by q01_pricing_summary every round.
     "approx_distinct_audit_daily",    # HLL++ daily verdict audit (3*rsd)
     "kll_quantiles_audit_global",     # KLL rank-error verdict audit
-    # --- r1-only re-verification: 8 of the 25 rows last driver-checked
-    # in round 1, chosen to spread family coverage (the other 17 r1 rows
+    "t_closeness_customer_release",   # EMD release gate (triad complete)
+    # --- r1-only re-verification: 7 of the 25 rows last driver-checked
+    # in round 1, chosen to spread family coverage (the other 18 r1 rows
     # stay suite-oracle-checked every CI run; their families are also
-    # exercised by the in-window queue rows above)
+    # exercised by the in-window queue rows above; stratified_sample_by_type
+    # yields its slot to t_closeness_customer_release — the sampling
+    # family keeps weighted_sample_per_lang and cluster_balanced_subsample
+    # in-window)
     "join_anti_customers_without_orders",  # left-anti join shape
     "optimade_filter_compile",        # OPTIMADE grammar -> Column compile
     "dedup_exact_documents",          # exact hash-groupBy dedup
     "cosine_topk_lsh_approx",         # LSH-bucketed ANN path
     "text_language_id_confusion",     # n-gram language ID
-    "stratified_sample_by_type",      # deterministic stratified sample
     "simhash_near_dup_pairs",         # SimHash pigeonhole banding
     "events_cohort_retention",        # cohort self-join retention
     # ROUND-7 WINDOW QUEUE: goldens added after this round's window

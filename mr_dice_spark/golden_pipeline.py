@@ -5414,3 +5414,60 @@ def l_diversity_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 3).alias("sens"),
     )
     return l_diversity_audit(cust, ["c_nationkey", "c_mktsegment"], "sens", l=3)
+
+
+TCLOSE_ORACLE = """
+WITH cells AS MATERIALIZED (
+  SELECT c_nationkey, c_mktsegment, c_custkey % 3 AS s, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+tot AS (SELECT SUM(c) AS nn FROM cells),
+gdist AS (SELECT s, SUM(c) AS gc FROM cells GROUP BY s),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, SUM(c) AS n FROM cells GROUP BY 1, 2
+),
+d AS (
+  SELECT cells.c_nationkey, cells.c_mktsegment, MAX(grp.n) AS n,
+         GREATEST(0.0, 0.5 * (1.0 +
+           SUM(ABS(cells.c * 1.0 / grp.n - gdist.gc * 1.0 / tot.nn)
+               - gdist.gc * 1.0 / tot.nn))) AS dist
+  FROM cells
+  JOIN grp ON grp.c_nationkey = cells.c_nationkey
+          AND grp.c_mktsegment = cells.c_mktsegment
+  JOIN gdist ON gdist.s IS NOT DISTINCT FROM cells.s
+  CROSS JOIN tot
+  GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(count_if(dist > 0.1) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN dist > 0.1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(1e-9 + SUM(CASE WHEN dist > 0.1 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+         AS at_risk_share,
+       ROUND(1e-9 + MAX(dist), 6) AS max_distance
+FROM d
+"""
+
+
+@golden(
+    "t_closeness_customer_release",
+    TCLOSE_ORACLE,
+    tags=("profile", "privacy", "governance", "agg"),
+)
+def t_closeness_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (t=0.1, categorical EMD = total variation) audit of
+    the customer release keyed by (nation, segment) with the synthetic
+    3-class sensitive attribute — completing the release triad: the
+    skewness attack l-diversity misses (a diverse group whose MIX is
+    far from the corpus mix still leaks posterior information). One
+    corpus aggregate; the distance boundary was verified 2.6e-4 clear
+    of every group at all three fixture scales, so the verdict counts
+    are fp-stable cross-engine."""
+    from mr_dice_spark.operators.profile import t_closeness_audit
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment",
+        (F.col("c_custkey") % 3).alias("sens"),
+    )
+    return t_closeness_audit(cust, ["c_nationkey", "c_mktsegment"], "sens", t=0.1)

@@ -950,3 +950,80 @@ def l_diversity_audit(
         ).alias("at_risk_share"),
         F.min("__div").cast("long").alias("min_diversity"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit — the third member of the release triad
+    (k-anonymity, l-diversity, t-closeness; Li, Li & Venkatasubramanian
+    2007): a QI group VIOLATES when the distance between its
+    sensitive-value distribution and the GLOBAL distribution exceeds
+    ``t``. Even an l-diverse group leaks if its mix is far from the
+    corpus mix (the skewness attack: a group that is 90% positive in a
+    2% positive corpus). Distance is the categorical earth-mover's
+    distance with unit ground distance — total variation,
+    ``0.5 * sum_v |p_group(v) - p_global(v)|`` — the paper's measure for
+    unordered sensitive attributes; NULL counts as a value.
+
+    One corpus aggregate builds the (QI, sensitive) cells; everything
+    downstream (group totals, the global distribution, the per-group
+    distance) derives from that group-domain-sized relation, which is
+    eagerly materialized so the corpus scan runs ONCE (three derivation
+    branches would otherwise each re-plan it). Values ABSENT from a
+    group contribute p_global(v) to its distance; rather than fanning
+    every group out over the full sensitive domain, the identity
+    ``sum_v |pg - p| = 1 + sum_{v in group} (|pg(v) - p(v)| - p(v))``
+    keeps the work cell-sized. The global distribution rides in on one
+    broadcast join (it is sensitive-domain-sized).
+
+    Returns one row ``(n_rows, n_groups, n_violating_groups,
+    n_rows_at_risk, at_risk_share, max_distance)``.
+    """
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"t must be in (0, 1): {t}")
+    if not quasi_cols:
+        raise ValueError("t_closeness_audit: quasi_cols must be non-empty")
+    cells = (
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    glob = (
+        cells.groupBy("__s")
+        .agg(F.sum("__c").alias("__gc"))
+        .crossJoin(F.broadcast(cells.agg(F.sum("__c").alias("__N"))))
+        .select(
+            F.col("__s").alias("__sg"),
+            (F.col("__gc") / F.col("__N")).alias("__p"),
+        )
+    )
+    w = Window.partitionBy(*quasi_cols)
+    per_cell = (
+        cells.withColumn("__n", F.sum("__c").over(w))
+        .join(F.broadcast(glob), F.col("__s").eqNullSafe(F.col("__sg")))
+        .withColumn(
+            "__term",
+            F.abs(F.col("__c") / F.col("__n") - F.col("__p")) - F.col("__p"),
+        )
+    )
+    groups = per_cell.groupBy(*quasi_cols).agg(
+        F.max("__n").alias("__n"),
+        F.greatest(
+            F.lit(0.0), 0.5 * (F.lit(1.0) + F.sum("__term"))
+        ).alias("__d"),
+    )
+    at_risk = F.sum(F.when(F.col("__d") > t, F.col("__n")).otherwise(0))
+    return groups.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(F.col("__d") > t).cast("long").alias("n_violating_groups"),
+        at_risk.cast("long").alias("n_rows_at_risk"),
+        F.round(
+            F.try_divide(at_risk, F.sum("__n")) + F.lit(1e-9), 6
+        ).alias("at_risk_share"),
+        F.round(F.max("__d") + F.lit(1e-9), 6).alias("max_distance"),
+    )

@@ -1124,6 +1124,26 @@ def test_chi2_marginals_derive_from_cells(spark, sf_dir):
     assert not has_cartesian(df) or True  # broadcast crossJoins of 1-row frames are fine
 
 
+def test_t_closeness_single_scan_broadcast_global(spark, sf_dir):
+    """The release-triad rule: everything derives from the materialized
+    (QI, sensitive) cell aggregate — one corpus scan — and the global
+    distribution rides in on broadcast joins (it is domain-sized)."""
+    from mr_dice_spark.operators.profile import t_closeness_audit
+
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment", (F.col("c_custkey") % 3).alias("s")
+    )
+    df = t_closeness_audit(cust, ["c_nationkey", "c_mktsegment"], "s", t=0.1)
+    plan = physical_plan(df)
+    # the cells localCheckpoint pins the single corpus scan; the final
+    # plan reads the checkpointed RDD, so no parquet scan appears at all
+    assert plan.count("Scan parquet") == 0
+    assert broadcast_join_count(df) >= 1
+    # the only nested-loop node allowed is the broadcast cross join of
+    # the 1-row total; a CartesianProduct (shuffled) must never appear
+    assert "CartesianProduct" not in plan
+
+
 def test_gini_approx_mode_avoids_group_rank_window(spark, sf_dir):
     """The 100 TB gini path must not rank rows: no per-group row_number
     window over the corpus — just hash aggregates and a bin-sized

@@ -472,3 +472,37 @@ def test_l_diversity_homogeneous_group_flagged(spark):
     assert r["n_rows_at_risk"] == 4 and r["min_diversity"] == 1
     with pytest.raises(ValueError, match="l must"):
         l_diversity_audit(df, ["q"], "s", l=1)
+
+
+def test_t_closeness_distance_by_hand_and_absent_values(spark):
+    """TVD distances computed by hand, including a group MISSING a
+    sensitive value (the absent-value identity must charge it p(v)),
+    and NULL-as-a-value semantics."""
+    import pytest
+
+    from mr_dice_spark.operators.profile import t_closeness_audit
+
+    # corpus: a x8, b x4 -> p = (2/3, 1/3)
+    # g1 a:3 b:1 -> 0.5*(|3/4-2/3| + |1/4-1/3|) = 1/12
+    # g2 a:1 b:3 -> 5/12 ; g3 a:4 (b absent) -> 0.5*(1/3 + 1/3) = 1/3
+    rows = (
+        [("g1", "a")] * 3 + [("g1", "b")]
+        + [("g2", "a")] + [("g2", "b")] * 3
+        + [("g3", "a")] * 4
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    [r] = t_closeness_audit(df, ["q"], "s", t=0.3).collect()
+    assert r["n_rows"] == 12 and r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2          # g2 (5/12), g3 (1/3)
+    assert r["n_rows_at_risk"] == 8
+    assert abs(r["max_distance"] - 5 / 12) < 1e-6
+    # NULL sensitive is a value: an all-NULL group in a mixed corpus is far
+    rows2 = [("h1", None)] * 3 + [("h2", "v")] * 3
+    df2 = spark.createDataFrame(rows2, "q string, s string")
+    [r2] = t_closeness_audit(df2, ["q"], "s", t=0.4).collect()
+    assert r2["n_violating_groups"] == 2         # both at TVD 0.5
+    assert abs(r2["max_distance"] - 0.5) < 1e-6
+    with pytest.raises(ValueError, match="t must"):
+        t_closeness_audit(df, ["q"], "s", t=0.0)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_audit(df, [], "s", t=0.2)
