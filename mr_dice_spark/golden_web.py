@@ -366,3 +366,64 @@ def winnowing_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("int").alias("span_end"),
         F.col("span_len").cast("int").alias("span_len"),
     ).orderBy("doc_id", "span_start")
+
+
+EXACT_REPEAT_ORACLE = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id, u.i AS q, substr(s, CAST(u.i AS INT), 50) AS gram
+  FROM t, UNNEST(generate_series(1, len(s) - 49)) AS u(i)
+  WHERE len(s) >= 50
+),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (SELECT g.doc_id, g.q AS s, g.q + 49 AS e FROM g JOIN rep USING (gram)),
+scan AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM scan
+)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(e) AS INT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_len
+FROM isl GROUP BY doc_id, gid
+ORDER BY doc_id, span_start
+"""
+
+
+@golden(
+    "exact_repeated_spans_documents",
+    EXACT_REPEAT_ORACLE,
+    tags=("text", "dedup", "spans", "exact-substring"),
+)
+def exact_repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (the Lee et al. ACL'22 50-token
+    rule, at 50 normalized characters): every maximal span occurring
+    verbatim in >= 2 documents. Winnowing prefilter (guaranteed recall)
+    -> candidate-bound 50-gram hash grouping -> grouped exact text
+    confirm -> islands merge; the oracle brute-forces ALL 50-grams and
+    merges, so prefilter recall bugs (a missed candidate region) and
+    precision bugs (an unconfirmed hash collision) both surface as hash
+    mismatches. See operators/winnowing.py:exact_repeated_spans for the
+    100 TB shape (work scales with candidate coverage, not corpus)."""
+    from mr_dice_spark.operators.winnowing import exact_repeated_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    out = exact_repeated_spans(docs, "doc_id", "text", min_len=50, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_len").cast("int").alias("span_len"),
+    ).orderBy("doc_id", "span_start")

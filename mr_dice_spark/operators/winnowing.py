@@ -388,3 +388,124 @@ def fingerprint_overlap_join(
         )
         .where(F.col("shared") >= t)
     )
+
+
+def exact_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    min_docs: int = 2,
+    k: int = 8,
+    window: int = 4,
+    margin: int | None = None,
+) -> DataFrame:
+    """EXACT cross-document repeated-substring extraction — the Lee et
+    al. "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022) rule, re-expressed relationally: every maximal span of
+    >= ``min_len`` NORMALIZED characters that occurs verbatim in
+    >= ``min_docs`` distinct documents, as (id, span_start, span_end,
+    span_len) 1-based closed intervals per document. Where the paper
+    builds a suffix array, this composes three Spark-native stages so
+    no single task ever holds the corpus:
+
+    1. PREFILTER (guaranteed recall): winnowing fingerprints shared by
+       >= min_docs docs mark candidate regions. The SIGMOD'03 guarantee
+       — any shared substring of length >= window + k - 1 selects at
+       least one common fingerprint, and interiors select one per
+       ``window`` grams — means every true span is fingerprint-covered;
+       merged covered intervals expanded by ``margin`` (default
+       min_len + window + k, comfortably above the w + k - 2 boundary
+       slack) therefore contain every true min_len-gram start.
+    2. HASH GROUP (candidate-bound): only candidate positions emit an
+       (id, pos, xxhash64 of the min_len-gram) row — never the gram
+       text — and one hash aggregate keeps hashes spanning >= min_docs
+       docs. Work is proportional to candidate coverage, not corpus
+       size: boilerplate-free corpora emit almost nothing.
+    3. GROUPED EXACT CONFIRM: surviving positions re-derive the gram
+       TEXT and group on it — equal text in >= min_docs docs is the
+       exactness proof (a 64-bit hash collision is filtered here, not
+       trusted) — then per-document gaps-and-islands merging turns the
+       covered min_len-grams into maximal spans. A character lies in
+       some repeated span of length >= min_len iff some repeated
+       min_len-gram covers it, so the merged islands ARE the paper's
+       maximal spans.
+
+    Feed the output to :func:`remove_spans` to cut the duplicated text
+    (span coordinates are in the normalized text, as remove_spans
+    expects). Unlike :func:`boilerplate_spans` (fingerprint-level,
+    approximate span edges, k-sized matches count), this is exact at
+    the min_len threshold — the difference matters because partial
+    50-char overlaps are what the 50-token rule is calibrated against.
+    """
+    if min_len < window + k - 1:
+        raise ValueError(
+            f"min_len={min_len} below the winnowing guarantee "
+            f"window + k - 1 = {window + k - 1}; shorter repeats can "
+            "evade the prefilter — lower k/window or raise min_len"
+        )
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    m = margin if margin is not None else min_len + window + k
+    fps = winnowing_fingerprint_positions(df, id_col, text_col, k, window)
+    common = (
+        fps.groupBy("fingerprint")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("fingerprint")
+    )
+    covered = fps.join(common, "fingerprint").select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e")
+    )
+    cand = merge_intervals(covered, id_col, "s", "e").select(
+        id_col,
+        F.greatest(F.lit(1), F.col("span_start") - m).alias("s"),
+        (F.col("span_end") + m).alias("e"),
+    )
+    cand = merge_intervals(cand, id_col, "s", "e")
+    doc = df.select(
+        F.col(id_col), _normalized(F.col(text_col)).alias("__s")
+    )
+    q_hi = F.least(F.col("span_end"), F.length("__s") - (min_len - 1))
+    q_lo = F.col("span_start")
+    starts = (
+        cand.join(doc, id_col)
+        .select(
+            id_col,
+            "__s",
+            F.explode(
+                F.when(q_hi >= q_lo, F.sequence(q_lo, q_hi)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("__q"),
+        )
+    )
+    grams1 = starts.select(
+        id_col,
+        "__q",
+        F.xxhash64(F.col("__s").substr(F.col("__q"), F.lit(min_len))).alias("__h"),
+    )
+    hot = (
+        grams1.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__dc"))
+        .where(F.col("__dc") >= min_docs)
+        .select("__h")
+    )
+    survivors = grams1.join(hot, "__h").select(id_col, "__q")
+    grams2 = survivors.join(doc, id_col).select(
+        id_col,
+        "__q",
+        F.col("__s").substr(F.col("__q"), F.lit(min_len)).alias("__g"),
+    )
+    confirmed = (
+        grams2.groupBy("__g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__dc"))
+        .where(F.col("__dc") >= min_docs)
+        .select("__g")
+    )
+    final_cov = grams2.join(confirmed, "__g").select(
+        id_col,
+        F.col("__q").alias("s"),
+        (F.col("__q") + (min_len - 1)).alias("e"),
+    )
+    return merge_intervals(final_cov, id_col, "s", "e")

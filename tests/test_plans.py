@@ -1144,6 +1144,21 @@ def test_t_closeness_single_scan_broadcast_global(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_repeated_spans_no_pair_join(spark, sf_dir):
+    """The exact-substring dedup must never plan a pair join or
+    cartesian: every stage is a key aggregate or key-partitioned join
+    (fingerprint, hash, gram text, doc id) — work bounded by candidate
+    coverage, not document pairs."""
+    from mr_dice_spark.operators.winnowing import exact_repeated_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    df = exact_repeated_spans(docs, "doc_id", "text", min_len=50)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_gini_approx_mode_avoids_group_rank_window(spark, sf_dir):
     """The 100 TB gini path must not rank rows: no per-group row_number
     window over the corpus — just hash aggregates and a bin-sized

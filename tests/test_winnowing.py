@@ -306,3 +306,139 @@ def test_overlap_join_prefix_filter_matches_naive(spark):
         }
         assert fast == naive, f"t={t}: {fast ^ naive}"
         assert fast, f"t={t}: fixture produced no overlapping pairs"
+
+
+def _brute_repeated_spans(docs: dict, L: int, min_docs: int = 2):
+    """O(n*L) reference: all repeated L-grams, merged per doc."""
+    import re
+    from collections import defaultdict
+
+    def norm(t):
+        return re.sub(r"[ \t\n\r\f\x0B]+", " ", t.strip()).lower()
+
+    grams = defaultdict(set)
+    for i, t in docs.items():
+        s = norm(t)
+        for q in range(len(s) - L + 1):
+            grams[s[q : q + L]].add(i)
+    out = []
+    for i, t in docs.items():
+        s = norm(t)
+        ivs = [
+            (q + 1, q + L)
+            for q in range(len(s) - L + 1)
+            if len(grams[s[q : q + L]]) >= min_docs
+        ]
+        if not ivs:
+            continue
+        cs, ce = ivs[0]
+        for s_, e_ in ivs[1:]:
+            if s_ <= ce + 1:
+                ce = max(ce, e_)
+            else:
+                out.append((i, cs, ce, ce - cs + 1))
+                cs, ce = s_, e_
+        out.append((i, cs, ce, ce - cs + 1))
+    return sorted(out)
+
+
+def test_exact_repeated_spans_matches_bruteforce(spark):
+    """Planted 50+-char repeats at document START, MIDDLE, and END (the
+    prefilter's boundary-slack cases) plus unique bodies: output must
+    equal the brute-force all-L-grams reference exactly."""
+    import random
+
+    from mr_dice_spark.operators.winnowing import exact_repeated_spans
+
+    rng = random.Random(5)
+    alpha = "abcdefghij "
+    boiler1 = "".join(rng.choice(alpha) for _ in range(70))
+    boiler2 = "".join(rng.choice(alpha) for _ in range(55))
+    docs = {}
+    for i in range(40):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(60, 300)))
+        r = rng.random()
+        if r < 0.3:
+            docs[i] = boiler1 + body
+        elif r < 0.5:
+            docs[i] = body + boiler2
+        elif r < 0.7:
+            cut = len(body) // 2
+            docs[i] = body[:cut] + boiler1 + body[cut:]
+        else:
+            docs[i] = body
+    df = spark.createDataFrame(list(docs.items()), "id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in exact_repeated_spans(df, "id", "text", min_len=50).collect()
+    )
+    assert got == _brute_repeated_spans(docs, 50)
+    # a 49-char shared block must NOT appear at min_len=50 but must at 49
+    short = "x" * 49
+    docs2 = {0: short + "aqaqaqaqaqaqaqaqaqaq", 1: short + "bwbwbwbwbwbwbwbwbwbw"}
+    df2 = spark.createDataFrame(list(docs2.items()), "id long, text string")
+    assert exact_repeated_spans(df2, "id", "text", min_len=50).count() == 0
+    got49 = sorted(
+        tuple(r)
+        for r in exact_repeated_spans(df2, "id", "text", min_len=49).collect()
+    )
+    assert got49 == [(0, 1, 49, 49), (1, 1, 49, 49)]
+
+
+def test_exact_repeated_spans_validation_and_candidate_bound(spark):
+    """Parameter guards fire; and the hash stage's row count stays
+    bounded by candidate coverage, far below the all-grams count, on a
+    corpus that is mostly unique (the 100 TB cost claim, measured)."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.winnowing import (
+        exact_repeated_spans,
+        merge_intervals,
+        winnowing_fingerprint_positions,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnop "
+    boiler = "".join(rng.choice(alpha) for _ in range(60))
+    docs = []
+    for i in range(60):
+        body = "".join(rng.choice(alpha) for _ in range(500))
+        docs.append((i, (boiler + body) if i % 10 == 0 else body))
+    df = spark.createDataFrame(docs, "id long, text string")
+    with pytest.raises(ValueError, match="winnowing guarantee"):
+        exact_repeated_spans(df, "id", "text", min_len=5, k=8, window=4)
+    with pytest.raises(ValueError, match="min_docs"):
+        exact_repeated_spans(df, "id", "text", min_docs=1)
+    # candidate coverage (re-derived exactly as the operator does: merged
+    # common-fingerprint intervals, expanded by the default margin) must
+    # be a small fraction of total chars on this mostly-unique corpus
+    fps = winnowing_fingerprint_positions(df, "id", "text", 8, 4)
+    common = (
+        fps.groupBy("fingerprint")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("fingerprint")
+    )
+    cov = fps.join(common, "fingerprint").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + 7).alias("e")
+    )
+    m = 50 + 4 + 8
+    cand = merge_intervals(cov, "id", "s", "e").select(
+        "id",
+        F.greatest(F.lit(1), F.col("span_start") - m).alias("s"),
+        (F.col("span_end") + m).alias("e"),
+    )
+    cand_chars = (
+        merge_intervals(cand, "id", "s", "e")
+        .agg(F.sum("span_len"))
+        .first()[0]
+        or 0
+    )
+    total_chars = sum(len(t) for _, t in docs)
+    assert cand_chars < 0.25 * total_chars, (cand_chars, total_chars)
+    # and the operator still finds exactly the planted repeats
+    got = exact_repeated_spans(df, "id", "text", min_len=50).collect()
+    assert sorted(r["id"] for r in got) == [i for i in range(60) if i % 10 == 0]
