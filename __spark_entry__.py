@@ -92,17 +92,20 @@ _CHECK_FIRST = [
     "kll_quantiles_audit_global",     # KLL rank-error verdict audit
     "t_closeness_customer_release",   # EMD release gate (triad complete)
     "exact_repeated_spans_documents", # Lee et al. 50-char exact dedup
-    # --- r1-only re-verification: 6 of the 25 rows last driver-checked
-    # in round 1, chosen to spread family coverage (the other 19 r1 rows
+    "contamination_spans_documents",  # cross-table contamination surgery
+    # --- r1-only re-verification: 5 of the 25 rows last driver-checked
+    # in round 1, chosen to spread family coverage (the other 20 r1 rows
     # stay suite-oracle-checked every CI run; their families are also
     # exercised by the in-window queue rows above; stratified_sample_by_type
     # yields its slot to t_closeness_customer_release — the sampling
     # family keeps weighted_sample_per_lang and cluster_balanced_subsample
     # in-window; join_anti_customers_without_orders yields its slot to
     # exact_repeated_spans_documents — left-anti joins still run inside
-    # the in-window dedup-survivor and bloom-prescreen rows)
+    # the in-window dedup-survivor and bloom-prescreen rows;
+    # dedup_exact_documents yields its slot to
+    # contamination_spans_documents — exact-dedup's hash-groupBy runs
+    # inside the in-window cluster/survivor and span-dedup rows)
     "optimade_filter_compile",        # OPTIMADE grammar -> Column compile
-    "dedup_exact_documents",          # exact hash-groupBy dedup
     "cosine_topk_lsh_approx",         # LSH-bucketed ANN path
     "text_language_id_confusion",     # n-gram language ID
     "simhash_near_dup_pairs",         # SimHash pigeonhole banding

@@ -427,3 +427,73 @@ def exact_repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("span_end").cast("int").alias("span_end"),
         F.col("span_len").cast("int").alias("span_len"),
     ).orderBy("doc_id", "span_start")
+
+
+CONTAMINATION_ORACLE = r"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+  FROM documents WHERE doc_id % 17 <> 0
+),
+bench AS MATERIALIZED (
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+  FROM documents WHERE doc_id % 17 = 0
+),
+bg AS (
+  SELECT DISTINCT substr(s, CAST(u.i AS INT), 50) AS gram
+  FROM bench, UNNEST(generate_series(1, len(s) - 49)) AS u(i)
+  WHERE len(s) >= 50
+),
+cg AS (
+  SELECT doc_id, u.i AS q, substr(s, CAST(u.i AS INT), 50) AS gram
+  FROM corpus, UNNEST(generate_series(1, len(s) - 49)) AS u(i)
+  WHERE len(s) >= 50
+),
+cov AS (SELECT cg.doc_id, cg.q AS s, cg.q + 49 AS e FROM cg JOIN bg USING (gram)),
+scan AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM scan
+)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(e) AS INT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_len
+FROM isl GROUP BY doc_id, gid
+ORDER BY doc_id, span_start
+"""
+
+
+@golden(
+    "contamination_spans_documents",
+    CONTAMINATION_ORACLE,
+    tags=("text", "decontamination", "spans", "exact-substring"),
+)
+def contamination_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination surgery: exact >= 50-char spans in corpus documents
+    (doc_id % 17 != 0) copied verbatim from the held-out benchmark slice
+    (doc_id % 17 == 0) — the region-level complement of the
+    whole-document decontamination family, feeding remove_spans so the
+    document survives with the benchmark text cut out. Cross-table twin
+    of exact_repeated_spans (shared-fingerprint candidates, shared-hash
+    grouping, shared-TEXT confirm); the oracle brute-forces all corpus
+    50-grams against the benchmark gram set."""
+    from mr_dice_spark.operators.winnowing import exact_contamination_spans
+
+    docs = Catalog(spark, sf_dir).documents
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    out = exact_contamination_spans(corpus, bench, "doc_id", "text", min_len=50)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_len").cast("int").alias("span_len"),
+    ).orderBy("doc_id", "span_start")

@@ -447,6 +447,14 @@ def exact_repeated_spans(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2: {min_docs}")
     m = margin if margin is not None else min_len + window + k
+    if m < min_len + window + k:
+        # a smaller margin can miss true span-interior gram starts near
+        # the prefilter's boundary slack — raising is allowed
+        # (diagnostics), lowering silently breaks the EXACT contract
+        raise ValueError(
+            f"margin={m} below the recall bound min_len + window + k = "
+            f"{min_len + window + k}"
+        )
     fps = winnowing_fingerprint_positions(df, id_col, text_col, k, window)
     common = (
         fps.groupBy("fingerprint")
@@ -454,7 +462,46 @@ def exact_repeated_spans(
         .where(F.col("__df") >= min_docs)
         .select("fingerprint")
     )
-    covered = fps.join(common, "fingerprint").select(
+    doc, grams1 = _candidate_gram_hashes(
+        df, id_col, text_col, fps, common, k, min_len, m
+    )
+    hot = (
+        grams1.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__dc"))
+        .where(F.col("__dc") >= min_docs)
+        .select("__h")
+    )
+    grams2 = _gram_texts(grams1.join(hot, "__h"), doc, id_col, min_len)
+    confirmed = (
+        grams2.groupBy("__g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__dc"))
+        .where(F.col("__dc") >= min_docs)
+        .select("__g")
+    )
+    final_cov = grams2.join(confirmed, "__g").select(
+        id_col,
+        F.col("__q").alias("s"),
+        (F.col("__q") + (min_len - 1)).alias("e"),
+    )
+    return merge_intervals(final_cov, id_col, "s", "e")
+
+
+def _candidate_gram_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fps: DataFrame,
+    keep_fps: DataFrame,
+    k: int,
+    min_len: int,
+    m: int,
+):
+    """One side of the exact-substring machinery: positions covered by
+    ``keep_fps`` fingerprints -> merged intervals expanded by ``m`` ->
+    every min_len-gram start in a candidate interval, hashed. Returns
+    ``(doc, grams1)`` where doc = (id, __s normalized text) and grams1 =
+    (id, __q, __h) — the gram TEXT never leaves the row here."""
+    covered = fps.join(keep_fps, "fingerprint").select(
         id_col, F.col("pos").alias("s"), (F.col("pos") + (k - 1)).alias("e")
     )
     cand = merge_intervals(covered, id_col, "s", "e").select(
@@ -463,47 +510,105 @@ def exact_repeated_spans(
         (F.col("span_end") + m).alias("e"),
     )
     cand = merge_intervals(cand, id_col, "s", "e")
-    doc = df.select(
-        F.col(id_col), _normalized(F.col(text_col)).alias("__s")
-    )
+    doc = df.select(F.col(id_col), _normalized(F.col(text_col)).alias("__s"))
     q_hi = F.least(F.col("span_end"), F.length("__s") - (min_len - 1))
     q_lo = F.col("span_start")
-    starts = (
-        cand.join(doc, id_col)
-        .select(
-            id_col,
-            "__s",
-            F.explode(
-                F.when(q_hi >= q_lo, F.sequence(q_lo, q_hi)).otherwise(
-                    F.array().cast("array<bigint>")
-                )
-            ).alias("__q"),
-        )
+    starts = cand.join(doc, id_col).select(
+        id_col,
+        "__s",
+        F.explode(
+            F.when(q_hi >= q_lo, F.sequence(q_lo, q_hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("__q"),
     )
     grams1 = starts.select(
         id_col,
         "__q",
         F.xxhash64(F.col("__s").substr(F.col("__q"), F.lit(min_len))).alias("__h"),
     )
-    hot = (
-        grams1.groupBy("__h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__dc"))
-        .where(F.col("__dc") >= min_docs)
-        .select("__h")
-    )
-    survivors = grams1.join(hot, "__h").select(id_col, "__q")
-    grams2 = survivors.join(doc, id_col).select(
+    return doc, grams1
+
+
+def _gram_texts(
+    survivors: DataFrame, doc: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, __q, __g): re-derive the gram TEXT for surviving positions
+    only — the grouped-exact-confirm input."""
+    return survivors.select(id_col, "__q").join(doc, id_col).select(
         id_col,
         "__q",
         F.col("__s").substr(F.col("__q"), F.lit(min_len)).alias("__g"),
     )
-    confirmed = (
-        grams2.groupBy("__g")
-        .agg(F.count_distinct(F.col(id_col)).alias("__dc"))
-        .where(F.col("__dc") >= min_docs)
-        .select("__g")
+
+
+def exact_contamination_spans(
+    df: DataFrame,
+    contaminants: DataFrame,
+    id_col: str,
+    text_col: str,
+    cont_id_col: str | None = None,
+    cont_text_col: str | None = None,
+    min_len: int = 50,
+    k: int = 8,
+    window: int = 4,
+    margin: int | None = None,
+) -> DataFrame:
+    """Contamination surgery — the CROSS-TABLE twin of
+    :func:`exact_repeated_spans`: every maximal span of >= ``min_len``
+    normalized characters in a CORPUS document that occurs verbatim in
+    ANY contaminant document (a benchmark/eval set), as
+    (id, span_start, span_end, span_len). Whole-document
+    decontamination (``operators/decontaminate.py``) drops documents
+    that LOOK like benchmark rows; this finds the copied REGION inside
+    an otherwise-legitimate document, so :func:`remove_spans` can cut
+    the contamination instead of discarding the document — the surgical
+    variant of the n-gram-overlap decontamination rule used by LLM
+    training pipelines.
+
+    Same three-stage shape and guarantees as exact_repeated_spans, with
+    the doc-frequency test replaced by PRESENCE ON BOTH SIDES at every
+    stage: shared fingerprint values gate the candidates, shared gram
+    hashes gate the confirm, and shared gram TEXT is the exactness
+    proof. Work on each side is bounded by ITS candidate coverage — a
+    clean corpus emits almost nothing regardless of benchmark size, and
+    the benchmark side only ever fans out regions a corpus document
+    also fingerprints.
+    """
+    if min_len < window + k - 1:
+        raise ValueError(
+            f"min_len={min_len} below the winnowing guarantee "
+            f"window + k - 1 = {window + k - 1}; shorter repeats can "
+            "evade the prefilter — lower k/window or raise min_len"
+        )
+    m = margin if margin is not None else min_len + window + k
+    if m < min_len + window + k:
+        raise ValueError(
+            f"margin={m} below the recall bound min_len + window + k = "
+            f"{min_len + window + k}"
+        )
+    cid = cont_id_col or id_col
+    ctext = cont_text_col or text_col
+    fps_a = winnowing_fingerprint_positions(df, id_col, text_col, k, window)
+    fps_b = winnowing_fingerprint_positions(contaminants, cid, ctext, k, window)
+    shared_fp = (
+        fps_a.select("fingerprint")
+        .distinct()
+        .join(fps_b.select("fingerprint").distinct(), "fingerprint")
     )
-    final_cov = grams2.join(confirmed, "__g").select(
+    doc_a, g1a = _candidate_gram_hashes(
+        df, id_col, text_col, fps_a, shared_fp, k, min_len, m
+    )
+    doc_b, g1b = _candidate_gram_hashes(
+        contaminants, cid, ctext, fps_b, shared_fp, k, min_len, m
+    )
+    hot = (
+        g1a.select("__h").distinct().join(g1b.select("__h").distinct(), "__h")
+    )
+    g2a = _gram_texts(g1a.join(hot, "__h"), doc_a, id_col, min_len)
+    g2b = _gram_texts(g1b.join(hot, "__h"), doc_b, cid, min_len)
+    confirmed = g2b.select("__g").distinct()
+    final_cov = g2a.join(confirmed, "__g").select(
         id_col,
         F.col("__q").alias("s"),
         (F.col("__q") + (min_len - 1)).alias("e"),

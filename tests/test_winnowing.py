@@ -442,3 +442,74 @@ def test_exact_repeated_spans_validation_and_candidate_bound(spark):
     # and the operator still finds exactly the planted repeats
     got = exact_repeated_spans(df, "id", "text", min_len=50).collect()
     assert sorted(r["id"] for r in got) == [i for i in range(60) if i % 10 == 0]
+
+
+def test_exact_contamination_spans_matches_bruteforce(spark):
+    """Cross-table surgery: corpus docs with planted benchmark fragments
+    (60-90 chars, mid-document) must yield exactly the brute-force
+    corpus-gram ∩ benchmark-gram span set; clean docs yield nothing; a
+    margin below the recall bound is rejected."""
+    import random
+    import re
+
+    import pytest
+
+    from mr_dice_spark.operators.winnowing import exact_contamination_spans
+
+    def norm(t):
+        return re.sub(r"[ \t\n\r\f\x0B]+", " ", t.strip()).lower()
+
+    rng = random.Random(9)
+    alpha = "abcdefgh "
+    bench = {j: "".join(rng.choice(alpha) for _ in range(200)) for j in range(5)}
+    corpus = {}
+    for i in range(30):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(80, 250)))
+        if rng.random() < 0.4:
+            j = rng.randrange(5)
+            st = rng.randrange(100)
+            frag = bench[j][st : st + rng.randint(60, 90)]
+            cut = len(body) // 2
+            corpus[i] = body[:cut] + frag + body[cut:]
+        else:
+            corpus[i] = body
+    L = 50
+    grams_b = {
+        norm(t)[q : q + L]
+        for t in bench.values()
+        for q in range(len(norm(t)) - L + 1)
+    }
+    exp = []
+    for i, t in corpus.items():
+        s = norm(t)
+        ivs = [
+            (q + 1, q + L)
+            for q in range(len(s) - L + 1)
+            if s[q : q + L] in grams_b
+        ]
+        if not ivs:
+            continue
+        cs, ce = ivs[0]
+        for s_, e_ in ivs[1:]:
+            if s_ <= ce + 1:
+                ce = max(ce, e_)
+            else:
+                exp.append((i, cs, ce, ce - cs + 1))
+                cs, ce = s_, e_
+        exp.append((i, cs, ce, ce - cs + 1))
+    dfc = spark.createDataFrame(list(corpus.items()), "id long, text string")
+    dfb = spark.createDataFrame(list(bench.items()), "bid long, btext string")
+    got = sorted(
+        tuple(r)
+        for r in exact_contamination_spans(
+            dfc, dfb, "id", "text",
+            cont_id_col="bid", cont_text_col="btext", min_len=L,
+        ).collect()
+    )
+    assert got == sorted(exp)
+    assert got, "fixture planted contamination but none was found"
+    with pytest.raises(ValueError, match="recall bound"):
+        exact_contamination_spans(
+            dfc, dfb, "id", "text",
+            cont_id_col="bid", cont_text_col="btext", min_len=L, margin=10,
+        )

@@ -170,6 +170,16 @@ PROBES = [
     "trailing_distinct_users_hourly",
     "kaplan_meier_time_to_purchase",
     "association_rules_events",
+    # round-6 operators. exact_repeated_spans carries the replicated-
+    # fixture caveat at full strength: content is copied 10x, so EVERY
+    # position is part of a cross-doc repeat — the probe measures the
+    # total-duplication regime (candidate coverage = whole corpus, the
+    # operator's documented worst case, still linear per position),
+    # not the sparse-boilerplate case the candidate bound targets.
+    "t_closeness_customer_release",
+    "approx_distinct_audit_daily",
+    "kll_quantiles_audit_global",
+    "exact_repeated_spans_documents",
 ]
 
 
