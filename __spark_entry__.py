@@ -112,7 +112,9 @@ _CHECK_FIRST = [
     "events_cohort_retention",        # cohort self-join retention
     # ROUND-7 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, awaiting their first driver row) —
-    # lead the next rotation with them. (empty so far)
+    # lead the next rotation with them: winnowing_overlap_topk (the
+    # LIMIT-500 report shape of the r5-driver-green full dump, swept
+    # hash-exact at sf0.01 AND sf0.1 on landing).
 ]
 
 

@@ -610,7 +610,7 @@ BENCH_EXTENDED: tuple[str, ...] = (
     "triangle_counts_copurchase",
     "label_propagation_communities",
     "er_best_match_linkage",
-    "winnowing_overlap_pairs",
+    "winnowing_overlap_topk",
     "bpe_train_merges_corpus",
     "lsh_single_linkage_clusters",
 )
