@@ -114,7 +114,10 @@ _CHECK_FIRST = [
     # filled (suite-oracle-green, awaiting their first driver row) —
     # lead the next rotation with them: winnowing_overlap_topk (the
     # LIMIT-500 report shape of the r5-driver-green full dump, swept
-    # hash-exact at sf0.01 AND sf0.1 on landing).
+    # hash-exact at sf0.01 AND sf0.1 on landing);
+    # community_modularity_copurchase (Newman modularity + conductance
+    # over the in-window LPA communities, swept hash-exact at all three
+    # scales on landing).
 ]
 
 

@@ -1859,6 +1859,41 @@ FROM fin ORDER BY node"""
     return "\n".join(parts)
 
 
+def _lpa_modularity_oracle(rounds: int = 4) -> str:
+    """The same unrolled-LPA CTE chain, closed with the Newman
+    modularity + conductance tail instead of the label dump — one
+    source of truth for the sweeps (a fix to the LPA recurrence can
+    never diverge the two oracles)."""
+    base = _lpa_oracle(rounds)
+    prefix = base[: base.index(f"fin AS (SELECT node, lbl FROM l{rounds})")]
+    return (
+        prefix
+        + f"""fin AS MATERIALIZED (SELECT node, lbl AS community FROM l{rounds}),
+mm AS (SELECT COUNT(*) AS m FROM raw),
+ee AS (
+  SELECT la.community, COUNT(*) AS internal_edges
+  FROM raw JOIN fin la ON la.node = raw.a JOIN fin lb ON lb.node = raw.b
+  WHERE la.community = lb.community GROUP BY 1
+),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+vol AS (
+  SELECT l.community, SUM(d.deg) AS degree_sum, COUNT(*) AS n_nodes
+  FROM deg d JOIN fin l ON l.node = d.node GROUP BY 1
+)
+SELECT CAST(v.community AS BIGINT) AS community,
+       CAST(v.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ee.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(v.degree_sum AS BIGINT) AS degree_sum,
+       ROUND(1e-9 + COALESCE(ee.internal_edges, 0) / (1.0 * mm.m)
+             - POWER(v.degree_sum / (2.0 * mm.m), 2), 6) + 0 AS q_term,
+       ROUND(1e-9 + (v.degree_sum - 2 * COALESCE(ee.internal_edges, 0))
+             / (1.0 * LEAST(v.degree_sum, 2 * mm.m - v.degree_sum)), 6) + 0
+         AS conductance
+FROM vol v LEFT JOIN ee ON ee.community = v.community CROSS JOIN mm
+ORDER BY community"""
+    )
+
+
 @golden(
     "label_propagation_communities",
     _lpa_oracle(),
@@ -1883,6 +1918,32 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
     return label_propagation(edges, n_iter=4)
+
+
+@golden(
+    "community_modularity_copurchase",
+    _lpa_modularity_oracle(),
+    tags=("graph", "communities", "evaluation"),
+)
+def community_modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics for the LPA communities — per-community Newman
+    modularity terms and conductance (what B-cubed/ARI are to the ER
+    linkage: the measured-quality layer over a clustering operator).
+    The oracle reuses the unrolled-LPA CTE chain verbatim and closes it
+    with the modularity tail, so the sweeps have one source of truth.
+    All-integer inputs; the two ratio columns round on the 1e-9-nudged
+    grid."""
+    from mr_dice_spark.operators.graph import label_propagation, modularity
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    comm = label_propagation(edges, n_iter=4)
+    return modularity(edges, comm).orderBy("community")
 
 
 # ---------------------------------------------------------------------------

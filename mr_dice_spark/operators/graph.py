@@ -268,3 +268,100 @@ def k_core(
     return e.groupBy("s").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("s").alias("node"), "degree"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Per-community Newman modularity terms and conductance — the
+    clustering-quality metrics for graph communities (what B-cubed/ARI
+    are to ER linkage): given an undirected simple graph and a node ->
+    community assignment, emit per community ``(community, n_nodes,
+    internal_edges, degree_sum, q_term, conductance)`` where
+
+    * ``q_term = e_c/m - (d_c/(2m))^2`` (Newman & Girvan 2004; the
+      global modularity Q is the sum of q_terms),
+    * ``conductance = (d_c - 2 e_c) / min(d_c, 2m - d_c)`` (boundary
+      edges over the smaller side's volume; NULL when the denominator
+      is 0 — a community spanning the whole graph has no outside).
+
+    Edges are canonicalized exactly like :func:`label_propagation`
+    (self-loops dropped, direction and duplicates collapsed), so the
+    metrics compose directly over its output. Nodes missing from
+    ``communities`` are excluded from every term (their edges still
+    count in m).
+
+    Scale shape: the canonical edge list is materialized ONCE and feeds
+    three branches (the 1-row edge count, the intra-community count,
+    the degree table) — without the checkpoint each branch re-plans the
+    upstream edge derivation (the materialize-the-reduced-aggregate
+    rule). Labels are node-sized key joins; every aggregate is
+    community- or node-keyed; m rides a broadcast 1-row cross join.
+    """
+    und = (
+        edges.select(
+            F.col(src).cast("long").alias("a0"), F.col(dst).cast("long").alias("b0")
+        )
+        .where(F.col("a0") != F.col("b0"))
+        .select(F.least("a0", "b0").alias("a"), F.greatest("a0", "b0").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = communities.select(
+        F.col(node_col).cast("long").alias("__n"),
+        F.col(community_col).cast("long").alias("__c"),
+    )
+    m1 = und.agg(F.count(F.lit(1)).alias("__m"))
+    ee = (
+        und.join(lab.select(F.col("__n").alias("a"), F.col("__c").alias("__ca")), "a")
+        .join(lab.select(F.col("__n").alias("b"), F.col("__c").alias("__cb")), "b")
+        .where(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("__n"))
+        .unionAll(und.select(F.col("b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    vol = (
+        deg.join(lab, "__n")
+        .groupBy(F.col("__c").alias("community"))
+        .agg(
+            F.sum("__deg").alias("degree_sum"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    out = (
+        vol.join(ee, "community", "left")
+        .withColumn("internal_edges", F.coalesce("internal_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m1))
+    )
+    me = F.col("__m").cast("double")
+    q = F.col("internal_edges") / me - F.pow(
+        F.col("degree_sum") / (2 * me), F.lit(2)
+    )
+    boundary = F.col("degree_sum") - 2 * F.col("internal_edges")
+    cond_den = F.least(F.col("degree_sum"), (2 * me - F.col("degree_sum")))
+    return out.select(
+        "community",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("internal_edges").cast("long").alias("internal_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        # + 0.0 after the round: IEEE -0 + 0 = +0, so a q_term that
+        # rounds to negative zero (internal_edges=0, tiny -(d/2m)^2)
+        # canonicalizes identically on both engines
+        (F.round(q + F.lit(1e-9), 6) + F.lit(0.0)).alias("q_term"),
+        (
+            F.round(
+                F.try_divide(boundary.cast("double"), cond_den) + F.lit(1e-9), 6
+            )
+            + F.lit(0.0)
+        ).alias("conductance"),
+    )

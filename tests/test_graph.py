@@ -185,3 +185,40 @@ def test_label_propagation_validates_and_zero_iter(spark):
         label_propagation(df, n_iter=-1)
     got = {r["node"]: r["community"] for r in label_propagation(df, n_iter=0).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_modularity_two_triangles_bridge_by_hand(spark):
+    """Two triangles joined by one bridge: q_term = 3/7 - (7/14)^2 =
+    5/28 per community, conductance 1/7; a whole-graph community has
+    q_term 0 and NULL conductance (no outside); duplicate and reversed
+    edges collapse before any term."""
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (2, 1), (3, 3)],
+        "src long, dst long",
+    )
+    comm = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 4) for i in range(1, 7)], "node long, community long"
+    )
+    got = {r["community"]: r for r in modularity(edges, comm).collect()}
+    for c in (1, 4):
+        r = got[c]
+        assert r["n_nodes"] == 3 and r["internal_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert abs(r["q_term"] - 5 / 28) < 1e-6
+        assert abs(r["conductance"] - 1 / 7) < 1e-6
+    # global Q = sum of terms
+    assert abs(sum(r["q_term"] for r in got.values()) - 5 / 14) < 1e-5
+    whole = spark.createDataFrame(
+        [(i, 0) for i in range(1, 7)], "node long, community long"
+    )
+    [w] = modularity(edges, whole).collect()
+    assert w["q_term"] == 0.0 and w["conductance"] is None
+    assert w["internal_edges"] == 7 and w["degree_sum"] == 14
+    # a node missing from the assignment drops from every term
+    part = comm.where(F.col("node") != 6)
+    got2 = {r["community"]: r for r in modularity(edges, part).collect()}
+    assert got2[4]["n_nodes"] == 2 and got2[4]["internal_edges"] == 1
