@@ -117,7 +117,8 @@ _CHECK_FIRST = [
     # hash-exact at sf0.01 AND sf0.1 on landing);
     # community_modularity_copurchase (Newman modularity + conductance
     # over the in-window LPA communities, swept hash-exact at all three
-    # scales on landing).
+    # scales on landing); cuped_value_readout (CUPED variance-reduced
+    # A/B readout, swept hash-exact at all three scales on landing).
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from mr_dice_spark.catalog import Catalog
 from mr_dice_spark.golden import _r, golden
+from mr_dice_spark.golden_builders import _utc
 from mr_dice_spark.operators.sampling import split_assign, split_thresholds
 
 # ---------------------------------------------------------------------------
@@ -1354,3 +1355,63 @@ def kaplan_meier_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         "cohort", "duration_h", "n_risk", "n_events", "n_censored",
         _r("survival", 6).alias("survival"),
     ).orderBy("cohort", "duration_h")
+
+
+CUPED_ORACLE = """
+WITH units AS MATERIALIZED (
+  SELECT user_id % 2 AS grp,
+         CAST(COUNT(*) AS DOUBLE) AS x,
+         SUM(value) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+mom AS (
+  SELECT ROUND(1e-9 + covar_pop(x, y) / NULLIF(var_pop(x), 0), 9) AS theta,
+         ROUND(1e-9 + AVG(x), 9) AS xbar
+  FROM units
+),
+adj AS (
+  SELECT grp, y, y - COALESCE(mom.theta, 0) * (x - mom.xbar) AS ya
+  FROM units CROSS JOIN mom
+)
+SELECT grp AS "group",
+       COUNT(*) AS n,
+       ROUND(1e-9 + AVG(y), 4) AS mean_metric,
+       ROUND(1e-9 + AVG(ya), 4) AS mean_adjusted,
+       ROUND(1e-9 + var_pop(y), 4) AS var_metric,
+       ROUND(1e-9 + var_pop(ya), 4) AS var_adjusted,
+       ROUND(1e-9 + 1.0 - var_pop(ya) / NULLIF(var_pop(y), 0), 4) AS var_reduction
+FROM adj GROUP BY grp ORDER BY grp
+"""
+
+
+@golden(
+    "cuped_value_readout",
+    CUPED_ORACLE,
+    tags=("evaluation", "experiment", "variance-reduction"),
+)
+def cuped_value_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout over a synthetic A/B
+    split (user_id parity): metric = each user's total event value,
+    covariate = their event count (the exposure adjustment — activity
+    predicts totals at corr 0.77 in this fixture, so CUPED removes ~60%
+    of the between-user variance; a non-predictive covariate would make
+    the adjustment a no-op with var_reduction ~ 0, which the unit test
+    pins separately). theta and mean(x) are 9dp-quantized before the
+    adjustment so both engines adjust from identical state (the
+    k-means-centroid rule); report columns round at 4 (values are
+    O(10^3-10^5) user totals, double error orders below the grid)."""
+    from mr_dice_spark.operators.evaluation import cuped_adjusted_means
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    units = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum("value").alias("y"),
+    ).select((F.col("user_id") % 2).alias("group"), "x", "y")
+    return cuped_adjusted_means(units, "group", "y", "x", round_scale=4).orderBy(
+        "group"
+    )

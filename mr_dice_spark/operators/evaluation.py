@@ -658,3 +658,62 @@ def kaplan_meier(
             "survival",
         )
     )
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+    round_scale: int = 5,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    for experiment readouts: adjust each unit's metric by its
+    pre-experiment covariate, ``y' = y - theta * (x - mean(x))`` with
+    ``theta = cov(x, y) / var(x)``, then report per experiment group
+    ``(group, n, mean_metric, mean_adjusted, var_metric, var_adjusted,
+    var_reduction)``. The adjustment leaves every group mean's
+    EXPECTATION unchanged while removing the covariate-explained
+    variance — the standard way an A/B readout over heavy-tailed user
+    metrics reaches significance with 2-10x fewer units. Input is one
+    row per unit (pre-aggregate upstream); rows with a NULL metric or
+    covariate are excluded from theta and the report.
+
+    Scale shape: ONE corpus pass computes the global moments (a 1-row
+    broadcast), one more computes the per-group report — no unit-keyed
+    shuffle beyond the group aggregate. theta and mean(x) are quantized
+    to 9 decimals before the adjustment (the k-means-centroid trick) so
+    a cross-engine restatement iterates from identical state.
+    """
+    base = df.where(
+        F.col(metric_col).isNotNull() & F.col(covariate_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(metric_col).cast("double").alias("__y"),
+        F.col(covariate_col).cast("double").alias("__x"),
+    )
+    mom = base.agg(
+        F.round(
+            F.try_divide(F.covar_pop("__x", "__y"), F.var_pop("__x")) + F.lit(1e-9),
+            9,
+        ).alias("__theta"),
+        F.round(F.avg("__x") + F.lit(1e-9), 9).alias("__xbar"),
+    )
+    adj = base.crossJoin(F.broadcast(mom)).withColumn(
+        "__ya",
+        F.col("__y")
+        - F.coalesce(F.col("__theta"), F.lit(0.0))
+        * (F.col("__x") - F.col("__xbar")),
+    )
+    out = adj.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__y") + F.lit(1e-9), round_scale).alias("mean_metric"),
+        F.round(F.avg("__ya") + F.lit(1e-9), round_scale).alias("mean_adjusted"),
+        F.round(F.var_pop("__y") + F.lit(1e-9), round_scale).alias("var_metric"),
+        F.round(F.var_pop("__ya") + F.lit(1e-9), round_scale).alias("var_adjusted"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.var_pop("__ya"), F.var_pop("__y")) + F.lit(1e-9),
+            round_scale,
+        ).alias("var_reduction"),
+    )
+    return out

@@ -278,3 +278,45 @@ def test_kaplan_meier_everyone_dies_hits_zero(spark):
     got = {r["t"]: r["survival"] for r in kaplan_meier(df, "g", "t", "e").collect()}
     assert abs(got[1.0] - 1 / 3) < 1e-9
     assert got[2.0] == 0.0                  # d = n at t=2 -> exact zero
+
+
+def test_cuped_known_theta_and_unbiasedness(spark):
+    """y = 2x + e with x uniform: theta ~ 2, variance collapses to
+    var(e); an uncorrelated covariate leaves means AND variance ~
+    unchanged (the adjustment is a no-op in expectation); NULL units
+    are excluded; a constant covariate (var=0) falls back to theta=0."""
+    import random
+
+    from mr_dice_spark.operators.evaluation import cuped_adjusted_means
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        x = rng.uniform(0, 10)
+        e = rng.gauss(0, 0.5)
+        rows.append((i % 2, x, 2.0 * x + e))
+    rows.append((0, None, 1.0))   # NULL covariate excluded
+    rows.append((1, 1.0, None))   # NULL metric excluded
+    df = spark.createDataFrame(rows, "group int, x double, y double")
+    got = {r["group"]: r for r in cuped_adjusted_means(df, "group", "y", "x").collect()}
+    assert got[0]["n"] + got[1]["n"] == 400
+    for g in (0, 1):
+        r = got[g]
+        # adjusted variance ~ var(e) = 0.25 vs metric variance ~ 4*var(x) ~ 33
+        assert r["var_adjusted"] < 0.5 and r["var_metric"] > 20
+        assert r["var_reduction"] > 0.95
+        # unbiasedness: adjustment shifts each group mean by at most the
+        # group-vs-global covariate imbalance * theta
+        assert abs(r["mean_adjusted"] - r["mean_metric"]) < 2.0
+    # uncorrelated covariate: no-op within noise
+    rows2 = [(i % 2, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(400)]
+    df2 = spark.createDataFrame(rows2, "group int, x double, y double")
+    for r in cuped_adjusted_means(df2, "group", "y", "x").collect():
+        assert abs(r["var_reduction"]) < 0.1
+    # constant covariate: var(x)=0 -> theta NULL -> coalesce 0 -> identity
+    df3 = spark.createDataFrame(
+        [(0, 5.0, float(v)) for v in range(10)], "group int, x double, y double"
+    )
+    [r3] = cuped_adjusted_means(df3, "group", "y", "x").collect()
+    assert r3["mean_adjusted"] == r3["mean_metric"]
+    assert r3["var_adjusted"] == r3["var_metric"]
