@@ -105,20 +105,25 @@ _CHECK_FIRST = [
     # dedup_exact_documents yields its slot to
     # contamination_spans_documents — exact-dedup's hash-groupBy runs
     # inside the in-window cluster/survivor and span-dedup rows)
+    # --- late round-6 additions, rotated in within the same round so
+    # NO golden leaves round 6 without a driver row (lifetime coverage
+    # complete if this window runs green). They take three more of the
+    # r1-reverify slots: cosine_topk_lsh_approx (ANN family r4-green
+    # via the hash-oracled IVF audit; dense cosine re-verified
+    # in-window by hybrid_retrieval_rrf), text_language_id_confusion
+    # (language-ID machinery in-window via ccnet_perplexity_buckets),
+    # and events_cohort_retention (r1-green; self-join shapes run
+    # inside several in-window rows) yield theirs.
+    "winnowing_overlap_topk",         # MOSS report: top-500 by shared
+    "community_modularity_copurchase",  # Newman Q + conductance on LPA
+    "cuped_value_readout",            # CUPED variance-reduced readout
+    # --- r1-only re-verification: 2 of the 25 rows last driver-checked
+    # in round 1 (the other 23 stay suite-oracle-checked every CI run)
     "optimade_filter_compile",        # OPTIMADE grammar -> Column compile
-    "cosine_topk_lsh_approx",         # LSH-bucketed ANN path
-    "text_language_id_confusion",     # n-gram language ID
     "simhash_near_dup_pairs",         # SimHash pigeonhole banding
-    "events_cohort_retention",        # cohort self-join retention
     # ROUND-7 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, awaiting their first driver row) —
-    # lead the next rotation with them: winnowing_overlap_topk (the
-    # LIMIT-500 report shape of the r5-driver-green full dump, swept
-    # hash-exact at sf0.01 AND sf0.1 on landing);
-    # community_modularity_copurchase (Newman modularity + conductance
-    # over the in-window LPA communities, swept hash-exact at all three
-    # scales on landing); cuped_value_readout (CUPED variance-reduced
-    # A/B readout, swept hash-exact at all three scales on landing).
+    # lead the next rotation with them. (empty)
 ]
 
 
