@@ -19,7 +19,7 @@ golden hash-checks an iterative float algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -197,16 +197,22 @@ def label_propagation(
     )
     e = e.localCheckpoint(eager=True)
     labels = e.select(F.col("s").alias("node"), F.col("s").alias("lbl")).distinct()
-    w = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for _ in range(n_iter):
         votes = (
             e.join(labels, e["d"] == labels["node"])
             .groupBy("s", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # winner per node via max_by over (count, -label): identical to
+        # a row_number window ordered (c DESC, lbl ASC) — verified
+        # bit-identical on the copurchase graph — but a HASH aggregate,
+        # so the per-sweep winner pick never sorts the vote table (the
+        # window's sort is the term that grows superlinearly at scale)
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
+            votes.groupBy("s")
+            .agg(
+                F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias("lbl")
+            )
             .select(F.col("s").alias("node"), "lbl")
             .localCheckpoint(eager=True)
         )
