@@ -123,7 +123,9 @@ _CHECK_FIRST = [
     "simhash_near_dup_pairs",         # SimHash pigeonhole banding
     # ROUND-7 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, awaiting their first driver row) —
-    # lead the next rotation with them. (empty)
+    # lead the next rotation with them: holt_linear_user_value (Holt
+    # double-exponential smoothing, recursive-CTE oracle bit-exact,
+    # swept hash-exact at all three scales on landing).
 ]
 
 

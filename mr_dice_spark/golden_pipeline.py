@@ -5471,3 +5471,65 @@ def t_closeness_customer_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 3).alias("sens"),
     )
     return t_closeness_audit(cust, ["c_nationkey", "c_mktsegment"], "sens", t=0.1)
+
+
+HOLT_ORACLE = """
+WITH RECURSIVE ord AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+-- the Holt recurrence evaluated STEP BY STEP with the same IEEE double
+-- operations in the same order as the operator's Python loop: (1.0 - a)
+-- is written as the subtraction, matching the loop's precomputed
+-- one-minus constants, so the comparison is bit-exact before the
+-- presentation rounding (the streaming-EMA oracle's rule)
+h(user_id, rn, l, b) AS (
+  SELECT user_id, rn, value, CAST(0.0 AS DOUBLE) FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn,
+         0.3 * o.value + (1.0 - 0.3) * (h.l + h.b),
+         0.2 * ((0.3 * o.value + (1.0 - 0.3) * (h.l + h.b)) - h.l)
+           + (1.0 - 0.2) * h.b
+  FROM h JOIN ord o ON o.user_id = h.user_id AND o.rn = h.rn + 1
+),
+fin AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points FROM ord GROUP BY user_id
+)
+SELECT f.user_id, f.n_points,
+       ROUND(1e-9 + h.l, 6) AS level,
+       ROUND(1e-9 + h.b, 6) AS trend,
+       ROUND(1e-9 + h.l + h.b, 6) AS forecast_1
+FROM fin f JOIN h ON h.user_id = f.user_id AND h.rn = f.n_points
+ORDER BY f.user_id
+"""
+
+
+@golden(
+    "holt_linear_user_value",
+    HOLT_ORACLE,
+    tags=("timeseries", "forecast", "stateful", "events"),
+)
+def holt_linear_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear smoothing of each user's event-value series
+    (alpha=0.3, beta=0.2): final level, trend, and one-step forecast —
+    the order-sensitive 2-state recurrence no window frame can express
+    (the batch sibling of the streaming EMA; see
+    operators/timeseries.py:holt_linear_smooth for why applyInPandas is
+    the right tool here). The oracle replays the recurrence step by
+    step in a DuckDB recursive CTE, bit-exact before the 6dp rounding;
+    (user_id, ts) is unique in the fixture, so the order is
+    unambiguous."""
+    from mr_dice_spark.operators.timeseries import holt_linear_smooth
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    out = holt_linear_smooth(ev, "user_id", "ts", "value", alpha=0.3, beta=0.2)
+    return out.select(
+        "user_id",
+        "n_points",
+        _r("level", 6).alias("level"),
+        _r("trend", 6).alias("trend"),
+        _r("forecast_1", 6).alias("forecast_1"),
+    ).orderBy("user_id")

@@ -600,3 +600,77 @@ def trailing_distinct_count(
             "n_distinct_trailing",
         )
     )
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — the
+    level+trend forecasting state a monitoring pipeline keeps per
+    series: ``l_1 = y_1, b_1 = 0`` then for t >= 2
+
+        l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    returning ``(key, n_points, level, trend, forecast_1)`` with
+    ``forecast_1 = level + trend`` (the one-step-ahead forecast).
+    NULL keys/values are excluded; a single-point series has
+    ``trend = 0`` (the zero-trend warm start, chosen over the
+    ``y_2 - y_1`` init so n=1 needs no special case and the recurrence
+    is restatable from the first step).
+
+    Like the streaming EMA (``streaming/stateful.py``), the recurrence
+    is order-SENSITIVE with a 2-vector state — no window/watermark
+    rewrite exists (a single EMA has a product closed form; the Holt
+    update is a 2x2 matrix product, which SQL window frames cannot
+    express) — so this is the legitimate ``applyInPandas`` case: one
+    Arrow-batched call per key, state O(1), shuffle = one key exchange.
+    The Python loop multiplies by ``1.0 - alpha`` / ``1.0 - beta``
+    EXPLICITLY so a SQL restatement writing the same subtraction is
+    bit-identical before presentation rounding (the EMA oracle's rule).
+    """
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError(f"alpha in (0,1], beta in [0,1]: {alpha}, {beta}")
+    oma, omb = 1.0 - alpha, 1.0 - beta
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts")
+        vals = pdf["__v"].tolist()
+        l, b = vals[0], 0.0
+        for v in vals[1:]:
+            nl = alpha * v + oma * (l + b)
+            b = beta * (nl - l) + omb * b
+            l = nl
+        return pd.DataFrame(
+            {
+                "__k": [pdf["__k"].iloc[0]],
+                "n_points": [len(vals)],
+                "level": [l],
+                "trend": [b],
+                "forecast_1": [l + b],
+            }
+        )
+
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    ktype = base.schema["__k"].dataType.simpleString()
+    out = base.groupBy("__k").applyInPandas(
+        fit,
+        schema=(
+            f"__k {ktype}, n_points long, level double, "
+            "trend double, forecast_1 double"
+        ),
+    )
+    return out.withColumnRenamed("__k", key_col)

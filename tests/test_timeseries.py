@@ -312,3 +312,37 @@ def test_trailing_distinct_count_hand_series(spark):
     import pytest
     with pytest.raises(ValueError, match="trailing_buckets"):
         trailing_distinct_count(df, "k", "ts", "u", 3600, 0)
+
+
+def test_holt_linear_matches_python_reference_and_edge_cases(spark):
+    """Hand recurrence on a known series; single-point series warm-starts
+    at trend 0; NULLs excluded; parameter validation fires."""
+    import pytest
+
+    from mr_dice_spark.operators.timeseries import holt_linear_smooth
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    series = [10.0, 12.0, 15.0, 14.0, 18.0]
+    rows = [("a", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(series)]
+    rows += [("b", t0, 7.0)]                      # single point
+    rows += [(None, t0, 1.0), ("c", t0, None)]    # excluded
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["k"]: r for r in holt_linear_smooth(df, "k", "ts", "v", 0.3, 0.2).collect()}
+    l, b = series[0], 0.0
+    for v in series[1:]:
+        nl = 0.3 * v + (1.0 - 0.3) * (l + b)
+        b = 0.2 * (nl - l) + (1.0 - 0.2) * b
+        l = nl
+    ra = got["a"]
+    assert ra["n_points"] == 5
+    assert abs(ra["level"] - l) < 1e-12 and abs(ra["trend"] - b) < 1e-12
+    assert abs(ra["forecast_1"] - (l + b)) < 1e-12
+    rb = got["b"]
+    assert rb["n_points"] == 1 and rb["level"] == 7.0 and rb["trend"] == 0.0
+    assert "c" not in got and None not in got
+    with pytest.raises(ValueError, match="alpha"):
+        holt_linear_smooth(df, "k", "ts", "v", alpha=0.0)
+    # rising series: trend must be positive and the forecast above level
+    assert ra["trend"] > 0 and ra["forecast_1"] > ra["level"]
