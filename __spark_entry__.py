@@ -125,7 +125,10 @@ _CHECK_FIRST = [
     # filled (suite-oracle-green, awaiting their first driver row) —
     # lead the next rotation with them: holt_linear_user_value (Holt
     # double-exponential smoothing, recursive-CTE oracle bit-exact,
-    # swept hash-exact at all three scales on landing).
+    # swept hash-exact at all three scales on landing);
+    # ahash_hamming_near_dup (perceptual near-dup pairs via pigeonhole
+    # banding over the real-pixel aHash, swept hash-exact at all three
+    # scales on landing — 83 pairs at sf0.01, 10415 at sf0.1).
 ]
 
 

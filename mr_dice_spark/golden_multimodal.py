@@ -713,3 +713,78 @@ def audio_tone_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pmax / ptot + F.lit(1e-9), 6).alias("purity"),
         F.round(pmax / F.lit(1e9) + F.lit(1e-9), 3).alias("peak_gw"),
     ).orderBy("doc_id")
+
+
+AHASH_HAMMING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, rpad(substr(COALESCE(text, ''), 1, 192), 192, 'x') AS s
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+             LEAST(unicode(substr(s, CAST(3 * i + 1 AS INT), 1)), 255)
+           + LEAST(unicode(substr(s, CAST(3 * i + 2 AS INT), 1)), 255)
+           + LEAST(unicode(substr(s, CAST(3 * i + 3 AS INT), 1)), 255)) AS g3
+  FROM px_src_placeholder
+),
+h AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(g3, x ->
+             CASE WHEN x * 64 > list_sum(g3) THEN '1' ELSE '0' END),
+           'string_agg', '') AS bits
+  FROM px
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(length(list_filter(range(1, 65), i ->
+            substr(a.bits, CAST(i AS INT), 1)
+            <> substr(b.bits, CAST(i AS INT), 1))) AS INT) AS dist
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE length(list_filter(range(1, 65), i ->
+        substr(a.bits, CAST(i AS INT), 1)
+        <> substr(b.bits, CAST(i AS INT), 1))) <= 4
+ORDER BY id_a, id_b
+""".replace("FROM px_src_placeholder", "FROM t")
+
+
+@golden(
+    "ahash_hamming_near_dup",
+    AHASH_HAMMING_ORACLE,
+    tags=("multimodal", "image", "dedup", "ahash", "hamming"),
+)
+def ahash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs: the same real-pixel aHash
+    chain as image_ahash_dedup (BMP fixture -> decode -> 8x8 integer
+    mean-threshold hash), then every pair within Hamming distance 4 via
+    exact-recall pigeonhole banding (5 bands; a shared band is the
+    candidate key, the verify is a positional compare) — re-encoded or
+    slightly-edited images that exact-hash dedup misses. The fixture
+    yields 20 exact + 63 genuinely-near pairs at sf0.01, so both the
+    d=0 and 1<=d<=4 paths carry hash weight. The oracle brute-forces
+    all pairs (quadratic in docs — see tools/sweep.py ORACLE_BOUND if
+    the sweep scale ever outgrows it); the operator never does."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import encode_bmp
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+    from mr_dice_spark.operators.dedup import hamming_near_dup_pairs
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = ((t or "")[:192]).ljust(192, "x")
+            vals = [min(ord(c), 255) for c in s]
+            img = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+            out.append(encode_bmp(img))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    hashed = image_dedup_ahash(media, id_col="doc_id").select("doc_id", "ahash_bits")
+    pairs = hamming_near_dup_pairs(
+        hashed, "doc_id", "ahash_bits", max_dist=4, width=64
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    ).orderBy("id_a", "id_b")

@@ -874,3 +874,123 @@ def minhash_precision_audit(
         )
         .orderBy("bucket_lo")
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    bits_col: str,
+    max_dist: int = 4,
+    width: int = 64,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """All unordered pairs whose fixed-width bit STRINGS (e.g. the
+    perceptual aHash of ``multimodal.ops.image_dedup_ahash``, or any
+    simhash-style fingerprint rendered as '0'/'1' chars) differ in at
+    most ``max_dist`` positions — perceptual near-duplicate detection
+    where exact-hash dedup only catches identical images.
+
+    Exact recall by pigeonhole banding (the simhash rule): the string
+    splits into ``max_dist + 1`` contiguous bands, and two strings
+    within distance ``max_dist`` must agree VERBATIM on at least one
+    band, so the candidate join on (band index, band value) misses no
+    true pair; candidates are verified with the exact positional
+    Hamming count, stated as per-position substr compares so a SQL
+    oracle restates it character by character. Returns
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    Rows whose bit string is NULL or not exactly ``width`` chars fail
+    fast (a silent length mismatch would quietly break the pigeonhole
+    guarantee). ``max_block_rows`` is the usual optional circuit
+    breaker: a band value shared by m rows emits O(m^2) candidate pairs
+    on one shuffle key (an all-dark image corpus collapses every band),
+    and the breaker raises with guidance instead of running quadratic.
+
+    Scale shape: max_dist+1 keys per row into one equi-join, DISTINCT
+    on the id pair, two id-keyed joins to attach the strings, one
+    narrow verify map — candidate-bound, never all-pairs.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0: {max_dist}")
+    if width < max_dist + 1:
+        raise ValueError(f"width {width} < max_dist + 1 bands")
+    base = df.select(F.col(id_col).alias("__id"), F.col(bits_col).alias("__bits"))
+    bad = base.where(
+        F.col("__bits").isNull() | (F.length("__bits") != width)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"hamming_near_dup_pairs: a {bits_col} value is NULL or not "
+            f"{width} chars (id {bad[0]['__id']!r}) — the pigeonhole "
+            "bands require uniform width"
+        )
+    n_bands = max_dist + 1
+    step = width // n_bands
+    bounds = []
+    start = 1
+    for i in range(n_bands):
+        ln = step + (1 if i < width % n_bands else 0)
+        bounds.append((start, ln))
+        start += ln
+    keyed = base.select(
+        "__id",
+        "__bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.col("__bits").substr(F.lit(s), F.lit(ln)).alias("bv"),
+                    )
+                    for i, (s, ln) in enumerate(bounds)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", F.col("__b.bi").alias("__bi"), F.col("__b.bv").alias("__bv"))
+    if max_block_rows is not None:
+        worst = (
+            keyed.groupBy("__bi", "__bv")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("mx"))
+            .first()
+        )
+        if worst and worst["mx"] and worst["mx"] > max_block_rows:
+            raise ValueError(
+                f"hamming_near_dup_pairs: a band value holds {worst['mx']} "
+                f"rows (> max_block_rows={max_block_rows}); candidate "
+                "generation would be quadratic on that key — near-constant "
+                "fingerprints (e.g. uniform images). Dedup exact bit "
+                "strings first or raise the cap deliberately."
+            )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__bi") == F.col("b.__bi"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    ba = base.select(F.col("__id").alias("id_a"), F.col("__bits").alias("__ba"))
+    bb = base.select(F.col("__id").alias("id_b"), F.col("__bits").alias("__bb"))
+    dist = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(width)),
+            lambda i: F.when(
+                F.col("__ba").substr(i, F.lit(1))
+                == F.col("__bb").substr(i, F.lit(1)),
+                0,
+            ).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ba, "id_a")
+        .join(bb, "id_b")
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

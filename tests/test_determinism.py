@@ -50,3 +50,58 @@ def test_result_independent_of_shuffle_partitioning(spark, oracle_sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base_conf)
     assert a == b, f"{name} result depends on shuffle partitioning"
+
+
+def test_hamming_near_dup_matches_bruteforce_and_guards(spark):
+    """Randomized 64-bit strings with planted near pairs: the banded
+    join must equal the O(n^2) definition exactly at several
+    thresholds; width mismatch and hot-band breaker fail fast."""
+    import random
+
+    import pytest
+
+    from mr_dice_spark.operators.dedup import hamming_near_dup_pairs
+
+    rng = random.Random(13)
+
+    def rand_bits():
+        return "".join(rng.choice("01") for _ in range(64))
+
+    def flip(s, k):
+        idx = rng.sample(range(64), k)
+        return "".join(
+            ("1" if c == "0" else "0") if i in idx else c for i, c in enumerate(s)
+        )
+
+    rows = []
+    base_strings = [rand_bits() for _ in range(60)]
+    for i, s in enumerate(base_strings):
+        rows.append((i, s))
+    nid = 100
+    for i, s in enumerate(base_strings[:20]):
+        rows.append((nid + i, flip(s, rng.randint(0, 6))))  # some near, some far
+    df = spark.createDataFrame(rows, "id long, bits string")
+    for t in (0, 2, 4):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in hamming_near_dup_pairs(df, "id", "bits", max_dist=t).collect()
+        )
+        exp = sorted(
+            (a, b, d)
+            for ai, (a, sa) in enumerate(rows)
+            for b, sb in rows[ai + 1:]
+            if (d := sum(1 for x, y in zip(sa, sb) if x != y)) <= t
+        )
+        assert got == exp, f"t={t}"
+    with pytest.raises(ValueError, match="uniform width"):
+        hamming_near_dup_pairs(
+            spark.createDataFrame([(1, "01"), (2, "0101")], "id long, bits string"),
+            "id", "bits", max_dist=1, width=4,
+        ).collect()
+    with pytest.raises(ValueError, match="max_block_rows"):
+        const = spark.createDataFrame(
+            [(i, "0" * 64) for i in range(50)], "id long, bits string"
+        )
+        hamming_near_dup_pairs(
+            const, "id", "bits", max_dist=4, max_block_rows=10
+        ).collect()
