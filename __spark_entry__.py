@@ -128,7 +128,9 @@ _CHECK_FIRST = [
     # swept hash-exact at all three scales on landing);
     # ahash_hamming_near_dup (perceptual near-dup pairs via pigeonhole
     # banding over the real-pixel aHash, swept hash-exact at all three
-    # scales on landing — 83 pairs at sf0.01, 10415 at sf0.1).
+    # scales on landing — 83 pairs at sf0.01, 10415 at sf0.1);
+    # srm_check_experiment_arms (sample-ratio-mismatch gate, swept
+    # hash-exact at all three scales on landing).
 ]
 
 

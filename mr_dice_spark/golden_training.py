@@ -1415,3 +1415,63 @@ def cuped_value_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_means(units, "group", "y", "x", round_scale=4).orderBy(
         "group"
     )
+
+
+SRM_ORACLE = """
+WITH units AS MATERIALIZED (
+  SELECT user_id, user_id % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+  WHERE user_id % 10 <> 1
+),
+c AS (
+  SELECT e.arm, e.expected_share, COALESCE(cnt.n, 0) AS n
+  FROM (VALUES (0, 0.5), (1, 0.5)) AS e(arm, expected_share)
+  LEFT JOIN (SELECT arm, COUNT(*) AS n FROM units GROUP BY arm) cnt
+    ON cnt.arm = e.arm
+),
+t AS (SELECT SUM(n) AS tot FROM c),
+chi AS (
+  SELECT ROUND(1e-9 + SUM((c.n - c.expected_share * t.tot)
+                          * (c.n - c.expected_share * t.tot)
+                          / (c.expected_share * t.tot)), 6) AS chi2
+  FROM c CROSS JOIN t
+)
+SELECT c.arm,
+       CAST(c.n AS BIGINT) AS n,
+       ROUND(1e-9 + c.n * 1.0 / t.tot, 6) AS share,
+       ROUND(1e-9 + c.expected_share, 6) AS expected_share,
+       ROUND(1e-9 + c.expected_share * t.tot, 6) AS expected_n,
+       chi.chi2,
+       chi.chi2 > 3.841 AS srm_flag
+FROM c CROSS JOIN t CROSS JOIN chi
+ORDER BY c.arm
+"""
+
+
+@golden(
+    "srm_check_experiment_arms",
+    SRM_ORACLE,
+    tags=("evaluation", "experiment", "integrity"),
+)
+def srm_check_experiment_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate over a deliberately BROKEN assignment:
+    users split 50/50 by id parity, then a simulated bot filter drops
+    every ``user_id % 10 == 1`` unit — all casualties land in arm 1
+    (odd ids), so the declared 50/50 no longer holds. The verdict shows
+    the power-vs-scale behavior a real gate has: the same 10% arm-1
+    loss reads chi2=1.67 at sf0.01 (135 units — under the 3.841
+    critical value, not yet detectable) and chi2=16.7 at sf0.1 (1350
+    units — flag fires), both boundary-safe for the hash. Unit tests
+    pin the clean-split green path and a large planted mismatch firing.
+    Statistic-vs-critical verdict, no p-value CDF on the hash
+    surface."""
+    from mr_dice_spark.operators.evaluation import srm_check
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id").isNotNull())
+    units = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 10 != 1)
+        .select((F.col("user_id") % 2).alias("arm"))
+    )
+    return srm_check(units, "arm", {0: 0.5, 1: 0.5}).orderBy("arm")

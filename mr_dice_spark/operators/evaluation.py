@@ -717,3 +717,102 @@ def cuped_adjusted_means(
         ).alias("var_reduction"),
     )
     return out
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected_shares: dict,
+    crit: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-integrity gate run
+    BEFORE reading any A/B metric (a randomizer bug, bot filter, or
+    logging loss that skews arm sizes invalidates the comparison before
+    statistics start; Fabijan et al., "Diagnosing Sample Ratio
+    Mismatch", KDD 2019). One row per arm ``(arm, n, share,
+    expected_share, expected_n)`` plus the goodness-of-fit statistic
+    and verdict on every row: ``chi2 = sum (o - e)^2 / e`` against the
+    DECLARED allocation, ``srm_flag = chi2 > crit`` (default 3.841, the
+    95% point at 1 dof — pass the right critical value for more arms;
+    the STATISTIC is reported rather than a p-value so the verdict has
+    no transcendental-CDF cross-engine surface). Arms observed in the
+    data but missing from ``expected_shares`` raise (an unknown arm IS
+    an integrity failure); declared arms with zero rows contribute
+    their full expected count to chi2.
+
+    One hash aggregate on the arm key; the chi2 reduce runs over the
+    arm-sized relation. NULL arms are excluded (count them upstream if
+    NULL assignment itself is the bug being hunted).
+    """
+    if not expected_shares:
+        raise ValueError("srm_check: expected_shares must be non-empty")
+    total_share = float(sum(expected_shares.values()))
+    if abs(total_share - 1.0) > 1e-9:
+        raise ValueError(
+            f"srm_check: expected shares must sum to 1, got {total_share}"
+        )
+    if any(s <= 0 for s in expected_shares.values()):
+        raise ValueError("srm_check: every expected share must be > 0")
+    counts = (
+        df.where(F.col(arm_col).isNotNull())
+        .groupBy(F.col(arm_col).alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    unknown = counts.join(
+        F.broadcast(
+            counts.sparkSession.createDataFrame(
+                [(k,) for k in expected_shares], ["arm"]
+            )
+        ),
+        "arm",
+        "left_anti",
+    ).limit(1).collect()
+    if unknown:
+        raise ValueError(
+            f"srm_check: arm {unknown[0]['arm']!r} observed in the data "
+            "but absent from expected_shares — an unknown arm is itself "
+            "an integrity failure"
+        )
+    exp_df = F.broadcast(
+        counts.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in expected_shares.items()],
+            ["arm", "expected_share"],
+        )
+    )
+    full = exp_df.join(counts, "arm", "left").select(
+        "arm", "expected_share", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = full.agg(F.sum("n").alias("__t"))
+    per = full.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.round(F.try_divide(F.col("n"), F.col("__t")) + F.lit(1e-9), 6).alias(
+            "share"
+        ),
+        F.round(F.col("expected_share") + F.lit(1e-9), 6).alias("expected_share"),
+        (F.col("expected_share") * F.col("__t")).alias("__en"),
+    )
+    chi = per.agg(
+        F.round(
+            F.sum(
+                F.try_divide(
+                    (F.col("n") - F.col("__en")) * (F.col("n") - F.col("__en")),
+                    F.col("__en"),
+                )
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("chi2")
+    )
+    return (
+        per.crossJoin(F.broadcast(chi))
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n"),
+            "share",
+            "expected_share",
+            F.round(F.col("__en") + F.lit(1e-9), 6).alias("expected_n"),
+            "chi2",
+            (F.col("chi2") > crit).alias("srm_flag"),
+        )
+    )

@@ -320,3 +320,30 @@ def test_cuped_known_theta_and_unbiasedness(spark):
     [r3] = cuped_adjusted_means(df3, "group", "y", "x").collect()
     assert r3["mean_adjusted"] == r3["mean_metric"]
     assert r3["var_adjusted"] == r3["var_metric"]
+
+
+def test_srm_check_flags_planted_mismatch_and_passes_clean(spark):
+    """A clean 50/50 split stays green; a large planted loss in one arm
+    fires the flag; unknown arms and bad share declarations raise;
+    declared-but-empty arms charge their full expected count."""
+    import pytest
+
+    from mr_dice_spark.operators.evaluation import srm_check
+
+    clean = spark.createDataFrame([(i, i % 2) for i in range(1000)], "id long, arm int")
+    got = {r["arm"]: r for r in srm_check(clean, "arm", {0: 0.5, 1: 0.5}).collect()}
+    assert not got[0]["srm_flag"] and got[0]["chi2"] == 0.0
+    broken = clean.where("NOT (arm = 1 AND id < 300)")  # drop 150 arm-1 units
+    got2 = {r["arm"]: r for r in srm_check(broken, "arm", {0: 0.5, 1: 0.5}).collect()}
+    assert got2[1]["srm_flag"] and got2[1]["chi2"] > 3.841
+    assert got2[0]["n"] == 500 and got2[1]["n"] == 350
+    # declared arm with zero rows still contributes its expected count
+    one_arm = spark.createDataFrame([(i, 0) for i in range(100)], "id long, arm int")
+    got3 = {r["arm"]: r for r in srm_check(one_arm, "arm", {0: 0.5, 1: 0.5}).collect()}
+    assert got3[1]["n"] == 0 and got3[1]["srm_flag"]
+    with pytest.raises(ValueError, match="unknown arm|integrity failure"):
+        srm_check(clean, "arm", {0: 1.0}).collect()
+    with pytest.raises(ValueError, match="sum to 1"):
+        srm_check(clean, "arm", {0: 0.5, 1: 0.4})
+    with pytest.raises(ValueError, match="share must be > 0"):
+        srm_check(clean, "arm", {0: 1.5, 1: -0.5})
