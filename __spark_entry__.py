@@ -130,7 +130,9 @@ _CHECK_FIRST = [
     # banding over the real-pixel aHash, swept hash-exact at all three
     # scales on landing — 83 pairs at sf0.01, 10415 at sf0.1);
     # srm_check_experiment_arms (sample-ratio-mismatch gate, swept
-    # hash-exact at all three scales on landing).
+    # hash-exact at all three scales on landing);
+    # krippendorff_alpha_user_bands (nominal multi-rater agreement,
+    # swept hash-exact at all three scales on landing).
 ]
 
 

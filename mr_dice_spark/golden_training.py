@@ -1475,3 +1475,62 @@ def srm_check_experiment_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("user_id") % 2).alias("arm"))
     )
     return srm_check(units, "arm", {0: 0.5, 1: 0.5}).orderBy("arm")
+
+
+KRIPPENDORFF_ORACLE = """
+WITH cells AS MATERIALIZED (
+  SELECT user_id AS u, CAST(FLOOR(value / 50) AS BIGINT) AS c, COUNT(*) AS m
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+units AS MATERIALIZED (
+  SELECT u, SUM(m) AS nu, SUM(m * m) AS sq
+  FROM cells GROUP BY u HAVING SUM(m) >= 2
+),
+do_ AS (
+  SELECT COUNT(*) AS n_units, SUM(nu) AS n,
+         SUM((nu * nu - sq) / (nu - 1.0)) AS do_mass
+  FROM units
+),
+nc AS (
+  SELECT SUM(CAST(nc AS DOUBLE) * nc) AS snc2
+  FROM (
+    SELECT cells.c, SUM(cells.m) AS nc
+    FROM cells JOIN units ON units.u = cells.u
+    GROUP BY cells.c
+  )
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       CAST(n AS BIGINT) AS n_ratings,
+       ROUND(1e-9 + do_mass / n, 6) AS do_rate,
+       ROUND(1e-9 + ((CAST(n AS DOUBLE) * n - snc2) / (n - 1)) / n, 6) AS de_rate,
+       ROUND(1e-9 + 1.0 - do_mass / ((CAST(n AS DOUBLE) * n - snc2) / (n - 1)), 6)
+         AS alpha
+FROM do_ CROSS JOIN nc
+"""
+
+
+@golden(
+    "krippendorff_alpha_user_bands",
+    KRIPPENDORFF_ORACLE,
+    tags=("evaluation", "agreement", "labeling"),
+)
+def krippendorff_alpha_user_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha treating each user's events as
+    repeated ratings of that user with the 50-wide value band as the
+    label — the multi-rater agreement readout a labeling pipeline runs
+    per annotation batch (kappa's generalization to many raters and
+    missing data; rater identity never enters the nominal coincidence
+    form). Near-uniform within-user bands in this fixture put alpha
+    near 0 (repeated measurements of a user do NOT agree beyond
+    chance) — exactly what the metric should say about iid values, and
+    the operator's hand-example unit test pins the high-agreement side.
+    One (unit, label) cell aggregate feeds every term (CI-pinnable
+    single corpus scan)."""
+    from mr_dice_spark.operators.evaluation import krippendorff_alpha_nominal
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.floor(F.col("value") / 50).cast("long").alias("band")
+    )
+    return krippendorff_alpha_nominal(ev, "user_id", "band")

@@ -816,3 +816,74 @@ def srm_check(
             (F.col("chi2") > crit).alias("srm_flag"),
         )
     )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL labels — the multi-rater
+    agreement standard (Krippendorff, Content Analysis; the labeling-QA
+    companion to Cohen's kappa that handles any number of raters per
+    unit AND missing ratings): ``alpha = 1 - Do/De`` over the
+    coincidence form,
+
+        Do = sum_u (n_u^2 - sum_c m_uc^2) / (n_u - 1)
+        De = (n^2 - sum_c n_c^2) / (n - 1)
+
+    where ``m_uc`` counts label c's ratings on unit u, ``n_u`` the
+    unit's ratings, ``n_c = sum_u m_uc`` and ``n = sum n_u``, all over
+    units with >= 2 ratings (a singly-rated unit carries no agreement
+    evidence and is excluded, the standard treatment of missing data).
+    alpha = 1 is perfect agreement; 0 is chance; negative is systematic
+    disagreement. Rater identity never enters the nominal coincidence
+    form, so the input is just (unit, label) rating rows.
+
+    Returns one row ``(n_units, n_ratings, do_rate, de_rate, alpha)``
+    with the disagreement rates normalized per rating (``Do/n``,
+    ``De/n``) for readability. NULL units or labels are excluded.
+
+    Scale shape: one (unit, label) aggregate, one unit-keyed aggregate
+    over that, one label-keyed aggregate over the same cells (both
+    group-domain-sized, derived from the materialized cell relation —
+    one corpus scan), and a closing 1-row reduce.
+    """
+    cells = (
+        df.where(F.col(unit_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"), F.col(label_col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    units = (
+        cells.groupBy("__u")
+        .agg(F.sum("__m").alias("__nu"), F.sum(F.col("__m") * F.col("__m")).alias("__sq"))
+        .where(F.col("__nu") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    do = units.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__nu").alias("__n"),
+        F.sum(
+            (F.col("__nu") * F.col("__nu") - F.col("__sq"))
+            / (F.col("__nu") - 1).cast("double")
+        ).alias("__do"),
+    )
+    nc = (
+        cells.join(units.select("__u"), "__u")
+        .groupBy("__c")
+        .agg(F.sum("__m").alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).cast("double").alias("__snc2"))
+    )
+    out = do.crossJoin(F.broadcast(nc))
+    n = F.col("__n").cast("double")
+    de = F.try_divide(n * n - F.col("__snc2"), n - 1)
+    return out.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("__n").cast("long").alias("n_ratings"),
+        F.round(F.try_divide(F.col("__do"), n) + F.lit(1e-9), 6).alias("do_rate"),
+        F.round(F.try_divide(de, n) + F.lit(1e-9), 6).alias("de_rate"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("__do"), de) + F.lit(1e-9), 6
+        ).alias("alpha"),
+    )

@@ -347,3 +347,28 @@ def test_srm_check_flags_planted_mismatch_and_passes_clean(spark):
         srm_check(clean, "arm", {0: 0.5, 1: 0.4})
     with pytest.raises(ValueError, match="share must be > 0"):
         srm_check(clean, "arm", {0: 1.5, 1: -0.5})
+
+
+def test_krippendorff_alpha_hand_values(spark):
+    """The coincidence-form alpha on hand-checkable fixtures: mixed
+    agreement 0.4444 (Do=2, De=3.6), perfect agreement 1.0, singly-rated
+    units excluded, systematic disagreement negative."""
+    from mr_dice_spark.operators.evaluation import krippendorff_alpha_nominal
+
+    rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "u long, c string")
+    [r] = krippendorff_alpha_nominal(df, "u", "c").collect()
+    assert r["n_units"] == 3 and r["n_ratings"] == 6
+    assert abs(r["alpha"] - 4 / 9) < 1e-6
+    # singleton unit adds nothing
+    df2 = spark.createDataFrame(rows + [(4, "z")], "u long, c string")
+    [r2] = krippendorff_alpha_nominal(df2, "u", "c").collect()
+    assert (r2["n_units"], r2["n_ratings"], r2["alpha"]) == (3, 6, r["alpha"])
+    # perfect agreement
+    df3 = spark.createDataFrame([(1, "a")] * 3 + [(2, "b")] * 2, "u long, c string")
+    assert krippendorff_alpha_nominal(df3, "u", "c").first()["alpha"] == 1.0
+    # systematic disagreement: every unit splits across the two labels
+    df4 = spark.createDataFrame(
+        [(u, l) for u in range(6) for l in ("x", "y")], "u long, c string"
+    )
+    assert krippendorff_alpha_nominal(df4, "u", "c").first()["alpha"] < 0
