@@ -27,14 +27,23 @@ def _driver_checked() -> set[str]:
 
 
 def test_never_driver_checked_set_fits_one_window():
+    """The actionable form of the invariant: goldens with no driver row
+    that are NOT in the current window (i.e. what remains after the
+    imminent driver run) must fit one 50-slot window, so the next
+    rotation can always finish the job. Counting in-window unchecked
+    rows against the budget would false-alarm precisely when a round
+    does the right thing and fills its window with unchecked goldens
+    (round 6 carried 47 of 51 unchecked rows in-window, remainder 4)."""
+    import __spark_entry__ as entry
     from mr_dice_spark.golden import GOLDEN
 
     never = set(GOLDEN) - _driver_checked()
-    assert len(never) <= 50, (
-        f"{len(never)} goldens have never had a driver CORRECTNESS row — "
-        "more than one 50-slot window can drain in a round. Rotate the "
-        "window in __spark_entry__.py before adding more goldens: "
-        f"{sorted(never)}"
+    remainder = never - set(entry._CHECK_FIRST)
+    assert len(remainder) <= 50, (
+        f"{len(remainder)} goldens would still lack a driver CORRECTNESS "
+        "row after the current window runs — more than the next 50-slot "
+        "window can drain. Rotate the window in __spark_entry__.py before "
+        f"adding more goldens: {sorted(remainder)}"
     )
 
 
