@@ -1884,8 +1884,9 @@ SELECT CAST(v.community AS BIGINT) AS community,
        CAST(v.n_nodes AS BIGINT) AS n_nodes,
        CAST(COALESCE(ee.internal_edges, 0) AS BIGINT) AS internal_edges,
        CAST(v.degree_sum AS BIGINT) AS degree_sum,
-       ROUND(1e-9 + COALESCE(ee.internal_edges, 0) / (1.0 * mm.m)
-             - POWER(v.degree_sum / (2.0 * mm.m), 2), 6) + 0 AS q_term,
+       -- association order matches Spark's (a - b) + 1e-9 (ADVICE r6)
+       ROUND((COALESCE(ee.internal_edges, 0) / (1.0 * mm.m)
+             - POWER(v.degree_sum / (2.0 * mm.m), 2)) + 1e-9, 6) + 0 AS q_term,
        ROUND(1e-9 + (v.degree_sum - 2 * COALESCE(ee.internal_edges, 0))
              / (1.0 * LEAST(v.degree_sum, 2 * mm.m - v.degree_sum)), 6) + 0
          AS conductance

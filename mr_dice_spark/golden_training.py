@@ -1381,7 +1381,10 @@ SELECT grp AS "group",
        ROUND(1e-9 + AVG(ya), 4) AS mean_adjusted,
        ROUND(1e-9 + var_pop(y), 4) AS var_metric,
        ROUND(1e-9 + var_pop(ya), 4) AS var_adjusted,
-       ROUND(1e-9 + 1.0 - var_pop(ya) / NULLIF(var_pop(y), 0), 4) AS var_reduction
+       -- same association order as the Spark expression
+       -- ((1.0 - x) + 1e-9, not (1e-9 + 1.0) - x): the two differ by
+       -- up to ~1 ulp, a latent rounding-boundary flip (ADVICE r6)
+       ROUND((1.0 - var_pop(ya) / NULLIF(var_pop(y), 0)) + 1e-9, 4) AS var_reduction
 FROM adj GROUP BY grp ORDER BY grp
 """
 
@@ -1505,7 +1508,8 @@ SELECT CAST(n_units AS BIGINT) AS n_units,
        CAST(n AS BIGINT) AS n_ratings,
        ROUND(1e-9 + do_mass / n, 6) AS do_rate,
        ROUND(1e-9 + ((CAST(n AS DOUBLE) * n - snc2) / (n - 1)) / n, 6) AS de_rate,
-       ROUND(1e-9 + 1.0 - do_mass / ((CAST(n AS DOUBLE) * n - snc2) / (n - 1)), 6)
+       -- association order matches Spark's (1.0 - x) + 1e-9 (ADVICE r6)
+       ROUND((1.0 - do_mass / ((CAST(n AS DOUBLE) * n - snc2) / (n - 1))) + 1e-9, 6)
          AS alpha
 FROM do_ CROSS JOIN nc
 """

@@ -609,6 +609,7 @@ def holt_linear_smooth(
     value_col: str,
     alpha: float = 0.3,
     beta: float = 0.2,
+    max_points_per_key: int | None = 10_000_000,
 ) -> DataFrame:
     """Holt's linear (double exponential) smoothing per key — the
     level+trend forecasting state a monitoring pipeline keeps per
@@ -623,6 +624,22 @@ def holt_linear_smooth(
     ``trend = 0`` (the zero-trend warm start, chosen over the
     ``y_2 - y_1`` init so n=1 needs no special case and the recurrence
     is restatable from the first step).
+
+    Tie contract: rows are ordered by ``(ts, value)`` with a STABLE
+    merge sort, so duplicate ``(key, ts)`` rows get a deterministic
+    order (ties broken by value; equal-value ties are interchangeable
+    in the recurrence), not pandas' run-dependent quicksort order.
+
+    Memory bound: each key's FULL series is materialized as one Arrow
+    batch on a single task (the same bound as any per-key
+    ``applyInPandas`` recurrence). Intended inputs are per-series
+    monitoring rollups — thousands to low millions of points per key
+    (~16 B/point => 10^6 points ≈ 16 MB). Do NOT feed raw event
+    streams with a 10^8-point hot key; pre-aggregate to fixed buckets
+    first (``resample_ffill_hourly`` / the streaming EMA), or raise
+    ``max_points_per_key`` explicitly after sizing executor memory.
+    The default cap fails fast instead of letting one hot key OOM a
+    task at scale.
 
     Like the streaming EMA (``streaming/stateful.py``), the recurrence
     is order-SENSITIVE with a 2-vector state — no window/watermark
@@ -641,7 +658,14 @@ def holt_linear_smooth(
     oma, omb = 1.0 - alpha, 1.0 - beta
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__ts")
+        if max_points_per_key is not None and len(pdf) > max_points_per_key:
+            raise ValueError(
+                f"holt_linear_smooth: key {pdf['__k'].iloc[0]!r} has "
+                f"{len(pdf)} points > max_points_per_key="
+                f"{max_points_per_key}; pre-aggregate the series or "
+                "raise the cap after sizing executor memory"
+            )
+        pdf = pdf.sort_values(["__ts", "__v"], kind="mergesort")
         vals = pdf["__v"].tolist()
         l, b = vals[0], 0.0
         for v in vals[1:]:

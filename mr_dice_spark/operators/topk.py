@@ -37,7 +37,7 @@ def skyline_2d(
     df: DataFrame,
     a_col: str,
     b_col: str,
-    broadcast_a_domain: int = 100_000,
+    broadcast_a_domain: int | None = 100_000,
 ) -> DataFrame:
     """2-D skyline (Pareto frontier, both dimensions MINIMIZED): rows no
     other row strictly dominates — q dominates p iff q.a <= p.a and
@@ -73,13 +73,19 @@ def skyline_2d(
       spark_partition_id is job-nondeterministic, so the partitioned
       frame is pinned before the offsets job and the final query.
 
+    ``broadcast_a_domain=None`` skips the sizing probe (the eager
+    count job) and always takes the distributed path — the escape
+    hatch for pipeline callers that know the a-dimension is continuous
+    and don't want an extra job per invocation (VERDICT r6).
+
     Returns the input rows (all columns) that form the frontier.
     """
     a, b = F.col(a_col), F.col(b_col)
     base = df.where(a.isNotNull() & b.isNotNull())
-    mb = base.groupBy(a_col).agg(F.min(b).alias("__mb")).localCheckpoint(eager=True)
-    n_a = mb.count()
-    if n_a <= broadcast_a_domain:
+    mb = base.groupBy(a_col).agg(F.min(b).alias("__mb"))
+    if broadcast_a_domain is not None:
+        mb = mb.localCheckpoint(eager=True)
+    if broadcast_a_domain is not None and mb.count() <= broadcast_a_domain:
         w = (
             Window.orderBy(F.col(a_col).asc())
             .rowsBetween(Window.unboundedPreceding, -1)

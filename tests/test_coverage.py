@@ -61,7 +61,14 @@ def test_every_unchecked_golden_is_scheduled():
     m = re.search(r"ROUND-\d+ WINDOW QUEUE.*?\]", src, re.S)
     queue_text = m.group(0) if m else ""
     unscheduled = [
-        n for n in sorted(never) if n not in window and n not in queue_text
+        n
+        for n in sorted(never)
+        if n not in window
+        # Word-boundary match so a golden whose name is a substring of
+        # a queued golden's name (foo vs foo_v2) doesn't silently count
+        # as scheduled (ADVICE r6). \b treats _ as a word char, so the
+        # full name must appear delimited by non-identifier chars.
+        and not re.search(rf"\b{re.escape(n)}\b", queue_text)
     ]
     assert not unscheduled, (
         "goldens with no driver row, not in _CHECK_FIRST, and not named "

@@ -105,3 +105,29 @@ def test_hamming_near_dup_matches_bruteforce_and_guards(spark):
         hamming_near_dup_pairs(
             const, "id", "bits", max_dist=4, max_block_rows=10
         ).collect()
+
+
+def test_hamming_breaker_is_default_on_with_explicit_opt_out(spark):
+    """The quadratic-block circuit breaker must be ON by default (a
+    finite cap — VERDICT r6: an all-constant fingerprint corpus would
+    otherwise run O(m^2) silently), and max_block_rows=None must be the
+    deliberate opt-out that still computes the exact quadratic answer."""
+    import inspect
+
+    from mr_dice_spark.operators.dedup import hamming_near_dup_pairs
+
+    default = inspect.signature(hamming_near_dup_pairs).parameters[
+        "max_block_rows"
+    ].default
+    assert isinstance(default, int) and default > 0, (
+        "hamming_near_dup_pairs.max_block_rows default must be a finite "
+        f"cap, got {default!r}"
+    )
+    const = spark.createDataFrame(
+        [(i, "1" * 64) for i in range(30)], "id long, bits string"
+    )
+    got = hamming_near_dup_pairs(
+        const, "id", "bits", max_dist=2, max_block_rows=None
+    ).collect()
+    assert len(got) == 30 * 29 // 2
+    assert all(r["dist"] == 0 for r in got)

@@ -178,13 +178,19 @@ def test_skyline_2d_continuous_a_no_single_partition_window(spark):
     import random
 
     from mr_dice_spark.operators.topk import skyline_2d
+    from mr_dice_spark.plans.inspect import physical_plan
 
     rng = random.Random(41)
     rows = [(i, rng.uniform(0, 1), rng.uniform(0, 1)) for i in range(400)]
     df = spark.createDataFrame(rows, "id long, a double, b double")
-    got = sorted(
-        r["id"] for r in skyline_2d(df, "a", "b", broadcast_a_domain=10).collect()
-    )
+    out = skyline_2d(df, "a", "b", broadcast_a_domain=10)
+    # The point of the distributed path: no single-task global window.
+    # An unpartitioned Window forces Exchange SinglePartition; the
+    # per-__pid window + broadcast offsets must not (ADVICE r6 — the
+    # result check alone would pass if the global window came back).
+    plan = physical_plan(out)
+    assert "SinglePartition" not in plan, plan
+    got = sorted(r["id"] for r in out.collect())
     def dominated(p):
         return any(
             q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])

@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from mr_dice_spark.operators.timeseries import resample_ffill
 
 
@@ -346,3 +348,40 @@ def test_holt_linear_matches_python_reference_and_edge_cases(spark):
         holt_linear_smooth(df, "k", "ts", "v", alpha=0.0)
     # rising series: trend must be positive and the forecast above level
     assert ra["trend"] > 0 and ra["forecast_1"] > ra["level"]
+
+
+def test_holt_linear_tie_determinism_and_hot_key_breaker(spark):
+    """Duplicate (key, ts) rows: the stable (ts, value) mergesort gives
+    ONE deterministic order regardless of input arrangement (ADVICE r6 —
+    pandas' default quicksort made tied timestamps run-dependent in an
+    order-sensitive recurrence). The per-key row cap fails fast instead
+    of materializing a hot key's full series in one Arrow batch."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.timeseries import holt_linear_smooth
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0, 5.0), ("a", t0, 1.0), ("a", t0, 3.0),
+            ("a", t0 + dt.timedelta(hours=1), 2.0)]
+    outs = []
+    for perm in (rows, rows[::-1], [rows[2], rows[0], rows[3], rows[1]]):
+        df = spark.createDataFrame(perm, "k string, ts timestamp, v double")
+        r = holt_linear_smooth(df, "k", "ts", "v", 0.3, 0.2).collect()[0]
+        outs.append((r["level"], r["trend"], r["forecast_1"]))
+    assert outs[0] == outs[1] == outs[2]
+    # hand recurrence over the tie-broken order 1,3,5 then 2
+    l, b = 1.0, 0.0
+    for v in (3.0, 5.0, 2.0):
+        nl = 0.3 * v + (1.0 - 0.3) * (l + b)
+        b = 0.2 * (nl - l) + (1.0 - 0.2) * b
+        l = nl
+    assert abs(outs[0][0] - l) < 1e-12 and abs(outs[0][1] - b) < 1e-12
+    big = spark.range(0, 50).select(
+        F.lit("hot").alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(Exception, match="max_points_per_key"):
+        holt_linear_smooth(big, "k", "ts", "v", max_points_per_key=10).collect()

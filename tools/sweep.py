@@ -73,12 +73,24 @@ def compare_tolerance(spark_df, oracle_sql: str, sf_dir: str,
     must agree within rel_tol instead of hashing equal."""
     from tests.oracle import duckdb_conn
 
+    import decimal
+
     got = {tuple(r[k] for k in keys): r.asDict() for r in spark_df.collect()}
     con = duckdb_conn(sf_dir)
     try:
         res = con.sql(oracle_sql)
         cols = res.columns
-        exp_rows = [dict(zip(cols, row)) for row in res.fetchall()]
+        # Coerce DECIMAL/HUGEINT to float the way tests/oracle.py's
+        # Arrow path does, so the numeric-tolerance branch below sees
+        # plain floats instead of decimal.Decimal falling through to a
+        # strict != against a Spark float (ADVICE r6).
+        exp_rows = [
+            {
+                c: float(v) if isinstance(v, decimal.Decimal) else v
+                for c, v in zip(cols, row)
+            }
+            for row in res.fetchall()
+        ]
     finally:
         con.close()
     if len(got) != len(exp_rows):
