@@ -1,10 +1,18 @@
 """Benchmark harness: runs the headline golden queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "extended": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count + a small collect) so the timing
-covers scan -> shuffle -> result, not just plan construction. A warmup query
+Isolation (VERDICT r6 next-#3): the headline set and the extended heavy set
+each run in their OWN fresh process/JVM, spawned by this orchestrator with
+SPARK_GRAFT_BENCH_MODE=headline|extended. Round 6 showed the 127 s extended
+workload sharing a JVM with the headline queries drifts the floor-dominated
+headline timings 1.1-1.4x (heap/GC/codegen-cache state), breaking
+cross-round comparability; a fresh JVM per phase removes that coupling.
+Setting the mode env var directly runs just that phase (same JSON shape).
+
+Each query is fully materialized (noop sink) so the timing covers
+scan -> shuffle -> result, not just plan construction. A warmup query
 runs first so JVM/codegen startup isn't attributed to the first query.
 """
 
@@ -12,20 +20,17 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mr_dice_spark.golden import GOLDEN, bench_extended_queries, bench_queries
-from mr_dice_spark.session import get_spark
+_MODE_VAR = "SPARK_GRAFT_BENCH_MODE"
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="mr-dice-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from mr_dice_spark.golden import GOLDEN, bench_queries
 
     # warmup: JVM + codegen + parquet footer caches
     GOLDEN["q01_pricing_summary"].spark(spark, sf_dir).count()
@@ -61,17 +66,20 @@ def main() -> None:
             best = el if best is None or el < best else best
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    return timings
 
+
+def _run_extended(spark, sf_dir: str) -> dict[str, float]:
     # Extended set: the round-5+ heavy operator families (fuzzy join,
     # graph, ER, winnowing overlap, BPE train, LSH clustering). Reported
     # under a separate key so the headline total stays comparable to
-    # rounds 1-5; best-of-1 because each runs 5-35 s at sf0.1 (length
-    # amortizes run-to-run noise, and best-of-3 would triple the bench's
-    # wall clock for this set alone).
-    # single timed run, no warmup pass: these queries run 3-50 s each at
-    # sf0.1, so one-off codegen (~1 s) is noise, and a warmup execution
-    # would double the bench's wall clock for no precision gain.
-    # Correctness of every entry is the sweep/driver's job, not bench's.
+    # rounds 1-5; single timed run, no warmup pass: these queries run
+    # 3-60 s each at sf0.1, so one-off codegen (~1 s) is noise, and a
+    # warmup execution would double the bench's wall clock for no
+    # precision gain. Correctness of every entry is the sweep/driver's
+    # job, not bench's.
+    from mr_dice_spark.golden import bench_extended_queries
+
     extended: dict[str, float] = {}
     for name, q in sorted(bench_extended_queries().items()):
         spark.catalog.clearCache()
@@ -81,7 +89,43 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 4)
         print(f"# ext {name}: {extended[name]:.3f}s", file=sys.stderr)
+    return extended
 
+
+def _phase_main(mode: str, sf_dir: str, sf: str) -> None:
+    from mr_dice_spark.session import get_spark
+
+    spark = get_spark(app_name=f"mr-dice-bench-{mode}")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = _run_headline(spark, sf_dir) if mode == "headline" else _run_extended(spark, sf_dir)
+    print(json.dumps({"mode": mode, "queries": queries}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    mode = os.environ.get(_MODE_VAR, "")
+    if mode in ("headline", "extended"):
+        _phase_main(mode, sf_dir, sf)
+        return
+
+    phase_out: dict[str, dict[str, float]] = {}
+    for phase in ("headline", "extended"):
+        env = dict(os.environ, **{_MODE_VAR: phase})
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(f"bench phase {phase} failed ({proc.returncode})")
+        last = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        phase_out[phase] = json.loads(last)["queries"]
+
+    timings = phase_out["headline"]
+    extended = phase_out["extended"]
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
