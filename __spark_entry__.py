@@ -22,117 +22,81 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Rounds 1-5 drove 216 of the 255 goldens green; this
-# round's window drains the documented round-6 queue: the 39 goldens
-# added after the round-5 window filled (all suite-oracle-green, most
-# swept hash-exact at sf0.1 on landing, awaiting their first driver
-# row), plus the flagship and 10 re-verification slots for rows last
-# driver-checked in round 1. Everything displaced is r2-r5-green and
+# in dict order. Round 6 cleared lifetime coverage for everything that
+# existed when its window froze (263/267); this round's window drains
+# the 4-golden round-7 queue (the only never-driver-checked goldens),
+# then retires the ENTIRE r1-only re-verification backlog (all 22 rows
+# whose latest driver row is round 1), then re-verifies the oldest
+# r2-only rows with the remaining slots. Round-7 additions rotate in
+# within their own commits, displacing tail r2 slots with a justifying
+# comment (the round-5 lesson). Everything displaced is r2-r6-green and
 # stays oracle-checked every CI run by tests/test_golden.py under the
-# identical DuckDB compare regardless of position. 39 + 1 + 10 = 50:
-# CORRECTNESS_r06 green => lifetime driver coverage 255/255.
+# identical DuckDB compare regardless of position. 1 + 4 + 22 + 23 = 50.
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # --- the 39-golden round-6 queue (never driver-checked; listed in
-    # round-5 VERDICT "What's missing #1" and the prior revision of this
-    # file) -> first driver rows, closing lifetime coverage
-    # model-eval family
-    "auc_value_by_event_type",        # group-AUC via rank-sum
-    "calibration_bins_events",        # reliability-diagram bins + ECE
-    "cohens_kappa_value_flags",       # chance-corrected agreement
-    "welch_t_weekend_split",          # unequal-variance t + Welch df
-    "spearman_value_time_by_type",    # rank-transform correlation
-    "bradley_terry_brand_prefs",      # MM-iteration pairwise strengths
-    "conformal_coverage_daily_trend", # split-conformal coverage audit
-    "kaplan_meier_time_to_purchase",  # product-limit survival curve
-    "er_linkage_bcubed",              # B-cubed precision/recall vs truth
-    "er_linkage_ari",                 # adjusted Rand index vs truth
-    "er_best_match_linkage",          # one-to-one greedy best-match ER
-    # drift/audit family
-    "cusum_level_shift_hourly",       # CUSUM changepoint on hourly means
-    "theil_sen_trend_hourly",         # median-of-slopes robust trend
-    "benford_first_digit_orders",     # first-digit law deviation
-    "gini_value_concentration",       # exact Lorenz/Gini concentration
-    "gini_approx_audit",              # KLL-sketch Gini accuracy verdict
-    "chi2_type_by_weekday",           # independence chi-square audit
-    "streaming_cusum_monitor",        # CUSUM on the stream engine
-    "mutual_information_type_band",   # discrete MI dependence audit
-    "referential_integrity_audit",    # FK orphan counts across tables
-    "corpus_fingerprint_documents",   # order-invariant corpus fingerprint
-    "expectations_orders_contract",   # data-contract rule validation
-    # graph family
-    "kcore_copurchase_parts",         # iterative k-core peeling
-    "label_propagation_communities",  # synchronous LPA with tie rule
-    # timeseries family
-    "autocorr_value_by_event_type",   # lag-k autocorrelation per type
-    "time_weighted_avg_by_type",      # interval-weighted mean
-    "rolling_median_value_hourly",    # exact sliding-window median
-    "trailing_distinct_users_hourly", # range-frame distinct rollup
-    # text / vocab family
-    "user_event_entropy",             # Shannon entropy per user
-    "homoglyph_fold_dedup",           # confusable-codepoint folding
-    "zipf_slope_documents",           # log-log rank-frequency slope
-    "heaps_law_vocab_growth",         # vocab-growth exponent (prefix sums)
-    "bpe_encode_fertility_by_lang",   # trained-BPE encode + fertility
-    # sampling / dedup / release-gate family
-    "weighted_sample_per_lang",       # per-group A-Res reservoir
-    "minhash_precision_audit_curve",  # banded-LSH precision vs threshold
-    "skyline_cheapest_smallest_parts",# 2-D Pareto frontier
-    "association_rules_events",       # confidence/lift rule mining
-    "k_anonymity_customer_release",   # QI-group size release gate
-    "l_diversity_customer_release",   # sensitive-diversity release gate
-    # --- goldens ADDED this round, rotated in within the same commit
-    # (the round-5 lesson: the queue only shrinks if additions ship with
-    # their window slot). They take two of the r1-reverify slots below:
-    # demo2_groupby_count and q14_promo_revenue yield theirs — both are
-    # r1-green, unchanged since, and their aggregate shapes are driven
-    # in-window by q01_pricing_summary every round.
-    "approx_distinct_audit_daily",    # HLL++ daily verdict audit (3*rsd)
-    "kll_quantiles_audit_global",     # KLL rank-error verdict audit
-    "t_closeness_customer_release",   # EMD release gate (triad complete)
-    "exact_repeated_spans_documents", # Lee et al. 50-char exact dedup
-    "contamination_spans_documents",  # cross-table contamination surgery
-    # --- r1-only re-verification: 5 of the 25 rows last driver-checked
-    # in round 1, chosen to spread family coverage (the other 20 r1 rows
-    # stay suite-oracle-checked every CI run; their families are also
-    # exercised by the in-window queue rows above; stratified_sample_by_type
-    # yields its slot to t_closeness_customer_release — the sampling
-    # family keeps weighted_sample_per_lang and cluster_balanced_subsample
-    # in-window; join_anti_customers_without_orders yields its slot to
-    # exact_repeated_spans_documents — left-anti joins still run inside
-    # the in-window dedup-survivor and bloom-prescreen rows;
-    # dedup_exact_documents yields its slot to
-    # contamination_spans_documents — exact-dedup's hash-groupBy runs
-    # inside the in-window cluster/survivor and span-dedup rows)
-    # --- late round-6 additions, rotated in within the same round so
-    # NO golden leaves round 6 without a driver row (lifetime coverage
-    # complete if this window runs green). They take three more of the
-    # r1-reverify slots: cosine_topk_lsh_approx (ANN family r4-green
-    # via the hash-oracled IVF audit; dense cosine re-verified
-    # in-window by hybrid_retrieval_rrf), text_language_id_confusion
-    # (language-ID machinery in-window via ccnet_perplexity_buckets),
-    # and events_cohort_retention (r1-green; self-join shapes run
-    # inside several in-window rows) yield theirs.
-    "winnowing_overlap_topk",         # MOSS report: top-500 by shared
-    "community_modularity_copurchase",  # Newman Q + conductance on LPA
-    "cuped_value_readout",            # CUPED variance-reduced readout
-    # --- r1-only re-verification: 2 of the 25 rows last driver-checked
-    # in round 1 (the other 23 stay suite-oracle-checked every CI run)
-    "optimade_filter_compile",        # OPTIMADE grammar -> Column compile
-    "simhash_near_dup_pairs",         # SimHash pigeonhole banding
-    # ROUND-7 WINDOW QUEUE: goldens added after this round's window
-    # filled (suite-oracle-green, awaiting their first driver row) —
-    # lead the next rotation with them: holt_linear_user_value (Holt
-    # double-exponential smoothing, recursive-CTE oracle bit-exact,
-    # swept hash-exact at all three scales on landing);
-    # ahash_hamming_near_dup (perceptual near-dup pairs via pigeonhole
-    # banding over the real-pixel aHash, swept hash-exact at all three
-    # scales on landing — 83 pairs at sf0.01, 10415 at sf0.1);
-    # srm_check_experiment_arms (sample-ratio-mismatch gate, swept
-    # hash-exact at all three scales on landing);
-    # krippendorff_alpha_user_bands (nominal multi-rater agreement,
-    # swept hash-exact at all three scales on landing).
+    # --- the round-7 queue: the ONLY goldens with no driver row
+    # (added after round 6's window froze; all suite-oracle-green and
+    # swept hash-exact at all three scales on landing)
+    "holt_linear_user_value",         # Holt double-exponential smoothing
+    "ahash_hamming_near_dup",         # perceptual near-dup, pigeonhole bands
+    "srm_check_experiment_arms",      # sample-ratio-mismatch gate
+    "krippendorff_alpha_user_bands",  # nominal multi-rater agreement
+    # --- r1-only re-verification: ALL 22 rows whose most recent driver
+    # row is round 1 (VERDICT r6 next-#2: after this window runs green,
+    # no golden's latest driver row is older than round 2)
+    "demo2_groupby_count",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "events_json_props",
+    "dedup_exact_documents",
+    "rollup_flag_status",
+    "cosine_topk_lsh_approx",
+    "text_language_id_confusion",
+    "optimade_length_known",
+    "text_top_terms",
+    "embedding_label_centroids",
+    "deterministic_sample_events",
+    "stratified_sample_by_type",
+    "minhash_signatures_portable",
+    "simhash_fingerprints_portable",
+    "fair_quota_two_level",
+    "per_group_topk_events",
+    "stats_value_by_type",
+    "histogram_value_buckets",
+    "q14_promo_revenue",
+    "events_cohort_retention",
+    "scalar_functions_probe",
+    # --- r2-only re-verification: the oldest remaining rows (latest
+    # driver row round 2), in registration order. Round-7 additions
+    # displace from the BOTTOM of this block, with a comment naming the
+    # yielded slot.
+    "events_sessionize",
+    "cosine_topk_ivf_fixed_oracle",
+    "exists_chain_big_spenders",
+    "union_all_sources_agg",
+    "correlated_above_type_avg",
+    "formation_energy_openlam",
+    "pii_redaction_probe",
+    "tfidf_top_terms_per_doc",
+    "benchmark_decontamination",
+    "sequence_packing_spans",
+    "mixture_sample_by_lang",
+    "repetition_stats_per_doc",
+    "unigram_lm_quality",
+    "line_dedup_boilerplate",
+    "duplicate_span_ratio",
+    "streaming_hourly_window",
+    "corpus_curation_pipeline",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "scd2_user_event_history",
+    "resample_ffill_hourly",
+    "cosine_topk_batch_queries",
+    "param_mofdb_range_fetch",
+    # ROUND-8 WINDOW QUEUE: (empty — round-7 additions rotate into the
+    # window in the same commit that adds them, displacing tail r2
+    # re-verification slots above)
 ]
 
 
