@@ -90,10 +90,20 @@ _CHECK_FIRST = [
     "corpus_curation_pipeline",
     "streaming_sliding_window",
     "streaming_session_window",
-    "scd2_user_event_history",
-    "resample_ffill_hourly",
-    "cosine_topk_batch_queries",
-    "param_mofdb_range_fetch",
+    # --- round-7 additions, rotated in within the same commit (the
+    # round-5 lesson: additions ship with their window slot). They take
+    # the four bottom r2-reverify slots: scd2_user_event_history,
+    # resample_ffill_hourly, cosine_topk_batch_queries and
+    # param_mofdb_range_fetch yield theirs — all r2-green, unchanged
+    # since, suite-oracle-checked every CI run, and their families stay
+    # exercised in-window (CDC via streaming_upsert shapes r4, window
+    # frames via the in-window timeseries rows, ANN via
+    # cosine_topk_lsh_approx above, parametric builders via
+    # param_openlam/bohrium staying suite-green).
+    "jackknife_value_ci_by_type",     # delete-one-bucket jackknife CI
+    "mcnemar_model_compare",          # paired-model McNemar gate
+    "mann_whitney_purchase_by_weekday",  # tie-corrected rank-sum test
+    "ndcg_user_ranking_by_type",      # NDCG@10 ranking quality
     # ROUND-8 WINDOW QUEUE: (empty — round-7 additions rotate into the
     # window in the same commit that adds them, displacing tail r2
     # re-verification slots above)

@@ -1538,3 +1538,295 @@ def krippendorff_alpha_user_bands(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", F.floor(F.col("value") / 50).cast("long").alias("band")
     )
     return krippendorff_alpha_nominal(ev, "user_id", "band")
+
+
+# ---------------------------------------------------------------------------
+# delete-one-bucket jackknife CI for a ratio metric (round 7)
+# ---------------------------------------------------------------------------
+
+JACKKNIFE_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT event_type AS g,
+         CAST(CAST(('0x' || substring(md5('jk' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 20 AS INT) AS bk,
+         value AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+),
+pb AS MATERIALIZED (
+  SELECT g, bk,
+         ROUND(SUM(v) + 1e-9, 4) AS bn,
+         ROUND(SUM(1.0) + 1e-9, 4) AS bd,
+         COUNT(*) AS nr
+  FROM b GROUP BY 1, 2
+),
+loo AS (
+  SELECT g, nr,
+         SUM(bn) OVER (PARTITION BY g) AS sn,
+         SUM(bd) OVER (PARTITION BY g) AS sd,
+         COUNT(*) OVER (PARTITION BY g) AS gc,
+         (SUM(bn) OVER (PARTITION BY g) - bn)
+           / NULLIF(SUM(bd) OVER (PARTITION BY g) - bd, 0) AS ti
+  FROM pb
+),
+a AS (
+  SELECT g, SUM(nr) AS n_rows, MAX(gc) AS gc, MAX(sn) AS sn, MAX(sd) AS sd,
+         AVG(ti) AS tm, SUM(ti * ti) AS tss
+  FROM loo GROUP BY g
+),
+fin AS (
+  SELECT g, n_rows, gc,
+         sn / NULLIF(sd, 0) AS theta_u,
+         sqrt(GREATEST(((gc - 1.0) / gc) * (tss - gc * tm * tm), 0.0)) AS se_u
+  FROM a
+)
+SELECT g AS event_type,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(gc AS BIGINT) AS n_buckets_observed,
+       ROUND(theta_u + 1e-9, 6) AS theta,
+       ROUND(se_u + 1e-9, 6) AS se_jack,
+       ROUND((theta_u - 1.96 * se_u) + 1e-9, 6) AS ci_lo,
+       ROUND((theta_u + 1.96 * se_u) + 1e-9, 6) AS ci_hi
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "jackknife_value_ci_by_type",
+    JACKKNIFE_ORACLE,
+    tags=("evaluation", "experiment", "jackknife", "ci"),
+)
+def jackknife_value_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI for mean event value per type:
+    users hash (engine-portable md5) into 20 buckets, theta_i drops one
+    bucket at a time, var = (g-1)/g * sum((ti - mean)^2) — the
+    cluster-robust standard error an A/B readout needs when rows within
+    a unit are correlated. Per-bucket sums are nudge-rounded at 4 so
+    every theta_i is bit-identical across engines (the operator's
+    documented parity pinning); only final stats carry the output
+    round."""
+    from mr_dice_spark.operators.evaluation import jackknife_ratio_ci
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id").isNotNull())
+    return jackknife_ratio_ci(
+        ev, "event_type", "user_id", "value", None, n_buckets=20, seed="jk"
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-model comparison (round 7)
+# ---------------------------------------------------------------------------
+
+MCNEMAR_ORACLE = """
+WITH base AS (
+  SELECT ((value < 30.0) = (event_type = 'purchase')) AS ac,
+         (((user_id % 5) = 0) = (event_type = 'purchase')) AS bc
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(CASE WHEN ac AND NOT bc THEN 1 END) AS n01,
+         COUNT(CASE WHEN NOT ac AND bc THEN 1 END) AS n10
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(n01 AS BIGINT) AS a_only_correct,
+       CAST(n10 AS BIGINT) AS b_only_correct,
+       ROUND(COALESCE(CAST((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1) AS DOUBLE)
+             / NULLIF(CAST(n01 + n10 AS DOUBLE), 0), 0.0) + 1e-9, 6) AS chi2,
+       (ROUND(COALESCE(CAST((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1) AS DOUBLE)
+             / NULLIF(CAST(n01 + n10 AS DOUBLE), 0), 0.0) + 1e-9, 6) > 3.841)
+         AS significant
+FROM a
+"""
+
+
+@golden(
+    "mcnemar_model_compare",
+    MCNEMAR_ORACLE,
+    tags=("evaluation", "mcnemar", "paired"),
+)
+def mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's continuity-corrected test comparing two deterministic
+    'purchase classifiers' scored on the SAME events (model A: value
+    < 30; model B: user_id divisible by 5) — the paired-binary
+    comparison where only discordant pairs carry information. Integer
+    counts until the single final division."""
+    from mr_dice_spark.operators.evaluation import mcnemar_test
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    is_p = F.col("event_type") == "purchase"
+    scored = ev.select(
+        ((F.col("value") < 30.0) == is_p).alias("ac"),
+        (((F.col("user_id") % 5) == 0) == is_p).alias("bc"),
+    )
+    return mcnemar_test(scored, "ac", "bc")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U per weekday (round 7)
+# ---------------------------------------------------------------------------
+
+MANN_WHITNEY_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS g,
+         (event_type = 'purchase') AS a,
+         value AS v
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+),
+ties AS (
+  SELECT g, v, COUNT(*) AS t, COUNT(CASE WHEN a THEN 1 END) AS ta
+  FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, t, ta,
+         COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+  FROM ties
+),
+agg AS (
+  SELECT g, SUM(t) AS nn, SUM(ta) AS na,
+         SUM(ta * (2 * clt + t + 1)) AS r2a,
+         SUM(t * t * t - t) AS tie3
+  FROM ranked GROUP BY g
+),
+fin AS (
+  SELECT g, na, nn - na AS nb,
+         r2a - na * (na + 1) AS u2,
+         na * (nn - na) AS mu2,
+         CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE) / 12.0 *
+           (CAST(nn + 1 AS DOUBLE)
+            - CAST(tie3 AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)) AS s2
+  FROM agg
+)
+SELECT CAST(g AS BIGINT) AS weekday,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       CAST(mu2 AS DOUBLE) / 2.0 AS mu,
+       ROUND(sqrt(s2) + 1e-9, 6) AS sigma,
+       ROUND(CASE WHEN na = 0 OR nb = 0 OR s2 <= 0 THEN NULL ELSE
+         ((CAST(u2 - mu2 AS DOUBLE) - SIGN(CAST(u2 - mu2 AS DOUBLE))) / 2.0)
+           / sqrt(s2) END + 1e-9, 6) AS z
+FROM fin ORDER BY weekday
+"""
+
+
+@golden(
+    "mann_whitney_purchase_by_weekday",
+    MANN_WHITNEY_ORACLE,
+    tags=("evaluation", "rank-test", "nonparametric"),
+)
+def mann_whitney_purchase_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per weekday (epoch-day mod 7 — engine-portable
+    day arithmetic, the welch golden's convention): does purchase-event
+    value stochastically dominate non-purchase value? Exact average-rank
+    ties via doubled-rank integer arithmetic; tie-corrected sigma and
+    continuity-corrected z are the only divisions."""
+    from mr_dice_spark.operators.evaluation import mann_whitney_u_by_group
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("ts").isNotNull()).select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("weekday"),
+        "event_type",
+        "value",
+    )
+    return mann_whitney_u_by_group(
+        ev, "weekday", "event_type", "value", "purchase"
+    ).orderBy("weekday")
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking-quality readout (round 7)
+# ---------------------------------------------------------------------------
+
+NDCG_ORACLE = """
+WITH scores AS MATERIALIZED (
+  SELECT event_type AS q, user_id AS id,
+         ROUND(AVG(value) + 1e-9, 6) AS s
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+grades AS MATERIALIZED (
+  SELECT user_id AS id,
+         CAST(LEAST(3, FLOOR(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+              / 7.0)) AS INT) AS rel
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+base AS (
+  SELECT q, scores.id AS id, s, COALESCE(rel, 0) AS rel
+  FROM scores LEFT JOIN grades ON grades.id = scores.id
+),
+pos AS (
+  SELECT q, rel,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, id ASC) AS ps,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, id ASC) AS pi
+  FROM base
+),
+t AS (
+  SELECT q,
+         CASE WHEN ps <= 10 THEN (pow(2.0, rel) - 1.0)
+              / log2(CAST(ps AS DOUBLE) + 1.0) ELSE 0.0 END AS dg,
+         CASE WHEN pi <= 10 THEN (pow(2.0, rel) - 1.0)
+              / log2(CAST(pi AS DOUBLE) + 1.0) ELSE 0.0 END AS ig
+  FROM pos
+)
+SELECT q AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(dg) + 1e-9, 6) AS dcg,
+       ROUND(SUM(ig) + 1e-9, 6) AS idcg,
+       ROUND(COALESCE(SUM(dg) / NULLIF(SUM(ig), 0), 0.0) + 1e-9, 6) AS ndcg
+FROM t GROUP BY q ORDER BY event_type
+"""
+
+
+@golden(
+    "ndcg_user_ranking_by_type",
+    NDCG_ORACLE,
+    tags=("evaluation", "ranking", "ndcg", "retrieval"),
+)
+def ndcg_user_ranking_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per event type for the ranking 'rank users by their mean
+    event value' against graded relevance 'purchase-count bucket
+    (0-3)': the retrieval/reranker quality readout. Scores are
+    nudge-rounded BEFORE ranking so the system order itself — not just
+    the sums — is cross-engine deterministic (float last-bit order
+    flips are the classic ranking-metric flake); remaining score ties
+    break by user id inside the operator."""
+    from mr_dice_spark.operators.evaluation import ndcg_at_k
+
+    ev = Catalog(spark, sf_dir).events
+    scores = (
+        ev.where(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("event_type").alias("q"), F.col("user_id").alias("id"))
+        .agg(_r(F.avg("value"), 6).alias("s"))
+    )
+    grades = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(
+            F.least(
+                F.lit(3),
+                F.floor(
+                    F.count_if(F.col("event_type") == "purchase") / 7.0
+                ),
+            )
+            .cast("int")
+            .alias("rel")
+        )
+    )
+    base = scores.join(grades, "id", "left").select(
+        "q", "id", "s", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    out = ndcg_at_k(base, "q", "id", "s", "rel", k=10)
+    return out.withColumnRenamed("q", "event_type").orderBy("event_type")

@@ -887,3 +887,308 @@ def krippendorff_alpha_nominal(
             F.lit(1.0) - F.try_divide(F.col("__do"), de) + F.lit(1e-9), 6
         ).alias("alpha"),
     )
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    num_col: str,
+    den_col,
+    n_buckets: int = 20,
+    seed: str = "",
+    z: float = 1.96,
+) -> DataFrame:
+    """Delete-one-bucket jackknife CI for a RATIO metric per group — the
+    standard error an A/B readout actually needs when the metric is
+    sum(num)/sum(den) over correlated rows (revenue per session, CTR):
+    the naive per-row variance is wrong because rows within a
+    randomization unit are dependent, and the delete-one-bucket
+    jackknife (Efron; the streaming-bucket form every large experiment
+    platform runs) is the distributed-friendly estimator: units hash
+    into ``n_buckets`` buckets, ``theta_i`` recomputes the ratio with
+    bucket i removed, and ``var = (g-1)/g * sum((theta_i - mean)^2)``
+    over the g observed buckets.
+
+    Buckets come from the engine-portable md5 hash
+    (``sampling.hash_bucket % n_buckets``) so the assignment — not just
+    the aggregate — is oracle-restatable. ``den_col`` may be a column
+    name or ``None`` for a plain mean (denominator 1 per row).
+
+    Parity pinning: per-bucket sums are nudge-rounded at 4 decimals
+    BEFORE the leave-one-out arithmetic (double summation order differs
+    across engines; the error is ~1e-10 on money-scale sums, orders
+    below the 1e-4 grid), so every downstream theta_i is bit-identical
+    on both engines and only the final statistics need the output
+    rounding.
+
+    Scale shape: one hash aggregate to (group, bucket) — g*|groups|
+    rows — then window + aggregate over that tiny relation. No
+    driver-side state, no collect.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    from mr_dice_spark.operators.sampling import hash_bucket
+
+    den_expr = F.lit(1.0) if den_col is None else F.col(den_col).cast("double")
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(num_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        (hash_bucket(F.col(unit_col), seed) % n_buckets).cast("int").alias("__b"),
+        F.col(num_col).cast("double").alias("__n"),
+        den_expr.alias("__d"),
+    )
+    per_bucket = base.groupBy("__g", "__b").agg(
+        F.round(F.sum("__n") + F.lit(1e-9), 4).alias("__bn"),
+        F.round(F.sum("__d") + F.lit(1e-9), 4).alias("__bd"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    w = Window.partitionBy("__g")
+    loo = per_bucket.select(
+        "__g",
+        "__rows",
+        F.sum("__bn").over(w).alias("__sn"),
+        F.sum("__bd").over(w).alias("__sd"),
+        F.count(F.lit(1)).over(w).alias("__gcnt"),
+        F.try_divide(
+            F.sum("__bn").over(w) - F.col("__bn"),
+            F.sum("__bd").over(w) - F.col("__bd"),
+        ).alias("__ti"),
+    )
+    agg = loo.groupBy("__g").agg(
+        F.sum("__rows").alias("n_rows"),
+        F.first("__gcnt").alias("__gc"),
+        F.first("__sn").alias("__tsn"),
+        F.first("__sd").alias("__tsd"),
+        F.avg("__ti").alias("__tm"),
+        F.sum(F.col("__ti") * F.col("__ti")).alias("__tss"),
+    )
+    g = F.col("__gc").cast("double")
+    # sum((ti - mean)^2) = sum(ti^2) - g*mean^2 (exact on the pinned
+    # inputs up to double round; the final ROUND absorbs last-bit order)
+    var = (
+        (g - 1.0)
+        / g
+        * (F.col("__tss") - g * F.col("__tm") * F.col("__tm"))
+    )
+    theta = F.try_divide(F.col("__tsn"), F.col("__tsd"))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("__gc").cast("long").alias("n_buckets_observed"),
+        F.round(theta + F.lit(1e-9), 6).alias("theta"),
+        F.round(se + F.lit(1e-9), 6).alias("se_jack"),
+        F.round((theta - z * se) + F.lit(1e-9), 6).alias("ci_lo"),
+        F.round((theta + z * se) + F.lit(1e-9), 6).alias("ci_hi"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_correct_col: str,
+    b_correct_col: str,
+    crit: float = 3.841,
+) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — the correct way to
+    compare two classifiers scored on the SAME rows (two quality
+    filters, an old vs new language-ID model): only the discordant
+    pairs carry information, and the continuity-corrected statistic is
+    ``chi2 = (|n01 - n10| - 1)^2 / (n01 + n10)`` where n01 = A correct
+    & B wrong, n10 = the reverse. Reports the statistic against a
+    caller-supplied critical value (3.841 = 95% at 1 dof) rather than a
+    p-value, so the verdict has no transcendental-CDF cross-engine
+    surface (the srm_check convention). Zero discordant pairs => chi2
+    0.0, not significant (the models are indistinguishable on this
+    sample). Rows with a NULL in either column are excluded.
+
+    One aggregate over boolean counts — integer-exact until the final
+    division. Scale: a single global reduce (partial aggregation
+    map-side; no shuffle wider than one row).
+    """
+    a = F.col(a_correct_col).cast("boolean")
+    b = F.col(b_correct_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(a & ~b).alias("a_only_correct"),
+        F.count_if(~a & b).alias("b_only_correct"),
+    )
+    d01, d10 = F.col("a_only_correct"), F.col("b_only_correct")
+    num = (F.abs(d01 - d10) - 1) * (F.abs(d01 - d10) - 1)
+    chi2 = F.coalesce(
+        F.try_divide(num.cast("double"), (d01 + d10).cast("double")),
+        F.lit(0.0),
+    )
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        d01.cast("long").alias("a_only_correct"),
+        d10.cast("long").alias("b_only_correct"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
+        (F.round(chi2 + F.lit(1e-9), 6) > crit).alias("significant"),
+    )
+
+
+def mann_whitney_u_by_group(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per group with exact
+    average-rank ties and the tie-corrected normal approximation — the
+    NONPARAMETRIC two-sample test for skewed pipeline metrics where
+    Welch's t (already in this module) assumes too much: does class A's
+    value distribution stochastically dominate class B's?
+
+    Math kept half-integer-exact until the final division (the
+    auc_by_group discipline): per (group, value) tie-group of size t
+    with ta class-A members, the average rank is
+    ``c_lt + (t+1)/2`` (c_lt = rows strictly below), so
+    ``R_a = sum(ta * avgrank)``, ``U_a = R_a - na(na+1)/2``,
+    ``mu = na*nb/2`` and the tie-corrected
+    ``sigma^2 = na*nb/12 * ((N+1) - sum(t^3-t)/(N(N-1)))``;
+    ``z = (U_a - mu -+ 0.5 continuity) / sigma``. Groups where either
+    class is empty or sigma = 0 (all values tied) return NULL z — not
+    testable, surfaced rather than faked.
+
+    Scale shape: one hash aggregate to (group, value) tie-groups, one
+    group-partitioned cumulative window over them, one final aggregate
+    — the same single exchange as auc_by_group.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(class_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    ties = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_if(F.col("__a")).alias("__ta"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = ties.withColumn("__clt", F.coalesce(F.sum("__t").over(w), F.lit(0)))
+    # doubled rank arithmetic keeps everything integer: 2*avgrank =
+    # 2*c_lt + t + 1, so 2*R_a = sum(ta * (2*c_lt + t + 1))
+    agg = ranked.groupBy("__g").agg(
+        F.sum("__t").alias("__nn"),
+        F.sum("__ta").alias("__na"),
+        F.sum(
+            F.col("__ta") * (2 * F.col("__clt") + F.col("__t") + 1)
+        ).alias("__2ra"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tie3"),
+    )
+    na, nn = F.col("__na"), F.col("__nn")
+    nb = nn - na
+    u2 = F.col("__2ra") - na * (na + 1)  # 2*U_a, integer-exact
+    mu2 = na * nb  # 2*mu
+    sigma2 = (
+        na.cast("double")
+        * nb.cast("double")
+        / 12.0
+        * (
+            (nn + 1).cast("double")
+            - F.try_divide(
+                F.col("__tie3").cast("double"),
+                (nn * (nn - 1)).cast("double"),
+            )
+        )
+    )
+    sigma = F.sqrt(sigma2)
+    # continuity correction toward the null: subtract 0.5*sign(U - mu)
+    diff2 = u2 - mu2  # 2*(U - mu), integer
+    zstat = F.when((na == 0) | (nb == 0) | (sigma2 <= 0), F.lit(None)).otherwise(
+        F.try_divide(
+            (diff2.cast("double") - F.signum(diff2.cast("double"))) / 2.0,
+            sigma,
+        )
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (u2.cast("double") / 2.0).alias("u_a"),
+        (mu2.cast("double") / 2.0).alias("mu"),
+        F.round(sigma + F.lit(1e-9), 6).alias("sigma"),
+        F.round(zstat + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query — the graded ranking-quality metric for
+    retrieval/reranking evaluation (Järvelin & Kekäläinen):
+    ``DCG = sum_{pos<=k} (2^rel - 1) / log2(pos + 1)`` over the SYSTEM
+    order (score desc, id asc tiebreak — deterministic, so the metric
+    is reproducible under score ties), IDCG the same sum over the IDEAL
+    order (rel desc, id asc), ``ndcg = DCG / IDCG`` with 0.0 when the
+    query has no relevant item (IDCG = 0 — conventionally scored zero
+    rather than excluded, so a retrieval run over hopeless queries
+    isn't silently flattered).
+
+    Scale shape: two row_number windows sharing the query-key exchange,
+    one hash aggregate. Relevance grades are small integers so
+    ``2^rel - 1`` is exact; log2 is the only transcendental and the
+    result is nudge-rounded (corpus FP convention).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    base = df.where(
+        F.col(query_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(rel_col).cast("int").alias("__r"),
+    )
+    sys_w = Window.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ideal_w = Window.partitionBy("__q").orderBy(
+        F.col("__r").desc(), F.col("__id").asc()
+    )
+    gain = F.pow(F.lit(2.0), F.col("__r").cast("double")) - 1.0
+    pos_sys = F.row_number().over(sys_w)
+    pos_ideal = F.row_number().over(ideal_w)
+    terms = base.select(
+        "__q",
+        F.when(
+            pos_sys <= k, gain / F.log2(pos_sys.cast("double") + 1.0)
+        ).otherwise(0.0).alias("__dg"),
+        F.when(
+            pos_ideal <= k, gain / F.log2(pos_ideal.cast("double") + 1.0)
+        ).otherwise(0.0).alias("__ig"),
+    )
+    agg = terms.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__dg").alias("__dcg"),
+        F.sum("__ig").alias("__idcg"),
+    )
+    return agg.select(
+        F.col("__q").alias(query_col),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(F.col("__dcg") + F.lit(1e-9), 6).alias("dcg"),
+        F.round(F.col("__idcg") + F.lit(1e-9), 6).alias("idcg"),
+        F.round(
+            F.coalesce(F.try_divide(F.col("__dcg"), F.col("__idcg")), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("ndcg"),
+    )

@@ -372,3 +372,131 @@ def test_krippendorff_alpha_hand_values(spark):
         [(u, l) for u in range(6) for l in ("x", "y")], "u long, c string"
     )
     assert krippendorff_alpha_nominal(df4, "u", "c").first()["alpha"] < 0
+
+
+def test_jackknife_ratio_ci_matches_hand_computation(spark):
+    """Delete-one-bucket jackknife against the literal Python recurrence
+    on the same md5-bucketed partition; degenerate single-group check and
+    parameter validation."""
+    import hashlib
+
+    import pytest
+
+    from mr_dice_spark.operators.evaluation import jackknife_ratio_ci
+
+    rows = [(f"u{i}", float(10 + (i * 7) % 23), float(1 + i % 3)) for i in range(40)]
+    df = spark.createDataFrame(
+        [("g",) + r for r in rows], "grp string, unit string, num double, den double"
+    )
+    B = 5
+    [got] = jackknife_ratio_ci(
+        df, "grp", "unit", "num", "den", n_buckets=B, seed="s"
+    ).collect()
+
+    def bucket(u):
+        return int(hashlib.md5(("s" + u).encode()).hexdigest()[:8], 16) % B
+
+    sums = {}
+    for u, n, d in rows:
+        bn, bd = sums.get(bucket(u), (0.0, 0.0))
+        sums[bucket(u)] = (bn + n, bd + d)
+    pinned = {b: (round(bn + 1e-9, 4), round(bd + 1e-9, 4)) for b, (bn, bd) in sums.items()}
+    sn = sum(v[0] for v in pinned.values())
+    sd = sum(v[1] for v in pinned.values())
+    tis = [(sn - bn) / (sd - bd) for bn, bd in pinned.values()]
+    g = len(tis)
+    tm = sum(tis) / g
+    var = (g - 1.0) / g * (sum(t * t for t in tis) - g * tm * tm)
+    se = max(var, 0.0) ** 0.5
+    theta = sn / sd
+    assert got["n_rows"] == 40 and got["n_buckets_observed"] == g
+    assert abs(got["theta"] - theta) < 1e-6
+    assert abs(got["se_jack"] - se) < 1e-6
+    assert abs(got["ci_lo"] - (theta - 1.96 * se)) < 1e-6
+    assert abs(got["ci_hi"] - (theta + 1.96 * se)) < 1e-6
+    with pytest.raises(ValueError, match="n_buckets"):
+        jackknife_ratio_ci(df, "grp", "unit", "num", "den", n_buckets=1)
+
+
+def test_mcnemar_hand_counts_and_zero_discordant(spark):
+    """(|n01-n10|-1)^2/(n01+n10) on hand counts; all-concordant pairs
+    give chi2 = 0.0 (not NULL/inf); NULL rows excluded."""
+    from mr_dice_spark.operators.evaluation import mcnemar_test
+
+    rows = (
+        [(True, False)] * 15 + [(False, True)] * 5
+        + [(True, True)] * 30 + [(False, False)] * 10
+        + [(None, True)]
+    )
+    df = spark.createDataFrame(rows, "ac boolean, bc boolean")
+    [r] = mcnemar_test(df, "ac", "bc").collect()
+    assert r["n_pairs"] == 60
+    assert (r["a_only_correct"], r["b_only_correct"]) == (15, 5)
+    assert abs(r["chi2"] - (abs(15 - 5) - 1) ** 2 / 20) < 1e-6  # 4.05
+    assert r["significant"] is True
+    conc = spark.createDataFrame([(True, True)] * 8, "ac boolean, bc boolean")
+    [r2] = mcnemar_test(conc, "ac", "bc").collect()
+    assert r2["chi2"] == 0.0 and r2["significant"] is False
+
+
+def test_mann_whitney_matches_literal_rank_computation(spark):
+    """Tie-corrected U/z against a literal average-rank computation on a
+    fixture WITH ties; empty-class group yields NULL z."""
+    from mr_dice_spark.operators.evaluation import mann_whitney_u_by_group
+
+    vals_a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    vals_b = [2.0, 3.0, 5.0, 6.0, 8.0, 9.0]
+    rows = [("g", "A", v) for v in vals_a] + [("g", "B", v) for v in vals_b]
+    rows += [("empty", "A", 1.0), ("empty", "A", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, cls string, v double")
+    out = {r["grp"]: r for r in mann_whitney_u_by_group(df, "grp", "cls", "v", "A").collect()}
+
+    allv = sorted(vals_a + vals_b)
+    def avgrank(v):
+        lo = allv.index(v)
+        return lo + (allv.count(v) + 1) / 2
+    ra = sum(avgrank(v) for v in vals_a)
+    na, nb = len(vals_a), len(vals_b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2
+    mu = na * nb / 2
+    tie3 = sum(c ** 3 - c for c in {v: allv.count(v) for v in set(allv)}.values())
+    s2 = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u - mu - 0.5 * (1 if u > mu else -1)) / s2 ** 0.5
+    r = out["g"]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["u_a"] == u and r["mu"] == mu
+    assert abs(r["sigma"] - s2 ** 0.5) < 1e-6
+    assert abs(r["z"] - z) < 1e-6
+    assert out["empty"]["z"] is None and out["empty"]["n_b"] == 0
+
+
+def test_ndcg_hand_example_and_edge_cases(spark):
+    """DCG/IDCG on a worked 4-item example; perfect ranking => 1.0;
+    all-zero relevance => ndcg 0.0; k validation."""
+    import math
+
+    import pytest
+
+    from mr_dice_spark.operators.evaluation import ndcg_at_k
+
+    # system order by score desc: ids 1(rel3), 2(rel0), 3(rel2), 4(rel1)
+    rows = [("q", 1, 9.0, 3), ("q", 2, 8.0, 0), ("q", 3, 7.0, 2), ("q", 4, 6.0, 1)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel int")
+    [r] = ndcg_at_k(df, "q", "id", "s", "rel", k=3).collect()
+    dcg = 7 / math.log2(2) + 0 / math.log2(3) + 3 / math.log2(4)
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert abs(r["dcg"] - dcg) < 1e-6 and abs(r["idcg"] - idcg) < 1e-6
+    assert abs(r["ndcg"] - dcg / idcg) < 1e-6 and r["n_items"] == 4
+    # ideal ranking scores => ndcg exactly 1
+    perfect = spark.createDataFrame(
+        [("q", i, 10.0 - i, 3 - i) for i in range(4)], "q string, id long, s double, rel int"
+    )
+    assert ndcg_at_k(perfect, "q", "id", "s", "rel", k=4).first()["ndcg"] == 1.0
+    # no relevant item: conventionally 0, not NULL
+    hopeless = spark.createDataFrame(
+        [("q", i, float(i), 0) for i in range(3)], "q string, id long, s double, rel int"
+    )
+    assert ndcg_at_k(hopeless, "q", "id", "s", "rel").first()["ndcg"] == 0.0
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(df, "q", "id", "s", "rel", k=0)
