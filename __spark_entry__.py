@@ -87,9 +87,15 @@ _CHECK_FIRST = [
     "line_dedup_boilerplate",
     "duplicate_span_ratio",
     "streaming_hourly_window",
-    "corpus_curation_pipeline",
-    "streaming_sliding_window",
-    "streaming_session_window",
+    # --- round-7 additions (second batch), taking the next three r2
+    # slots: streaming_sliding_window, streaming_session_window and
+    # corpus_curation_pipeline yield theirs — all r2-green, unchanged,
+    # suite-oracle-checked every CI run; the streaming family keeps
+    # streaming_hourly_window in-window plus streaming_cusum (r6) and
+    # the curation-pipeline shape runs inside crawl_curation (r3).
+    "adamic_adar_link_prediction",    # hub-down-weighted link prediction
+    "js_divergence_purchase_values",  # bounded symmetric drift (bits)
+    "seasonal_naive_backtest_hourly", # MAE/sMAPE/MASE forecast floor
     # --- round-7 additions, rotated in within the same commit (the
     # round-5 lesson: additions ship with their window slot). They take
     # the four bottom r2-reverify slots: scd2_user_event_history,

@@ -1517,3 +1517,78 @@ def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("confidence", 6).alias("confidence"),
         _r("lift", 6).alias("lift"),
     ).orderBy("antecedent", "consequent")
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between class-conditional value distributions
+# (round 7)
+# ---------------------------------------------------------------------------
+
+JS_DIVERGENCE_ORACLE = """
+WITH o AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND event_type = 'purchase'
+),
+n AS (
+  SELECT value FROM events
+  WHERE value IS NOT NULL AND event_type <> 'purchase'
+),
+e AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(1e-9 + x, 6)) AS edges
+  FROM o
+),
+ob AS (
+  SELECT 1 + len(list_filter((SELECT edges FROM e), ed -> value > ed)) AS bin
+  FROM o
+),
+nb AS (
+  SELECT 1 + len(list_filter((SELECT edges FROM e), ed -> value > ed)) AS bin
+  FROM n
+),
+oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM ob GROUP BY bin),
+nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM nb GROUP BY bin),
+b AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+c AS (
+  SELECT b.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM b LEFT JOIN oc ON oc.bin = b.bin LEFT JOIN nc ON nc.bin = b.bin
+),
+s AS (
+  SELECT bin, n_old, n_new,
+         ROUND(n_old / CAST(SUM(n_old) OVER () AS DOUBLE) + 1e-9, 6) AS share_old,
+         ROUND(n_new / CAST(SUM(n_new) OVER () AS DOUBLE) + 1e-9, 6) AS share_new
+  FROM c
+)
+SELECT bin, n_old, n_new, share_old, share_new,
+       ROUND((CASE WHEN share_old > 0 THEN
+                0.5 * share_old * log2(share_old / ((share_old + share_new) / 2.0))
+              ELSE 0.0 END
+              + CASE WHEN share_new > 0 THEN
+                0.5 * share_new * log2(share_new / ((share_old + share_new) / 2.0))
+              ELSE 0.0 END) + 1e-9, 8) AS jsd_term
+FROM s
+ORDER BY bin
+"""
+
+
+@golden(
+    "js_divergence_purchase_values",
+    JS_DIVERGENCE_ORACLE,
+    tags=("observability", "drift", "jsd", "profile"),
+)
+def js_divergence_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits, bounded [0,1]) between the
+    purchase and non-purchase value distributions on the purchase-side
+    decile grid — the symmetric, epsilon-free drift/feature-signal
+    readout beside PSI and KS (a JSD near 0 says the 'purchase
+    classifier' golden has no value signal to exploit; the three
+    detectors share one dashboard threshold because JSD is bounded).
+    Terms are computed from the nudge-rounded shares and rounded at 8
+    (drift terms are legitimately ~1e-4)."""
+    from mr_dice_spark.operators.profile import js_divergence_bins
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull())
+    old = ev.where(F.col("event_type") == "purchase")
+    new = ev.where(F.col("event_type") != "purchase")
+    return js_divergence_bins(old, new, "value", n_bins=10).orderBy("bin")

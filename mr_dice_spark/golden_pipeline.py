@@ -5533,3 +5533,64 @@ def holt_linear_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r("trend", 6).alias("trend"),
         _r("forecast_1", 6).alias("forecast_1"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (round 7)
+# ---------------------------------------------------------------------------
+
+SEASONAL_NAIVE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         value AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+b AS MATERIALIZED (
+  SELECT k, h, ROUND(AVG(v) + 1e-9, 6) AS y FROM base GROUP BY 1, 2
+),
+l AS (
+  SELECT k, y,
+         LAG(y, 24) OVER (PARTITION BY k ORDER BY h) AS f,
+         LAG(y, 1) OVER (PARTITION BY k ORDER BY h) AS p
+  FROM b
+),
+a AS (
+  SELECT k, COUNT(*) AS n_buckets, COUNT(f) AS n_scored,
+         AVG(CASE WHEN f IS NOT NULL THEN ABS(y - f) END) AS mae,
+         AVG(CASE WHEN f IS NOT NULL THEN
+             CASE WHEN ABS(y) + ABS(f) = 0 THEN 0.0
+                  ELSE 2.0 * ABS(y - f) / (ABS(y) + ABS(f)) END END) AS smape,
+         AVG(CASE WHEN p IS NOT NULL THEN ABS(y - p) END) AS d1
+  FROM l GROUP BY k
+)
+SELECT k AS event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       ROUND(mae + 1e-9, 6) AS mae,
+       ROUND(smape + 1e-9, 6) AS smape,
+       ROUND(mae / NULLIF(d1, 0) + 1e-9, 6) AS mase
+FROM a ORDER BY event_type
+"""
+
+
+@golden(
+    "seasonal_naive_backtest_hourly",
+    SEASONAL_NAIVE_ORACLE,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def seasonal_naive_backtest_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (same hour yesterday, season=24 hourly buckets)
+    forecast backtest per event type: MAE, sMAPE and MASE — the
+    accuracy floor that tells you whether the Holt golden's fancier
+    level+trend state earns its keep (MASE < 1 = beats the one-step
+    naive walk). Bucket means are nudge-rounded before the lags so
+    every error term is bit-identical across engines."""
+    from mr_dice_spark.operators.timeseries import seasonal_naive_backtest
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return seasonal_naive_backtest(
+        ev, "event_type", "ts", "value", season=24, step_seconds=3600
+    ).orderBy("event_type")

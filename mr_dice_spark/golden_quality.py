@@ -2213,3 +2213,77 @@ def er_linkage_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = adjusted_rand_index(clean.unionByName(dirty), "id", "cl", "gold")
     return out.select("n", _r("ari", 6).alias("ari"))
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the sparsified co-purchase graph (round 7)
+# ---------------------------------------------------------------------------
+
+ADAMIC_ADAR_ORACLE = """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS w, COUNT(*) AS dg FROM und GROUP BY 1),
+inc AS (SELECT a AS w, b AS u FROM und),
+wed AS (
+  SELECT x.u AS na, y.u AS nb, x.w AS w
+  FROM inc x JOIN inc y ON x.w = y.w AND x.u < y.u
+),
+sc AS (
+  SELECT na, nb, COUNT(*) AS n_common,
+         SUM(1.0 / LN(CAST(dg AS DOUBLE))) AS s
+  FROM wed JOIN deg ON deg.w = wed.w
+  GROUP BY 1, 2
+),
+non AS (
+  SELECT sc.* FROM sc LEFT JOIN e ON e.a = sc.na AND e.b = sc.nb
+  WHERE e.a IS NULL
+)
+SELECT CAST(na AS BIGINT) AS node_a,
+       CAST(nb AS BIGINT) AS node_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(s + 1e-9, 6) AS score
+FROM non ORDER BY node_a, node_b
+"""
+
+
+@golden(
+    "adamic_adar_link_prediction",
+    ADAMIC_ADAR_ORACLE,
+    tags=("graph", "link-prediction", "join"),
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scores over the high-quantity
+    co-purchase graph (l_quantity >= 45 sparsifies deterministically so
+    the full exact wedge set stays linear in scale factor — ~11k wedges
+    at sf0.01, ~114k at sf0.1): every non-adjacent part pair at
+    distance 2 scored by hub-down-weighted common neighbors. A wedge
+    center always has degree >= 2, so 1/ln(deg) needs no epsilon; the
+    oracle restates the degree join, wedge self-join and anti-join
+    verbatim."""
+    from mr_dice_spark.operators.graph import adamic_adar_scores
+
+    li = (
+        Catalog(spark, sf_dir).lineitem
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    out = adamic_adar_scores(edges)
+    return out.select(
+        F.col("node_a").cast("long").alias("node_a"),
+        F.col("node_b").cast("long").alias("node_b"),
+        "n_common",
+        "score",
+    ).orderBy("node_a", "node_b")

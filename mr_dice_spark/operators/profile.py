@@ -1027,3 +1027,80 @@ def t_closeness_audit(
         ).alias("at_risk_share"),
         F.round(F.max("__d") + F.lit(1e-9), 6).alias("max_distance"),
     )
+
+
+def js_divergence_bins(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two snapshots' value
+    distributions on the PSI bin frame — the bounded, symmetric drift
+    measure beside psi_drift/ks_drift (JSD in bits is always in [0, 1],
+    so a single alert threshold works across metrics with wildly
+    different PSI scales; Lin 1991): bin edges are the baseline's exact
+    interior quantiles (psi_edges), and per bin with shares p, q and
+    mixture m = (p + q) / 2 the term is
+    ``0.5 * p * log2(p/m) + 0.5 * q * log2(q/m)``.
+    Total JSD = SUM(jsd_term).
+
+    Unlike PSI, JSD needs NO epsilon flooring: p = 0 simply zeroes the
+    p-part (x*log(x) -> 0) and the q-part degrades to q (log2(q/(q/2))
+    = 1) — emptied/new bins contribute a finite, correctly-bounded
+    term by construction.
+
+    Determinism: terms are computed from the nudge-ROUNDED shares (the
+    psi_from_counts grid), so both engines feed log2 bit-identical
+    inputs; terms get their own nudge-round at 8 (drift terms are
+    legitimately ~1e-4 — the PSI 6-grid would flatten real signal).
+
+    Scale shape: identical to psi_drift — one exact-percentile
+    aggregate on the baseline, one narrow n_bins-key hash aggregate per
+    snapshot, a broadcast totals join. Streaming-safe on the new side
+    (the psi_bin_counts shape).
+    """
+    edges = psi_edges(df_old, value_col, n_bins)
+    counts = (
+        psi_bins_frame(df_old.sparkSession, n_bins)
+        .join(psi_bin_counts(df_old, value_col, edges, "n_old"), "bin", "left")
+        .join(psi_bin_counts(df_new, value_col, edges, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    share_old = F.when(
+        F.col("__to") > 0, F.round(F.col("n_old") / F.col("__to") + F.lit(1e-9), 6)
+    )
+    share_new = F.when(
+        F.col("__tn") > 0, F.round(F.col("n_new") / F.col("__tn") + F.lit(1e-9), 6)
+    )
+    p, q = F.col("share_old"), F.col("share_new")
+    m = (p + q) / 2.0
+    term = F.when(
+        p.isNotNull() & q.isNotNull(),
+        F.round(
+            (
+                F.when(p > 0, 0.5 * p * F.log2(p / m)).otherwise(0.0)
+                + F.when(q > 0, 0.5 * q * F.log2(q / m)).otherwise(0.0)
+            )
+            + F.lit(1e-9),
+            8,
+        ),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            share_old.alias("share_old"),
+            share_new.alias("share_new"),
+        )
+        .select("*", term.alias("jsd_term"))
+    )

@@ -698,3 +698,88 @@ def holt_linear_smooth(
         ),
     )
     return out.withColumnRenamed("__k", key_col)
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 24,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecast per series — the
+    forecast-accuracy floor every monitoring/capacity pipeline needs
+    before trusting a fancier model (Hyndman & Koehler 2006: a model
+    that can't beat "same hour yesterday" isn't a model): values
+    aggregate to fixed ``step_seconds`` buckets (mean), the forecast
+    for bucket t is the value ``season`` BUCKET POSITIONS earlier
+    (positional lag over the existing buckets — gaps make the lag skip
+    to the next present bucket, the documented contract; densify with
+    resample_ffill first if calendar-exact lags matter), and errors
+    report as
+
+    * ``mae``   — mean |y - f| over scored buckets,
+    * ``smape`` — mean 2|y - f| / (|y| + |f|) (0 when both are 0),
+    * ``mase``  — mae / (mean |y_t - y_{t-1}| over naive-1-scored
+      buckets): < 1 means the seasonal forecast beats the in-sample
+      one-step naive walk.
+
+    Bucket means are nudge-rounded at 6 BEFORE the lags (cross-engine
+    double-sum order), so every error term is bit-identical; only the
+    final three stats carry their own round. Series with no scored
+    bucket (fewer than season+1 buckets) return NULL stats rather than
+    vanishing — an un-backtestable series is a finding.
+
+    Scale shape: one (key, bucket) hash aggregate, then two positional
+    lags sharing one key-partitioned window sort, then a per-key
+    aggregate — a single key exchange end-to-end, state O(1) per row.
+    """
+    if season < 1:
+        raise ValueError(f"season must be >= 1: {season}")
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.floor(F.unix_timestamp(ts_col) / step_seconds).cast("long").alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    buckets = base.groupBy("__k", "__h").agg(
+        F.round(F.avg("__v") + F.lit(1e-9), 6).alias("__y")
+    )
+    w = Window.partitionBy("__k").orderBy("__h")
+    lagged = buckets.select(
+        "__k",
+        "__y",
+        F.lag("__y", season).over(w).alias("__f"),
+        F.lag("__y", 1).over(w).alias("__p"),
+    )
+    err = F.abs(F.col("__y") - F.col("__f"))
+    smape_term = F.when(
+        (F.abs(F.col("__y")) + F.abs(F.col("__f"))) == 0.0, F.lit(0.0)
+    ).otherwise(2.0 * err / (F.abs(F.col("__y")) + F.abs(F.col("__f"))))
+    agg = lagged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count("__f").alias("n_scored"),
+        F.avg(F.when(F.col("__f").isNotNull(), err)).alias("__mae"),
+        F.avg(F.when(F.col("__f").isNotNull(), smape_term)).alias("__smape"),
+        F.avg(
+            F.when(
+                F.col("__p").isNotNull(), F.abs(F.col("__y") - F.col("__p"))
+            )
+        ).alias("__d1"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round(F.col("__mae") + F.lit(1e-9), 6).alias("mae"),
+        F.round(F.col("__smape") + F.lit(1e-9), 6).alias("smape"),
+        F.round(
+            F.try_divide(F.col("__mae"), F.col("__d1")) + F.lit(1e-9), 6
+        ).alias("mase"),
+    )

@@ -222,3 +222,35 @@ def test_modularity_two_triangles_bridge_by_hand(spark):
     part = comm.where(F.col("node") != 6)
     got2 = {r["community"]: r for r in modularity(edges, part).collect()}
     assert got2[4]["n_nodes"] == 2 and got2[4]["internal_edges"] == 1
+
+
+def test_adamic_adar_hand_graph_normalization_and_breaker(spark):
+    """Square a-b-c-d-a: the two diagonals are the only distance-2
+    non-edges, each with two degree-2 common neighbors => score 2/ln(2);
+    reversed/duplicate/self-loop inputs normalize away; the default-on
+    hub breaker fires on a star."""
+    import math
+
+    import pytest
+
+    from mr_dice_spark.operators.graph import adamic_adar_scores
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 1), (1, 1), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in adamic_adar_scores(df).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in got.values():
+        assert r["n_common"] == 2
+        assert abs(r["score"] - 2 / math.log(2)) < 1e-6
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="max_center_degree"):
+        adamic_adar_scores(star, max_center_degree=10)
+    # opt-out on the same star: all leaf pairs share the hub (deg 29)
+    leaf_pairs = adamic_adar_scores(star, max_center_degree=None).collect()
+    assert len(leaf_pairs) == 29 * 28 // 2
+    assert all(abs(r["score"] - 1 / math.log(29)) < 1e-6 for r in leaf_pairs)

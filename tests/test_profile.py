@@ -506,3 +506,30 @@ def test_t_closeness_distance_by_hand_and_absent_values(spark):
         t_closeness_audit(df, ["q"], "s", t=0.0)
     with pytest.raises(ValueError, match="quasi_cols"):
         t_closeness_audit(df, [], "s", t=0.2)
+
+
+def test_js_divergence_identical_disjoint_and_bounds(spark):
+    """Identical snapshots => every term 0; disjoint distributions =>
+    total JSD = 1 bit (the upper bound); zero-share bins contribute the
+    finite q-part with no epsilon."""
+    from mr_dice_spark.operators.profile import js_divergence_bins
+
+    vals = [float(v) for v in range(1, 101)]
+    a = spark.createDataFrame([(v,) for v in vals], "v double")
+    same = js_divergence_bins(a, a, "v", n_bins=5).collect()
+    assert len(same) == 5
+    assert all(abs(r["jsd_term"]) < 1e-7 for r in same)
+    # shifted: new values all above the old maximum -> all new mass in
+    # the TOP bin (bucket = 1 + edges-below count caps there)
+    b = spark.createDataFrame([(v + 1000.0,) for v in vals], "v double")
+    rows = js_divergence_bins(a, b, "v", n_bins=5).collect()
+    total = sum(r["jsd_term"] for r in rows)
+    import math
+
+    # bins 1-4: p=.2, q=0, m=.1 -> term .5*.2*log2(2) = .1 each;
+    # bin 5: p=.2 AND q=1, m=.6 -> .5*.2*log2(.2/.6) + .5*1*log2(1/.6)
+    exp = 4 * 0.1 + 0.1 * math.log2(0.2 / 0.6) + 0.5 * math.log2(1 / 0.6)
+    assert abs(total - exp) < 1e-6
+    # per-bin terms may be negative (the p-part of a mixed bin); the
+    # TOTAL is the bounded quantity
+    assert 0.0 <= total <= 1.0

@@ -385,3 +385,38 @@ def test_holt_linear_tie_determinism_and_hot_key_breaker(spark):
     )
     with pytest.raises(Exception, match="max_points_per_key"):
         holt_linear_smooth(big, "k", "ts", "v", max_points_per_key=10).collect()
+
+
+def test_seasonal_naive_backtest_hand_series(spark):
+    """Season-2 hand series: forecasts, sMAPE and the naive-1 MASE
+    denominator check against literal arithmetic; a series shorter than
+    the season returns NULL stats but stays present."""
+    import datetime as dt
+
+    from mr_dice_spark.operators.timeseries import seasonal_naive_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    series = [10.0, 20.0, 12.0, 18.0, 16.0]
+    rows = [("a", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(series)]
+    rows += [("short", t0, 5.0), ("short", t0 + dt.timedelta(hours=1), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["k"]: r
+        for r in seasonal_naive_backtest(
+            df, "k", "ts", "v", season=2, step_seconds=3600
+        ).collect()
+    }
+    ra = got["a"]
+    # scored buckets: t=2 (f=10), t=3 (f=20), t=4 (f=12)
+    errs = [abs(12 - 10), abs(18 - 20), abs(16 - 12)]
+    mae = sum(errs) / 3
+    smape = (
+        2 * 2 / (12 + 10) + 2 * 2 / (18 + 20) + 2 * 4 / (16 + 12)
+    ) / 3
+    d1 = (abs(20 - 10) + abs(12 - 20) + abs(18 - 12) + abs(16 - 18)) / 4
+    assert ra["n_buckets"] == 5 and ra["n_scored"] == 3
+    assert abs(ra["mae"] - mae) < 1e-6
+    assert abs(ra["smape"] - smape) < 1e-6
+    assert abs(ra["mase"] - mae / d1) < 1e-6
+    rs = got["short"]
+    assert rs["n_scored"] == 0 and rs["mae"] is None and rs["mase"] is None
