@@ -86,7 +86,11 @@ _CHECK_FIRST = [
     "unigram_lm_quality",
     "line_dedup_boilerplate",
     "duplicate_span_ratio",
-    "streaming_hourly_window",
+    # --- round-7 addition (third batch), taking streaming_hourly_window's
+    # r2 slot (r2-green, unchanged; the hourly-window shape also runs
+    # in-window via events_cohort_retention's time bucketing and the
+    # streaming family keeps its r6 CUSUM row + suite coverage):
+    "png_decode_ahash_dedup",         # PNG all-5-filter decode -> aHash
     # --- round-7 additions (second batch), taking the next three r2
     # slots: streaming_sliding_window, streaming_session_window and
     # corpus_curation_pipeline yield theirs — all r2-green, unchanged,

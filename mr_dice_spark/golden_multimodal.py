@@ -788,3 +788,38 @@ def ahash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     ).orderBy("id_a", "id_b")
+
+
+@golden(
+    "png_decode_ahash_dedup",
+    AHASH_DEDUP_ORACLE,  # byte-identical pixel content to the BMP golden
+    tags=("multimodal", "image", "png", "dedup", "ahash"),
+)
+def png_decode_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dedup through the REAL PNG codec: the same 8x8x3
+    pixel fixture as image_ahash_dedup, but encoded as a zlib-deflated
+    truecolor PNG whose 8 scanlines CYCLE through all five spec filters
+    (None/Sub/Up/Average/Paeth — encode_png's default), so the oracle
+    hash only matches if every unfilter reconstruction path in
+    decode_pixels is exact. Same oracle SQL as the BMP golden by
+    construction: the container round-trip must be invisible to the
+    hash."""
+    import numpy as np
+
+    from mr_dice_spark.multimodal.codecs import encode_png
+    from mr_dice_spark.multimodal.ops import image_dedup_ahash
+
+    @F.pandas_udf("binary")
+    def fixture(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            s = ((t or "")[:192]).ljust(192, "x")
+            vals = [min(ord(c), 255) for c in s]
+            img = np.array(vals, dtype=np.uint8).reshape(8, 8, 3)
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    docs = Catalog(spark, sf_dir).documents
+    media = docs.select("doc_id", fixture("text").alias("payload"))
+    out = image_dedup_ahash(media, id_col="doc_id")
+    return out.select("doc_id", "ahash_bits", "is_canonical").orderBy("doc_id")

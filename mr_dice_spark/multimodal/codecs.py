@@ -389,6 +389,71 @@ def encode_bmp(img) -> bytes:
     return header + info + data
 
 
+def encode_png(img, filter_cycle=(0, 1, 2, 3, 4)) -> bytes:
+    """Minimal 8-bit grayscale / truecolor PNG writer (stdlib struct +
+    zlib) — the encode twin of decode_pixels' PNG branch. Each scanline
+    takes its filter type from ``filter_cycle`` (default cycles through
+    ALL FIVE spec filters None/Sub/Up/Average/Paeth), so a round-tripped
+    fixture exercises every unfilter path in the decoder: a defect in
+    any one reconstruction flips downstream pixel hashes instead of
+    hiding behind filter-0-only payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2}.get(ch)
+    if color_type is None:
+        raise ValueError(f"encode_png: unsupported channel count {ch}")
+    if not filter_cycle or any(f not in (0, 1, 2, 3, 4) for f in filter_cycle):
+        raise ValueError(f"encode_png: bad filter_cycle {filter_cycle!r}")
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filter_cycle[y % len(filter_cycle)]
+        line = flat[y]
+        a = np.zeros(stride, dtype=np.int32)
+        a[ch:] = line[:-ch]
+        b = prev
+        c = np.zeros(stride, dtype=np.int32)
+        c[ch:] = prev[:-ch]
+        if f == 0:
+            pred = np.zeros(stride, dtype=np.int32)
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) // 2
+        else:  # paeth
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        raw.append(f)
+        raw += ((line - pred) & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_pixels(img, target_w: int, target_h: int):
     """Nearest-neighbor resize via pure numpy index maps."""
     import numpy as np

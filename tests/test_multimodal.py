@@ -1438,3 +1438,27 @@ def test_audio_tone_powers_finds_planted_bin(spark):
     assert out["a"][1] == 256
     for k in ("short", "junk", "none"):
         assert out[k] == (None, None)
+
+
+def test_encode_png_filter_cycle_roundtrip_and_validation():
+    """encode_png must round-trip bit-exact through decode_pixels for
+    EVERY individual filter type and the default 5-filter cycle, on
+    grayscale and RGB, square and asymmetric shapes; bad inputs fail
+    fast."""
+    import numpy as np
+    import pytest
+
+    from mr_dice_spark.multimodal.codecs import decode_pixels, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in ((8, 8, 3), (5, 11), (16, 3, 3), (1, 1)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        ref = img if img.ndim == 3 else img[:, :, None]
+        for cyc in ((0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)):
+            dec = decode_pixels(encode_png(img, cyc))
+            assert dec is not None and dec.shape == ref.shape
+            assert (dec == ref).all(), (shape, cyc)
+    with pytest.raises(ValueError, match="channel count"):
+        encode_png(rng.randint(0, 256, (4, 4, 4)).astype(np.uint8))
+    with pytest.raises(ValueError, match="filter_cycle"):
+        encode_png(rng.randint(0, 256, (4, 4)).astype(np.uint8), (7,))
