@@ -85,7 +85,11 @@ _CHECK_FIRST = [
     "repetition_stats_per_doc",
     "unigram_lm_quality",
     "line_dedup_boilerplate",
-    "duplicate_span_ratio",
+    # r1-stale ROWS-ONLY row (caught by the new age badge — the r1
+    # backlog list above misses no-oracle goldens): takes
+    # duplicate_span_ratio's slot (r2-green; the winnowing family holds
+    # fresh r6 rows and full suite coverage)
+    "cosine_topk_ivf_approx",
     # --- round-7 addition (third batch), taking streaming_hourly_window's
     # r2 slot (r2-green, unchanged; the hourly-window shape also runs
     # in-window via events_cohort_retention's time bucketing and the

@@ -77,3 +77,39 @@ def test_every_unchecked_golden_is_scheduled():
         "comment) or to the queue comment in the same commit that adds "
         "the golden."
     )
+
+
+def test_no_golden_driver_row_older_than_five_rounds():
+    """Age badge (round-6 VERDICT stretch): the re-verification backlog
+    is pinned the same way the never-checked set is — every golden whose
+    most recent driver CORRECTNESS row is more than 5 rounds old must be
+    in the CURRENT window (it gets a fresh row this round). Rows-only
+    goldens count their latest no_oracle appearance; goldens with no row
+    at all are the other tests' job."""
+    import glob
+
+    import __spark_entry__ as entry
+    from mr_dice_spark.golden import GOLDEN
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        rounds.append(rnd)
+        with open(f) as fh:
+            for name in json.load(fh):
+                latest[name] = max(latest.get(name, 0), rnd)
+    if not rounds:
+        pytest.skip("no driver CORRECTNESS files yet")
+    current = max(rounds) + 1  # the round whose window is being built
+    window = set(entry._CHECK_FIRST)
+    stale = [
+        f"{n} (last r{latest[n]})"
+        for n in sorted(GOLDEN)
+        if n in latest and latest[n] < current - 5 and n not in window
+    ]
+    assert not stale, (
+        "goldens whose latest driver row is >5 rounds old and who are "
+        f"not in the current window: {stale} — rotate them into "
+        "_CHECK_FIRST (the re-verification backlog must drain, not grow)."
+    )

@@ -1224,3 +1224,86 @@ def test_association_rules_broadcast_singleton_supports(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mann_whitney_single_exchange(spark, sf_dir):
+    """Tie-group aggregate, cumulative window and final aggregate all
+    key on the group: one value-level exchange then one group exchange,
+    never a global sort."""
+    df = GOLDEN["mann_whitney_purchase_by_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert not has_cartesian(df)
+
+
+def test_ndcg_windows_share_one_exchange(spark, sf_dir):
+    """Both row_number windows (system order, ideal order) partition on
+    the query key — one exchange feeds two sorts, no single-task
+    window."""
+    df = GOLDEN["ndcg_user_ranking_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") >= 1
+    assert not has_cartesian(df)
+
+
+def test_jackknife_tiny_relation_after_bucket_agg(spark, sf_dir):
+    """Everything past the (group, bucket) hash aggregate operates on a
+    g x groups relation; the only wide exchanges are the bucket agg and
+    the group window."""
+    df = GOLDEN["jackknife_value_ci_by_type"].spark(spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df)
+    assert_max_shuffles(df, 4)
+
+
+def test_adamic_adar_all_hash_joins_no_cartesian(spark, sf_dir):
+    """Wedge build, degree attach and the non-adjacency anti-join are
+    all equi-joins — a plan regression to BNLJ/cartesian would be the
+    quadratic blow-up the breaker guards."""
+    df = GOLDEN["adamic_adar_link_prediction"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_naive_single_key_exchange(spark, sf_dir):
+    """Both lags share one (key) window sort after the (key, bucket)
+    aggregate; stats are a per-key hash aggregate on top."""
+    df = GOLDEN["seasonal_naive_backtest_hourly"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") == 1
+    assert_max_shuffles(df, 3)
+
+
+def test_js_divergence_broadcast_totals_no_single_task_window(spark, sf_dir):
+    """The totals attach is the psi_from_counts idiom: a 1-row aggregate
+    broadcast onto the n_bins-row frame (the plan's
+    BroadcastNestedLoopJoin is that intended scalar attach, like
+    association_rules' n_baskets). The banned shape — a single-partition
+    WINDOW — must not appear."""
+    df = GOLDEN["js_divergence_purchase_values"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_row_at_a_time_python_udfs_repo_wide():
+    """Pin the zero-F.udf invariant in CI: every Python crossing in the
+    engine is Arrow-batched (pandas_udf / applyInPandas / mapInPandas) —
+    a row-at-a-time F.udf in a hot path is the 10-100x slow path the
+    repo bans (checked statically; plan checkpoints can hide Python
+    nodes from physical-plan asserts, as the PNG golden's decode
+    stage does)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "mr_dice_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        if re.search(r"\bF\.udf\s*\(|^\s*@udf\b", src, re.M):
+            offenders.append(os.path.relpath(path, root))
+    assert not offenders, f"row-at-a-time Python UDFs found: {offenders}"

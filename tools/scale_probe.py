@@ -183,17 +183,37 @@ PROBES = [
 ]
 
 
-def build_scaled(spark, factor: int, out_dir: str) -> None:
+def build_scaled(spark, factor: int, out_dir: str, sparse: bool = False) -> None:
+    """``sparse=True`` builds the DENSITY-HONEST variant for graph/text
+    probes: the default replication shifts lineitem order keys but not
+    part keys, so the co-purchase graph gets factor-times DENSER over
+    the same 2 000 parts (degrees — and wedge work — grow with the
+    factor, which real TPC-H scaling does not do: parts scale with
+    lineitem). The sparse build additionally shifts l_partkey (replicas
+    become disjoint subgraphs, like real scale-out; joins to the
+    single-copy part table dangle — graph/text probes don't use them)
+    and ROTATES each document replica's vowels by the replica index so
+    text content is mostly DISTINCT across replicas — modeling a bigger
+    corpus instead of the total-duplication regime (content-pair
+    operators like winnowing otherwise see quadratic-in-copies TRUE
+    output by construction). A perf-harness transform only — never a
+    correctness fixture."""
     cat = Catalog(spark, SF_DIR)
     for table, keys in SHIFT.items():
         src = cat.table(table)
+        shift_keys = list(keys)
+        if sparse and table == "lineitem":
+            shift_keys.append("l_partkey")
         # key stride larger than any real key so replicas never collide
         stride = 10 ** 12
         copies = []
         for i in range(factor):
             c = src
-            for k in keys:
+            for k in shift_keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * stride))
+            if sparse and table == "documents" and i > 0:
+                rot = "aeiou"[i % 5 :] + "aeiou"[: i % 5]
+                c = c.withColumn("text", F.translate("text", "aeiou", rot))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
@@ -228,20 +248,27 @@ def time_probe(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = [a for a in sys.argv[1:] if a != "--sparse"]
+    sparse = "--sparse" in sys.argv[1:]
+    factor = int(argv[0]) if argv else 10
     # optional probe-name args restrict the run (iterating on one operator
-    # shouldn't pay for the other seventeen)
-    only = sys.argv[2:]
-    probes = [n for n in PROBES if not only or n in only]
-    unknown = [n for n in only if n not in PROBES]
+    # shouldn't pay for the other seventeen). With --sparse, any GOLDEN
+    # name is accepted (the density-honest fixture exists precisely for
+    # operators whose default-replica ratio measures fixture density,
+    # not the operator).
+    only = argv[1:]
+    pool = GOLDEN if sparse else PROBES
+    probes = [n for n in pool if not only or n in only]
+    unknown = [n for n in only if n not in pool]
     if unknown:
         raise SystemExit(f"unknown probes: {unknown}")
     spark = get_spark(app_name="scale-probe")
-    scaled_dir = os.path.join(tempfile.gettempdir(), f"mr_dice_scale_x{factor}")
+    tag = f"mr_dice_scale_{'sparse_' if sparse else ''}x{factor}"
+    scaled_dir = os.path.join(tempfile.gettempdir(), tag)
     # region is written LAST — its presence means the build completed
     if not os.path.exists(os.path.join(scaled_dir, "region.parquet")):
         print(f"# building x{factor} fixture at {scaled_dir}", file=sys.stderr)
-        build_scaled(spark, factor, scaled_dir)
+        build_scaled(spark, factor, scaled_dir, sparse=sparse)
 
     report = {}
     for name in probes:
@@ -254,7 +281,7 @@ def main() -> None:
             "ratio": round(ratio, 1),
         }
         print(f"# {name}: {base:.2f}s -> {big:.2f}s (x{ratio:.1f})", file=sys.stderr)
-    print(json.dumps({"factor": factor, "probes": report}))
+    print(json.dumps({"factor": factor, "sparse": sparse, "probes": report}))
 
 
 if __name__ == "__main__":
