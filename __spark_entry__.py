@@ -81,10 +81,18 @@ _CHECK_FIRST = [
     "tfidf_top_terms_per_doc",
     "benchmark_decontamination",
     "sequence_packing_spans",
-    "mixture_sample_by_lang",
-    "repetition_stats_per_doc",
-    "unigram_lm_quality",
-    "line_dedup_boilerplate",
+    # --- round-7 additions (fourth batch), taking the next four r2
+    # slots: mixture_sample_by_lang (sampling family keeps
+    # stratified/deterministic/weighted rows in-window),
+    # repetition_stats_per_doc and unigram_lm_quality (text-quality
+    # family keeps language-ID, top-terms and the r6 vocab rows), and
+    # line_dedup_boilerplate (dedup family keeps exact-dedup, LSH and
+    # SimHash rows in-window) yield theirs — all r2-green, unchanged,
+    # suite-oracle-checked every CI run.
+    "two_proportion_z_conversion",    # pooled conversion z readout
+    "post_stratified_effect_weekday", # stratified A/B decomposition
+    "cross_correlation_purchase_view",# lead-lag xcorr by bucket joins
+    "readability_flesch_documents",   # portable Flesch scoring
     # r1-stale ROWS-ONLY row (caught by the new age badge — the r1
     # backlog list above misses no-oracle goldens): takes
     # duplicate_span_ratio's slot (r2-green; the winnowing family holds

@@ -274,3 +274,34 @@ def homoglyph_translate_sql(expr: str) -> str:
     src = _HOMOGLYPH_SRC.replace("'", "''")
     dst = _HOMOGLYPH_DST.replace("'", "''")
     return f"translate({expr}, '{src}', '{dst}')"
+
+
+def readability_flesch(text_col: Column):
+    """Flesch reading-ease with the portable vowel-group syllable proxy
+    — the classic text-difficulty signal a quality-filtering pipeline
+    bins on beside length/stopword ratios (Flesch 1948; heuristic
+    syllables = maximal [aeiouy]+ runs, the standard approximation when
+    no dictionary ships with the engine):
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    Counts are ASCII-regex based (words = [a-z]+ runs of the lowercased
+    text, sentences = [.!?]+ runs, floored at 1) so a DuckDB oracle
+    restates them with the identical patterns; returns a struct
+    ``(n_words, n_sentences, n_syllables, flesch)`` with the score
+    nudge-rounded at 4. Pure column expressions — no Python crossing.
+    """
+    low = F.lower(text_col)
+    n_words = F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0)))
+    n_sents = F.size(F.regexp_extract_all(low, F.lit("[.!?]+"), F.lit(0)))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+    w = F.greatest(n_words, F.lit(1)).cast("double")
+    s = F.greatest(n_sents, F.lit(1)).cast("double")
+    y = n_syll.cast("double")
+    score = F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(score + F.lit(1e-9), 4).alias("flesch"),
+    )

@@ -5594,3 +5594,57 @@ def seasonal_naive_backtest_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     return seasonal_naive_backtest(
         ev, "event_type", "ts", "value", season=24, step_seconds=3600
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# lead-lag cross-correlation (round 7)
+# ---------------------------------------------------------------------------
+
+XCORR_ORACLE = """
+WITH base AS (
+  SELECT (event_type = 'purchase') AS isa,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         value AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+b AS MATERIALIZED (
+  SELECT isa, h, ROUND(AVG(v) + 1e-9, 6) AS y FROM base GROUP BY 1, 2
+),
+a_side AS (SELECT h, y AS ya FROM b WHERE isa),
+b_side AS (SELECT h AS hb, y AS yb FROM b WHERE NOT isa),
+spine AS (SELECT CAST(unnest([0, 1, 2, 24]) AS INT) AS lag),
+paired AS (
+  SELECT spine.lag, a_side.ya, b_side.yb
+  FROM b_side CROSS JOIN spine
+  JOIN a_side ON a_side.h = b_side.hb + spine.lag
+)
+SELECT lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(covar_pop(ya, yb)
+             / NULLIF(sqrt(var_pop(ya) * var_pop(yb)), 0) + 1e-9, 6) AS xcorr
+FROM paired GROUP BY lag ORDER BY lag
+"""
+
+
+@golden(
+    "cross_correlation_purchase_view",
+    XCORR_ORACLE,
+    tags=("timeseries", "correlation", "lead-lag"),
+)
+def cross_correlation_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly purchase-value and
+    view-value series at lags 0/1/2/24 — does purchase value follow
+    view value? Calendar lags via bucket-index equi-joins (gaps pair
+    nothing); bucket means pin at 6 so the moment aggregate is
+    bit-portable; population-moment Pearson (the ratio is identical to
+    the sample form)."""
+    from mr_dice_spark.operators.timeseries import cross_correlation_by_lag
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return cross_correlation_by_lag(
+        ev, "ts", "value", "event_type", "purchase", "view",
+        lags=[0, 1, 2, 24], step_seconds=3600,
+    ).orderBy("lag")

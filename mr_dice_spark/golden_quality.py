@@ -2287,3 +2287,60 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         "score",
     ).orderBy("node_a", "node_b")
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability scoring (round 7)
+# ---------------------------------------------------------------------------
+
+READABILITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lower(COALESCE(text, '')) AS s FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(s, '[a-z]+')) AS w,
+         len(regexp_extract_all(s, '[.!?]+')) AS se,
+         len(regexp_extract_all(s, '[aeiouy]+')) AS sy
+  FROM t
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(se AS BIGINT) AS n_sentences,
+       CAST(sy AS BIGINT) AS n_syllables,
+       ROUND((206.835
+              - 1.015 * (CAST(GREATEST(w, 1) AS DOUBLE) / GREATEST(se, 1))
+              - 84.6 * (CAST(sy AS DOUBLE) / GREATEST(w, 1))) + 1e-9, 4)
+         AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
+@golden(
+    "readability_flesch_documents",
+    READABILITY_ORACLE,
+    tags=("text", "quality", "readability"),
+)
+def readability_flesch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the portable vowel-group
+    syllable proxy — the difficulty signal a quality-filter pipeline
+    bins on beside Gopher/C4 rules. ASCII regex counts (words,
+    sentence-enders, vowel groups) restate identically in DuckDB; the
+    score is the only float and rounds at 4."""
+    from mr_dice_spark.functions.text import readability_flesch
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(
+            "doc_id",
+            readability_flesch(F.coalesce(F.col("text"), F.lit(""))).alias("__r"),
+        )
+        .select(
+            "doc_id",
+            F.col("__r.n_words").alias("n_words"),
+            F.col("__r.n_sentences").alias("n_sentences"),
+            F.col("__r.n_syllables").alias("n_syllables"),
+            F.col("__r.flesch").alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

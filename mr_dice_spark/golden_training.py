@@ -1830,3 +1830,120 @@ def ndcg_user_ranking_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ndcg_at_k(base, "q", "id", "s", "rel", k=10)
     return out.withColumnRenamed("q", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z conversion readout (round 7)
+# ---------------------------------------------------------------------------
+
+TWO_PROP_Z_ORACLE = """
+WITH base AS (
+  SELECT (user_id % 2) AS arm, (event_type = 'purchase') AS suc
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+a AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+         COUNT(CASE WHEN arm = 0 AND suc THEN 1 END) AS x_a,
+         COUNT(CASE WHEN arm = 1 AND suc THEN 1 END) AS x_b
+  FROM base
+),
+f AS (
+  SELECT n_a, n_b, x_a, x_b,
+         CAST(x_a AS DOUBLE) / n_a AS pa,
+         CAST(x_b AS DOUBLE) / n_b AS pb,
+         CAST(x_a + x_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b) AS pp
+  FROM a
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+       ROUND(pa + 1e-9, 6) AS rate_a,
+       ROUND(pb + 1e-9, 6) AS rate_b,
+       ROUND(CASE WHEN pp > 0 AND pp < 1 THEN
+         (pa - pb) / sqrt(pp * (1.0 - pp)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       END + 1e-9, 6) AS z
+FROM f
+"""
+
+
+@golden(
+    "two_proportion_z_conversion",
+    TWO_PROP_Z_ORACLE,
+    tags=("evaluation", "experiment", "proportion"),
+)
+def two_proportion_z_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z on purchase conversion between the
+    id-parity arms — the simplest A/B readout, integer-exact counts
+    until the final divisions, statistic-vs-critical verdict left to
+    the caller (srm convention, no CDF on the hash surface)."""
+    from mr_dice_spark.operators.evaluation import two_proportion_z
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("event_type") == "purchase").alias("suc"),
+    )
+    return two_proportion_z(ev, "arm", "suc", 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# post-stratified effect decomposition (round 7)
+# ---------------------------------------------------------------------------
+
+POST_STRAT_ORACLE = """
+WITH base AS (
+  SELECT (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS s,
+         (user_id % 2 = 0) AS a,
+         value AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS (
+  SELECT s,
+         COUNT(CASE WHEN a THEN 1 END) AS n_a,
+         COUNT(CASE WHEN NOT a THEN 1 END) AS n_b,
+         ROUND(AVG(CASE WHEN a THEN v END) + 1e-9, 6) AS mean_a,
+         ROUND(AVG(CASE WHEN NOT a THEN v END) + 1e-9, 6) AS mean_b
+  FROM base GROUP BY s
+),
+t AS (SELECT SUM(n_a + n_b) AS n FROM cells)
+SELECT CAST(s AS BIGINT) AS weekday,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       mean_a, mean_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN mean_a - mean_b END + 1e-9, 6)
+         AS diff,
+       ROUND((n_a + n_b) / CAST(n AS DOUBLE) + 1e-9, 6) AS weight,
+       ROUND(ROUND((n_a + n_b) / CAST(n AS DOUBLE) + 1e-9, 6)
+             * (CASE WHEN n_a > 0 AND n_b > 0 THEN mean_a - mean_b END)
+             + 1e-9, 6) AS contribution
+FROM cells CROSS JOIN t
+ORDER BY weekday
+"""
+
+
+@golden(
+    "post_stratified_effect_weekday",
+    POST_STRAT_ORACLE,
+    tags=("evaluation", "experiment", "stratification"),
+)
+def post_stratified_effect_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified A/B effect decomposition (strata = engine-portable
+    weekday, arms = id parity): per-stratum arm means, diff, combined
+    size weight and contribution — the other classic variance reducer
+    beside CUPED, and the decomposition a readout dashboard shows.
+    Means pin at 6 before the difference."""
+    from mr_dice_spark.operators.evaluation import post_stratified_effect
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("ts").isNotNull()).select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("weekday"),
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        "value",
+        "user_id",
+    ).where(F.col("user_id").isNotNull())
+    return post_stratified_effect(
+        ev, "arm", "weekday", "value", True, False
+    ).orderBy("weekday")

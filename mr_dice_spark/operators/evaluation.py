@@ -1192,3 +1192,118 @@ def ndcg_at_k(
             6,
         ).alias("ndcg"),
     )
+
+
+def two_proportion_z(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Pooled two-proportion z-test — the conversion-rate A/B readout
+    (did arm A convert more than arm B?): ``z = (pa - pb) /
+    sqrt(pp * (1 - pp) * (1/na + 1/nb))`` with the pooled rate
+    ``pp = (xa + xb) / (na + nb)``. Integer counts until the final
+    divisions; the STATISTIC is reported, not a p-value (no
+    transcendental-CDF hash surface — the srm_check convention; 1.96 is
+    the usual 95% two-sided critical value for callers). Degenerate
+    pooled rates (0 or 1 — no variance) return NULL z. Rows whose arm
+    is neither ``arm_a`` nor ``arm_b`` or whose success flag is NULL
+    are excluded.
+
+    One global conditional-count aggregate: map-side partials, a 1-row
+    reduce — nothing shuffles wider than one row at any corpus size.
+    """
+    arm = F.col(arm_col)
+    suc = F.col(success_col).cast("boolean")
+    base = df.where(arm.isin([arm_a, arm_b]) & suc.isNotNull())
+    agg = base.agg(
+        F.count_if(arm == F.lit(arm_a)).alias("n_a"),
+        F.count_if(arm == F.lit(arm_b)).alias("n_b"),
+        F.count_if((arm == F.lit(arm_a)) & suc).alias("x_a"),
+        F.count_if((arm == F.lit(arm_b)) & suc).alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = F.try_divide(xa, na), F.try_divide(xb, nb)
+    pp = F.try_divide(xa + xb, na + nb)
+    se = F.sqrt(pp * (1.0 - pp) * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb)))
+    z = F.when((pp > 0) & (pp < 1), F.try_divide(pa - pb, se))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.round(pa + F.lit(1e-9), 6).alias("rate_a"),
+        F.round(pb + F.lit(1e-9), 6).alias("rate_b"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def post_stratified_effect(
+    df: DataFrame,
+    arm_col: str,
+    stratum_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Post-stratified treatment-effect readout — the other classic
+    variance-reduction beside CUPED (Miratrix/Sekhon/Yu 2013): within
+    each pre-experiment stratum the arm means difference, and strata
+    combine with their COMBINED size share as weight, removing the
+    between-stratum composition noise a raw diff-of-means carries.
+    One row per stratum: ``(stratum, n_a, n_b, mean_a, mean_b, diff,
+    weight, contribution)`` with ``contribution = weight * diff`` (sum
+    = the post-stratified effect; the driver hashes the full per-stratum
+    decomposition, which is also what a readout dashboard shows).
+    Strata missing an arm get NULL diff/contribution — surfaced, not
+    silently dropped (they bias the naive estimator; the caller decides).
+
+    Parity: per-(stratum, arm) means are the only doubles; they pin at
+    6 before the difference so diff/contribution are bit-identical
+    across engines. One (stratum, arm)-key hash aggregate plus a
+    broadcast total — nothing wider than the strata frame after it.
+    """
+    arm = F.col(arm_col)
+    base = df.where(
+        arm.isin([arm_a, arm_b])
+        & F.col(stratum_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"),
+        (arm == F.lit(arm_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    cells = base.groupBy("__s").agg(
+        F.count_if(F.col("__a")).alias("n_a"),
+        F.count_if(~F.col("__a")).alias("n_b"),
+        F.round(F.avg(F.when(F.col("__a"), F.col("__v"))) + F.lit(1e-9), 6).alias(
+            "mean_a"
+        ),
+        F.round(F.avg(F.when(~F.col("__a"), F.col("__v"))) + F.lit(1e-9), 6).alias(
+            "mean_b"
+        ),
+    )
+    tot = cells.agg(F.sum(F.col("n_a") + F.col("n_b")).alias("__n"))
+    diff = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("mean_a") - F.col("mean_b"),
+    )
+    weight = F.round(
+        (F.col("n_a") + F.col("n_b")) / F.col("__n") + F.lit(1e-9), 6
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__s").alias(stratum_col),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "mean_a",
+            "mean_b",
+            F.round(diff + F.lit(1e-9), 6).alias("diff"),
+            weight.alias("weight"),
+            F.round(weight * diff + F.lit(1e-9), 6).alias("contribution"),
+        )
+    )

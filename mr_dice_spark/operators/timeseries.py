@@ -783,3 +783,70 @@ def seasonal_naive_backtest(
             F.try_divide(F.col("__mae"), F.col("__d1")) + F.lit(1e-9), 6
         ).alias("mase"),
     )
+
+
+def cross_correlation_by_lag(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_col: str,
+    series_a,
+    series_b,
+    lags: list[int],
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two named series sharing one
+    table — the monitoring question autocorrelation can't answer (does
+    purchase value FOLLOW view value by k hours?): both series bucket
+    to the ``step_seconds`` grid (mean, nudge-rounded at 6 — the
+    autocorr/backtest pinning), and for each lag k, series A at bucket
+    h pairs with series B at bucket h - k (CALENDAR lag via bucket-index
+    arithmetic, so gaps pair nothing rather than sliding positions).
+    Per lag: ``(lag, n_pairs, xcorr)`` with the Pearson correlation of
+    the paired buckets; degenerate variance returns NULL.
+
+    Scale shape: one (series, bucket) hash aggregate; each lag is an
+    equi-join of the two tiny bucket frames on the shifted index (the
+    lag spine is a literal array explode, never a range join); one
+    moment aggregate per lag. Bucket frames are span/step-sized, so at
+    100 TB the heavy work is the first aggregate — everything after is
+    dashboard-sized.
+    """
+    if not lags or any(int(l) != l for l in lags):
+        raise ValueError(f"lags must be a non-empty list of ints: {lags}")
+    sv = F.col(series_col)
+    base = df.where(
+        sv.isin([series_a, series_b])
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        (sv == F.lit(series_a)).alias("__isa"),
+        F.floor(F.unix_timestamp(ts_col) / step_seconds).cast("long").alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    buckets = base.groupBy("__isa", "__h").agg(
+        F.round(F.avg("__v") + F.lit(1e-9), 6).alias("__y")
+    )
+    a = buckets.where(F.col("__isa")).select("__h", F.col("__y").alias("__ya"))
+    b = buckets.where(~F.col("__isa")).select(
+        F.col("__h").alias("__hb"), F.col("__y").alias("__yb")
+    )
+    spine = a.sparkSession.createDataFrame(
+        [(int(l),) for l in lags], "lag int"
+    )
+    shifted = b.crossJoin(F.broadcast(spine)).select(
+        "lag", (F.col("__hb") + F.col("lag")).alias("__h"), "__yb"
+    )
+    paired = a.join(shifted, "__h")
+    corr = F.try_divide(
+        F.covar_pop("__ya", "__yb"),
+        F.sqrt(F.var_pop("__ya") * F.var_pop("__yb")),
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(corr + F.lit(1e-9), 6).alias("xcorr"),
+        )
+        .select("lag", F.col("n_pairs").cast("long").alias("n_pairs"), "xcorr")
+    )

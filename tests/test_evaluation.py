@@ -500,3 +500,48 @@ def test_ndcg_hand_example_and_edge_cases(spark):
     assert ndcg_at_k(hopeless, "q", "id", "s", "rel").first()["ndcg"] == 0.0
     with pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(df, "q", "id", "s", "rel", k=0)
+
+
+def test_two_proportion_z_hand_counts_and_degenerate(spark):
+    from mr_dice_spark.operators.evaluation import two_proportion_z
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 70
+        + [("b", True)] * 20 + [("b", False)] * 80
+        + [("c", True)] * 5          # excluded arm
+        + [("a", None)]              # excluded null
+    )
+    df = spark.createDataFrame(rows, "arm string, suc boolean")
+    [r] = two_proportion_z(df, "arm", "suc", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["x_a"], r["x_b"]) == (100, 100, 30, 20)
+    pa, pb, pp = 0.3, 0.2, 0.25
+    z = (pa - pb) / (pp * (1 - pp) * (1 / 100 + 1 / 100)) ** 0.5
+    assert abs(r["z"] - z) < 1e-6
+    assert r["rate_a"] == 0.3 and r["rate_b"] == 0.2
+    allfail = spark.createDataFrame(
+        [("a", False)] * 5 + [("b", False)] * 5, "arm string, suc boolean"
+    )
+    assert two_proportion_z(allfail, "arm", "suc", "a", "b").first()["z"] is None
+
+
+def test_post_stratified_effect_hand_strata(spark):
+    from mr_dice_spark.operators.evaluation import post_stratified_effect
+
+    rows = (
+        [("s1", "t", 10.0)] * 2 + [("s1", "c", 8.0)] * 2
+        + [("s2", "t", 20.0)] * 4 + [("s2", "c", 15.0)] * 2
+        + [("s3", "t", 7.0)] * 2                     # control missing
+    )
+    df = spark.createDataFrame(rows, "s string, arm string, v double")
+    got = {
+        r["s"]: r
+        for r in post_stratified_effect(df, "arm", "s", "v", "t", "c").collect()
+    }
+    n = 12
+    assert got["s1"]["diff"] == 2.0 and got["s1"]["weight"] == round(4 / n, 6)
+    assert abs(got["s1"]["contribution"] - round(4 / n, 6) * 2.0) < 1e-9
+    assert got["s2"]["diff"] == 5.0 and got["s2"]["n_a"] == 4
+    assert got["s3"]["diff"] is None and got["s3"]["contribution"] is None
+    # post-stratified effect = sum of contributions over complete strata
+    eff = sum(r["contribution"] for r in got.values() if r["contribution"])
+    assert abs(eff - (round(4 / n, 6) * 2.0 + round(6 / n, 6) * 5.0)) < 1e-9

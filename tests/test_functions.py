@@ -1360,3 +1360,34 @@ def test_fold_homoglyphs_maps_confusables(spark):
     df = spark.createDataFrame([(a,) for a, _ in rows], "t string")
     got = [r["f"] for r in df.select(fold_homoglyphs("t").alias("f")).collect()]
     assert got == [b for _, b in rows]
+
+
+def test_readability_flesch_hand_text(spark):
+    from mr_dice_spark.functions.text import readability_flesch
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),              # degenerate: floors at 1 word/sentence
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", readability_flesch(F.col("text")).alias("r")
+        ).collect()
+    }
+    r1 = got[1]
+    # words: the cat sat the dog ran = 6; sentences: '.' and '!' = 2;
+    # vowel groups: e,a,a,e,o,a = 6 (one per word)
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r1["flesch"] - exp) < 1e-4
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (0, 0, 0)
+    assert abs(r2["flesch"] - (206.835 - 1.015 - 0.0)) < 1e-4
+    # NULL text propagates NULL fields (callers coalesce upstream; the
+    # golden's documents fixture has no NULL text)
+    assert got[3]["n_words"] is None and got[3]["flesch"] is None

@@ -420,3 +420,32 @@ def test_seasonal_naive_backtest_hand_series(spark):
     assert abs(ra["mase"] - mae / d1) < 1e-6
     rs = got["short"]
     assert rs["n_scored"] == 0 and rs["mae"] is None and rs["mase"] is None
+
+
+def test_cross_correlation_planted_lag(spark):
+    """Series B leads A by exactly one bucket (A(h) = B(h-1)): xcorr = 1
+    at lag 1, and the lag-0 pairing of a linear-vs-shifted series stays
+    below it; calendar gaps pair nothing; bad lags fail fast."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.timeseries import cross_correlation_by_lag
+
+    t0 = dt.datetime(2024, 1, 1)
+    bvals = [1.0, 4.0, 2.0, 8.0, 5.0, 9.0, 3.0, 7.0]
+    rows = []
+    for i, v in enumerate(bvals):
+        rows.append(("B", t0 + dt.timedelta(hours=i), v))
+        rows.append(("A", t0 + dt.timedelta(hours=i + 1), v))  # A(h)=B(h-1)
+    df = spark.createDataFrame(rows, "s string, ts timestamp, v double")
+    got = {
+        r["lag"]: r
+        for r in cross_correlation_by_lag(
+            df, "ts", "v", "s", "A", "B", lags=[0, 1]
+        ).collect()
+    }
+    assert got[1]["n_pairs"] == 8 and abs(got[1]["xcorr"] - 1.0) < 1e-9
+    assert got[0]["n_pairs"] == 7 and got[0]["xcorr"] < 1.0
+    with pytest.raises(ValueError, match="lags"):
+        cross_correlation_by_lag(df, "ts", "v", "s", "A", "B", lags=[])
