@@ -78,9 +78,17 @@ _CHECK_FIRST = [
     "correlated_above_type_avg",
     "formation_energy_openlam",
     "pii_redaction_probe",
-    "tfidf_top_terms_per_doc",
-    "benchmark_decontamination",
-    "sequence_packing_spans",
+    # --- round-7 additions (fifth batch), taking the last three
+    # displaced r2 slots: tfidf_top_terms_per_doc (terms family keeps
+    # text_top_terms in-window), benchmark_decontamination and
+    # sequence_packing_spans (their decontamination/packing shapes stay
+    # suite-oracle-checked every CI run and the bloom-prescreen twin was
+    # r5-green) yield theirs. The seven remaining r2 rows above stay for
+    # re-verification; the other 35 r2-only rows become round-8's
+    # mandatory rotation under the new age badge.
+    "wilson_ci_high_value_rate",      # Wilson proportion interval
+    "sprt_high_value_rate_monitor",   # Wald sequential rate monitor
+    "pinball_loss_seasonal_naive",    # quantile forecast loss
     # --- round-7 additions (fourth batch), taking the next four r2
     # slots: mixture_sample_by_lang (sampling family keeps
     # stratified/deterministic/weighted rows in-window),

@@ -5648,3 +5648,55 @@ def cross_correlation_purchase_view(spark: SparkSession, sf_dir: str) -> DataFra
         ev, "ts", "value", "event_type", "purchase", "view",
         lags=[0, 1, 2, 24], step_seconds=3600,
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# pinball (quantile) loss of the seasonal-naive forecast (round 7)
+# ---------------------------------------------------------------------------
+
+PINBALL_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         value AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+b AS MATERIALIZED (
+  SELECT k, h, ROUND(AVG(v) + 1e-9, 6) AS y FROM base GROUP BY 1, 2
+),
+l AS (
+  SELECT k, y, LAG(y, 24) OVER (PARTITION BY k ORDER BY h) AS f
+  FROM b
+),
+q AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS quantile),
+fan AS (SELECT l.*, q.quantile FROM l CROSS JOIN q)
+SELECT k AS event_type, quantile,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(COUNT(f) AS BIGINT) AS n_scored,
+       ROUND(AVG(CASE WHEN f IS NOT NULL THEN
+             GREATEST(quantile * (y - f), (quantile - 1.0) * (y - f)) END)
+             + 1e-9, 6) AS pinball
+FROM fan GROUP BY 1, 2 ORDER BY event_type, quantile
+"""
+
+
+@golden(
+    "pinball_loss_seasonal_naive",
+    PINBALL_ORACLE,
+    tags=("timeseries", "forecast", "quantile-loss"),
+)
+def pinball_loss_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss of the seasonal-naive hourly forecast at q = 0.5
+    and 0.9 per event type — the proper scoring rule for quantile
+    forecasts (P90 capacity headroom, not the mean). Shares the
+    backtest golden's pinned bucket means; the quantile spine is a
+    broadcast literal."""
+    from mr_dice_spark.operators.timeseries import pinball_forecast_loss
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return pinball_forecast_loss(
+        ev, "event_type", "ts", "value", quantiles=[0.5, 0.9],
+        season=24, step_seconds=3600,
+    ).orderBy("event_type", "quantile")

@@ -1947,3 +1947,117 @@ def post_stratified_effect_weekday(spark: SparkSession, sf_dir: str) -> DataFram
     return post_stratified_effect(
         ev, "arm", "weekday", "value", True, False
     ).orderBy("weekday")
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals per event type (round 7)
+# ---------------------------------------------------------------------------
+
+WILSON_ORACLE = """
+WITH a AS (
+  SELECT event_type AS g,
+         COUNT(*) AS n,
+         COUNT(CASE WHEN value > 100.0 THEN 1 END) AS x
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+f AS (
+  SELECT g, n, x,
+         CAST(x AS DOUBLE) / n AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM a
+)
+SELECT g AS event_type,
+       CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+       ROUND(p + 1e-9, 6) AS rate,
+       ROUND(((p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd)
+              - 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd))
+                / (1.0 + 3.8416 / nd)) + 1e-9, 6) AS ci_lo,
+       ROUND(((p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd)
+              + 1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd))
+                / (1.0 + 3.8416 / nd)) + 1e-9, 6) AS ci_hi
+FROM f ORDER BY event_type
+"""
+
+
+@golden(
+    "wilson_ci_high_value_rate",
+    WILSON_ORACLE,
+    tags=("evaluation", "proportion", "ci"),
+)
+def wilson_ci_high_value_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval around each event type's high-value rate
+    (value > 100) — the [0,1]-respecting proportion CI a quality
+    dashboard wants at small n; closed form, sqrt the only
+    transcendental. z^2 = 1.96^2 = 3.8416 exactly (decimal-exact
+    product, written literally in the oracle)."""
+    from mr_dice_spark.operators.evaluation import wilson_ci
+
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull()).select(
+        "event_type", (F.col("value") > 100.0).alias("hv")
+    )
+    return wilson_ci(ev, "event_type", "hv", z=1.96).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT sequential rate monitor (round 7)
+# ---------------------------------------------------------------------------
+
+SPRT_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS h,
+         (value > 100.0) AS s
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+per AS (
+  SELECT g, h, COUNT(*) AS n, COUNT(CASE WHEN s THEN 1 END) AS x
+  FROM base GROUP BY 1, 2
+),
+run AS (
+  SELECT g, h, n, x,
+         ROUND(SUM(x * LN(0.25 / 0.2) + (n - x) * LN((1.0 - 0.25) / (1.0 - 0.2)))
+               OVER (PARTITION BY g ORDER BY h ROWS UNBOUNDED PRECEDING)
+               + 1e-9, 6) AS llr
+  FROM per
+)
+SELECT g AS event_type,
+       CAST(h AS BIGINT) AS bucket_day,
+       CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x, llr,
+       CASE WHEN llr <= ROUND(LN(0.2 / (1.0 - 0.05)) + 1e-9, 6) THEN 'accept_h0'
+            WHEN llr >= ROUND(LN((1.0 - 0.2) / 0.05) + 1e-9, 6) THEN 'reject_h0'
+            ELSE 'continue' END AS verdict
+FROM run ORDER BY event_type, bucket_day
+"""
+
+
+@golden(
+    "sprt_high_value_rate_monitor",
+    SPRT_ORACLE,
+    tags=("evaluation", "sequential", "monitor"),
+)
+def sprt_high_value_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT trace per event type on DAILY buckets: is the
+    high-value rate (value > 100) at p0 = 0.2 or p1 = 0.25? Both
+    engines compute the log constants at runtime from identical double
+    literals (never pre-folded on one side only); the cumulative llr
+    rounds at 6 for verdict and hash. The fixture's true rate sits
+    near 0.17, so the monitor walks to accept_h0 — the verdict sequence
+    itself is the check."""
+    from mr_dice_spark.operators.evaluation import sprt_binary_monitor
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull()).select(
+        "event_type", "ts", (F.col("value") > 100.0).alias("hv")
+    )
+    out = sprt_binary_monitor(
+        ev, "event_type", "ts", "hv", p0=0.2, p1=0.25,
+        alpha=0.05, beta=0.2, step_seconds=86400,
+    )
+    return out.select(
+        "event_type",
+        (F.unix_timestamp("bucket") / 86400).cast("long").alias("bucket_day"),
+        "n", "x", "llr", "verdict",
+    ).orderBy("event_type", "bucket_day")

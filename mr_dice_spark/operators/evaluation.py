@@ -1307,3 +1307,123 @@ def post_stratified_effect(
             F.round(weight * diff + F.lit(1e-9), 6).alias("contribution"),
         )
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score interval for a proportion per group — the CI that
+    stays inside [0, 1] and behaves at small n / extreme rates where
+    the Wald interval collapses (Wilson 1927; what a quality dashboard
+    should put around every pass-rate):
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    Closed form — no CDF, no transcendental beyond sqrt, so the bounds
+    are oracle-restatable digit for digit. Groups with n = 0 never
+    appear (no rows); NULL successes are excluded. One conditional
+    count aggregate per group key.
+    """
+    suc = F.col(success_col).cast("boolean")
+    agg = (
+        df.where(F.col(group_col).isNotNull() & suc.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(suc).alias("x"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        float(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(p + F.lit(1e-9), 6).alias("rate"),
+        F.round((center - half) + F.lit(1e-9), 6).alias("ci_lo"),
+        F.round((center + half) + F.lit(1e-9), 6).alias("ci_hi"),
+    )
+
+
+def sprt_binary_monitor(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Wald's sequential probability ratio test per group over time
+    buckets — the always-on monitor that decides AS DATA ARRIVES whether
+    a success rate sits at p0 (null) or has moved to p1, with
+    guaranteed error rates and no fixed horizon (Wald 1945; the
+    sequential complement of the fixed-horizon two_proportion_z):
+    per bucket the log-likelihood increment is
+    ``x*ln(p1/p0) + (n-x)*ln((1-p1)/(1-p0))``, the running sum crosses
+    ``lower = ln(beta/(1-alpha))`` to accept H0 or
+    ``upper = ln((1-beta)/alpha)`` to reject it, else 'continue'.
+    Returns one row per (group, bucket): ``(group, bucket, n, x, llr,
+    verdict)`` — the full monitoring trace, with the FIRST crossing
+    visible as the earliest non-'continue' verdict (downstream alerting
+    truncates there; the trace deliberately keeps post-crossing rows so
+    the restatement is a pure window, not a stateful scan).
+
+    Both engines compute the two log constants at runtime from the same
+    double literals (never pre-folded in Python — a 1-ulp libm
+    difference would amplify across the cumulative sum on one side
+    only); the running llr rounds at 6 for the verdict and the hash.
+    One (group, bucket) aggregate plus one group-keyed cumulative
+    window.
+    """
+    if not 0.0 < p0 < 1.0 or not 0.0 < p1 < 1.0 or p0 == p1:
+        raise ValueError(f"need distinct p0, p1 in (0,1): {p0}, {p1}")
+    if not 0.0 < alpha < 1.0 or not 0.0 < beta < 1.0:
+        raise ValueError(f"alpha/beta in (0,1): {alpha}, {beta}")
+    suc = F.col(success_col).cast("boolean")
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(ts_col).isNotNull() & suc.isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.floor(F.unix_timestamp(ts_col) / step_seconds).cast("long").alias("__h"),
+        suc.alias("__s"),
+    )
+    per = base.groupBy("__g", "__h").agg(
+        F.count(F.lit(1)).alias("n"), F.count_if(F.col("__s")).alias("x")
+    )
+    win = F.log(F.lit(float(p1)) / F.lit(float(p0)))
+    lose = F.log((F.lit(1.0) - F.lit(float(p1))) / (F.lit(1.0) - F.lit(float(p0))))
+    inc = F.col("x") * win + (F.col("n") - F.col("x")) * lose
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lower = F.log(F.lit(float(beta)) / (F.lit(1.0) - F.lit(float(alpha))))
+    upper = F.log((F.lit(1.0) - F.lit(float(beta))) / F.lit(float(alpha)))
+    llr = F.round(F.sum(inc).over(w) + F.lit(1e-9), 6)
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.timestamp_seconds(F.col("__h") * step_seconds).alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        llr.alias("llr"),
+        F.when(llr <= F.round(lower + F.lit(1e-9), 6), F.lit("accept_h0"))
+        .when(llr >= F.round(upper + F.lit(1e-9), 6), F.lit("reject_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("verdict"),
+    )

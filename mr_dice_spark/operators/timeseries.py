@@ -850,3 +850,79 @@ def cross_correlation_by_lag(
         )
         .select("lag", F.col("n_pairs").cast("long").alias("n_pairs"), "xcorr")
     )
+
+
+def pinball_forecast_loss(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    quantiles: list[float],
+    season: int = 24,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast per series
+    and quantile — the proper scoring rule for quantile forecasts
+    (Koenker & Bassett; what capacity planning optimizes when it wants
+    P90 headroom, not the mean):
+
+        pinball(y, f, q) = max(q * (y - f), (q - 1) * (y - f))
+
+    reported as the mean over scored buckets, one row per
+    ``(key, quantile)``. Shares seasonal_naive_backtest's contract:
+    mean-per-bucket values nudge-rounded at 6 BEFORE the positional lag
+    (gaps skip, densify first for calendar-exact lags), series with no
+    scored bucket surface with NULL loss. The quantile spine is a
+    broadcast literal array — one (key, bucket) aggregate, one key
+    window, one small fan-out aggregate; no extra exchange per
+    quantile.
+    """
+    if not quantiles or any(not 0.0 < q < 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0,1): {quantiles}")
+    if season < 1:
+        raise ValueError(f"season must be >= 1: {season}")
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.floor(F.unix_timestamp(ts_col) / step_seconds).cast("long").alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    buckets = base.groupBy("__k", "__h").agg(
+        F.round(F.avg("__v") + F.lit(1e-9), 6).alias("__y")
+    )
+    w = Window.partitionBy("__k").orderBy("__h")
+    lagged = buckets.select(
+        "__k", "__y", F.lag("__y", season).over(w).alias("__f")
+    )
+    spine = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(float(q),) for q in quantiles], "quantile double"
+        )
+    )
+    fanned = lagged.crossJoin(spine)
+    err = F.col("__y") - F.col("__f")
+    loss = F.greatest(
+        F.col("quantile") * err, (F.col("quantile") - 1.0) * err
+    )
+    return (
+        fanned.groupBy("__k", "quantile")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.count("__f").alias("n_scored"),
+            F.round(
+                F.avg(F.when(F.col("__f").isNotNull(), loss)) + F.lit(1e-9), 6
+            ).alias("pinball"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "quantile",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_scored").cast("long").alias("n_scored"),
+            "pinball",
+        )
+    )

@@ -545,3 +545,59 @@ def test_post_stratified_effect_hand_strata(spark):
     # post-stratified effect = sum of contributions over complete strata
     eff = sum(r["contribution"] for r in got.values() if r["contribution"])
     assert abs(eff - (round(4 / n, 6) * 2.0 + round(6 / n, 6) * 5.0)) < 1e-9
+
+
+def test_wilson_ci_hand_values_and_bounds(spark):
+    """Wilson interval against literal arithmetic; extreme rates stay
+    inside [0, 1] where Wald would escape."""
+    from mr_dice_spark.operators.evaluation import wilson_ci
+
+    rows = [("g", True)] * 3 + [("g", False)] * 7 + [("z", True)] * 5
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    got = {r["g"]: r for r in wilson_ci(df, "g", "s", z=1.96).collect()}
+    r = got["g"]
+    p, n, z2 = 0.3, 10.0, 1.96 * 1.96
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = 1.96 * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5) / denom
+    assert (r["n"], r["x"], r["rate"]) == (10, 3, 0.3)
+    assert abs(r["ci_lo"] - (center - half)) < 1e-6
+    assert abs(r["ci_hi"] - (center + half)) < 1e-6
+    rz = got["z"]  # p = 1 at n = 5: Wald CI is [1, 1]; Wilson pulls lo in
+    assert 0.0 <= rz["ci_lo"] < 1.0 and rz["ci_hi"] <= 1.0
+
+
+def test_sprt_walk_matches_python_and_crosses(spark):
+    """The llr trace must equal the literal Wald walk, and a planted
+    shifted-rate series must cross reject_h0 while a null-rate series
+    walks to accept_h0."""
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from mr_dice_spark.operators.evaluation import sprt_binary_monitor
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # group 'null': 20% success per 10-trial bucket; each bucket
+    # drifts the llr by 2*ln(1.25)+8*ln(.9375) ~ -0.07, so 30 buckets
+    # (-2.1) cross the lower boundary ln(0.2/0.95) ~ -1.56 -> accept
+    # group 'shift': 50% success per bucket -> reject fast
+    for h in range(30):
+        for i in range(10):
+            rows.append(("null", t0 + dt.timedelta(hours=h), i < 2))
+            rows.append(("shift", t0 + dt.timedelta(hours=h), i < 5))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, s boolean")
+    out = sprt_binary_monitor(df, "g", "ts", "s", p0=0.2, p1=0.25)
+    rowso = sorted(out.collect(), key=lambda r: (r["g"], r["bucket"]))
+    win, lose = math.log(0.25 / 0.2), math.log(0.75 / 0.8)
+    llr = 0.0
+    for r in (x for x in rowso if x["g"] == "null"):
+        llr += 2 * win + 8 * lose
+        assert abs(r["llr"] - round(llr + 1e-9, 6)) < 1e-9
+    assert rowso[0]["g"] == "null"
+    assert [r["verdict"] for r in rowso if r["g"] == "null"][-1] == "accept_h0"
+    assert "reject_h0" in {r["verdict"] for r in rowso if r["g"] == "shift"}
+    with pytest.raises(ValueError, match="p0, p1"):
+        sprt_binary_monitor(df, "g", "ts", "s", p0=0.2, p1=0.2)

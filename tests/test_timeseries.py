@@ -449,3 +449,31 @@ def test_cross_correlation_planted_lag(spark):
     assert got[0]["n_pairs"] == 7 and got[0]["xcorr"] < 1.0
     with pytest.raises(ValueError, match="lags"):
         cross_correlation_by_lag(df, "ts", "v", "s", "A", "B", lags=[])
+
+
+def test_pinball_loss_hand_series(spark):
+    """Season-1 hand series: pinball at q=0.5 is half the MAE; an
+    asymmetric q penalizes under-forecasts harder; validation fires."""
+    import datetime as dt
+
+    import pytest
+
+    from mr_dice_spark.operators.timeseries import pinball_forecast_loss
+
+    t0 = dt.datetime(2024, 1, 1)
+    series = [10.0, 14.0, 8.0, 8.0]  # errs vs lag-1 forecast: +4, -6, 0
+    rows = [("a", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["quantile"]: r
+        for r in pinball_forecast_loss(
+            df, "k", "ts", "v", quantiles=[0.5, 0.9], season=1
+        ).collect()
+    }
+    # q=.5: mean(.5*4, .5*6, 0) = mean(2,3,0)
+    assert abs(got[0.5]["pinball"] - (2 + 3 + 0) / 3) < 1e-6
+    # q=.9: under-forecast err=+4 costs .9*4; over-forecast err=-6 costs .1*6
+    assert abs(got[0.9]["pinball"] - (3.6 + 0.6 + 0) / 3) < 1e-6
+    assert got[0.5]["n_scored"] == 3 and got[0.5]["n_buckets"] == 4
+    with pytest.raises(ValueError, match="quantiles"):
+        pinball_forecast_loss(df, "k", "ts", "v", quantiles=[1.5])
