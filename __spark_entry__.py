@@ -134,9 +134,15 @@ _CHECK_FIRST = [
     "mcnemar_model_compare",          # paired-model McNemar gate
     "mann_whitney_purchase_by_weekday",  # tie-corrected rank-sum test
     "ndcg_user_ranking_by_type",      # NDCG@10 ranking quality
-    # ROUND-8 WINDOW QUEUE: (empty — round-7 additions rotate into the
-    # window in the same commit that adds them, displacing tail r2
-    # re-verification slots above)
+    # ROUND-8 WINDOW QUEUE: goldens added after this round's window
+    # filled (suite-oracle-green, swept hash-exact at all three scales
+    # on landing) — lead the round-8 rotation with them, then the 35
+    # r2-only re-verification rows the age badge now mandates
+    # (1 flagship + 4 queue + 35 r2 = 40, ten slots spare):
+    # vocab_richness_documents (Chao1 + Good-Turing coverage),
+    # simpson_lang_diversity_by_source (Simpson/effective labels),
+    # eb_shrunk_return_rates_brand (empirical-Bayes shrinkage),
+    # rbo_value_vs_count_leaderboards (rank-biased overlap).
 ]
 
 

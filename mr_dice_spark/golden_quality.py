@@ -2344,3 +2344,91 @@ def readability_flesch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary richness estimates (round 7)
+# ---------------------------------------------------------------------------
+
+VOCAB_RICHNESS_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+a AS (
+  SELECT SUM(c) AS n_tokens, COUNT(*) AS vocab,
+         COUNT(CASE WHEN c = 1 THEN 1 END) AS f1,
+         COUNT(CASE WHEN c = 2 THEN 1 END) AS f2
+  FROM freq
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2,
+       ROUND(CAST(vocab AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) + 1e-9, 4) AS chao1,
+       ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9, 6)
+         AS gt_unseen_mass
+FROM a
+"""
+
+
+@golden(
+    "vocab_richness_documents",
+    VOCAB_RICHNESS_ORACLE,
+    tags=("text", "vocab", "chao1", "good-turing"),
+)
+def vocab_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 + Good-Turing vocabulary-coverage estimates over the
+    documents corpus (whitespace tokens, the heaps/zipf convention) —
+    does more crawling buy new types? Integer type-frequency counts
+    until the two closed-form estimates."""
+    from mr_dice_spark.operators.vocab import vocab_richness_estimate
+
+    return vocab_richness_estimate(Catalog(spark, sf_dir).documents, "text")
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity per source (round 7)
+# ---------------------------------------------------------------------------
+
+SIMPSON_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, lang AS l, COUNT(*) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+a AS (
+  SELECT g, SUM(c) AS n, COUNT(*) AS n_labels,
+         SUM(CAST(c AS DOUBLE) * c) AS s2
+  FROM cells GROUP BY g
+)
+SELECT g AS source,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       ROUND((1.0 - s2 / (CAST(n AS DOUBLE) * n)) + 1e-9, 6) AS simpson,
+       ROUND(1.0 / NULLIF(s2 / (CAST(n AS DOUBLE) * n), 0) + 1e-9, 6)
+         AS effective_labels
+FROM a ORDER BY source
+"""
+
+
+@golden(
+    "simpson_lang_diversity_by_source",
+    SIMPSON_ORACLE,
+    tags=("profile", "diversity", "concentration"),
+)
+def simpson_lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity / effective language count of each source's
+    documents — the concentration readout beside Shannon entropy that
+    weights dominant labels harder. Exact rational shares from
+    counts."""
+    from mr_dice_spark.operators.profile import simpson_diversity
+
+    return simpson_diversity(
+        Catalog(spark, sf_dir).documents, "source", "lang"
+    ).orderBy("source")

@@ -2061,3 +2061,146 @@ def sprt_high_value_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("bucket") / 86400).cast("long").alias("bucket_day"),
         "n", "x", "llr", "verdict",
     ).orderBy("event_type", "bucket_day")
+
+
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrunk return rates (round 7)
+# ---------------------------------------------------------------------------
+
+EB_SHRINK_ORACLE = """
+WITH cells AS MATERIALIZED (
+  SELECT p.p_brand AS i, COUNT(*) AS n,
+         COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS x
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+r AS (SELECT i, n, x, CAST(x AS DOUBLE) / n AS raw FROM cells),
+mom AS (
+  SELECT ROUND(AVG(raw) + 1e-9, 9) AS m,
+         ROUND(var_pop(raw) + 1e-9, 9) AS v
+  FROM r
+),
+f AS (
+  SELECT r.*, mom.m, mom.v,
+         (mom.v > 1e-9 AND mom.v < mom.m * (1.0 - mom.m)) AS ok,
+         mom.m * (1.0 - mom.m) / mom.v - 1.0 AS common
+  FROM r CROSS JOIN mom
+)
+SELECT i AS p_brand,
+       CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+       ROUND(raw + 1e-9, 6) AS raw_rate,
+       ROUND(CASE WHEN ok THEN m * common END + 1e-9, 6) AS prior_alpha,
+       ROUND(CASE WHEN ok THEN (1.0 - m) * common END + 1e-9, 6) AS prior_beta,
+       ROUND(CASE WHEN ok THEN (x + m * common) / (n + common)
+                  ELSE raw END + 1e-9, 6) AS shrunk_rate
+FROM f ORDER BY p_brand
+"""
+
+
+@golden(
+    "eb_shrunk_return_rates_brand",
+    EB_SHRINK_ORACLE,
+    tags=("evaluation", "empirical-bayes", "shrinkage"),
+)
+def eb_shrunk_return_rates_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-brand return
+    rates (l_returnflag = 'R') — the leaderboard fix for small-sample
+    rate noise. Prior moments pin at 9 before the algebra so every
+    shrunk rate is bit-identical across engines; the part dim joins
+    broadcast."""
+    from mr_dice_spark.operators.evaluation import eb_shrunk_rates
+
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_returnflag")
+    scored = li.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("p_brand", (F.col("l_returnflag") == "R").alias("ret"))
+    return eb_shrunk_rates(scored, "p_brand", "ret").orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap between two leaderboards (round 7)
+# ---------------------------------------------------------------------------
+
+RBO_ORACLE = """
+WITH by_value AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(AVG(value) + 1e-9, 6) DESC,
+                            user_id) AS rnk
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+by_count AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rnk
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+both_ AS (
+  SELECT GREATEST(a.rnk, b.rnk) AS md
+  FROM by_value a JOIN by_count b ON a.user_id = b.user_id
+  WHERE a.rnk <= 50 AND b.rnk <= 50
+),
+spine AS (SELECT CAST(unnest(range(1, 51)) AS INT) AS d),
+xd AS (
+  SELECT d, COALESCE(SUM(CASE WHEN md <= d THEN 1 END), 0) AS x
+  FROM spine LEFT JOIN both_ ON md <= d
+  GROUP BY d
+),
+s AS (
+  SELECT MAX(CASE WHEN d = 50 THEN x END) AS xk,
+         SUM(pow(0.9, d - 1.0) * x / d) AS ssum
+  FROM xd
+)
+SELECT CAST(50 AS BIGINT) AS k,
+       CAST(0.9 AS DOUBLE) AS p,
+       CAST(xk AS BIGINT) AS n_common,
+       ROUND(CAST(xk AS DOUBLE) / 50.0 + 1e-9, 6) AS agreement_at_k,
+       ROUND((1.0 - 0.9) * ssum + 1e-9, 6) AS rbo
+FROM s
+"""
+
+
+@golden(
+    "rbo_value_vs_count_leaderboards",
+    RBO_ORACLE,
+    tags=("evaluation", "ranking", "rbo"),
+)
+def rbo_value_vs_count_leaderboards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (k=50, p=0.9, truncated prefix form) between
+    the 'top users by mean event value' and 'top users by event count'
+    leaderboards — how much do the two rankings agree, top-weighted?
+    Scores pin (rounded mean) before ranking so the ORDER itself is
+    portable; the user-level ranking windows are bounded by the
+    150-user domain (the aggregate precedes the window, so no
+    corpus-sized single-task sort — the skyline broadcast-branch
+    rule)."""
+    from mr_dice_spark.operators.evaluation import rank_biased_overlap
+
+    ev = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    by_value = (
+        ev.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(_r(F.avg("value"), 6).alias("s"))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(W.orderBy(F.col("s").desc(), F.col("user_id")))
+            .alias("rnk"),
+        )
+    )
+    by_count = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), F.col("user_id")))
+            .alias("rnk"),
+        )
+    )
+    return rank_biased_overlap(by_value, by_count, "user_id", "rnk", k=50, p=0.9)

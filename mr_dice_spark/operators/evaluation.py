@@ -1427,3 +1427,129 @@ def sprt_binary_monitor(
         .otherwise(F.lit("continue"))
         .alias("verdict"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    item_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-item success rates — the ranking fix for "this part has 1/1 =
+    100% returns" small-sample noise (Robinson's classic EB batting
+    average recipe): fit a Beta prior to the ITEM-LEVEL raw rates by
+    moments, ``common = m(1-m)/v - 1, alpha = m*common,
+    beta = (1-m)*common``, then ``shrunk = (x + alpha) / (n + alpha +
+    beta)`` — items with little data pull toward the global mean, items
+    with much data keep their own rate. When the moment fit is invalid
+    (zero between-item variance, or v >= m(1-m) which would give a
+    non-positive ``common``), the prior columns are NULL and ``shrunk``
+    falls back to the raw rate — surfaced, not silently faked.
+
+    Parity pinning: the prior moments m and v round at 9 before the
+    algebra, so alpha/beta and every shrunk rate are bit-identical
+    across engines. Two aggregates (item cells, 1-row moments) and a
+    broadcast join — nothing wider than the item frame.
+    """
+    suc = F.col(success_col).cast("boolean")
+    cells = (
+        df.where(F.col(item_col).isNotNull() & suc.isNotNull())
+        .groupBy(F.col(item_col).alias("__i"))
+        .agg(F.count(F.lit(1)).alias("n"), F.count_if(suc).alias("x"))
+        .withColumn("__r", F.col("x").cast("double") / F.col("n"))
+    )
+    mom = cells.agg(
+        F.round(F.avg("__r") + F.lit(1e-9), 9).alias("__m"),
+        F.round(F.var_pop("__r") + F.lit(1e-9), 9).alias("__v"),
+    )
+    m, v = F.col("__m"), F.col("__v")
+    # v carries the +1e-9 rounding nudge, so an exactly-zero between-item
+    # variance reads as exactly 1e-9 — the validity floor excludes it
+    valid = (v > 1e-9) & (v < m * (1.0 - m))
+    common = m * (1.0 - m) / v - 1.0
+    alpha = F.when(valid, m * common)
+    beta = F.when(valid, (1.0 - m) * common)
+    out = cells.crossJoin(F.broadcast(mom))
+    shrunk = F.when(
+        valid,
+        (F.col("x") + m * common) / (F.col("n") + common),
+    ).otherwise(F.col("__r"))
+    return out.select(
+        F.col("__i").alias(item_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(F.col("__r") + F.lit(1e-9), 6).alias("raw_rate"),
+        F.round(alpha + F.lit(1e-9), 6).alias("prior_alpha"),
+        F.round(beta + F.lit(1e-9), 6).alias("prior_beta"),
+        F.round(shrunk + F.lit(1e-9), 6).alias("shrunk_rate"),
+    )
+
+
+def rank_biased_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    rank_col: str,
+    k: int,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap between two top-k rankings
+    (Webber, Moffat & Zobel 2010) — "how much do these two leaderboards
+    agree, weighted toward the top?": with X_d = |A_1..d ∩ B_1..d|,
+
+        RBO@k = (1 - p) * sum_{d=1..k} p^(d-1) * X_d / d
+
+    (the truncated prefix form, no extrapolation — documented choice so
+    the number is exactly reproducible). An item in both lists with
+    ranks (ra, rb) enters every depth d >= max(ra, rb), so X_d is a
+    cumulative count over max-rank; depths accumulate via a k x k
+    triangle join on the literal depth spine (the ks_drift idiom — no
+    single-partition window even on the tiny frame). Returns one row
+    ``(k, p, n_common, agreement_at_k, rbo)``.
+
+    Scale: the rankings are top-k inputs by contract (k is a dashboard
+    constant); everything here is k-sized. Producing the rankings from
+    100 TB is the caller's TakeOrdered.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0,1): {p}")
+    a = df_a.select(F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra"))
+    b = df_b.select(F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb"))
+    both = (
+        a.where(F.col("__ra") <= k)
+        .join(b.where(F.col("__rb") <= k), "__id")
+        .select(F.greatest("__ra", "__rb").alias("__md"))
+    )
+    counts = both.groupBy("__md").agg(F.count(F.lit(1)).alias("__c"))
+    spine = df_a.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("__d")
+    )
+    xd = (
+        spine.join(
+            F.broadcast(counts), F.col("__md") <= F.col("__d"), "left"
+        )
+        .groupBy("__d")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__x"))
+    )
+    term = (
+        F.pow(F.lit(float(p)), F.col("__d").cast("double") - 1.0)
+        * F.col("__x").cast("double")
+        / F.col("__d").cast("double")
+    )
+    agg = xd.agg(
+        F.max(F.when(F.col("__d") == k, F.col("__x"))).alias("__xk"),
+        F.sum(term).alias("__s"),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(float(p)).alias("p"),
+        F.col("__xk").cast("long").alias("n_common"),
+        F.round(
+            F.col("__xk").cast("double") / F.lit(float(k)) + F.lit(1e-9), 6
+        ).alias("agreement_at_k"),
+        F.round((1.0 - F.lit(float(p))) * F.col("__s") + F.lit(1e-9), 6).alias(
+            "rbo"
+        ),
+    )

@@ -1104,3 +1104,40 @@ def js_divergence_bins(
         )
         .select("*", term.alias("jsd_term"))
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Simpson diversity per group — ``simpson = 1 - sum(p_l^2)`` (the
+    probability two random rows carry different labels) and the
+    effective label count ``1 / sum(p_l^2)`` — the concentration
+    readout beside Shannon entropy that weights dominant labels harder
+    (a corpus 95% one language scores near its true monoculture no
+    matter how long the label tail is). NULL labels are excluded (count
+    them upstream if NULL itself is the signal). Shares are exact
+    rationals from counts; two hash aggregates on (group, label) then
+    group."""
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    cells = base.groupBy(
+        F.col(group_col).alias("__g"), F.col(label_col).alias("__l")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    agg = cells.groupBy("__g").agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum(F.col("__c").cast("double") * F.col("__c")).alias("__s2"),
+    )
+    sump2 = F.col("__s2") / (F.col("n").cast("double") * F.col("n"))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        F.round((1.0 - sump2) + F.lit(1e-9), 6).alias("simpson"),
+        F.round(F.try_divide(F.lit(1.0), sump2) + F.lit(1e-9), 6).alias(
+            "effective_labels"
+        ),
+    )

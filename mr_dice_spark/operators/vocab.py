@@ -413,3 +413,51 @@ def heaps_law_fit(
         ((F.col("__sy") - beta * F.col("__sx")) / nn).alias("log10_k"),
         F.try_divide(cov * cov, vx * vy).alias("r2"),
     )
+
+
+def vocab_richness_estimate(df: DataFrame, text_col: str) -> DataFrame:
+    """Chao1 species-richness + Good-Turing unseen-mass estimates for
+    the corpus vocabulary — the "how many types exist that this sample
+    hasn't seen yet" planning numbers (Chao 1984; Good 1953) a corpus
+    curator reads next to the Heaps exponent before deciding whether
+    more crawling buys new vocabulary:
+
+    * ``chao1 = D + f1*(f1-1) / (2*(f2+1))`` (bias-corrected form —
+      defined even when no type occurs exactly twice),
+    * ``gt_unseen_mass = f1 / N`` (the probability the NEXT token is an
+      unseen type),
+
+    over whitespace tokens (the heaps/zipf convention), where D =
+    distinct types, f1/f2 = singleton/doubleton counts, N = total
+    tokens. One token explode + two tiny aggregates; single-row output
+    ``(n_tokens, vocab, f1, f2, chao1, gt_unseen_mass)``.
+    """
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("__w")
+    )
+    freq = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    agg = freq.agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count_if(F.col("__c") == 1).alias("f1"),
+        F.count_if(F.col("__c") == 2).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    chao1 = F.col("vocab").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (F.col("f2").cast("double") + 1.0)
+    )
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(chao1 + F.lit(1e-9), 4).alias("chao1"),
+        F.round(
+            F.try_divide(f1, F.col("n_tokens").cast("double")) + F.lit(1e-9), 6
+        ).alias("gt_unseen_mass"),
+    )

@@ -601,3 +601,52 @@ def test_sprt_walk_matches_python_and_crosses(spark):
     assert "reject_h0" in {r["verdict"] for r in rowso if r["g"] == "shift"}
     with pytest.raises(ValueError, match="p0, p1"):
         sprt_binary_monitor(df, "g", "ts", "s", p0=0.2, p1=0.2)
+
+
+def test_eb_shrinkage_pulls_small_samples_and_falls_back(spark):
+    from mr_dice_spark.operators.evaluation import eb_shrunk_rates
+
+    rows = []
+    # items with very different raw rates and sizes
+    rows += [("big_hi", True)] * 90 + [("big_hi", False)] * 10      # .9 @ 100
+    rows += [("small_hi", True)] * 9 + [("small_hi", False)] * 1    # .9 @ 10
+    rows += [("big_lo", True)] * 10 + [("big_lo", False)] * 90
+    rows += [("mid", True)] * 25 + [("mid", False)] * 25
+    df = spark.createDataFrame(rows, "i string, s boolean")
+    got = {r["i"]: r for r in eb_shrunk_rates(df, "i", "s").collect()}
+    assert got["big_hi"]["prior_alpha"] is not None
+    m = sum(r["raw_rate"] for r in got.values()) / 4
+    # every shrunk rate sits between its raw rate and the prior mean
+    for r in got.values():
+        lo, hi = sorted((r["raw_rate"], m))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+    # the small sample moves further toward the mean than the big one
+    assert abs(got["small_hi"]["shrunk_rate"] - 0.9) > abs(
+        got["big_hi"]["shrunk_rate"] - 0.9
+    )
+    # zero between-item variance: fallback to raw, NULL prior
+    flat = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True), ("b", False)], "i string, s boolean"
+    )
+    for r in eb_shrunk_rates(flat, "i", "s").collect():
+        assert r["prior_alpha"] is None and r["shrunk_rate"] == r["raw_rate"]
+
+
+def test_rbo_identical_disjoint_and_validation(spark):
+    import pytest
+
+    from mr_dice_spark.operators.evaluation import rank_biased_overlap
+
+    k, p = 10, 0.9
+    a = spark.createDataFrame([(i, i) for i in range(1, 21)], "id long, rnk int")
+    ident = rank_biased_overlap(a, a, "id", "rnk", k=k, p=p).first()
+    # identical prefixes: X_d = d, RBO@k = (1-p) * sum p^(d-1) = 1 - p^k
+    assert abs(ident["rbo"] - (1 - p ** k)) < 1e-6
+    assert ident["agreement_at_k"] == 1.0 and ident["n_common"] == k
+    b = spark.createDataFrame(
+        [(i + 1000, i) for i in range(1, 21)], "id long, rnk int"
+    )
+    disj = rank_biased_overlap(a, b, "id", "rnk", k=k, p=p).first()
+    assert disj["rbo"] == 0.0 and disj["n_common"] == 0
+    with pytest.raises(ValueError, match="p must be"):
+        rank_biased_overlap(a, a, "id", "rnk", k=k, p=1.0)

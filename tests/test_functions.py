@@ -1391,3 +1391,16 @@ def test_readability_flesch_hand_text(spark):
     # NULL text propagates NULL fields (callers coalesce upstream; the
     # golden's documents fixture has no NULL text)
     assert got[3]["n_words"] is None and got[3]["flesch"] is None
+
+
+def test_vocab_richness_hand_corpus(spark):
+    from mr_dice_spark.operators.vocab import vocab_richness_estimate
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("d  e",), ("",)], "text string"
+    )
+    [r] = vocab_richness_estimate(df, "text").collect()
+    # freqs: a=3 b=2 c=1 d=1 e=1 -> D=5, f1=3, f2=1, N=8
+    assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (8, 5, 3, 1)
+    assert abs(r["chao1"] - (5 + 3 * 2 / (2 * 2))) < 1e-6
+    assert abs(r["gt_unseen_mass"] - 3 / 8) < 1e-6

@@ -533,3 +533,18 @@ def test_js_divergence_identical_disjoint_and_bounds(spark):
     # per-bin terms may be negative (the p-part of a mixed bin); the
     # TOTAL is the bounded quantity
     assert 0.0 <= total <= 1.0
+
+
+def test_simpson_diversity_hand_counts(spark):
+    from mr_dice_spark.operators.profile import simpson_diversity
+
+    rows = [("u", "a")] * 5 + [("u", "b")] * 5 + [("m", "a")] * 9 + [("m", "b")]
+    df = spark.createDataFrame(rows, "g string, l string")
+    got = {r["g"]: r for r in simpson_diversity(df, "g", "l").collect()}
+    # uniform two labels: sum p^2 = .5 -> simpson .5, effective 2
+    assert abs(got["u"]["simpson"] - 0.5) < 1e-9
+    assert abs(got["u"]["effective_labels"] - 2.0) < 1e-9
+    # 90/10 split: sum p^2 = .82
+    assert abs(got["m"]["simpson"] - 0.18) < 1e-9
+    assert abs(got["m"]["effective_labels"] - 1 / 0.82) < 1e-6
+    assert got["m"]["n"] == 10 and got["m"]["n_labels"] == 2
