@@ -142,7 +142,9 @@ _CHECK_FIRST = [
     # vocab_richness_documents (Chao1 + Good-Turing coverage),
     # simpson_lang_diversity_by_source (Simpson/effective labels),
     # eb_shrunk_return_rates_brand (empirical-Bayes shrinkage),
-    # rbo_value_vs_count_leaderboards (rank-biased overlap).
+    # rbo_value_vs_count_leaderboards (rank-biased overlap),
+    # streaming_js_divergence (JSD monitor on the stream engine, same
+    # oracle as the batch golden by construction).
 ]
 
 

@@ -1592,3 +1592,64 @@ def js_divergence_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame
     old = ev.where(F.col("event_type") == "purchase")
     new = ev.where(F.col("event_type") != "purchase")
     return js_divergence_bins(old, new, "value", n_bins=10).orderBy("bin")
+
+
+@golden(
+    "streaming_js_divergence",
+    JS_DIVERGENCE_ORACLE,  # byte-identical output to the batch golden
+    tags=("streaming", "drift", "jsd", "observability"),
+)
+def streaming_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift monitoring ON THE STREAM ENGINE: the
+    purchase-side baseline fixes decile edges and bin counts as a batch
+    job; the non-purchase side arrives through readStream, buckets by
+    the literal edges (streaming-safe narrow projection) and aggregates
+    per-bin counts in complete mode; the finishing JSD math
+    (js_from_counts) runs on the materialized sink — byte-identical to
+    the batch js_divergence_purchase_values output, so the SAME DuckDB
+    oracle hash-checks the streaming path (the streaming_psi_drift
+    pattern; finite replay makes the aggregate exact)."""
+    import uuid
+
+    from mr_dice_spark.operators.profile import (
+        js_from_counts,
+        psi_bin_counts,
+        psi_bins_frame,
+        psi_edges,
+    )
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull())
+    old = ev.where(F.col("event_type") == "purchase")
+    edges = psi_edges(old, "value", 10)
+    old_counts = psi_bin_counts(old, "value", edges, "n_old")
+
+    stream = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("value").isNotNull() & (F.col("event_type") != "purchase"))
+    )
+    name = f"stream_jsd_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(
+        psi_bin_counts(stream, "value", edges, "n_new"),
+        name,
+        output_mode="complete",
+    )
+    try:
+        counts = (
+            psi_bins_frame(spark, 10)
+            .join(old_counts, "bin", "left")
+            .join(spark.table(name), "bin", "left")
+            .select(
+                "bin",
+                F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            )
+        )
+        out = js_from_counts(counts).orderBy("bin")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()

@@ -1071,6 +1071,15 @@ def js_divergence_bins(
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
         )
     )
+    return js_from_counts(counts)
+
+
+def js_from_counts(counts: DataFrame) -> DataFrame:
+    """Shares + JSD terms from a (bin, n_old, n_new) frame — split out
+    (the psi_from_counts convention) so the STREAMING monitor can feed a
+    complete-mode bin-count sink through the identical finishing math
+    and hash-check against the same oracle. Totals attach via a
+    broadcast 1-row aggregate, never a single-partition window."""
     totals = counts.agg(
         F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
     )
