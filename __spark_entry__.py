@@ -144,7 +144,10 @@ _CHECK_FIRST = [
     # eb_shrunk_return_rates_brand (empirical-Bayes shrinkage),
     # rbo_value_vs_count_leaderboards (rank-biased overlap),
     # streaming_js_divergence (JSD monitor on the stream engine, same
-    # oracle as the batch golden by construction).
+    # oracle as the batch golden by construction),
+    # average_precision_value_by_type (tie-safe PR-AUC, block windows),
+    # brier_decomposition_events (Murphy reliability/resolution split),
+    # decile_lift_value_by_type (NTILE gains table, id-tiebroken).
 ]
 
 

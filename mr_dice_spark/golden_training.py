@@ -2204,3 +2204,165 @@ def rbo_value_vs_count_leaderboards(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return rank_biased_overlap(by_value, by_count, "user_id", "rnk", k=50, p=0.9)
+
+
+# ---------------------------------------------------------------------------
+# PR-AUC / Brier decomposition / decile lift (round 7)
+# ---------------------------------------------------------------------------
+
+AVERAGE_PRECISION_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS s, (user_id % 3 = 0) AS y
+  FROM events WHERE value IS NOT NULL
+),
+blocks AS (
+  SELECT g, s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM base GROUP BY g, s
+),
+cum AS (
+  SELECT g, tp, n,
+         SUM(tp) OVER (PARTITION BY g ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         SUM(n) OVER (PARTITION BY g ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM blocks
+),
+agg AS (
+  SELECT g, SUM(tp) AS p, SUM(n - tp) AS f, SUM(tp * ctp / cn) AS num
+  FROM cum GROUP BY g
+)
+SELECT g AS event_type, CAST(p AS BIGINT) AS n_pos, CAST(f AS BIGINT) AS n_neg,
+       ROUND((CASE WHEN p > 0 THEN num / p END) + 1e-9, 6) AS ap
+FROM agg ORDER BY event_type
+"""
+
+
+@golden(
+    "average_precision_value_by_type",
+    AVERAGE_PRECISION_ORACLE,
+    tags=("evaluation", "pr-auc", "average-precision", "events"),
+)
+def average_precision_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type average precision (PR-AUC) — the imbalance-honest
+    companion to auc_value_by_type on the identical fixture, so the two
+    goldens pin the SAME ranking under both curve conventions. Distinct
+    score blocks make the statistic tie-safe: the cumulative window runs
+    over (type, score) aggregates, never raw rows. (The label is a
+    synthetic hash-class — the golden checks the statistic, not the
+    classifier.)"""
+    from mr_dice_spark.operators.evaluation import average_precision_by_group
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "is_hit", F.col("user_id") % 3 == 0
+    )
+    return average_precision_by_group(
+        ev, "event_type", "value", "is_hit"
+    ).orderBy("event_type")
+
+
+BRIER_ORACLE = """
+WITH base AS (
+  SELECT value - FLOOR(value) AS s,
+         CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+bins AS (
+  SELECT LEAST(9, CAST(FLOOR(s * 10.0) AS INT)) AS k,
+         CAST(COUNT(*) AS DOUBLE) AS nk,
+         AVG(s) AS sbar, AVG(y) AS obar,
+         SUM((s - y) * (s - y)) AS se
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT SUM(nk) AS n, SUM(nk * obar) / SUM(nk) AS o, SUM(se) AS sse,
+         SUM(nk * (sbar - obar) * (sbar - obar)) AS rel
+  FROM bins
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       ROUND(t.o + 1e-9, 6) AS base_rate,
+       ROUND(t.sse / t.n + 1e-9, 6) AS brier,
+       ROUND(t.rel / t.n + 1e-9, 6) AS reliability,
+       ROUND(SUM(b.nk * (b.obar - t.o) * (b.obar - t.o)) / ANY_VALUE(t.n) + 1e-9, 6)
+         AS resolution,
+       ROUND(t.o * (1.0 - t.o) + 1e-9, 6) AS uncertainty
+FROM bins b CROSS JOIN tot t
+GROUP BY t.n, t.o, t.sse, t.rel
+"""
+
+
+@golden(
+    "brier_decomposition_events",
+    BRIER_ORACLE,
+    tags=("evaluation", "brier", "calibration", "events"),
+)
+def brier_decomposition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score: is the forecaster's
+    error mis-calibration (reliability) or lack of discrimination
+    (resolution vs the uncertainty floor)? The forecast is the
+    fractional part of value — exact on both engines, uniform-ish in
+    [0,1) — against the hash-class label, so reliability is large by
+    construction and the decomposition arms are all exercised. One bin
+    aggregate (10 rows) + a broadcast 1-row total; brier moments ride
+    the same pass."""
+    from mr_dice_spark.operators.evaluation import brier_decomposition
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.where(F.col("value").isNotNull())
+        .select(
+            (F.col("value") - F.floor(F.col("value"))).alias("score"),
+            (F.col("user_id") % 3 == 0).alias("is_hit"),
+        )
+    )
+    return brier_decomposition(ev, "score", "is_hit", n_bins=10)
+
+
+DECILE_LIFT_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS s,
+         CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y,
+         event_id AS t
+  FROM events WHERE value IS NOT NULL
+),
+tiled AS (
+  SELECT g, y,
+         NTILE(10) OVER (PARTITION BY g ORDER BY s DESC, t ASC) AS tile
+  FROM base
+),
+tiles AS (
+  SELECT g, tile, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS pos
+  FROM tiled GROUP BY g, tile
+)
+SELECT g AS event_type, CAST(tile AS INT) AS tile,
+       CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+       ROUND(pos / n + 1e-9, 6) AS rate,
+       ROUND((pos / n) / (SUM(pos) OVER (PARTITION BY g)
+                          / SUM(n) OVER (PARTITION BY g)) + 1e-9, 6) AS lift,
+       ROUND(SUM(pos) OVER (PARTITION BY g ORDER BY tile
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / SUM(pos) OVER (PARTITION BY g) + 1e-9, 6) AS cum_gain
+FROM tiles ORDER BY event_type, tile
+"""
+
+
+@golden(
+    "decile_lift_value_by_type",
+    DECILE_LIFT_ORACLE,
+    tags=("evaluation", "lift", "gains", "events"),
+)
+def decile_lift_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type decile lift/gains table — 'rank by score, dip d deciles
+    deep, what share of positives is captured?' — the targeting readout
+    AP/AUC compress away. event_id tiebreak makes the NTILE cut
+    deterministic under tied scores on both engines; the per-group sort
+    is bounded by the largest event_type (the auc_by_group contract)."""
+    from mr_dice_spark.operators.evaluation import decile_lift_by_group
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "is_hit", F.col("user_id") % 3 == 0
+    )
+    return decile_lift_by_group(
+        ev, "event_type", "value", "is_hit", "event_id", n_tiles=10
+    ).orderBy("event_type", "tile")

@@ -1553,3 +1553,223 @@ def rank_biased_overlap(
             "rbo"
         ),
     )
+
+
+def average_precision_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group average precision (area under the precision-recall
+    curve) of ``score_col`` against boolean ``label_col`` — the AUC
+    companion that class imbalance can't flatter (a 0.1%-positive
+    corpus scores ~0.999 ROC-AUC with a mediocre ranker; its AP stays
+    near the base rate).
+
+    Threshold-block formulation (the sklearn ``average_precision_score``
+    step-interpolation, which is also the unique tie-safe one): collapse
+    to DISTINCT score blocks per group, cumulative tp/fp down the score
+    (descending), then ``AP = sum_t (tp_t / P) * precision_t`` where
+    ``precision_t = cum_tp_t / (cum_tp_t + cum_fp_t)``. Ties share one
+    block, so row order below a tied score can't change the result.
+
+    Plan: one hash aggregate onto (group, score) blocks, ONE exchange
+    for the per-group cumulative window over those blocks (bounded by
+    distinct scores, not rows), one final aggregate. Groups with no
+    positives return NULL ap. Returns ``(group, n_pos, n_neg, ap)``
+    with ap nudge-rounded to 6.
+    """
+    y = F.col(label_col).cast("boolean")
+    blocks = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(score_col).cast("double").alias("__s"),
+            y.alias("__y"),
+        )
+        .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__g", "__s")
+        .agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__tp"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # doubles before any product/cumsum: the count products stay exact
+    # below 2^52 and ANSI mode can't abort on an int64 overflow
+    cum = blocks.select(
+        "__g",
+        F.col("__tp").cast("double").alias("__tp"),
+        F.col("__n").cast("double").alias("__n"),
+        F.sum(F.col("__tp").cast("double")).over(w).alias("__ctp"),
+        F.sum(F.col("__n").cast("double")).over(w).alias("__cn"),
+    )
+    agg = cum.groupBy("__g").agg(
+        F.sum("__tp").alias("__p"),
+        F.sum(F.col("__n") - F.col("__tp")).alias("__f"),
+        F.sum(F.col("__tp") * F.col("__ctp") / F.col("__cn")).alias("__num"),
+    )
+    ap = F.when(F.col("__p") > 0, F.col("__num") / F.col("__p"))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__p").cast("long").alias("n_pos"),
+        F.col("__f").cast("long").alias("n_neg"),
+        F.round(ap + F.lit(1e-9), 6).alias("ap"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score for a probabilistic
+    forecast ``score_col`` in [0, 1] against boolean ``label_col``:
+    ``reliability`` (calibration gap, lower better), ``resolution``
+    (how far bin outcome rates move from the base rate, higher better),
+    ``uncertainty`` (base-rate variance, the no-skill floor), plus the
+    raw per-row ``brier``. For the BINNED forecaster (each score
+    replaced by its bin's mean outcome frequency argument s_bar_k) the
+    identity ``brier_binned = reliability - resolution + uncertainty``
+    is exact; the raw brier differs by the within-bin variance and
+    covariance terms, which is why both are reported.
+
+    Plan: one hash aggregate onto the bin key, materialized ONCE at
+    <= ``n_bins`` rows (localCheckpoint — two frames derive from it, and
+    without the pin each branch re-plans the full corpus scan, the
+    chi-square lesson); then a 1-row total broadcast back onto the bin
+    frame for the resolution term. No window; brier moments ride the
+    same bin aggregate. Scores are expected in [0, 1]; out-of-range
+    scores clamp to the edge bins (the calibration_bins convention) but
+    still enter sbar/brier at their raw value. Returns one row
+    ``(n, base_rate, brier, reliability, resolution, uncertainty)``
+    nudge-rounded to 6.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    base = df.select(
+        s.alias("__s"),
+        F.when(y, 1.0).otherwise(0.0).alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    k = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n_bins - 1), F.floor(F.col("__s") * F.lit(float(n_bins)))),
+    ).cast("int")
+    bins = (
+        base.groupBy(k.alias("__k"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__nk"),
+            F.avg("__s").alias("__sbar"),
+            F.avg("__y").alias("__obar"),
+            F.sum(
+                (F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y"))
+            ).alias("__se"),
+        )
+        # materialize the tiny bin table once: the totals branch and the
+        # resolution branch both derive from it, and without the pin each
+        # re-plans the full corpus scan
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("__nk").alias("__n"),
+        (F.sum(F.col("__nk") * F.col("__obar")) / F.sum("__nk")).alias("__o"),
+        F.sum("__se").alias("__sse"),
+        F.sum(
+            F.col("__nk")
+            * (F.col("__sbar") - F.col("__obar"))
+            * (F.col("__sbar") - F.col("__obar"))
+        ).alias("__rel"),
+    )
+    # resolution needs obar before it's known -> second tiny pass over the
+    # <= n_bins aggregate rows via a broadcast of the 1-row total
+    joined = bins.crossJoin(F.broadcast(tot.select("__n", "__o", "__sse", "__rel")))
+    out = joined.agg(
+        F.max("__n").alias("__n"),
+        F.max("__o").alias("__o"),
+        F.max("__sse").alias("__sse"),
+        F.max("__rel").alias("__relsum"),
+        F.sum(
+            F.col("__nk")
+            * (F.col("__obar") - F.col("__o"))
+            * (F.col("__obar") - F.col("__o"))
+        ).alias("__ressum"),
+    )
+    n = F.col("__n")
+    return out.select(
+        n.cast("long").alias("n"),
+        F.round(F.col("__o") + F.lit(1e-9), 6).alias("base_rate"),
+        F.round(F.col("__sse") / n + F.lit(1e-9), 6).alias("brier"),
+        F.round(F.col("__relsum") / n + F.lit(1e-9), 6).alias("reliability"),
+        F.round(F.col("__ressum") / n + F.lit(1e-9), 6).alias("resolution"),
+        F.round(F.col("__o") * (1.0 - F.col("__o")) + F.lit(1e-9), 6).alias(
+            "uncertainty"
+        ),
+    )
+
+
+def decile_lift_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Per-group lift/gains table: rank rows by ``score_col`` descending
+    within each group, cut into ``n_tiles`` equal-count tiles (NTILE
+    semantics — earlier tiles absorb the remainder), and report each
+    tile's positive rate, lift over the group base rate, and cumulative
+    gain (share of all positives captured through that tile) — the
+    'how deep do I have to dip into the ranked corpus' readout that
+    AP/AUC compress away.
+
+    ``tiebreak_col`` must be group-unique (an id); it makes the NTILE
+    cut deterministic under tied scores on both engines. Plan: one
+    exchange on the group key shared by the NTILE window (per-group
+    sort, bounded by the largest group — the auc_by_group contract:
+    group by shard/day/lang, don't feed one global group), one hash
+    aggregate onto (group, tile), then per-group totals via a second
+    window over the <= n_tiles aggregate rows (bounded by the literal).
+    Returns ``(group, tile, n, n_pos, rate, lift, cum_gain)``.
+    """
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__t").asc()
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.when(F.col(label_col).cast("boolean"), 1.0).otherwise(0.0).alias("__y"),
+        F.col(tiebreak_col).alias("__t"),
+    ).where(F.col("__s").isNotNull())
+    tiles = (
+        base.select("__g", "__y", F.ntile(n_tiles).over(w).alias("tile"))
+        .groupBy("__g", "tile")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    wg = Window.partitionBy("__g")
+    wc = (
+        Window.partitionBy("__g")
+        .orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_n, tot_p = F.sum("__n").over(wg), F.sum("__pos").over(wg)
+    rate = F.col("__pos") / F.col("__n")
+    return tiles.select(
+        F.col("__g").alias(group_col),
+        F.col("tile").cast("int").alias("tile"),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__pos").cast("long").alias("n_pos"),
+        F.round(rate + F.lit(1e-9), 6).alias("rate"),
+        F.round(F.try_divide(rate, tot_p / tot_n) + F.lit(1e-9), 6).alias("lift"),
+        F.round(
+            F.try_divide(F.sum("__pos").over(wc), tot_p) + F.lit(1e-9), 6
+        ).alias("cum_gain"),
+    )

@@ -650,3 +650,87 @@ def test_rbo_identical_disjoint_and_validation(spark):
     assert disj["rbo"] == 0.0 and disj["n_common"] == 0
     with pytest.raises(ValueError, match="p must be"):
         rank_biased_overlap(a, a, "id", "rnk", k=k, p=1.0)
+
+
+def test_average_precision_hand_values_and_ties(spark):
+    # group 'perfect': both positives outrank both negatives -> AP 1.0
+    # group 'mix': ranked desc = [pos(.9), neg(.8), pos(.7)]
+    #   AP = (1/2)*(1/1) + (1/2)*(2/3) = 0.833333
+    # group 'tied': pos and neg share score 0.5 plus a neg at 0.1 ->
+    #   one block (tp=1, n=2): AP = (1/1)*(1/2) = 0.5 regardless of
+    #   within-tie order; 'onlyneg' -> NULL ap
+    rows = (
+        [("perfect", 0.9, True), ("perfect", 0.8, True),
+         ("perfect", 0.2, False), ("perfect", 0.1, False)]
+        + [("mix", 0.9, True), ("mix", 0.8, False), ("mix", 0.7, True)]
+        + [("tied", 0.5, True), ("tied", 0.5, False), ("tied", 0.1, False)]
+        + [("onlyneg", 0.4, False)]
+    )
+    from mr_dice_spark.operators.evaluation import average_precision_by_group
+
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    got = {r["g"]: r for r in average_precision_by_group(df, "g", "s", "y").collect()}
+    assert got["perfect"]["ap"] == pytest.approx(1.0, abs=1e-6)
+    assert got["mix"]["ap"] == pytest.approx(5.0 / 6.0, abs=1e-6)
+    assert got["tied"]["ap"] == pytest.approx(0.5, abs=1e-6)
+    assert got["onlyneg"]["ap"] is None
+    assert (got["mix"]["n_pos"], got["mix"]["n_neg"]) == (2, 1)
+
+
+def test_brier_decomposition_identity_on_binned_forecasts(spark):
+    # forecasts constant within each bin -> within-bin variance and
+    # covariance vanish, so brier == reliability - resolution +
+    # uncertainty EXACTLY (the Murphy identity for the binned forecaster)
+    from mr_dice_spark.operators.evaluation import brier_decomposition
+
+    rows = (
+        [(0.05, True)] * 1 + [(0.05, False)] * 9     # bin 0: obar 0.1
+        + [(0.85, True)] * 7 + [(0.85, False)] * 3   # bin 8: obar 0.7
+    )
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    [r] = brier_decomposition(df, "s", "y", n_bins=10).collect()
+    assert r["n"] == 20
+    assert r["base_rate"] == pytest.approx(0.4, abs=1e-6)
+    assert r["uncertainty"] == pytest.approx(0.24, abs=1e-6)
+    # rel = (10*(.05-.1)^2 + 10*(.85-.7)^2)/20 = (0.025+0.225)/20
+    assert r["reliability"] == pytest.approx(0.0125, abs=1e-6)
+    # res = (10*(.1-.4)^2 + 10*(.7-.4)^2)/20 = 0.09
+    assert r["resolution"] == pytest.approx(0.09, abs=1e-6)
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=2e-6
+    )
+
+
+def test_decile_lift_hand_tiles(spark):
+    # 10 rows, one group, scores 10..1, positives at the top 3 scores;
+    # 5 tiles of 2 rows: tile 1 rate 1.0, tile 2 rate 0.5, rest 0.
+    # base rate 0.3 -> lift 10/3, 5/3, 0, 0, 0; cum_gain 2/3, 1, 1, 1, 1
+    from mr_dice_spark.operators.evaluation import decile_lift_by_group
+
+    rows = [("g", float(10 - i), i < 3, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean, id long")
+    out = decile_lift_by_group(df, "g", "s", "y", "id", n_tiles=5).collect()
+    by_tile = {r["tile"]: r for r in sorted(out, key=lambda r: r["tile"])}
+    assert [by_tile[t]["n"] for t in range(1, 6)] == [2] * 5
+    assert by_tile[1]["lift"] == pytest.approx(10.0 / 3.0, abs=1e-6)
+    assert by_tile[2]["lift"] == pytest.approx(5.0 / 3.0, abs=1e-6)
+    assert by_tile[3]["lift"] == pytest.approx(0.0, abs=1e-6)
+    assert by_tile[1]["cum_gain"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert by_tile[2]["cum_gain"] == pytest.approx(1.0, abs=1e-6)
+    assert by_tile[5]["cum_gain"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_decile_lift_ntile_remainder_and_tie_determinism(spark):
+    # 7 rows / 3 tiles -> sizes 3,2,2 (NTILE remainder-first); all scores
+    # tied -> the id tiebreak fixes membership, so repeated runs agree
+    from mr_dice_spark.operators.evaluation import decile_lift_by_group
+
+    rows = [("g", 1.0, i % 2 == 0, i) for i in range(7)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean, id long")
+    a = decile_lift_by_group(df, "g", "s", "y", "id", n_tiles=3).collect()
+    b = decile_lift_by_group(df, "g", "s", "y", "id", n_tiles=3).collect()
+    sizes = [r["n"] for r in sorted(a, key=lambda r: r["tile"])]
+    assert sizes == [3, 2, 2]
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ids 0..6 in id order; tile1 = ids 0,1,2 -> positives 0,2 -> n_pos 2
+    assert sorted(r["n_pos"] for r in a) == [1, 1, 2]

@@ -1289,6 +1289,45 @@ def test_js_divergence_broadcast_totals_no_single_task_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_average_precision_block_window_not_row_window(spark, sf_dir):
+    """The cumulative tp/fp window runs over (group, score) DISTINCT
+    blocks — the hash aggregate must sit BELOW the window in the plan,
+    and nothing single-partitions (the tie-safe AP shape)."""
+    df = GOLDEN["average_precision_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") == 1
+    # block aggregate below the window: a HashAggregate appears after
+    # (deeper than) the Window node in the formatted tree
+    assert "HashAggregate" in plan.split("Window", 1)[1]
+    assert not has_cartesian(df)
+
+
+def test_brier_decomposition_single_scan_broadcast_totals(spark, sf_dir):
+    """Bin aggregate pinned at <= n_bins rows (localCheckpoint — the
+    totals and resolution branches both derive from it, so without the
+    pin the corpus would scan twice) + broadcast 1-row total; no window
+    anywhere, no cartesian, no residual parquet scan in the final
+    plan."""
+    df = GOLDEN["brier_decomposition_events"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Scan parquet" not in plan  # both branches reuse the pinned bins
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decile_lift_group_keyed_windows_only(spark, sf_dir):
+    """The NTILE window and the per-group totals/cumulative windows all
+    partition on the group key — no single-task window, no cartesian,
+    and the tile windows run over the <= n_tiles aggregate rows."""
+    df = GOLDEN["decile_lift_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert "ntile" in plan.lower()
+    assert not has_cartesian(df)
+
+
 def test_no_row_at_a_time_python_udfs_repo_wide():
     """Pin the zero-F.udf invariant in CI: every Python crossing in the
     engine is Arrow-batched (pandas_udf / applyInPandas / mapInPandas) —
