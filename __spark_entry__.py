@@ -147,7 +147,10 @@ _CHECK_FIRST = [
     # oracle as the batch golden by construction),
     # average_precision_value_by_type (tie-safe PR-AUC, block windows),
     # brier_decomposition_events (Murphy reliability/resolution split),
-    # decile_lift_value_by_type (NTILE gains table, id-tiebroken).
+    # decile_lift_value_by_type (NTILE gains table, id-tiebroken),
+    # anova_value_by_type (one-way F + eta-squared from power sums),
+    # brown_forsythe_value_by_type (median-centered Levene variance test),
+    # jarque_bera_value_by_type (moment-based normality screen).
 ]
 
 

@@ -1653,3 +1653,145 @@ def streaming_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# classic hypothesis tests: ANOVA / Brown-Forsythe / Jarque-Bera (round 7)
+# ---------------------------------------------------------------------------
+
+ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type AS grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(value) AS s1, SUM(value * value) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+t AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS s,
+         SUM(s1 * s1 / n) AS sbr, SUM(s2) AS sst
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       ROUND((CASE WHEN k > 1 AND nn > k THEN
+                ((sbr - s * s / nn) / (CAST(k AS DOUBLE) - 1))
+                / ((sst - sbr) / (nn - CAST(k AS DOUBLE)))
+              END) + 1e-9, 4) AS f_stat,
+       ROUND((sbr - s * s / nn) / (sst - s * s / nn) + 1e-9, 6) AS eta_sq
+FROM t
+"""
+
+
+@golden(
+    "anova_value_by_type",
+    ANOVA_ORACLE,
+    tags=("stats", "anova", "effect-size", "events"),
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across event types, with eta-squared — the
+    'do the group means differ AT ALL, and by how much of the variance'
+    pre-test. Only ratios are emitted (raw sums of squares cancel in
+    the last ulps); both engines state SSB/SSW in the identical
+    expression shape over per-group power sums."""
+    from mr_dice_spark.operators.anova import oneway_anova
+
+    ev = Catalog(spark, sf_dir).events
+    return oneway_anova(ev, "event_type", "value")
+
+
+BROWN_FORSYTHE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS grp, value FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT grp, ROUND(quantile_cont(value, 0.5) + 1e-9, 6) AS med
+  FROM base GROUP BY grp
+),
+z AS (
+  SELECT b.grp, ABS(b.value - m.med) AS z
+  FROM base b JOIN med m USING (grp)
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(z) AS s1, SUM(z * z) AS s2
+  FROM z GROUP BY grp
+),
+t AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS s,
+         SUM(s1 * s1 / n) AS sbr, SUM(s2) AS sst
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       ROUND((CASE WHEN k > 1 AND nn > k THEN
+                ((sbr - s * s / nn) / (CAST(k AS DOUBLE) - 1))
+                / ((sst - sbr) / (nn - CAST(k AS DOUBLE)))
+              END) + 1e-9, 4) AS f_stat
+FROM t
+"""
+
+
+@golden(
+    "brown_forsythe_value_by_type",
+    BROWN_FORSYTHE_ORACLE,
+    tags=("stats", "levene", "variance", "events"),
+)
+def brown_forsythe_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe equal-variance test on value across event types —
+    the median-centered Levene variant; a large F says pooled-variance
+    methods are unsafe on this column. The group median is quantized
+    (nudge-round 6) before |x - med| on BOTH engines, so every row's z
+    is a pure function of (value, pinned constant)."""
+    from mr_dice_spark.operators.anova import brown_forsythe
+
+    ev = Catalog(spark, sf_dir).events
+    return brown_forsythe(ev, "event_type", "value")
+
+
+JARQUE_BERA_ORACLE = """
+WITH g AS (
+  SELECT event_type AS grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(value) AS mu,
+         SUM(value * value) AS p2,
+         SUM(value * value * value) AS p3,
+         SUM(value * value * value * value) AS p4
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT grp, n, mu, p2 / n AS e2, p3 / n AS e3, p4 / n AS e4
+  FROM g
+),
+c AS (
+  SELECT grp, n,
+         e2 - mu * mu AS m2,
+         e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+            - 3.0 * mu * mu * mu * mu AS m4
+  FROM m
+),
+s AS (
+  SELECT grp, n,
+         CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END AS skew,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS exk
+  FROM c
+)
+SELECT grp AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(skew + 1e-9, 6) AS skewness,
+       ROUND(exk + 1e-9, 6) AS ex_kurtosis,
+       ROUND(n / 6.0 * (skew * skew + exk * exk / 4.0) + 1e-9, 4) AS jb
+FROM s ORDER BY event_type
+"""
+
+
+@golden(
+    "jarque_bera_value_by_type",
+    JARQUE_BERA_ORACLE,
+    tags=("stats", "normality", "moments", "events"),
+)
+def jarque_bera_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Jarque-Bera normality screen (skewness, excess kurtosis,
+    JB) — 'is a normality-assuming method defensible on this column?'.
+    Central moments expand from raw power sums in the identical
+    association order on both engines; m2^1.5 is written m2*sqrt(m2)
+    (correctly-rounded IEEE ops) instead of libm pow."""
+    from mr_dice_spark.operators.anova import jarque_bera_by_group
+
+    ev = Catalog(spark, sf_dir).events
+    return jarque_bera_by_group(ev, "event_type", "value").orderBy("event_type")

@@ -1,0 +1,158 @@
+"""Classic distribution tests over grouped metric columns: one-way
+ANOVA (with eta-squared effect size), the Brown-Forsythe
+variance-homogeneity test, and the Jarque-Bera normality screen.
+
+Beyond-reference operators (nearest analogue: nothing — SURVEY.md §2 has
+no hypothesis-test surface): the drift/experimentation families already
+answer "did the rate move" (two_proportion_z, srm_check) and "did the
+distribution move" (psi/ks/jsd); these three answer the pre-test
+questions an analyst asks FIRST — do the group means differ at all
+(ANOVA), is the equal-variance assumption behind a pooled t even tenable
+(Brown-Forsythe), and is a normality-assuming method defensible on this
+column (Jarque-Bera).
+
+Cross-engine determinism: every statistic is closed-form arithmetic over
+per-group power sums (count, Σx, Σx², Σx³, Σx⁴) stated in the SAME
+expression shape on both engines; the only interim estimate that feeds
+back into row-level arithmetic (the Brown-Forsythe group median) is
+quantized (nudge-round 6) before use — the operators/robust.py rule.
+
+Scale shape: each operator is one hash aggregate on the group key then a
+single-row (or per-group) reduce; Brown-Forsythe adds one broadcast of
+the group-median dimension (one row per group) back onto the rows. No
+windows, no Python, no second scan of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _power_sums(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    v = F.col(value_col).cast("double")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(v).alias("__s1"),
+            F.sum(v * v).alias("__s2"),
+        )
+    )
+
+
+def oneway_anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA of ``value_col`` across ``group_col`` levels: F
+    statistic plus eta-squared (the share of total variance the grouping
+    explains — the effect size the F alone hides at large n, where a
+    0.1%-of-variance effect is still wildly 'significant').
+
+    ``SSB = Σ s_g²/n_g − S²/N``, ``SSW = Σ s_g² − Σ s_g²/n_g`` from
+    per-group (n, Σx, Σx²); F = (SSB/(k−1)) / (SSW/(N−k)). Only RATIOS
+    are emitted (raw sums of squares cancel catastrophically in the last
+    ulps and would flake a fixed-decimal compare; the ratios carry the
+    relative error, ~1e-9, well inside the rounding). Returns one row
+    ``(k, n, f_stat, eta_sq)``; F is NULL when k < 2 or every group is
+    constant (SSW = 0 with N > k still yields a finite huge F only when
+    SSB > 0 — a 0/0 returns NULL, fail-closed).
+    """
+    g = _power_sums(df, group_col, value_col)
+    t = g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        F.sum("__s1").alias("__s"),
+        F.sum(F.col("__s1") * F.col("__s1") / F.col("__n")).alias("__sbr"),
+        F.sum("__s2").alias("__sst"),
+    )
+    k, n = F.col("__k").cast("double"), F.col("__nn")
+    ssb = F.col("__sbr") - F.col("__s") * F.col("__s") / n
+    ssw = F.col("__sst") - F.col("__sbr")
+    sstot = F.col("__sst") - F.col("__s") * F.col("__s") / n
+    f_stat = F.when(
+        (k > 1) & (n > k),
+        F.try_divide(ssb / (k - 1), ssw / (n - k)),
+    )
+    return t.select(
+        F.col("__k").cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        F.round(f_stat + F.lit(1e-9), 4).alias("f_stat"),
+        F.round(F.try_divide(ssb, sstot) + F.lit(1e-9), 6).alias("eta_sq"),
+    )
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Brown-Forsythe test for equal group variances: one-way ANOVA on
+    ``z = |x − median_g|`` — the median-centered Levene variant that
+    stays honest under skew (mean-centered Levene inflates under
+    heavy tails; this is the variant scipy defaults to for that
+    reason). A large F here says pooled-variance methods (classic t,
+    classic ANOVA read at face value) are built on sand for this column.
+
+    The per-group median is an exact percentile, QUANTIZED (nudge-round
+    6) before the |x − med| transform so both engines branch on the
+    same pinned constant (the operators/robust.py rule), then broadcast
+    back — rows shuffle zero times beyond the power-sum aggregate.
+    Returns one row ``(k, n, f_stat)`` with the same NULL contract as
+    :func:`oneway_anova`.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("__bg"), v.alias("__v")
+    )
+    med = base.groupBy("__bg").agg(
+        F.round(F.percentile("__v", 0.5) + F.lit(1e-9), 6).alias("__med")
+    )
+    z = base.join(F.broadcast(med), "__bg").select(
+        "__bg", F.abs(F.col("__v") - F.col("__med")).alias("__z")
+    )
+    return oneway_anova(z, "__bg", "__z").select("k", "n", "f_stat")
+
+
+def jarque_bera_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Jarque-Bera normality statistic with its ingredients:
+    skewness, excess kurtosis, and ``jb = n/6 · (S² + K²/4)`` — the
+    'is a normality-assuming method defensible here' screen (JB beyond
+    ~6 rejects at the 5% level asymptotically).
+
+    Central moments are derived from raw power sums (n, Σx, Σx², Σx³,
+    Σx⁴) in the textbook expansion, written in the SAME association
+    order in the SQL oracle so the two engines differ only by
+    accumulation order of the sums (~1e-16 relative). Population
+    (biased) moments — the classic JB convention. Groups with zero
+    variance return NULL skew/kurtosis/jb. One hash aggregate, one
+    projection. Returns ``(group, n, skewness, ex_kurtosis, jb)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg(v).alias("__mu"),
+            F.sum(v * v).alias("__p2"),
+            F.sum(v * v * v).alias("__p3"),
+            F.sum(v * v * v * v).alias("__p4"),
+        )
+    )
+    n, mu = F.col("__n"), F.col("__mu")
+    e2 = F.col("__p2") / n
+    e3 = F.col("__p3") / n
+    e4 = F.col("__p4") / n
+    m2 = e2 - mu * mu
+    m3 = e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu
+    m4 = e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 - 3.0 * mu * mu * mu * mu
+    # m2^1.5 as m2*sqrt(m2): sqrt and multiply are correctly-rounded IEEE
+    # ops on both engines, unlike libm pow (a 1-ulp cross-libm surface)
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    exk = F.when(m2 > 0, m4 / (m2 * m2) - 3.0)
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return g.select(
+        F.col("__g").alias(group_col),
+        n.cast("long").alias("n"),
+        F.round(skew + F.lit(1e-9), 6).alias("skewness"),
+        F.round(exk + F.lit(1e-9), 6).alias("ex_kurtosis"),
+        F.round(jb + F.lit(1e-9), 4).alias("jb"),
+    )

@@ -1,0 +1,79 @@
+"""Unit tests for the classic hypothesis tests (one-way ANOVA /
+Brown-Forsythe / Jarque-Bera) against hand-computed statistics."""
+
+import pytest
+
+from mr_dice_spark.operators.anova import (
+    brown_forsythe,
+    jarque_bera_by_group,
+    oneway_anova,
+)
+
+
+def test_anova_hand_values(spark):
+    # a=[1,2,3], b=[4,5,6]: SSB=13.5, SSW=4 -> F=13.5, eta2=13.5/17.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = oneway_anova(df, "g", "v").collect()
+    assert (r["k"], r["n"]) == (2, 6)
+    assert r["f_stat"] == pytest.approx(13.5, abs=1e-4)
+    assert r["eta_sq"] == pytest.approx(13.5 / 17.5, abs=1e-6)
+
+
+def test_anova_degenerate_null_contract(spark):
+    # single group -> F NULL; all-constant groups -> 0/0 -> NULL F,
+    # NULL eta (sstot = 0)
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    [r] = oneway_anova(one, "g", "v").collect()
+    assert r["f_stat"] is None
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    [r] = oneway_anova(const, "g", "v").collect()
+    assert r["f_stat"] is None and r["eta_sq"] is None
+
+
+def test_brown_forsythe_hand_values(spark):
+    # a=[1,2,3] -> z=[1,0,1]; b=[10,20,30] -> z=[10,0,10]
+    # ANOVA on z: SSB=54, SSW=202/3 -> F = 54/( (202/3)/4 ) = 648/202
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 10.0), ("b", 20.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = brown_forsythe(df, "g", "v").collect()
+    assert (r["k"], r["n"]) == (2, 6)
+    assert r["f_stat"] == pytest.approx(648.0 / 202.0, abs=1e-4)
+
+
+def test_brown_forsythe_equal_spreads_near_zero_f(spark):
+    # identical spreads around different centers -> z distributions
+    # identical -> SSB = 0 -> F = 0
+    rows = [("a", 0.0), ("a", 2.0), ("a", 4.0),
+            ("b", 100.0), ("b", 102.0), ("b", 104.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = brown_forsythe(df, "g", "v").collect()
+    assert r["f_stat"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_jarque_bera_hand_moments_and_null(spark):
+    # uniform {1..5}: mu=3, m2=2, m3=0, m4=6.8 -> skew 0, exk -1.3,
+    # jb = 5/6 * (0 + 1.69/4) = 0.352083...
+    rows = [("u", float(i)) for i in range(1, 6)] + [("c", 7.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in jarque_bera_by_group(df, "g", "v").collect()}
+    u = got["u"]
+    assert u["n"] == 5
+    assert u["skewness"] == pytest.approx(0.0, abs=1e-6)
+    assert u["ex_kurtosis"] == pytest.approx(-1.3, abs=1e-6)
+    assert u["jb"] == pytest.approx(5.0 / 6.0 * (1.69 / 4.0), abs=1e-4)
+    # constant group: zero variance -> fail-closed NULLs
+    c = got["c"]
+    assert c["skewness"] is None and c["ex_kurtosis"] is None and c["jb"] is None
+
+
+def test_jarque_bera_skew_sign(spark):
+    # right-skewed {0,0,0,10}: m3 > 0 -> positive skewness
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 10.0)], "g string, v double"
+    )
+    [r] = jarque_bera_by_group(df, "g", "v").collect()
+    assert r["skewness"] > 1.0

@@ -1328,6 +1328,38 @@ def test_decile_lift_group_keyed_windows_only(spark, sf_dir):
     assert not has_cartesian(df)
 
 
+def test_anova_single_aggregate_no_window(spark, sf_dir):
+    """Power sums -> 1-row reduce: no window, no join, and the scan
+    prunes to (event_type, value)."""
+    df = GOLDEN["anova_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "event_id" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_brown_forsythe_broadcast_median_dimension(spark, sf_dir):
+    """The per-group median dimension (one row per group) attaches via a
+    broadcast equi-join — rows never shuffle for the transform; the only
+    exchanges are the two aggregates."""
+    df = GOLDEN["brown_forsythe_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert not has_cartesian(df)
+
+
+def test_jarque_bera_single_scan_single_aggregate(spark, sf_dir):
+    """All four power sums ride ONE hash aggregate on the group key —
+    one scan, no join, no window."""
+    df = GOLDEN["jarque_bera_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_no_row_at_a_time_python_udfs_repo_wide():
     """Pin the zero-F.udf invariant in CI: every Python crossing in the
     engine is Arrow-batched (pandas_udf / applyInPandas / mapInPandas) —
