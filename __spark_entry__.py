@@ -150,7 +150,10 @@ _CHECK_FIRST = [
     # decile_lift_value_by_type (NTILE gains table, id-tiebroken),
     # anova_value_by_type (one-way F + eta-squared from power sums),
     # brown_forsythe_value_by_type (median-centered Levene variance test),
-    # jarque_bera_value_by_type (moment-based normality screen).
+    # jarque_bera_value_by_type (moment-based normality screen),
+    # kendall_tau_weekday_value_band (tau-b from contingency cells),
+    # cochran_armitage_purchase_by_weekday (dose-response trend z),
+    # distinct_ngram_diversity_by_lang (distinct-1/2/3 template detector).
 ]
 
 

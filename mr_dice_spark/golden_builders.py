@@ -1795,3 +1795,124 @@ def jarque_bera_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).events
     return jarque_bera_by_group(ev, "event_type", "value").orderBy("event_type")
+
+
+KENDALL_ORACLE = """
+WITH base AS (
+  SELECT (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS x,
+         LEAST(9, CAST(FLOOR(value / 50.0) AS BIGINT)) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2
+),
+cd AS (
+  SELECT SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS cc,
+         SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS dd
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+tx AS (
+  SELECT SUM(r) AS n, SUM(r * (r - 1)) AS t1x2
+  FROM (SELECT x, SUM(c) AS r FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT SUM(cn * (cn - 1)) AS t2x2
+  FROM (SELECT y, SUM(c) AS cn FROM cells GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       CAST(t1x2 / 2 AS BIGINT) AS n1_ties_x,
+       CAST(t2x2 / 2 AS BIGINT) AS n2_ties_y,
+       ROUND((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+             / (SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                      - CAST(t1x2 AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                        - CAST(t2x2 AS DOUBLE))) / 2.0)
+             + 1e-9, 6) AS tau_b
+FROM cd, tx, ty
+"""
+
+
+@golden(
+    "kendall_tau_weekday_value_band",
+    KENDALL_ORACLE,
+    tags=("stats", "kendall", "rank-correlation", "events"),
+)
+def kendall_tau_weekday_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between weekday (epoch-day mod 7) and the value
+    band (50-wide deciles) — monotone association under heavy ties,
+    where Pearson/Spearman on raw rows mislead. C/D/tie terms stay
+    exact integers from cell counts; pair work is the bounded 70-cell
+    square, independent of row count."""
+    from mr_dice_spark.operators.anova import kendall_tau_b_cells
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    banded = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("x"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("long").alias("y"),
+    )
+    return kendall_tau_b_cells(banded, "x", "y")
+
+
+COCHRAN_ARMITAGE_ORACLE = """
+WITH base AS (
+  SELECT CAST((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS DOUBLE) AS w,
+         (event_type = 'purchase') AS y
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS r
+  FROM base GROUP BY w
+),
+t AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(r) AS rr,
+         SUM(w * r) AS wr, SUM(w * n) AS wn, SUM(w * w * n) AS wwn
+  FROM per
+),
+zc AS (
+  SELECT k, nn, rr,
+         CASE WHEN (rr / nn) * (1.0 - rr / nn) * (wwn - wn * wn / nn) > 0
+              THEN (wr - (rr / nn) * wn)
+                   / SQRT((rr / nn) * (1.0 - rr / nn) * (wwn - wn * wn / nn))
+         END AS z
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+       CAST(rr AS BIGINT) AS n_pos,
+       ROUND(z + 1e-9, 6) AS z_trend,
+       ROUND(z * z + 1e-9, 4) AS chi2_trend
+FROM zc
+"""
+
+
+@golden(
+    "cochran_armitage_purchase_by_weekday",
+    COCHRAN_ARMITAGE_ORACLE,
+    tags=("stats", "trend", "dose-response", "events"),
+)
+def cochran_armitage_purchase_by_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend: does the purchase rate move monotonically
+    across the weekday index (the ordered 'dose')? The sharper
+    dose-response question beside chi2_type_by_weekday's 'any
+    association'. Integer counts until the final ratio; identical
+    expression shapes both engines."""
+    from mr_dice_spark.operators.anova import cochran_armitage_trend
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    dosed = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7)
+        .cast("double")
+        .alias("w"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return cochran_armitage_trend(dosed, "w", "y")

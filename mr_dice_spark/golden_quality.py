@@ -2432,3 +2432,49 @@ def simpson_lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     return simpson_diversity(
         Catalog(spark, sf_dir).documents, "source", "lang"
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# distinct-n n-gram diversity (round 7)
+# ---------------------------------------------------------------------------
+
+DISTINCT_NGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+grams AS (
+  SELECT lang, nn.n AS n,
+         unnest(list_transform(generate_series(1, len(t) - nn.n + 1),
+                               i -> array_to_string(t[i:i + nn.n - 1], ' ')))
+           AS gram
+  FROM toks, (VALUES (1), (2), (3)) AS nn(n)
+)
+SELECT lang, CAST(n AS INT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS distinct_ratio
+FROM grams GROUP BY lang, n ORDER BY lang, n
+"""
+
+
+@golden(
+    "distinct_ngram_diversity_by_lang",
+    DISTINCT_NGRAM_ORACLE,
+    tags=("text", "diversity", "ngram", "documents"),
+)
+def distinct_ngram_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 n-gram diversity per language (Li et al. 2016) —
+    the template-collapse detector that fires long before exact-dup
+    detectors do, because no two templated documents are identical. All
+    three n sizes build in one codegen projection and explode once; the
+    corpus is scanned and tokenized exactly once."""
+    from mr_dice_spark.operators.vocab import distinct_ngram_diversity
+
+    docs = Catalog(spark, sf_dir).documents
+    return distinct_ngram_diversity(docs, "lang", "text", ns=(1, 2, 3)).orderBy(
+        "lang", "n"
+    )

@@ -156,3 +156,126 @@ def jarque_bera_by_group(
         F.round(exk + F.lit(1e-9), 6).alias("ex_kurtosis"),
         F.round(jb + F.lit(1e-9), 4).alias("jb"),
     )
+
+
+def kendall_tau_b_cells(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between two ORDINAL columns via
+    their contingency cells — the monotone-association readout that,
+    unlike Pearson/Spearman on raw rows, is exact under heavy ties
+    (banded/bucketed columns are nothing but ties).
+
+    Concordant/discordant pair counts come from a cells x cells join
+    restricted to ``a.x < b.x`` — work is (|X|·|Y|)² cell PAIRS, bounded
+    by the band cardinalities and independent of row count (the rbo k×k
+    convention: a deliberate bounded non-equi join over a pinned tiny
+    relation, not a row-level cartesian). C, D and the tie terms are
+    exact integers all the way; tau_b is the only float:
+    ``tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))`` with
+    ``n0 = n(n-1)/2``, ``n1/n2`` the x/y marginal tie counts.
+
+    The cell table is localCheckpoint-pinned: FOUR frames derive from it
+    (both pair-join sides, the x marginals, the y marginals) and without
+    the pin each branch would re-plan the corpus scan. Returns one row
+    ``(n, concordant, discordant, n1_ties_x, n2_ties_y, tau_b)``; tau_b
+    is NULL when either column is constant (zero denominator).
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.col("a.__x") < F.col("b.__x")).select(
+        (F.col("a.__c") * F.col("b.__c")).alias("__p"),
+        F.when(F.col("b.__y") > F.col("a.__y"), F.lit(1))
+        .when(F.col("b.__y") < F.col("a.__y"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("__sgn"),
+    )
+    cd = pairs.agg(
+        F.sum(F.when(F.col("__sgn") == 1, F.col("__p")).otherwise(F.lit(0))).alias(
+            "__cc"
+        ),
+        F.sum(F.when(F.col("__sgn") == -1, F.col("__p")).otherwise(F.lit(0))).alias(
+            "__dd"
+        ),
+    )
+    tx = (
+        cells.groupBy("__x")
+        .agg(F.sum("__c").alias("__r"))
+        .agg(
+            F.sum("__r").alias("__n"),
+            F.sum(F.col("__r") * (F.col("__r") - 1)).alias("__t1x2"),
+        )
+    )
+    ty = (
+        cells.groupBy("__y")
+        .agg(F.sum("__c").alias("__cn"))
+        .agg(F.sum(F.col("__cn") * (F.col("__cn") - 1)).alias("__t2x2"))
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("__n").cast("double")
+    n0x2 = n * (n - 1)  # 2*n0 — keep everything doubled, exact integers
+    den = F.sqrt((n0x2 - F.col("__t1x2")) * (n0x2 - F.col("__t2x2"))) / 2.0
+    tau = F.try_divide(
+        F.col("__cc").cast("double") - F.col("__dd").cast("double"), den
+    )
+    return j.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__cc").cast("long").alias("concordant"),
+        F.col("__dd").cast("long").alias("discordant"),
+        (F.col("__t1x2") / 2).cast("long").alias("n1_ties_x"),
+        (F.col("__t2x2") / 2).cast("long").alias("n2_ties_y"),
+        F.round(tau + F.lit(1e-9), 6).alias("tau_b"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame, dose_col: str, label_col: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does a binary outcome rate move
+    MONOTONICALLY with an ordered exposure (``dose_col``, numeric
+    scores)? The chi-square independence test answers 'any association';
+    this answers the sharper dose-response question a leveled exposure
+    (spend band, weekday index, model version) actually poses.
+
+    ``z = Σ w_i (r_i − n_i p̄) / sqrt( p̄(1−p̄) [Σ w_i² n_i − (Σ w_i
+    n_i)²/N] )`` from per-dose (n_i, r_i) — one hash aggregate on the
+    dose then a 1-row reduce; integer counts until the final ratio.
+    Positive z = rate rises with dose. Returns one row ``(k, n, n_pos,
+    z_trend, chi2_trend)``; NULL fail-closed when the outcome or the
+    dose is constant (zero variance either way).
+    """
+    w = F.col(dose_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    per = (
+        df.where(w.isNotNull() & y.isNotNull())
+        .groupBy(w.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.sum(F.when(y, 1.0).otherwise(0.0)).alias("__r"),
+        )
+    )
+    t = per.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__nn"),
+        F.sum("__r").alias("__rr"),
+        F.sum(F.col("__w") * F.col("__r")).alias("__wr"),
+        F.sum(F.col("__w") * F.col("__n")).alias("__wn"),
+        F.sum(F.col("__w") * F.col("__w") * F.col("__n")).alias("__wwn"),
+    )
+    nn, rr = F.col("__nn"), F.col("__rr")
+    pbar = rr / nn
+    num = F.col("__wr") - pbar * F.col("__wn")
+    var = pbar * (1.0 - pbar) * (
+        F.col("__wwn") - F.col("__wn") * F.col("__wn") / nn
+    )
+    z = F.when(var > 0, num / F.sqrt(var))
+    return t.select(
+        F.col("__k").cast("long").alias("k"),
+        nn.cast("long").alias("n"),
+        rr.cast("long").alias("n_pos"),
+        F.round(z + F.lit(1e-9), 6).alias("z_trend"),
+        F.round(z * z + F.lit(1e-9), 4).alias("chi2_trend"),
+    )

@@ -461,3 +461,77 @@ def vocab_richness_estimate(df: DataFrame, text_col: str) -> DataFrame:
             F.try_divide(f1, F.col("n_tokens").cast("double")) + F.lit(1e-9), 6
         ).alias("gt_unseen_mass"),
     )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity per group: for each n in ``ns``, the count of
+    word n-grams, the count of DISTINCT word n-grams, and their ratio —
+    the standard text-generation/corpus diversity readout (distinct-1/2/3
+    of Li et al. 2016): a corpus (or a source, or a model's outputs)
+    dominated by templates collapses the ratio long before exact-dup
+    detectors fire, because no two documents are identical.
+
+    All n-grams for all n are built in ONE projection (a concat of
+    per-n transform() arrays over the token array, entirely inside
+    whole-stage codegen) and exploded once, so the corpus is scanned and
+    tokenized exactly once regardless of len(ns). Distinctness is a
+    two-level hash aggregate — (group, n, gram) then (group, n) — the
+    exact-count regime; at extreme gram cardinality use the sketch
+    family (operators/sketch.approx_distinct) instead. Documents shorter
+    than n tokens contribute nothing at that n. Returns
+    ``(group, n, total_ngrams, distinct_ngrams, distinct_ratio)``.
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"distinct_ngram_diversity: ns must be >= 1, got {ns!r}")
+    toks = tokens(F.col(text_col))
+
+    def _gram_lambda(n: int):
+        # single-parameter lambda ON PURPOSE: a second parameter (even a
+        # defaulted closure capture) makes pyspark pass the 0-based array
+        # INDEX into it — transform(x, (el, idx) -> ...) dispatch is by
+        # the lambda's arity
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice("__t", i, n)).alias("gram"),
+        )
+
+    parts = [
+        F.when(
+            F.size("__t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+                _gram_lambda(n),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in ns
+    ]
+    grams = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), toks.alias("__t"))
+        .select("__g", F.explode(F.concat(*parts)).alias("__e"))
+        .select("__g", F.col("__e.n").alias("n"), F.col("__e.gram").alias("__gram"))
+    )
+    per_gram = grams.groupBy("__g", "n", "__gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    out = per_gram.groupBy("__g", "n").agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("int").alias("n"),
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+        F.round(
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("distinct_ratio"),
+    )

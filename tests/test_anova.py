@@ -77,3 +77,59 @@ def test_jarque_bera_skew_sign(spark):
     )
     [r] = jarque_bera_by_group(df, "g", "v").collect()
     assert r["skewness"] > 1.0
+
+
+def test_kendall_tau_b_hand_contingency(spark):
+    # 2x2 cells: (0,0)=2, (0,1)=1, (1,0)=1, (1,1)=2  (n=6)
+    # C = 2*2 = 4... plus (0,0)x(1,1): 2*2=4; (0,1)x(1,0) discordant 1*1=1
+    # concordant = c00*c11 = 4, discordant = c01*c10 = 1
+    # n0x2 = 6*5 = 30; row ties x: rows 3,3 -> t1x2 = 3*2+3*2 = 12; same y
+    # tau_b = (4-1) / (sqrt((30-12)*(30-12))/2) = 3/9 = 1/3
+    from mr_dice_spark.operators.anova import kendall_tau_b_cells
+
+    rows = ([(0, 0)] * 2 + [(0, 1)] + [(1, 0)] + [(1, 1)] * 2)
+    df = spark.createDataFrame(rows, "x int, y int")
+    [r] = kendall_tau_b_cells(df, "x", "y").collect()
+    assert r["n"] == 6
+    assert (r["concordant"], r["discordant"]) == (4, 1)
+    assert (r["n1_ties_x"], r["n2_ties_y"]) == (6, 6)
+    assert r["tau_b"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_kendall_tau_b_perfect_and_constant(spark):
+    from mr_dice_spark.operators.anova import kendall_tau_b_cells
+
+    # strictly increasing, no ties -> tau_b = 1
+    inc = spark.createDataFrame([(i, i) for i in range(5)], "x int, y int")
+    [r] = kendall_tau_b_cells(inc, "x", "y").collect()
+    assert r["tau_b"] == pytest.approx(1.0, abs=1e-6)
+    # constant y -> zero denominator -> NULL (fail-closed)
+    const = spark.createDataFrame([(i, 7) for i in range(5)], "x int, y int")
+    [r] = kendall_tau_b_cells(const, "x", "y").collect()
+    assert r["tau_b"] is None
+
+
+def test_cochran_armitage_hand_trend(spark):
+    # doses 0,1,2 with n=4 each, positives 0,2,4 -> perfect rising trend
+    # pbar=0.5; wr = 0*0+1*2+2*4 = 10; wn = 0+4+8 = 12; wwn = 0+4+16 = 20
+    # num = 10 - 0.5*12 = 4; var = 0.25*(20 - 144/12) = 2 -> z = 4/sqrt(2)
+    from mr_dice_spark.operators.anova import cochran_armitage_trend
+
+    rows = []
+    for dose, pos in [(0.0, 0), (1.0, 2), (2.0, 4)]:
+        rows += [(dose, i < pos) for i in range(4)]
+    df = spark.createDataFrame(rows, "w double, y boolean")
+    [r] = cochran_armitage_trend(df, "w", "y").collect()
+    assert (r["k"], r["n"], r["n_pos"]) == (3, 12, 6)
+    assert r["z_trend"] == pytest.approx(4.0 / 2.0**0.5, abs=1e-6)
+    assert r["chi2_trend"] == pytest.approx(8.0, abs=1e-4)
+
+
+def test_cochran_armitage_constant_outcome_null(spark):
+    from mr_dice_spark.operators.anova import cochran_armitage_trend
+
+    df = spark.createDataFrame(
+        [(0.0, True), (1.0, True), (2.0, True)], "w double, y boolean"
+    )
+    [r] = cochran_armitage_trend(df, "w", "y").collect()
+    assert r["z_trend"] is None and r["chi2_trend"] is None

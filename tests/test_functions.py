@@ -1404,3 +1404,35 @@ def test_vocab_richness_hand_corpus(spark):
     assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (8, 5, 3, 1)
     assert abs(r["chao1"] - (5 + 3 * 2 / (2 * 2))) < 1e-6
     assert abs(r["gt_unseen_mass"] - 3 / 8) < 1e-6
+
+
+def test_distinct_ngram_diversity_hand_counts(spark):
+    # en: 'a b c' + 'x' -> uni 4/4 distinct; bi 'a b','b c' (2/2); tri 1/1
+    # fr: 'p q p q' -> uni 4 total 2 distinct; bi 3 total 2 distinct
+    #     ('p q','q p','p q'); tri 2 total 2 distinct
+    from mr_dice_spark.operators.vocab import distinct_ngram_diversity
+
+    df = spark.createDataFrame(
+        [("en", "a b c"), ("en", "x"), ("fr", "p q p q")],
+        "lang string, text string",
+    )
+    out = distinct_ngram_diversity(df, "lang", "text", ns=(1, 2, 3)).collect()
+    got = {(r["lang"], r["n"]): (r["total_ngrams"], r["distinct_ngrams"]) for r in out}
+    assert got[("en", 1)] == (4, 4)
+    assert got[("en", 2)] == (2, 2)
+    assert got[("en", 3)] == (1, 1)
+    assert got[("fr", 1)] == (4, 2)
+    assert got[("fr", 2)] == (3, 2)
+    assert got[("fr", 3)] == (2, 2)
+    ratio = {r for r in out if r["lang"] == "fr" and r["n"] == 1}
+    assert next(iter(ratio))["distinct_ratio"] == 0.5
+
+
+def test_distinct_ngram_diversity_validates_ns(spark):
+    from mr_dice_spark.operators.vocab import distinct_ngram_diversity
+
+    df = spark.createDataFrame([("en", "a")], "lang string, text string")
+    with pytest.raises(ValueError, match="ns must be >= 1"):
+        distinct_ngram_diversity(df, "lang", "text", ns=(0,))
+    with pytest.raises(ValueError, match="ns must be >= 1"):
+        distinct_ngram_diversity(df, "lang", "text", ns=())

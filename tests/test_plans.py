@@ -1360,6 +1360,39 @@ def test_jarque_bera_single_scan_single_aggregate(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_kendall_tau_pair_join_over_pinned_cells_only(spark, sf_dir):
+    """The a.x < b.x pair join is the DELIBERATE bounded non-equi join
+    over the localCheckpoint-pinned cell table ((|X|·|Y|)² cell pairs,
+    independent of row count) — the final plan must contain no residual
+    parquet scan (four branches derive from the pinned cells) and no
+    row-level cartesian."""
+    df = GOLDEN["kendall_tau_weekday_value_band"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_cochran_armitage_single_scan_no_window(spark, sf_dir):
+    """Per-dose counts -> 1-row reduce: one scan, no join, no window."""
+    df = GOLDEN["cochran_armitage_purchase_by_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_distinct_ngram_single_scan_single_explode(spark, sf_dir):
+    """All n sizes build in ONE projection and explode once: one parquet
+    scan, one Generate, a two-level hash aggregate, no window/join."""
+    df = GOLDEN["distinct_ngram_diversity_by_lang"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Generate") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_no_row_at_a_time_python_udfs_repo_wide():
     """Pin the zero-F.udf invariant in CI: every Python crossing in the
     engine is Arrow-batched (pandas_udf / applyInPandas / mapInPandas) —
