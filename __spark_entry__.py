@@ -153,7 +153,11 @@ _CHECK_FIRST = [
     # jarque_bera_value_by_type (moment-based normality screen),
     # kendall_tau_weekday_value_band (tau-b from contingency cells),
     # cochran_armitage_purchase_by_weekday (dose-response trend z),
-    # distinct_ngram_diversity_by_lang (distinct-1/2/3 template detector).
+    # distinct_ngram_diversity_by_lang (distinct-1/2/3 template detector),
+    # kruskal_wallis_value_by_type (rank-based k-group test, distributed
+    # midranks via prefix_sums),
+    # degree_assortativity_copurchase (Newman degree-degree r),
+    # retrieval_eval_purchase_topk (MRR/hit/precision/recall@10).
 ]
 
 

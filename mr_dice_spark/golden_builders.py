@@ -1916,3 +1916,72 @@ def cochran_armitage_purchase_by_weekday(
         (F.col("event_type") == "purchase").alias("y"),
     )
     return cochran_armitage_trend(dosed, "w", "y")
+
+
+KRUSKAL_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT v, g, COUNT(*) AS c FROM base GROUP BY 1, 2
+),
+vt AS MATERIALIZED (
+  SELECT v, SUM(c) AS t FROM cells GROUP BY v
+),
+vr AS (
+  SELECT v, t, SUM(t) OVER (ORDER BY v) - t AS clt FROM vt
+),
+tot AS (
+  SELECT SUM(t) AS nn,
+         SUM(CAST(t AS DOUBLE) * (t - 1) * (t + 1)) AS tie3
+  FROM vt
+),
+gr AS (
+  SELECT g, SUM(c) AS ng,
+         SUM(CAST(c AS DOUBLE) * CAST(2 * clt + t + 1 AS DOUBLE)) AS r2
+  FROM cells JOIN vr USING (v) GROUP BY g
+),
+s AS (
+  SELECT COUNT(*) AS k,
+         SUM(r2 * r2 / (4.0 * CAST(ng AS DOUBLE))) AS s
+  FROM gr
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(nn AS BIGINT) AS n,
+       ROUND((12.0 * s / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+              - 3.0 * (CAST(nn AS DOUBLE) + 1)) + 1e-9, 4) AS h,
+       ROUND((1.0 - tie3 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1)
+                            * (CAST(nn AS DOUBLE) + 1))) + 1e-9, 6)
+         AS tie_correction,
+       ROUND(CASE WHEN (1.0 - tie3 / (CAST(nn AS DOUBLE)
+                                      * (CAST(nn AS DOUBLE) - 1)
+                                      * (CAST(nn AS DOUBLE) + 1))) > 0
+             THEN (12.0 * s / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+                   - 3.0 * (CAST(nn AS DOUBLE) + 1))
+                  / (1.0 - tie3 / (CAST(nn AS DOUBLE)
+                                   * (CAST(nn AS DOUBLE) - 1)
+                                   * (CAST(nn AS DOUBLE) + 1)))
+             END + 1e-9, 4) AS h_corrected
+FROM s, tot
+"""
+
+
+@golden(
+    "kruskal_wallis_value_by_type",
+    KRUSKAL_ORACLE,
+    tags=("stats", "kruskal-wallis", "rank-test", "events"),
+)
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types on value — the
+    rank-based k-group test beside oneway_anova's mean-based F (same
+    fixture, so an analyst can read both and see whether a 'significant'
+    mean shift survives dropping the normality assumption). Global
+    midranks are integer-exact via the distributed prefix sum; the
+    oracle restates the tie-cell -> cumulative -> join-back derivation
+    with a plain window (DuckDB runs at oracle scale where one
+    partition is fine)."""
+    from mr_dice_spark.operators.anova import kruskal_wallis_by_group
+
+    ev = Catalog(spark, sf_dir).events
+    return kruskal_wallis_by_group(ev, "event_type", "value")

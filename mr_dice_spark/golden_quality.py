@@ -2290,6 +2290,78 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Degree assortativity over the same sparsified co-purchase graph (round 7)
+# ---------------------------------------------------------------------------
+
+ASSORTATIVITY_ORACLE = """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT a AS w, COUNT(*) AS dg FROM und GROUP BY 1),
+st AS (
+  SELECT d1.dg AS j, d2.dg AS kk
+  FROM und JOIN deg d1 ON d1.w = und.a JOIN deg d2 ON d2.w = und.b
+),
+t AS (
+  SELECT COUNT(*) AS m,
+         SUM(CAST(j AS DOUBLE)) AS sj,
+         SUM(CAST(j AS DOUBLE) * CAST(kk AS DOUBLE)) AS sjk,
+         SUM(CAST(j AS DOUBLE) * CAST(j AS DOUBLE)) AS sj2
+  FROM st
+),
+c AS (SELECT (SELECT COUNT(*) FROM deg) AS nv, (SELECT COUNT(*) FROM e) AS ne)
+SELECT CAST(nv AS BIGINT) AS n_nodes,
+       CAST(ne AS BIGINT) AS n_edges,
+       CAST(m AS BIGINT) AS m_stubs,
+       ROUND(CASE WHEN CAST(m AS DOUBLE) * sj2 - sj * sj <> 0
+             THEN (CAST(m AS DOUBLE) * sjk - sj * sj)
+                  / (CAST(m AS DOUBLE) * sj2 - sj * sj) END + 1e-9, 6) + 0.0
+         AS r
+FROM t, c
+"""
+
+
+@golden(
+    "degree_assortativity_copurchase",
+    ASSORTATIVITY_ORACLE,
+    tags=("graph", "assortativity", "topology"),
+)
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the high-quantity co-purchase graph —
+    does this graph wire hubs-to-hubs (dedup of a hub barely dents it)
+    or hubs-to-leaves (hub removal fragments it)? Same sparsified edge
+    builder as the Adamic-Adar golden so the two read as one topology
+    report. Exact-integer stub moments; r is the only float and is
+    -0-normalized on both sides (near-zero assortativity is the
+    expected regime for an order-co-membership graph)."""
+    from mr_dice_spark.operators.graph import degree_assortativity
+
+    li = (
+        Catalog(spark, sf_dir).lineitem
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    out = degree_assortativity(edges)
+    return out.select(
+        "n_nodes", "n_edges", "m_stubs", (F.col("r") + F.lit(0.0)).alias("r")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flesch readability scoring (round 7)
 # ---------------------------------------------------------------------------
 

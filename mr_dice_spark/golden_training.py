@@ -1833,6 +1833,80 @@ def ndcg_user_ranking_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Binary-relevance retrieval scorecard: MRR/hit/precision/recall@10 (round 7)
+# ---------------------------------------------------------------------------
+
+RETRIEVAL_EVAL_ORACLE = """
+WITH base AS (
+  SELECT user_id AS q, event_id AS id, value AS s,
+         (event_type = 'purchase') AS r
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL
+),
+pos AS (
+  SELECT q, r,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, id ASC) AS p
+  FROM base
+),
+per AS (
+  SELECT q,
+         COUNT(CASE WHEN r THEN 1 END) AS nrel,
+         MIN(CASE WHEN r THEN p END) AS fr,
+         COUNT(CASE WHEN r AND p <= 10 THEN 1 END) AS hits
+  FROM pos GROUP BY q
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(CASE WHEN nrel > 0 THEN 1 END) AS BIGINT) AS n_evaluable,
+       ROUND(AVG(CASE WHEN nrel > 0 THEN
+                   CASE WHEN fr <= 10 THEN 1.0 / CAST(fr AS DOUBLE)
+                        ELSE 0.0 END END) + 1e-9, 6) AS mrr,
+       ROUND(AVG(CASE WHEN nrel > 0 THEN
+                   CASE WHEN fr <= 10 THEN 1.0 ELSE 0.0 END END) + 1e-9, 6)
+         AS hit_rate,
+       ROUND(AVG(CASE WHEN nrel > 0 THEN CAST(hits AS DOUBLE) / 10.0 END)
+             + 1e-9, 6) AS precision_at_k,
+       ROUND(AVG(CASE WHEN nrel > 0 THEN
+                   CAST(hits AS DOUBLE) / CAST(nrel AS DOUBLE) END) + 1e-9, 6)
+         AS recall_at_k
+FROM per
+"""
+
+
+@golden(
+    "retrieval_eval_purchase_topk",
+    RETRIEVAL_EVAL_ORACLE,
+    tags=("evaluation", "retrieval", "mrr", "recall"),
+)
+def retrieval_eval_purchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR/hit/precision/recall@10 treating each user's event stream as
+    a ranked result list (score = raw value, relevant = purchase) — the
+    flat-relevance scorecard beside the graded NDCG golden. Ranking
+    uses raw parquet doubles (no arithmetic before the sort, so the
+    order is bit-identical across engines) with event-id tiebreak;
+    queries lacking any relevant item are excluded from the averages
+    but reported in n_queries."""
+    from mr_dice_spark.operators.evaluation import retrieval_eval_at_k
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").alias("rel"),
+    )
+    return retrieval_eval_at_k(
+        base, "user_id", "event_id", "value", "rel", k=10
+    )
+
+
+# ---------------------------------------------------------------------------
 # two-proportion z conversion readout (round 7)
 # ---------------------------------------------------------------------------
 

@@ -279,3 +279,87 @@ def cochran_armitage_trend(
         F.round(z + F.lit(1e-9), 6).alias("z_trend"),
         F.round(z * z + F.lit(1e-9), 4).alias("chi2_trend"),
     )
+
+
+def kruskal_wallis_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H: the rank-based (distribution-free) one-way
+    ANOVA — do k groups share one value distribution? The k-group
+    extension of :func:`~mr_dice_spark.operators.evaluation.
+    mann_whitney_u_by_group`'s two-sample question, and the honest
+    alternative to :func:`oneway_anova` on the heavy-tailed metrics
+    pipelines actually carry (value columns with outliers where mean
+    differences are noise but rank shifts are real).
+
+    Ranks are GLOBAL average ranks (midranks) under ties, derived
+    without any single-partition window: the (value, group) tie-cell
+    table reduces to per-value tie sizes, whose cumulative counts come
+    from :func:`~mr_dice_spark.operators.scale.prefix_sums` (the
+    two-pass range-partitioned prefix sum), so ``2*midrank(v) =
+    2*c_lt(v) + t_v + 1`` stays integer-exact and distributed. Then
+    ``H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1)`` with the standard
+    tie correction ``C = 1 - sum(t^3 - t)/(N^3 - N)`` and
+    ``H_c = H / C``. All pair-free: one tie-cell aggregate, one prefix
+    pass over distinct values, one equi-join back, two tiny reduces.
+
+    Doubled-rank sums are computed in doubles (exact integers below
+    2^53 — the ANSI long-product rule; exact up to ~6.7e7 rows, far
+    past any per-group test's useful n). The cell table is
+    localCheckpoint-pinned: the per-value branch and the join-back
+    branch would otherwise each re-plan the corpus scan. Returns one
+    row ``(k, n, h, tie_correction, h_corrected)``; ``h_corrected`` is
+    NULL when every value is tied (C = 0 — no ranking information,
+    fail-closed)."""
+    from mr_dice_spark.operators.scale import prefix_sums
+
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.where(F.col(group_col).isNotNull() & v.isNotNull())
+        .groupBy(v.alias("__v"), F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    vt = cells.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    vr = prefix_sums(vt, "__v", ["__t"]).select(
+        "__v", "__t", (F.col("__t_cum") - F.col("__t")).alias("__clt")
+    )
+    # tie totals read the prefix frame (its lineage is checkpoint-pinned
+    # inside prefix_sums), not a fresh vt branch
+    tot = vr.agg(
+        F.sum("__t").alias("__nn"),
+        F.sum(
+            F.col("__t").cast("double")
+            * (F.col("__t") - 1)
+            * (F.col("__t") + 1)
+        ).alias("__tie3"),
+    )
+    gr = (
+        cells.join(vr, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__ng"),
+            F.sum(
+                F.col("__c").cast("double")
+                * (2 * F.col("__clt") + F.col("__t") + 1).cast("double")
+            ).alias("__r2"),  # 2*R_g, integer-exact in doubles
+        )
+    )
+    s = gr.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(
+            F.col("__r2") * F.col("__r2") / (4.0 * F.col("__ng").cast("double"))
+        ).alias("__s"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    nd = F.col("__nn").cast("double")
+    h = 12.0 * F.col("__s") / (nd * (nd + 1)) - 3.0 * (nd + 1)
+    tie_c = 1.0 - F.col("__tie3") / (nd * (nd - 1) * (nd + 1))
+    h_adj = F.when(tie_c > 0, h / tie_c)
+    return j.select(
+        F.col("__k").cast("long").alias("k"),
+        F.col("__nn").cast("long").alias("n"),
+        F.round(h + F.lit(1e-9), 4).alias("h"),
+        F.round(tie_c + F.lit(1e-9), 6).alias("tie_correction"),
+        F.round(h_adj + F.lit(1e-9), 4).alias("h_corrected"),
+    )

@@ -1194,6 +1194,82 @@ def ndcg_at_k(
     )
 
 
+def retrieval_eval_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-relevance retrieval scorecard at cutoff k: MRR@k, hit
+    rate@k, precision@k and recall@k averaged over evaluable queries —
+    the flat-relevance metrics that complement :func:`ndcg_at_k`'s
+    graded view and are what ANN/recall pipelines (the similarity
+    family in this repo) actually report.
+
+    Per query, items rank by (score desc, id asc) — deterministic under
+    score ties, the ndcg convention. ``rr = 1/first_relevant_rank`` when
+    that rank <= k else 0; ``hit = first_relevant_rank <= k``;
+    ``precision@k = hits_in_top_k / k`` (the fixed-denominator form, so
+    queries with fewer than k items are penalized, matching trec_eval);
+    ``recall@k = hits_in_top_k / n_relevant``. Queries with NO relevant
+    item are excluded from the averages (rr/recall are undefined there)
+    but counted in ``n_queries`` so the exclusion is visible.
+
+    Scale shape: one row_number window on the query-key exchange, one
+    per-query hash aggregate sharing it, one 1-row reduce. Returns one
+    row ``(k, n_queries, n_evaluable, mrr, hit_rate, precision_at_k,
+    recall_at_k)``; the metric columns are NULL when no query is
+    evaluable."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    base = df.where(
+        F.col(query_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(rel_col).cast("boolean").alias("__r"),
+    )
+    w = Window.partitionBy("__q").orderBy(F.col("__s").desc(), F.col("__id").asc())
+    ranked = base.select("__q", "__r", F.row_number().over(w).alias("__pos"))
+    per = ranked.groupBy("__q").agg(
+        F.count_if(F.col("__r")).alias("__nrel"),
+        F.min(F.when(F.col("__r"), F.col("__pos"))).alias("__first"),
+        F.count_if(F.col("__r") & (F.col("__pos") <= k)).alias("__hits"),
+    )
+    ev = F.col("__nrel") > 0
+    rr = F.when(
+        F.col("__first") <= k, F.lit(1.0) / F.col("__first").cast("double")
+    ).otherwise(0.0)
+    out = per.agg(
+        F.count(F.lit(1)).alias("__nq"),
+        F.count_if(ev).alias("__nev"),
+        F.avg(F.when(ev, rr)).alias("__mrr"),
+        F.avg(F.when(ev, F.when(F.col("__first") <= k, 1.0).otherwise(0.0))).alias(
+            "__hit"
+        ),
+        F.avg(
+            F.when(ev, F.col("__hits").cast("double") / F.lit(float(k)))
+        ).alias("__prec"),
+        F.avg(
+            F.when(
+                ev, F.col("__hits").cast("double") / F.col("__nrel").cast("double")
+            )
+        ).alias("__rec"),
+    )
+    return out.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("__nq").cast("long").alias("n_queries"),
+        F.col("__nev").cast("long").alias("n_evaluable"),
+        F.round(F.col("__mrr") + F.lit(1e-9), 6).alias("mrr"),
+        F.round(F.col("__hit") + F.lit(1e-9), 6).alias("hit_rate"),
+        F.round(F.col("__prec") + F.lit(1e-9), 6).alias("precision_at_k"),
+        F.round(F.col("__rec") + F.lit(1e-9), 6).alias("recall_at_k"),
+    )
+
+
 def two_proportion_z(
     df: DataFrame,
     arm_col: str,

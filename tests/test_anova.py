@@ -133,3 +133,31 @@ def test_cochran_armitage_constant_outcome_null(spark):
     )
     [r] = cochran_armitage_trend(df, "w", "y").collect()
     assert r["z_trend"] is None and r["chi2_trend"] is None
+
+
+def test_kruskal_wallis_hand_values(spark):
+    # a=[1,2,3], b=[2,4]: midranks 1, 2.5, 4 | 2.5, 5 -> R_a=R_b=7.5
+    # H = 12/30*(7.5^2/3 + 7.5^2/2) - 18 = 0.75; ties: one pair ->
+    # C = 1 - 6/120 = 0.95; H_c = 0.75/0.95 (scipy.kruskal agrees)
+    from mr_dice_spark.operators.anova import kruskal_wallis_by_group
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = kruskal_wallis_by_group(df, "g", "v").collect()
+    assert (r["k"], r["n"]) == (2, 5)
+    assert r["h"] == pytest.approx(0.75, abs=1e-4)
+    assert r["tie_correction"] == pytest.approx(0.95, abs=1e-6)
+    assert r["h_corrected"] == pytest.approx(0.75 / 0.95, abs=1e-4)
+
+
+def test_kruskal_wallis_all_tied_null_contract(spark):
+    # every value identical: zero rank information -> H = 0, C = 0,
+    # corrected H NULL (fail-closed, not 0/0)
+    from mr_dice_spark.operators.anova import kruskal_wallis_by_group
+
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = kruskal_wallis_by_group(df, "g", "v").collect()
+    assert r["h"] == pytest.approx(0.0, abs=1e-4)
+    assert r["tie_correction"] == pytest.approx(0.0, abs=1e-6)
+    assert r["h_corrected"] is None

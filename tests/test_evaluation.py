@@ -734,3 +734,45 @@ def test_decile_lift_ntile_remainder_and_tie_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     # ids 0..6 in id order; tile1 = ids 0,1,2 -> positives 0,2 -> n_pos 2
     assert sorted(r["n_pos"] for r in a) == [1, 1, 2]
+
+
+def test_retrieval_eval_at_k_hand_values(spark):
+    # k=2. Query A: first relevant at rank 2 (rr=.5, hits=1 of nrel=2);
+    # B: first relevant at rank 3 > k (all zeros); C: no relevant ->
+    # excluded from averages but counted in n_queries
+    from mr_dice_spark.operators.evaluation import retrieval_eval_at_k
+
+    rows = [
+        ("A", 1, 3.0, False), ("A", 2, 2.0, True), ("A", 3, 1.0, True),
+        ("B", 1, 5.0, False), ("B", 2, 4.0, False), ("B", 3, 3.0, True),
+        ("C", 1, 9.0, False),
+    ]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel boolean")
+    [r] = retrieval_eval_at_k(df, "q", "id", "s", "rel", k=2).collect()
+    assert (r["k"], r["n_queries"], r["n_evaluable"]) == (2, 3, 2)
+    assert r["mrr"] == pytest.approx(0.25, abs=1e-6)
+    assert r["hit_rate"] == pytest.approx(0.5, abs=1e-6)
+    assert r["precision_at_k"] == pytest.approx(0.25, abs=1e-6)
+    assert r["recall_at_k"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_retrieval_eval_at_k_tiebreak_and_validation(spark):
+    # equal scores break by id asc: relevant id=1 outranks id=2, so the
+    # first relevant is rank 1; k < 1 raises
+    from mr_dice_spark.operators.evaluation import retrieval_eval_at_k
+
+    rows = [("A", 1, 1.0, True), ("A", 2, 1.0, False)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel boolean")
+    [r] = retrieval_eval_at_k(df, "q", "id", "s", "rel", k=1).collect()
+    assert r["mrr"] == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        retrieval_eval_at_k(df, "q", "id", "s", "rel", k=0)
+
+
+def test_retrieval_eval_at_k_no_evaluable_queries_null(spark):
+    from mr_dice_spark.operators.evaluation import retrieval_eval_at_k
+
+    rows = [("A", 1, 1.0, False)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel boolean")
+    [r] = retrieval_eval_at_k(df, "q", "id", "s", "rel", k=3).collect()
+    assert r["n_evaluable"] == 0 and r["mrr"] is None

@@ -254,3 +254,36 @@ def test_adamic_adar_hand_graph_normalization_and_breaker(spark):
     leaf_pairs = adamic_adar_scores(star, max_center_degree=None).collect()
     assert len(leaf_pairs) == 29 * 28 // 2
     assert all(abs(r["score"] - 1 / math.log(29)) < 1e-6 for r in leaf_pairs)
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    # K_{1,3}: every edge joins the hub (deg 3) to a leaf (deg 1) ->
+    # perfectly disassortative, r = -1
+    from mr_dice_spark.operators.graph import degree_assortativity
+
+    df = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    [r] = degree_assortativity(df).collect()
+    assert (r["n_nodes"], r["n_edges"], r["m_stubs"]) == (4, 3, 6)
+    assert r["r"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_degree_assortativity_hand_value_and_normalization(spark):
+    # edges 1-2,1-3,2-3,3-4 (degs 2,2,3,1): stub moments M=8, Sj=18,
+    # Sjk=38, Sj2=44 -> r = (8*38-324)/(8*44-324) = -20/28; duplicate
+    # reversed edges and a self-loop must not change anything
+    from mr_dice_spark.operators.graph import degree_assortativity
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    [r] = degree_assortativity(df).collect()
+    assert (r["n_nodes"], r["n_edges"], r["m_stubs"]) == (4, 4, 8)
+    assert r["r"] == pytest.approx(-20.0 / 28.0, abs=1e-6)
+
+
+def test_degree_assortativity_regular_graph_null(spark):
+    # triangle: every degree 2 -> zero degree variance -> NULL r
+    from mr_dice_spark.operators.graph import degree_assortativity
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    [r] = degree_assortativity(df).collect()
+    assert r["r"] is None

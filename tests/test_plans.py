@@ -1411,3 +1411,38 @@ def test_no_row_at_a_time_python_udfs_repo_wide():
         if re.search(r"\bF\.udf\s*\(|^\s*@udf\b", src, re.M):
             offenders.append(os.path.relpath(path, root))
     assert not offenders, f"row-at-a-time Python UDFs found: {offenders}"
+
+
+def test_kruskal_wallis_pinned_cells_no_rescan(spark, sf_dir):
+    """Global midranks come from the two-pass distributed prefix sum
+    over the localCheckpoint-pinned tie-cell table: the final plan must
+    contain no residual parquet scan (cells feeds both the per-value
+    branch and the join-back), exactly one window (the per-__pid local
+    cumulative inside prefix_sums — never a global-sort window), and no
+    row-level cartesian (the 1-row reduces combine via broadcast)."""
+    df = GOLDEN["kruskal_wallis_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_degree_assortativity_pinned_edges_no_window(spark, sf_dir):
+    """Canonical edges and the degree frame are both pinned (each feeds
+    2+ branches): no residual parquet scan, no window anywhere (pure
+    hash aggregates + equi-joins), no cartesian."""
+    df = GOLDEN["degree_assortativity_copurchase"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retrieval_eval_single_scan_single_window(spark, sf_dir):
+    """One parquet scan, one query-partitioned row_number window, zero
+    joins: the per-query aggregate shares the window's exchange."""
+    df = GOLDEN["retrieval_eval_purchase_topk"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
