@@ -157,7 +157,10 @@ _CHECK_FIRST = [
     # kruskal_wallis_value_by_type (rank-based k-group test, distributed
     # midranks via prefix_sums),
     # degree_assortativity_copurchase (Newman degree-degree r),
-    # retrieval_eval_purchase_topk (MRR/hit/precision/recall@10).
+    # retrieval_eval_purchase_topk (MRR/hit/precision/recall@10),
+    # clustering_coefficient_copurchase (per-node Watts-Strogatz lcc),
+    # page_hinkley_drift_daily (sequential running-mean drift, planted
+    # creep fires on 'view' only).
 ]
 
 

@@ -4660,6 +4660,103 @@ def cusum_level_shift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detection (running-mean form, planted creep)
+# ---------------------------------------------------------------------------
+
+PAGE_HINKLEY_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts,
+         CASE WHEN event_type = 'view' AND ts >= TIMESTAMP '2024-01-16'
+              THEN value
+                   + 15.0 * (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) - 19737)
+              ELSE value END AS value
+  FROM events
+),
+b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400 AS h,
+         ROUND(AVG(value) + 1e-9, 6) AS v
+  FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+),
+rm AS (
+  SELECT k, h, v, AVG(v) OVER w AS rmean
+  FROM b
+  WINDOW w AS (PARTITION BY k ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (
+  SELECT k, h, v,
+         ROUND((v - rmean - 15.0) + 1e-9, 6) AS ti,
+         ROUND((rmean - v - 15.0) + 1e-9, 6) AS td
+  FROM rm
+),
+c AS (
+  SELECT k, h, v, SUM(ti) OVER w AS mi, SUM(td) OVER w AS md
+  FROM t
+  WINDOW w AS (PARTITION BY k ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT k, h, v,
+         ROUND((mi - LEAST(MIN(mi) OVER w, 0)) + 1e-9, 6) AS gi,
+         ROUND((md - LEAST(MIN(md) OVER w, 0)) + 1e-9, 6) AS gd
+  FROM c
+  WINDOW w AS (PARTITION BY k ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k AS event_type, h AS bucket_s, v AS value,
+       gi AS ph_inc, gd AS ph_dec,
+       (gi > 80.0) OR (gd > 80.0) AS is_drift
+FROM s ORDER BY event_type, bucket_s
+"""
+
+
+@golden(
+    "page_hinkley_drift_daily",
+    PAGE_HINKLEY_ORACLE,
+    tags=("timeseries", "drift", "sequential", "events"),
+)
+def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift over the DAILY series with a
+    PLANTED linear creep on 'view' from Jan 16 (+15/day — the slow
+    drift a per-bucket threshold misses; the detector must actually
+    fire, the planted-shift convention of the CUSUM/PSI goldens).
+    delta=15/lambda=80 were parameter-probed: 'view' alarms from
+    mid-creep at BOTH sf0.001 and sf0.01 while the four stationary
+    types raise zero false alarms (daily buckets because hourly means
+    at oracle scale carry sd ~150 — pure noise). PH compares each
+    bucket to the RUNNING mean — the genuinely sequential statistic —
+    restated as running avg + running sum + running min on one (key,
+    time) exchange. Bucket means and deviation terms are nudge-rounded
+    to 6 BEFORE accumulation (the chained-float cross-engine
+    contract)."""
+    from mr_dice_spark.operators.timeseries import page_hinkley
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "view")
+            & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")),
+            F.col("value")
+            + 15.0
+            * (F.floor(F.unix_timestamp("ts") / 86400).cast("long") - 19737),
+        ).otherwise(F.col("value")),
+    )
+    out = page_hinkley(
+        ev, "event_type", "ts", "value",
+        step_seconds=86400, delta=15.0, lambda_threshold=80.0,
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "value",
+        "ph_inc",
+        "ph_dec",
+        "is_drift",
+    ).orderBy("event_type", "bucket_s")
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit audit / Gini concentration (profile family)
 # ---------------------------------------------------------------------------
 

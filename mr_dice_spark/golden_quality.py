@@ -2362,6 +2362,78 @@ def degree_assortativity_copurchase(
 
 
 # ---------------------------------------------------------------------------
+# Local clustering coefficients over the same sparsified graph (round 7)
+# ---------------------------------------------------------------------------
+
+LCC_ORACLE = """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, COUNT(*) AS degree FROM und GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tn AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+             THEN (2.0 * CAST(COALESCE(t, 0) AS DOUBLE))
+                  / (CAST(d.degree AS DOUBLE)
+                     * (CAST(d.degree AS DOUBLE) - 1)) END + 1e-9, 6) AS lcc
+FROM deg d LEFT JOIN tn ON tn.node = d.node
+ORDER BY node
+"""
+
+
+@golden(
+    "clustering_coefficient_copurchase",
+    LCC_ORACLE,
+    tags=("graph", "clustering-coefficient", "triangles"),
+)
+def clustering_coefficient_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient of the high-quantity
+    co-purchase graph (same sparsified edge builder as the Adamic-Adar
+    and assortativity goldens — the three read as one topology report):
+    dense-core vs broker separation at node granularity. The Spark side
+    counts triangles with the degree-oriented compact-forward wedge
+    join (per-source fan-out O(sqrt m)); the oracle re-derives them
+    with the plain node-ordered enumeration — same set, independently
+    stated. lcc is an exact small-integer ratio."""
+    from mr_dice_spark.operators.graph import clustering_coefficients
+
+    li = (
+        Catalog(spark, sf_dir).lineitem
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return clustering_coefficients(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
 # Flesch readability scoring (round 7)
 # ---------------------------------------------------------------------------
 

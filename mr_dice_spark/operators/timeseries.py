@@ -361,6 +361,78 @@ def cusum_from_buckets(
     )
 
 
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    delta: float = 0.01,
+    lambda_threshold: float = 5.0,
+) -> DataFrame:
+    """Per-key Page-Hinkley drift detection over the bucketed series
+    (Page 1954; the sequential mean-drift test stream-mining libraries
+    ship as the default concept-drift monitor). Where CUSUM standardizes
+    against the key's GLOBAL mean/sd (two-pass, needs the whole series),
+    PH compares each bucket against the RUNNING mean — a genuinely
+    sequential statistic an online monitor can maintain:
+    ``m_t = sum_{i<=t} (x_i - xbar_i - delta)`` with ``xbar_i`` the mean
+    of the first i buckets, alarming when ``m_t - min_{u<=t} m_u``
+    exceeds ``lambda_threshold`` (mean drifted UP; the mirrored sum
+    catches drift DOWN).
+
+    Everything is windows over the bucket frame — running avg, running
+    sum, running min — one key-partitioned exchange total, no recursion.
+    Cross-engine FP contract (the cusum convention): bucket means and
+    each per-bucket deviation term are nudge-rounded to 6 BEFORE the
+    cumulative sums, so both engines accumulate identical doubles in
+    identical window order. Returns ``(key, bucket, value, ph_inc,
+    ph_dec, is_drift)``; gaps are clamped against the virtual empty
+    prefix (m_0 = 0), matching the textbook initialization."""
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
+    )
+    ordered = (
+        Window.partitionBy("__k")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.round(F.col("__v") + F.lit(1e-9), 6)
+    withmean = b.select(
+        "__k", "__h", v.alias("__v")
+    ).select(
+        "__k", "__h", "__v", F.avg("__v").over(ordered).alias("__rm")
+    )
+    terms = withmean.select(
+        "__k", "__h", "__v",
+        F.round(F.col("__v") - F.col("__rm") - F.lit(delta) + F.lit(1e-9), 6).alias(
+            "__ti"
+        ),
+        F.round(F.col("__rm") - F.col("__v") - F.lit(delta) + F.lit(1e-9), 6).alias(
+            "__td"
+        ),
+    )
+    cum = terms.select(
+        "__k", "__h", "__v",
+        F.sum("__ti").over(ordered).alias("__mi"),
+        F.sum("__td").over(ordered).alias("__md"),
+    )
+    gap_i = F.col("__mi") - F.least(F.min("__mi").over(ordered), F.lit(0.0))
+    gap_d = F.col("__md") - F.least(F.min("__md").over(ordered), F.lit(0.0))
+    out = cum.select(
+        F.col("__k").alias(key_col),
+        F.col("__h").alias("bucket"),
+        F.col("__v").alias("value"),
+        F.round(gap_i + F.lit(1e-9), 6).alias("ph_inc"),
+        F.round(gap_d + F.lit(1e-9), 6).alias("ph_dec"),
+    )
+    return out.withColumn(
+        "is_drift",
+        (F.col("ph_inc") > lambda_threshold) | (F.col("ph_dec") > lambda_threshold),
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     key_col: str,

@@ -287,3 +287,21 @@ def test_degree_assortativity_regular_graph_null(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
     [r] = degree_assortativity(df).collect()
     assert r["r"] is None
+
+
+def test_clustering_coefficients_hand_values(spark):
+    # K4 minus edge 3-4, plus pendant 4-5: triangles {1,2,3},{1,2,4};
+    # degrees 1:3 2:3 3:2 4:3 5:1 -> lcc 1,2: 2*2/6; 3: 1.0; 4: 2*1/6;
+    # 5: NULL (degree-1 node has no possible wedge)
+    from mr_dice_spark.operators.graph import clustering_coefficients
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    assert {n: r["triangles"] for n, r in got.items()} == {
+        1: 2, 2: 2, 3: 1, 4: 1, 5: 0
+    }
+    assert got[1]["lcc"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[3]["lcc"] == pytest.approx(1.0, abs=1e-6)
+    assert got[4]["lcc"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[5]["lcc"] is None and got[5]["degree"] == 1

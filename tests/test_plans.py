@@ -1446,3 +1446,27 @@ def test_retrieval_eval_single_scan_single_window(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_clustering_coefficient_pinned_edges_no_rescan(spark, sf_dir):
+    """Degrees + the whole compact-forward triangle pipeline derive
+    from the localCheckpoint-pinned canonical edge set: no residual
+    parquet scan, no cartesian, no window — equi-joins and hash
+    aggregates only."""
+    df = GOLDEN["clustering_coefficient_copurchase"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_page_hinkley_single_scan_partitioned_windows(spark, sf_dir):
+    """One parquet scan, zero joins; the running mean / running sums /
+    running min are three chained windows all partitioned on the key —
+    no single-partition exchange anywhere in the plan."""
+    df = GOLDEN["page_hinkley_drift_daily"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 3
+    assert "SinglePartition" not in plan

@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mr_dice_spark.operators.timeseries import resample_ffill
@@ -477,3 +479,41 @@ def test_pinball_loss_hand_series(spark):
     assert got[0.5]["n_scored"] == 3 and got[0.5]["n_buckets"] == 4
     with pytest.raises(ValueError, match="quantiles"):
         pinball_forecast_loss(df, "k", "ts", "v", quantiles=[1.5])
+
+
+def test_page_hinkley_hand_values(spark):
+    # series [0, 0, 3] at 1s buckets, delta=0: at t3 the running mean is
+    # 1, so the increase sum jumps to 2 (> lambda=1 -> drift); the
+    # decrease side stays clamped at 0
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.timeseries import page_hinkley
+
+    rows = [("k", 0, 0.0), ("k", 1, 0.0), ("k", 2, 3.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = page_hinkley(df, "k", "ts", "v", step_seconds=1,
+                       delta=0.0, lambda_threshold=1.0)
+    got = sorted(out.collect(), key=lambda r: r["bucket"])
+    assert [r["ph_inc"] for r in got] == pytest.approx([0.0, 0.0, 2.0], abs=1e-6)
+    assert [r["ph_dec"] for r in got] == pytest.approx([0.0, 0.0, 0.0], abs=1e-6)
+    assert [r["is_drift"] for r in got] == [False, False, True]
+
+
+def test_page_hinkley_detects_decrease(spark):
+    # mirrored series [3, 3, 0]: the DECREASE side fires symmetrically
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.timeseries import page_hinkley
+
+    rows = [("k", 0, 3.0), ("k", 1, 3.0), ("k", 2, 0.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = page_hinkley(df, "k", "ts", "v", step_seconds=1,
+                       delta=0.0, lambda_threshold=1.0)
+    got = sorted(out.collect(), key=lambda r: r["bucket"])
+    assert got[-1]["ph_dec"] == pytest.approx(2.0, abs=1e-6)
+    assert got[-1]["ph_inc"] == pytest.approx(0.0, abs=1e-6)
+    assert got[-1]["is_drift"]
