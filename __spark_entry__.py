@@ -160,7 +160,9 @@ _CHECK_FIRST = [
     # retrieval_eval_purchase_topk (MRR/hit/precision/recall@10),
     # clustering_coefficient_copurchase (per-node Watts-Strogatz lcc),
     # page_hinkley_drift_daily (sequential running-mean drift, planted
-    # creep fires on 'view' only).
+    # creep fires on 'view' only),
+    # seasonal_decompose_daily_cycle (2x24 MA trend, phase indices,
+    # Wang-Hyndman seasonality strength).
 ]
 
 

@@ -4757,6 +4757,93 @@ def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classical seasonal decomposition (2x24 MA trend, phase indices, strength)
+# ---------------------------------------------------------------------------
+
+SEASONAL_DECOMPOSE_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS hs,
+         ROUND(AVG(value) + 1e-9, 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (SELECT k, MIN(hs) AS lo, MAX(hs) AS hi FROM b GROUP BY k),
+grid AS (
+  SELECT k, UNNEST(generate_series(lo, hi, 3600)) AS hs FROM bounds
+),
+g AS (
+  SELECT grid.k, grid.hs, v
+  FROM grid LEFT JOIN b ON b.k = grid.k AND b.hs = grid.hs
+),
+t AS (
+  SELECT k, hs, v,
+         CASE WHEN COUNT(v) OVER wf = 25 THEN
+           ROUND((SUM(v) OVER wm
+                  + 0.5 * (LAG(v, 12) OVER wo + LEAD(v, 12) OVER wo))
+                 / 24.0 + 1e-9, 6)
+         END AS tr
+  FROM g
+  WINDOW wo AS (PARTITION BY k ORDER BY hs),
+         wm AS (PARTITION BY k ORDER BY hs
+                ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
+         wf AS (PARTITION BY k ORDER BY hs
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+  SELECT k, (hs // 3600) % 24 AS ph, ROUND(v - tr + 1e-9, 6) AS d FROM t
+),
+p AS (
+  SELECT k, ph, COUNT(d) AS n_obs, ROUND(AVG(d) + 1e-9, 6) AS sraw
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT k, ph, n_obs,
+         ROUND(sraw - AVG(sraw) OVER (PARTITION BY k) + 1e-9, 6) AS seasonal
+  FROM p
+),
+r AS (
+  SELECT d.k, d.d, ROUND(d.d - s.seasonal + 1e-9, 6) AS r
+  FROM d JOIN s ON s.k = d.k AND s.ph = d.ph
+),
+st AS (
+  SELECT k,
+         CASE WHEN var_pop(d) > 0
+              THEN ROUND(GREATEST(0.0, 1.0 - var_pop(r) / var_pop(d))
+                         + 1e-9, 4) END AS strength
+  FROM r GROUP BY k
+)
+SELECT s.k AS event_type, CAST(ph AS BIGINT) AS phase,
+       CAST(n_obs AS BIGINT) AS n_obs, seasonal,
+       strength AS seasonal_strength
+FROM s JOIN st ON st.k = s.k ORDER BY event_type, phase
+"""
+
+
+@golden(
+    "seasonal_decompose_daily_cycle",
+    SEASONAL_DECOMPOSE_ORACLE,
+    tags=("timeseries", "seasonal", "decomposition", "events"),
+)
+def seasonal_decompose_daily_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event type's hourly
+    series against a 24h cycle: 2x24 half-weighted centered MA trend,
+    zero-centered hour-of-day seasonal indices, and the Wang-Hyndman
+    seasonality strength — the 'is there a daily cycle worth modeling'
+    scorecard. Gap hours are explicit grid rows; trend exists only
+    where the full 25-slot window is observed, so sparse scales degrade
+    to fewer phase observations, never biased ones. Every stage's
+    output is quantized before the next consumes it (chained-float
+    contract)."""
+    from mr_dice_spark.operators.timeseries import seasonal_decompose
+
+    ev = Catalog(spark, sf_dir).events
+    out = seasonal_decompose(
+        ev, "event_type", "ts", "value", step_seconds=3600, period=24
+    )
+    return out.orderBy("event_type", "phase")
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit audit / Gini concentration (profile family)
 # ---------------------------------------------------------------------------
 

@@ -433,6 +433,115 @@ def page_hinkley(
     )
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key (the
+    moving-average method of Macaulay 1931 — what statsmodels
+    ``seasonal_decompose`` implements): trend = centered moving average
+    over one full period (the 2xM half-weighted form when ``period`` is
+    even, so the window stays symmetric), seasonal index = mean
+    detrended value per phase (bucket-index mod period) re-centered to
+    sum to zero, plus the per-key seasonality STRENGTH
+    ``F_s = max(0, 1 - var(remainder)/var(detrended))`` (Wang,
+    Hyndman & Smith-Miles 2006) — the one-number 'is there a daily
+    cycle worth modeling' readout.
+
+    Gaps are made explicit first (the resample grid: span/step rows per
+    key, never a calendar cross join); a trend value exists only where
+    the FULL centered window is observed — gap windows yield NULL trend
+    and drop out of the phase means, so sparse fixtures degrade to
+    fewer observations rather than biased ones. Cross-engine FP
+    contract: bucket means, the trend, detrended values, phase means
+    and the final indices are each nudge-rounded to 6 before the next
+    stage consumes them (the chained-float rule); variances run over
+    identical 6-dec inputs and the strength is rounded at 4.
+
+    Scale shape: one bucket aggregate, the bounded grid join, one
+    key-partitioned window pass (lag/lead/sliding sum share the
+    exchange), one (key, phase) hash aggregate, one 24-row-per-key
+    normalization window, one broadcast join of the seasonal dim back
+    onto the (localCheckpoint-pinned) detrended frame for the
+    remainder variance. Returns ``(key, phase, n_obs, seasonal,
+    seasonal_strength)`` — ``period`` rows per key."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
+    ).select("__k", "__h", F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v"))
+    g = _grid_left_join(b, step_seconds)
+    half = period // 2
+    ordered = Window.partitionBy("__k").orderBy("__h")
+    if period % 2 == 0:
+        mid = ordered.rowsBetween(-(half - 1), half - 1)
+        full = ordered.rowsBetween(-half, half)
+        present = F.count("__v").over(full) == (2 * half + 1)
+        tr = (
+            F.sum("__v").over(mid)
+            + 0.5 * (F.lag("__v", half).over(ordered) + F.lead("__v", half).over(ordered))
+        ) / float(period)
+    else:
+        full = ordered.rowsBetween(-half, half)
+        present = F.count("__v").over(full) == (2 * half + 1)
+        tr = F.avg("__v").over(full)
+    trended = g.select(
+        "__k", "__h", "__v",
+        F.when(present, F.round(tr + F.lit(1e-9), 6)).alias("__tr"),
+    )
+    det = trended.select(
+        "__k",
+        (
+            F.floor(F.unix_timestamp("__h") / step_seconds).cast("long")
+            % period
+        ).alias("__ph"),
+        F.round(F.col("__v") - F.col("__tr") + F.lit(1e-9), 6).alias("__d"),
+    ).localCheckpoint(eager=True)
+    phase = det.groupBy("__k", "__ph").agg(
+        F.count("__d").alias("n_obs"),
+        F.round(F.avg("__d") + F.lit(1e-9), 6).alias("__sraw"),
+    )
+    norm = Window.partitionBy("__k")
+    seas = phase.select(
+        "__k", "__ph", "n_obs",
+        F.round(
+            F.col("__sraw") - F.avg("__sraw").over(norm) + F.lit(1e-9), 6
+        ).alias("seasonal"),
+    )
+    rem = det.join(
+        F.broadcast(seas.select("__k", "__ph", "seasonal")), ["__k", "__ph"]
+    ).select(
+        "__k",
+        F.col("__d").alias("__d"),
+        F.round(F.col("__d") - F.col("seasonal") + F.lit(1e-9), 6).alias("__r"),
+    )
+    strength = rem.groupBy("__k").agg(
+        F.var_pop("__r").alias("__vr"), F.var_pop("__d").alias("__vd")
+    ).select(
+        "__k",
+        F.when(
+            F.col("__vd") > 0,
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("__vr") / F.col("__vd"))
+                + F.lit(1e-9),
+                4,
+            ),
+        ).alias("seasonal_strength"),
+    )
+    return seas.join(F.broadcast(strength), "__k").select(
+        F.col("__k").alias(key_col),
+        F.col("__ph").cast("long").alias("phase"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "seasonal",
+        "seasonal_strength",
+    )
+
+
 def theil_sen_trend(
     df: DataFrame,
     key_col: str,

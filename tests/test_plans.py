@@ -1470,3 +1470,17 @@ def test_page_hinkley_single_scan_partitioned_windows(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Window") == 3
     assert "SinglePartition" not in plan
+
+
+def test_seasonal_decompose_pinned_detrended_broadcast_dims(spark, sf_dir):
+    """The detrended frame is pinned (phase means AND the remainder
+    branch both derive from it — no residual parquet scan); the
+    seasonal dim and the per-key strength join back as broadcasts; the
+    only windows left in the final plan are key-partitioned (no
+    single-partition exchange)."""
+    df = GOLDEN["seasonal_decompose_daily_cycle"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") == 2

@@ -517,3 +517,67 @@ def test_page_hinkley_detects_decrease(spark):
     assert got[-1]["ph_dec"] == pytest.approx(2.0, abs=1e-6)
     assert got[-1]["ph_inc"] == pytest.approx(0.0, abs=1e-6)
     assert got[-1]["is_drift"]
+
+
+def test_seasonal_decompose_pure_period4_signal(spark):
+    # pure period-4 signal [0,5,0,-5] with zero trend: the 2x4
+    # half-weighted MA of a periodic series is exactly its mean (0), so
+    # detrended == signal, phase indices recover [0,5,0,-5] and the
+    # remainder is zero -> strength 1.0; trend exists for t=2..17 ->
+    # 4 observations per phase
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.timeseries import seasonal_decompose
+
+    s = [0.0, 5.0, 0.0, -5.0]
+    rows = [("k", t, s[t % 4]) for t in range(20)]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = seasonal_decompose(df, "k", "ts", "v", step_seconds=1, period=4)
+    got = {r["phase"]: r for r in out.collect()}
+    assert [got[p]["seasonal"] for p in range(4)] == pytest.approx(
+        [0.0, 5.0, 0.0, -5.0], abs=1e-6
+    )
+    assert all(got[p]["n_obs"] == 4 for p in range(4))
+    assert got[0]["seasonal_strength"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_seasonal_decompose_odd_period_and_validation(spark):
+    # odd period uses the plain centered MA: period-3 signal [3,0,-3]
+    # recovers exactly; period < 2 raises
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.timeseries import seasonal_decompose
+
+    s = [3.0, 0.0, -3.0]
+    rows = [("k", t, s[t % 3]) for t in range(12)]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = seasonal_decompose(df, "k", "ts", "v", step_seconds=1, period=3)
+    got = {r["phase"]: r["seasonal"] for r in out.collect()}
+    assert [got[p] for p in range(3)] == pytest.approx([3.0, 0.0, -3.0], abs=1e-6)
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "k", "ts", "v", period=1)
+
+
+def test_seasonal_decompose_gap_yields_null_trend_not_bias(spark):
+    # knock one observation out of the period-4 signal: every centered
+    # window covering the gap loses its trend (NULL), phase counts drop,
+    # but the recovered indices stay exact (no biased fill-in)
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.timeseries import seasonal_decompose
+
+    s = [0.0, 5.0, 0.0, -5.0]
+    rows = [("k", t, s[t % 4]) for t in range(20) if t != 9]
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = seasonal_decompose(df, "k", "ts", "v", step_seconds=1, period=4)
+    got = {r["phase"]: r for r in out.collect()}
+    assert [got[p]["seasonal"] for p in range(4)] == pytest.approx(
+        [0.0, 5.0, 0.0, -5.0], abs=1e-6
+    )
+    assert sum(got[p]["n_obs"] for p in range(4)) < 16
