@@ -162,7 +162,9 @@ _CHECK_FIRST = [
     # page_hinkley_drift_daily (sequential running-mean drift, planted
     # creep fires on 'view' only),
     # seasonal_decompose_daily_cycle (2x24 MA trend, phase indices,
-    # Wang-Hyndman seasonality strength).
+    # Wang-Hyndman seasonality strength),
+    # term_burstiness_documents (Church-Gale Fano factor top-k),
+    # unigram_kl_by_lang (per-slice distribution distance in bits).
 ]
 
 

@@ -2434,6 +2434,103 @@ def clustering_coefficient_copurchase(
 
 
 # ---------------------------------------------------------------------------
+# Term burstiness (Church-Gale Fano factor) + per-lang unigram KL (round 7)
+# ---------------------------------------------------------------------------
+
+BURSTINESS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+),
+tf AS (
+  SELECT id, t, COUNT(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT t, COUNT(*) AS df, SUM(tf) AS s1, SUM(tf * tf) AS s2
+  FROM tf GROUP BY t
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+f AS (
+  SELECT t, df, s1,
+         CAST(s1 AS DOUBLE) / nn AS m,
+         (CAST(s2 AS DOUBLE) / nn
+          - (CAST(s1 AS DOUBLE) / nn) * (CAST(s1 AS DOUBLE) / nn))
+         / (CAST(s1 AS DOUBLE) / nn) AS fano
+  FROM per, n WHERE df >= 20
+)
+SELECT t AS term, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS total_tf,
+       ROUND(m + 1e-9, 6) AS mean_tf,
+       ROUND(fano + 1e-9, 6) AS fano
+FROM f ORDER BY f.fano DESC, term ASC LIMIT 50
+"""
+
+
+@golden(
+    "term_burstiness_documents",
+    BURSTINESS_ORACLE,
+    tags=("text", "burstiness", "fano", "terms"),
+)
+def term_burstiness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 burstiest terms (df >= 20) over the documents corpus —
+    the dispersion signal that separates clumped/templated tokens from
+    evenly-spread connective tissue. The fano is exact-integer-derived
+    and bit-identical across engines, so the top-k membership and order
+    are deterministic; the oracle restates the zeros-free
+    variance-from-sums identity verbatim."""
+    from mr_dice_spark.operators.terms import term_burstiness
+
+    docs = Catalog(spark, sf_dir).documents
+    return term_burstiness(docs, "doc_id", "text", min_df=20, k=50)
+
+
+UNIGRAM_KL_ORACLE = r"""
+WITH cells AS MATERIALIZED (
+  SELECT lang AS g, t, COUNT(*) AS c FROM (
+    SELECT lang,
+           unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> '' GROUP BY 1, 2
+),
+gt AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY g),
+tt AS (SELECT t, SUM(c) AS ct FROM cells GROUP BY t),
+nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells),
+term AS (
+  SELECT cells.g, ng,
+         (CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+         * log2((CAST(c AS DOUBLE) * n)
+                / (CAST(ng AS DOUBLE) * CAST(ct AS DOUBLE))) AS kl
+  FROM cells
+  JOIN gt ON gt.g = cells.g
+  JOIN tt ON tt.t = cells.t
+  CROSS JOIN nn
+)
+SELECT g AS lang, CAST(MAX(ng) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_terms,
+       ROUND(SUM(kl) + 1e-9, 6) AS kl_bits
+FROM term GROUP BY g ORDER BY lang
+"""
+
+
+@golden(
+    "unigram_kl_by_lang",
+    UNIGRAM_KL_ORACLE,
+    tags=("text", "kl-divergence", "mixture", "documents"),
+)
+def unigram_kl_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL(lang || corpus) in bits per language — the
+    distribution-level mixture diagnostic: the slice whose KL moves
+    after an ingest is the slice whose new shards changed character.
+    No smoothing needed (group tokens are corpus tokens by
+    construction); one transcendental per (lang, term) with
+    exact-integer operands, ulp drift absorbed by the output round."""
+    from mr_dice_spark.operators.terms import unigram_kl_by_group
+
+    docs = Catalog(spark, sf_dir).documents
+    return unigram_kl_by_group(docs, "lang", "text").orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
 # Flesch readability scoring (round 7)
 # ---------------------------------------------------------------------------
 

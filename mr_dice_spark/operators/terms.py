@@ -462,6 +462,132 @@ def distinct_ngram_diversity(
     )
 
 
+def term_burstiness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` burstiest terms: the Fano factor (variance-to-mean
+    ratio) of each term's per-document count, zeros included — Church &
+    Gale's burstiness. A term whose occurrences CLUMP into few documents
+    (fano >> 1) is topical/templated; a term spread evenly (fano ~ 1,
+    the Poisson floor) is function-word-like. On a crawl this separates
+    boilerplate tokens (cookie banners: huge df AND huge fano) from
+    genuine connective tissue — a signal the tfidf/PMI family misses
+    because both condition on presence, not dispersion.
+
+    Absent-document zeros need no explicit rows: with N total documents,
+    ``mean = s1/N`` and ``var = s2/N - mean^2`` from the per-term sums
+    of tf and tf² alone. All inputs are exact integers, every float op
+    is a correctly-rounded IEEE step on identical operands, so the fano
+    is BIT-identical across engines and ordering on it is deterministic
+    (ties break on the term). ``min_df`` floors the df so one-document
+    hapaxes (fano = tf trivially) don't drown the report.
+
+    Scale shape: one (doc, term) aggregate with map-side combine, one
+    term-keyed reduce, a 1-row broadcast of N, TakeOrdered k. Returns
+    ``(term, df, total_tf, mean_tf, fano)``."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    ).where(F.col("__t") != "")
+    tf = toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    per = tf.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.sum("__tf").alias("__s1"),
+        F.sum(F.col("__tf") * F.col("__tf")).alias("__s2"),
+    )
+    n = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    j = per.where(F.col("__df") >= min_df).crossJoin(F.broadcast(n))
+    m = F.col("__s1").cast("double") / F.col("__n")
+    fano = (F.col("__s2").cast("double") / F.col("__n") - m * m) / m
+    return (
+        j.select(
+            F.col("__t").alias("term"),
+            F.col("__df").cast("long").alias("df"),
+            F.col("__s1").cast("long").alias("total_tf"),
+            F.round(m + F.lit(1e-9), 6).alias("mean_tf"),
+            fano.alias("__fano"),
+        )
+        .orderBy(F.desc("__fano"), F.asc("term"))
+        .limit(k)
+        .select(
+            "term", "df", "total_tf", "mean_tf",
+            F.round(F.col("__fano") + F.lit(1e-9), 6).alias("fano"),
+        )
+    )
+
+
+def unigram_kl_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group unigram KL divergence from the corpus:
+    ``KL(P_g || P) = sum_t p_g(t) * log2(p_g(t) / p(t))`` in bits — how
+    far each slice's token distribution sits from the blend. The
+    mixture-weighting diagnostic: a language/source whose KL spikes
+    after an ingest is the slice whose new shards changed character,
+    caught at distribution level before any downstream metric moves.
+    Every group token appears in the corpus by construction, so p(t) >
+    0 wherever p_g(t) > 0 — no smoothing, no epsilon.
+
+    Each term contributes ``(c/N_g) * log2((c*N) / (N_g*ct))`` — one
+    transcendental per (group, term), operands exact integers in
+    doubles (the ANSI long-product rule), cross-libm ulp drift absorbed
+    by the output rounding. The (group, term) cell aggregate is
+    localCheckpoint-pinned: group totals, corpus term totals and the
+    final join all derive from it. Returns
+    ``(group, n_tokens, vocab_terms, kl_bits)``."""
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    gt = cells.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    tt = cells.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    nn = cells.agg(F.sum("__c").cast("double").alias("__nn"))
+    term = (
+        cells.join(F.broadcast(gt), "__g")
+        .join(tt, "__t")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "__g",
+            F.col("__ng").alias("__ng"),
+            (
+                (F.col("__c").cast("double") / F.col("__ng").cast("double"))
+                * F.log2(
+                    (F.col("__c").cast("double") * F.col("__nn"))
+                    / (F.col("__ng").cast("double") * F.col("__ct").cast("double"))
+                )
+            ).alias("__kl"),
+        )
+    )
+    return (
+        term.groupBy("__g")
+        .agg(
+            F.max("__ng").alias("__ng"),
+            F.count(F.lit(1)).alias("vocab_terms"),
+            F.sum("__kl").alias("__k"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__ng").cast("long").alias("n_tokens"),
+            F.col("vocab_terms").cast("long").alias("vocab_terms"),
+            F.round(F.col("__k") + F.lit(1e-9), 6).alias("kl_bits"),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,

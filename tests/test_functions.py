@@ -119,7 +119,7 @@ def test_shuffle_shards_deterministic_permutation(spark, oracle_sf_dir):
 
     plan = formatted_plan(shuffle_shards(docs, "doc_id", 8))
     assert "Exchange rangepartitioning" not in plan
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         shuffle_shards(docs, "doc_id", 0)
 
 
@@ -721,7 +721,7 @@ def test_heavy_hitters_cms_rejects_nonpositive_share_without_candidates(spark):
     from mr_dice_spark.operators.sketch import heavy_hitters_cms
 
     df = spark.range(10).select(F_col_str("id"))
-    with _pytest.raises(ValueError, match="min_share"):
+    with pytest.raises(ValueError, match="min_share"):
         heavy_hitters_cms(df, "k", min_share=0.0)
 
 
@@ -1325,7 +1325,7 @@ def test_weighted_sample_per_group_counts_and_guards(spark):
                    weighted_sample_per_group(df, "g", "id", "w", 3).collect())
     assert again == sorted(i for ids in by_g.values() for i in ids)
     import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         weighted_sample_per_group(df, "g", "id", "w", -1)
 
 
@@ -1436,3 +1436,50 @@ def test_distinct_ngram_diversity_validates_ns(spark):
         distinct_ngram_diversity(df, "lang", "text", ns=(0,))
     with pytest.raises(ValueError, match="ns must be >= 1"):
         distinct_ngram_diversity(df, "lang", "text", ns=())
+
+
+def test_term_burstiness_hand_values(spark):
+    # d1="a a b", d2="a c", d3="c", N=3: a: df=2, s1=3, s2=5 -> m=1,
+    # fano=(5/3-1)/1=2/3; c: df=2 -> m=2/3, fano=(2/3-4/9)/(2/3)=1/3;
+    # with min_df=1, b (fano 2/3) ties a -> term-asc order a, b
+    from mr_dice_spark.operators.terms import term_burstiness
+
+    rows = [(1, "a a b"), (2, "a c"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = term_burstiness(df, "doc_id", "text", min_df=2, k=10).collect()
+    assert [r["term"] for r in got] == ["a", "c"]
+    assert got[0]["fano"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[1]["fano"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (got[0]["df"], got[0]["total_tf"]) == (2, 3)
+    all3 = term_burstiness(df, "doc_id", "text", min_df=1, k=10).collect()
+    assert [r["term"] for r in all3] == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        term_burstiness(df, "doc_id", "text", min_df=0)
+
+
+def test_unigram_kl_by_group_hand_values(spark):
+    # g1="x x y" (ng=3), g2="x z" (ng=2); corpus N=5, ct: x=3,y=1,z=1
+    import math
+
+    from mr_dice_spark.operators.terms import unigram_kl_by_group
+
+    rows = [("g1", "x x y"), ("g2", "x z")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = {r["g"]: r for r in unigram_kl_by_group(df, "g", "text").collect()}
+    kl1 = (2 / 3) * math.log2(10 / 9) + (1 / 3) * math.log2(5 / 3)
+    kl2 = 0.5 * math.log2(5 / 6) + 0.5 * math.log2(5 / 2)
+    assert got["g1"]["kl_bits"] == pytest.approx(kl1, abs=1e-6)
+    assert got["g2"]["kl_bits"] == pytest.approx(kl2, abs=1e-6)
+    assert (got["g1"]["n_tokens"], got["g1"]["vocab_terms"]) == (3, 2)
+    assert (got["g2"]["n_tokens"], got["g2"]["vocab_terms"]) == (2, 2)
+
+
+def test_unigram_kl_identical_distribution_is_zero(spark):
+    # both groups share one distribution -> p_g == p -> KL exactly 0
+    from mr_dice_spark.operators.terms import unigram_kl_by_group
+
+    rows = [("a", "x y"), ("b", "x y")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = {r["g"]: r["kl_bits"] for r in unigram_kl_by_group(df, "g", "text").collect()}
+    assert got["a"] == pytest.approx(0.0, abs=1e-9)
+    assert got["b"] == pytest.approx(0.0, abs=1e-9)

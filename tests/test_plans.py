@@ -1484,3 +1484,28 @@ def test_seasonal_decompose_pinned_detrended_broadcast_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_term_burstiness_takeordered_count_star_scan(spark, sf_dir):
+    """The top-k report sinks through TakeOrdered (never a global
+    sort); exactly two scans — the token/term aggregate and the
+    column-pruned count-star for N (the tfidf family's shape); no
+    window, no cartesian."""
+    df = GOLDEN["term_burstiness_documents"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("TakeOrdered") == 1
+    assert plan.count("Scan parquet") == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_kl_pinned_cells_no_rescan(spark, sf_dir):
+    """Group totals, corpus term totals and the final join all derive
+    from the pinned (group, term) cell aggregate: no residual parquet
+    scan, no explode left in the final plan, no cartesian, no window."""
+    df = GOLDEN["unigram_kl_by_lang"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
