@@ -164,7 +164,9 @@ _CHECK_FIRST = [
     # seasonal_decompose_daily_cycle (2x24 MA trend, phase indices,
     # Wang-Hyndman seasonality strength),
     # term_burstiness_documents (Church-Gale Fano factor top-k),
-    # unigram_kl_by_lang (per-slice distribution distance in bits).
+    # unigram_kl_by_lang (per-slice distribution distance in bits),
+    # streaming_page_hinkley (PH monitor on the stream engine, same
+    # oracle as the batch golden by construction).
 ]
 
 

@@ -1455,6 +1455,72 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+from mr_dice_spark.golden_pipeline import (  # noqa: E402
+    PAGE_HINKLEY_ORACLE as _PH_ORACLE,
+)
+
+
+@golden(
+    "streaming_page_hinkley",
+    _PH_ORACLE,  # byte-identical output to the batch PH golden
+    tags=("streaming", "drift", "page-hinkley", "observability"),
+)
+def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift monitoring ON THE STREAM ENGINE: daily bucket
+    means (same planted +15/day 'view' creep as the batch golden)
+    aggregate through readStream in complete mode and the PH finisher
+    (running mean / running sum / running min) runs batch-side on the
+    materialized sink — byte-identical to page_hinkley_drift_daily, so
+    the SAME DuckDB oracle hash-checks the streaming path. PH is the
+    natural streaming drift statistic (it only ever looks backward),
+    which is exactly why the finisher splits from the bucketing. Finite
+    replay makes the streaming aggregate exact (the streaming-golden
+    contract)."""
+    import uuid
+
+    from mr_dice_spark.operators.timeseries import ph_from_buckets
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet").withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "view")
+            & (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")),
+            F.col("value")
+            + 15.0
+            * (F.floor(F.unix_timestamp("ts") / 86400).cast("long") - 19737),
+        ).otherwise(F.col("value")),
+    )
+    agg = (
+        stream.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.avg("value").alias("__v"))
+    )
+    name = f"stream_ph_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(agg, name, output_mode="complete")
+    try:
+        b = spark.table(name).select(
+            F.col("event_type").alias("__k"),
+            F.col("w.start").alias("__h"),
+            "__v",
+        )
+        out = ph_from_buckets(b, "event_type", 15.0, 80.0).select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "value",
+            "ph_inc",
+            "ph_dec",
+            "is_drift",
+        ).orderBy("event_type", "bucket_s")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+
+
 RULES_ORACLE = """
 WITH e AS MATERIALIZED (
   SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

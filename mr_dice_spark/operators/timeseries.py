@@ -393,6 +393,20 @@ def page_hinkley(
         df.where(F.col(value_col).isNotNull()),
         key_col, ts_col, value_col, step_seconds, "avg",
     )
+    return ph_from_buckets(b, key_col, delta, lambda_threshold)
+
+
+def ph_from_buckets(
+    b: DataFrame,
+    key_col: str,
+    delta: float = 0.01,
+    lambda_threshold: float = 5.0,
+) -> DataFrame:
+    """Page-Hinkley finisher over a pre-bucketed ``(__k, __h, __v)``
+    frame — the shared tail of :func:`page_hinkley` and the streaming
+    monitor (bucket means aggregated ON the stream engine, this batch
+    finisher on the materialized sink; the cusum_from_buckets
+    convention)."""
     ordered = (
         Window.partitionBy("__k")
         .orderBy("__h")
