@@ -166,7 +166,9 @@ _CHECK_FIRST = [
     # term_burstiness_documents (Church-Gale Fano factor top-k),
     # unigram_kl_by_lang (per-slice distribution distance in bits),
     # streaming_page_hinkley (PH monitor on the stream engine, same
-    # oracle as the batch golden by construction).
+    # oracle as the batch golden by construction),
+    # logrank_time_to_purchase_arms (Mantel-Haenszel survival compare,
+    # at-risk counts via the distributed prefix pass).
 ]
 
 

@@ -1357,6 +1357,109 @@ def kaplan_meier_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("cohort", "duration_h")
 
 
+LOGRANK_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         (user_id % 2 = 0) AS a,
+         MIN(epoch_us(ts)) AS first_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS purch_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+subj AS (
+  SELECT a,
+         CAST(FLOOR((COALESCE(purch_us, last_us) - first_us)
+                    / 3600000000.0) AS DOUBLE) AS t,
+         purch_us IS NOT NULL AS e
+  FROM per_user
+),
+times AS (
+  SELECT t, count_if(a AND e) AS d1, count_if(e) AS d,
+         count_if(a) AS l1, COUNT(*) AS l
+  FROM subj GROUP BY t
+),
+cum AS (
+  SELECT t, d1, d, l1, l,
+         SUM(l1) OVER w AS l1c, SUM(l) OVER w AS lc
+  FROM times
+  WINDOW w AS (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT SUM(l1) AS n1tot, SUM(l) AS ntot FROM times),
+terms AS (
+  SELECT d1,
+         CAST(d AS DOUBLE)
+           * CAST(n1tot - (l1c - l1) AS DOUBLE)
+           / CAST(ntot - (lc - l) AS DOUBLE) AS e,
+         CASE WHEN CAST(ntot - (lc - l) AS DOUBLE) > 1 THEN
+           CAST(d AS DOUBLE)
+           * (CAST(n1tot - (l1c - l1) AS DOUBLE)
+              / CAST(ntot - (lc - l) AS DOUBLE))
+           * (1.0 - CAST(n1tot - (l1c - l1) AS DOUBLE)
+                    / CAST(ntot - (lc - l) AS DOUBLE))
+           * ((CAST(ntot - (lc - l) AS DOUBLE) - CAST(d AS DOUBLE))
+              / (CAST(ntot - (lc - l) AS DOUBLE) - 1.0))
+         ELSE 0.0 END AS v,
+         n1tot, ntot
+  FROM cum, tot WHERE d > 0
+),
+f AS (
+  SELECT MAX(n1tot) AS na, MAX(ntot) AS nn,
+         SUM(d1) AS oo, SUM(e) AS ee, SUM(v) AS vv
+  FROM terms
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nn - na AS BIGINT) AS n_b,
+       CAST(oo AS BIGINT) AS observed_a,
+       ROUND(ee + 1e-9, 6) AS expected_a,
+       ROUND(vv + 1e-9, 6) AS variance,
+       ROUND(CASE WHEN vv > 0
+             THEN (CAST(oo AS DOUBLE) - ee) / SQRT(vv) END + 1e-9, 6) AS z,
+       ROUND(CASE WHEN vv > 0
+             THEN ((CAST(oo AS DOUBLE) - ee) / SQRT(vv))
+                  * ((CAST(oo AS DOUBLE) - ee) / SQRT(vv)) END + 1e-9, 4)
+         AS chi2
+FROM f
+"""
+
+
+@golden(
+    "logrank_time_to_purchase_arms",
+    LOGRANK_ORACLE,
+    tags=("evaluation", "survival", "logrank", "events"),
+)
+def logrank_time_to_purchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test on time-to-first-purchase between the even/odd
+    user arms (the two_proportion_z split) — the inferential companion
+    to the Kaplan-Meier golden: same right-censored duration
+    construction (whole hours from first event; non-converters censored
+    at their last event), now asking whether the two arms share one
+    conversion-latency curve. O is integer-exact; E/V terms are IEEE
+    steps on exact at-risk integers from the distributed prefix pass."""
+    from mr_dice_spark.operators.evaluation import logrank_test
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    subj = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        F.floor(
+            (F.coalesce("purch_us", "last_us") - F.col("first_us")) / 3600000000.0
+        ).cast("double").alias("duration_h"),
+        F.col("purch_us").isNotNull().alias("converted"),
+    )
+    return logrank_test(subj, "arm", "duration_h", "converted", True)
+
+
 CUPED_ORACLE = """
 WITH units AS MATERIALIZED (
   SELECT user_id % 2 AS grp,

@@ -660,6 +660,95 @@ def kaplan_meier(
     )
 
 
+def logrank_test(
+    df: DataFrame,
+    class_col: str,
+    duration_col: str,
+    event_col: str,
+    class_a,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel-Haenszel) over right-censored
+    durations: do groups A and B share one survival curve? The
+    inferential companion to :func:`kaplan_meier` — KM draws the two
+    curves, this says whether the gap is real, weighting every event
+    time by its hypergeometric expectation so censoring is handled
+    honestly rather than dropped.
+
+    At each pooled event time with ``d`` total events, ``n``/``n1`` at
+    risk overall/in A and ``d1`` events in A:
+    ``O = sum d1``, ``E = sum d*n1/n``,
+    ``V = sum d*(n1/n)*(1-n1/n)*((n-d)/(n-1))`` (times with n = 1
+    contribute 0), ``z = (O-E)/sqrt(V)`` — negative z means A's events
+    come LATER (better survival). O is integer-exact; E/V terms are
+    correctly-rounded IEEE steps on exact-integer operands, identical
+    on both engines, with only the final sums order-dependent (absorbed
+    by the output rounds).
+
+    At-risk counts are reversed cumulative leaver-counts over the
+    pooled time axis, computed WITHOUT a single-partition window via
+    :func:`~mr_dice_spark.operators.scale.prefix_sums` (the
+    kruskal-wallis discipline — the distinct-duration table is
+    corpus-sized in general). One (time) hash aggregate, one prefix
+    pass, two tiny reduces. Returns one row ``(n_a, n_b, observed_a,
+    expected_a, variance, z, chi2)``; z/chi2 NULL when V = 0 (no
+    comparable event times, fail-closed)."""
+    base = df.select(
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.col(duration_col).cast("double").alias("__t"),
+        F.col(event_col).cast("boolean").alias("__e"),
+    ).where(
+        F.col(class_col).isNotNull()
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    )
+    from mr_dice_spark.operators.scale import prefix_sums
+
+    times = base.groupBy("__t").agg(
+        F.count_if(F.col("__a") & F.col("__e")).alias("__d1"),
+        F.count_if(F.col("__e")).alias("__d"),
+        F.count_if(F.col("__a")).alias("__l1"),
+        F.count(F.lit(1)).alias("__l"),
+    )
+    pre = prefix_sums(times, "__t", ["__l1", "__l"])
+    tot = pre.agg(
+        F.sum("__l1").alias("__n1tot"), F.sum("__l").alias("__ntot")
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    n1 = (F.col("__n1tot") - (F.col("__l1_cum") - F.col("__l1"))).cast("double")
+    n = (F.col("__ntot") - (F.col("__l_cum") - F.col("__l"))).cast("double")
+    d = F.col("__d").cast("double")
+    p = n1 / n
+    terms = j.where(F.col("__d") > 0).select(
+        F.col("__d1").alias("__o"),
+        (d * n1 / n).alias("__e"),
+        F.when(
+            n > 1, d * p * (1.0 - p) * ((n - d) / (n - 1.0))
+        ).otherwise(F.lit(0.0)).alias("__v"),
+        F.col("__n1tot").alias("__n1tot"),
+        F.col("__ntot").alias("__ntot"),
+    )
+    agg = terms.agg(
+        F.max("__n1tot").alias("__na"),
+        F.max("__ntot").alias("__nn"),
+        F.sum("__o").alias("__oo"),
+        F.sum("__e").alias("__ee"),
+        F.sum("__v").alias("__vv"),
+    )
+    z = F.when(
+        F.col("__vv") > 0,
+        (F.col("__oo").cast("double") - F.col("__ee")) / F.sqrt(F.col("__vv")),
+    )
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a"),
+        (F.col("__nn") - F.col("__na")).cast("long").alias("n_b"),
+        F.col("__oo").cast("long").alias("observed_a"),
+        F.round(F.col("__ee") + F.lit(1e-9), 6).alias("expected_a"),
+        F.round(F.col("__vv") + F.lit(1e-9), 6).alias("variance"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+        F.round(z * z + F.lit(1e-9), 4).alias("chi2"),
+    )
+
+
 def cuped_adjusted_means(
     df: DataFrame,
     group_col: str,

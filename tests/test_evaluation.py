@@ -776,3 +776,45 @@ def test_retrieval_eval_at_k_no_evaluable_queries_null(spark):
     df = spark.createDataFrame(rows, "q string, id long, s double, rel boolean")
     [r] = retrieval_eval_at_k(df, "q", "id", "s", "rel", k=3).collect()
     assert r["n_evaluable"] == 0 and r["mrr"] is None
+
+
+def test_logrank_hand_values(spark):
+    # A: (1,evt),(3,evt); B: (2,evt),(3,cens). Pooled times:
+    # t=1: n1=2,n=4,d=1 -> E=.5, V=.25; t=2: n1=1,n=3,d=1 -> E=1/3,
+    # V=2/9; t=3: n1=1,n=2,d=1(A) -> E=.5, V=.25. O=2, E=4/3, V=13/18
+    import math
+
+    from mr_dice_spark.operators.evaluation import logrank_test
+
+    rows = [("A", 1.0, True), ("A", 3.0, True),
+            ("B", 2.0, True), ("B", 3.0, False)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = logrank_test(df, "g", "t", "e", "A").collect()
+    assert (r["n_a"], r["n_b"], r["observed_a"]) == (2, 2, 2)
+    assert r["expected_a"] == pytest.approx(4 / 3, abs=1e-6)
+    assert r["variance"] == pytest.approx(13 / 18, abs=1e-6)
+    assert r["z"] == pytest.approx((2 - 4 / 3) / math.sqrt(13 / 18), abs=1e-6)
+    assert r["chi2"] == pytest.approx(
+        (2 - 4 / 3) ** 2 / (13 / 18), abs=1e-4
+    )
+
+
+def test_logrank_one_empty_group_null(spark):
+    # no class-A subjects: every E term is 0, V = 0 -> z/chi2 NULL
+    from mr_dice_spark.operators.evaluation import logrank_test
+
+    rows = [("B", 1.0, True), ("B", 2.0, True)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = logrank_test(df, "g", "t", "e", "A").collect()
+    assert r["n_a"] == 0 and r["z"] is None and r["chi2"] is None
+
+
+def test_logrank_identical_groups_zero_z(spark):
+    # mirrored groups -> O == E exactly -> z = 0
+    from mr_dice_spark.operators.evaluation import logrank_test
+
+    rows = [("A", 1.0, True), ("A", 2.0, False),
+            ("B", 1.0, True), ("B", 2.0, False)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = logrank_test(df, "g", "t", "e", "A").collect()
+    assert r["z"] == pytest.approx(0.0, abs=1e-6)

@@ -1509,3 +1509,15 @@ def test_unigram_kl_pinned_cells_no_rescan(spark, sf_dir):
     assert "Generate" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_logrank_prefix_pass_no_rescan_single_window(spark, sf_dir):
+    """At-risk counts come from the distributed prefix pass over the
+    pinned pooled-time table (the kruskal-wallis discipline): no
+    residual parquet scan, exactly one window (the per-__pid local
+    cumulative), no cartesian."""
+    df = GOLDEN["logrank_time_to_purchase_arms"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
