@@ -168,7 +168,11 @@ _CHECK_FIRST = [
     # streaming_page_hinkley (PH monitor on the stream engine, same
     # oracle as the batch golden by construction),
     # logrank_time_to_purchase_arms (Mantel-Haenszel survival compare,
-    # at-risk counts via the distributed prefix pass).
+    # at-risk counts via the distributed prefix pass),
+    # mann_kendall_trend_hourly (monotonic-trend S/z beside theil_sen),
+    # randomization_test_user_value (199 portable-hash pseudo-assignments,
+    # add-one Monte-Carlo p, no distribution functions),
+    # cronbach_alpha_user_engagement (internal-consistency reliability).
 ]
 
 

@@ -4980,6 +4980,60 @@ ORDER BY event_type
 """
 
 
+MANN_KENDALL_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS x,
+         ROUND(AVG(value) + 1e-9, 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+s AS (
+  SELECT a.k,
+         SUM(CASE WHEN c.v > a.v THEN 1 WHEN c.v < a.v THEN -1 ELSE 0 END) AS s
+  FROM b a JOIN b c ON a.k = c.k AND a.x < c.x GROUP BY a.k
+),
+ties AS (
+  SELECT k, SUM(t) AS n,
+         SUM(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT k, v, COUNT(*) AS t FROM b GROUP BY k, v) GROUP BY k
+),
+v2 AS (
+  SELECT ties.k, n, COALESCE(s.s, 0) AS s,
+         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+          * (2 * CAST(n AS DOUBLE) + 5) - tt) / 18.0 AS vs
+  FROM ties LEFT JOIN s ON s.k = ties.k
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n_buckets, CAST(s AS BIGINT) AS s,
+       ROUND(vs + 1e-9, 4) AS var_s,
+       ROUND(CASE WHEN vs > 0 THEN
+               CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / SQRT(vs)
+                    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / SQRT(vs)
+                    ELSE 0.0 END
+             END + 1e-9, 6) AS z
+FROM v2 ORDER BY event_type
+"""
+
+
+@golden(
+    "mann_kendall_trend_hourly",
+    MANN_KENDALL_ORACLE,
+    tags=("timeseries", "trend", "nonparametric", "events"),
+)
+def mann_kendall_trend_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over the hourly
+    value series — the significance companion to theil_sen_trend_hourly
+    (same bucket grid, same O(B^2)-bounded pair set): S and the tie
+    terms stay exact integers because bucket means are quantized before
+    pairing; z is the only float."""
+    from mr_dice_spark.operators.timeseries import mann_kendall_trend
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return mann_kendall_trend(
+        ev, "event_type", "ts", "value", step_seconds=3600
+    ).orderBy("event_type")
+
+
 @golden(
     "theil_sen_trend_hourly",
     THEIL_SEN_ORACLE,

@@ -1460,6 +1460,130 @@ def logrank_time_to_purchase_arms(spark: SparkSession, sf_dir: str) -> DataFrame
     return logrank_test(subj, "arm", "duration_h", "converted", True)
 
 
+RANDOMIZATION_ORACLE = f"""
+WITH units AS MATERIALIZED (
+  SELECT user_id AS u,
+         MAX(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+         ROUND(SUM(value) + 1e-9, 6) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+obs AS (
+  SELECT COUNT(*) AS nu,
+         count_if(a = 1) AS na, count_if(a = 0) AS nb,
+         ROUND(AVG(CASE WHEN a = 1 THEN y END)
+               - AVG(CASE WHEN a = 0 THEN y END) + 1e-9, 6) AS t
+  FROM units
+),
+reps AS (
+  SELECT g.b AS b, y,
+         ({_bucket_sql("CAST(u AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)", "rt")}
+          % 2 = 0) AS pa
+  FROM units, UNNEST(generate_series(0, 198)) AS g(b)
+),
+tb AS (
+  SELECT b,
+         ROUND(AVG(CASE WHEN pa THEN y END)
+               - AVG(CASE WHEN NOT pa THEN y END) + 1e-9, 6) AS tb
+  FROM reps GROUP BY b
+),
+ex AS (
+  SELECT count_if(ABS(tb) >= ABS((SELECT t FROM obs))) AS ge FROM tb
+)
+SELECT CAST(nu AS BIGINT) AS n_units,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na > 0 AND nb > 0 THEN t END AS t_obs,
+       CAST(199 AS BIGINT) AS n_perm,
+       CAST(ge AS BIGINT) AS n_exceed,
+       CASE WHEN na > 0 AND nb > 0
+            THEN ROUND((1.0 + CAST(ge AS DOUBLE)) / 200.0 + 1e-9, 6) END
+         AS p_value
+FROM obs, ex
+"""
+
+
+@golden(
+    "randomization_test_user_value",
+    RANDOMIZATION_ORACLE,
+    tags=("evaluation", "randomization", "permutation", "experiment"),
+)
+def randomization_test_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test of the even/odd-arm difference in
+    per-user total value: 199 deterministic pseudo-assignments from the
+    portable md5 hash (restated verbatim in the oracle), p by the
+    add-one rule. The distribution-function-free inference path (no
+    normal CDF anywhere); observed and replicate statistics are
+    quantized before the exceedance compare so the count cannot flip on
+    engine ulps. The arms are a null split, so p should be (and is)
+    comfortably non-significant — the test validates the machinery, the
+    operator docstring owns the semantics."""
+    from mr_dice_spark.operators.evaluation import randomization_test
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("arm"), "value"
+    )
+    return randomization_test(
+        ev, "user_id", "arm", "value", True, n_perm=199, seed="rt"
+    )
+
+
+CRONBACH_ORACLE = """
+WITH cells AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS i,
+         ROUND(COUNT(*) + 1e-9, 6) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+nn AS (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM cells),
+items AS (
+  SELECT COUNT(*) AS k,
+         SUM(s2 / n - (s1 / n) * (s1 / n)) AS vi
+  FROM (SELECT i, SUM(x) AS s1, SUM(x * x) AS s2 FROM cells GROUP BY i), nn
+),
+tot AS (
+  SELECT MAX(n) AS nd, SUM(t) AS ts1, SUM(t * t) AS ts2
+  FROM (SELECT u, SUM(x) AS t FROM cells GROUP BY u), nn
+),
+f AS (
+  SELECT k, nd, vi,
+         ts2 / nd - (ts1 / nd) * (ts1 / nd) AS vt
+  FROM items, tot
+)
+SELECT CAST(k AS BIGINT) AS k_items,
+       CAST(nd AS BIGINT) AS n_units,
+       ROUND(vi + 1e-9, 6) AS sum_item_var,
+       ROUND(vt + 1e-9, 6) AS total_var,
+       ROUND(CASE WHEN k >= 2 AND vt > 0
+             THEN CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                  * (1.0 - vi / vt) END + 1e-9, 6) AS alpha
+FROM f
+"""
+
+
+@golden(
+    "cronbach_alpha_user_engagement",
+    CRONBACH_ORACLE,
+    tags=("evaluation", "reliability", "cronbach", "events"),
+)
+def cronbach_alpha_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the user x event-type engagement-count
+    matrix: do the five per-channel counts move together enough to read
+    'user activity' as one scale? The internal-consistency twin of the
+    Krippendorff inter-rater golden. Absent cells fold in analytically
+    (the burstiness variance-from-sums identity) — no pivot, no dense
+    matrix."""
+    from mr_dice_spark.operators.evaluation import cronbach_alpha
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select("user_id", "event_type", F.lit(1.0).alias("one"))
+    return cronbach_alpha(ev, "user_id", "event_type", "one")
+
+
 CUPED_ORACLE = """
 WITH units AS MATERIALIZED (
   SELECT user_id % 2 AS grp,

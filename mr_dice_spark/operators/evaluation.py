@@ -749,6 +749,194 @@ def logrank_test(
     )
 
 
+def randomization_test(
+    df: DataFrame,
+    unit_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+    n_perm: int = 199,
+    seed: str = "rt",
+) -> DataFrame:
+    """Randomization (Monte-Carlo permutation-style) test for a
+    difference in unit-level means, with NO distributional assumptions
+    and NO distribution functions: the observed statistic ``T = mean_A
+    - mean_B`` over per-unit totals is compared against ``n_perm``
+    deterministic pseudo-assignments (portable md5 hash of
+    ``unit:replicate``, restatable in SQL), and
+    ``p = (1 + #{|T_b| >= |T|}) / (n_perm + 1)`` — the add-one form
+    that keeps p valid (Davison & Hinkley). This is re-randomization
+    (each replicate re-flips every unit ~50/50) rather than an exact
+    permutation of the observed labels — the standard Monte-Carlo
+    variant, stated honestly.
+
+    Cross-engine contract: T and every T_b are quantized (nudge-round
+    6) BEFORE the >= comparison, so the count of exceeding replicates
+    cannot flip on engine-level ulps. Scale shape: one corpus-sized
+    aggregate to per-unit totals, then the replicate explode runs on
+    the REDUCED unit frame (units x n_perm rows — bounded by the unit
+    count, never the corpus), one hash aggregate per replicate, one
+    1-row reduce. Returns ``(n_units, n_a, n_b, t_obs, n_perm,
+    n_exceed, p_value)``; t_obs/p NULL when either arm is empty."""
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1: {n_perm}")
+    from mr_dice_spark.operators.sampling import hash_bucket
+
+    units = (
+        df.where(
+            F.col(unit_col).isNotNull()
+            & F.col(class_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.max((F.col(class_col) == F.lit(class_a)).cast("int")).alias("__a"),
+            F.round(F.sum(F.col(value_col).cast("double")) + F.lit(1e-9), 6).alias(
+                "__y"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    obs = units.agg(
+        F.count(F.lit(1)).alias("__nu"),
+        F.count_if(F.col("__a") == 1).alias("__na"),
+        F.count_if(F.col("__a") == 0).alias("__nb"),
+        F.round(
+            F.avg(F.when(F.col("__a") == 1, F.col("__y")))
+            - F.avg(F.when(F.col("__a") == 0, F.col("__y")))
+            + F.lit(1e-9),
+            6,
+        ).alias("__t"),
+    )
+    reps = units.select(
+        "__u", "__y",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("__b"),
+    ).select(
+        "__b", "__y",
+        (
+            hash_bucket(
+                F.concat(
+                    F.col("__u").cast("string"),
+                    F.lit(":"),
+                    F.col("__b").cast("string"),
+                ),
+                seed,
+            )
+            % 2
+            == 0
+        ).alias("__pa"),
+    )
+    tb = reps.groupBy("__b").agg(
+        F.round(
+            F.avg(F.when(F.col("__pa"), F.col("__y")))
+            - F.avg(F.when(~F.col("__pa"), F.col("__y")))
+            + F.lit(1e-9),
+            6,
+        ).alias("__tb")
+    )
+    exceed = tb.crossJoin(F.broadcast(obs)).agg(
+        F.count_if(F.abs(F.col("__tb")) >= F.abs(F.col("__t"))).alias("__ge")
+    )
+    out = obs.crossJoin(F.broadcast(exceed))
+    valid = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    return out.select(
+        F.col("__nu").cast("long").alias("n_units"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.when(valid, F.col("__t")).alias("t_obs"),
+        F.lit(n_perm).cast("long").alias("n_perm"),
+        F.col("__ge").cast("long").alias("n_exceed"),
+        F.when(
+            valid,
+            F.round(
+                (1.0 + F.col("__ge").cast("double")) / float(n_perm + 1)
+                + F.lit(1e-9),
+                6,
+            ),
+        ).alias("p_value"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha over a (unit x item) score matrix assembled
+    from long-form rows (absent cells score 0): internal-consistency
+    reliability — do the k items move together enough to be read as
+    one scale? The metric-battery sanity check beside Krippendorff's
+    inter-RATER alpha: here the 'raters' are the metrics themselves
+    (per-channel engagement counts, per-dimension quality subscores).
+    ``alpha = k/(k-1) * (1 - sum_i var_i / var_total)`` with var_i the
+    population variance of item i across ALL units and var_total the
+    variance of unit totals.
+
+    Absent-cell zeros are folded in analytically (the burstiness
+    identity: with N units, ``var = s2/N - (s1/N)^2`` from the present
+    cells' sums alone) — no dense matrix, no pivot. Cell scores are
+    quantized (nudge-round 6) at assembly so both engines derive
+    variances from identical doubles. The cell aggregate is
+    localCheckpoint-pinned (item variances, unit totals and the item
+    count all derive from it). Returns one row
+    ``(k_items, n_units, sum_item_var, total_var, alpha)``; alpha NULL
+    when k < 2 or the total variance is 0 (fail-closed)."""
+    cells = (
+        df.where(
+            F.col(unit_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("__u"), F.col(item_col).alias("__i"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast("double")) + F.lit(1e-9), 6).alias(
+                "__x"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    nu = cells.select(F.count_distinct("__u").cast("double").alias("__n"))
+    items = (
+        cells.groupBy("__i")
+        .agg(F.sum("__x").alias("__s1"), F.sum(F.col("__x") * F.col("__x")).alias("__s2"))
+        .crossJoin(F.broadcast(nu))
+        .agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.sum(
+                F.col("__s2") / F.col("__n")
+                - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n"))
+            ).alias("__vi"),
+        )
+    )
+    totals = (
+        cells.groupBy("__u")
+        .agg(F.sum("__x").alias("__t"))
+        .crossJoin(F.broadcast(nu))
+        .agg(
+            F.max("__n").alias("__nn"),
+            F.sum("__t").alias("__ts1"),
+            F.sum(F.col("__t") * F.col("__t")).alias("__ts2"),
+        )
+    )
+    j = items.crossJoin(F.broadcast(totals))
+    kd = F.col("__k").cast("double")
+    vt = F.col("__ts2") / F.col("__nn") - (F.col("__ts1") / F.col("__nn")) * (
+        F.col("__ts1") / F.col("__nn")
+    )
+    alpha = F.when(
+        (F.col("__k") >= 2) & (vt > 0),
+        kd / (kd - 1.0) * (1.0 - F.col("__vi") / vt),
+    )
+    return j.select(
+        F.col("__k").cast("long").alias("k_items"),
+        F.col("__nn").cast("long").alias("n_units"),
+        F.round(F.col("__vi") + F.lit(1e-9), 6).alias("sum_item_var"),
+        F.round(vt + F.lit(1e-9), 6).alias("total_var"),
+        F.round(alpha + F.lit(1e-9), 6).alias("alpha"),
+    )
+
+
 def cuped_adjusted_means(
     df: DataFrame,
     group_col: str,

@@ -447,6 +447,90 @@ def ph_from_buckets(
     )
 
 
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key Mann-Kendall trend test over the bucketed series: is
+    there a MONOTONIC trend at all? The significance companion to
+    :func:`theil_sen_trend`'s slope estimate (same bucket grid, same
+    pair set): ``S = sum_{i<j} sign(v_j - v_i)`` with the tie-corrected
+    ``Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18`` and the
+    continuity-corrected ``z = (S -+ 1)/sqrt(Var)`` (Mann 1945; Kendall
+    1975; the standard environmental/KPI trend screen).
+
+    S and the tie terms are exact integers (bucket means are quantized
+    before pairing, so sign() decisions are cross-engine identical);
+    z is the only float. Returns ``(key, n_buckets, s, var_s, z)`` with
+    NULL z when Var <= 0 (under 2 buckets, or all buckets tied).
+
+    Scale shape: the theil_sen contract — pair work is O(B^2) per key
+    over the BUCKET GRID (B fixed by retention, not row count), one
+    bucket aggregate over the corpus. The bucket table is
+    localCheckpoint-pinned (pair join, tie counts and bucket counts all
+    derive from it)."""
+    b = (
+        _bucket_agg(
+            df.where(F.col(value_col).isNotNull()),
+            key_col, ts_col, value_col, step_seconds, "avg",
+        )
+        .select(
+            "__k",
+            (F.unix_timestamp("__h") / step_seconds).cast("long").alias("__x"),
+            F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, c = b.alias("a"), b.alias("c")
+    s = (
+        a.join(
+            c,
+            (F.col("a.__k") == F.col("c.__k")) & (F.col("a.__x") < F.col("c.__x")),
+        )
+        .groupBy(F.col("a.__k").alias("__k"))
+        .agg(
+            F.sum(
+                F.when(F.col("c.__v") > F.col("a.__v"), 1)
+                .when(F.col("c.__v") < F.col("a.__v"), -1)
+                .otherwise(0)
+            ).alias("__s")
+        )
+    )
+    ties = (
+        b.groupBy("__k", "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("__k")
+        .agg(
+            F.sum("__t").alias("__n"),
+            F.sum(
+                F.col("__t").cast("double")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tt"),
+        )
+    )
+    j = ties.join(s, "__k", "left")
+    nd = F.col("__n").cast("double")
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - F.col("__tt")) / 18.0
+    sd = F.col("__s").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("__s") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("__s") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n_buckets"),
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("s"),
+        F.round(var_s + F.lit(1e-9), 4).alias("var_s"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     key_col: str,

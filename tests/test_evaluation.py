@@ -818,3 +818,70 @@ def test_logrank_identical_groups_zero_z(spark):
     df = spark.createDataFrame(rows, "g string, t double, e boolean")
     [r] = logrank_test(df, "g", "t", "e", "A").collect()
     assert r["z"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_randomization_test_planted_effect(spark):
+    # 10 units at y=100 in arm A vs 10 at y=0 in B: t_obs = 100, no
+    # ~50/50 pseudo-split can reproduce it -> minimal p = 1/(n_perm+1)
+    from mr_dice_spark.operators.evaluation import randomization_test
+
+    rows = [(u, "A", 100.0) for u in range(10)] + [
+        (u, "B", 0.0) for u in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "u long, c string, v double")
+    [r] = randomization_test(df, "u", "c", "v", "A", n_perm=99, seed="t").collect()
+    assert (r["n_units"], r["n_a"], r["n_b"]) == (20, 10, 10)
+    assert r["t_obs"] == pytest.approx(100.0, abs=1e-6)
+    assert r["n_exceed"] == 0
+    assert r["p_value"] == pytest.approx(1 / 100, abs=1e-6)
+
+
+def test_randomization_test_null_contract_and_validation(spark):
+    from mr_dice_spark.operators.evaluation import randomization_test
+
+    rows = [(1, "B", 1.0), (2, "B", 2.0)]
+    df = spark.createDataFrame(rows, "u long, c string, v double")
+    [r] = randomization_test(df, "u", "c", "v", "A", n_perm=9).collect()
+    assert r["n_a"] == 0 and r["t_obs"] is None and r["p_value"] is None
+    with pytest.raises(ValueError):
+        randomization_test(df, "u", "c", "v", "A", n_perm=0)
+
+
+def test_cronbach_alpha_hand_values(spark):
+    # perfectly correlated items -> alpha = 1; absent-cell example:
+    # var_i = [0, 1/4], vt = 1/4 -> alpha = 2*(1 - (1/4)/(1/4))... the
+    # item variances sum to vt exactly -> alpha = 0
+    from mr_dice_spark.operators.evaluation import cronbach_alpha
+
+    perf = spark.createDataFrame(
+        [(u, i, float(u)) for u in (1, 2, 3) for i in ("a", "b")],
+        "u long, i string, v double",
+    )
+    [r] = cronbach_alpha(perf, "u", "i", "v").collect()
+    assert (r["k_items"], r["n_units"]) == (2, 3)
+    assert r["alpha"] == pytest.approx(1.0, abs=1e-6)
+    sparse = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (2, "b", 1.0)],
+        "u long, i string, v double",
+    )
+    [r] = cronbach_alpha(sparse, "u", "i", "v").collect()
+    assert r["alpha"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cronbach_alpha_null_contracts(spark):
+    # one item -> k < 2 -> NULL; anti-correlated items with constant
+    # totals -> vt = 0 -> NULL
+    from mr_dice_spark.operators.evaluation import cronbach_alpha
+
+    one = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "u long, i string, v double"
+    )
+    [r] = cronbach_alpha(one, "u", "i", "v").collect()
+    assert r["alpha"] is None
+    anti = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 3.0), (2, "a", 2.0), (2, "b", 2.0),
+         (3, "a", 3.0), (3, "b", 1.0)],
+        "u long, i string, v double",
+    )
+    [r] = cronbach_alpha(anti, "u", "i", "v").collect()
+    assert r["total_var"] == pytest.approx(0.0, abs=1e-6) and r["alpha"] is None

@@ -1521,3 +1521,37 @@ def test_logrank_prefix_pass_no_rescan_single_window(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_mann_kendall_pinned_buckets_no_rescan(spark, sf_dir):
+    """Pair join, tie counts and bucket counts all derive from the
+    pinned bucket table (theil_sen's O(B^2)-bounded pair set): no
+    residual parquet scan, no cartesian, no window."""
+    df = GOLDEN["mann_kendall_trend_hourly"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_randomization_test_explode_on_reduced_frame(spark, sf_dir):
+    """The 199-replicate explode runs on the pinned per-UNIT frame
+    (units x n_perm rows), never the corpus: no residual parquet scan,
+    exactly one Generate, no cartesian (the 1-row combines are
+    broadcasts)."""
+    df = GOLDEN["randomization_test_user_value"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert plan.count("Generate") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cronbach_pinned_cells_no_rescan(spark, sf_dir):
+    """Item variances, unit totals and the item count all derive from
+    the pinned (unit, item) cell aggregate: no residual parquet scan,
+    no window, no cartesian."""
+    df = GOLDEN["cronbach_alpha_user_engagement"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

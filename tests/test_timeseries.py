@@ -581,3 +581,31 @@ def test_seasonal_decompose_gap_yields_null_trend_not_bias(spark):
         [0.0, 5.0, 0.0, -5.0], abs=1e-6
     )
     assert sum(got[p]["n_obs"] for p in range(4)) < 16
+
+
+def test_mann_kendall_hand_values(spark):
+    # strictly increasing 4 buckets: S=6, no ties -> Var = 4*3*13/18,
+    # z = (6-1)/sqrt(Var); mirrored decreasing -> S=-6, z negated;
+    # constant -> Var=0 -> NULL z (fail-closed)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.timeseries import mann_kendall_trend
+
+    rows = (
+        [("up", t, float(t + 1)) for t in range(4)]
+        + [("dn", t, float(4 - t)) for t in range(4)]
+        + [("fl", t, 5.0) for t in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = {r["k"]: r for r in
+           mann_kendall_trend(df, "k", "ts", "v", step_seconds=1).collect()}
+    var = 4 * 3 * 13 / 18
+    assert got["up"]["s"] == 6 and got["dn"]["s"] == -6
+    assert got["up"]["z"] == pytest.approx(5 / math.sqrt(var), abs=1e-6)
+    assert got["dn"]["z"] == pytest.approx(-5 / math.sqrt(var), abs=1e-6)
+    assert got["fl"]["s"] == 0 and got["fl"]["z"] is None
+    assert got["fl"]["var_s"] == pytest.approx(0.0, abs=1e-4)
