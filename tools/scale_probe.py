@@ -180,6 +180,57 @@ PROBES = [
     "approx_distinct_audit_daily",
     "kll_quantiles_audit_global",
     "exact_repeated_spans_documents",
+    # round-7 operators. Bucket-grid detectors (page_hinkley, seasonal
+    # decompose, mann_kendall, cross_correlation, seasonal_naive,
+    # pinball) keep a CONSTANT bucket table under replication — replicas
+    # share the fixture's time span — so their probe measures the one
+    # corpus-sized bucket aggregate plus a fixed-size tail; graph probes
+    # (adamic_adar, clustering_coefficient, degree_assortativity) carry
+    # the triangle_counts density caveat on the default fixture (use
+    # --sparse for the honest exponent); ahash/png decode shapes were
+    # probed via the jpeg twins.
+    "adamic_adar_link_prediction",
+    "anova_value_by_type",
+    "average_precision_value_by_type",
+    "brier_decomposition_events",
+    "brown_forsythe_value_by_type",
+    "clustering_coefficient_copurchase",
+    "cochran_armitage_purchase_by_weekday",
+    "cronbach_alpha_user_engagement",
+    "cross_correlation_purchase_view",
+    "decile_lift_value_by_type",
+    "degree_assortativity_copurchase",
+    "distinct_ngram_diversity_by_lang",
+    "eb_shrunk_return_rates_brand",
+    "jackknife_value_ci_by_type",
+    "jarque_bera_value_by_type",
+    "js_divergence_purchase_values",
+    "kendall_tau_weekday_value_band",
+    "kruskal_wallis_value_by_type",
+    "logrank_time_to_purchase_arms",
+    "mann_kendall_trend_hourly",
+    "mann_whitney_purchase_by_weekday",
+    "mcnemar_model_compare",
+    "ndcg_user_ranking_by_type",
+    "page_hinkley_drift_daily",
+    "pinball_loss_seasonal_naive",
+    "png_decode_ahash_dedup",
+    "post_stratified_effect_weekday",
+    "randomization_test_user_value",
+    "rbo_value_vs_count_leaderboards",
+    "readability_flesch_documents",
+    "retrieval_eval_purchase_topk",
+    "seasonal_decompose_daily_cycle",
+    "seasonal_naive_backtest_hourly",
+    "simpson_lang_diversity_by_source",
+    "sprt_high_value_rate_monitor",
+    "streaming_js_divergence",
+    "streaming_page_hinkley",
+    "term_burstiness_documents",
+    "two_proportion_z_conversion",
+    "unigram_kl_by_lang",
+    "vocab_richness_documents",
+    "wilson_ci_high_value_rate",
 ]
 
 
