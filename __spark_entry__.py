@@ -172,7 +172,9 @@ _CHECK_FIRST = [
     # mann_kendall_trend_hourly (monotonic-trend S/z beside theil_sen),
     # randomization_test_user_value (199 portable-hash pseudo-assignments,
     # add-one Monte-Carlo p, no distribution functions),
-    # cronbach_alpha_user_engagement (internal-consistency reliability).
+    # cronbach_alpha_user_engagement (internal-consistency reliability),
+    # weighted_median_price_by_flag (weighted lower percentile: the
+    # median UNIT, not the median row).
 ]
 
 

@@ -1521,6 +1521,55 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+WEIGHTED_MEDIAN_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-9, 6) AS w
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_quantity > 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, n,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM cells
+),
+gated AS (
+  SELECT g, v, n, cw, MAX(cw) OVER (PARTITION BY g) AS tw FROM cum
+)
+SELECT g AS l_returnflag,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       ROUND(MAX(tw) + 1e-9, 6) AS total_weight,
+       MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS wpct
+FROM gated GROUP BY g ORDER BY l_returnflag
+"""
+
+
+@golden(
+    "weighted_median_price_by_flag",
+    WEIGHTED_MEDIAN_ORACLE,
+    tags=("robust", "weighted-median", "percentile", "olap"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — 'the
+    price at which half the QUANTITY trades', vs percentile()'s median
+    ROW; the distinction that matters whenever row sizes vary (every
+    document corpus weighted by tokens). Lower-percentile convention
+    keeps the answer an actual data value; the gating total is read
+    from the SAME cumulative accumulation on both engines, so the
+    threshold compare cannot flip on a separately-summed total's last
+    ulp."""
+    from mr_dice_spark.operators.robust import weighted_percentile
+
+    _utc(spark)
+    li = Catalog(spark, sf_dir).lineitem
+    return weighted_percentile(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", p=0.5
+    ).orderBy("l_returnflag")
+
+
 RULES_ORACLE = """
 WITH e AS MATERIALIZED (
   SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

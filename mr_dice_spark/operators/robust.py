@@ -23,7 +23,7 @@ are the exact small-group-count regime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # the classic consistency constant: MAD * 1/Phi^-1(3/4) estimates sigma
@@ -59,6 +59,85 @@ def winsorize(
         .alias("value_wins"),
         F.coalesce(v < F.col("__lo"), F.lit(False)).alias("clipped_low"),
         F.coalesce(v > F.col("__hi"), F.lit(False)).alias("clipped_high"),
+    )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    p: float = 0.5,
+) -> DataFrame:
+    """Per-group weighted lower percentile: the smallest value whose
+    cumulative weight reaches ``p`` of the group's total — the
+    quantity-weighted median (p=0.5) and friends. ``percentile()``
+    answers "the median ROW"; this answers "the median UNIT" (the price
+    at which half the QUANTITY trades, the quality score of the median
+    TOKEN) — the distinction that matters whenever row sizes vary by
+    orders of magnitude, which is every document corpus.
+
+    The lower (no-interpolation) convention keeps the result an actual
+    data value. Cross-engine contract: per-(group, value) weight cells
+    are quantized (nudge-round 6), the cumulative weight is an ordered
+    window sum over them (identical accumulation order both engines),
+    and the group total is read as the LAST cumulative value from the
+    same window — never a separately-summed total whose addition order
+    could differ in the last ulp from the running sum it gates. Rows
+    with NULL or non-positive weight are excluded (a zero-weight row
+    must not become the answer).
+
+    Scale shape: one (group, value) hash aggregate with map-side
+    combine, one group-partitioned cumulative window over the DISTINCT
+    values, one min-reduce. Returns ``(group, n_rows, total_weight,
+    wpct)``; NULL wpct for groups with zero total weight."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"weighted_percentile: need 0 < p <= 1, got {p}")
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    cells = (
+        df.where(
+            F.col(group_col).isNotNull() & v.isNotNull() & w.isNotNull() & (w > 0)
+        )
+        .groupBy(F.col(group_col).alias("__g"), v.alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.sum(w) + F.lit(1e-9), 6).alias("__w"),
+        )
+    )
+    run = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "__g", "__v", "__n", F.sum("__w").over(run).alias("__cw")
+    )
+    # weights are strictly positive, so the running sum is monotone and
+    # its group MAX is bit-identical to its last value — the total that
+    # gates the comparison is read from the SAME accumulation, never a
+    # separately-ordered sum whose addition order could differ
+    gated = cum.select(
+        "__g", "__v", "__n", "__cw",
+        F.max("__cw").over(Window.partitionBy("__g")).alias("__tw"),
+    )
+    return (
+        gated.groupBy("__g")
+        .agg(
+            F.sum("__n").alias("__rows"),
+            F.max("__tw").alias("__total"),
+            F.min(
+                F.when(
+                    F.col("__cw") >= F.lit(float(p)) * F.col("__tw"), F.col("__v")
+                )
+            ).alias("__p"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__rows").cast("long").alias("n_rows"),
+            F.round(F.col("__total") + F.lit(1e-9), 6).alias("total_weight"),
+            F.col("__p").alias("wpct"),
+        )
     )
 
 

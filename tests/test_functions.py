@@ -1483,3 +1483,33 @@ def test_unigram_kl_identical_distribution_is_zero(spark):
     got = {r["g"]: r["kl_bits"] for r in unigram_kl_by_group(df, "g", "text").collect()}
     assert got["a"] == pytest.approx(0.0, abs=1e-9)
     assert got["b"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_weighted_percentile_hand_values(spark):
+    # values 1,2,3 with weights 1,1,6: total 8, half 4 -> cumw hits 4
+    # first at v=3 (lower weighted median); the UNWEIGHTED median row
+    # would be 2 — the distinction under test
+    from mr_dice_spark.operators.robust import weighted_percentile
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    [r] = weighted_percentile(df, "g", "v", "w", p=0.5).collect()
+    assert (r["n_rows"], r["total_weight"]) == (3, 8.0)
+    assert r["wpct"] == 3.0
+    # p=0.25 -> threshold 2: cumw 1,2,8 -> first >= 2 at v=2
+    [r] = weighted_percentile(df, "g", "v", "w", p=0.25).collect()
+    assert r["wpct"] == 2.0
+
+
+def test_weighted_percentile_excludes_nonpositive_and_validates(spark):
+    # zero/negative/NULL weights never become the answer; p out of
+    # range raises
+    from mr_dice_spark.operators.robust import weighted_percentile
+
+    rows = [("g", 1.0, 0.0), ("g", 2.0, -3.0), ("g", 3.0, None),
+            ("g", 4.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    [r] = weighted_percentile(df, "g", "v", "w", p=0.5).collect()
+    assert (r["n_rows"], r["wpct"]) == (1, 4.0)
+    with pytest.raises(ValueError):
+        weighted_percentile(df, "g", "v", "w", p=0.0)

@@ -1555,3 +1555,14 @@ def test_cronbach_pinned_cells_no_rescan(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_percentile_single_scan_partitioned_windows(spark, sf_dir):
+    """One parquet scan into the (group, value) cell aggregate; the
+    cumulative and the gating-total windows are both group-partitioned
+    (no single-partition exchange), zero joins."""
+    df = GOLDEN["weighted_median_price_by_flag"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
