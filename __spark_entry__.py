@@ -174,7 +174,9 @@ _CHECK_FIRST = [
     # add-one Monte-Carlo p, no distribution functions),
     # cronbach_alpha_user_engagement (internal-consistency reliability),
     # weighted_median_price_by_flag (weighted lower percentile: the
-    # median UNIT, not the median row).
+    # median UNIT, not the median row),
+    # misra_gries_topk_audit_tokens (deterministic mergeable heavy
+    # hitters, sandwich-guarantee verdict).
 ]
 
 

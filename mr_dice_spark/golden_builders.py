@@ -1521,6 +1521,39 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+MISRA_GRIES_AUDIT_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+),
+c AS (SELECT t, COUNT(*) AS n FROM toks WHERE t <> '' GROUP BY t)
+SELECT t AS token, CAST(n AS BIGINT) AS exact_count, true AS within_bound
+FROM c ORDER BY n DESC, t ASC LIMIT 10
+"""
+
+
+@golden(
+    "misra_gries_topk_audit_tokens",
+    MISRA_GRIES_AUDIT_ORACLE,
+    tags=("sketch", "misra-gries", "heavy-hitters", "audit"),
+)
+def misra_gries_topk_audit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-guarantee audit of the Misra-Gries summary
+    (m=256) over document tokens: the exact top-10 tokens carry their
+    exact counts plus the sandwich verdict ``exact - N/257 <= est <=
+    exact`` — the approx_distinct_audit pattern for the one sketch
+    whose bound is DETERMINISTIC (no collisions, no failure
+    probability). Estimates vary with partitioning by nature and stay
+    out of the output; the guarantee is what the oracle hash-checks."""
+    from mr_dice_spark.operators.sketch import misra_gries_topk_audit
+
+    _utc(spark)
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return misra_gries_topk_audit(toks, "token", m=256, k=10)
+
+
 WEIGHTED_MEDIAN_ORACLE = """
 WITH cells AS (
   SELECT l_returnflag AS g, l_extendedprice AS v,

@@ -244,3 +244,93 @@ def kll_quantiles_rollup(
         for q, name in zip(qs, names)
     ]
     return merged.select(*rollup_cols, *qcols)
+
+
+def misra_gries_summary(df: DataFrame, col: str, m: int = 256) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries, merged by
+    summation: the classic DETERMINISTIC mergeable heavy-hitters
+    summary (Misra & Gries 1982; mergeability per Agarwal et al.
+    PODS'12) beside the probabilistic count-min path. Each partition
+    keeps at most ``m`` counters (the m-way generalization of
+    Boyer-Moore majority voting: absent keys decrement all counters);
+    the guarantee after summation-merge is
+    ``true - N/(m+1) <= est <= true`` for EVERY key — no hash
+    collisions, no failure probability, under-counts only.
+
+    Scale shape: one Arrow-batched pass (mapInPandas, O(m) state per
+    task regardless of input size or cardinality), then a key-summed
+    hash aggregate over the <= m x partitions summary rows. The output
+    is summary-sized (bounded by m x partitions), NOT the key
+    cardinality — the point of the sketch. Returns ``(col, est)`` with
+    est <= the key's true count. NULL keys are skipped (matching
+    count()'s NULL handling, the cms convention).
+
+    Which keys survive depends on partitioning (like any per-partition
+    summary), so goldens built on this follow the audit-verdict
+    pattern: the checkable claim is the GUARANTEE against exact
+    counts, not the estimates themselves."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1: {m}")
+    import pandas as pd
+
+    key_type = dict(df.dtypes)[col]
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None or v != v:  # NULL / NaN skip
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < m:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "est": list(counters.values())}
+        )
+
+    parts = df.select(col).mapInPandas(summarize, f"{col} {key_type}, est long")
+    return parts.groupBy(col).agg(F.sum("est").cast("long").alias("est"))
+
+
+def misra_gries_topk_audit(
+    df: DataFrame, col: str, m: int = 256, k: int = 10
+) -> DataFrame:
+    """Accuracy audit of :func:`misra_gries_summary` in the
+    approx_distinct_audit pattern: the exact top-``k`` keys (count
+    desc, key asc — deterministic) carry their exact counts plus the
+    verdict that the summary's estimate honors the deterministic
+    sandwich ``exact - N/(m+1) <= est <= exact`` (a key missing from
+    the summary estimates 0, which the lower bound must still cover).
+    The estimates themselves stay OUT of the output — they legitimately
+    vary with partitioning; the GUARANTEE is the invariant, so the
+    verdict rows hash-match a plain exact-count SQL oracle."""
+    summary = misra_gries_summary(df, col, m)
+    base = df.where(F.col(col).isNotNull())
+    exact = base.groupBy(col).agg(F.count(F.lit(1)).alias("exact_count"))
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    top = (
+        exact.orderBy(F.desc("exact_count"), F.asc(col))
+        .limit(k)
+        .join(summary, col, "left")
+        .crossJoin(F.broadcast(total))
+    )
+    est = F.coalesce(F.col("est"), F.lit(0))
+    bound = F.col("__n").cast("double") / float(m + 1)
+    return top.select(
+        col,
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (
+            (est <= F.col("exact_count"))
+            & (est.cast("double") >= F.col("exact_count").cast("double") - bound)
+        ).alias("within_bound"),
+    ).orderBy(F.desc("exact_count"), F.asc(col))

@@ -1513,3 +1513,56 @@ def test_weighted_percentile_excludes_nonpositive_and_validates(spark):
     assert (r["n_rows"], r["wpct"]) == (1, 4.0)
     with pytest.raises(ValueError):
         weighted_percentile(df, "g", "v", "w", p=0.0)
+
+
+def test_misra_gries_exact_when_cardinality_fits(spark):
+    # cardinality <= m: no decrement ever fires -> est == exact count
+    from mr_dice_spark.operators.sketch import misra_gries_summary
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: r["est"] for r in misra_gries_summary(df, "k", m=8).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1}
+
+
+def test_misra_gries_guarantee_under_pressure(spark):
+    # m=2 against 1 heavy key + 10 distinct singletons: the sandwich
+    # exact - N/(m+1) <= est <= exact must hold for the heavy key even
+    # though decrements fire constantly
+    from mr_dice_spark.operators.sketch import misra_gries_summary
+
+    rows = [("hot",)] * 10
+    for i in range(10):
+        rows.insert(2 * i + 1, (f"s{i}",))
+    df = spark.createDataFrame(rows, "k string").coalesce(1)
+    got = {r["k"]: r["est"] for r in misra_gries_summary(df, "k", m=2).collect()}
+    est = got.get("hot", 0)
+    assert est <= 10
+    assert est >= 10 - 20 / 3
+    with pytest.raises(ValueError):
+        misra_gries_summary(df, "k", m=0)
+
+
+def test_misra_gries_majority_survives_m1(spark):
+    # m=1 is Boyer-Moore majority voting: a strict-majority element is
+    # always in the summary
+    from mr_dice_spark.operators.sketch import misra_gries_summary
+
+    rows = [("a",), ("b",)] * 5 + [("a",)]
+    df = spark.createDataFrame(rows, "k string").coalesce(1)
+    got = {r["k"]: r["est"] for r in misra_gries_summary(df, "k", m=1).collect()}
+    assert "a" in got
+
+
+def test_misra_gries_audit_verdicts_true_under_stress(spark):
+    # tiny m over many keys: estimates are badly degraded but the
+    # deterministic sandwich STILL holds for every top key — the
+    # invariant the golden hashes
+    from mr_dice_spark.operators.sketch import misra_gries_topk_audit
+
+    rows = [(f"k{i % 37}",) for i in range(500)] + [("dom",)] * 100
+    df = spark.createDataFrame(rows, "k string")
+    out = misra_gries_topk_audit(df, "k", m=2, k=5).collect()
+    assert len(out) == 5
+    assert all(r["within_bound"] for r in out)
+    assert out[0]["k"] == "dom" and out[0]["exact_count"] == 100
