@@ -176,7 +176,8 @@ _CHECK_FIRST = [
     # weighted_median_price_by_flag (weighted lower percentile: the
     # median UNIT, not the median row),
     # misra_gries_topk_audit_tokens (deterministic mergeable heavy
-    # hitters, sandwich-guarantee verdict).
+    # hitters, sandwich-guarantee verdict),
+    # user_active_coverage (gaps-and-islands interval union length).
 ]
 
 

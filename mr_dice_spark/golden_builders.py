@@ -1521,6 +1521,69 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+INTERVAL_COVERAGE_ORACLE = """
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS DOUBLE) AS s,
+         CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS DOUBLE) AS e
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+f AS (
+  SELECT k, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY k ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308)
+              THEN 1 ELSE 0 END AS nw
+  FROM base
+),
+i AS (
+  SELECT k, s, e,
+         SUM(nw) OVER (PARTITION BY k ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+),
+pi AS (
+  SELECT k, isl, COUNT(*) AS n, MIN(s) AS lo, MAX(e) AS hi,
+         SUM(e - s) AS rawi
+  FROM i GROUP BY 1, 2
+)
+SELECT k AS user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       ROUND(SUM(hi - lo) + 1e-9, 6) AS covered,
+       ROUND(SUM(rawi) + 1e-9, 6) AS raw_length,
+       ROUND(CASE WHEN SUM(rawi) <> 0 THEN SUM(hi - lo) / SUM(rawi) END
+             + 1e-9, 6) AS overlap_ratio
+FROM pi GROUP BY k ORDER BY user_id
+"""
+
+
+@golden(
+    "user_active_coverage",
+    INTERVAL_COVERAGE_ORACLE,
+    tags=("interval", "gaps-and-islands", "coverage", "events"),
+)
+def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of each user's 5-minute activity windows: how much wall
+    time was the user ACTUALLY active, with overlapping windows counted
+    once — the double-counting raw durations always get wrong. Event
+    density scales with sf, so merging intensifies up the sweep (sparse
+    ~1 merge/user at sf0.01, heavy merging at sf0.1) — the same golden
+    exercises both regimes. All comparisons run on exact integer-second
+    epochs, so the island structure and the covered/raw sums are
+    cross-engine exact."""
+    from mr_dice_spark.operators.interval import interval_coverage
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("double").alias("s"),
+        (F.unix_timestamp("ts") + 300).cast("double").alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e").orderBy("user_id")
+
+
 MISRA_GRIES_AUDIT_ORACLE = r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents

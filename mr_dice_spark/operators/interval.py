@@ -72,3 +72,84 @@ def interval_join(
     # per unmatched point
     out = p.join(i, cond & residual, how)
     return out.drop("__pb", "__ib", *[f"__on_{k}" for k in on])
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union of overlapping/touching intervals: merged-island
+    count, total covered length, raw length and the overlap ratio — the
+    gaps-and-islands union that answers "how much time was actually
+    covered" when raw durations double-count (user activity windows,
+    audio/video segment coverage, sensor uptime). Intervals that touch
+    (next.start == prev.end) merge; zero-length intervals count toward
+    islands but add no length; rows with end < start are rejected
+    fail-fast (silently swapping ends hides upstream bugs).
+
+    Classic single-window derivation: a row starts a new island iff its
+    start exceeds the running max of all previous ends (one
+    key-partitioned ordered window), the island id is the running sum
+    of those flags (same window), and the rest is two hash aggregates.
+    All comparisons are on the raw input values — no derived floats —
+    so the island structure is cross-engine exact. Returns
+    ``(key, n_intervals, n_islands, covered, raw_length,
+    overlap_ratio)`` with covered/raw in the column's native units and
+    the ratio nudge-rounded."""
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col).cast("double"), F.col(end_col).cast("double")
+    base = df.where(
+        F.col(key_col).isNotNull() & s.isNotNull() & e.isNotNull()
+    ).select(F.col(key_col).alias("__k"), s.alias("__s"), e.alias("__e"))
+    bad = base.where(F.col("__e") < F.col("__s")).limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"interval_coverage: end < start for key {r['__k']!r} "
+            f"({r['__e']} < {r['__s']}) — fix the extraction instead of "
+            "silently swapping"
+        )
+    w = Window.partitionBy("__k").orderBy("__s", "__e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("__k").orderBy("__s", "__e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = base.select(
+        "__k", "__s", "__e",
+        F.when(
+            F.col("__s") > F.coalesce(F.max("__e").over(w), F.lit(float("-inf"))),
+            1,
+        ).otherwise(0).alias("__new"),
+    )
+    islands = flagged.select(
+        "__k", "__s", "__e", F.sum("__new").over(run).alias("__island")
+    )
+    per_island = islands.groupBy("__k", "__island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__s").alias("__lo"),
+        F.max("__e").alias("__hi"),
+        F.sum(F.col("__e") - F.col("__s")).alias("__rawi"),
+    )
+    return (
+        per_island.groupBy("__k")
+        .agg(
+            F.sum("__n").alias("__rows"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("__hi") - F.col("__lo")).alias("__cov"),
+            F.sum("__rawi").alias("__raw"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__rows").cast("long").alias("n_intervals"),
+            F.col("n_islands").cast("long").alias("n_islands"),
+            F.round(F.col("__cov") + F.lit(1e-9), 6).alias("covered"),
+            F.round(F.col("__raw") + F.lit(1e-9), 6).alias("raw_length"),
+            F.round(
+                F.try_divide(F.col("__cov"), F.col("__raw")) + F.lit(1e-9), 6
+            ).alias("overlap_ratio"),
+        )
+    )

@@ -1566,3 +1566,28 @@ def test_misra_gries_audit_verdicts_true_under_stress(spark):
     assert len(out) == 5
     assert all(r["within_bound"] for r in out)
     assert out[0]["k"] == "dom" and out[0]["exact_count"] == 100
+
+
+def test_interval_coverage_hand_values(spark):
+    # key a: [0,10] + [5,15] overlap -> one island [0,15] (covered 15,
+    # raw 20); [20,20] zero-length touches nothing -> its own island,
+    # adds no length; key b: [0,5] and [5,9] TOUCH -> merge
+    from mr_dice_spark.operators.interval import interval_coverage
+
+    rows = [("a", 0.0, 10.0), ("a", 5.0, 15.0), ("a", 20.0, 20.0),
+            ("b", 0.0, 5.0), ("b", 5.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    got = {r["k"]: r for r in interval_coverage(df, "k", "s", "e").collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_intervals"], a["n_islands"]) == (3, 2)
+    assert (a["covered"], a["raw_length"]) == (15.0, 20.0)
+    assert a["overlap_ratio"] == 0.75
+    assert (b["n_islands"], b["covered"], b["raw_length"]) == (1, 9.0, 9.0)
+
+
+def test_interval_coverage_rejects_reversed(spark):
+    from mr_dice_spark.operators.interval import interval_coverage
+
+    df = spark.createDataFrame([("a", 5.0, 1.0)], "k string, s double, e double")
+    with pytest.raises(ValueError):
+        interval_coverage(df, "k", "s", "e")

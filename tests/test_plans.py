@@ -1566,3 +1566,14 @@ def test_weighted_percentile_single_scan_partitioned_windows(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_interval_coverage_single_scan_one_window_pass(spark, sf_dir):
+    """One parquet scan; the new-island flag and the island id share
+    one key-partitioned ordered exchange; raw length folds into the
+    island aggregate so there is no second corpus branch and no join."""
+    df = GOLDEN["user_active_coverage"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
