@@ -231,6 +231,9 @@ PROBES = [
     "unigram_kl_by_lang",
     "vocab_richness_documents",
     "wilson_ci_high_value_rate",
+    "weighted_median_price_by_flag",
+    "misra_gries_topk_audit_tokens",
+    "user_active_coverage",
 ]
 
 
