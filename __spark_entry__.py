@@ -177,7 +177,8 @@ _CHECK_FIRST = [
     # median UNIT, not the median row),
     # misra_gries_topk_audit_tokens (deterministic mergeable heavy
     # hitters, sandwich-guarantee verdict),
-    # user_active_coverage (gaps-and-islands interval union length).
+    # user_active_coverage (gaps-and-islands interval union length),
+    # correlation_matrix_lineitem (one-pass pairwise Pearson screen).
 ]
 
 

@@ -1521,6 +1521,72 @@ def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
 
+CORR_MATRIX_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS q,
+         CAST(l_extendedprice AS DOUBLE) AS p,
+         CAST(l_discount AS DOUBLE) AS d,
+         CAST(l_tax AS DOUBLE) AS t
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         var_pop(q) AS vq, var_pop(p) AS vp,
+         var_pop(d) AS vd, var_pop(t) AS vt,
+         covar_pop(q, p) AS cqp, covar_pop(q, d) AS cqd,
+         covar_pop(q, t) AS cqt, covar_pop(p, d) AS cpd,
+         covar_pop(p, t) AS cpt, covar_pop(d, t) AS cdt
+  FROM base
+)
+SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+       ROUND(r + 1e-9, 6) + 0.0 AS r
+FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+         CASE WHEN vq * vp > 0 THEN cqp / SQRT(vq * vp) END AS r FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n,
+         CASE WHEN vq * vd > 0 THEN cqd / SQRT(vq * vd) END FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', n,
+         CASE WHEN vq * vt > 0 THEN cqt / SQRT(vq * vt) END FROM m
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', n,
+         CASE WHEN vp * vd > 0 THEN cpd / SQRT(vp * vd) END FROM m
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax', n,
+         CASE WHEN vp * vt > 0 THEN cpt / SQRT(vp * vt) END FROM m
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', n,
+         CASE WHEN vd * vt > 0 THEN cdt / SQRT(vd * vt) END FROM m
+)
+ORDER BY col_a, col_b
+"""
+
+
+@golden(
+    "correlation_matrix_lineitem",
+    CORR_MATRIX_ORACLE,
+    tags=("profile", "correlation", "collinearity", "olap"),
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over the four lineitem numerics in ONE
+    aggregate pass (per-pair corr() calls would be six corpus scans) —
+    the collinearity screen a feature/quality-signal battery needs
+    before anything downstream trusts the signals as independent.
+    Complete-case semantics: every pair computed over the SAME row set
+    (pairwise deletion makes the entries incomparable; the operator
+    refuses to produce that)."""
+    from mr_dice_spark.operators.profile import correlation_matrix
+
+    _utc(spark)
+    li = Catalog(spark, sf_dir).lineitem
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
 INTERVAL_COVERAGE_ORACLE = """
 WITH base AS (
   SELECT user_id AS k,

@@ -1150,3 +1150,65 @@ def simpson_diversity(
             "effective_labels"
         ),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` in ONE aggregate
+    pass: the profile-stage collinearity screen (redundant quality
+    signals, leaking features) that calling ``corr()`` per pair turns
+    into d^2/2 separate corpus scans. Rows with a NULL in ANY listed
+    column are excluded first, so every pair is computed over the SAME
+    row set — pairwise-deletion correlations are not comparable to each
+    other and this operator refuses to produce them.
+
+    One hash-free global aggregate emits the d means, d^2 centered
+    product sums come from the same pass via ``covar_pop``/``var_pop``
+    conditional expressions; the d x d result assembles driver-side
+    from that single row (d^2 literals — d is a column list, never data-
+    sized). ``r = try_divide(covar_pop(a, b), sqrt(var_pop(a) *
+    var_pop(b)))`` (the ANSI-safe zero-variance form: constant columns
+    yield NULL r, fail-closed). Returns upper-triangle rows
+    ``(col_a, col_b, n, r)`` with col_a < col_b in the given order.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols!r}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols!r}")
+    base = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.var_pop(F.col(a)).alias(f"__v_{i}"))
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.covar_pop(F.col(a), F.col(cols[j])).alias(f"__c_{i}_{j}")
+            )
+    row = base.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.col("__n").cast("long").alias("n"),
+                    (
+                        F.round(
+                            F.try_divide(
+                                F.col(f"__c_{i}_{j}"),
+                                F.sqrt(F.col(f"__v_{i}") * F.col(f"__v_{j}")),
+                            )
+                            + F.lit(1e-9),
+                            6,
+                        )
+                        # -0 normalization: a tiny negative r rounds to
+                        # -0.0 and hash-compares as '-0' vs '0' (the
+                        # community-modularity lesson)
+                        + F.lit(0.0)
+                    ).alias("r"),
+                )
+            )
+    return row.select(
+        F.explode(F.array(*pairs)).alias("__p")
+    ).select("__p.col_a", "__p.col_b", "__p.n", "__p.r")

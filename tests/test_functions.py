@@ -1591,3 +1591,25 @@ def test_interval_coverage_rejects_reversed(spark):
     df = spark.createDataFrame([("a", 5.0, 1.0)], "k string, s double, e double")
     with pytest.raises(ValueError):
         interval_coverage(df, "k", "s", "e")
+
+
+def test_correlation_matrix_hand_values(spark):
+    # y = 2x exactly -> r(x,y) = 1; z anti-tracks x -> r(x,z) = -1;
+    # constant column -> NULL r (fail-closed); complete-case: the row
+    # with NULL z is excluded from EVERY pair (n = 3 everywhere)
+    from mr_dice_spark.operators.profile import correlation_matrix
+
+    rows = [(1.0, 2.0, 3.0, 7.0), (2.0, 4.0, 2.0, 7.0),
+            (3.0, 6.0, 1.0, 7.0), (4.0, 8.0, None, 7.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    got = {(r["col_a"], r["col_b"]): r
+           for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert len(got) == 6
+    assert all(r["n"] == 3 for r in got.values())
+    assert got[("x", "y")]["r"] == pytest.approx(1.0, abs=1e-6)
+    assert got[("x", "z")]["r"] == pytest.approx(-1.0, abs=1e-6)
+    assert got[("x", "c")]["r"] is None
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x", "x"])

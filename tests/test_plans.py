@@ -1577,3 +1577,14 @@ def test_interval_coverage_single_scan_one_window_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_correlation_matrix_one_pass(spark, sf_dir):
+    """All d^2 moments come from ONE aggregate over ONE scan (per-pair
+    corr() calls would be six scans): single parquet scan, no join, no
+    window; the pair assembly is a literal-array explode."""
+    df = GOLDEN["correlation_matrix_lineitem"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
