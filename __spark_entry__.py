@@ -136,9 +136,10 @@ _CHECK_FIRST = [
     "ndcg_user_ranking_by_type",      # NDCG@10 ranking quality
     # ROUND-8 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, swept hash-exact at all three scales
-    # on landing) — lead the round-8 rotation with them, then the 35
-    # r2-only re-verification rows the age badge now mandates
-    # (1 flagship + 4 queue + 35 r2 = 40, ten slots spare):
+    # on landing) — lead the round-8 rotation with all 33 of them
+    # (1 flagship + 33 queue = 34, leaving 16 slots for the oldest of
+    # the 35 r2-only re-verification rows the age badge mandates; the
+    # r2 backlog then drains across rounds 8-9):
     # vocab_richness_documents (Chao1 + Good-Turing coverage),
     # simpson_lang_diversity_by_source (Simpson/effective labels),
     # eb_shrunk_return_rates_brand (empirical-Bayes shrinkage),
