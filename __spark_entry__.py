@@ -179,7 +179,9 @@ _CHECK_FIRST = [
     # misra_gries_topk_audit_tokens (deterministic mergeable heavy
     # hitters, sandwich-guarantee verdict),
     # user_active_coverage (gaps-and-islands interval union length),
-    # correlation_matrix_lineitem (one-pass pairwise Pearson screen).
+    # correlation_matrix_lineitem (one-pass pairwise Pearson screen),
+    # hodges_lehmann_weekend_shift (robust shift size beside Mann-Whitney),
+    # covariate_balance_experiment_arms (SMD balance table beside SRM).
 ]
 
 

@@ -1584,6 +1584,154 @@ def cronbach_alpha_user_engagement(spark: SparkSession, sf_dir: str) -> DataFram
     return cronbach_alpha(ev, "user_id", "event_type", "one")
 
 
+HL_SHIFT_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         ROUND(AVG(value) + 1e-9, 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cl AS (
+  SELECT k, (d % 7) IN (2, 3) AS a, v FROM b
+),
+counts AS (
+  SELECT k, count_if(a) AS na, count_if(NOT a) AS nb FROM cl GROUP BY k
+),
+diffs AS (
+  SELECT x.k, x.v - y.v AS dd
+  FROM cl x JOIN cl y ON x.k = y.k AND x.a AND NOT y.a
+),
+hl AS (
+  SELECT k, COUNT(*) AS np,
+         ROUND(quantile_cont(dd, 0.5) + 1e-9, 6) AS h
+  FROM diffs GROUP BY k
+)
+SELECT counts.k AS event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+       h AS hl_shift
+FROM counts LEFT JOIN hl ON hl.k = counts.k
+ORDER BY event_type
+"""
+
+
+@golden(
+    "hodges_lehmann_weekend_shift",
+    HL_SHIFT_ORACLE,
+    tags=("evaluation", "hodges-lehmann", "robust", "events"),
+)
+def hodges_lehmann_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann weekend-vs-weekday shift of each event type's
+    DAILY mean value: the robust 'how big is the shift' beside the
+    Mann-Whitney 'is there one'. Fed the REDUCED daily-bucket frame
+    (the operator's theil_sen-style contract: pair work is |A| x |B|
+    per key over what the caller supplies — ~8 x 22 here, never raw
+    events). Weekend = epoch-day % 7 in (2, 3) (day 0 = Thursday)."""
+    from mr_dice_spark.operators.evaluation import hodges_lehmann_shift
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(F.col("value").isNotNull())
+    b = (
+        ev.groupBy(
+            F.col("event_type").alias("k"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(_r(F.avg("value"), 6).alias("v"))
+        .select("k", (F.col("d") % 7).isin(2, 3).alias("a"), "v")
+    )
+    return hodges_lehmann_shift(b, "k", "a", "v", True).withColumnRenamed(
+        "k", "event_type"
+    ).orderBy("event_type")
+
+
+SMD_BALANCE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+         ROUND(COUNT(*) + 1e-9, 6) AS n_events,
+         ROUND(AVG(value) + 1e-9, 6) AS avg_value,
+         ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+               + 1e-9, 6) AS purchase_share
+  FROM events
+  WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+m AS (
+  SELECT count_if(a = 1) AS na, count_if(a = 0) AS nb,
+         AVG(CASE WHEN a = 1 THEN n_events END) AS ma1,
+         AVG(CASE WHEN a = 0 THEN n_events END) AS mb1,
+         var_pop(CASE WHEN a = 1 THEN n_events END) AS va1,
+         var_pop(CASE WHEN a = 0 THEN n_events END) AS vb1,
+         AVG(CASE WHEN a = 1 THEN avg_value END) AS ma2,
+         AVG(CASE WHEN a = 0 THEN avg_value END) AS mb2,
+         var_pop(CASE WHEN a = 1 THEN avg_value END) AS va2,
+         var_pop(CASE WHEN a = 0 THEN avg_value END) AS vb2,
+         AVG(CASE WHEN a = 1 THEN purchase_share END) AS ma3,
+         AVG(CASE WHEN a = 0 THEN purchase_share END) AS mb3,
+         var_pop(CASE WHEN a = 1 THEN purchase_share END) AS va3,
+         var_pop(CASE WHEN a = 0 THEN purchase_share END) AS vb3
+  FROM per_user
+),
+rows_out AS (
+  SELECT 'n_events' AS covariate, na, nb, ma1 AS ma, mb1 AS mb,
+         va1 AS va, vb1 AS vb FROM m
+  UNION ALL
+  SELECT 'avg_value', na, nb, ma2, mb2, va2, vb2 FROM m
+  UNION ALL
+  SELECT 'purchase_share', na, nb, ma3, mb3, va3, vb3 FROM m
+)
+SELECT covariate, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma + 1e-9, 6) AS mean_a, ROUND(mb + 1e-9, 6) AS mean_b,
+       CASE WHEN (va + vb) / 2.0 > 0
+            THEN ROUND((ma - mb) / SQRT((va + vb) / 2.0) + 1e-9, 6) + 0.0
+       END AS smd,
+       COALESCE(ABS(CASE WHEN (va + vb) / 2.0 > 0
+                    THEN ROUND((ma - mb) / SQRT((va + vb) / 2.0) + 1e-9, 6)
+                         + 0.0 END) < 0.1, false) AS balanced
+FROM rows_out ORDER BY covariate
+"""
+
+
+@golden(
+    "covariate_balance_experiment_arms",
+    SMD_BALANCE_ORACLE,
+    tags=("evaluation", "experiment", "balance", "smd"),
+)
+def covariate_balance_experiment_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standardized-mean-difference balance table for the even/odd user
+    arms over three per-user covariates (event count, mean value,
+    purchase share) — the covariate screen run BEFORE trusting any A/B
+    readout, beside srm_check's count-level gate. Honest small-n
+    readout: at 150 users the 0.1 rule-of-thumb flags pure sampling
+    noise (SE(SMD) ~ sqrt(4/n) ~ 0.16 here, so |SMD| ~ 0.2-0.35 rows
+    read 'false'); at sf0.1's 1500 users two of three covariates clear
+    it — which is exactly the lesson the threshold teaches about
+    underpowered balance checks. The caller supplies the unit-level
+    covariate frame; the operator's conditional-moment aggregate emits
+    all arms x covariates from one reduce."""
+    from mr_dice_spark.operators.evaluation import covariate_balance_smd
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        _r(F.count(F.lit(1)).cast("double"), 6).alias("n_events"),
+        _r(F.avg("value"), 6).alias("avg_value"),
+        _r(
+            F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)),
+            6,
+        ).alias("purchase_share"),
+    ).select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("arm"),
+        "n_events", "avg_value", "purchase_share",
+    )
+    return covariate_balance_smd(
+        per_user, "user_id", "arm",
+        ["n_events", "avg_value", "purchase_share"], True,
+    ).orderBy("covariate")
+
+
 CUPED_ORACLE = """
 WITH units AS MATERIALIZED (
   SELECT user_id % 2 AS grp,

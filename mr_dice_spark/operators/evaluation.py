@@ -937,6 +937,135 @@ def cronbach_alpha(
     )
 
 
+def hodges_lehmann_shift(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+) -> DataFrame:
+    """Per-key Hodges-Lehmann shift estimate: the MEDIAN of all
+    pairwise differences ``a_i - b_j`` between the two classes — the
+    location estimator associated with the Mann-Whitney test (same
+    module), answering "HOW BIG is the shift" where U answers "is
+    there one", with a 29% breakdown point where the difference of
+    means has zero.
+
+    Scale contract (the theil_sen rule): pair work is |A| x |B| PER
+    KEY over the rows given, so callers feed REDUCED frames — bucket
+    means, per-unit aggregates — not raw events; the operator
+    quantizes values (nudge-round 6) before differencing so both
+    engines pair identical doubles, and the median is the exact
+    interpolated percentile. Returns ``(key, n_a, n_b, n_pairs,
+    hl_shift)``; NULL when either class is empty."""
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(key_col).isNotNull() & F.col(class_col).isNotNull() & v.isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.round(v + F.lit(1e-9), 6).alias("__v"),
+    ).localCheckpoint(eager=True)
+    a = base.where(F.col("__a")).select("__k", F.col("__v").alias("__va"))
+    b = base.where(~F.col("__a")).select("__k", F.col("__v").alias("__vb"))
+    diffs = a.join(b, "__k").select(
+        "__k", (F.col("__va") - F.col("__vb")).alias("__d")
+    )
+    counts = base.groupBy("__k").agg(
+        F.count_if(F.col("__a")).alias("n_a"),
+        F.count_if(~F.col("__a")).alias("n_b"),
+    )
+    hl = diffs.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("__d", 0.5) + F.lit(1e-9), 6).alias("hl_shift"),
+    )
+    return counts.join(hl, "__k", "left").select(
+        F.col("__k").alias(key_col),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "hl_shift",
+    )
+
+
+def covariate_balance_smd(
+    df: DataFrame,
+    unit_col: str,
+    class_col: str,
+    covariate_cols: list[str],
+    class_a,
+) -> DataFrame:
+    """Standardized-mean-difference balance table for an experiment's
+    two arms: per covariate, ``smd = (mean_A - mean_B) /
+    sqrt((var_A + var_B) / 2)`` over per-UNIT values, plus the |SMD| <
+    0.1 balance verdict (the covariate-balance screen run BEFORE
+    trusting any A/B readout — an imbalanced covariate is how a
+    'significant' result turns out to be a cohort artifact; companion
+    to srm_check's count-level gate).
+
+    Units aggregate first (per-unit covariate means), then ONE
+    conditional-moment aggregate emits both arms' means/variances for
+    every covariate — one corpus scan, one unit-sized reduce. NULL smd
+    when both arm variances are 0 (constant covariate, fail-closed).
+    Returns one row per covariate: ``(covariate, n_a, n_b, mean_a,
+    mean_b, smd, balanced)``."""
+    if not covariate_cols:
+        raise ValueError("need >= 1 covariate column")
+    units = (
+        df.where(F.col(unit_col).isNotNull() & F.col(class_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.max((F.col(class_col) == F.lit(class_a)).cast("int")).alias("__a"),
+            *[
+                F.round(
+                    F.avg(F.col(c).cast("double")) + F.lit(1e-9), 6
+                ).alias(f"__c_{i}")
+                for i, c in enumerate(covariate_cols)
+            ],
+        )
+    )
+    aggs = [
+        F.count_if(F.col("__a") == 1).alias("__na"),
+        F.count_if(F.col("__a") == 0).alias("__nb"),
+    ]
+    for i in range(len(covariate_cols)):
+        c = F.col(f"__c_{i}")
+        aggs += [
+            F.avg(F.when(F.col("__a") == 1, c)).alias(f"__ma_{i}"),
+            F.avg(F.when(F.col("__a") == 0, c)).alias(f"__mb_{i}"),
+            F.var_pop(F.when(F.col("__a") == 1, c)).alias(f"__va_{i}"),
+            F.var_pop(F.when(F.col("__a") == 0, c)).alias(f"__vb_{i}"),
+        ]
+    row = units.agg(*aggs)
+    out_rows = []
+    for i, c in enumerate(covariate_cols):
+        pooled = (F.col(f"__va_{i}") + F.col(f"__vb_{i}")) / 2.0
+        smd = F.when(
+            pooled > 0,
+            F.round(
+                (F.col(f"__ma_{i}") - F.col(f"__mb_{i}")) / F.sqrt(pooled)
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        out_rows.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                F.col("__na").cast("long").alias("n_a"),
+                F.col("__nb").cast("long").alias("n_b"),
+                F.round(F.col(f"__ma_{i}") + F.lit(1e-9), 6).alias("mean_a"),
+                F.round(F.col(f"__mb_{i}") + F.lit(1e-9), 6).alias("mean_b"),
+                smd.alias("smd"),
+                F.coalesce(F.abs(smd) < 0.1, F.lit(False)).alias("balanced"),
+            )
+        )
+    return row.select(F.explode(F.array(*out_rows)).alias("__p")).select(
+        "__p.covariate", "__p.n_a", "__p.n_b", "__p.mean_a", "__p.mean_b",
+        "__p.smd", "__p.balanced",
+    )
+
+
 def cuped_adjusted_means(
     df: DataFrame,
     group_col: str,

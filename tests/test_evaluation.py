@@ -885,3 +885,44 @@ def test_cronbach_alpha_null_contracts(spark):
     )
     [r] = cronbach_alpha(anti, "u", "i", "v").collect()
     assert r["total_var"] == pytest.approx(0.0, abs=1e-6) and r["alpha"] is None
+
+
+def test_hodges_lehmann_hand_values(spark):
+    # A=[10,20], B=[1,2]: pairwise diffs {8,9,18,19} -> median 13.5
+    from mr_dice_spark.operators.evaluation import hodges_lehmann_shift
+
+    rows = [("k", True, 10.0), ("k", True, 20.0),
+            ("k", False, 1.0), ("k", False, 2.0)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    [r] = hodges_lehmann_shift(df, "k", "a", "v", True).collect()
+    assert (r["n_a"], r["n_b"], r["n_pairs"]) == (2, 2, 4)
+    assert r["hl_shift"] == pytest.approx(13.5, abs=1e-6)
+
+
+def test_hodges_lehmann_empty_class_null(spark):
+    from mr_dice_spark.operators.evaluation import hodges_lehmann_shift
+
+    rows = [("k", True, 1.0), ("k", True, 2.0)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    [r] = hodges_lehmann_shift(df, "k", "a", "v", True).collect()
+    assert r["n_pairs"] == 0 and r["hl_shift"] is None
+
+
+def test_covariate_balance_smd_hand_values(spark):
+    # x: A=[2,4] vs B=[0,2] -> smd = 2/sqrt((1+1)/2) = 2 (imbalanced);
+    # y identical across arms -> smd 0 (balanced); c constant -> NULL
+    # smd, balanced false (fail-closed)
+    from mr_dice_spark.operators.evaluation import covariate_balance_smd
+
+    rows = [(1, "A", 2.0, 5.0, 9.0), (2, "A", 4.0, 7.0, 9.0),
+            (3, "B", 0.0, 5.0, 9.0), (4, "B", 2.0, 7.0, 9.0)]
+    df = spark.createDataFrame(rows, "u long, g string, x double, y double, c double")
+    got = {r["covariate"]: r
+           for r in covariate_balance_smd(df, "u", "g", ["x", "y", "c"], "A").collect()}
+    assert got["x"]["smd"] == pytest.approx(2.0, abs=1e-6)
+    assert not got["x"]["balanced"]
+    assert got["y"]["smd"] == pytest.approx(0.0, abs=1e-6)
+    assert got["y"]["balanced"]
+    assert got["c"]["smd"] is None and not got["c"]["balanced"]
+    with pytest.raises(ValueError):
+        covariate_balance_smd(df, "u", "g", [], "A")

@@ -1588,3 +1588,25 @@ def test_correlation_matrix_one_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_hodges_lehmann_pinned_reduced_frame(spark, sf_dir):
+    """The pair join runs over the pinned REDUCED daily-bucket frame
+    (|A| x |B| per key by contract): no residual parquet scan, no
+    cartesian; the median is a group percentile, not a window."""
+    df = GOLDEN["hodges_lehmann_weekend_shift"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_covariate_balance_one_reduce(spark, sf_dir):
+    """One scan into the per-unit aggregate, one conditional-moment
+    reduce for all arms x covariates, literal-array explode out — no
+    join, no window."""
+    df = GOLDEN["covariate_balance_experiment_arms"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
