@@ -234,6 +234,9 @@ PROBES = [
     "weighted_median_price_by_flag",
     "misra_gries_topk_audit_tokens",
     "user_active_coverage",
+    "correlation_matrix_lineitem",
+    "hodges_lehmann_weekend_shift",
+    "covariate_balance_experiment_arms",
 ]
 
 
