@@ -73,12 +73,17 @@ def _run_extended(spark, sf_dir: str) -> dict[str, float]:
     # Extended set: the round-5+ heavy operator families (fuzzy join,
     # graph, ER, winnowing overlap, BPE train, LSH clustering). Reported
     # under a separate key so the headline total stays comparable to
-    # rounds 1-5; single timed run, no warmup pass: these queries run
-    # 3-60 s each at sf0.1, so one-off codegen (~1 s) is noise, and a
-    # warmup execution would double the bench's wall clock for no
-    # precision gain. Correctness of every entry is the sweep/driver's
-    # job, not bench's.
-    from mr_dice_spark.golden import bench_extended_queries
+    # rounds 1-5; single timed run per query (3-60 s each at sf0.1, so
+    # per-query repeat runs would double wall clock for no precision
+    # gain), but ONE cheap warmup first: since the fresh-JVM isolation
+    # split (r7), the alphabetically-first entry was absorbing all JVM/
+    # codegen/footer startup (~6 s measured on bpe_train: 12.9 s cold
+    # vs 5-ish warm in the r6 shared-JVM numbers) — the same fix the
+    # headline phase always had. Correctness of every entry is the
+    # sweep/driver's job, not bench's.
+    from mr_dice_spark.golden import GOLDEN, bench_extended_queries
+
+    GOLDEN["q01_pricing_summary"].spark(spark, sf_dir).count()
 
     extended: dict[str, float] = {}
     for name, q in sorted(bench_extended_queries().items()):
