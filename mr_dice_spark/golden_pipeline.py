@@ -2426,6 +2426,68 @@ def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, "text", min_count=5, k=20)
 
 
+LLR_ORACLE = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> struct_pack(a := w[i], b := w[i + 1]))) AS g
+  FROM w WHERE len(w) >= 2
+),
+big AS (
+  SELECT g.a AS w1, g.b AS w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2
+),
+fst AS (SELECT w1, SUM(n_pair) AS r1 FROM big GROUP BY w1),
+snd AS (SELECT w2, SUM(n_pair) AS c1 FROM big GROUP BY w2),
+nn AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS nn FROM big),
+cand AS (
+  SELECT big.w1, big.w2, n_pair,
+         CAST(n_pair AS DOUBLE) AS k11,
+         CAST(r1 AS DOUBLE) AS r1, CAST(c1 AS DOUBLE) AS c1, nn
+  FROM big JOIN fst ON fst.w1 = big.w1 JOIN snd ON snd.w2 = big.w2
+  CROSS JOIN nn
+  WHERE n_pair >= 5
+),
+f AS (
+  SELECT w1, w2, n_pair, k11, r1, c1, nn,
+         r1 - k11 AS k12, c1 - k11 AS k21,
+         nn - r1 - (c1 - k11) AS k22,
+         nn - r1 AS r2, nn - c1 AS c2
+  FROM cand
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(2.0 * (
+         (CASE WHEN k11 > 0 THEN k11 * LN(k11 * nn / (r1 * c1)) ELSE 0.0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * LN(k12 * nn / (r1 * c2)) ELSE 0.0 END)
+         + (CASE WHEN k21 > 0 THEN k21 * LN(k21 * nn / (r2 * c1)) ELSE 0.0 END)
+         + (CASE WHEN k22 > 0 THEN k22 * LN(k22 * nn / (r2 * c2)) ELSE 0.0 END)
+       ) + 1e-9, 4) AS llr
+FROM f WHERE k11 * nn > r1 * c1
+ORDER BY llr DESC, w1, w2 LIMIT 20
+"""
+
+
+@golden(
+    "llr_collocations_top",
+    LLR_ORACLE,
+    tags=("text", "collocations", "llr", "dunning", "topk"),
+)
+def llr_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by Dunning's log-likelihood ratio — the
+    evidence-weighted companion to pmi_collocations_top (PMI maximally
+    rewards RARE pairs; G² ranks by how much data backs the
+    association, the Dunning 1993 fix). Contingency marginals are
+    bigram-POSITION counts derived from the pinned bigram aggregate;
+    only over-represented pairs are scored; ordering is on the rounded
+    statistic so the k-boundary cannot flip on cross-libm ln ulps."""
+    from mr_dice_spark.operators.terms import llr_collocations
+
+    docs = Catalog(spark, sf_dir).documents
+    return llr_collocations(docs, "text", min_count=5, k=20)
+
+
 _BIGRAM_CTES = r"""w AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w

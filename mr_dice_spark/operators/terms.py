@@ -421,6 +421,79 @@ def pmi_collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k))
 
 
+def llr_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by Dunning's log-likelihood ratio (G², 1993)
+    — the field-standard fix for :func:`pmi_collocations`' low-count
+    bias (PMI rewards rare pairs maximally; G² weighs the EVIDENCE, so
+    a 500x "machine learning" outranks a 2x typo pair). The 2x2
+    contingency is over adjacent-bigram positions: ``k11`` the pair
+    count, marginals the first-/second-position token counts,
+    ``G² = 2 * sum k_ij * ln(k_ij * N / (row_i * col_j))`` with empty
+    cells contributing 0; only OVER-represented pairs
+    (``k11 * N > row1 * col1``) are scored — G² is two-sided and the
+    anti-collocations are a different report. Ordering is on the
+    ROUNDED statistic (4 dp) with (w1, w2) tiebreak, so the top-k
+    boundary cannot flip on cross-libm ln ulps. Returns
+    ``(w1, w2, n_pair, llr)``.
+
+    Scale shape: one in-row bigram aggregate, localCheckpoint-pinned
+    (both position marginals, the total AND the candidate filter derive
+    from it — four branches); marginals join back BY KEY (vocabulary
+    grows with the corpus — never broadcast); top-k is
+    TakeOrderedAndProject."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(F.col("__w"))
+    grams = F.zip_with(
+        F.slice(F.col("__w"), 1, n - 1),
+        F.slice(F.col("__w"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    docs_w = df.select(words.alias("__w"))
+    big = (
+        docs_w.where(n >= 2)
+        .select(F.explode(grams).alias("__g"))
+        .select(F.col("__g.a").alias("w1"), F.col("__g.b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    first = big.groupBy("w1").agg(F.sum("n_pair").alias("__r1"))
+    second = big.groupBy("w2").agg(F.sum("n_pair").alias("__c1"))
+    tot = big.agg(F.sum("n_pair").cast("double").alias("__nn"))
+    cand = (
+        big.where(F.col("n_pair") >= int(min_count))
+        .join(first, "w1")
+        .join(second, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("n_pair").cast("double")
+    r1 = F.col("__r1").cast("double")
+    c1 = F.col("__c1").cast("double")
+    nn = F.col("__nn")
+    k12 = r1 - k11
+    k21 = c1 - k11
+    k22 = nn - r1 - k21
+    r2 = nn - r1
+    c2 = nn - c1
+
+    def t(kc, row, col):
+        return F.when(kc > 0, kc * F.log(kc * nn / (row * col))).otherwise(0.0)
+
+    llr = 2.0 * (t(k11, r1, c1) + t(k12, r1, c2) + t(k21, r2, c1) + t(k22, r2, c2))
+    scored = cand.where(k11 * nn > r1 * c1).select(
+        "w1", "w2", "n_pair",
+        F.round(llr + F.lit(1e-9), 4).alias("llr"),
+    )
+    return scored.orderBy(F.desc("llr"), "w1", "w2").limit(int(k))
+
+
 def distinct_ngram_diversity(
     df: DataFrame,
     text_col: str,

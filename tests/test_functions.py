@@ -1613,3 +1613,33 @@ def test_correlation_matrix_hand_values(spark):
         correlation_matrix(df, ["x"])
     with pytest.raises(ValueError):
         correlation_matrix(df, ["x", "x"])
+
+
+def test_llr_collocations_hand_values(spark):
+    # corpus "a b a b c d": bigrams (a,b)x2, (b,a), (b,c), (c,d); test
+    # (a,b): k11=2, r1(first=a)=2, c1(second=b)=2, N=5 -> k12=0, k21=0,
+    # k22=3 -> G2 = 2*(2*ln(2*5/4) + 3*ln(3*5/9)) = 2*(2 ln 2.5 + 3 ln(5/3))
+    import math
+
+    from mr_dice_spark.operators.terms import llr_collocations
+
+    df = spark.createDataFrame([("a b a b c d",)], "text string")
+    got = {(r["w1"], r["w2"]): r
+           for r in llr_collocations(df, "text", min_count=2, k=10).collect()}
+    assert ("a", "b") in got
+    exp = 2 * (2 * math.log(2.5) + 3 * math.log(5 / 3))
+    assert got[("a", "b")]["llr"] == pytest.approx(exp, abs=1e-3)
+    assert got[("a", "b")]["n_pair"] == 2
+
+
+def test_llr_prefers_evidence_over_rarity(spark):
+    # the PMI-bias case: "x y" occurs once among junk (PMI would love
+    # it), "m l" occurs 5 times — with min_count=1 LLR must rank the
+    # evidenced pair first
+    from mr_dice_spark.operators.terms import llr_collocations
+
+    text = " ".join(["m l"] * 5 + ["x y"] + [f"f{i} g{i}" for i in range(20)])
+    df = spark.createDataFrame([(text,)], "text string")
+    out = llr_collocations(df, "text", min_count=1, k=50).collect()
+    ranked = [(r["w1"], r["w2"]) for r in out]
+    assert ranked.index(("m", "l")) < ranked.index(("x", "y"))

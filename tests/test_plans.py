@@ -1610,3 +1610,16 @@ def test_covariate_balance_one_reduce(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_llr_collocations_pinned_bigrams_takeordered(spark, sf_dir):
+    """Both position marginals, the total and the candidate filter all
+    derive from the pinned bigram aggregate (no residual parquet scan);
+    the report sinks through TakeOrdered, never a single-partition
+    window."""
+    df = GOLDEN["llr_collocations_top"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert plan.count("TakeOrdered") == 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
