@@ -237,6 +237,7 @@ PROBES = [
     "correlation_matrix_lineitem",
     "hodges_lehmann_weekend_shift",
     "covariate_balance_experiment_arms",
+    "llr_collocations_top",
 ]
 
 
