@@ -1650,6 +1650,69 @@ def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_coverage(iv, "user_id", "s", "e").orderBy("user_id")
 
 
+RFM_ORACLE = """
+WITH units AS MATERIALIZED (
+  SELECT user_id AS u,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last,
+         CAST(COUNT(*) AS DOUBLE) AS f,
+         ROUND(SUM(value) + 1e-9, 6) AS m
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+ref AS (SELECT MAX(last) AS e FROM units),
+si AS (SELECT u, CAST(e - last AS DOUBLE) AS r, f, m FROM units, ref),
+cuts AS (
+  SELECT ROUND(quantile_cont(r, 0.25) + 1e-9, 6) AS r1,
+         ROUND(quantile_cont(r, 0.5) + 1e-9, 6) AS r2,
+         ROUND(quantile_cont(r, 0.75) + 1e-9, 6) AS r3,
+         ROUND(quantile_cont(f, 0.25) + 1e-9, 6) AS f1,
+         ROUND(quantile_cont(f, 0.5) + 1e-9, 6) AS f2,
+         ROUND(quantile_cont(f, 0.75) + 1e-9, 6) AS f3,
+         ROUND(quantile_cont(m, 0.25) + 1e-9, 6) AS m1,
+         ROUND(quantile_cont(m, 0.5) + 1e-9, 6) AS m2,
+         ROUND(quantile_cont(m, 0.75) + 1e-9, 6) AS m3
+  FROM si
+),
+sc AS (
+  SELECT m,
+         4 - (CAST(r > r1 AS INT) + CAST(r > r2 AS INT)
+              + CAST(r > r3 AS INT)) AS rs,
+         1 + (CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+              + CAST(f > f3 AS INT)) AS fs,
+         1 + (CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+              + CAST(m > m3 AS INT)) AS ms
+  FROM si, cuts
+)
+SELECT CAST(rs AS VARCHAR) || CAST(fs AS VARCHAR) || CAST(ms AS VARCHAR)
+         AS segment,
+       CAST(rs AS BIGINT) AS r_score, CAST(fs AS BIGINT) AS f_score,
+       CAST(ms AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_units,
+       ROUND(AVG(m) + 1e-9, 6) AS avg_monetary
+FROM sc GROUP BY 1, 2, 3, 4 ORDER BY segment
+"""
+
+
+@golden(
+    "rfm_segments_users",
+    RFM_ORACLE,
+    tags=("analytics", "rfm", "segmentation", "events"),
+)
+def rfm_segments_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of the user base (recency from the
+    corpus end, event frequency, value sum) rolled up per segment code
+    — the classic behavioral-cohort cut, built on threshold quartiles
+    (quantized, broadcast) instead of a single-task global NTILE sort.
+    Boundary ties share a score by design: reproducible, and the 6dp-
+    pinned thresholds make segment membership cross-engine exact."""
+    from mr_dice_spark.operators.funnel import rfm_segments
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events
+    return rfm_segments(ev, "user_id", "ts", "value").orderBy("segment")
+
+
 MISRA_GRIES_AUDIT_ORACLE = r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents

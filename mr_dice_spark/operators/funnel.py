@@ -311,3 +311,93 @@ def touch_attribution(
             (F.col("__us") - F.col("__lt.us")).alias("last_touch_lag_us"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic behavioral-cohort cut (Hughes 1994): per unit, recency =
+    seconds from the unit's last event to the corpus end, frequency =
+    event count, monetary = value sum; each scored 1-4 against the
+    population quartiles (4 = best: most recent / most frequent /
+    highest value) and rolled up per 'rfm' segment code.
+
+    Quartiles are THRESHOLD-based (exact percentiles of the unit frame,
+    quantized before comparison — the winsorize discipline), not
+    NTILE: a global NTILE is a single-task total sort over every unit,
+    while three quantized cuts broadcast as one tiny row and assign in
+    a narrow map — boundary ties share a score instead of being split
+    arbitrarily, which is also the reproducible behavior. All compares
+    run against 6dp-pinned thresholds, so segment membership is
+    cross-engine exact. Returns one row per occupied segment:
+    ``(segment, r_score, f_score, m_score, n_units, avg_monetary)``.
+
+    Scale shape: one corpus aggregate to the unit frame, one 1-row
+    percentile reduce broadcast back, one segment-keyed aggregate
+    (<= 64 groups)."""
+    base = df.where(
+        F.col(unit_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    units = base.groupBy(F.col(unit_col).alias("__u")).agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("__last"),
+        F.count(F.lit(1)).cast("double").alias("__f"),
+        F.round(F.sum(F.col(value_col).cast("double")) + F.lit(1e-9), 6).alias(
+            "__m"
+        ),
+    )
+    ref = units.agg(F.max("__last").alias("__end"))
+    scored_in = units.crossJoin(F.broadcast(ref)).select(
+        "__u",
+        (F.col("__end") - F.col("__last")).cast("double").alias("__r"),
+        "__f",
+        "__m",
+    ).localCheckpoint(eager=True)
+    cuts = scored_in.agg(
+        *[
+            F.round(F.percentile(c, p) + F.lit(1e-9), 6).alias(f"{c}_{i}")
+            for c in ("__r", "__f", "__m")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c, invert):
+        # count of thresholds strictly exceeded -> 1..4; recency
+        # inverts (smaller gap = better)
+        raw = (
+            (F.col(c) > F.col(f"{c}_1")).cast("int")
+            + (F.col(c) > F.col(f"{c}_2")).cast("int")
+            + (F.col(c) > F.col(f"{c}_3")).cast("int")
+        )
+        return (F.lit(4) - raw) if invert else (F.lit(1) + raw)
+
+    scored = scored_in.crossJoin(F.broadcast(cuts)).select(
+        "__m",
+        score("__r", True).alias("r_score"),
+        score("__f", False).alias("f_score"),
+        score("__m", False).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.round(F.avg("__m") + F.lit(1e-9), 6).alias("avg_monetary"),
+        )
+        .select(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            F.col("n_units").cast("long").alias("n_units"),
+            "avg_monetary",
+        )
+    )

@@ -1643,3 +1643,43 @@ def test_llr_prefers_evidence_over_rarity(spark):
     out = llr_collocations(df, "text", min_count=1, k=50).collect()
     ranked = [(r["w1"], r["w2"]) for r in out]
     assert ranked.index(("m", "l")) < ranked.index(("x", "y"))
+
+
+def test_rfm_segments_hand_values(spark):
+    # 4 units, distinct on every metric -> one unit per quartile;
+    # recency INVERTS (latest event = r_score 4). Unit d: latest ts,
+    # most events, highest sum -> segment '444'; unit a: oldest/fewest/
+    # lowest -> '111'
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.funnel import rfm_segments
+
+    rows = []
+    for i, u in enumerate(["a", "b", "c", "d"]):
+        for j in range(i + 1):  # frequency 1..4
+            rows.append((u, 1000 * (i + 1) + j, 10.0 * (i + 1)))
+    df = spark.createDataFrame(rows, "u string, t long, v double").select(
+        "u", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = {r["segment"]: r for r in rfm_segments(df, "u", "ts", "v").collect()}
+    assert set(got) == {"111", "222", "333", "444"}
+    assert got["444"]["n_units"] == 1
+    assert got["444"]["avg_monetary"] == pytest.approx(160.0, abs=1e-6)
+    assert got["111"]["avg_monetary"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_rfm_boundary_ties_share_a_score(spark):
+    # identical units: every metric equals every threshold -> strict >
+    # comparisons all false -> everyone lands in one segment (ties are
+    # never split arbitrarily)
+    from pyspark.sql import functions as F
+
+    from mr_dice_spark.operators.funnel import rfm_segments
+
+    rows = [(u, 100, 5.0) for u in ("a", "b", "c", "d")]
+    df = spark.createDataFrame(rows, "u string, t long, v double").select(
+        "u", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = rfm_segments(df, "u", "ts", "v").collect()
+    assert len(out) == 1 and out[0]["n_units"] == 4
+    assert out[0]["segment"] == "411"  # zero recency gap = best; f/m floor

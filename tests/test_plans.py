@@ -1623,3 +1623,14 @@ def test_llr_collocations_pinned_bigrams_takeordered(spark, sf_dir):
     assert plan.count("TakeOrdered") == 1
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_threshold_quartiles_no_global_sort(spark, sf_dir):
+    """Quartiles are quantized thresholds broadcast back onto the
+    pinned unit frame — NEVER a global NTILE sort: no Window node at
+    all, no residual parquet scan, no cartesian."""
+    df = GOLDEN["rfm_segments_users"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan

@@ -238,6 +238,7 @@ PROBES = [
     "hodges_lehmann_weekend_shift",
     "covariate_balance_experiment_arms",
     "llr_collocations_top",
+    "rfm_segments_users",
 ]
 
 
