@@ -4610,6 +4610,76 @@ FROM mi, hx, hy
 """
 
 
+UNCERTAINTY_ORACLE = """
+WITH base AS (
+  SELECT event_type AS x,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS y
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
+mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+tot AS (SELECT SUM(c) AS n FROM cells),
+mi AS (
+  SELECT MAX(t.n) AS n,
+         SUM((c.c / CAST(t.n AS DOUBLE))
+             * LN(c.c * CAST(t.n AS DOUBLE) / (mx.cx * CAST(my.cy AS DOUBLE))))
+           AS mi
+  FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y, tot t
+),
+hx AS (SELECT LN(MAX(t.n)) - SUM(cx * LN(CAST(cx AS DOUBLE))) / MAX(t.n) AS hx
+       FROM mx, tot t),
+hy AS (SELECT LN(MAX(t.n)) - SUM(cy * LN(CAST(cy AS DOUBLE))) / MAX(t.n) AS hy
+       FROM my, tot t)
+SELECT CAST(mi.n AS BIGINT) AS n,
+       ROUND(1e-9 + mi.mi, 6) AS mi,
+       ROUND(1e-9 + hx.hx, 6) AS h_x,
+       ROUND(1e-9 + hy.hy, 6) AS h_y,
+       ROUND(1e-9 + CASE WHEN hx.hx > 0 THEN mi.mi / hx.hx END, 6)
+         AS u_x_given_y,
+       ROUND(1e-9 + CASE WHEN hy.hy > 0 THEN mi.mi / hy.hy END, 6)
+         AS u_y_given_x,
+       ROUND(1e-9 + 2.0 * CAST(mi.n AS DOUBLE) * mi.mi, 4) AS g
+FROM mi, hx, hy
+"""
+
+
+@golden(
+    "uncertainty_coeffs_type_weekday",
+    UNCERTAINTY_ORACLE,
+    tags=("profile", "information", "theil-u", "g-test", "events"),
+)
+def uncertainty_coeffs_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U both directions plus Dunning's G independence
+    statistic for event type x weekday — the directional and
+    inferential completions of the association triad on the SAME
+    contingency the chi-square golden reads, so an analyst sees all
+    three views of one table. U is asymmetric by design (which column
+    explains which); G = 2*N*MI is the log-likelihood independence
+    test that stays honest on sparse cells."""
+    from mr_dice_spark.operators.profile import uncertainty_coefficients
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias(
+            "weekday"
+        ),
+    )
+    out = uncertainty_coefficients(ev, "event_type", "weekday")
+    return out.select(
+        "n",
+        _r("mi", 6).alias("mi"),
+        _r("h_x", 6).alias("h_x"),
+        _r("h_y", 6).alias("h_y"),
+        _r("u_x_given_y", 6).alias("u_x_given_y"),
+        _r("u_y_given_x", 6).alias("u_y_given_x"),
+        _r("g", 4).alias("g"),
+    )
+
+
 @golden(
     "mutual_information_type_band",
     MI_ORACLE,

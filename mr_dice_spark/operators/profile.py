@@ -586,6 +586,72 @@ def mutual_information(
     )
 
 
+def uncertainty_coefficients(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficients + the G-test statistic for two
+    categorical columns — the DIRECTIONAL and inferential completions
+    of this module's association triad (chi²/Cramér's V: any
+    association; MI/NMI: symmetric strength; this: which way the
+    information flows, and how much evidence backs it).
+    ``U(x|y) = MI/H(x)`` is the fraction of x's entropy y explains
+    (asymmetric by design: a rollup column perfectly predicts its
+    parent but not vice versa — the direction IS the finding), and
+    ``G = 2·N·MI`` is Dunning's log-likelihood independence statistic
+    (~chi² under the null, but honest on sparse cells).
+
+    Same derivation discipline as :func:`mutual_information`: exact
+    integer counts, one pinned joint-cell aggregate feeding marginals/
+    entropies/totals, broadcast joins, one closing reduce. Returns one
+    row ``(n, mi, h_x, h_y, u_x_given_y, u_y_given_x, g)``; U is NULL
+    for a constant column (no entropy to explain, fail-closed)."""
+    cells = (
+        df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    joined = (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("__c").cast("double")
+    n = F.col("__n").cast("double")
+    cx = F.col("__cx").cast("double")
+    cy = F.col("__cy").cast("double")
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (F.log(F.max(n)) - F.sum(cx * F.log(cx)) / F.max(n)).alias("__hx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (F.log(F.max(n)) - F.sum(cy * F.log(cy)) / F.max(n)).alias("__hy")
+    )
+    mi = joined.agg(
+        F.max("__n").alias("__nn"),
+        F.sum((c / n) * F.log(c * n / (cx * cy))).alias("__mi"),
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return out.select(
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__mi").alias("mi"),
+        F.col("__hx").alias("h_x"),
+        F.col("__hy").alias("h_y"),
+        F.when(F.col("__hx") > 0, F.col("__mi") / F.col("__hx")).alias(
+            "u_x_given_y"
+        ),
+        F.when(F.col("__hy") > 0, F.col("__mi") / F.col("__hy")).alias(
+            "u_y_given_x"
+        ),
+        (2.0 * F.col("__nn").cast("double") * F.col("__mi")).alias("g"),
+    )
+
+
 def benford_audit(
     df: DataFrame,
     value_col: str,

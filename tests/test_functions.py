@@ -1683,3 +1683,32 @@ def test_rfm_boundary_ties_share_a_score(spark):
     out = rfm_segments(df, "u", "ts", "v").collect()
     assert len(out) == 1 and out[0]["n_units"] == 4
     assert out[0]["segment"] == "411"  # zero recency gap = best; f/m floor
+
+
+def test_uncertainty_coefficients_hand_values(spark):
+    # perfect determination: y = f(x) (x fine, y coarse) with x in
+    # {a,b,c,d} uniform, y = x in {a,b} -> 'u' else 'v'. H(x) = ln 4,
+    # H(y) = ln 2, MI = H(y) -> U(y|x) = 1 (x fully explains y),
+    # U(x|y) = ln2/ln4 = 0.5; G = 2*N*MI
+    import math
+
+    from mr_dice_spark.operators.profile import uncertainty_coefficients
+
+    rows = [(x, "u" if x in ("a", "b") else "v") for x in "abcd" * 4]
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = uncertainty_coefficients(df, "x", "y").collect()
+    assert r["n"] == 16
+    assert r["mi"] == pytest.approx(math.log(2), abs=1e-9)
+    assert r["u_y_given_x"] == pytest.approx(1.0, abs=1e-9)
+    assert r["u_x_given_y"] == pytest.approx(0.5, abs=1e-9)
+    assert r["g"] == pytest.approx(32 * math.log(2), abs=1e-6)
+
+
+def test_uncertainty_coefficients_constant_column_null(spark):
+    from mr_dice_spark.operators.profile import uncertainty_coefficients
+
+    rows = [("a", "k"), ("b", "k"), ("c", "k")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = uncertainty_coefficients(df, "x", "y").collect()
+    assert r["u_y_given_x"] is None  # H(y) = 0: nothing to explain
+    assert r["mi"] == pytest.approx(0.0, abs=1e-12)

@@ -1634,3 +1634,14 @@ def test_rfm_threshold_quartiles_no_global_sort(spark, sf_dir):
     assert "Window" not in plan
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_uncertainty_coefficients_pinned_cells(spark, sf_dir):
+    """Marginals, entropies, MI and the total all derive from the
+    pinned joint-cell aggregate (the mutual_information contract): no
+    residual parquet scan, no window, no cartesian."""
+    df = GOLDEN["uncertainty_coeffs_type_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -239,6 +239,7 @@ PROBES = [
     "covariate_balance_experiment_arms",
     "llr_collocations_top",
     "rfm_segments_users",
+    "uncertainty_coeffs_type_weekday",
 ]
 
 
