@@ -144,14 +144,15 @@ _CHECK_FIRST = [
     "ndcg_user_ranking_by_type",      # NDCG@10 ranking quality
     # ROUND-8 WINDOW QUEUE: goldens added after this round's window
     # filled (suite-oracle-green, swept hash-exact at all three scales
-    # on landing) — lead the round-8 rotation with all 29 of them
-    # (1 flagship + 29 queue = 30, leaving 20 slots for the oldest of
+    # on landing) — lead the round-8 rotation with all 30 of them
+    # (1 flagship + 30 queue = 31, leaving 19 slots for the oldest of
     # the 42 r2-only re-verification rows the age badge mandates — the
     # 35 originals plus the 7 displaced by the sixth batch above; the
     # r2 backlog then drains across rounds 8-9):
     # llr_collocations_top (Dunning G2 evidence-weighted collocations),
     # rfm_segments_users (threshold-quartile RFM segmentation),
     # uncertainty_coeffs_type_weekday (Theil's U both directions + G-test),
+    # rmst_time_to_purchase (restricted mean survival time at tau=360h),
     # decile_lift_value_by_type (NTILE gains table, id-tiebroken),
     # anova_value_by_type (one-way F + eta-squared from power sums),
     # brown_forsythe_value_by_type (median-centered Levene variance test),

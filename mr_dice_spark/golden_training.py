@@ -1357,6 +1357,106 @@ def kaplan_meier_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("cohort", "duration_h")
 
 
+RMST_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CONCAT('c', CAST(user_id % 4 AS VARCHAR)) AS cohort,
+         MIN(epoch_us(ts)) AS first_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS purch_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+subj AS (
+  SELECT cohort,
+         CAST(FLOOR((COALESCE(purch_us, last_us) - first_us)
+                    / 3600000000.0) AS DOUBLE) AS t,
+         purch_us IS NOT NULL AS e
+  FROM per_user
+),
+times AS (
+  SELECT cohort AS g, t,
+         count_if(e) AS d, count_if(NOT e) AS c
+  FROM subj GROUP BY 1, 2
+),
+staged AS (
+  SELECT g, t, d, c,
+         SUM(d + c) OVER (PARTITION BY g)
+         - COALESCE(SUM(d + c) OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM times
+),
+lf AS (
+  SELECT g, t, d, n,
+         CASE WHEN d < n
+              THEN ROUND(1e-12 + LN(1.0 - CAST(d AS DOUBLE) / n), 9) END AS f
+  FROM staged
+),
+surv AS (
+  SELECT g, t, d,
+         CASE WHEN MAX(CASE WHEN d >= n THEN t END) OVER w IS NOT NULL
+              THEN 0.0
+              ELSE EXP(SUM(f) OVER w) END AS s
+  FROM lf
+  WINDOW w AS (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ev AS (SELECT g, t, s FROM surv WHERE d > 0),
+terms AS (
+  SELECT g,
+         (CASE WHEN ROW_NUMBER() OVER wo = 1
+               THEN LEAST(t, 360.0) ELSE 0.0 END)
+         + (CASE WHEN t < 360.0
+                 THEN s * (LEAST(COALESCE(LEAD(t) OVER wo, 360.0), 360.0) - t)
+                 ELSE 0.0 END) AS a
+  FROM ev
+  WINDOW wo AS (PARTITION BY g ORDER BY t)
+)
+SELECT g AS cohort, CAST(COUNT(*) AS BIGINT) AS n_event_times,
+       CAST(360.0 AS DOUBLE) AS tau,
+       ROUND(SUM(a) + 1e-9, 4) AS rmst
+FROM terms GROUP BY g ORDER BY cohort
+"""
+
+
+@golden(
+    "rmst_time_to_purchase",
+    RMST_ORACLE,
+    tags=("evaluation", "survival", "rmst", "events"),
+)
+def rmst_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau=360h per user cohort on the
+    SAME time-to-first-purchase construction as the KM golden: 'average
+    purchase-free hours in the first 15 days' — the censoring-honest
+    one-number latency summary (the raw mean is biased, the median may
+    not exist). Step-integral over the KM event-time rows with one lead
+    window; the oracle restates the full KM chain plus the integral."""
+    from mr_dice_spark.operators.evaluation import restricted_mean_survival
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    subj = per_user.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("cohort"),
+        F.floor(
+            (F.coalesce("purch_us", "last_us") - F.col("first_us")) / 3600000000.0
+        ).cast("double").alias("duration_h"),
+        F.col("purch_us").isNotNull().alias("converted"),
+    )
+    return restricted_mean_survival(
+        subj, "cohort", "duration_h", "converted", tau=360.0
+    ).orderBy("cohort")
+
+
 LOGRANK_ORACLE = """
 WITH per_user AS (
   SELECT user_id,

@@ -1066,6 +1066,61 @@ def covariate_balance_smd(
     )
 
 
+def restricted_mean_survival(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time per group: ``RMST(tau) =
+    integral_0^tau S(t) dt`` over the Kaplan-Meier step curve — "the
+    average event-free time in the first tau units", the one-number
+    survival summary that stays meaningful under censoring where the
+    raw mean duration is biased and the median may not exist (S never
+    reaching 0.5). Completes this module's survival family: KM draws
+    the curve, log-rank tests the gap, RMST prices it in time units.
+
+    Step-integral form over the KM output rows (event times only, the
+    KM convention): the head rectangle ``1 * min(t_1, tau)``, each
+    interval ``S(t_i) * (min(t_{i+1}, tau) - t_i)`` for ``t_i < tau``
+    (the last interval runs to tau). Exactly one key-partitioned lead
+    window over the event-time rows — everything upstream is
+    :func:`kaplan_meier`'s existing shape. Returns ``(group,
+    n_event_times, tau, rmst)``; rmst is NULL-safe by construction
+    (groups reach the output only with >= 1 event time)."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    km = kaplan_meier(df, group_col, duration_col, event_col)
+    w = Window.partitionBy(group_col).orderBy(duration_col)
+    t = F.col(duration_col).cast("double")
+    nxt = F.lead(t).over(w)
+    first = F.row_number().over(w) == 1
+    head = F.when(first, F.least(t, F.lit(float(tau)))).otherwise(0.0)
+    seg = F.when(
+        t < tau,
+        F.col("survival")
+        * (F.least(F.coalesce(nxt, F.lit(float(tau))), F.lit(float(tau))) - t),
+    ).otherwise(0.0)
+    terms = km.select(
+        F.col(group_col).alias("__g"),
+        (head + seg).alias("__a"),
+    )
+    return (
+        terms.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_event_times"),
+            F.round(F.sum("__a") + F.lit(1e-9), 4).alias("rmst"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_event_times").cast("long").alias("n_event_times"),
+            F.lit(float(tau)).alias("tau"),
+            "rmst",
+        )
+    )
+
+
 def cuped_adjusted_means(
     df: DataFrame,
     group_col: str,

@@ -926,3 +926,34 @@ def test_covariate_balance_smd_hand_values(spark):
     assert got["c"]["smd"] is None and not got["c"]["balanced"]
     with pytest.raises(ValueError):
         covariate_balance_smd(df, "u", "g", [], "A")
+
+
+def test_rmst_hand_values(spark):
+    # 3 subjects, all events at t=1,2,4, no censoring: S = 2/3 on
+    # [1,2), 1/3 on [2,4), 0 after. RMST(tau=3) = 1*1 + (2/3)*1
+    # + (1/3)*1 = 2; RMST(tau=10) = 1 + 2/3 + (1/3)*2 = 7/3
+    from mr_dice_spark.operators.evaluation import restricted_mean_survival
+
+    rows = [("g", 1.0, True), ("g", 2.0, True), ("g", 4.0, True)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = restricted_mean_survival(df, "g", "t", "e", tau=3.0).collect()
+    assert r["rmst"] == pytest.approx(2.0, abs=1e-4)
+    [r] = restricted_mean_survival(df, "g", "t", "e", tau=10.0).collect()
+    assert r["rmst"] == pytest.approx(7 / 3, abs=1e-4)
+
+
+def test_rmst_censoring_and_tau_clamp(spark):
+    # event at 1 (of 2 at risk) + censor at 5: S = 1/2 from t=1 on,
+    # never reaches 0 -> RMST(4) = 1 + 0.5*3 = 2.5 (the tail rectangle
+    # runs to tau, not to the censoring time); an all-pre-tau=0.5 curve
+    # with tau below the first event returns tau exactly
+    from mr_dice_spark.operators.evaluation import restricted_mean_survival
+
+    rows = [("g", 1.0, True), ("g", 5.0, False)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = restricted_mean_survival(df, "g", "t", "e", tau=4.0).collect()
+    assert r["rmst"] == pytest.approx(2.5, abs=1e-4)
+    [r] = restricted_mean_survival(df, "g", "t", "e", tau=0.5).collect()
+    assert r["rmst"] == pytest.approx(0.5, abs=1e-4)
+    with pytest.raises(ValueError):
+        restricted_mean_survival(df, "g", "t", "e", tau=0.0)

@@ -1645,3 +1645,14 @@ def test_uncertainty_coefficients_pinned_cells(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rmst_single_scan_key_windows(spark, sf_dir):
+    """The step integral adds exactly one lead/row_number window pass
+    on top of kaplan_meier's two — all key-partitioned, one parquet
+    scan, no single-partition exchange, no cartesian."""
+    df = GOLDEN["rmst_time_to_purchase"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -240,6 +240,7 @@ PROBES = [
     "llr_collocations_top",
     "rfm_segments_users",
     "uncertainty_coeffs_type_weekday",
+    "rmst_time_to_purchase",
 ]
 
 
