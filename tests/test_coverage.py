@@ -79,17 +79,26 @@ def test_every_unchecked_golden_is_scheduled():
     )
 
 
-def test_no_golden_driver_row_older_than_five_rounds():
-    """Age badge (round-6 VERDICT stretch): the re-verification backlog
-    is pinned the same way the never-checked set is — every golden whose
-    most recent driver CORRECTNESS row is more than 5 rounds old must be
-    in the CURRENT window (it gets a fresh row this round). Rows-only
-    goldens count their latest no_oracle appearance; goldens with no row
-    at all are the other tests' job."""
-    import glob
+def _freshness_horizon(n_goldens: int) -> int:
+    """The re-verification freshness horizon, in rounds, derived from
+    corpus size. A 50-slot window with 1 pinned flagship refreshes at
+    most 49 goldens per round, so perfect round-robin over N goldens
+    has period ceil((N-1)/49): a golden's age just before its own slot
+    comes around again is exactly that period. Any horizon tighter than
+    the period is pigeonhole-infeasible (the original hard-5 badge
+    broke the moment the corpus passed 5x50=250 driver-checked goldens;
+    VERDICT r7's own round-9 plan tripped it at 74 mandatory slots).
+    One round of slack absorbs queue-drain rounds that spend slots on
+    never-checked goldens instead of re-verification. Floor of 5 keeps
+    the original strictness while the corpus is small."""
+    import math
 
-    import __spark_entry__ as entry
-    from mr_dice_spark.golden import GOLDEN
+    return max(5, math.ceil((n_goldens - 1) / 49) + 1)
+
+
+def _latest_rows() -> tuple[dict[str, int], int]:
+    """(latest driver round per golden, the round being built)."""
+    import glob
 
     latest: dict[str, int] = {}
     rounds = []
@@ -99,17 +108,62 @@ def test_no_golden_driver_row_older_than_five_rounds():
         with open(f) as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    if not rounds:
+    return latest, (max(rounds) + 1 if rounds else 0)
+
+
+def test_no_golden_driver_row_older_than_horizon():
+    """Age badge (round-6 VERDICT stretch, horizon derived round 8):
+    every golden whose most recent driver CORRECTNESS row is more than
+    the corpus-derived horizon old must be in the CURRENT window (it
+    gets a fresh row this round). Rows-only goldens count their latest
+    no_oracle appearance; goldens with no row at all are the other
+    tests' job."""
+    import __spark_entry__ as entry
+    from mr_dice_spark.golden import GOLDEN
+
+    latest, current = _latest_rows()
+    if not current:
         pytest.skip("no driver CORRECTNESS files yet")
-    current = max(rounds) + 1  # the round whose window is being built
+    horizon = _freshness_horizon(len(GOLDEN))
     window = set(entry._CHECK_FIRST)
     stale = [
         f"{n} (last r{latest[n]})"
         for n in sorted(GOLDEN)
-        if n in latest and latest[n] < current - 5 and n not in window
+        if n in latest and latest[n] < current - horizon and n not in window
     ]
     assert not stale, (
-        "goldens whose latest driver row is >5 rounds old and who are "
-        f"not in the current window: {stale} — rotate them into "
+        f"goldens whose latest driver row is >{horizon} rounds old and "
+        f"who are not in the current window: {stale} — rotate them into "
         "_CHECK_FIRST (the re-verification backlog must drain, not grow)."
+    )
+
+
+def test_next_round_window_arithmetic_stays_feasible():
+    """The treadmill guard (round-8): AFTER the imminent driver run
+    stamps every in-window golden with a fresh row, the NEXT round's
+    badge-mandatory set (stale-beyond-horizon rows) plus the pinned
+    flagship must still fit a 50-slot window — otherwise this round's
+    rotation has wedged the next one, which is exactly how VERDICT r7's
+    prescribed round-9 plan (1 + 47 stale + 26 queue = 74) would have
+    failed under the old hard-5 horizon."""
+    import __spark_entry__ as entry
+    from mr_dice_spark.golden import GOLDEN
+
+    latest, current = _latest_rows()
+    if not current:
+        pytest.skip("no driver CORRECTNESS files yet")
+    horizon = _freshness_horizon(len(GOLDEN))
+    window = set(entry._CHECK_FIRST)
+    projected = {
+        n: (current if n in window else latest.get(n, 0))
+        for n in GOLDEN
+        if n in latest or n in window
+    }
+    next_stale = [
+        n for n, r in projected.items() if r < (current + 1) - horizon
+    ]
+    assert len(next_stale) + 1 <= 50, (
+        f"after this round runs, round {current + 1} would owe "
+        f"{len(next_stale)} stale re-verifications plus the flagship — "
+        f"more than one 50-slot window: {sorted(next_stale)}"
     )
