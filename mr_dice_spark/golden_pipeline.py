@@ -2267,7 +2267,10 @@ SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS total_grams,
        COUNT(*) AS distinct_grams,
        ROUND(1e-9 + MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_share,
-       ROUND(1e-9 + 1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_share
+       -- same association order as the Spark expression
+       -- ((1.0 - x) + 1e-9, not (1e-9 + 1.0) - x): the two differ by
+       -- up to ~1 ulp, a latent rounding-boundary flip (VERDICT r7 #6)
+       ROUND((1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE)) + 1e-9, 6) AS dup_gram_share
 FROM per_gram
 GROUP BY doc_id
 ORDER BY doc_id
@@ -5607,7 +5610,8 @@ WITH a AS (
   FROM orders
 )
 SELECT rule, CAST(n AS BIGINT) AS n_checked, CAST(f AS BIGINT) AS n_failed,
-       ROUND(1e-9 + 1.0 - f * 1.0 / n, 6) AS pass_rate
+       -- ((1.0 - x) + 1e-9) association matches the Spark side (VERDICT r7 #6)
+       ROUND((1.0 - f * 1.0 / n) + 1e-9, 6) AS pass_rate
 FROM (
   SELECT 'totalprice_positive' AS rule, n, f0 AS f FROM a
   UNION ALL SELECT 'status_enum', n, f1 FROM a

@@ -710,9 +710,12 @@ def logrank_test(
         F.count(F.lit(1)).alias("__l"),
     )
     pre = prefix_sums(times, "__t", ["__l1", "__l"])
+    # 1-row totals feed BOTH the at-risk reconstruction and the final
+    # count readout (ADVICE r7) — pin so the second use doesn't re-run
+    # the aggregate over the corpus-sized distinct-duration table.
     tot = pre.agg(
         F.sum("__l1").alias("__n1tot"), F.sum("__l").alias("__ntot")
-    )
+    ).localCheckpoint(eager=True)
     j = pre.crossJoin(F.broadcast(tot))
     n1 = (F.col("__n1tot") - (F.col("__l1_cum") - F.col("__l1"))).cast("double")
     n = (F.col("__ntot") - (F.col("__l_cum") - F.col("__l"))).cast("double")
@@ -724,15 +727,25 @@ def logrank_test(
         F.when(
             n > 1, d * p * (1.0 - p) * ((n - d) / (n - 1.0))
         ).otherwise(F.lit(0.0)).alias("__v"),
-        F.col("__n1tot").alias("__n1tot"),
-        F.col("__ntot").alias("__ntot"),
     )
-    agg = terms.agg(
-        F.max("__n1tot").alias("__na"),
-        F.max("__ntot").alias("__nn"),
-        F.sum("__o").alias("__oo"),
-        F.sum("__e").alias("__ee"),
-        F.sum("__v").alias("__vv"),
+    # n_a/n_b come from the PRE-filter totals (ADVICE r7): when no time
+    # has an event the terms frame is empty and F.max over it would
+    # return NULL counts, breaking the docstring's promise that only
+    # z/chi2 go NULL. Empty-sum O/E/V coalesce to 0 for the same reason.
+    agg = (
+        terms.agg(
+            F.coalesce(F.sum("__o"), F.lit(0)).alias("__oo"),
+            F.coalesce(F.sum("__e"), F.lit(0.0)).alias("__ee"),
+            F.coalesce(F.sum("__v"), F.lit(0.0)).alias("__vv"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__n1tot").alias("__na"),
+            F.col("__ntot").alias("__nn"),
+            "__oo",
+            "__ee",
+            "__vv",
+        )
     )
     z = F.when(
         F.col("__vv") > 0,
@@ -1392,8 +1405,15 @@ def jackknife_ratio_ci(
     from mr_dice_spark.operators.sampling import hash_bucket
 
     den_expr = F.lit(1.0) if den_col is None else F.col(den_col).cast("double")
+    # NULL guards (ADVICE r7): a NULL denominator row would keep its
+    # numerator in __bn while SUM drops the NULL from __bd (biasing theta
+    # and every leave-one-out ratio), and a NULL unit would hash into a
+    # NULL pseudo-bucket instead of being excluded — guard all four.
     base = df.where(
-        F.col(group_col).isNotNull() & F.col(num_col).isNotNull()
+        F.col(group_col).isNotNull()
+        & F.col(num_col).isNotNull()
+        & F.col(unit_col).isNotNull()
+        & den_expr.isNotNull()
     ).select(
         F.col(group_col).alias("__g"),
         (hash_bucket(F.col(unit_col), seed) % n_buckets).cast("int").alias("__b"),
@@ -2189,10 +2209,14 @@ def brier_decomposition(
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("boolean")
-    base = df.select(
+    # Filter on the RAW label before the 0/1 coercion: when(y,1).otherwise(0)
+    # maps NULL labels to 0.0, so filtering the coerced column was dead code
+    # and NULL outcomes silently counted as negatives (ADVICE r7) —
+    # contradicting the repo-wide exclude-NULLs convention.
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
         s.alias("__s"),
         F.when(y, 1.0).otherwise(0.0).alias("__y"),
-    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    )
     k = F.greatest(
         F.lit(0),
         F.least(F.lit(n_bins - 1), F.floor(F.col("__s") * F.lit(float(n_bins)))),
@@ -2277,12 +2301,21 @@ def decile_lift_by_group(
     w = Window.partitionBy("__g").orderBy(
         F.col("__s").desc(), F.col("__t").asc()
     )
-    base = df.select(
+    # Exclude rows with NULL label/group/tiebreak BEFORE the NTILE window
+    # (ADVICE r7): the 0/1 coercion would count NULL labels as negatives,
+    # and a NULL group would leak a NULL partition into the output —
+    # matching average_precision_by_group's handling.
+    base = df.where(
+        F.col(score_col).cast("double").isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+    ).select(
         F.col(group_col).alias("__g"),
         F.col(score_col).cast("double").alias("__s"),
         F.when(F.col(label_col).cast("boolean"), 1.0).otherwise(0.0).alias("__y"),
         F.col(tiebreak_col).alias("__t"),
-    ).where(F.col("__s").isNotNull())
+    )
     tiles = (
         base.select("__g", "__y", F.ntile(n_tiles).over(w).alias("tile"))
         .groupBy("__g", "tile")

@@ -409,6 +409,12 @@ def adamic_adar_scores(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # four branches derive from the canonical edge set (und -> deg,
+        # both wedge join sides via inc, the left-anti join) — pin it so
+        # each branch doesn't re-plan the upstream scan + distinct
+        # (ADVICE r7; the clustering_coefficients/degree_assortativity
+        # convention)
+        .localCheckpoint(eager=True)
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("w")).agg(F.count(F.lit(1)).alias("deg"))

@@ -957,3 +957,79 @@ def test_rmst_censoring_and_tau_clamp(spark):
     assert r["rmst"] == pytest.approx(0.5, abs=1e-4)
     with pytest.raises(ValueError):
         restricted_mean_survival(df, "g", "t", "e", tau=0.0)
+
+
+def test_brier_decomposition_excludes_null_labels(spark):
+    # ADVICE r7: the 0/1 coercion ran BEFORE the null filter, so a NULL
+    # label became 0.0 (counted as a negative) and the filter was dead
+    # code. The NULL-label row must be excluded entirely: n=2, and the
+    # base rate is computed over the two labeled rows only.
+    from mr_dice_spark.operators.evaluation import brier_decomposition
+
+    rows = [(0.8, True), (0.8, False), (0.8, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    [r] = brier_decomposition(df, "s", "y", n_bins=10).collect()
+    assert r["n"] == 2
+    assert r["base_rate"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_decile_lift_excludes_null_label_group_tiebreak(spark):
+    # ADVICE r7: NULL labels coerced to negatives and NULL group/tiebreak
+    # rows leaked a NULL partition — all must be excluded before the
+    # NTILE window, matching average_precision_by_group's handling.
+    from mr_dice_spark.operators.evaluation import decile_lift_by_group
+
+    rows = [
+        ("g", 5.0, True, 1),
+        ("g", 4.0, False, 2),
+        ("g", 3.0, None, 3),     # NULL label: excluded, not a negative
+        (None, 2.0, True, 4),    # NULL group: no NULL partition in output
+        ("g", 1.0, True, None),  # NULL tiebreak: excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean, id long")
+    out = decile_lift_by_group(df, "g", "s", "y", "id", n_tiles=2).collect()
+    assert {r["g"] for r in out} == {"g"}
+    assert sum(r["n"] for r in out) == 2
+    by_tile = {r["tile"]: r for r in out}
+    assert by_tile[1]["n_pos"] == 1 and by_tile[2]["n_pos"] == 0
+
+
+def test_jackknife_ratio_ci_excludes_null_den_and_unit(spark):
+    # ADVICE r7: a NULL-denominator row kept its numerator in the bucket
+    # sum while SUM dropped the NULL from the denominator (biasing theta),
+    # and a NULL unit hashed into a NULL pseudo-bucket. Both rows must be
+    # excluded: the result equals the clean-subset computation exactly.
+    from mr_dice_spark.operators.evaluation import jackknife_ratio_ci
+
+    clean = [
+        ("g", f"u{i}", float(10 + (i * 7) % 23), float(1 + i % 3))
+        for i in range(30)
+    ]
+    dirty = clean + [("g", "ux", 999.0, None), ("g", None, 999.0, 1.0)]
+    schema = "grp string, unit string, num double, den double"
+    [want] = jackknife_ratio_ci(
+        spark.createDataFrame(clean, schema), "grp", "unit", "num", "den",
+        n_buckets=5, seed="s",
+    ).collect()
+    [got] = jackknife_ratio_ci(
+        spark.createDataFrame(dirty, schema), "grp", "unit", "num", "den",
+        n_buckets=5, seed="s",
+    ).collect()
+    assert got == want
+    assert got["n_rows"] == 30
+
+
+def test_logrank_all_censored_counts_still_reported(spark):
+    # ADVICE r7: with no event anywhere the per-time terms frame is
+    # empty and the old F.max over it returned NULL counts; the
+    # docstring promises only z/chi2 go NULL while counts stay reported.
+    from mr_dice_spark.operators.evaluation import logrank_test
+
+    rows = [("A", 1.0, False), ("A", 2.0, False), ("B", 3.0, False)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = logrank_test(df, "g", "t", "e", "A").collect()
+    assert r["n_a"] == 2 and r["n_b"] == 1
+    assert r["observed_a"] == 0
+    assert r["expected_a"] == pytest.approx(0.0, abs=1e-6)
+    assert r["variance"] == pytest.approx(0.0, abs=1e-6)
+    assert r["z"] is None and r["chi2"] is None
