@@ -2343,3 +2343,289 @@ def decile_lift_by_group(
             F.try_divide(F.sum("__pos").over(wc), tot_p) + F.lit(1e-9), 6
         ).alias("cum_gain"),
     )
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    split_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group standardized mean-difference effect sizes between the
+    rows where boolean ``split_col`` is true (sample 1) and false
+    (sample 2): Cohen's d on the pooled sample SD and Hedges' g (the
+    small-sample bias correction ``J = 1 - 3/(4*(n1+n2) - 9)``) — the
+    "how big, in units everyone can compare" readout that belongs next
+    to :func:`welch_t_test`'s "is it real" and
+    :func:`covariate_balance_smd`'s pre-experiment balance check (SMD
+    uses the unpooled two-group SD; Cohen's d is the pooled-variance
+    convention effect-size reports expect).
+
+    ``d = (m1 - m2) / sp`` with ``sp = sqrt(((n1-1)*v1 + (n2-1)*v2) /
+    (n1 + n2 - 2))`` on sample variances. d/g are NULL when either
+    sample has n < 2 or the pooled variance is 0 (fail-closed, the
+    welch convention). NULL group/split/value rows are excluded.
+
+    Scale shape: ONE hash aggregate per group (conditional moments for
+    both samples in a single pass), no window, no second scan. Returns
+    ``(group, n1, n2, mean_diff, pooled_sd, cohens_d, hedges_g)``
+    nudge-rounded at 6.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(split_col).cast("boolean").alias("__s"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(split_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    v1 = F.when(F.col("__s"), F.col("__v"))
+    v2 = F.when(~F.col("__s"), F.col("__v"))
+    agg = base.groupBy("__g").agg(
+        F.count(v1).alias("n1"),
+        F.count(v2).alias("n2"),
+        F.avg(v1).alias("__m1"),
+        F.avg(v2).alias("__m2"),
+        F.var_samp(v1).alias("__v1"),
+        F.var_samp(v2).alias("__v2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1)
+    sp = F.sqrt(
+        ((n1 - 1.0) * F.col("__v1") + (n2 - 1.0) * F.col("__v2"))
+        / (n1 + n2 - 2.0)
+    )
+    d = F.when(ok & (sp > 0), (F.col("__m1") - F.col("__m2")) / sp)
+    j = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n1",
+        "n2",
+        F.round(F.col("__m1") - F.col("__m2") + F.lit(1e-9), 6).alias("mean_diff"),
+        F.round(sp + F.lit(1e-9), 6).alias("pooled_sd"),
+        F.round(d + F.lit(1e-9), 6).alias("cohens_d"),
+        F.round(d * j + F.lit(1e-9), 6).alias("hedges_g"),
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a table of
+    hypotheses: given one row per test with a valid p-value (or any
+    conservative p-bound — BH keeps its FDR guarantee under them, so
+    the distribution-free Chebyshev bound ``min(1, 1/z^2)`` this repo's
+    z-statistics can feed is legitimate input), report each test's
+    rank, BH-adjusted q-value ``q_i = min(1, min_{j>=i} m*p_(j)/j)``
+    and the reject flag ``q_i <= alpha`` — the multiple-comparisons
+    gate a metrics platform needs the moment it slices one experiment
+    into dozens of subgroup readouts.
+
+    Reduced-frame contract (the theil_sen convention): the input is a
+    HYPOTHESES table — one row per test, thousands at most — never raw
+    events; the monotonization self-join below is |cells|^2 over the
+    distinct p-values of that table. Rows with NULL test or with p
+    outside [0, 1] (including NULL) are excluded.
+
+    Cross-engine determinism: ranks are exact integers from the
+    tie-collapsed prefix pass (tied p-values share the LARGEST rank in
+    their tie run — equivalent for q-values, since the suffix-min makes
+    every member of a tie inherit the same q); ``m*p/rank`` is a fixed
+    chain of correctly-rounded IEEE ops on identical operands, so the
+    unrounded q and the reject decision are bit-identical in SQL. The
+    output q is nudge-rounded for display AFTER the flag is computed.
+
+    Scale shape: one distinct-p aggregate, one
+    :func:`~mr_dice_spark.operators.scale.prefix_sums` pass for ranks
+    (no single-partition window even if someone does feed a large
+    frame), the quadratic-in-cells suffix-min join, one join back to
+    the test rows. Returns ``(test, p, rank, m, q_bh, reject)``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"benjamini_hochberg: need 0 < alpha < 1, got {alpha}")
+    from mr_dice_spark.operators.scale import prefix_sums
+
+    base = df.select(
+        F.col(test_col).alias("__t"), F.col(p_col).cast("double").alias("__p")
+    ).where(
+        F.col(test_col).isNotNull()
+        & F.col(p_col).isNotNull()
+        & (F.col(p_col).cast("double") >= 0.0)
+        & (F.col(p_col).cast("double") <= 1.0)
+    )
+    cells = base.groupBy("__p").agg(F.count(F.lit(1)).alias("__c"))
+    ranked = prefix_sums(cells, "__p", ["__c"]).select(
+        "__p", F.col("__c_cum").alias("__r")
+    )
+    tot = ranked.agg(F.max("__r").alias("__m")).localCheckpoint(eager=True)
+    qraw = ranked.crossJoin(F.broadcast(tot)).select(
+        "__p",
+        "__r",
+        "__m",
+        (F.col("__m") * F.col("__p") / F.col("__r").cast("double")).alias("__q"),
+    )
+    # suffix-min over the p-ordered cells: q_adj(i) = min over j >= i of
+    # q_raw(j), capped at 1 — |cells|^2 pairs on the reduced frame
+    a, b = qraw.alias("a"), qraw.alias("b")
+    adj = (
+        a.join(b, F.col("b.__p") >= F.col("a.__p"))
+        .groupBy(F.col("a.__p").alias("__p"), F.col("a.__r").alias("__r"),
+                 F.col("a.__m").alias("__m"))
+        .agg(F.least(F.min(F.col("b.__q")), F.lit(1.0)).alias("__qadj"))
+    )
+    out = base.join(adj, "__p")
+    return out.select(
+        F.col("__t").alias(test_col),
+        F.round(F.col("__p") + F.lit(1e-9), 9).alias("p_value"),
+        F.col("__r").cast("long").alias("rank"),
+        F.col("__m").cast("long").alias("m_tests"),
+        F.round(F.col("__qadj") + F.lit(1e-9), 6).alias("q_bh"),
+        (F.col("__qadj") <= F.lit(float(alpha))).alias("reject"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    unit_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test on PAIRED k-treatment binary outcomes — the
+    k-way generalization of :func:`mcnemar_test`: do k classifiers /
+    filters / prompts scored on the SAME units share one success rate?
+    ``Q = (k-1) * (k*sum(Cj^2) - T^2) / (k*T - sum(Ri^2))`` where Cj is
+    treatment j's success count, Ri unit i's success count and
+    ``T = sum(Cj) = sum(Ri)``; Q ~ chi2(k-1) under H0. Every quantity
+    is an exact integer until the single closing division, so the SQL
+    restatement is bit-identical.
+
+    A missing (unit, treatment) observation counts as a failure
+    (outcome 0) — the complete-block design Cochran's Q assumes is
+    enforced by construction rather than by dropping units, and the
+    docstring-level contract is that callers score every unit on every
+    treatment. Duplicate (unit, treatment) rows collapse by MAX (any
+    success counts). NULL unit/treatment/outcome rows are excluded.
+    Q is NULL when the denominator is 0 (every unit constant across
+    treatments — no discordance, nothing to test; fail-closed).
+
+    Scale shape: one (unit, treatment) max-aggregate, a unit-keyed and
+    a treatment-keyed aggregate over those cells (both bounded by their
+    key domains), two 1-row reduces joined by broadcast. Returns one
+    row ``(n_units, k_treatments, total_successes, q_stat, df)``.
+    """
+    cells = (
+        df.where(
+            F.col(unit_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(outcome_col).isNotNull()
+        )
+        .groupBy(
+            F.col(unit_col).alias("__u"), F.col(treatment_col).alias("__j")
+        )
+        .agg(
+            F.max(F.col(outcome_col).cast("boolean").cast("int")).alias("__x")
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_t = cells.groupBy("__j").agg(F.sum("__x").alias("__cj"))
+    per_u = cells.groupBy("__u").agg(F.sum("__x").alias("__ri"))
+    tt = per_t.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__cj").alias("__tsum"),
+        F.sum(F.col("__cj") * F.col("__cj")).alias("__c2"),
+    )
+    uu = per_u.agg(
+        F.count(F.lit(1)).alias("__nu"),
+        F.sum(F.col("__ri") * F.col("__ri")).alias("__r2"),
+    )
+    out = tt.crossJoin(F.broadcast(uu))
+    k = F.col("__k").cast("double")
+    t = F.col("__tsum").cast("double")
+    num = (k - 1.0) * (k * F.col("__c2").cast("double") - t * t)
+    den = k * t - F.col("__r2").cast("double")
+    return out.select(
+        F.col("__nu").cast("long").alias("n_units"),
+        F.col("__k").cast("long").alias("k_treatments"),
+        F.col("__tsum").cast("long").alias("total_successes"),
+        F.round(F.when(den > 0, num / den) + F.lit(1e-9), 6).alias("q_stat"),
+        (F.col("__k") - 1).cast("long").alias("df"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Fleiss' kappa for a FIXED-SIZE rater panel on nominal labels —
+    the agreement statistic labeling vendors quote when every item gets
+    exactly n ratings (between :func:`cohens_kappa`'s two named raters
+    and :func:`krippendorff_alpha_nominal`'s anything-goes generality):
+    ``kappa = (Po - Pe) / (1 - Pe)`` with ``Po = (sum_uc m_uc^2 - N*n) /
+    (N*n*(n-1))`` and ``Pe = sum_c (n_c / (N*n))^2``.
+
+    The equal-ratings design is VALIDATED, not assumed: if units carry
+    different rating counts the operator fails fast with the observed
+    counts (Fleiss' formula is simply wrong on ragged panels — use
+    Krippendorff there). The check is one 1-row aggregate. NULL
+    unit/label rows are excluded. kappa is NULL when Pe = 1 (all
+    ratings one label on one unit-class; fail-closed).
+
+    Scale shape: the krippendorff shape — one (unit, label) cell
+    aggregate (pinned: three branches derive), unit- and label-keyed
+    aggregates over it, a closing broadcast of two 1-row frames.
+    Returns one row ``(n_units, n_raters, p_o, p_e, kappa)``
+    nudge-rounded at 6.
+    """
+    cells = (
+        df.where(F.col(unit_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"), F.col(label_col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    units = cells.groupBy("__u").agg(
+        F.sum("__m").alias("__nu"),
+        F.sum(F.col("__m") * F.col("__m")).alias("__sq"),
+    )
+    shape = units.agg(
+        F.count(F.lit(1)).alias("__nunits"),
+        F.min("__nu").alias("__lo"),
+        F.max("__nu").alias("__hi"),
+        F.sum("__sq").alias("__ssq"),
+    ).first()
+    if shape["__nunits"] == 0:
+        raise ValueError("fleiss_kappa: no rated units after NULL filtering")
+    if shape["__lo"] != shape["__hi"]:
+        raise ValueError(
+            "fleiss_kappa: ragged rating counts per unit "
+            f"(min {shape['__lo']}, max {shape['__hi']}) — Fleiss' formula "
+            "requires an equal-size panel; use krippendorff_alpha_nominal"
+        )
+    n_units, n_raters, ssq = shape["__nunits"], shape["__lo"], shape["__ssq"]
+    if n_raters < 2:
+        raise ValueError("fleiss_kappa: need >= 2 ratings per unit")
+    labels = cells.groupBy("__c").agg(F.sum("__m").alias("__nc"))
+    tot = float(n_units) * float(n_raters)
+    pe_df = labels.agg(
+        F.sum(
+            (F.col("__nc").cast("double") / F.lit(tot))
+            * (F.col("__nc").cast("double") / F.lit(tot))
+        ).alias("__pe")
+    )
+    po = (float(ssq) - tot) / (tot * (float(n_raters) - 1.0))
+    kappa = F.when(
+        F.col("__pe") < 1.0,
+        (F.lit(po) - F.col("__pe")) / (1.0 - F.col("__pe")),
+    )
+    return pe_df.select(
+        F.lit(n_units).cast("long").alias("n_units"),
+        F.lit(int(n_raters)).cast("long").alias("n_raters"),
+        F.round(F.lit(po) + F.lit(1e-9), 6).alias("p_o"),
+        F.round(F.col("__pe") + F.lit(1e-9), 6).alias("p_e"),
+        F.round(kappa + F.lit(1e-9), 6).alias("kappa"),
+    )

@@ -1205,3 +1205,125 @@ def pinball_forecast_loss(
             "pinball",
         )
     )
+
+
+def best_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Offline single-changepoint detection per key: the split position
+    that maximizes the between-segment sum of squares — equivalently,
+    the first step of binary segmentation with the standard L2 cost
+    (Scott & Knott; the retrospective "WHERE did the level shift" to
+    :func:`cusum_from_buckets`' sequential "a shift is happening" and
+    :func:`ph_from_buckets`' running-mean drift alarm).
+
+    For a key's series x_1..x_n in ``order_col`` order, splitting after
+    position k (1 <= k < n) gains
+
+        gain(k) = (cs_k^2/k + (cs_n - cs_k)^2/(n-k)) - cs_n^2/n
+
+    (total SSE minus the two segment SSEs; the x^2 terms cancel). The
+    reported split is the argmax, ties broken on the SMALLEST k.
+
+    Cross-engine determinism: feed QUANTIZED bucket values (the golden
+    quantizes daily means at 6dp) — the running sums are then exact
+    doubles, each gain is a fixed chain of correctly-rounded IEEE ops
+    on identical operands, and gains are additionally nudge-rounded at
+    9dp BEFORE the argmax so a last-ulp difference can never flip the
+    winning split between engines. The SQL restatement must use the
+    same association (left term + right term) - total term.
+
+    Per-key series contract (the holt_linear_smooth convention): the
+    cumulative window is partitioned by key, so one key's series must
+    fit a task — feed BUCKETED series (daily/hourly aggregates), never
+    raw events. ``order_col`` must be unique per key. NULL
+    key/order/value rows are excluded; keys with n < 2 report NULL
+    split (no interior split exists).
+
+    Scale shape: one key-partitioned cumulative window (count + running
+    sum in one pass), one key-partitioned argmax window over the same
+    rows, one final filter — two windows sharing one exchange, no
+    collect. Returns ``(key, n, split_pos, split_order, gain,
+    mean_left, mean_right)``; split/gain/means NULL when n < 2.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    run = (
+        Window.partitionBy("__k")
+        .orderBy("__o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("__k")
+    cum = base.select(
+        "__k",
+        "__o",
+        F.row_number().over(
+            Window.partitionBy("__k").orderBy("__o")
+        ).alias("__i"),
+        F.sum("__v").over(run).alias("__cs"),
+        F.count(F.lit(1)).over(whole).alias("__n"),
+        F.sum("__v").over(whole).alias("__tot"),
+    )
+    k = F.col("__i").cast("double")
+    n = F.col("__n").cast("double")
+    cs, tot = F.col("__cs"), F.col("__tot")
+    gain = F.round(
+        (cs * cs / k + (tot - cs) * (tot - cs) / (n - k))
+        - tot * tot / n
+        + F.lit(1e-9),
+        9,
+    )
+    splits = cum.where(F.col("__i") < F.col("__n")).select(
+        "__k",
+        "__o",
+        "__i",
+        "__n",
+        "__cs",
+        "__tot",
+        gain.alias("__gain"),
+    )
+    pick = Window.partitionBy("__k").orderBy(
+        F.col("__gain").desc(), F.col("__i").asc()
+    )
+    best = splits.withColumn("__rn", F.row_number().over(pick)).where(
+        F.col("__rn") == 1
+    )
+    singles = (
+        cum.where(F.col("__n") == 1)
+        .select("__k", "__n")
+        .distinct()
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("split_pos"),
+            F.lit(None).cast(base.schema["__o"].dataType).alias("split_order"),
+            F.lit(None).cast("double").alias("gain"),
+            F.lit(None).cast("double").alias("mean_left"),
+            F.lit(None).cast("double").alias("mean_right"),
+        )
+    )
+    out = best.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__i").cast("long").alias("split_pos"),
+        F.col("__o").alias("split_order"),
+        F.col("__gain").alias("gain"),
+        F.round(F.col("__cs") / F.col("__i") + F.lit(1e-9), 6).alias("mean_left"),
+        F.round(
+            (F.col("__tot") - F.col("__cs"))
+            / (F.col("__n") - F.col("__i")).cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_right"),
+    )
+    return out.unionByName(singles)

@@ -1033,3 +1033,131 @@ def test_logrank_all_censored_counts_still_reported(spark):
     assert r["expected_a"] == pytest.approx(0.0, abs=1e-6)
     assert r["variance"] == pytest.approx(0.0, abs=1e-6)
     assert r["z"] is None and r["chi2"] is None
+
+
+def test_effect_sizes_hand_moments(spark):
+    # sample1 = [2,4,6] (m=4, var_samp=4), sample2 = [1,2,3] (m=2, var=1):
+    # sp = sqrt((2*4 + 2*1)/4) = sqrt(2.5), d = 2/sp,
+    # J = 1 - 3/(4*6 - 9) = 0.8, g = 0.8*d
+    from mr_dice_spark.operators.evaluation import effect_sizes
+
+    rows = [("g", True, 2.0), ("g", True, 4.0), ("g", True, 6.0),
+            ("g", False, 1.0), ("g", False, 2.0), ("g", False, 3.0),
+            ("g", None, 99.0), (None, True, 99.0), ("g", True, None)]
+    df = spark.createDataFrame(rows, "g string, s boolean, v double")
+    [r] = effect_sizes(df, "g", "s", "v").collect()
+    sp = 2.5 ** 0.5
+    assert r["n1"] == 3 and r["n2"] == 3
+    assert r["mean_diff"] == pytest.approx(2.0, abs=1e-6)
+    assert r["pooled_sd"] == pytest.approx(sp, abs=1e-6)
+    assert r["cohens_d"] == pytest.approx(2.0 / sp, abs=1e-6)
+    assert r["hedges_g"] == pytest.approx(0.8 * 2.0 / sp, abs=1e-6)
+
+
+def test_effect_sizes_degenerate_null(spark):
+    # one-row sample and zero pooled variance both fail closed
+    from mr_dice_spark.operators.evaluation import effect_sizes
+
+    df = spark.createDataFrame(
+        [("g", True, 1.0), ("g", False, 2.0), ("g", False, 3.0)],
+        "g string, s boolean, v double",
+    )
+    [r] = effect_sizes(df, "g", "s", "v").collect()
+    assert r["cohens_d"] is None and r["hedges_g"] is None
+    df2 = spark.createDataFrame(
+        [("g", True, 5.0), ("g", True, 5.0), ("g", False, 5.0), ("g", False, 5.0)],
+        "g string, s boolean, v double",
+    )
+    [r2] = effect_sizes(df2, "g", "s", "v").collect()
+    assert r2["cohens_d"] is None
+
+
+def test_benjamini_hochberg_hand_qvalues_and_ties(spark):
+    from mr_dice_spark.operators.evaluation import benjamini_hochberg
+
+    # untied: p = [0.005, 0.01, 0.03, 0.04], m = 4:
+    # qraw = [0.02, 0.02, 0.04, 0.04] -> suffix-min = same (monotone)
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        "t string, p double",
+    )
+    got = {r["t"]: r for r in benjamini_hochberg(df, "t", "p", alpha=0.05).collect()}
+    assert got["d"]["rank"] == 1 and got["d"]["q_bh"] == pytest.approx(0.02, abs=1e-6)
+    assert got["a"]["q_bh"] == pytest.approx(0.02, abs=1e-6)
+    assert got["c"]["q_bh"] == pytest.approx(0.04, abs=1e-6)
+    assert got["b"]["q_bh"] == pytest.approx(0.04, abs=1e-6)
+    assert all(r["reject"] for r in got.values())
+    assert all(r["m_tests"] == 4 for r in got.values())
+
+    # ties share the largest rank (and therefore one q): p = [.02,.02,.5]
+    df2 = spark.createDataFrame(
+        [("x", 0.02), ("y", 0.02), ("z", 0.5)], "t string, p double"
+    )
+    got2 = {r["t"]: r for r in benjamini_hochberg(df2, "t", "p", alpha=0.05).collect()}
+    assert got2["x"]["rank"] == 2 and got2["y"]["rank"] == 2
+    assert got2["x"]["q_bh"] == pytest.approx(0.03, abs=1e-6)
+    assert got2["y"]["q_bh"] == pytest.approx(0.03, abs=1e-6)
+    assert got2["z"]["q_bh"] == pytest.approx(0.5, abs=1e-6)
+    assert got2["x"]["reject"] and got2["y"]["reject"] and not got2["z"]["reject"]
+
+    # out-of-range / NULL p rows are excluded from m
+    df3 = spark.createDataFrame(
+        [("a", 0.01), ("bad", 1.5), ("nan", None)], "t string, p double"
+    )
+    out3 = benjamini_hochberg(df3, "t", "p").collect()
+    assert len(out3) == 1 and out3[0]["m_tests"] == 1
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        benjamini_hochberg(df, "t", "p", alpha=1.5)
+
+
+def test_cochran_q_hand_value(spark):
+    # Cj = (3,2,1), T = 6, sum Ri^2 = 14, sum Cj^2 = 14, k = 3:
+    # Q = 2*(3*14 - 36)/(3*6 - 14) = 3.0
+    from mr_dice_spark.operators.evaluation import cochran_q
+
+    rows = []
+    outcomes = {"u1": (1, 1, 0), "u2": (1, 0, 0), "u3": (1, 1, 1), "u4": (0, 0, 0)}
+    for u, (a, b, c) in outcomes.items():
+        rows += [(u, "t1", a), (u, "t2", b), (u, "t3", c)]
+    df = spark.createDataFrame(rows, "u string, trt string, y int")
+    [r] = cochran_q(df, "u", "trt", "y").collect()
+    assert r["n_units"] == 4 and r["k_treatments"] == 3
+    assert r["total_successes"] == 6
+    assert r["q_stat"] == pytest.approx(3.0, abs=1e-6)
+    assert r["df"] == 2
+
+
+def test_cochran_q_no_discordance_null(spark):
+    # every unit constant across treatments -> denominator 0 -> NULL Q
+    from mr_dice_spark.operators.evaluation import cochran_q
+
+    rows = [("u1", "a", 1), ("u1", "b", 1), ("u2", "a", 0), ("u2", "b", 0)]
+    df = spark.createDataFrame(rows, "u string, trt string, y int")
+    [r] = cochran_q(df, "u", "trt", "y").collect()
+    assert r["q_stat"] is None and r["df"] == 1
+
+
+def test_fleiss_kappa_hand_value_and_ragged_guard(spark):
+    # u1 = (a,a,a), u2 = (a,b,b): Po = 2/3, Pe = 5/9, kappa = 0.25
+    from mr_dice_spark.operators.evaluation import fleiss_kappa
+
+    rows = [("u1", "a")] * 3 + [("u2", "a"), ("u2", "b"), ("u2", "b")]
+    df = spark.createDataFrame(rows, "u string, lab string")
+    [r] = fleiss_kappa(df, "u", "lab").collect()
+    assert r["n_units"] == 2 and r["n_raters"] == 3
+    assert r["p_o"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert r["p_e"] == pytest.approx(5.0 / 9.0, abs=1e-6)
+    assert r["kappa"] == pytest.approx(0.25, abs=1e-6)
+
+    ragged = spark.createDataFrame(
+        rows + [("u3", "a")], "u string, lab string"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        fleiss_kappa(ragged, "u", "lab")
+    with pytest.raises(ValueError, match=">= 2"):
+        fleiss_kappa(
+            spark.createDataFrame([("u1", "a"), ("u2", "b")], "u string, lab string"),
+            "u", "lab",
+        )

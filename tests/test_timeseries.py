@@ -609,3 +609,31 @@ def test_mann_kendall_hand_values(spark):
     assert got["dn"]["z"] == pytest.approx(-5 / math.sqrt(var), abs=1e-6)
     assert got["fl"]["s"] == 0 and got["fl"]["z"] is None
     assert got["fl"]["var_s"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_best_changepoint_planted_shift(spark):
+    # key A: [1,1,1,5,5] -> split after pos 3 (gain 19.2), means 1 and 5;
+    # hand gains: k=2 -> 8.533..., k=3 -> 19.2, k=4 -> 7.2
+    from mr_dice_spark.operators.timeseries import best_changepoint
+
+    rows = [("A", i + 1, v) for i, v in enumerate([1.0, 1.0, 1.0, 5.0, 5.0])]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    [r] = best_changepoint(df, "k", "o", "v").collect()
+    assert r["n"] == 5 and r["split_pos"] == 3 and r["split_order"] == 3
+    assert r["gain"] == pytest.approx(19.2, abs=1e-6)
+    assert r["mean_left"] == pytest.approx(1.0, abs=1e-6)
+    assert r["mean_right"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_best_changepoint_tie_and_degenerate(spark):
+    from mr_dice_spark.operators.timeseries import best_changepoint
+
+    # constant series: every gain 0 -> smallest k wins
+    rows = [("A", i, 2.0) for i in range(3)] + [("B", 0, 7.0)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    got = {r["k"]: r for r in best_changepoint(df, "k", "o", "v").collect()}
+    assert got["A"]["split_pos"] == 1
+    assert got["A"]["gain"] == pytest.approx(0.0, abs=1e-6)
+    # single-row key: no interior split -> NULL row with n reported
+    assert got["B"]["n"] == 1 and got["B"]["split_pos"] is None
+    assert got["B"]["gain"] is None and got["B"]["mean_left"] is None
