@@ -101,7 +101,11 @@ _CHECK_FIRST = [
     # goldens (all suite-oracle-green, swept hash-exact at all three
     # scales on landing), in landing order — they lead the round-9
     # rotation (round 9 has no badge-stale rows under the derived
-    # horizon, so the queue drains fully with slots to spare):
+    # horizon, so the queue drains fully with slots to spare). The five
+    # round-8 additions (effect_size_weekend_by_type,
+    # bh_fdr_weekday_conversion, cochran_q_high_value_types,
+    # fleiss_kappa_value_bands, changepoint_daily_value_by_type) join
+    # the END of this queue in landing order:
     # cochran_armitage_purchase_by_weekday
     # distinct_ngram_diversity_by_lang
     # kendall_tau_weekday_value_band
@@ -128,6 +132,11 @@ _CHECK_FIRST = [
     # rfm_segments_users
     # uncertainty_coeffs_type_weekday
     # rmst_time_to_purchase
+    # effect_size_weekend_by_type
+    # bh_fdr_weekday_conversion
+    # cochran_q_high_value_types
+    # fleiss_kappa_value_bands
+    # changepoint_daily_value_by_type
 ]
 
 

@@ -2915,3 +2915,383 @@ def decile_lift_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decile_lift_by_group(
         ev, "event_type", "value", "is_hit", "event_id", n_tiles=10
     ).orderBy("event_type", "tile")
+
+
+# ---------------------------------------------------------------------------
+# standardized effect sizes (Cohen's d / Hedges' g)
+# ---------------------------------------------------------------------------
+
+EFFECT_SIZE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) IN (2, 3) AS s,
+         value AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+a AS (
+  SELECT g,
+         COUNT(CASE WHEN s THEN 1 END) AS n1,
+         COUNT(CASE WHEN NOT s THEN 1 END) AS n2,
+         AVG(CASE WHEN s THEN v END) AS m1,
+         AVG(CASE WHEN NOT s THEN v END) AS m2,
+         VAR_SAMP(CASE WHEN s THEN v END) AS v1,
+         VAR_SAMP(CASE WHEN NOT s THEN v END) AS v2
+  FROM base GROUP BY g
+),
+b AS (
+  SELECT *, SQRT(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS sp
+  FROM a
+)
+SELECT g AS event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND((m1 - m2) + 1e-9, 6) AS mean_diff,
+       ROUND(sp + 1e-9, 6) AS pooled_sd,
+       ROUND(CASE WHEN n1 > 1 AND n2 > 1 AND sp > 0
+             THEN (m1 - m2) / sp END + 1e-9, 6) AS cohens_d,
+       ROUND(CASE WHEN n1 > 1 AND n2 > 1 AND sp > 0
+             THEN (m1 - m2) / sp END
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)) + 1e-9, 6) AS hedges_g
+FROM b ORDER BY event_type
+"""
+
+
+@golden(
+    "effect_size_weekend_by_type",
+    EFFECT_SIZE_ORACLE,
+    tags=("evaluation", "effect-size", "experiment", "events"),
+)
+def effect_size_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g for the weekend-vs-weekday value shift per
+    event type — the 'how big, in comparable units' companion to
+    welch_t_weekend_split's t statistic on the identical split (epoch-day
+    mod 7 in {2,3}). One conditional-moment aggregate per group."""
+    from mr_dice_spark.operators.evaluation import effect_sizes
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7)
+        .isin(2, 3)
+        .alias("s"),
+        "value",
+    )
+    return effect_sizes(ev, "event_type", "s", "value").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-weekday conversion screens
+# ---------------------------------------------------------------------------
+
+BH_FDR_ORACLE = """
+WITH ev AS (
+  SELECT (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS wd,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+  SELECT wd, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS c
+  FROM ev GROUP BY wd
+),
+tot AS (SELECT SUM(n) AS nn, SUM(c) AS cc FROM per),
+z AS (
+  SELECT wd,
+         (c / n - (cc - c) / (nn - n)) * (c / n - (cc - c) / (nn - n))
+         / ((cc / nn) * (1.0 - cc / nn) * (1.0 / n + 1.0 / (nn - n))) AS z2
+  FROM per CROSS JOIN tot
+),
+tests AS (
+  -- clamp AFTER the 9dp nudge-quantization: the nudge can push an
+  -- exactly-1.0 bound to 1.000000001, which the operator's strict
+  -- [0, 1] validity filter would (correctly) exclude
+  SELECT wd,
+         LEAST(1.0,
+               ROUND(CASE WHEN z2 > 0 THEN LEAST(1.0, 1.0 / z2) ELSE 1.0 END
+                     + 1e-9, 9)) AS p
+  FROM z
+),
+ranked AS (
+  SELECT t.wd, t.p,
+         (SELECT COUNT(*) FROM tests j WHERE j.p <= t.p) AS r,
+         (SELECT COUNT(*) FROM tests) AS m
+  FROM tests t
+),
+adj AS (
+  SELECT wd, p, r, m,
+         LEAST(MIN(m * p / r) OVER (ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1.0) AS qadj
+  FROM ranked
+)
+SELECT wd AS weekday,
+       ROUND(p + 1e-9, 9) AS p_value,
+       CAST(r AS BIGINT) AS rank,
+       CAST(m AS BIGINT) AS m_tests,
+       ROUND(qadj + 1e-9, 6) AS q_bh,
+       qadj <= 0.1 AS reject
+FROM adj ORDER BY weekday
+"""
+
+
+@golden(
+    "bh_fdr_weekday_conversion",
+    BH_FDR_ORACLE,
+    tags=("evaluation", "experiment", "fdr", "multiple-comparisons"),
+)
+def bh_fdr_weekday_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg gate over seven per-weekday conversion
+    screens: each weekday's purchase share vs the other six days gives
+    a two-proportion z^2 from exact integer counts, mapped through the
+    distribution-free Chebyshev bound ``p = min(1, 1/z^2)`` (BH keeps
+    FDR control under conservative p-bounds — the portable route when
+    no normal CDF exists on either engine), 9dp-quantized, then
+    step-up adjusted at alpha = 0.1. The multiple-comparisons readout
+    every sliced experiment needs before declaring a weekday effect."""
+    from mr_dice_spark.operators.evaluation import benjamini_hochberg
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("wd"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    per = ev.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("c"),
+    )
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("c").alias("cc"))
+    j = per.crossJoin(F.broadcast(tot))
+    p1 = F.col("c") / F.col("n")
+    p2 = (F.col("cc") - F.col("c")) / (F.col("nn") - F.col("n"))
+    pp = F.col("cc") / F.col("nn")
+    z2 = (p1 - p2) * (p1 - p2) / (
+        pp * (1.0 - pp) * (1.0 / F.col("n") + 1.0 / (F.col("nn") - F.col("n")))
+    )
+    # clamp AFTER the 9dp nudge-quantization: the nudge pushes an
+    # exactly-1.0 bound to 1.000000001, which the operator's strict
+    # [0, 1] validity filter would (correctly) exclude
+    tests = j.select(
+        "wd",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.when(z2 > 0, F.least(F.lit(1.0), 1.0 / z2)).otherwise(1.0)
+                + F.lit(1e-9),
+                9,
+            ),
+        ).alias("p"),
+    )
+    out = benjamini_hochberg(tests, "wd", "p", alpha=0.1)
+    return out.withColumnRenamed("wd", "weekday").orderBy("weekday")
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: paired high-value propensity across event types
+# ---------------------------------------------------------------------------
+
+COCHRAN_Q_ORACLE = """
+WITH cells AS (
+  SELECT user_id AS u, event_type AS j,
+         MAX(CASE WHEN COALESCE(value >= 100, FALSE) THEN 1 ELSE 0 END) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id, event_type
+),
+per_t AS (SELECT j, SUM(x) AS cj FROM cells GROUP BY j),
+per_u AS (SELECT u, SUM(x) AS ri FROM cells GROUP BY u),
+tt AS (SELECT COUNT(*) AS k, SUM(cj) AS t, SUM(cj * cj) AS c2 FROM per_t),
+uu AS (SELECT COUNT(*) AS nu, SUM(ri * ri) AS r2 FROM per_u)
+SELECT CAST(nu AS BIGINT) AS n_units,
+       CAST(k AS BIGINT) AS k_treatments,
+       CAST(t AS BIGINT) AS total_successes,
+       ROUND(CASE WHEN CAST(k AS DOUBLE) * t - r2 > 0 THEN
+         (CAST(k AS DOUBLE) - 1.0)
+         * (CAST(k AS DOUBLE) * CAST(c2 AS DOUBLE)
+            - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+         / (CAST(k AS DOUBLE) * CAST(t AS DOUBLE) - CAST(r2 AS DOUBLE))
+       END + 1e-9, 6) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM tt CROSS JOIN uu
+"""
+
+
+@golden(
+    "cochran_q_high_value_types",
+    COCHRAN_Q_ORACLE,
+    tags=("evaluation", "cochran-q", "paired", "events"),
+)
+def cochran_q_high_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q on paired binary outcomes: per user (the block),
+    does 'ever logged a value >= 100 event' have one rate across the
+    view/click/purchase funnel stages? The k-way McNemar — exact
+    integers until the closing division. NULL values count as failures
+    (COALESCE false), so the outcome is defined wherever the user
+    touched the stage."""
+    from mr_dice_spark.operators.evaluation import cochran_q
+
+    _utc(spark)
+    flags = (
+        Catalog(spark, sf_dir).events.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.coalesce(F.col("value") >= 100, F.lit(False)).cast("int")
+            ).alias("y")
+        )
+    )
+    return cochran_q(flags, "user_id", "event_type", "y")
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa: fixed 5-event panels banding each event type
+# ---------------------------------------------------------------------------
+
+FLEISS_ORACLE = """
+WITH ranked AS (
+  SELECT event_type AS u,
+         CASE WHEN value < 20 THEN 'low'
+              WHEN value < 100 THEN 'mid' ELSE 'high' END AS lab,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+panel AS (SELECT u, lab FROM ranked WHERE rn <= 5),
+cells AS (SELECT u, lab, COUNT(*) AS m FROM panel GROUP BY u, lab),
+shape AS (SELECT COUNT(DISTINCT u) AS nu, SUM(m * m) AS ssq FROM cells),
+labels AS (SELECT lab, SUM(m) AS nc FROM cells GROUP BY lab),
+pe AS (
+  SELECT SUM((CAST(nc AS DOUBLE) / (nu * 5.0))
+             * (CAST(nc AS DOUBLE) / (nu * 5.0))) AS pe
+  FROM labels CROSS JOIN shape
+)
+SELECT CAST(nu AS BIGINT) AS n_units,
+       CAST(5 AS BIGINT) AS n_raters,
+       ROUND((CAST(ssq AS DOUBLE) - nu * 5.0) / ((nu * 5.0) * 4.0)
+             + 1e-9, 6) AS p_o,
+       ROUND(pe + 1e-9, 6) AS p_e,
+       ROUND(CASE WHEN pe < 1.0 THEN
+         ((CAST(ssq AS DOUBLE) - nu * 5.0) / ((nu * 5.0) * 4.0) - pe)
+         / (1.0 - pe) END + 1e-9, 6) AS kappa
+FROM shape CROSS JOIN pe
+"""
+
+
+@golden(
+    "fleiss_kappa_value_bands",
+    FLEISS_ORACLE,
+    tags=("evaluation", "agreement", "fleiss", "events"),
+)
+def fleiss_kappa_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a CONSTRUCTED equal-size panel: each event
+    type's first five (ts, event_id)-ordered valued events act as five
+    'raters' assigning the type a value band (low/mid/high at 20/100) —
+    agreement says whether a type's early value profile is coherent.
+    The deterministic first-5 window guarantees the fixed-panel design
+    Fleiss requires (the operator fail-fasts on ragged counts; every
+    type holds >= 188 valued events at the smallest test scale)."""
+    from mr_dice_spark.operators.evaluation import fleiss_kappa
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    panel = (
+        ev.select(
+            F.col("event_type").alias("u"),
+            F.when(F.col("value") < 20, "low")
+            .when(F.col("value") < 100, "mid")
+            .otherwise("high")
+            .alias("lab"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    return fleiss_kappa(panel, "u", "lab")
+
+
+# ---------------------------------------------------------------------------
+# offline changepoint: where did each event type's daily level shift?
+# ---------------------------------------------------------------------------
+
+CHANGEPOINT_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         ROUND(AVG(value) + 1e-9, 6) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT k, d,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) AS i,
+         SUM(v) OVER (PARTITION BY k ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         COUNT(*) OVER (PARTITION BY k) AS n,
+         SUM(v) OVER (PARTITION BY k) AS tot
+  FROM b
+),
+gains AS (
+  SELECT k, d, i, n, cs, tot,
+         ROUND((cs * cs / i + (tot - cs) * (tot - cs) / (n - i))
+               - tot * tot / n + 1e-9, 9) AS gain
+  FROM cum WHERE i < n
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                               ORDER BY gain DESC, i ASC) AS rn
+  FROM gains
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(i AS BIGINT) AS split_pos,
+       d AS split_order,
+       gain,
+       ROUND(cs / i + 1e-9, 6) AS mean_left,
+       ROUND((tot - cs) / CAST(n - i AS DOUBLE) + 1e-9, 6) AS mean_right
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@golden(
+    "changepoint_daily_value_by_type",
+    CHANGEPOINT_ORACLE,
+    tags=("timeseries", "changepoint", "events"),
+)
+def changepoint_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint in each event type's daily mean-value
+    series (argmax between-segment SSE — binary segmentation's first
+    step): the retrospective WHERE to cusum's sequential THAT. Fed the
+    quantized daily-bucket frame per the operator's per-key series
+    contract; gains are 9dp-pinned before the argmax so both engines
+    pick the same split."""
+    from mr_dice_spark.operators.timeseries import best_changepoint
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+    ).agg(_r(F.avg("value"), 6).alias("v"))
+    out = best_changepoint(b, "k", "d", "v")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

@@ -241,6 +241,12 @@ PROBES = [
     "rfm_segments_users",
     "uncertainty_coeffs_type_weekday",
     "rmst_time_to_purchase",
+    # round-8 additions
+    "effect_size_weekend_by_type",
+    "bh_fdr_weekday_conversion",
+    "cochran_q_high_value_types",
+    "fleiss_kappa_value_bands",
+    "changepoint_daily_value_by_type",
 ]
 
 
