@@ -2450,13 +2450,22 @@ def benjamini_hochberg(
         raise ValueError(f"benjamini_hochberg: need 0 < alpha < 1, got {alpha}")
     from mr_dice_spark.operators.scale import prefix_sums
 
-    base = df.select(
-        F.col(test_col).alias("__t"), F.col(p_col).cast("double").alias("__p")
-    ).where(
-        F.col(test_col).isNotNull()
-        & F.col(p_col).isNotNull()
-        & (F.col(p_col).cast("double") >= 0.0)
-        & (F.col(p_col).cast("double") <= 1.0)
+    base = (
+        df.select(
+            F.col(test_col).alias("__t"), F.col(p_col).cast("double").alias("__p")
+        )
+        .where(
+            F.col(test_col).isNotNull()
+            & F.col(p_col).isNotNull()
+            & (F.col(p_col).cast("double") >= 0.0)
+            & (F.col(p_col).cast("double") <= 1.0)
+        )
+        # pin the hypotheses frame: it feeds the cell aggregate, both
+        # sides of the monotonization, AND the final join-back — without
+        # the pin each branch re-plans the caller's (often corpus-sized)
+        # p-value derivation; with it the upstream lineage runs exactly
+        # once and every branch reads the tiny materialized test table
+        .localCheckpoint(eager=True)
     )
     cells = base.groupBy("__p").agg(F.count(F.lit(1)).alias("__c"))
     ranked = prefix_sums(cells, "__p", ["__c"]).select(
@@ -2470,10 +2479,13 @@ def benjamini_hochberg(
         (F.col("__m") * F.col("__p") / F.col("__r").cast("double")).alias("__q"),
     )
     # suffix-min over the p-ordered cells: q_adj(i) = min over j >= i of
-    # q_raw(j), capped at 1 — |cells|^2 pairs on the reduced frame
+    # q_raw(j), capped at 1 — |cells|^2 pairs on the reduced frame; the
+    # broadcast keeps the non-equi join a BroadcastNestedLoopJoin (each
+    # task streams its cells against the tiny replicated side) instead
+    # of a CartesianProduct shuffle
     a, b = qraw.alias("a"), qraw.alias("b")
     adj = (
-        a.join(b, F.col("b.__p") >= F.col("a.__p"))
+        a.join(F.broadcast(b), F.col("b.__p") >= F.col("a.__p"))
         .groupBy(F.col("a.__p").alias("__p"), F.col("a.__r").alias("__r"),
                  F.col("a.__m").alias("__m"))
         .agg(F.least(F.min(F.col("b.__q")), F.lit(1.0)).alias("__qadj"))

@@ -1656,3 +1656,59 @@ def test_rmst_single_scan_key_windows(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_effect_sizes_single_aggregate_no_window(spark, sf_dir):
+    """Conditional moments for both samples in ONE hash aggregate per
+    group: no window, no join, one pruned scan."""
+    df = GOLDEN["effect_size_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_benjamini_hochberg_pinned_hypotheses_distributed_ranks(spark, sf_dir):
+    """The hypotheses frame is localCheckpoint-pinned (it feeds the
+    cell aggregate, both monotonization sides and the join-back — the
+    caller's corpus-sized p derivation must run ONCE, so no parquet
+    scan survives into the final plan), ranks come from the prefix
+    pass (every Window partitions on __pid, never a global sort), and
+    the only SinglePartition exchanges are 1-row reduces."""
+    df = GOLDEN["bh_fdr_weekday_conversion"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(__pid" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_cochran_q_two_bounded_aggregates(spark, sf_dir):
+    """(unit, treatment) cells pinned once; treatment- and unit-keyed
+    aggregates both derive from the pin (no residual parquet scan in
+    the final plan); closing 1-row frames meet by broadcast."""
+    df = GOLDEN["cochran_q_high_value_types"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan  # all branches reuse the pinned cells
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_fleiss_kappa_pinned_cells_no_rescan(spark, sf_dir):
+    """The (unit, label) cell aggregate is localCheckpoint-pinned; the
+    label branch in the final plan reuses it rather than re-scanning
+    the corpus (the shape check's branch already ran eagerly)."""
+    df = GOLDEN["fleiss_kappa_value_bands"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+
+
+def test_best_changepoint_key_partitioned_windows_only(spark, sf_dir):
+    """Both windows (cumulative sums, argmax pick) partition on the
+    series key — no single-task window, one pruned scan, no join in
+    the main branch (the n=1 union leg shares the same lineage)."""
+    df = GOLDEN["changepoint_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert not has_cartesian(df)
