@@ -137,6 +137,7 @@ _CHECK_FIRST = [
     # cochran_q_high_value_types
     # fleiss_kappa_value_bands
     # changepoint_daily_value_by_type
+    # pq_topk_fixed_oracle
 ]
 
 

@@ -3207,6 +3207,74 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_FIXED_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              ELSE v END AS u
+  FROM base
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, u
+  FROM n ORDER BY vec_id LIMIT 16
+),
+sp AS (SELECT unnest(range(16)) AS s),
+cw AS (
+  SELECT sp.s, seeds.code, seeds.u[sp.s*4+1 : sp.s*4+4] AS c
+  FROM seeds CROSS JOIN sp
+),
+q AS (SELECT u AS qu FROM n WHERE vec_id = 7),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT nn.vec_id, cw.s, cw.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY nn.vec_id, cw.s
+             ORDER BY ROUND(1e-9 + list_dot_product(nn.u[cw.s*4+1 : cw.s*4+4], cw.c)
+                            - 0.5 * list_dot_product(cw.c, cw.c), 6) DESC,
+                      cw.code
+           ) AS rn
+    FROM n nn CROSS JOIN cw
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id,
+         SUM(list_dot_product((SELECT qu FROM q)[a.s*4+1 : a.s*4+4], cw.c)) AS raw
+  FROM assign a JOIN cw ON cw.s = a.s AND cw.code = a.code
+  GROUP BY a.vec_id
+)
+SELECT vec_id, ROUND(1e-9 + raw, 6) AS adc_score
+FROM scored
+ORDER BY adc_score DESC, vec_id
+LIMIT 10
+"""
+
+
+@golden("pq_topk_fixed_oracle", PQ_FIXED_ORACLE, tags=("similarity", "ann", "pq"))
+def pq_topk_fixed_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with the deterministic sampled-init codebooks
+    (n_iter=0: subvectors of the first 2^nbits vectors by id) and
+    rounded-grid code assignment — the cosine_topk_ivf_fixed_oracle
+    treatment for product quantization: with the codebook pinned, EVERY
+    stage (seed pick -> per-subspace argmax encode -> literal ADC table
+    -> global top-k) is SQL-restatable, so the whole PQ pipeline gets a
+    hash-checked oracle instead of pq_topk_adc's rows-only check. The
+    grid (round_scores=6, nudge-rounded) is where a numpy BLAS dot and
+    DuckDB's sequential dot agree bit-for-bit."""
+    from mr_dice_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qrow = emb.where(F.col("vec_id") == 7).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    books = pq_train(emb, "vec_id", "embedding", m=16, nbits=4, n_iter=0)
+    enc = pq_encode(emb, "vec_id", "embedding", books, round_scores=6)
+    out = pq_topk(enc, "vec_id", qvec, books, k=10, round_scores=6)
+    return out.orderBy(F.desc("adc_score"), "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # streaming sliding window with full oracle parity (extension, §2.10)
 # ---------------------------------------------------------------------------

@@ -486,7 +486,7 @@ def _pq_prepped(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         )
     )
 
-def _pq_codes_udf(codebooks: list[list[list[float]]]):
+def _pq_codes_udf(codebooks: list[list[list[float]]], round_scores: int | None = None):
     """Arrow-batched assignment: nearest codeword per subspace by L2 on the
     normalized vector, as argmax of X_sub @ C.T - |c|^2/2 (ties -> lowest
     code via numpy first-argmax). PQ assignment is the one place the
@@ -494,7 +494,12 @@ def _pq_codes_udf(codebooks: list[list[list[float]]]):
     blow Janino's 64 KB method limit and the whole stage silently falls
     back to interpreted execution, while HOF lambdas never enter codegen at
     all (PERFORMANCE.md finding 1) — a vectorized numpy matmul per batch is
-    the honest fast path."""
+    the honest fast path.
+
+    ``round_scores`` quantizes the assignment score to a nudge-rounded
+    decimal grid before the argmax (the ivf_assign ``round_scores`` idiom):
+    a BLAS dot and a SQL left-to-right dot can differ in the last ulp, so
+    a fixed-oracle golden assigns on the grid where both engines agree."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -513,6 +518,8 @@ def _pq_codes_udf(codebooks: list[list[list[float]]]):
         codes = np.empty((x.shape[0], m), dtype=np.int32)
         for sp in range(m):
             s = x[:, sp * d_sub:(sp + 1) * d_sub] @ mats[sp].T - halves[sp]
+            if round_scores is not None:
+                s = np.round(s + 1e-9, round_scores)
             codes[:, sp] = np.argmax(s, axis=1)
         return pd.Series([c.tolist() for c in codes])
 
@@ -610,15 +617,18 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: list[list[list[float]]],
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Encode each L2-normalized vector as ``m`` codes (id, codes:
     array<int>) — dim × 8 bytes becomes m × nbits bits per vector, the
     compressed representation an ANN index stores at scale. One narrow
-    Arrow-batched pass above the fan_out exchange — no shuffle, no join."""
+    Arrow-batched pass above the fan_out exchange — no shuffle, no join.
+    ``round_scores`` assigns codes on the nudge-rounded grid (see
+    :func:`_pq_codes_udf`) for cross-engine-verifiable encodings."""
     prepped = _pq_prepped(df, id_col, vec_col)
     return prepped.select(
         F.col("__id").alias(id_col),
-        _pq_codes_udf(codebooks)("__v").alias("codes"),
+        _pq_codes_udf(codebooks, round_scores)("__v").alias("codes"),
     )
 
 
@@ -628,13 +638,17 @@ def pq_topk(
     query_vec: list[float],
     codebooks: list[list[list[float]]],
     k: int = 10,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over PQ
     codes: the per-(subspace, code) dot-product table against the
     normalized query is built driver-side (m × 2^nbits floats) and folded
     into the plan as literals, so scoring a row is m array lookups + a sum
     — no vector math, no join, no shuffle; the global top-k is a
-    TakeOrderedAndProject. Scores approximate cosine(query, vector)."""
+    TakeOrderedAndProject. Scores approximate cosine(query, vector).
+    ``round_scores`` ranks on the nudge-rounded grid (the ivf fixed-oracle
+    idiom) so a raw-rank k-boundary tie can't admit a different member per
+    engine in a cross-engine compare."""
     qu = _unit([float(x) for x in query_vec])
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
@@ -652,6 +666,8 @@ def pq_topk(
             F.element_at(F.col("codes"), sp + 1) + 1,
         )
         score = term if score is None else score + term
+    if round_scores is not None:
+        score = F.round(score + F.lit(1e-9), round_scores)
     return (
         encoded.select(F.col(id_col), score.alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.col(id_col))

@@ -1704,6 +1704,16 @@ def test_fleiss_kappa_pinned_cells_no_rescan(spark, sf_dir):
     assert "Scan parquet" not in plan
 
 
+def test_pq_fixed_oracle_no_join_takeordered(spark, sf_dir):
+    """The ADC table folds into the plan as literals, so the scoring
+    pass is joinless (lookups + a sum above the fan_out exchange) and
+    the global top-k is a TakeOrderedAndProject, never a global sort."""
+    df = GOLDEN["pq_topk_fixed_oracle"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_best_changepoint_key_partitioned_windows_only(spark, sf_dir):
     """Both windows (cumulative sums, argmax pick) partition on the
     series key — no single-task window, one pruned scan, no join in

@@ -247,6 +247,7 @@ PROBES = [
     "cochran_q_high_value_types",
     "fleiss_kappa_value_bands",
     "changepoint_daily_value_by_type",
+    "pq_topk_fixed_oracle",
 ]
 
 
