@@ -138,6 +138,11 @@ _CHECK_FIRST = [
     # fleiss_kappa_value_bands
     # changepoint_daily_value_by_type
     # pq_topk_fixed_oracle
+    # nelson_aalen_time_to_purchase
+    # did_monthhalf_value_by_arm
+    # mantel_haenszel_highvalue_by_type
+    # chow_break_daily_value_by_type
+    # jaro_winkler_name_pairs
 ]
 
 

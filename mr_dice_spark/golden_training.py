@@ -3295,3 +3295,346 @@ def changepoint_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     ).agg(_r(F.avg("value"), 6).alias("v"))
     out = best_changepoint(b, "k", "d", "v")
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard: the additive companion to the KM golden
+# ---------------------------------------------------------------------------
+
+NELSON_AALEN_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS first_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS purch_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+subj AS (
+  SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS g,
+         CAST(FLOOR((COALESCE(purch_us, last_us) - first_us)
+                    / 3600000000.0) AS DOUBLE) AS t,
+         purch_us IS NOT NULL AS e
+  FROM per_user
+),
+times AS (
+  SELECT g, t, count_if(e) AS d, count_if(NOT e) AS c
+  FROM subj GROUP BY 1, 2
+),
+staged AS (
+  SELECT g, t, d, c,
+         SUM(d + c) OVER (PARTITION BY g)
+         - COALESCE(SUM(d + c) OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM times
+),
+na AS (
+  SELECT g, t, d, c, n,
+         SUM(ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 9))
+           OVER w AS h,
+         SUM(ROUND((CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) * CAST(d AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   + 1e-12, 9)) OVER w AS v
+  FROM staged
+  WINDOW w AS (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT g AS cohort, t AS duration_h,
+       CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       ROUND(h + 1e-9, 6) AS cum_hazard,
+       ROUND(v + 1e-9, 6) AS var_hazard,
+       ROUND(EXP(-h) + 1e-9, 6) AS survival_fh
+FROM na WHERE d > 0
+ORDER BY cohort, duration_h
+"""
+
+
+@golden(
+    "nelson_aalen_time_to_purchase",
+    NELSON_AALEN_ORACLE,
+    tags=("evaluation", "survival", "hazard", "events"),
+)
+def nelson_aalen_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (+ Aalen variance and the
+    Fleming-Harrington survival reading) per user cohort on the SAME
+    right-censored time-to-first-purchase construction as the KM/RMST
+    goldens — hazard is the crude-rate scale an exposure comparison
+    wants. Per-time increments are 9dp-pinned before the running sum
+    (KM's chained-float contract), so both engines accumulate
+    identical doubles in identical order."""
+    from mr_dice_spark.operators.evaluation import nelson_aalen
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    subj = per_user.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("cohort"),
+        F.floor(
+            (F.coalesce("purch_us", "last_us") - F.col("first_us")) / 3600000000.0
+        ).cast("double").alias("duration_h"),
+        F.col("purch_us").isNotNull().alias("converted"),
+    )
+    return nelson_aalen(subj, "cohort", "duration_h", "converted").orderBy(
+        "cohort", "duration_h"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: month-half uplift, even/odd user arms
+# ---------------------------------------------------------------------------
+
+DID_ORACLE = """
+WITH b AS (
+  SELECT (user_id % 2 = 0) AS t,
+         (EXTRACT(day FROM ts) > 15) AS p,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+a AS (
+  SELECT
+    count_if(t AND NOT p) AS n_t_pre,
+    count_if(t AND p) AS n_t_post,
+    count_if(NOT t AND NOT p) AS n_c_pre,
+    count_if(NOT t AND p) AS n_c_post,
+    ROUND(AVG(CASE WHEN t AND NOT p THEN v END) + 1e-9, 6) AS mean_t_pre,
+    ROUND(AVG(CASE WHEN t AND p THEN v END) + 1e-9, 6) AS mean_t_post,
+    ROUND(AVG(CASE WHEN NOT t AND NOT p THEN v END) + 1e-9, 6) AS mean_c_pre,
+    ROUND(AVG(CASE WHEN NOT t AND p THEN v END) + 1e-9, 6) AS mean_c_post,
+    ROUND(VAR_SAMP(CASE WHEN t AND NOT p THEN v END) + 1e-9, 6) AS s2_t_pre,
+    ROUND(VAR_SAMP(CASE WHEN t AND p THEN v END) + 1e-9, 6) AS s2_t_post,
+    ROUND(VAR_SAMP(CASE WHEN NOT t AND NOT p THEN v END) + 1e-9, 6) AS s2_c_pre,
+    ROUND(VAR_SAMP(CASE WHEN NOT t AND p THEN v END) + 1e-9, 6) AS s2_c_post
+  FROM b
+),
+d AS (
+  SELECT *,
+    CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0
+         THEN (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
+    END AS did_raw,
+    CASE WHEN n_t_pre >= 2 AND n_t_post >= 2 AND n_c_pre >= 2 AND n_c_post >= 2
+         THEN SQRT(s2_t_pre / CAST(n_t_pre AS DOUBLE)
+                   + s2_t_post / CAST(n_t_post AS DOUBLE)
+                   + s2_c_pre / CAST(n_c_pre AS DOUBLE)
+                   + s2_c_post / CAST(n_c_post AS DOUBLE))
+    END AS se_raw
+  FROM a
+)
+SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+       CAST(n_t_post AS BIGINT) AS n_t_post,
+       CAST(n_c_pre AS BIGINT) AS n_c_pre,
+       CAST(n_c_post AS BIGINT) AS n_c_post,
+       mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+       ROUND(did_raw + 1e-9, 6) AS did,
+       ROUND(se_raw + 1e-9, 6) AS se,
+       ROUND(CASE WHEN se_raw > 0 THEN did_raw / se_raw END + 1e-9, 6) AS z
+FROM d
+"""
+
+
+@golden(
+    "did_monthhalf_value_by_arm",
+    DID_ORACLE,
+    tags=("evaluation", "experiment", "did", "events"),
+)
+def did_monthhalf_value_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-event value: even-user arm as
+    'treated', first half of the month as the pre period — the
+    quasi-experimental readout that nets out both the fixed arm gap and
+    the common time trend. The arms are a null split over a common
+    process, so DiD should be (and is) near zero — the golden validates
+    the machinery: cell means and variances pin at 6dp before the
+    differencing so DiD/SE/z are fixed chains on pinned operands."""
+    from mr_dice_spark.operators.evaluation import difference_in_differences
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        (F.dayofmonth("ts") > 15).alias("period"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return difference_in_differences(
+        rows, "arm", "period", "v",
+        arm_treat=True, period_pre=False, period_post=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel: exposure/outcome association stratified by event type
+# ---------------------------------------------------------------------------
+
+MANTEL_HAENSZEL_ORACLE = """
+WITH b AS (
+  SELECT event_type AS s,
+         (user_id % 2 = 0) AS x,
+         (value >= 100.0) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+),
+cells AS (
+  SELECT s,
+         CAST(count_if(x AND y) AS DOUBLE) AS a,
+         CAST(count_if(x AND NOT y) AS DOUBLE) AS b,
+         CAST(count_if(NOT x AND y) AS DOUBLE) AS c,
+         CAST(count_if(NOT x AND NOT y) AS DOUBLE) AS d
+  FROM b GROUP BY s
+),
+terms AS (
+  SELECT a, b, c, d, (a + b + c + d) AS n,
+         a * d / (a + b + c + d) AS num,
+         b * c / (a + b + c + d) AS den,
+         (a + b) * (a + c) / (a + b + c + d) AS e,
+         CASE WHEN (a + b + c + d) > 1.0
+              THEN (a + b) * (c + d) * (a + c) * (b + d)
+                   / ((a + b + c + d) * (a + b + c + d)
+                      * ((a + b + c + d) - 1.0))
+              ELSE 0.0 END AS v
+  FROM cells
+),
+red AS (
+  SELECT COUNT(*) AS n_strata, SUM(n) AS n_total,
+         SUM(num) AS num, SUM(den) AS den,
+         SUM(a) AS sum_a, SUM(e) AS e, SUM(v) AS v
+  FROM terms
+)
+SELECT CAST(n_strata AS BIGINT) AS n_strata,
+       CAST(n_total AS BIGINT) AS n_total,
+       ROUND(CASE WHEN den > 0 THEN num / den END + 1e-9, 6) AS or_mh,
+       CAST(sum_a AS BIGINT) AS sum_a,
+       ROUND(e + 1e-9, 6) AS expected_a,
+       ROUND(v + 1e-9, 6) AS variance,
+       ROUND(CASE WHEN v > 0
+             THEN (sum_a - e) * (sum_a - e) / v END + 1e-9, 4) AS chi2
+FROM red
+"""
+
+
+@golden(
+    "mantel_haenszel_highvalue_by_type",
+    MANTEL_HAENSZEL_ORACLE,
+    tags=("evaluation", "experiment", "stratified", "events"),
+)
+def mantel_haenszel_highvalue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + CMH chi-squared for the
+    even/odd-arm vs high-value (value >= 100) association, stratified
+    by event type — the confounder-adjusted 2x2 readout that a pooled
+    table would expose to Simpson reversals (event types have very
+    different value scales here, so stratification genuinely matters).
+    The arms are a null split, so OR_MH should hug 1 — the golden
+    validates the machinery; every term is IEEE-exact on per-stratum
+    integer cells (the logrank argument)."""
+    from mr_dice_spark.operators.evaluation import mantel_haenszel
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2 == 0).alias("exposed"),
+        (F.col("value") >= 100.0).alias("high_value"),
+    )
+    return mantel_haenszel(rows, "stratum", "exposed", "high_value")
+
+
+# ---------------------------------------------------------------------------
+# Chow test: did each type's daily value trend break at mid-month?
+# ---------------------------------------------------------------------------
+
+CHOW_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 86400) AS DOUBLE) AS x,
+         ROUND(AVG(value) + 1e-9, 6) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT k,
+    COUNT(*) AS np, SUM(x) AS sxp, SUM(y) AS syp,
+    SUM(x * y) AS sxyp, SUM(x * x) AS sxxp, SUM(y * y) AS syyp,
+    count_if(x <= 19737.0) AS n1,
+    SUM(CASE WHEN x <= 19737.0 THEN x END) AS sx1,
+    SUM(CASE WHEN x <= 19737.0 THEN y END) AS sy1,
+    SUM(CASE WHEN x <= 19737.0 THEN x * y END) AS sxy1,
+    SUM(CASE WHEN x <= 19737.0 THEN x * x END) AS sxx1,
+    SUM(CASE WHEN x <= 19737.0 THEN y * y END) AS syy1,
+    count_if(x > 19737.0) AS n2,
+    SUM(CASE WHEN x > 19737.0 THEN x END) AS sx2,
+    SUM(CASE WHEN x > 19737.0 THEN y END) AS sy2,
+    SUM(CASE WHEN x > 19737.0 THEN x * y END) AS sxy2,
+    SUM(CASE WHEN x > 19737.0 THEN x * x END) AS sxx2,
+    SUM(CASE WHEN x > 19737.0 THEN y * y END) AS syy2
+  FROM b GROUP BY k
+),
+sse AS (
+  SELECT k, np, n1, n2,
+    ROUND(CASE WHEN np >= 2 AND (sxxp - sxp * sxp / np) > 0
+      THEN (syyp - syp * syp / np)
+           - (sxyp - sxp * syp / np) * (sxyp - sxp * syp / np)
+             / (sxxp - sxp * sxp / np) END + 1e-9, 6) AS ssep,
+    ROUND(CASE WHEN n1 >= 2 AND (sxx1 - sx1 * sx1 / n1) > 0
+      THEN (syy1 - sy1 * sy1 / n1)
+           - (sxy1 - sx1 * sy1 / n1) * (sxy1 - sx1 * sy1 / n1)
+             / (sxx1 - sx1 * sx1 / n1) END + 1e-9, 6) AS sse1,
+    ROUND(CASE WHEN n2 >= 2 AND (sxx2 - sx2 * sx2 / n2) > 0
+      THEN (syy2 - sy2 * sy2 / n2)
+           - (sxy2 - sx2 * sy2 / n2) * (sxy2 - sx2 * sy2 / n2)
+             / (sxx2 - sx2 * sx2 / n2) END + 1e-9, 6) AS sse2
+  FROM s
+)
+SELECT k AS event_type, CAST(np AS BIGINT) AS n,
+       CAST(n1 AS BIGINT) AS n_1, CAST(n2 AS BIGINT) AS n_2,
+       ssep AS sse_pooled, sse1 AS sse_1, sse2 AS sse_2,
+       ROUND(CASE WHEN np >= 5 AND (sse1 + sse2) > 0
+             THEN ((ssep - sse1 - sse2) / 2.0)
+                  / ((sse1 + sse2) / (CAST(np AS DOUBLE) - 4.0)) END
+             + 1e-9, 4) AS f_stat
+FROM sse ORDER BY event_type
+"""
+
+
+@golden(
+    "chow_break_daily_value_by_type",
+    CHOW_ORACLE,
+    tags=("timeseries", "chow", "structural-break", "events"),
+)
+def chow_break_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F-test at the known mid-month breakpoint
+    (epoch day 19737 = 2024-01-15) for each event type's daily
+    mean-value trend — the confirmatory companion to the changepoint
+    golden's exploratory argmax, on the same quantized daily-bucket
+    frame. SSEs come from one conditional power-sum aggregate per key
+    and pin at 6dp before F (the operator's two-point-segment guard),
+    so F is a fixed chain on pinned operands."""
+    from mr_dice_spark.operators.timeseries import chow_test
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("double").alias("x"),
+    ).agg(_r(F.avg("value"), 6).alias("y"))
+    out = chow_test(b, "k", "x", "y", breakpoint=19737.0)
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

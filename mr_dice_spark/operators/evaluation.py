@@ -574,6 +574,44 @@ def conformal_residual_coverage(
     )
 
 
+def _survival_staged(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Shared right-censored survival cell table: one row per (group,
+    duration) with event count ``__d``, censoring count ``__c`` and
+    at-risk count ``__n`` (a REVERSED running sum — n at t = group total
+    minus everything that left strictly before t). The tie-collapsed
+    reduced frame every survival estimator here (KM, Nelson-Aalen)
+    derives from; NULL group/duration/event rows are excluded."""
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(duration_col).cast("double").alias("__t"),
+        F.col(event_col).cast("boolean").alias("__e"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+    )
+    times = base.groupBy("__g", "__t").agg(
+        F.count_if(F.col("__e")).alias("__d"),
+        F.count_if(~F.col("__e")).alias("__c"),
+    )
+    w_all = Window.partitionBy("__g")
+    w_before = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_risk = (
+        F.sum(F.col("__d") + F.col("__c")).over(w_all)
+        - F.coalesce(F.sum(F.col("__d") + F.col("__c")).over(w_before), F.lit(0))
+    )
+    return times.select("__g", "__t", "__d", "__c", n_risk.alias("__n"))
+
+
 def kaplan_meier(
     df: DataFrame,
     group_col: str,
@@ -603,32 +641,7 @@ def kaplan_meier(
     duration, n_risk, n_events, n_censored, survival)``. Censor-only
     times affect n_risk but emit no row (the KM convention).
     """
-    base = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(duration_col).cast("double").alias("__t"),
-        F.col(event_col).cast("boolean").alias("__e"),
-    ).where(
-        F.col(group_col).isNotNull()
-        & F.col(duration_col).isNotNull()
-        & F.col(event_col).isNotNull()
-    )
-    times = base.groupBy("__g", "__t").agg(
-        F.count_if(F.col("__e")).alias("__d"),
-        F.count_if(~F.col("__e")).alias("__c"),
-    )
-    w_all = Window.partitionBy("__g")
-    w_before = (
-        Window.partitionBy("__g")
-        .orderBy("__t")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    n_risk = (
-        F.sum(F.col("__d") + F.col("__c")).over(w_all)
-        - F.coalesce(F.sum(F.col("__d") + F.col("__c")).over(w_before), F.lit(0))
-    )
-    staged = times.select(
-        "__g", "__t", "__d", "__c", n_risk.alias("__n")
-    )
+    staged = _survival_staged(df, group_col, duration_col, event_col)
     # ln factor, rounded; d = n -> S hits exactly 0 downstream
     lf = F.when(
         F.col("__d") < F.col("__n"),
@@ -656,6 +669,64 @@ def kaplan_meier(
             F.col("__d").cast("long").alias("n_events"),
             F.col("__c").cast("long").alias("n_censored"),
             "survival",
+        )
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve per group from (duration,
+    observed) pairs — the additive companion to :func:`kaplan_meier`:
+    ``H(t) = sum_{t_i <= t} d_i / n_i`` with Aalen's variance estimate
+    ``Var(t) = sum (n_i - d_i) * d_i / n_i^3``, plus the
+    Fleming-Harrington survival estimate ``exp(-H(t))`` (tighter than
+    KM in small samples, identical asymptotically). Hazard is the
+    natural scale for crude-rate comparisons and for the ratio reading
+    an exposure analysis wants ("arm A accumulates risk 1.4x faster"),
+    which the multiplicative KM curve can't give directly.
+
+    Relational form: the same tie-collapsed (group, duration) cell
+    table as KM (events, censorings, reversed-running-sum at-risk
+    counts — :func:`_survival_staged`), then ONE ordered running sum
+    per group over the per-time increments. Each increment is
+    nudge-rounded to 9 dp before the running sum (the chained-float
+    contract KM's log factors use: both engines accumulate identical
+    doubles in identical order); d_i and n_i are exact integers so the
+    increments are correctly-rounded IEEE steps on identical operands.
+
+    Returns one row per (group, observed event time): ``(group,
+    duration, n_risk, n_events, n_censored, cum_hazard, var_hazard,
+    survival_fh)``. Censor-only times advance n_risk but emit no row
+    (the KM convention); output rounds to 6 dp.
+    """
+    staged = _survival_staged(df, group_col, duration_col, event_col)
+    # all-double arithmetic (a long n^3 would overflow past n ~ 2M); the
+    # operand order here is the contract the SQL restatement must copy
+    nd, dd = F.col("__n").cast("double"), F.col("__d").cast("double")
+    dh = F.round(dd / nd + F.lit(1e-12), 9)
+    dv = F.round((nd - dd) * dd / (nd * nd * nd) + F.lit(1e-12), 9)
+    w_run = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn("__h", F.sum(dh).over(w_run))
+        .withColumn("__v", F.sum(dv).over(w_run))
+        .where(F.col("__d") > 0)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(duration_col),
+            F.col("__n").cast("long").alias("n_risk"),
+            F.col("__d").cast("long").alias("n_events"),
+            F.col("__c").cast("long").alias("n_censored"),
+            F.round(F.col("__h") + F.lit(1e-9), 6).alias("cum_hazard"),
+            F.round(F.col("__v") + F.lit(1e-9), 6).alias("var_hazard"),
+            F.round(F.exp(-F.col("__h")) + F.lit(1e-9), 6).alias("survival_fh"),
         )
     )
 
@@ -1863,6 +1934,174 @@ def post_stratified_effect(
             weight.alias("weight"),
             F.round(weight * diff + F.lit(1e-9), 6).alias("contribution"),
         )
+    )
+
+
+def difference_in_differences(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    arm_treat,
+    period_pre,
+    period_post,
+) -> DataFrame:
+    """Two-group two-period difference-in-differences — the workhorse
+    quasi-experimental readout when randomization wasn't possible (a
+    staged rollout, a geo launch): the treatment effect is the change
+    in the treated group MINUS the change in the control group,
+    ``DiD = (mean_T_post - mean_T_pre) - (mean_C_post - mean_C_pre)``,
+    which nets out both the fixed group gap and the common time trend
+    (the parallel-trends assumption). SE is the unpooled four-cell
+    Welch form ``sqrt(sum s2_cell / n_cell)`` and ``z = DiD / SE`` —
+    the statistic, not a p-value (the srm_check convention).
+
+    Rows whose arm is not ``arm_treat``/control (anything else), whose
+    period is neither ``period_pre`` nor ``period_post``, or with NULL
+    value are excluded; arm semantics: ``arm == arm_treat`` is treated,
+    every other non-NULL arm is control. Cell means pin at 6 dp before
+    differencing and cell variances pin at 6 before the SE (the
+    post_stratified_effect parity convention), so DiD and z are
+    bit-identical across engines. DiD is NULL if any cell is empty; SE
+    and z are NULL if any cell has n < 2.
+
+    One global conditional-moment hash aggregate (count / sum / sum of
+    squares per cell) — map-side partials, a 1-row reduce; nothing
+    shuffles wider than one row at any corpus size.
+    """
+    arm, per = F.col(arm_col), F.col(period_col)
+    base = df.where(
+        arm.isNotNull()
+        & per.isin([period_pre, period_post])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (arm == F.lit(arm_treat)).alias("__t"),
+        (per == F.lit(period_post)).alias("__p"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+
+    def _cell(t: bool, p: bool, tag: str):
+        m = (F.col("__t") == t) & (F.col("__p") == p)
+        return [
+            F.count_if(m).alias(f"n_{tag}"),
+            F.round(F.avg(F.when(m, F.col("__v"))) + F.lit(1e-9), 6).alias(
+                f"mean_{tag}"
+            ),
+            F.round(
+                F.var_samp(F.when(m, F.col("__v"))) + F.lit(1e-9), 6
+            ).alias(f"__s2_{tag}"),
+        ]
+
+    agg = base.agg(
+        *_cell(True, False, "t_pre"),
+        *_cell(True, True, "t_post"),
+        *_cell(False, False, "c_pre"),
+        *_cell(False, True, "c_post"),
+    )
+    tags = ["t_pre", "t_post", "c_pre", "c_post"]
+    all_nonempty = None
+    all_var = None
+    for tag in tags:
+        ne = F.col(f"n_{tag}") > 0
+        v2 = F.col(f"n_{tag}") >= 2
+        all_nonempty = ne if all_nonempty is None else (all_nonempty & ne)
+        all_var = v2 if all_var is None else (all_var & v2)
+    did = F.when(
+        all_nonempty,
+        (F.col("mean_t_post") - F.col("mean_t_pre"))
+        - (F.col("mean_c_post") - F.col("mean_c_pre")),
+    )
+    se = F.when(
+        all_var,
+        F.sqrt(
+            sum(
+                F.col(f"__s2_{tag}") / F.col(f"n_{tag}").cast("double")
+                for tag in tags
+            )
+        ),
+    )
+    z = F.when(se > 0, did / se)
+    return agg.select(
+        *[F.col(f"n_{tag}").cast("long").alias(f"n_{tag}") for tag in tags],
+        *[F.col(f"mean_{tag}") for tag in tags],
+        F.round(did + F.lit(1e-9), 6).alias("did"),
+        F.round(se + F.lit(1e-9), 6).alias("se"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel common odds ratio + Cochran-Mantel-Haenszel
+    chi-squared over stratified 2x2 tables — the confounder-adjusted
+    association readout (does exposure move the outcome once the
+    stratifying covariate is netted out?) and the canonical guard
+    against Simpson reversals that pooling the table would invite.
+    With per-stratum cells ``a`` (exposed, outcome), ``b`` (exposed,
+    no), ``c`` (unexposed, outcome), ``d`` (unexposed, no), ``n`` the
+    stratum total: ``OR_MH = sum(a*d/n) / sum(b*c/n)``; the CMH
+    statistic (uncorrected) is ``(sum a - sum E)^2 / sum V`` with
+    ``E = (a+b)(a+c)/n`` and hypergeometric
+    ``V = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))`` (strata with n < 2
+    contribute 0 to V); chi2 ~ chi2(1) under H0.
+
+    Rows with NULL stratum/exposure/outcome are excluded. OR_MH is
+    NULL when ``sum(b*c/n) = 0`` (no discordant mass — fail-closed);
+    chi2 is NULL when ``sum V = 0``. Every term is a correctly-rounded
+    IEEE step on exact per-stratum integers (the logrank argument), so
+    only the final sums are order-dependent — absorbed by the output
+    rounds.
+
+    One (stratum) conditional-count hash aggregate bounded by the
+    stratum domain, then a 1-row reduce — nothing wider than the
+    strata frame at any corpus size. Returns one row ``(n_strata,
+    n_total, or_mh, sum_a, expected_a, variance, chi2)``.
+    """
+    exp_, out_ = F.col(exposed_col).cast("boolean"), F.col(outcome_col).cast("boolean")
+    cells = (
+        df.where(
+            F.col(stratum_col).isNotNull() & exp_.isNotNull() & out_.isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.count_if(exp_ & out_).alias("__a"),
+            F.count_if(exp_ & ~out_).alias("__b"),
+            F.count_if(~exp_ & out_).alias("__c"),
+            F.count_if(~exp_ & ~out_).alias("__d"),
+        )
+    )
+    n = (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")).cast("double")
+    a, b = F.col("__a").cast("double"), F.col("__b").cast("double")
+    c, d = F.col("__c").cast("double"), F.col("__d").cast("double")
+    ev = (a + b) * (a + c) / n
+    vv = F.when(
+        n > 1.0,
+        (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)),
+    ).otherwise(F.lit(0.0))
+    red = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(n).cast("long").alias("n_total"),
+        F.sum(a * d / n).alias("__num"),
+        F.sum(b * c / n).alias("__den"),
+        F.sum(a).cast("long").alias("sum_a"),
+        F.sum(ev).alias("__e"),
+        F.sum(vv).alias("__v"),
+    )
+    or_mh = F.when(F.col("__den") > 0, F.col("__num") / F.col("__den"))
+    dev = F.col("sum_a").cast("double") - F.col("__e")
+    chi2 = F.when(F.col("__v") > 0, dev * dev / F.col("__v"))
+    return red.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        "n_total",
+        F.round(or_mh + F.lit(1e-9), 6).alias("or_mh"),
+        "sum_a",
+        F.round(F.col("__e") + F.lit(1e-9), 6).alias("expected_a"),
+        F.round(F.col("__v") + F.lit(1e-9), 6).alias("variance"),
+        F.round(chi2 + F.lit(1e-9), 4).alias("chi2"),
     )
 
 

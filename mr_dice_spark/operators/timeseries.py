@@ -1327,3 +1327,108 @@ def best_changepoint(
         ).alias("mean_right"),
     )
     return out.unionByName(singles)
+
+
+def chow_test(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    breakpoint: float,
+) -> DataFrame:
+    """Chow test for a structural break at a KNOWN point per key: did
+    the linear relationship y ~ a + b*x change after ``breakpoint``
+    (a launch date, a policy change)? The confirmatory companion to
+    :func:`best_changepoint` (which SEARCHES for the break): with
+    segment 1 the rows where ``x <= breakpoint`` and segment 2 the
+    rest,
+
+        F = ((SSE_pooled - SSE_1 - SSE_2) / 2)
+            / ((SSE_1 + SSE_2) / (n - 4))
+
+    where each SSE is the OLS residual sum of squares from the power
+    sums, ``SSE = Syy - Sxy^2/Sxx`` with centered moments
+    ``Sxx = sum(x^2) - (sum x)^2/n`` etc; F ~ F(2, n-4) under "one
+    line fits all".
+
+    Cross-engine determinism (the anova-from-power-sums contract):
+    every SSE is a fixed chain of IEEE ops on the per-segment power
+    sums; feed QUANTIZED y (the golden quantizes bucket means at 6dp)
+    and only the power-sum accumulation order differs between engines.
+    Each SSE additionally pins at 6dp BEFORE F (see the inline note:
+    a two-point segment's true-zero SSE comes out of power sums as a
+    tiny residual of either sign, and the pinned grid is where both
+    engines agree on the > 0 guard), so F is a fixed chain on pinned
+    operands. The SQL restatement must use the same formula shape
+    (Syy - Sxy^2/Sxx, pooled minus parts, same parenthesization).
+
+    Guards: NULL key/x/y rows are excluded. F is NULL when n < 5 (no
+    residual df), when either segment has n < 2, when any fitted
+    frame has Sxx <= 0 (constant x — slope undefined; fail-closed),
+    or when the pinned residual sum is 0 (perfect fits — nothing to
+    ratio).
+
+    Scale shape: ONE conditional-moment hash aggregate per key (the
+    segment flag routes each row's power sums), map-side partials, no
+    window, no join. Returns one row per key: ``(key, n, n_1, n_2,
+    sse_pooled, sse_1, sse_2, f_stat)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    seg1 = F.col("__x") <= F.lit(float(breakpoint))
+
+    def _sums(tag: str, m):
+        x = F.when(m, F.col("__x"))
+        y = F.when(m, F.col("__y"))
+        return [
+            F.count(x).alias(f"__n{tag}"),
+            F.sum(x).alias(f"__sx{tag}"),
+            F.sum(y).alias(f"__sy{tag}"),
+            F.sum(x * F.col("__y")).alias(f"__sxy{tag}"),
+            F.sum(x * F.col("__x")).alias(f"__sxx{tag}"),
+            F.sum(y * F.col("__y")).alias(f"__syy{tag}"),
+        ]
+
+    agg = base.groupBy("__k").agg(
+        *_sums("p", F.lit(True)), *_sums("1", seg1), *_sums("2", ~seg1)
+    )
+
+    def _sse(tag: str):
+        n = F.col(f"__n{tag}").cast("double")
+        sxx = F.col(f"__sxx{tag}") - F.col(f"__sx{tag}") * F.col(f"__sx{tag}") / n
+        sxy = F.col(f"__sxy{tag}") - F.col(f"__sx{tag}") * F.col(f"__sy{tag}") / n
+        syy = F.col(f"__syy{tag}") - F.col(f"__sy{tag}") * F.col(f"__sy{tag}") / n
+        return F.when((n >= 2) & (sxx > 0), syy - sxy * sxy / sxx)
+
+    # SSEs pin at 6dp BEFORE F: a two-point (or perfectly collinear)
+    # segment has true SSE 0, which power sums render as a tiny float
+    # residual of either sign — unpinned, the two engines could disagree
+    # on the > 0 guard or explode F differently; on the pinned grid both
+    # see 0.000000 and fail closed together. The pin also closes the
+    # x/0 parity hole (Spark doubles divide-by-zero to Infinity, DuckDB
+    # to NULL).
+    ssep = F.round(_sse("p") + F.lit(1e-9), 6)
+    sse1 = F.round(_sse("1") + F.lit(1e-9), 6)
+    sse2 = F.round(_sse("2") + F.lit(1e-9), 6)
+    n = F.col("__np").cast("double")
+    f_stat = F.when(
+        (n >= 5.0) & (sse1 + sse2 > 0),
+        ((ssep - sse1 - sse2) / 2.0) / ((sse1 + sse2) / (n - 4.0)),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__np").cast("long").alias("n"),
+        F.col("__n1").cast("long").alias("n_1"),
+        F.col("__n2").cast("long").alias("n_2"),
+        ssep.alias("sse_pooled"),
+        sse1.alias("sse_1"),
+        sse2.alias("sse_2"),
+        F.round(f_stat + F.lit(1e-9), 4).alias("f_stat"),
+    )

@@ -1161,3 +1161,136 @@ def test_fleiss_kappa_hand_value_and_ragged_guard(spark):
             spark.createDataFrame([("u1", "a"), ("u2", "b")], "u string, lab string"),
             "u", "lab",
         )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import nelson_aalen
+    import pytest as _pt
+
+    # one group: events at t=1 (n=4), t=3 (n=2); censor at t=2
+    rows = [("g", 1.0, True), ("g", 1.0, True), ("g", 2.0, False),
+            ("g", 3.0, True)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    out = {r["t"]: r for r in nelson_aalen(df, "g", "t", "e").collect()}
+    assert set(out) == {1.0, 3.0}  # censor-only time emits no row
+    r1, r3 = out[1.0], out[3.0]
+    assert (r1["n_risk"], r1["n_events"], r1["n_censored"]) == (4, 2, 0)
+    assert r1["cum_hazard"] == _pt.approx(0.5, abs=1e-6)
+    # var at t=1: (4-2)*2/64 = 0.0625
+    assert r1["var_hazard"] == _pt.approx(0.0625, abs=1e-6)
+    # t=3: n=1, d=1 -> H = 0.5 + 1.0 = 1.5; var += 0
+    assert (r3["n_risk"], r3["n_events"]) == (1, 1)
+    assert r3["cum_hazard"] == _pt.approx(1.5, abs=1e-6)
+    assert r3["var_hazard"] == _pt.approx(0.0625, abs=1e-6)
+    assert r3["survival_fh"] == _pt.approx(2.718281828 ** -1.5, abs=1e-6)
+
+
+def test_nelson_aalen_null_rows_excluded(spark):
+    from mr_dice_spark.operators.evaluation import nelson_aalen
+
+    rows = [("g", 1.0, True), (None, 1.0, True), ("g", None, True),
+            ("g", 2.0, None)]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    [r] = nelson_aalen(df, "g", "t", "e").collect()
+    assert (r["t"], r["n_risk"], r["n_events"]) == (1.0, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+def test_did_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import difference_in_differences
+    import pytest as _pt
+
+    # T: pre mean 10, post mean 14 (+4); C: pre mean 20, post 21 (+1)
+    rows = [
+        ("t", "pre", 9.0), ("t", "pre", 11.0),
+        ("t", "post", 13.0), ("t", "post", 15.0),
+        ("c", "pre", 19.0), ("c", "pre", 21.0),
+        ("c", "post", 20.0), ("c", "post", 22.0),
+        ("x", "pre", 99.0),          # unknown arm -> CONTROL by contract? no:
+    ]
+    # NOTE: arm semantics — arm == arm_treat is treated, every other
+    # non-NULL arm is control; the 99.0 row lands in control-pre.
+    df = spark.createDataFrame(rows, "arm string, p string, v double")
+    [r] = difference_in_differences(
+        df, "arm", "p", "v", arm_treat="t", period_pre="pre", period_post="post"
+    ).collect()
+    assert (r["n_t_pre"], r["n_t_post"]) == (2, 2)
+    assert r["n_c_pre"] == 3  # 19, 21, 99
+    assert r["mean_t_post"] == _pt.approx(14.0, abs=1e-6)
+    # c_pre mean = (19+21+99)/3 = 46.333333
+    assert r["mean_c_pre"] == _pt.approx(46.333333, abs=1e-6)
+    assert r["did"] == _pt.approx((14.0 - 10.0) - (21.0 - 46.333333), abs=1e-5)
+    assert r["se"] is not None and r["z"] is not None
+
+
+def test_did_empty_cell_and_small_cell_guards(spark):
+    from mr_dice_spark.operators.evaluation import difference_in_differences
+
+    # no control-post rows -> did NULL; singleton cells -> se/z NULL
+    rows = [("t", "pre", 1.0), ("t", "post", 2.0), ("c", "pre", 3.0)]
+    df = spark.createDataFrame(rows, "arm string, p string, v double")
+    [r] = difference_in_differences(
+        df, "arm", "p", "v", arm_treat="t", period_pre="pre", period_post="post"
+    ).collect()
+    assert r["did"] is None and r["se"] is None and r["z"] is None
+    # all four cells present with n>=1 but one has n=1 -> did real, se NULL
+    rows2 = rows + [("c", "post", 4.0), ("t", "pre", 5.0), ("t", "post", 6.0),
+                    ("c", "pre", 7.0)]
+    df2 = spark.createDataFrame(rows2, "arm string, p string, v double")
+    [r2] = difference_in_differences(
+        df2, "arm", "p", "v", arm_treat="t", period_pre="pre", period_post="post"
+    ).collect()
+    assert r2["did"] is not None
+    assert r2["se"] is None and r2["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel
+# ---------------------------------------------------------------------------
+
+
+def test_mantel_haenszel_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import mantel_haenszel
+    import pytest as _pt
+
+    # stratum s1: a=3 b=1 c=1 d=3 (n=8); stratum s2: a=2 b=2 c=2 d=2 (n=8)
+    rows = (
+        [("s1", True, True)] * 3 + [("s1", True, False)] * 1
+        + [("s1", False, True)] * 1 + [("s1", False, False)] * 3
+        + [("s2", True, True)] * 2 + [("s2", True, False)] * 2
+        + [("s2", False, True)] * 2 + [("s2", False, False)] * 2
+    )
+    df = spark.createDataFrame(rows, "s string, x boolean, y boolean")
+    [r] = mantel_haenszel(df, "s", "x", "y").collect()
+    assert (r["n_strata"], r["n_total"], r["sum_a"]) == (2, 16, 5)
+    # OR_MH = (3*3/8 + 2*2/8) / (1*1/8 + 2*2/8) = (9/8 + 4/8)/(1/8 + 4/8) = 13/5
+    assert r["or_mh"] == _pt.approx(2.6, abs=1e-6)
+    # E = 4*4/8 + 4*4/8 = 4; V = 4*4*4*4/(64*7)*2 = 2*256/448 = 8/7
+    assert r["expected_a"] == _pt.approx(4.0, abs=1e-6)
+    assert r["variance"] == _pt.approx(8.0 / 7.0, abs=1e-6)
+    assert r["chi2"] == _pt.approx(1.0 / (8.0 / 7.0), abs=1e-4)
+
+
+def test_mantel_haenszel_degenerate_fail_closed(spark):
+    from mr_dice_spark.operators.evaluation import mantel_haenszel
+
+    # every exposed row converts, every unexposed misses: den = 0 -> NULL OR
+    rows = [("s", True, True), ("s", True, True), ("s", False, False)]
+    df = spark.createDataFrame(rows, "s string, x boolean, y boolean")
+    [r] = mantel_haenszel(df, "s", "x", "y").collect()
+    assert r["or_mh"] is None
+    # single-row stratum: V = 0 contribution -> chi2 NULL when total V = 0
+    [r2] = mantel_haenszel(
+        spark.createDataFrame([("s", True, True)], "s string, x boolean, y boolean"),
+        "s", "x", "y",
+    ).collect()
+    assert r2["chi2"] is None

@@ -246,3 +246,79 @@ def test_sorted_neighborhood_plan_is_hash_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler blocked pairs
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_bytes_reference_values():
+    import pytest as _pt
+
+    from mr_dice_spark.operators.fuzzy import _jaro_winkler_bytes as jwb
+
+    # classic textbook values
+    assert jwb(b"MARTHA", b"MARHTA") == _pt.approx(0.9611111111, abs=1e-9)
+    assert jwb(b"DIXON", b"DICKSONX") == _pt.approx(0.8133333333, abs=1e-9)
+    assert jwb(b"abc", b"abc") == 1.0
+    assert jwb(b"abc", b"xyz") == 0.0
+    # DuckDB's empty-side convention: 0, even for both-empty
+    assert jwb(b"", b"") == 0.0
+    assert jwb(b"a", b"") == 0.0
+
+
+def test_jaro_winkler_bytes_matches_duckdb_bitwise():
+    import random
+
+    import duckdb
+
+    from mr_dice_spark.operators.fuzzy import _jaro_winkler_bytes as jwb
+
+    con = duckdb.connect()
+    rng = random.Random(31)
+    for _ in range(400):
+        a = "".join(rng.choice("abcdef xyz") for _ in range(rng.randint(0, 16)))
+        b = "".join(rng.choice("abcdef xyz") for _ in range(rng.randint(0, 16)))
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jwb(a.encode(), b.encode()) == d, (a, b)
+    # byte-level (not code-point) matching, the DuckDB semantics
+    d = con.execute(
+        "SELECT jaro_winkler_similarity('café', 'cafe')"
+    ).fetchone()[0]
+    assert jwb("café".encode(), "cafe".encode()) == d
+
+
+def test_jaro_winkler_pairs_blocking_and_threshold(spark):
+    from mr_dice_spark.operators.fuzzy import jaro_winkler_pairs
+
+    rows = [
+        (1, "martha", "m"), (2, "marhta", "m"), (3, "mxqzwv", "m"),
+        (4, "martha", "x"),  # different block: never paired with 1/2
+        (5, None, "m"), (6, "martha", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jw"]
+        for r in jaro_winkler_pairs(df, "id", "name", "blk", threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 0.961111) < 1e-9  # rounded to the 6dp grid
+
+
+def test_jaro_winkler_pairs_breaker_fires(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.fuzzy import jaro_winkler_pairs
+
+    rows = [(i, f"name{i}", "hot") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    with _pt.raises(ValueError, match="max_block_rows=10"):
+        jaro_winkler_pairs(df, "id", "name", "blk", max_block_rows=10)
+    # opt-out scores the quadratic block
+    out = jaro_winkler_pairs(
+        df, "id", "name", "blk", threshold=0.0, max_block_rows=None
+    )
+    assert out.count() == 190

@@ -1722,3 +1722,58 @@ def test_best_changepoint_key_partitioned_windows_only(spark, sf_dir):
     plan = physical_plan(df)
     assert "SinglePartition" not in plan
     assert not has_cartesian(df)
+
+
+def test_nelson_aalen_group_partitioned_windows_one_scan(spark, sf_dir):
+    """All windows partition on the cohort key (never a global sort);
+    the per-user reduce and the survival cell chain ride one pruned
+    scan with no join."""
+    df = GOLDEN["nelson_aalen_time_to_purchase"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_did_single_conditional_aggregate(spark, sf_dir):
+    """Four cells' counts/means/variances in ONE conditional-moment
+    hash aggregate: no window, no join, one pruned scan; the only
+    wide exchange is the 1-row reduce."""
+    df = GOLDEN["did_monthhalf_value_by_arm"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_mantel_haenszel_stratum_bounded_aggregates(spark, sf_dir):
+    """One stratum-keyed conditional-count aggregate then a 1-row
+    reduce — no window, no join, one pruned scan."""
+    df = GOLDEN["mantel_haenszel_highvalue_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_chow_test_one_power_sum_aggregate_per_key(spark, sf_dir):
+    """The segment flag routes every row's power sums through ONE
+    hash aggregate per key above the daily-bucket aggregate: no
+    window, no join, one pruned scan."""
+    df = GOLDEN["chow_break_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_jaro_winkler_blocked_equi_join_no_cartesian(spark, sf_dir):
+    """Candidate pairs come from a block-keyed EQUI join (never
+    all-pairs), the scorer is one Arrow-batched map, and the count
+    join-backs broadcast."""
+    df = GOLDEN["jaro_winkler_name_pairs"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan

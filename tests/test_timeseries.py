@@ -637,3 +637,72 @@ def test_best_changepoint_tie_and_degenerate(spark):
     # single-row key: no interior split -> NULL row with n reported
     assert got["B"]["n"] == 1 and got["B"]["split_pos"] is None
     assert got["B"]["gain"] is None and got["B"]["mean_left"] is None
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test
+# ---------------------------------------------------------------------------
+
+
+def test_chow_test_clear_break_vs_one_line(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.timeseries import chow_test
+
+    # key 'b': slope 1 before x<=5, slope -1 after -> huge F
+    rows_b = [("b", float(x), float(x)) for x in range(1, 6)]
+    rows_b += [("b", float(x), float(10 - x)) for x in range(6, 11)]
+    # key 'l': one line y = 2x + noise-free -> pooled fits perfectly,
+    # pinned SSEs all 0 -> F NULL (nothing to ratio)
+    rows_l = [("l", float(x), 2.0 * x) for x in range(1, 11)]
+    df = spark.createDataFrame(rows_b + rows_l, "k string, x double, y double")
+    out = {r["k"]: r for r in chow_test(df, "k", "x", "y", breakpoint=5.0).collect()}
+    b, line = out["b"], out["l"]
+    assert (b["n"], b["n_1"], b["n_2"]) == (10, 5, 5)
+    assert b["sse_1"] == _pt.approx(0.0, abs=1e-6)
+    assert b["sse_2"] == _pt.approx(0.0, abs=1e-6)
+    assert b["sse_pooled"] > 10.0
+    assert b["f_stat"] is None  # perfect segment fits -> pinned 0 denominator
+    assert line["f_stat"] is None and line["sse_pooled"] == 0.0
+
+
+def test_chow_test_f_statistic_hand_computed(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.timeseries import chow_test
+
+    # segment 1: y = x with one bent point; segment 2: y = x + 3 offset
+    rows = [("k", 1.0, 1.0), ("k", 2.0, 2.0), ("k", 3.0, 3.5),
+            ("k", 4.0, 7.0), ("k", 5.0, 8.0), ("k", 6.0, 9.5)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    [r] = chow_test(df, "k", "x", "y", breakpoint=3.0).collect()
+    # hand numbers via numpy-style OLS power sums
+    import numpy as np
+
+    def sse(pts):
+        x = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+        n = len(x)
+        sxx = (x * x).sum() - x.sum() ** 2 / n
+        sxy = (x * y).sum() - x.sum() * y.sum() / n
+        syy = (y * y).sum() - y.sum() ** 2 / n
+        return syy - sxy ** 2 / sxx
+
+    p = [(1, 1), (2, 2), (3, 3.5), (4, 7), (5, 8), (6, 9.5)]
+    s_p = round(sse(p) + 1e-9, 6)
+    s_1 = round(sse(p[:3]) + 1e-9, 6)
+    s_2 = round(sse(p[3:]) + 1e-9, 6)
+    f = ((s_p - s_1 - s_2) / 2.0) / ((s_1 + s_2) / 2.0)
+    assert r["sse_pooled"] == _pt.approx(s_p, abs=1e-6)
+    assert r["f_stat"] == _pt.approx(f, abs=1e-3)
+
+
+def test_chow_test_guards(spark):
+    from mr_dice_spark.operators.timeseries import chow_test
+
+    # n = 4 (< 5): F NULL; NULL rows excluded
+    rows = [("k", 1.0, 1.0), ("k", 2.0, 2.2), ("k", 3.0, 2.9),
+            ("k", 4.0, 4.1), (None, 5.0, 5.0), ("k", None, 6.0),
+            ("k", 7.0, None)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    [r] = chow_test(df, "k", "x", "y", breakpoint=2.0).collect()
+    assert r["n"] == 4 and r["f_stat"] is None
