@@ -97,15 +97,13 @@ _CHECK_FIRST = [
     "anova_value_by_type",         # one-way F + eta^2 from power sums
     "brown_forsythe_value_by_type",  # median-centered Levene test
     "jarque_bera_value_by_type",   # moment-based normality screen
-    # ROUND-9 WINDOW QUEUE: the 26 remaining never-driver-checked
-    # goldens (all suite-oracle-green, swept hash-exact at all three
-    # scales on landing), in landing order — they lead the round-9
-    # rotation (round 9 has no badge-stale rows under the derived
-    # horizon, so the queue drains fully with slots to spare). The five
-    # round-8 additions (effect_size_weekend_by_type,
-    # bh_fdr_weekday_conversion, cochran_q_high_value_types,
-    # fleiss_kappa_value_bands, changepoint_daily_value_by_type) join
-    # the END of this queue in landing order:
+    # ROUND-9 WINDOW QUEUE: the 37 never-driver-checked goldens (all
+    # suite-oracle-green, swept hash-exact at all three scales on
+    # landing), in landing order — the 26 round-7 leftovers first, then
+    # the 11 round-8 additions appended at the END in landing order.
+    # They lead the round-9 rotation: round 9 has no badge-stale rows
+    # under the derived horizon, so 1 flagship + 37 queue = 38 slots,
+    # leaving 12 spare for the oldest r3 rows.
     # cochran_armitage_purchase_by_weekday
     # distinct_ngram_diversity_by_lang
     # kendall_tau_weekday_value_band

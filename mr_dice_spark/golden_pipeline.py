@@ -3233,8 +3233,8 @@ assign AS (
     SELECT nn.vec_id, cw.s, cw.code,
            ROW_NUMBER() OVER (
              PARTITION BY nn.vec_id, cw.s
-             ORDER BY ROUND(1e-9 + list_dot_product(nn.u[cw.s*4+1 : cw.s*4+4], cw.c)
-                            - 0.5 * list_dot_product(cw.c, cw.c), 6) DESC,
+             ORDER BY ROUND(list_dot_product(nn.u[cw.s*4+1 : cw.s*4+4], cw.c)
+                            - 0.5 * list_dot_product(cw.c, cw.c) + 1e-9, 6) DESC,
                       cw.code
            ) AS rn
     FROM n nn CROSS JOIN cw

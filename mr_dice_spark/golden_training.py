@@ -3258,14 +3258,24 @@ best AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY k
                                ORDER BY gain DESC, i ASC) AS rn
   FROM gains
+),
+sel AS (
+  SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+         CAST(i AS BIGINT) AS split_pos,
+         d AS split_order,
+         gain,
+         ROUND(cs / i + 1e-9, 6) AS mean_left,
+         ROUND((tot - cs) / CAST(n - i AS DOUBLE) + 1e-9, 6) AS mean_right
+  FROM best WHERE rn = 1
+  UNION ALL
+  -- the operator's singles leg: an n=1 key has no interior split and
+  -- reports a NULL-split row rather than vanishing (keys must not
+  -- silently disappear from a monitoring readout)
+  SELECT k, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM cum WHERE n = 1
 )
-SELECT k AS event_type, CAST(n AS BIGINT) AS n,
-       CAST(i AS BIGINT) AS split_pos,
-       d AS split_order,
-       gain,
-       ROUND(cs / i + 1e-9, 6) AS mean_left,
-       ROUND((tot - cs) / CAST(n - i AS DOUBLE) + 1e-9, 6) AS mean_right
-FROM best WHERE rn = 1 ORDER BY event_type
+SELECT * FROM sel ORDER BY event_type
 """
 
 

@@ -2543,10 +2543,13 @@ def decile_lift_by_group(
     # Exclude rows with NULL label/group/tiebreak BEFORE the NTILE window
     # (ADVICE r7): the 0/1 coercion would count NULL labels as negatives,
     # and a NULL group would leak a NULL partition into the output —
-    # matching average_precision_by_group's handling.
+    # matching average_precision_by_group's handling. The label filter is
+    # on the CAST value, not the raw column: a non-NULL label that casts
+    # to NULL boolean (e.g. an unparseable string) must also be excluded,
+    # not coerced to a negative.
     base = df.where(
         F.col(score_col).cast("double").isNotNull()
-        & F.col(label_col).isNotNull()
+        & F.col(label_col).cast("boolean").isNotNull()
         & F.col(group_col).isNotNull()
         & F.col(tiebreak_col).isNotNull()
     ).select(
@@ -2773,7 +2776,10 @@ def cochran_q(
         df.where(
             F.col(unit_col).isNotNull()
             & F.col(treatment_col).isNotNull()
-            & F.col(outcome_col).isNotNull()
+            # filter on the CAST value (the decile_lift convention): a
+            # non-NULL outcome that casts to NULL boolean must be
+            # excluded, not silently dropped from the MAX inside a cell
+            & F.col(outcome_col).cast("boolean").isNotNull()
         )
         .groupBy(
             F.col(unit_col).alias("__u"), F.col(treatment_col).alias("__j")

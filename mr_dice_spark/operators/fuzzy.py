@@ -674,14 +674,22 @@ def jaro_winkler_pairs(
 
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"jaro_winkler_pairs: bad threshold {threshold}")
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.col(block_col).alias("__k"),
-    ).where(
-        F.col(id_col).isNotNull()
-        & F.col(text_col).isNotNull()
-        & F.col(block_col).isNotNull()
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.col(block_col).alias("__k"),
+        )
+        .where(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & F.col(block_col).isNotNull()
+        )
+        # pin the (often expensively derived) index frame: it feeds the
+        # breaker aggregate AND both self-join sides — the adamic_adar
+        # convention, so each branch reads the materialized frame instead
+        # of re-planning the caller's upstream lineage
+        .localCheckpoint(eager=True)
     )
     if max_block_rows is not None:
         worst = (

@@ -1294,3 +1294,40 @@ def test_mantel_haenszel_degenerate_fail_closed(spark):
         "s", "x", "y",
     ).collect()
     assert r2["chi2"] is None
+
+
+def test_decile_lift_unparseable_label_fails_loudly(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.evaluation import decile_lift_by_group
+
+    # ANSI mode (Spark 4 default): a non-boolean-parseable label CANNOT
+    # silently coerce — the cast throws, in the filter and the coercion
+    # alike, so garbage labels fail loudly instead of biasing the gains
+    # table. (The filter is on the CAST value for convention parity with
+    # average_precision_by_group; with ANSI on the two are equivalent.)
+    rows = [("g", 0.9, "true", 1), ("g", 0.8, "maybe", 2),
+            ("g", 0.7, "false", 3), ("g", 0.6, "true", 4)]
+    df = spark.createDataFrame(rows, "g string, s double, y string, id long")
+    with _pt.raises(Exception, match="BOOLEAN|CAST_INVALID_INPUT"):
+        decile_lift_by_group(df, "g", "s", "y", "id", n_tiles=3).collect()
+    # string labels that DO parse flow through; NULLs are excluded
+    ok = [("g", 0.9, "true", 1), ("g", 0.8, None, 2),
+          ("g", 0.7, "false", 3), ("g", 0.6, "true", 4)]
+    out = decile_lift_by_group(
+        spark.createDataFrame(ok, "g string, s double, y string, id long"),
+        "g", "s", "y", "id", n_tiles=3,
+    ).collect()
+    assert sum(r["n"] for r in out) == 3
+    assert sum(r["n_pos"] for r in out) == 2
+
+
+def test_cochran_q_parseable_string_outcomes_and_null_excluded(spark):
+    from mr_dice_spark.operators.evaluation import cochran_q
+
+    rows = [(1, "a", "true"), (1, "b", "false"),
+            (2, "a", None), (2, "b", "true")]
+    df = spark.createDataFrame(rows, "u long, j string, y string")
+    [r] = cochran_q(df, "u", "j", "y").collect()
+    # unit 2 has only treatment b after the NULL exclusion; unit 1 both
+    assert r["n_units"] == 2 and r["total_successes"] == 2
