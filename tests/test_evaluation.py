@@ -1331,3 +1331,103 @@ def test_cochran_q_parseable_string_outcomes_and_null_excluded(spark):
     [r] = cochran_q(df, "u", "j", "y").collect()
     # unit 2 has only treatment b after the NULL exclusion; unit 1 both
     assert r["n_units"] == 2 and r["total_successes"] == 2
+
+
+# ---------------------------------------------------------------------------
+# invariant tests for the round-8 statistical additions
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_monotonicity_and_km_bound(spark):
+    import math
+    import random
+
+    from mr_dice_spark.operators.evaluation import kaplan_meier, nelson_aalen
+
+    rng = random.Random(43)
+    rows = [
+        (f"g{i % 3}", float(rng.randint(1, 12)), rng.random() < 0.7)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, e boolean")
+    na = nelson_aalen(df, "g", "t", "e").orderBy("g", "t").collect()
+    last = {}
+    for r in na:
+        g = r["g"]
+        if g in last:
+            prev = last[g]
+            assert r["cum_hazard"] >= prev["cum_hazard"] - 1e-9
+            assert r["survival_fh"] <= prev["survival_fh"] + 1e-9
+            assert r["n_risk"] <= prev["n_risk"]
+        assert r["var_hazard"] >= -1e-9
+        last[g] = r
+    # H_NA <= -ln(S_KM) pointwise (since d/n <= -ln(1 - d/n)), where KM
+    # survival is strictly positive
+    km = {
+        (r["g"], r["t"]): r["survival"]
+        for r in kaplan_meier(df, "g", "t", "e").collect()
+    }
+    for r in na:
+        s = km[(r["g"], r["t"])]
+        if s and s > 0:
+            assert r["cum_hazard"] <= -math.log(s) + 1e-6
+
+
+def test_did_shift_invariance(spark):
+    import random
+
+    from mr_dice_spark.operators.evaluation import difference_in_differences
+
+    rng = random.Random(7)
+    rows = [
+        (rng.random() < 0.5, rng.random() < 0.5, rng.uniform(0, 100))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "arm boolean, p boolean, v double")
+    shifted = df.selectExpr("arm", "p", "v + 1000.0 AS v")
+    base = difference_in_differences(
+        df, "arm", "p", "v", arm_treat=True, period_pre=False, period_post=True
+    ).collect()[0]
+    shift = difference_in_differences(
+        shifted, "arm", "p", "v", arm_treat=True, period_pre=False, period_post=True
+    ).collect()[0]
+    # adding a constant to every value moves all four means but cancels
+    # in DiD; variances are shift-free so SE/z follow (6dp pins allow
+    # one-grid-step slack)
+    assert abs(base["did"] - shift["did"]) <= 2e-6
+    assert abs(base["se"] - shift["se"]) <= 2e-6
+    assert abs(base["z"] - shift["z"]) <= 1e-3
+
+
+def test_mantel_haenszel_exposure_swap_inverts_or(spark):
+    import random
+
+    from mr_dice_spark.operators.evaluation import mantel_haenszel
+
+    rng = random.Random(11)
+    rows = [
+        (f"s{i % 4}", rng.random() < 0.5, rng.random() < 0.4)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s string, x boolean, y boolean")
+    [fwd] = mantel_haenszel(df, "s", "x", "y").collect()
+    swapped = df.selectExpr("s", "NOT x AS x", "y")
+    [rev] = mantel_haenszel(swapped, "s", "x", "y").collect()
+    # relabeling exposure inverts the common OR and preserves the CMH
+    # statistic (the deviation flips sign, chi2 squares it away)
+    assert abs(fwd["or_mh"] * rev["or_mh"] - 1.0) < 1e-3
+    assert abs(fwd["chi2"] - rev["chi2"]) < 1e-2
+    assert fwd["n_total"] == rev["n_total"]
+
+
+def test_mantel_haenszel_single_stratum_is_plain_or(spark):
+    from mr_dice_spark.operators.evaluation import mantel_haenszel
+
+    rows = (
+        [("s", True, True)] * 6 + [("s", True, False)] * 2
+        + [("s", False, True)] * 3 + [("s", False, False)] * 9
+    )
+    df = spark.createDataFrame(rows, "s string, x boolean, y boolean")
+    [r] = mantel_haenszel(df, "s", "x", "y").collect()
+    # one stratum: OR_MH == (a*d)/(b*c) = 6*9/(2*3) = 9
+    assert abs(r["or_mh"] - 9.0) < 1e-6

@@ -322,3 +322,22 @@ def test_jaro_winkler_pairs_breaker_fires(spark):
         df, "id", "name", "blk", threshold=0.0, max_block_rows=None
     )
     assert out.count() == 190
+
+
+def test_jaro_winkler_bytes_properties():
+    """Symmetry, range, identity — cheap pure-Python properties over
+    random byte strings (the cross-engine bitwise pin lives in
+    test_jaro_winkler_bytes_matches_duckdb_bitwise)."""
+    import random
+
+    from mr_dice_spark.operators.fuzzy import _jaro_winkler_bytes as jwb
+
+    rng = random.Random(97)
+    for _ in range(500):
+        a = bytes(rng.randrange(97, 123) for _ in range(rng.randint(0, 14)))
+        b = bytes(rng.randrange(97, 123) for _ in range(rng.randint(0, 14)))
+        s_ab, s_ba = jwb(a, b), jwb(b, a)
+        assert s_ab == s_ba  # symmetric
+        assert 0.0 <= s_ab <= 1.0
+        if a:
+            assert jwb(a, a) == 1.0

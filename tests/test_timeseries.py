@@ -706,3 +706,18 @@ def test_chow_test_guards(spark):
     df = spark.createDataFrame(rows, "k string, x double, y double")
     [r] = chow_test(df, "k", "x", "y", breakpoint=2.0).collect()
     assert r["n"] == 4 and r["f_stat"] is None
+
+
+def test_chow_test_row_order_invariant(spark):
+    import random
+
+    from mr_dice_spark.operators.timeseries import chow_test
+
+    rng = random.Random(5)
+    rows = [("k", float(x), rng.uniform(0, 10)) for x in range(1, 21)]
+    df1 = spark.createDataFrame(rows, "k string, x double, y double")
+    df2 = spark.createDataFrame(list(reversed(rows)), "k string, x double, y double")
+    r1 = chow_test(df1, "k", "x", "y", breakpoint=10.0).collect()[0]
+    r2 = chow_test(df2, "k", "x", "y", breakpoint=10.0).collect()[0]
+    # the 6dp SSE pins make the output row-order-deterministic
+    assert r1.asDict() == r2.asDict()
