@@ -2815,7 +2815,10 @@ BRIER_ORACLE = """
 WITH base AS (
   SELECT value - FLOOR(value) AS s,
          CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
-  FROM events WHERE value IS NOT NULL
+  -- user_id IS NOT NULL mirrors the operator's label exclusion: a NULL
+  -- user_id gives a NULL Spark-side label (excluded), while this CASE's
+  -- ELSE would silently coerce it to a negative
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
 ),
 bins AS (
   SELECT LEAST(9, CAST(FLOOR(s * 10.0) AS INT)) AS k,
@@ -2873,7 +2876,12 @@ WITH base AS (
   SELECT event_type AS g, value AS s,
          CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y,
          event_id AS t
-  FROM events WHERE value IS NOT NULL
+  -- the label/group/tiebreak NOT-NULL filters mirror the operator's
+  -- pre-NTILE exclusions (a NULL user_id label must not coerce to a
+  -- negative; NULL group/tiebreak rows are dropped, not ranked)
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
 ),
 tiled AS (
   SELECT g, y,
@@ -3027,7 +3035,7 @@ adj AS (
   FROM ranked
 )
 SELECT wd AS weekday,
-       ROUND(p + 1e-9, 9) AS p_value,
+       ROUND(p + 1e-12, 9) AS p_value,
        CAST(r AS BIGINT) AS rank,
        CAST(m AS BIGINT) AS m_tests,
        ROUND(qadj + 1e-9, 6) AS q_bh,

@@ -1956,10 +1956,12 @@ def difference_in_differences(
     Welch form ``sqrt(sum s2_cell / n_cell)`` and ``z = DiD / SE`` —
     the statistic, not a p-value (the srm_check convention).
 
-    Rows whose arm is not ``arm_treat``/control (anything else), whose
-    period is neither ``period_pre`` nor ``period_post``, or with NULL
-    value are excluded; arm semantics: ``arm == arm_treat`` is treated,
-    every other non-NULL arm is control. Cell means pin at 6 dp before
+    Arm semantics: ``arm == arm_treat`` is treated and EVERY other
+    non-NULL arm is control — pre-filter to two arms if the frame
+    carries more (a third arm would otherwise be averaged into
+    control). Rows with a NULL arm, with a period that is neither
+    ``period_pre`` nor ``period_post``, or with NULL value are
+    excluded. Cell means pin at 6 dp before
     differencing and cell variances pin at 6 before the SE (the
     post_stratified_effect parity convention), so DiD and z are
     bit-identical across engines. DiD is NULL if any cell is empty; SE
@@ -2735,7 +2737,10 @@ def benjamini_hochberg(
     out = base.join(adj, "__p")
     return out.select(
         F.col("__t").alias(test_col),
-        F.round(F.col("__p") + F.lit(1e-9), 9).alias("p_value"),
+        # 1e-12 nudge: sub-grid for the 9dp round (a 1e-9 nudge EQUALS
+        # the grid step and would echo every p one step inflated, with
+        # p = 1.0 coming back as 1.000000001)
+        F.round(F.col("__p") + F.lit(1e-12), 9).alias("p_value"),
         F.col("__r").cast("long").alias("rank"),
         F.col("__m").cast("long").alias("m_tests"),
         F.round(F.col("__qadj") + F.lit(1e-9), 6).alias("q_bh"),

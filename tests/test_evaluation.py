@@ -1215,10 +1215,10 @@ def test_did_hand_computed(spark):
         ("t", "post", 13.0), ("t", "post", 15.0),
         ("c", "pre", 19.0), ("c", "pre", 21.0),
         ("c", "post", 20.0), ("c", "post", 22.0),
-        ("x", "pre", 99.0),          # unknown arm -> CONTROL by contract? no:
+        ("x", "pre", 99.0),
     ]
-    # NOTE: arm semantics — arm == arm_treat is treated, every other
-    # non-NULL arm is control; the 99.0 row lands in control-pre.
+    # arm semantics: arm == arm_treat is treated, EVERY other non-NULL
+    # arm is control — so the ("x", ...) row lands in control-pre.
     df = spark.createDataFrame(rows, "arm string, p string, v double")
     [r] = difference_in_differences(
         df, "arm", "p", "v", arm_treat="t", period_pre="pre", period_post="post"
