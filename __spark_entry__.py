@@ -97,13 +97,13 @@ _CHECK_FIRST = [
     "anova_value_by_type",         # one-way F + eta^2 from power sums
     "brown_forsythe_value_by_type",  # median-centered Levene test
     "jarque_bera_value_by_type",   # moment-based normality screen
-    # ROUND-9 WINDOW QUEUE: the 37 never-driver-checked goldens (all
+    # ROUND-9 WINDOW QUEUE: the 39 never-driver-checked goldens (all
     # suite-oracle-green, swept hash-exact at all three scales on
     # landing), in landing order — the 26 round-7 leftovers first, then
-    # the 11 round-8 additions appended at the END in landing order.
+    # the 13 round-8 additions appended at the END in landing order.
     # They lead the round-9 rotation: round 9 has no badge-stale rows
-    # under the derived horizon, so 1 flagship + 37 queue = 38 slots,
-    # leaving 12 spare for the oldest r3 rows.
+    # under the derived horizon, so 1 flagship + 39 queue = 40 slots,
+    # leaving 10 spare for the oldest r3 rows.
     # cochran_armitage_purchase_by_weekday
     # distinct_ngram_diversity_by_lang
     # kendall_tau_weekday_value_band
@@ -141,6 +141,8 @@ _CHECK_FIRST = [
     # mantel_haenszel_highvalue_by_type
     # chow_break_daily_value_by_type
     # jaro_winkler_name_pairs
+    # w1_value_weekend_by_type
+    # kendalls_w_bucket_rank_by_type
 ]
 
 

@@ -3656,3 +3656,170 @@ def chow_break_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     ).agg(_r(F.avg("value"), 6).alias("y"))
     out = chow_test(b, "k", "x", "y", breakpoint=19737.0)
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# 1-Wasserstein drift: how far did weekend move the value distribution?
+# ---------------------------------------------------------------------------
+
+W1_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) IN (2, 3) AS a,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS (
+  SELECT k, v, count_if(a) AS ca, count_if(NOT a) AS cb
+  FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, v,
+         SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+         SUM(ca) OVER (PARTITION BY k) AS na,
+         SUM(cb) OVER (PARTITION BY k) AS nb,
+         LEAD(v) OVER (PARTITION BY k ORDER BY v) - v AS gap
+  FROM cells
+  WINDOW w AS (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT k, na, nb,
+         ROUND(ABS(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+               * gap + 1e-12, 9) AS t
+  FROM staged
+)
+SELECT k AS event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+             THEN COALESCE(SUM(t), 0.0) END + 1e-9, 6) AS w1
+FROM terms GROUP BY k ORDER BY event_type
+"""
+
+
+@golden(
+    "w1_value_weekend_by_type",
+    W1_ORACLE,
+    tags=("timeseries", "drift", "wasserstein", "events"),
+)
+def w1_value_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (1-Wasserstein) distance between each event type's
+    weekend and weekday value distributions — the drift readout in
+    VALUE UNITS (how many dollars did the distribution move), next to
+    KS's unitless sup-gap and PSI/JSD's binned divergences, over the
+    same weekend split as the effect-size golden. Exact on the
+    empirical CDFs via tie-collapsed cells and key-partitioned
+    cumulative windows; step terms 9dp-pinned before the sum."""
+    from mr_dice_spark.operators.timeseries import wasserstein_1
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        F.col("event_type").alias("k"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).isin(2, 3)
+        .alias("weekend"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return wasserstein_1(rows, "k", "weekend", "v", True).withColumnRenamed(
+        "k", "event_type"
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W: do the five event types rank user buckets concordantly?
+# ---------------------------------------------------------------------------
+
+KENDALLS_W_ORACLE = """
+WITH ev AS (
+  SELECT event_type, user_id, value FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+),
+scores AS (
+  SELECT event_type AS j, user_id % 20 AS i, ROUND(SUM(value) + 1e-9, 6) AS s
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.j, g.i
+  FROM (SELECT DISTINCT event_type AS j FROM ev) t
+  CROSS JOIN (SELECT unnest(range(20)) AS i) g
+),
+panel AS (
+  SELECT grid.j, grid.i, COALESCE(sc.s, 0.0) AS s
+  FROM grid LEFT JOIN scores sc ON sc.j = grid.j AND sc.i = grid.i
+),
+shape AS (
+  SELECT COUNT(DISTINCT j) AS m, COUNT(DISTINCT i) AS n FROM panel
+),
+tc AS (SELECT j, s, COUNT(*) AS t FROM panel GROUP BY j, s),
+ranked AS (
+  SELECT j, s,
+         CAST(SUM(t) OVER (PARTITION BY j ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           - t + CAST(t + 1 AS DOUBLE) / 2.0 AS r,
+         t * t * t - t AS tt
+  FROM tc
+),
+ri AS (
+  SELECT p.i, SUM(rk.r) AS ri
+  FROM panel p JOIN ranked rk ON rk.j = p.j AND rk.s = p.s
+  GROUP BY p.i
+),
+agg AS (
+  SELECT (SELECT SUM((ri - CAST(m AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                     * (ri - CAST(m AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0))
+          FROM ri) AS S,
+         CAST((SELECT COALESCE(SUM(tt), 0) FROM ranked) AS DOUBLE) AS T,
+         m, n
+  FROM shape
+)
+SELECT CAST(m AS BIGINT) AS m_raters,
+       CAST(n AS BIGINT) AS n_items,
+       ROUND(S + 1e-9, 6) AS s_stat,
+       ROUND(T + 1e-9, 6) AS tie_correction,
+       ROUND(CASE WHEN n >= 2
+                   AND (CAST(m AS DOUBLE) * m
+                        * (CAST(n AS DOUBLE) * n * n - n)
+                        - CAST(m AS DOUBLE) * T) > 0
+             THEN 12.0 * S
+                  / (CAST(m AS DOUBLE) * m
+                     * (CAST(n AS DOUBLE) * n * n - n)
+                     - CAST(m AS DOUBLE) * T) END + 1e-9, 6) AS w
+FROM agg
+"""
+
+
+@golden(
+    "kendalls_w_bucket_rank_by_type",
+    KENDALLS_W_ORACLE,
+    tags=("evaluation", "agreement", "kendalls-w", "events"),
+)
+def kendalls_w_bucket_rank_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance: do the five event types
+    rank the 20 user-id buckets by total value in the same order? The
+    ordinal completion of the agreement family (Fleiss/Krippendorff =
+    nominal, tau-b = two rankers, W = whole panel). The panel is made
+    complete by construction — a types x 20-bucket grid with
+    COALESCE(total, 0) — so the operator's ragged-panel fail-fast
+    never fires and both engines rank identical quantized scores."""
+    from mr_dice_spark.operators.evaluation import kendalls_w
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scores = ev.groupBy(
+        F.col("event_type"), (F.col("user_id") % 20).alias("item")
+    ).agg(_r(F.sum("value"), 6).alias("s"))
+    types = ev.select("event_type").distinct()
+    items = spark.range(20).select(F.col("id").alias("item"))
+    grid = types.crossJoin(F.broadcast(items))
+    panel = grid.join(scores, ["event_type", "item"], "left").select(
+        "event_type", "item", F.coalesce("s", F.lit(0.0)).alias("s")
+    )
+    return kendalls_w(panel, "event_type", "item", "s")

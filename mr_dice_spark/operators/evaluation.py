@@ -2891,3 +2891,117 @@ def fleiss_kappa(
         F.round(F.col("__pe") + F.lit(1e-9), 6).alias("p_e"),
         F.round(kappa + F.lit(1e-9), 6).alias("kappa"),
     )
+
+
+def kendalls_w(
+    df: DataFrame,
+    rater_col: str,
+    item_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W with tie correction — do
+    m raters (models, metrics, days) RANK n items the same way? The
+    ordinal completion of the agreement family: Fleiss/Krippendorff
+    score nominal label matches, Kendall's tau-b compares two rankers,
+    W scores a whole panel's rank agreement in [0, 1] (1 = identical
+    orderings). With per-rater midranks r_ij (ties share the average
+    rank), item rank sums R_i and m raters over n items:
+
+        S = sum_i (R_i - m(n+1)/2)^2
+        W = 12 S / (m^2 (n^3 - n) - m * sum_j T_j),  T_j = sum(t^3 - t)
+
+    over rater j's tie runs of length t.
+
+    Complete-panel contract (the fleiss_kappa convention): every rater
+    must score every item exactly once — duplicates collapse by MAX
+    first, then a ragged panel fail-fasts with a clear error (silently
+    dropping items would bias S). NULL rater/item/score rows are
+    excluded. W is NULL when n < 2 or when every rater's scores are
+    fully tied (the correction zeroes the denominator — nothing is
+    ranked; fail-closed).
+
+    Cross-engine determinism: midranks come from tie-collapsed
+    (rater, score) cells via rater-partitioned cumulative windows —
+    exact integers-plus-halves; S and both correction terms are exact
+    integer-valued doubles, so W is one correctly-rounded division.
+
+    Scale shape: a (rater, item) max-aggregate, a (rater, score) cell
+    aggregate + rater-partitioned windows (bounded by each rater's
+    item count — the kruskal_wallis midrank discipline), one join back
+    on (rater, score), an item-keyed and a rater-keyed aggregate, and
+    1-row reduces meeting by broadcast. Returns one row
+    ``(m_raters, n_items, s_stat, tie_correction, w)``.
+    """
+    obs = (
+        df.where(
+            F.col(rater_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(score_col).isNotNull()
+        )
+        .groupBy(F.col(rater_col).alias("__j"), F.col(item_col).alias("__i"))
+        .agg(F.max(F.col(score_col).cast("double")).alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    shape = obs.agg(
+        F.countDistinct("__j").alias("__m"),
+        F.countDistinct("__i").alias("__n"),
+        F.count(F.lit(1)).alias("__cells"),
+    ).first()
+    m, n, cells = shape["__m"], shape["__n"], shape["__cells"]
+    if m == 0:
+        raise ValueError("kendalls_w: no valid (rater, item, score) rows")
+    if cells != m * n:
+        raise ValueError(
+            f"kendalls_w: ragged panel — {cells} (rater, item) cells for "
+            f"{m} raters x {n} items; every rater must score every item"
+        )
+    tie_cells = obs.groupBy("__j", "__s").agg(F.count(F.lit(1)).alias("__t"))
+    w_run = (
+        Window.partitionBy("__j")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = tie_cells.select(
+        "__j",
+        "__s",
+        # midrank of a tie run ending at cumulative count c with t
+        # members: c - t + (t + 1) / 2 — exact integer-or-half doubles
+        (
+            F.sum("__t").over(w_run).cast("double")
+            - F.col("__t")
+            + (F.col("__t") + 1).cast("double") / 2.0
+        ).alias("__r"),
+        ((F.col("__t") * F.col("__t") * F.col("__t")) - F.col("__t")).alias(
+            "__tt"
+        ),
+    )
+    with_ranks = obs.join(
+        ranked.select("__j", "__s", "__r"), ["__j", "__s"]
+    )
+    mean_r = float(m) * (float(n) + 1.0) / 2.0
+    s1 = (
+        with_ranks.groupBy("__i")
+        .agg(F.sum("__r").alias("__ri"))
+        .agg(
+            F.sum(
+                (F.col("__ri") - F.lit(mean_r)) * (F.col("__ri") - F.lit(mean_r))
+            ).alias("__S")
+        )
+    )
+    t1 = ranked.agg(F.coalesce(F.sum("__tt"), F.lit(0)).cast("double").alias("__T"))
+    # two 1-row reduces meet by broadcast; W stays a live plan (the
+    # cochran_q convention) rather than a collected scalar
+    joined = s1.crossJoin(F.broadcast(t1))
+    denom = (
+        F.lit(float(m) * m * (float(n) ** 3 - n)) - F.lit(float(m)) * F.col("__T")
+    )
+    w_expr = F.when(
+        (F.lit(int(n)) >= 2) & (denom > 0), 12.0 * F.col("__S") / denom
+    )
+    return joined.select(
+        F.lit(int(m)).cast("long").alias("m_raters"),
+        F.lit(int(n)).cast("long").alias("n_items"),
+        F.round(F.col("__S") + F.lit(1e-9), 6).alias("s_stat"),
+        F.round(F.col("__T") + F.lit(1e-9), 6).alias("tie_correction"),
+        F.round(w_expr + F.lit(1e-9), 6).alias("w"),
+    )

@@ -1432,3 +1432,97 @@ def chow_test(
         sse2.alias("sse_2"),
         F.round(f_stat + F.lit(1e-9), 4).alias("f_stat"),
     )
+
+
+def wasserstein_1(
+    df: DataFrame,
+    key_col: str,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+) -> DataFrame:
+    """Per-key 1-Wasserstein (earth-mover) distance between two samples
+    of a numeric column — the drift metric that reports HOW FAR the
+    distribution moved in value units, where KS gives the largest CDF
+    gap (unitless, sup-norm) and PSI/JSD give binned divergences:
+    ``W1 = integral |F_A(v) - F_B(v)| dv``, exact on the empirical
+    CDFs as ``sum_i |F_A(v_i) - F_B(v_i)| * (v_{i+1} - v_i)`` over the
+    pooled sorted distinct values.
+
+    Rows where ``sample_col == sample_a`` are sample A; every other
+    non-NULL sample value is B (the two_proportion split convention is
+    explicit arms; here the caller usually feeds a boolean). NULL
+    key/sample/value rows are excluded. Keys missing either sample
+    report NULL w1 (no distance to a nonexistent distribution —
+    fail-closed).
+
+    Cross-engine determinism: cell counts and cumulative counts are
+    exact integers from the tie-collapsed (key, value) table; each
+    step term ``|ca/na - cb/nb| * gap`` is a fixed IEEE chain on exact
+    operands, nudge-pinned at 9dp before the final sum (the
+    nelson_aalen increment contract) so both engines add identical
+    doubles; the closing sum's order-dependence is absorbed by the
+    6dp output round.
+
+    Scale shape: one (key, value) cell aggregate, two key-partitioned
+    cumulative windows + one lead sharing the exchange (per-key cell
+    tables are the bounded frames — the kruskal_wallis convention:
+    key by shard/day/type, don't feed one global key a corpus of
+    distinct floats), one final per-key aggregate. Returns
+    ``(key, n_a, n_b, w1)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(sample_col) == F.lit(sample_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(sample_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    cells = base.groupBy("__k", "__v").agg(
+        F.count_if(F.col("__a")).alias("__ca"),
+        F.count_if(~F.col("__a")).alias("__cb"),
+    )
+    w_run = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__k")
+    w_lead = Window.partitionBy("__k").orderBy("__v")
+    staged = cells.select(
+        "__k",
+        F.sum("__ca").over(w_run).alias("__cca"),
+        F.sum("__cb").over(w_run).alias("__ccb"),
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+        (F.lead("__v").over(w_lead) - F.col("__v")).alias("__gap"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("__cca").cast("double") / F.col("__na")
+            - F.col("__ccb").cast("double") / F.col("__nb")
+        )
+        * F.col("__gap")
+        + F.lit(1e-12),
+        9,
+    )
+    out = staged.groupBy("__k").agg(
+        F.max("__na").alias("__ta"),
+        F.max("__nb").alias("__tb"),
+        F.sum(F.when(F.col("__gap").isNotNull(), term)).alias("__w1"),
+    )
+    w1 = F.when(
+        (F.col("__ta") > 0) & (F.col("__tb") > 0),
+        # a key with one distinct value has no gap terms: SUM over an
+        # empty set is NULL, but the true W1 between two point masses
+        # at the same value is 0
+        F.coalesce(F.col("__w1"), F.lit(0.0)),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.round(w1 + F.lit(1e-9), 6).alias("w1"),
+    )

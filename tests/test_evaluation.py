@@ -1431,3 +1431,43 @@ def test_mantel_haenszel_single_stratum_is_plain_or(spark):
     [r] = mantel_haenszel(df, "s", "x", "y").collect()
     # one stratum: OR_MH == (a*d)/(b*c) = 6*9/(2*3) = 9
     assert abs(r["or_mh"] - 9.0) < 1e-6
+
+
+def test_kendalls_w_perfect_and_reversed(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.evaluation import kendalls_w
+
+    ident = [(j, i, float(i)) for j in ("a", "b", "c") for i in range(1, 5)]
+    [r] = kendalls_w(
+        spark.createDataFrame(ident, "j string, i long, s double"), "j", "i", "s"
+    ).collect()
+    assert (r["m_raters"], r["n_items"]) == (3, 4)
+    assert r["w"] == _pt.approx(1.0, abs=1e-6)
+    # two raters in exact opposition: rank sums all equal -> S = 0, W = 0
+    opp = [("a", i, float(i)) for i in range(1, 5)]
+    opp += [("b", i, float(-i)) for i in range(1, 5)]
+    [r2] = kendalls_w(
+        spark.createDataFrame(opp, "j string, i long, s double"), "j", "i", "s"
+    ).collect()
+    assert r2["w"] == 0.0
+
+
+def test_kendalls_w_ties_and_guards(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.evaluation import kendalls_w
+
+    # all scores tied for every rater: correction zeroes the denominator
+    tied = [(j, i, 1.0) for j in ("a", "b") for i in range(3)]
+    [r] = kendalls_w(
+        spark.createDataFrame(tied, "j string, i long, s double"), "j", "i", "s"
+    ).collect()
+    assert r["w"] is None and r["tie_correction"] == _pt.approx(48.0)
+    # ragged panel fail-fasts
+    ragged = [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 1.0)]
+    with _pt.raises(ValueError, match="ragged panel"):
+        kendalls_w(
+            spark.createDataFrame(ragged, "j string, i long, s double"),
+            "j", "i", "s",
+        )

@@ -1777,3 +1777,27 @@ def test_jaro_winkler_blocked_equi_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_wasserstein_key_partitioned_windows_one_scan(spark, sf_dir):
+    """CDF cumulative windows and the lead all partition on the key
+    (never a global sort); one pruned scan, no join."""
+    df = GOLDEN["w1_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_kendalls_w_pinned_panel_broadcast_close(spark, sf_dir):
+    """The (rater, item) panel is localCheckpoint-pinned (the eager
+    shape check already ran it); midrank windows partition on the
+    rater; the closing 1-row frames meet by broadcast with no
+    cartesian product."""
+    df = GOLDEN["kendalls_w_bucket_rank_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan  # all branches reuse the pinned panel
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(__j" in line, line

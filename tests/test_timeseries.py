@@ -721,3 +721,51 @@ def test_chow_test_row_order_invariant(spark):
     r2 = chow_test(df2, "k", "x", "y", breakpoint=10.0).collect()[0]
     # the 6dp SSE pins make the output row-order-deterministic
     assert r1.asDict() == r2.asDict()
+
+
+def test_wasserstein_1_hand_computed(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.timeseries import wasserstein_1
+
+    # A = {0, 1}, B = {1, 2}: |F_A - F_B| is 0.5 on [0,1) and 0.5 on
+    # [1,2) -> W1 = 1.0 (a unit shift of a uniform pair)
+    rows = [("k", True, 0.0), ("k", True, 1.0),
+            ("k", False, 1.0), ("k", False, 2.0),
+            ("one_sided", True, 5.0),
+            (None, True, 1.0), ("k", None, 1.0), ("k", True, None)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    got = {r["k"]: r for r in wasserstein_1(df, "k", "a", "v", True).collect()}
+    assert got["k"]["w1"] == _pt.approx(1.0, abs=1e-6)
+    assert (got["k"]["n_a"], got["k"]["n_b"]) == (2, 2)
+    assert got["one_sided"]["w1"] is None  # missing sample B fail-closed
+    assert set(got) == {"k", "one_sided"}  # NULL rows excluded
+
+
+def test_wasserstein_1_identical_and_point_mass(spark):
+    from mr_dice_spark.operators.timeseries import wasserstein_1
+
+    rows = [("same", s, float(v)) for s in (True, False) for v in (1, 2, 3)]
+    rows += [("point", True, 7.0), ("point", False, 7.0)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    got = {r["k"]: r["w1"] for r in wasserstein_1(df, "k", "a", "v", True).collect()}
+    assert got["same"] == 0.0
+    assert got["point"] == 0.0  # single shared value: no gap terms, W1 = 0
+
+
+def test_wasserstein_1_scale_shift_property(spark):
+    import random
+
+    import pytest as _pt
+
+    from mr_dice_spark.operators.timeseries import wasserstein_1
+
+    # W1(A + c, B + c) == W1(A, B): translation invariance
+    rng = random.Random(3)
+    rows = [("k", rng.random() < 0.5, round(rng.uniform(0, 50), 2))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    shifted = df.selectExpr("k", "a", "v + 123.0 AS v")
+    [r1] = wasserstein_1(df, "k", "a", "v", True).collect()
+    [r2] = wasserstein_1(shifted, "k", "a", "v", True).collect()
+    assert r1["w1"] == _pt.approx(r2["w1"], abs=1e-5)

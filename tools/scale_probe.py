@@ -253,6 +253,8 @@ PROBES = [
     "mantel_haenszel_highvalue_by_type",
     "chow_break_daily_value_by_type",
     "jaro_winkler_name_pairs",
+    "w1_value_weekend_by_type",
+    "kendalls_w_bucket_rank_by_type",
 ]
 
 
