@@ -3669,6 +3669,7 @@ WITH base AS (
          CAST(value AS DOUBLE) AS v
   FROM events
   WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))
 ),
 cells AS (
   SELECT k, v, count_if(a) AS ca, count_if(NOT a) AS cb

@@ -1479,6 +1479,10 @@ def wasserstein_1(
         F.col(key_col).isNotNull()
         & F.col(sample_col).isNotNull()
         & F.col(value_col).isNotNull()
+        # NaN is non-NULL: it would sort last, poison the lead gap and
+        # ride every guard (NaN survives coalesce) into a NaN w1 —
+        # exclude it like NULL so the fail-closed contract holds
+        & ~F.isnan(F.col(value_col).cast("double"))
     )
     cells = base.groupBy("__k", "__v").agg(
         F.count_if(F.col("__a")).alias("__ca"),

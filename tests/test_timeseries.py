@@ -733,7 +733,8 @@ def test_wasserstein_1_hand_computed(spark):
     rows = [("k", True, 0.0), ("k", True, 1.0),
             ("k", False, 1.0), ("k", False, 2.0),
             ("one_sided", True, 5.0),
-            (None, True, 1.0), ("k", None, 1.0), ("k", True, None)]
+            (None, True, 1.0), ("k", None, 1.0), ("k", True, None),
+            ("k", True, float("nan"))]  # NaN excluded like NULL
     df = spark.createDataFrame(rows, "k string, a boolean, v double")
     got = {r["k"]: r for r in wasserstein_1(df, "k", "a", "v", True).collect()}
     assert got["k"]["w1"] == _pt.approx(1.0, abs=1e-6)
