@@ -97,21 +97,22 @@ _CHECK_FIRST = [
     "anova_value_by_type",         # one-way F + eta^2 from power sums
     "brown_forsythe_value_by_type",  # median-centered Levene test
     "jarque_bera_value_by_type",   # moment-based normality screen
-    # ROUND-9 WINDOW QUEUE: the 39 never-driver-checked goldens (all
+    # ROUND-9 WINDOW QUEUE: the 40 never-driver-checked goldens (all
     # suite-oracle-green, swept hash-exact at all three scales on
     # landing), in landing order — the 26 round-7 leftovers first, then
-    # the 13 round-8 additions appended at the END in landing order.
+    # the 14 round-8 additions appended at the END in landing order.
     # They lead the round-9 rotation: round 9 has no badge-stale rows
-    # under the derived horizon (ceil((332-1)/49)+1 = 8 rounds; the
+    # under the derived horizon (ceil((333-1)/49)+1 = 8 rounds; the
     # oldest surviving rows are r3, age 6 at round 9), so 1 flagship +
-    # 39 queue = 40 slots, leaving 10 spare. PRE-PLAN for those spares
+    # 40 queue = 41 slots, leaving 9 spare. PRE-PLAN for those spares
     # (computed from CORRECTNESS_r01-r07: the 47 goldens whose latest
-    # driver row is round 3; take the first 10 alphabetically):
+    # driver row is round 3; take the first 9 alphabetically):
     # approx_distinct_users_daily, boilerplate_removal_cleaned,
     # cosine_topk_ivf_pq_approx, cosine_topk_truncate_rerank,
     # crawl_curation_pipeline, cube_order_status_priority,
     # demo5_composition_selfjoin, document_chunking_windows,
-    # embedding_int8_quantize, grouping_sets_event_bands.
+    # embedding_int8_quantize (grouping_sets_event_bands next if a
+    # slot frees).
     # cochran_armitage_purchase_by_weekday
     # distinct_ngram_diversity_by_lang
     # kendall_tau_weekday_value_band
@@ -151,6 +152,7 @@ _CHECK_FIRST = [
     # jaro_winkler_name_pairs
     # w1_value_weekend_by_type
     # kendalls_w_bucket_rank_by_type
+    # uplift_curve_purchase_by_cohort
 ]
 
 

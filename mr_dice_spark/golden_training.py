@@ -3824,3 +3824,92 @@ def kendalls_w_bucket_rank_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         "event_type", "item", F.coalesce("s", F.lit(0.0)).alias("s")
     )
     return kendalls_w(panel, "event_type", "item", "s")
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve: targeting depth readout on the null even/odd split
+# ---------------------------------------------------------------------------
+
+UPLIFT_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         'c' || CAST(user_id % 4 AS VARCHAR) AS g,
+         ROUND(SUM(value) + 1e-9, 6) AS s,
+         (user_id % 2 = 0) AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+tiled AS (
+  SELECT g, t, y,
+         NTILE(5) OVER (PARTITION BY g ORDER BY s DESC, user_id ASC) AS tile
+  FROM per_user
+),
+tiles AS (
+  SELECT g, tile,
+         count_if(t) AS n_treat, count_if(NOT t) AS n_ctrl,
+         SUM(CASE WHEN t THEN y ELSE 0 END) AS y_treat,
+         SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS y_ctrl
+  FROM tiled GROUP BY g, tile
+),
+cum AS (
+  SELECT g, tile, n_treat, n_ctrl, y_treat, y_ctrl,
+         CAST(SUM(n_treat) OVER wc AS DOUBLE) AS ntc,
+         CAST(SUM(n_ctrl) OVER wc AS DOUBLE) AS ncc,
+         CAST(SUM(y_treat) OVER wc AS DOUBLE) AS ytc,
+         CAST(SUM(y_ctrl) OVER wc AS DOUBLE) AS ycc,
+         CAST(SUM(n_treat) OVER wa AS DOUBLE) AS nta,
+         CAST(SUM(n_ctrl) OVER wa AS DOUBLE) AS nca,
+         CAST(SUM(y_treat) OVER wa AS DOUBLE) AS yta,
+         CAST(SUM(y_ctrl) OVER wa AS DOUBLE) AS yca
+  FROM tiles
+  WINDOW wc AS (PARTITION BY g ORDER BY tile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY g)
+)
+SELECT g AS cohort, CAST(tile AS INT) AS tile,
+       CAST(n_treat AS BIGINT) AS n_treat, CAST(n_ctrl AS BIGINT) AS n_ctrl,
+       CAST(y_treat AS BIGINT) AS y_treat, CAST(y_ctrl AS BIGINT) AS y_ctrl,
+       ROUND(CASE WHEN ncc > 0 THEN ytc - ycc * (ntc / ncc) END + 1e-9, 6)
+         AS cum_uplift,
+       ROUND(CASE WHEN nca > 0 THEN yta - yca * (nta / nca) END
+             * ((ntc + ncc) / (nta + nca)) + 1e-9, 6) AS cum_random
+FROM cum ORDER BY cohort, tile
+"""
+
+
+@golden(
+    "uplift_curve_purchase_by_cohort",
+    UPLIFT_ORACLE,
+    tags=("evaluation", "uplift", "qini", "experiment", "events"),
+)
+def uplift_curve_purchase_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort Qini uplift curve for the even/odd 'treatment' split
+    with total value as the targeting score and purchase as the
+    outcome — the incremental-response depth readout beside
+    decile_lift's outcome-only gains. The arms are a null split over a
+    common process, so the uplift curve should hug the random-targeting
+    diagonal — the golden validates the machinery: every quantity is an
+    exact integer until the two scaling divisions, and the NTILE cut is
+    id-tiebroken on both engines."""
+    from mr_dice_spark.operators.evaluation import uplift_curve_by_group
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    units = ev.groupBy("user_id").agg(
+        _r(F.sum("value"), 6).alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        F.concat(F.lit("c"), (F.col("user_id") % 4).cast("string")).alias("cohort"),
+        "s",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        "converted",
+        F.col("user_id"),
+    )
+    return uplift_curve_by_group(
+        units, "cohort", "s", "treated", "converted", "user_id", n_tiles=5
+    ).orderBy("cohort", "tile")

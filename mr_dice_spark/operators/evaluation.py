@@ -3005,3 +3005,98 @@ def kendalls_w(
         F.round(F.col("__T") + F.lit(1e-9), 6).alias("tie_correction"),
         F.round(w_expr + F.lit(1e-9), 6).alias("w"),
     )
+
+
+def uplift_curve_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Per-group Qini-style uplift curve: within each group, rank units
+    by a targeting model's score descending, cut into ``n_tiles``
+    equal-count tiles (NTILE), and for each cumulative depth report the
+    INCREMENTAL outcomes attributable to treatment,
+    ``uplift_k = Yt_k - Yc_k * Nt_k / Nc_k`` (treated successes minus
+    control successes scaled to the treated exposure), against the
+    random-targeting baseline ``random_k = uplift_n * N_k / N`` — the
+    readout that tells a campaign how deep to target when the model
+    scores INCREMENTAL responders, which decile_lift (outcome-only)
+    cannot distinguish from always-buyers.
+
+    ``tiebreak_col`` must be group-unique (an id): it makes the NTILE
+    cut deterministic under tied scores on both engines. Rows with
+    NULL group/score/treatment/outcome/tiebreak are excluded; outcomes
+    cast to 0/1 via boolean (ANSI: unparseable outcomes fail loudly).
+    Depths with no control units yet report NULL uplift (no basis for
+    scaling — fail-closed); groups with no control at all report NULL
+    everywhere uplift appears.
+
+    Cross-engine determinism: every count is an exact integer from the
+    tile aggregate and cumulative windows over <= n_tiles rows per
+    group; uplift/random are fixed IEEE chains on those integers,
+    rounded at 6dp on output.
+
+    Scale shape: one exchange on the group key shared by the NTILE
+    window (per-group sort, bounded by the largest group — the
+    decile_lift/auc_by_group contract: group by shard/day/segment,
+    don't feed one global group), one (group, tile) aggregate, then
+    cumulative windows over the <= n_tiles rows per group. Returns
+    ``(group, tile, n_treat, n_ctrl, y_treat, y_ctrl, cum_uplift,
+    cum_random)``.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(score_col).cast("double").isNotNull()
+        & F.col(treat_col).cast("boolean").isNotNull()
+        & F.col(outcome_col).cast("boolean").isNotNull()
+        & F.col(tiebreak_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(treat_col).cast("boolean").alias("__t"),
+        F.col(outcome_col).cast("boolean").cast("int").alias("__y"),
+        F.col(tiebreak_col).alias("__id"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__s").desc(), F.col("__id").asc())
+    tiles = (
+        base.select("__g", "__t", "__y", F.ntile(n_tiles).over(w).alias("tile"))
+        .groupBy("__g", "tile")
+        .agg(
+            F.count_if(F.col("__t")).alias("n_treat"),
+            F.count_if(~F.col("__t")).alias("n_ctrl"),
+            F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0)).alias("y_treat"),
+            F.sum(F.when(~F.col("__t"), F.col("__y")).otherwise(0)).alias("y_ctrl"),
+        )
+    )
+    wc = (
+        Window.partitionBy("__g")
+        .orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("__g")
+    nt_c = F.sum("n_treat").over(wc).cast("double")
+    nc_c = F.sum("n_ctrl").over(wc).cast("double")
+    yt_c = F.sum("y_treat").over(wc).cast("double")
+    yc_c = F.sum("y_ctrl").over(wc).cast("double")
+    n_c = nt_c + nc_c
+    uplift = F.when(nc_c > 0, yt_c - yc_c * (nt_c / nc_c))
+    nt_a = F.sum("n_treat").over(wa).cast("double")
+    nc_a = F.sum("n_ctrl").over(wa).cast("double")
+    yt_a = F.sum("y_treat").over(wa).cast("double")
+    yc_a = F.sum("y_ctrl").over(wa).cast("double")
+    total_uplift = F.when(nc_a > 0, yt_a - yc_a * (nt_a / nc_a))
+    random_k = total_uplift * (n_c / (nt_a + nc_a))
+    return tiles.select(
+        F.col("__g").alias(group_col),
+        F.col("tile").cast("int").alias("tile"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("y_treat").cast("long").alias("y_treat"),
+        F.col("y_ctrl").cast("long").alias("y_ctrl"),
+        F.round(uplift + F.lit(1e-9), 6).alias("cum_uplift"),
+        F.round(random_k + F.lit(1e-9), 6).alias("cum_random"),
+    )

@@ -1471,3 +1471,39 @@ def test_kendalls_w_ties_and_guards(spark):
             spark.createDataFrame(ragged, "j string, i long, s double"),
             "j", "i", "s",
         )
+
+
+def test_uplift_curve_hand_computed(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.evaluation import uplift_curve_by_group
+
+    # 8 units, 2 tiles of 4. Tile 1 (top scores 8..5): treated {8,7}
+    # both convert, control {6,5} none -> uplift = 2 - 0*(2/2) = 2.
+    # Tile 2 (scores 4..1): treated {4,3} none, control {2,1} one
+    # converts -> cumulative: yt=2, yc=1, nt=4, nc=4 -> 2 - 1*1 = 1.
+    rows = [
+        ("g", 8.0, True, True, 1), ("g", 7.0, True, True, 2),
+        ("g", 6.0, False, False, 3), ("g", 5.0, False, False, 4),
+        ("g", 4.0, True, False, 5), ("g", 3.0, True, False, 6),
+        ("g", 2.0, False, True, 7), ("g", 1.0, False, False, 8),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, t boolean, y boolean, id long")
+    out = {r["tile"]: r for r in uplift_curve_by_group(
+        df, "g", "s", "t", "y", "id", n_tiles=2
+    ).collect()}
+    assert out[1]["cum_uplift"] == _pt.approx(2.0, abs=1e-9)
+    assert out[2]["cum_uplift"] == _pt.approx(1.0, abs=1e-9)
+    # random baseline: total uplift 1.0 scaled by depth share 0.5 / 1.0
+    assert out[1]["cum_random"] == _pt.approx(0.5, abs=1e-9)
+    assert out[2]["cum_random"] == _pt.approx(1.0, abs=1e-9)
+    assert (out[1]["n_treat"], out[1]["n_ctrl"]) == (2, 2)
+
+
+def test_uplift_curve_no_control_fail_closed(spark):
+    from mr_dice_spark.operators.evaluation import uplift_curve_by_group
+
+    rows = [("g", float(i), True, i % 2 == 0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "g string, s double, t boolean, y boolean, id long")
+    out = uplift_curve_by_group(df, "g", "s", "t", "y", "id", n_tiles=3).collect()
+    assert all(r["cum_uplift"] is None and r["cum_random"] is None for r in out)

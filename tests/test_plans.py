@@ -1801,3 +1801,13 @@ def test_kendalls_w_pinned_panel_broadcast_close(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "windowspecdefinition(__j" in line, line
+
+
+def test_uplift_curve_group_partitioned_single_exchange(spark, sf_dir):
+    """The NTILE window partitions on the cohort (never a global sort);
+    the per-user reduce and tile chain ride one pruned scan, no join."""
+    df = GOLDEN["uplift_curve_purchase_by_cohort"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

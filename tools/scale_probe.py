@@ -255,6 +255,7 @@ PROBES = [
     "jaro_winkler_name_pairs",
     "w1_value_weekend_by_type",
     "kendalls_w_bucket_rank_by_type",
+    "uplift_curve_purchase_by_cohort",
 ]
 
 
