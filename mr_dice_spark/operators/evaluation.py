@@ -22,6 +22,13 @@ At 100 TB: AUC shuffles once on the group key (rank windows are the same
 exchange); a single GLOBAL AUC over 10^11 rows would single-partition the
 rank window — callers group by shard/day/lang and combine, which is also
 the statistically honest shape (per-slice AUC, not one pooled curve).
+
+Laziness contract: every operator here returns an unexecuted plan EXCEPT
+``fleiss_kappa`` and ``kendalls_w``, which run a 1-row panel-shape probe
+(plus a localCheckpoint pin) eagerly at construction — their statistics
+are undefined on ragged panels, and deferring the validation would mean
+silently computing a wrong number. Both fail closed with a 1-row NULL
+frame on EMPTY input; only a genuinely malformed panel raises.
 """
 
 from __future__ import annotations
@@ -2834,9 +2841,16 @@ def fleiss_kappa(
     The equal-ratings design is VALIDATED, not assumed: if units carry
     different rating counts the operator fails fast with the observed
     counts (Fleiss' formula is simply wrong on ragged panels — use
-    Krippendorff there). The check is one 1-row aggregate. NULL
-    unit/label rows are excluded. kappa is NULL when Pe = 1 (all
-    ratings one label on one unit-class; fail-closed).
+    Krippendorff there). The check is one 1-row aggregate, which means
+    THIS OPERATOR EXECUTES SPARK JOBS EAGERLY at construction (the
+    cell pin plus the shape probe) — unlike the lazy evaluation
+    siblings; panel validation cannot be deferred without silently
+    computing a wrong statistic. NULL unit/label rows are excluded.
+    Empty input (no rated units after NULL filtering) returns the
+    fail-closed 1-row NULL frame ``(0, NULL, NULL, NULL, NULL)``
+    rather than raising — only the genuinely wrong panel shapes
+    (ragged counts, single-rater panels) throw. kappa is NULL when
+    Pe = 1 (all ratings one label on one unit-class; fail-closed).
 
     Scale shape: the krippendorff shape — one (unit, label) cell
     aggregate (pinned: three branches derive), unit- and label-keyed
@@ -2861,7 +2875,13 @@ def fleiss_kappa(
         F.sum("__sq").alias("__ssq"),
     ).first()
     if shape["__nunits"] == 0:
-        raise ValueError("fleiss_kappa: no rated units after NULL filtering")
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_units"),
+            F.lit(None).cast("long").alias("n_raters"),
+            F.lit(None).cast("double").alias("p_o"),
+            F.lit(None).cast("double").alias("p_e"),
+            F.lit(None).cast("double").alias("kappa"),
+        )
     if shape["__lo"] != shape["__hi"]:
         raise ValueError(
             "fleiss_kappa: ragged rating counts per unit "
@@ -2915,10 +2935,15 @@ def kendalls_w(
     Complete-panel contract (the fleiss_kappa convention): every rater
     must score every item exactly once — duplicates collapse by MAX
     first, then a ragged panel fail-fasts with a clear error (silently
-    dropping items would bias S). NULL rater/item/score rows are
-    excluded. W is NULL when n < 2 or when every rater's scores are
-    fully tied (the correction zeroes the denominator — nothing is
-    ranked; fail-closed).
+    dropping items would bias S). The validation is a 1-row shape
+    probe, so THIS OPERATOR EXECUTES SPARK JOBS EAGERLY at
+    construction (the panel pin plus the probe), unlike the lazy
+    evaluation siblings. NULL rater/item/score rows are excluded.
+    Empty input returns the fail-closed 1-row NULL frame
+    ``(0, 0, NULL, NULL, NULL)`` rather than raising — only the
+    genuinely wrong ragged-panel shape throws. W is NULL when n < 2
+    or when every rater's scores are fully tied (the correction
+    zeroes the denominator — nothing is ranked; fail-closed).
 
     Cross-engine determinism: midranks come from tie-collapsed
     (rater, score) cells via rater-partitioned cumulative windows —
@@ -2949,7 +2974,13 @@ def kendalls_w(
     ).first()
     m, n, cells = shape["__m"], shape["__n"], shape["__cells"]
     if m == 0:
-        raise ValueError("kendalls_w: no valid (rater, item, score) rows")
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("m_raters"),
+            F.lit(0).cast("long").alias("n_items"),
+            F.lit(None).cast("double").alias("s_stat"),
+            F.lit(None).cast("double").alias("tie_correction"),
+            F.lit(None).cast("double").alias("w"),
+        )
     if cells != m * n:
         raise ValueError(
             f"kendalls_w: ragged panel — {cells} (rater, item) cells for "

@@ -643,7 +643,7 @@ def jaro_winkler_pairs(
     text_col: str,
     block_col: str,
     threshold: float = 0.85,
-    max_block_rows: int | None = 100_000,
+    max_block_rows: int | None = 5_000,
 ) -> DataFrame:
     """Blocked Jaro-Winkler candidate pairs for entity resolution: all
     unordered same-block pairs whose name similarity clears
@@ -656,8 +656,14 @@ def jaro_winkler_pairs(
     Blocking contract: the caller supplies ``block_col`` (a phonetic
     key, a brand, a sorted-token prefix) and only within-block pairs
     are scored — the standard ER recall/cost trade. A block of m rows
-    scores C(m, 2) pairs, so ``max_block_rows`` is the standard
-    circuit breaker, ON by default; pass None to opt out after sizing.
+    scores C(m, 2) pairs of pure-Python O(|a|*|b|) scorings, so
+    ``max_block_rows`` is the standard circuit breaker, ON by default
+    at 5_000 (C(5k, 2) ~ 12.5M pairs — the largest block a single
+    Arrow batch stream digests in minutes, not days; the previous
+    100k default would have admitted ~5e9 pairs, a hang rather than a
+    guard). Raise it or pass None ONLY after sizing the worst block;
+    the intended input is a collapsed (distinct-key) frame whose
+    blocks are vocabulary-bounded, never the raw corpus.
 
     Cross-engine parity: the score is computed over UTF-8 BYTES with
     DuckDB's exact semantics (:func:`_jaro_winkler_bytes` — byte-level

@@ -499,7 +499,14 @@ def _pq_codes_udf(codebooks: list[list[list[float]]], round_scores: int | None =
     ``round_scores`` quantizes the assignment score to a nudge-rounded
     decimal grid before the argmax (the ivf_assign ``round_scores`` idiom):
     a BLAS dot and a SQL left-to-right dot can differ in the last ulp, so
-    a fixed-oracle golden assigns on the grid where both engines agree."""
+    a fixed-oracle golden assigns on the grid where both engines agree.
+    Tie-break asymmetry, documented not fixed: ``np.round`` here is
+    banker's rounding (half-to-even) while every Spark/DuckDB
+    ``F.round``/``round`` site in the repo rounds half away from zero —
+    the shared 1e-9 nudge pushes exact half-grid scores off the boundary
+    before either rule fires, so the rules only diverge on a score landing
+    EXACTLY on a half after the nudge (probability ~0 for dot products of
+    trained centroids; sweep-verified hash-stable at all three scales)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

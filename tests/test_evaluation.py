@@ -1163,6 +1163,19 @@ def test_fleiss_kappa_hand_value_and_ragged_guard(spark):
         )
 
 
+def test_fleiss_kappa_empty_input_fails_closed(spark):
+    # no rated units -> 1-row NULL frame, not an exception (ADVICE r8)
+    from mr_dice_spark.operators.evaluation import fleiss_kappa
+
+    empty = spark.createDataFrame(
+        [(None, "a"), ("u1", None)], "u string, lab string"
+    )
+    [r] = fleiss_kappa(empty, "u", "lab").collect()
+    assert r["n_units"] == 0
+    assert r["n_raters"] is None and r["kappa"] is None
+    assert r["p_o"] is None and r["p_e"] is None
+
+
 # ---------------------------------------------------------------------------
 # Nelson-Aalen cumulative hazard
 # ---------------------------------------------------------------------------
@@ -1471,6 +1484,13 @@ def test_kendalls_w_ties_and_guards(spark):
             spark.createDataFrame(ragged, "j string, i long, s double"),
             "j", "i", "s",
         )
+    # empty input -> 1-row NULL frame, not an exception (ADVICE r8)
+    empty = spark.createDataFrame(
+        [("a", None, 1.0), (None, 1, 1.0)], "j string, i long, s double"
+    )
+    [r0] = kendalls_w(empty, "j", "i", "s").collect()
+    assert r0["m_raters"] == 0 and r0["n_items"] == 0
+    assert r0["s_stat"] is None and r0["w"] is None
 
 
 def test_uplift_curve_hand_computed(spark):

@@ -324,6 +324,22 @@ def test_jaro_winkler_pairs_breaker_fires(spark):
     assert out.count() == 190
 
 
+def test_jaro_winkler_pairs_default_breaker_is_tractable():
+    """The ON-by-default cap must bound projected pair work at a scale a
+    single Arrow stream can actually digest: C(default, 2) ~ 12.5M pure-
+    Python scorings, not the ~5e9 the old 100k default admitted
+    (ADVICE r8)."""
+    import inspect
+
+    from mr_dice_spark.operators.fuzzy import jaro_winkler_pairs
+
+    default = inspect.signature(jaro_winkler_pairs).parameters[
+        "max_block_rows"
+    ].default
+    assert default is not None, "breaker must be ON by default"
+    assert default * (default - 1) // 2 <= 20_000_000
+
+
 def test_jaro_winkler_bytes_properties():
     """Symmetry, range, identity — cheap pure-Python properties over
     random byte strings (the cross-engine bitwise pin lives in
