@@ -102,14 +102,15 @@ _CHECK_FIRST = [
     "demo5_composition_selfjoin",
     "document_chunking_windows",
     "embedding_int8_quantize",
-    # ROUND-10 WINDOW PRE-PLAN: 1 flagship + any round-9 golden
-    # additions (never-checked — they lead the queue, landing order) +
-    # the remaining 38 r3-latest goldens alphabetically
-    # (grouping_sets_event_bands, grouping_sets_events,
-    # heavy_hitters_cms_events, ... through the end of the r3 cohort),
-    # topped up with the oldest r4 rows if fewer than 11 goldens land
-    # this round. Keep round-9 additions <= 11 so the arithmetic closes
-    # at exactly 50 (1 + 11 + 38).
+    # ROUND-10 WINDOW QUEUE: the round-9 golden additions (never
+    # driver-checked; they lead the round-10 rotation, landing order):
+    # compression_ratio_fixed_oracle
+    # Round-10 window = 1 flagship + that queue + the remaining 38
+    # r3-latest goldens alphabetically (grouping_sets_event_bands,
+    # grouping_sets_events, heavy_hitters_cms_events, ... through the
+    # end of the r3 cohort), topped up with the oldest r4 rows to fill
+    # 50. Keep round-9 additions <= 11 so the arithmetic closes at
+    # exactly 50 (1 + 11 + 38).
 ]
 
 
