@@ -24,11 +24,14 @@ rank window — callers group by shard/day/lang and combine, which is also
 the statistically honest shape (per-slice AUC, not one pooled curve).
 
 Laziness contract: every operator here returns an unexecuted plan EXCEPT
-``fleiss_kappa`` and ``kendalls_w``, which run a 1-row panel-shape probe
-(plus a localCheckpoint pin) eagerly at construction — their statistics
-are undefined on ragged panels, and deferring the validation would mean
-silently computing a wrong number. Both fail closed with a 1-row NULL
-frame on EMPTY input; only a genuinely malformed panel raises.
+``fleiss_kappa``, ``kendalls_w``, ``friedman_test``, and ``icc_two_way``,
+which run a 1-row panel-shape probe (plus a localCheckpoint pin) eagerly
+at construction — their statistics are undefined on ragged panels, and
+deferring the validation would mean silently computing a wrong number.
+All four fail closed with a 1-row NULL frame on EMPTY input; only a
+genuinely malformed panel raises. ``cramers_v`` pins its cell frame
+eagerly (three branches derive from it) but runs no probe and never
+raises on data.
 """
 
 from __future__ import annotations
@@ -3130,4 +3133,432 @@ def uplift_curve_by_group(
         F.col("y_ctrl").cast("long").alias("y_ctrl"),
         F.round(uplift + F.lit(1e-9), 6).alias("cum_uplift"),
         F.round(random_k + F.lit(1e-9), 6).alias("cum_random"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k treatments over n matched blocks — the
+    nonparametric repeated-measures ANOVA: within each block, midrank
+    the k treatments by value, then with rank sums R_j and per-block
+    tie runs of length t,
+
+        S      = sum_j (R_j - n (k+1) / 2)^2
+        chi2_r = 12 S / (n k (k+1))  /  C
+        C      = 1 - sum_blocks sum_runs (t^3 - t) / (n k (k^3 ... ))
+
+    using the standard tie-corrected form ``chi2_r = 12 S / (n k (k+1))
+    / (1 - T / (n k (k^2 - 1)))`` with ``T = sum (t^3 - t)`` over all
+    within-block tie runs; chi2_r ~ chi-square(k-1) under exchangeable
+    treatments. The hypothesis-testing complement of
+    :func:`kendalls_w` (the SAME midrank machinery with blocks and
+    raters swapped — W measures agreement strength, Friedman tests
+    treatment differences; chi2_r = n (k-1) W on tie-free panels,
+    a cross-check the tests assert).
+
+    Complete-panel contract (the kendalls_w convention): every block
+    must hold every treatment exactly once — duplicates collapse by
+    MAX first, then a ragged panel fail-fasts (the panel pin and
+    1-row probe run EAGERLY at construction, see the module laziness
+    note). Empty input returns the fail-closed 1-row NULL frame.
+    chi2_r is NULL when k < 2 or all blocks fully tied (C = 0).
+
+    Cross-engine determinism: midranks from tie-collapsed (block,
+    value) cells via block-partitioned cumulative windows — exact
+    integers-plus-halves; S and T are exact integer-valued doubles;
+    chi2_r is one correctly-rounded chain, rounded at 6.
+
+    Scale shape: a (block, treatment) max-aggregate, a (block, value)
+    cell aggregate + block-partitioned windows (bounded by k), one
+    join back, a treatment-keyed and a 1-row aggregate meeting by
+    broadcast. Returns ``(n_blocks, k_treatments, s_stat,
+    tie_correction, chi2_r, df)``.
+    """
+    obs = (
+        df.where(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"), F.col(treatment_col).alias("__t")
+        )
+        .agg(F.max(F.col(value_col).cast("double")).alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    shape = obs.agg(
+        F.countDistinct("__b").alias("__n"),
+        F.countDistinct("__t").alias("__k"),
+        F.count(F.lit(1)).alias("__cells"),
+    ).first()
+    n, k, cells = shape["__n"], shape["__k"], shape["__cells"]
+    if n == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_blocks"),
+            F.lit(0).cast("long").alias("k_treatments"),
+            F.lit(None).cast("double").alias("s_stat"),
+            F.lit(None).cast("double").alias("tie_correction"),
+            F.lit(None).cast("double").alias("chi2_r"),
+            F.lit(None).cast("long").alias("df"),
+        )
+    if cells != n * k:
+        raise ValueError(
+            f"friedman_test: ragged panel — {cells} (block, treatment) "
+            f"cells for {n} blocks x {k} treatments; every block must "
+            "hold every treatment"
+        )
+    tie_cells = obs.groupBy("__b", "__s").agg(F.count(F.lit(1)).alias("__tn"))
+    w_run = (
+        Window.partitionBy("__b")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = tie_cells.select(
+        "__b",
+        "__s",
+        (
+            F.sum("__tn").over(w_run).cast("double")
+            - F.col("__tn")
+            + (F.col("__tn") + 1).cast("double") / 2.0
+        ).alias("__r"),
+        ((F.col("__tn") * F.col("__tn") * F.col("__tn")) - F.col("__tn"))
+        .alias("__tt"),
+    )
+    with_ranks = obs.join(ranked.select("__b", "__s", "__r"), ["__b", "__s"])
+    mean_r = float(n) * (float(k) + 1.0) / 2.0
+    s1 = (
+        with_ranks.groupBy("__t")
+        .agg(F.sum("__r").alias("__rj"))
+        .agg(
+            F.sum(
+                (F.col("__rj") - F.lit(mean_r)) * (F.col("__rj") - F.lit(mean_r))
+            ).alias("__S")
+        )
+    )
+    t1 = ranked.agg(
+        F.coalesce(F.sum("__tt"), F.lit(0)).cast("double").alias("__T")
+    )
+    joined = s1.crossJoin(F.broadcast(t1))
+    corr = F.lit(1.0) - F.col("__T") / F.lit(
+        float(n) * k * (float(k) ** 2 - 1.0)
+    ) if k >= 2 else F.lit(0.0)
+    chi2 = F.when(
+        (F.lit(int(k)) >= 2) & (corr > 0),
+        (12.0 * F.col("__S") / F.lit(float(n) * k * (k + 1.0))) / corr,
+    )
+    return joined.select(
+        F.lit(int(n)).cast("long").alias("n_blocks"),
+        F.lit(int(k)).cast("long").alias("k_treatments"),
+        F.round(F.col("__S") + F.lit(1e-9), 6).alias("s_stat"),
+        F.round(F.col("__T") + F.lit(1e-9), 6).alias("tie_correction"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2_r"),
+        F.lit(int(k) - 1 if k >= 1 else None).cast("long").alias("df"),
+    )
+
+
+def icc_two_way(
+    df: DataFrame,
+    rater_col: str,
+    item_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Intraclass correlation for CONTINUOUS scores on a complete
+    two-way panel (every rater scores every item once) — the agreement
+    family's missing member for numeric ratings: Fleiss/Krippendorff
+    score nominal labels, :func:`kendalls_w` ordinal ranks, ICC actual
+    values. From the two-way mean squares (items n, raters k):
+
+        MSR = k * sum_i (ibar_i - g)^2 / (n - 1)     (rows = items)
+        MSC = n * sum_j (jbar_j - g)^2 / (k - 1)     (cols = raters)
+        MSE = (SST - SSR - SSC) / ((n - 1) (k - 1))
+
+        ICC(2,1) = (MSR - MSE) /
+                   (MSR + (k-1) MSE + k (MSC - MSE) / n)   [absolute
+                   agreement, raters random — penalizes calibration
+                   offsets between raters]
+        ICC(3,1) = (MSR - MSE) / (MSR + (k-1) MSE)         [consistency,
+                   raters fixed — offsets forgiven]
+
+    Reporting BOTH is deliberate: their gap isolates how much
+    disagreement is pure rater bias (a miscalibrated judge/model)
+    versus noise.
+
+    Complete-panel contract (the kendalls_w convention): duplicates
+    collapse by MAX, ragged panels fail fast, the shape probe runs
+    EAGERLY (module laziness note), empty input returns the 1-row NULL
+    frame. ICCs are NULL when n < 2, k < 2, or the denominator is 0
+    (all scores identical).
+
+    Cross-engine determinism: per-item/per-rater/grand means pin at
+    9dp before squaring; the three SS are sums of fixed IEEE squares
+    of pinned operands, pinned at 9dp; the ICC chain rounds at 6.
+
+    Scale shape: the panel pin, one item-keyed and one rater-keyed
+    mean aggregate over it, three 1-row reduces meeting by broadcast —
+    no windows at all. Returns ``(n_items, k_raters, ms_rows, ms_cols,
+    ms_err, icc2_1, icc3_1)``.
+    """
+    obs = (
+        df.where(
+            F.col(rater_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(score_col).isNotNull()
+        )
+        .groupBy(F.col(rater_col).alias("__j"), F.col(item_col).alias("__i"))
+        .agg(F.max(F.col(score_col).cast("double")).alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    shape = obs.agg(
+        F.countDistinct("__j").alias("__k"),
+        F.countDistinct("__i").alias("__n"),
+        F.count(F.lit(1)).alias("__cells"),
+    ).first()
+    k, n, cells = shape["__k"], shape["__n"], shape["__cells"]
+    if k == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_items"),
+            F.lit(0).cast("long").alias("k_raters"),
+            F.lit(None).cast("double").alias("ms_rows"),
+            F.lit(None).cast("double").alias("ms_cols"),
+            F.lit(None).cast("double").alias("ms_err"),
+            F.lit(None).cast("double").alias("icc2_1"),
+            F.lit(None).cast("double").alias("icc3_1"),
+        )
+    if cells != n * k:
+        raise ValueError(
+            f"icc_two_way: ragged panel — {cells} (rater, item) cells for "
+            f"{k} raters x {n} items; every rater must score every item"
+        )
+    grand_df = obs.agg(
+        F.round(F.avg("__s") + F.lit(1e-12), 9).alias("__g")
+    )
+    item_means = obs.groupBy("__i").agg(
+        F.round(F.avg("__s") + F.lit(1e-12), 9).alias("__im")
+    )
+    rater_means = obs.groupBy("__j").agg(
+        F.round(F.avg("__s") + F.lit(1e-12), 9).alias("__jm")
+    )
+    g = grand_df.first()
+    grand = float(g["__g"])
+    ssr_row = item_means.agg(
+        F.round(
+            F.lit(float(k))
+            * F.sum(
+                (F.col("__im") - F.lit(grand)) * (F.col("__im") - F.lit(grand))
+            )
+            + F.lit(1e-12),
+            9,
+        ).alias("__ssr")
+    )
+    ssc_row = rater_means.agg(
+        F.round(
+            F.lit(float(n))
+            * F.sum(
+                (F.col("__jm") - F.lit(grand)) * (F.col("__jm") - F.lit(grand))
+            )
+            + F.lit(1e-12),
+            9,
+        ).alias("__ssc")
+    )
+    sst_row = obs.agg(
+        F.round(
+            F.sum(
+                (F.col("__s") - F.lit(grand)) * (F.col("__s") - F.lit(grand))
+            )
+            + F.lit(1e-12),
+            9,
+        ).alias("__sst")
+    )
+    joined = ssr_row.crossJoin(F.broadcast(ssc_row)).crossJoin(
+        F.broadcast(sst_row)
+    )
+    n_f, k_f = float(n), float(k)
+    ok = (F.lit(n) >= 2) & (F.lit(k) >= 2)
+    msr = F.col("__ssr") / F.lit(n_f - 1.0)
+    msc = F.col("__ssc") / F.lit(k_f - 1.0)
+    mse = (F.col("__sst") - F.col("__ssr") - F.col("__ssc")) / F.lit(
+        max((n_f - 1.0) * (k_f - 1.0), 1.0)
+    )
+    den2 = msr + F.lit(k_f - 1.0) * mse + F.lit(k_f) * (msc - mse) / F.lit(
+        max(n_f, 1.0)
+    )
+    den3 = msr + F.lit(k_f - 1.0) * mse
+    icc2 = F.when(ok & (den2 != 0), (msr - mse) / den2)
+    icc3 = F.when(ok & (den3 != 0), (msr - mse) / den3)
+    return joined.select(
+        F.lit(int(n)).cast("long").alias("n_items"),
+        F.lit(int(k)).cast("long").alias("k_raters"),
+        F.round(F.when(ok, msr) + F.lit(1e-9), 6).alias("ms_rows"),
+        F.round(F.when(ok, msc) + F.lit(1e-9), 6).alias("ms_cols"),
+        F.round(F.when(ok, mse) + F.lit(1e-9), 6).alias("ms_err"),
+        F.round(icc2 + F.lit(1e-9), 6).alias("icc2_1"),
+        F.round(icc3 + F.lit(1e-9), 6).alias("icc3_1"),
+    )
+
+
+def lins_ccc(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Lin's concordance correlation coefficient — does y
+    REPRODUCE x (agreement with the 45-degree line), not merely
+    correlate with it:
+
+        CCC = 2 cov(x, y) / (var(x) + var(y) + (xbar - ybar)^2)
+
+    with POPULATION moments (n denominators — Lin's original form).
+    CCC <= |Pearson r| always, with equality iff the fit is exactly
+    y = x; the gap is the calibration penalty. The paired-continuous
+    member of the agreement family (:func:`icc_two_way` generalizes to
+    k raters; CCC is the 2-column readout model-vs-model comparisons
+    want), and the right score for 'does the cheap model reproduce the
+    expensive one', where Pearson rewards a miscalibrated clone.
+
+    NULL key/x/y rows are excluded (pairs must be complete). Keys with
+    < 2 pairs or a zero denominator (both columns constant and equal)
+    report NULL ccc; constant-but-OFFSET columns report CCC 0 (pure
+    location disagreement — the honest score).
+
+    Cross-engine determinism: one power-sum aggregate per key; means
+    pin at 9dp; cov/var are fixed IEEE chains on pinned means and raw
+    power sums, pinned at 9dp; the closing ratio rounds at 6.
+
+    Scale shape: ONE hash aggregate of six scalars per key with
+    map-side combine — the group_ols_trend moment-sketch shape, no
+    window, no join. Returns ``(key, n, pearson_r, ccc)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    agg = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n_d = F.col("__n").cast("double")
+    mx = F.round(F.col("__sx") / n_d + F.lit(1e-12), 9)
+    my = F.round(F.col("__sy") / n_d + F.lit(1e-12), 9)
+    cov = F.round(
+        F.col("__sxy") / n_d - mx * my + F.lit(1e-12), 9
+    )
+    vx = F.round(
+        F.col("__sxx") / n_d - mx * mx + F.lit(1e-12), 9
+    )
+    vy = F.round(
+        F.col("__syy") / n_d - my * my + F.lit(1e-12), 9
+    )
+    den = vx + vy + (mx - my) * (mx - my)
+    ccc = F.when((F.col("__n") >= 2) & (den > 0), 2.0 * cov / den)
+    r = F.when(
+        (F.col("__n") >= 2) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(r + F.lit(1e-9), 6).alias("pearson_r"),
+        F.round(ccc + F.lit(1e-9), 6).alias("ccc"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    — the [0, 1]-normalized chi-square the profiling family needs next
+    to numeric correlation (correlation_matrix covers numerics;
+    uncertainty_coefficient is directional/entropy-based; V is the
+    symmetric, chi-square-derived standard):
+
+        chi2 = sum_cells (o - e)^2 / e,  e = row_tot * col_tot / n
+        V    = sqrt(chi2 / (n * (min(r, c) - 1)))
+
+    NULL a/b rows are excluded (a NULL category is absence, not a
+    level). Degenerate tables (either column constant: min(r,c) = 1)
+    report chi-square 0 trivially and NULL v — there is no association
+    to normalize (fail-closed). Output also carries the dof
+    ``(r-1)(c-1)`` for the chi-square reading.
+
+    Cross-engine determinism: observed counts and marginals are exact
+    integers (marginals re-aggregated from the pinned cell frame and
+    broadcast back — never a single-partition window, never a rescan
+    of the input); each cell term pins at 9dp before the sum; chi2 and
+    V round at 6.
+
+    Scale shape: ONE (a, b) cell aggregate on the corpus (the only
+    full-data pass, pinned: three branches derive), then marginal
+    re-aggregates + broadcast joins and a 1-row reduce on the
+    vocabulary-bounded cell frame. Returns one row ``(n, r_levels,
+    c_levels, dof, chi2, v)``.
+    """
+    base = df.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = (
+        base.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .localCheckpoint(eager=True)
+    )
+    row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    staged = (
+        cells.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    # sum o^2/e over OBSERVED cells, then subtract n: algebraically
+    # identical to sum (o-e)^2/e over ALL r x c cells, including the
+    # UNOBSERVED ones (o = 0 contributes e to chi2 but never appears in
+    # the cell frame — summing (o-e)^2/e over observed cells only would
+    # undercount exactly those; a perfectly-associated 2x2 would read
+    # chi2 = n/2 instead of n and V = 0.71 instead of 1)
+    term = F.round(
+        F.col("__o").cast("double") * F.col("__o").cast("double") / e
+        + F.lit(1e-12),
+        9,
+    )
+    out = staged.agg(
+        F.max("__n").alias("__tot"),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+        (F.sum(term) - F.max("__n").cast("double")).alias("__chi2"),
+    )
+    mins = F.least(F.col("__r"), F.col("__c"))
+    v = F.when(
+        mins >= 2,
+        F.sqrt(
+            F.greatest(F.col("__chi2"), F.lit(0.0))
+            / (F.col("__tot").cast("double") * (mins - 1).cast("double"))
+        ),
+    )
+    return out.select(
+        F.col("__tot").cast("long").alias("n"),
+        F.col("__r").cast("long").alias("r_levels"),
+        F.col("__c").cast("long").alias("c_levels"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
+        F.round(F.col("__chi2") + F.lit(1e-9), 6).alias("chi2"),
+        F.round(v + F.lit(1e-9), 6).alias("v"),
     )

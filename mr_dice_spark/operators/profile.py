@@ -1278,3 +1278,88 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(
         F.explode(F.array(*pairs)).alias("__p")
     ).select("__p.col_a", "__p.col_b", "__p.n", "__p.r")
+
+
+def lorenz_curve(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Per-group Lorenz curve at ``n_points`` population cut points —
+    the DISTRIBUTIONAL readout behind :func:`gini_concentration`'s
+    single number: 'the bottom 60% of sources contribute 4% of the
+    mass' is the sentence a datasheet actually prints, and the curve
+    localizes WHERE concentration lives (a high Gini from one mega
+    source vs a thick top decile look identical in G, opposite in the
+    curve). Rows rank ascending by (value, id) — the gini exact-mode
+    determinism discipline: never rank on float aggregates — and cut
+    into NTILE tiles; each output row is a curve vertex
+    ``(cum_pop_share, cum_value_share)`` after that tile.
+
+    Negative and NULL values are excluded (Lorenz is defined on
+    non-negative mass); NULL ids are excluded (the tiebreak must be
+    total). Groups with total mass 0 report NULL value shares
+    (fail-closed); population shares remain exact. Groups with fewer
+    rows than ``n_points`` produce fewer, still-exact vertices (NTILE
+    leaves trailing tiles empty).
+
+    Cross-engine determinism: the NTILE permutation is pinned by the
+    (value, id) total order; tile counts and sums are exact aggregates;
+    cumulative sums run over the <= n_points tile rows per group;
+    shares are single divisions rounded at 6.
+
+    Scale shape: one rank+NTILE window per group key (the exchange),
+    one (group, tile) aggregate, one cumulative window over the
+    tile-sized frame sharing the group key. Per-group work is a sort —
+    the per-slice audit tool, like exact Gini; use binned Gini when a
+    single group is corpus-sized. Returns ``(group, tile, n,
+    cum_pop_share, cum_value_share)``.
+    """
+    if n_points < 2:
+        raise ValueError(f"lorenz_curve: n_points must be >= 2, got {n_points}")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(id_col).alias("__i"),
+    ).where(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(value_col) >= 0)
+        & F.col(id_col).isNotNull()
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__x").asc(), F.col("__i").asc())
+    tiled = base.select(
+        "__g", "__x", F.ntile(n_points).over(w).alias("__t")
+    )
+    per_tile = tiled.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__x").alias("__s")
+    )
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__g")
+    staged = per_tile.select(
+        "__g",
+        "__t",
+        "__n",
+        F.sum("__n").over(w_cum).alias("__cn"),
+        F.sum("__s").over(w_cum).alias("__cs"),
+        F.sum("__n").over(w_all).alias("__tn"),
+        F.sum("__s").over(w_all).alias("__ts"),
+    )
+    vshare = F.when(
+        F.col("__ts") > 0, F.col("__cs") / F.col("__ts")
+    )
+    return staged.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").cast("long").alias("tile"),
+        F.col("__n").cast("long").alias("n"),
+        F.round(
+            F.col("__cn").cast("double") / F.col("__tn") + F.lit(1e-9), 6
+        ).alias("cum_pop_share"),
+        F.round(vshare + F.lit(1e-9), 6).alias("cum_value_share"),
+    )

@@ -1503,10 +1503,14 @@ def wasserstein_1(
         F.sum("__cb").over(w_all).alias("__nb"),
         (F.lead("__v").over(w_lead) - F.col("__v")).alias("__gap"),
     )
+    # try_divide: a key missing one sample entirely has na or nb = 0 —
+    # ANSI long division would raise DIVIDE_BY_ZERO inside the aggregate
+    # instead of reaching the fail-closed NULL guard below (caught by the
+    # round-9 hellinger twin's missing-sample test)
     term = F.round(
         F.abs(
-            F.col("__cca").cast("double") / F.col("__na")
-            - F.col("__ccb").cast("double") / F.col("__nb")
+            F.try_divide(F.col("__cca").cast("double"), F.col("__na"))
+            - F.try_divide(F.col("__ccb").cast("double"), F.col("__nb"))
         )
         * F.col("__gap")
         + F.lit(1e-12),
@@ -1529,4 +1533,619 @@ def wasserstein_1(
         F.col("__ta").cast("long").alias("n_a"),
         F.col("__tb").cast("long").alias("n_b"),
         F.round(w1 + F.lit(1e-9), 6).alias("w1"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Durbin-Watson statistic on the residuals of the simple
+    OLS fit of ``y`` on ``x`` — the classic serial-correlation screen
+    for a fitted trend: ``DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2``
+    over the x-ordered residuals, ~2 when residuals are white, -> 0
+    under positive autocorrelation (the trend is missing structure,
+    e.g. seasonality the line can't express), -> 4 under negative.
+    Complements :func:`chow_test` (is the trend broken at a known
+    point?) and :func:`ljung_box` (whiteness across many lags) on the
+    same bucketed-series contract.
+
+    Bucketed-series contract (the chow_test convention): callers feed a
+    QUANTIZED per-key series — (key, bucket_x, 6dp-rounded y) — so the
+    per-key frame is bounded by its own time span and ``x`` is unique
+    within key (ties in x would make the lag order ambiguous; validated
+    with a fail-fast count). NULL key/x/y rows are excluded.
+
+    Cross-engine determinism: slope/intercept come from one power-sum
+    aggregate and pin at 9dp; residuals are fixed IEEE chains on pinned
+    coefficients, pinned at 9dp before differencing; DW is one division
+    of two pinned-term sums, rounded at 6. Keys with < 3 points, zero
+    x-variance, or all-zero residuals (a perfect fit) report NULL dw —
+    fail-closed, the statistic is undefined there.
+
+    Scale shape: one power-sum aggregate per key, one key equi-join of
+    the reduced coefficient frame back to the cells, one key-partitioned
+    lag window, one closing aggregate. No global sort, no Python.
+    Returns ``(key, n, slope, intercept, dw)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    stats = base.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    sxx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    coef = stats.select(
+        "__k",
+        F.col("__n").cast("long").alias("__cnt"),
+        F.round(F.when(sxx > 0, num / sxx) + F.lit(1e-12), 9).alias("__b"),
+        F.round(
+            F.when(
+                sxx > 0,
+                (F.col("__sy") - (num / sxx) * F.col("__sx")) / F.col("__n"),
+            )
+            + F.lit(1e-12),
+            9,
+        ).alias("__a"),
+    )
+    resid = base.join(coef, "__k").select(
+        "__k",
+        "__x",
+        "__cnt",
+        "__b",
+        "__a",
+        F.round(
+            F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
+            + F.lit(1e-12),
+            9,
+        ).alias("__e"),
+    )
+    w = Window.partitionBy("__k").orderBy("__x")
+    diffed = resid.select(
+        "__k",
+        "__x",
+        "__cnt",
+        "__b",
+        "__a",
+        "__e",
+        (F.col("__e") - F.lag("__e").over(w)).alias("__d"),
+    )
+    out = diffed.groupBy("__k").agg(
+        F.max("__cnt").alias("__n"),
+        F.max("__b").alias("__slope"),
+        F.max("__a").alias("__icpt"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__sse"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__ssd"),
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__x").alias("__dx"),
+    )
+    dw = F.when(
+        (F.col("__n") >= 3)
+        & (F.col("__rows") == F.col("__dx"))
+        & F.col("__slope").isNotNull()
+        & (F.col("__sse") > 0),
+        F.col("__ssd") / F.col("__sse"),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__slope") + F.lit(1e-9), 6).alias("slope"),
+        F.round(F.col("__icpt") + F.lit(1e-9), 6).alias("intercept"),
+        F.round(dw + F.lit(1e-9), 6).alias("dw"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key Ljung-Box portmanteau whiteness test over the bucketed
+    series: ``Q = n (n+2) sum_{h=1..m} rho_h^2 / (n - h)``, with the
+    TEXTBOOK acf ``rho_h = sum_{t>h} (v_t - vbar)(v_{t-h} - vbar) /
+    sum_t (v_t - vbar)^2`` (full-series mean and denominator). Q ~
+    chi-square(m) under whiteness — the multi-lag completion of
+    :func:`durbin_watson`'s lag-1 screen, and the standard 'is anything
+    left?' check after a fit. Deliberately NOT
+    :func:`autocorrelation_by_lag`'s pairwise-Pearson acf: Ljung-Box's
+    null distribution is derived for the full-denominator estimator, so
+    reusing the screening acf would produce a Q that is not
+    chi-square(m) even asymptotically.
+
+    Bucketed-series contract (the durbin_watson convention): callers
+    feed (key, bucket_x, quantized y) with x unique per key; NULL rows
+    are excluded; ragged x-ties fail closed via NULL q. Keys with
+    ``n <= max_lag`` points or zero variance report NULL q (the
+    statistic needs every lag to exist). Lag pairing follows x ORDER,
+    not x arithmetic — missing buckets shift the series like any acf on
+    a compacted sequence (document the grid upstream).
+
+    Cross-engine determinism: vbar pins at 9dp; per-lag cross sums are
+    sums of fixed IEEE products of pinned deviations, each rho_h pins
+    at 9dp before squaring; Q is a fixed m-term chain on pinned rhos,
+    rounded at 6.
+
+    Scale shape: one mean aggregate per key, one key equi-join back,
+    ONE key-partitioned window carrying all m lag columns (one shuffle
+    total — lags add columns, not passes), one closing aggregate.
+    Returns ``(key, n, df_lags, q_stat)``.
+    """
+    if max_lag < 1:
+        raise ValueError(f"ljung_box: max_lag must be >= 1, got {max_lag}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    means = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.avg("__y") + F.lit(1e-12), 9).alias("__m"),
+        F.count_distinct("__x").alias("__dx"),
+    )
+    dev = base.join(means, "__k").select(
+        "__k",
+        "__x",
+        "__n",
+        "__dx",
+        (F.col("__y") - F.col("__m")).alias("__d"),
+    )
+    w = Window.partitionBy("__k").orderBy("__x")
+    lag_cols = [
+        F.lag("__d", h).over(w).alias(f"__d{h}") for h in range(1, max_lag + 1)
+    ]
+    lagged = dev.select("__k", "__n", "__dx", "__d", *lag_cols)
+    aggs = [
+        F.max("__n").alias("__cnt"),
+        F.max("__dx").alias("__dxc"),
+        F.count(F.lit(1)).alias("__rows"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__ss"),
+    ]
+    for h in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(F.col("__d") * F.col(f"__d{h}")).alias(f"__c{h}")
+        )
+    per_key = lagged.groupBy("__k").agg(*aggs)
+    q_terms = None
+    for h in range(1, max_lag + 1):
+        rho = F.round(
+            F.col(f"__c{h}") / F.col("__ss") + F.lit(1e-12), 9
+        )
+        term = (rho * rho) / (F.col("__cnt") - F.lit(h)).cast("double")
+        q_terms = term if q_terms is None else q_terms + term
+    n_d = F.col("__cnt").cast("double")
+    q = F.when(
+        (F.col("__cnt") > max_lag)
+        & (F.col("__rows") == F.col("__dxc"))
+        & (F.col("__ss") > 0),
+        n_d * (n_d + 2.0) * q_terms,
+    )
+    return per_key.select(
+        F.col("__k").alias(key_col),
+        F.col("__cnt").cast("long").alias("n"),
+        F.lit(max_lag).cast("long").alias("df_lags"),
+        F.round(q + F.lit(1e-9), 6).alias("q_stat"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Wald-Wolfowitz runs test for randomness of a sequence
+    around its own median: order the series by ``x``, mark each point
+    above/below the key's median (points EQUAL to the median are
+    dropped — the standard convention; with an interpolated median on
+    an even count nothing usually ties), count sign runs R, and report
+    the normal-approximation z-score
+
+        E[R] = 2 n1 n2 / n + 1
+        Var[R] = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1))
+        z = (R - E[R]) / sqrt(Var[R])
+
+    |z| >> 0 flags too FEW runs (clustering/trend — the usual data-bug
+    signature: a stuck sensor, a backfill writing one value for hours)
+    or too MANY (oscillation). The distribution-free cousin of
+    :func:`durbin_watson` — no fit required, only an order.
+
+    Bucketed-series contract (durbin_watson convention): callers feed
+    (key, bucket_x, quantized value) with x unique per key; NULL rows
+    excluded; x-ties fail closed. Keys where n1 = 0 or n2 = 0 after
+    dropping median-ties (a constant series) or n < 2 report NULL z.
+
+    Cross-engine determinism: the median is the exact interpolated
+    midpoint both engines compute identically on doubles, pinned at 9dp
+    before the compare; R, n1, n2 are exact integers; E/Var/z are fixed
+    IEEE chains on integers, rounded at 6.
+
+    Scale shape: one median aggregate per key (Spark's exact MEDIAN —
+    a per-key sort bounded by the bucketed-series contract), one key
+    equi-join back, one key-partitioned lag window for run boundaries,
+    one closing aggregate. Returns ``(key, n_above, n_below, runs, z)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    med = base.groupBy("__k").agg(
+        F.round(F.median("__v") + F.lit(1e-12), 9).alias("__med"),
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct("__x").alias("__dx"),
+    )
+    signed = (
+        base.join(med, "__k")
+        .where(F.round(F.col("__v") + F.lit(1e-12), 9) != F.col("__med"))
+        .select(
+            "__k",
+            "__x",
+            (F.round(F.col("__v") + F.lit(1e-12), 9) > F.col("__med"))
+            .alias("__up"),
+        )
+    )
+    w = Window.partitionBy("__k").orderBy("__x")
+    marked = signed.select(
+        "__k",
+        "__up",
+        F.when(
+            F.lag("__up").over(w).isNull()
+            | (F.lag("__up").over(w) != F.col("__up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    grouped = marked.groupBy("__k").agg(
+        F.count_if(F.col("__up")).alias("__n1"),
+        F.count_if(~F.col("__up")).alias("__n2"),
+        F.sum("__new_run").alias("__r"),
+    )
+    # a key whose every value ties the median loses ALL rows to the
+    # equality drop — rejoin from the median frame so it still reports
+    # (0, 0, 0, NULL) instead of vanishing (fail-closed, not silent)
+    out = med.select("__k", "__rows", "__dx").join(
+        grouped, "__k", "left"
+    ).select(
+        "__k",
+        F.coalesce(F.col("__n1"), F.lit(0)).alias("__n1"),
+        F.coalesce(F.col("__n2"), F.lit(0)).alias("__n2"),
+        F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
+        F.col("__rows").alias("__tot"),
+        F.col("__dx").alias("__dxc"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    n = n1 + n2
+    e_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    z = F.when(
+        (F.col("__n1") > 0)
+        & (F.col("__n2") > 0)
+        & (n > 2)
+        & (var_r > 0)
+        & (F.col("__tot") == F.col("__dxc")),
+        (F.col("__r").cast("double") - e_r) / F.sqrt(var_r),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__n1").cast("long").alias("n_above"),
+        F.col("__n2").cast("long").alias("n_below"),
+        F.col("__r").cast("long").alias("runs"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    value_col: str,
+    return_period: int = 100,
+) -> DataFrame:
+    """Per-key Gumbel (EV-I) fit to BLOCK MAXIMA by the method of
+    moments, with the ``return_period``-block return level — the
+    tail-risk readout ("what daily maximum should we budget for once
+    per hundred days?") that mean/percentile profiles cannot give,
+    because extremes of a light-tailed process follow the Gumbel law
+    regardless of the body's shape (Fisher-Tippett). With block maxima
+    M_b, sample mean m and sample sd s:
+
+        scale beta = s * sqrt(6) / pi
+        loc   mu   = m - gamma * beta          (gamma = 0.57721566...)
+        level_T    = mu - beta * ln(-ln(1 - 1/T))
+
+    Blocking contract: the caller supplies ``block_col`` (a day index,
+    an hour bucket — the resample grid), so the maxima frame is bounded
+    by the key's time span, never the corpus. NULL key/block/value rows
+    are excluded. Keys with < 2 blocks report NULL fit (no variance);
+    zero-variance maxima report scale 0 and level = loc (a degenerate
+    but well-defined point mass).
+
+    Cross-engine determinism: the per-block max and block counts are
+    exact; m and the power sums pin at 9dp; s is the explicit
+    power-sum form ``sqrt((Sxx - n m^2) / (n - 1))`` (NOT the engine's
+    streaming stddev, whose update order differs between engines),
+    pinned at 9dp; mu/beta/level are fixed IEEE chains on pinned
+    operands, rounded at 6.
+
+    Scale shape: one (key, block) max aggregate, one per-key moment
+    aggregate — two key-shuffles of scalars with map-side combine.
+    Returns ``(key, n_blocks, gumbel_loc, gumbel_scale, ret_level)``.
+    """
+    import math
+
+    if return_period < 2:
+        raise ValueError(
+            f"gumbel_block_maxima: return_period must be >= 2, got {return_period}"
+        )
+    maxima = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(block_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(key_col).alias("__k"), F.col(block_col).alias("__b"))
+        .agg(F.max(F.col(value_col).cast("double")).alias("__m"))
+    )
+    agg = maxima.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.avg("__m") + F.lit(1e-12), 9).alias("__mean"),
+        F.round(F.sum(F.col("__m") * F.col("__m")) + F.lit(1e-12), 9).alias(
+            "__sxx"
+        ),
+    )
+    n_d = F.col("__n").cast("double")
+    var = (
+        F.col("__sxx") - n_d * F.col("__mean") * F.col("__mean")
+    ) / (n_d - 1.0)
+    sd = F.round(F.sqrt(F.greatest(var, F.lit(0.0))) + F.lit(1e-12), 9)
+    beta = sd * F.lit(math.sqrt(6.0) / math.pi)
+    mu = F.col("__mean") - F.lit(0.5772156649015329) * beta
+    t = float(return_period)
+    level = mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
+    guard = F.col("__n") >= 2
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n_blocks"),
+        F.round(F.when(guard, mu) + F.lit(1e-9), 6).alias("gumbel_loc"),
+        F.round(F.when(guard, beta) + F.lit(1e-9), 6).alias("gumbel_scale"),
+        F.round(F.when(guard, level) + F.lit(1e-9), 6).alias("ret_level"),
+    )
+
+
+def hellinger_tvd_from_buckets(
+    df: DataFrame,
+    key_col: str,
+    sample_col: str,
+    bucket_col: str,
+    sample_a,
+) -> DataFrame:
+    """Per-key Hellinger distance and total-variation distance between
+    two samples' BUCKET distributions — the bounded-metric drift pair
+    completing the family: PSI/JSD (binned divergences, unbounded /
+    log-scaled), KS (sup-norm on CDFs), :func:`wasserstein_1` (value
+    units), and now H in [0, 1] (sensitive to mass on near-empty
+    buckets via the sqrt) and TVD in [0, 1] (the largest probability
+    gap any event can see — the metric with an operational reading:
+    'no classifier can tell the samples apart better than TVD'):
+
+        H   = sqrt(max(0, 1 - sum_b sqrt(pa_b * pb_b)))
+        TVD = 0.5 * sum_b |pa_b - pb_b|
+
+    Pre-bucketed contract (the cusum_from_buckets convention): the
+    caller supplies ``bucket_col`` (a band id, a quantized value), so
+    cells are vocabulary-bounded and both engines see identical integer
+    counts. Rows where ``sample_col == sample_a`` are sample A, other
+    non-NULL samples B (the wasserstein_1 split). NULL key/sample/
+    bucket rows are excluded. Keys missing either sample report NULL
+    distances (fail-closed, no distribution to compare). A bucket
+    absent from one sample contributes sqrt(0) = 0 / |pa - 0| = pa
+    exactly — no smoothing constant to tune (unlike PSI/KL).
+
+    Cross-engine determinism: counts are exact integers; pa/pb are
+    single divisions; the BC and L1 terms pin at 9dp per bucket before
+    their sums; H and TVD round at 6.
+
+    Scale shape: one (key, bucket) cell aggregate, one per-key window
+    for totals sharing the final aggregate's partitioning, one closing
+    aggregate. Returns ``(key, n_a, n_b, hellinger, tvd)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(sample_col) == F.lit(sample_a)).alias("__a"),
+        F.col(bucket_col).alias("__b"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(sample_col).isNotNull()
+        & F.col(bucket_col).isNotNull()
+    )
+    cells = base.groupBy("__k", "__b").agg(
+        F.count_if(F.col("__a")).alias("__ca"),
+        F.count_if(~F.col("__a")).alias("__cb"),
+    )
+    w_all = Window.partitionBy("__k")
+    staged = cells.select(
+        "__k",
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+    )
+    # try_divide: a key missing one sample has a zero total — ANSI long
+    # division would raise inside the aggregate; NULL terms fall through
+    # to the fail-closed guard instead (the wasserstein_1 fix)
+    pa = F.try_divide(F.col("__ca").cast("double"), F.col("__na"))
+    pb = F.try_divide(F.col("__cb").cast("double"), F.col("__nb"))
+    bc_term = F.round(F.sqrt(pa * pb) + F.lit(1e-12), 9)
+    l1_term = F.round(F.abs(pa - pb) + F.lit(1e-12), 9)
+    out = staged.groupBy("__k").agg(
+        F.max("__na").alias("__ta"),
+        F.max("__nb").alias("__tb"),
+        F.sum(bc_term).alias("__bc"),
+        F.sum(l1_term).alias("__l1"),
+    )
+    both = (F.col("__ta") > 0) & (F.col("__tb") > 0)
+    h = F.when(
+        both, F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("__bc")))
+    )
+    tvd = F.when(both, F.lit(0.5) * F.col("__l1"))
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.round(h + F.lit(1e-9), 6).alias("hellinger"),
+        F.round(tvd + F.lit(1e-9), 6).alias("tvd"),
+    )
+
+
+def ols_influence(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-key simple-OLS influence diagnostics — WHICH points bend the
+    fitted trend: for each (x, y) under the key's fit of y on x,
+
+        leverage   h_t = 1/n + (x_t - xbar)^2 / Sxx
+        std resid  r_t = e_t / (s * sqrt(1 - h_t)),  s^2 = SSE / (n - 2)
+        Cook's D   D_t = r_t^2 h_t / (2 (1 - h_t))
+
+    and the ``top_k`` highest-D points per key (ties broken by x — the
+    uplift tiebreak discipline). The completion of the trend family:
+    :func:`group_ols_trend` fits, :func:`chow_test` tests a break,
+    :func:`durbin_watson` checks the residuals, this names the points a
+    data bug (one corrupt day, one backfilled burst) planted in the fit.
+
+    Bucketed-series contract (durbin_watson convention): (key,
+    bucket_x, quantized y), x unique per key, NULL rows excluded. Keys
+    with n < 4 (s needs n-2 > 0 with a margin for a meaningful D),
+    zero x-variance, or a PERFECT fit (SSE = 0 — no residual to
+    standardize) return no rows for that key: this is a top-k readout
+    of anomalies, and a key with no computable anomaly score has no
+    rows to rank (fail-empty, matching per-group top-k semantics
+    elsewhere).
+
+    Cross-engine determinism: xbar/Sxx/slope/intercept pin at 9dp from
+    one power-sum aggregate; e_t pins at 9dp; s pins at 9dp from the
+    explicit power-sum form; h/r/D are fixed IEEE chains on pinned
+    operands; the rank orders by (D DESC, x) with D pinned at 9dp
+    BEFORE ranking so both engines agree on the cut; outputs round
+    at 6.
+
+    Scale shape: one power-sum aggregate per key, one residual
+    aggregate, two key equi-joins of reduced frames, one key-
+    partitioned rank window bounded by the series contract. Returns
+    ``(key, x, y, leverage, std_resid, cooks_d)``.
+    """
+    if top_k < 1:
+        raise ValueError(f"ols_influence: top_k must be >= 1, got {top_k}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    stats = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx_r"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy_r"),
+        F.count_distinct("__x").alias("__dx"),
+    )
+    n_d = F.col("__n").cast("double")
+    sxx_c = F.col("__sxx_r") - F.col("__sx") * F.col("__sx") / n_d
+    num = n_d * F.col("__sxy_r") - F.col("__sx") * F.col("__sy")
+    den = n_d * F.col("__sxx_r") - F.col("__sx") * F.col("__sx")
+    coef = stats.where(
+        (F.col("__n") >= 4) & (F.col("__n") == F.col("__dx")) & (den > 0)
+    ).select(
+        "__k",
+        F.col("__n").alias("__cnt"),
+        F.round(F.col("__sx") / n_d + F.lit(1e-12), 9).alias("__xbar"),
+        F.round(sxx_c + F.lit(1e-12), 9).alias("__sxx"),
+        F.round(num / den + F.lit(1e-12), 9).alias("__b"),
+        F.round(
+            (F.col("__sy") - (num / den) * F.col("__sx")) / n_d + F.lit(1e-12),
+            9,
+        ).alias("__a"),
+    )
+    resid = base.join(coef, "__k").select(
+        "__k",
+        "__x",
+        "__y",
+        "__cnt",
+        "__xbar",
+        "__sxx",
+        F.round(
+            F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
+            + F.lit(1e-12),
+            9,
+        ).alias("__e"),
+    )
+    sse = resid.groupBy("__k").agg(
+        F.round(
+            F.sum(F.col("__e") * F.col("__e")) + F.lit(1e-12), 9
+        ).alias("__sse")
+    )
+    joined = resid.join(sse, "__k").where(F.col("__sse") > 0)
+    cnt_d = F.col("__cnt").cast("double")
+    s = F.round(
+        F.sqrt(F.col("__sse") / (cnt_d - 2.0)) + F.lit(1e-12), 9
+    )
+    dx = F.col("__x") - F.col("__xbar")
+    h = 1.0 / cnt_d + (dx * dx) / F.col("__sxx")
+    r = F.col("__e") / (s * F.sqrt(F.lit(1.0) - h))
+    d = F.round((r * r) * h / (2.0 * (F.lit(1.0) - h)) + F.lit(1e-12), 9)
+    scored = joined.select(
+        "__k",
+        "__x",
+        "__y",
+        F.round(h + F.lit(1e-9), 6).alias("leverage"),
+        F.round(r + F.lit(1e-9), 6).alias("std_resid"),
+        d.alias("__d"),
+    )
+    w_rank = Window.partitionBy("__k").orderBy(F.desc("__d"), F.col("__x"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") <= top_k)
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__x").alias(x_col),
+            F.col("__y").alias(y_col),
+            "leverage",
+            "std_resid",
+            F.round(F.col("__d") + F.lit(1e-9), 6).alias("cooks_d"),
+        )
     )

@@ -1527,3 +1527,153 @@ def test_uplift_curve_no_control_fail_closed(spark):
     df = spark.createDataFrame(rows, "g string, s double, t boolean, y boolean, id long")
     out = uplift_curve_by_group(df, "g", "s", "t", "y", "id", n_tiles=3).collect()
     assert all(r["cum_uplift"] is None and r["cum_random"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: Friedman / ICC / Lin's CCC / Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_hand_value_and_w_identity(spark):
+    from mr_dice_spark.operators.evaluation import friedman_test, kendalls_w
+
+    rows = []
+    panel = {1: (1, 2, 3), 2: (2, 1, 3), 3: (1, 3, 2), 4: (1, 2, 3)}
+    for b, vals in panel.items():
+        for j, v in enumerate(vals):
+            rows.append((b, f"t{j}", float(v)))
+    df = spark.createDataFrame(rows, "b long, t string, v double")
+    [r] = friedman_test(df, "b", "t", "v").collect()
+    assert (r["n_blocks"], r["k_treatments"], r["df"]) == (4, 3, 2)
+    assert r["s_stat"] == pytest.approx(18.0)
+    assert r["tie_correction"] == pytest.approx(0.0)
+    assert r["chi2_r"] == pytest.approx(4.5, abs=1e-6)
+    # tie-free identity: chi2_r = n (k-1) W with blocks<->raters swapped
+    [w] = kendalls_w(df, "b", "t", "v").collect()
+    assert r["chi2_r"] == pytest.approx(
+        4 * (3 - 1) * w["w"], abs=1e-5
+    )
+
+
+def test_friedman_guards(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.evaluation import friedman_test
+
+    ragged = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 1.0)],
+        "b long, t string, v double",
+    )
+    with _pt.raises(ValueError, match="ragged panel"):
+        friedman_test(ragged, "b", "t", "v")
+    empty = spark.createDataFrame(
+        [(None, "a", 1.0)], "b string, t string, v double"
+    )
+    [r0] = friedman_test(empty, "b", "t", "v").collect()
+    assert r0["n_blocks"] == 0 and r0["chi2_r"] is None
+    # all blocks fully tied: correction zeroes -> NULL chi2
+    tied = spark.createDataFrame(
+        [(b, t, 1.0) for b in (1, 2) for t in ("a", "b", "c")],
+        "b long, t string, v double",
+    )
+    [rt] = friedman_test(tied, "b", "t", "v").collect()
+    assert rt["chi2_r"] is None and rt["tie_correction"] == pytest.approx(48.0)
+
+
+def test_icc_two_way_shrout_fleiss(spark):
+    # the classic Shrout & Fleiss (1979) 6 items x 4 raters table:
+    # published ICC(2,1) = 0.29, ICC(3,1) = 0.71
+    from mr_dice_spark.operators.evaluation import icc_two_way
+
+    tab = [
+        [9, 2, 5, 8],
+        [6, 1, 3, 2],
+        [8, 4, 6, 8],
+        [7, 1, 2, 6],
+        [10, 5, 6, 9],
+        [6, 2, 4, 7],
+    ]
+    rows = [
+        (f"r{j}", i, float(v))
+        for i, scores in enumerate(tab)
+        for j, v in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, "j string, i long, s double")
+    [r] = icc_two_way(df, "j", "i", "s").collect()
+    assert (r["n_items"], r["k_raters"]) == (6, 4)
+    assert r["ms_rows"] == pytest.approx(11.241667, abs=1e-5)
+    assert r["ms_cols"] == pytest.approx(32.486111, abs=1e-5)
+    assert r["ms_err"] == pytest.approx(1.019444, abs=1e-5)
+    assert r["icc2_1"] == pytest.approx(0.289764, abs=1e-5)
+    assert r["icc3_1"] == pytest.approx(0.714841, abs=1e-5)
+
+
+def test_icc_two_way_guards(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.evaluation import icc_two_way
+
+    ragged = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 1.0)],
+        "j string, i long, s double",
+    )
+    with _pt.raises(ValueError, match="ragged panel"):
+        icc_two_way(ragged, "j", "i", "s")
+    empty = spark.createDataFrame(
+        [(None, 1, 1.0)], "j string, i long, s double"
+    )
+    [r0] = icc_two_way(empty, "j", "i", "s").collect()
+    assert r0["n_items"] == 0 and r0["icc2_1"] is None
+    # all-identical scores: zero denominators -> NULL ICCs, zero MS
+    const = spark.createDataFrame(
+        [(j, i, 5.0) for j in ("a", "b") for i in (1, 2)],
+        "j string, i long, s double",
+    )
+    [rc] = icc_two_way(const, "j", "i", "s").collect()
+    assert rc["icc2_1"] is None and rc["ms_rows"] == pytest.approx(0.0)
+
+
+def test_lins_ccc_hand_values(spark):
+    from mr_dice_spark.operators.evaluation import lins_ccc
+
+    rows = (
+        # k1: y = 2x — perfect correlation, imperfect agreement
+        [("k1", 1.0, 2.0), ("k1", 2.0, 4.0), ("k1", 3.0, 6.0)]
+        # k2: y = x — perfect agreement
+        + [("k2", 1.0, 1.0), ("k2", 2.0, 2.0), ("k2", 3.0, 3.0)]
+        # k3: constant offset columns -> CCC 0, r NULL (zero variances)
+        + [("k3", 1.0, 4.0), ("k3", 1.0, 4.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in lins_ccc(df, "k", "x", "y").collect()}
+    assert out["k1"]["pearson_r"] == pytest.approx(1.0, abs=1e-6)
+    assert out["k1"]["ccc"] == pytest.approx(8.0 / 22.0, abs=1e-6)
+    assert out["k2"]["ccc"] == pytest.approx(1.0, abs=1e-6)
+    assert out["k3"]["pearson_r"] is None
+    assert out["k3"]["ccc"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cramers_v_hand_value_and_degenerate(spark):
+    from mr_dice_spark.operators.evaluation import cramers_v
+
+    rows = (
+        [("x1", "y1")] * 10 + [("x1", "y2")] * 20
+        + [("x2", "y1")] * 30 + [("x2", "y2")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cramers_v(df, "a", "b").collect()
+    assert (r["n"], r["r_levels"], r["c_levels"], r["dof"]) == (100, 2, 2, 1)
+    assert r["chi2"] == pytest.approx(0.793651, abs=1e-6)
+    assert r["v"] == pytest.approx(0.089087, abs=1e-6)
+    # perfect association -> v = 1
+    perfect = spark.createDataFrame(
+        [("a", "p")] * 5 + [("b", "q")] * 5, "a string, b string"
+    )
+    [rp] = cramers_v(perfect, "a", "b").collect()
+    assert rp["v"] == pytest.approx(1.0, abs=1e-6)
+    # constant column -> NULL v (nothing to normalize)
+    const = spark.createDataFrame(
+        [("a", "only"), ("b", "only")], "a string, b string"
+    )
+    [rc] = cramers_v(const, "a", "b").collect()
+    assert rc["v"] is None and rc["chi2"] == pytest.approx(0.0, abs=1e-6)

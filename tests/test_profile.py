@@ -548,3 +548,34 @@ def test_simpson_diversity_hand_counts(spark):
     assert abs(got["m"]["simpson"] - 0.18) < 1e-9
     assert abs(got["m"]["effective_labels"] - 1 / 0.82) < 1e-6
     assert got["m"]["n"] == 10 and got["m"]["n_labels"] == 2
+
+
+def test_lorenz_curve_hand_values_and_edges(spark):
+    import pytest as _pt
+
+    from mr_dice_spark.operators.profile import lorenz_curve
+
+    rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = lorenz_curve(df, "g", "v", "id", n_points=2).orderBy("tile").collect()
+    assert [(r["tile"], r["n"]) for r in out] == [(1, 2), (2, 2)]
+    assert out[0]["cum_pop_share"] == _pt.approx(0.5, abs=1e-6)
+    assert out[0]["cum_value_share"] == _pt.approx(0.3, abs=1e-6)
+    assert out[1]["cum_pop_share"] == _pt.approx(1.0, abs=1e-6)
+    assert out[1]["cum_value_share"] == _pt.approx(1.0, abs=1e-6)
+    # zero total mass: pop shares exact, value shares NULL
+    zero = spark.createDataFrame(
+        [("z", 1, 0.0), ("z", 2, 0.0)], "g string, id long, v double"
+    )
+    zout = lorenz_curve(zero, "g", "v", "id", n_points=2).orderBy("tile").collect()
+    assert zout[0]["cum_value_share"] is None
+    assert zout[0]["cum_pop_share"] == _pt.approx(0.5, abs=1e-6)
+    # negative values excluded (Lorenz needs non-negative mass)
+    neg = spark.createDataFrame(
+        [("n", 1, -5.0), ("n", 2, 1.0), ("n", 3, 3.0)],
+        "g string, id long, v double",
+    )
+    nout = lorenz_curve(neg, "n" if False else "g", "v", "id", n_points=2).collect()
+    assert sum(r["n"] for r in nout) == 2
+    with _pt.raises(ValueError, match="n_points"):
+        lorenz_curve(df, "g", "v", "id", n_points=1)

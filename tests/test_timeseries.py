@@ -754,6 +754,22 @@ def test_wasserstein_1_identical_and_point_mass(spark):
     assert got["point"] == 0.0  # single shared value: no gap terms, W1 = 0
 
 
+def test_wasserstein_1_missing_sample_fails_closed(spark):
+    # a key with only one sample must report NULL w1 per the docstring,
+    # not raise ANSI DIVIDE_BY_ZERO inside the aggregate (round-9 fix)
+    from mr_dice_spark.operators.timeseries import wasserstein_1
+
+    df = spark.createDataFrame(
+        [("solo", True, 1.0), ("solo", True, 2.0),
+         ("ok", True, 1.0), ("ok", False, 3.0)],
+        "k string, s boolean, v double",
+    )
+    out = {r["k"]: r for r in wasserstein_1(df, "k", "s", "v", True).collect()}
+    assert out["solo"]["w1"] is None
+    assert out["solo"]["n_b"] == 0
+    assert out["ok"]["w1"] == pytest.approx(2.0, abs=1e-6)
+
+
 def test_wasserstein_1_scale_shift_property(spark):
     import random
 
@@ -770,3 +786,165 @@ def test_wasserstein_1_scale_shift_property(spark):
     [r1] = wasserstein_1(df, "k", "a", "v", True).collect()
     [r2] = wasserstein_1(shifted, "k", "a", "v", True).collect()
     assert r1["w1"] == _pt.approx(r2["w1"], abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: DW / Ljung-Box / runs / Gumbel / Hellinger-TVD / influence
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_hand_value_and_guards(spark):
+    from mr_dice_spark.operators.timeseries import durbin_watson
+
+    rows = list(zip([1, 2, 3, 4, 5, 6, 7, 8],
+                    [2, 4, 5, 8, 11, 12, 14, 30.0]))
+    df = spark.createDataFrame([("k", float(x), float(y)) for x, y in rows],
+                               "k string, x double, y double")
+    [r] = durbin_watson(df, "k", "x", "y").collect()
+    assert r["n"] == 8
+    assert r["slope"] == pytest.approx(3.214286, abs=1e-6)
+    assert r["intercept"] == pytest.approx(-3.714286, abs=1e-6)
+    assert r["dw"] == pytest.approx(1.580346, abs=1e-6)
+    # perfect fit: SSE = 0 -> NULL dw (fail-closed)
+    perf = spark.createDataFrame(
+        [("p", float(i), 2.0 * i) for i in range(1, 6)],
+        "k string, x double, y double",
+    )
+    [rp] = durbin_watson(perf, "k", "x", "y").collect()
+    assert rp["dw"] is None and rp["slope"] == pytest.approx(2.0)
+    # duplicate x fails closed via NULL (ambiguous lag order)
+    dup = spark.createDataFrame(
+        [("d", 1.0, 1.0), ("d", 1.0, 2.0), ("d", 2.0, 3.0), ("d", 3.0, 1.0)],
+        "k string, x double, y double",
+    )
+    [rd] = durbin_watson(dup, "k", "x", "y").collect()
+    assert rd["dw"] is None
+
+
+def test_ljung_box_hand_value_and_guards(spark):
+    from mr_dice_spark.operators.timeseries import ljung_box
+
+    df = spark.createDataFrame(
+        [("k", float(i), float(v)) for i, v in enumerate([1, 2, 3, 4, 5])],
+        "k string, x double, y double",
+    )
+    [r] = ljung_box(df, "k", "x", "y", max_lag=2).collect()
+    assert r["n"] == 5 and r["df_lags"] == 2
+    assert r["q_stat"] == pytest.approx(1.516667, abs=1e-6)
+    # n <= max_lag -> NULL
+    [r2] = ljung_box(df, "k", "x", "y", max_lag=5).collect()
+    assert r2["q_stat"] is None
+    # zero variance -> NULL
+    const = spark.createDataFrame(
+        [("c", float(i), 7.0) for i in range(6)],
+        "k string, x double, y double",
+    )
+    [r3] = ljung_box(const, "k", "x", "y", max_lag=2).collect()
+    assert r3["q_stat"] is None
+    with pytest.raises(ValueError, match="max_lag"):
+        ljung_box(df, "k", "x", "y", max_lag=0)
+
+
+def test_runs_test_hand_value_and_edges(spark):
+    from mr_dice_spark.operators.timeseries import runs_test
+
+    # perfectly alternating around the median: 6 runs of 6 points
+    df = spark.createDataFrame(
+        [("k", float(i), float(v)) for i, v in enumerate([1, 2, 1, 2, 1, 2])],
+        "k string, x double, y double",
+    )
+    [r] = runs_test(df, "k", "x", "y").collect()
+    assert (r["n_above"], r["n_below"], r["runs"]) == (3, 3, 6)
+    assert r["z"] == pytest.approx(1.825742, abs=1e-6)
+    # constant series: every value ties the median -> fail-closed row
+    const = spark.createDataFrame(
+        [("c", float(i), 5.0) for i in range(4)],
+        "k string, x double, y double",
+    )
+    [rc] = runs_test(const, "c" if False else "k", "x", "y").collect()
+    assert (rc["n_above"], rc["n_below"], rc["runs"]) == (0, 0, 0)
+    assert rc["z"] is None
+    # one run each side (fully clustered): z < 0 (too few runs)
+    clust = spark.createDataFrame(
+        [("g", float(i), float(v)) for i, v in enumerate([1, 1, 1, 9, 9, 9])],
+        "k string, x double, y double",
+    )
+    [rg] = runs_test(clust, "k", "x", "y").collect()
+    assert rg["runs"] == 2 and rg["z"] < 0
+
+
+def test_gumbel_block_maxima_hand_value(spark):
+    from mr_dice_spark.operators.timeseries import gumbel_block_maxima
+
+    # two rows per block so the block-max stage is exercised
+    rows = []
+    for b, mx in enumerate([2.0, 4.0, 6.0, 3.0, 5.0]):
+        rows += [("k", b, mx), ("k", b, mx - 1.0)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    [r] = gumbel_block_maxima(df, "k", "b", "v", return_period=100).collect()
+    assert r["n_blocks"] == 5
+    assert r["gumbel_loc"] == pytest.approx(3.288403, abs=1e-6)
+    assert r["gumbel_scale"] == pytest.approx(1.232809, abs=1e-6)
+    assert r["ret_level"] == pytest.approx(8.959508, abs=1e-6)
+    # single block -> NULL fit
+    one = spark.createDataFrame([("o", 1, 2.0)], "k string, b long, v double")
+    [ro] = gumbel_block_maxima(one, "k", "b", "v").collect()
+    assert ro["gumbel_loc"] is None and ro["n_blocks"] == 1
+    with pytest.raises(ValueError, match="return_period"):
+        gumbel_block_maxima(df, "k", "b", "v", return_period=1)
+
+
+def test_hellinger_tvd_hand_value_and_missing_sample(spark):
+    from mr_dice_spark.operators.timeseries import hellinger_tvd_from_buckets
+
+    rows = (
+        [("k", True, "a")] * 2 + [("k", True, "b")] * 2
+        + [("k", False, "a")] * 1 + [("k", False, "b")] * 3
+        + [("solo", True, "a")] * 3  # no B sample -> NULL distances
+    )
+    df = spark.createDataFrame(rows, "k string, s boolean, b string")
+    out = {r["k"]: r for r in
+           hellinger_tvd_from_buckets(df, "k", "s", "b", True).collect()}
+    assert out["k"]["hellinger"] == pytest.approx(0.184592, abs=1e-6)
+    assert out["k"]["tvd"] == pytest.approx(0.25, abs=1e-6)
+    assert (out["k"]["n_a"], out["k"]["n_b"]) == (4, 4)
+    assert out["solo"]["hellinger"] is None and out["solo"]["tvd"] is None
+    # identical distributions -> 0 / 0
+    same = spark.createDataFrame(
+        [("i", True, "a"), ("i", False, "a"), ("i", True, "b"), ("i", False, "b")],
+        "k string, s boolean, b string",
+    )
+    [ri] = hellinger_tvd_from_buckets(same, "i" if False else "k", "s", "b", True).collect()
+    assert ri["hellinger"] == pytest.approx(0.0, abs=1e-6)
+    assert ri["tvd"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ols_influence_hand_values_and_fail_empty(spark):
+    from mr_dice_spark.operators.timeseries import ols_influence
+
+    rows = list(zip([1, 2, 3, 4, 5, 6, 7, 8],
+                    [2, 4, 5, 8, 11, 12, 14, 30.0]))
+    df = spark.createDataFrame([("k", float(x), float(y)) for x, y in rows],
+                               "k string, x double, y double")
+    out = ols_influence(df, "k", "x", "y", top_k=3).orderBy(
+        F.desc("cooks_d")
+    ).collect()
+    assert [r["x"] for r in out] == [8.0, 7.0, 1.0]
+    top = out[0]
+    assert top["leverage"] == pytest.approx(0.416667, abs=1e-6)
+    assert top["std_resid"] == pytest.approx(2.429018, abs=1e-6)
+    assert top["cooks_d"] == pytest.approx(2.107189, abs=1e-6)
+    # perfect fit -> no rows (fail-empty, nothing to rank)
+    perf = spark.createDataFrame(
+        [("p", float(i), 3.0 * i) for i in range(1, 8)],
+        "k string, x double, y double",
+    )
+    assert ols_influence(perf, "k", "x", "y").count() == 0
+    # n < 4 -> no rows
+    tiny = spark.createDataFrame(
+        [("t", 1.0, 1.0), ("t", 2.0, 3.0), ("t", 3.0, 2.0)],
+        "k string, x double, y double",
+    )
+    assert ols_influence(tiny, "k", "x", "y").count() == 0
+    with pytest.raises(ValueError, match="top_k"):
+        ols_influence(df, "k", "x", "y", top_k=0)
