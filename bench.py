@@ -89,25 +89,43 @@ def _run_extended(spark, sf_dir: str) -> dict[str, float]:
     # ~2 min extended wall clock for little extra precision on 3-60 s
     # entries). Correctness of every entry is the sweep/driver's job,
     # not bench's.
+    #
+    # WARM-MEDIAN-3 for the >= 15 s entries (VERDICT r8 next-#2): the r8
+    # driver run recorded triangle_counts at 29.2 s where the identical
+    # tree measured 19.5 s warm locally — a single warm sample cannot
+    # distinguish host contention from regression on the long entries,
+    # and a one-off ambient draw there moves the extended total by >8%.
+    # So: one untimed warmup, one timed run, and IF that first timed run
+    # reads >= 15 s, two more timed runs with the median of the three
+    # reported. Short entries keep the single warm sample (their
+    # absolute noise is bounded by their duration).
+    from statistics import median
+
     from mr_dice_spark.golden import GOLDEN, bench_extended_queries
 
     GOLDEN["q01_pricing_summary"].spark(spark, sf_dir).count()
 
+    def _one_run(q, timed: bool) -> float | None:
+        # operators persist() shared sub-frames and localCheckpoint
+        # blocks linger until a GC notices dead RDD refs — clear both
+        # before EACH run so the timed run measures real execution,
+        # not the warm run's cache (same discipline as headline)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0 if timed else None
+
     extended: dict[str, float] = {}
     for name, q in sorted(bench_extended_queries().items()):
-        for timed in (False, True):
-            # operators persist() shared sub-frames and localCheckpoint
-            # blocks linger until a GC notices dead RDD refs — clear both
-            # before EACH run so the timed run measures real execution,
-            # not the warm run's cache (same discipline as headline)
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            if timed:
-                extended[name] = round(time.perf_counter() - t0, 4)
-        print(f"# ext {name}: {extended[name]:.3f}s (warm 2nd run)", file=sys.stderr)
+        _one_run(q, timed=False)
+        samples = [_one_run(q, timed=True)]
+        if samples[0] >= 15.0:
+            samples += [_one_run(q, timed=True) for _ in range(2)]
+        extended[name] = round(median(samples), 4)
+        tag = f"warm median-of-{len(samples)}" if len(samples) > 1 else "warm 2nd run"
+        print(f"# ext {name}: {extended[name]:.3f}s ({tag})", file=sys.stderr)
     return extended
 
 
