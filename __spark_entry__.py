@@ -105,6 +105,17 @@ _CHECK_FIRST = [
     # ROUND-10 WINDOW QUEUE: the round-9 golden additions (never
     # driver-checked; they lead the round-10 rotation, landing order):
     # compression_ratio_fixed_oracle
+    # durbin_watson_daily_value_by_type
+    # ljung_box_daily_value_by_type
+    # runs_test_daily_value_by_type
+    # gumbel_daily_max_value_by_type
+    # hellinger_tvd_weekend_value_bands
+    # cramers_v_type_weekday
+    # friedman_weekday_value_by_type
+    # icc_user_bucket_value_by_type
+    # lins_ccc_even_odd_days_by_type
+    # lorenz_value_deciles_by_type
+    # ols_influence_daily_value_by_type
     # Round-10 window = 1 flagship + that queue + the remaining 38
     # r3-latest goldens alphabetically (grouping_sets_event_bands,
     # grouping_sets_events, heavy_hitters_cms_events, ... through the

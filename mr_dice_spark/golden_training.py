@@ -3913,3 +3913,823 @@ def uplift_curve_purchase_by_cohort(spark: SparkSession, sf_dir: str) -> DataFra
     return uplift_curve_by_group(
         units, "cohort", "s", "treated", "converted", "user_id", n_tiles=5
     ).orderBy("cohort", "tile")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave: regression diagnostics / whiteness / randomness / tails
+# (shared frame: the chow_test daily-bucket contract — per-type daily mean
+# value, x = epoch day as double, y nudge-rounded at 6)
+# ---------------------------------------------------------------------------
+
+_DAILY_FRAME_SQL = """
+ev AS (
+  SELECT event_type AS k, ts, value FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+d AS (
+  SELECT k, CAST(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS DOUBLE) AS x,
+         ROUND(AVG(value) + 1e-9, 6) AS y
+  FROM ev GROUP BY 1, 2
+)
+"""
+
+
+def _daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("double").alias("x"),
+    ).agg(_r(F.avg("value"), 6).alias("y"))
+
+
+DURBIN_WATSON_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+stats AS (
+  SELECT k, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM d GROUP BY k
+),
+coef AS (
+  SELECT k, CAST(n AS BIGINT) AS cnt,
+         ROUND(CASE WHEN n * sxx - sx * sx > 0
+               THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+               + 1e-12, 9) AS b,
+         ROUND(CASE WHEN n * sxx - sx * sx > 0
+               THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               END + 1e-12, 9) AS a
+  FROM stats
+),
+resid AS (
+  SELECT d.k, d.x, cnt, b, a,
+         ROUND(y - (a + b * x) + 1e-12, 9) AS e
+  FROM d JOIN coef ON coef.k = d.k
+),
+diffed AS (
+  SELECT k, x, cnt, b, a, e,
+         e - LAG(e) OVER (PARTITION BY k ORDER BY x) AS dd
+  FROM resid
+),
+agg AS (
+  SELECT k, MAX(cnt) AS n, MAX(b) AS slope, MAX(a) AS icpt,
+         SUM(e * e) AS sse, SUM(dd * dd) AS ssd,
+         COUNT(*) AS rows_, COUNT(DISTINCT x) AS dx
+  FROM diffed GROUP BY k
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(slope + 1e-9, 6) AS slope,
+       ROUND(icpt + 1e-9, 6) AS intercept,
+       ROUND(CASE WHEN n >= 3 AND rows_ = dx AND slope IS NOT NULL
+                   AND sse > 0 THEN ssd / sse END + 1e-9, 6) AS dw
+FROM agg ORDER BY event_type
+"""
+
+
+@golden(
+    "durbin_watson_daily_value_by_type",
+    DURBIN_WATSON_ORACLE,
+    tags=("timeseries", "durbin-watson", "regression", "events"),
+)
+def durbin_watson_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation screen on each event type's
+    daily mean-value trend residuals — the 'did the line miss
+    structure?' companion to chow (known break) and ljung_box
+    (multi-lag whiteness) on the same chow_test daily-bucket frame.
+    Coefficients pin at 9dp from one power-sum aggregate; residuals pin
+    at 9dp before differencing, so DW is one division of identical
+    pinned-term sums on both engines."""
+    from mr_dice_spark.operators.timeseries import durbin_watson
+
+    out = durbin_watson(_daily_frame(spark, sf_dir), "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+_LB_LAGS = 7
+
+LJUNG_BOX_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+means AS (
+  SELECT k, COUNT(*) AS n, ROUND(AVG(y) + 1e-12, 9) AS m,
+         COUNT(DISTINCT x) AS dx
+  FROM d GROUP BY k
+),
+dev AS (
+  SELECT d.k, d.x, n, dx, y - m AS dd
+  FROM d JOIN means ON means.k = d.k
+),
+lagged AS (
+  SELECT k, n, dx, dd,
+         {", ".join(f"LAG(dd, {h}) OVER (PARTITION BY k ORDER BY x) AS d{h}" for h in range(1, _LB_LAGS + 1))}
+  FROM dev
+),
+pk AS (
+  SELECT k, MAX(n) AS cnt, MAX(dx) AS dxc, COUNT(*) AS rows_,
+         SUM(dd * dd) AS ss,
+         {", ".join(f"SUM(dd * d{h}) AS c{h}" for h in range(1, _LB_LAGS + 1))}
+  FROM lagged GROUP BY k
+)
+SELECT k AS event_type, CAST(cnt AS BIGINT) AS n,
+       CAST({_LB_LAGS} AS BIGINT) AS df_lags,
+       ROUND(CASE WHEN cnt > {_LB_LAGS} AND rows_ = dxc AND ss > 0
+             THEN CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) + 2.0)
+                  * ({" + ".join(f"(ROUND(c{h} / ss + 1e-12, 9) * ROUND(c{h} / ss + 1e-12, 9)) / CAST(cnt - {h} AS DOUBLE)" for h in range(1, _LB_LAGS + 1))})
+             END + 1e-9, 6) AS q_stat
+FROM pk ORDER BY event_type
+"""
+
+
+@golden(
+    "ljung_box_daily_value_by_type",
+    LJUNG_BOX_ORACLE,
+    tags=("timeseries", "ljung-box", "whiteness", "events"),
+)
+def ljung_box_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q at 7 lags (one weekly cycle) on each event type's
+    daily mean-value series — 'is anything periodic left?' with the
+    TEXTBOOK full-denominator acf whose null distribution Q's
+    chi-square(7) reading assumes. One key window carries all 7 lag
+    columns; each rho pins at 9dp before squaring, so Q is a fixed
+    7-term chain on identical operands in both engines."""
+    from mr_dice_spark.operators.timeseries import ljung_box
+
+    out = ljung_box(_daily_frame(spark, sf_dir), "k", "x", "y", max_lag=_LB_LAGS)
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+RUNS_TEST_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+med AS (
+  SELECT k, ROUND(MEDIAN(y) + 1e-12, 9) AS md,
+         COUNT(*) AS rows_, COUNT(DISTINCT x) AS dx
+  FROM d GROUP BY k
+),
+signed AS (
+  SELECT d.k, d.x, ROUND(y + 1e-12, 9) > md AS up
+  FROM d JOIN med ON med.k = d.k
+  WHERE ROUND(y + 1e-12, 9) != md
+),
+marked AS (
+  SELECT k, up,
+         CASE WHEN LAG(up) OVER w IS NULL OR LAG(up) OVER w != up
+              THEN 1 ELSE 0 END AS nr
+  FROM signed WINDOW w AS (PARTITION BY k ORDER BY x)
+),
+g AS (
+  SELECT k, count_if(up) AS n1, count_if(NOT up) AS n2, SUM(nr) AS r
+  FROM marked GROUP BY k
+),
+o AS (
+  SELECT med.k, COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2,
+         COALESCE(r, 0) AS r, rows_, dx
+  FROM med LEFT JOIN g ON g.k = med.k
+)
+SELECT k AS event_type,
+       CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS runs,
+       ROUND(CASE WHEN n1 > 0 AND n2 > 0
+                   AND CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) > 2
+                   AND 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                       / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)) > 0
+                   AND rows_ = dx
+             THEN (CAST(r AS DOUBLE)
+                   - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+                  / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)))
+             END + 1e-9, 6) AS z
+FROM o ORDER BY event_type
+"""
+
+
+@golden(
+    "runs_test_daily_value_by_type",
+    RUNS_TEST_ORACLE,
+    tags=("timeseries", "runs-test", "randomness", "events"),
+)
+def runs_test_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test around each event type's own daily
+    median — the distribution-free clustering/oscillation tripwire (a
+    stuck pipeline writing one value for days shows up as too few runs
+    long before a mean shifts). Median pins at 9dp; R, n1, n2 are exact
+    integers; z is a fixed IEEE chain on integers."""
+    from mr_dice_spark.operators.timeseries import runs_test
+
+    out = runs_test(_daily_frame(spark, sf_dir), "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+GUMBEL_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS b,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+mx AS (SELECT k, b, MAX(v) AS m FROM ev GROUP BY k, b),
+agg AS (
+  SELECT k, COUNT(*) AS n,
+         ROUND(AVG(m) + 1e-12, 9) AS mean,
+         ROUND(SUM(m * m) + 1e-12, 9) AS sxx
+  FROM mx GROUP BY k
+),
+fit AS (
+  SELECT k, n,
+         ROUND(sqrt(greatest((sxx - CAST(n AS DOUBLE) * mean * mean)
+                             / (CAST(n AS DOUBLE) - 1.0), 0.0))
+               + 1e-12, 9) AS sd,
+         mean
+  FROM agg
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n_blocks,
+       ROUND(CASE WHEN n >= 2
+             THEN mean - 0.5772156649015329 * (sd * 0.779696801233676)
+             END + 1e-9, 6) AS gumbel_loc,
+       ROUND(CASE WHEN n >= 2 THEN sd * 0.779696801233676 END + 1e-9, 6)
+         AS gumbel_scale,
+       ROUND(CASE WHEN n >= 2
+             THEN (mean - 0.5772156649015329 * (sd * 0.779696801233676))
+                  - (sd * 0.779696801233676) * (-4.600149226776579)
+             END + 1e-9, 6) AS ret_level
+FROM fit ORDER BY event_type
+"""
+
+
+@golden(
+    "gumbel_daily_max_value_by_type",
+    GUMBEL_ORACLE,
+    tags=("timeseries", "gumbel", "extremes", "events"),
+)
+def gumbel_daily_max_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel EV-I fit to each event type's DAILY MAXIMUM value with the
+    100-day return level — the tail budget ('what single-event spike
+    should one quarter's p99.9 planning assume?') that body percentiles
+    cannot extrapolate. Method-of-moments on the day-blocked maxima;
+    mean/sd pin at 9dp and the sqrt(6)/pi, Euler-gamma, and
+    log(-log(0.99)) constants are embedded as shortest-round-trip
+    literals so both engines chain identical doubles."""
+    from mr_dice_spark.operators.timeseries import gumbel_block_maxima
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("b"),
+        F.col("value").cast("double").alias("v"),
+    )
+    out = gumbel_block_maxima(ev, "k", "b", "v", return_period=100)
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+HELLINGER_TVD_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) IN (2, 3) AS a,
+         CAST(FLOOR(CAST(value AS DOUBLE) / 100.0) AS BIGINT) AS b
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS (
+  SELECT k, b, count_if(a) AS ca, count_if(NOT a) AS cb
+  FROM base GROUP BY k, b
+),
+staged AS (
+  SELECT k, ca, cb,
+         SUM(ca) OVER (PARTITION BY k) AS na,
+         SUM(cb) OVER (PARTITION BY k) AS nb
+  FROM cells
+),
+terms AS (
+  SELECT k, na, nb,
+         ROUND(sqrt((CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb))
+               + 1e-12, 9) AS bc,
+         ROUND(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+               + 1e-12, 9) AS l1
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS ta, MAX(nb) AS tb,
+         SUM(bc) AS bcs, SUM(l1) AS l1s
+  FROM terms GROUP BY k
+)
+SELECT k AS event_type,
+       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       ROUND(CASE WHEN ta > 0 AND tb > 0
+             THEN sqrt(greatest(0.0, 1.0 - bcs)) END + 1e-9, 6) AS hellinger,
+       ROUND(CASE WHEN ta > 0 AND tb > 0 THEN 0.5 * l1s END + 1e-9, 6) AS tvd
+FROM agg ORDER BY event_type
+"""
+
+
+@golden(
+    "hellinger_tvd_weekend_value_bands",
+    HELLINGER_TVD_ORACLE,
+    tags=("timeseries", "drift", "hellinger", "tvd", "events"),
+)
+def hellinger_tvd_weekend_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger + total-variation distance between each event type's
+    weekend and weekday value-BAND distributions (100-unit bands, the
+    same weekend split as the W1/effect-size goldens) — the bounded
+    drift metrics with no smoothing constant: TVD reads directly as
+    'the best detector's advantage', Hellinger amplifies mass moving
+    into near-empty bands. Counts are exact integers; per-band terms
+    pin at 9dp before the closing sums."""
+    from mr_dice_spark.operators.timeseries import hellinger_tvd_from_buckets
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).isin(2, 3)
+        .alias("weekend"),
+        F.floor(F.col("value").cast("double") / 100.0).cast("long").alias("band"),
+    )
+    out = hellinger_tvd_from_buckets(ev, "k", "weekend", "band", True)
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+CRAMERS_V_ORACLE = """
+WITH base AS (
+  SELECT event_type AS a,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7 AS b
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
+rm AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cm AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+tt AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT ROUND(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                  / CAST(n AS DOUBLE)) + 1e-12, 9) AS tm,
+         n, a, b
+  FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tt
+),
+agg AS (
+  SELECT MAX(n) AS tot, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+         SUM(tm) - CAST(MAX(n) AS DOUBLE) AS chi2
+  FROM terms
+)
+SELECT CAST(tot AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS r_levels, CAST(c AS BIGINT) AS c_levels,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(chi2 + 1e-9, 6) AS chi2,
+       ROUND(CASE WHEN least(r, c) >= 2
+             THEN sqrt(greatest(chi2, 0.0)
+                       / (CAST(tot AS DOUBLE)
+                          * CAST(least(r, c) - 1 AS DOUBLE)))
+             END + 1e-9, 6) AS v
+FROM agg
+"""
+
+
+@golden(
+    "cramers_v_type_weekday",
+    CRAMERS_V_ORACLE,
+    tags=("evaluation", "cramers-v", "association", "events"),
+)
+def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and weekday — 'does WHAT happens
+    depend on WHEN?' as a single [0, 1] association strength, the
+    categorical-categorical cell the correlation matrix (numeric) and
+    uncertainty coefficients (directional) leave open. Chi-square via
+    the sum o^2/e - n identity so never-observed (type, weekday) cells
+    count exactly without materializing zeros."""
+    from mr_dice_spark.operators.evaluation import cramers_v
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_type").alias("a"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("b"),
+    )
+    return cramers_v(ev, "a", "b")
+
+
+FRIEDMAN_ORACLE = """
+WITH ev AS (
+  SELECT event_type, (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7 AS wd,
+         value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+scores AS (
+  SELECT wd AS b, event_type AS t, ROUND(SUM(value) + 1e-9, 6) AS s
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT w.b, ty.t
+  FROM (SELECT unnest(range(7)) AS b) w
+  CROSS JOIN (SELECT DISTINCT event_type AS t FROM ev) ty
+),
+panel AS (
+  SELECT grid.b, grid.t, COALESCE(sc.s, 0.0) AS s
+  FROM grid LEFT JOIN scores sc ON sc.b = grid.b AND sc.t = grid.t
+),
+shape AS (
+  SELECT COUNT(DISTINCT b) AS n, COUNT(DISTINCT t) AS k FROM panel
+),
+tc AS (SELECT b, s, COUNT(*) AS tn FROM panel GROUP BY b, s),
+ranked AS (
+  SELECT b, s,
+         CAST(SUM(tn) OVER (PARTITION BY b ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           - tn + CAST(tn + 1 AS DOUBLE) / 2.0 AS r,
+         tn * tn * tn - tn AS tt
+  FROM tc
+),
+rj AS (
+  SELECT p.t, SUM(rk.r) AS rj
+  FROM panel p JOIN ranked rk ON rk.b = p.b AND rk.s = p.s
+  GROUP BY p.t
+),
+agg AS (
+  SELECT (SELECT SUM((rj - CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) / 2.0)
+                     * (rj - CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) / 2.0))
+          FROM rj) AS S,
+         CAST((SELECT COALESCE(SUM(tt), 0) FROM ranked) AS DOUBLE) AS T,
+         n, k
+  FROM shape
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(k AS BIGINT) AS k_treatments,
+       ROUND(S + 1e-9, 6) AS s_stat,
+       ROUND(T + 1e-9, 6) AS tie_correction,
+       ROUND(CASE WHEN k >= 2
+                   AND 1.0 - T / (CAST(n AS DOUBLE) * k
+                                  * (CAST(k AS DOUBLE) * k - 1.0)) > 0
+             THEN (12.0 * S / (CAST(n AS DOUBLE) * k * (CAST(k AS DOUBLE) + 1.0)))
+                  / (1.0 - T / (CAST(n AS DOUBLE) * k
+                                * (CAST(k AS DOUBLE) * k - 1.0)))
+             END + 1e-9, 6) AS chi2_r,
+       CAST(k - 1 AS BIGINT) AS df
+FROM agg
+"""
+
+
+@golden(
+    "friedman_weekday_value_by_type",
+    FRIEDMAN_ORACLE,
+    tags=("evaluation", "friedman", "rank-test", "events"),
+)
+def friedman_weekday_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test: across the 7 weekdays
+    (blocks), do the event types (treatments) keep the same value-total
+    ordering, or does some type spike on specific days? The
+    hypothesis-test companion to Kendall's W on a weekday panel made
+    complete by construction (7 x types grid, COALESCE 0) so the
+    ragged-panel fail-fast never fires. Midranks from tie-collapsed
+    cells; S and T exact; chi2_r one pinned chain."""
+    from mr_dice_spark.operators.evaluation import friedman_test
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scores = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("b"),
+        F.col("event_type").alias("t"),
+    ).agg(_r(F.sum("value"), 6).alias("s"))
+    days = spark.range(7).select(F.col("id").alias("b"))
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = days.crossJoin(types)
+    panel = grid.join(scores, ["b", "t"], "left").select(
+        "b", "t", F.coalesce("s", F.lit(0.0)).alias("s")
+    )
+    return friedman_test(panel, "b", "t", "s")
+
+
+ICC_ORACLE = """
+WITH ev AS (
+  SELECT event_type, user_id, value FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+),
+scores AS (
+  SELECT event_type AS j, user_id % 15 AS i, ROUND(SUM(value) + 1e-9, 6) AS s
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.j, g.i
+  FROM (SELECT DISTINCT event_type AS j FROM ev) t
+  CROSS JOIN (SELECT unnest(range(15)) AS i) g
+),
+panel AS (
+  SELECT grid.j, grid.i, COALESCE(sc.s, 0.0) AS s
+  FROM grid LEFT JOIN scores sc ON sc.j = grid.j AND sc.i = grid.i
+),
+shape AS (
+  SELECT COUNT(DISTINCT j) AS k, COUNT(DISTINCT i) AS n FROM panel
+),
+grand AS (SELECT ROUND(AVG(s) + 1e-12, 9) AS g FROM panel),
+im AS (
+  SELECT i, ROUND(AVG(s) + 1e-12, 9) AS m FROM panel GROUP BY i
+),
+jm AS (
+  SELECT j, ROUND(AVG(s) + 1e-12, 9) AS m FROM panel GROUP BY j
+),
+ssr AS (
+  SELECT ROUND(CAST((SELECT k FROM shape) AS DOUBLE)
+               * SUM((m - (SELECT g FROM grand)) * (m - (SELECT g FROM grand)))
+               + 1e-12, 9) AS v
+  FROM im
+),
+ssc AS (
+  SELECT ROUND(CAST((SELECT n FROM shape) AS DOUBLE)
+               * SUM((m - (SELECT g FROM grand)) * (m - (SELECT g FROM grand)))
+               + 1e-12, 9) AS v
+  FROM jm
+),
+sst AS (
+  SELECT ROUND(SUM((s - (SELECT g FROM grand)) * (s - (SELECT g FROM grand)))
+               + 1e-12, 9) AS v
+  FROM panel
+),
+ms AS (
+  SELECT shape.n, shape.k,
+         ssr.v / (CAST(shape.n AS DOUBLE) - 1.0) AS msr,
+         ssc.v / (CAST(shape.k AS DOUBLE) - 1.0) AS msc,
+         (sst.v - ssr.v - ssc.v)
+           / ((CAST(shape.n AS DOUBLE) - 1.0) * (CAST(shape.k AS DOUBLE) - 1.0))
+           AS mse
+  FROM shape, ssr, ssc, sst
+)
+SELECT CAST(n AS BIGINT) AS n_items, CAST(k AS BIGINT) AS k_raters,
+       ROUND(msr + 1e-9, 6) AS ms_rows,
+       ROUND(msc + 1e-9, 6) AS ms_cols,
+       ROUND(mse + 1e-9, 6) AS ms_err,
+       ROUND(CASE WHEN msr + (CAST(k AS DOUBLE) - 1.0) * mse
+                       + CAST(k AS DOUBLE) * (msc - mse) / CAST(n AS DOUBLE)
+                       != 0
+             THEN (msr - mse)
+                  / (msr + (CAST(k AS DOUBLE) - 1.0) * mse
+                     + CAST(k AS DOUBLE) * (msc - mse) / CAST(n AS DOUBLE))
+             END + 1e-9, 6) AS icc2_1,
+       ROUND(CASE WHEN msr + (CAST(k AS DOUBLE) - 1.0) * mse != 0
+             THEN (msr - mse) / (msr + (CAST(k AS DOUBLE) - 1.0) * mse)
+             END + 1e-9, 6) AS icc3_1
+FROM ms
+"""
+
+
+@golden(
+    "icc_user_bucket_value_by_type",
+    ICC_ORACLE,
+    tags=("evaluation", "icc", "agreement", "events"),
+)
+def icc_user_bucket_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(2,1) and ICC(3,1) treating the event types as raters scoring
+    the 15 user-id buckets with total value — the continuous-score
+    agreement readout next to Kendall's W's rank version, on the same
+    grid-completed panel recipe; the ICC(2,1)-vs-(3,1) gap isolates
+    pure between-type calibration offset. Means pin at 9dp; the three
+    SS pin at 9dp; the ICC chains round at 6."""
+    from mr_dice_spark.operators.evaluation import icc_two_way
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scores = ev.groupBy(
+        F.col("event_type").alias("j"), (F.col("user_id") % 15).alias("i")
+    ).agg(_r(F.sum("value"), 6).alias("s"))
+    types = ev.select(F.col("event_type").alias("j")).distinct()
+    items = spark.range(15).select(F.col("id").alias("i"))
+    grid = types.crossJoin(F.broadcast(items))
+    panel = grid.join(scores, ["j", "i"], "left").select(
+        "j", "i", F.coalesce("s", F.lit(0.0)).alias("s")
+    )
+    return icc_two_way(panel, "j", "i", "s")
+
+
+LINS_CCC_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS k, user_id,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 2 AS par,
+         value
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+pairs AS (
+  SELECT k, user_id,
+         ROUND(SUM(CASE WHEN par = 0 THEN value ELSE 0.0 END) + 1e-9, 6) AS x,
+         ROUND(SUM(CASE WHEN par = 1 THEN value ELSE 0.0 END) + 1e-9, 6) AS y
+  FROM ev GROUP BY k, user_id
+),
+agg AS (
+  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY k
+),
+mo AS (
+  SELECT k, n,
+         ROUND(sx / CAST(n AS DOUBLE) + 1e-12, 9) AS mx,
+         ROUND(sy / CAST(n AS DOUBLE) + 1e-12, 9) AS my,
+         sxx, syy, sxy
+  FROM agg
+),
+pin AS (
+  SELECT k, n, mx, my,
+         ROUND(sxy / CAST(n AS DOUBLE) - mx * my + 1e-12, 9) AS cov,
+         ROUND(sxx / CAST(n AS DOUBLE) - mx * mx + 1e-12, 9) AS vx,
+         ROUND(syy / CAST(n AS DOUBLE) - my * my + 1e-12, 9) AS vy
+  FROM mo
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+             THEN cov / sqrt(vx * vy) END + 1e-9, 6) AS pearson_r,
+       ROUND(CASE WHEN n >= 2 AND vx + vy + (mx - my) * (mx - my) > 0
+             THEN 2.0 * cov / (vx + vy + (mx - my) * (mx - my))
+             END + 1e-9, 6) AS ccc
+FROM pin ORDER BY event_type
+"""
+
+
+@golden(
+    "lins_ccc_even_odd_days_by_type",
+    LINS_CCC_ORACLE,
+    tags=("evaluation", "ccc", "agreement", "events"),
+)
+def lins_ccc_even_odd_days_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance between each user's even-day and odd-day value
+    totals, per event type — split-half reproducibility ON THE 45-degree
+    LINE: Pearson would reward a type whose odd days are a scaled clone
+    of its even days; CCC charges that calibration gap, which is the
+    right reading for 'is one half of the data a faithful stand-in for
+    the other'. Per-user pairs are complete by construction (CASE sums
+    with 0 default); one moment-sketch aggregate per type."""
+    from mr_dice_spark.operators.evaluation import lins_ccc
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        F.col("user_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 2).alias("par"),
+        F.col("value"),
+    )
+    pairs = ev.groupBy("k", "user_id").agg(
+        _r(F.sum(F.when(F.col("par") == 0, F.col("value")).otherwise(0.0)), 6)
+        .alias("x"),
+        _r(F.sum(F.when(F.col("par") == 1, F.col("value")).otherwise(0.0)), 6)
+        .alias("y"),
+    )
+    out = lins_ccc(pairs, "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+LORENZ_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS i, CAST(value AS DOUBLE) AS x
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value >= 0
+    AND event_id IS NOT NULL
+),
+tiled AS (
+  SELECT g, x, NTILE(10) OVER (PARTITION BY g ORDER BY x, i) AS t
+  FROM base
+),
+pt AS (SELECT g, t, COUNT(*) AS n, SUM(x) AS s FROM tiled GROUP BY g, t),
+staged AS (
+  SELECT g, t, n,
+         SUM(n) OVER wc AS cn, SUM(s) OVER wc AS cs,
+         SUM(n) OVER wa AS tn, SUM(s) OVER wa AS ts
+  FROM pt
+  WINDOW wc AS (PARTITION BY g ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY g)
+)
+SELECT g AS event_type, CAST(t AS BIGINT) AS tile, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(cn AS DOUBLE) / tn + 1e-9, 6) AS cum_pop_share,
+       ROUND(CASE WHEN ts > 0 THEN cs / ts END + 1e-9, 6) AS cum_value_share
+FROM staged ORDER BY event_type, tile
+"""
+
+
+@golden(
+    "lorenz_value_deciles_by_type",
+    LORENZ_ORACLE,
+    tags=("profile", "lorenz", "concentration", "events"),
+)
+def lorenz_value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at deciles of each event type's value mass — the
+    curve behind gini_value_concentration's single number ('the bottom
+    70% of events carry 22% of the value'), ranked by (value, event_id)
+    so the NTILE permutation is pinned cross-engine. Counts and sums
+    exact; shares single divisions rounded at 6."""
+    from mr_dice_spark.operators.profile import lorenz_curve
+
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("event_id").isNotNull()
+    )
+    out = lorenz_curve(ev, "event_type", "value", "event_id", n_points=10)
+    return out.orderBy("event_type", "tile")
+
+
+OLS_INFLUENCE_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+stats AS (
+  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx_r, SUM(x * y) AS sxy_r,
+         COUNT(DISTINCT x) AS dx
+  FROM d GROUP BY k
+),
+coef AS (
+  SELECT k, n AS cnt,
+         ROUND(sx / CAST(n AS DOUBLE) + 1e-12, 9) AS xbar,
+         ROUND(sxx_r - sx * sx / CAST(n AS DOUBLE) + 1e-12, 9) AS sxx,
+         ROUND((CAST(n AS DOUBLE) * sxy_r - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx_r - sx * sx) + 1e-12, 9) AS b,
+         ROUND((sy - ((CAST(n AS DOUBLE) * sxy_r - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx_r - sx * sx)) * sx)
+               / CAST(n AS DOUBLE) + 1e-12, 9) AS a
+  FROM stats
+  WHERE n >= 4 AND n = dx AND CAST(n AS DOUBLE) * sxx_r - sx * sx > 0
+),
+resid AS (
+  SELECT d.k, d.x, d.y, cnt, xbar, sxx,
+         ROUND(y - (a + b * x) + 1e-12, 9) AS e
+  FROM d JOIN coef ON coef.k = d.k
+),
+sse AS (
+  SELECT k, ROUND(SUM(e * e) + 1e-12, 9) AS sse FROM resid GROUP BY k
+),
+joined AS (
+  SELECT r.*, sse.sse FROM resid r JOIN sse ON sse.k = r.k
+  WHERE sse.sse > 0
+),
+hr AS (
+  SELECT k, x, y,
+         1.0 / CAST(cnt AS DOUBLE) + ((x - xbar) * (x - xbar)) / sxx AS h,
+         ROUND(e / (ROUND(sqrt(sse / (CAST(cnt AS DOUBLE) - 2.0)) + 1e-12, 9)
+                    * sqrt(1.0 - (1.0 / CAST(cnt AS DOUBLE)
+                                  + ((x - xbar) * (x - xbar)) / sxx)))
+               + 1e-12, 9) AS rp
+  FROM joined
+),
+scored AS (
+  SELECT k, x, y,
+         ROUND(h + 1e-9, 6) AS leverage,
+         ROUND(rp + 1e-9, 6) AS std_resid,
+         ROUND(rp * rp * h / (2.0 * (1.0 - h)) + 1e-12, 9) AS dscore
+  FROM hr
+),
+ranked AS (
+  SELECT k, x, y, leverage, std_resid, dscore,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY dscore DESC, x) AS rn
+  FROM scored
+)
+SELECT k AS event_type, x, y, leverage, std_resid,
+       ROUND(dscore + 1e-9, 6) AS cooks_d
+FROM ranked WHERE rn <= 3 ORDER BY event_type, cooks_d DESC, x
+"""
+
+
+@golden(
+    "ols_influence_daily_value_by_type",
+    OLS_INFLUENCE_ORACLE,
+    tags=("timeseries", "cooks-d", "influence", "events"),
+)
+def ols_influence_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 most influential days (Cook's D) in each event type's
+    daily mean-value trend — WHICH days bend the fitted line, the
+    point-level complement to chow (break test) and durbin_watson
+    (residual screen) on the same daily frame. Coefficients, residuals,
+    s, and D all pin at 9dp before the rank so both engines agree on
+    the top-3 cut."""
+    from mr_dice_spark.operators.timeseries import ols_influence
+
+    out = ols_influence(_daily_frame(spark, sf_dir), "k", "x", "y", top_k=3)
+    return out.withColumnRenamed("k", "event_type").orderBy(
+        "event_type", F.desc("cooks_d"), "x"
+    )

@@ -1565,10 +1565,13 @@ def durbin_watson(
     x-variance, or all-zero residuals (a perfect fit) report NULL dw —
     fail-closed, the statistic is undefined there.
 
-    Scale shape: one power-sum aggregate per key, one key equi-join of
-    the reduced coefficient frame back to the cells, one key-partitioned
-    lag window, one closing aggregate. No global sort, no Python.
-    Returns ``(key, n, slope, intercept, dw)``.
+    Scale shape: ONE pass — the per-key power sums ride unordered
+    window aggregates over the SAME key partitioning the lag window
+    needs, so the whole statistic is one exchange on the key: scan ->
+    shuffle(key) -> windows -> closing aggregate (which reuses the
+    partitioning). No join back, no recompute of the caller's upstream
+    frame, no global sort, no Python. Returns
+    ``(key, n, slope, intercept, dw)``.
     """
     base = df.select(
         F.col(key_col).alias("__k"),
@@ -1579,49 +1582,51 @@ def durbin_watson(
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
-    stats = base.groupBy("__k").agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
-    )
-    sxx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    coef = stats.select(
+    w_all = Window.partitionBy("__k")
+    w_lag = Window.partitionBy("__k").orderBy("__x")
+    n_d = F.count(F.lit(1)).over(w_all).cast("double")
+    sx = F.sum("__x").over(w_all)
+    sy = F.sum("__y").over(w_all)
+    sxx_w = F.sum(F.col("__x") * F.col("__x")).over(w_all)
+    sxy_w = F.sum(F.col("__x") * F.col("__y")).over(w_all)
+    sxx = n_d * sxx_w - sx * sx
+    num = n_d * sxy_w - sx * sy
+    staged = base.select(
         "__k",
-        F.col("__n").cast("long").alias("__cnt"),
+        "__x",
+        "__y",
+        n_d.cast("long").alias("__cnt"),
         F.round(F.when(sxx > 0, num / sxx) + F.lit(1e-12), 9).alias("__b"),
         F.round(
-            F.when(
-                sxx > 0,
-                (F.col("__sy") - (num / sxx) * F.col("__sx")) / F.col("__n"),
-            )
-            + F.lit(1e-12),
-            9,
+            F.when(sxx > 0, (sy - (num / sxx) * sx) / n_d) + F.lit(1e-12), 9
         ).alias("__a"),
+        # x-tie detection shares the lag exchange: a duplicate x shows
+        # up as lag(x) == x under the (key, x) sort
+        F.when(F.lag("__x").over(w_lag) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie"),
     )
-    resid = base.join(coef, "__k").select(
+    resid = staged.select(
         "__k",
         "__x",
         "__cnt",
         "__b",
         "__a",
+        "__tie",
         F.round(
             F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
             + F.lit(1e-12),
             9,
         ).alias("__e"),
     )
-    w = Window.partitionBy("__k").orderBy("__x")
     diffed = resid.select(
         "__k",
-        "__x",
         "__cnt",
         "__b",
         "__a",
+        "__tie",
         "__e",
-        (F.col("__e") - F.lag("__e").over(w)).alias("__d"),
+        (F.col("__e") - F.lag("__e").over(w_lag)).alias("__d"),
     )
     out = diffed.groupBy("__k").agg(
         F.max("__cnt").alias("__n"),
@@ -1629,12 +1634,11 @@ def durbin_watson(
         F.max("__a").alias("__icpt"),
         F.sum(F.col("__e") * F.col("__e")).alias("__sse"),
         F.sum(F.col("__d") * F.col("__d")).alias("__ssd"),
-        F.count(F.lit(1)).alias("__rows"),
-        F.count_distinct("__x").alias("__dx"),
+        F.max("__tie").alias("__ties"),
     )
     dw = F.when(
         (F.col("__n") >= 3)
-        & (F.col("__rows") == F.col("__dx"))
+        & (F.col("__ties") == 0)
         & F.col("__slope").isNotNull()
         & (F.col("__sse") > 0),
         F.col("__ssd") / F.col("__sse"),
@@ -1669,7 +1673,8 @@ def ljung_box(
 
     Bucketed-series contract (the durbin_watson convention): callers
     feed (key, bucket_x, quantized y) with x unique per key; NULL rows
-    are excluded; ragged x-ties fail closed via NULL q. Keys with
+    are excluded; x-ties (detected on the shared lag exchange) fail
+    closed via NULL q. Keys with
     ``n <= max_lag`` points or zero variance report NULL q (the
     statistic needs every lag to exist). Lag pairing follows x ORDER,
     not x arithmetic — missing buckets shift the series like any acf on
@@ -1680,10 +1685,13 @@ def ljung_box(
     at 9dp before squaring; Q is a fixed m-term chain on pinned rhos,
     rounded at 6.
 
-    Scale shape: one mean aggregate per key, one key equi-join back,
-    ONE key-partitioned window carrying all m lag columns (one shuffle
-    total — lags add columns, not passes), one closing aggregate.
-    Returns ``(key, n, df_lags, q_stat)``.
+    Scale shape: ONE pass — the per-key count and pinned mean ride
+    unordered window aggregates over the SAME key partitioning the lag
+    window needs (the durbin_watson convention), so the whole statistic
+    is one exchange: scan -> shuffle(key) -> windows (all m lag columns
+    in one pass) -> closing aggregate reusing the partitioning. No join
+    back, no recompute of the caller's upstream frame. Returns
+    ``(key, n, df_lags, q_stat)``.
     """
     if max_lag < 1:
         raise ValueError(f"ljung_box: max_lag must be >= 1, got {max_lag}")
@@ -1696,27 +1704,28 @@ def ljung_box(
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
-    means = base.groupBy("__k").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.round(F.avg("__y") + F.lit(1e-12), 9).alias("__m"),
-        F.count_distinct("__x").alias("__dx"),
-    )
-    dev = base.join(means, "__k").select(
+    w_all = Window.partitionBy("__k")
+    w_lag = Window.partitionBy("__k").orderBy("__x")
+    dev = base.select(
         "__k",
         "__x",
-        "__n",
-        "__dx",
-        (F.col("__y") - F.col("__m")).alias("__d"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        (
+            F.col("__y")
+            - F.round(F.avg("__y").over(w_all) + F.lit(1e-12), 9)
+        ).alias("__d"),
+        F.when(F.lag("__x").over(w_lag) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie"),
     )
-    w = Window.partitionBy("__k").orderBy("__x")
     lag_cols = [
-        F.lag("__d", h).over(w).alias(f"__d{h}") for h in range(1, max_lag + 1)
+        F.lag("__d", h).over(w_lag).alias(f"__d{h}")
+        for h in range(1, max_lag + 1)
     ]
-    lagged = dev.select("__k", "__n", "__dx", "__d", *lag_cols)
+    lagged = dev.select("__k", "__n", "__tie", "__d", *lag_cols)
     aggs = [
         F.max("__n").alias("__cnt"),
-        F.max("__dx").alias("__dxc"),
-        F.count(F.lit(1)).alias("__rows"),
+        F.max("__tie").alias("__ties"),
         F.sum(F.col("__d") * F.col("__d")).alias("__ss"),
     ]
     for h in range(1, max_lag + 1):
@@ -1734,7 +1743,7 @@ def ljung_box(
     n_d = F.col("__cnt").cast("double")
     q = F.when(
         (F.col("__cnt") > max_lag)
-        & (F.col("__rows") == F.col("__dxc"))
+        & (F.col("__ties") == 0)
         & (F.col("__ss") > 0),
         n_d * (n_d + 2.0) * q_terms,
     )
@@ -1778,10 +1787,16 @@ def runs_test(
     before the compare; R, n1, n2 are exact integers; E/Var/z are fixed
     IEEE chains on integers, rounded at 6.
 
-    Scale shape: one median aggregate per key (Spark's exact MEDIAN —
-    a per-key sort bounded by the bucketed-series contract), one key
-    equi-join back, one key-partitioned lag window for run boundaries,
-    one closing aggregate. Returns ``(key, n_above, n_below, runs, z)``.
+    Scale shape: ONE pass — the per-key exact median rides an unordered
+    window aggregate over the SAME key partitioning the run-boundary
+    lag window needs (the durbin_watson convention): scan ->
+    shuffle(key) -> windows -> closing aggregate reusing the
+    partitioning. Median-tied rows are NULL-signed rather than dropped,
+    and the run-boundary lag reads the last NON-NULL sign
+    (ignorenulls), so no row drop, no join back, and a key whose every
+    value ties the median still reports its fail-closed (0, 0, 0,
+    NULL) row from the same aggregate. Returns
+    ``(key, n_above, n_below, runs, z)``.
     """
     base = df.select(
         F.col(key_col).alias("__k"),
@@ -1792,50 +1807,38 @@ def runs_test(
         & F.col(x_col).isNotNull()
         & F.col(value_col).isNotNull()
     )
-    med = base.groupBy("__k").agg(
-        F.round(F.median("__v") + F.lit(1e-12), 9).alias("__med"),
-        F.count(F.lit(1)).alias("__rows"),
-        F.count_distinct("__x").alias("__dx"),
+    w_all = Window.partitionBy("__k")
+    w_lag = Window.partitionBy("__k").orderBy("__x")
+    med = F.round(F.median("__v").over(w_all) + F.lit(1e-12), 9)
+    vp = F.round(F.col("__v") + F.lit(1e-12), 9)
+    signed = base.select(
+        "__k",
+        "__x",
+        F.when(vp != med, vp > med).alias("__up"),
+        F.when(F.lag("__x").over(w_lag) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie"),
     )
-    signed = (
-        base.join(med, "__k")
-        .where(F.round(F.col("__v") + F.lit(1e-12), 9) != F.col("__med"))
-        .select(
-            "__k",
-            "__x",
-            (F.round(F.col("__v") + F.lit(1e-12), 9) > F.col("__med"))
-            .alias("__up"),
-        )
+    prev_up = F.last("__up", ignorenulls=True).over(
+        w_lag.rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.partitionBy("__k").orderBy("__x")
     marked = signed.select(
         "__k",
         "__up",
+        "__tie",
         F.when(
-            F.lag("__up").over(w).isNull()
-            | (F.lag("__up").over(w) != F.col("__up")),
+            F.col("__up").isNotNull()
+            & (prev_up.isNull() | (prev_up != F.col("__up"))),
             1,
         )
         .otherwise(0)
         .alias("__new_run"),
     )
-    grouped = marked.groupBy("__k").agg(
-        F.count_if(F.col("__up")).alias("__n1"),
-        F.count_if(~F.col("__up")).alias("__n2"),
+    out = marked.groupBy("__k").agg(
+        F.count_if(F.coalesce(F.col("__up"), F.lit(False))).alias("__n1"),
+        F.count_if(~F.coalesce(F.col("__up"), F.lit(True))).alias("__n2"),
         F.sum("__new_run").alias("__r"),
-    )
-    # a key whose every value ties the median loses ALL rows to the
-    # equality drop — rejoin from the median frame so it still reports
-    # (0, 0, 0, NULL) instead of vanishing (fail-closed, not silent)
-    out = med.select("__k", "__rows", "__dx").join(
-        grouped, "__k", "left"
-    ).select(
-        "__k",
-        F.coalesce(F.col("__n1"), F.lit(0)).alias("__n1"),
-        F.coalesce(F.col("__n2"), F.lit(0)).alias("__n2"),
-        F.coalesce(F.col("__r"), F.lit(0)).alias("__r"),
-        F.col("__rows").alias("__tot"),
-        F.col("__dx").alias("__dxc"),
+        F.max("__tie").alias("__ties"),
     )
     n1 = F.col("__n1").cast("double")
     n2 = F.col("__n2").cast("double")
@@ -1849,7 +1852,7 @@ def runs_test(
         & (F.col("__n2") > 0)
         & (n > 2)
         & (var_r > 0)
-        & (F.col("__tot") == F.col("__dxc")),
+        & (F.col("__ties") == 0),
         (F.col("__r").cast("double") - e_r) / F.sqrt(var_r),
     )
     return out.select(
@@ -2060,9 +2063,11 @@ def ols_influence(
     BEFORE ranking so both engines agree on the cut; outputs round
     at 6.
 
-    Scale shape: one power-sum aggregate per key, one residual
-    aggregate, two key equi-joins of reduced frames, one key-
-    partitioned rank window bounded by the series contract. Returns
+    Scale shape: ONE pass — power sums, the residual SSE, and the
+    x-tie check all ride window aggregates over the SAME key
+    partitioning the rank window needs (the durbin_watson convention):
+    scan -> shuffle(key) -> window stages -> rank -> filter. No join
+    back, no recompute of the caller's upstream frame. Returns
     ``(key, x, y, leverage, std_resid, cooks_d)``.
     """
     if top_k < 1:
@@ -2076,57 +2081,75 @@ def ols_influence(
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
-    stats = base.groupBy("__k").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx_r"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy_r"),
-        F.count_distinct("__x").alias("__dx"),
-    )
-    n_d = F.col("__n").cast("double")
-    sxx_c = F.col("__sxx_r") - F.col("__sx") * F.col("__sx") / n_d
-    num = n_d * F.col("__sxy_r") - F.col("__sx") * F.col("__sy")
-    den = n_d * F.col("__sxx_r") - F.col("__sx") * F.col("__sx")
-    coef = stats.where(
-        (F.col("__n") >= 4) & (F.col("__n") == F.col("__dx")) & (den > 0)
-    ).select(
+    w_all = Window.partitionBy("__k")
+    w_lag = Window.partitionBy("__k").orderBy("__x")
+    n_d = F.count(F.lit(1)).over(w_all).cast("double")
+    sx = F.sum("__x").over(w_all)
+    sy = F.sum("__y").over(w_all)
+    sxx_r = F.sum(F.col("__x") * F.col("__x")).over(w_all)
+    sxy_r = F.sum(F.col("__x") * F.col("__y")).over(w_all)
+    sxx_c = sxx_r - sx * sx / n_d
+    num = n_d * sxy_r - sx * sy
+    den = n_d * sxx_r - sx * sx
+    staged = base.select(
         "__k",
-        F.col("__n").alias("__cnt"),
-        F.round(F.col("__sx") / n_d + F.lit(1e-12), 9).alias("__xbar"),
+        "__x",
+        "__y",
+        n_d.cast("long").alias("__cnt"),
+        F.round(sx / n_d + F.lit(1e-12), 9).alias("__xbar"),
         F.round(sxx_c + F.lit(1e-12), 9).alias("__sxx"),
         F.round(num / den + F.lit(1e-12), 9).alias("__b"),
-        F.round(
-            (F.col("__sy") - (num / den) * F.col("__sx")) / n_d + F.lit(1e-12),
-            9,
-        ).alias("__a"),
-    )
-    resid = base.join(coef, "__k").select(
+        F.round((sy - (num / den) * sx) / n_d + F.lit(1e-12), 9).alias("__a"),
+        den.alias("__den"),
+        F.when(F.lag("__x").over(w_lag) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie0"),
+    ).where(F.col("__den") > 0)
+    resid = staged.select(
         "__k",
         "__x",
         "__y",
         "__cnt",
         "__xbar",
         "__sxx",
+        F.max("__tie0").over(w_all).alias("__ties"),
         F.round(
             F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
             + F.lit(1e-12),
             9,
         ).alias("__e"),
     )
-    sse = resid.groupBy("__k").agg(
+    with_sse = resid.select(
+        "__k",
+        "__x",
+        "__y",
+        "__cnt",
+        "__xbar",
+        "__sxx",
+        "__ties",
+        "__e",
         F.round(
-            F.sum(F.col("__e") * F.col("__e")) + F.lit(1e-12), 9
-        ).alias("__sse")
+            F.sum(F.col("__e") * F.col("__e")).over(w_all) + F.lit(1e-12), 9
+        ).alias("__sse"),
     )
-    joined = resid.join(sse, "__k").where(F.col("__sse") > 0)
+    joined = with_sse.where(
+        (F.col("__sse") > 0)
+        & (F.col("__cnt") >= 4)
+        & (F.col("__ties") == 0)
+    )
     cnt_d = F.col("__cnt").cast("double")
     s = F.round(
         F.sqrt(F.col("__sse") / (cnt_d - 2.0)) + F.lit(1e-12), 9
     )
     dx = F.col("__x") - F.col("__xbar")
     h = 1.0 / cnt_d + (dx * dx) / F.col("__sxx")
-    r = F.col("__e") / (s * F.sqrt(F.lit(1.0) - h))
+    # r pins at 9dp: the e/(s*sqrt(1-h)) chain is the one place the two
+    # engines' ROUND(double) implementations can leave a last-ulp gap on
+    # the pinned operands (caught by the golden's first sweep); the pin
+    # absorbs it before the 6dp output round and before D
+    r = F.round(
+        F.col("__e") / (s * F.sqrt(F.lit(1.0) - h)) + F.lit(1e-12), 9
+    )
     d = F.round((r * r) * h / (2.0 * (F.lit(1.0) - h)) + F.lit(1e-12), 9)
     scored = joined.select(
         "__k",

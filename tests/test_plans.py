@@ -1811,3 +1811,140 @@ def test_uplift_curve_group_partitioned_single_exchange(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_single_exchange_no_join(spark, sf_dir):
+    """Power sums ride unordered key windows on the lag window's own
+    exchange: one scan, no join-back, every window partitions on the
+    key, no single-partition exchange."""
+    df = GOLDEN["durbin_watson_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ljung_box_one_window_pass_all_lags(spark, sf_dir):
+    """All 7 lag columns share one key-partitioned window pass; mean
+    and count ride the same exchange: one scan, no join."""
+    df = GOLDEN["ljung_box_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_runs_test_single_exchange_no_join(spark, sf_dir):
+    """Median (exact, per key), sign marking, and run boundaries all on
+    one key exchange — NULL-signed ties instead of a row drop means no
+    rejoin for constant series."""
+    df = GOLDEN["runs_test_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ols_influence_single_exchange_rank(spark, sf_dir):
+    """Power sums, SSE, tie check and the top-k rank all partition on
+    the key: one scan, no join, no single-partition sort."""
+    df = GOLDEN["ols_influence_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_gumbel_two_bounded_aggregates(spark, sf_dir):
+    """Block-max then per-key moments: two hash aggregates with
+    map-side combine, no window, no join."""
+    df = GOLDEN["gumbel_daily_max_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hellinger_tvd_cell_windows_one_scan(spark, sf_dir):
+    """One (key, bucket) cell aggregate, per-key total windows on the
+    cell frame, one closing aggregate — no join, no single-partition
+    exchange."""
+    df = GOLDEN["hellinger_tvd_weekend_value_bands"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_cramers_v_pinned_cells_broadcast_marginals(spark, sf_dir):
+    """Marginals re-aggregate from the pinned cell frame and broadcast
+    back (no residual parquet scan, no single-partition window); the
+    only SinglePartition exchange is the closing 1-row reduce."""
+    df = GOLDEN["cramers_v_type_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_friedman_pinned_panel_broadcast_close(spark, sf_dir):
+    """The panel pin feeds the tie cells, rank windows (block-
+    partitioned, bounded by k), rank-sum join and both 1-row reduces —
+    no parquet rescan; windows partition on the block."""
+    df = GOLDEN["friedman_weekday_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(__b" in line, line
+    assert "BroadcastExchange" in plan
+
+
+def test_icc_no_windows_three_reduces(spark, sf_dir):
+    """ICC is pure aggregates: item-keyed, rater-keyed and 1-row
+    reduces off the pinned panel — no Window node anywhere, no parquet
+    rescan."""
+    df = GOLDEN["icc_user_bucket_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lins_ccc_single_moment_sketch(spark, sf_dir):
+    """One hash aggregate of six scalars per key over the pair frame
+    (the group_ols_trend shape): no window, no join after the pair
+    construction."""
+    df = GOLDEN["lins_ccc_even_odd_days_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_lorenz_rank_and_cumulative_share_exchange(spark, sf_dir):
+    """NTILE rank, tile aggregate and both cumulative windows all
+    partition on the group key — one scan, one logical exchange chain,
+    never a global sort."""
+    df = GOLDEN["lorenz_value_deciles_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compression_twin_no_shuffle_map_only(spark, sf_dir):
+    """The fixed-oracle twin is a narrow map over a 12-row local
+    relation: no exchange at all beyond the final sort, no join."""
+    df = GOLDEN["compression_ratio_fixed_oracle"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -256,6 +256,21 @@ PROBES = [
     "w1_value_weekend_by_type",
     "kendalls_w_bucket_rank_by_type",
     "uplift_curve_purchase_by_cohort",
+    # round-9 additions (daily-bucket detectors scale like the round-7
+    # bucket-grid family: the frame is span-bounded, so x10 rows mostly
+    # deepens the bucket aggregate, not the per-key series)
+    "durbin_watson_daily_value_by_type",
+    "ljung_box_daily_value_by_type",
+    "runs_test_daily_value_by_type",
+    "gumbel_daily_max_value_by_type",
+    "hellinger_tvd_weekend_value_bands",
+    "cramers_v_type_weekday",
+    "friedman_weekday_value_by_type",
+    "icc_user_bucket_value_by_type",
+    "lins_ccc_even_odd_days_by_type",
+    "lorenz_value_deciles_by_type",
+    "ols_influence_daily_value_by_type",
+    "compression_ratio_fixed_oracle",
 ]
 
 
