@@ -116,12 +116,13 @@ _CHECK_FIRST = [
     # lins_ccc_even_odd_days_by_type
     # lorenz_value_deciles_by_type
     # ols_influence_daily_value_by_type
-    # Round-10 window = 1 flagship + that queue + the remaining 38
-    # r3-latest goldens alphabetically (grouping_sets_event_bands,
-    # grouping_sets_events, heavy_hitters_cms_events, ... through the
-    # end of the r3 cohort), topped up with the oldest r4 rows to fill
-    # 50. Keep round-9 additions <= 11 so the arithmetic closes at
-    # exactly 50 (1 + 11 + 38).
+    # Round-10 window = 1 flagship + that 12-golden queue + the first
+    # 37 of the remaining 38 r3-latest goldens alphabetically
+    # (grouping_sets_event_bands, grouping_sets_events,
+    # heavy_hitters_cms_events, ... through the r3 cohort) = 50 slots
+    # exactly; the single spilled r3 golden reaches age 8 at round 11,
+    # inside the derived horizon (ceil((345-1)/49)+1 = 9), as
+    # tests/test_coverage.py's feasibility guard verifies.
 ]
 
 
