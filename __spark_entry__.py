@@ -110,19 +110,16 @@ _CHECK_FIRST = [
     # runs_test_daily_value_by_type
     # gumbel_daily_max_value_by_type
     # hellinger_tvd_weekend_value_bands
-    # cramers_v_type_weekday
     # friedman_weekday_value_by_type
     # icc_user_bucket_value_by_type
     # lins_ccc_even_odd_days_by_type
     # lorenz_value_deciles_by_type
     # ols_influence_daily_value_by_type
-    # Round-10 window = 1 flagship + that 12-golden queue + the first
-    # 37 of the remaining 38 r3-latest goldens alphabetically
+    # Round-10 window = 1 flagship + that 11-golden queue + all 38
+    # remaining r3-latest goldens alphabetically
     # (grouping_sets_event_bands, grouping_sets_events,
     # heavy_hitters_cms_events, ... through the r3 cohort) = 50 slots
-    # exactly; the single spilled r3 golden reaches age 8 at round 11,
-    # inside the derived horizon (ceil((345-1)/49)+1 = 9), as
-    # tests/test_coverage.py's feasibility guard verifies.
+    # exactly, as tests/test_coverage.py's feasibility guard verifies.
 ]
 
 

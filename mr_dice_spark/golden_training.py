@@ -4266,66 +4266,6 @@ def hellinger_tvd_weekend_value_bands(spark: SparkSession, sf_dir: str) -> DataF
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
 
 
-CRAMERS_V_ORACLE = """
-WITH base AS (
-  SELECT event_type AS a,
-         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7 AS b
-  FROM events
-  WHERE event_type IS NOT NULL AND ts IS NOT NULL
-),
-cells AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY a, b),
-rm AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
-cm AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
-tt AS (SELECT SUM(o) AS n FROM cells),
-terms AS (
-  SELECT ROUND(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
-               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
-                  / CAST(n AS DOUBLE)) + 1e-12, 9) AS tm,
-         n, a, b
-  FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tt
-),
-agg AS (
-  SELECT MAX(n) AS tot, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
-         SUM(tm) - CAST(MAX(n) AS DOUBLE) AS chi2
-  FROM terms
-)
-SELECT CAST(tot AS BIGINT) AS n,
-       CAST(r AS BIGINT) AS r_levels, CAST(c AS BIGINT) AS c_levels,
-       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-       ROUND(chi2 + 1e-9, 6) AS chi2,
-       ROUND(CASE WHEN least(r, c) >= 2
-             THEN sqrt(greatest(chi2, 0.0)
-                       / (CAST(tot AS DOUBLE)
-                          * CAST(least(r, c) - 1 AS DOUBLE)))
-             END + 1e-9, 6) AS v
-FROM agg
-"""
-
-
-@golden(
-    "cramers_v_type_weekday",
-    CRAMERS_V_ORACLE,
-    tags=("evaluation", "cramers-v", "association", "events"),
-)
-def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V between event type and weekday — 'does WHAT happens
-    depend on WHEN?' as a single [0, 1] association strength, the
-    categorical-categorical cell the correlation matrix (numeric) and
-    uncertainty coefficients (directional) leave open. Chi-square via
-    the sum o^2/e - n identity so never-observed (type, weekday) cells
-    count exactly without materializing zeros."""
-    from mr_dice_spark.operators.evaluation import cramers_v
-
-    _utc(spark)
-    ev = Catalog(spark, sf_dir).events.where(
-        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
-    ).select(
-        F.col("event_type").alias("a"),
-        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("b"),
-    )
-    return cramers_v(ev, "a", "b")
-
-
 FRIEDMAN_ORACLE = """
 WITH ev AS (
   SELECT event_type, (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7 AS wd,

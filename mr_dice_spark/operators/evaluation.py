@@ -29,9 +29,7 @@ which run a 1-row panel-shape probe (plus a localCheckpoint pin) eagerly
 at construction — their statistics are undefined on ragged panels, and
 deferring the validation would mean silently computing a wrong number.
 All four fail closed with a 1-row NULL frame on EMPTY input; only a
-genuinely malformed panel raises. ``cramers_v`` pins its cell frame
-eagerly (three branches derive from it) but runs no probe and never
-raises on data.
+genuinely malformed panel raises.
 """
 
 from __future__ import annotations
@@ -3473,92 +3471,4 @@ def lins_ccc(
         F.col("__n").cast("long").alias("n"),
         F.round(r + F.lit(1e-9), 6).alias("pearson_r"),
         F.round(ccc + F.lit(1e-9), 6).alias("ccc"),
-    )
-
-
-def cramers_v(
-    df: DataFrame,
-    a_col: str,
-    b_col: str,
-) -> DataFrame:
-    """Cramér's V association strength between two categorical columns
-    — the [0, 1]-normalized chi-square the profiling family needs next
-    to numeric correlation (correlation_matrix covers numerics;
-    uncertainty_coefficient is directional/entropy-based; V is the
-    symmetric, chi-square-derived standard):
-
-        chi2 = sum_cells (o - e)^2 / e,  e = row_tot * col_tot / n
-        V    = sqrt(chi2 / (n * (min(r, c) - 1)))
-
-    NULL a/b rows are excluded (a NULL category is absence, not a
-    level). Degenerate tables (either column constant: min(r,c) = 1)
-    report chi-square 0 trivially and NULL v — there is no association
-    to normalize (fail-closed). Output also carries the dof
-    ``(r-1)(c-1)`` for the chi-square reading.
-
-    Cross-engine determinism: observed counts and marginals are exact
-    integers (marginals re-aggregated from the pinned cell frame and
-    broadcast back — never a single-partition window, never a rescan
-    of the input); each cell term pins at 9dp before the sum; chi2 and
-    V round at 6.
-
-    Scale shape: ONE (a, b) cell aggregate on the corpus (the only
-    full-data pass, pinned: three branches derive), then marginal
-    re-aggregates + broadcast joins and a 1-row reduce on the
-    vocabulary-bounded cell frame. Returns one row ``(n, r_levels,
-    c_levels, dof, chi2, v)``.
-    """
-    base = df.select(
-        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
-    ).where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
-    cells = (
-        base.groupBy("__a", "__b")
-        .agg(F.count(F.lit(1)).alias("__o"))
-        .localCheckpoint(eager=True)
-    )
-    row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
-    col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
-    tot = cells.agg(F.sum("__o").alias("__n"))
-    staged = (
-        cells.join(F.broadcast(row_m), "__a")
-        .join(F.broadcast(col_m), "__b")
-        .crossJoin(F.broadcast(tot))
-    )
-    e = (
-        F.col("__ra").cast("double")
-        * F.col("__cb").cast("double")
-        / F.col("__n").cast("double")
-    )
-    # sum o^2/e over OBSERVED cells, then subtract n: algebraically
-    # identical to sum (o-e)^2/e over ALL r x c cells, including the
-    # UNOBSERVED ones (o = 0 contributes e to chi2 but never appears in
-    # the cell frame — summing (o-e)^2/e over observed cells only would
-    # undercount exactly those; a perfectly-associated 2x2 would read
-    # chi2 = n/2 instead of n and V = 0.71 instead of 1)
-    term = F.round(
-        F.col("__o").cast("double") * F.col("__o").cast("double") / e
-        + F.lit(1e-12),
-        9,
-    )
-    out = staged.agg(
-        F.max("__n").alias("__tot"),
-        F.countDistinct("__a").alias("__r"),
-        F.countDistinct("__b").alias("__c"),
-        (F.sum(term) - F.max("__n").cast("double")).alias("__chi2"),
-    )
-    mins = F.least(F.col("__r"), F.col("__c"))
-    v = F.when(
-        mins >= 2,
-        F.sqrt(
-            F.greatest(F.col("__chi2"), F.lit(0.0))
-            / (F.col("__tot").cast("double") * (mins - 1).cast("double"))
-        ),
-    )
-    return out.select(
-        F.col("__tot").cast("long").alias("n"),
-        F.col("__r").cast("long").alias("r_levels"),
-        F.col("__c").cast("long").alias("c_levels"),
-        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
-        F.round(F.col("__chi2") + F.lit(1e-9), 6).alias("chi2"),
-        F.round(v + F.lit(1e-9), 6).alias("v"),
     )

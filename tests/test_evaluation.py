@@ -1651,29 +1651,3 @@ def test_lins_ccc_hand_values(spark):
     assert out["k2"]["ccc"] == pytest.approx(1.0, abs=1e-6)
     assert out["k3"]["pearson_r"] is None
     assert out["k3"]["ccc"] == pytest.approx(0.0, abs=1e-6)
-
-
-def test_cramers_v_hand_value_and_degenerate(spark):
-    from mr_dice_spark.operators.evaluation import cramers_v
-
-    rows = (
-        [("x1", "y1")] * 10 + [("x1", "y2")] * 20
-        + [("x2", "y1")] * 30 + [("x2", "y2")] * 40
-    )
-    df = spark.createDataFrame(rows, "a string, b string")
-    [r] = cramers_v(df, "a", "b").collect()
-    assert (r["n"], r["r_levels"], r["c_levels"], r["dof"]) == (100, 2, 2, 1)
-    assert r["chi2"] == pytest.approx(0.793651, abs=1e-6)
-    assert r["v"] == pytest.approx(0.089087, abs=1e-6)
-    # perfect association -> v = 1
-    perfect = spark.createDataFrame(
-        [("a", "p")] * 5 + [("b", "q")] * 5, "a string, b string"
-    )
-    [rp] = cramers_v(perfect, "a", "b").collect()
-    assert rp["v"] == pytest.approx(1.0, abs=1e-6)
-    # constant column -> NULL v (nothing to normalize)
-    const = spark.createDataFrame(
-        [("a", "only"), ("b", "only")], "a string, b string"
-    )
-    [rc] = cramers_v(const, "a", "b").collect()
-    assert rc["v"] is None and rc["chi2"] == pytest.approx(0.0, abs=1e-6)

@@ -1883,18 +1883,6 @@ def test_hellinger_tvd_cell_windows_one_scan(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-def test_cramers_v_pinned_cells_broadcast_marginals(spark, sf_dir):
-    """Marginals re-aggregate from the pinned cell frame and broadcast
-    back (no residual parquet scan, no single-partition window); the
-    only SinglePartition exchange is the closing 1-row reduce."""
-    df = GOLDEN["cramers_v_type_weekday"].spark(spark, sf_dir)
-    plan = physical_plan(df)
-    assert "Scan parquet" not in plan
-    assert "Window" not in plan
-    assert "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
-
-
 def test_friedman_pinned_panel_broadcast_close(spark, sf_dir):
     """The panel pin feeds the tie cells, rank windows (block-
     partitioned, bounded by k), rank-sum join and both 1-row reduces —

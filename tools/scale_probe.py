@@ -264,7 +264,6 @@ PROBES = [
     "runs_test_daily_value_by_type",
     "gumbel_daily_max_value_by_type",
     "hellinger_tvd_weekend_value_bands",
-    "cramers_v_type_weekday",
     "friedman_weekday_value_by_type",
     "icc_user_bucket_value_by_type",
     "lins_ccc_even_odd_days_by_type",
