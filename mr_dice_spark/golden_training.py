@@ -3950,8 +3950,13 @@ def _daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 DURBIN_WATSON_ORACLE = f"""
 WITH {_DAILY_FRAME_SQL},
 stats AS (
-  SELECT k, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxy
   FROM d GROUP BY k
 ),
 coef AS (
@@ -3976,7 +3981,10 @@ diffed AS (
 ),
 agg AS (
   SELECT k, MAX(cnt) AS n, MAX(b) AS slope, MAX(a) AS icpt,
-         SUM(e * e) AS sse, SUM(dd * dd) AS ssd,
+         CAST(SUM(CAST(e AS DECIMAL(19,9)) * CAST(e AS DECIMAL(19,9)))
+              AS DOUBLE) AS sse,
+         CAST(SUM(CAST(dd AS DECIMAL(19,9)) * CAST(dd AS DECIMAL(19,9)))
+              AS DOUBLE) AS ssd,
          COUNT(*) AS rows_, COUNT(DISTINCT x) AS dx
   FROM diffed GROUP BY k
 )
@@ -4013,12 +4021,14 @@ _LB_LAGS = 7
 LJUNG_BOX_ORACLE = f"""
 WITH {_DAILY_FRAME_SQL},
 means AS (
-  SELECT k, COUNT(*) AS n, ROUND(AVG(y) + 1e-12, 9) AS m,
+  SELECT k, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS m,
          COUNT(DISTINCT x) AS dx
   FROM d GROUP BY k
 ),
 dev AS (
-  SELECT d.k, d.x, n, dx, y - m AS dd
+  SELECT d.k, d.x, n, dx, ROUND(y - m + 1e-12, 9) AS dd
   FROM d JOIN means ON means.k = d.k
 ),
 lagged AS (
@@ -4028,8 +4038,9 @@ lagged AS (
 ),
 pk AS (
   SELECT k, MAX(n) AS cnt, MAX(dx) AS dxc, COUNT(*) AS rows_,
-         SUM(dd * dd) AS ss,
-         {", ".join(f"SUM(dd * d{h}) AS c{h}" for h in range(1, _LB_LAGS + 1))}
+         CAST(SUM(CAST(dd AS DECIMAL(19,9)) * CAST(dd AS DECIMAL(19,9)))
+              AS DOUBLE) AS ss,
+         {", ".join(f"CAST(SUM(CAST(dd AS DECIMAL(19,9)) * CAST(d{h} AS DECIMAL(19,9))) AS DOUBLE) AS c{h}" for h in range(1, _LB_LAGS + 1))}
   FROM lagged GROUP BY k
 )
 SELECT k AS event_type, CAST(cnt AS BIGINT) AS n,
@@ -4141,8 +4152,10 @@ WITH ev AS (
 mx AS (SELECT k, b, MAX(v) AS m FROM ev GROUP BY k, b),
 agg AS (
   SELECT k, COUNT(*) AS n,
-         ROUND(AVG(m) + 1e-12, 9) AS mean,
-         ROUND(SUM(m * m) + 1e-12, 9) AS sxx
+         ROUND(CAST(SUM(CAST(m AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS mean,
+         ROUND(CAST(SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)))
+                    AS DOUBLE) + 1e-12, 9) AS sxx
   FROM mx GROUP BY k
 ),
 fit AS (
@@ -4382,27 +4395,41 @@ panel AS (
 shape AS (
   SELECT COUNT(DISTINCT j) AS k, COUNT(DISTINCT i) AS n FROM panel
 ),
-grand AS (SELECT ROUND(AVG(s) + 1e-12, 9) AS g FROM panel),
+grand AS (
+  SELECT ROUND(CAST(SUM(CAST(s AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS g
+  FROM panel
+),
 im AS (
-  SELECT i, ROUND(AVG(s) + 1e-12, 9) AS m FROM panel GROUP BY i
+  SELECT i, ROUND(CAST(SUM(CAST(s AS DECIMAL(19,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS m
+  FROM panel GROUP BY i
 ),
 jm AS (
-  SELECT j, ROUND(AVG(s) + 1e-12, 9) AS m FROM panel GROUP BY j
+  SELECT j, ROUND(CAST(SUM(CAST(s AS DECIMAL(19,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS m
+  FROM panel GROUP BY j
 ),
 ssr AS (
   SELECT ROUND(CAST((SELECT k FROM shape) AS DOUBLE)
-               * SUM((m - (SELECT g FROM grand)) * (m - (SELECT g FROM grand)))
+               * CAST(SUM(CAST(m - (SELECT g FROM grand) AS DECIMAL(19,9))
+                          * CAST(m - (SELECT g FROM grand) AS DECIMAL(19,9)))
+                      AS DOUBLE)
                + 1e-12, 9) AS v
   FROM im
 ),
 ssc AS (
   SELECT ROUND(CAST((SELECT n FROM shape) AS DOUBLE)
-               * SUM((m - (SELECT g FROM grand)) * (m - (SELECT g FROM grand)))
+               * CAST(SUM(CAST(m - (SELECT g FROM grand) AS DECIMAL(19,9))
+                          * CAST(m - (SELECT g FROM grand) AS DECIMAL(19,9)))
+                      AS DOUBLE)
                + 1e-12, 9) AS v
   FROM jm
 ),
 sst AS (
-  SELECT ROUND(SUM((s - (SELECT g FROM grand)) * (s - (SELECT g FROM grand)))
+  SELECT ROUND(CAST(SUM(CAST(s - (SELECT g FROM grand) AS DECIMAL(19,9))
+                        * CAST(s - (SELECT g FROM grand) AS DECIMAL(19,9)))
+                    AS DOUBLE)
                + 1e-12, 9) AS v
   FROM panel
 ),
@@ -4480,8 +4507,15 @@ pairs AS (
   FROM ev GROUP BY k, user_id
 ),
 agg AS (
-  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  SELECT k, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+              AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxy
   FROM pairs GROUP BY k
 ),
 mo AS (
@@ -4599,8 +4633,13 @@ def lorenz_value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLS_INFLUENCE_ORACLE = f"""
 WITH {_DAILY_FRAME_SQL},
 stats AS (
-  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx_r, SUM(x * y) AS sxy_r,
+  SELECT k, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
+              AS DOUBLE) AS sxx_r,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,6)))
+              AS DOUBLE) AS sxy_r,
          COUNT(DISTINCT x) AS dx
   FROM d GROUP BY k
 ),
@@ -4622,7 +4661,10 @@ resid AS (
   FROM d JOIN coef ON coef.k = d.k
 ),
 sse AS (
-  SELECT k, ROUND(SUM(e * e) + 1e-12, 9) AS sse FROM resid GROUP BY k
+  SELECT k,
+         ROUND(CAST(SUM(CAST(e AS DECIMAL(19,9)) * CAST(e AS DECIMAL(19,9)))
+                    AS DOUBLE) + 1e-12, 9) AS sse
+  FROM resid GROUP BY k
 ),
 joined AS (
   SELECT r.*, sse.sse FROM resid r JOIN sse ON sse.k = r.k

@@ -3331,45 +3331,45 @@ def icc_two_way(
             f"icc_two_way: ragged panel — {cells} (rater, item) cells for "
             f"{k} raters x {n} items; every rater must score every item"
         )
+    # decimal means (the durbin_watson convention): float AVG depends on
+    # shuffle arrival order in its sum; the decimal sum is
+    # order-invariant and engine-invariant. Contract: scores on a
+    # <= 6dp grid, |s| < 1e10.
+    sd = F.col("__s").cast("decimal(16,6)")
+    cnt_d = F.count(F.lit(1)).cast("double")
     grand_df = obs.agg(
-        F.round(F.avg("__s") + F.lit(1e-12), 9).alias("__g")
+        F.round(
+            F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9
+        ).alias("__g")
     )
     item_means = obs.groupBy("__i").agg(
-        F.round(F.avg("__s") + F.lit(1e-12), 9).alias("__im")
+        F.round(
+            F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9
+        ).alias("__im")
     )
     rater_means = obs.groupBy("__j").agg(
-        F.round(F.avg("__s") + F.lit(1e-12), 9).alias("__jm")
+        F.round(
+            F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9
+        ).alias("__jm")
     )
     g = grand_df.first()
     grand = float(g["__g"])
+    def _dev2(col):
+        d = (col - F.lit(grand)).cast("decimal(18,9)")
+        return F.sum(d * d).cast("double")
+
     ssr_row = item_means.agg(
         F.round(
-            F.lit(float(k))
-            * F.sum(
-                (F.col("__im") - F.lit(grand)) * (F.col("__im") - F.lit(grand))
-            )
-            + F.lit(1e-12),
-            9,
+            F.lit(float(k)) * _dev2(F.col("__im")) + F.lit(1e-12), 9
         ).alias("__ssr")
     )
     ssc_row = rater_means.agg(
         F.round(
-            F.lit(float(n))
-            * F.sum(
-                (F.col("__jm") - F.lit(grand)) * (F.col("__jm") - F.lit(grand))
-            )
-            + F.lit(1e-12),
-            9,
+            F.lit(float(n)) * _dev2(F.col("__jm")) + F.lit(1e-12), 9
         ).alias("__ssc")
     )
     sst_row = obs.agg(
-        F.round(
-            F.sum(
-                (F.col("__s") - F.lit(grand)) * (F.col("__s") - F.lit(grand))
-            )
-            + F.lit(1e-12),
-            9,
-        ).alias("__sst")
+        F.round(_dev2(F.col("__s")) + F.lit(1e-12), 9).alias("__sst")
     )
     joined = ssr_row.crossJoin(F.broadcast(ssc_row)).crossJoin(
         F.broadcast(sst_row)
@@ -3440,13 +3440,17 @@ def lins_ccc(
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
+    # decimal power sums (the durbin_watson convention): order- and
+    # engine-invariant. Contract: pairs on a <= 6dp grid, |x|,|y| < 1e10.
+    xd = F.col("__x").cast("decimal(16,6)")
+    yd = F.col("__y").cast("decimal(16,6)")
     agg = base.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(xd).cast("double").alias("__sx"),
+        F.sum(yd).cast("double").alias("__sy"),
+        F.sum(xd * xd).cast("double").alias("__sxx"),
+        F.sum(yd * yd).cast("double").alias("__syy"),
+        F.sum(xd * yd).cast("double").alias("__sxy"),
     )
     n_d = F.col("__n").cast("double")
     mx = F.round(F.col("__sx") / n_d + F.lit(1e-12), 9)

@@ -1584,11 +1584,20 @@ def durbin_watson(
     )
     w_all = Window.partitionBy("__k")
     w_lag = Window.partitionBy("__k").orderBy("__x")
+    # DECIMAL power sums: a float SUM's value depends on shuffle arrival
+    # order, so the 9dp coefficient pins downstream could straddle a
+    # grid boundary run-to-run (observed as a sweep flake on this very
+    # operator family). Summing exact decimals is order-invariant AND
+    # engine-invariant; the one cast back to double is of an identical
+    # exact value on both sides. Contract: |x| < 1e10 on a <= 4dp grid,
+    # |y| < 1e10 on a <= 6dp grid — any bucketed/quantized series.
+    xd = F.col("__x").cast("decimal(14,4)")
+    yd = F.col("__y").cast("decimal(16,6)")
     n_d = F.count(F.lit(1)).over(w_all).cast("double")
-    sx = F.sum("__x").over(w_all)
-    sy = F.sum("__y").over(w_all)
-    sxx_w = F.sum(F.col("__x") * F.col("__x")).over(w_all)
-    sxy_w = F.sum(F.col("__x") * F.col("__y")).over(w_all)
+    sx = F.sum(xd).over(w_all).cast("double")
+    sy = F.sum(yd).over(w_all).cast("double")
+    sxx_w = F.sum(xd * xd).over(w_all).cast("double")
+    sxy_w = F.sum(xd * yd).over(w_all).cast("double")
     sxx = n_d * sxx_w - sx * sx
     num = n_d * sxy_w - sx * sy
     staged = base.select(
@@ -1628,12 +1637,14 @@ def durbin_watson(
         "__e",
         (F.col("__e") - F.lag("__e").over(w_lag)).alias("__d"),
     )
+    ed = F.col("__e").cast("decimal(18,9)")
+    dd = F.col("__d").cast("decimal(18,9)")
     out = diffed.groupBy("__k").agg(
         F.max("__cnt").alias("__n"),
         F.max("__b").alias("__slope"),
         F.max("__a").alias("__icpt"),
-        F.sum(F.col("__e") * F.col("__e")).alias("__sse"),
-        F.sum(F.col("__d") * F.col("__d")).alias("__ssd"),
+        F.sum(ed * ed).cast("double").alias("__sse"),
+        F.sum(dd * dd).cast("double").alias("__ssd"),
         F.max("__tie").alias("__ties"),
     )
     dw = F.when(
@@ -1706,14 +1717,21 @@ def ljung_box(
     )
     w_all = Window.partitionBy("__k")
     w_lag = Window.partitionBy("__k").orderBy("__x")
+    # decimal mean: order-invariant sum (the durbin_watson convention)
+    yd = F.col("__y").cast("decimal(16,6)")
+    mean = F.round(
+        F.sum(yd).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+        + F.lit(1e-12),
+        9,
+    )
     dev = base.select(
         "__k",
         "__x",
         F.count(F.lit(1)).over(w_all).alias("__n"),
-        (
-            F.col("__y")
-            - F.round(F.avg("__y").over(w_all) + F.lit(1e-12), 9)
-        ).alias("__d"),
+        # the deviation is re-quantized onto the 9dp grid so the lag
+        # products below are products of exact decimals
+        F.round(F.col("__y") - mean + F.lit(1e-12), 9).alias("__d"),
         F.when(F.lag("__x").over(w_lag) == F.col("__x"), 1)
         .otherwise(0)
         .alias("__tie"),
@@ -1723,14 +1741,17 @@ def ljung_box(
         for h in range(1, max_lag + 1)
     ]
     lagged = dev.select("__k", "__n", "__tie", "__d", *lag_cols)
+    ddec = F.col("__d").cast("decimal(18,9)")
     aggs = [
         F.max("__n").alias("__cnt"),
         F.max("__tie").alias("__ties"),
-        F.sum(F.col("__d") * F.col("__d")).alias("__ss"),
+        F.sum(ddec * ddec).cast("double").alias("__ss"),
     ]
     for h in range(1, max_lag + 1):
         aggs.append(
-            F.sum(F.col("__d") * F.col(f"__d{h}")).alias(f"__c{h}")
+            F.sum(ddec * F.col(f"__d{h}").cast("decimal(18,9)"))
+            .cast("double")
+            .alias(f"__c{h}")
         )
     per_key = lagged.groupBy("__k").agg(*aggs)
     q_terms = None
@@ -1916,12 +1937,19 @@ def gumbel_block_maxima(
         .groupBy(F.col(key_col).alias("__k"), F.col(block_col).alias("__b"))
         .agg(F.max(F.col(value_col).cast("double")).alias("__m"))
     )
+    # decimal sums (the durbin_watson convention): maxima are quantized
+    # onto a 6dp grid so mean and the power sum are order-invariant
+    md = F.col("__m").cast("decimal(16,6)")
     agg = maxima.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.round(F.avg("__m") + F.lit(1e-12), 9).alias("__mean"),
-        F.round(F.sum(F.col("__m") * F.col("__m")) + F.lit(1e-12), 9).alias(
-            "__sxx"
-        ),
+        F.round(
+            F.sum(md).cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(1e-12),
+            9,
+        ).alias("__mean"),
+        F.round(
+            F.sum(md * md).cast("double") + F.lit(1e-12), 9
+        ).alias("__sxx"),
     )
     n_d = F.col("__n").cast("double")
     var = (
@@ -2083,11 +2111,17 @@ def ols_influence(
     )
     w_all = Window.partitionBy("__k")
     w_lag = Window.partitionBy("__k").orderBy("__x")
+    # decimal power sums — order-invariant and engine-invariant (the
+    # durbin_watson convention; this operator's pin chain is the
+    # longest in the module, which is where the float-sum shuffle-order
+    # wiggle was first observed as a sweep flake)
+    xd = F.col("__x").cast("decimal(14,4)")
+    yd = F.col("__y").cast("decimal(16,6)")
     n_d = F.count(F.lit(1)).over(w_all).cast("double")
-    sx = F.sum("__x").over(w_all)
-    sy = F.sum("__y").over(w_all)
-    sxx_r = F.sum(F.col("__x") * F.col("__x")).over(w_all)
-    sxy_r = F.sum(F.col("__x") * F.col("__y")).over(w_all)
+    sx = F.sum(xd).over(w_all).cast("double")
+    sy = F.sum(yd).over(w_all).cast("double")
+    sxx_r = F.sum(xd * xd).over(w_all).cast("double")
+    sxy_r = F.sum(xd * yd).over(w_all).cast("double")
     sxx_c = sxx_r - sx * sx / n_d
     num = n_d * sxy_r - sx * sy
     den = n_d * sxx_r - sx * sx
@@ -2129,7 +2163,14 @@ def ols_influence(
         "__ties",
         "__e",
         F.round(
-            F.sum(F.col("__e") * F.col("__e")).over(w_all) + F.lit(1e-12), 9
+            F.sum(
+                F.col("__e").cast("decimal(18,9)")
+                * F.col("__e").cast("decimal(18,9)")
+            )
+            .over(w_all)
+            .cast("double")
+            + F.lit(1e-12),
+            9,
         ).alias("__sse"),
     )
     joined = with_sse.where(
