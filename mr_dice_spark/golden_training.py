@@ -4237,7 +4237,8 @@ terms AS (
 ),
 agg AS (
   SELECT k, MAX(na) AS ta, MAX(nb) AS tb,
-         SUM(bc) AS bcs, SUM(l1) AS l1s
+         CAST(SUM(CAST(bc AS DECIMAL(19,9))) AS DOUBLE) AS bcs,
+         CAST(SUM(CAST(l1 AS DECIMAL(19,9))) AS DOUBLE) AS l1s
   FROM terms GROUP BY k
 )
 SELECT k AS event_type,

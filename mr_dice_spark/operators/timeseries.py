@@ -2038,8 +2038,10 @@ def hellinger_tvd_from_buckets(
     out = staged.groupBy("__k").agg(
         F.max("__na").alias("__ta"),
         F.max("__nb").alias("__tb"),
-        F.sum(bc_term).alias("__bc"),
-        F.sum(l1_term).alias("__l1"),
+        # the 9dp-pinned terms sum as exact decimals (the durbin_watson
+        # order-invariance convention) so H and TVD are run-deterministic
+        F.sum(bc_term.cast("decimal(19,9)")).cast("double").alias("__bc"),
+        F.sum(l1_term.cast("decimal(19,9)")).cast("double").alias("__l1"),
     )
     both = (F.col("__ta") > 0) & (F.col("__tb") > 0)
     h = F.when(
