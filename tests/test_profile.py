@@ -575,7 +575,7 @@ def test_lorenz_curve_hand_values_and_edges(spark):
         [("n", 1, -5.0), ("n", 2, 1.0), ("n", 3, 3.0)],
         "g string, id long, v double",
     )
-    nout = lorenz_curve(neg, "n" if False else "g", "v", "id", n_points=2).collect()
+    nout = lorenz_curve(neg, "g", "v", "id", n_points=2).collect()
     assert sum(r["n"] for r in nout) == 2
     with _pt.raises(ValueError, match="n_points"):
         lorenz_curve(df, "g", "v", "id", n_points=1)

@@ -861,7 +861,7 @@ def test_runs_test_hand_value_and_edges(spark):
         [("c", float(i), 5.0) for i in range(4)],
         "k string, x double, y double",
     )
-    [rc] = runs_test(const, "c" if False else "k", "x", "y").collect()
+    [rc] = runs_test(const, "k", "x", "y").collect()
     assert (rc["n_above"], rc["n_below"], rc["runs"]) == (0, 0, 0)
     assert rc["z"] is None
     # one run each side (fully clustered): z < 0 (too few runs)
@@ -914,7 +914,7 @@ def test_hellinger_tvd_hand_value_and_missing_sample(spark):
         [("i", True, "a"), ("i", False, "a"), ("i", True, "b"), ("i", False, "b")],
         "k string, s boolean, b string",
     )
-    [ri] = hellinger_tvd_from_buckets(same, "i" if False else "k", "s", "b", True).collect()
+    [ri] = hellinger_tvd_from_buckets(same, "k", "s", "b", True).collect()
     assert ri["hellinger"] == pytest.approx(0.0, abs=1e-6)
     assert ri["tvd"] == pytest.approx(0.0, abs=1e-6)
 
