@@ -22,104 +22,91 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Round-9 window, exactly as VERDICT r8 next-#1 prescribes:
-# 1 flagship + ALL 40 never-driver-checked goldens (the documented
-# ROUND-9 WINDOW QUEUE: 26 round-7 leftovers in landing order, then the
-# 14 round-8 additions in landing order) + the 9 pre-planned spares (the
-# first 9 alphabetical goldens whose latest driver row is round 3).
-# 1 flagship + 40 queue + 9 spares = 50. A green CORRECTNESS_r09.json on
-# this window makes lifetime driver coverage 333/333 for the first time
-# (every pre-round-9 golden will hold at least one driver row; 24 of the
-# 40 queue entries were additionally judge-verified green against DuckDB
-# in the round-8 review). Everything displaced is r3-r8-green and stays
-# oracle-checked every CI run by tests/test_golden.py under the
-# identical DuckDB compare.
+# in dict order. Round-10 window, exactly as VERDICT r9 next-#1 (and the
+# pre-plan written here in round 9) prescribes: 1 flagship + the 11
+# round-9 golden additions (the documented ROUND-10 WINDOW QUEUE, never
+# driver-checked, landing order — all 11 judge-verified green against
+# DuckDB in the r9 review plus a 52-compare fresh-process flake campaign)
+# + all 38 remaining goldens whose latest driver row is round 3
+# (alphabetical; age 7 at round 10, one round inside the derived horizon
+# of 8). 1 + 11 + 38 = 50 exactly. A green CORRECTNESS_r10.json on this
+# window reaches lifetime driver coverage 344/344 of the pre-round-10
+# corpus AND resets every golden's freshness to <= r4 age. Everything
+# displaced is r4-r9-green and stays oracle-checked every CI run by
+# tests/test_golden.py under the identical DuckDB compare.
 #
 # SUSTAINABILITY NOTE: tests/test_coverage.py derives the freshness
 # horizon from corpus size (ceil((N-1)/49)+1 rounds — the provably
 # achievable round-robin period plus one round of slack) and asserts
-# NEXT round's window arithmetic stays feasible. After round 9 the
-# oldest surviving rows are the 38 remaining r3 goldens (age 7 at round
-# 10, within the derived horizon of 8), so the ROUND-10 WINDOW is
-# pre-planned at the bottom of this list: 1 flagship + the round-9
-# additions (never-checked, lead the queue) + the remaining r3 rows,
-# oldest-first alphabetically, to fill 50.
+# NEXT round's window arithmetic stays feasible. After round 10 the
+# oldest surviving rows are the round-4 cohort (age 7 at round 11,
+# within the horizon), so the ROUND-11 WINDOW is pre-planned at the
+# bottom of this list: 1 flagship + any round-10 golden additions
+# (never-checked, lead the queue) + r4-latest rows oldest-first
+# alphabetically to fill 50.
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # --- ROUND-9 WINDOW QUEUE part 1: the 26 round-7 leftovers,
+    # --- ROUND-10 WINDOW QUEUE: the 11 round-9 golden additions,
     #     landing order (never driver-checked before this round):
-    "cochran_armitage_purchase_by_weekday",
-    "distinct_ngram_diversity_by_lang",
-    "kendall_tau_weekday_value_band",
-    "degree_assortativity_copurchase",
-    "kruskal_wallis_value_by_type",
-    "retrieval_eval_purchase_topk",
-    "clustering_coefficient_copurchase",
-    "page_hinkley_drift_daily",
-    "seasonal_decompose_daily_cycle",
-    "term_burstiness_documents",
-    "unigram_kl_by_lang",
-    "streaming_page_hinkley",
-    "logrank_time_to_purchase_arms",
-    "cronbach_alpha_user_engagement",
-    "mann_kendall_trend_hourly",
-    "randomization_test_user_value",
-    "weighted_median_price_by_flag",
-    "misra_gries_topk_audit_tokens",
-    "user_active_coverage",
-    "correlation_matrix_lineitem",
-    "covariate_balance_experiment_arms",
-    "hodges_lehmann_weekend_shift",
-    "llr_collocations_top",
-    "rfm_segments_users",
-    "uncertainty_coeffs_type_weekday",
-    "rmst_time_to_purchase",
-    # --- ROUND-9 WINDOW QUEUE part 2: the 14 round-8 additions,
-    #     landing order (all judge-verified green in the r8 review):
-    "effect_size_weekend_by_type",
-    "bh_fdr_weekday_conversion",
-    "cochran_q_high_value_types",
-    "fleiss_kappa_value_bands",
-    "changepoint_daily_value_by_type",
-    "pq_topk_fixed_oracle",
-    "nelson_aalen_time_to_purchase",
-    "did_monthhalf_value_by_arm",
-    "mantel_haenszel_highvalue_by_type",
-    "chow_break_daily_value_by_type",
-    "jaro_winkler_name_pairs",
-    "w1_value_weekend_by_type",
-    "kendalls_w_bucket_rank_by_type",
-    "uplift_curve_purchase_by_cohort",
-    # --- the 9 pre-planned spares: first 9 alphabetical r3-latest rows
-    #     (computed from CORRECTNESS_r01-r08; VERDICT r8 next-#1):
-    "approx_distinct_users_daily",
-    "boilerplate_removal_cleaned",
-    "cosine_topk_ivf_pq_approx",
-    "cosine_topk_truncate_rerank",
-    "crawl_curation_pipeline",
-    "cube_order_status_priority",
-    "demo5_composition_selfjoin",
-    "document_chunking_windows",
-    "embedding_int8_quantize",
-    # ROUND-10 WINDOW QUEUE: the round-9 golden additions (never
-    # driver-checked; they lead the round-10 rotation, landing order):
-    # compression_ratio_fixed_oracle
-    # durbin_watson_daily_value_by_type
-    # ljung_box_daily_value_by_type
-    # runs_test_daily_value_by_type
-    # gumbel_daily_max_value_by_type
-    # hellinger_tvd_weekend_value_bands
-    # friedman_weekday_value_by_type
-    # icc_user_bucket_value_by_type
-    # lins_ccc_even_odd_days_by_type
-    # lorenz_value_deciles_by_type
-    # ols_influence_daily_value_by_type
-    # Round-10 window = 1 flagship + that 11-golden queue + all 38
-    # remaining r3-latest goldens alphabetically
-    # (grouping_sets_event_bands, grouping_sets_events,
-    # heavy_hitters_cms_events, ... through the r3 cohort) = 50 slots
-    # exactly, as tests/test_coverage.py's feasibility guard verifies.
+    "compression_ratio_fixed_oracle",
+    "durbin_watson_daily_value_by_type",
+    "ljung_box_daily_value_by_type",
+    "runs_test_daily_value_by_type",
+    "gumbel_daily_max_value_by_type",
+    "hellinger_tvd_weekend_value_bands",
+    "friedman_weekday_value_by_type",
+    "icc_user_bucket_value_by_type",
+    "lins_ccc_even_odd_days_by_type",
+    "lorenz_value_deciles_by_type",
+    "ols_influence_daily_value_by_type",
+    # --- the 38 r3-latest goldens, alphabetical (computed from the
+    #     union of CORRECTNESS_r01-r09; VERDICT r9 next-#1):
+    "grouping_sets_event_bands",
+    "grouping_sets_events",
+    "heavy_hitters_cms_events",
+    "hll_rollup_distinct_users",
+    "jaccard_similarity_join",
+    "length_outlier_filter",
+    "multimodal_sample_extraction",
+    "multimodal_video_probe",
+    "percentiles_value_by_type",
+    "pivot_returnflag_status",
+    "pq_topk_adc",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q20_excess_shipments",
+    "q22_sales_opportunity",
+    "rollup_pricing_subtotals",
+    "semantic_dedup_planted",
+    "set_except_lapsed_customers",
+    "set_intersect_repeat_customers",
+    "setop_except_custkeys",
+    "split_contamination_audit",
+    "streaming_dedup_keys",
+    "streaming_interval_join_pairs",
+    "token_budget_sample_by_lang",
+    "train_split_assign",
+    "winnowing_boilerplate_spans",
+    "winnowing_overlap_pairs",
+    # ROUND-11 WINDOW QUEUE: round-10 golden additions (never
+    # driver-checked; they lead the round-11 rotation, landing order):
+    # (names are appended here in the same commit that lands each new
+    # golden — tests/test_coverage.py parses this comment.)
+    # Round-11 window = 1 flagship + that queue + r4-latest goldens
+    # alphabetically to fill 50 slots, as tests/test_coverage.py's
+    # feasibility guard verifies.
 ]
 
 
