@@ -3694,7 +3694,8 @@ terms AS (
 SELECT k AS event_type,
        CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
        ROUND(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
-             THEN COALESCE(SUM(t), 0.0) END + 1e-9, 6) AS w1
+             THEN COALESCE(CAST(SUM(CAST(t AS DECIMAL(19,9))) AS DOUBLE),
+                           0.0) END + 1e-9, 6) AS w1
 FROM terms GROUP BY k ORDER BY event_type
 """
 

@@ -1461,8 +1461,8 @@ def wasserstein_1(
     step term ``|ca/na - cb/nb| * gap`` is a fixed IEEE chain on exact
     operands, nudge-pinned at 9dp before the final sum (the
     nelson_aalen increment contract) so both engines add identical
-    doubles; the closing sum's order-dependence is absorbed by the
-    6dp output round.
+    values; the closing sum adds them as exact decimals (the
+    durbin_watson convention) so it is order- and engine-invariant.
 
     Scale shape: one (key, value) cell aggregate, two key-partitioned
     cumulative windows + one lead sharing the exchange (per-key cell
@@ -1519,7 +1519,14 @@ def wasserstein_1(
     out = staged.groupBy("__k").agg(
         F.max("__na").alias("__ta"),
         F.max("__nb").alias("__tb"),
-        F.sum(F.when(F.col("__gap").isNotNull(), term)).alias("__w1"),
+        # the 9dp-pinned terms sum as exact decimals (the durbin_watson
+        # convention) — order- and engine-invariant, so the closing sum
+        # can never straddle the 6dp output grid across fresh processes
+        F.sum(
+            F.when(F.col("__gap").isNotNull(), term).cast("decimal(19,9)")
+        )
+        .cast("double")
+        .alias("__w1"),
     )
     w1 = F.when(
         (F.col("__ta") > 0) & (F.col("__tb") > 0),
