@@ -4436,12 +4436,18 @@ sst AS (
   FROM panel
 ),
 ms AS (
+  -- degenerate panels (n < 2 or k < 2) have no between/error df: NULL
+  -- the mean squares exactly as icc_two_way's fail-closed guard does,
+  -- so the pair stays semantically aligned if the panel shape changes
   SELECT shape.n, shape.k,
-         ssr.v / (CAST(shape.n AS DOUBLE) - 1.0) AS msr,
-         ssc.v / (CAST(shape.k AS DOUBLE) - 1.0) AS msc,
-         (sst.v - ssr.v - ssc.v)
-           / ((CAST(shape.n AS DOUBLE) - 1.0) * (CAST(shape.k AS DOUBLE) - 1.0))
-           AS mse
+         CASE WHEN shape.n >= 2 AND shape.k >= 2
+              THEN ssr.v / (CAST(shape.n AS DOUBLE) - 1.0) END AS msr,
+         CASE WHEN shape.n >= 2 AND shape.k >= 2
+              THEN ssc.v / (CAST(shape.k AS DOUBLE) - 1.0) END AS msc,
+         CASE WHEN shape.n >= 2 AND shape.k >= 2
+              THEN (sst.v - ssr.v - ssc.v)
+                   / ((CAST(shape.n AS DOUBLE) - 1.0)
+                      * (CAST(shape.k AS DOUBLE) - 1.0)) END AS mse
   FROM shape, ssr, ssc, sst
 )
 SELECT CAST(n AS BIGINT) AS n_items, CAST(k AS BIGINT) AS k_raters,
@@ -4592,7 +4598,8 @@ tiled AS (
   SELECT g, x, NTILE(10) OVER (PARTITION BY g ORDER BY x, i) AS t
   FROM base
 ),
-pt AS (SELECT g, t, COUNT(*) AS n, SUM(x) AS s FROM tiled GROUP BY g, t),
+pt AS (SELECT g, t, COUNT(*) AS n,
+              SUM(CAST(x AS DECIMAL(19,6))) AS s FROM tiled GROUP BY g, t),
 staged AS (
   SELECT g, t, n,
          SUM(n) OVER wc AS cn, SUM(s) OVER wc AS cs,
@@ -4604,7 +4611,9 @@ staged AS (
 )
 SELECT g AS event_type, CAST(t AS BIGINT) AS tile, CAST(n AS BIGINT) AS n,
        ROUND(CAST(cn AS DOUBLE) / tn + 1e-9, 6) AS cum_pop_share,
-       ROUND(CASE WHEN ts > 0 THEN cs / ts END + 1e-9, 6) AS cum_value_share
+       ROUND(CASE WHEN ts > 0
+             THEN CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)
+             END + 1e-9, 6) AS cum_value_share
 FROM staged ORDER BY event_type, tile
 """
 

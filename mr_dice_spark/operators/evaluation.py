@@ -3287,9 +3287,10 @@ def icc_two_way(
 
     Complete-panel contract (the kendalls_w convention): duplicates
     collapse by MAX, ragged panels fail fast, the shape probe runs
-    EAGERLY (module laziness note), empty input returns the 1-row NULL
-    frame. ICCs are NULL when n < 2, k < 2, or the denominator is 0
-    (all scores identical).
+    EAGERLY (module laziness note; the grand mean rides the same 1-row
+    reduce, so construction runs two eager jobs total — checkpoint +
+    probe), empty input returns the 1-row NULL frame. ICCs are NULL
+    when n < 2, k < 2, or the denominator is 0 (all scores identical).
 
     Cross-engine determinism: per-item/per-rater/grand means pin at
     9dp before squaring; the three SS are sums of fixed IEEE squares
@@ -3310,10 +3311,21 @@ def icc_two_way(
         .agg(F.max(F.col(score_col).cast("double")).alias("__s"))
         .localCheckpoint(eager=True)
     )
+    # decimal means (the durbin_watson convention): float AVG depends on
+    # shuffle arrival order in its sum; the decimal sum is
+    # order-invariant and engine-invariant. Contract: scores on a
+    # <= 6dp grid, |s| < 1e10.
+    sd = F.col("__s").cast("decimal(16,6)")
+    cnt_d = F.count(F.lit(1)).cast("double")
+    # the grand mean rides the shape probe (one eager job, not two —
+    # ADVICE r9): both are 1-row reduces over the same checkpointed obs
     shape = obs.agg(
         F.countDistinct("__j").alias("__k"),
         F.countDistinct("__i").alias("__n"),
         F.count(F.lit(1)).alias("__cells"),
+        F.round(F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9).alias(
+            "__g"
+        ),
     ).first()
     k, n, cells = shape["__k"], shape["__n"], shape["__cells"]
     if k == 0:
@@ -3331,17 +3343,6 @@ def icc_two_way(
             f"icc_two_way: ragged panel — {cells} (rater, item) cells for "
             f"{k} raters x {n} items; every rater must score every item"
         )
-    # decimal means (the durbin_watson convention): float AVG depends on
-    # shuffle arrival order in its sum; the decimal sum is
-    # order-invariant and engine-invariant. Contract: scores on a
-    # <= 6dp grid, |s| < 1e10.
-    sd = F.col("__s").cast("decimal(16,6)")
-    cnt_d = F.count(F.lit(1)).cast("double")
-    grand_df = obs.agg(
-        F.round(
-            F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9
-        ).alias("__g")
-    )
     item_means = obs.groupBy("__i").agg(
         F.round(
             F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9
@@ -3352,8 +3353,8 @@ def icc_two_way(
             F.sum(sd).cast("double") / cnt_d + F.lit(1e-12), 9
         ).alias("__jm")
     )
-    g = grand_df.first()
-    grand = float(g["__g"])
+    grand = float(shape["__g"])
+
     def _dev2(col):
         d = (col - F.lit(grand)).cast("decimal(18,9)")
         return F.sum(d * d).cast("double")

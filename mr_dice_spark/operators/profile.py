@@ -1306,9 +1306,11 @@ def lorenz_curve(
     leaves trailing tiles empty).
 
     Cross-engine determinism: the NTILE permutation is pinned by the
-    (value, id) total order; tile counts and sums are exact aggregates;
-    cumulative sums run over the <= n_points tile rows per group;
-    shares are single divisions rounded at 6.
+    (value, id) total order; tile counts are exact integers and tile
+    mass sums as exact decimal(19,6) (order- and engine-invariant;
+    contract: values on a <= 6dp grid); cumulative sums run over the
+    <= n_points tile rows per group as decimals; shares are single
+    double divisions on exact operands, rounded at 6.
 
     Scale shape: one rank+NTILE window per group key (the exchange),
     one (group, tile) aggregate, one cumulative window over the
@@ -1334,7 +1336,13 @@ def lorenz_curve(
         "__g", "__x", F.ntile(n_points).over(w).alias("__t")
     )
     per_tile = tiled.groupBy("__g", "__t").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__x").alias("__s")
+        F.count(F.lit(1)).alias("__n"),
+        # value mass sums as an exact decimal (the durbin_watson
+        # convention): order- and engine-invariant, where a raw float
+        # SUM depends on shuffle arrival order in the last ulp.
+        # Contract: values on a <= 6dp grid, |v| < 1e13 (the cast is
+        # then exact, not a quantization)
+        F.sum(F.col("__x").cast("decimal(19,6)")).alias("__s"),
     )
     w_cum = (
         Window.partitionBy("__g")
@@ -1351,8 +1359,12 @@ def lorenz_curve(
         F.sum("__n").over(w_all).alias("__tn"),
         F.sum("__s").over(w_all).alias("__ts"),
     )
+    # sums stay decimal through the windows (exact); the division casts
+    # both operands to double so the share arithmetic is one fixed IEEE
+    # divide on identical operands in both engines
     vshare = F.when(
-        F.col("__ts") > 0, F.col("__cs") / F.col("__ts")
+        F.col("__ts") > 0,
+        F.col("__cs").cast("double") / F.col("__ts").cast("double"),
     )
     return staged.select(
         F.col("__g").alias(group_col),
