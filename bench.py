@@ -75,30 +75,28 @@ def _run_extended(spark, sf_dir: str) -> dict[str, float]:
     # under a separate key so the headline total stays comparable to
     # rounds 1-5.
     #
-    # WARM CONVENTION (VERDICT r7 next-#5): each entry is timed on its
-    # SECOND noop-sink execution — the first run (untimed) absorbs that
-    # query's own codegen compilation and JIT warmth, then caches are
-    # cleared so the timed run re-executes the full scan->shuffle->sink
-    # pipeline with a warm JVM. Rationale: the r7 fresh-JVM isolation
-    # split exposed ~20% cold-JIT inflation on the python-heavy entries
-    # (bpe_train 5.1->6.4 s, er_best_match 4.0->4.8 s r6->r7 — the old
-    # shared JVM had 60+ headline executions of warmth;
-    # PERFORMANCE.md:1313-1325), so cross-round extended comparisons
-    # were dominated by warmup noise, not code. Second-run is the
-    # cheapest estimator that removes it (median-of-3 would triple the
-    # ~2 min extended wall clock for little extra precision on 3-60 s
-    # entries). Correctness of every entry is the sweep/driver's job,
-    # not bench's.
+    # WARM CONVENTION (VERDICT r7 next-#5): every entry runs once
+    # UNTIMED first — that run absorbs the query's own codegen
+    # compilation and JIT warmth — then caches are cleared so the timed
+    # runs re-execute the full scan->shuffle->sink pipeline with a warm
+    # JVM. Rationale: the r7 fresh-JVM isolation split exposed ~20%
+    # cold-JIT inflation on the python-heavy entries (bpe_train
+    # 5.1->6.4 s, er_best_match 4.0->4.8 s r6->r7 — the old shared JVM
+    # had 60+ headline executions of warmth; PERFORMANCE.md:1313-1325),
+    # so cross-round extended comparisons were dominated by warmup
+    # noise, not code. Correctness of every entry is the sweep/driver's
+    # job, not bench's.
     #
-    # WARM-MEDIAN-3 for the >= 15 s entries (VERDICT r8 next-#2): the r8
-    # driver run recorded triangle_counts at 29.2 s where the identical
-    # tree measured 19.5 s warm locally — a single warm sample cannot
-    # distinguish host contention from regression on the long entries,
-    # and a one-off ambient draw there moves the extended total by >8%.
-    # So: one untimed warmup, one timed run, and IF that first timed run
-    # reads >= 15 s, two more timed runs with the median of the three
-    # reported. Short entries keep the single warm sample (their
-    # absolute noise is bounded by their duration).
+    # WARM-MEDIAN-3 for EVERY entry (VERDICT r9 next-#3, widening the r8
+    # >= 15 s rule): two consecutive rounds burned a judge/builder cycle
+    # adjudicating one-draw ambient outliers — triangle_counts 29.2 s in
+    # r8 (19.5 s warm-median locally), label_propagation 10.88 s in r9
+    # (8.6 s warm-median) — and the second sat BELOW the old 15 s cutoff,
+    # i.e. single warm samples maximized draw variance exactly where
+    # round-over-round ratios get scrutinized. So: one untimed warmup,
+    # then three timed runs, median reported, for every extended entry
+    # (~70 s of extra bench wall clock once per round — cheap next to
+    # the recurring adjudication cost).
     from statistics import median
 
     from mr_dice_spark.golden import GOLDEN, bench_extended_queries
@@ -120,12 +118,12 @@ def _run_extended(spark, sf_dir: str) -> dict[str, float]:
     extended: dict[str, float] = {}
     for name, q in sorted(bench_extended_queries().items()):
         _one_run(q, timed=False)
-        samples = [_one_run(q, timed=True)]
-        if samples[0] >= 15.0:
-            samples += [_one_run(q, timed=True) for _ in range(2)]
+        samples = [_one_run(q, timed=True) for _ in range(3)]
         extended[name] = round(median(samples), 4)
-        tag = f"warm median-of-{len(samples)}" if len(samples) > 1 else "warm 2nd run"
-        print(f"# ext {name}: {extended[name]:.3f}s ({tag})", file=sys.stderr)
+        print(
+            f"# ext {name}: {extended[name]:.3f}s (warm median-of-3)",
+            file=sys.stderr,
+        )
     return extended
 
 
