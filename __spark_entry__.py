@@ -104,6 +104,8 @@ _CHECK_FIRST = [
     # driver-checked; they lead the round-11 rotation, landing order):
     # (names are appended here in the same commit that lands each new
     # golden — tests/test_coverage.py parses this comment.)
+    # cvm_value_weekend_by_type
+    # energy_dist_value_weekend_by_type
     # Round-11 window = 1 flagship + that queue + r4-latest goldens
     # alphabetically to fill 50 slots, as tests/test_coverage.py's
     # feasibility guard verifies.

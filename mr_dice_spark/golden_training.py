@@ -3733,6 +3733,180 @@ def w1_value_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cramér–von Mises + energy distance: the other two members of the
+# two-sample drift family, on the identical weekend split as w1/KS.
+# ---------------------------------------------------------------------------
+
+_WEEKEND_BASE_SQL = """
+base AS (
+  SELECT event_type AS k,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) IN (2, 3) AS a,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))
+)
+"""
+
+
+def _weekend_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return ev.select(
+        F.col("event_type").alias("k"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).isin(2, 3)
+        .alias("weekend"),
+        F.col("value").cast("double").alias("v"),
+    )
+
+
+CVM_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, count_if(a) AS ca, count_if(NOT a) AS cb
+  FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, ca + cb AS wgt,
+         SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+         SUM(ca) OVER (PARTITION BY k) AS na,
+         SUM(cb) OVER (PARTITION BY k) AS nb
+  FROM cells
+  WINDOW w AS (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT k, na, nb,
+         ROUND((CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+               * (CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+               * CAST(wgt AS DOUBLE) + 1e-12, 9) AS t
+  FROM staged
+)
+SELECT k AS event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+             THEN CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+                  / (CAST(MAX(na) + MAX(nb) AS DOUBLE)
+                     * CAST(MAX(na) + MAX(nb) AS DOUBLE))
+                  * CAST(SUM(CAST(t AS DECIMAL(19,9))) AS DOUBLE)
+             END + 1e-9, 6) AS cvm
+FROM terms GROUP BY k ORDER BY event_type
+"""
+
+
+@golden(
+    "cvm_value_weekend_by_type",
+    CVM_ORACLE,
+    tags=("timeseries", "drift", "cvm", "events"),
+)
+def cvm_value_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises distance between each event type's weekend and
+    weekday value distributions — the MASS-WEIGHTED squared-CDF-gap
+    drift readout next to KS's sup-gap and w1's value-unit area, on
+    the identical weekend split. Exact cells, one cumulative window,
+    9dp-pinned pooled terms summed as exact decimals."""
+    from mr_dice_spark.operators.timeseries import cramer_von_mises_2s
+
+    return (
+        cramer_von_mises_2s(
+            _weekend_rows(spark, sf_dir), "k", "weekend", "v", True
+        )
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+ENERGY_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, count_if(a) AS ca, count_if(NOT a) AS cb
+  FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, v, ca, cb,
+         SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+         CAST(SUM(ca * CAST(v AS DECIMAL(19,6))) OVER w AS DOUBLE) AS csa,
+         CAST(SUM(cb * CAST(v AS DECIMAL(19,6))) OVER w AS DOUBLE) AS csb,
+         SUM(ca) OVER wa AS na, SUM(cb) OVER wa AS nb,
+         CAST(SUM(ca * CAST(v AS DECIMAL(19,6))) OVER wa AS DOUBLE) AS tsa,
+         CAST(SUM(cb * CAST(v AS DECIMAL(19,6))) OVER wa AS DOUBLE) AS tsb
+  FROM cells
+  WINDOW w AS (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY k)
+),
+terms AS (
+  SELECT k, na, nb,
+         CAST(cb AS DOUBLE)
+           * ((CAST(cca AS DOUBLE) * v - csa)
+              + ((tsa - csa) - CAST(na - cca AS DOUBLE) * v)) AS x_t,
+         CAST(ca AS DOUBLE)
+           * ((CAST(cca AS DOUBLE) * v - csa)
+              + ((tsa - csa) - CAST(na - cca AS DOUBLE) * v)) AS a_t,
+         CAST(cb AS DOUBLE)
+           * ((CAST(ccb AS DOUBLE) * v - csb)
+              + ((tsb - csb) - CAST(nb - ccb AS DOUBLE) * v)) AS b_t
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS ta, MAX(nb) AS tb,
+         CAST(SUM(CAST(x_t AS DECIMAL(19,6))) AS DOUBLE) AS xs,
+         CAST(SUM(CAST(a_t AS DECIMAL(19,6))) AS DOUBLE) AS was,
+         CAST(SUM(CAST(b_t AS DECIMAL(19,6))) AS DOUBLE) AS wbs
+  FROM terms GROUP BY k
+),
+e AS (
+  SELECT k, ta, tb,
+         ROUND(xs / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) + 1e-12, 9)
+           AS exy,
+         ROUND(was / (CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE)) + 1e-12, 9)
+           AS exx,
+         ROUND(wbs / (CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)) + 1e-12, 9)
+           AS eyy
+  FROM agg
+),
+dd AS (
+  SELECT k, ta, tb,
+         CASE WHEN ta > 0 AND tb > 0
+              THEN GREATEST(2.0 * exy - exx - eyy, 0.0) END AS d2
+  FROM e
+)
+SELECT k AS event_type, CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       ROUND(d2 + 1e-9, 6) AS energy_d2,
+       ROUND(sqrt(d2) + 1e-9, 6) AS energy_d
+FROM dd ORDER BY event_type
+"""
+
+
+@golden(
+    "energy_dist_value_weekend_by_type",
+    ENERGY_ORACLE,
+    tags=("timeseries", "drift", "energy", "events"),
+)
+def energy_dist_value_weekend_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Székely–Rizzo energy distance between each event type's weekend
+    and weekday value distributions — the proper-metric member of the
+    drift family (D^2 = 2E|X-Y| - E|X-X'| - E|Y-Y'|), computed without
+    any pairwise join from pooled sorted cells with exact decimal
+    cumulative sums, on the identical weekend split as w1/cvm."""
+    from mr_dice_spark.operators.timeseries import energy_distance_2s
+
+    return (
+        energy_distance_2s(
+            _weekend_rows(spark, sf_dir), "k", "weekend", "v", True
+        )
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kendall's W: do the five event types rank user buckets concordantly?
 # ---------------------------------------------------------------------------
 

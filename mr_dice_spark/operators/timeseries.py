@@ -2222,3 +2222,219 @@ def ols_influence(
             F.round(F.col("__d") + F.lit(1e-9), 6).alias("cooks_d"),
         )
     )
+
+
+def cramer_von_mises_2s(
+    df: DataFrame,
+    key_col: str,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+) -> DataFrame:
+    """Per-key two-sample Cramér–von Mises distance — the third member
+    of the empirical-CDF drift family: KS reports the LARGEST CDF gap
+    (one point decides), :func:`wasserstein_1` the AREA between CDFs in
+    value units (tail-sensitive), CvM the MASS-WEIGHTED squared gap
+
+        T = (n_a * n_b / N^2) * sum_pooled (F_A(v) - F_B(v))^2
+
+    summed over the N pooled observations with multiplicity (the
+    standard computational form: right-continuous empirical CDFs
+    evaluated at every pooled sample point). CvM sees persistent small
+    gaps KS ignores and, unlike W1, is scale-free — the pair (w1, cvm)
+    separates 'moved far' from 'moved everywhere'.
+
+    Sample split, NULL/NaN exclusion, and the fail-closed contract
+    follow :func:`wasserstein_1` verbatim: rows where ``sample_col ==
+    sample_a`` are A, every other non-NULL sample is B; keys missing
+    either sample report NULL cvm.
+
+    Cross-engine determinism: cell and cumulative counts are exact
+    integers; each pooled term ``(ca+cb) * (cca/na - ccb/nb)^2`` is a
+    fixed IEEE chain on exact operands, pinned at 9dp; terms sum as
+    exact decimal(19,9) (the durbin_watson convention) and the closing
+    scale factor is one multiply/divide on exact counts, rounded at 6.
+
+    Scale shape: identical to wasserstein_1 MINUS the lead window — one
+    (key, value) cell aggregate, one key-partitioned cumulative window
+    + one whole-partition window sharing the exchange, one final per-key
+    aggregate. Returns ``(key, n_a, n_b, cvm)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(sample_col) == F.lit(sample_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(sample_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        # NaN is non-NULL and sorts last: exclude like NULL so the
+        # fail-closed contract holds (the wasserstein_1 guard)
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    cells = base.groupBy("__k", "__v").agg(
+        F.count_if(F.col("__a")).alias("__ca"),
+        F.count_if(~F.col("__a")).alias("__cb"),
+    )
+    w_run = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__k")
+    staged = cells.select(
+        "__k",
+        (F.col("__ca") + F.col("__cb")).alias("__w"),
+        F.sum("__ca").over(w_run).alias("__cca"),
+        F.sum("__cb").over(w_run).alias("__ccb"),
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+    )
+    # try_divide: a key missing one sample has na or nb = 0 — NULL rides
+    # to the fail-closed guard instead of raising (the wasserstein_1 fix)
+    gap = F.try_divide(F.col("__cca").cast("double"), F.col("__na")) - F.try_divide(
+        F.col("__ccb").cast("double"), F.col("__nb")
+    )
+    term = F.round(
+        gap * gap * F.col("__w").cast("double") + F.lit(1e-12), 9
+    )
+    out = staged.groupBy("__k").agg(
+        F.max("__na").alias("__ta"),
+        F.max("__nb").alias("__tb"),
+        F.sum(term.cast("decimal(19,9)")).cast("double").alias("__s"),
+    )
+    nn = (F.col("__ta") + F.col("__tb")).cast("double")
+    cvm = F.when(
+        (F.col("__ta") > 0) & (F.col("__tb") > 0),
+        F.col("__ta").cast("double")
+        * F.col("__tb").cast("double")
+        / (nn * nn)
+        * F.col("__s"),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.round(cvm + F.lit(1e-9), 6).alias("cvm"),
+    )
+
+
+def energy_distance_2s(
+    df: DataFrame,
+    key_col: str,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+) -> DataFrame:
+    """Per-key two-sample energy distance (Székely–Rizzo):
+
+        D^2 = 2 E|X - Y| - E|X - X'| - E|Y - Y'|
+
+    with V-statistic expectations over all ordered pairs (cross pairs
+    n_a*n_b, within pairs n_a^2 / n_b^2). D^2 >= 0 with equality iff
+    the distributions coincide; like W1 it reads in VALUE UNITS, but it
+    is a proper metric that powers the energy two-sample test and
+    generalizes to embeddings — the 1-d member lands the exact-cells
+    machinery the family shares.
+
+    Each pairwise-sum reduces to ONE pass over pooled sorted cells: for
+    sample S and targets T, ``sum_{s,t} |s - t| = sum_cells cnt_T(v) *
+    [(ccnt_S(v)*v - csum_S(v)) + ((tot_S - csum_S(v)) - (n_S -
+    ccnt_S(v))*v)]`` with INCLUSIVE cumulative count/sum (ties
+    contribute exactly 0). No pairwise join exists anywhere.
+
+    Sample split, NULL/NaN exclusion, fail-closed NULLs on keys missing
+    either sample: the :func:`wasserstein_1` contract.
+
+    Cross-engine determinism: counts are exact integers and value sums
+    exact decimals (contract: values on a <= 6dp grid, |v| < 1e10 —
+    the durbin_watson convention); every per-cell bracket is integer *
+    6dp-grid arithmetic that stays exactly representable in doubles
+    (documented bound: n_key * |v|_max * cnt_cell < 2^53 / 1e6), so
+    per-cell terms land exactly on the 6dp grid and sum as exact
+    decimal(19,6); the three closing expectations are single divisions
+    on exact operands, pinned at 9dp; output rounds at 6.
+
+    Scale shape: one (key, value) cell aggregate, one key-partitioned
+    cumulative window + one whole-partition window sharing the
+    exchange, one final per-key aggregate — wasserstein_1's exact plan.
+    Returns ``(key, n_a, n_b, energy_d2, energy_d)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(sample_col) == F.lit(sample_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(sample_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    vd = F.col("__v").cast("decimal(19,6)")
+    cells = base.groupBy("__k", "__v").agg(
+        F.count_if(F.col("__a")).alias("__ca"),
+        F.count_if(~F.col("__a")).alias("__cb"),
+    )
+    w_run = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__k")
+    sa = F.col("__ca").cast("decimal(19,0)") * vd
+    sb = F.col("__cb").cast("decimal(19,0)") * vd
+    staged = cells.select(
+        "__k",
+        "__v",
+        "__ca",
+        "__cb",
+        F.sum("__ca").over(w_run).alias("__cca"),
+        F.sum("__cb").over(w_run).alias("__ccb"),
+        F.sum(sa).over(w_run).cast("double").alias("__csa"),
+        F.sum(sb).over(w_run).cast("double").alias("__csb"),
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+        F.sum(sa).over(w_all).cast("double").alias("__tsa"),
+        F.sum(sb).over(w_all).cast("double").alias("__tsb"),
+    )
+
+    def _absdist(ccnt, csum, n, tot):
+        # sum_{s in S} |s - v| from inclusive cumulatives, all exact
+        below = ccnt.cast("double") * F.col("__v") - csum
+        above = (tot - csum) - (n - ccnt).cast("double") * F.col("__v")
+        return below + above
+
+    cross = F.col("__cb").cast("double") * _absdist(
+        F.col("__cca"), F.col("__csa"), F.col("__na"), F.col("__tsa")
+    )
+    within_a = F.col("__ca").cast("double") * _absdist(
+        F.col("__cca"), F.col("__csa"), F.col("__na"), F.col("__tsa")
+    )
+    within_b = F.col("__cb").cast("double") * _absdist(
+        F.col("__ccb"), F.col("__csb"), F.col("__nb"), F.col("__tsb")
+    )
+    out = staged.groupBy("__k").agg(
+        F.max("__na").alias("__ta"),
+        F.max("__nb").alias("__tb"),
+        F.sum(cross.cast("decimal(19,6)")).cast("double").alias("__x"),
+        F.sum(within_a.cast("decimal(19,6)")).cast("double").alias("__wa"),
+        F.sum(within_b.cast("decimal(19,6)")).cast("double").alias("__wb"),
+    )
+    ta_d = F.col("__ta").cast("double")
+    tb_d = F.col("__tb").cast("double")
+    e_xy = F.round(F.col("__x") / (ta_d * tb_d) + F.lit(1e-12), 9)
+    e_xx = F.round(F.col("__wa") / (ta_d * ta_d) + F.lit(1e-12), 9)
+    e_yy = F.round(F.col("__wb") / (tb_d * tb_d) + F.lit(1e-12), 9)
+    d2 = F.when(
+        (F.col("__ta") > 0) & (F.col("__tb") > 0),
+        # pinning can leave a ~1e-9 negative residue on identical
+        # distributions; clamp so energy_d's sqrt never sees it
+        F.greatest(2.0 * e_xy - e_xx - e_yy, F.lit(0.0)),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.round(d2 + F.lit(1e-9), 6).alias("energy_d2"),
+        F.round(F.sqrt(d2) + F.lit(1e-9), 6).alias("energy_d"),
+    )

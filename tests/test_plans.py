@@ -1936,3 +1936,32 @@ def test_compression_twin_no_shuffle_map_only(spark, sf_dir):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_key_partitioned_windows_one_scan(spark, sf_dir):
+    """CvM rides the wasserstein_1 plan minus the lead window: one
+    pruned scan, cumulative + whole-partition windows all keyed, one
+    closing hash aggregate — no join, no global sort."""
+    df = GOLDEN["cvm_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_energy_distance_no_pairwise_join(spark, sf_dir):
+    """The pairwise sums reduce to cumulative-window arithmetic on the
+    pooled cells: one scan, NO join anywhere (the whole point — a
+    naive energy distance is a cells x cells self-join), windows all
+    key-partitioned."""
+    df = GOLDEN["energy_dist_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -948,3 +948,98 @@ def test_ols_influence_hand_values_and_fail_empty(spark):
     assert ols_influence(tiny, "k", "x", "y").count() == 0
     with pytest.raises(ValueError, match="top_k"):
         ols_influence(df, "k", "x", "y", top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Cramér–von Mises + energy distance (two-sample drift family)
+# ---------------------------------------------------------------------------
+
+
+def _brute_cvm_energy(A, B):
+    n, m = len(A), len(B)
+    N = n + m
+
+    def cdf(s, x):
+        return sum(1 for t in s if t <= x) / len(s)
+
+    cvm = n * m / N**2 * sum((cdf(A, x) - cdf(B, x)) ** 2 for x in A + B)
+    exy = sum(abs(a - b) for a in A for b in B) / (n * m)
+    exx = sum(abs(a - b) for a in A for b in A) / (n * n)
+    eyy = sum(abs(a - b) for a in B for b in B) / (m * m)
+    return cvm, 2 * exy - exx - eyy
+
+
+def test_cvm_and_energy_hand_computed(spark):
+    from mr_dice_spark.operators.timeseries import (
+        cramer_von_mises_2s,
+        energy_distance_2s,
+    )
+
+    A = [1.0, 2.5, 2.5, 4.0, 7.0]
+    B = [2.0, 2.5, 5.0, 6.0]
+    rows = [("k", True, v) for v in A] + [("k", False, v) for v in B]
+    # NULL/NaN rows excluded like wasserstein_1
+    rows += [(None, True, 1.0), ("k", None, 1.0), ("k", True, None),
+             ("k", True, float("nan"))]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    cvm_exp, d2_exp = _brute_cvm_energy(A, B)
+
+    got = cramer_von_mises_2s(df, "k", "a", "v", True).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (5, 4)
+    assert got["cvm"] == pytest.approx(cvm_exp, abs=2e-6)
+
+    ed = energy_distance_2s(df, "k", "a", "v", True).collect()[0]
+    assert (ed["n_a"], ed["n_b"]) == (5, 4)
+    assert ed["energy_d2"] == pytest.approx(d2_exp, abs=2e-6)
+    assert ed["energy_d"] == pytest.approx(d2_exp**0.5, abs=2e-6)
+
+
+def test_cvm_and_energy_identical_and_missing_sample(spark):
+    from mr_dice_spark.operators.timeseries import (
+        cramer_von_mises_2s,
+        energy_distance_2s,
+    )
+
+    rows = [("same", s, float(v)) for s in (True, False) for v in (1, 2, 3)]
+    rows += [("solo", True, 5.0), ("point", True, 7.0), ("point", False, 7.0)]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+
+    cvm = {r["k"]: r for r in cramer_von_mises_2s(df, "k", "a", "v", True).collect()}
+    assert cvm["same"]["cvm"] == 0.0
+    assert cvm["point"]["cvm"] == 0.0
+    assert cvm["solo"]["cvm"] is None  # fail-closed, no DIVIDE_BY_ZERO
+
+    ed = {r["k"]: r for r in energy_distance_2s(df, "k", "a", "v", True).collect()}
+    assert ed["same"]["energy_d2"] == 0.0 and ed["same"]["energy_d"] == 0.0
+    assert ed["point"]["energy_d2"] == 0.0
+    assert ed["solo"]["energy_d2"] is None and ed["solo"]["energy_d"] is None
+
+
+def test_cvm_and_energy_shift_properties(spark):
+    """A pure location shift: energy D^2 grows with the shift and is
+    translation-invariant in the pair; CvM saturates toward its
+    disjoint-support ceiling nm(n+m)/... — both must strictly exceed
+    the half-overlap case."""
+    import random
+
+    from mr_dice_spark.operators.timeseries import (
+        cramer_von_mises_2s,
+        energy_distance_2s,
+    )
+
+    rng = random.Random(7)
+    base = [round(rng.uniform(0, 10), 2) for _ in range(60)]
+    rows = []
+    for tag, shift in (("small", 1.0), ("big", 8.0)):
+        rows += [(tag, True, v) for v in base]
+        rows += [(tag, False, round(v + shift, 2)) for v in base]
+    # translation invariance: the same pair moved +50 must score the same
+    rows += [("moved", True, round(v + 50.0, 2)) for v in base]
+    rows += [("moved", False, round(v + 1.0 + 50.0, 2)) for v in base]
+    df = spark.createDataFrame(rows, "k string, a boolean, v double")
+    cvm = {r["k"]: r["cvm"] for r in cramer_von_mises_2s(df, "k", "a", "v", True).collect()}
+    ed = {r["k"]: r["energy_d2"] for r in energy_distance_2s(df, "k", "a", "v", True).collect()}
+    assert cvm["big"] > cvm["small"] > 0
+    assert ed["big"] > ed["small"] > 0
+    assert ed["moved"] == pytest.approx(ed["small"], abs=1e-6)
+    assert cvm["moved"] == pytest.approx(cvm["small"], abs=1e-6)

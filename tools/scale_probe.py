@@ -270,6 +270,10 @@ PROBES = [
     "lorenz_value_deciles_by_type",
     "ols_influence_daily_value_by_type",
     "compression_ratio_fixed_oracle",
+    # round-10 drift-family additions (value-cell frames: x10 rows add
+    # few new distinct values, so cells deepen, not widen)
+    "cvm_value_weekend_by_type",
+    "energy_dist_value_weekend_by_type",
 ]
 
 
