@@ -106,6 +106,8 @@ _CHECK_FIRST = [
     # golden — tests/test_coverage.py parses this comment.)
     # cvm_value_weekend_by_type
     # energy_dist_value_weekend_by_type
+    # grubbs_daily_value_by_type
+    # moods_median_value_by_weekday
     # Round-11 window = 1 flagship + that queue + r4-latest goldens
     # alphabetically to fill 50 slots, as tests/test_coverage.py's
     # feasibility guard verifies.

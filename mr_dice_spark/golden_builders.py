@@ -2325,3 +2325,103 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).events
     return kruskal_wallis_by_group(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test: the assumption-free k-sample location screen,
+# keyed by weekday so the plan stays multi-partition (round 10).
+# ---------------------------------------------------------------------------
+
+MOODS_MEDIAN_ORACLE = """
+WITH base AS (
+  SELECT ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) AS wd,
+         event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS (
+  SELECT wd, g, v, COUNT(*) AS c FROM base GROUP BY wd, g, v
+),
+staged AS (
+  SELECT wd, g, v, c,
+         SUM(c) OVER (PARTITION BY wd ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ccnt,
+         SUM(c) OVER (PARTITION BY wd) AS nn
+  FROM cells
+),
+med AS (
+  SELECT wd, g, v, c, nn,
+         MIN(CASE WHEN ccnt * 2 >= nn + nn % 2 THEN v END)
+           OVER (PARTITION BY wd) AS medv
+  FROM staged
+),
+pg AS (
+  SELECT wd, g, MAX(nn) AS nn, MAX(medv) AS medv,
+         SUM(CASE WHEN v > medv THEN c ELSE 0 END) AS ab,
+         SUM(CASE WHEN v <= medv THEN c ELSE 0 END) AS le
+  FROM med GROUP BY wd, g
+),
+mg AS (
+  SELECT wd, nn, medv, ab, le,
+         SUM(ab) OVER (PARTITION BY wd) AS ca,
+         SUM(le) OVER (PARTITION BY wd) AS cl,
+         COUNT(*) OVER (PARTITION BY wd) AS ng
+  FROM pg
+),
+et AS (
+  SELECT wd, nn, ng, medv, ca, cl,
+         CAST(ab AS DOUBLE) AS oa, CAST(le AS DOUBLE) AS ol,
+         CAST(ab + le AS DOUBLE) * CAST(ca AS DOUBLE)
+           / CAST(nn AS DOUBLE) AS ea,
+         CAST(ab + le AS DOUBLE) * CAST(cl AS DOUBLE)
+           / CAST(nn AS DOUBLE) AS el
+  FROM mg
+),
+terms AS (
+  SELECT wd, nn, ng, medv, ca, cl,
+         ROUND(CASE WHEN ea = 0 THEN NULL
+                    ELSE (oa - ea) * (oa - ea) / ea END
+               + CASE WHEN el = 0 THEN NULL
+                      ELSE (ol - el) * (ol - el) / el END
+               + 1e-12, 9) AS t
+  FROM et
+)
+SELECT wd, CAST(MAX(nn) AS BIGINT) AS n,
+       CAST(MAX(ng) AS BIGINT) AS n_groups,
+       MAX(medv) AS grand_median,
+       ROUND(CASE WHEN MAX(ng) >= 2 AND MIN(ca) > 0 AND MIN(cl) > 0
+             THEN CAST(SUM(CAST(t AS DECIMAL(19,9))) AS DOUBLE)
+             END + 1e-9, 6) AS chi2,
+       CASE WHEN MAX(ng) >= 2 AND MIN(ca) > 0 AND MIN(cl) > 0
+            THEN CAST(MAX(ng) - 1 AS BIGINT) END AS dof
+FROM terms GROUP BY wd ORDER BY wd
+"""
+
+
+@golden(
+    "moods_median_value_by_weekday",
+    MOODS_MEDIAN_ORACLE,
+    tags=("stats", "moods-median", "rank-test", "events"),
+)
+def moods_median_value_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of value across the five event types, keyed
+    by weekday — the robustness end of the k-sample family next to
+    kruskal_wallis (full ranks) and oneway_anova (means): split at the
+    pooled per-weekday median, 2 x k chi-square on exact counts. The
+    weekday key keeps the median windows multi-partition."""
+    from mr_dice_spark.operators.anova import moods_median_test
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("wd"),
+        F.col("event_type").alias("g"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return moods_median_test(rows, "wd", "g", "v").orderBy("wd")

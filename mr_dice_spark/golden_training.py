@@ -4900,3 +4900,66 @@ def ols_influence_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataF
     return out.withColumnRenamed("k", "event_type").orderBy(
         "event_type", F.desc("cooks_d"), "x"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs: the single-outlier screen on the same daily frame (round 10).
+# ---------------------------------------------------------------------------
+
+GRUBBS_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+stats AS (
+  SELECT k, COUNT(*) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+              AS DOUBLE) AS s2
+  FROM d GROUP BY k
+),
+m AS (
+  SELECT k, n,
+         ROUND(s1 / CAST(n AS DOUBLE) + 1e-12, 9) AS mean,
+         CASE WHEN n >= 2
+              THEN ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0) + 1e-12, 9)
+              END AS var
+  FROM stats
+),
+scored AS (
+  SELECT d.k, d.y, m.n, m.mean,
+         ROUND(sqrt(m.var) + 1e-12, 9) AS sd,
+         CASE WHEN m.n >= 3 AND m.var > 0
+              THEN ROUND(ABS(d.y - m.mean)
+                         / ROUND(sqrt(m.var) + 1e-12, 9) + 1e-12, 9)
+              END AS z
+  FROM d JOIN m ON m.k = d.k
+),
+ranked AS (
+  SELECT k, n, mean, sd, y, z,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY z DESC, y ASC) AS rn
+  FROM scored
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN z IS NOT NULL THEN mean END + 1e-9, 6) AS mean,
+       ROUND(CASE WHEN z IS NOT NULL THEN sd END + 1e-9, 6) AS sd,
+       CASE WHEN z IS NOT NULL THEN y END AS outlier_value,
+       ROUND(z + 1e-9, 6) AS grubbs_g
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@golden(
+    "grubbs_daily_value_by_type",
+    GRUBBS_ORACLE,
+    tags=("timeseries", "grubbs", "outlier", "events"),
+)
+def grubbs_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max-studentized-deviate screen on each event type's daily
+    mean values — WHICH single day is least plausible under normality,
+    the test-shaped complement to mad_outlier_flags (robust, flags
+    all) and ols_influence (regression-relative) on the same daily
+    frame. Decimal power sums; mean/sd/z pinned at 9dp before the
+    deterministic (z DESC, value ASC) pick."""
+    from mr_dice_spark.operators.anova import grubbs_max_deviate
+
+    out = grubbs_max_deviate(_daily_frame(spark, sf_dir), "k", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

@@ -25,7 +25,7 @@ windows, no Python, no second scan of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -362,4 +362,221 @@ def kruskal_wallis_by_group(
         F.round(h + F.lit(1e-9), 4).alias("h"),
         F.round(tie_c + F.lit(1e-9), 6).alias("tie_correction"),
         F.round(h_adj + F.lit(1e-9), 4).alias("h_corrected"),
+    )
+
+
+def grubbs_max_deviate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Grubbs statistic — the single-outlier screen the
+    z-score family runs FIRST: ``G = max_i |x_i - mean| / sd`` (sample
+    sd, n-1 denominator) plus the value achieving it. G compared
+    against the t-based critical value answers 'is the most extreme
+    point plausible under normality'; this operator reports the
+    statistic and the suspect (the decision threshold depends on the
+    caller's alpha and is one scalar lookup away — no t-inverse exists
+    JVM-side, and shipping an approximation would fake precision the
+    test doesn't have).
+
+    Distinct from :func:`mr_dice_spark.operators.robust.
+    mad_outlier_flags` (median/MAD flags EVERY point, robustly) —
+    Grubbs is the normality-assuming, max-deviate form review
+    checklists ask for by name.
+
+    NULL group/value rows are excluded. Groups with n < 3 (Grubbs is
+    undefined) or zero variance report NULL ``mean``, ``sd``,
+    ``outlier_value`` and ``grubbs_g`` — all-or-nothing fail-closed,
+    so a NULL statistic can never ride next to a reported moment that
+    LOOKS testable. Ties in |deviation| (two values
+    symmetric about the mean) break toward the SMALLER value —
+    deterministic cross-engine.
+
+    Cross-engine determinism: power sums are exact decimals (the
+    durbin_watson convention; contract: values on a <= 6dp grid,
+    |v| < 1e10); mean and sd pin at 9dp; each z is one fixed IEEE
+    chain on pinned operands, pinned at 9dp before the rank; outputs
+    round at 6.
+
+    Scale shape: power sums ride an unordered window over the SAME key
+    partitioning the rank window needs — scan -> shuffle(group) ->
+    windows -> one closing filter, NO join-back (the ols_influence
+    discipline). Returns ``(group, n, mean, sd, outlier_value,
+    grubbs_g)``.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    vd = F.col("__v").cast("decimal(16,6)")
+    w_all = Window.partitionBy("__g")
+    staged = base.select(
+        "__g",
+        "__v",
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(vd).over(w_all).cast("double").alias("__s1"),
+        F.sum(vd * vd).over(w_all).cast("double").alias("__s2"),
+    )
+    n_d = F.col("__n").cast("double")
+    mean = F.round(F.col("__s1") / n_d + F.lit(1e-12), 9)
+    var = F.round(
+        (F.col("__s2") - F.col("__s1") * F.col("__s1") / n_d)
+        / (n_d - 1.0)
+        + F.lit(1e-12),
+        9,
+    )
+    sd = F.round(F.sqrt(var) + F.lit(1e-12), 9)
+    z = F.when(
+        (F.col("__n") >= 3) & (var > 0),
+        F.round(F.abs(F.col("__v") - mean) / sd + F.lit(1e-12), 9),
+    )
+    scored = staged.select(
+        "__g",
+        "__v",
+        "__n",
+        mean.alias("__m"),
+        sd.alias("__sd"),
+        z.alias("__z"),
+    )
+    w_rank = Window.partitionBy("__g").orderBy(
+        F.desc("__z"), F.col("__v").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("long").alias("n"),
+            F.round(
+                F.when(F.col("__z").isNotNull(), F.col("__m")) + F.lit(1e-9), 6
+            ).alias("mean"),
+            F.round(
+                F.when(F.col("__z").isNotNull(), F.col("__sd")) + F.lit(1e-9), 6
+            ).alias("sd"),
+            F.when(F.col("__z").isNotNull(), F.col("__v")).alias(
+                "outlier_value"
+            ),
+            F.round(F.col("__z") + F.lit(1e-9), 6).alias("grubbs_g"),
+        )
+    )
+
+
+def moods_median_test(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Mood's median test — the coarsest, most
+    assumption-free k-sample location screen: split every observation
+    at the key's POOLED median (lower-median convention), cross-count
+    ``above / at-or-below`` per group, and report the Pearson chi2 of
+    the resulting 2 x k table (``dof = k - 1``). Where
+    :func:`kruskal_wallis_by_group` uses full rank information (more
+    power, more tie machinery), Mood's test survives arbitrary
+    monotone transforms and gross outliers — the robustness end of the
+    family.
+
+    NULL key/group/value rows are excluded. Keys where every
+    observation equals the pooled median (no 'above' mass — the
+    degenerate split) or with a single group report NULL chi2
+    (fail-closed); counts still report.
+
+    Cross-engine determinism: the pooled median is an exact
+    integer-comparison pick from cumulative cell counts (``2*ccnt >=
+    N + N%2`` selects the lower median — no interpolation,
+    engine-proof); the 2 x k table is exact integers; per-group chi2
+    terms are fixed IEEE chains on exact counts, pinned at 9dp, summed
+    as exact decimal(19,9); output rounds at 6.
+
+    Scale shape: one (key, group, value) cell aggregate bounds the
+    state, a RANGE cumulative window + whole-partition windows on the
+    key exchange pick the median, one (key, group) aggregate and one
+    per-key reduce close — no join, no global sort. Returns ``(key,
+    n, n_groups, grand_median, chi2, dof)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    cells = base.groupBy("__k", "__g", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # RANGE frame: the cumulative count at v must include ALL rows with
+    # value <= v across groups (several (g, v) cells share one v)
+    w_range = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy("__k")
+    staged = cells.select(
+        "__k",
+        "__g",
+        "__v",
+        "__c",
+        F.sum("__c").over(w_range).alias("__ccnt"),
+        F.sum("__c").over(w_key).alias("__nn"),
+    )
+    # lower median: smallest v whose inclusive cumulative count reaches
+    # ceil(N/2); 2*ccnt >= N + N%2 is the integer-only equivalent
+    med_cond = (F.col("__ccnt") * 2) >= (F.col("__nn") + F.col("__nn") % 2)
+    staged = staged.withColumn(
+        "__med", F.min(F.when(med_cond, F.col("__v"))).over(w_key)
+    )
+    per_group = staged.groupBy("__k", "__g").agg(
+        F.max("__nn").alias("__nn"),
+        F.max("__med").alias("__med"),
+        F.sum(F.when(F.col("__v") > F.col("__med"), F.col("__c")).otherwise(F.lit(0))).alias("__ab"),
+        F.sum(F.when(F.col("__v") <= F.col("__med"), F.col("__c")).otherwise(F.lit(0))).alias("__le"),
+    )
+    w_k2 = Window.partitionBy("__k")
+    margins = per_group.select(
+        "__k",
+        "__g",
+        "__nn",
+        "__med",
+        "__ab",
+        "__le",
+        F.sum("__ab").over(w_k2).alias("__ca"),
+        F.sum("__le").over(w_k2).alias("__cl"),
+        F.count(F.lit(1)).over(w_k2).alias("__ng"),
+    )
+    rt = (F.col("__ab") + F.col("__le")).cast("double")
+    n_d = F.col("__nn").cast("double")
+    ea = rt * F.col("__ca").cast("double") / n_d
+    el = rt * F.col("__cl").cast("double") / n_d
+    oa = F.col("__ab").cast("double")
+    ol = F.col("__le").cast("double")
+    term = F.round(
+        F.try_divide((oa - ea) * (oa - ea), ea)
+        + F.try_divide((ol - el) * (ol - el), el)
+        + F.lit(1e-12),
+        9,
+    )
+    out = margins.groupBy("__k").agg(
+        F.max("__nn").alias("__n"),
+        F.max("__ng").alias("__ngr"),
+        F.max("__med").alias("__gm"),
+        F.min("__ca").alias("__tca"),
+        F.min("__cl").alias("__tcl"),
+        F.sum(term.cast("decimal(19,9)")).cast("double").alias("__chi2"),
+    )
+    ok = (
+        (F.col("__ngr") >= 2) & (F.col("__tca") > 0) & (F.col("__tcl") > 0)
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__ngr").cast("long").alias("n_groups"),
+        F.col("__gm").alias("grand_median"),
+        F.round(F.when(ok, F.col("__chi2")) + F.lit(1e-9), 6).alias("chi2"),
+        F.when(ok, F.col("__ngr") - 1).cast("long").alias("dof"),
     )

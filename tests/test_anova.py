@@ -161,3 +161,85 @@ def test_kruskal_wallis_all_tied_null_contract(spark):
     assert r["h"] == pytest.approx(0.0, abs=1e-4)
     assert r["tie_correction"] == pytest.approx(0.0, abs=1e-6)
     assert r["h_corrected"] is None
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Grubbs max deviate + Mood's median test
+# ---------------------------------------------------------------------------
+
+
+def test_grubbs_hand_computed_and_fail_closed(spark):
+    import statistics
+
+    from mr_dice_spark.operators.anova import grubbs_max_deviate
+
+    A = [1.0, 2.0, 2.5, 3.0, 9.0]
+    rows = [("A", v) for v in A]
+    rows += [("B", 5.0), ("B", 5.0)]          # n < 3
+    rows += [("C", 4.0), ("C", 4.0), ("C", 4.0)]  # zero variance
+    rows += [(None, 1.0), ("A", None)]        # excluded
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in grubbs_max_deviate(df, "g", "v").collect()}
+
+    m, sd = statistics.mean(A), statistics.stdev(A)
+    assert got["A"]["n"] == 5
+    assert got["A"]["mean"] == pytest.approx(m, abs=2e-6)
+    assert got["A"]["sd"] == pytest.approx(sd, abs=2e-6)
+    assert got["A"]["outlier_value"] == 9.0
+    assert got["A"]["grubbs_g"] == pytest.approx(
+        max(abs(x - m) for x in A) / sd, abs=2e-6
+    )
+    for k in ("B", "C"):  # all-or-nothing fail-closed
+        assert all(
+            got[k][c] is None
+            for c in ("mean", "sd", "outlier_value", "grubbs_g")
+        ), got[k]
+
+
+def test_grubbs_symmetric_tie_breaks_to_smaller_value(spark):
+    from mr_dice_spark.operators.anova import grubbs_max_deviate
+
+    df = spark.createDataFrame(
+        [("T", 1.0), ("T", 5.0), ("T", 9.0)], "g string, v double"
+    )
+    got = grubbs_max_deviate(df, "g", "v").collect()[0]
+    assert got["outlier_value"] == 1.0  # |1-5| == |9-5|, smaller wins
+
+
+def test_moods_median_hand_computed(spark):
+    from mr_dice_spark.operators.anova import moods_median_test
+
+    # k1: g1 strictly below, g2 strictly above the pooled median 4 ->
+    # fully separated 2x2 table, chi2 = N = 8, dof = 1
+    rows = [("k1", "g1", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("k1", "g2", float(v)) for v in (5, 6, 7, 8)]
+    rows += [("k2", "g1", 2.0), ("k2", "g2", 2.0)]  # degenerate: all == med
+    rows += [("k3", "g1", 1.0), ("k3", "g1", 5.0)]  # single group
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = {r["k"]: r for r in moods_median_test(df, "k", "g", "v").collect()}
+
+    assert got["k1"]["grand_median"] == 4.0  # lower median of 8 values
+    assert got["k1"]["chi2"] == pytest.approx(8.0, abs=1e-6)
+    assert (got["k1"]["n"], got["k1"]["n_groups"], got["k1"]["dof"]) == (8, 2, 1)
+    assert got["k2"]["chi2"] is None and got["k2"]["dof"] is None
+    assert got["k2"]["grand_median"] == 2.0
+    assert got["k3"]["chi2"] is None  # one group: nothing to compare
+
+
+def test_moods_median_location_shift_signal(spark):
+    """A clean location shift must score a larger chi2 than identical
+    distributions (which split evenly at the pooled median)."""
+    import random
+
+    from mr_dice_spark.operators.anova import moods_median_test
+
+    rng = random.Random(3)
+    base = [round(rng.uniform(0, 10), 2) for _ in range(200)]
+    rows = [("same", "g1", v) for v in base]
+    rows += [("same", "g2", v) for v in base]
+    rows += [("shift", "g1", v) for v in base]
+    rows += [("shift", "g2", round(v + 5.0, 2)) for v in base]
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = {r["k"]: r["chi2"] for r in moods_median_test(df, "k", "g", "v").collect()}
+    assert got["same"] == pytest.approx(0.0, abs=1.5)  # even split, tiny chi2
+    assert got["shift"] > 50.0

@@ -1965,3 +1965,25 @@ def test_energy_distance_no_pairwise_join(spark, sf_dir):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_grubbs_single_exchange_no_join(spark, sf_dir):
+    """Power sums ride unordered key windows on the rank window's own
+    exchange (the ols_influence discipline): one pruned scan, no
+    join-back, no global sort."""
+    df = GOLDEN["grubbs_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_moods_median_cell_windows_no_join(spark, sf_dir):
+    """The pooled-median pick and the 2 x k margins are all windows on
+    the weekday key over the bounded cell/group frames: one scan, no
+    join, no single-partition exchange."""
+    df = GOLDEN["moods_median_value_by_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

@@ -274,6 +274,8 @@ PROBES = [
     # few new distinct values, so cells deepen, not widen)
     "cvm_value_weekend_by_type",
     "energy_dist_value_weekend_by_type",
+    "grubbs_daily_value_by_type",
+    "moods_median_value_by_weekday",
 ]
 
 
