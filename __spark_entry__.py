@@ -108,6 +108,8 @@ _CHECK_FIRST = [
     # energy_dist_value_weekend_by_type
     # grubbs_daily_value_by_type
     # moods_median_value_by_weekday
+    # pacf_daily_value_by_type
+    # hurst_hourly_value_by_type
     # Round-11 window = 1 flagship + that queue + r4-latest goldens
     # alphabetically to fill 50 slots, as tests/test_coverage.py's
     # feasibility guard verifies.

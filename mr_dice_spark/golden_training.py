@@ -4963,3 +4963,232 @@ def grubbs_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = grubbs_max_deviate(_daily_frame(spark, sf_dir), "k", "y")
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# PACF through lag 3 on the daily frame; Hurst R/S on an hourly frame
+# (round 10).
+# ---------------------------------------------------------------------------
+
+PACF_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+st AS (
+  SELECT k, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS vbar
+  FROM d GROUP BY k
+),
+dev AS (
+  SELECT d.k, d.x, st.n, ROUND(d.y - st.vbar + 1e-12, 9) AS dv
+  FROM d JOIN st ON st.k = d.k
+),
+lagged AS (
+  SELECT k, n, dv,
+         LAG(dv, 1) OVER w AS d1, LAG(dv, 2) OVER w AS d2,
+         LAG(dv, 3) OVER w AS d3,
+         CASE WHEN LAG(x) OVER w = x THEN 1 ELSE 0 END AS tie
+  FROM dev WINDOW w AS (PARTITION BY k ORDER BY x)
+),
+pk AS (
+  SELECT k, MAX(n) AS n, MAX(tie) AS ties,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(dv AS DECIMAL(18,9)))
+              AS DOUBLE) AS ss,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d1 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c1,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d2 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c2,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d3 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c3
+  FROM lagged GROUP BY k
+),
+r AS (
+  SELECT k, n,
+         CASE WHEN n > 3 AND ties = 0 AND ss > 0
+              THEN ROUND(c1 / ss + 1e-12, 9) END AS r1,
+         CASE WHEN n > 3 AND ties = 0 AND ss > 0
+              THEN ROUND(c2 / ss + 1e-12, 9) END AS r2,
+         CASE WHEN n > 3 AND ties = 0 AND ss > 0
+              THEN ROUND(c3 / ss + 1e-12, 9) END AS r3
+  FROM r_src
+),
+p2t AS (
+  SELECT k, n, r1, r2, r3,
+         CASE WHEN 1.0 - r1 * r1 != 0
+              THEN ROUND((r2 - r1 * r1) / (1.0 - r1 * r1) + 1e-12, 9)
+              END AS p2
+  FROM r
+),
+p3t AS (
+  SELECT k, n, r1, r2, r3, p2,
+         ROUND(r1 - p2 * r1 + 1e-12, 9) AS f21
+  FROM p2t
+),
+wide AS (
+  SELECT k, n, r1, r2, r3, r1 AS p1, p2,
+         CASE WHEN 1.0 - f21 * r1 - p2 * r2 != 0
+              THEN ROUND((r3 - f21 * r2 - p2 * r1)
+                         / (1.0 - f21 * r1 - p2 * r2) + 1e-12, 9)
+              END AS p3
+  FROM p3t
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n, lag,
+       ROUND(acf + 1e-9, 6) AS acf, ROUND(pacf + 1e-9, 6) AS pacf
+FROM (
+  SELECT k, n, CAST(1 AS BIGINT) AS lag, r1 AS acf, p1 AS pacf FROM wide
+  UNION ALL
+  SELECT k, n, CAST(2 AS BIGINT), r2, p2 FROM wide
+  UNION ALL
+  SELECT k, n, CAST(3 AS BIGINT), r3, p3 FROM wide
+) ORDER BY event_type, lag
+"""
+PACF_ORACLE = PACF_ORACLE.replace("FROM r_src", "FROM pk")
+
+
+@golden(
+    "pacf_daily_value_by_type",
+    PACF_ORACLE,
+    tags=("timeseries", "pacf", "acf", "events"),
+)
+def pacf_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (with the acf beside it) at lags 1-3 of
+    each event type's daily mean values — the AR-order identification
+    readout next to ljung_box's whiteness Q on the same daily frame,
+    via the Durbin-Levinson recursion unrolled to engine-invariant
+    closed forms on 9dp-pinned acf values."""
+    from mr_dice_spark.operators.timeseries import pacf_by_lag
+
+    out = pacf_by_lag(_daily_frame(spark, sf_dir), "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy(
+        "event_type", "lag"
+    )
+
+
+_HOURLY_FRAME_SQL = """
+ev AS (
+  SELECT event_type AS k, ts, value FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+h AS (
+  SELECT k, CAST(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS DOUBLE) AS x,
+         ROUND(AVG(value) + 1e-9, 6) AS y
+  FROM ev GROUP BY 1, 2
+)
+"""
+
+
+def _hourly_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("double").alias("x"),
+    ).agg(_r(F.avg("value"), 6).alias("y"))
+
+
+HURST_ORACLE = f"""
+WITH {_HOURLY_FRAME_SQL},
+idx0 AS (
+  SELECT k, y,
+         ROW_NUMBER() OVER w - 1 AS i,
+         COUNT(*) OVER (PARTITION BY k) AS n,
+         CASE WHEN LAG(x) OVER w = x THEN 1 ELSE 0 END AS tie0
+  FROM h WINDOW w AS (PARTITION BY k ORDER BY x)
+),
+idx AS (
+  SELECT k, y, i, n, MAX(tie0) OVER (PARTITION BY k) AS ties FROM idx0
+),
+sized AS (
+  SELECT idx.*, sv.s, CAST(FLOOR(i / s) AS BIGINT) AS b
+  FROM idx CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS s) sv
+),
+blk AS (
+  SELECT k, n, ties, s, b, i,
+         COUNT(*) OVER wb AS m,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(16,6))) OVER wb AS DOUBLE)
+               / CAST(COUNT(*) OVER wb AS DOUBLE) + 1e-12, 9) AS mean,
+         CAST(SUM(CAST(y AS DECIMAL(16,6)) * CAST(y AS DECIMAL(16,6)))
+              OVER wb AS DOUBLE) AS s2,
+         ROW_NUMBER() OVER (PARTITION BY k, s, b ORDER BY i) AS ri,
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) OVER wr AS DOUBLE) AS cum
+  FROM sized
+  WINDOW wb AS (PARTITION BY k, s, b),
+         wr AS (PARTITION BY k, s, b ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+devs AS (
+  SELECT k, n, ties, s, b, m, ri,
+         ROUND(s2 / CAST(m AS DOUBLE) - mean * mean + 1e-12, 9) AS var,
+         MAX(ROUND(cum - CAST(ri AS DOUBLE) * mean + 1e-12, 9)) OVER wb
+           - MIN(ROUND(cum - CAST(ri AS DOUBLE) * mean + 1e-12, 9)) OVER wb
+           AS r
+  FROM blk
+  WINDOW wb AS (PARTITION BY k, s, b)
+),
+blocks AS (
+  SELECT k, n, ties, s,
+         CASE WHEN m = s AND var > 0
+              THEN ROUND(r / ROUND(sqrt(var) + 1e-12, 9) + 1e-12, 9)
+              END AS rs
+  FROM devs WHERE ri = s
+),
+per_scale AS (
+  SELECT k, s, MAX(n) AS n, MAX(ties) AS ties,
+         count_if(rs IS NOT NULL) AS nb,
+         CAST(SUM(CAST(rs AS DECIMAL(18,9))) AS DOUBLE) AS srs
+  FROM blocks GROUP BY k, s
+),
+pts AS (
+  SELECT k, n, ties,
+         ROUND(log2(CAST(s AS DOUBLE)) + 1e-12, 9) AS lx,
+         CASE WHEN nb > 0
+                   AND ROUND(srs / CAST(nb AS DOUBLE) + 1e-12, 9) > 0
+              THEN ROUND(log2(ROUND(srs / CAST(nb AS DOUBLE) + 1e-12, 9))
+                         + 1e-12, 9) END AS ly
+  FROM per_scale
+),
+fit AS (
+  SELECT k, MAX(n) AS cnt, MAX(ties) AS t,
+         count_if(ly IS NOT NULL) AS np,
+         CAST(SUM(CASE WHEN ly IS NOT NULL
+                       THEN CAST(lx AS DECIMAL(18,9)) END) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ly AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CASE WHEN ly IS NOT NULL
+                       THEN CAST(lx AS DECIMAL(18,9))
+                            * CAST(lx AS DECIMAL(18,9)) END)
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CASE WHEN ly IS NOT NULL
+                       THEN CAST(lx AS DECIMAL(18,9)) END
+                  * CAST(ly AS DECIMAL(18,9))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY k
+)
+SELECT k AS event_type, CAST(cnt AS BIGINT) AS n,
+       CAST(np AS BIGINT) AS n_scales,
+       ROUND(CASE WHEN np >= 2 AND t = 0
+                       AND CAST(np AS DOUBLE) * sxx - sx * sx != 0
+             THEN (CAST(np AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(np AS DOUBLE) * sxx - sx * sx)
+             END + 1e-9, 6) AS hurst
+FROM fit ORDER BY event_type
+"""
+
+
+@golden(
+    "hurst_hourly_value_by_type",
+    HURST_ORACLE,
+    tags=("timeseries", "hurst", "long-memory", "events"),
+)
+def hurst_hourly_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (rescaled-range, block ladder 8/16/32/64) of each
+    event type's hourly mean values — the long-memory readout beside
+    the acf/pacf/ljung_box family: is the hourly value series
+    persistent (H > 0.5), random (~0.5), or mean-reverting (< 0.5)?
+    Hourly grid (~720 points per key) gives the block ladder real
+    depth where the 30-day daily frame cannot."""
+    from mr_dice_spark.operators.timeseries import hurst_rs
+
+    out = hurst_rs(_hourly_frame(spark, sf_dir), "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

@@ -2438,3 +2438,315 @@ def energy_distance_2s(
         F.round(d2 + F.lit(1e-9), 6).alias("energy_d2"),
         F.round(F.sqrt(d2) + F.lit(1e-9), 6).alias("energy_d"),
     )
+
+
+def pacf_by_lag(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key partial autocorrelation at lags 1-3 (with the acf beside
+    it) — the ORDER-IDENTIFICATION readout :func:`ljung_box` (is
+    anything left?) and :func:`autocorrelation_by_lag` (screening acf)
+    don't give: pacf_h is the correlation at lag h AFTER removing the
+    shorter lags, so the lag where it cuts off is the AR order. Uses
+    the same TEXTBOOK full-denominator acf as ljung_box, then the
+    Durbin-Levinson recursion UNROLLED to closed forms:
+
+        pacf_1 = r1
+        pacf_2 = (r2 - r1^2) / (1 - r1^2)
+        pacf_3 = (r3 - phi21 r2 - pacf_2 r1)
+                 / (1 - phi21 r1 - pacf_2 r2),  phi21 = r1 - pacf_2 r1
+
+    The depth is FIXED at 3 by design: the unrolled forms are
+    engine-invariant closed arithmetic on pinned acf values, where a
+    general-depth recursion needs per-key iterative state (a pandas
+    UDF) for marginal identification value beyond AR(3).
+
+    Bucketed-series contract (the ljung_box convention verbatim):
+    (key, bucket_x, quantized y) with x unique per key; NULL rows
+    excluded; x-ties fail closed; keys with n <= 3 points or zero
+    variance report NULL acf/pacf at every lag; a zero Durbin-Levinson
+    denominator NULLs that lag (and lag 3 if lag 2 is NULL).
+
+    Cross-engine determinism: decimal mean, 9dp-pinned deviations,
+    decimal lag-product sums, each acf and each pacf pinned at 9dp
+    before reuse; outputs round at 6.
+
+    Scale shape: ljung_box's exact single exchange — scan ->
+    shuffle(key) -> lag windows (3 lags in one pass) -> closing
+    aggregate -> a 3-row stack per key. Returns ``(key, n, lag, acf,
+    pacf)``, 3 rows per key.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    w_all = Window.partitionBy("__k")
+    w_lag = Window.partitionBy("__k").orderBy("__x")
+    yd = F.col("__y").cast("decimal(16,6)")
+    mean = F.round(
+        F.sum(yd).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+        + F.lit(1e-12),
+        9,
+    )
+    dev = base.select(
+        "__k",
+        "__x",
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.round(F.col("__y") - mean + F.lit(1e-12), 9).alias("__d"),
+        F.when(F.lag("__x").over(w_lag) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie"),
+    )
+    lagged = dev.select(
+        "__k",
+        "__n",
+        "__tie",
+        "__d",
+        *[F.lag("__d", h).over(w_lag).alias(f"__d{h}") for h in (1, 2, 3)],
+    )
+    ddec = F.col("__d").cast("decimal(18,9)")
+    per_key = lagged.groupBy("__k").agg(
+        F.max("__n").alias("__cnt"),
+        F.max("__tie").alias("__ties"),
+        F.sum(ddec * ddec).cast("double").alias("__ss"),
+        *[
+            F.sum(ddec * F.col(f"__d{h}").cast("decimal(18,9)"))
+            .cast("double")
+            .alias(f"__c{h}")
+            for h in (1, 2, 3)
+        ],
+    )
+    ok = (
+        (F.col("__cnt") > 3) & (F.col("__ties") == 0) & (F.col("__ss") > 0)
+    )
+    rs = {
+        h: F.when(
+            ok, F.round(F.col(f"__c{h}") / F.col("__ss") + F.lit(1e-12), 9)
+        )
+        for h in (1, 2, 3)
+    }
+    scored = per_key.select(
+        "__k",
+        "__cnt",
+        rs[1].alias("__r1"),
+        rs[2].alias("__r2"),
+        rs[3].alias("__r3"),
+    )
+    r1, r2, r3 = F.col("__r1"), F.col("__r2"), F.col("__r3")
+    den2 = F.lit(1.0) - r1 * r1
+    p2 = F.when(
+        den2 != 0, F.round((r2 - r1 * r1) / den2 + F.lit(1e-12), 9)
+    )
+    f21 = F.round(r1 - p2 * r1 + F.lit(1e-12), 9)
+    den3 = F.lit(1.0) - f21 * r1 - p2 * r2
+    p3 = F.when(
+        den3 != 0,
+        F.round((r3 - f21 * r2 - p2 * r1) / den3 + F.lit(1e-12), 9),
+    )
+    wide = scored.select(
+        "__k",
+        "__cnt",
+        "__r1",
+        "__r2",
+        "__r3",
+        r1.alias("__p1"),
+        p2.alias("__p2"),
+        p3.alias("__p3"),
+    )
+    stacked = wide.select(
+        "__k",
+        "__cnt",
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), __r1, __p1,"
+            "         CAST(2 AS BIGINT), __r2, __p2,"
+            "         CAST(3 AS BIGINT), __r3, __p3)"
+        ).alias("lag", "__acf", "__pacf"),
+    )
+    return stacked.select(
+        F.col("__k").alias(key_col),
+        F.col("__cnt").cast("long").alias("n"),
+        "lag",
+        F.round(F.col("__acf") + F.lit(1e-9), 6).alias("acf"),
+        F.round(F.col("__pacf") + F.lit(1e-9), 6).alias("pacf"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    block_sizes: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Per-key Hurst exponent by rescaled-range (R/S) analysis — the
+    long-memory readout the acf family can't give: H ~ 0.5 is a
+    random walk's increments, H > 0.5 persistent (trends feed
+    themselves), H < 0.5 anti-persistent (mean-reverting). For each
+    block size s in the ladder, the ordered series splits into
+    COMPLETE consecutive blocks; per block the rescaled range is
+
+        R/S = (max_i Z_i - min_i Z_i) / sd_pop,
+        Z_i = sum_{j<=i} (y_j - ybar_block),  i = 1..s
+
+    (population sd; Z over i = 1..s, without the implicit leading
+    zero — documented convention), and H is the least-squares slope of
+    log2(mean R/S per scale) against log2(s) over the ladder points
+    with positive mean.
+
+    Bucketed-series contract (the ljung_box convention): (key, x, y)
+    with x unique per key, NULL rows excluded, x-ties fail closed
+    (NULL hurst); ordering follows x ORDER, not x arithmetic. Keys
+    with fewer than 2 usable ladder points (every block constant, or
+    n < 2 * block_sizes[1]) report NULL hurst.
+
+    Cross-engine determinism: block means pin at 9dp over decimal
+    sums; Z_i = cum_i - i * mean is a fixed IEEE chain on exact
+    cumulative decimals and the pinned mean, pinned at 9dp; sd from
+    decimal power sums, pinned; R/S pins at 9dp; per-scale means and
+    both log2 values pin at 9dp (absorbing any last-ulp libm gap
+    between engines); the closing slope is closed-form least squares
+    on <= len(block_sizes) pinned points, rounded at 6.
+
+    Scale shape: ONE exchange on the key — row_number + tie flag on
+    the key sort, a bounded explode (x len(block_sizes)), block
+    windows whose (key, s, block) clustering is satisfied by the key
+    partitioning (Spark adds a sort, not a shuffle), a filter to one
+    row per complete block, and two key-clustered aggregates. Returns
+    ``(key, n, n_scales, hurst)``.
+    """
+    sizes = tuple(int(s) for s in block_sizes)
+    if len(sizes) < 2 or sorted(set(sizes)) != list(sizes) or sizes[0] < 2:
+        raise ValueError(
+            f"hurst_rs: block_sizes must be >= 2 distinct ascending sizes"
+            f" with min >= 2, got {block_sizes}"
+        )
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    w_all = Window.partitionBy("__k")
+    w_ord = Window.partitionBy("__k").orderBy("__x")
+    indexed = base.select(
+        "__k",
+        "__y",
+        (F.row_number().over(w_ord) - 1).alias("__i"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.max(
+            F.when(F.lag("__x").over(w_ord) == F.col("__x"), 1).otherwise(0)
+        )
+        .over(w_all)
+        .alias("__ties"),
+    )
+    sized = indexed.withColumn(
+        "__s", F.explode(F.array(*[F.lit(s) for s in sizes]))
+    ).withColumn("__b", F.floor(F.col("__i") / F.col("__s")))
+    w_blk = Window.partitionBy("__k", "__s", "__b")
+    w_run = (
+        Window.partitionBy("__k", "__s", "__b")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yd = F.col("__y").cast("decimal(16,6)")
+    m = F.count(F.lit(1)).over(w_blk)
+    mean = F.round(
+        F.sum(yd).over(w_blk).cast("double") / m.cast("double")
+        + F.lit(1e-12),
+        9,
+    )
+    s2 = F.sum(yd * yd).over(w_blk).cast("double")
+    var_pop = F.round(
+        s2 / m.cast("double") - mean * mean + F.lit(1e-12), 9
+    )
+    ri = F.row_number().over(
+        Window.partitionBy("__k", "__s", "__b").orderBy("__i")
+    )
+    cum = F.sum(yd).over(w_run).cast("double")
+    dev = F.round(cum - ri.cast("double") * mean + F.lit(1e-12), 9)
+    staged = sized.select(
+        "__k",
+        "__n",
+        "__ties",
+        "__s",
+        "__b",
+        m.alias("__m"),
+        ri.alias("__ri"),
+        var_pop.alias("__var"),
+        (F.max(dev).over(w_blk) - F.min(dev).over(w_blk)).alias("__r"),
+    )
+    rs = F.when(
+        (F.col("__m") == F.col("__s")) & (F.col("__var") > 0),
+        F.round(
+            F.col("__r")
+            / F.round(F.sqrt(F.col("__var")) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    # one row per COMPLETE block (__ri == __s implies __m == __s)
+    blocks = staged.where(F.col("__ri") == F.col("__s")).select(
+        "__k", "__n", "__ties", "__s", rs.alias("__rs")
+    )
+    per_scale = blocks.groupBy("__k", "__s").agg(
+        F.max("__n").alias("__n"),
+        F.max("__ties").alias("__ties"),
+        F.count_if(F.col("__rs").isNotNull()).alias("__nb"),
+        F.sum(F.col("__rs").cast("decimal(18,9)")).cast("double").alias(
+            "__srs"
+        ),
+    )
+    mean_rs = F.when(
+        F.col("__nb") > 0,
+        F.round(
+            F.col("__srs") / F.col("__nb").cast("double") + F.lit(1e-12), 9
+        ),
+    )
+    pts = per_scale.select(
+        "__k",
+        "__n",
+        "__ties",
+        F.round(F.log(2.0, F.col("__s").cast("double")) + F.lit(1e-12), 9).alias(
+            "__lx"
+        ),
+        F.when(
+            mean_rs > 0,
+            F.round(F.log(2.0, mean_rs) + F.lit(1e-12), 9),
+        ).alias("__ly"),
+    )
+    usable = F.col("__ly").isNotNull()
+    lxd = F.when(usable, F.col("__lx")).cast("decimal(18,9)")
+    lyd = F.col("__ly").cast("decimal(18,9)")
+    fit = pts.groupBy("__k").agg(
+        F.max("__n").alias("__cnt"),
+        F.max("__ties").alias("__t"),
+        F.count_if(usable).alias("__np"),
+        F.sum(lxd).cast("double").alias("__sx"),
+        F.sum(lyd).cast("double").alias("__sy"),
+        F.sum(lxd * lxd).cast("double").alias("__sxx"),
+        F.sum(lxd * lyd).cast("double").alias("__sxy"),
+    )
+    np_d = F.col("__np").cast("double")
+    den = np_d * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    h = F.when(
+        (F.col("__np") >= 2) & (F.col("__t") == 0) & (den != 0),
+        (np_d * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    return fit.select(
+        F.col("__k").alias(key_col),
+        F.col("__cnt").cast("long").alias("n"),
+        F.col("__np").cast("long").alias("n_scales"),
+        F.round(h + F.lit(1e-9), 6).alias("hurst"),
+    )

@@ -1987,3 +1987,28 @@ def test_moods_median_cell_windows_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_pacf_single_exchange_no_join(spark, sf_dir):
+    """ljung_box's exact shape: decimal mean and 3 lag columns on one
+    key exchange, a closing aggregate, a 3-row stack — no join, no
+    global sort."""
+    df = GOLDEN["pacf_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_hurst_one_key_exchange_bounded_explode(spark, sf_dir):
+    """The block windows cluster on (key, s, block), which the key
+    partitioning satisfies — Spark adds sorts, never a second
+    shuffle; the explode is a bounded x4; no join, no global sort."""
+    df = GOLDEN["hurst_hourly_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    # exactly one exchange introduced by the operator chain past the
+    # bucket aggregate: partitioning by the key serves every window
+    assert plan.count("Exchange") <= 3  # scan->bucket agg, ->key, AQE reads

@@ -1043,3 +1043,134 @@ def test_cvm_and_energy_shift_properties(spark):
     assert ed["big"] > ed["small"] > 0
     assert ed["moved"] == pytest.approx(ed["small"], abs=1e-6)
     assert cvm["moved"] == pytest.approx(cvm["small"], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: PACF (Durbin-Levinson closed forms) + Hurst R/S
+# ---------------------------------------------------------------------------
+
+
+def _brute_pacf(y):
+    n = len(y)
+    m = sum(y) / n
+    d = [v - m for v in y]
+    ss = sum(x * x for x in d)
+    r = [1.0] + [
+        sum(d[t] * d[t - h] for t in range(h, n)) / ss for h in (1, 2, 3)
+    ]
+    p1 = r[1]
+    p2 = (r[2] - r[1] ** 2) / (1 - r[1] ** 2)
+    f21 = p1 - p2 * p1
+    p3 = (r[3] - f21 * r[2] - p2 * r[1]) / (1 - f21 * r[1] - p2 * r[2])
+    return r[1:], [p1, p2, p3]
+
+
+def test_pacf_hand_computed_and_fail_closed(spark):
+    import random
+
+    from mr_dice_spark.operators.timeseries import pacf_by_lag
+
+    rng = random.Random(11)
+    y = [0.0]
+    for _ in range(59):
+        y.append(round(0.7 * y[-1] + rng.gauss(0, 1), 2))
+    y = [round(v + 5.0, 2) for v in y]
+    rows = [("a", float(i), v) for i, v in enumerate(y)]
+    rows += [("short", 1.0, 1.0), ("short", 2.0, 2.0), ("short", 3.0, 3.0)]
+    rows += [("const", float(i), 2.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = pacf_by_lag(df, "k", "x", "y").collect()
+    got = {(r["k"], r["lag"]): r for r in out}
+    racf, rpacf = _brute_pacf(y)
+    for h in (1, 2, 3):
+        assert got[("a", h)]["acf"] == pytest.approx(racf[h - 1], abs=5e-6)
+        assert got[("a", h)]["pacf"] == pytest.approx(rpacf[h - 1], abs=5e-6)
+        assert got[("a", h)]["n"] == 60
+        # n <= 3 and zero-variance keys fail closed at every lag
+        for k in ("short", "const"):
+            g = got[(k, h)]
+            assert g["acf"] is None and g["pacf"] is None
+    assert len(out) == 9  # 3 rows per key, always
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    """For an AR(1) series, pacf_1 is large and pacf_2/pacf_3 are near
+    zero — the identification property the operator exists for."""
+    import random
+
+    from mr_dice_spark.operators.timeseries import pacf_by_lag
+
+    rng = random.Random(5)
+    y = [0.0]
+    for _ in range(499):
+        y.append(round(0.8 * y[-1] + rng.gauss(0, 1), 2))
+    df = spark.createDataFrame(
+        [("a", float(i), v) for i, v in enumerate(y)],
+        "k string, x double, y double",
+    )
+    got = {r["lag"]: r["pacf"] for r in pacf_by_lag(df, "k", "x", "y").collect()}
+    assert got[1] > 0.7
+    assert abs(got[2]) < 0.15 and abs(got[3]) < 0.15
+
+
+def _brute_hurst(y, sizes=(8, 16, 32, 64)):
+    import math
+
+    pts = []
+    for s in sizes:
+        rss = []
+        for b in range(len(y) // s):
+            blk = y[b * s:(b + 1) * s]
+            m = sum(blk) / s
+            var = sum((v - m) ** 2 for v in blk) / s
+            if var <= 0:
+                continue
+            cum, zs = 0.0, []
+            for v in blk:
+                cum += v
+                zs.append(cum - (len(zs) + 1) * m)
+            rss.append((max(zs) - min(zs)) / math.sqrt(var))
+        if rss and sum(rss) / len(rss) > 0:
+            pts.append((math.log2(s), math.log2(sum(rss) / len(rss))))
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    return (n * sxy - sx * sy) / (n * sxx - sx * sx), n
+
+
+def test_hurst_hand_computed_and_regimes(spark):
+    import random
+
+    from mr_dice_spark.operators.timeseries import hurst_rs
+
+    rng = random.Random(42)
+    wn = [round(rng.gauss(0, 1), 2) for _ in range(512)]
+    prev, tr = 0.0, []
+    for _ in range(512):
+        prev = 0.8 * prev + rng.gauss(0, 1)
+        tr.append(round(prev, 2))
+    rows = [("wn", float(i), v) for i, v in enumerate(wn)]
+    rows += [("tr", float(i), v) for i, v in enumerate(tr)]
+    rows += [("const", float(i), 3.0) for i in range(200)]
+    rows += [("short", float(i), float(i % 7)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in hurst_rs(df, "k", "x", "y").collect()}
+    for k, y in (("wn", wn), ("tr", tr)):
+        exp, npts = _brute_hurst(y)
+        assert got[k]["hurst"] == pytest.approx(exp, abs=1e-4)
+        assert got[k]["n_scales"] == npts
+    assert got["const"]["hurst"] is None and got["const"]["n_scales"] == 0
+    assert got["short"]["hurst"] is None  # one usable ladder point
+    # persistence orders the exponents
+    assert got["tr"]["hurst"] > got["wn"]["hurst"]
+
+
+def test_hurst_validates_block_ladder(spark):
+    from mr_dice_spark.operators.timeseries import hurst_rs
+
+    df = spark.createDataFrame([("a", 1.0, 1.0)], "k string, x double, y double")
+    for bad in ((8,), (16, 8), (8, 8, 16), (1, 8)):
+        with pytest.raises(ValueError, match="block_sizes"):
+            hurst_rs(df, "k", "x", "y", block_sizes=bad)

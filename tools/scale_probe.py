@@ -276,6 +276,8 @@ PROBES = [
     "energy_dist_value_weekend_by_type",
     "grubbs_daily_value_by_type",
     "moods_median_value_by_weekday",
+    "pacf_daily_value_by_type",
+    "hurst_hourly_value_by_type",
 ]
 
 
