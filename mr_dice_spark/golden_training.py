@@ -5192,3 +5192,69 @@ def hurst_hourly_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = hurst_rs(_hourly_frame(spark, sf_dir), "k", "x", "y")
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion: are daily arrival counts Poisson? (round 10)
+# ---------------------------------------------------------------------------
+
+DISPERSION_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS b
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+counts AS (SELECT k, b, COUNT(*) AS c FROM base GROUP BY k, b),
+pk AS (
+  SELECT k, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM counts GROUP BY k
+),
+m AS (
+  SELECT k, n, s1,
+         ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 9) AS mean,
+         CASE WHEN n >= 2 THEN
+           ROUND((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) + 1e-12, 9) END AS var
+  FROM pk
+),
+v AS (
+  SELECT k, n, s1, mean,
+         CASE WHEN n >= 2 AND mean > 0
+              THEN ROUND(var / mean + 1e-12, 9) END AS vmr
+  FROM m
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n_buckets,
+       CAST(s1 AS BIGINT) AS total,
+       ROUND(vmr + 1e-9, 6) AS vmr,
+       ROUND((CAST(n AS DOUBLE) - 1.0) * vmr + 1e-9, 6) AS chi2,
+       CASE WHEN vmr IS NOT NULL THEN CAST(n - 1 AS BIGINT) END AS dof
+FROM v ORDER BY event_type
+"""
+
+
+@golden(
+    "dispersion_daily_counts_by_type",
+    DISPERSION_ORACLE,
+    tags=("timeseries", "dispersion", "poisson", "events"),
+)
+def dispersion_daily_counts_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-to-mean ratio of each event type's DAILY ARRIVAL COUNTS
+    — is the traffic Poisson (VMR ~ 1), bursty (> 1), or throttled
+    (< 1)? The count-series screen beside the value-series family;
+    exact integers end to end until the closing ratio."""
+    from mr_dice_spark.operators.timeseries import dispersion_index
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    rows = ev.select(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("b"),
+    )
+    return dispersion_index(rows, "k", "b").withColumnRenamed(
+        "k", "event_type"
+    ).orderBy("event_type")

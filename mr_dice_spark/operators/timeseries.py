@@ -2750,3 +2750,64 @@ def hurst_rs(
         F.col("__np").cast("long").alias("n_scales"),
         F.round(h + F.lit(1e-9), 6).alias("hurst"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Per-key index of dispersion (variance-to-mean ratio) of the
+    per-bucket COUNT series — the Poisson-ness screen for arrival
+    counts: VMR ~ 1 is Poisson traffic, > 1 overdispersed (bursts,
+    contagion — the usual truth about event streams), < 1
+    underdispersed (throttled/regular). Reports ``chi2 = (n-1) * VMR``
+    (~ chi-square(n-1) under the Poisson null) beside the ratio, so
+    the readout is test-shaped like its neighbours.
+
+    Counts come from the rows themselves (one row = one arrival):
+    buckets with zero arrivals never appear, so dispersion is measured
+    over OBSERVED buckets — callers wanting the closed grid resample
+    first (:func:`resample_ffill` exists for exactly that). NULL
+    key/bucket rows are excluded; keys with n < 2 buckets report NULL
+    vmr/chi2 (fail-closed).
+
+    Cross-engine determinism: bucket counts, their sum, and their sum
+    of squares are EXACT INTEGERS end to end — the only floating
+    arithmetic is the closing mean/var/ratio chain on exact longs,
+    pinned at 9dp and rounded at 6. No decimal casts needed: this is
+    the one statistic in the family with nothing to pin upstream.
+
+    Scale shape: one (key, bucket) count aggregate, one per-key
+    power-sum aggregate riding the same key clustering — two map-side
+    combinable hash aggregates, no window, no join. Returns ``(key,
+    n_buckets, total, vmr, chi2, dof)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"), F.col(bucket_col).alias("__b")
+    ).where(F.col(key_col).isNotNull() & F.col(bucket_col).isNotNull())
+    counts = base.groupBy("__k", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    per_key = counts.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__s1"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__s2"),
+    )
+    n_d = F.col("__n").cast("double")
+    s1_d = F.col("__s1").cast("double")
+    s2_d = F.col("__s2").cast("double")
+    mean = F.round(s1_d / n_d + F.lit(1e-12), 9)
+    var = F.round(
+        (s2_d - s1_d * s1_d / n_d) / (n_d - 1.0) + F.lit(1e-12), 9
+    )
+    vmr = F.when(
+        (F.col("__n") >= 2) & (mean > 0),
+        F.round(var / mean + F.lit(1e-12), 9),
+    )
+    return per_key.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n_buckets"),
+        F.col("__s1").cast("long").alias("total"),
+        F.round(vmr + F.lit(1e-9), 6).alias("vmr"),
+        F.round((n_d - 1.0) * vmr + F.lit(1e-9), 6).alias("chi2"),
+        F.when(vmr.isNotNull(), F.col("__n") - 1).cast("long").alias("dof"),
+    )

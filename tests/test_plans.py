@@ -2012,3 +2012,14 @@ def test_hurst_one_key_exchange_bounded_explode(spark, sf_dir):
     # exactly one exchange introduced by the operator chain past the
     # bucket aggregate: partitioning by the key serves every window
     assert plan.count("Exchange") <= 3  # scan->bucket agg, ->key, AQE reads
+
+
+def test_dispersion_two_hash_aggregates_no_window(spark, sf_dir):
+    """Two map-side-combinable hash aggregates on the key clustering:
+    no window, no join, no global sort."""
+    df = GOLDEN["dispersion_daily_counts_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

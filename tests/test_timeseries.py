@@ -1174,3 +1174,36 @@ def test_hurst_validates_block_ladder(spark):
     for bad in ((8,), (16, 8), (8, 8, 16), (1, 8)):
         with pytest.raises(ValueError, match="block_sizes"):
             hurst_rs(df, "k", "x", "y", block_sizes=bad)
+
+
+def test_dispersion_index_hand_computed(spark):
+    import statistics
+
+    from mr_dice_spark.operators.timeseries import dispersion_index
+
+    rows = [("A", 1)] * 3 + [("A", 2)] * 1 + [("A", 3)] * 2 + [("B", 1)] * 4
+    rows += [(None, 1), ("A", None)]  # excluded
+    df = spark.createDataFrame(rows, "k string, b int")
+    got = {r["k"]: r for r in dispersion_index(df, "k", "b").collect()}
+    cnts = [3, 1, 2]
+    vmr = statistics.variance(cnts) / statistics.mean(cnts)
+    assert (got["A"]["n_buckets"], got["A"]["total"]) == (3, 6)
+    assert got["A"]["vmr"] == pytest.approx(vmr, abs=1e-9)
+    assert got["A"]["chi2"] == pytest.approx(2 * vmr, abs=1e-5)
+    assert got["A"]["dof"] == 2
+    # single observed bucket: undefined, all-NULL fail-closed
+    assert got["B"]["vmr"] is None and got["B"]["chi2"] is None
+    assert got["B"]["dof"] is None
+
+
+def test_dispersion_index_poisson_regimes(spark):
+    from mr_dice_spark.operators.timeseries import dispersion_index
+
+    # regular (every bucket exactly 5 arrivals) -> VMR 0; bursty (one
+    # bucket holds half the mass) -> VMR >> 1
+    rows = [("reg", b) for b in range(20) for _ in range(5)]
+    rows += [("burst", 0)] * 50 + [("burst", b) for b in range(1, 20) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string, b int")
+    got = {r["k"]: r["vmr"] for r in dispersion_index(df, "k", "b").collect()}
+    assert got["reg"] == 0.0
+    assert got["burst"] > 10.0

@@ -278,6 +278,7 @@ PROBES = [
     "moods_median_value_by_weekday",
     "pacf_daily_value_by_type",
     "hurst_hourly_value_by_type",
+    "dispersion_daily_counts_by_type",
 ]
 
 
