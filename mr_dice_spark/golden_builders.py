@@ -2425,3 +2425,122 @@ def moods_median_value_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("value").cast("double").alias("v"),
     )
     return moods_median_test(rows, "wd", "g", "v").orderBy("wd")
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra: does value shift monotonically across the weeks?
+# (round 10)
+# ---------------------------------------------------------------------------
+
+JT_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) / 7)
+              AS BIGINT) AS g,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS (SELECT k, g, v, COUNT(*) AS c FROM base GROUP BY k, g, v),
+dg AS (SELECT DISTINCT k, g FROM base),
+pairs AS (
+  SELECT l.k, l.g AS a, r.g AS b
+  FROM dg l JOIN dg r ON l.k = r.k AND l.g < r.g
+),
+tagged AS (
+  SELECT c.k, p.a, p.b, c.v,
+         CASE WHEN c.g = p.a THEN c.c ELSE 0 END AS ca0,
+         CASE WHEN c.g = p.b THEN c.c ELSE 0 END AS cb0
+  FROM cells c JOIN pairs p ON p.k = c.k AND (c.g = p.a OR c.g = p.b)
+),
+pv AS (
+  SELECT k, a, b, v, SUM(ca0) AS ca, SUM(cb0) AS cb
+  FROM tagged GROUP BY k, a, b, v
+),
+terms AS (
+  SELECT k,
+         cb * (2 * COALESCE(SUM(ca) OVER (PARTITION BY k, a, b ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + ca) AS u2
+  FROM pv
+),
+jt2 AS (SELECT k, SUM(u2) AS jt2 FROM terms GROUP BY k),
+gs AS (
+  SELECT k, COUNT(*) AS ng, SUM(n) AS nn, SUM(n * n) AS sn2,
+         SUM(n * (n - 1) * (2 * n + 5)) AS g25, SUM(n * (n - 1)) AS g11,
+         SUM(n * (n - 1) * (n - 2)) AS g12
+  FROM (SELECT k, g, COUNT(*) AS n FROM base GROUP BY k, g) GROUP BY k
+),
+tsx AS (
+  SELECT k, SUM(t * (t - 1) * (2 * t + 5)) AS t25, SUM(t * (t - 1)) AS t11,
+         SUM(t * (t - 1) * (t - 2)) AS t12
+  FROM (SELECT k, v, COUNT(*) AS t FROM base GROUP BY k, v) GROUP BY k
+),
+j AS (
+  SELECT gs.*, tsx.t25, tsx.t11, tsx.t12, jt2.jt2
+  FROM gs JOIN tsx ON tsx.k = gs.k LEFT JOIN jt2 ON jt2.k = gs.k
+),
+calc AS (
+  SELECT k, nn, ng,
+         CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+         (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE))
+           / 4.0 AS e,
+         (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)
+            * (2.0 * CAST(nn AS DOUBLE) + 5.0)
+          - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+         + CASE WHEN nn > 2
+                THEN CAST(g12 AS DOUBLE) * CAST(t12 AS DOUBLE)
+                     / (36.0 * CAST(nn AS DOUBLE)
+                        * (CAST(nn AS DOUBLE) - 1.0)
+                        * (CAST(nn AS DOUBLE) - 2.0))
+                ELSE NULL END
+         + CASE WHEN nn > 1
+                THEN CAST(g11 AS DOUBLE) * CAST(t11 AS DOUBLE)
+                     / (8.0 * CAST(nn AS DOUBLE)
+                        * (CAST(nn AS DOUBLE) - 1.0))
+                ELSE NULL END AS var
+  FROM j
+)
+SELECT k AS event_type, CAST(nn AS BIGINT) AS n,
+       CAST(ng AS BIGINT) AS n_groups,
+       CASE WHEN ng >= 2 THEN jt END AS jt,
+       ROUND(CASE WHEN ng >= 2 THEN e END + 1e-9, 6) AS e_jt,
+       ROUND(CASE WHEN ng >= 2 AND var > 0 THEN var END + 1e-9, 6) AS var_jt,
+       ROUND(CASE WHEN ng >= 2 AND var > 0
+             THEN ROUND((jt - e) / ROUND(sqrt(var) + 1e-12, 9) + 1e-12, 9)
+             END + 1e-9, 6) AS z
+FROM calc ORDER BY event_type
+"""
+
+
+@golden(
+    "jt_weekly_value_trend_by_type",
+    JT_ORACLE,
+    tags=("stats", "jonckheere", "trend", "events"),
+)
+def jt_weekly_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test: does each event type's
+    value distribution shift monotonically across the month's weeks?
+    The ordered-alternative member between kruskal_wallis (unordered
+    any-difference) and cochran_armitage (binary outcome), with
+    Hollander-Wolfe tie-corrected null moments on exact integers and
+    the doubled-U half-integer discipline."""
+    from mr_dice_spark.operators.anova import jonckheere_terpstra
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        F.col("event_type").alias("k"),
+        F.floor(F.floor(F.unix_timestamp("ts") / 86400) / 7)
+        .cast("long")
+        .alias("g"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return jonckheere_terpstra(rows, "k", "g", "v").withColumnRenamed(
+        "k", "event_type"
+    ).orderBy("event_type")

@@ -580,3 +580,189 @@ def moods_median_test(
         F.round(F.when(ok, F.col("__chi2")) + F.lit(1e-9), 6).alias("chi2"),
         F.when(ok, F.col("__ngr") - 1).cast("long").alias("dof"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Jonckheere-Terpstra test — the k-sample trend test for
+    ORDERED groups that :func:`kruskal_wallis_by_group` (any
+    difference) and :func:`cochran_armitage_trend` (binary outcome)
+    bracket: does the value distribution shift monotonically as the
+    group ordinal rises?
+
+        JT = sum_{a < b} U_ab,   U_ab = #{x in a, y in b : x < y}
+                                        + 0.5 #{x = y}
+
+    with the Hollander-Wolfe tie-corrected null moments:
+
+        E[JT]  = (N^2 - sum n_g^2) / 4
+        Var    = [N(N-1)(2N+5) - sum_g n(n-1)(2n+5)
+                  - sum_v t(t-1)(2t+5)] / 72
+               + [sum_g n(n-1)(n-2)][sum_v t(t-1)(t-2)]
+                 / (36 N(N-1)(N-2))
+               + [sum_g n(n-1)][sum_v t(t-1)] / (8 N(N-1))
+        z      = (JT - E) / sqrt(Var)
+
+    (n_g group sizes, t_v pooled value-tie sizes per key). ``group_col``
+    must be numeric-ordinal — its ORDER is the alternative being
+    tested. NULL key/group/value rows are excluded. Keys with < 2
+    groups or zero variance report NULL z (fail-closed); jt/e_jt still
+    report where defined.
+
+    Cross-engine determinism: U_ab stays HALF-INTEGER-EXACT via the
+    doubled form ``2U = sum_v c_b(v) (2 cumstrict_a(v) + c_a(v))``
+    (the mann_whitney doubled-rank discipline); every moment input is
+    an exact integer; z is one fixed IEEE chain on exact longs, pinned
+    at 9dp, rounded at 6. Integer headroom: N^3 must fit a long
+    (N < 2e6 per key — far above any per-key series this is for).
+
+    Scale shape: one (key, group, value) cell aggregate that EVERY
+    downstream frame (pair dimension, group-size moments, tie-size
+    moments) derives from, so ReuseExchange collapses the physical
+    plan onto ONE corpus scan + one cell shuffle; the cell table joins
+    the BROADCAST pair-membership dimension once by equi-hash (each
+    cell replicated #groups-1 times, bounded), then per-(key, pair)
+    cumulative windows and three per-key reduces meet on the key. No
+    quadratic value join anywhere. Returns ``(key, n, n_groups, jt,
+    e_jt, var_jt, z)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).cast("long").alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    cells = base.groupBy("__k", "__g", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # EVERY downstream frame (pair dimension, group sizes, tie sizes)
+    # derives from the SAME cells aggregate, so the physical plan's
+    # ReuseExchange collapses all branches onto ONE corpus scan + one
+    # (key, group, value) shuffle (asserted by the plan test)
+    dg = cells.select("__k", "__g").distinct()
+    pairs = (
+        dg.alias("l")
+        .join(
+            dg.alias("r"),
+            (F.col("l.__k") == F.col("r.__k"))
+            & (F.col("l.__g") < F.col("r.__g")),
+        )
+        .select(
+            F.col("l.__k").alias("__k"),
+            F.col("l.__g").alias("__a"),
+            F.col("r.__g").alias("__b"),
+        )
+    )
+    member = pairs.select(
+        "__k",
+        "__a",
+        "__b",
+        F.explode(
+            F.array(
+                F.struct(F.col("__a").alias("g"), F.lit(1).alias("is_a")),
+                F.struct(F.col("__b").alias("g"), F.lit(0).alias("is_a")),
+            )
+        ).alias("__m"),
+    ).select(
+        "__k", "__a", "__b", F.col("__m.g").alias("__g"), F.col("__m.is_a").alias("__ia")
+    )
+    tagged = cells.join(F.broadcast(member), ["__k", "__g"])
+    pv = tagged.groupBy("__k", "__a", "__b", "__v").agg(
+        F.sum(F.when(F.col("__ia") == 1, F.col("__c")).otherwise(F.lit(0))).alias("__ca"),
+        F.sum(F.when(F.col("__ia") == 0, F.col("__c")).otherwise(F.lit(0))).alias("__cb"),
+    )
+    w_strict = (
+        Window.partitionBy("__k", "__a", "__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = pv.select(
+        "__k",
+        (
+            F.col("__cb")
+            * (
+                2 * F.coalesce(F.sum("__ca").over(w_strict), F.lit(0))
+                + F.col("__ca")
+            )
+        ).alias("__u2"),
+    )
+    jt2 = terms.groupBy("__k").agg(F.sum("__u2").alias("__jt2"))
+    # per-key group-size moments (exact longs)
+    gstats = (
+        cells.groupBy("__k", "__g")
+        .agg(F.sum("__c").alias("__n"))
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__ng"),
+            F.sum("__n").alias("__nn"),
+            F.sum(F.col("__n") * F.col("__n")).alias("__sn2"),
+            F.sum(
+                F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
+            ).alias("__g25"),
+            F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__g11"),
+            F.sum(
+                F.col("__n") * (F.col("__n") - 1) * (F.col("__n") - 2)
+            ).alias("__g12"),
+        )
+    )
+    # per-key pooled value-tie moments (exact longs)
+    tstats = (
+        cells.groupBy("__k", "__v")
+        .agg(F.sum("__c").alias("__t"))
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__t25"),
+            F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__t11"),
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (F.col("__t") - 2)
+            ).alias("__t12"),
+        )
+    )
+    joined = gstats.join(jt2, "__k", "left").join(tstats, "__k")
+    n_d = F.col("__nn").cast("double")
+    jt = F.col("__jt2").cast("double") / 2.0
+    e = (n_d * n_d - F.col("__sn2").cast("double")) / 4.0
+    var = (
+        (
+            n_d * (n_d - 1.0) * (2.0 * n_d + 5.0)
+            - F.col("__g25").cast("double")
+            - F.col("__t25").cast("double")
+        )
+        / 72.0
+        + F.try_divide(
+            F.col("__g12").cast("double") * F.col("__t12").cast("double"),
+            36.0 * n_d * (n_d - 1.0) * (n_d - 2.0),
+        )
+        + F.try_divide(
+            F.col("__g11").cast("double") * F.col("__t11").cast("double"),
+            8.0 * n_d * (n_d - 1.0),
+        )
+    )
+    ok = (F.col("__ng") >= 2) & (var > 0)
+    z = F.when(
+        ok,
+        F.round(
+            (jt - e) / F.round(F.sqrt(var) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__ng").cast("long").alias("n_groups"),
+        F.when(F.col("__ng") >= 2, jt).alias("jt"),
+        F.round(F.when(F.col("__ng") >= 2, e) + F.lit(1e-9), 6).alias("e_jt"),
+        F.round(F.when(ok, var) + F.lit(1e-9), 6).alias("var_jt"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )

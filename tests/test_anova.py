@@ -243,3 +243,65 @@ def test_moods_median_location_shift_signal(spark):
     got = {r["k"]: r["chi2"] for r in moods_median_test(df, "k", "g", "v").collect()}
     assert got["same"] == pytest.approx(0.0, abs=1.5)  # even split, tiny chi2
     assert got["shift"] > 50.0
+
+
+def _brute_jt(groups):
+    import math
+    from collections import Counter
+
+    ords = sorted(groups)
+    jt = 0.0
+    for i, a in enumerate(ords):
+        for b in ords[i + 1:]:
+            for x in groups[a]:
+                for y in groups[b]:
+                    jt += 1.0 if x < y else (0.5 if x == y else 0.0)
+    ns = [len(groups[g]) for g in ords]
+    N = sum(ns)
+    ts = list(Counter(v for g in ords for v in groups[g]).values())
+    e = (N * N - sum(n * n for n in ns)) / 4
+    A = (
+        N * (N - 1) * (2 * N + 5)
+        - sum(n * (n - 1) * (2 * n + 5) for n in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ts)
+    )
+    B = sum(n * (n - 1) * (n - 2) for n in ns) * sum(
+        t * (t - 1) * (t - 2) for t in ts
+    )
+    C = sum(n * (n - 1) for n in ns) * sum(t * (t - 1) for t in ts)
+    var = A / 72 + B / (36 * N * (N - 1) * (N - 2)) + C / (8 * N * (N - 1))
+    return jt, e, var, (jt - e) / math.sqrt(var)
+
+
+def test_jonckheere_terpstra_hand_computed(spark):
+    import random
+
+    from mr_dice_spark.operators.anova import jonckheere_terpstra
+
+    rng = random.Random(9)
+    g_trend = {
+        i: [round(rng.uniform(0, 5) + i, 1) for _ in range(40)]
+        for i in range(4)
+    }
+    g_null = {
+        i: [round(rng.uniform(0, 5), 1) for _ in range(40)] for i in range(4)
+    }
+    rows = [("trend", g, v) for g, vs in g_trend.items() for v in vs]
+    rows += [("null", g, v) for g, vs in g_null.items() for v in vs]
+    rows += [("one", 0, 1.0), ("one", 0, 2.0)]
+    rows += [("const", 0, 3.0), ("const", 1, 3.0), ("const", 2, 3.0)]
+    df = spark.createDataFrame(rows, "k string, g long, v double")
+    got = {r["k"]: r for r in jonckheere_terpstra(df, "k", "g", "v").collect()}
+    for k, gr in (("trend", g_trend), ("null", g_null)):
+        jt, e, var, z = _brute_jt(gr)
+        assert got[k]["jt"] == pytest.approx(jt, abs=1e-9)
+        assert got[k]["e_jt"] == pytest.approx(e, abs=1e-9)
+        assert got[k]["var_jt"] == pytest.approx(var, abs=2e-6)
+        assert got[k]["z"] == pytest.approx(z, abs=5e-6)
+    # single group: nothing ordered to compare
+    assert got["one"]["jt"] is None and got["one"]["z"] is None
+    # every value tied: jt defined (all half-counts), variance 0 -> NULL z
+    assert got["const"]["jt"] is not None
+    assert got["const"]["var_jt"] is None and got["const"]["z"] is None
+    # the planted monotone shift reads as a strong positive z
+    assert got["trend"]["z"] > 5 and abs(got["null"]["z"]) < 2.5

@@ -2023,3 +2023,20 @@ def test_dispersion_two_hash_aggregates_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_jt_broadcast_pairs_no_value_quadratics(spark, sf_dir):
+    """Every stats branch derives from the SAME (key, group, value)
+    cell aggregate, so AQE's runtime ReuseExchange collapses the
+    executed plan onto one corpus scan + one cell shuffle (the static
+    plan prints duplicate subtrees — reuse happens at execution). The
+    pair dimension joins the cells ONCE by broadcast equi-hash; no
+    cartesian product, no global sort."""
+    df = GOLDEN["jt_weekly_value_trend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    df.collect()  # AQE finalizes reuse at execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 3  # cells exchange shared
+    assert "BroadcastHashJoin" in final

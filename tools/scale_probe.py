@@ -279,6 +279,7 @@ PROBES = [
     "pacf_daily_value_by_type",
     "hurst_hourly_value_by_type",
     "dispersion_daily_counts_by_type",
+    "jt_weekly_value_trend_by_type",
 ]
 
 
