@@ -5258,3 +5258,84 @@ def dispersion_daily_counts_by_type(
     return dispersion_index(rows, "k", "b").withColumnRenamed(
         "k", "event_type"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Mood scale test: did weekend change the SPREAD of value? (round 10)
+# ---------------------------------------------------------------------------
+
+MOOD_SCALE_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, COUNT(*) AS t, count_if(a) AS ta FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, t, ta,
+         COALESCE(SUM(t) OVER (PARTITION BY k ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS clt,
+         SUM(t) OVER (PARTITION BY k) AS nn,
+         SUM(ta) OVER (PARTITION BY k) AS na
+  FROM cells
+),
+dd AS (
+  SELECT k, t, ta, nn, na, (2 * clt + t + 1 - nn - 1) AS d
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS na, MAX(nn) AS nn,
+         SUM(ta * d * d) AS t4,
+         SUM(t * d * d) AS s4,
+         SUM(CAST(t * d * d AS DECIMAL(19,0))
+             * CAST(d * d AS DECIMAL(19,0))) AS s8
+  FROM dd GROUP BY k
+),
+calc AS (
+  SELECT k, na, nn,
+         CAST(t4 AS DOUBLE) / 4.0 AS t_stat,
+         CAST(s4 AS DOUBLE) / 4.0 / CAST(nn AS DOUBLE) AS abar,
+         CAST(s8 AS DOUBLE) / 16.0 AS sum_sq
+  FROM agg
+),
+fin AS (
+  SELECT k, na, nn, t_stat,
+         ROUND(CAST(na AS DOUBLE) * abar + 1e-12, 9) AS e_t,
+         ROUND(CAST(na AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+               / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+               * (sum_sq - CAST(nn AS DOUBLE) * abar * abar)
+               + 1e-12, 9) AS var
+  FROM calc
+)
+SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
+       CAST(nn - na AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN t_stat END + 1e-9, 6)
+         AS t_stat,
+       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN e_t END + 1e-9, 6) AS e_t,
+       ROUND(CASE WHEN na > 0 AND nn - na > 0 AND var > 0
+             THEN ROUND((t_stat - e_t) / ROUND(sqrt(var) + 1e-12, 9)
+                        + 1e-12, 9)
+             END + 1e-9, 6) AS z
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "mood_scale_value_weekend_by_type",
+    MOOD_SCALE_ORACLE,
+    tags=("evaluation", "mood-scale", "dispersion", "events"),
+)
+def mood_scale_value_weekend_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood two-sample scale test on the weekend split per event type —
+    did weekend change the SPREAD of value (where mann_whitney asks
+    about location and w1/cvm about the whole shape)? Squared rank
+    deviations with exact permutation moments — tie-proof with no
+    correction terms; same frame as the rest of the drift family."""
+    from mr_dice_spark.operators.evaluation import mood_scale_test
+
+    return (
+        mood_scale_test(_weekend_rows(spark, sf_dir), "k", "weekend", "v", True)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )

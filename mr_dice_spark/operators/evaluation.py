@@ -3477,3 +3477,115 @@ def lins_ccc(
         F.round(r + F.lit(1e-9), 6).alias("pearson_r"),
         F.round(ccc + F.lit(1e-9), 6).alias("ccc"),
     )
+
+
+def mood_scale_test(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+) -> DataFrame:
+    """Per-group Mood two-sample SCALE test — the dispersion member the
+    two-sample family lacks: :func:`mann_whitney_u_by_group` asks 'did
+    the location shift', this asks 'did the SPREAD change' without
+    assuming normality (where Brown-Forsythe assumes a meaningful
+    mean). Scores are squared rank deviations from the pooled centre:
+
+        a_i = (r_i - (N+1)/2)^2         (midranks under ties)
+        T   = sum_{i in A} a_i
+
+    judged with the EXACT permutation moments of a linear rank
+    statistic — valid under arbitrary ties, no tie-correction
+    special-casing:
+
+        E[T]   = n_a * abar
+        Var[T] = n_a * n_b / (N (N-1)) * sum_i (a_i - abar)^2
+
+    Groups where either class is empty or every value is tied (Var 0)
+    report NULL z (fail-closed); T/E still report where defined. NULL
+    group/class/value rows are excluded.
+
+    Cross-engine determinism: midranks stay half-integer exact via the
+    doubled form (2r = 2 c_lt + t + 1 — the mann_whitney discipline),
+    so 4 a_i = (2r - N - 1)^2 is an exact long and the quartic moment
+    sums ride exact DECIMAL(38,0) products (t * d^2 as long, times d^2
+    as decimal — documented headroom N < ~3e4 per group for the long
+    intermediate, far above any per-group series; the decimal sum is
+    order- and engine-invariant); the closing chain is fixed IEEE on
+    identical operands, pinned at 9dp, rounded at 6.
+
+    Scale shape: mann_whitney's exact single exchange — one (group,
+    value) tie-cell aggregate, one group-partitioned cumulative
+    window, one closing aggregate. Returns ``(group, n_a, n_b,
+    t_stat, e_t, z)``.
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(class_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_if(F.col("__a")).alias("__ta"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g")
+    staged = cells.select(
+        "__g",
+        "__t",
+        "__ta",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__clt"),
+        F.sum("__t").over(w_all).alias("__nn"),
+        F.sum("__ta").over(w_all).alias("__na"),
+    )
+    # doubled midrank and centred deviation, both exact longs
+    r2 = 2 * F.col("__clt") + F.col("__t") + 1
+    d = r2 - F.col("__nn") - 1
+    d2 = d * d  # 4 * a_i, exact long
+    td2 = F.col("__t") * d2  # headroom: N * (2N)^2 must fit a long
+    agg = staged.groupBy("__g").agg(
+        F.max("__na").alias("__cna"),
+        F.max("__nn").alias("__cnn"),
+        F.sum(F.col("__ta") * d2).alias("__t4"),
+        F.sum(td2).alias("__s4"),
+        F.sum(
+            td2.cast("decimal(19,0)") * d2.cast("decimal(19,0)")
+        ).alias("__s8"),
+    )
+    na = F.col("__cna").cast("double")
+    nn = F.col("__cnn").cast("double")
+    nb = nn - na
+    t_stat = F.col("__t4").cast("double") / 4.0
+    abar = F.col("__s4").cast("double") / 4.0 / nn
+    e_t = F.round(na * abar + F.lit(1e-12), 9)
+    ssa = F.col("__s8").cast("double") / 16.0 - nn * abar * abar
+    var = F.round(
+        na * nb / (nn * (nn - 1.0)) * ssa + F.lit(1e-12), 9
+    )
+    ok = (F.col("__cna") > 0) & (nb > 0) & (var > 0)
+    z = F.when(
+        ok,
+        F.round(
+            (t_stat - e_t) / F.round(F.sqrt(var) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    defined = (F.col("__cna") > 0) & (nb > 0)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__cna").cast("long").alias("n_a"),
+        (F.col("__cnn") - F.col("__cna")).cast("long").alias("n_b"),
+        F.round(F.when(defined, t_stat) + F.lit(1e-9), 6).alias("t_stat"),
+        F.round(F.when(defined, e_t) + F.lit(1e-9), 6).alias("e_t"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )

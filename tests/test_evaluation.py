@@ -1651,3 +1651,56 @@ def test_lins_ccc_hand_values(spark):
     assert out["k2"]["ccc"] == pytest.approx(1.0, abs=1e-6)
     assert out["k3"]["pearson_r"] is None
     assert out["k3"]["ccc"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Mood two-sample scale test
+# ---------------------------------------------------------------------------
+
+
+def _brute_mood_scale(A, B):
+    import math
+    from collections import defaultdict
+
+    allv = sorted(A + B)
+    N = len(allv)
+    pos = defaultdict(list)
+    for i, v in enumerate(allv, 1):
+        pos[v].append(i)
+    mid = {v: sum(ix) / len(ix) for v, ix in pos.items()}
+    score = lambda v: (mid[v] - (N + 1) / 2) ** 2  # noqa: E731
+    T = sum(score(v) for v in A)
+    scores = [score(v) for v in allv]
+    abar = sum(scores) / N
+    ss = sum((s - abar) ** 2 for s in scores)
+    na, nb = len(A), len(B)
+    V = na * nb / (N * (N - 1)) * ss
+    return T, na * abar, (T - na * abar) / math.sqrt(V)
+
+
+def test_mood_scale_hand_computed_and_fail_closed(spark):
+    import random
+
+    from mr_dice_spark.operators.evaluation import mood_scale_test
+
+    rng = random.Random(17)
+    base = [round(rng.gauss(10, 1), 1) for _ in range(80)]
+    wide = [round(rng.gauss(10, 4), 1) for _ in range(70)]
+    same = [round(rng.gauss(10, 1), 1) for _ in range(70)]
+    rows = [("scale", True, v) for v in base] + [("scale", False, v) for v in wide]
+    rows += [("null", True, v) for v in base] + [("null", False, v) for v in same]
+    rows += [("solo", True, 1.0), ("solo", True, 2.0)]       # one class
+    rows += [("tied", True, 5.0), ("tied", False, 5.0), ("tied", False, 5.0)]
+    df = spark.createDataFrame(rows, "g string, a boolean, v double")
+    got = {r["g"]: r for r in mood_scale_test(df, "g", "a", "v", True).collect()}
+    for k, (A, B) in (("scale", (base, wide)), ("null", (base, same))):
+        T, E, z = _brute_mood_scale(A, B)
+        assert got[k]["t_stat"] == pytest.approx(T, abs=1e-6)
+        assert got[k]["e_t"] == pytest.approx(E, abs=1e-5)
+        assert got[k]["z"] == pytest.approx(z, abs=5e-6)
+    assert got["solo"]["z"] is None and got["solo"]["t_stat"] is None
+    assert got["tied"]["z"] is None            # all values tied: Var 0
+    assert got["tied"]["t_stat"] is not None   # T itself is defined
+    # A drawn narrow vs B wide: A's ranks cluster at the centre -> z << 0
+    assert got["scale"]["z"] < -3
+    assert abs(got["null"]["z"]) < 2.5

@@ -2040,3 +2040,14 @@ def test_jt_broadcast_pairs_no_value_quadratics(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 3  # cells exchange shared
     assert "BroadcastHashJoin" in final
+
+
+def test_mood_scale_single_exchange(spark, sf_dir):
+    """mann_whitney's exact shape: tie cells, one group-partitioned
+    cumulative window, one closing aggregate — no join, no global
+    sort."""
+    df = GOLDEN["mood_scale_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

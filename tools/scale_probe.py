@@ -280,6 +280,7 @@ PROBES = [
     "hurst_hourly_value_by_type",
     "dispersion_daily_counts_by_type",
     "jt_weekly_value_trend_by_type",
+    "mood_scale_value_weekend_by_type",
 ]
 
 
