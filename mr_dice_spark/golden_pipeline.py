@@ -6142,3 +6142,64 @@ def pinball_loss_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "ts", "value", quantiles=[0.5, 0.9],
         season=24, step_seconds=3600,
     ).orderBy("event_type", "quantile")
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter: rolling median/MAD spike screen (round 10)
+# ---------------------------------------------------------------------------
+
+HAMPEL_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+         ROUND(1e-9 + AVG(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+win AS (
+  SELECT k, h, v,
+         list_sort(list(v) OVER (PARTITION BY k ORDER BY h
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+  FROM b
+),
+m AS (
+  SELECT k, h, v, len(arr) AS sz, arr[4] AS med,
+         list_sort(list_transform(arr, x -> abs(x - arr[4])))[4] AS mad
+  FROM win
+)
+SELECT k AS event_type, h AS bucket_s, v AS value,
+       CASE WHEN sz = 7 THEN med END AS med,
+       CASE WHEN sz = 7 THEN mad END AS mad,
+       ROUND(CASE WHEN sz = 7 AND mad > 0
+             THEN 0.6745 * (v - med) / mad END + 1e-9, 4) AS robust_z,
+       CASE WHEN sz = 7 AND mad > 0
+            THEN ABS(ROUND(0.6745 * (v - med) / mad + 1e-9, 4)) > 3.5
+            END AS outlier
+FROM m ORDER BY event_type, bucket_s
+"""
+
+
+@golden(
+    "hampel_outliers_hourly_by_type",
+    HAMPEL_ORACLE,
+    tags=("timeseries", "hampel", "robust", "events"),
+)
+def hampel_outliers_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling median/MAD spike screen over the hourly value
+    series per type — each bucket judged against its 7-bucket
+    NEIGHBOURHOOD (the global mad_outlier_flags calls every post-shift
+    point an outlier; the Hampel window does not). Exact middle-element
+    medians on the sorted window array; edges and zero-MAD windows
+    report NULL (not screened)."""
+    from mr_dice_spark.operators.timeseries import hampel_outliers
+
+    ev = Catalog(spark, sf_dir).events
+    out = hampel_outliers(ev, "event_type", "ts", "value", 3600, 3, 3.5)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "value",
+        "med",
+        "mad",
+        "robust_z",
+        "outlier",
+    ).orderBy("event_type", "bucket_s")

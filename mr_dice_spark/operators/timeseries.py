@@ -2811,3 +2811,88 @@ def dispersion_index(
         F.round((n_d - 1.0) * vmr + F.lit(1e-9), 6).alias("chi2"),
         F.when(vmr.isNotNull(), F.col("__n") - 1).cast("long").alias("dof"),
     )
+
+
+def hampel_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    half_window: int = 3,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Hampel filter over the bucketed series: per bucket, the exact
+    median and MAD of the ``2*half_window + 1`` buckets around it, and
+    the robust z ``0.6745 (v - med) / mad`` — the ROLLING outlier
+    screen beside the global :func:`mr_dice_spark.operators.robust.
+    mad_outlier_flags` (a level shift makes late points 'outliers'
+    against a global median; the Hampel window compares each point to
+    its NEIGHBOURHOOD, the standard spike detector before smoothing).
+
+    Only COMPLETE windows are screened: edge buckets (fewer than
+    2k+1 neighbours) and zero-MAD windows (constant majority) report
+    NULL med/mad/robust_z/outlier — 'not screened' is not 'not an
+    outlier' (deliberately stricter than mad_outlier_flags' False).
+
+    Cross-engine determinism: bucket means quantize at 6dp before the
+    window; the window materializes as a SORTED ARRAY and the median
+    is the exact middle ELEMENT (odd window, no interpolation — where
+    :func:`rolling_median` interpolates); MAD is the middle element of
+    the sorted |v - med| array (fixed IEEE ops on identical doubles);
+    z rounds at 4 (the mad_outlier_flags convention).
+
+    Scale shape: one (key, bucket) aggregate, ONE key-partitioned
+    window collecting 2k+1 elements per row (state O(window) per row,
+    corpus-independent), then pure per-row array arithmetic — no
+    second window, no join, no Python. Returns ``(key, bucket, value,
+    med, mad, robust_z, outlier)``.
+    """
+    if half_window < 1:
+        raise ValueError(f"hampel_outliers: half_window must be >= 1, got {half_window}")
+    if threshold <= 0:
+        raise ValueError(f"hampel_outliers: threshold must be > 0, got {threshold}")
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
+    ).select(
+        "__k", "__h", F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v")
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__h")
+        .rowsBetween(-half_window, half_window)
+    )
+    staged = b.select(
+        "__k",
+        "__h",
+        "__v",
+        F.sort_array(F.collect_list("__v").over(w)).alias("__arr"),
+    )
+    mid = half_window + 1  # 1-based middle of a complete window
+    full = F.size(F.col("__arr")) == 2 * half_window + 1
+    med = F.element_at(F.col("__arr"), mid)
+    mad = F.element_at(
+        F.sort_array(
+            F.transform(F.col("__arr"), lambda x: F.abs(x - med))
+        ),
+        mid,
+    )
+    # 0.6745 ~ Phi^-1(3/4): scales MAD to sd units (the robust.py _MAD_K)
+    z = F.when(
+        full & (mad > 0),
+        F.round(
+            F.lit(0.6745) * (F.col("__v") - med) / mad + F.lit(1e-9), 4
+        ),
+    )
+    return staged.select(
+        F.col("__k").alias(key_col),
+        F.col("__h").alias("bucket"),
+        F.col("__v").alias("value"),
+        F.when(full, med).alias("med"),
+        F.when(full, mad).alias("mad"),
+        z.alias("robust_z"),
+        F.when(full & (mad > 0), F.abs(z) > F.lit(threshold)).alias(
+            "outlier"
+        ),
+    )

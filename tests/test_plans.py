@@ -2051,3 +2051,15 @@ def test_mood_scale_single_exchange(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_hampel_one_window_no_join(spark, sf_dir):
+    """One bucket aggregate, ONE key-partitioned collect window, then
+    per-row array arithmetic: no second window pass, no join, no
+    global sort."""
+    df = GOLDEN["hampel_outliers_hourly_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Window") == 1

@@ -1207,3 +1207,48 @@ def test_dispersion_index_poisson_regimes(spark):
     got = {r["k"]: r["vmr"] for r in dispersion_index(df, "k", "b").collect()}
     assert got["reg"] == 0.0
     assert got["burst"] > 10.0
+
+
+def test_hampel_outliers_spike_and_edges(spark):
+    from datetime import datetime, timedelta
+
+    from mr_dice_spark.operators.timeseries import hampel_outliers
+
+    base = datetime(2024, 1, 1)
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 100.0,
+            10.3, 9.7, 10.0, 10.1, 9.9, 10.2]
+    rows = [("k", base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["bucket"].hour: r for r in hampel_outliers(df, "k", "ts", "v").collect()}
+
+    win = sorted(vals[3:10])
+    med = win[3]
+    mad = sorted(abs(x - med) for x in vals[3:10])[3]
+    assert got[6]["med"] == med and got[6]["mad"] == mad
+    assert got[6]["robust_z"] == round(0.6745 * (100.0 - med) / mad + 1e-9, 4)
+    assert got[6]["outlier"] is True
+    # the spike's neighbours are judged against windows CONTAINING the
+    # spike — a median shrugs it off, so they survive
+    assert got[5]["outlier"] is False and got[7]["outlier"] is False
+    # edges (< 7 neighbours) are NOT screened: NULL, not False
+    for h in (0, 1, 2, 10, 11, 12):
+        assert got[h]["robust_z"] is None and got[h]["outlier"] is None
+        assert got[h]["med"] is None and got[h]["mad"] is None
+
+
+def test_hampel_constant_window_fails_closed_and_validates(spark):
+    from datetime import datetime, timedelta
+
+    from mr_dice_spark.operators.timeseries import hampel_outliers
+
+    base = datetime(2024, 1, 1)
+    rows = [("k", base + timedelta(hours=i), 5.0) for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["bucket"].hour: r for r in hampel_outliers(df, "k", "ts", "v").collect()}
+    assert got[4]["mad"] == 0.0            # complete window, constant
+    assert got[4]["robust_z"] is None      # zero-MAD: fail closed
+    assert got[4]["outlier"] is None
+    with pytest.raises(ValueError, match="half_window"):
+        hampel_outliers(df, "k", "ts", "v", half_window=0)
+    with pytest.raises(ValueError, match="threshold"):
+        hampel_outliers(df, "k", "ts", "v", threshold=0.0)

@@ -281,6 +281,7 @@ PROBES = [
     "dispersion_daily_counts_by_type",
     "jt_weekly_value_trend_by_type",
     "mood_scale_value_weekend_by_type",
+    "hampel_outliers_hourly_by_type",
 ]
 
 
