@@ -114,6 +114,7 @@ _CHECK_FIRST = [
     # jt_weekly_value_trend_by_type
     # mood_scale_value_weekend_by_type
     # hampel_outliers_hourly_by_type
+    # streaming_hampel_monitor
     # Round-11 window = 1 flagship + that queue + r4-latest goldens
     # alphabetically to fill 50 slots, as tests/test_coverage.py's
     # feasibility guard verifies.

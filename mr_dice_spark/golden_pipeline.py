@@ -6203,3 +6203,53 @@ def hampel_outliers_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         "robust_z",
         "outlier",
     ).orderBy("event_type", "bucket_s")
+
+
+@golden(
+    "streaming_hampel_monitor",
+    HAMPEL_ORACLE,  # byte-identical output to the batch hampel golden
+    tags=("streaming", "hampel", "robust", "observability"),
+)
+def streaming_hampel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel spike screening ON THE STREAM ENGINE: hourly bucket means
+    aggregate through readStream in complete mode — the live anomaly
+    monitor shape — and the Hampel finisher (sorted-window exact
+    medians, robust z) runs batch-side on the materialized sink,
+    byte-identical to the batch hampel golden, so the SAME DuckDB
+    oracle hash-checks the streaming path. Finite replay makes the
+    streaming aggregate exact (the streaming-golden contract)."""
+    import uuid
+
+    from mr_dice_spark.operators.timeseries import hampel_from_buckets
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.avg("value").alias("__raw"))
+    )
+    name = f"stream_hampel_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(agg, name, output_mode="complete")
+    try:
+        b = spark.table(name).select(
+            F.col("event_type").alias("__k"),
+            F.col("w.start").alias("__h"),
+            F.round(F.col("__raw") + F.lit(1e-9), 6).alias("__v"),
+        )
+        out = hampel_from_buckets(b, "event_type", 3, 3.5).select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "value",
+            "med",
+            "mad",
+            "robust_z",
+            "outlier",
+        ).orderBy("event_type", "bucket_s")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()

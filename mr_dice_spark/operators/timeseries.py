@@ -2848,16 +2848,30 @@ def hampel_outliers(
     second window, no join, no Python. Returns ``(key, bucket, value,
     med, mad, robust_z, outlier)``.
     """
-    if half_window < 1:
-        raise ValueError(f"hampel_outliers: half_window must be >= 1, got {half_window}")
-    if threshold <= 0:
-        raise ValueError(f"hampel_outliers: threshold must be > 0, got {threshold}")
     b = _bucket_agg(
         df.where(F.col(value_col).isNotNull()),
         key_col, ts_col, value_col, step_seconds, "avg",
     ).select(
         "__k", "__h", F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v")
     )
+    return hampel_from_buckets(b, key_col, half_window, threshold)
+
+
+def hampel_from_buckets(
+    b: DataFrame,
+    key_col: str,
+    half_window: int = 3,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Hampel finisher over a pre-bucketed ``(__k, __h, __v)`` frame
+    (quantized values) — the shared tail of :func:`hampel_outliers`
+    and the streaming monitor (bucket means aggregated ON the stream
+    engine, this batch finisher on the materialized sink — the
+    cusum_from_buckets convention)."""
+    if half_window < 1:
+        raise ValueError(f"hampel_outliers: half_window must be >= 1, got {half_window}")
+    if threshold <= 0:
+        raise ValueError(f"hampel_outliers: threshold must be > 0, got {threshold}")
     w = (
         Window.partitionBy("__k")
         .orderBy("__h")
