@@ -115,9 +115,12 @@ _CHECK_FIRST = [
     # mood_scale_value_weekend_by_type
     # hampel_outliers_hourly_by_type
     # streaming_hampel_monitor
-    # Round-11 window = 1 flagship + that queue + r4-latest goldens
-    # alphabetically to fill 50 slots, as tests/test_coverage.py's
-    # feasibility guard verifies.
+    # Round-11 window = 1 flagship + that 11-golden queue + the first
+    # 38 alphabetical r4-latest goldens = 50 slots exactly. The r4
+    # cohort holds 49 rows, so 11 r4 rows roll to round 12 at age 8 —
+    # inside the corpus-derived horizon of 9 (N = 355 goldens ->
+    # ceil(354/49)+1), as tests/test_coverage.py's feasibility guard
+    # verifies.
 ]
 
 
