@@ -1,15 +1,18 @@
-"""Classic distribution tests over grouped metric columns: one-way
-ANOVA (with eta-squared effect size), the Brown-Forsythe
-variance-homogeneity test, and the Jarque-Bera normality screen.
+"""Classic k-sample distribution tests over grouped metric columns:
+one-way ANOVA (with eta-squared), Brown-Forsythe variance homogeneity,
+the Jarque-Bera normality screen, Kendall's tau-b on contingency
+cells, the Cochran-Armitage trend test, Kruskal-Wallis H, Mood's
+median test, the Grubbs max-deviate outlier screen, and the
+Jonckheere-Terpstra ordered-alternative trend test.
 
 Beyond-reference operators (nearest analogue: nothing — SURVEY.md §2 has
 no hypothesis-test surface): the drift/experimentation families already
 answer "did the rate move" (two_proportion_z, srm_check) and "did the
-distribution move" (psi/ks/jsd); these three answer the pre-test
-questions an analyst asks FIRST — do the group means differ at all
-(ANOVA), is the equal-variance assumption behind a pooled t even tenable
-(Brown-Forsythe), and is a normality-assuming method defensible on this
-column (Jarque-Bera).
+distribution move" (psi/ks/jsd); this module answers the pre-test and
+k-sample questions an analyst asks FIRST — do the groups differ at all
+(ANOVA/Kruskal/Mood), in the hypothesized ORDER (Cochran-Armitage,
+Jonckheere-Terpstra), is the equal-variance assumption tenable
+(Brown-Forsythe), is normality defensible (Jarque-Bera, Grubbs).
 
 Cross-engine determinism: every statistic is closed-form arithmetic over
 per-group power sums (count, Σx, Σx², Σx³, Σx⁴) stated in the SAME
