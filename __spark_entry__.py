@@ -115,6 +115,7 @@ _CHECK_FIRST = [
     # mood_scale_value_weekend_by_type
     # hampel_outliers_hourly_by_type
     # streaming_hampel_monitor
+    # page_trend_weekly_by_weekday
     # Round-11 window = 1 flagship + that 11-golden queue + the first
     # 38 alphabetical r4-latest goldens = 50 slots exactly. The r4
     # cohort holds 49 rows, so 11 r4 rows roll to round 12 at age 8 —

@@ -5339,3 +5339,103 @@ def mood_scale_value_weekend_by_type(
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Page trend test: does value rise across the weeks, consistently across
+# weekdays? (round 10)
+# ---------------------------------------------------------------------------
+
+PAGE_ORACLE = """
+WITH ev AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d, value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS (
+  SELECT d % 7 AS wd, CAST(FLOOR(d / 7) AS BIGINT) AS wk,
+         ROUND(AVG(value) + 1e-9, 6) AS s
+  FROM ev GROUP BY 1, 2
+),
+full_weeks AS (
+  SELECT wk FROM cells GROUP BY wk HAVING COUNT(DISTINCT wd) = 7
+),
+panel AS (SELECT c.wd, c.wk, c.s FROM cells c JOIN full_weeks USING (wk)),
+shape AS (SELECT COUNT(DISTINCT wd) AS n, COUNT(DISTINCT wk) AS k FROM panel),
+tc AS (SELECT wd, s, COUNT(*) AS tn FROM panel GROUP BY wd, s),
+ranked AS (
+  SELECT wd, s,
+         CAST(SUM(tn) OVER (PARTITION BY wd ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           - tn + CAST(tn + 1 AS DOUBLE) / 2.0 AS r
+  FROM tc
+),
+ords AS (
+  SELECT wk, ROW_NUMBER() OVER (ORDER BY wk) AS c
+  FROM (SELECT DISTINCT wk FROM panel)
+),
+scored AS (
+  SELECT o.c, rk.r
+  FROM panel p
+  JOIN ranked rk ON rk.wd = p.wd AND rk.s = p.s
+  JOIN ords o ON o.wk = p.wk
+),
+agg AS (
+  SELECT SUM(CAST(c AS DOUBLE) * r) AS l,
+         SUM((r - (CAST((SELECT k FROM shape) AS DOUBLE) + 1.0) / 2.0)
+             * (r - (CAST((SELECT k FROM shape) AS DOUBLE) + 1.0) / 2.0))
+           AS s2r
+  FROM scored
+),
+fin AS (
+  SELECT n, k, l,
+         CAST(n AS DOUBLE) * k * (CAST(k AS DOUBLE) + 1.0)
+           * (CAST(k AS DOUBLE) + 1.0) / 4.0 AS e,
+         ROUND(CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) / 12.0 * s2r
+               + 1e-12, 9) AS var
+  FROM agg, shape
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       ROUND(l + 1e-9, 6) AS l_stat,
+       ROUND(e + 1e-9, 6) AS e_l,
+       ROUND(CASE WHEN k >= 2 THEN var END + 1e-9, 6) AS var_l,
+       ROUND(CASE WHEN k >= 2 AND var > 0
+             THEN ROUND((l - e) / ROUND(sqrt(var) + 1e-12, 9) + 1e-12, 9)
+             END + 1e-9, 6) AS z
+FROM fin
+"""
+
+
+@golden(
+    "page_trend_weekly_by_weekday",
+    PAGE_ORACLE,
+    tags=("evaluation", "page", "trend", "rank-test", "events"),
+)
+def page_trend_weekly_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page trend test: across the complete weeks of the span
+    (treatments, in time order), does daily mean value rise
+    monotonically, CONSISTENTLY across the 7 weekdays (blocks)? The
+    blocked-design ordered-trend companion to jonckheere (pooled) and
+    friedman (unordered) — exact permutation moments, tie-proof. Panel
+    completeness by construction: only weeks holding all 7 weekdays
+    enter."""
+    from mr_dice_spark.operators.evaluation import page_trend_test
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        "value",
+    )
+    cells = ev.groupBy(
+        (F.col("d") % 7).alias("wd"),
+        F.floor(F.col("d") / 7).cast("long").alias("wk"),
+    ).agg(_r(F.avg("value"), 6).alias("s"))
+    full_weeks = (
+        cells.groupBy("wk")
+        .agg(F.countDistinct("wd").alias("c"))
+        .where(F.col("c") == 7)
+        .select("wk")
+    )
+    panel = cells.join(full_weeks, "wk")
+    return page_trend_test(panel, "wd", "wk", "s")

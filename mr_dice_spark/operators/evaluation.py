@@ -3589,3 +3589,135 @@ def mood_scale_test(
         F.round(F.when(defined, e_t) + F.lit(1e-9), 6).alias("e_t"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page trend test for k ORDERED treatments over n matched blocks —
+    the ordered-alternative member of the blocked-design family, to
+    :func:`friedman_test` what Jonckheere-Terpstra is to
+    Kruskal-Wallis: does value rise monotonically with the treatment
+    ordinal, CONSISTENTLY across blocks?
+
+        L = sum_blocks sum_j c_j r_bj     (c_j = 1..k by treatment
+                                           order, r = within-block
+                                           midranks)
+
+    judged with EXACT per-block permutation moments — valid under
+    arbitrary ties with no correction terms (the mood_scale_test
+    convention): within-block rank sums are k(k+1)/2 regardless of
+    midranks, so E[L] = n k (k+1)^2 / 4 always, and
+
+        Var[L] = k (k+1) / 12 * sum_blocks sum_j (r_bj - (k+1)/2)^2
+
+    which reduces to the textbook n k^2 (k+1)^2 (k-1) / 144 on
+    tie-free panels (asserted in the tests). ``treatment_col`` must be
+    orderable — its sort order IS the alternative.
+
+    Complete-panel contract (the friedman_test convention verbatim):
+    duplicates collapse by MAX, ragged panels fail fast, the shape
+    probe runs eagerly, empty input returns the 1-row NULL frame. z is
+    NULL when k < 2 or every block is fully tied (Var 0).
+
+    Cross-engine determinism: midranks are integers-plus-halves from
+    tie-collapsed cells (dyadic — exact in doubles); L, E and Var are
+    exact dyadic arithmetic; z is one fixed IEEE chain, pinned at 9dp,
+    rounded at 6.
+
+    Scale shape: friedman_test's exact shape — the pinned panel, a
+    (block, value) cell aggregate with block-partitioned windows
+    (bounded by k), one join back, a broadcast treatment-ordinal
+    dimension (k rows), two closing reduces. Returns ``(n_blocks,
+    k_treatments, l_stat, e_l, var_l, z)``.
+    """
+    obs = (
+        df.where(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"), F.col(treatment_col).alias("__t")
+        )
+        .agg(F.max(F.col(value_col).cast("double")).alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    shape = obs.agg(
+        F.countDistinct("__b").alias("__n"),
+        F.countDistinct("__t").alias("__k"),
+        F.count(F.lit(1)).alias("__cells"),
+    ).first()
+    n, k, cells = shape["__n"], shape["__k"], shape["__cells"]
+    if n == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_blocks"),
+            F.lit(0).cast("long").alias("k_treatments"),
+            F.lit(None).cast("double").alias("l_stat"),
+            F.lit(None).cast("double").alias("e_l"),
+            F.lit(None).cast("double").alias("var_l"),
+            F.lit(None).cast("double").alias("z"),
+        )
+    if cells != n * k:
+        raise ValueError(
+            f"page_trend_test: ragged panel — {cells} (block, treatment) "
+            f"cells for {n} blocks x {k} treatments; every block must "
+            "hold every treatment"
+        )
+    tie_cells = obs.groupBy("__b", "__s").agg(F.count(F.lit(1)).alias("__tn"))
+    w_run = (
+        Window.partitionBy("__b")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = tie_cells.select(
+        "__b",
+        "__s",
+        (
+            F.sum("__tn").over(w_run).cast("double")
+            - F.col("__tn")
+            + (F.col("__tn") + 1).cast("double") / 2.0
+        ).alias("__r"),
+    )
+    with_ranks = obs.join(ranked, ["__b", "__s"])
+    w_ord = Window.orderBy("__t")
+    ordinals = (
+        obs.select("__t")
+        .distinct()
+        .select("__t", F.row_number().over(w_ord).alias("__c"))
+    )
+    scored = with_ranks.join(F.broadcast(ordinals), "__t")
+    mid = (float(k) + 1.0) / 2.0
+    agg = scored.agg(
+        F.sum(F.col("__c").cast("double") * F.col("__r")).alias("__l"),
+        F.sum(
+            (F.col("__r") - F.lit(mid)) * (F.col("__r") - F.lit(mid))
+        ).alias("__s2r"),
+    )
+    e_l = float(n) * k * (k + 1.0) ** 2 / 4.0
+    var = F.round(
+        F.lit(float(k) * (k + 1.0) / 12.0) * F.col("__s2r") + F.lit(1e-12), 9
+    )
+    ok = (F.lit(int(k)) >= 2) & (var > 0)
+    z = F.when(
+        ok,
+        F.round(
+            (F.col("__l") - F.lit(e_l))
+            / F.round(F.sqrt(var) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    return agg.select(
+        F.lit(int(n)).cast("long").alias("n_blocks"),
+        F.lit(int(k)).cast("long").alias("k_treatments"),
+        F.round(F.col("__l") + F.lit(1e-9), 6).alias("l_stat"),
+        F.round(F.lit(e_l) + F.lit(1e-9), 6).alias("e_l"),
+        F.round(F.when(F.lit(int(k)) >= 2, var) + F.lit(1e-9), 6).alias(
+            "var_l"
+        ),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )

@@ -1704,3 +1704,105 @@ def test_mood_scale_hand_computed_and_fail_closed(spark):
     # A drawn narrow vs B wide: A's ranks cluster at the centre -> z << 0
     assert got["scale"]["z"] < -3
     assert abs(got["null"]["z"]) < 2.5
+
+
+def _midranks(vals):
+    s = sorted(range(len(vals)), key=lambda i: vals[i])
+    r = [0.0] * len(vals)
+    i, rank = 0, 1
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and vals[s[j + 1]] == vals[s[i]]:
+            j += 1
+        avg = (rank + rank + (j - i)) / 2
+        for t in range(i, j + 1):
+            r[s[t]] = avg
+        rank += j - i + 1
+        i = j + 1
+    return r
+
+
+def _brute_page(panel):
+    """Exact permutation moments per block, enumerated over all k!
+    within-block rank permutations — the ground truth the closed-form
+    permutation variance must reproduce."""
+    import itertools
+
+    k = len(next(iter(panel.values())))
+    n = len(panel)
+    L = var = 0.0
+    for vals in panel.values():
+        r = _midranks(vals)
+        L += sum((j + 1) * r[j] for j in range(k))
+        ls = [
+            sum((j + 1) * p[j] for j in range(k))
+            for p in itertools.permutations(r)
+        ]
+        m = sum(ls) / len(ls)
+        var += sum((x - m) ** 2 for x in ls) / len(ls)
+    return L, n * k * (k + 1) ** 2 / 4, var
+
+
+def test_page_trend_matches_permutation_enumeration(spark):
+    import math
+    import random
+
+    from mr_dice_spark.operators.evaluation import page_trend_test
+
+    rng = random.Random(3)
+    k = 4
+    cases = {
+        "trend": {b: [round(j + rng.uniform(0, 1.5), 1) for j in range(k)]
+                  for b in range(8)},
+        "null": {b: [round(rng.uniform(0, 5), 1) for _ in range(k)]
+                 for b in range(8)},
+        "ties": {b: [1.0, 1.0, 2.0, 2.0] for b in range(5)},
+    }
+    for name, panel in cases.items():
+        rows = [(str(b), j, panel[b][j]) for b in panel for j in range(k)]
+        df = spark.createDataFrame(rows, "b string, t int, v double")
+        got = page_trend_test(df, "b", "t", "v").collect()[0]
+        L, E, V = _brute_page(panel)
+        assert got["l_stat"] == pytest.approx(L, abs=1e-6), name
+        assert got["e_l"] == pytest.approx(E, abs=1e-9), name
+        assert got["var_l"] == pytest.approx(V, abs=1e-5), name
+        assert got["z"] == pytest.approx((L - E) / math.sqrt(V), abs=5e-6), name
+    assert cases  # the planted trend must read strongly positive
+    rows = [(str(b), j, cases["trend"][b][j]) for b in cases["trend"] for j in range(k)]
+    z = page_trend_test(
+        spark.createDataFrame(rows, "b string, t int, v double"), "b", "t", "v"
+    ).collect()[0]["z"]
+    assert z > 4
+
+
+def test_page_trend_textbook_variance_and_fail_closed(spark):
+    import random
+
+    from mr_dice_spark.operators.evaluation import page_trend_test
+
+    rng = random.Random(8)
+    n, k = 8, 4
+    panel = {b: rng.sample(range(1000), k) for b in range(n)}
+    rows = [(str(b), j, float(panel[b][j])) for b in panel for j in range(k)]
+    df = spark.createDataFrame(rows, "b string, t int, v double")
+    got = page_trend_test(df, "b", "t", "v").collect()[0]
+    # tie-free panels reduce to the textbook n k^2 (k+1)^2 (k-1) / 144
+    assert got["var_l"] == pytest.approx(
+        n * k**2 * (k + 1) ** 2 * (k - 1) / 144, abs=1e-5
+    )
+    # fully tied panel: L defined, Var 0 -> NULL z
+    rows = [(str(b), j, 7.0) for b in range(4) for j in range(k)]
+    tied = page_trend_test(
+        spark.createDataFrame(rows, "b string, t int, v double"), "b", "t", "v"
+    ).collect()[0]
+    assert tied["z"] is None and tied["var_l"] == 0.0
+    # ragged panel fails fast; empty input returns the NULL frame
+    rows = [("b0", 0, 1.0), ("b0", 1, 2.0), ("b1", 0, 3.0)]
+    with pytest.raises(ValueError, match="ragged"):
+        page_trend_test(
+            spark.createDataFrame(rows, "b string, t int, v double"),
+            "b", "t", "v",
+        )
+    empty = spark.createDataFrame([], "b string, t int, v double")
+    row = page_trend_test(empty, "b", "t", "v").collect()[0]
+    assert row["n_blocks"] == 0 and row["z"] is None

@@ -2063,3 +2063,16 @@ def test_hampel_one_window_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Window") == 1
+
+
+def test_page_trend_pinned_panel_bounded_frames(spark, sf_dir):
+    """friedman's shape: the panel is localCheckpoint-pinned, midrank
+    windows partition on the block, the treatment-ordinal dimension is
+    a broadcast k-row frame; no cartesian product. (The ordinal
+    row_number runs on that k-row frame — the long-audited
+    reduced-frame single-partition class.)"""
+    df = GOLDEN["page_trend_weekly_by_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan  # every branch reuses the pinned panel
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -282,6 +282,7 @@ PROBES = [
     "jt_weekly_value_trend_by_type",
     "mood_scale_value_weekend_by_type",
     "hampel_outliers_hourly_by_type",
+    "page_trend_weekly_by_weekday",
 ]
 
 
