@@ -116,11 +116,12 @@ _CHECK_FIRST = [
     # hampel_outliers_hourly_by_type
     # streaming_hampel_monitor
     # page_trend_weekly_by_weekday
-    # Round-11 window = 1 flagship + that 12-golden queue + the first
-    # 37 alphabetical r4-latest goldens = 50 slots exactly. The r4
-    # cohort holds 49 rows, so 12 r4 rows roll to round 12 at age 8 —
-    # inside the corpus-derived horizon of 9 (N = 356 goldens ->
-    # ceil(355/49)+1), as tests/test_coverage.py's feasibility guard
+    # kpss_daily_value_by_type
+    # Round-11 window = 1 flagship + that 13-golden queue + the first
+    # 36 alphabetical r4-latest goldens = 50 slots exactly. The r4
+    # cohort holds 49 rows, so 13 r4 rows roll to round 12 at age 8 —
+    # inside the corpus-derived horizon of 9 (N = 357 goldens ->
+    # ceil(356/49)+1), as tests/test_coverage.py's feasibility guard
     # verifies.
 ]
 

@@ -5439,3 +5439,89 @@ def page_trend_weekly_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     panel = cells.join(full_weeks, "wk")
     return page_trend_test(panel, "wd", "wk", "s")
+
+
+# ---------------------------------------------------------------------------
+# KPSS: is level-stationarity tenable for the daily series? (round 10)
+# ---------------------------------------------------------------------------
+
+# Bartlett-weight literals baked via repr() so the SQL parses the
+# BIT-IDENTICAL doubles Spark's 2.0 * (1 - h/(q+1)) literals hold
+_KPSS_W = {h: repr(2.0 * (1.0 - h / 5.0)) for h in (1, 2, 3, 4)}
+
+KPSS_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+st AS (
+  SELECT k, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS vbar
+  FROM d GROUP BY k
+),
+dev AS (
+  SELECT d.k, d.x, st.n, ROUND(d.y - st.vbar + 1e-12, 9) AS dv
+  FROM d JOIN st ON st.k = d.k
+),
+lagged AS (
+  SELECT k, n, dv,
+         LAG(dv, 1) OVER w AS d1, LAG(dv, 2) OVER w AS d2,
+         LAG(dv, 3) OVER w AS d3, LAG(dv, 4) OVER w AS d4,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9))) OVER (PARTITION BY k ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS s,
+         CASE WHEN LAG(x) OVER w = x THEN 1 ELSE 0 END AS tie
+  FROM dev WINDOW w AS (PARTITION BY k ORDER BY x)
+),
+pk AS (
+  SELECT k, MAX(n) AS n, MAX(tie) AS ties,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(dv AS DECIMAL(18,9)))
+              AS DOUBLE) AS g0,
+         CAST(SUM(CAST(s AS DECIMAL(19,9)) * CAST(s AS DECIMAL(19,9)))
+              AS DOUBLE) AS ss2,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d1 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c1,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d2 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c2,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d3 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c3,
+         CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d4 AS DECIMAL(18,9)))
+              AS DOUBLE) AS c4
+  FROM lagged GROUP BY k
+),
+calc AS (
+  SELECT k, n, ties, ss2,
+         ROUND(ROUND(g0 / CAST(n AS DOUBLE) + 1e-12, 9)
+               + {_KPSS_W[1]} * ROUND(c1 / CAST(n AS DOUBLE) + 1e-12, 9)
+               + {_KPSS_W[2]} * ROUND(c2 / CAST(n AS DOUBLE) + 1e-12, 9)
+               + {_KPSS_W[3]} * ROUND(c3 / CAST(n AS DOUBLE) + 1e-12, 9)
+               + {_KPSS_W[4]} * ROUND(c4 / CAST(n AS DOUBLE) + 1e-12, 9)
+               + 1e-12, 9) AS lrv
+  FROM pk
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(4 AS BIGINT) AS n_lags,
+       ROUND(CASE WHEN n > 4 AND ties = 0 AND lrv > 0 THEN lrv END
+             + 1e-9, 6) AS lrv,
+       ROUND(CASE WHEN n > 4 AND ties = 0 AND lrv > 0
+             THEN ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * lrv)
+             END + 1e-9, 6) AS kpss
+FROM calc ORDER BY event_type
+"""
+
+
+@golden(
+    "kpss_daily_value_by_type",
+    KPSS_ORACLE,
+    tags=("timeseries", "kpss", "stationarity", "events"),
+)
+def kpss_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (Bartlett lags 4) on each
+    event type's daily mean values — is modelling this series as
+    level-stationary tenable at all (large statistic rejects; 5%
+    asymptotic critical value 0.463)? The missing half of the
+    unit-root conversation beside mann_kendall/theil_sen trend tests
+    and durbin_watson/ljung_box residual screens, on the same daily
+    frame."""
+    from mr_dice_spark.operators.timeseries import kpss_level_stat
+
+    out = kpss_level_stat(_daily_frame(spark, sf_dir), "k", "x", "y", 4)
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

@@ -2910,3 +2910,124 @@ def hampel_from_buckets(
             "outlier"
         ),
     )
+
+
+def kpss_level_stat(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_lags: int = 4,
+) -> DataFrame:
+    """Per-key KPSS level-stationarity statistic — the missing half of
+    the unit-root conversation: :func:`mann_kendall_trend` and
+    :func:`theil_sen_trend` ask 'is there a trend', KPSS asks the
+    sharper modelling question 'is LEVEL-stationarity tenable at all'
+    (null = stationary, so a LARGE statistic rejects — opposite
+    polarity to ADF-style tests):
+
+        e_t  = y_t - ybar,   S_t = sum_{i<=t} e_i
+        eta  = sum_t S_t^2 / (n^2 * lrv)
+        lrv  = g_0 + 2 sum_{h=1..q} (1 - h/(q+1)) g_h     (Bartlett)
+        g_h  = sum_{t>h} e_t e_{t-h} / n
+
+    Asymptotic 5% critical value for the level case is 0.463 — the
+    caller compares (no distribution tables shipped, the grubbs
+    convention).
+
+    Bucketed-series contract (the ljung_box convention verbatim):
+    (key, bucket_x, quantized y) with x unique per key; NULL rows
+    excluded; x-ties fail closed; keys with ``n <= n_lags`` points or
+    a non-positive long-run variance report NULL kpss (fail-closed).
+
+    Cross-engine determinism: decimal mean pinned at 9dp; deviations
+    re-quantized at 9dp; lag cross-sums and the cumulative S_t are
+    decimal sums of exact operands; each g_h and the lrv pin at 9dp;
+    sum of S_t^2 is a decimal sum of exact squares; eta is one fixed
+    chain, rounded at 6.
+
+    Scale shape: ljung_box's single exchange plus the S_t cumulative —
+    the mean/lag/cumulative windows ALL partition on the key: scan ->
+    shuffle(key) -> windows -> one closing aggregate. Returns ``(key,
+    n, n_lags, lrv, kpss)``.
+    """
+    if n_lags < 0:
+        raise ValueError(f"kpss_level_stat: n_lags must be >= 0, got {n_lags}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    w_all = Window.partitionBy("__k")
+    w_ord = Window.partitionBy("__k").orderBy("__x")
+    w_run = (
+        Window.partitionBy("__k")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yd = F.col("__y").cast("decimal(16,6)")
+    mean = F.round(
+        F.sum(yd).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+        + F.lit(1e-12),
+        9,
+    )
+    dev = base.select(
+        "__k",
+        "__x",
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.round(F.col("__y") - mean + F.lit(1e-12), 9).alias("__d"),
+        F.when(F.lag("__x").over(w_ord) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie"),
+    )
+    ddec = F.col("__d").cast("decimal(18,9)")
+    lag_cols = [
+        F.lag("__d", h).over(w_ord).alias(f"__d{h}")
+        for h in range(1, n_lags + 1)
+    ]
+    staged = dev.select(
+        "__k",
+        "__n",
+        "__tie",
+        "__d",
+        F.sum(ddec).over(w_run).cast("double").alias("__s"),
+        *lag_cols,
+    )
+    sdec = F.col("__s").cast("decimal(19,9)")
+    aggs = [
+        F.max("__n").alias("__cnt"),
+        F.max("__tie").alias("__ties"),
+        F.sum(ddec * ddec).cast("double").alias("__g0"),
+        F.sum(sdec * sdec).cast("double").alias("__ss2"),
+    ]
+    for h in range(1, n_lags + 1):
+        aggs.append(
+            F.sum(ddec * F.col(f"__d{h}").cast("decimal(18,9)"))
+            .cast("double")
+            .alias(f"__c{h}")
+        )
+    per_key = staged.groupBy("__k").agg(*aggs)
+    n_d = F.col("__cnt").cast("double")
+    lrv = F.round(F.col("__g0") / n_d + F.lit(1e-12), 9)
+    for h in range(1, n_lags + 1):
+        w_h = 1.0 - h / (n_lags + 1.0)
+        lrv = lrv + F.lit(2.0 * w_h) * F.round(
+            F.col(f"__c{h}") / n_d + F.lit(1e-12), 9
+        )
+    lrv = F.round(lrv + F.lit(1e-12), 9)
+    ok = (
+        (F.col("__cnt") > n_lags) & (F.col("__ties") == 0) & (lrv > 0)
+    )
+    eta = F.when(ok, F.col("__ss2") / (n_d * n_d * lrv))
+    return per_key.select(
+        F.col("__k").alias(key_col),
+        F.col("__cnt").cast("long").alias("n"),
+        F.lit(int(n_lags)).cast("long").alias("n_lags"),
+        F.round(F.when(ok, lrv) + F.lit(1e-9), 6).alias("lrv"),
+        F.round(eta + F.lit(1e-9), 6).alias("kpss"),
+    )

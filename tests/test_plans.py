@@ -2076,3 +2076,14 @@ def test_page_trend_pinned_panel_bounded_frames(spark, sf_dir):
     assert "Scan parquet" not in plan  # every branch reuses the pinned panel
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kpss_single_exchange_no_join(spark, sf_dir):
+    """ljung_box's single exchange plus the S_t cumulative: mean, lag
+    and cumulative windows all partition on the key; one scan, no
+    join, no global sort."""
+    df = GOLDEN["kpss_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

@@ -1252,3 +1252,44 @@ def test_hampel_constant_window_fails_closed_and_validates(spark):
         hampel_outliers(df, "k", "ts", "v", half_window=0)
     with pytest.raises(ValueError, match="threshold"):
         hampel_outliers(df, "k", "ts", "v", threshold=0.0)
+
+
+def _brute_kpss(y, q=4):
+    n = len(y)
+    m = sum(y) / n
+    e = [v - m for v in y]
+    g = [sum(e[t] * e[t - h] for t in range(h, n)) / n for h in range(q + 1)]
+    lrv = g[0] + 2 * sum((1 - h / (q + 1)) * g[h] for h in range(1, q + 1))
+    S, cum = [], 0.0
+    for v in e:
+        cum += v
+        S.append(cum)
+    return lrv, sum(s * s for s in S) / (n * n * lrv)
+
+
+def test_kpss_hand_computed_and_regimes(spark):
+    import random
+
+    from mr_dice_spark.operators.timeseries import kpss_level_stat
+
+    rng = random.Random(13)
+    stat = [round(10 + rng.gauss(0, 1), 2) for _ in range(200)]
+    shift = [round(rng.gauss(0, 1), 2) for _ in range(100)] + [
+        round(10 + rng.gauss(0, 1), 2) for _ in range(100)
+    ]
+    rows = [("stat", float(i), v) for i, v in enumerate(stat)]
+    rows += [("shift", float(i), v) for i, v in enumerate(shift)]
+    rows += [("short", 1.0, 1.0), ("short", 2.0, 2.0)]     # n <= lags
+    rows += [("const", float(i), 5.0) for i in range(20)]  # lrv 0
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in kpss_level_stat(df, "k", "x", "y").collect()}
+    for k, y in (("stat", stat), ("shift", shift)):
+        lrv, eta = _brute_kpss(y)
+        assert got[k]["lrv"] == pytest.approx(lrv, abs=1e-4)
+        assert got[k]["kpss"] == pytest.approx(eta, abs=1e-4)
+    assert got["short"]["kpss"] is None and got["const"]["kpss"] is None
+    # null (stationary) sits under the 5% critical value, the level
+    # shift far above it — the decision the statistic exists for
+    assert got["stat"]["kpss"] < 0.463 < got["shift"]["kpss"]
+    with pytest.raises(ValueError, match="n_lags"):
+        kpss_level_stat(df, "k", "x", "y", n_lags=-1)

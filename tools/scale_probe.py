@@ -283,6 +283,7 @@ PROBES = [
     "mood_scale_value_weekend_by_type",
     "hampel_outliers_hourly_by_type",
     "page_trend_weekly_by_weekday",
+    "kpss_daily_value_by_type",
 ]
 
 
