@@ -6153,7 +6153,9 @@ WITH b AS (
   SELECT event_type AS k,
          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
          ROUND(1e-9 + AVG(value), 6) AS v
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
 ),
 win AS (
   SELECT k, h, v,
@@ -6192,7 +6194,12 @@ def hampel_outliers_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     report NULL (not screened)."""
     from mr_dice_spark.operators.timeseries import hampel_outliers
 
-    ev = Catalog(spark, sf_dir).events
+    # ts/event_type NOT NULL mirror the oracle exactly: a NULL ts bucket
+    # would sort NULLS FIRST in Spark's window but NULLS LAST in DuckDB,
+    # silently misaligning the rolling windows (round-10 ADVICE)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     out = hampel_outliers(ev, "event_type", "ts", "value", 3600, 3, 3.5)
     return out.select(
         "event_type",
@@ -6229,7 +6236,11 @@ def streaming_hampel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     agg = (
-        stream.where(F.col("value").isNotNull())
+        stream.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(F.avg("value").alias("__raw"))
     )

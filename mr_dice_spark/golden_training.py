@@ -3575,7 +3575,52 @@ def mantel_haenszel_highvalue_by_type(spark: SparkSession, sf_dir: str) -> DataF
 # Chow test: did each type's daily value trend break at mid-month?
 # ---------------------------------------------------------------------------
 
-CHOW_ORACLE = """
+def _chow_seg_sums(tag: str, cond: str) -> str:
+    """Per-segment decimal conditional power sums (mirrors
+    operators/timeseries.py chow_test compact-cast widths)."""
+    return f"""
+    COUNT(CASE WHEN {cond} THEN 1 END) AS n{tag},
+    CAST(SUM(CASE WHEN {cond} THEN CAST(x AS DECIMAL(14,4)) END)
+         AS DECIMAL(16,4)) AS sx{tag},
+    CAST(SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(16,6)) END)
+         AS DECIMAL(18,6)) AS sy{tag},
+    CAST(SUM(CASE WHEN {cond}
+             THEN CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(16,6)) END)
+         AS DECIMAL(30,10)) AS sxy{tag},
+    CAST(SUM(CASE WHEN {cond}
+             THEN CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(14,4)) END)
+         AS DECIMAL(26,8)) AS sxx{tag},
+    CAST(SUM(CASE WHEN {cond}
+             THEN CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)) END)
+         AS DECIMAL(31,12)) AS syy{tag}"""
+
+
+def _chow_cancelled(tag: str) -> str:
+    """Decimal cancellation of the three centered-moment numerators
+    (>= 19-digit operands per DuckDB product so the exact int128 path
+    is taken), cast to double only after the cancellation."""
+    return f"""
+    CAST(n{tag} AS DOUBLE) AS nd{tag},
+    CAST(CAST(n{tag} AS DECIMAL(6,0)) * sxx{tag}
+         - CAST(sx{tag} AS DECIMAL(19,4)) * CAST(sx{tag} AS DECIMAL(19,4))
+         AS DOUBLE) AS sxxn{tag},
+    CAST(CAST(CAST(n{tag} AS DECIMAL(6,0)) * sxy{tag} AS DECIMAL(36,10))
+         - CAST(CAST(sx{tag} AS DECIMAL(19,4)) * CAST(sy{tag} AS DECIMAL(19,6))
+                AS DECIMAL(36,10)) AS DOUBLE) AS sxyn{tag},
+    CAST(CAST(CAST(n{tag} AS DECIMAL(6,0)) * syy{tag} AS DECIMAL(37,12))
+         - CAST(CAST(sy{tag} AS DECIMAL(19,6)) * CAST(sy{tag} AS DECIMAL(19,6))
+                AS DECIMAL(37,12)) AS DOUBLE) AS syyn{tag}"""
+
+
+def _chow_sse(tag: str) -> str:
+    return f"""
+    ROUND(CASE WHEN n{tag} >= 2 AND (sxxn{tag} / nd{tag}) > 0
+      THEN (syyn{tag} / nd{tag})
+           - (sxyn{tag} / nd{tag}) * (sxyn{tag} / nd{tag})
+             / (sxxn{tag} / nd{tag}) END + 1e-9, 6) AS sse{tag}"""
+
+
+CHOW_ORACLE = f"""
 WITH b AS (
   SELECT event_type AS k,
          CAST(FLOOR(epoch(ts) / 86400) AS DOUBLE) AS x,
@@ -3586,37 +3631,24 @@ WITH b AS (
 ),
 s AS (
   SELECT k,
-    COUNT(*) AS np, SUM(x) AS sxp, SUM(y) AS syp,
-    SUM(x * y) AS sxyp, SUM(x * x) AS sxxp, SUM(y * y) AS syyp,
-    count_if(x <= 19737.0) AS n1,
-    SUM(CASE WHEN x <= 19737.0 THEN x END) AS sx1,
-    SUM(CASE WHEN x <= 19737.0 THEN y END) AS sy1,
-    SUM(CASE WHEN x <= 19737.0 THEN x * y END) AS sxy1,
-    SUM(CASE WHEN x <= 19737.0 THEN x * x END) AS sxx1,
-    SUM(CASE WHEN x <= 19737.0 THEN y * y END) AS syy1,
-    count_if(x > 19737.0) AS n2,
-    SUM(CASE WHEN x > 19737.0 THEN x END) AS sx2,
-    SUM(CASE WHEN x > 19737.0 THEN y END) AS sy2,
-    SUM(CASE WHEN x > 19737.0 THEN x * y END) AS sxy2,
-    SUM(CASE WHEN x > 19737.0 THEN x * x END) AS sxx2,
-    SUM(CASE WHEN x > 19737.0 THEN y * y END) AS syy2
+    {_chow_seg_sums("p", "TRUE")},
+    {_chow_seg_sums("1", "x <= 19737.0")},
+    {_chow_seg_sums("2", "x > 19737.0")}
   FROM b GROUP BY k
+),
+c AS (
+  SELECT k, np, n1, n2,
+    {_chow_cancelled("p")},
+    {_chow_cancelled("1")},
+    {_chow_cancelled("2")}
+  FROM s
 ),
 sse AS (
   SELECT k, np, n1, n2,
-    ROUND(CASE WHEN np >= 2 AND (sxxp - sxp * sxp / np) > 0
-      THEN (syyp - syp * syp / np)
-           - (sxyp - sxp * syp / np) * (sxyp - sxp * syp / np)
-             / (sxxp - sxp * sxp / np) END + 1e-9, 6) AS ssep,
-    ROUND(CASE WHEN n1 >= 2 AND (sxx1 - sx1 * sx1 / n1) > 0
-      THEN (syy1 - sy1 * sy1 / n1)
-           - (sxy1 - sx1 * sy1 / n1) * (sxy1 - sx1 * sy1 / n1)
-             / (sxx1 - sx1 * sx1 / n1) END + 1e-9, 6) AS sse1,
-    ROUND(CASE WHEN n2 >= 2 AND (sxx2 - sx2 * sx2 / n2) > 0
-      THEN (syy2 - sy2 * sy2 / n2)
-           - (sxy2 - sx2 * sy2 / n2) * (sxy2 - sx2 * sy2 / n2)
-             / (sxx2 - sx2 * sx2 / n2) END + 1e-9, 6) AS sse2
-  FROM s
+    {_chow_sse("p")},
+    {_chow_sse("1")},
+    {_chow_sse("2")}
+  FROM c
 )
 SELECT k AS event_type, CAST(np AS BIGINT) AS n,
        CAST(n1 AS BIGINT) AS n_1, CAST(n2 AS BIGINT) AS n_2,
@@ -4125,24 +4157,40 @@ def _daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 DURBIN_WATSON_ORACLE = f"""
 WITH {_DAILY_FRAME_SQL},
 stats AS (
+  -- decimal cancellation (mirrors operators/timeseries.py durbin_watson):
+  -- DuckDB's DECIMAL->DOUBLE cast can be 1 ulp off correctly-rounded, and
+  -- n*sxy - sx*sy amplifies that ulp ~1e8x (round-10 driver red row). So
+  -- form the cancelling differences in exact decimal and cast only the
+  -- compact post-cancellation results to double.
   SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,6)))
-              AS DOUBLE) AS sxy
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS n_dec,
+         CAST(SUM(CAST(x AS DECIMAL(14,4))) AS DECIMAL(16,4)) AS sx_dec,
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) AS DECIMAL(21,6)) AS sy_dec,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(14,4)))
+              AS DECIMAL(26,8)) AS sxx_dec,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,10)) AS sxy_dec
   FROM d GROUP BY k
+),
+cancelled AS (
+  SELECT k, n, CAST(sx_dec AS DOUBLE) AS sx, CAST(sy_dec AS DOUBLE) AS sy,
+         -- sx_dec is widened to DECIMAL(19,4) for the square: DuckDB
+         -- multiplies two DECIMAL(<=18)s in int64 and overflows; >= 19
+         -- digits takes the exact int128 path. Values are unchanged.
+         CAST(CAST(n_dec * sxy_dec AS DECIMAL(37,10))
+              - CAST(sx_dec * sy_dec AS DECIMAL(37,10)) AS DOUBLE) AS num,
+         CAST(n_dec * sxx_dec
+              - CAST(sx_dec AS DECIMAL(19,4)) * CAST(sx_dec AS DECIMAL(19,4))
+              AS DOUBLE) AS den
+  FROM stats
 ),
 coef AS (
   SELECT k, CAST(n AS BIGINT) AS cnt,
-         ROUND(CASE WHEN n * sxx - sx * sx > 0
-               THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
-               + 1e-12, 9) AS b,
-         ROUND(CASE WHEN n * sxx - sx * sx > 0
-               THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         ROUND(CASE WHEN den > 0 THEN num / den END + 1e-12, 9) AS b,
+         ROUND(CASE WHEN den > 0
+               THEN (sy - (num / den) * sx) / n
                END + 1e-12, 9) AS a
-  FROM stats
+  FROM cancelled
 ),
 resid AS (
   SELECT d.k, d.x, cnt, b, a,
@@ -4326,19 +4374,25 @@ WITH ev AS (
 ),
 mx AS (SELECT k, b, MAX(v) AS m FROM ev GROUP BY k, b),
 agg AS (
+  -- decimal cancellation (mirrors operators/timeseries.py
+  -- gumbel_block_maxima): n*s2 - s1^2 in exact decimal; only the
+  -- compact post-cancellation numerator casts to double.
   SELECT k, COUNT(*) AS n,
-         ROUND(CAST(SUM(CAST(m AS DECIMAL(19,6))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) + 1e-12, 9) AS mean,
-         ROUND(CAST(SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)))
-                    AS DOUBLE) + 1e-12, 9) AS sxx
+         CAST(SUM(CAST(m AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS s1_dec,
+         CAST(SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS s2_dec
   FROM mx GROUP BY k
 ),
 fit AS (
   SELECT k, n,
-         ROUND(sqrt(greatest((sxx - CAST(n AS DOUBLE) * mean * mean)
-                             / (CAST(n AS DOUBLE) - 1.0), 0.0))
+         ROUND(sqrt(greatest(
+           CAST(CAST(CAST(n AS DECIMAL(6,0)) * s2_dec AS DECIMAL(37,12))
+                - CAST(CAST(s1_dec AS DECIMAL(19,6))
+                       * CAST(s1_dec AS DECIMAL(19,6))
+                       AS DECIMAL(37,12)) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0))
                + 1e-12, 9) AS sd,
-         mean
+         ROUND(CAST(s1_dec AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 9) AS mean
   FROM agg
 )
 SELECT k AS event_type, CAST(n AS BIGINT) AS n_blocks,
@@ -4689,29 +4743,47 @@ pairs AS (
   FROM ev GROUP BY k, user_id
 ),
 agg AS (
+  -- decimal cancellation (mirrors operators/evaluation.py lins_ccc):
+  -- n*sxy - sx*sy etc. in exact decimal; population moments are the
+  -- exact numerators over n^2 after the single cast to double.
   SELECT k, COUNT(*) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
-              AS DOUBLE) AS syy,
-         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
-              AS DOUBLE) AS sxy
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS n_dec,
+         CAST(SUM(CAST(x AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS sx_dec,
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS sy_dec,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS sxx_dec,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS syy_dec,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS sxy_dec
   FROM pairs GROUP BY k
 ),
 mo AS (
   SELECT k, n,
-         ROUND(sx / CAST(n AS DOUBLE) + 1e-12, 9) AS mx,
-         ROUND(sy / CAST(n AS DOUBLE) + 1e-12, 9) AS my,
-         sxx, syy, sxy
+         ROUND(CAST(sx_dec AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 9) AS mx,
+         ROUND(CAST(sy_dec AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 9) AS my,
+         CAST(CAST(n_dec * sxy_dec AS DECIMAL(37,12))
+              - CAST(CAST(sx_dec AS DECIMAL(19,6))
+                     * CAST(sy_dec AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS covn,
+         CAST(CAST(n_dec * sxx_dec AS DECIMAL(37,12))
+              - CAST(CAST(sx_dec AS DECIMAL(19,6))
+                     * CAST(sx_dec AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS vxn,
+         CAST(CAST(n_dec * syy_dec AS DECIMAL(37,12))
+              - CAST(CAST(sy_dec AS DECIMAL(19,6))
+                     * CAST(sy_dec AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS vyn
   FROM agg
 ),
 pin AS (
   SELECT k, n, mx, my,
-         ROUND(sxy / CAST(n AS DOUBLE) - mx * my + 1e-12, 9) AS cov,
-         ROUND(sxx / CAST(n AS DOUBLE) - mx * mx + 1e-12, 9) AS vx,
-         ROUND(syy / CAST(n AS DOUBLE) - my * my + 1e-12, 9) AS vy
+         ROUND(covn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 1e-12, 9)
+           AS cov,
+         ROUND(vxn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 1e-12, 9)
+           AS vx,
+         ROUND(vyn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 1e-12, 9)
+           AS vy
   FROM mo
 )
 SELECT k AS event_type, CAST(n AS BIGINT) AS n,
@@ -4818,27 +4890,38 @@ def lorenz_value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLS_INFLUENCE_ORACLE = f"""
 WITH {_DAILY_FRAME_SQL},
 stats AS (
+  -- decimal cancellation (mirrors operators/timeseries.py ols_influence
+  -- and the durbin_watson fix): form n*sxy - sx*sy and n*sxx - sx*sx in
+  -- exact decimal, cast only the post-cancellation results to double.
   SELECT k, COUNT(*) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
-              AS DOUBLE) AS sxx_r,
-         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,6)))
-              AS DOUBLE) AS sxy_r,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS n_dec,
+         CAST(SUM(CAST(x AS DECIMAL(14,4))) AS DECIMAL(16,4)) AS sx_dec,
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) AS DECIMAL(21,6)) AS sy_dec,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(14,4)))
+              AS DECIMAL(26,8)) AS sxx_dec,
+         CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,10)) AS sxy_dec,
          COUNT(DISTINCT x) AS dx
   FROM d GROUP BY k
+),
+cancelled AS (
+  SELECT k, n, dx,
+         CAST(sx_dec AS DOUBLE) AS sx, CAST(sy_dec AS DOUBLE) AS sy,
+         CAST(CAST(n_dec * sxy_dec AS DECIMAL(37,10))
+              - CAST(sx_dec * sy_dec AS DECIMAL(37,10)) AS DOUBLE) AS num,
+         CAST(n_dec * sxx_dec
+              - CAST(sx_dec AS DECIMAL(19,4)) * CAST(sx_dec AS DECIMAL(19,4))
+              AS DOUBLE) AS den
+  FROM stats
 ),
 coef AS (
   SELECT k, n AS cnt,
          ROUND(sx / CAST(n AS DOUBLE) + 1e-12, 9) AS xbar,
-         ROUND(sxx_r - sx * sx / CAST(n AS DOUBLE) + 1e-12, 9) AS sxx,
-         ROUND((CAST(n AS DOUBLE) * sxy_r - sx * sy)
-               / (CAST(n AS DOUBLE) * sxx_r - sx * sx) + 1e-12, 9) AS b,
-         ROUND((sy - ((CAST(n AS DOUBLE) * sxy_r - sx * sy)
-                      / (CAST(n AS DOUBLE) * sxx_r - sx * sx)) * sx)
-               / CAST(n AS DOUBLE) + 1e-12, 9) AS a
-  FROM stats
-  WHERE n >= 4 AND n = dx AND CAST(n AS DOUBLE) * sxx_r - sx * sx > 0
+         ROUND(den / CAST(n AS DOUBLE) + 1e-12, 9) AS sxx,
+         ROUND(num / den + 1e-12, 9) AS b,
+         ROUND((sy - (num / den) * sx) / CAST(n AS DOUBLE) + 1e-12, 9) AS a
+  FROM cancelled
+  WHERE n >= 4 AND n = dx AND den > 0
 ),
 resid AS (
   SELECT d.k, d.x, d.y, cnt, xbar, sxx,
@@ -4909,18 +4992,24 @@ def ols_influence_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataF
 GRUBBS_ORACLE = f"""
 WITH {_DAILY_FRAME_SQL},
 stats AS (
+  -- decimal cancellation (mirrors operators/anova.py grubbs_max_deviate):
+  -- n*s2 - s1^2 in exact decimal; only the compact result casts to double.
   SELECT k, COUNT(*) AS n,
-         CAST(SUM(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
-              AS DOUBLE) AS s2
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS s1_dec,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS s2_dec
   FROM d GROUP BY k
 ),
 m AS (
   SELECT k, n,
-         ROUND(s1 / CAST(n AS DOUBLE) + 1e-12, 9) AS mean,
+         ROUND(CAST(s1_dec AS DOUBLE) / CAST(n AS DOUBLE) + 1e-12, 9) AS mean,
          CASE WHEN n >= 2
-              THEN ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
-                         / (CAST(n AS DOUBLE) - 1.0) + 1e-12, 9)
+              THEN ROUND(
+                CAST(CAST(CAST(n AS DECIMAL(6,0)) * s2_dec AS DECIMAL(37,12))
+                     - CAST(CAST(s1_dec AS DECIMAL(19,6))
+                            * CAST(s1_dec AS DECIMAL(19,6))
+                            AS DECIMAL(37,12)) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) + 1e-12, 9)
               END AS var
   FROM stats
 ),
@@ -5009,7 +5098,7 @@ r AS (
               THEN ROUND(c2 / ss + 1e-12, 9) END AS r2,
          CASE WHEN n > 3 AND ties = 0 AND ss > 0
               THEN ROUND(c3 / ss + 1e-12, 9) END AS r3
-  FROM r_src
+  FROM pk
 ),
 p2t AS (
   SELECT k, n, r1, r2, r3,
@@ -5041,7 +5130,6 @@ FROM (
   SELECT k, n, CAST(3 AS BIGINT), r3, p3 FROM wide
 ) ORDER BY event_type, lag
 """
-PACF_ORACLE = PACF_ORACLE.replace("FROM r_src", "FROM pk")
 
 
 @golden(
@@ -5110,7 +5198,7 @@ blk AS (
          COUNT(*) OVER wb AS m,
          ROUND(CAST(SUM(CAST(y AS DECIMAL(16,6))) OVER wb AS DOUBLE)
                / CAST(COUNT(*) OVER wb AS DOUBLE) + 1e-12, 9) AS mean,
-         CAST(SUM(CAST(y AS DECIMAL(16,6)) * CAST(y AS DECIMAL(16,6)))
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
               OVER wb AS DOUBLE) AS s2,
          ROW_NUMBER() OVER (PARTITION BY k, s, b ORDER BY i) AS ri,
          CAST(SUM(CAST(y AS DECIMAL(16,6))) OVER wr AS DOUBLE) AS cum
@@ -5475,7 +5563,7 @@ pk AS (
   SELECT k, MAX(n) AS n, MAX(tie) AS ties,
          CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(dv AS DECIMAL(18,9)))
               AS DOUBLE) AS g0,
-         CAST(SUM(CAST(s AS DECIMAL(19,9)) * CAST(s AS DECIMAL(19,9)))
+         CAST(SUM(CAST(s AS DECIMAL(18,9)) * CAST(s AS DECIMAL(18,9)))
               AS DOUBLE) AS ss2,
          CAST(SUM(CAST(dv AS DECIMAL(18,9)) * CAST(d1 AS DECIMAL(18,9)))
               AS DOUBLE) AS c1,

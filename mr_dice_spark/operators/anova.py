@@ -396,9 +396,11 @@ def grubbs_max_deviate(
     symmetric about the mean) break toward the SMALLER value —
     deterministic cross-engine.
 
-    Cross-engine determinism: power sums are exact decimals (the
-    durbin_watson convention; contract: values on a <= 6dp grid,
-    |v| < 1e10); mean and sd pin at 9dp; each z is one fixed IEEE
+    Cross-engine determinism: power sums are exact decimals and the
+    variance numerator ``n*s2 - s1^2`` is formed in exact decimal
+    before any cast to double (the durbin_watson convention; contract:
+    values on a <= 6dp grid, |v| < 1e5, n < 1e6 per
+    group); mean and sd pin at 9dp; each z is one fixed IEEE
     chain on pinned operands, pinned at 9dp before the rank; outputs
     round at 6.
 
@@ -412,21 +414,30 @@ def grubbs_max_deviate(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("double").alias("__v"),
     ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    # decimal cancellation (the durbin_watson convention): the variance
+    # numerator n*s2 - s1^2 is formed in exact decimal — casting s1/s2
+    # to double first lets DuckDB's 1-ulp-off DECIMAL->DOUBLE cast be
+    # amplified by the cancellation into the 9dp pins. Compact-cast
+    # headroom (>= 10x): |v| < 1e5 on a <= 6dp grid, n < 1e6 per group.
     vd = F.col("__v").cast("decimal(16,6)")
     w_all = Window.partitionBy("__g")
+    n_w = F.count(F.lit(1)).over(w_all)
+    s1_dec = F.sum(vd).over(w_all).cast("decimal(18,6)")
+    s2_dec = F.sum(vd * vd).over(w_all).cast("decimal(31,12)")
+    vn_dec = (n_w.cast("decimal(6,0)") * s2_dec).cast("decimal(37,12)") - (
+        s1_dec * s1_dec
+    ).cast("decimal(37,12)")
     staged = base.select(
         "__g",
         "__v",
-        F.count(F.lit(1)).over(w_all).alias("__n"),
-        F.sum(vd).over(w_all).cast("double").alias("__s1"),
-        F.sum(vd * vd).over(w_all).cast("double").alias("__s2"),
+        n_w.alias("__n"),
+        s1_dec.cast("double").alias("__s1"),
+        vn_dec.cast("double").alias("__vn"),
     )
     n_d = F.col("__n").cast("double")
     mean = F.round(F.col("__s1") / n_d + F.lit(1e-12), 9)
     var = F.round(
-        (F.col("__s2") - F.col("__s1") * F.col("__s1") / n_d)
-        / (n_d - 1.0)
-        + F.lit(1e-12),
+        F.col("__vn") / (n_d * (n_d - 1.0)) + F.lit(1e-12),
         9,
     )
     sd = F.round(F.sqrt(var) + F.lit(1e-12), 9)

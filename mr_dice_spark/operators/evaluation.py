@@ -3425,8 +3425,10 @@ def lins_ccc(
     location disagreement — the honest score).
 
     Cross-engine determinism: one power-sum aggregate per key; means
-    pin at 9dp; cov/var are fixed IEEE chains on pinned means and raw
-    power sums, pinned at 9dp; the closing ratio rounds at 6.
+    pin at 9dp; cov/var numerators are formed in exact decimal
+    (``n*sxy - sx*sy`` etc. — the durbin_watson cancellation
+    convention), divided by n^2 after the cast to double and pinned at
+    9dp; the closing ratio rounds at 6.
 
     Scale shape: ONE hash aggregate of six scalars per key with
     map-side combine — the group_ols_trend moment-sketch shape, no
@@ -3441,30 +3443,41 @@ def lins_ccc(
         & F.col(x_col).isNotNull()
         & F.col(y_col).isNotNull()
     )
-    # decimal power sums (the durbin_watson convention): order- and
-    # engine-invariant. Contract: pairs on a <= 6dp grid, |x|,|y| < 1e10.
+    # decimal power sums AND decimal cancellation (the durbin_watson
+    # convention): cov/var numerators n*sxy - sx*sy etc. are formed in
+    # exact decimal — casting the sums to double first lets DuckDB's
+    # 1-ulp-off DECIMAL->DOUBLE cast be amplified by the cancellation
+    # into the 9dp pins. Population moments follow as the exact
+    # numerator over n^2. Contract (>= 10x compact-cast headroom):
+    # pairs on a <= 6dp grid, |x|,|y| < 1e5, n < 1e6 per key.
     xd = F.col("__x").cast("decimal(16,6)")
     yd = F.col("__y").cast("decimal(16,6)")
     agg = base.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(xd).cast("double").alias("__sx"),
-        F.sum(yd).cast("double").alias("__sy"),
-        F.sum(xd * xd).cast("double").alias("__sxx"),
-        F.sum(yd * yd).cast("double").alias("__syy"),
-        F.sum(xd * yd).cast("double").alias("__sxy"),
+        F.sum(xd).cast("decimal(18,6)").alias("__sxd"),
+        F.sum(yd).cast("decimal(18,6)").alias("__syd"),
+        F.sum(xd * xd).cast("decimal(31,12)").alias("__sxxd"),
+        F.sum(yd * yd).cast("decimal(31,12)").alias("__syyd"),
+        F.sum(xd * yd).cast("decimal(31,12)").alias("__sxyd"),
     )
+    n_dec = F.col("__n").cast("decimal(6,0)")
+
+    def _cancel(sq, sa, sb):
+        return (
+            (n_dec * sq).cast("decimal(37,12)")
+            - (sa * sb).cast("decimal(37,12)")
+        ).cast("double")
+
+    covn = _cancel(F.col("__sxyd"), F.col("__sxd"), F.col("__syd"))
+    vxn = _cancel(F.col("__sxxd"), F.col("__sxd"), F.col("__sxd"))
+    vyn = _cancel(F.col("__syyd"), F.col("__syd"), F.col("__syd"))
     n_d = F.col("__n").cast("double")
-    mx = F.round(F.col("__sx") / n_d + F.lit(1e-12), 9)
-    my = F.round(F.col("__sy") / n_d + F.lit(1e-12), 9)
-    cov = F.round(
-        F.col("__sxy") / n_d - mx * my + F.lit(1e-12), 9
-    )
-    vx = F.round(
-        F.col("__sxx") / n_d - mx * mx + F.lit(1e-12), 9
-    )
-    vy = F.round(
-        F.col("__syy") / n_d - my * my + F.lit(1e-12), 9
-    )
+    n2 = n_d * n_d
+    mx = F.round(F.col("__sxd").cast("double") / n_d + F.lit(1e-12), 9)
+    my = F.round(F.col("__syd").cast("double") / n_d + F.lit(1e-12), 9)
+    cov = F.round(covn / n2 + F.lit(1e-12), 9)
+    vx = F.round(vxn / n2 + F.lit(1e-12), 9)
+    vy = F.round(vyn / n2 + F.lit(1e-12), 9)
     den = vx + vy + (mx - my) * (mx - my)
     ccc = F.when((F.col("__n") >= 2) & (den > 0), 2.0 * cov / den)
     r = F.when(

@@ -1352,9 +1352,12 @@ def chow_test(
     line fits all".
 
     Cross-engine determinism (the anova-from-power-sums contract):
-    every SSE is a fixed chain of IEEE ops on the per-segment power
-    sums; feed QUANTIZED y (the golden quantizes bucket means at 6dp)
-    and only the power-sum accumulation order differs between engines.
+    per-segment power sums are exact decimals and every centered
+    moment's cancelling numerator (``n*sxx - sx^2`` etc.) is formed in
+    exact decimal before the single cast to double (the durbin_watson
+    cancellation convention); each SSE is then a fixed chain of IEEE
+    ops on those post-cancellation doubles — feed QUANTIZED y (the
+    golden quantizes bucket means at 6dp).
     Each SSE additionally pins at 6dp BEFORE F (see the inline note:
     a two-point segment's true-zero SSE comes out of power sums as a
     tiny residual of either sign, and the pinned grid is where both
@@ -1384,16 +1387,28 @@ def chow_test(
     )
     seg1 = F.col("__x") <= F.lit(float(breakpoint))
 
+    # decimal conditional power sums AND decimal cancellation (the
+    # durbin_watson convention): each centered moment's cancelling
+    # numerator (n*sxx - sx^2 etc.) is formed in exact decimal and only
+    # the compact post-cancellation result casts to double — a float
+    # sum's value is shuffle-order-dependent, and a cast-then-cancel
+    # chain amplifies DuckDB's 1-ulp-off DECIMAL->DOUBLE cast ~1e8x
+    # (round-10 durbin_watson driver red row). Contract (>= 10x
+    # compact-cast headroom): bucket index |x| < 1e6 on a <= 4dp grid,
+    # |y| < 1e5 on a <= 6dp grid, n < 1e5 rows per key.
+    xdec = F.col("__x").cast("decimal(14,4)")
+    ydec = F.col("__y").cast("decimal(16,6)")
+
     def _sums(tag: str, m):
-        x = F.when(m, F.col("__x"))
-        y = F.when(m, F.col("__y"))
+        x = F.when(m, xdec)
+        y = F.when(m, ydec)
         return [
             F.count(x).alias(f"__n{tag}"),
-            F.sum(x).alias(f"__sx{tag}"),
-            F.sum(y).alias(f"__sy{tag}"),
-            F.sum(x * F.col("__y")).alias(f"__sxy{tag}"),
-            F.sum(x * F.col("__x")).alias(f"__sxx{tag}"),
-            F.sum(y * F.col("__y")).alias(f"__syy{tag}"),
+            F.sum(x).cast("decimal(16,4)").alias(f"__sx{tag}"),
+            F.sum(y).cast("decimal(18,6)").alias(f"__sy{tag}"),
+            F.sum(x * ydec).cast("decimal(30,10)").alias(f"__sxy{tag}"),
+            F.sum(x * xdec).cast("decimal(26,8)").alias(f"__sxx{tag}"),
+            F.sum(y * ydec).cast("decimal(31,12)").alias(f"__syy{tag}"),
         ]
 
     agg = base.groupBy("__k").agg(
@@ -1402,9 +1417,23 @@ def chow_test(
 
     def _sse(tag: str):
         n = F.col(f"__n{tag}").cast("double")
-        sxx = F.col(f"__sxx{tag}") - F.col(f"__sx{tag}") * F.col(f"__sx{tag}") / n
-        sxy = F.col(f"__sxy{tag}") - F.col(f"__sx{tag}") * F.col(f"__sy{tag}") / n
-        syy = F.col(f"__syy{tag}") - F.col(f"__sy{tag}") * F.col(f"__sy{tag}") / n
+        n_dec = F.col(f"__n{tag}").cast("decimal(6,0)")
+        sx_d = F.col(f"__sx{tag}")
+        sy_d = F.col(f"__sy{tag}")
+        sxx_n = (
+            (n_dec * F.col(f"__sxx{tag}")) - (sx_d * sx_d)
+        ).cast("double")
+        sxy_n = (
+            (n_dec * F.col(f"__sxy{tag}")).cast("decimal(36,10)")
+            - (sx_d * sy_d).cast("decimal(36,10)")
+        ).cast("double")
+        syy_n = (
+            (n_dec * F.col(f"__syy{tag}")).cast("decimal(37,12)")
+            - (sy_d * sy_d).cast("decimal(37,12)")
+        ).cast("double")
+        sxx = sxx_n / n
+        sxy = sxy_n / n
+        syy = syy_n / n
         return F.when((n >= 2) & (sxx > 0), syy - sxy * sxy / sxx)
 
     # SSEs pin at 6dp BEFORE F: a two-point (or perfectly collinear)
@@ -1566,7 +1595,9 @@ def durbin_watson(
     with a fail-fast count). NULL key/x/y rows are excluded.
 
     Cross-engine determinism: slope/intercept come from one power-sum
-    aggregate and pin at 9dp; residuals are fixed IEEE chains on pinned
+    aggregate whose cancelling differences (n*sxy - sx*sy and
+    n*sxx - sx*sx) are formed IN EXACT DECIMAL before any cast to
+    double, then pin at 9dp; residuals are fixed IEEE chains on pinned
     coefficients, pinned at 9dp before differencing; DW is one division
     of two pinned-term sums, rounded at 6. Keys with < 3 points, zero
     x-variance, or all-zero residuals (a perfect fit) report NULL dw —
@@ -1591,22 +1622,39 @@ def durbin_watson(
     )
     w_all = Window.partitionBy("__k")
     w_lag = Window.partitionBy("__k").orderBy("__x")
-    # DECIMAL power sums: a float SUM's value depends on shuffle arrival
-    # order, so the 9dp coefficient pins downstream could straddle a
-    # grid boundary run-to-run (observed as a sweep flake on this very
-    # operator family). Summing exact decimals is order-invariant AND
-    # engine-invariant; the one cast back to double is of an identical
-    # exact value on both sides. Contract: |x| < 1e10 on a <= 4dp grid,
-    # |y| < 1e10 on a <= 6dp grid — any bucketed/quantized series.
+    # DECIMAL power sums AND decimal cancellation: a float SUM's value
+    # depends on shuffle arrival order, so the 9dp coefficient pins
+    # downstream could straddle a grid boundary run-to-run (observed as
+    # a sweep flake on this very operator family). Summing exact
+    # decimals is order-invariant AND engine-invariant. The round-10
+    # driver red row proved the remaining hole: DuckDB's DECIMAL->DOUBLE
+    # cast can be 1 ulp off correctly-rounded (Spark's is exact), and
+    # the cancelling chain n*sxy - sx*sy amplifies that ulp ~1e8x into
+    # the 9dp pin. So the cancellation itself happens IN EXACT DECIMAL
+    # and only the compact post-cancellation numerator/denominator are
+    # cast to double — a 1-ulp cast wobble there is ~1e-16 relative.
+    # Contract (compact-cast headroom, >= 10x at each bound): bucket
+    # index |x| < 1e6 on a <= 4dp grid, |y| < 1e9 on a <= 6dp grid,
+    # n < 1e5 rows per key (a bucketed series is bounded by its own
+    # time span). Every decimal product below stays within 38 digits
+    # on BOTH engines, so no intermediate rounds.
     xd = F.col("__x").cast("decimal(14,4)")
     yd = F.col("__y").cast("decimal(16,6)")
-    n_d = F.count(F.lit(1)).over(w_all).cast("double")
-    sx = F.sum(xd).over(w_all).cast("double")
-    sy = F.sum(yd).over(w_all).cast("double")
-    sxx_w = F.sum(xd * xd).over(w_all).cast("double")
-    sxy_w = F.sum(xd * yd).over(w_all).cast("double")
-    sxx = n_d * sxx_w - sx * sx
-    num = n_d * sxy_w - sx * sy
+    n_cnt = F.count(F.lit(1)).over(w_all)
+    n_dec = n_cnt.cast("decimal(6,0)")
+    sx_dec = F.sum(xd).over(w_all).cast("decimal(16,4)")
+    sy_dec = F.sum(yd).over(w_all).cast("decimal(21,6)")
+    sxx_dec = F.sum(xd * xd).over(w_all).cast("decimal(26,8)")
+    sxy_dec = F.sum(xd * yd).over(w_all).cast("decimal(31,10)")
+    num_dec = (n_dec * sxy_dec).cast("decimal(37,10)") - (
+        sx_dec * sy_dec
+    ).cast("decimal(37,10)")
+    den_dec = (n_dec * sxx_dec) - (sx_dec * sx_dec)
+    n_d = n_cnt.cast("double")
+    sx = sx_dec.cast("double")
+    sy = sy_dec.cast("double")
+    sxx = den_dec.cast("double")
+    num = num_dec.cast("double")
     staged = base.select(
         "__k",
         "__x",
@@ -1919,11 +1967,12 @@ def gumbel_block_maxima(
     but well-defined point mass).
 
     Cross-engine determinism: the per-block max and block counts are
-    exact; m and the power sums pin at 9dp; s is the explicit
-    power-sum form ``sqrt((Sxx - n m^2) / (n - 1))`` (NOT the engine's
-    streaming stddev, whose update order differs between engines),
-    pinned at 9dp; mu/beta/level are fixed IEEE chains on pinned
-    operands, rounded at 6.
+    exact; the power sums are exact decimals and the variance
+    numerator ``n*s2 - s1^2`` is formed in exact decimal before the
+    single cast to double (the durbin_watson cancellation convention —
+    NOT the engine's streaming stddev, whose update order differs
+    between engines); m and s pin at 9dp; mu/beta/level are fixed IEEE
+    chains on pinned operands, rounded at 6.
 
     Scale shape: one (key, block) max aggregate, one per-key moment
     aggregate — two key-shuffles of scalars with map-side combine.
@@ -1944,27 +1993,33 @@ def gumbel_block_maxima(
         .groupBy(F.col(key_col).alias("__k"), F.col(block_col).alias("__b"))
         .agg(F.max(F.col(value_col).cast("double")).alias("__m"))
     )
-    # decimal sums (the durbin_watson convention): maxima are quantized
-    # onto a 6dp grid so mean and the power sum are order-invariant
+    # decimal sums AND decimal cancellation (the durbin_watson
+    # convention): maxima are quantized onto a 6dp grid so the power
+    # sums are order-invariant, and the variance numerator n*s2 - s1^2
+    # is formed in exact decimal — casting the sums to double first
+    # lets DuckDB's 1-ulp-off DECIMAL->DOUBLE cast be amplified by the
+    # cancellation into the 9dp pins. Contract (>= 10x compact-cast
+    # headroom): |max| < 1e5, blocks per key < 1e6.
     md = F.col("__m").cast("decimal(16,6)")
     agg = maxima.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.round(
-            F.sum(md).cast("double") / F.count(F.lit(1)).cast("double")
-            + F.lit(1e-12),
-            9,
-        ).alias("__mean"),
-        F.round(
-            F.sum(md * md).cast("double") + F.lit(1e-12), 9
-        ).alias("__sxx"),
+        F.sum(md).cast("decimal(18,6)").alias("__s1d"),
+        F.sum(md * md).cast("decimal(31,12)").alias("__s2d"),
     )
+    vn = (
+        (F.col("__n").cast("decimal(6,0)") * F.col("__s2d")).cast(
+            "decimal(37,12)"
+        )
+        - (F.col("__s1d") * F.col("__s1d")).cast("decimal(37,12)")
+    ).cast("double")
     n_d = F.col("__n").cast("double")
-    var = (
-        F.col("__sxx") - n_d * F.col("__mean") * F.col("__mean")
-    ) / (n_d - 1.0)
+    mean_pin = F.round(
+        F.col("__s1d").cast("double") / n_d + F.lit(1e-12), 9
+    )
+    var = vn / (n_d * (n_d - 1.0))
     sd = F.round(F.sqrt(F.greatest(var, F.lit(0.0))) + F.lit(1e-12), 9)
     beta = sd * F.lit(math.sqrt(6.0) / math.pi)
-    mu = F.col("__mean") - F.lit(0.5772156649015329) * beta
+    mu = mean_pin - F.lit(0.5772156649015329) * beta
     t = float(return_period)
     level = mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
     guard = F.col("__n") >= 2
@@ -2094,7 +2149,8 @@ def ols_influence(
     elsewhere).
 
     Cross-engine determinism: xbar/Sxx/slope/intercept pin at 9dp from
-    one power-sum aggregate; e_t pins at 9dp; s pins at 9dp from the
+    one power-sum aggregate whose cancelling differences are formed in
+    exact decimal before any cast to double; e_t pins at 9dp; s pins at 9dp from the
     explicit power-sum form; h/r/D are fixed IEEE chains on pinned
     operands; the rank orders by (D DESC, x) with D pinned at 9dp
     BEFORE ranking so both engines agree on the cut; outputs round
@@ -2120,20 +2176,35 @@ def ols_influence(
     )
     w_all = Window.partitionBy("__k")
     w_lag = Window.partitionBy("__k").orderBy("__x")
-    # decimal power sums — order-invariant and engine-invariant (the
-    # durbin_watson convention; this operator's pin chain is the
-    # longest in the module, which is where the float-sum shuffle-order
-    # wiggle was first observed as a sweep flake)
+    # decimal power sums AND decimal cancellation (the durbin_watson
+    # convention; this operator's pin chain is the longest in the
+    # module, which is where the float-sum shuffle-order wiggle was
+    # first observed as a sweep flake). DuckDB's DECIMAL->DOUBLE cast
+    # can be 1 ulp off correctly-rounded, and n*sxy - sx*sy amplifies
+    # that ulp ~1e8x into the 9dp pins (round-10 durbin_watson driver
+    # red row) — so the cancelling differences are formed IN EXACT
+    # DECIMAL and only the compact post-cancellation results cast to
+    # double. Contract (>= 10x headroom at each compact cast): bucket
+    # index |x| < 1e6 on a <= 4dp grid, |y| < 1e9 on a <= 6dp grid,
+    # n < 1e5 rows per key.
     xd = F.col("__x").cast("decimal(14,4)")
     yd = F.col("__y").cast("decimal(16,6)")
-    n_d = F.count(F.lit(1)).over(w_all).cast("double")
-    sx = F.sum(xd).over(w_all).cast("double")
-    sy = F.sum(yd).over(w_all).cast("double")
-    sxx_r = F.sum(xd * xd).over(w_all).cast("double")
-    sxy_r = F.sum(xd * yd).over(w_all).cast("double")
-    sxx_c = sxx_r - sx * sx / n_d
-    num = n_d * sxy_r - sx * sy
-    den = n_d * sxx_r - sx * sx
+    n_cnt = F.count(F.lit(1)).over(w_all)
+    n_dec = n_cnt.cast("decimal(6,0)")
+    sx_dec = F.sum(xd).over(w_all).cast("decimal(16,4)")
+    sy_dec = F.sum(yd).over(w_all).cast("decimal(21,6)")
+    sxx_dec = F.sum(xd * xd).over(w_all).cast("decimal(26,8)")
+    sxy_dec = F.sum(xd * yd).over(w_all).cast("decimal(31,10)")
+    num_dec = (n_dec * sxy_dec).cast("decimal(37,10)") - (
+        sx_dec * sy_dec
+    ).cast("decimal(37,10)")
+    den_dec = (n_dec * sxx_dec) - (sx_dec * sx_dec)
+    n_d = n_cnt.cast("double")
+    sx = sx_dec.cast("double")
+    sy = sy_dec.cast("double")
+    num = num_dec.cast("double")
+    den = den_dec.cast("double")
+    sxx_c = den / n_d
     staged = base.select(
         "__k",
         "__x",
@@ -2606,7 +2677,12 @@ def hurst_rs(
     with x unique per key, NULL rows excluded, x-ties fail closed
     (NULL hurst); ordering follows x ORDER, not x arithmetic. Keys
     with fewer than 2 usable ladder points (every block constant, or
-    n < 2 * block_sizes[1]) report NULL hurst.
+    n < 2 * block_sizes[1]) report NULL hurst — EXCEPT keys with
+    n < block_sizes[0] (no complete block at ANY scale), which are
+    DROPPED from the output entirely: the complete-block filter is
+    what bounds the state, and a key that never fills one block has
+    no per-scale row to hang a NULL on (the per-group top-k
+    fail-empty convention; the oracle agrees).
 
     Cross-engine determinism: block means pin at 9dp over decimal
     sums; Z_i = cum_i - i * mean is a fixed IEEE chain on exact
@@ -2998,7 +3074,12 @@ def kpss_level_stat(
         F.sum(ddec).over(w_run).cast("double").alias("__s"),
         *lag_cols,
     )
-    sdec = F.col("__s").cast("decimal(19,9)")
+    # decimal(18,9), NOT (19,9): the square of a (19,9) has precision 39,
+    # which exceeds Spark's 38-digit cap and silently rounds to (38,17),
+    # while DuckDB's product stays exact — a cross-engine last-ulp gap in
+    # __ss2 (round-10 ADVICE). At (18,9) the square is exact (37,18) in
+    # both engines. Documented headroom: |S_t| < 1e9 (the ddec convention).
+    sdec = F.col("__s").cast("decimal(18,9)")
     aggs = [
         F.max("__n").alias("__cnt"),
         F.max("__tie").alias("__ties"),

@@ -22,8 +22,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0/0.0 and represent at comparable precision
-        return f"{v:.9g}"
+        # FULL-precision normalization (driver-grade strictness). The
+        # previous f"{v:.9g}" (9 *significant* digits) masked pinned
+        # decimals for |v| >= 1: at |v| >= 1000 the 6th pinned decimal
+        # was invisible, which hid the round-10 durbin_watson driver red
+        # row from every local fresh-process compare. repr round-trips
+        # the exact double; `v + 0.0` collapses -0.0 to 0.0.
+        return repr(v + 0.0)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v

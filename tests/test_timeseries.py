@@ -1167,6 +1167,20 @@ def test_hurst_hand_computed_and_regimes(spark):
     assert got["tr"]["hurst"] > got["wn"]["hurst"]
 
 
+def test_hurst_sub_block_key_is_dropped(spark):
+    """A key with n < block_sizes[0] never fills a complete block at any
+    scale: the complete-block filter drops it from the output entirely
+    (the documented fail-empty convention — NOT a NULL-hurst row)."""
+    from mr_dice_spark.operators.timeseries import hurst_rs
+
+    rows = [("tiny", float(i), float(i % 3)) for i in range(7)]  # n=7 < 8
+    rows += [("ok", float(i), float((i * 7) % 13)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = hurst_rs(df, "k", "x", "y").collect()
+    keys = {r["k"] for r in out}
+    assert keys == {"ok"}  # 'tiny' vanishes, no NULL row
+
+
 def test_hurst_validates_block_ladder(spark):
     from mr_dice_spark.operators.timeseries import hurst_rs
 
