@@ -22,107 +22,92 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Round-10 window, exactly as VERDICT r9 next-#1 (and the
-# pre-plan written here in round 9) prescribes: 1 flagship + the 11
-# round-9 golden additions (the documented ROUND-10 WINDOW QUEUE, never
-# driver-checked, landing order — all 11 judge-verified green against
-# DuckDB in the r9 review plus a 52-compare fresh-process flake campaign)
-# + all 38 remaining goldens whose latest driver row is round 3
-# (alphabetical; age 7 at round 10, one round inside the derived horizon
-# of 8). 1 + 11 + 38 = 50 exactly. A green CORRECTNESS_r10.json on this
-# window reaches lifetime driver coverage 344/344 of the pre-round-10
-# corpus AND resets every golden's freshness to <= r4 age. Everything
-# displaced is r4-r9-green and stays oracle-checked every CI run by
-# tests/test_golden.py under the identical DuckDB compare.
+# in dict order. Round-11 window, exactly as VERDICT r10 next-#4 (and the
+# pre-plan written here in round 10) prescribes: 1 flagship +
+# durbin_watson_daily_value_by_type re-admitted for a green re-check after
+# its decimal-cancellation fix (the r10 red row: DuckDB's DECIMAL->DOUBLE
+# cast is 1 ulp off correctly-rounded and the cast-then-cancel OLS chain
+# amplified it into the 6dp pin; both engine and oracle now cancel in
+# exact decimal) + the 13 round-10 golden additions (the documented
+# ROUND-11 WINDOW QUEUE, never driver-checked, landing order — all 13
+# strict-sweep green in the r10 judge review AND under this round's
+# full-precision comparator) + the first 35 alphabetical goldens whose
+# latest driver row is round 4 (age 7 at round 11, inside the derived
+# horizon of 9). 1 + 1 + 13 + 35 = 50 exactly. The 14 remaining r4-latest
+# rows roll to round 12 at age 8 — still inside the horizon, as
+# tests/test_coverage.py's feasibility guard verifies. Everything
+# displaced is r4-r10-green and stays oracle-checked every CI run by
+# tests/test_golden.py under the identical (now strict full-precision)
+# DuckDB compare.
 #
 # SUSTAINABILITY NOTE: tests/test_coverage.py derives the freshness
 # horizon from corpus size (ceil((N-1)/49)+1 rounds — the provably
 # achievable round-robin period plus one round of slack) and asserts
-# NEXT round's window arithmetic stays feasible. After round 10 the
-# oldest surviving rows are the round-4 cohort (age 7 at round 11,
-# within the horizon), so the ROUND-11 WINDOW is pre-planned at the
-# bottom of this list: 1 flagship + any round-10 golden additions
-# (never-checked, lead the queue) + r4-latest rows oldest-first
-# alphabetically to fill 50.
+# NEXT round's window arithmetic stays feasible. The ROUND-12 WINDOW is
+# pre-planned: 1 flagship + any round-11 golden additions (never-checked,
+# lead the queue) + the 14 leftover r4-latest rows (age 8, the oldest
+# cohort) + r5-latest rows alphabetically to fill 50.
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # --- ROUND-10 WINDOW QUEUE: the 11 round-9 golden additions,
-    #     landing order (never driver-checked before this round):
-    "compression_ratio_fixed_oracle",
+    # --- re-admitted after the decimal-cancellation fix (r10 red row):
     "durbin_watson_daily_value_by_type",
-    "ljung_box_daily_value_by_type",
-    "runs_test_daily_value_by_type",
-    "gumbel_daily_max_value_by_type",
-    "hellinger_tvd_weekend_value_bands",
-    "friedman_weekday_value_by_type",
-    "icc_user_bucket_value_by_type",
-    "lins_ccc_even_odd_days_by_type",
-    "lorenz_value_deciles_by_type",
-    "ols_influence_daily_value_by_type",
-    # --- the 38 r3-latest goldens, alphabetical (computed from the
-    #     union of CORRECTNESS_r01-r09; VERDICT r9 next-#1):
-    "grouping_sets_event_bands",
-    "grouping_sets_events",
-    "heavy_hitters_cms_events",
-    "hll_rollup_distinct_users",
-    "jaccard_similarity_join",
-    "length_outlier_filter",
-    "multimodal_sample_extraction",
-    "multimodal_video_probe",
-    "percentiles_value_by_type",
-    "pivot_returnflag_status",
-    "pq_topk_adc",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q20_excess_shipments",
-    "q22_sales_opportunity",
-    "rollup_pricing_subtotals",
-    "semantic_dedup_planted",
-    "set_except_lapsed_customers",
-    "set_intersect_repeat_customers",
-    "setop_except_custkeys",
-    "split_contamination_audit",
-    "streaming_dedup_keys",
-    "streaming_interval_join_pairs",
-    "token_budget_sample_by_lang",
-    "train_split_assign",
-    "winnowing_boilerplate_spans",
-    "winnowing_overlap_pairs",
-    # ROUND-11 WINDOW QUEUE: round-10 golden additions (never
-    # driver-checked; they lead the round-11 rotation, landing order):
+    # --- ROUND-11 WINDOW QUEUE: the 13 round-10 golden additions,
+    #     landing order (never driver-checked before this round):
+    "cvm_value_weekend_by_type",
+    "energy_dist_value_weekend_by_type",
+    "grubbs_daily_value_by_type",
+    "moods_median_value_by_weekday",
+    "pacf_daily_value_by_type",
+    "hurst_hourly_value_by_type",
+    "dispersion_daily_counts_by_type",
+    "jt_weekly_value_trend_by_type",
+    "mood_scale_value_weekend_by_type",
+    "hampel_outliers_hourly_by_type",
+    "streaming_hampel_monitor",
+    "page_trend_weekly_by_weekday",
+    "kpss_daily_value_by_type",
+    # --- the first 35 alphabetical r4-latest goldens (computed from
+    #     the union of CORRECTNESS_r01-r10; VERDICT r10 next-#4):
+    "ann_recall_audit_ivf",
+    "bpe_pair_merge_stats",
+    "c4_line_cleaning",
+    "cdc_apply_changes_snapshot",
+    "cdc_latest_snapshot",
+    "cluster_keep_best_copy",
+    "compression_ratio_signal",
+    "corpus_datasheet",
+    "cosine_topk_bruteforce",
+    "crawl_quality_tokenizer_report",
+    "dedup_connected_clusters",
+    "demo1_and_containment",
+    "demo3_cte_ratio",
+    "demo4_window_toppct",
+    "demo6_reagg_having",
+    "demo7_global_outliers",
+    "demo8_multiwindow",
+    "demo9_selectivity_matrix",
+    "doc_length_histogram",
+    "embedding_near_dup_pairs",
+    "embedding_outlier_flags",
+    "events_asof_join",
+    "events_hourly_window",
+    "fair_quota_topk_events",
+    "fuzzy_name_join_customers",
+    "gopher_quality_gate",
+    "image_ahash_dedup",
+    "incremental_dedup_two_batches",
+    "interval_join_error_windows",
+    "kll_quantiles_daily_rollup",
+    "link_authority_pagerank",
+    "minhash_lsh_dedup_survivors",
+    "minhash_recall_audit_curve",
+    "mixture_upsample_epochs_lang",
+    "multimodal_avi_sample_extraction",
+    # ROUND-12 WINDOW QUEUE: round-11 golden additions (never
+    # driver-checked; they lead the round-12 rotation, landing order):
     # (names are appended here in the same commit that lands each new
     # golden — tests/test_coverage.py parses this comment.)
-    # cvm_value_weekend_by_type
-    # energy_dist_value_weekend_by_type
-    # grubbs_daily_value_by_type
-    # moods_median_value_by_weekday
-    # pacf_daily_value_by_type
-    # hurst_hourly_value_by_type
-    # dispersion_daily_counts_by_type
-    # jt_weekly_value_trend_by_type
-    # mood_scale_value_weekend_by_type
-    # hampel_outliers_hourly_by_type
-    # streaming_hampel_monitor
-    # page_trend_weekly_by_weekday
-    # kpss_daily_value_by_type
-    # Round-11 window = 1 flagship + that 13-golden queue + the first
-    # 36 alphabetical r4-latest goldens = 50 slots exactly. The r4
-    # cohort holds 49 rows, so 13 r4 rows roll to round 12 at age 8 —
-    # inside the corpus-derived horizon of 9 (N = 357 goldens ->
-    # ceil(356/49)+1), as tests/test_coverage.py's feasibility guard
-    # verifies.
 ]
 
 
