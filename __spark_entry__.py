@@ -108,6 +108,17 @@ _CHECK_FIRST = [
     # driver-checked; they lead the round-12 rotation, landing order):
     # (names are appended here in the same commit that lands each new
     # golden — tests/test_coverage.py parses this comment.)
+    # kuiper_value_weekend_by_type
+    # ad_value_weekend_by_type
+    # bartlett_daily_value_by_weekday
+    # cox_stuart_daily_value_by_type
+    # theils_u2_hourly_value_by_type
+    # ansari_value_weekend_by_type
+    # quade_weekday_value_by_type
+    # streaming_theils_u2_monitor
+    # Round-12 window = 1 flagship + this 8-golden queue + the 14
+    # leftover r4-latest rows (age 8, the oldest cohort) + the first
+    # 27 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

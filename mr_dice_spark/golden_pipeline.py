@@ -6264,3 +6264,4 @@ def streaming_hampel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+

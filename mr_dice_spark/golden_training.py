@@ -5613,3 +5613,617 @@ def kpss_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = kpss_level_stat(_daily_frame(spark, sf_dir), "k", "x", "y", 4)
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Kuiper + Anderson-Darling on the weekend split; Bartlett,
+# Cox-Stuart, Theil's U2 on the bucketed frames; Ansari-Bradley scale;
+# Quade weighted blocked ranks.
+# ---------------------------------------------------------------------------
+
+KUIPER_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, count_if(a) AS ca, count_if(NOT a) AS cb
+  FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, SUM(ca) OVER w AS cca, SUM(cb) OVER w AS ccb,
+         SUM(ca) OVER (PARTITION BY k) AS na,
+         SUM(cb) OVER (PARTITION BY k) AS nb
+  FROM cells
+  WINDOW w AS (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gaps AS (
+  SELECT k, na, nb,
+         ROUND(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb
+               + 1e-12, 9) AS gap
+  FROM staged
+)
+SELECT k AS event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN MAX(gap) END
+             + 1e-9, 6) AS d_plus,
+       ROUND(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN MAX(-gap) END
+             + 1e-9, 6) AS d_minus,
+       ROUND(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0
+             THEN MAX(gap) + MAX(-gap) END + 1e-9, 6) AS kuiper_v
+FROM gaps GROUP BY k ORDER BY event_type
+"""
+
+
+@golden(
+    "kuiper_value_weekend_by_type",
+    KUIPER_ORACLE,
+    tags=("timeseries", "drift", "kuiper", "events"),
+)
+def kuiper_value_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V between each event type's weekend and weekday value
+    distributions — the two-sided sup-gap (D+ + D-) that charges drift
+    at BOTH CDF tails equally, completing the weekend-split family
+    beside w1 (area), CvM (mass-weighted square), and mood/ansari
+    (spread). Exact cells; per-cell gaps pinned at 9dp before the max
+    so both engines agree on the argmax cell."""
+    from mr_dice_spark.operators.timeseries import kuiper_2s
+
+    return (
+        kuiper_2s(_weekend_rows(spark, sf_dir), "k", "weekend", "v", True)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+AD_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, count_if(a) AS la, count_if(NOT a) AS lb
+  FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, la, lb, la + lb AS l,
+         2 * SUM(la) OVER w - la AS ma2,
+         2 * SUM(lb) OVER w - lb AS mb2,
+         2 * SUM(la + lb) OVER w - (la + lb) AS b2,
+         SUM(la) OVER wa AS na, SUM(lb) OVER wa AS nb,
+         SUM(la + lb) OVER wa AS nn
+  FROM cells
+  WINDOW w AS (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY k)
+),
+terms AS (
+  SELECT k, na, nb, nn,
+         ROUND(CASE WHEN CAST(b2 AS DOUBLE)
+                         * (2.0 * CAST(nn AS DOUBLE) - CAST(b2 AS DOUBLE))
+                         - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE) <> 0
+               THEN CAST(l AS DOUBLE)
+                    * (CAST(nn AS DOUBLE) * CAST(ma2 AS DOUBLE)
+                       - CAST(na AS DOUBLE) * CAST(b2 AS DOUBLE))
+                    * (CAST(nn AS DOUBLE) * CAST(ma2 AS DOUBLE)
+                       - CAST(na AS DOUBLE) * CAST(b2 AS DOUBLE))
+                    / (CAST(b2 AS DOUBLE)
+                       * (2.0 * CAST(nn AS DOUBLE) - CAST(b2 AS DOUBLE))
+                       - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE))
+               END / CAST(nn AS DOUBLE) + 1e-12, 9) AS term_a,
+         ROUND(CASE WHEN CAST(b2 AS DOUBLE)
+                         * (2.0 * CAST(nn AS DOUBLE) - CAST(b2 AS DOUBLE))
+                         - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE) <> 0
+               THEN CAST(l AS DOUBLE)
+                    * (CAST(nn AS DOUBLE) * CAST(mb2 AS DOUBLE)
+                       - CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE))
+                    * (CAST(nn AS DOUBLE) * CAST(mb2 AS DOUBLE)
+                       - CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE))
+                    / (CAST(b2 AS DOUBLE)
+                       * (2.0 * CAST(nn AS DOUBLE) - CAST(b2 AS DOUBLE))
+                       - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE))
+               END / CAST(nn AS DOUBLE) + 1e-12, 9) AS term_b
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS ta, MAX(nb) AS tb, MAX(nn) AS tn,
+         CAST(SUM(CAST(term_a AS DECIMAL(19,9))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(term_b AS DECIMAL(19,9))) AS DOUBLE) AS sb
+  FROM terms GROUP BY k
+)
+SELECT k AS event_type,
+       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       ROUND(CASE WHEN ta > 0 AND tb > 0 AND sa IS NOT NULL
+                   AND sb IS NOT NULL
+             THEN (CAST(tn AS DOUBLE) - 1.0) / CAST(tn AS DOUBLE)
+                  * (sa / CAST(ta AS DOUBLE) + sb / CAST(tb AS DOUBLE))
+             END + 1e-9, 6) AS ad
+FROM agg ORDER BY event_type
+"""
+
+
+@golden(
+    "ad_value_weekend_by_type",
+    AD_ORACLE,
+    tags=("timeseries", "drift", "anderson-darling", "events"),
+)
+def ad_value_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling (Scholz-Stephens midrank form)
+    between each event type's weekend and weekday value distributions —
+    the TAIL-WEIGHTED member of the weekend-split drift family: its
+    H(1-H) weight blows up where the pooled CDF is near 0 or 1, so a
+    tail-only drift that KS/CvM barely register dominates AD. Doubled
+    mid-cumulatives as exact longs; per-cell terms pinned at 9dp and
+    summed as exact decimals."""
+    from mr_dice_spark.operators.timeseries import anderson_darling_2s
+
+    return (
+        anderson_darling_2s(
+            _weekend_rows(spark, sf_dir), "k", "weekend", "v", True
+        )
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+BARTLETT_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+cells AS (
+  SELECT k, CAST(x AS BIGINT) % 7 AS g, COUNT(*) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS s1_dec,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS s2_dec
+  FROM d GROUP BY 1, 2
+),
+pinned AS (
+  SELECT k, n, n >= 2 AS u,
+         ROUND(CAST(CAST(CAST(n AS DECIMAL(6,0)) * s2_dec AS DECIMAL(37,12))
+                    - CAST(CAST(s1_dec AS DECIMAL(19,6))
+                           * CAST(s1_dec AS DECIMAL(19,6))
+                           AS DECIMAL(37,12)) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               + 1e-12, 9) AS s2v
+  FROM cells
+),
+scored AS (
+  SELECT k, n, u,
+         CASE WHEN u AND s2v > 0
+              THEN ROUND(ln(s2v) + 1e-12, 9) END AS lnv,
+         CASE WHEN u
+              THEN ROUND(s2v * (CAST(n AS DOUBLE) - 1.0) + 1e-12, 9)
+              END AS w,
+         CASE WHEN u
+              THEN ROUND(1.0 / (CAST(n AS DOUBLE) - 1.0) + 1e-12, 9)
+              END AS inv
+  FROM pinned
+),
+agg AS (
+  SELECT k,
+         SUM(CASE WHEN u THEN n END) AS nn,
+         count_if(u) AS kk,
+         count_if(u AND lnv IS NULL) AS bad,
+         CAST(SUM(CAST(CASE WHEN u THEN w END AS DECIMAL(19,9)))
+              AS DOUBLE) AS sw,
+         CAST(SUM(CAST(
+               ROUND(lnv * (CAST(n AS DOUBLE) - 1.0) + 1e-12, 9)
+               AS DECIMAL(19,9))) AS DOUBLE) AS sln,
+         CAST(SUM(CAST(CASE WHEN u THEN inv END AS DECIMAL(19,9)))
+              AS DOUBLE) AS sinv
+  FROM scored GROUP BY k
+),
+fin AS (
+  SELECT k, nn, kk, bad, sln, sinv,
+         ROUND(sw / NULLIF(CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE), 0)
+               + 1e-12, 9) AS sp2
+  FROM agg
+)
+SELECT k AS event_type,
+       CAST(COALESCE(nn, 0) AS BIGINT) AS n,
+       CAST(kk AS BIGINT) AS k_groups,
+       ROUND(CASE WHEN kk >= 2 AND bad = 0 AND nn > kk AND sp2 > 0
+             THEN ((CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE))
+                   * ROUND(ln(sp2) + 1e-12, 9) - sln)
+                  / (1.0 + (sinv - 1.0 / (CAST(nn AS DOUBLE)
+                                          - CAST(kk AS DOUBLE)))
+                           / (3.0 * (CAST(kk AS DOUBLE) - 1.0)))
+             END + 1e-9, 6) AS chi2,
+       CASE WHEN kk >= 2 THEN CAST(kk - 1 AS BIGINT) END AS dof
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "bartlett_daily_value_by_weekday",
+    BARTLETT_ORACLE,
+    tags=("anova", "bartlett", "variance", "events"),
+)
+def bartlett_daily_value_by_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett variance-homogeneity test across the 7 weekday groups
+    of each event type's daily mean values — is the day-of-week
+    variance structure uniform enough for pooled-variance methods
+    (the normality-assuming pre-test beside the robust Brown-Forsythe)?
+    Per-group variances from decimal-cancelled power sums, logs pinned
+    at 9dp, per-key sums of pinned terms as exact decimals."""
+    from mr_dice_spark.operators.anova import bartlett_by_key
+
+    d = _daily_frame(spark, sf_dir).select(
+        "k", (F.col("x").cast("long") % 7).alias("wd"), "y"
+    )
+    out = bartlett_by_key(d, "k", "wd", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+COX_STUART_ORACLE = f"""
+WITH {_DAILY_FRAME_SQL},
+idx AS (
+  SELECT k, y, ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n,
+         CASE WHEN LAG(x) OVER w = x THEN 1 ELSE 0 END AS tie
+  FROM d WINDOW w AS (PARTITION BY k ORDER BY x)
+),
+idx2 AS (
+  SELECT k, y, rn, n, MAX(tie) OVER (PARTITION BY k) AS ties FROM idx
+),
+paired AS (
+  SELECT k, n, ties,
+         CASE WHEN rn <= CAST(FLOOR(n / 2) AS BIGINT) THEN rn
+              WHEN rn > n - CAST(FLOOR(n / 2) AS BIGINT)
+              THEN rn - (n - CAST(FLOOR(n / 2) AS BIGINT)) END AS p,
+         CASE WHEN rn <= CAST(FLOOR(n / 2) AS BIGINT) THEN y END AS f,
+         CASE WHEN rn > n - CAST(FLOOR(n / 2) AS BIGINT) THEN y END AS s
+  FROM idx2
+),
+pairs AS (
+  SELECT k, MAX(n) AS n, MAX(ties) AS ties, MAX(f) AS f, MAX(s) AS s
+  FROM paired WHERE p IS NOT NULL GROUP BY k, p
+),
+agg AS (
+  SELECT k, MAX(n) AS n, MAX(ties) AS t, COUNT(*) AS pairs,
+         count_if(s > f) AS pos, count_if(s < f) AS neg
+  FROM pairs GROUP BY k
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(pairs AS BIGINT) AS n_pairs,
+       CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN t = 0 AND pos + neg > 0
+             THEN CAST(pos - neg AS DOUBLE)
+                  / sqrt(CAST(pos + neg AS DOUBLE)) END + 1e-9, 6) AS z
+FROM agg ORDER BY event_type
+"""
+
+
+@golden(
+    "cox_stuart_daily_value_by_type",
+    COX_STUART_ORACLE,
+    tags=("timeseries", "cox-stuart", "trend", "events"),
+)
+def cox_stuart_daily_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cox-Stuart sign test for monotone trend in each event type's
+    daily mean values — the assumption-free screen beside mann_kendall
+    (full pair information) and theil_sen (slope estimate) on the same
+    daily frame: first-half days pair with second-half days, signs
+    count, one z. Exact integer counts; the pairing permutation is
+    pinned by the unique daily bucket order."""
+    from mr_dice_spark.operators.timeseries import cox_stuart_trend
+
+    out = cox_stuart_trend(_daily_frame(spark, sf_dir), "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+_HOURLY_FRAME_SQL = """
+hb AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS DOUBLE) AS x,
+         ROUND(AVG(value) + 1e-9, 6) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+)
+"""
+
+THEILS_U2_ORACLE = f"""
+WITH {_HOURLY_FRAME_SQL},
+lagged AS (
+  SELECT k, y, LAG(y, 1) OVER w AS p1, LAG(y, 24) OVER w AS ps,
+         CASE WHEN LAG(x) OVER w = x THEN 1 ELSE 0 END AS tie
+  FROM hb WINDOW w AS (PARTITION BY k ORDER BY x)
+),
+terms AS (
+  SELECT k, tie,
+         ps IS NOT NULL AND p1 IS NOT NULL AS sc,
+         CASE WHEN ps IS NOT NULL AND p1 IS NOT NULL
+              THEN ROUND((y - ps) * (y - ps) + 1e-12, 9) END AS tn,
+         CASE WHEN ps IS NOT NULL AND p1 IS NOT NULL
+              THEN ROUND((y - p1) * (y - p1) + 1e-12, 9) END AS td
+  FROM lagged
+),
+agg AS (
+  SELECT k, COUNT(*) AS n, MAX(tie) AS ties, count_if(sc) AS ns,
+         CAST(SUM(CAST(tn AS DECIMAL(19,9))) AS DOUBLE) AS sn,
+         CAST(SUM(CAST(td AS DECIMAL(19,9))) AS DOUBLE) AS sd
+  FROM terms GROUP BY k
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(ns AS BIGINT) AS n_scored,
+       ROUND(CASE WHEN ties = 0 AND ns > 0 AND sd > 0
+             THEN sqrt(sn / sd) END + 1e-9, 6) AS u2
+FROM agg ORDER BY event_type
+"""
+
+
+def _hourly_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("double").alias("x"),
+    ).agg(_r(F.avg("value"), 6).alias("y"))
+
+
+@golden(
+    "theils_u2_hourly_value_by_type",
+    THEILS_U2_ORACLE,
+    tags=("timeseries", "forecast", "theils-u2", "events"),
+)
+def theils_u2_hourly_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil's U2 of the 24-hour seasonal-naive forecast against lag-1
+    persistence on each event type's hourly mean values — the
+    one-number 'is there exploitable daily seasonality' score beside
+    seasonal_naive_backtest's MAE/RMSE and pinball's quantile loss.
+    9dp-pinned squared errors summed as exact decimals; one
+    divide+sqrt."""
+    from mr_dice_spark.operators.timeseries import theils_u2
+
+    out = theils_u2(_hourly_frame(spark, sf_dir), "k", "x", "y", season=24)
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+ANSARI_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, COUNT(*) AS t, count_if(a) AS ta FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, t, ta,
+         COALESCE(SUM(t) OVER (PARTITION BY k ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS clt,
+         SUM(t) OVER (PARTITION BY k) AS nn,
+         SUM(ta) OVER (PARTITION BY k) AS na
+  FROM cells
+),
+dd AS (
+  SELECT k, t, ta, nn, na,
+         LEAST(2 * clt + t + 1, 2 * nn + 2 - (2 * clt + t + 1)) AS a2
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS na, MAX(nn) AS nn,
+         SUM(ta * a2) AS t2,
+         SUM(t * a2) AS s2,
+         SUM(CAST(t * a2 AS DECIMAL(19,0)) * CAST(a2 AS DECIMAL(19,0)))
+           AS s4
+  FROM dd GROUP BY k
+),
+calc AS (
+  SELECT k, na, nn,
+         CAST(t2 AS DOUBLE) / 2.0 AS t_stat,
+         CAST(s2 AS DOUBLE) / 2.0 / CAST(nn AS DOUBLE) AS abar,
+         CAST(s4 AS DOUBLE) / 4.0 AS sum_sq
+  FROM agg
+),
+fin AS (
+  SELECT k, na, nn, t_stat,
+         ROUND(CAST(na AS DOUBLE) * abar + 1e-12, 9) AS e_t,
+         ROUND(CAST(na AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+               / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+               * (sum_sq - CAST(nn AS DOUBLE) * abar * abar)
+               + 1e-12, 9) AS var
+  FROM calc
+)
+SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
+       CAST(nn - na AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN t_stat END + 1e-9, 6)
+         AS t_stat,
+       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN e_t END + 1e-9, 6) AS e_t,
+       ROUND(CASE WHEN na > 0 AND nn - na > 0 AND var > 0
+             THEN ROUND((t_stat - e_t) / ROUND(sqrt(var) + 1e-12, 9)
+                        + 1e-12, 9)
+             END + 1e-9, 6) AS z
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "ansari_value_weekend_by_type",
+    ANSARI_ORACLE,
+    tags=("evaluation", "ansari-bradley", "dispersion", "events"),
+)
+def ansari_value_weekend_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ansari-Bradley scale test on the weekend split per event type —
+    the linear-score sibling of mood_scale on the identical frame (AB
+    weights extreme ranks linearly where Mood squares them; reviews
+    quote both). Triangular scores stay half-integer exact via the
+    doubled form; exact permutation moments; z from pinned operands."""
+    from mr_dice_spark.operators.evaluation import ansari_bradley
+
+    return (
+        ansari_bradley(_weekend_rows(spark, sf_dir), "k", "weekend", "v", True)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+QUADE_ORACLE = """
+WITH ev AS (
+  SELECT event_type, (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7 AS wd,
+         value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+scores AS (
+  SELECT wd AS b, event_type AS t, ROUND(SUM(value) + 1e-9, 6) AS s
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT w.b, ty.t
+  FROM (SELECT unnest(range(7)) AS b) w
+  CROSS JOIN (SELECT DISTINCT event_type AS t FROM ev) ty
+),
+panel AS (
+  SELECT grid.b, grid.t, COALESCE(sc.s, 0.0) AS s
+  FROM grid LEFT JOIN scores sc ON sc.b = grid.b AND sc.t = grid.t
+),
+shape AS (
+  SELECT COUNT(DISTINCT b) AS n, COUNT(DISTINCT t) AS k FROM panel
+),
+tc AS (SELECT b, s, COUNT(*) AS tn FROM panel GROUP BY b, s),
+ranked AS (
+  SELECT b, s,
+         2 * SUM(tn) OVER (PARTITION BY b ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tn + 1 AS r2
+  FROM tc
+),
+ranges AS (SELECT b, MAX(s) - MIN(s) AS rng FROM panel GROUP BY b),
+rng_cells AS (SELECT rng, COUNT(*) AS tn FROM ranges GROUP BY rng),
+rng_ranked AS (
+  SELECT rng,
+         2 * SUM(tn) OVER (ORDER BY rng
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tn + 1 AS q2
+  FROM rng_cells
+),
+block_q AS (
+  SELECT ranges.b, rng_ranked.q2
+  FROM ranges JOIN rng_ranked USING (rng)
+),
+scored AS (
+  SELECT p.t,
+         bq.q2 * (rk.r2 - (SELECT k FROM shape) - 1) AS s4
+  FROM panel p
+  JOIN ranked rk ON rk.b = p.b AND rk.s = p.s
+  JOIN block_q bq ON bq.b = p.b
+),
+per_t AS (
+  SELECT t, SUM(s4) AS s4j,
+         SUM(CAST(s4 AS DECIMAL(19,0)) * CAST(s4 AS DECIMAL(19,0))) AS a16
+  FROM scored GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(a16) AS DOUBLE) AS a16t,
+         CAST(SUM(CAST(s4j AS DECIMAL(19,0)) * CAST(s4j AS DECIMAL(19,0)))
+              AS DOUBLE) AS b16t,
+         (SELECT n FROM shape) AS n, (SELECT k FROM shape) AS k
+  FROM per_t
+),
+fin AS (
+  SELECT n, k,
+         ROUND(a16t / 16.0 + 1e-12, 9) AS a_stat,
+         ROUND(b16t / (16.0 * CAST(n AS DOUBLE)) + 1e-12, 9) AS b_stat
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+       ROUND(a_stat + 1e-9, 6) AS a_stat,
+       ROUND(b_stat + 1e-9, 6) AS b_stat,
+       ROUND(CASE WHEN k >= 2 AND a_stat - b_stat > 0
+             THEN (CAST(n AS DOUBLE) - 1.0) * b_stat / (a_stat - b_stat)
+             END + 1e-9, 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST((n - 1) * (k - 1) AS BIGINT) AS df2
+FROM fin
+"""
+
+
+@golden(
+    "quade_weekday_value_by_type",
+    QUADE_ORACLE,
+    tags=("evaluation", "quade", "rank-test", "events"),
+)
+def quade_weekday_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade weighted blocked rank test on the friedman weekday panel
+    (7 weekdays x event types, complete by construction): do the types
+    keep their value ordering across weekdays, with high-spread days
+    weighted up? The power-oriented companion to friedman (unweighted)
+    and page (ordered alternative) on the identical panel. Doubled
+    midranks and range ranks as exact longs; A/B from exact decimal
+    squares; F one pinned chain."""
+    from mr_dice_spark.operators.evaluation import quade_test
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    scores = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("b"),
+        F.col("event_type").alias("t"),
+    ).agg(_r(F.sum("value"), 6).alias("s"))
+    days = spark.range(7).select(F.col("id").alias("b"))
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = days.crossJoin(types)
+    panel = grid.join(scores, ["b", "t"], "left").select(
+        "b", "t", F.coalesce("s", F.lit(0.0)).alias("s")
+    )
+    return quade_test(panel, "b", "t", "s")
+
+
+@golden(
+    "streaming_theils_u2_monitor",
+    THEILS_U2_ORACLE,  # shared byte-for-byte with the batch golden
+    tags=("streaming", "forecast", "theils-u2", "observability"),
+)
+def streaming_theils_u2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 seasonality score ON THE STREAM ENGINE: hourly bucket
+    means aggregate through readStream in complete mode — the live
+    'did daily seasonality hold this week' monitor shape — and the U2
+    finisher (24-lag vs 1-lag squared-error ratio) runs batch-side on
+    the materialized sink, byte-identical to the batch theils_u2
+    golden, so the SAME DuckDB oracle hash-checks the streaming path
+    (the streaming_hampel_monitor contract). Finite replay makes the
+    streaming aggregate exact."""
+    import uuid
+
+    from mr_dice_spark.operators.timeseries import theils_u2
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.avg("value").alias("__raw"))
+    )
+    name = f"stream_u2_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(agg, name, output_mode="complete")
+    try:
+        b = spark.table(name).select(
+            F.col("event_type").alias("k"),
+            (F.unix_timestamp(F.col("w.start")) / 3600)
+            .cast("double")
+            .alias("x"),
+            F.round(F.col("__raw") + F.lit(1e-9), 6).alias("y"),
+        )
+        out = (
+            theils_u2(b, "k", "x", "y", season=24)
+            .withColumnRenamed("k", "event_type")
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()

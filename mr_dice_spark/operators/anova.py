@@ -1,8 +1,8 @@
 """Classic k-sample distribution tests over grouped metric columns:
-one-way ANOVA (with eta-squared), Brown-Forsythe variance homogeneity,
-the Jarque-Bera normality screen, Kendall's tau-b on contingency
-cells, the Cochran-Armitage trend test, Kruskal-Wallis H, Mood's
-median test, the Grubbs max-deviate outlier screen, and the
+one-way ANOVA (with eta-squared), Brown-Forsythe and Bartlett variance
+homogeneity, the Jarque-Bera normality screen, Kendall's tau-b on
+contingency cells, the Cochran-Armitage trend test, Kruskal-Wallis H,
+Mood's median test, the Grubbs max-deviate outlier screen, and the
 Jonckheere-Terpstra ordered-alternative trend test.
 
 Beyond-reference operators (nearest analogue: nothing — SURVEY.md §2 has
@@ -12,7 +12,8 @@ distribution move" (psi/ks/jsd); this module answers the pre-test and
 k-sample questions an analyst asks FIRST — do the groups differ at all
 (ANOVA/Kruskal/Mood), in the hypothesized ORDER (Cochran-Armitage,
 Jonckheere-Terpstra), is the equal-variance assumption tenable
-(Brown-Forsythe), is normality defensible (Jarque-Bera, Grubbs).
+(Brown-Forsythe, Bartlett), is normality defensible (Jarque-Bera,
+Grubbs).
 
 Cross-engine determinism: every statistic is closed-form arithmetic over
 per-group power sums (count, Σx, Σx², Σx³, Σx⁴) stated in the SAME
@@ -473,6 +474,128 @@ def grubbs_max_deviate(
             ),
             F.round(F.col("__z") + F.lit(1e-9), 6).alias("grubbs_g"),
         )
+    )
+
+
+def bartlett_by_key(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Bartlett test for equal variances across the key's
+    groups — the classic (normality-assuming) variance-homogeneity
+    screen beside the robust :func:`brown_forsythe`: with sample
+    variances s_i^2 over the k groups holding n_i >= 2 observations,
+    N = sum n_i, pooled s_p^2 = sum (n_i - 1) s_i^2 / (N - k),
+
+        chi2 = [ (N-k) ln(s_p^2) - sum_i (n_i - 1) ln(s_i^2) ] / C
+        C    = 1 + ( sum_i 1/(n_i - 1) - 1/(N-k) ) / (3 (k-1))
+
+    chi2 ~ chi-square(k-1) under equal variances. Bartlett is MORE
+    powerful than Brown-Forsythe when the data really are near-normal
+    (the textbook pre-test before pooled-variance ANOVA) and
+    notoriously sensitive when they are not — reporting both is the
+    honest pair, which is why this lands beside it.
+
+    Groups with n_i < 2 carry no variance and are EXCLUDED from the
+    statistic (k counts only usable groups). NULL key/group/value rows
+    are excluded. Keys with k < 2 usable groups, any usable group with
+    zero (pinned) variance — ln is undefined there — or N = k report
+    NULL chi2 (fail-closed); counts still report.
+
+    Cross-engine determinism: per-group variance numerators
+    ``n_i*s2 - s1^2`` are formed in exact decimal (the durbin_watson
+    cancellation convention; contract: values on a <= 6dp grid,
+    |v| < 1e5, n_i < 1e6) and s_i^2 pins at 9dp; each ln(s_i^2) pins
+    at 9dp (the hurst_rs libm-parity rule); the three per-key sums
+    ((n_i-1)*s_i^2, (n_i-1)*ln(s_i^2), 1/(n_i-1)) add 9dp-pinned terms
+    as exact decimal(19,9); the closing chain is fixed IEEE on pinned
+    operands, rounded at 6.
+
+    Scale shape: one (key, group) hash aggregate with map-side
+    combine, one per-key reduce — no window, no join, no Python (the
+    moods_median_test cell discipline: groups bound the state, not the
+    corpus). Returns ``(key, n, k_groups, chi2, dof)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    vd = F.col("__v").cast("decimal(16,6)")
+    cells = base.groupBy("__k", "__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(vd).cast("decimal(18,6)").alias("__s1d"),
+        F.sum(vd * vd).cast("decimal(31,12)").alias("__s2d"),
+    )
+    vn = (
+        (F.col("__n").cast("decimal(6,0)") * F.col("__s2d")).cast(
+            "decimal(37,12)"
+        )
+        - (F.col("__s1d") * F.col("__s1d")).cast("decimal(37,12)")
+    ).cast("double")
+    n_d = F.col("__n").cast("double")
+    s2 = F.round(vn / (n_d * (n_d - 1.0)) + F.lit(1e-12), 9)
+    usable = F.col("__n") >= 2
+    scored = cells.select(
+        "__k",
+        "__n",
+        usable.alias("__u"),
+        F.when(usable, s2).alias("__s2"),
+        F.when(usable & (s2 > 0), F.round(F.log(s2) + F.lit(1e-12), 9))
+        .alias("__ln"),
+        F.when(usable, F.round(s2 * (n_d - 1.0) + F.lit(1e-12), 9))
+        .alias("__w"),
+        F.when(
+            usable, F.round(1.0 / (n_d - 1.0) + F.lit(1e-12), 9)
+        ).alias("__inv"),
+    )
+    lnw = F.round(
+        F.col("__ln") * (F.col("__n").cast("double") - 1.0) + F.lit(1e-12), 9
+    )
+    agg = scored.groupBy("__k").agg(
+        F.sum(F.when(F.col("__u"), F.col("__n"))).alias("__nn"),
+        F.count_if(F.col("__u")).alias("__kk"),
+        F.count_if(F.col("__u") & F.col("__ln").isNull()).alias("__bad"),
+        F.sum(F.when(F.col("__u"), F.col("__w")).cast("decimal(19,9)"))
+        .cast("double")
+        .alias("__sw"),
+        F.sum(F.when(F.col("__u"), lnw).cast("decimal(19,9)"))
+        .cast("double")
+        .alias("__sln"),
+        F.sum(F.when(F.col("__u"), F.col("__inv")).cast("decimal(19,9)"))
+        .cast("double")
+        .alias("__sinv"),
+    )
+    nn = F.col("__nn").cast("double")
+    kk = F.col("__kk").cast("double")
+    sp2 = F.round(F.col("__sw") / (nn - kk) + F.lit(1e-12), 9)
+    lnp = F.round(F.log(sp2) + F.lit(1e-12), 9)
+    c = 1.0 + (F.col("__sinv") - 1.0 / (nn - kk)) / (3.0 * (kk - 1.0))
+    chi2 = F.when(
+        (F.col("__kk") >= 2)
+        & (F.col("__bad") == 0)
+        & (F.col("__nn") > F.col("__kk"))
+        & (sp2 > 0),
+        ((nn - kk) * lnp - F.col("__sln")) / c,
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.coalesce(F.col("__nn"), F.lit(0)).cast("long").alias("n"),
+        F.col("__kk").cast("long").alias("k_groups"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
+        F.when(F.col("__kk") >= 2, F.col("__kk") - 1)
+        .cast("long")
+        .alias("dof"),
     )
 
 

@@ -3604,6 +3604,282 @@ def mood_scale_test(
     )
 
 
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+) -> DataFrame:
+    """Per-group Ansari-Bradley two-sample scale test — the
+    checklist-name sibling of :func:`mood_scale_test` with the
+    TRIANGULAR score instead of the squared one:
+
+        a_i = min(r_i, N + 1 - r_i)       (midranks under ties)
+        T   = sum_{i in A} a_i
+
+    Small T means sample A sits at the EXTREMES of the pooled sample
+    (wider spread); Mood's squared scores weight far-out ranks
+    quadratically, AB linearly — AB loses less power under moderate
+    tie mass and is the variant scipy/R ship under this name, so
+    review checklists ask for both. Judged with the same EXACT
+    permutation moments of a linear rank statistic (valid under
+    arbitrary ties, no lookup tables):
+
+        E[T]   = n_a * abar
+        Var[T] = n_a * n_b / (N (N-1)) * sum_i (a_i - abar)^2
+
+    with abar the pooled mean score. z = (T - E[T]) / sqrt(Var[T]),
+    NEGATIVE when A is more spread out.
+
+    Groups where either class is empty or every value is tied (Var 0)
+    report NULL z (fail-closed); T/E still report where defined. NULL
+    group/class/value rows are excluded.
+
+    Cross-engine determinism: midranks stay half-integer exact via the
+    doubled form (2r = 2 c_lt + t + 1 — the mann_whitney discipline),
+    so 2 a_i = min(2r, 2N + 2 - 2r) is an exact long; score sums ride
+    exact longs and the quadratic moment sum rides exact DECIMAL
+    products (t * 2a as long, times 2a as decimal — the mood_scale
+    headroom contract); the closing chain is fixed IEEE on identical
+    operands, pinned at 9dp, rounded at 6.
+
+    Scale shape: mann_whitney's exact single exchange — one (group,
+    value) tie-cell aggregate, one group-partitioned cumulative
+    window, one closing aggregate. Returns ``(group, n_a, n_b,
+    t_stat, e_t, z)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(class_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_if(F.col("__a")).alias("__ta"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g")
+    staged = cells.select(
+        "__g",
+        "__t",
+        "__ta",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__clt"),
+        F.sum("__t").over(w_all).alias("__nn"),
+        F.sum("__ta").over(w_all).alias("__na"),
+    )
+    # doubled midrank and doubled triangular score, both exact longs
+    r2 = 2 * F.col("__clt") + F.col("__t") + 1
+    a2 = F.least(r2, 2 * F.col("__nn") + 2 - r2)  # 2 * a_i
+    ta2 = F.col("__t") * a2  # headroom: N * (N+1) must fit a long
+    agg = staged.groupBy("__g").agg(
+        F.max("__na").alias("__cna"),
+        F.max("__nn").alias("__cnn"),
+        F.sum(F.col("__ta") * a2).alias("__t2"),
+        F.sum(ta2).alias("__s2"),
+        F.sum(
+            ta2.cast("decimal(19,0)") * a2.cast("decimal(19,0)")
+        ).alias("__s4"),
+    )
+    na = F.col("__cna").cast("double")
+    nn = F.col("__cnn").cast("double")
+    nb = nn - na
+    t_stat = F.col("__t2").cast("double") / 2.0
+    abar = F.col("__s2").cast("double") / 2.0 / nn
+    e_t = F.round(na * abar + F.lit(1e-12), 9)
+    ssa = F.col("__s4").cast("double") / 4.0 - nn * abar * abar
+    var = F.round(
+        na * nb / (nn * (nn - 1.0)) * ssa + F.lit(1e-12), 9
+    )
+    ok = (F.col("__cna") > 0) & (nb > 0) & (var > 0)
+    z = F.when(
+        ok,
+        F.round(
+            (t_stat - e_t) / F.round(F.sqrt(var) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    defined = (F.col("__cna") > 0) & (nb > 0)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__cna").cast("long").alias("n_a"),
+        (F.col("__cnn") - F.col("__cna")).cast("long").alias("n_b"),
+        F.round(F.when(defined, t_stat) + F.lit(1e-9), 6).alias("t_stat"),
+        F.round(F.when(defined, e_t) + F.lit(1e-9), 6).alias("e_t"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quade test for k treatments over n matched blocks — the
+    WEIGHTED member of the blocked-design family: where
+    :func:`friedman_test` gives every block one vote, Quade weights
+    each block by how much its values actually SPREAD, so blocks that
+    discriminate between treatments dominate and near-constant blocks
+    stop diluting the signal (the standard recommendation for small k,
+    where Quade beats Friedman in power). With within-block midranks
+    r_ij, block ranges ranked across blocks as Q_i (midranks), and
+
+        S_ij = Q_i * (r_ij - (k+1)/2)
+        S_j  = sum_i S_ij,   A = sum_ij S_ij^2,   B = sum_j S_j^2 / n
+        F    = (n - 1) * B / (A - B)
+
+    F ~ F(k-1, (n-1)(k-1)) under exchangeable treatments.
+
+    Complete-panel contract (the friedman_test convention): every
+    block must hold every treatment exactly once — duplicates collapse
+    by MAX first, then a ragged panel fail-fasts (the panel pin and
+    1-row probe run EAGERLY at construction). Empty input returns the
+    fail-closed 1-row NULL frame. f_stat is NULL when k < 2 or A = B
+    (perfect cross-block agreement — F is infinite; fail-closed, like
+    Friedman's C = 0).
+
+    Cross-engine determinism: within-block midranks AND cross-block
+    range ranks stay half-integer exact via doubled forms (2r, 2Q from
+    tie-collapsed cells — the mann_whitney discipline), so 4 S_ij =
+    2Q_i * (2 r_ij - k - 1) is an exact long; block ranges are exact
+    differences of 6dp-grid values; A sums exact longs and B squares
+    the per-treatment 4 S_j sums as exact decimals (headroom: |4 S_j|
+    <= 2 n^2 k must fit decimal(19,0) — n < ~1e6 blocks); the closing
+    F is one fixed IEEE chain on A/16 and B/(16n), pinned at 9dp,
+    rounded at 6.
+
+    Scale shape: a (block, treatment) max-aggregate, a (block, value)
+    cell aggregate + block-partitioned windows (bounded by k), a
+    block-range dimension ranked on a single-partition window of the
+    BLOCK-COUNT-sized frame (one row per block — the friedman 1-row
+    meeting-point discipline), one broadcast join back, a
+    treatment-keyed and a 1-row aggregate. Returns ``(n_blocks,
+    k_treatments, a_stat, b_stat, f_stat, df1, df2)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    obs = (
+        df.where(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("__b"), F.col(treatment_col).alias("__t")
+        )
+        .agg(F.max(F.col(value_col).cast("double")).alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    shape = obs.agg(
+        F.countDistinct("__b").alias("__n"),
+        F.countDistinct("__t").alias("__k"),
+        F.count(F.lit(1)).alias("__cells"),
+    ).first()
+    n, k, cells = shape["__n"], shape["__k"], shape["__cells"]
+    if n == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_blocks"),
+            F.lit(0).cast("long").alias("k_treatments"),
+            F.lit(None).cast("double").alias("a_stat"),
+            F.lit(None).cast("double").alias("b_stat"),
+            F.lit(None).cast("double").alias("f_stat"),
+            F.lit(None).cast("long").alias("df1"),
+            F.lit(None).cast("long").alias("df2"),
+        )
+    if cells != n * k:
+        raise ValueError(
+            f"quade_test: ragged panel — {cells} (block, treatment) "
+            f"cells for {n} blocks x {k} treatments; every block must "
+            "hold every treatment"
+        )
+    # within-block doubled midranks from tie cells (2r = 2 c_lt + t + 1)
+    tie_cells = obs.groupBy("__b", "__s").agg(F.count(F.lit(1)).alias("__tn"))
+    w_run = (
+        Window.partitionBy("__b")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = tie_cells.select(
+        "__b",
+        "__s",
+        (2 * F.sum("__tn").over(w_run) - F.col("__tn") + 1).alias("__r2"),
+    )
+    with_ranks = obs.join(ranked, ["__b", "__s"])
+    # block ranges (exact on the 6dp grid), doubled midranks across
+    # blocks via tie cells on the range value — one row per block, so
+    # the single-partition rank window is bounded by the panel pin
+    ranges = obs.groupBy("__b").agg(
+        (F.max("__s") - F.min("__s")).alias("__rng")
+    )
+    rng_cells = ranges.groupBy("__rng").agg(F.count(F.lit(1)).alias("__tn"))
+    w_rng = Window.orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rng_ranked = rng_cells.select(
+        "__rng",
+        (2 * F.sum("__tn").over(w_rng) - F.col("__tn") + 1).alias("__q2"),
+    )
+    block_q = ranges.join(F.broadcast(rng_ranked), ["__rng"]).select(
+        "__b", "__q2"
+    )
+    s4 = (
+        F.col("__q2") * (F.col("__r2") - F.lit(int(k) + 1))
+    ).alias("__s4")  # 4 * S_ij, exact long
+    scored = with_ranks.join(F.broadcast(block_q), ["__b"]).select(
+        "__t", s4
+    )
+    per_t = scored.groupBy("__t").agg(
+        F.sum("__s4").alias("__s4j"),
+        F.sum(
+            F.col("__s4").cast("decimal(19,0)")
+            * F.col("__s4").cast("decimal(19,0)")
+        ).alias("__a16"),
+    )
+    tot = per_t.agg(
+        F.sum("__a16").cast("double").alias("__a"),
+        F.sum(
+            F.col("__s4j").cast("decimal(19,0)")
+            * F.col("__s4j").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("__b16"),
+    )
+    n_d, k_i = float(n), int(k)
+    a_stat = F.round(F.col("__a") / 16.0 + F.lit(1e-12), 9)
+    b_stat = F.round(F.col("__b16") / (16.0 * n_d) + F.lit(1e-12), 9)
+    f_stat = F.when(
+        (F.lit(k_i) >= 2) & (a_stat - b_stat > 0),
+        (n_d - 1.0) * b_stat / (a_stat - b_stat),
+    )
+    return tot.select(
+        F.lit(int(n)).cast("long").alias("n_blocks"),
+        F.lit(k_i).cast("long").alias("k_treatments"),
+        F.round(a_stat + F.lit(1e-9), 6).alias("a_stat"),
+        F.round(b_stat + F.lit(1e-9), 6).alias("b_stat"),
+        F.round(f_stat + F.lit(1e-9), 6).alias("f_stat"),
+        F.lit(k_i - 1 if k_i >= 1 else None).cast("long").alias("df1"),
+        F.lit((int(n) - 1) * (k_i - 1) if k_i >= 1 else None)
+        .cast("long")
+        .alias("df2"),
+    )
+
+
 def page_trend_test(
     df: DataFrame,
     block_col: str,

@@ -2511,6 +2511,416 @@ def energy_distance_2s(
     )
 
 
+def kuiper_2s(
+    df: DataFrame,
+    key_col: str,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+) -> DataFrame:
+    """Per-key two-sample Kuiper statistic — the rotation-invariant
+    sibling of KS in the empirical-CDF drift family:
+
+        V = D+ + D-,   D+ = max_v (F_A(v) - F_B(v)),
+                       D- = max_v (F_B(v) - F_A(v))
+
+    over the pooled distinct values. Where KS reports only the single
+    largest one-sided gap, V charges BOTH sides, giving equal
+    sensitivity at the tails and under cyclic shifts (a distribution
+    that moved mass from both ends to the middle moves D+ and D-
+    equally; KS sees half the effect). Completes the CDF quartet:
+    KS (sup-norm), :func:`wasserstein_1` (area), CvM (mass-weighted
+    square), Kuiper (two-sided sup).
+
+    Sample split, NULL/NaN exclusion, and the fail-closed contract
+    follow :func:`wasserstein_1` verbatim: rows where ``sample_col ==
+    sample_a`` are A, every other non-NULL sample is B; keys missing
+    either sample report NULL d_plus/d_minus/kuiper_v.
+
+    Cross-engine determinism: cell and cumulative counts are exact
+    integers; each per-cell gap ``cca/na - ccb/nb`` is a fixed IEEE
+    chain on exact operands, pinned at 9dp BEFORE the max (so both
+    engines agree on the argmax cell); the pooled last cell always has
+    gap 0, so D+ and D- are >= 0 by construction; V is one addition of
+    pinned maxima, rounded at 6.
+
+    Scale shape: identical to cramer_von_mises_2s — one (key, value)
+    cell aggregate, one key-partitioned cumulative window + one
+    whole-partition window sharing the exchange, one final per-key
+    aggregate. Returns ``(key, n_a, n_b, d_plus, d_minus, kuiper_v)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no drift-test surface);
+    same bucketed-cells contract as the rest of this module.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(sample_col) == F.lit(sample_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(sample_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        # NaN is non-NULL and sorts last: exclude like NULL so the
+        # fail-closed contract holds (the wasserstein_1 guard)
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    cells = base.groupBy("__k", "__v").agg(
+        F.count_if(F.col("__a")).alias("__ca"),
+        F.count_if(~F.col("__a")).alias("__cb"),
+    )
+    w_run = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__k")
+    staged = cells.select(
+        "__k",
+        F.sum("__ca").over(w_run).alias("__cca"),
+        F.sum("__cb").over(w_run).alias("__ccb"),
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+    )
+    # try_divide: a key missing one sample has na or nb = 0 — NULL rides
+    # to the fail-closed guard instead of raising (the wasserstein_1 fix)
+    gap = F.round(
+        F.try_divide(F.col("__cca").cast("double"), F.col("__na"))
+        - F.try_divide(F.col("__ccb").cast("double"), F.col("__nb"))
+        + F.lit(1e-12),
+        9,
+    )
+    out = staged.groupBy("__k").agg(
+        F.max("__na").alias("__ta"),
+        F.max("__nb").alias("__tb"),
+        F.max(gap).alias("__dp"),
+        F.max(-gap).alias("__dm"),
+    )
+    both = (F.col("__ta") > 0) & (F.col("__tb") > 0)
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.round(F.when(both, F.col("__dp")) + F.lit(1e-9), 6).alias("d_plus"),
+        F.round(F.when(both, F.col("__dm")) + F.lit(1e-9), 6).alias("d_minus"),
+        F.round(
+            F.when(both, F.col("__dp") + F.col("__dm")) + F.lit(1e-9), 6
+        ).alias("kuiper_v"),
+    )
+
+
+def anderson_darling_2s(
+    df: DataFrame,
+    key_col: str,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+) -> DataFrame:
+    """Per-key two-sample Anderson-Darling statistic (Scholz-Stephens
+    midrank/tie-adjusted form, the k = 2 case) — the TAIL-WEIGHTED
+    member of the empirical-CDF drift family: CvM weights squared CDF
+    gaps by pooled mass, AD additionally divides by ``H(1-H)``, blowing
+    up the weight where the pooled CDF is near 0 or 1, so a drift that
+    lives in the tails (where KS/CvM barely move) dominates AD. With L
+    pooled distinct values, cell counts l_j, mid-cumulative pooled
+    count B_j = (cum_j + cum_{j-1})/2 and per-sample mid-cumulative
+    M_sj:
+
+        A2 = (N-1)/N * sum_{s in {A,B}} (1/n_s) *
+             sum_j (l_j/N) * (N*M_sj - n_s*B_j)^2
+                          / (B_j*(N-B_j) - N*l_j/4)
+
+    (the scipy ``anderson_ksamp(midrank=True)`` statistic for two
+    samples). Values ~1 under identity; the standardized version needs
+    the variance table and is one scalar lookup away.
+
+    Sample split, NULL/NaN exclusion, and the fail-closed contract
+    follow :func:`wasserstein_1`: keys missing either sample — or with
+    a single pooled distinct value (every denominator 0) — report NULL
+    ad.
+
+    Cross-engine determinism: all mid-cumulatives are half-integers,
+    carried DOUBLED as exact longs (2B_j = 2 cum_j - l_j, 2M_sj =
+    2 cum_sj - l_sj — the mann_whitney doubling discipline); each cell
+    term is one fixed IEEE chain on exact integer-valued doubles
+    (``l * (N*2M - n*2B)^2 / (2B*(2N-2B) - N*l) / N`` — the doubled
+    numerator and denominator carry the same factor 4), pinned at 9dp,
+    summed as exact decimal(19,9); the closing scale is one
+    multiply/divide chain on exact counts, rounded at 6.
+
+    Scale shape: identical to cramer_von_mises_2s — one (key, value)
+    cell aggregate, cumulative + whole-partition windows on one key
+    exchange, one final per-key aggregate. Returns
+    ``(key, n_a, n_b, ad)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no drift-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(sample_col) == F.lit(sample_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(sample_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    cells = base.groupBy("__k", "__v").agg(
+        F.count_if(F.col("__a")).alias("__la"),
+        F.count_if(~F.col("__a")).alias("__lb"),
+    )
+    w_run = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__k")
+    l_j = F.col("__la") + F.col("__lb")
+    staged = cells.select(
+        "__k",
+        F.col("__la"),
+        F.col("__lb"),
+        l_j.alias("__l"),
+        (2 * F.sum("__la").over(w_run) - F.col("__la")).alias("__ma2"),
+        (2 * F.sum("__lb").over(w_run) - F.col("__lb")).alias("__mb2"),
+        (2 * F.sum(l_j).over(w_run) - l_j).alias("__b2"),
+        F.sum("__la").over(w_all).alias("__na"),
+        F.sum("__lb").over(w_all).alias("__nb"),
+        F.sum(l_j).over(w_all).alias("__nn"),
+    )
+    n_d = F.col("__nn").cast("double")
+    l_d = F.col("__l").cast("double")
+    b2 = F.col("__b2").cast("double")
+    # doubled-form denominator: 4*(B(N-B) - N*l/4) = 2B(2N-2B) - N*l
+    den = b2 * (2.0 * n_d - b2) - n_d * l_d
+
+    def _term(m2, ns):
+        # doubled-form numerator: 4*(N*M - n*B)^2 carries the same 4
+        d = n_d * m2.cast("double") - ns.cast("double") * b2
+        return F.round(
+            F.try_divide(l_d * d * d, den) / n_d + F.lit(1e-12), 9
+        )
+
+    term_a = _term(F.col("__ma2"), F.col("__na"))
+    term_b = _term(F.col("__mb2"), F.col("__nb"))
+    out = staged.groupBy("__k").agg(
+        F.max("__na").alias("__ta"),
+        F.max("__nb").alias("__tb"),
+        F.max("__nn").alias("__tn"),
+        F.sum(term_a.cast("decimal(19,9)")).cast("double").alias("__sa"),
+        F.sum(term_b.cast("decimal(19,9)")).cast("double").alias("__sb"),
+    )
+    ta = F.col("__ta").cast("double")
+    tb = F.col("__tb").cast("double")
+    tn = F.col("__tn").cast("double")
+    ad = F.when(
+        (F.col("__ta") > 0)
+        & (F.col("__tb") > 0)
+        & F.col("__sa").isNotNull()
+        & F.col("__sb").isNotNull(),
+        (tn - 1.0)
+        / tn
+        * (F.col("__sa") / ta + F.col("__sb") / tb),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.round(ad + F.lit(1e-9), 6).alias("ad"),
+    )
+
+
+def cox_stuart_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Cox-Stuart trend test — the assumption-free sign test
+    for monotone trend: pair the first half of the x-ordered series
+    with the second half (``(y_i, y_{i+c})`` for ``i = 1..floor(n/2)``
+    with offset ``c = ceil(n/2)``; the middle point of an odd series
+    is unused), count pairs that rose vs fell (ties drop), and
+
+        z = (n_pos - n_neg) / sqrt(n_pos + n_neg)
+
+    — the binomial normal approximation, positive under rising trend.
+    The robustness end of the trend family: :func:`mann_kendall_trend`
+    uses all O(n^2) pair information (more power, more machinery),
+    Cox-Stuart survives anything monotone with n/2 coarse signs — the
+    quick screen review checklists ask for by name.
+
+    Bucketed-series contract (the ljung_box convention): (key, x, y)
+    with x unique per key (x-ties fail closed: NULL z; validated with
+    the lag tie flag), NULL rows excluded. Keys with every pair tied
+    report NULL z (fail-closed); counts still report. Keys with n < 2
+    have no pairs at all and are DROPPED from the output (the hurst_rs
+    fail-empty convention; the oracle agrees).
+
+    Cross-engine determinism: the pairing permutation is pinned by the
+    x total order (row_number under x-unique input); pos/neg are exact
+    integers; z is one fixed IEEE chain on exact counts, rounded at 6.
+
+    Scale shape: one key exchange (row_number + count + tie flag share
+    it), one (key, pair) hash aggregate of the bounded pair cells, one
+    per-key aggregate — no join, no Python. Returns ``(key, n,
+    n_pairs, n_pos, n_neg, z)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no trend-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    w_all = Window.partitionBy("__k")
+    w_ord = Window.partitionBy("__k").orderBy("__x")
+    indexed = base.select(
+        "__k",
+        "__y",
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.max(
+            F.when(F.lag("__x").over(w_ord) == F.col("__x"), 1).otherwise(0)
+        )
+        .over(w_all)
+        .alias("__ties"),
+    )
+    m = F.floor(F.col("__n") / 2)  # pairs
+    c = F.col("__n") - m  # offset = ceil(n/2)
+    pair_id = F.when(F.col("__rn") <= m, F.col("__rn")).when(
+        F.col("__rn") > c, F.col("__rn") - c
+    )
+    paired = indexed.select(
+        "__k",
+        "__n",
+        "__ties",
+        pair_id.alias("__p"),
+        F.when(F.col("__rn") <= m, F.col("__y")).alias("__first"),
+        F.when(F.col("__rn") > c, F.col("__y")).alias("__second"),
+    ).where(F.col("__p").isNotNull())
+    pairs = paired.groupBy("__k", "__p").agg(
+        F.max("__n").alias("__n"),
+        F.max("__ties").alias("__ties"),
+        F.max("__first").alias("__f"),
+        F.max("__second").alias("__s"),
+    )
+    out = pairs.groupBy("__k").agg(
+        F.max("__n").alias("__cnt"),
+        F.max("__ties").alias("__t"),
+        F.count(F.lit(1)).alias("__pairs"),
+        F.count_if(F.col("__s") > F.col("__f")).alias("__pos"),
+        F.count_if(F.col("__s") < F.col("__f")).alias("__neg"),
+    )
+    eff = (F.col("__pos") + F.col("__neg")).cast("double")
+    z = F.when(
+        (F.col("__t") == 0) & (eff > 0),
+        (F.col("__pos") - F.col("__neg")).cast("double") / F.sqrt(eff),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__cnt").cast("long").alias("n"),
+        F.col("__pairs").cast("long").alias("n_pairs"),
+        F.col("__pos").cast("long").alias("n_pos"),
+        F.col("__neg").cast("long").alias("n_neg"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def theils_u2(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    season: int = 24,
+) -> DataFrame:
+    """Per-key Theil's U2 of the seasonal-naive forecast against the
+    random-walk (lag-1 naive) benchmark on a bucketed series:
+
+        U2 = sqrt( sum_t (y_t - y_{t-season})^2
+                 / sum_t (y_t - y_{t-1})^2 )
+
+    over the buckets where BOTH lags exist (row lags on the x order —
+    the caller feeds a regular bucket grid, the
+    :func:`seasonal_naive_backtest` contract). U2 < 1 means the
+    seasonal forecast beats persistence — the one-number answer to
+    'is there exploitable seasonality' that completes the forecast
+    family (:func:`seasonal_naive_backtest` gives MAE/RMSE,
+    :func:`pinball_forecast_loss` the quantile loss; U2 is the
+    benchmark-relative score forecasting reviews quote).
+
+    Bucketed-series contract: (key, bucket_x, quantized y), x unique
+    per key (ties fail closed via the lag tie flag), NULL rows
+    excluded. Keys with fewer than season+1 buckets (no scored rows)
+    or a zero naive denominator (the tail is constant) report NULL u2;
+    n_scored still reports.
+
+    Cross-engine determinism: both squared-error terms are fixed IEEE
+    chains on 6dp-grid values, pinned at 9dp per row, summed as exact
+    decimal(19,9) (the durbin_watson convention); U2 is one
+    divide+sqrt on the exact sums, rounded at 6.
+
+    Scale shape: ONE key exchange — both lags and the tie flag ride
+    the same (key) x-ordered window, one closing per-key aggregate.
+    Returns ``(key, n, n_scored, u2)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no forecast-accuracy
+    surface).
+    """
+    if season < 2:
+        raise ValueError(f"theils_u2: season must be >= 2, got {season}")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    w_ord = Window.partitionBy("__k").orderBy("__x")
+    staged = base.select(
+        "__k",
+        "__y",
+        F.lag("__y", 1).over(w_ord).alias("__p1"),
+        F.lag("__y", int(season)).over(w_ord).alias("__ps"),
+        F.when(F.lag("__x").over(w_ord) == F.col("__x"), 1)
+        .otherwise(0)
+        .alias("__tie"),
+    )
+    es = F.col("__y") - F.col("__ps")
+    e1 = F.col("__y") - F.col("__p1")
+    scored = F.col("__ps").isNotNull() & F.col("__p1").isNotNull()
+    t_num = F.when(scored, F.round(es * es + F.lit(1e-12), 9))
+    t_den = F.when(scored, F.round(e1 * e1 + F.lit(1e-12), 9))
+    out = staged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__tie").alias("__ties"),
+        F.count(F.when(scored, F.lit(1))).alias("__ns"),
+        F.sum(t_num.cast("decimal(19,9)")).cast("double").alias("__sn"),
+        F.sum(t_den.cast("decimal(19,9)")).cast("double").alias("__sd"),
+    )
+    u2 = F.when(
+        (F.col("__ties") == 0) & (F.col("__ns") > 0) & (F.col("__sd") > 0),
+        F.sqrt(F.col("__sn") / F.col("__sd")),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__ns").cast("long").alias("n_scored"),
+        F.round(u2 + F.lit(1e-9), 6).alias("u2"),
+    )
+
+
 def pacf_by_lag(
     df: DataFrame,
     key_col: str,

@@ -305,3 +305,51 @@ def test_jonckheere_terpstra_hand_computed(spark):
     assert got["const"]["var_jt"] is None and got["const"]["z"] is None
     # the planted monotone shift reads as a strong positive z
     assert got["trend"]["z"] > 5 and abs(got["null"]["z"]) < 2.5
+
+
+def _brute_bartlett(groups):
+    """groups: list of lists of values (each len >= 2)."""
+    import math
+
+    k = len(groups)
+    ns = [len(g) for g in groups]
+    bign = sum(ns)
+    variances = []
+    for g in groups:
+        m = sum(g) / len(g)
+        variances.append(sum((x - m) ** 2 for x in g) / (len(g) - 1))
+    sp2 = sum((n - 1) * v for n, v in zip(ns, variances)) / (bign - k)
+    num = (bign - k) * math.log(sp2) - sum(
+        (n - 1) * math.log(v) for n, v in zip(ns, variances)
+    )
+    c = 1.0 + (sum(1.0 / (n - 1) for n in ns) - 1.0 / (bign - k)) / (
+        3.0 * (k - 1)
+    )
+    return num / c
+
+
+def test_bartlett_hand_computed(spark):
+    from mr_dice_spark.operators.anova import bartlett_by_key
+
+    g1 = [1.0, 2.0, 3.0, 4.0, 9.0]
+    g2 = [5.0, 5.5, 6.0, 6.5]
+    g3 = [1.0, 8.0, 15.0]
+    rows = [("k1", "a", v) for v in g1]
+    rows += [("k1", "b", v) for v in g2]
+    rows += [("k1", "c", v) for v in g3]
+    # a singleton group is excluded from the statistic, not fatal
+    rows += [("k1", "solo", 42.0)]
+    # zero-variance group -> NULL chi2, counts still report
+    rows += [("zv", "a", 1.0), ("zv", "a", 1.0), ("zv", "b", 2.0), ("zv", "b", 3.0)]
+    # single usable group -> NULL
+    rows += [("one", "a", 1.0), ("one", "a", 2.0)]
+    rows += [(None, "a", 1.0), ("k1", None, 1.0), ("k1", "a", None)]
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = {r["k"]: r for r in bartlett_by_key(df, "k", "g", "v").collect()}
+    assert got["k1"]["k_groups"] == 3 and got["k1"]["n"] == 12
+    assert got["k1"]["dof"] == 2
+    assert got["k1"]["chi2"] == pytest.approx(
+        _brute_bartlett([g1, g2, g3]), abs=1e-4
+    )
+    assert got["zv"]["chi2"] is None and got["zv"]["k_groups"] == 2
+    assert got["one"]["chi2"] is None and got["one"]["dof"] is None

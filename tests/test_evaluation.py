@@ -1806,3 +1806,121 @@ def test_page_trend_textbook_variance_and_fail_closed(spark):
     empty = spark.createDataFrame([], "b string, t int, v double")
     row = page_trend_test(empty, "b", "t", "v").collect()[0]
     assert row["n_blocks"] == 0 and row["z"] is None
+
+
+def _brute_ansari(a, b):
+    import math
+
+    pooled = sorted(a + b)
+    bign = len(pooled)
+
+    def midrank(v):
+        lt = sum(1 for x in pooled if x < v)
+        t = sum(1 for x in pooled if x == v)
+        return lt + (t + 1) / 2.0
+
+    def score(v):
+        r = midrank(v)
+        return min(r, bign + 1 - r)
+
+    t_stat = sum(score(v) for v in a)
+    allsc = [score(v) for v in pooled]
+    abar = sum(allsc) / bign
+    ss = sum((s - abar) ** 2 for s in allsc)
+    e_t = len(a) * abar
+    var = len(a) * len(b) / (bign * (bign - 1.0)) * ss
+    return t_stat, e_t, (t_stat - e_t) / math.sqrt(var)
+
+
+def test_ansari_bradley_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import ansari_bradley
+
+    a = [1.0, 4.0, 4.0, 9.0, 12.0]  # wide
+    b = [5.0, 6.0, 6.0, 7.0]  # narrow, same centre-ish
+    rows = [("g1", "A", v) for v in a] + [("g1", "B", v) for v in b]
+    rows += [("only_a", "A", 1.0), ("only_a", "A", 2.0)]
+    rows += [("allsame", "A", 3.0), ("allsame", "B", 3.0)]
+    df = spark.createDataFrame(rows, "g string, c string, v double")
+    got = {r["g"]: r for r in ansari_bradley(df, "g", "c", "v", "A").collect()}
+    t, e, z = _brute_ansari(a, b)
+    assert got["g1"]["n_a"] == 5 and got["g1"]["n_b"] == 4
+    assert got["g1"]["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert got["g1"]["e_t"] == pytest.approx(e, abs=1e-6)
+    assert got["g1"]["z"] == pytest.approx(z, abs=1e-5)
+    # wider sample at the extremes -> small T -> negative z
+    assert got["g1"]["z"] < 0
+    assert got["only_a"]["t_stat"] is None and got["only_a"]["z"] is None
+    assert got["allsame"]["z"] is None  # every value tied: Var 0
+
+
+def _brute_quade(panel):
+    """panel[b][t] -> value; complete n x k."""
+
+    def midranks(vals):
+        out = []
+        for v in vals:
+            lt = sum(1 for x in vals if x < v)
+            t = sum(1 for x in vals if x == v)
+            out.append(lt + (t + 1) / 2.0)
+        return out
+
+    blocks = sorted(panel)
+    treats = sorted(panel[blocks[0]])
+    n, k = len(blocks), len(treats)
+    ranges = [max(panel[b].values()) - min(panel[b].values()) for b in blocks]
+    q = midranks(ranges)
+    s = {t: 0.0 for t in treats}
+    a_stat = 0.0
+    for bi, b in enumerate(blocks):
+        r = midranks([panel[b][t] for t in treats])
+        for ti, t in enumerate(treats):
+            sij = q[bi] * (r[ti] - (k + 1) / 2.0)
+            s[t] += sij
+            a_stat += sij * sij
+    b_stat = sum(v * v for v in s.values()) / n
+    f = (n - 1) * b_stat / (a_stat - b_stat)
+    return a_stat, b_stat, f
+
+
+def test_quade_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import quade_test
+
+    # Conover-style 5 blocks x 3 treatments with distinct spreads + a tie
+    panel = {
+        "b1": {"t1": 2.0, "t2": 5.0, "t3": 9.0},
+        "b2": {"t1": 1.0, "t2": 1.0, "t3": 2.0},
+        "b3": {"t1": 4.0, "t2": 6.0, "t3": 8.0},
+        "b4": {"t1": 3.0, "t2": 3.0, "t3": 3.0},
+        "b5": {"t1": 7.0, "t2": 9.0, "t3": 16.0},
+    }
+    rows = [
+        (b, t, v) for b, ts in panel.items() for t, v in ts.items()
+    ]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    out = quade_test(df, "b", "t", "v").collect()[0]
+    a, bb, f = _brute_quade(panel)
+    assert out["n_blocks"] == 5 and out["k_treatments"] == 3
+    assert (out["df1"], out["df2"]) == (2, 8)
+    assert out["a_stat"] == pytest.approx(a, abs=1e-6)
+    assert out["b_stat"] == pytest.approx(bb, abs=1e-6)
+    assert out["f_stat"] == pytest.approx(f, abs=1e-4)
+
+
+def test_quade_guards(spark):
+    from mr_dice_spark.operators.evaluation import quade_test
+
+    # ragged panel fail-fasts
+    rows = [("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b2", "t1", 3.0)]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    with pytest.raises(ValueError, match="ragged"):
+        quade_test(df, "b", "t", "v")
+    # empty input -> fail-closed NULL frame
+    out = quade_test(df.where("v > 99"), "b", "t", "v").collect()[0]
+    assert out["n_blocks"] == 0 and out["f_stat"] is None
+    # perfect agreement (every block ranks identically, distinct
+    # ranges): A - B can hit 0 only with ties... use all-tied blocks:
+    # all values equal => ranges 0, ranks tied => S = 0 => A = B = 0
+    rows2 = [(f"b{i}", t, 1.0) for i in range(3) for t in ("t1", "t2")]
+    df2 = spark.createDataFrame(rows2, "b string, t string, v double")
+    out2 = quade_test(df2, "b", "t", "v").collect()[0]
+    assert out2["f_stat"] is None

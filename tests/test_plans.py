@@ -2087,3 +2087,83 @@ def test_kpss_single_exchange_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_kuiper_single_exchange(spark, sf_dir):
+    """cramer_von_mises's exact shape: value cells, cumulative +
+    whole-partition windows on one key exchange, one closing aggregate
+    — no join, no global sort."""
+    df = GOLDEN["kuiper_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_anderson_darling_single_exchange(spark, sf_dir):
+    """Same cells exchange as kuiper/cvm: the doubled mid-cumulatives
+    are windows on the key; per-cell terms are pure projections — one
+    scan, no join, no global sort."""
+    df = GOLDEN["ad_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bartlett_two_hash_aggregates_no_window(spark, sf_dir):
+    """dispersion's shape: a (key, weekday) decimal power-sum hash
+    aggregate then a per-key reduce, both map-side combinable — no
+    window, no join, no global sort."""
+    df = GOLDEN["bartlett_daily_value_by_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_cox_stuart_keyed_windows_then_hash_aggs(spark, sf_dir):
+    """row_number/count/tie flag share the one key exchange; the pair
+    cells and the closing counts are hash aggregates — no join, no
+    global sort."""
+    df = GOLDEN["cox_stuart_daily_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_theils_u2_single_exchange_no_join(spark, sf_dir):
+    """ljung_box's shape on the hourly frame: both lags and the tie
+    flag ride ONE key-partitioned window, one closing aggregate — no
+    join, no global sort."""
+    df = GOLDEN["theils_u2_hourly_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ansari_single_exchange(spark, sf_dir):
+    """mann_whitney's exact shape (mood_scale with the triangular
+    score): tie cells, one group-partitioned cumulative window, one
+    closing aggregate — no join, no global sort."""
+    df = GOLDEN["ansari_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quade_pinned_panel_bounded_frames(spark, sf_dir):
+    """friedman/page's shape: the panel is localCheckpoint-pinned
+    (no parquet rescan), midrank windows partition on the block, the
+    per-block range dimension is broadcast back; no cartesian product.
+    (The range-rank window runs on the one-row-per-block frame — the
+    long-audited reduced-frame single-partition class.)"""
+    df = GOLDEN["quade_weekday_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan  # every branch reuses the pinned panel
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,5 +1,6 @@
 """Unit tests for time-series resampling."""
 
+import math
 from datetime import datetime
 
 import pytest
@@ -1307,3 +1308,144 @@ def test_kpss_hand_computed_and_regimes(spark):
     assert got["stat"]["kpss"] < 0.463 < got["shift"]["kpss"]
     with pytest.raises(ValueError, match="n_lags"):
         kpss_level_stat(df, "k", "x", "y", n_lags=-1)
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions: Kuiper, Anderson-Darling 2s, Cox-Stuart, Theil's U2
+# ---------------------------------------------------------------------------
+
+
+def _brute_kuiper(a, b):
+    pooled = sorted(set(a) | set(b))
+    dp = dm = 0.0
+    for v in pooled:
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        dp = max(dp, fa - fb)
+        dm = max(dm, fb - fa)
+    return dp, dm
+
+
+def test_kuiper_hand_computed(spark):
+    from mr_dice_spark.operators.timeseries import kuiper_2s
+
+    a = [1.0, 2.0, 2.0, 3.0, 7.0]
+    b = [2.0, 4.0, 5.0, 6.0]
+    rows = [("k1", "A", v) for v in a] + [("k1", "B", v) for v in b]
+    rows += [("only_a", "A", 1.0), ("only_a", "A", 2.0)]
+    rows += [(None, "A", 1.0), ("k1", None, 1.0), ("k1", "A", None)]
+    df = spark.createDataFrame(rows, "k string, s string, v double")
+    got = {r["k"]: r for r in kuiper_2s(df, "k", "s", "v", "A").collect()}
+    dp, dm = _brute_kuiper(a, b)
+    assert got["k1"]["n_a"] == 5 and got["k1"]["n_b"] == 4
+    assert got["k1"]["d_plus"] == pytest.approx(dp, abs=1e-6)
+    assert got["k1"]["d_minus"] == pytest.approx(dm, abs=1e-6)
+    assert got["k1"]["kuiper_v"] == pytest.approx(dp + dm, abs=1e-6)
+    # identical samples: V = 0
+    eq = [("e", "A", float(v)) for v in (1, 2, 3)]
+    eq += [("e", "B", float(v)) for v in (1, 2, 3)]
+    same = kuiper_2s(
+        spark.createDataFrame(eq, "k string, s string, v double"),
+        "k", "s", "v", "A",
+    ).collect()[0]
+    assert same["kuiper_v"] == 0.0
+    # missing sample: fail-closed NULLs
+    assert got["only_a"]["kuiper_v"] is None
+    assert got["only_a"]["d_plus"] is None
+
+
+def _brute_ad_2s(a, b):
+    """Scholz-Stephens A2akN (midrank/tie-adjusted), k = 2."""
+    pooled = sorted(a + b)
+    zstar = sorted(set(pooled))
+    n, bign = [len(a), len(b)], len(pooled)
+    total = 0.0
+    for i, s in enumerate((sorted(a), sorted(b))):
+        inner = 0.0
+        for v in zstar:
+            lj = sum(1 for x in pooled if x == v)
+            cum = sum(1 for x in pooled if x <= v)
+            bj = cum - lj / 2.0
+            lij = sum(1 for x in s if x == v)
+            mij = sum(1 for x in s if x <= v) - lij / 2.0
+            den = bj * (bign - bj) - bign * lj / 4.0
+            inner += (lj / bign) * (bign * mij - n[i] * bj) ** 2 / den
+        total += inner / n[i]
+    return (bign - 1.0) / bign * total
+
+
+def test_anderson_darling_2s_hand_computed(spark):
+    from mr_dice_spark.operators.timeseries import anderson_darling_2s
+
+    a = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0]
+    b = [2.0, 4.0, 5.0, 6.0, 6.0]
+    rows = [("k1", "A", v) for v in a] + [("k1", "B", v) for v in b]
+    rows += [("only_a", "A", 1.0), ("only_a", "A", 2.0)]
+    rows += [("onecell", "A", 5.0), ("onecell", "B", 5.0)]
+    df = spark.createDataFrame(rows, "k string, s string, v double")
+    got = {
+        r["k"]: r
+        for r in anderson_darling_2s(df, "k", "s", "v", "A").collect()
+    }
+    assert got["k1"]["n_a"] == 6 and got["k1"]["n_b"] == 5
+    assert got["k1"]["ad"] == pytest.approx(_brute_ad_2s(a, b), abs=1e-5)
+    # missing sample and single-pooled-cell keys fail closed
+    assert got["only_a"]["ad"] is None
+    assert got["onecell"]["ad"] is None
+
+
+def test_cox_stuart_hand_computed(spark):
+    from mr_dice_spark.operators.timeseries import cox_stuart_trend
+
+    # rising series, n = 7 (odd: middle unused, pairs (1,5)(2,6)(3,7))
+    up = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    rows = [("up", float(i), v) for i, v in enumerate(up)]
+    # falling series, n = 6
+    rows += [("down", float(i), 10.0 - i) for i in range(6)]
+    # tied pairs drop: [5,5,5,5] has 2 pairs, both tied
+    rows += [("flat", float(i), 5.0) for i in range(4)]
+    # single point: no pairs, dropped from the output
+    rows += [("tiny", 0.0, 1.0)]
+    rows += [(None, 0.0, 1.0), ("up", None, 1.0), ("up", 99.0, None)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in cox_stuart_trend(df, "k", "x", "y").collect()}
+    assert set(got) == {"up", "down", "flat"}
+    assert (got["up"]["n_pairs"], got["up"]["n_pos"], got["up"]["n_neg"]) == (3, 3, 0)
+    assert got["up"]["z"] == pytest.approx(3 / math.sqrt(3), abs=1e-6)
+    assert (got["down"]["n_pos"], got["down"]["n_neg"]) == (0, 3)
+    assert got["down"]["z"] == pytest.approx(-3 / math.sqrt(3), abs=1e-6)
+    assert got["flat"]["n_pairs"] == 2 and got["flat"]["z"] is None
+
+
+def test_cox_stuart_x_ties_fail_closed(spark):
+    from mr_dice_spark.operators.timeseries import cox_stuart_trend
+
+    rows = [("k", 1.0, 1.0), ("k", 1.0, 2.0), ("k", 2.0, 3.0), ("k", 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = cox_stuart_trend(df, "k", "x", "y").collect()[0]
+    assert out["z"] is None
+
+
+def test_theils_u2_hand_computed(spark):
+    from mr_dice_spark.operators.timeseries import theils_u2
+
+    # period-3 seasonal signal plus a ramp: seasonal-naive should beat
+    # the lag-1 naive (U2 < 1)
+    base = [10.0, 1.0, 5.0]
+    y = [base[i % 3] + 0.1 * i for i in range(12)]
+    rows = [("s", float(i), v) for i, v in enumerate(y)]
+    # constant series: naive denominator 0 -> NULL
+    rows += [("c", float(i), 4.0) for i in range(8)]
+    # too short for the seasonal lag -> no scored rows -> NULL
+    rows += [("short", float(i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in theils_u2(df, "k", "x", "y", season=3).collect()}
+    num = sum((y[t] - y[t - 3]) ** 2 for t in range(3, 12))
+    den = sum((y[t] - y[t - 1]) ** 2 for t in range(3, 12))
+    assert got["s"]["n_scored"] == 9
+    assert got["s"]["u2"] == pytest.approx(math.sqrt(num / den), abs=1e-6)
+    assert got["s"]["u2"] < 1.0
+    assert got["c"]["u2"] is None
+    assert got["short"]["u2"] is None and got["short"]["n_scored"] == 0
+    with pytest.raises(ValueError, match="season"):
+        theils_u2(df, "k", "x", "y", season=1)

@@ -284,6 +284,14 @@ PROBES = [
     "hampel_outliers_hourly_by_type",
     "page_trend_weekly_by_weekday",
     "kpss_daily_value_by_type",
+    # round-11 additions (same value-cell / bucketed frames)
+    "kuiper_value_weekend_by_type",
+    "ad_value_weekend_by_type",
+    "bartlett_daily_value_by_weekday",
+    "cox_stuart_daily_value_by_type",
+    "theils_u2_hourly_value_by_type",
+    "ansari_value_weekend_by_type",
+    "quade_weekday_value_by_type",
 ]
 
 
