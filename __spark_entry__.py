@@ -116,9 +116,11 @@ _CHECK_FIRST = [
     # ansari_value_weekend_by_type
     # quade_weekday_value_by_type
     # streaming_theils_u2_monitor
-    # Round-12 window = 1 flagship + this 8-golden queue + the 14
+    # lepage_value_weekend_by_type
+    # brunner_munzel_value_weekend_by_type
+    # Round-12 window = 1 flagship + this 10-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 27 alphabetical r5-latest rows = 50 slots exactly.
+    # 25 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

@@ -6227,3 +6227,230 @@ def streaming_theils_u2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+LEPAGE_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, COUNT(*) AS t, count_if(a) AS ta FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, t, ta,
+         COALESCE(SUM(t) OVER (PARTITION BY k ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS clt,
+         SUM(t) OVER (PARTITION BY k) AS nn,
+         SUM(ta) OVER (PARTITION BY k) AS na
+  FROM cells
+),
+dd AS (
+  SELECT k, t, ta, nn, na,
+         2 * clt + t + 1 AS r2,
+         LEAST(2 * clt + t + 1, 2 * nn + 2 - (2 * clt + t + 1)) AS s2
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS na, MAX(nn) AS nn,
+         SUM(ta * r2) AS tw2, SUM(t * r2) AS sw2,
+         SUM(CAST(t * r2 AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0)))
+           AS sw4,
+         SUM(ta * s2) AS tb2, SUM(t * s2) AS sb2,
+         SUM(CAST(t * s2 AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)))
+           AS sb4
+  FROM dd GROUP BY k
+),
+zc AS (
+  SELECT k, na, nn,
+         CASE WHEN na > 0 AND nn - na > 0
+               AND ROUND(CAST(na AS DOUBLE)
+                         * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+                         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+                         * (CAST(sw4 AS DOUBLE) / 4.0
+                            - CAST(nn AS DOUBLE)
+                              * (CAST(sw2 AS DOUBLE) / 2.0
+                                 / CAST(nn AS DOUBLE))
+                              * (CAST(sw2 AS DOUBLE) / 2.0
+                                 / CAST(nn AS DOUBLE)))
+                         + 1e-12, 9) > 0
+         THEN ROUND((CAST(tw2 AS DOUBLE) / 2.0
+                     - ROUND(CAST(na AS DOUBLE)
+                             * (CAST(sw2 AS DOUBLE) / 2.0
+                                / CAST(nn AS DOUBLE)) + 1e-12, 9))
+                    / ROUND(sqrt(
+                        ROUND(CAST(na AS DOUBLE)
+                              * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+                              / (CAST(nn AS DOUBLE)
+                                 * (CAST(nn AS DOUBLE) - 1.0))
+                              * (CAST(sw4 AS DOUBLE) / 4.0
+                                 - CAST(nn AS DOUBLE)
+                                   * (CAST(sw2 AS DOUBLE) / 2.0
+                                      / CAST(nn AS DOUBLE))
+                                   * (CAST(sw2 AS DOUBLE) / 2.0
+                                      / CAST(nn AS DOUBLE)))
+                              + 1e-12, 9)) + 1e-12, 9)
+                    + 1e-12, 9) END AS zw,
+         CASE WHEN na > 0 AND nn - na > 0
+               AND ROUND(CAST(na AS DOUBLE)
+                         * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+                         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+                         * (CAST(sb4 AS DOUBLE) / 4.0
+                            - CAST(nn AS DOUBLE)
+                              * (CAST(sb2 AS DOUBLE) / 2.0
+                                 / CAST(nn AS DOUBLE))
+                              * (CAST(sb2 AS DOUBLE) / 2.0
+                                 / CAST(nn AS DOUBLE)))
+                         + 1e-12, 9) > 0
+         THEN ROUND((CAST(tb2 AS DOUBLE) / 2.0
+                     - ROUND(CAST(na AS DOUBLE)
+                             * (CAST(sb2 AS DOUBLE) / 2.0
+                                / CAST(nn AS DOUBLE)) + 1e-12, 9))
+                    / ROUND(sqrt(
+                        ROUND(CAST(na AS DOUBLE)
+                              * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+                              / (CAST(nn AS DOUBLE)
+                                 * (CAST(nn AS DOUBLE) - 1.0))
+                              * (CAST(sb4 AS DOUBLE) / 4.0
+                                 - CAST(nn AS DOUBLE)
+                                   * (CAST(sb2 AS DOUBLE) / 2.0
+                                      / CAST(nn AS DOUBLE))
+                                   * (CAST(sb2 AS DOUBLE) / 2.0
+                                      / CAST(nn AS DOUBLE)))
+                              + 1e-12, 9)) + 1e-12, 9)
+                    + 1e-12, 9) END AS zab
+  FROM agg
+)
+SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
+       CAST(nn - na AS BIGINT) AS n_b,
+       ROUND(zw + 1e-9, 6) AS z_w,
+       ROUND(zab + 1e-9, 6) AS z_ab,
+       ROUND(zw * zw + zab * zab + 1e-9, 6) AS lepage_l
+FROM zc ORDER BY event_type
+"""
+
+
+@golden(
+    "lepage_value_weekend_by_type",
+    LEPAGE_ORACLE,
+    tags=("evaluation", "lepage", "location-scale", "events"),
+)
+def lepage_value_weekend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage omnibus location+scale test on the weekend split per
+    event type — ONE chi-square(2) gate for 'did weekend move the
+    value distribution's centre OR its spread', combining the Wilcoxon
+    z (location) and the Ansari-Bradley z (scale) this family already
+    reports separately. Both score chains ride mann_whitney's single
+    exchange; exact permutation moments; z's pinned at 9dp before the
+    squares."""
+    from mr_dice_spark.operators.evaluation import lepage_2s
+
+    return (
+        lepage_2s(_weekend_rows(spark, sf_dir), "k", "weekend", "v", True)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )
+
+
+BRUNNER_ORACLE = f"""
+WITH {_WEEKEND_BASE_SQL},
+cells AS (
+  SELECT k, v, COUNT(*) AS t, count_if(a) AS ta FROM base GROUP BY k, v
+),
+staged AS (
+  SELECT k, t, ta, t - ta AS tb,
+         COALESCE(SUM(t) OVER w1, 0) AS clt,
+         COALESCE(SUM(ta) OVER w1, 0) AS clta,
+         COALESCE(SUM(t - ta) OVER w1, 0) AS cltb,
+         SUM(t) OVER (PARTITION BY k) AS nn,
+         SUM(ta) OVER (PARTITION BY k) AS na
+  FROM cells
+  WINDOW w1 AS (PARTITION BY k ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+dd AS (
+  SELECT k, t, ta, tb, nn, na,
+         2 * clt + t + 1 AS r2,
+         (2 * clt + t + 1) - (2 * clta + ta + 1) AS da2,
+         (2 * clt + t + 1) - (2 * cltb + tb + 1) AS db2
+  FROM staged
+),
+agg AS (
+  SELECT k, MAX(na) AS na, MAX(nn) AS nn,
+         SUM(ta * r2) AS ra_sum2, SUM(tb * r2) AS rb_sum2,
+         SUM(ta * da2) AS da1,
+         SUM(CAST(ta * da2 AS DECIMAL(19,0)) * CAST(da2 AS DECIMAL(19,0)))
+           AS da2s,
+         SUM(tb * db2) AS db1,
+         SUM(CAST(tb * db2 AS DECIMAL(19,0)) * CAST(db2 AS DECIMAL(19,0)))
+           AS db2s
+  FROM dd GROUP BY k
+),
+calc AS (
+  SELECT k, na, nn, nn - na AS nb,
+         ROUND(CAST(ra_sum2 AS DOUBLE) / 2.0 / CAST(na AS DOUBLE)
+               + 1e-12, 9) AS rbar_a,
+         ROUND(CAST(rb_sum2 AS DOUBLE) / 2.0
+               / (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+               + 1e-12, 9) AS rbar_b,
+         ROUND(CAST(CAST(CAST(na AS DECIMAL(7,0))
+                         * CAST(da2s AS DECIMAL(31,0)) AS DECIMAL(38,0))
+                    - CAST(CAST(da1 AS DECIMAL(19,0))
+                           * CAST(da1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+                    AS DOUBLE)
+               / (4.0 * CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+               + 1e-12, 9) AS s2a,
+         ROUND(CAST(CAST(CAST(nn - na AS DECIMAL(7,0))
+                         * CAST(db2s AS DECIMAL(31,0)) AS DECIMAL(38,0))
+                    - CAST(CAST(db1 AS DECIMAL(19,0))
+                           * CAST(db1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+                    AS DOUBLE)
+               / (4.0 * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+                  * ((CAST(nn AS DOUBLE) - CAST(na AS DOUBLE)) - 1.0))
+               + 1e-12, 9) AS s2b
+  FROM agg
+),
+fin AS (
+  SELECT k, na, nn, nb, rbar_a, rbar_b,
+         CASE WHEN na > 0 AND nb > 0
+              THEN ROUND((rbar_b - (CAST(nb AS DOUBLE) + 1.0) / 2.0)
+                         / CAST(na AS DOUBLE) + 1e-12, 9) END AS p_hat,
+         ROUND(CAST(na AS DOUBLE) * s2a
+               + (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE)) * s2b
+               + 1e-12, 9) AS pooled_var
+  FROM calc
+)
+SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND(p_hat + 1e-9, 6) AS p_hat,
+       ROUND(CASE WHEN na > 0 AND nb > 0 AND pooled_var > 0
+             THEN ROUND(CAST(na AS DOUBLE)
+                        * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
+                        * (rbar_b - rbar_a)
+                        / (CAST(nn AS DOUBLE)
+                           * ROUND(sqrt(pooled_var) + 1e-12, 9))
+                        + 1e-12, 9) END + 1e-9, 6) AS w
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "brunner_munzel_value_weekend_by_type",
+    BRUNNER_ORACLE,
+    tags=("evaluation", "brunner-munzel", "location", "events"),
+)
+def brunner_munzel_value_weekend_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brunner-Munzel relative-effect test on the weekend split per
+    event type — 'did weekend shift value' WITHOUT mann_whitney's
+    exchangeability assumption (the rank analogue of Welch vs pooled
+    t), plus the common-language effect size P(weekday < weekend).
+    Pooled and within-sample midranks ride the same cells exchange as
+    doubled exact longs; placement variances via decimal
+    cancellation."""
+    from mr_dice_spark.operators.evaluation import brunner_munzel
+
+    return (
+        brunner_munzel(_weekend_rows(spark, sf_dir), "k", "weekend", "v", True)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )

@@ -3723,6 +3723,277 @@ def ansari_bradley(
     )
 
 
+def lepage_2s(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+) -> DataFrame:
+    """Per-group Lepage combined location-scale test — ONE omnibus
+    number for 'did the distribution move OR spread':
+
+        L = z_W^2 + z_AB^2   ~ chi-square(2) under identity
+
+    where z_W standardizes the Wilcoxon rank-sum of sample A (midrank
+    scores a_i = r_i — the location axis) and z_AB the Ansari-Bradley
+    triangular score sum (a_i = min(r_i, N+1-r_i) — the scale axis),
+    each with the EXACT permutation moments of a linear rank statistic
+    (E[T] = n_a abar, Var[T] = n_a n_b / (N(N-1)) * sum (a_i - abar)^2
+    — tie-proof, no correction tables). The pair (z_W, z_AB) is
+    asymptotically independent, which is what licenses the chi-square
+    sum; L is the standard first screen when either axis could have
+    moved and reviews want one gate instead of two.
+
+    Groups where either class is empty report all-NULL statistics;
+    a zero variance on one axis (all values tied for that score) NULLs
+    that z AND L (fail-closed — half an omnibus is not an omnibus).
+    NULL group/class/value rows are excluded.
+
+    Cross-engine determinism: both score families stay half-integer
+    exact via the doubled form (2r = 2 c_lt + t + 1; 2a_AB =
+    min(2r, 2N+2-2r) — the mann_whitney discipline); score sums are
+    exact longs, quadratic moment sums exact decimals (the mood_scale
+    headroom contract); each z pins at 9dp; L is one fixed chain on
+    pinned z's, rounded at 6.
+
+    Scale shape: mann_whitney's exact single exchange — one (group,
+    value) tie-cell aggregate, one group-partitioned cumulative
+    window, one closing aggregate computing BOTH axes. Returns
+    ``(group, n_a, n_b, z_w, z_ab, lepage_l)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(class_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_if(F.col("__a")).alias("__ta"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g")
+    staged = cells.select(
+        "__g",
+        "__t",
+        "__ta",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__clt"),
+        F.sum("__t").over(w_all).alias("__nn"),
+        F.sum("__ta").over(w_all).alias("__na"),
+    )
+    r2 = 2 * F.col("__clt") + F.col("__t") + 1  # doubled midrank
+    s2 = F.least(r2, 2 * F.col("__nn") + 2 - r2)  # doubled AB score
+    agg = staged.groupBy("__g").agg(
+        F.max("__na").alias("__cna"),
+        F.max("__nn").alias("__cnn"),
+        F.sum(F.col("__ta") * r2).alias("__tw2"),
+        F.sum(F.col("__t") * r2).alias("__sw2"),
+        F.sum(
+            (F.col("__t") * r2).cast("decimal(19,0)")
+            * r2.cast("decimal(19,0)")
+        ).alias("__sw4"),
+        F.sum(F.col("__ta") * s2).alias("__tb2"),
+        F.sum(F.col("__t") * s2).alias("__sb2"),
+        F.sum(
+            (F.col("__t") * s2).cast("decimal(19,0)")
+            * s2.cast("decimal(19,0)")
+        ).alias("__sb4"),
+    )
+    na = F.col("__cna").cast("double")
+    nn = F.col("__cnn").cast("double")
+    nb = nn - na
+
+    def _z(t2, sum2, sum4):
+        t_stat = t2.cast("double") / 2.0
+        abar = sum2.cast("double") / 2.0 / nn
+        e_t = F.round(na * abar + F.lit(1e-12), 9)
+        ssa = sum4.cast("double") / 4.0 - nn * abar * abar
+        var = F.round(
+            na * nb / (nn * (nn - 1.0)) * ssa + F.lit(1e-12), 9
+        )
+        return F.when(
+            (F.col("__cna") > 0) & (nb > 0) & (var > 0),
+            F.round(
+                (t_stat - e_t) / F.round(F.sqrt(var) + F.lit(1e-12), 9)
+                + F.lit(1e-12),
+                9,
+            ),
+        )
+
+    z_w = _z(F.col("__tw2"), F.col("__sw2"), F.col("__sw4"))
+    z_ab = _z(F.col("__tb2"), F.col("__sb2"), F.col("__sb4"))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__cna").cast("long").alias("n_a"),
+        (F.col("__cnn") - F.col("__cna")).cast("long").alias("n_b"),
+        F.round(z_w + F.lit(1e-9), 6).alias("z_w"),
+        F.round(z_ab + F.lit(1e-9), 6).alias("z_ab"),
+        F.round(z_w * z_w + z_ab * z_ab + F.lit(1e-9), 6).alias("lepage_l"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+    class_a,
+) -> DataFrame:
+    """Per-group Brunner-Munzel test — the modern replacement for
+    Mann-Whitney when the two samples may differ in SHAPE/VARIANCE
+    (MW's permutation null assumes exchangeability; BM studentizes the
+    relative effect instead, the rank analogue of Welch vs pooled t):
+
+        p_hat = P(X_A < X_B) + P(X_A = X_B)/2
+              = (rbar_B - (n_b+1)/2) / n_a
+        w     = n_a n_b (rbar_B - rbar_A)
+                / (N * sqrt(n_a S_A^2 + n_b S_B^2))
+
+    with rbar_s the mean POOLED midrank of sample s and S_s^2 the
+    sample variance of ``d_i = r_i - r_i^(s)`` (pooled midrank minus
+    WITHIN-sample midrank) — the scipy ``brunnermunzel`` statistic
+    (its large-sample normal reading; the df table is one scalar
+    lookup away). p_hat is the common-language effect size reviews
+    quote alongside.
+
+    Groups where either class is empty report all-NULL statistics;
+    zero placement variance (n_a S_A^2 + n_b S_B^2 = 0, e.g. fully
+    separated or fully tied samples) reports p_hat but NULL w
+    (fail-closed — the statistic is infinite or undefined there).
+    NULL group/class/value rows are excluded.
+
+    Cross-engine determinism: pooled AND within-sample midranks stay
+    half-integer exact via doubled forms on the same tie cells (2d =
+    2r - 2r_own is an exact long, constant within a cell for each
+    sample); the placement-variance numerators ``n S2_sum - S1_sum^2``
+    are formed in exact decimal (the durbin_watson cancellation
+    convention); means/variances pin at 9dp; w is one fixed chain,
+    rounded at 6.
+
+    Scale shape: mann_whitney's single exchange plus nothing — the
+    within-sample cumulative counts ride the SAME (group, value)
+    ordered window as the pooled ones. Returns
+    ``(group, n_a, n_b, p_hat, w)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(class_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        (F.col(class_col) == F.lit(class_a)).alias("__a"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_if(F.col("__a")).alias("__ta"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g")
+    tb = F.col("__t") - F.col("__ta")
+    staged = cells.select(
+        "__g",
+        "__t",
+        "__ta",
+        tb.alias("__tb"),
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__clt"),
+        F.coalesce(F.sum("__ta").over(w), F.lit(0)).alias("__clta"),
+        F.coalesce(F.sum(tb).over(w), F.lit(0)).alias("__cltb"),
+        F.sum("__t").over(w_all).alias("__nn"),
+        F.sum("__ta").over(w_all).alias("__na"),
+    )
+    # doubled pooled and within-sample midranks (exact longs); the
+    # doubled placement 2d = 2r - 2r_own is cell-constant per sample
+    r2 = 2 * F.col("__clt") + F.col("__t") + 1
+    ra2 = 2 * F.col("__clta") + F.col("__ta") + 1
+    rb2 = 2 * F.col("__cltb") + F.col("__tb") + 1
+    da2 = r2 - ra2
+    db2 = r2 - rb2
+    agg = staged.groupBy("__g").agg(
+        F.max("__na").alias("__cna"),
+        F.max("__nn").alias("__cnn"),
+        F.sum(F.col("__ta") * r2).alias("__ra_sum2"),
+        F.sum(F.col("__tb") * r2).alias("__rb_sum2"),
+        F.sum(F.col("__ta") * da2).alias("__da1"),
+        F.sum(
+            (F.col("__ta") * da2).cast("decimal(19,0)")
+            * da2.cast("decimal(19,0)")
+        ).alias("__da2"),
+        F.sum(F.col("__tb") * db2).alias("__db1"),
+        F.sum(
+            (F.col("__tb") * db2).cast("decimal(19,0)")
+            * db2.cast("decimal(19,0)")
+        ).alias("__db2"),
+    )
+    na = F.col("__cna").cast("double")
+    nn = F.col("__cnn").cast("double")
+    nb = nn - na
+    rbar_a = F.round(
+        F.col("__ra_sum2").cast("double") / 2.0 / na + F.lit(1e-12), 9
+    )
+    rbar_b = F.round(
+        F.col("__rb_sum2").cast("double") / 2.0 / nb + F.lit(1e-12), 9
+    )
+
+    def _s2(n_s, d1, d2):
+        # sample variance of d/2 over sample s via decimal cancellation:
+        # (n*sum(d2^2) - sum(d2)^2) / (4 n (n-1))
+        num = (
+            (n_s.cast("decimal(7,0)") * d2).cast("decimal(38,0)")
+            - (d1.cast("decimal(19,0)") * d1.cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        n_d = n_s.cast("double")
+        return F.round(
+            num / (4.0 * n_d * (n_d - 1.0)) + F.lit(1e-12), 9
+        )
+
+    s2a = _s2(F.col("__cna"), F.col("__da1"), F.col("__da2"))
+    s2b = _s2(F.col("__cnn") - F.col("__cna"), F.col("__db1"), F.col("__db2"))
+    both = (F.col("__cna") > 0) & (nb > 0)
+    p_hat = F.when(
+        both, F.round((rbar_b - (nb + 1.0) / 2.0) / na + F.lit(1e-12), 9)
+    )
+    pooled_var = F.round(na * s2a + nb * s2b + F.lit(1e-12), 9)
+    w_stat = F.when(
+        both & (pooled_var > 0),
+        F.round(
+            na * nb * (rbar_b - rbar_a)
+            / (nn * F.round(F.sqrt(pooled_var) + F.lit(1e-12), 9))
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__cna").cast("long").alias("n_a"),
+        (F.col("__cnn") - F.col("__cna")).cast("long").alias("n_b"),
+        F.round(p_hat + F.lit(1e-9), 6).alias("p_hat"),
+        F.round(w_stat + F.lit(1e-9), 6).alias("w"),
+    )
+
+
 def quade_test(
     df: DataFrame,
     block_col: str,

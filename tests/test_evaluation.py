@@ -1924,3 +1924,92 @@ def test_quade_guards(spark):
     df2 = spark.createDataFrame(rows2, "b string, t string, v double")
     out2 = quade_test(df2, "b", "t", "v").collect()[0]
     assert out2["f_stat"] is None
+
+
+def _linear_rank_z(a, b, score):
+    import math
+
+    pooled = sorted(a + b)
+    bign = len(pooled)
+
+    def midrank(v):
+        lt = sum(1 for x in pooled if x < v)
+        t = sum(1 for x in pooled if x == v)
+        return lt + (t + 1) / 2.0
+
+    scores_all = [score(midrank(v), bign) for v in pooled]
+    t_stat = sum(score(midrank(v), bign) for v in a)
+    abar = sum(scores_all) / bign
+    ss = sum((s - abar) ** 2 for s in scores_all)
+    var = len(a) * len(b) / (bign * (bign - 1.0)) * ss
+    if var <= 0:
+        return None
+    return (t_stat - len(a) * abar) / math.sqrt(var)
+
+
+def test_lepage_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import lepage_2s
+
+    a = [1.0, 4.0, 4.0, 9.0, 12.0]
+    b = [5.0, 6.0, 6.0, 7.0]
+    rows = [("g1", "A", v) for v in a] + [("g1", "B", v) for v in b]
+    rows += [("only_a", "A", 1.0), ("only_a", "A", 2.0)]
+    rows += [("allsame", "A", 3.0), ("allsame", "B", 3.0)]
+    df = spark.createDataFrame(rows, "g string, c string, v double")
+    got = {r["g"]: r for r in lepage_2s(df, "g", "c", "v", "A").collect()}
+    z_w = _linear_rank_z(a, b, lambda r, n: r)
+    z_ab = _linear_rank_z(a, b, lambda r, n: min(r, n + 1 - r))
+    assert got["g1"]["z_w"] == pytest.approx(z_w, abs=1e-5)
+    assert got["g1"]["z_ab"] == pytest.approx(z_ab, abs=1e-5)
+    assert got["g1"]["lepage_l"] == pytest.approx(z_w**2 + z_ab**2, abs=1e-4)
+    assert got["only_a"]["lepage_l"] is None
+    # all tied: both variances 0 -> everything fail-closed
+    assert got["allsame"]["z_w"] is None and got["allsame"]["lepage_l"] is None
+
+
+def _brute_brunner_munzel(a, b):
+    """scipy.stats.brunnermunzel statistic (x=a, y=b) + p_hat."""
+    import math
+
+    pooled = sorted(a + b)
+    na, nb, bign = len(a), len(b), len(a) + len(b)
+
+    def midrank(v, sample):
+        lt = sum(1 for x in sample if x < v)
+        t = sum(1 for x in sample if x == v)
+        return lt + (t + 1) / 2.0
+
+    rca = [midrank(v, pooled) for v in a]
+    rcb = [midrank(v, pooled) for v in b]
+    ra = [midrank(v, a) for v in a]
+    rb = [midrank(v, b) for v in b]
+    ma, mb = sum(rca) / na, sum(rcb) / nb
+    da = [rc - r for rc, r in zip(rca, ra)]
+    db = [rc - r for rc, r in zip(rcb, rb)]
+    sa = sum((d - sum(da) / na) ** 2 for d in da) / (na - 1)
+    sb = sum((d - sum(db) / nb) ** 2 for d in db) / (nb - 1)
+    p_hat = (mb - (nb + 1) / 2.0) / na
+    denom = bign * math.sqrt(na * sa + nb * sb)
+    w = na * nb * (mb - ma) / denom if na * sa + nb * sb > 0 else None
+    return p_hat, w
+
+
+def test_brunner_munzel_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import brunner_munzel
+
+    a = [1.0, 2.0, 2.0, 4.0, 9.0, 3.0]
+    b = [3.0, 5.0, 6.0, 6.0, 8.0]
+    rows = [("g1", "A", v) for v in a] + [("g1", "B", v) for v in b]
+    rows += [("only_a", "A", 1.0), ("only_a", "A", 2.0)]
+    # fully separated: placement variance 0 -> p_hat 1, w NULL
+    rows += [("sep", "A", 1.0), ("sep", "A", 2.0), ("sep", "B", 8.0),
+             ("sep", "B", 9.0)]
+    df = spark.createDataFrame(rows, "g string, c string, v double")
+    got = {r["g"]: r for r in brunner_munzel(df, "g", "c", "v", "A").collect()}
+    p, w = _brute_brunner_munzel(a, b)
+    assert got["g1"]["n_a"] == 6 and got["g1"]["n_b"] == 5
+    assert got["g1"]["p_hat"] == pytest.approx(p, abs=1e-6)
+    assert got["g1"]["w"] == pytest.approx(w, abs=1e-5)
+    assert got["only_a"]["p_hat"] is None and got["only_a"]["w"] is None
+    assert got["sep"]["p_hat"] == pytest.approx(1.0, abs=1e-6)
+    assert got["sep"]["w"] is None

@@ -20,6 +20,7 @@ def test_rows_only_golden_executes(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_golden_matches_oracle(spark, oracle_sf_dir, name):
     q = GOLDEN[name]

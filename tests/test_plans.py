@@ -2167,3 +2167,25 @@ def test_quade_pinned_panel_bounded_frames(spark, sf_dir):
     assert "Scan parquet" not in plan  # every branch reuses the pinned panel
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lepage_single_exchange_both_axes(spark, sf_dir):
+    """Both score families (Wilcoxon + Ansari-Bradley) derive from the
+    SAME tie-cell cumulative window — one cells exchange, one closing
+    aggregate, no join, no global sort."""
+    df = GOLDEN["lepage_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_brunner_munzel_single_exchange(spark, sf_dir):
+    """Pooled AND within-sample midranks ride the same (group, value)
+    ordered window — mann_whitney's single exchange, one closing
+    aggregate, no join, no global sort."""
+    df = GOLDEN["brunner_munzel_value_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

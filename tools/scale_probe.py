@@ -292,6 +292,8 @@ PROBES = [
     "theils_u2_hourly_value_by_type",
     "ansari_value_weekend_by_type",
     "quade_weekday_value_by_type",
+    "lepage_value_weekend_by_type",
+    "brunner_munzel_value_weekend_by_type",
 ]
 
 
