@@ -118,9 +118,11 @@ _CHECK_FIRST = [
     # streaming_theils_u2_monitor
     # lepage_value_weekend_by_type
     # brunner_munzel_value_weekend_by_type
-    # Round-12 window = 1 flagship + this 10-golden queue + the 14
+    # wilcoxon_signed_even_odd_by_type
+    # bowker_user_band_weekend_by_type
+    # Round-12 window = 1 flagship + this 12-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 25 alphabetical r5-latest rows = 50 slots exactly.
+    # 23 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

@@ -6454,3 +6454,195 @@ def brunner_munzel_value_weekend_by_type(
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")
     )
+
+
+WILCOXON_SR_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS k, user_id,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 2 AS par,
+         value
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+pairs AS (
+  SELECT k, user_id,
+         ROUND(SUM(CASE WHEN par = 0 THEN value ELSE 0.0 END) + 1e-9, 6) AS x,
+         ROUND(SUM(CASE WHEN par = 1 THEN value ELSE 0.0 END) + 1e-9, 6) AS y
+  FROM ev GROUP BY k, user_id
+),
+d AS (SELECT k, y - x AS d FROM pairs),
+counted AS (
+  SELECT k, COUNT(*) AS np, count_if(d <> 0) AS ne FROM d GROUP BY k
+),
+cells AS (
+  SELECT k, ABS(d) AS a, COUNT(*) AS t, count_if(d > 0) AS tp
+  FROM d WHERE d <> 0 GROUP BY k, ABS(d)
+),
+staged AS (
+  SELECT k, t, tp,
+         COALESCE(SUM(t) OVER (PARTITION BY k ORDER BY a
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS clt
+  FROM cells
+),
+agg AS (
+  SELECT k,
+         SUM(tp * (2 * clt + t + 1)) AS wp2,
+         SUM(t * (2 * clt + t + 1)) AS sr2,
+         SUM(CAST(t * (2 * clt + t + 1) AS DECIMAL(19,0))
+             * CAST(2 * clt + t + 1 AS DECIMAL(19,0))) AS sr4
+  FROM staged GROUP BY k
+),
+fin AS (
+  SELECT c.k, c.np, c.ne,
+         CAST(wp2 AS DOUBLE) / 2.0 AS w_plus,
+         CAST(sr2 AS DOUBLE) / 4.0 AS e_w,
+         ROUND(CAST(sr4 AS DOUBLE) / 16.0 + 1e-12, 9) AS var_w
+  FROM counted c LEFT JOIN agg ON agg.k = c.k
+)
+SELECT k AS event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(ne AS BIGINT) AS n_eff,
+       ROUND(CASE WHEN ne > 0 THEN w_plus END + 1e-9, 6) AS w_plus,
+       ROUND(CASE WHEN ne > 0 THEN e_w END + 1e-9, 6) AS e_w,
+       ROUND(CASE WHEN ne > 0 AND var_w > 0
+             THEN ROUND((w_plus - e_w) / ROUND(sqrt(var_w) + 1e-12, 9)
+                        + 1e-12, 9) END + 1e-9, 6) AS z
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "wilcoxon_signed_even_odd_by_type",
+    WILCOXON_SR_ORACLE,
+    tags=("evaluation", "wilcoxon", "paired", "events"),
+)
+def wilcoxon_signed_even_odd_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on each user's even-day vs odd-day
+    value totals per event type — the PAIRED 'did the split shift
+    value' companion to lins_ccc's agreement score on the identical
+    pairs frame (mann_whitney would wrongly treat the two halves as
+    independent samples). Zero differences drop (the standard policy);
+    exact sign-flip moments, tie-proof."""
+    from mr_dice_spark.operators.evaluation import wilcoxon_signed_rank
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        F.col("user_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 2).alias("par"),
+        F.col("value"),
+    )
+    pairs = ev.groupBy("k", "user_id").agg(
+        _r(F.sum(F.when(F.col("par") == 0, F.col("value")).otherwise(0.0)), 6)
+        .alias("x"),
+        _r(F.sum(F.when(F.col("par") == 1, F.col("value")).otherwise(0.0)), 6)
+        .alias("y"),
+    )
+    out = wilcoxon_signed_rank(pairs, "k", "x", "y")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+BOWKER_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS k, user_id,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) IN (2, 3) AS we,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+units AS (
+  SELECT k, user_id,
+         ROUND(AVG(CASE WHEN NOT we THEN v END) + 1e-9, 6) AS wd_mean,
+         ROUND(AVG(CASE WHEN we THEN v END) + 1e-9, 6) AS we_mean
+  FROM ev GROUP BY k, user_id
+),
+labeled AS (
+  SELECT k,
+         CAST(FLOOR(wd_mean / 100.0) AS BIGINT) AS a,
+         CAST(FLOOR(we_mean / 100.0) AS BIGINT) AS b
+  FROM units WHERE wd_mean IS NOT NULL AND we_mean IS NOT NULL
+),
+totals AS (
+  SELECT k, COUNT(*) AS tot,
+         COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+  FROM labeled GROUP BY k
+),
+cells AS (
+  SELECT k, a, b, COUNT(*) AS n FROM labeled GROUP BY k, a, b
+),
+pairs AS (
+  SELECT k, LEAST(a, b) AS lo, GREATEST(a, b) AS hi,
+         SUM(CASE WHEN a < b THEN n ELSE 0 END) AS nij,
+         SUM(CASE WHEN a > b THEN n ELSE 0 END) AS nji
+  FROM cells WHERE a <> b GROUP BY k, LEAST(a, b), GREATEST(a, b)
+),
+agg AS (
+  SELECT k,
+         CAST(SUM(CAST(
+           ROUND(CAST(nij - nji AS DOUBLE) * CAST(nij - nji AS DOUBLE)
+                 / CAST(nij + nji AS DOUBLE) + 1e-12, 9)
+           AS DECIMAL(19,9))) AS DOUBLE) AS chi2,
+         COUNT(*) AS dof
+  FROM pairs GROUP BY k
+)
+SELECT t.k AS event_type, CAST(tot AS BIGINT) AS n,
+       CAST(GREATEST(ka, kb) AS BIGINT) AS k_categories,
+       ROUND(chi2 + 1e-9, 6) AS chi2,
+       CAST(COALESCE(dof, 0) AS BIGINT) AS dof
+FROM totals t LEFT JOIN agg ON agg.k = t.k
+ORDER BY event_type
+"""
+
+
+@golden(
+    "bowker_user_band_weekend_by_type",
+    BOWKER_ORACLE,
+    tags=("evaluation", "bowker", "label-drift", "events"),
+)
+def bowker_user_band_weekend_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bowker symmetry test on each user's weekday-vs-weekend value
+    band per event type — does user mass FLOW asymmetrically between
+    bands on weekends (the k-category McNemar; a symmetric-looking
+    confusion table can still hide net drift, and this is the test
+    that charges it)? Users need both a weekday and a weekend mean;
+    bands are the hellinger floor(mean/100) convention on 6dp-pinned
+    means."""
+    from mr_dice_spark.operators.evaluation import bowker_symmetry
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        F.col("user_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).isin(2, 3)
+        .alias("we"),
+        F.col("value").cast("double").alias("v"),
+    )
+    units = ev.groupBy("k", "user_id").agg(
+        _r(F.avg(F.when(~F.col("we"), F.col("v"))), 6).alias("wd_mean"),
+        _r(F.avg(F.when(F.col("we"), F.col("v"))), 6).alias("we_mean"),
+    )
+    labeled = units.where(
+        F.col("wd_mean").isNotNull() & F.col("we_mean").isNotNull()
+    ).select(
+        "k",
+        F.floor(F.col("wd_mean") / 100.0).cast("long").alias("a"),
+        F.floor(F.col("we_mean") / 100.0).cast("long").alias("b"),
+    )
+    out = bowker_symmetry(labeled, "k", "a", "b")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

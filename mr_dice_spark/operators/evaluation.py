@@ -3723,6 +3723,210 @@ def ansari_bradley(
     )
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Wilcoxon signed-rank test — the PAIRED member the
+    two-sample family was missing (:func:`mann_whitney_u_by_group`
+    compares independent samples; this compares matched pairs): with
+    differences d_i = y_i - x_i, zeros DROPPED (the standard 'wilcox'
+    zero policy), and |d| midranked within the key,
+
+        W+   = sum of ranks where d_i > 0
+        E[W+] = sum(r_i) / 2,   Var[W+] = sum(r_i^2) / 4
+
+    — the EXACT sign-flip permutation moments, valid under arbitrary
+    |d| ties (signs stay independent Bernoulli(1/2) under the null; the
+    midranks are fixed given |d|, so no tie-correction table is
+    needed). z = (W+ - E) / sqrt(Var), positive when y tends to exceed
+    x.
+
+    NULL key/x/y rows are excluded (pairs must be complete — the
+    caller's frame contract, usually CASE-summed like lins_ccc's).
+    Keys where every pair ties (all d = 0 — n_eff 0) or with a zero
+    variance report NULL z (fail-closed); counts still report.
+
+    Cross-engine determinism: d lands exactly on the caller's value
+    grid (document <= 6dp); |d| tie cells keep midranks half-integer
+    exact via the doubled form (2r = 2 c_lt + t + 1); W+/E come from
+    exact long sums and Var from exact decimal quartic sums (the
+    mood_scale headroom contract); z is one fixed chain on pinned
+    operands, rounded at 6.
+
+    Scale shape: mann_whitney's single exchange on the (key, |d|) tie
+    cells — one cell aggregate, one key-partitioned cumulative window,
+    one closing aggregate. Returns ``(key, n_pairs, n_eff, w_plus,
+    e_w, z)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        (F.col(y_col).cast("double") - F.col(x_col).cast("double")).alias(
+            "__d"
+        ),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    counted = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.count_if(F.col("__d") != 0).alias("__ne"),
+    )
+    cells = (
+        base.where(F.col("__d") != 0)
+        .groupBy("__k", F.abs(F.col("__d")).alias("__a"))
+        .agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.count_if(F.col("__d") > 0).alias("__tp"),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = cells.select(
+        "__k",
+        "__t",
+        "__tp",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__clt"),
+    )
+    r2 = 2 * F.col("__clt") + F.col("__t") + 1  # doubled midrank of |d|
+    agg = staged.groupBy("__k").agg(
+        F.sum(F.col("__tp") * r2).alias("__wp2"),
+        F.sum(F.col("__t") * r2).alias("__sr2"),
+        F.sum(
+            (F.col("__t") * r2).cast("decimal(19,0)")
+            * r2.cast("decimal(19,0)")
+        ).alias("__sr4"),
+    )
+    out = counted.join(agg, ["__k"], "left")
+    w_plus = F.col("__wp2").cast("double") / 2.0
+    e_w = F.col("__sr2").cast("double") / 4.0
+    var_w = F.round(
+        F.col("__sr4").cast("double") / 16.0 + F.lit(1e-12), 9
+    )
+    defined = F.col("__ne") > 0
+    z = F.when(
+        defined & (var_w > 0),
+        F.round(
+            (w_plus - e_w)
+            / F.round(F.sqrt(var_w) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__np").cast("long").alias("n_pairs"),
+        F.col("__ne").cast("long").alias("n_eff"),
+        F.round(F.when(defined, w_plus) + F.lit(1e-9), 6).alias("w_plus"),
+        F.round(F.when(defined, e_w) + F.lit(1e-9), 6).alias("e_w"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Per-key Bowker symmetry test on a paired k-category table — the
+    k-category generalization of :func:`mcnemar_test`: with units
+    labeled twice (annotator A vs B, old model vs new, weekday band vs
+    weekend band) and cell counts n_ij,
+
+        chi2 = sum_{i < j} (n_ij - n_ji)^2 / (n_ij + n_ji)
+        dof  = #{ (i, j) : i < j, n_ij + n_ji > 0 }
+
+    rejecting when labels FLOW asymmetrically between categories (the
+    label-drift readout a confusion matrix's diagonal hides; marginal
+    homogeneity follows from symmetry). Pairs with n_ij + n_ji = 0
+    contribute nothing and drop from dof — the standard convention.
+    For k = 2 this IS McNemar's chi-square.
+
+    NULL key/a/b rows are excluded. Diagonal cells (i = j) never enter.
+    Keys with no off-diagonal discordance (chi2 sum empty) report NULL
+    chi2 and dof 0 (fail-closed — no flow to test). Category values
+    compare by equality; feed quantized bands, not raw floats.
+
+    Cross-engine determinism: cell counts are exact integers; each
+    pair term is one fixed IEEE chain on exact counts, pinned at 9dp
+    and summed as exact decimal(19,9); dof is an exact count.
+
+    Scale shape: one (key, a, b) cell aggregate bounds the state at
+    k^2 per key; the mirrored pair meets by FOLDING each off-diagonal
+    cell onto its unordered (lo, hi) pair and re-aggregating — no
+    self-join exists anywhere; one totals aggregate joins back on the
+    key (cell-sized relation). Returns
+    ``(key, n, k_categories, chi2, dof)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+    )
+    cells = base.groupBy("__k", "__a", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    totals = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__tot"),
+        F.countDistinct(F.col("__a")).alias("__ka"),
+        F.countDistinct(F.col("__b")).alias("__kb"),
+    )
+    # fold each off-diagonal cell onto its unordered pair (lo, hi) and
+    # sum the two directions separately — symmetric difference without
+    # a join: (key, lo, hi) cells aggregate directly
+    off = cells.where(F.col("__a") != F.col("__b")).select(
+        "__k",
+        F.least("__a", "__b").alias("__lo"),
+        F.greatest("__a", "__b").alias("__hi"),
+        F.when(F.col("__a") < F.col("__b"), F.col("__n"))
+        .otherwise(F.lit(0))
+        .alias("__up"),
+        F.when(F.col("__a") > F.col("__b"), F.col("__n"))
+        .otherwise(F.lit(0))
+        .alias("__dn"),
+    )
+    pairs = off.groupBy("__k", "__lo", "__hi").agg(
+        F.sum("__up").alias("__nij"),
+        F.sum("__dn").alias("__nji"),
+    )
+    diff = (F.col("__nij") - F.col("__nji")).cast("double")
+    tot = (F.col("__nij") + F.col("__nji")).cast("double")
+    term = F.round(diff * diff / tot + F.lit(1e-12), 9)
+    agg = pairs.groupBy("__k").agg(
+        F.sum(term.cast("decimal(19,9)")).cast("double").alias("__chi2"),
+        F.count(F.lit(1)).alias("__dof"),
+    )
+    out = totals.join(agg, ["__k"], "left")
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__tot").cast("long").alias("n"),
+        F.greatest(F.col("__ka"), F.col("__kb"))
+        .cast("long")
+        .alias("k_categories"),
+        F.round(F.col("__chi2") + F.lit(1e-9), 6).alias("chi2"),
+        F.coalesce(F.col("__dof"), F.lit(0)).cast("long").alias("dof"),
+    )
+
+
 def lepage_2s(
     df: DataFrame,
     group_col: str,

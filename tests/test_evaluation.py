@@ -2013,3 +2013,72 @@ def test_brunner_munzel_hand_computed(spark):
     assert got["only_a"]["p_hat"] is None and got["only_a"]["w"] is None
     assert got["sep"]["p_hat"] == pytest.approx(1.0, abs=1e-6)
     assert got["sep"]["w"] is None
+
+
+def _brute_wilcoxon_sr(x, y):
+    import math
+
+    d = [b - a for a, b in zip(x, y) if b - a != 0]
+    if not d:
+        return None, None, None
+    absd = [abs(v) for v in d]
+
+    def midrank(v):
+        lt = sum(1 for u in absd if u < v)
+        t = sum(1 for u in absd if u == v)
+        return lt + (t + 1) / 2.0
+
+    ranks = [midrank(abs(v)) for v in d]
+    w_plus = sum(r for r, v in zip(ranks, d) if v > 0)
+    e_w = sum(ranks) / 2.0
+    var_w = sum(r * r for r in ranks) / 4.0
+    z = (w_plus - e_w) / math.sqrt(var_w) if var_w > 0 else None
+    return w_plus, e_w, z
+
+
+def test_wilcoxon_signed_rank_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import wilcoxon_signed_rank
+
+    x = [1.0, 5.0, 3.0, 4.0, 2.0, 6.0, 7.0]
+    y = [2.0, 4.0, 6.0, 4.0, 5.0, 9.0, 6.5]  # one zero pair (4,4)
+    rows = [("k1", a, b) for a, b in zip(x, y)]
+    rows += [("allzero", 3.0, 3.0), ("allzero", 5.0, 5.0)]
+    rows += [(None, 1.0, 2.0), ("k1", None, 2.0), ("k1", 1.0, None)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        r["k"]: r for r in wilcoxon_signed_rank(df, "k", "x", "y").collect()
+    }
+    w_plus, e_w, z = _brute_wilcoxon_sr(x, y)
+    assert got["k1"]["n_pairs"] == 7 and got["k1"]["n_eff"] == 6
+    assert got["k1"]["w_plus"] == pytest.approx(w_plus, abs=1e-6)
+    assert got["k1"]["e_w"] == pytest.approx(e_w, abs=1e-6)
+    assert got["k1"]["z"] == pytest.approx(z, abs=1e-5)
+    # all-zero differences: nothing to rank, fail-closed
+    assert got["allzero"]["n_eff"] == 0
+    assert got["allzero"]["w_plus"] is None and got["allzero"]["z"] is None
+
+
+def test_bowker_hand_computed(spark):
+    from mr_dice_spark.operators.evaluation import bowker_symmetry
+
+    # 3-category paired table: n_12=5, n_21=2, n_13=1, n_31=1, n_23=0,
+    # n_32=3 plus diagonal mass
+    rows = []
+    rows += [("k1", 1, 2)] * 5 + [("k1", 2, 1)] * 2
+    rows += [("k1", 1, 3)] * 1 + [("k1", 3, 1)] * 1
+    rows += [("k1", 3, 2)] * 3
+    rows += [("k1", 1, 1)] * 4 + [("k1", 2, 2)] * 2
+    # perfectly symmetric key: chi2 = 0, dof counts the active pairs
+    rows += [("sym", 1, 2)] * 3 + [("sym", 2, 1)] * 3 + [("sym", 1, 1)] * 2
+    # diagonal-only key: no flow at all
+    rows += [("diag", 1, 1)] * 3
+    df = spark.createDataFrame(rows, "k string, a int, b int")
+    got = {r["k"]: r for r in bowker_symmetry(df, "k", "a", "b").collect()}
+    exp = (5 - 2) ** 2 / 7 + (1 - 1) ** 2 / 2 + (0 - 3) ** 2 / 3
+    assert got["k1"]["chi2"] == pytest.approx(exp, abs=1e-6)
+    assert got["k1"]["dof"] == 3 and got["k1"]["k_categories"] == 3
+    assert got["k1"]["n"] == 18
+    # McNemar equivalence at k = 2
+    assert got["sym"]["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert got["sym"]["dof"] == 1
+    assert got["diag"]["chi2"] is None and got["diag"]["dof"] == 0

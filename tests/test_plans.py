@@ -2189,3 +2189,24 @@ def test_brunner_munzel_single_exchange(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_wilcoxon_signed_rank_cells_single_exchange(spark, sf_dir):
+    """The |d| tie cells, cumulative window, and closing aggregate all
+    key on the group; the pair-count frame joins back on the key
+    (cell-sized) — no cartesian, no global sort."""
+    df = GOLDEN["wilcoxon_signed_even_odd_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bowker_folded_pairs_no_self_join(spark, sf_dir):
+    """The mirrored (i,j)/(j,i) pair meets by folding onto the
+    unordered (lo, hi) key and re-aggregating — the plan has exactly
+    one join (the cell-sized totals join-back), no self-join of the
+    unit relation, no cartesian, no global sort."""
+    df = GOLDEN["bowker_user_band_weekend_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -294,6 +294,8 @@ PROBES = [
     "quade_weekday_value_by_type",
     "lepage_value_weekend_by_type",
     "brunner_munzel_value_weekend_by_type",
+    "wilcoxon_signed_even_odd_by_type",
+    "bowker_user_band_weekend_by_type",
 ]
 
 
