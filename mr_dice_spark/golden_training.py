@@ -5386,8 +5386,12 @@ calc AS (
   FROM agg
 ),
 fin AS (
+  -- e_t is RAW (mirrors the operator): at large-N score magnitudes
+  -- ROUND(double) itself diverges cross-engine (DuckDB's x*10^d path
+  -- is lossy past 2^53; Spark rounds exactly through BigDecimal) —
+  -- identical raw IEEE chains on exact operands are bit-equal.
   SELECT k, na, nn, t_stat,
-         ROUND(CAST(na AS DOUBLE) * abar + 1e-12, 9) AS e_t,
+         CAST(na AS DOUBLE) * abar AS e_t,
          ROUND(CAST(na AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
                / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
                * (sum_sq - CAST(nn AS DOUBLE) * abar * abar)
@@ -5396,9 +5400,8 @@ fin AS (
 )
 SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
        CAST(nn - na AS BIGINT) AS n_b,
-       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN t_stat END + 1e-9, 6)
-         AS t_stat,
-       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN e_t END + 1e-9, 6) AS e_t,
+       CASE WHEN na > 0 AND nn - na > 0 THEN t_stat END AS t_stat,
+       CASE WHEN na > 0 AND nn - na > 0 THEN e_t END AS e_t,
        ROUND(CASE WHEN na > 0 AND nn - na > 0 AND var > 0
              THEN ROUND((t_stat - e_t) / ROUND(sqrt(var) + 1e-12, 9)
                         + 1e-12, 9)
@@ -6018,8 +6021,12 @@ calc AS (
   FROM agg
 ),
 fin AS (
+  -- e_t is RAW (mirrors the operator): at large-N score magnitudes
+  -- ROUND(double) itself diverges cross-engine (DuckDB's x*10^d path
+  -- is lossy past 2^53; Spark rounds exactly through BigDecimal) —
+  -- identical raw IEEE chains on exact operands are bit-equal.
   SELECT k, na, nn, t_stat,
-         ROUND(CAST(na AS DOUBLE) * abar + 1e-12, 9) AS e_t,
+         CAST(na AS DOUBLE) * abar AS e_t,
          ROUND(CAST(na AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(na AS DOUBLE))
                / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
                * (sum_sq - CAST(nn AS DOUBLE) * abar * abar)
@@ -6028,9 +6035,8 @@ fin AS (
 )
 SELECT k AS event_type, CAST(na AS BIGINT) AS n_a,
        CAST(nn - na AS BIGINT) AS n_b,
-       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN t_stat END + 1e-9, 6)
-         AS t_stat,
-       ROUND(CASE WHEN na > 0 AND nn - na > 0 THEN e_t END + 1e-9, 6) AS e_t,
+       CASE WHEN na > 0 AND nn - na > 0 THEN t_stat END AS t_stat,
+       CASE WHEN na > 0 AND nn - na > 0 THEN e_t END AS e_t,
        ROUND(CASE WHEN na > 0 AND nn - na > 0 AND var > 0
              THEN ROUND((t_stat - e_t) / ROUND(sqrt(var) + 1e-12, 9)
                         + 1e-12, 9)
@@ -6503,8 +6509,8 @@ fin AS (
 )
 SELECT k AS event_type, CAST(np AS BIGINT) AS n_pairs,
        CAST(ne AS BIGINT) AS n_eff,
-       ROUND(CASE WHEN ne > 0 THEN w_plus END + 1e-9, 6) AS w_plus,
-       ROUND(CASE WHEN ne > 0 THEN e_w END + 1e-9, 6) AS e_w,
+       CASE WHEN ne > 0 THEN w_plus END AS w_plus,
+       CASE WHEN ne > 0 THEN e_w END AS e_w,
        ROUND(CASE WHEN ne > 0 AND var_w > 0
              THEN ROUND((w_plus - e_w) / ROUND(sqrt(var_w) + 1e-12, 9)
                         + 1e-12, 9) END + 1e-9, 6) AS z

@@ -3525,8 +3525,10 @@ def mood_scale_test(
     sums ride exact DECIMAL(38,0) products (t * d^2 as long, times d^2
     as decimal — documented headroom N < ~3e4 per group for the long
     intermediate, far above any per-group series; the decimal sum is
-    order- and engine-invariant); the closing chain is fixed IEEE on
-    identical operands, pinned at 9dp, rounded at 6.
+    order- and engine-invariant); T and E[T] emit RAW (identical IEEE
+    chains on exact operands are bit-equal, and at their ~N^3/4
+    magnitude ROUND(double) itself diverges cross-engine — see the
+    inline note); z pins at 9dp and rounds at 6.
 
     Scale shape: mann_whitney's exact single exchange — one (group,
     value) tie-cell aggregate, one group-partitioned cumulative
@@ -3579,7 +3581,16 @@ def mood_scale_test(
     nb = nn - na
     t_stat = F.col("__t4").cast("double") / 4.0
     abar = F.col("__s4").cast("double") / 4.0 / nn
-    e_t = F.round(na * abar + F.lit(1e-12), 9)
+    # e_t is RAW, not pinned/rounded: the quadratic scores push T and
+    # E[T] to ~N^3/4 (1.7e11 at sf0.1), where ROUND(double, d) itself
+    # DIVERGES cross-engine — DuckDB computes x*10^d -> nearbyint ->
+    # /10^d, lossy once |x|*10^d exceeds 2^53, while Spark rounds
+    # exactly through BigDecimal (caught by the round-11 sf0.1 strict
+    # sweep as a t_stat last-ulp mismatch). Both engines execute the
+    # IDENTICAL IEEE chain on exact sub-2^53 operands, so the raw
+    # doubles are bit-identical; rounding is what broke equality.
+    # Documented headroom: s8 < 2^53 needs N <~ 2e5 per group.
+    e_t = na * abar
     ssa = F.col("__s8").cast("double") / 16.0 - nn * abar * abar
     var = F.round(
         na * nb / (nn * (nn - 1.0)) * ssa + F.lit(1e-12), 9
@@ -3598,8 +3609,8 @@ def mood_scale_test(
         F.col("__g").alias(group_col),
         F.col("__cna").cast("long").alias("n_a"),
         (F.col("__cnn") - F.col("__cna")).cast("long").alias("n_b"),
-        F.round(F.when(defined, t_stat) + F.lit(1e-9), 6).alias("t_stat"),
-        F.round(F.when(defined, e_t) + F.lit(1e-9), 6).alias("e_t"),
+        F.when(defined, t_stat).alias("t_stat"),
+        F.when(defined, e_t).alias("e_t"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
 
@@ -3698,7 +3709,12 @@ def ansari_bradley(
     nb = nn - na
     t_stat = F.col("__t2").cast("double") / 2.0
     abar = F.col("__s2").cast("double") / 2.0 / nn
-    e_t = F.round(na * abar + F.lit(1e-12), 9)
+    # e_t is RAW, not pinned/rounded (the mood_scale convention): at
+    # large-N score magnitudes ROUND(double) itself diverges
+    # cross-engine (DuckDB's x*10^d path is lossy past 2^53; Spark
+    # rounds exactly) — identical raw IEEE chains on exact operands
+    # are bit-equal.
+    e_t = na * abar
     ssa = F.col("__s4").cast("double") / 4.0 - nn * abar * abar
     var = F.round(
         na * nb / (nn * (nn - 1.0)) * ssa + F.lit(1e-12), 9
@@ -3717,8 +3733,8 @@ def ansari_bradley(
         F.col("__g").alias(group_col),
         F.col("__cna").cast("long").alias("n_a"),
         (F.col("__cnn") - F.col("__cna")).cast("long").alias("n_b"),
-        F.round(F.when(defined, t_stat) + F.lit(1e-9), 6).alias("t_stat"),
-        F.round(F.when(defined, e_t) + F.lit(1e-9), 6).alias("e_t"),
+        F.when(defined, t_stat).alias("t_stat"),
+        F.when(defined, e_t).alias("e_t"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
 
@@ -3827,8 +3843,11 @@ def wilcoxon_signed_rank(
         F.col("__k").alias(key_col),
         F.col("__np").cast("long").alias("n_pairs"),
         F.col("__ne").cast("long").alias("n_eff"),
-        F.round(F.when(defined, w_plus) + F.lit(1e-9), 6).alias("w_plus"),
-        F.round(F.when(defined, e_w) + F.lit(1e-9), 6).alias("e_w"),
+        # w_plus/e_w are exact half/quarter-integers — emitted RAW (the
+        # mood_scale convention): rounding a large exact double is what
+        # diverges cross-engine, never the identical exact chain
+        F.when(defined, w_plus).alias("w_plus"),
+        F.when(defined, e_w).alias("e_w"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
 
