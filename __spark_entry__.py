@@ -120,9 +120,10 @@ _CHECK_FIRST = [
     # brunner_munzel_value_weekend_by_type
     # wilcoxon_signed_even_odd_by_type
     # bowker_user_band_weekend_by_type
-    # Round-12 window = 1 flagship + this 12-golden queue + the 14
+    # partial_corr_weekend_given_volume
+    # Round-12 window = 1 flagship + this 13-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 23 alphabetical r5-latest rows = 50 slots exactly.
+    # 22 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

@@ -6652,3 +6652,125 @@ def bowker_user_band_weekend_by_type(
     )
     out = bowker_symmetry(labeled, "k", "a", "b")
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+PARTIAL_CORR_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS k, user_id,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) IN (2, 3) AS we,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+triples AS (
+  SELECT k, user_id,
+         ROUND(SUM(CASE WHEN NOT we THEN v ELSE 0.0 END) + 1e-9, 6) AS x,
+         ROUND(SUM(CASE WHEN we THEN v ELSE 0.0 END) + 1e-9, 6) AS y,
+         CAST(COUNT(*) AS DOUBLE) AS z
+  FROM ev GROUP BY k, user_id
+),
+agg AS (
+  SELECT k, COUNT(*) AS n,
+         CAST(COUNT(*) AS DECIMAL(6,0)) AS n_dec,
+         CAST(SUM(CAST(x AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS sy,
+         CAST(SUM(CAST(z AS DECIMAL(16,6))) AS DECIMAL(18,6)) AS sz,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS syy,
+         CAST(SUM(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS szz,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS sxz,
+         CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(z AS DECIMAL(16,6)))
+              AS DECIMAL(31,12)) AS syz
+  FROM triples GROUP BY k
+),
+canc AS (
+  SELECT k, n,
+         CAST(CAST(n_dec * sxx AS DECIMAL(37,12))
+              - CAST(CAST(sx AS DECIMAL(19,6)) * CAST(sx AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS vx,
+         CAST(CAST(n_dec * syy AS DECIMAL(37,12))
+              - CAST(CAST(sy AS DECIMAL(19,6)) * CAST(sy AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS vy,
+         CAST(CAST(n_dec * szz AS DECIMAL(37,12))
+              - CAST(CAST(sz AS DECIMAL(19,6)) * CAST(sz AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS vz,
+         CAST(CAST(n_dec * sxy AS DECIMAL(37,12))
+              - CAST(CAST(sx AS DECIMAL(19,6)) * CAST(sy AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS cxy,
+         CAST(CAST(n_dec * sxz AS DECIMAL(37,12))
+              - CAST(CAST(sx AS DECIMAL(19,6)) * CAST(sz AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS cxz,
+         CAST(CAST(n_dec * syz AS DECIMAL(37,12))
+              - CAST(CAST(sy AS DECIMAL(19,6)) * CAST(sz AS DECIMAL(19,6))
+                     AS DECIMAL(37,12)) AS DOUBLE) AS cyz
+  FROM agg
+),
+rs AS (
+  SELECT k, n,
+         CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+              THEN ROUND(cxy / sqrt(vx * vy) + 1e-12, 9) END AS r_xy,
+         CASE WHEN n >= 2 AND vx > 0 AND vz > 0
+              THEN ROUND(cxz / sqrt(vx * vz) + 1e-12, 9) END AS r_xz,
+         CASE WHEN n >= 2 AND vy > 0 AND vz > 0
+              THEN ROUND(cyz / sqrt(vy * vz) + 1e-12, 9) END AS r_yz
+  FROM canc
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(r_xy + 1e-9, 6) AS r_xy,
+       ROUND(r_xz + 1e-9, 6) AS r_xz,
+       ROUND(r_yz + 1e-9, 6) AS r_yz,
+       ROUND(CASE WHEN n >= 3
+                   AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+             THEN (r_xy - r_xz * r_yz)
+                  / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+             END + 1e-9, 6) AS r_xy_given_z
+FROM rs ORDER BY event_type
+"""
+
+
+@golden(
+    "partial_corr_weekend_given_volume",
+    PARTIAL_CORR_ORACLE,
+    tags=("evaluation", "partial-correlation", "confounding", "events"),
+)
+def partial_corr_weekend_given_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order partial correlation between each user's weekday and
+    weekend value totals, CONTROLLING for the user's event volume, per
+    event type — does the weekday-weekend association survive removing
+    the 'active users are active everywhere' confound, or was it
+    volume wearing a costume? The missing third of the correlation
+    story beside correlation_matrix (raw r) and lins_ccc (agreement).
+    Decimal-cancelled moments; r's pinned at 9dp; one closed chain."""
+    from mr_dice_spark.operators.evaluation import partial_correlation
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        F.col("user_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).isin(2, 3)
+        .alias("we"),
+        F.col("value").cast("double").alias("v"),
+    )
+    triples = ev.groupBy("k", "user_id").agg(
+        _r(F.sum(F.when(~F.col("we"), F.col("v")).otherwise(0.0)), 6)
+        .alias("x"),
+        _r(F.sum(F.when(F.col("we"), F.col("v")).otherwise(0.0)), 6)
+        .alias("y"),
+        F.count(F.lit(1)).cast("double").alias("z"),
+    )
+    out = partial_correlation(triples, "k", "x", "y", "z")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

@@ -3492,6 +3492,115 @@ def lins_ccc(
     )
 
 
+def partial_correlation(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """Per-key first-order partial correlation — does the x-y
+    association SURVIVE controlling for a confounder z:
+
+        r_xy.z = (r_xy - r_xz * r_yz)
+                 / sqrt((1 - r_xz^2) (1 - r_yz^2))
+
+    with Pearson r's from one power-sum aggregate. The missing third
+    of the correlation story beside :func:`mr_dice_spark.operators.
+    profile.correlation_matrix` (which pair moves together) and
+    :func:`lins_ccc` (do they AGREE): a strong r_xy that collapses
+    under z is z's correlation wearing a costume — the volume/size
+    confound every observational metric pair carries.
+
+    NULL key/x/y/z rows are excluded (triples must be complete —
+    partial correlation on pairwise-deleted moments is not a
+    correlation matrix, and this operator refuses to fake one). Keys
+    with n < 3, any zero variance, or |r_xz| = 1 / |r_yz| = 1 (z
+    explains a column exactly — the partial is undefined) report NULL
+    r_xy_given_z; the three raw r's still report where their own
+    variances allow.
+
+    Cross-engine determinism: decimal power sums AND decimal
+    cancellation for every covariance/variance numerator
+    (``n*sxy - sx*sy`` etc. — the durbin_watson convention; contract:
+    values on a <= 6dp grid, |x|,|y|,|z| < 1e5, n < 1e6 per key);
+    each r is covn / sqrt(vn_a * vn_b) on the post-cancellation
+    doubles (the n^2 factors cancel), pinned at 9dp; the partial is
+    one fixed chain on pinned r's, rounded at 6.
+
+    Scale shape: ONE hash aggregate of ten scalars per key with
+    map-side combine (the lins_ccc moment-sketch shape), no window,
+    no join. Returns ``(key, n, r_xy, r_xz, r_yz, r_xy_given_z)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no correlation
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(z_col).cast("double").alias("__z"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    xd = F.col("__x").cast("decimal(16,6)")
+    yd = F.col("__y").cast("decimal(16,6)")
+    zd = F.col("__z").cast("decimal(16,6)")
+    agg = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xd).cast("decimal(18,6)").alias("__sx"),
+        F.sum(yd).cast("decimal(18,6)").alias("__sy"),
+        F.sum(zd).cast("decimal(18,6)").alias("__sz"),
+        F.sum(xd * xd).cast("decimal(31,12)").alias("__sxx"),
+        F.sum(yd * yd).cast("decimal(31,12)").alias("__syy"),
+        F.sum(zd * zd).cast("decimal(31,12)").alias("__szz"),
+        F.sum(xd * yd).cast("decimal(31,12)").alias("__sxy"),
+        F.sum(xd * zd).cast("decimal(31,12)").alias("__sxz"),
+        F.sum(yd * zd).cast("decimal(31,12)").alias("__syz"),
+    )
+    n_dec = F.col("__n").cast("decimal(6,0)")
+
+    def _cancel(sq, sa, sb):
+        return (
+            (n_dec * sq).cast("decimal(37,12)")
+            - (sa * sb).cast("decimal(37,12)")
+        ).cast("double")
+
+    vx = _cancel(F.col("__sxx"), F.col("__sx"), F.col("__sx"))
+    vy = _cancel(F.col("__syy"), F.col("__sy"), F.col("__sy"))
+    vz = _cancel(F.col("__szz"), F.col("__sz"), F.col("__sz"))
+    cxy = _cancel(F.col("__sxy"), F.col("__sx"), F.col("__sy"))
+    cxz = _cancel(F.col("__sxz"), F.col("__sx"), F.col("__sz"))
+    cyz = _cancel(F.col("__syz"), F.col("__sy"), F.col("__sz"))
+
+    def _r(cov, va, vb):
+        return F.when(
+            (F.col("__n") >= 2) & (va > 0) & (vb > 0),
+            F.round(cov / F.sqrt(va * vb) + F.lit(1e-12), 9),
+        )
+
+    r_xy = _r(cxy, vx, vy)
+    r_xz = _r(cxz, vx, vz)
+    r_yz = _r(cyz, vy, vz)
+    den = (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)
+    partial = F.when(
+        (F.col("__n") >= 3) & (den > 0),
+        (r_xy - r_xz * r_yz) / F.sqrt(den),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(r_xy + F.lit(1e-9), 6).alias("r_xy"),
+        F.round(r_xz + F.lit(1e-9), 6).alias("r_xz"),
+        F.round(r_yz + F.lit(1e-9), 6).alias("r_yz"),
+        F.round(partial + F.lit(1e-9), 6).alias("r_xy_given_z"),
+    )
+
+
 def mood_scale_test(
     df: DataFrame,
     group_col: str,

@@ -2082,3 +2082,43 @@ def test_bowker_hand_computed(spark):
     assert got["sym"]["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert got["sym"]["dof"] == 1
     assert got["diag"]["chi2"] is None and got["diag"]["dof"] == 0
+
+
+def test_partial_correlation_hand_computed(spark):
+    import math
+
+    from mr_dice_spark.operators.evaluation import partial_correlation
+
+    # x and y both driven by z plus independent parts
+    z = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    x = [2 * v + e for v, e in zip(z, [0.3, -0.1, 0.2, -0.4, 0.1, 0.0, -0.2, 0.25])]
+    y = [3 * v + e for v, e in zip(z, [-0.2, 0.4, -0.3, 0.1, 0.2, -0.1, 0.3, -0.15])]
+    x = [round(v, 6) for v in x]
+    y = [round(v, 6) for v in y]
+    rows = [("k1", a, b, c) for a, b, c in zip(x, y, z)]
+    # z explains x exactly -> partial undefined
+    rows += [("exact", float(v), float(v * v % 5), float(v)) for v in range(1, 6)]
+    rows += [(None, 1.0, 2.0, 3.0), ("k1", None, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double, z double")
+    got = {
+        r["k"]: r
+        for r in partial_correlation(df, "k", "x", "y", "z").collect()
+    }
+
+    def corr(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        return (n * sum(p * q for p, q in zip(a, b)) - sa * sb) / math.sqrt(
+            (n * sum(p * p for p in a) - sa * sa)
+            * (n * sum(q * q for q in b) - sb * sb)
+        )
+
+    rxy, rxz, ryz = corr(x, y), corr(x, z), corr(y, z)
+    exp = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert got["k1"]["r_xy"] == pytest.approx(rxy, abs=1e-6)
+    assert got["k1"]["r_xy_given_z"] == pytest.approx(exp, abs=1e-5)
+    # the raw correlation is inflated by z; the partial strips it
+    assert abs(got["k1"]["r_xy_given_z"]) < abs(got["k1"]["r_xy"])
+    # |r_xz| = 1: partial fail-closed, raw r's still report
+    assert got["exact"]["r_xz"] == pytest.approx(1.0, abs=1e-6)
+    assert got["exact"]["r_xy_given_z"] is None

@@ -2210,3 +2210,15 @@ def test_bowker_folded_pairs_no_self_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_partial_correlation_single_moment_aggregate(spark, sf_dir):
+    """The lins_ccc moment-sketch shape with ten scalars: one (key,
+    user) triple aggregate, one per-key hash aggregate, map-side
+    combine — no window, no join, no global sort."""
+    df = GOLDEN["partial_corr_weekend_given_volume"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

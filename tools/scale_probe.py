@@ -296,6 +296,7 @@ PROBES = [
     "brunner_munzel_value_weekend_by_type",
     "wilcoxon_signed_even_odd_by_type",
     "bowker_user_band_weekend_by_type",
+    "partial_corr_weekend_given_volume",
 ]
 
 
