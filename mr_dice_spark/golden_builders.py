@@ -2505,8 +2505,12 @@ calc AS (
 SELECT k AS event_type, CAST(nn AS BIGINT) AS n,
        CAST(ng AS BIGINT) AS n_groups,
        CASE WHEN ng >= 2 THEN jt END AS jt,
-       ROUND(CASE WHEN ng >= 2 THEN e END + 1e-9, 6) AS e_jt,
-       ROUND(CASE WHEN ng >= 2 AND var > 0 THEN var END + 1e-9, 6) AS var_jt,
+       -- e_jt/var_jt RAW (mirrors the operator): identical IEEE chains
+       -- on exact operands are bit-equal; ROUND(double) diverges
+       -- cross-engine past |x| ~ 9e9 (the round-11 magnitude-cliff
+       -- finding — var reads ~2e11 at sf0.1)
+       CASE WHEN ng >= 2 THEN e END AS e_jt,
+       CASE WHEN ng >= 2 AND var > 0 THEN var END AS var_jt,
        ROUND(CASE WHEN ng >= 2 AND var > 0
              THEN ROUND((jt - e) / ROUND(sqrt(var) + 1e-12, 9) + 1e-12, 9)
              END + 1e-9, 6) AS z

@@ -753,8 +753,11 @@ def jonckheere_terpstra(
     Cross-engine determinism: U_ab stays HALF-INTEGER-EXACT via the
     doubled form ``2U = sum_v c_b(v) (2 cumstrict_a(v) + c_a(v))``
     (the mann_whitney doubled-rank discipline); every moment input is
-    an exact integer; z is one fixed IEEE chain on exact longs, pinned
-    at 9dp, rounded at 6. Integer headroom: N^3 must fit a long
+    an exact integer; jt/e_jt/var_jt emit RAW (identical IEEE chains on
+    exact operands are bit-equal, and at var's ~N^3/36 magnitude
+    ROUND(double) itself diverges cross-engine — the round-11
+    magnitude-cliff finding); z is one fixed IEEE chain, pinned at 9dp,
+    rounded at 6. Integer headroom: N^3 must fit a long
     (N < 2e6 per key — far above any per-key series this is for).
 
     Scale shape: one (key, group, value) cell aggregate that EVERY
@@ -899,7 +902,13 @@ def jonckheere_terpstra(
         F.col("__nn").cast("long").alias("n"),
         F.col("__ng").cast("long").alias("n_groups"),
         F.when(F.col("__ng") >= 2, jt).alias("jt"),
-        F.round(F.when(F.col("__ng") >= 2, e) + F.lit(1e-9), 6).alias("e_jt"),
-        F.round(F.when(ok, var) + F.lit(1e-9), 6).alias("var_jt"),
+        # e_jt/var_jt emit RAW (the mood_scale round-11 convention):
+        # e is an exact quarter-integer and var an identical IEEE chain
+        # on exact sub-2^53 operands — bit-equal cross-engine — while
+        # ROUND(double, 6) itself DIVERGES past |x| ~ 9e9 (var reads
+        # ~2e11 at sf0.1, already over the cliff; caught by the
+        # round-11 magnitude audit)
+        F.when(F.col("__ng") >= 2, e).alias("e_jt"),
+        F.when(ok, var).alias("var_jt"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
