@@ -121,9 +121,10 @@ _CHECK_FIRST = [
     # wilcoxon_signed_even_odd_by_type
     # bowker_user_band_weekend_by_type
     # partial_corr_weekend_given_volume
-    # Round-12 window = 1 flagship + this 13-golden queue + the 14
+    # pettitt_change_day_by_type
+    # Round-12 window = 1 flagship + this 14-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 22 alphabetical r5-latest rows = 50 slots exactly.
+    # 21 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

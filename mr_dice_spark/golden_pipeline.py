@@ -6265,3 +6265,90 @@ def streaming_hampel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank change-point: where did the level shift? (round 11)
+# ---------------------------------------------------------------------------
+
+PETTITT_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400 AS h,
+         ROUND(1e-9 + AVG(value), 6) AS v
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT k, h,
+         2 * RANK() OVER (PARTITION BY k ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY k, v) - 1 AS r2,
+         COUNT(*) OVER (PARTITION BY k) AS n,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY h) AS t
+  FROM b
+),
+u AS (
+  SELECT k, h, t, n,
+         SUM(r2) OVER (PARTITION BY k ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t * (n + 1) AS u
+  FROM r
+),
+k1 AS (
+  SELECT k, MAX(n) AS n,
+         MAX(CASE WHEN t < n THEN ABS(u) END) AS kstat
+  FROM u GROUP BY k
+),
+cp AS (
+  SELECT u.k, MIN(u.t) AS cpt
+  FROM u JOIN k1 ON k1.k = u.k AND u.t < k1.n AND ABS(u.u) = k1.kstat
+  GROUP BY u.k
+),
+fin AS (
+  SELECT k1.k, k1.n, k1.kstat, cp.cpt, u.h AS ch, u.u AS cu
+  FROM k1 LEFT JOIN cp ON cp.k = k1.k
+  LEFT JOIN u ON u.k = k1.k AND u.t = cp.cpt
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(kstat AS BIGINT) AS k_stat,
+       CAST(cpt AS BIGINT) AS cp_index,
+       CAST(ch AS BIGINT) AS cp_day_s,
+       CAST(cu AS BIGINT) AS u_at_cp,
+       ROUND(LEAST(1.0, ROUND(2.0 * EXP(-6.0 * CAST(kstat AS DOUBLE)
+               * CAST(kstat AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) + 1e-12, 9))
+             + 1e-9, 6) AS p_approx
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "pettitt_change_day_by_type",
+    PETTITT_ORACLE,
+    tags=("timeseries", "pettitt", "changepoint", "rank-test", "events"),
+)
+def pettitt_change_day_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank change-point over the daily value series per type —
+    the NONPARAMETRIC "where did the level shift" beside
+    best_changepoint's L2 split (one heavy-tailed day can buy the L2
+    argmax; on ranks it moves U_t by at most its rank displacement).
+    Doubled midranks keep K, the smallest-t argmax, and u_at_cp exact
+    longs; the approximate significance is the only float."""
+    from mr_dice_spark.operators.timeseries import pettitt_change_point
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    out = pettitt_change_point(ev, "event_type", "ts", "value", 86400)
+    return out.select(
+        "event_type",
+        "n",
+        "k_stat",
+        "cp_index",
+        F.unix_timestamp("cp_bucket").alias("cp_day_s"),
+        "u_at_cp",
+        "p_approx",
+    ).orderBy("event_type")

@@ -3522,3 +3522,125 @@ def kpss_level_stat(
         F.round(F.when(ok, lrv) + F.lit(1e-9), 6).alias("lrv"),
         F.round(eta + F.lit(1e-9), 6).alias("kpss"),
     )
+
+
+def pettitt_change_point(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 86400,
+) -> DataFrame:
+    """Pettitt (1979) rank-based single change-point test per key —
+    the NONPARAMETRIC "did the level shift, and WHERE" beside
+    :func:`best_changepoint` (L2 cost: means and sums of squares, so
+    one heavy-tailed bucket can buy the split) and the sequential
+    alarms (:func:`cusum_from_buckets` / :func:`page_hinkley`). On
+    rank-transformed data a single outlier moves the statistic by at
+    most its rank displacement — the robust retrospective screen for
+    "this metric's distribution changed mid-month".
+
+    For the bucketed series x_1..x_n in time order,
+
+        U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+            = sum_{i<=t} 2 r_i  -  t (n + 1)
+
+    (r_i the pooled MIDRANK of x_i — the identity that turns the
+    O(n^2) pair sum into a cumulative sum over ranks), K = max_{1<=t<n}
+    |U_t|, change point at the SMALLEST argmax t, and the standard
+    approximate significance p ~ min(1, 2 exp(-6 K^2 / (n^3 + n^2))).
+
+    Cross-engine determinism: bucket means quantize at 6dp; doubled
+    midranks ``2r = 2 RANK() + ties - 1`` keep every U_t an EXACT
+    integer (the mann_whitney doubled-rank discipline), so K, the
+    argmax, and u_at_cp are exact longs; p is the only float — one
+    fixed IEEE chain on exact operands into exp (libm, 1-ulp class),
+    pinned at 9dp before the 6dp output round. Keys with n < 2 report
+    NULL k_stat/cp/p but KEEP their row (fail-closed, the hurst_rs
+    amendment — no silent key drops).
+
+    Scale shape: one (key, bucket) aggregate, then ONE
+    HashPartitioning(key) exchange that every window rides via the
+    subset rule — rank-by-value, tie counts, row_number and the
+    cumulative rank sum are sorts on that exchange, not new shuffles —
+    and one per-key reduce whose lexicographic ``max(struct(|U|, -t))``
+    picks K and breaks ties on the smallest t in a single pass. State
+    is O(1) per row; no pair join anywhere. Returns ``(key, n, k_stat,
+    cp_index, cp_bucket, u_at_cp, p_approx)``.
+    """
+    b = _bucket_agg(
+        df.where(F.col(value_col).isNotNull()),
+        key_col, ts_col, value_col, step_seconds, "avg",
+    ).select(
+        "__k", "__h", F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v")
+    )
+    return pettitt_from_buckets(b, key_col)
+
+
+def pettitt_from_buckets(b: DataFrame, key_col: str) -> DataFrame:
+    """Pettitt finisher over a pre-bucketed ``(__k, __h, __v)`` frame
+    (quantized values) — the shared tail of :func:`pettitt_change_point`
+    and any stream-materialized bucket sink (the cusum_from_buckets
+    convention)."""
+    w_rank = Window.partitionBy("__k").orderBy("__v")
+    w_eq = Window.partitionBy("__k", "__v")
+    w_key = Window.partitionBy("__k")
+    w_ord = Window.partitionBy("__k").orderBy("__h")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = b.select(
+        "__k",
+        "__h",
+        # 2*midrank = 2*(#strictly-less) + #equal + 1 = 2*RANK + #eq - 1
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_eq)
+            - 1
+        ).alias("__r2"),
+        F.count(F.lit(1)).over(w_key).alias("__n"),
+        F.row_number().over(w_ord).alias("__t"),
+    )
+    u = staged.select(
+        "__k",
+        "__h",
+        "__t",
+        "__n",
+        (
+            F.sum("__r2").over(w_cum).cast("long")
+            - F.col("__t").cast("long") * (F.col("__n") + 1)
+        ).alias("__u"),
+    )
+    inner = F.col("__t") < F.col("__n")
+    agg = u.groupBy("__k").agg(
+        F.max("__n").alias("__nn"),
+        # lexicographic struct max: largest |U|, then largest -t
+        # (= SMALLEST t) — K, argmax and tie-break in one pass
+        F.max(
+            F.when(
+                inner,
+                F.struct(
+                    F.abs(F.col("__u")).alias("a"),
+                    (-F.col("__t")).cast("long").alias("mt"),
+                    F.col("__u").alias("u"),
+                    F.col("__h").alias("h"),
+                ),
+            )
+        ).alias("__best"),
+    )
+    n_d = F.col("__nn").cast("double")
+    k_d = F.col("__best.a").cast("double")
+    p_raw = F.round(
+        2.0 * F.exp(-6.0 * k_d * k_d / (n_d * n_d * n_d + n_d * n_d))
+        + F.lit(1e-12),
+        9,
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__best.a").alias("k_stat"),
+        (-F.col("__best.mt")).cast("long").alias("cp_index"),
+        F.col("__best.h").alias("cp_bucket"),
+        F.col("__best.u").alias("u_at_cp"),
+        F.round(F.least(F.lit(1.0), p_raw) + F.lit(1e-9), 6).alias(
+            "p_approx"
+        ),
+    )

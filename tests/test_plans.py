@@ -2222,3 +2222,16 @@ def test_partial_correlation_single_moment_aggregate(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_pettitt_single_key_exchange_no_join(spark, sf_dir):
+    """After the (key, bucket) mean aggregate, ONE
+    HashPartitioning(key) exchange carries every window — rank by
+    value, tie counts, row_number and the cumulative rank sum are
+    sorts on that exchange (the subset rule) — and the struct-max
+    per-key reduce closes on it: one scan, no join, no global sort."""
+    df = GOLDEN["pettitt_change_day_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan

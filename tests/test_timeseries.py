@@ -1449,3 +1449,76 @@ def test_theils_u2_hand_computed(spark):
     assert got["short"]["u2"] is None and got["short"]["n_scored"] == 0
     with pytest.raises(ValueError, match="season"):
         theils_u2(df, "k", "x", "y", season=1)
+
+
+# ---------------------------------------------------------------------------
+# round-11 addition: Pettitt rank change-point
+# ---------------------------------------------------------------------------
+
+
+def _brute_pettitt(xs):
+    import math
+
+    n = len(xs)
+    best = None  # (K, t, u)
+    for t in range(1, n):
+        u = sum(
+            (xs[i] > xs[j]) - (xs[i] < xs[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), t, u)
+    k, t, u = best
+    p = min(1.0, 2.0 * math.exp(-6.0 * k * k / (n**3 + n**2)))
+    return k, t, u, p
+
+
+def test_pettitt_hand_computed(spark):
+    from mr_dice_spark.operators.timeseries import pettitt_from_buckets
+
+    shift = [1.0, 2.0] * 5 + [10.0, 11.0] * 5
+    tied = [3.0, 3.0, 1.0, 3.0, 3.0, 5.0, 5.0]
+    rows = [("shift", float(i), v) for i, v in enumerate(shift)]
+    rows += [("tied", float(i), v) for i, v in enumerate(tied)]
+    rows += [("single", 0.0, 4.0)]
+    rows += [("const", float(i), 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "__k string, __h double, __v double")
+    got = {r["__k"]: r for r in pettitt_from_buckets(df, "__k").collect()}
+    for k, xs in (("shift", shift), ("tied", tied)):
+        kk, tt, uu, pp = _brute_pettitt(xs)
+        assert got[k]["k_stat"] == kk
+        assert got[k]["cp_index"] == tt
+        assert got[k]["u_at_cp"] == uu
+        assert got[k]["cp_bucket"] == float(tt - 1)  # 1-based t, 0-based h
+        assert got[k]["p_approx"] == pytest.approx(pp, abs=1e-6)
+    # the shift series splits exactly at the level break
+    assert got["shift"]["cp_index"] == 10
+    assert got["shift"]["p_approx"] < 0.05
+    # n < 2: row KEPT, stats fail closed (no silent key drop)
+    assert got["single"]["n"] == 1 and got["single"]["k_stat"] is None
+    # constant series: every U_t = 0, smallest-t tie-break, p capped at 1
+    assert got["const"]["k_stat"] == 0
+    assert got["const"]["cp_index"] == 1
+    assert got["const"]["p_approx"] == 1.0
+
+
+def test_pettitt_buckets_end_to_end(spark):
+    import datetime as dt
+
+    from mr_dice_spark.operators.timeseries import pettitt_change_point
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for h in (3, 15):
+            v = 5.0 if d < 6 else 50.0
+            rows.append(("m", t0 + dt.timedelta(days=d, hours=h), v + h))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = pettitt_change_point(df, "k", "ts", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 10 and r["cp_index"] == 6
+    assert r["cp_bucket"] == t0 + dt.timedelta(days=5)
+    kk, tt, uu, pp = _brute_pettitt([14.0] * 6 + [59.0] * 4)
+    assert r["k_stat"] == kk and r["p_approx"] == pytest.approx(pp, abs=1e-6)

@@ -297,6 +297,7 @@ PROBES = [
     "wilcoxon_signed_even_odd_by_type",
     "bowker_user_band_weekend_by_type",
     "partial_corr_weekend_given_volume",
+    "pettitt_change_day_by_type",
 ]
 
 
