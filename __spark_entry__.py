@@ -122,9 +122,10 @@ _CHECK_FIRST = [
     # bowker_user_band_weekend_by_type
     # partial_corr_weekend_given_volume
     # pettitt_change_day_by_type
-    # Round-12 window = 1 flagship + this 14-golden queue + the 14
+    # somers_d_hour_value_by_type
+    # Round-12 window = 1 flagship + this 15-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 21 alphabetical r5-latest rows = 50 slots exactly.
+    # 20 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

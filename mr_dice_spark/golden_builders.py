@@ -2548,3 +2548,89 @@ def jt_weekly_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     return jonckheere_terpstra(rows, "k", "g", "v").withColumnRenamed(
         "k", "event_type"
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Somers' D: which direction does the ordinal dependence run? (round 11)
+# ---------------------------------------------------------------------------
+
+SOMERS_ORACLE = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 24 AS x,
+         LEAST(9, CAST(FLOOR(value / 50.0) AS BIGINT)) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT k, x, y, COUNT(*) AS c FROM base GROUP BY 1, 2, 3
+),
+cd AS (
+  SELECT a.k,
+         SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS cc,
+         SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS dd
+  FROM cells a JOIN cells b ON a.k = b.k AND a.x < b.x
+  GROUP BY a.k
+),
+tx AS (
+  SELECT k, SUM(r) AS n, SUM(r * (r - 1)) AS t1x2
+  FROM (SELECT k, x, SUM(c) AS r FROM cells GROUP BY k, x) GROUP BY k
+),
+ty AS (
+  SELECT k, SUM(cn * (cn - 1)) AS t2x2
+  FROM (SELECT k, y, SUM(c) AS cn FROM cells GROUP BY k, y) GROUP BY k
+),
+j AS (
+  SELECT tx.k, tx.n, tx.t1x2, ty.t2x2,
+         COALESCE(cd.cc, 0) AS cc, COALESCE(cd.dd, 0) AS dd
+  FROM tx LEFT JOIN cd ON cd.k = tx.k JOIN ty ON ty.k = tx.k
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(cc AS BIGINT) AS concordant,
+       CAST(dd AS BIGINT) AS discordant,
+       CAST(t1x2 / 2 AS BIGINT) AS n1_ties_x,
+       CAST(t2x2 / 2 AS BIGINT) AS n2_ties_y,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                       - CAST(t1x2 AS DOUBLE) <> 0
+             THEN (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) * 2.0
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                     - CAST(t1x2 AS DOUBLE)) END + 1e-9, 6) AS d_yx,
+       ROUND(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                       - CAST(t2x2 AS DOUBLE) <> 0
+             THEN (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) * 2.0
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                     - CAST(t2x2 AS DOUBLE)) END + 1e-9, 6) AS d_xy
+FROM j ORDER BY event_type
+"""
+
+
+@golden(
+    "somers_d_hour_value_by_type",
+    SOMERS_ORACLE,
+    tags=("stats", "somers-d", "ordinal-association", "events"),
+)
+def somers_d_hour_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D between hour-of-day and the value band per event type
+    — the ASYMMETRIC reading kendall_tau_weekday_value_band's tau-b
+    symmetrizes away: d_yx (value band dependent on hour) vs d_xy, and
+    their gap says which margin's ties absorb the association. Exact
+    integer concordance counts from the bounded 240-cell square per
+    key; each d is one IEEE division."""
+    from mr_dice_spark.operators.anova import somers_d_cells
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    banded = ev.select(
+        F.col("event_type").alias("k"),
+        (F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 24).alias("x"),
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0)).cast("long").alias("y"),
+    )
+    return (
+        somers_d_cells(banded, "k", "x", "y")
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )

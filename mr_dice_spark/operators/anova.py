@@ -912,3 +912,110 @@ def jonckheere_terpstra(
         F.when(ok, var).alias("var_jt"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
+
+
+def somers_d_cells(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key Somers' D between two ORDINAL columns via their
+    contingency cells — the ASYMMETRIC sibling of
+    :func:`kendall_tau_b_cells`: tau-b ties the two margins
+    symmetrically, while Somers' D conditions on ONE of them, so
+    ``d_yx`` (y dependent) and ``d_xy`` answer different questions and
+    their GAP is the finding (which direction the ordinal dependence
+    actually runs — the gamma/uncertainty-coefficient reading on
+    concordance counts).
+
+        d_yx = (C - D) / (n0 - T_x),   n0 = n(n-1)/2,
+        T_x  = sum_x n_x (n_x - 1) / 2      (x-margin tie pairs)
+
+    and symmetrically ``d_xy`` with the y margin. Doubled throughout:
+    ``d_yx = 2(C - D) / (n(n-1) - t1x2)`` keeps every operand an exact
+    integer; each d is ONE IEEE division (bit-equal cross-engine),
+    rounded at 6. A constant margin zeroes its denominator and
+    fail-closes that direction to NULL (try_divide); the OTHER
+    direction then reads 0 — all pairs tied on the constant column is
+    real information, not an error.
+
+    Scale shape: the kendall cells convention — work is cell-PAIRS per
+    key (band-cardinality-bounded, row-count-independent), the cell
+    table localCheckpoint-pinned because four frames branch from it
+    (both pair-join sides, both margins). The pair join and the margin
+    join-backs are all keyed equi-joins over cell-sized relations.
+    Returns ``(key, n, concordant, discordant, n1_ties_x, n2_ties_y,
+    d_yx, d_xy)``.
+    """
+    cells = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .groupBy(
+            F.col(key_col).alias("__k"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__x") < F.col("b.__x")),
+        )
+        .select(
+            F.col("a.__k").alias("__k"),
+            (F.col("a.__c") * F.col("b.__c")).alias("__p"),
+            F.when(F.col("b.__y") > F.col("a.__y"), F.lit(1))
+            .when(F.col("b.__y") < F.col("a.__y"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("__sgn"),
+        )
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.when(F.col("__sgn") == 1, F.col("__p")).otherwise(F.lit(0))
+            ).alias("__cc"),
+            F.sum(
+                F.when(F.col("__sgn") == -1, F.col("__p")).otherwise(F.lit(0))
+            ).alias("__dd"),
+        )
+    )
+    tx = (
+        cells.groupBy("__k", "__x")
+        .agg(F.sum("__c").alias("__r"))
+        .groupBy("__k")
+        .agg(
+            F.sum("__r").alias("__n"),
+            F.sum(F.col("__r") * (F.col("__r") - 1)).alias("__t1x2"),
+        )
+    )
+    ty = (
+        cells.groupBy("__k", "__y")
+        .agg(F.sum("__c").alias("__cn"))
+        .groupBy("__k")
+        .agg(F.sum(F.col("__cn") * (F.col("__cn") - 1)).alias("__t2x2"))
+    )
+    # tx carries every key (cells is non-empty per key by construction);
+    # cd is empty for single-x-level keys, so left join + zero-fill
+    j = tx.join(cd, "__k", "left").join(ty, "__k")
+    cc = F.coalesce(F.col("__cc"), F.lit(0))
+    dd = F.coalesce(F.col("__dd"), F.lit(0))
+    num = (cc - dd).cast("double") * 2.0
+    n_d = F.col("__n").cast("double")
+    n0x2 = n_d * (n_d - 1)  # 2*n0, exact integer in doubles
+    d_yx = F.try_divide(num, n0x2 - F.col("__t1x2").cast("double"))
+    d_xy = F.try_divide(num, n0x2 - F.col("__t2x2").cast("double"))
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n"),
+        cc.cast("long").alias("concordant"),
+        dd.cast("long").alias("discordant"),
+        (F.col("__t1x2") / 2).cast("long").alias("n1_ties_x"),
+        (F.col("__t2x2") / 2).cast("long").alias("n2_ties_y"),
+        F.round(d_yx + F.lit(1e-9), 6).alias("d_yx"),
+        F.round(d_xy + F.lit(1e-9), 6).alias("d_xy"),
+    )

@@ -353,3 +353,57 @@ def test_bartlett_hand_computed(spark):
     )
     assert got["zv"]["chi2"] is None and got["zv"]["k_groups"] == 2
     assert got["one"]["chi2"] is None and got["one"]["dof"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-11 addition: Somers' D (asymmetric ordinal association)
+# ---------------------------------------------------------------------------
+
+
+def _brute_somers(pairs_xy):
+    n = len(pairs_xy)
+    cc = dd = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = pairs_xy[i], pairs_xy[j]
+            if x1 == x2:
+                tx += 1
+            if y1 == y2:
+                ty += 1
+            if x1 != x2 and y1 != y2:
+                if (x1 < x2) == (y1 < y2):
+                    cc += 1
+                else:
+                    dd += 1
+    n0 = n * (n - 1) // 2
+    d_yx = (cc - dd) / (n0 - tx) if n0 != tx else None
+    d_xy = (cc - dd) / (n0 - ty) if n0 != ty else None
+    return cc, dd, tx, ty, d_yx, d_xy
+
+
+def test_somers_d_hand_computed(spark):
+    from mr_dice_spark.operators.anova import somers_d_cells
+
+    data = [(1, 1), (1, 2), (2, 2), (2, 2), (2, 3), (3, 2), (3, 3), (3, 3)]
+    rows = [("k1", x, y) for x, y in data]
+    rows += [("constx", 5, y) for y in (1, 2, 3)]   # x constant: d_yx NULL
+    rows += [("consty", x, 7) for x in (1, 2, 3)]   # y constant: d_xy NULL
+    rows += [(None, 1, 1), ("k1", None, 1), ("k1", 1, None)]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    got = {r["k"]: r for r in somers_d_cells(df, "k", "x", "y").collect()}
+    cc, dd, tx, ty, d_yx, d_xy = _brute_somers(data)
+    r = got["k1"]
+    assert r["n"] == len(data)
+    assert r["concordant"] == cc and r["discordant"] == dd
+    assert r["n1_ties_x"] == tx and r["n2_ties_y"] == ty
+    assert r["d_yx"] == pytest.approx(d_yx, abs=1e-6)
+    assert r["d_xy"] == pytest.approx(d_xy, abs=1e-6)
+    # asymmetry is the point: the two directions differ under ties
+    assert r["d_yx"] != r["d_xy"]
+    # constant x: no untied-x pairs -> d_yx fail-closed NULL, d_xy 0
+    assert got["constx"]["d_yx"] is None
+    assert got["constx"]["d_xy"] == 0.0
+    assert got["consty"]["d_xy"] is None
+    assert got["consty"]["d_yx"] == 0.0
+    # NULL key/x/y rows are excluded, not crashed on
+    assert set(got) == {"k1", "constx", "consty"}

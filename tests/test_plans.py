@@ -2235,3 +2235,14 @@ def test_pettitt_single_key_exchange_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_somers_d_cell_bounded_pairs(spark, sf_dir):
+    """The kendall cells convention per key: pair work is the bounded
+    240-cell square off the localCheckpoint-pinned cell table, margins
+    re-aggregate the same pin — no row-level cartesian, no global
+    sort."""
+    df = GOLDEN["somers_d_hour_value_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

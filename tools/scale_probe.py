@@ -298,6 +298,7 @@ PROBES = [
     "bowker_user_band_weekend_by_type",
     "partial_corr_weekend_given_volume",
     "pettitt_change_day_by_type",
+    "somers_d_hour_value_by_type",
 ]
 
 
