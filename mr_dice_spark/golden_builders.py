@@ -2634,3 +2634,92 @@ def somers_d_hour_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunn post-hoc: WHICH event-type pairs differ, per weekday (round 11)
+# ---------------------------------------------------------------------------
+
+DUNN_ORACLE = """
+WITH base AS (
+  SELECT (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7) AS k,
+         event_type AS g,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND NOT isnan(CAST(value AS DOUBLE))
+),
+cells AS MATERIALIZED (
+  SELECT k, g, v, COUNT(*) AS c FROM base GROUP BY 1, 2, 3
+),
+vt AS (SELECT k, v, SUM(c) AS t FROM cells GROUP BY k, v),
+vr AS (
+  SELECT k, v, t,
+         COALESCE(SUM(t) OVER (PARTITION BY k ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt
+  FROM vt
+),
+tie AS (SELECT k, SUM(t * (t - 1) * (t + 1)) AS tie3 FROM vr GROUP BY k),
+gr AS (
+  SELECT c.k, c.g, SUM(c.c) AS ng,
+         SUM(c.c * (2 * r.clt + r.t + 1)) AS r2
+  FROM cells c JOIN vr r ON r.k = c.k AND r.v = c.v
+  GROUP BY c.k, c.g
+),
+tot AS (SELECT k, SUM(ng) AS nn FROM gr GROUP BY k),
+pairs AS (
+  SELECT a.k, a.g AS ga, b.g AS gb, a.ng AS na, b.ng AS nb,
+         a.r2 AS r2a, b.r2 AS r2b
+  FROM gr a JOIN gr b ON a.k = b.k AND a.g < b.g
+),
+j AS (
+  SELECT p.k, p.ga, p.gb, p.na, p.nb,
+         CAST(p.r2a AS DOUBLE) / (2.0 * CAST(p.na AS DOUBLE)) AS mra,
+         CAST(p.r2b AS DOUBLE) / (2.0 * CAST(p.nb AS DOUBLE)) AS mrb,
+         (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) + 1.0) / 12.0
+          - CAST(e.tie3 AS DOUBLE)
+            / (12.0 * (CAST(t.nn AS DOUBLE) - 1.0)))
+         * (1.0 / CAST(p.na AS DOUBLE) + 1.0 / CAST(p.nb AS DOUBLE)) AS var
+  FROM pairs p JOIN tot t ON t.k = p.k JOIN tie e ON e.k = p.k
+)
+SELECT k AS weekday, ga AS g_a, gb AS g_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(mra + 1e-9, 6) AS mean_rank_a,
+       ROUND(mrb + 1e-9, 6) AS mean_rank_b,
+       ROUND(CASE WHEN var > 0
+             THEN ROUND((mra - mrb) / ROUND(sqrt(var) + 1e-12, 9)
+                        + 1e-12, 9) END + 1e-9, 6) AS z
+FROM j ORDER BY weekday, g_a, g_b
+"""
+
+
+@golden(
+    "dunn_posthoc_value_by_weekday",
+    DUNN_ORACLE,
+    tags=("stats", "dunn", "posthoc", "rank-test", "events"),
+)
+def dunn_posthoc_value_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc pairwise rank z for value across the five event
+    types, keyed by weekday — the WHICH-pairs follow-up to
+    kruskal_wallis's SOME-group-differs, on the same pooled midranks
+    with tie-corrected variance; raw z per pair (BH adjustment
+    composes downstream). 10 pairs x 7 weekdays, every rank sum an
+    exact long."""
+    from mr_dice_spark.operators.anova import dunn_posthoc
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    rows = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).alias("k"),
+        F.col("event_type").alias("g"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return (
+        dunn_posthoc(rows, "k", "g", "v")
+        .withColumnRenamed("k", "weekday")
+        .orderBy("weekday", "g_a", "g_b")
+    )

@@ -1019,3 +1019,125 @@ def somers_d_cells(
         F.round(d_yx + F.lit(1e-9), 6).alias("d_yx"),
         F.round(d_xy + F.lit(1e-9), 6).alias("d_xy"),
     )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Dunn (1964) post-hoc pairwise rank comparisons — the
+    follow-up :func:`kruskal_wallis_by_group` needs but cannot answer:
+    KW says "SOME group differs"; Dunn says WHICH pairs, on the same
+    pooled midranks, with the tie-corrected null variance
+
+        z_ab = (Rbar_a - Rbar_b)
+               / sqrt( [N(N+1)/12 - T/(12(N-1))] (1/n_a + 1/n_b) )
+
+    where ``T = sum_v (t_v^3 - t_v)`` pools value-tie sizes per key.
+    Pair p-value adjustment (Bonferroni/BH) composes downstream via
+    :func:`~mr_dice_spark.operators.evaluation.benjamini_hochberg` —
+    this operator reports the raw z per pair.
+
+    Cross-engine determinism: doubled midranks ``2r(v) = 2 c_lt(v) +
+    t_v + 1`` keep every rank SUM an exact integer (the kruskal
+    discipline); N, n_g and T are exact longs; each mean rank and the
+    variance are fixed IEEE chains on exact operands; sqrt pins at
+    9dp, z pins at 9dp and rounds at 6. All-tied keys (T = N^3 - N,
+    zero variance) fail-close z to NULL. Keys with < 2 groups emit NO
+    pair rows — the output is the PAIR relation, not a per-key scalar
+    (documented, unlike scalar stats' keep-the-key convention).
+
+    Scale shape: one (key, group, value) cell aggregate; per-value tie
+    sizes and their strict cumulative ride ONE HashPartitioning(key)
+    exchange; one cell-sized equi-join back on (key, value); a per-
+    (key, group) reduce to rank sums; then the PAIR self-join of the
+    per-group frame — k^2-bounded rows per key (group counts, not row
+    counts). No row-level join anywhere. Returns ``(key, g_a, g_b,
+    n_a, n_b, mean_rank_a, mean_rank_b, z)``.
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    cells = base.groupBy("__k", "__g", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint(eager=True)
+    vt = cells.groupBy("__k", "__v").agg(F.sum("__c").alias("__t"))
+    w_strict = (
+        Window.partitionBy("__k")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vr = vt.select(
+        "__k",
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(w_strict), F.lit(0)).alias("__clt"),
+    )
+    tie = vr.groupBy("__k").agg(
+        F.sum(
+            F.col("__t") * (F.col("__t") - 1) * (F.col("__t") + 1)
+        ).alias("__tie3")
+    )
+    gr = (
+        cells.join(vr.drop("__t"), ["__k", "__v"])
+        .join(vt, ["__k", "__v"])
+        .groupBy("__k", "__g")
+        .agg(
+            F.sum("__c").alias("__ng"),
+            F.sum(
+                F.col("__c") * (2 * F.col("__clt") + F.col("__t") + 1)
+            ).alias("__r2"),  # 2*R_g, exact long
+        )
+    )
+    tot = gr.groupBy("__k").agg(F.sum("__ng").alias("__nn"))
+    a, b = gr.alias("a"), gr.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__k") == F.col("b.__k"))
+        & (F.col("a.__g") < F.col("b.__g")),
+    ).select(
+        F.col("a.__k").alias("__k"),
+        F.col("a.__g").alias("__ga"),
+        F.col("b.__g").alias("__gb"),
+        F.col("a.__ng").alias("__na"),
+        F.col("b.__ng").alias("__nb"),
+        F.col("a.__r2").alias("__r2a"),
+        F.col("b.__r2").alias("__r2b"),
+    )
+    j = pairs.join(tot, "__k").join(tie, "__k")
+    n_d = F.col("__nn").cast("double")
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    mra = F.col("__r2a").cast("double") / (2.0 * na)
+    mrb = F.col("__r2b").cast("double") / (2.0 * nb)
+    var = (
+        n_d * (n_d + 1.0) / 12.0
+        - F.col("__tie3").cast("double") / (12.0 * (n_d - 1.0))
+    ) * (1.0 / na + 1.0 / nb)
+    z = F.when(
+        var > 0,
+        F.round(
+            (mra - mrb) / F.round(F.sqrt(var) + F.lit(1e-12), 9)
+            + F.lit(1e-12),
+            9,
+        ),
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__ga").alias("g_a"),
+        F.col("__gb").alias("g_b"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.round(mra + F.lit(1e-9), 6).alias("mean_rank_a"),
+        F.round(mrb + F.lit(1e-9), 6).alias("mean_rank_b"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )

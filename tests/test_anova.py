@@ -407,3 +407,74 @@ def test_somers_d_hand_computed(spark):
     assert got["consty"]["d_yx"] == 0.0
     # NULL key/x/y rows are excluded, not crashed on
     assert set(got) == {"k1", "constx", "consty"}
+
+
+# ---------------------------------------------------------------------------
+# round-11 addition: Dunn post-hoc pairwise rank comparisons
+# ---------------------------------------------------------------------------
+
+
+def _brute_dunn(groups):
+    """groups: dict g -> list of values; returns {(a,b): (mra, mrb, z)}."""
+    import math
+
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j] == pooled[i]:
+            j += 1
+        for t in range(i, j):
+            rank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    from collections import Counter
+
+    ties = Counter(pooled)
+    t3 = sum(t**3 - t for t in ties.values())
+    out = {}
+    ks = sorted(groups)
+    for ai in range(len(ks)):
+        for bi in range(ai + 1, len(ks)):
+            ga, gb = ks[ai], ks[bi]
+            na, nb = len(groups[ga]), len(groups[gb])
+            mra = sum(rank[v] for v in groups[ga]) / na
+            mrb = sum(rank[v] for v in groups[gb]) / nb
+            var = (n * (n + 1) / 12.0 - t3 / (12.0 * (n - 1))) * (
+                1.0 / na + 1.0 / nb
+            )
+            z = (mra - mrb) / math.sqrt(var) if var > 0 else None
+            out[(ga, gb)] = (mra, mrb, z)
+    return out
+
+
+def test_dunn_posthoc_hand_computed(spark):
+    from mr_dice_spark.operators.anova import dunn_posthoc
+
+    groups = {
+        "A": [1.0, 2.0, 2.0, 3.0],
+        "B": [2.0, 4.0, 5.0],
+        "C": [6.0, 7.0, 7.0, 9.0, 10.0],
+    }
+    rows = [("k1", g, v) for g, vs in groups.items() for v in vs]
+    rows += [("onegrp", "A", 1.0), ("onegrp", "A", 2.0)]
+    rows += [("alltied", g, 5.0) for g in ("A", "B") for _ in range(3)]
+    rows += [(None, "A", 1.0), ("k1", None, 1.0), ("k1", "A", None)]
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    res = dunn_posthoc(df, "k", "g", "v").collect()
+    got = {(r["k"], r["g_a"], r["g_b"]): r for r in res}
+    exp = _brute_dunn(groups)
+    assert len([r for r in res if r["k"] == "k1"]) == 3
+    for (ga, gb), (mra, mrb, z) in exp.items():
+        r = got[("k1", ga, gb)]
+        assert r["mean_rank_a"] == pytest.approx(mra, abs=1e-6)
+        assert r["mean_rank_b"] == pytest.approx(mrb, abs=1e-6)
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+    # C clearly above A: large positive separation means rank(A) < rank(C)
+    assert got[("k1", "A", "C")]["z"] < -2.0
+    # single-group key: the pair relation has no rows (documented)
+    assert not [r for r in res if r["k"] == "onegrp"]
+    # all values tied: zero variance fails z closed, pair row kept
+    at = got[("alltied", "A", "B")]
+    assert at["z"] is None and at["mean_rank_a"] == at["mean_rank_b"]

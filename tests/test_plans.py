@@ -2246,3 +2246,14 @@ def test_somers_d_cell_bounded_pairs(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_dunn_posthoc_cell_bounded_pairs(spark, sf_dir):
+    """Midranks ride the kruskal cells discipline (pinned cell table,
+    per-value tie cumulative, cell-sized join-back); the pair relation
+    is the k^2-bounded per-group frame self-joined on the key — no
+    cartesian, no global sort."""
+    df = GOLDEN["dunn_posthoc_value_by_weekday"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -299,6 +299,7 @@ PROBES = [
     "partial_corr_weekend_given_volume",
     "pettitt_change_day_by_type",
     "somers_d_hour_value_by_type",
+    "dunn_posthoc_value_by_weekday",
 ]
 
 
