@@ -124,9 +124,10 @@ _CHECK_FIRST = [
     # pettitt_change_day_by_type
     # somers_d_hour_value_by_type
     # dunn_posthoc_value_by_weekday
-    # Round-12 window = 1 flagship + this 16-golden queue + the 14
+    # stuart_maxwell_band_shift_by_type
+    # Round-12 window = 1 flagship + this 17-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 19 alphabetical r5-latest rows = 50 slots exactly.
+    # 18 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

@@ -6774,3 +6774,118 @@ def partial_corr_weekend_given_volume(
     )
     out = partial_correlation(triples, "k", "x", "y", "z")
     return out.withColumnRenamed("k", "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Stuart-Maxwell: did the weekend shift the band DISTRIBUTION? (round 11)
+# ---------------------------------------------------------------------------
+
+STUART_MAXWELL_ORACLE = """
+WITH ev AS (
+  SELECT event_type AS k, user_id,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) % 7) IN (2, 3) AS we,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+),
+units AS (
+  SELECT k, user_id,
+         ROUND(AVG(CASE WHEN NOT we THEN v END) + 1e-9, 6) AS wd_mean,
+         ROUND(AVG(CASE WHEN we THEN v END) + 1e-9, 6) AS we_mean
+  FROM ev GROUP BY k, user_id
+),
+labeled AS (
+  SELECT k,
+         CASE WHEN wd_mean < 45 THEN 0
+              WHEN wd_mean < 55 THEN 1 ELSE 2 END AS a,
+         CASE WHEN we_mean < 45 THEN 0
+              WHEN we_mean < 55 THEN 1 ELSE 2 END AS b
+  FROM units WHERE wd_mean IS NOT NULL AND we_mean IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT k, a, b, COUNT(*) AS n FROM labeled GROUP BY k, a, b
+),
+margins AS (
+  SELECT k, cat, SUM(r) - SUM(c) AS d
+  FROM (
+    SELECT k, a AS cat, n AS r, 0 AS c FROM cells
+    UNION ALL
+    SELECT k, b AS cat, 0 AS r, n AS c FROM cells
+  ) GROUP BY k, cat
+),
+kc AS (SELECT k, COUNT(*) AS kc FROM margins GROUP BY k),
+tot AS (SELECT k, SUM(n) AS tot FROM cells GROUP BY k),
+pairs AS (
+  SELECT k, LEAST(a, b) AS lo, GREATEST(a, b) AS hi, SUM(n) AS m
+  FROM cells WHERE a <> b GROUP BY k, LEAST(a, b), GREATEST(a, b)
+),
+den AS (
+  SELECT k, SUM(m) AS sm, SUM(m * m) AS sm2 FROM pairs GROUP BY k
+),
+num AS (
+  SELECT p.k, SUM(p.m * g.d * g.d) AS num
+  FROM pairs p JOIN margins g
+    ON g.k = p.k AND g.cat <> p.lo AND g.cat <> p.hi
+  GROUP BY p.k
+)
+SELECT t.k AS event_type, CAST(t.tot AS BIGINT) AS n,
+       CAST(kc.kc AS BIGINT) AS k_categories,
+       ROUND(CASE WHEN kc.kc = 3 AND den.sm IS NOT NULL
+                   AND CAST(den.sm * den.sm - den.sm2 AS DOUBLE) / 2.0 > 0
+             THEN CAST(num.num AS DOUBLE)
+                  / (CAST(den.sm * den.sm - den.sm2 AS DOUBLE) / 2.0)
+             END + 1e-9, 6) AS chi2,
+       CASE WHEN kc.kc = 3 AND den.sm IS NOT NULL
+                 AND CAST(den.sm * den.sm - den.sm2 AS DOUBLE) / 2.0 > 0
+            THEN CAST(2 AS BIGINT) END AS dof
+FROM tot t JOIN kc ON kc.k = t.k
+LEFT JOIN den ON den.k = t.k
+LEFT JOIN num ON num.k = t.k
+ORDER BY event_type
+"""
+
+
+@golden(
+    "stuart_maxwell_band_shift_by_type",
+    STUART_MAXWELL_ORACLE,
+    tags=("stats", "stuart-maxwell", "marginal-homogeneity", "events"),
+)
+def stuart_maxwell_band_shift_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stuart-Maxwell marginal homogeneity on each user's weekday-vs-
+    weekend value tertile per event type — the NET-drift companion to
+    bowker_user_band_weekend_by_type's pairwise-flow asymmetry:
+    symmetric cancelling flows pass Bowker yet can still shift the
+    band DISTRIBUTION, and this is the test that charges it. Fixed
+    <45 / [45,55) / >=55 tertiles keep all three categories populated
+    at every scale factor; the 3-category closed form is one division
+    of exact integers."""
+    from mr_dice_spark.operators.evaluation import stuart_maxwell_3
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        F.col("user_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7).isin(2, 3)
+        .alias("we"),
+        F.col("value").cast("double").alias("v"),
+    )
+    units = ev.groupBy("k", "user_id").agg(
+        _r(F.avg(F.when(~F.col("we"), F.col("v"))), 6).alias("wd_mean"),
+        _r(F.avg(F.when(F.col("we"), F.col("v"))), 6).alias("we_mean"),
+    )
+    band = lambda c: (
+        F.when(F.col(c) < 45, 0).when(F.col(c) < 55, 1).otherwise(2)
+    )
+    labeled = units.where(
+        F.col("wd_mean").isNotNull() & F.col("we_mean").isNotNull()
+    ).select("k", band("wd_mean").alias("a"), band("we_mean").alias("b"))
+    out = stuart_maxwell_3(labeled, "k", "a", "b")
+    return out.withColumnRenamed("k", "event_type").orderBy("event_type")

@@ -4613,3 +4613,136 @@ def page_trend_test(
         ),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
+
+
+def stuart_maxwell_3(
+    df: DataFrame,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Per-key Stuart-Maxwell marginal-homogeneity test on a paired
+    3-category table — the companion question to
+    :func:`bowker_symmetry`: Bowker charges ASYMMETRIC label flow
+    between individual category pairs; Stuart-Maxwell charges a NET
+    SHIFT of the margins (did the label DISTRIBUTION move, regardless
+    of which pairwise flows carried it?). Symmetry implies marginal
+    homogeneity but not conversely, so the two tests disagree exactly
+    when flows cancel pairwise yet the margins drift.
+
+    For the 3-category closed form (Fleiss), with d_i = row_i - col_i
+    and doubled symmetric pair sums ``m_ij = n_ij + n_ji``,
+
+        chi2 = (m_23 d_1^2 + m_13 d_2^2 + m_12 d_3^2)
+               / (m_12 m_13 + m_12 m_23 + m_13 m_23),    dof = 2
+
+    — the 2x2 covariance inverse collapses to ONE division of exact
+    integers (every operand a long; cross-engine bit-equal), rounded
+    at 6. The denominator is computed pair-free as
+    ``(S_m^2 - sum m^2) / 2`` so missing pairs contribute their true
+    zero. Integer headroom: n^3 per key must fit a long (n < ~2e6).
+
+    Categories are the OBSERVED union of both label columns per key.
+    Keys with k_categories != 3 report NULL chi2/dof (the closed form
+    is 3-specific; k = 2 is :func:`mcnemar_test`, general k needs the
+    matrix inverse) — fail-closed, row kept. A zero denominator (no
+    off-diagonal mass on two of the three pairs) also fail-closes.
+
+    Scale shape: one (key, a, b) cell aggregate bounds state at 9
+    cells per key; margins derive from a two-way union of that cell
+    table; the unordered-pair fold is bowker's no-self-join shape; the
+    third-category lookup is a cell-sized keyed join (exactly one
+    match per pair when k = 3). Returns
+    ``(key, n, k_categories, chi2, dof)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+    )
+    cells = base.groupBy("__k", "__a", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=True)
+    # observed-category margins: row mass minus column mass per label
+    margins = (
+        cells.select(
+            "__k",
+            F.col("__a").alias("__cat"),
+            F.col("__n").alias("__r"),
+            F.lit(0).alias("__c"),
+        )
+        .unionByName(
+            cells.select(
+                "__k",
+                F.col("__b").alias("__cat"),
+                F.lit(0).alias("__r"),
+                F.col("__n").alias("__c"),
+            )
+        )
+        .groupBy("__k", "__cat")
+        .agg((F.sum("__r") - F.sum("__c")).alias("__d"))
+    )
+    kc = margins.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__kc")
+    )
+    tot = cells.groupBy("__k").agg(F.sum("__n").alias("__tot"))
+    # bowker's unordered-pair fold: m_ij = n_ij + n_ji, no self-join
+    pairs = (
+        cells.where(F.col("__a") != F.col("__b"))
+        .select(
+            "__k",
+            F.least("__a", "__b").alias("__lo"),
+            F.greatest("__a", "__b").alias("__hi"),
+            F.col("__n"),
+        )
+        .groupBy("__k", "__lo", "__hi")
+        .agg(F.sum("__n").alias("__m"))
+    )
+    # denominator: sum of pairwise products of the three m values,
+    # (S^2 - sum m^2)/2 — exact integers, missing pairs are true zeros
+    den = pairs.groupBy("__k").agg(
+        F.sum("__m").alias("__sm"),
+        F.sum(F.col("__m") * F.col("__m")).alias("__sm2"),
+    )
+    # numerator: each pair weights the squared d of the THIRD category
+    # (exactly one match per pair when k_categories = 3)
+    num = (
+        pairs.alias("p")
+        .join(
+            margins.alias("g"),
+            (F.col("p.__k") == F.col("g.__k"))
+            & (F.col("g.__cat") != F.col("p.__lo"))
+            & (F.col("g.__cat") != F.col("p.__hi")),
+        )
+        .select(
+            F.col("p.__k").alias("__k"),
+            (F.col("p.__m") * F.col("g.__d") * F.col("g.__d")).alias("__t"),
+        )
+        .groupBy("__k")
+        .agg(F.sum("__t").alias("__num"))
+    )
+    j = (
+        tot.join(kc, "__k")
+        .join(den, "__k", "left")
+        .join(num, "__k", "left")
+    )
+    d2 = (
+        F.col("__sm") * F.col("__sm") - F.col("__sm2")
+    ).cast("double") / 2.0
+    ok = (F.col("__kc") == 3) & F.col("__sm").isNotNull() & (d2 > 0)
+    chi2 = F.when(ok, F.col("__num").cast("double") / d2)
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__tot").cast("long").alias("n"),
+        F.col("__kc").cast("long").alias("k_categories"),
+        F.round(chi2 + F.lit(1e-9), 6).alias("chi2"),
+        F.when(ok, F.lit(2)).cast("long").alias("dof"),
+    )

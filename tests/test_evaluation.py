@@ -2122,3 +2122,68 @@ def test_partial_correlation_hand_computed(spark):
     # |r_xz| = 1: partial fail-closed, raw r's still report
     assert got["exact"]["r_xz"] == pytest.approx(1.0, abs=1e-6)
     assert got["exact"]["r_xy_given_z"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-11 addition: Stuart-Maxwell marginal homogeneity (3 categories)
+# ---------------------------------------------------------------------------
+
+
+def test_stuart_maxwell_hand_and_matrix_form(spark):
+    import numpy as np
+
+    from mr_dice_spark.operators.evaluation import stuart_maxwell_3
+
+    # 3x3 paired table; closed form must equal d' S^-1 d on the first
+    # two categories (independent matrix-inverse check of the formula)
+    n = [[10, 3, 2], [1, 12, 4], [5, 2, 20]]
+    rows = [
+        ("k1", a, b)
+        for a in range(3)
+        for b in range(3)
+        for _ in range(n[a][b])
+    ]
+    rows += [("twocat", 0, 1), ("twocat", 1, 0), ("twocat", 0, 0)]
+    rows += [("diag", c, c) for c in range(3) for _ in range(2)]
+    rows += [(None, 0, 0), ("k1", None, 0), ("k1", 0, None)]
+    df = spark.createDataFrame(rows, "k string, a int, b int")
+    got = {r["k"]: r for r in stuart_maxwell_3(df, "k", "a", "b").collect()}
+    r_ = [sum(n[i]) for i in range(3)]
+    c_ = [sum(n[i][j] for i in range(3)) for j in range(3)]
+    d = np.array([r_[0] - c_[0], r_[1] - c_[1]], dtype=float)
+    S = np.array(
+        [
+            [r_[0] + c_[0] - 2 * n[0][0], -(n[0][1] + n[1][0])],
+            [-(n[0][1] + n[1][0]), r_[1] + c_[1] - 2 * n[1][1]],
+        ],
+        dtype=float,
+    )
+    expect = float(d @ np.linalg.inv(S) @ d)
+    k1 = got["k1"]
+    assert k1["n"] == sum(r_) and k1["k_categories"] == 3
+    assert k1["chi2"] == pytest.approx(expect, abs=1e-6)
+    assert k1["chi2"] == pytest.approx(10.0 / 94.0, abs=1e-6)
+    assert k1["dof"] == 2
+    # only two observed categories: closed form does not apply
+    assert got["twocat"]["k_categories"] == 2
+    assert got["twocat"]["chi2"] is None and got["twocat"]["dof"] is None
+    # perfect agreement: no off-diagonal mass, zero denominator
+    assert got["diag"]["k_categories"] == 3 and got["diag"]["chi2"] is None
+    assert set(got) == {"k1", "twocat", "diag"}
+
+
+def test_stuart_maxwell_vs_bowker_direction(spark):
+    """Flows that cancel pairwise (symmetric table) have chi2 = 0 even
+    when Bowker's would too; a one-way cascade 0->1->2 drifts the
+    margins and Stuart-Maxwell charges it."""
+    from mr_dice_spark.operators.evaluation import stuart_maxwell_3
+
+    rows = [("drift", 0, 1)] * 6 + [("drift", 1, 2)] * 6
+    rows += [("drift", c, c) for c in range(3) for _ in range(4)]
+    sym = [("sym", 0, 1), ("sym", 1, 0), ("sym", 0, 2), ("sym", 2, 0),
+           ("sym", 1, 2), ("sym", 2, 1)]
+    rows += sym * 3
+    df = spark.createDataFrame(rows, "k string, a int, b int")
+    got = {r["k"]: r for r in stuart_maxwell_3(df, "k", "a", "b").collect()}
+    assert got["sym"]["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert got["drift"]["chi2"] > 5.99  # chi2_{2, 0.05} critical value

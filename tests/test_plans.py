@@ -2257,3 +2257,13 @@ def test_dunn_posthoc_cell_bounded_pairs(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_stuart_maxwell_cell_bounded_no_cartesian(spark, sf_dir):
+    """Bowker's fold plus two margin branches off the pinned 9-cell
+    table; the third-category lookup is an equi-join on the key with a
+    residual inequality — no cartesian, no global sort."""
+    df = GOLDEN["stuart_maxwell_band_shift_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

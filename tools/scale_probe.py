@@ -300,6 +300,7 @@ PROBES = [
     "pettitt_change_day_by_type",
     "somers_d_hour_value_by_type",
     "dunn_posthoc_value_by_weekday",
+    "stuart_maxwell_band_shift_by_type",
 ]
 
 
