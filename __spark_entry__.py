@@ -125,9 +125,10 @@ _CHECK_FIRST = [
     # somers_d_hour_value_by_type
     # dunn_posthoc_value_by_weekday
     # stuart_maxwell_band_shift_by_type
-    # Round-12 window = 1 flagship + this 17-golden queue + the 14
+    # conover_scale_hourly_by_type
+    # Round-12 window = 1 flagship + this 18-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 18 alphabetical r5-latest rows = 50 slots exactly.
+    # 17 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

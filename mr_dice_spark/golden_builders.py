@@ -2723,3 +2723,110 @@ def dunn_posthoc_value_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumnRenamed("k", "weekday")
         .orderBy("weekday", "g_a", "g_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conover squared ranks: do days differ in hourly dispersion? (round 11)
+# ---------------------------------------------------------------------------
+
+CONOVER_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+         ROUND(1e-9 + AVG(value), 6) AS v
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+g AS (SELECT k, h // 86400 AS d, v FROM b),
+m AS (
+  SELECT k, d, v,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(16,6)))
+                    OVER (PARTITION BY k, d) AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY k, d) AS DOUBLE)
+               + 1e-12, 9) AS mu
+  FROM g
+),
+z AS (SELECT k, d, ABS(ROUND(v - mu + 1e-12, 9)) AS z FROM m),
+r AS (
+  SELECT k, d,
+         2 * RANK() OVER (PARTITION BY k ORDER BY z)
+           + COUNT(*) OVER (PARTITION BY k, z) - 1 AS r2
+  FROM z
+),
+q AS (SELECT k, d, r2 * r2 AS q FROM r),
+gr AS (SELECT k, d, COUNT(*) AS ng, SUM(q) AS sq FROM q GROUP BY k, d),
+qq AS (
+  SELECT k, SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS qq
+  FROM q GROUP BY k
+),
+tot AS (
+  SELECT k, COUNT(*) AS kg, SUM(ng) AS nn, SUM(sq) AS gq
+  FROM gr GROUP BY k
+),
+terms AS (
+  SELECT gr.k,
+         SUM(CAST(ROUND(CAST(t.nn AS DOUBLE) * CAST(gr.sq AS DOUBLE)
+                        * CAST(gr.sq AS DOUBLE) / CAST(gr.ng AS DOUBLE)
+                        + 1e-12, 9) AS DECIMAL(38,9))) AS ws
+  FROM gr JOIN tot t ON t.k = gr.k GROUP BY gr.k
+),
+fin AS (
+  SELECT t.k, t.kg, t.nn,
+         CAST(te.ws - CAST(CAST(t.gq AS HUGEINT) * CAST(t.gq AS HUGEINT)
+                           AS DECIMAL(38,9)) AS DOUBLE) AS num,
+         CAST(CAST(t.nn AS HUGEINT) * qq.qq
+              - CAST(t.gq AS HUGEINT) * CAST(t.gq AS HUGEINT)
+              AS DOUBLE) AS den
+  FROM tot t JOIN terms te ON te.k = t.k JOIN qq ON qq.k = t.k
+)
+SELECT k AS event_type, CAST(nn AS BIGINT) AS n,
+       CAST(kg AS BIGINT) AS k_groups,
+       ROUND(CASE WHEN kg >= 2 AND den > 0
+             THEN ROUND((CAST(nn AS DOUBLE) - 1.0) * num / den + 1e-12, 9)
+             END + 1e-9, 6) AS t_stat,
+       CASE WHEN kg >= 2 AND den > 0
+            THEN CAST(kg - 1 AS BIGINT) END AS dof
+FROM fin ORDER BY event_type
+"""
+
+
+@golden(
+    "conover_scale_hourly_by_type",
+    CONOVER_ORACLE,
+    tags=("stats", "conover", "scale-test", "rank-test", "events"),
+)
+def conover_scale_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks scale test per event type: do the days of
+    the month differ in DISPERSION of their hourly mean values? The
+    rank-based row of the variance-test family (bartlett assumes
+    normality; brown_forsythe averages |dev|): a volatility-regime
+    screen that one heavy-tailed hour cannot buy. ~720 hourly buckets
+    per key in ~30 day-groups; every rank moment an exact long and
+    both cancelling differences formed in exact decimal."""
+    from mr_dice_spark.operators.anova import conover_squared_ranks
+    from mr_dice_spark.operators.timeseries import _bucket_agg
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    b = _bucket_agg(ev, "event_type", "ts", "value", 3600, "avg").select(
+        "__k",
+        "__h",
+        F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v"),
+    )
+    rows = b.select(
+        F.col("__k").alias("k"),
+        (F.unix_timestamp("__h").cast("long") / F.lit(86400))
+        .cast("long")
+        .alias("g"),
+        F.col("__v").alias("v"),
+    )
+    return (
+        conover_squared_ranks(rows, "k", "g", "v")
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    )

@@ -1141,3 +1141,152 @@ def dunn_posthoc(
         F.round(mrb + F.lit(1e-9), 6).alias("mean_rank_b"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
+
+
+def conover_squared_ranks(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Conover squared-ranks test — the k-sample SCALE
+    question in rank form: do the groups differ in DISPERSION around
+    their own centers? The rank-based row of the variance-test family
+    beside :func:`bartlett_by_key` (normal-theory, outlier-fragile)
+    and :func:`brown_forsythe` (median-centered ANOVA on |dev|), and
+    the k-sample extension of the two-sample scale tests
+    (:func:`~mr_dice_spark.operators.evaluation.ansari_bradley` /
+    :func:`~mr_dice_spark.operators.evaluation.mood_scale_test`).
+
+    With z_gj = |x_gj - mean_g|, pooled midranks r of z per key, and
+    s = r^2:
+
+        T = (N-1) [ sum_g S_g^2/n_g - G^2/N ] / [ Q - G^2/N ]
+
+    where S_g = sum_j s_gj, G = sum s, Q = sum s^2 (~ chi2_{k-1}).
+
+    Cross-engine determinism: group means pin at 9dp over decimal
+    sums, deviations pin at 9dp (identical doubles -> identical
+    ranks); QUADRUPLED squared ranks ``q = (2r)^2`` keep S_g/G exact
+    longs and Q an exact decimal(38,0) (the mood_scale quartic
+    convention; (18,0)x(18,0) products stay under Spark's 38 cap —
+    the kpss width rule); the multiplied-through form
+    ``T = (N-1)(N sum q-S_g^2/n_g - Gq^2)/(N Qq - Gq^2)`` cancels the
+    /16, per-group terms pin at 9dp and sum as exact decimal(38,9),
+    and BOTH cancelling subtractions happen IN DECIMAL with one cast
+    of each compact difference to double (the durbin_watson
+    cast-then-cancel fix class — a 1-ulp cast after cancellation is
+    ~1e-16 relative, absorbed by the nudges). Integer headroom:
+    ``4 N^3 < 3e14`` per key (N ~< 4e4 — bucketed series, not raw
+    corpora; feed quantized values).
+
+    All-tied keys (every z equal, zero rank variance) and keys with
+    < 2 groups fail-close t_stat/dof to NULL, rows kept.
+
+    Scale shape: one explicit key repartition that EVERY window rides
+    (group means on (k, g) and ranks on (k) both satisfied by
+    HashPartitioning(k) via the subset rule — sorts, not shuffles),
+    then one per-(key, group) reduce, one per-key quartic reduce off
+    the same exchange, and a group-count-sized join. No pair join, no
+    row-level join-back. Returns ``(key, n, k_groups, t_stat, dof)``.
+
+    Reference parity note: beyond-reference statistics extension (the
+    reference engine at NingWang-art/Mr-Dice has no hypothesis-test
+    surface).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(
+        F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    rows = base.repartition("__k")
+    w_kg = Window.partitionBy("__k", "__g")
+    mean = F.round(
+        F.sum(F.col("__v").cast("decimal(16,6)")).over(w_kg).cast("double")
+        / F.count(F.lit(1)).over(w_kg).cast("double")
+        + F.lit(1e-12),
+        9,
+    )
+    dev = rows.select(
+        "__k",
+        "__g",
+        F.abs(F.round(F.col("__v") - mean + F.lit(1e-12), 9)).alias("__z"),
+    )
+    w_rank = Window.partitionBy("__k").orderBy("__z")
+    w_eq = Window.partitionBy("__k", "__z")
+    ranked = dev.select(
+        "__k",
+        "__g",
+        (
+            (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_eq) - 1)
+        ).alias("__r2"),
+    ).select(
+        "__k",
+        "__g",
+        (F.col("__r2") * F.col("__r2")).cast("long").alias("__q"),
+    )
+    gr = ranked.groupBy("__k", "__g").agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum("__q").alias("__sq"),
+    )
+    qq = ranked.groupBy("__k").agg(
+        F.sum(
+            F.col("__q").cast("decimal(18,0)")
+            * F.col("__q").cast("decimal(18,0)")
+        ).alias("__qq")  # exact decimal(38,0) quartic moment
+    )
+    tot = gr.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__kg"),
+        F.sum("__ng").alias("__nn"),
+        F.sum("__sq").alias("__gq"),
+    )
+    # per-group term N*Sq_g^2/n_g: fixed IEEE chain on exact-long
+    # operands, pinned 9dp, summed as exact decimal(38,9) (order-
+    # independent across groups)
+    terms = (
+        gr.join(tot.select("__k", "__nn"), "__k")
+        .select(
+            "__k",
+            F.round(
+                F.col("__nn").cast("double")
+                * F.col("__sq").cast("double")
+                * F.col("__sq").cast("double")
+                / F.col("__ng").cast("double")
+                + F.lit(1e-12),
+                9,
+            ).alias("__w"),
+        )
+        .groupBy("__k")
+        .agg(F.sum(F.col("__w").cast("decimal(38,9)")).alias("__ws"))
+    )
+    j = tot.join(terms, "__k").join(qq, "__k")
+    gq2 = (
+        F.col("__gq").cast("decimal(18,0)")
+        * F.col("__gq").cast("decimal(18,0)")
+    )  # exact decimal(37,0)
+    # BOTH cancelling differences in exact decimal; one cast each
+    num = (
+        F.col("__ws") - gq2.cast("decimal(38,9)")
+    ).cast("double")
+    den = (
+        F.col("__nn").cast("decimal(8,0)") * F.col("__qq").cast("decimal(29,0)")
+        - gq2.cast("decimal(38,0)")
+    ).cast("double")
+    n_d = F.col("__nn").cast("double")
+    ok = (F.col("__kg") >= 2) & (den > 0)
+    t = F.when(
+        ok,
+        F.round((n_d - 1.0) * num / den + F.lit(1e-12), 9),
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__kg").cast("long").alias("k_groups"),
+        F.round(t + F.lit(1e-9), 6).alias("t_stat"),
+        F.when(ok, F.col("__kg") - 1).cast("long").alias("dof"),
+    )

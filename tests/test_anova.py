@@ -478,3 +478,64 @@ def test_dunn_posthoc_hand_computed(spark):
     # all values tied: zero variance fails z closed, pair row kept
     at = got[("alltied", "A", "B")]
     assert at["z"] is None and at["mean_rank_a"] == at["mean_rank_b"]
+
+
+# ---------------------------------------------------------------------------
+# round-11 addition: Conover squared-ranks scale test
+# ---------------------------------------------------------------------------
+
+
+def _brute_conover(groups):
+    devs = []
+    for g, vs in groups.items():
+        m = sum(vs) / len(vs)
+        devs += [(g, abs(v - m)) for v in vs]
+    zs = sorted(z for _, z in devs)
+    n = len(zs)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and zs[j] == zs[i]:
+            j += 1
+        rank[zs[i]] = (i + 1 + j) / 2.0
+        i = j
+    s = {g: [rank[z] ** 2 for gg, z in devs if gg == g] for g in groups}
+    G = sum(sum(v) for v in s.values())
+    Q = sum(x * x for v in s.values() for x in v)
+    num = sum(sum(v) ** 2 / len(v) for v in s.values()) - G * G / n
+    den = Q - G * G / n
+    return (n - 1) * num / den if den > 0 else None
+
+
+def test_conover_squared_ranks_hand_computed(spark):
+    from mr_dice_spark.operators.anova import conover_squared_ranks
+
+    groups = {
+        "A": [5.0, 6.0, 7.0, 8.0],
+        "B": [0.0, 4.0, 16.0, 20.0],
+        "C": [3.0, 3.5, 4.5, 5.0, 9.0],
+    }
+    rows = [("k1", g, v) for g, vs in groups.items() for v in vs]
+    rows += [("onegrp", "A", 1.0), ("onegrp", "A", 5.0)]
+    rows += [("tied", "A", 0.0), ("tied", "A", 2.0),
+             ("tied", "B", 5.0), ("tied", "B", 7.0)]
+    rows += [(None, "A", 1.0), ("k1", None, 1.0), ("k1", "A", None)]
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = {r["k"]: r for r in conover_squared_ranks(df, "k", "g", "v").collect()}
+    r = got["k1"]
+    assert r["n"] == 13 and r["k_groups"] == 3
+    assert r["t_stat"] == pytest.approx(_brute_conover(groups), abs=1e-5)
+    assert r["dof"] == 2
+    # B's spread dwarfs A's: two groups alone give a near-maximal T
+    two = {"A": groups["A"], "B": groups["B"]}
+    df2 = spark.createDataFrame(
+        [("kk", g, v) for g, vs in two.items() for v in vs],
+        "k string, g string, v double",
+    )
+    [r2] = conover_squared_ranks(df2, "k", "g", "v").collect()
+    assert r2["t_stat"] == pytest.approx(_brute_conover(two), abs=1e-5)
+    # single group / all-|dev|-tied: fail-closed NULL, rows kept
+    assert got["onegrp"]["k_groups"] == 1 and got["onegrp"]["t_stat"] is None
+    assert got["tied"]["t_stat"] is None and got["tied"]["dof"] is None
+    assert set(got) == {"k1", "onegrp", "tied"}

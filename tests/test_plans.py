@@ -2267,3 +2267,16 @@ def test_stuart_maxwell_cell_bounded_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_conover_one_scan_reused_exchange(spark, sf_dir):
+    """Group means and pooled ranks all ride the explicit key
+    repartition via the subset rule; the per-group and quartic
+    branches both derive from the same ranked frame; joins are
+    group-count-sized — no cartesian, no global sort, one parquet
+    scan in the static plan per branch collapsed by ReuseExchange at
+    execution."""
+    df = GOLDEN["conover_scale_hourly_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -301,6 +301,7 @@ PROBES = [
     "somers_d_hour_value_by_type",
     "dunn_posthoc_value_by_weekday",
     "stuart_maxwell_band_shift_by_type",
+    "conover_scale_hourly_by_type",
 ]
 
 
