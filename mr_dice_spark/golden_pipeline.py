@@ -6352,3 +6352,58 @@ def pettitt_change_day_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u_at_cp",
         "p_approx",
     ).orderBy("event_type")
+
+
+@golden(
+    "streaming_pettitt_monitor",
+    PETTITT_ORACLE,  # byte-identical output to the batch pettitt golden
+    tags=("streaming", "pettitt", "changepoint", "observability"),
+)
+def streaming_pettitt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point detection ON THE STREAM ENGINE: daily
+    bucket means aggregate through readStream in complete mode — the
+    live "did this metric's level shift, and when" monitor — and the
+    rank finisher (doubled midranks, exact-integer U_t, struct-max
+    argmax) runs batch-side on the materialized sink, byte-identical
+    to the batch pettitt golden, so the SAME DuckDB oracle hash-checks
+    the streaming path. Finite replay makes the streaming aggregate
+    exact (the streaming-golden contract)."""
+    import uuid
+
+    from mr_dice_spark.operators.timeseries import pettitt_from_buckets
+    from mr_dice_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.avg("value").alias("__raw"))
+    )
+    name = f"stream_pettitt_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(agg, name, output_mode="complete")
+    try:
+        b = spark.table(name).select(
+            F.col("event_type").alias("__k"),
+            F.col("w.start").alias("__h"),
+            F.round(F.col("__raw") + F.lit(1e-9), 6).alias("__v"),
+        )
+        out = pettitt_from_buckets(b, "event_type").select(
+            "event_type",
+            "n",
+            "k_stat",
+            "cp_index",
+            F.unix_timestamp("cp_bucket").alias("cp_day_s"),
+            "u_at_cp",
+            "p_approx",
+        ).orderBy("event_type")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
