@@ -127,9 +127,10 @@ _CHECK_FIRST = [
     # stuart_maxwell_band_shift_by_type
     # conover_scale_hourly_by_type
     # streaming_pettitt_monitor
-    # Round-12 window = 1 flagship + this 19-golden queue + the 14
+    # seasonal_mk_hourly_by_type
+    # Round-12 window = 1 flagship + this 20-golden queue + the 14
     # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 16 alphabetical r5-latest rows = 50 slots exactly.
+    # 15 alphabetical r5-latest rows = 50 slots exactly.
 ]
 
 

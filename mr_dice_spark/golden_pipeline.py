@@ -6407,3 +6407,76 @@ def streaming_pettitt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall: day-over-day trend at the same hour (round 11)
+# ---------------------------------------------------------------------------
+
+SEASONAL_MK_ORACLE = """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS x,
+         ROUND(1e-9 + AVG(value), 6) AS v
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+p AS (SELECT k, x, x % 24 AS ph, v FROM b),
+s AS (
+  SELECT a.k,
+         SUM(CASE WHEN c.v > a.v THEN 1
+                  WHEN c.v < a.v THEN -1 ELSE 0 END) AS s
+  FROM p a JOIN p c ON a.k = c.k AND a.ph = c.ph AND a.x < c.x
+  GROUP BY a.k
+),
+tt AS (
+  SELECT k, ph, SUM(t) AS nh, SUM(t * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT k, ph, v, COUNT(*) AS t FROM p GROUP BY k, ph, v)
+  GROUP BY k, ph
+),
+v18 AS (
+  SELECT k, SUM(nh) AS n, COUNT(*) AS np,
+         SUM(nh * (nh - 1) * (2 * nh + 5) - tt) AS v18
+  FROM tt GROUP BY k
+)
+SELECT v.k AS event_type, CAST(v.n AS BIGINT) AS n_buckets,
+       CAST(v.np AS BIGINT) AS n_seasons,
+       CAST(COALESCE(s.s, 0) AS BIGINT) AS s,
+       ROUND(CAST(v.v18 AS DOUBLE) / 18.0 + 1e-9, 4) AS var_s,
+       ROUND(CASE WHEN CAST(v.v18 AS DOUBLE) / 18.0 > 0 THEN
+               CASE WHEN s.s > 0
+                    THEN (CAST(s.s AS DOUBLE) - 1.0)
+                         / sqrt(CAST(v.v18 AS DOUBLE) / 18.0)
+                    WHEN s.s < 0
+                    THEN (CAST(s.s AS DOUBLE) + 1.0)
+                         / sqrt(CAST(v.v18 AS DOUBLE) / 18.0)
+                    ELSE 0.0 END END + 1e-9, 6) AS z
+FROM v18 v LEFT JOIN s ON s.k = v.k
+ORDER BY event_type
+"""
+
+
+@golden(
+    "seasonal_mk_hourly_by_type",
+    SEASONAL_MK_ORACLE,
+    tags=("timeseries", "mann-kendall", "seasonal", "trend", "events"),
+)
+def seasonal_mk_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (Hirsch-Slack) Mann-Kendall over the hourly value
+    series per type, period 24 — is there a day-over-day monotonic
+    drift AT THE SAME HOUR? The diurnal cycle that plain mann_kendall
+    folds into its pair set is cut away by comparing within-phase
+    only; 18*Var' sums as exact longs across the 24 phases."""
+    from mr_dice_spark.operators.timeseries import seasonal_mann_kendall
+
+    _utc(spark)
+    ev = Catalog(spark, sf_dir).events.where(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return (
+        seasonal_mann_kendall(ev, "event_type", "ts", "value", 3600, 24)
+        .orderBy("event_type")
+    )

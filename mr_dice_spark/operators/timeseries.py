@@ -3644,3 +3644,123 @@ def pettitt_from_buckets(b: DataFrame, key_col: str) -> DataFrame:
             "p_approx"
         ),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """Per-key SEASONAL Mann-Kendall trend test (Hirsch & Slack 1984)
+    — the trend screen for series with a cycle: plain
+    :func:`mann_kendall_trend` compares every bucket with every later
+    bucket, so a diurnal/weekly cycle drowns (or fakes) a real
+    day-over-day drift; the seasonal form compares each bucket ONLY
+    with later buckets in the SAME phase (hour-of-day, day-of-week)
+    and sums the evidence across phases:
+
+        S' = sum_h S_h,   Var' = sum_h Var_h,
+        z  = (S' -+ 1) / sqrt(Var')      (continuity-corrected)
+
+    with each season's tie-corrected ``Var_h = [n_h(n_h-1)(2n_h+5)
+    - sum_t t(t-1)(2t+5)] / 18`` (the no-serial-correlation form — the
+    standard screen; the covariance-corrected variant is a different,
+    heavier estimator).
+
+    Cross-engine determinism: bucket means quantize at 6dp, so every
+    sign decision and S_h is an exact integer; ``18 Var'`` is summed
+    as EXACT LONGS (each season contributes the integer
+    ``n(n-1)(2n+5) - sum tt``) and divided by 18 once — an
+    order-independent cross-season sum where summing per-season
+    double variances would wiggle with aggregation order; z is one
+    fixed IEEE chain, rounded at 6. NULL z when Var' <= 0 (every
+    season constant or under 2 points). Keys survive with NULL stats
+    (left join from the bucket-count frame).
+
+    Scale shape: the mann_kendall contract with the pair set CUT BY
+    PHASE — O(period * (B/period)^2) pairs per key instead of O(B^2),
+    a period-fold FEWER pairs than the plain test on the same grid;
+    one bucket aggregate, localCheckpoint-pinned, feeds the pair join,
+    the tie cells and the season counts. Returns ``(key, n_buckets,
+    n_seasons, s, var_s, z)``.
+    """
+    if period < 2:
+        raise ValueError(
+            f"seasonal_mann_kendall: period must be >= 2, got {period}"
+        )
+    b = (
+        _bucket_agg(
+            df.where(F.col(value_col).isNotNull()),
+            key_col, ts_col, value_col, step_seconds, "avg",
+        )
+        .select(
+            "__k",
+            (F.unix_timestamp("__h") / step_seconds).cast("long").alias("__x"),
+            F.round(F.col("__v") + F.lit(1e-9), 6).alias("__v"),
+        )
+        .select(
+            "__k",
+            "__x",
+            F.pmod(F.col("__x"), F.lit(int(period))).alias("__p"),
+            "__v",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, c = b.alias("a"), b.alias("c")
+    s = (
+        a.join(
+            c,
+            (F.col("a.__k") == F.col("c.__k"))
+            & (F.col("a.__p") == F.col("c.__p"))
+            & (F.col("a.__x") < F.col("c.__x")),
+        )
+        .groupBy(F.col("a.__k").alias("__k"))
+        .agg(
+            F.sum(
+                F.when(F.col("c.__v") > F.col("a.__v"), 1)
+                .when(F.col("c.__v") < F.col("a.__v"), -1)
+                .otherwise(0)
+            ).alias("__s")
+        )
+    )
+    # per-(key, season) tie term sum_t t(t-1)(2t+5): exact longs
+    tt = (
+        b.groupBy("__k", "__p", "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("__k", "__p")
+        .agg(
+            F.sum("__t").alias("__nh"),
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tt"),
+        )
+    )
+    # 18*Var' as one exact long sum across seasons (order-independent)
+    var18 = tt.groupBy("__k").agg(
+        F.sum("__nh").alias("__n"),
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(
+            F.col("__nh") * (F.col("__nh") - 1) * (2 * F.col("__nh") + 5)
+            - F.col("__tt")
+        ).alias("__v18"),
+    )
+    j = var18.join(s, "__k", "left")
+    var_s = F.col("__v18").cast("double") / 18.0
+    sd = F.col("__s").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("__s") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("__s") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").cast("long").alias("n_buckets"),
+        F.col("__np").cast("long").alias("n_seasons"),
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("s"),
+        F.round(var_s + F.lit(1e-9), 4).alias("var_s"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )

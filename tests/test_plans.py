@@ -2280,3 +2280,13 @@ def test_conover_one_scan_reused_exchange(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_seasonal_mk_phase_cut_pairs(spark, sf_dir):
+    """The mann_kendall contract with the pair set cut by phase: the
+    pinned bucket table feeds the (key, phase)-equi pair join, tie
+    cells and season counts — no cartesian, no global sort."""
+    df = GOLDEN["seasonal_mk_hourly_by_type"].spark(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -1522,3 +1522,100 @@ def test_pettitt_buckets_end_to_end(spark):
     assert r["cp_bucket"] == t0 + dt.timedelta(days=5)
     kk, tt, uu, pp = _brute_pettitt([14.0] * 6 + [59.0] * 4)
     assert r["k_stat"] == kk and r["p_approx"] == pytest.approx(pp, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round-11 addition: seasonal (Hirsch-Slack) Mann-Kendall
+# ---------------------------------------------------------------------------
+
+
+def _brute_smk(series_by_phase):
+    s = 0
+    v18 = 0
+    for xs in series_by_phase.values():
+        for i in range(len(xs)):
+            for j_ in range(i + 1, len(xs)):
+                s += (xs[j_] > xs[i]) - (xs[j_] < xs[i])
+        n = len(xs)
+        from collections import Counter
+
+        tt = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        v18 += n * (n - 1) * (2 * n + 5) - tt
+    var = v18 / 18.0
+    if var <= 0:
+        return s, var, None
+    import math
+
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    )
+    return s, var, z
+
+
+def test_seasonal_mann_kendall_hand_computed(spark):
+    import datetime as dt
+
+    from mr_dice_spark.operators.timeseries import seasonal_mann_kendall
+
+    t0 = dt.datetime(2024, 1, 1)
+    # period 2: even phases trend up day over day, odd phases carry a
+    # large alternating cycle that would mask the trend in plain MK
+    phases = {
+        0: [1.0, 2.0, 2.0, 4.0, 5.0, 6.0],
+        1: [100.0, 90.0, 95.0, 99.0, 91.0, 101.0],
+    }
+    rows = []
+    for p, xs in phases.items():
+        for d, v in enumerate(xs):
+            rows.append(("m", t0 + dt.timedelta(days=d, hours=p), v))
+    rows += [("tiny", t0, 5.0)]                      # one bucket
+    rows += [("const", t0 + dt.timedelta(hours=h), 3.0) for h in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["k"]: r
+        for r in seasonal_mann_kendall(
+            df, "k", "ts", "v", step_seconds=3600, period=2
+        ).collect()
+    }
+    s, var, z = _brute_smk(phases)
+    m = got["m"]
+    assert m["n_buckets"] == 12 and m["n_seasons"] == 2
+    assert m["s"] == s
+    assert m["var_s"] == pytest.approx(var, abs=1e-4)
+    assert m["z"] == pytest.approx(z, abs=1e-6)
+    # single bucket / constant series: fail-closed NULL z, rows kept
+    assert got["tiny"]["z"] is None and got["tiny"]["s"] == 0
+    assert got["const"]["z"] is None
+    with pytest.raises(ValueError, match="period"):
+        seasonal_mann_kendall(df, "k", "ts", "v", period=1)
+
+
+def test_seasonal_mk_beats_plain_mk_under_cycle(spark):
+    """The reason the seasonal form exists: a strong cycle hides a
+    real within-phase trend from plain MK but not from seasonal MK."""
+    import datetime as dt
+
+    from mr_dice_spark.operators.timeseries import (
+        mann_kendall_trend,
+        seasonal_mann_kendall,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for h in range(4):
+            # diurnal swing +-50 dwarfs the +1/day drift
+            rows.append(
+                ("m", t0 + dt.timedelta(days=d, hours=h * 6),
+                 50.0 * (h % 2) + d)
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [smk] = seasonal_mann_kendall(
+        df, "k", "ts", "v", step_seconds=21600, period=4
+    ).collect()
+    [mk] = mann_kendall_trend(df, "k", "ts", "v", 21600).collect()
+    # every within-phase pair rises: S' = 4 * C(10,2) = 180, z max
+    assert smk["s"] == 180
+    assert smk["z"] > abs(mk["z"]) + 2.0

@@ -302,6 +302,7 @@ PROBES = [
     "dunn_posthoc_value_by_weekday",
     "stuart_maxwell_band_shift_by_type",
     "conover_scale_hourly_by_type",
+    "seasonal_mk_hourly_by_type",
 ]
 
 
