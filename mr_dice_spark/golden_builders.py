@@ -2820,7 +2820,9 @@ def conover_scale_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = b.select(
         F.col("__k").alias("k"),
-        (F.unix_timestamp("__h").cast("long") / F.lit(86400))
+        # floor, not cast: cast("long") truncates toward zero and would
+        # misalign pre-1970 hours vs the oracle's // floor division
+        F.floor(F.unix_timestamp("__h") / F.lit(86400))
         .cast("long")
         .alias("g"),
         F.col("__v").alias("v"),

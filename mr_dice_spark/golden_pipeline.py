@@ -6315,11 +6315,14 @@ SELECT k AS event_type, CAST(n AS BIGINT) AS n,
        CAST(cpt AS BIGINT) AS cp_index,
        CAST(ch AS BIGINT) AS cp_day_s,
        CAST(cu AS BIGINT) AS u_at_cp,
-       ROUND(LEAST(1.0, ROUND(2.0 * EXP(-6.0 * CAST(kstat AS DOUBLE)
+       -- gated on kstat: LEAST skips NULLs in both engines, so an
+       -- ungated form would emit 1.0 for n < 2 keys instead of NULL
+       ROUND(CASE WHEN kstat IS NOT NULL THEN
+               LEAST(1.0, ROUND(2.0 * EXP(-6.0 * CAST(kstat AS DOUBLE)
                * CAST(kstat AS DOUBLE)
                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                   + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) + 1e-12, 9))
-             + 1e-9, 6) AS p_approx
+             END + 1e-9, 6) AS p_approx
 FROM fin ORDER BY event_type
 """
 

@@ -1088,8 +1088,7 @@ def dunn_posthoc(
         ).alias("__tie3")
     )
     gr = (
-        cells.join(vr.drop("__t"), ["__k", "__v"])
-        .join(vt, ["__k", "__v"])
+        cells.join(vr, ["__k", "__v"])
         .groupBy("__k", "__g")
         .agg(
             F.sum("__c").alias("__ng"),

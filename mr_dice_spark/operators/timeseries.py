@@ -3633,6 +3633,12 @@ def pettitt_from_buckets(b: DataFrame, key_col: str) -> DataFrame:
         + F.lit(1e-12),
         9,
     )
+    # gate on the struct, not just p_raw: least() SKIPS null operands
+    # in both engines, so an ungated least(1.0, NULL) would read 1.0
+    # for n < 2 keys instead of the documented fail-closed NULL
+    p = F.when(
+        F.col("__best").isNotNull(), F.least(F.lit(1.0), p_raw)
+    )
     return agg.select(
         F.col("__k").alias(key_col),
         F.col("__nn").cast("long").alias("n"),
@@ -3640,9 +3646,7 @@ def pettitt_from_buckets(b: DataFrame, key_col: str) -> DataFrame:
         (-F.col("__best.mt")).cast("long").alias("cp_index"),
         F.col("__best.h").alias("cp_bucket"),
         F.col("__best.u").alias("u_at_cp"),
-        F.round(F.least(F.lit(1.0), p_raw) + F.lit(1e-9), 6).alias(
-            "p_approx"
-        ),
+        F.round(p + F.lit(1e-9), 6).alias("p_approx"),
     )
 
 
@@ -3704,7 +3708,10 @@ def seasonal_mann_kendall(
         .select(
             "__k",
             "__x",
-            F.pmod(F.col("__x"), F.lit(int(period))).alias("__p"),
+            # sign-of-dividend % (NOT pmod): DuckDB's % is
+            # sign-of-dividend, and phase labels must agree
+            # cross-engine for pre-1970 (negative-epoch) buckets too
+            (F.col("__x") % F.lit(int(period))).alias("__p"),
             "__v",
         )
         .localCheckpoint(eager=True)

@@ -1495,8 +1495,10 @@ def test_pettitt_hand_computed(spark):
     # the shift series splits exactly at the level break
     assert got["shift"]["cp_index"] == 10
     assert got["shift"]["p_approx"] < 0.05
-    # n < 2: row KEPT, stats fail closed (no silent key drop)
+    # n < 2: row KEPT, stats fail closed (no silent key drop) — p too
+    # (least() skips NULLs, so this needs the explicit gate)
     assert got["single"]["n"] == 1 and got["single"]["k_stat"] is None
+    assert got["single"]["p_approx"] is None
     # constant series: every U_t = 0, smallest-t tie-break, p capped at 1
     assert got["const"]["k_stat"] == 0
     assert got["const"]["cp_index"] == 1
