@@ -234,7 +234,22 @@ ORDER BY id_a, id_b
 def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS ranking pass: document pairs sharing >= 3 winnowed
     fingerprints (substring-level near-dup evidence), oracle-checked over
-    the identical fingerprint sets."""
+    the identical fingerprint sets.
+
+    ``prefix_filter=False`` (the inverted-index count-join) is the
+    deliberate strategy choice for THIS query's regime, not a shortcut:
+    at ``min_shared=3`` against ~110-fingerprint documents the PPJoin
+    prefix keeps ``n - 2`` of ``n`` fingerprints, so the candidate join
+    explodes identically on both paths (78.2M rows measured at sf0.1)
+    while the prefix path then pays a 54M-row distinct AND two joins
+    shipping full fingerprint ARRAYS to 10.9M pairs for the
+    array_intersect verify. The count-join computes ``shared`` from the
+    very same join with a map-side-combinable COUNT — no distinct, no
+    array payloads (measured 59->5 s at sf0.1; both paths are exact and
+    tests/test_winnowing.py::test_overlap_join_prefix_filter_matches_naive
+    pins their equality). Prefix filtering remains the right call when
+    ``min_shared`` is a large fraction of the set size — that regime
+    keeps the operator default."""
     from mr_dice_spark.operators.winnowing import (
         fingerprint_overlap_join,
         winnowing_fingerprints,
@@ -242,7 +257,9 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, portable=True)
-    return fingerprint_overlap_join(fps, "doc_id", min_shared=3).orderBy("id_a", "id_b")
+    return fingerprint_overlap_join(
+        fps, "doc_id", min_shared=3, prefix_filter=False
+    ).orderBy("id_a", "id_b")
 
 
 WINNOW_TOPK_ORACLE = WINNOW_OVERLAP_ORACLE.replace(
@@ -258,12 +275,15 @@ WINNOW_TOPK_ORACLE = WINNOW_OVERLAP_ORACLE.replace(
 def winnowing_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MOSS REPORT shape: the 500 most-overlapping document pairs
     (shared DESC, pair id tiebreak) — what a reviewer actually reads,
-    vs winnowing_overlap_pairs' full pair dump. Same PPJoin-filtered
-    aggregate underneath; the LIMIT rides Spark's TakeOrdered, so the
-    result sink is 500 rows however many pairs exist. This is also the
-    bench entry for the overlap family: the full dump's 9.7M-row sink
-    serialization (91 s of the 122 s noop write at sf0.1) measures the
-    sink, not the operator."""
+    vs winnowing_overlap_pairs' full pair dump. Same count-join
+    aggregate underneath (``prefix_filter=False`` — the regime
+    rationale, with measurements, is on winnowing_overlap_pairs; at
+    min_shared=3 the PPJoin prefix cannot prune and its array-verify
+    joins were 85% of this query's 60 s wall at sf0.1); the LIMIT rides
+    Spark's TakeOrdered, so the result sink is 500 rows however many
+    pairs exist. This is also the bench entry for the overlap family:
+    the full dump's 9.7M-row sink serialization (91 s of the 122 s noop
+    write at sf0.1) measures the sink, not the operator."""
     from mr_dice_spark.operators.winnowing import (
         fingerprint_overlap_join,
         winnowing_fingerprints,
@@ -272,7 +292,7 @@ def winnowing_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, portable=True)
     return (
-        fingerprint_overlap_join(fps, "doc_id", min_shared=3)
+        fingerprint_overlap_join(fps, "doc_id", min_shared=3, prefix_filter=False)
         .orderBy(F.desc("shared"), "id_a", "id_b")
         .limit(500)
     )

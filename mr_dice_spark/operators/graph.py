@@ -102,26 +102,44 @@ def triangle_counts(
     Compact-forward algorithm: normalize to distinct undirected pairs
     (self-loops dropped), then orient every edge from the (degree, node)-
     smaller endpoint to the larger — a DAG in which each triangle
-    u ≺ v ≺ w appears exactly once as the wedge (u→v, u→w) closed by
-    (v→w). The wedge join fans out per source as out-degree², and the
-    degree ordering caps every out-degree at O(√m) — the classic
-    O(m^1.5) bound — so one hub node cannot absorb a quadratic block
-    (same hazard class as the fuzzy join's constant-prefix collapse,
-    handled here BY the orientation rather than by a circuit breaker).
+    u ≺ v ≺ w appears exactly once, AT ITS LEAST EDGE (u→v), as a common
+    out-neighbor w ∈ N⁺(u) ∩ N⁺(v) (w ∈ N⁺(v) forces v ≺ w, so neither
+    (u→w) nor (v→w) re-finds it). The degree ordering caps every
+    out-degree at O(√m) — the classic O(m^1.5) bound — so one hub node
+    cannot absorb a quadratic block (same hazard class as the fuzzy
+    join's constant-prefix collapse, handled here BY the orientation
+    rather than by a circuit breaker).
 
     Returns ``(node, triangles)`` for every node in the graph, zeros
-    included. Shapes: two key shuffles to normalize + degree, one wedge
-    self-join on the oriented source, one closing join on the oriented
-    pair — all equi-joins, no cartesian anywhere.
+    included. Shapes: two key shuffles to normalize + degree, one
+    aggregate packing out-adjacency ARRAYS (each O(√m) long), two
+    edge-keyed joins attaching N⁺(u) and N⁺(v) to each oriented edge,
+    and one explode of their intersection — all equi-joins, no
+    cartesian anywhere. This replaces the r5 wedge self-join + closing
+    pair join: both enumerate the same O(Σ outdeg²) wedge set, but the
+    wedge shape materialized it as a 41M-ROW shuffle into the closing
+    join at sf0.1 where the arrays ship the identical information as
+    ~outdeg packed longs and the intersection never leaves the join
+    task (26.0 s → 8.5 s at sf0.1, plan 188 parquet scans → 2 — the
+    guide-§2.3 'shuffle keys and metadata, not payloads' move plus
+    §2.4 shuffle removal). The canonical edge set, degrees, and
+    orientation are localCheckpoint-pinned: each is consumed by ≥ 2
+    downstream branches, and unpinned the planner re-expanded the
+    upstream scan+join into every branch (188 scans of lineitem in the
+    copurchase golden's static plan).
     """
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("a", "n")
+    deg = (
+        und.groupBy("a").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("a", "n")
+        .localCheckpoint(eager=True)
+    )
     ed = (
         e.join(deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a")
         .join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
@@ -132,22 +150,23 @@ def triangle_counts(
     orient = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("vdg"),
+    ).localCheckpoint(eager=True)
+    adj = orient.groupBy("u").agg(F.collect_list("v").alias("__nb"))
+    tri = (
+        orient.join(
+            adj.select(F.col("u").alias("__ju"), F.col("__nb").alias("__nu")),
+            F.col("u") == F.col("__ju"),
+        )
+        .join(
+            adj.select(F.col("u").alias("__jv"), F.col("__nb").alias("__nv")),
+            F.col("v") == F.col("__jv"),
+        )
+        .select("u", "v", F.explode(F.array_intersect("__nu", "__nv")).alias("w"))
     )
-    e1, e2 = orient.alias("e1"), orient.alias("e2")
-    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).where(
-        (F.col("e1.vdg") < F.col("e2.vdg"))
-        | ((F.col("e1.vdg") == F.col("e2.vdg")) & (F.col("e1.v") < F.col("e2.v")))
-    )
-    closing = orient.select(F.col("u").alias("cv"), F.col("v").alias("cw"))
-    tri = wedges.join(
-        closing,
-        (F.col("e1.v") == F.col("cv")) & (F.col("e2.v") == F.col("cw")),
-    ).select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z"))
     per_node = (
-        tri.select(F.col("x").alias("n"))
-        .union(tri.select(F.col("y").alias("n")))
-        .union(tri.select(F.col("z").alias("n")))
+        tri.select(F.col("u").alias("n"))
+        .union(tri.select(F.col("v").alias("n")))
+        .union(tri.select(F.col("w").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("t"))
     )
@@ -468,9 +487,10 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     (mirror farms, bundle SKUs) while high-degree/low-lcc nodes are
     brokers whose removal fragments the graph.
 
-    Triangle counts come from the compact-forward wedge join of
-    :func:`triangle_counts` (degree-oriented, so per-source fan-out is
-    O(sqrt m) and no hub absorbs a quadratic block); degrees are one
+    Triangle counts come from the compact-forward adjacency
+    intersection of :func:`triangle_counts` (degree-oriented, so
+    per-source fan-out is O(sqrt m) and no hub absorbs a quadratic
+    block); degrees are one
     hash aggregate over the same canonical edge set, which is
     localCheckpoint-pinned since both branches (and the triangle
     pipeline's own degree/orient/close branches) would otherwise

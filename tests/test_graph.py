@@ -82,6 +82,37 @@ def test_triangle_counts_triangle_free(spark):
     assert got == {1: 0, 2: 0, 10: 0, 20: 0}
 
 
+def test_triangle_counts_matches_bruteforce_dense(spark):
+    """Cross-check the adjacency-intersection rewrite (r11 optimization:
+    wedge self-join + closing join -> N+(u) ∩ N+(v) per oriented edge)
+    against a per-node brute force on a deterministic pseudo-random
+    graph dense enough to exercise hubs, shared wedges, and zero-triangle
+    satellites."""
+    from itertools import combinations
+
+    from mr_dice_spark.operators.graph import triangle_counts
+
+    nodes = list(range(30))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    # brute force: count triangles per node over the undirected simple graph
+    nbrs = {n: set() for n in nodes}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expected = {
+        n: sum(1 for x, y in combinations(sorted(nbrs[n]), 2) if y in nbrs[x])
+        for n in nodes
+        if nbrs[n]
+    }
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
 def test_triangle_counts_plan_no_cartesian(spark):
     from mr_dice_spark.operators.graph import triangle_counts
 
