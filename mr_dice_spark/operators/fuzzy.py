@@ -18,9 +18,10 @@ keys (its halves recomputed at each admissible partner length
 ``l-1, l, l+1``) — pigeonhole, no probabilistic recall.
 
 Scale shape: 2 index keys + <= 6 probe keys per row, one equi-join on
-the (role, segment-length, segment) key, DISTINCT on the id pair, then
-levenshtein verification on candidates only — near-linear when segment
-values distribute.
+the (role, segment-length, segment) key with the levenshtein verify
+applied map-side on the join output, then DISTINCT on the verified
+pairs only (output-bound exchange) — near-linear when segment values
+distribute.
 
 DEGENERATE-CORPUS HANDLING (built in, on by default): a corpus whose
 strings share a constant half (e.g. a fixed 'Customer#' prefix on
@@ -360,7 +361,18 @@ def edit_distance_join(
     # (measured >300 s; the shuffled join's key-partitioned verify is
     # ~8 s on the same corpus). The shuffled hash join on the segment
     # key is also the only shape that scales to a corpus-sized index.
-    cand = (
+    # VERIFY BELOW THE EXCHANGE (r11 optimization, guide §2.3): the
+    # levenshtein verify runs map-side on the raw join output and only
+    # TRUE pairs reach the distinct's shuffle. The old shape distinct-ed
+    # the candidates first, which shuffled every candidate (ids + both
+    # strings) just to dedup the <= 4-key collision multiplicity before
+    # verifying — on the degenerate-block regime that is a candidate-
+    # bound exchange (54M rows at sf0.1 in the k=2 golden) vs the
+    # output-bound one here. Each pair pays at most the key-collision
+    # constant (<= 4 at k=1) extra levenshtein calls, all parallel in
+    # the join stage; `dist` is a pure function of the pair, so DISTINCT
+    # over (id_a, id_b, dist) equals DISTINCT over the pair.
+    verified = (
         index.alias("a")
         .hint("shuffle_hash")
         .join(
@@ -372,17 +384,12 @@ def edit_distance_join(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__s").alias("__sa"),
-            F.col("b.__s").alias("__sb"),
+            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
         )
+        .where(F.col("dist") <= max_dist)
         .distinct()
     )
-    dist = F.levenshtein(F.col("__sa"), F.col("__sb"))
-    return (
-        cand.withColumn("dist", dist)
-        .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
-    )
+    return verified.select("id_a", "id_b", "dist")
 
 
 def _seg_len(la, i, k):
@@ -493,8 +500,15 @@ def edit_distance_join_k(
     ).where(F.col("__k").isNotNull())
 
     # shuffle_hash: same rationale as the k=1 path — never broadcast the
-    # candidate join, its verify parallelism must follow the key shuffle
-    cand = (
+    # candidate join, its verify parallelism must follow the key shuffle.
+    # Verify BELOW the exchange (r11 optimization, same rationale as the
+    # k=1 path): at k=2 the probe side posts up to (2k+1)^2(k+1) keys per
+    # row, and on the degenerate-block corpus the candidate join emits
+    # 60M rows at sf0.1 of which 54M are DISTINCT — the old
+    # distinct-then-verify shape shuffled all of them with both strings
+    # attached (26.7 s warm); filtering on the map side first makes the
+    # exchange output-bound (13.4 s).
+    verified = (
         index.alias("a")
         .hint("shuffle_hash")
         .join(
@@ -506,16 +520,12 @@ def edit_distance_join_k(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__s").alias("__sa"),
-            F.col("b.__s").alias("__sb"),
+            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
         )
+        .where(F.col("dist") <= k)
         .distinct()
     )
-    return (
-        cand.withColumn("dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
-        .where(F.col("dist") <= k)
-        .select("id_a", "id_b", "dist")
-    )
+    return verified.select("id_a", "id_b", "dist")
 
 
 def sorted_neighborhood_pairs(
