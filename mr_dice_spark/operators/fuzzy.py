@@ -372,6 +372,12 @@ def edit_distance_join(
     # constant (<= 4 at k=1) extra levenshtein calls, all parallel in
     # the join stage; `dist` is a pure function of the pair, so DISTINCT
     # over (id_a, id_b, dist) equals DISTINCT over the pair.
+    # (No _pin_join_parallelism here: the k=1 key streams are 2-key/
+    # <=6-key per row, and measured end-to-end the forced repartition
+    # COSTS ~1 s on the er_best_match golden — AQE's coalescing does not
+    # starve this path's smaller fan-out, so the extra exchange buys
+    # nothing. The general-k path below is the one with the measured
+    # coalescing collapse.)
     verified = (
         index.alias("a")
         .hint("shuffle_hash")
@@ -390,6 +396,26 @@ def edit_distance_join(
         .distinct()
     )
     return verified.select("id_a", "id_b", "dist")
+
+
+def _pin_join_parallelism(index: DataFrame, probe: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Explicitly hash-partition both candidate-join inputs on the
+    blocking key at the session's shuffle partition count (r11
+    optimization). The candidate join is a FAN-OUT join: its shuffle
+    INPUT is small (key streams of short strings) but its output is
+    candidate pairs, every one paying a levenshtein verify in the same
+    stage. AQE's bytes-based partition coalescing sees only the input
+    bytes and collapsed the join to a handful of partitions, serializing
+    tens of millions of verifies onto a few cores (measured 31.1 s vs
+    5.4 s with coalescing off on the k=2 golden at sf0.1). A
+    user-specified repartition is exempt from AQE coalescing, restoring
+    the verify parallelism; using ``spark.sql.shuffle.partitions``
+    (not a hardcoded count) keeps it cluster-sized — on a real cluster
+    that conf is tuned to the executor fleet, and the join inherits it.
+    Both sides share the partitioning, so the join adds no extra
+    exchange."""
+    n = int(index.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return index.repartition(n, "__k"), probe.repartition(n, "__k")
 
 
 def _seg_len(la, i, k):
@@ -466,7 +492,16 @@ def edit_distance_join_k(
         _check_block_sizes(index, max_block_rows)
 
     def probe_keys_for(i: int):
-        # keys for partner length la and segment i across all shifts
+        # keys for partner length la and segment i across admissible
+        # shifts. Shift tightening (r11 optimization, exact): if the
+        # partner's untouched segment matches y at shift ``sh``, the
+        # prefixes before the occurrence differ in net length by ``sh``
+        # (>= |sh| edits) and the suffixes after it by ``Δ - sh`` where
+        # ``Δ = len(y) - la`` (>= |Δ - sh| edits), so any true match has
+        # |sh| + |Δ - sh| <= k — a width-(k+1) shift window instead of
+        # the naive 2k+1. At k=2 this drops probe keys ~40% and, on the
+        # degenerate-block corpus the k=2 golden pins, raw candidates
+        # 60.2M -> 36M at sf0.1.
         def one(la):
             slen = _seg_len(la, i, k)
             start = _seg_start(la, i, k)
@@ -474,6 +509,7 @@ def edit_distance_join_k(
                 F.sequence(F.lit(-k), F.lit(k)),
                 lambda sh: F.when(
                     (la >= k + 1)
+                    & (F.abs(sh) + F.abs(l - la - sh) <= k)
                     & (start + sh >= 1)
                     & (start + sh + slen - 1 <= l),
                     F.concat_ws(
@@ -506,8 +542,10 @@ def edit_distance_join_k(
     # row, and on the degenerate-block corpus the candidate join emits
     # 60M rows at sf0.1 of which 54M are DISTINCT — the old
     # distinct-then-verify shape shuffled all of them with both strings
-    # attached (26.7 s warm); filtering on the map side first makes the
-    # exchange output-bound (13.4 s).
+    # attached; filtering on the map side first makes the exchange
+    # output-bound (26.7 s -> 5.6 s at sf0.1 together with the shift
+    # tightening above and the pinned join parallelism below).
+    index, probe = _pin_join_parallelism(index, probe)
     verified = (
         index.alias("a")
         .hint("shuffle_hash")

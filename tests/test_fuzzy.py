@@ -84,6 +84,45 @@ def test_edit_distance_join_general_k_randomized(spark):
         edit_distance_join_k(df, "id", "s", 0)
 
 
+def test_edit_distance_join_k_shift_tightening_long_strings(spark):
+    """The r11 shift-tightening (|sh| + |Δ-sh| <= k admissibility in the
+    general-k probe) must not lose pairs on LONGER strings, where indel
+    placement drives the matched segment through every admissible shift:
+    brute-force parity at k=2 over length-9..14 strings built by seeded
+    random edits (indel-heavy) of a few stems."""
+    from mr_dice_spark.operators.fuzzy import edit_distance_join
+
+    rng = random.Random(11)
+    stems = ["abcabcabcabc", "aabbccddeeff", "abababababab"]
+    rows = []
+    rid = 0
+    for stem in stems:
+        for _ in range(25):
+            s = list(stem)
+            for _ in range(rng.randint(0, 3)):
+                op = rng.choice("ids")
+                p = rng.randrange(len(s) + (op == "i"))
+                if op == "i":
+                    s.insert(p, rng.choice("abcdef"))
+                elif op == "d" and s:
+                    del s[p % len(s)]
+                else:
+                    s[p % len(s)] = rng.choice("abcdef")
+            rows.append((rid, "".join(s)))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", max_dist=2).collect()
+    )
+    exp = sorted(
+        (a, b, _lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if _lev(sa, sb) <= 2
+    )
+    assert got == exp
+
+
 def test_affix_strip_preserves_pair_set_on_id_corpora(spark):
     """Common prefix AND suffix (an 'ORDER#____/2024' shape): the strip
     must yield the identical pair set as the unstripped join — the
