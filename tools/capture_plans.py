@@ -31,6 +31,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     allq = dict(bench_queries())
     allq.update(bench_extended_queries())
+    if only:
+        from mr_dice_spark.golden import GOLDEN
+
+        allq.update({n: GOLDEN[n] for n in only if n in GOLDEN})
     for name, g in sorted(allq.items()):
         if only and name not in only:
             continue
