@@ -22,115 +22,95 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mr_dice_spark.golden import GOLDEN  # noqa: E402
 
 # The driver's CORRECTNESS check covers the first 50 entries of queries()
-# in dict order. Round-11 window, exactly as VERDICT r10 next-#4 (and the
-# pre-plan written here in round 10) prescribes: 1 flagship +
-# durbin_watson_daily_value_by_type re-admitted for a green re-check after
-# its decimal-cancellation fix (the r10 red row: DuckDB's DECIMAL->DOUBLE
-# cast is 1 ulp off correctly-rounded and the cast-then-cancel OLS chain
-# amplified it into the 6dp pin; both engine and oracle now cancel in
-# exact decimal) + the 13 round-10 golden additions (the documented
-# ROUND-11 WINDOW QUEUE, never driver-checked, landing order — all 13
-# strict-sweep green in the r10 judge review AND under this round's
-# full-precision comparator) + the first 35 alphabetical goldens whose
-# latest driver row is round 4 (age 7 at round 11, inside the derived
-# horizon of 9). 1 + 1 + 13 + 35 = 50 exactly. The 14 remaining r4-latest
-# rows roll to round 12 at age 8 — still inside the horizon, as
-# tests/test_coverage.py's feasibility guard verifies. Everything
-# displaced is r4-r10-green and stays oracle-checked every CI run by
-# tests/test_golden.py under the identical (now strict full-precision)
-# DuckDB compare.
+# in dict order. Round-12 window, exactly as VERDICT r11 next-#3 amends
+# the pre-planned rotation: 1 flagship + the 11 goldens whose OPERATOR
+# PATHS WERE REWRITTEN in optimization round 11 (winnowing count-join,
+# fuzzy k=2 verify-below-exchange/shift-tightening, graph adjacency
+# intersection + shuffle_hash sweeps + co-purchase edge build) — only 3
+# of the 14 rewritten goldens sat in the r11 window, so the other 11
+# lead this one for an independent driver re-check — + the 20 round-11
+# golden additions (never driver-checked, landing order) + the 14
+# leftover r4-latest rows (age 8, the oldest cohort) + the first 4
+# alphabetical r5-latest rows. 1 + 11 + 20 + 14 + 4 = 50 exactly.
+# Every slot is ORACLE-CHECKABLE (VERDICT r11 next-#4: the r11 window
+# spent 4 slots on rows-only queries the driver can only score
+# "no_oracle"; those queries are property-tested in CI and their rows
+# are fresh as of r11, so no slot is burned on them here).
 #
 # SUSTAINABILITY NOTE: tests/test_coverage.py derives the freshness
 # horizon from corpus size (ceil((N-1)/49)+1 rounds — the provably
 # achievable round-robin period plus one round of slack) and asserts
-# NEXT round's window arithmetic stays feasible. The ROUND-12 WINDOW is
-# pre-planned: 1 flagship + any round-11 golden additions (never-checked,
-# lead the queue) + the 14 leftover r4-latest rows (age 8, the oldest
-# cohort) + r5-latest rows alphabetically to fill 50.
+# NEXT round's window arithmetic stays feasible. The ROUND-13 WINDOW is
+# pre-planned: 1 flagship + any round-12 golden additions (never-checked
+# lead the queue; this optimization round adds none) + the remaining 45
+# r5-latest rows alphabetically to fill 50 (age 8 at round 13, inside
+# the horizon of 9).
 _CHECK_FIRST = [
     # flagship (also entry())
     "q01_pricing_summary",
-    # --- re-admitted after the decimal-cancellation fix (r10 red row):
-    "durbin_watson_daily_value_by_type",
-    # --- ROUND-11 WINDOW QUEUE: the 13 round-10 golden additions,
+    # --- the 11 r11-REWRITTEN goldens not driver-checked since their
+    #     rewrite (VERDICT r11 next-#3; attested so far only by the
+    #     builder's full-corpus sweeps + CI):
+    "winnowing_overlap_pairs",
+    "winnowing_overlap_topk",
+    "fuzzy_name_join_k2",
+    "er_best_match_linkage",
+    "triangle_counts_copurchase",
+    "kcore_copurchase_parts",
+    "label_propagation_communities",
+    "community_modularity_copurchase",
+    "adamic_adar_link_prediction",
+    "degree_assortativity_copurchase",
+    "clustering_coefficient_copurchase",
+    # --- ROUND-12 WINDOW QUEUE: the 20 round-11 golden additions,
     #     landing order (never driver-checked before this round):
-    "cvm_value_weekend_by_type",
-    "energy_dist_value_weekend_by_type",
-    "grubbs_daily_value_by_type",
-    "moods_median_value_by_weekday",
-    "pacf_daily_value_by_type",
-    "hurst_hourly_value_by_type",
-    "dispersion_daily_counts_by_type",
-    "jt_weekly_value_trend_by_type",
-    "mood_scale_value_weekend_by_type",
-    "hampel_outliers_hourly_by_type",
-    "streaming_hampel_monitor",
-    "page_trend_weekly_by_weekday",
-    "kpss_daily_value_by_type",
-    # --- the first 35 alphabetical r4-latest goldens (computed from
-    #     the union of CORRECTNESS_r01-r10; VERDICT r10 next-#4):
-    "ann_recall_audit_ivf",
-    "bpe_pair_merge_stats",
-    "c4_line_cleaning",
-    "cdc_apply_changes_snapshot",
-    "cdc_latest_snapshot",
-    "cluster_keep_best_copy",
-    "compression_ratio_signal",
-    "corpus_datasheet",
-    "cosine_topk_bruteforce",
-    "crawl_quality_tokenizer_report",
-    "dedup_connected_clusters",
-    "demo1_and_containment",
-    "demo3_cte_ratio",
-    "demo4_window_toppct",
-    "demo6_reagg_having",
-    "demo7_global_outliers",
-    "demo8_multiwindow",
-    "demo9_selectivity_matrix",
-    "doc_length_histogram",
-    "embedding_near_dup_pairs",
-    "embedding_outlier_flags",
-    "events_asof_join",
-    "events_hourly_window",
-    "fair_quota_topk_events",
-    "fuzzy_name_join_customers",
-    "gopher_quality_gate",
-    "image_ahash_dedup",
-    "incremental_dedup_two_batches",
-    "interval_join_error_windows",
-    "kll_quantiles_daily_rollup",
-    "link_authority_pagerank",
-    "minhash_lsh_dedup_survivors",
-    "minhash_recall_audit_curve",
-    "mixture_upsample_epochs_lang",
-    "multimodal_avi_sample_extraction",
-    # ROUND-12 WINDOW QUEUE: round-11 golden additions (never
-    # driver-checked; they lead the round-12 rotation, landing order):
-    # (names are appended here in the same commit that lands each new
-    # golden — tests/test_coverage.py parses this comment.)
-    # kuiper_value_weekend_by_type
-    # ad_value_weekend_by_type
-    # bartlett_daily_value_by_weekday
-    # cox_stuart_daily_value_by_type
-    # theils_u2_hourly_value_by_type
-    # ansari_value_weekend_by_type
-    # quade_weekday_value_by_type
-    # streaming_theils_u2_monitor
-    # lepage_value_weekend_by_type
-    # brunner_munzel_value_weekend_by_type
-    # wilcoxon_signed_even_odd_by_type
-    # bowker_user_band_weekend_by_type
-    # partial_corr_weekend_given_volume
-    # pettitt_change_day_by_type
-    # somers_d_hour_value_by_type
-    # dunn_posthoc_value_by_weekday
-    # stuart_maxwell_band_shift_by_type
-    # conover_scale_hourly_by_type
-    # streaming_pettitt_monitor
-    # seasonal_mk_hourly_by_type
-    # Round-12 window = 1 flagship + this 20-golden queue + the 14
-    # leftover r4-latest rows (age 8, the oldest cohort) + the first
-    # 15 alphabetical r5-latest rows = 50 slots exactly.
+    "kuiper_value_weekend_by_type",
+    "ad_value_weekend_by_type",
+    "bartlett_daily_value_by_weekday",
+    "cox_stuart_daily_value_by_type",
+    "theils_u2_hourly_value_by_type",
+    "ansari_value_weekend_by_type",
+    "quade_weekday_value_by_type",
+    "streaming_theils_u2_monitor",
+    "lepage_value_weekend_by_type",
+    "brunner_munzel_value_weekend_by_type",
+    "wilcoxon_signed_even_odd_by_type",
+    "bowker_user_band_weekend_by_type",
+    "partial_corr_weekend_given_volume",
+    "pettitt_change_day_by_type",
+    "somers_d_hour_value_by_type",
+    "dunn_posthoc_value_by_weekday",
+    "stuart_maxwell_band_shift_by_type",
+    "conover_scale_hourly_by_type",
+    "streaming_pettitt_monitor",
+    "seasonal_mk_hourly_by_type",
+    # --- the 14 leftover r4-latest goldens (age 8, the oldest cohort;
+    #     computed from the union of CORRECTNESS_r01-r11):
+    "multimodal_frame_sample",
+    "ngram_novelty_by_doc",
+    "profile_events_columns",
+    "quality_bucketed_mixture",
+    "shuffle_shards_training_order",
+    "snapshot_diff_incremental",
+    "streaming_static_enrichment",
+    "streaming_upsert_snapshot",
+    "streaming_user_value_ema",
+    "text_analysis_stats",
+    "theta_overlap_event_types",
+    "unicode_nfc_dedup",
+    "vocab_oov_audit",
+    "window_trailing_range_sum",
+    # --- the first 4 alphabetical r5-latest goldens (fill to 50):
+    "audio_tone_detection",
+    "bigram_lm_quality",
+    "bloom_decontamination_prescreen",
+    "bpe_train_merges_corpus",
+    # ROUND-13 WINDOW QUEUE: (names of any never-driver-checked goldens
+    # are appended here in the same commit that lands each new golden —
+    # tests/test_coverage.py parses this comment. This optimization
+    # round adds no goldens, so the queue is empty; round 13 = 1
+    # flagship + the remaining 45 r5-latest rows alphabetically + 4
+    # r6-latest rows to fill 50.)
 ]
 
 
