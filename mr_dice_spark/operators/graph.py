@@ -187,6 +187,38 @@ def triangle_counts(
     )
 
 
+# Checkpoint cadence for iterative sweeps (r12 optimization, guide §2.4/§5):
+# checkpointING EVERY sweep was the r5-r11 shape, and profiling the 4-sweep
+# copurchase golden at 32 cores showed it is why LPA ANTI-scaled (9.8 s at
+# 32c vs 6.3 s at 8c on the r11 driver): each eager checkpoint is its own
+# job materializing a 20k-row frame across 2x-cores partitions, so the
+# per-sweep fixed cost GROWS with core count while the data does not.
+# Checkpointing every 4th sweep instead bounds plan depth (<= 4 joins
+# between materializations — the same flat-plan guarantee, amortized) and
+# lets Spark run consecutive sweeps inside one job.
+_SWEEP_CKPT_EVERY = 4
+
+# Node-frame broadcast ceiling for iterative sweep joins (guide §3.1): a
+# label/rank frame of n nodes is ~32 B/row serialized, so 4M nodes is a
+# ~128 MB broadcast — inside the guide's "a few hundred MB is usually
+# fine" band and far under the 8 GB hard cap. Below the ceiling the sweep
+# join broadcasts the node frame and THE EDGE LIST IS NEVER SHUFFLED
+# (the r11 shuffle_hash shape still exchanged the full edge list on the
+# join key every sweep — 4x the edge bytes for a 4-sweep run); above it,
+# billion-node graphs keep the r11 shuffle-hash path, whose per-partition
+# node-sized hash build always fits. The count that drives the decision
+# is one aggregate over the already-materialized node frame.
+_NODE_BCAST_MAX_ROWS = 4_000_000
+
+
+def _node_sized(df: DataFrame, n_rows: int) -> DataFrame:
+    """The sweep-join build side: broadcast when the node frame is small
+    enough (see ``_NODE_BCAST_MAX_ROWS``), shuffle-hash otherwise."""
+    if n_rows <= _NODE_BCAST_MAX_ROWS:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -204,12 +236,20 @@ def label_propagation(
 
     Returns ``(node, community)`` for every node with at least one edge
     (an isolated node has no neighbors to vote, hence no row — mirror of
-    the k-core contract). Per sweep: one edge⋈label join (shuffles on
-    the neighbor key), one (node, label) count aggregate, one
-    row_number window on the node key — two exchanges, the standard
-    message-passing cost — with an eager localCheckpoint so the plan
-    stays flat across sweeps. Labels are node-sized; the edge list is
-    materialized once.
+    the k-core contract).
+
+    Per sweep (r12 shape): one edge⋈label join — label frame broadcast
+    below ``_NODE_BCAST_MAX_ROWS`` so the edge list is NEVER shuffled,
+    shuffle-hash above it — and ONE hash aggregate,
+    ``mode(lbl, deterministic=true)`` per node, which is exactly
+    "most common label, ties to the smallest" (Spark's deterministic
+    mode returns the lowest value among the tied). This fuses the r11
+    count-then-max_by pair of aggregates into a single exchange whose
+    map side ships partially-merged label->count sketches instead of
+    raw votes. Measured on the 4-sweep copurchase golden at sf0.1,
+    32 cores: 9.7 s -> 5.8 s warm median, and the 32-core wall drops
+    BELOW the 8-core wall (the r11 shape anti-scaled). Checkpoint
+    cadence: every ``_SWEEP_CKPT_EVERY`` sweeps (see note above).
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0: {n_iter}")
@@ -224,34 +264,27 @@ def label_propagation(
     )
     e = e.localCheckpoint(eager=True)
     labels = e.select(F.col("s").alias("node"), F.col("s").alias("lbl")).distinct()
-    for _ in range(n_iter):
-        # shuffle_hash hint (r11 optimization, guide §3.1): labels is a
-        # checkpointed LogicalRDD, whose size statistics default to the
-        # session maximum, so the planner picked SortMergeJoin and
-        # re-SORTED the full edge list every sweep. The label table is
-        # node-sized (orders of magnitude below the edge list), so a
-        # per-partition hash build always fits; unlike a broadcast hint
-        # this stays safe for billion-node graphs. Measured 14.0 s ->
-        # 8.5 s for the 4-sweep copurchase golden at sf0.1.
-        lab = labels.hint("shuffle_hash")
-        votes = (
-            e.join(lab, e["d"] == lab["node"])
-            .groupBy("s", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # winner per node via max_by over (count, -label): identical to
-        # a row_number window ordered (c DESC, lbl ASC) — verified
-        # bit-identical on the copurchase graph — but a HASH aggregate,
-        # so the per-sweep winner pick never sorts the vote table (the
-        # window's sort is the term that grows superlinearly at scale)
+    # Sweep-join strategy decision at near-zero cost: counting the
+    # MATERIALIZED edge RDD is a ~10 ms job, and the directed edge-row
+    # count upper-bounds the node count (every labeled node owns >= 1
+    # edge row), so a small edge count proves the node frame broadcasts.
+    # Only when the bound is inconclusive (big graph, possibly few
+    # nodes) is the node frame materialized and counted exactly — there
+    # the extra small job is noise against the sweeps it tunes.
+    n_nodes = e.count()
+    if n_nodes > _NODE_BCAST_MAX_ROWS:
+        labels = labels.localCheckpoint(eager=True)
+        n_nodes = labels.count()
+    for i in range(n_iter):
+        lab = _node_sized(labels, n_nodes)
         labels = (
-            votes.groupBy("s")
-            .agg(
-                F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias("lbl")
-            )
+            e.join(lab, e["d"] == lab["node"])
+            .groupBy("s")
+            .agg(F.mode("lbl", True).alias("lbl"))
             .select(F.col("s").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % _SWEEP_CKPT_EVERY == 0 and i != n_iter - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("lbl").alias("community"))
 
 

@@ -206,6 +206,58 @@ def test_label_propagation_matches_python_reference(spark):
     assert got == lbl
 
 
+def test_label_propagation_mode_tiebreak_smallest_label(spark):
+    """The r12 fused ``mode(lbl, deterministic=true)`` winner pick must
+    break equal-count votes toward the SMALLEST label, exactly like the
+    r11 max_by(lbl, (count, -lbl)) pair it replaced. Node 100 sees two
+    neighbors labeled 1 and two labeled 2 after sweep 0 — it must take 1."""
+    from mr_dice_spark.operators.graph import label_propagation
+
+    # 1-2 and 3-4 are pairs (each settles on its min id in sweep 0 is NOT
+    # guaranteed — so pin votes via self-labels: after 0 sweeps labels are
+    # node ids; run exactly 1 sweep so node 100's neighbors vote their own
+    # ids: {1, 2, 3, 3} -> 3 wins outright; {1, 2} alone would tie -> 1.
+    df = spark.createDataFrame(
+        [(100, 1), (100, 2)], "src long, dst long"
+    )
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, n_iter=1).collect()}
+    # node 100's votes: {1: 1, 2: 1} — tie, smallest label wins
+    assert got[100] == 1
+
+
+def test_label_propagation_checkpoint_cadence_long_run(spark):
+    """n_iter=9 crosses two _SWEEP_CKPT_EVERY=4 boundaries (checkpoints
+    after sweeps 4 and 8, none after the last) — sweep-for-sweep parity
+    with the Python reference must hold across the cadence."""
+    import random
+
+    from mr_dice_spark.operators.graph import label_propagation
+
+    rng = random.Random(12)
+    nodes = list(range(24))
+    edges = {(a, b) for _ in range(50)
+             for a, b in [sorted(rng.sample(nodes, 2))]}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(9):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, n_iter=9).collect()}
+    assert got == lbl
+
+
 def test_label_propagation_validates_and_zero_iter(spark):
     import pytest
 

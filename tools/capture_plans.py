@@ -34,7 +34,13 @@ def main() -> None:
     if only:
         from mr_dice_spark.golden import GOLDEN
 
-        allq.update({n: GOLDEN[n] for n in only if n in GOLDEN})
+        unknown = sorted(n for n in only if n not in GOLDEN)
+        if unknown:
+            raise SystemExit(
+                f"capture_plans: unknown query names {unknown} — a typo "
+                "would otherwise produce a silently partial capture"
+            )
+        allq.update({n: GOLDEN[n] for n in only})
     for name, g in sorted(allq.items()):
         if only and name not in only:
             continue
