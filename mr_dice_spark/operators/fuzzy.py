@@ -265,6 +265,135 @@ def _refine_hot_blocks(
     return index, probe
 
 
+# --- general-k hot-block refinement (r12 optimization, guide §2.5) --------
+#
+# The k=1 deletion-neighborhood guard above relies on the shared segment
+# sitting at a string BOUNDARY (the strip lemma reduces the pair's
+# distance to the remainder's distance). At k >= 2 the untouched segment
+# is INTERIOR, so the remainder is a (prefix, suffix) pair around the
+# occurrence and the boundary argument no longer applies. The exact
+# necessary condition that replaces it: if ed(x, y) <= k via an alignment
+# that matches x's segment verbatim at some occurrence in y, then the
+# alignment restricted to the remainders pairs prefix-with-prefix and
+# suffix-with-suffix at total cost <= k; every substitution deletes one
+# aligned char from EACH side, every indel deletes one char from ONE
+# side, so each side reaches the common alignment residue by deleting at
+# most k characters from its own remainder. Hence, with '\x01' marking
+# the prefix/suffix boundary (neither side deletes it on the witness
+# path),
+#
+#   D<=k(prefix_x + '\x01' + suffix_x)  ∩  D<=k(prefix_y + '\x01' + suffix_y) != ∅
+#
+# where D<=k is the <=k-deletion neighborhood. Re-keying hot-block rows
+# by (key, variant) therefore preserves recall exactly; variant
+# collisions beyond the true pairs are false candidates the levenshtein
+# verify already removes. The index side splits at its segment's
+# canonical position; the probe side splits at EVERY textual occurrence
+# of the segment content (a superset of the shifted-window positions
+# that generated the key — supersets only add false candidates).
+
+
+def _dels_upto_k(rem, k: int):
+    """``array<string>`` of every string reachable from ``rem`` by at
+    most ``k`` single-character deletions (k rounds of expand+dedup;
+    the array stays O(|rem|^k), only ever evaluated on hot-block rows)."""
+    one = lambda v: F.transform(  # noqa: E731 — local expression builder
+        F.sequence(F.lit(1), F.greatest(F.length(v), F.lit(1))),
+        lambda i: F.concat(
+            v.substr(F.lit(1), i - F.lit(1)),
+            v.substr(i + F.lit(1), F.length(v)),
+        ),
+    )
+    vs = F.array(rem)
+    for _ in range(k):
+        vs = F.array_distinct(F.concat(vs, F.flatten(F.transform(vs, one))))
+    return vs
+
+
+def _deletion_refined_k(part: DataFrame, k: int, index_side: bool) -> DataFrame:
+    """Re-key hot general-k rows by the deletion neighborhood of the
+    remainder around the shared segment. ``__k`` is
+    '{segment#}\\x00{len}\\x00{content}'; the refined key appends
+    '\\x00{variant}' where variant ∈ D<=k(prefix + '\\x01' + suffix).
+    Index rows split at the segment's canonical position; probe rows at
+    every occurrence of the content (see the exactness note above)."""
+    seg_i = F.split(F.col("__k"), "\x00").getItem(0).cast("int")
+    seg_len = F.split(F.col("__k"), "\x00").getItem(1).cast("int")
+    content = F.split(F.col("__k"), "\x00").getItem(2)
+    l = F.col("__l")
+    if index_side:
+        starts = F.array(_seg_start(l, seg_i, k))
+    else:
+        starts = F.filter(
+            F.sequence(F.lit(1), F.greatest(l - seg_len + F.lit(1), F.lit(1))),
+            lambda p: F.col("__s").substr(p, seg_len) == content,
+        )
+
+    def rem(p):
+        return F.concat(
+            F.col("__s").substr(F.lit(1), p - F.lit(1)),
+            F.lit("\x01"),
+            F.col("__s").substr(p + seg_len, l),
+        )
+
+    # variants across ALL occurrence splits, deduped in-array so the
+    # refined stream never needs its own distinct exchange
+    variants = F.array_distinct(
+        F.flatten(F.transform(starts, lambda p: _dels_upto_k(rem(p), k)))
+    )
+    return part.select(
+        "__id", "__s", "__l", "__k", F.explode(variants).alias("__v")
+    ).select(
+        "__id", "__s", "__l",
+        F.concat(F.col("__k"), F.lit("\x00"), F.col("__v")).alias("__k"),
+    )
+
+
+def _refine_hot_blocks_k(
+    index: DataFrame, probe: DataFrame, k: int, product_threshold: int
+) -> tuple[DataFrame, DataFrame]:
+    """General-k analogue of :func:`_refine_hot_blocks`. Low-entropy
+    segments (short splits over small alphabets — templated IDs, digit
+    cores) can make MANY keys hot at k >= 2, so membership is decided by
+    a broadcast semi/anti join against the hot-key frame instead of the
+    k=1 path's driver-collected isin list (no _HOT_KEY_CAP fail-fast
+    here: refinement handles the degeneracy instead of refusing; the
+    optional ``max_block_rows`` breaker still applies AFTER refinement).
+    The tiny-string block 'T' is never refined — it has no segment
+    geometry; its population is bounded by strings of length <= 2k.
+
+    The hot frame stays LAZY: it is broadcast into the four semi/anti
+    joins and Spark's exchange reuse executes the aggregate once, inside
+    the main query — no driver round-trip, no extra jobs, no planning
+    gap (an eager checkpoint+count shape measured ~3 s of serial
+    driver/job overhead per call at sf0.1). Its size is bounded by
+    total_candidates / product_threshold keys, so the broadcast is tiny
+    for any corpus that finishes at all."""
+    tagged = index.select("__k", F.lit(1).alias("__i")).unionAll(
+        probe.select("__k", F.lit(0).alias("__i"))
+    )
+    hot = (
+        tagged.groupBy("__k")
+        .agg(
+            F.sum("__i").cast("double").alias("__ci"),
+            F.sum(1 - F.col("__i")).cast("double").alias("__cp"),
+        )
+        .where(
+            (F.col("__ci") * F.col("__cp") > F.lit(float(product_threshold)))
+            & (F.col("__k") != F.lit("T"))
+        )
+        .select("__k")
+    )
+    hot_b = F.broadcast(hot)
+    index = index.join(hot_b, "__k", "left_anti").unionByName(
+        _deletion_refined_k(index.join(hot_b, "__k", "left_semi"), k, True)
+    )
+    probe = probe.join(hot_b, "__k", "left_anti").unionByName(
+        _deletion_refined_k(probe.join(hot_b, "__k", "left_semi"), k, False)
+    )
+    return index, probe
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
@@ -291,6 +420,9 @@ def edit_distance_join(
     fail-fasts if any FINAL (post-refinement) blocking key still
     exceeds that cardinality."""
     if max_dist != 1:
+        # hot_block_product is NOT forwarded: the k=1 deletion guard and
+        # the general-k refinement have different cost profiles, and the
+        # k-path default is documented on edit_distance_join_k.
         return edit_distance_join_k(
             df, id_col, str_col, max_dist,
             strip_affixes=strip_affixes, max_block_rows=max_block_rows,
@@ -398,6 +530,17 @@ def edit_distance_join(
     return verified.select("id_a", "id_b", "dist")
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """The session's shuffle partition count as an int, falling back to
+    ``sparkContext.defaultParallelism`` where the conf is non-numeric
+    (e.g. 'auto' under vendor AQE auto-shuffle)."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def _pin_join_parallelism(index: DataFrame, probe: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Explicitly hash-partition both candidate-join inputs on the
     blocking key at the session's shuffle partition count (r11
@@ -413,8 +556,12 @@ def _pin_join_parallelism(index: DataFrame, probe: DataFrame) -> tuple[DataFrame
     (not a hardcoded count) keeps it cluster-sized — on a real cluster
     that conf is tuned to the executor fleet, and the join inherits it.
     Both sides share the partitioning, so the join adds no extra
-    exchange."""
-    n = int(index.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    exchange. (The forced hash repartition re-concentrates any residual
+    hot key into one partition; the affix strip and hot-block
+    refinement mitigate but do not eliminate that — a corpus whose
+    post-refinement keys are still skewed trades the AQE-starvation fix
+    for a straggler.)"""
+    n = _shuffle_partitions(index)
     return index.repartition(n, "__k"), probe.repartition(n, "__k")
 
 
@@ -441,6 +588,7 @@ def edit_distance_join_k(
     max_dist: int,
     strip_affixes: bool = True,
     max_block_rows: int | None = None,
+    hot_block_product: int | None = None,
 ) -> DataFrame:
     """General-k PassJoin: all unordered pairs with ``levenshtein <=
     max_dist`` via the k+1-segment pigeonhole — ``k`` edits cannot touch
@@ -458,6 +606,27 @@ def edit_distance_join_k(
     ``edit_distance_join`` (k=1) is the hand-optimized two-segment
     special case (6 probe keys instead of 18); this is the general
     engine behind it for k >= 2.
+
+    ``hot_block_product`` (OPT-IN, default None): any key whose
+    candidate product (index rows x probe rows) exceeds it is re-blocked
+    by the <=k-deletion neighborhood of the remainder AROUND the shared
+    segment (prefix + '\\x01' + suffix) — the interior-segment
+    generalization of the k=1 guard, exact by the alignment argument
+    documented at :func:`_refine_hot_blocks_k`, verified by brute-force
+    parity on adversarial corpora at k=2 and k=3 (tests/test_fuzzy.py).
+    Off by default on MEASUREMENT, not principle: on the k=2 golden's
+    degenerate digit corpus at sf0.1 the refinement cuts candidate
+    enumeration 85.5M -> 52.8M and the join stage's executor time 87 s
+    -> 38 s, but the pair density there is so high (4.08M true pairs)
+    that the whole query is output-bound at ~7 s wall, and the
+    refinement's extra query stages (hot-key aggregate, semi/anti
+    routing, variant expansion) serialize into MORE wall (11.8-14.6 s
+    across three orchestration variants) than they save. Switch it on
+    for corpora where a hot block's enumeration dominates end-to-end
+    wall — sparse-output corpora with a templated interior (constant
+    cores the affix strip cannot reach), where quadratic blocks are the
+    wall and output is small. ``max_block_rows`` fail-fasts on the FINAL
+    post-refinement index, mirroring the k=1 contract.
     """
     k = max_dist
     if k < 1:
@@ -469,6 +638,20 @@ def edit_distance_join_k(
     ).where(F.col(str_col).isNotNull())
     if strip_affixes:
         s = _strip_common_affixes(s)
+    if hot_block_product is not None:
+        # The deletion-neighborhood expansion on hot rows runs map-side
+        # in the stage that READS this frame, so a corpus stored in a
+        # handful of parquet files would expand variants nearly serially
+        # (measured: the 2-file customer scan at sf0.1 ran the refined
+        # probe expansion 3.1 s on 2 of 32 cores). Widen once with a
+        # round-robin exchange — reused by every downstream branch —
+        # unless the scan is already session-shuffle wide (a 100 TB
+        # corpus), where the extra exchange would be pure cost (§2.4).
+        # NOT applied on the default path: A/B'd +0.6 s there (the plain
+        # key expansion is light enough that the exchange never pays).
+        n_part = _shuffle_partitions(s)
+        if s.rdd.getNumPartitions() < n_part:
+            s = s.repartition(n_part)
     l = F.col("__l")
 
     idx_segs = [
@@ -488,8 +671,6 @@ def edit_distance_join_k(
         "__id", "__s", "__l",
         F.explode(F.array(*idx_segs, tiny_idx)).alias("__k"),
     ).where(F.col("__k").isNotNull())
-    if max_block_rows is not None:
-        _check_block_sizes(index, max_block_rows)
 
     def probe_keys_for(i: int):
         # keys for partner length la and segment i across admissible
@@ -534,6 +715,11 @@ def edit_distance_join_k(
     probe = s.select(
         "__id", "__s", "__l", F.explode(probe_arr).alias("__k")
     ).where(F.col("__k").isNotNull())
+
+    if hot_block_product is not None:
+        index, probe = _refine_hot_blocks_k(index, probe, k, hot_block_product)
+    if max_block_rows is not None:
+        _check_block_sizes(index, max_block_rows)
 
     # shuffle_hash: same rationale as the k=1 path — never broadcast the
     # candidate join, its verify parallelism must follow the key shuffle.

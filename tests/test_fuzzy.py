@@ -84,6 +84,45 @@ def test_edit_distance_join_general_k_randomized(spark):
         edit_distance_join_k(df, "id", "s", 0)
 
 
+def test_edit_distance_join_k_hot_block_refinement_exact(spark):
+    """The OPT-IN general-k hot-block refinement (r12,
+    ``edit_distance_join_k(hot_block_product=...)``): re-keying hot
+    blocks by the <=k-deletion neighborhood of the remainder AROUND the
+    shared interior segment must keep the pair set bit-identical to the
+    unrefined path, on corpora engineered to fire every routing branch —
+    low-entropy digit cores behind shared affixes (hot keys on every
+    segment), repeated substrings (multi-occurrence probe splits), and
+    tiny strings (the unrefinable 'T' block)."""
+    from mr_dice_spark.operators.fuzzy import edit_distance_join_k
+
+    rng = random.Random(11)
+    corpora = [
+        [f"X{i % 90:02d}Z" for i in range(160)],
+        ["ab" * rng.randint(1, 4) + rng.choice(["", "a", "b", "ba"])
+         for _ in range(120)],
+        ["a", "", "ab", "ba"] * 3
+        + ["".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+           for _ in range(100)],
+    ]
+    for k in (2, 3):
+        for strs in corpora:
+            rows = [(i, s) for i, s in enumerate(strs)]
+            df = spark.createDataFrame(rows, "id long, s string")
+            exp = sorted(
+                (a, b, _lev(sa, sb))
+                for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+                if _lev(sa, sb) <= k
+            )
+            for hbp in (50, 5):  # force refinement on many/all keys
+                got = sorted(
+                    (r["id_a"], r["id_b"], r["dist"])
+                    for r in edit_distance_join_k(
+                        df, "id", "s", k, hot_block_product=hbp
+                    ).collect()
+                )
+                assert got == exp, f"k={k} hbp={hbp}"
+
+
 def test_edit_distance_join_k_shift_tightening_long_strings(spark):
     """The r11 shift-tightening (|sh| + |Δ-sh| <= k admissibility in the
     general-k probe) must not lose pairs on LONGER strings, where indel
