@@ -52,6 +52,7 @@ def test_oracle_output_types_driver_safe(sf_dir, name):
     assert not bad, f"{name}: driver-unsafe oracle output types {bad}"
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_golden_nonempty_unless_anti(spark, oracle_sf_dir, name):
     # every golden query except anti-join style ones should produce rows at sf0.01
