@@ -406,6 +406,11 @@ def edit_distance_join(
     """All unordered pairs with ``levenshtein <= max_dist``:
     ``(id_a, id_b, dist)`` with ``id_a < id_b``. NULL strings never pair
     (an unknown name is not within edit distance of anything).
+    PRECONDITION: ``id_col`` is unique per row (the natural ER input —
+    one record per id). The final DISTINCT is keyed on
+    ``(id_a, id_b, dist)``, so two rows reusing one id with different
+    strings collapse to one output pair per distance value; dedupe ids
+    upstream if that is not what you mean.
     ``max_dist=1`` runs the hand-optimized two-segment path below;
     larger k delegates to :func:`edit_distance_join_k` (the general
     k+1-segment PassJoin, same structural-recall guarantee).
@@ -601,7 +606,8 @@ def edit_distance_join_k(
     constant. Strings shorter than ``k+1`` fall into a tiny-string block
     (every such string is indexed against all partners of length
     ``<= 2k``) — bounded by the short-string population. Candidates are
-    then levenshtein-verified; recall is structural.
+    then levenshtein-verified; recall is structural. Same id-uniqueness
+    precondition as :func:`edit_distance_join`.
 
     ``edit_distance_join`` (k=1) is the hand-optimized two-segment
     special case (6 probe keys instead of 18); this is the general

@@ -134,7 +134,12 @@ def triangle_counts(
     orientation are localCheckpoint-pinned: each is consumed by ≥ 2
     downstream branches, and unpinned the planner re-expanded the
     upstream scan+join into every branch (188 scans of lineitem in the
-    copurchase golden's static plan).
+    copurchase golden's static plan). NOTE the eager-execution tradeoff:
+    calling this function runs Spark jobs immediately (the checkpoints
+    materialize) and severs lineage — explain-only flows execute real
+    work, and a lost executor recomputes nothing (the blocks are
+    re-fetched or the job fails) — accepted for the 188-scan
+    re-expansion it prevents.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
