@@ -98,6 +98,18 @@ def pagerank(
     return ranks.select(F.col("__s").alias("node"), F.col("__r").alias("rank"))
 
 
+# Broadcast ceiling for triangle counting's metadata frames (guide §3.1):
+# below this many CANONICAL EDGES both the degree frame (<= 2m rows of two
+# longs) and the packed out-adjacency frame (m longs total across all
+# arrays, by the degree orientation) are tens of MB serialized — inside
+# the guide's "a few hundred MB is usually fine" broadcast band — so every
+# join in the pipeline becomes a broadcast hash join and THE EDGE LIST IS
+# NEVER SHUFFLED. Above the ceiling the joins keep shuffle_hash hints
+# (per-partition node-sized builds always fit; safe for billion-edge
+# graphs where the adjacency frame is TB-sized and unbroadcastable).
+_TRI_BCAST_MAX_EDGES = 4_000_000
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -119,27 +131,30 @@ def triangle_counts(
     rather than by a circuit breaker).
 
     Returns ``(node, triangles)`` for every node in the graph, zeros
-    included. Shapes: two key shuffles to normalize + degree, one
-    aggregate packing out-adjacency ARRAYS (each O(√m) long), two
-    edge-keyed joins attaching N⁺(u) and N⁺(v) to each oriented edge,
-    and one explode of their intersection — all equi-joins, no
-    cartesian anywhere. This replaces the r5 wedge self-join + closing
-    pair join: both enumerate the same O(Σ outdeg²) wedge set, but the
-    wedge shape materialized it as a 41M-ROW shuffle into the closing
-    join at sf0.1 where the arrays ship the identical information as
-    ~outdeg packed longs and the intersection never leaves the join
-    task (26.0 s → 8.5 s at sf0.1, plan 188 parquet scans → 2 — the
-    guide-§2.3 'shuffle keys and metadata, not payloads' move plus
-    §2.4 shuffle removal). The canonical edge set, degrees, and
-    orientation are localCheckpoint-pinned: each is consumed by ≥ 2
-    downstream branches, and unpinned the planner re-expanded the
-    upstream scan+join into every branch (188 scans of lineitem in the
-    copurchase golden's static plan). NOTE the eager-execution tradeoff:
-    calling this function runs Spark jobs immediately (the checkpoints
-    materialize) and severs lineage — explain-only flows execute real
-    work, and a lost executor recomputes nothing (the blocks are
-    re-fetched or the job fails) — accepted for the 188-scan
-    re-expansion it prevents.
+    included. Shapes (r12): one key shuffle to canonicalize, one degree
+    aggregate, one aggregate packing out-adjacency ARRAYS (each O(√m)
+    long), then the orientation and the two adjacency attachments ride
+    BROADCAST joins below ``_TRI_BCAST_MAX_EDGES`` (shuffle_hash hints
+    above it — per-partition node-sized builds, billion-edge safe), and
+    ONE explode emits every per-node contribution of an edge in a single
+    pass: ``u`` and ``v`` each close ``|N⁺(u) ∩ N⁺(v)|`` triangles at
+    this edge and every ``w`` in the intersection closes one. The r11
+    shape computed the SAME intersection three times — the per-node
+    attribution unioned three ``explode(array_intersect(...))`` branches
+    and the planner re-executed the join+intersect pipeline per branch
+    (3 Generate nodes, 30 Exchanges, zero reuse in the committed plan) —
+    and every join was a SortMergeJoin because checkpointed frames carry
+    no size statistics; both are why the golden ANTI-scaled (driver r11:
+    15.7 s at 32 cores vs 10.7 s at 8 — more cores, more per-stage
+    overhead on the re-executed branches). The canonical edge set and
+    the degree frame stay localCheckpoint-pinned (each feeds ≥ 2
+    branches; unpinned, the planner re-expanded the upstream scan+join
+    into every branch — 188 scans in the r5-shape copurchase plan).
+    NOTE the eager-execution tradeoff: calling this function runs Spark
+    jobs immediately (the checkpoints materialize) and severs lineage —
+    explain-only flows execute real work, and a lost executor recomputes
+    nothing (the blocks are re-fetched or the job fails) — accepted for
+    the 188-scan re-expansion it prevents.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
@@ -148,14 +163,23 @@ def triangle_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The broadcast decision needs only the canonical edge count, a ~10 ms
+    # job on the just-materialized RDD; m bounds both metadata frames
+    # (deg <= 2m rows, adjacency payload = m longs total).
+    m_edges = e.count()
+    small = m_edges <= _TRI_BCAST_MAX_EDGES
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = (
         und.groupBy("a").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("a", "n")
         .localCheckpoint(eager=True)
     )
+
+    def _meta(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df.hint("shuffle_hash")
+
     ed = (
-        e.join(deg.select(F.col("n").alias("a"), F.col("dg").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("dg").alias("db")), "b")
+        e.join(_meta(deg.select(F.col("n").alias("a"), F.col("dg").alias("da"))), "a")
+        .join(_meta(deg.select(F.col("n").alias("b"), F.col("dg").alias("db"))), "b")
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
@@ -163,28 +187,54 @@ def triangle_counts(
     orient = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=True)
+    )
+    if not small:
+        # on the shuffle path the orientation feeds two shuffled joins
+        # plus the adjacency aggregate — pin it so the upstream joins run
+        # once (on the broadcast path it is a map-side recompute over the
+        # checkpointed edge set and the broadcasts are plan-reused)
+        orient = orient.localCheckpoint(eager=True)
     adj = orient.groupBy("u").agg(F.collect_list("v").alias("__nb"))
-    tri = (
+    closed = (
         orient.join(
-            adj.select(F.col("u").alias("__ju"), F.col("__nb").alias("__nu")),
+            _meta(adj.select(F.col("u").alias("__ju"), F.col("__nb").alias("__nu"))),
             F.col("u") == F.col("__ju"),
         )
         .join(
-            adj.select(F.col("u").alias("__jv"), F.col("__nb").alias("__nv")),
+            _meta(adj.select(F.col("u").alias("__jv"), F.col("__nb").alias("__nv"))),
             F.col("v") == F.col("__jv"),
         )
-        .select("u", "v", F.explode(F.array_intersect("__nu", "__nv")).alias("w"))
+        .select("u", "v", F.array_intersect("__nu", "__nv").alias("__ws"))
+        .where(F.size("__ws") > 0)
     )
+    # Single-pass attribution: each closing w is one triangle {u, v, w};
+    # per edge, u and v each gain size(ws) triangles and each w gains 1.
+    # One explode + one partially-aggregated SUM replaces the r11 3-way
+    # union that re-ran the intersection per branch (guide §2.3/§2.4).
+    cnt = F.size("__ws").cast("long")
     per_node = (
-        tri.select(F.col("u").alias("n"))
-        .union(tri.select(F.col("v").alias("n")))
-        .union(tri.select(F.col("w").alias("n")))
+        closed.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("u").alias("n"), cnt.alias("c")),
+                        F.struct(F.col("v").alias("n"), cnt.alias("c")),
+                    ),
+                    F.transform(
+                        "__ws",
+                        lambda w: F.struct(
+                            w.alias("n"), F.lit(1).cast("long").alias("c")
+                        ),
+                    ),
+                )
+            ).alias("__x")
+        )
+        .select(F.col("__x.n").alias("n"), F.col("__x.c").alias("c"))
         .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum("c").alias("t"))
     )
     return (
-        deg.join(per_node, "n", "left")
+        deg.join(_meta(per_node), "n", "left")
         .select(
             F.col("n").alias("node"),
             F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
