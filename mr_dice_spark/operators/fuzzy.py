@@ -527,9 +527,15 @@ def edit_distance_join(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
+            # thresholded levenshtein (r12, guide §1.2 step-2 per-task
+            # work): the 3-arg form computes a banded O(k·n) DP and
+            # returns -1 past the threshold instead of the full O(n²)
+            # matrix — exact distance for every kept row, so
+            # `dist >= 0` ≡ `dist <= max_dist` and the output is
+            # bit-identical
+            F.levenshtein(F.col("a.__s"), F.col("b.__s"), max_dist).alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
+        .where(F.col("dist") >= 0)
         .distinct()
     )
     return verified.select("id_a", "id_b", "dist")
@@ -750,9 +756,11 @@ def edit_distance_join_k(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__s"), F.col("b.__s")).alias("dist"),
+            # thresholded levenshtein — banded O(k·n) early-exit verify,
+            # exact dist for kept rows (see the k=1 path's note)
+            F.levenshtein(F.col("a.__s"), F.col("b.__s"), k).alias("dist"),
         )
-        .where(F.col("dist") <= k)
+        .where(F.col("dist") >= 0)
         .distinct()
     )
     return verified.select("id_a", "id_b", "dist")
@@ -825,9 +833,11 @@ def sorted_neighborhood_pairs(
         "id1", "id2", "key1", "key2", (F.col("__r2") - F.col("__r1")).alias("gap")
     )
     if max_distance is not None:
+        # thresholded levenshtein: banded early-exit verify, exact
+        # distance for every kept row (same move as edit_distance_join)
         out = out.withColumn(
-            "distance", F.levenshtein("key1", "key2")
-        ).where(F.col("distance") <= max_distance)
+            "distance", F.levenshtein("key1", "key2", max_distance)
+        ).where(F.col("distance") >= 0)
     return out
 
 
