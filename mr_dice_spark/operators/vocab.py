@@ -261,8 +261,16 @@ def bpe_train_merges(
         # element_at) keeps the empty-accumulator probe NULL-safe
         # under ANSI mode. (Shared with bpe_encode_stats.)
         fold = _bpe_merge_fold(F.col("__s"), a, b)
+        # LAZY checkpoint (r12, guide §2.6 "overlap independent jobs"
+        # applied to a sequential loop): eager=True ran a dedicated
+        # materialization job per round — 24 sequential jobs for 12
+        # rounds, pure scheduling floor on a vocab-sized frame. With
+        # eager=False the next round's argmax (a TakeOrdered, which
+        # computes EVERY partition, so the checkpoint persists fully)
+        # materializes the fold as a side effect: one job per round,
+        # same flat LogicalRDD plan for round t+1.
         syms = syms.select("__f", fold.alias("__s")).localCheckpoint(
-            eager=True
+            eager=False
         )
     return df.sparkSession.createDataFrame(
         out, "rank int, left_sym string, right_sym string, pair_count long"
