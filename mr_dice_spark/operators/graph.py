@@ -48,18 +48,31 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 0: {n_iter}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1): {damping}")
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     if undirected:
-        e = e.union(
-            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-        ).distinct()
-    e = e.localCheckpoint(eager=True)  # every sweep re-reads the edge list
+        # one distinct AFTER the direction union (r12): the r11 shape
+        # distinct-ed the raw edges first and the unioned directions
+        # again — the second pass makes the first redundant (dedup of a
+        # set union ≡ dedup of the raw union), so the undirected path
+        # paid an extra edge-sized exchange for nothing
+        e = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
+    e = e.distinct().localCheckpoint(eager=True)  # every sweep re-reads this
+    # the broadcast/shuffle-hash decision for every node-sized side: the
+    # directed edge-row count bounds the node count (same argument as
+    # label_propagation; one ~10 ms count on the materialized RDD)
+    m_rows = e.count()
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     # degree is STATIC across sweeps: merge it into the edge list once
     # (and materialize) instead of paying a second edge-sized join per
-    # sweep — measured 3.5x -> ~2x at the 10x probe
-    e = e.join(deg, "__s").localCheckpoint(eager=True)
-    nodes = e.select("__s").union(e.select("__d")).distinct()
+    # sweep — measured 3.5x -> ~2x at the 10x probe; node-sized deg rides
+    # a broadcast below the ceiling so the merge never shuffles e (r12)
+    e = e.join(_node_sized(deg, m_rows), "__s").localCheckpoint(eager=True)
+    # nodes is STATIC too: materialize it once (r12) — unpinned, every
+    # sweep's rank rebuild re-ran this edge-sized distinct inside its
+    # checkpoint job (5 extra edge-sized exchanges on the 5-sweep golden)
+    nodes = e.select("__s").union(e.select("__d")).distinct().localCheckpoint(
+        eager=True
+    )
     n = nodes.count()
     if n == 0:
         # schema must match the non-empty path (node typed after the edge
@@ -70,31 +83,33 @@ def pagerank(
         )
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("__r", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        # shuffle_hash hints (r11 optimization, guide §3.1): ranks and
-        # contrib are node-sized but flow out of checkpoints/aggregates
-        # whose size stats the planner can't see, so it fell back to
-        # SortMergeJoin and re-sorted the edge list every sweep. A
-        # node-sized per-partition hash build always fits (and, unlike
-        # broadcast, scales to billion-node graphs) — the same fix as
-        # label_propagation's sweep join.
+    for i in range(n_iter):
+        # node-sized sides ride broadcast joins below the ceiling and
+        # shuffle_hash hints above it (r12, same _node_sized policy as
+        # label_propagation — the r11 shuffle_hash-only shape still
+        # exchanged the FULL edge list on the join key every sweep; the
+        # broadcast path never shuffles it, and each sweep's only
+        # exchange ships node-sized partially-aggregated sums).
         contrib = (
-            e.join(ranks.hint("shuffle_hash"), "__s")
+            e.join(_node_sized(ranks, n), "__s")
             .groupBy("__d")
             .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__c"))
         )
-        contrib = contrib.hint("shuffle_hash")
-        ranks = (
-            nodes.join(contrib, nodes["__s"] == contrib["__d"], "left")
-            .select(
-                nodes["__s"],
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
-                ).alias("__r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            _node_sized(contrib, n), nodes["__s"] == contrib["__d"], "left"
+        ).select(
+            nodes["__s"],
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+            ).alias("__r"),
         )
+        # checkpoint cadence: every _SWEEP_CKPT_EVERY sweeps, not every
+        # sweep (r12, same rationale as label_propagation — the per-sweep
+        # eager materialization was a fixed-cost job whose overhead grows
+        # with core count while the node frame does not)
+        if (i + 1) % _SWEEP_CKPT_EVERY == 0 and i != n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("__s").alias("node"), F.col("__r").alias("rank"))
 
 
@@ -382,21 +397,26 @@ def k_core(
         e.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
     e = e.localCheckpoint(eager=True)
+    # survivor lists only shrink across rounds, so one decision from the
+    # initial edge count (which bounds the node count — every node owns
+    # >= 1 directed row) holds for every round: broadcast below the
+    # ceiling, shuffle_hash above it (r12, same _node_sized policy as
+    # label_propagation; the r11 shuffle_hash-only shape exchanged the
+    # edge list TWICE per peel round for the two semi-joins — on the
+    # broadcast path the only per-round exchange is the degree count's)
+    n_bound = e.count()
     for _ in range(n_iter):
         keep = (
             e.groupBy("s")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") >= k)
             .select("s")
-            # node-sized survivor list: hash-build it per partition
-            # instead of letting the stat-blind planner sort the edge
-            # list twice per peel round (same r11 rationale as the
-            # label_propagation sweep join)
-            .hint("shuffle_hash")
         )
         e = (
-            e.join(keep, "s", "semi")
-            .join(keep.withColumnRenamed("s", "d"), "d", "semi")
+            e.join(_node_sized(keep, n_bound), "s", "semi")
+            .join(
+                _node_sized(keep.withColumnRenamed("s", "d"), n_bound), "d", "semi"
+            )
             .select("s", "d")
         )
         e = e.localCheckpoint(eager=True)
