@@ -39,15 +39,25 @@ def connected_components(
     components would hand downstream dedup several "clusters" for one
     equivalence class with no error anywhere.
     """
+    from mr_dice_spark.operators.graph import _node_sized
+
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        # materialized once: every iteration joins sym twice (neighbor
-        # labels + the changed check actions), and without this the edge
-        # union+distinct shuffle re-executes per action
+        # materialized once: every iteration joins sym against the
+        # current labels, and without this the edge union+distinct
+        # shuffle re-executes per action
         .localCheckpoint(eager=True)
     )
+    # broadcast/shuffle-hash decision for the node-sized label frame
+    # (r12, same _node_sized policy as the graph sweeps): the directed
+    # edge-row count bounds the vertex count at one ~10 ms job on the
+    # materialized RDD. Below the ceiling the per-sweep neighbor join
+    # broadcasts labels and THE EDGE LIST IS NEVER SHUFFLED (the old
+    # stat-blind shape fell back to SortMergeJoin and re-exchanged sym
+    # every sweep).
+    n_bound = sym.count()
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
@@ -55,24 +65,32 @@ def connected_components(
     )
     changed = 1
     for _ in range(max_iter):
-        # candidate labels: own + each neighbor's current label
+        # candidate labels: own + each neighbor's current label. The own
+        # row carries a marker so the aggregate emits old and new labels
+        # together — the changed check then reads the checkpointed
+        # result instead of re-joining new against old (r12: one
+        # node-sized join and its exchanges removed per sweep).
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            sym.join(_node_sized(labels.withColumnRenamed("id", "v"), n_bound), "v")
             .select(F.col("u").alias("id"), "component")
+            .withColumn("__own", F.lit(0))
         )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+        agg = (
+            labels.withColumn("__own", F.lit(1))
+            .unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                # exactly one own-row per id: its component IS the old label
+                F.max(F.when(F.col("__own") == 1, F.col("component"))).alias(
+                    "__old"
+                ),
+            )
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            agg.where(F.col("component") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = agg.select("id", "component")
         if changed == 0:
             break
     if changed != 0:
